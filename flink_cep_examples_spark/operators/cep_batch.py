@@ -1,0 +1,123 @@
+"""Batch CEP operator: ``match_pattern(df, spec)``.
+
+The Spark-side plumbing around the NFA core (operators/nfa.py), staged
+for scale:
+
+1. **Vectorized predicate precompute** — every DEFINE predicate is
+   evaluated as a boolean column in a single ``select`` *before* the
+   shuffle (Catalyst codegen, columnar). Python never evaluates a
+   predicate (SURVEY §4: the single biggest perf lever).
+2. **One shuffle** — ``groupBy(key).applyInPandas``: per-key groups
+   arrive as Arrow batches; the NFA reads only numpy booleans + int64
+   timestamps.
+3. **Measures projection** — matched-row values are gathered per group
+   with numpy ``take``; output rows carry the key, the measures, and the
+   ``tag`` column ('match' / 'timeout' — side-output emulation, Flink
+   OutputTag → union schema, FlinkCEPAbsenceOfEventExample.scala:77,95-106).
+
+Prefer :func:`flink_cep_examples_spark.operators.fast_path.
+match_pattern_fast_abc` when the pattern qualifies — it is pure
+DataFrame (no Python at all). This general operator handles every
+pattern the DSL can express.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_cep_examples_spark.plans.pattern import Measure, PatternSpec
+from flink_cep_examples_spark.operators import nfa
+from flink_cep_examples_spark.schemas import MATCH_TAG, TIMEOUT_TAG
+
+_PRED_PREFIX = "__cep_p_"
+_TS_COL = "__cep_ts_ms"
+
+
+def _measure_field(df: DataFrame, m: Measure) -> T.StructField:
+    if m.fn == "count":
+        return T.StructField(m.name, T.LongType(), True)
+    src_type = df.schema[m.src].dataType
+    return T.StructField(m.name, src_type, True)
+
+
+def output_schema(df: DataFrame, spec: PatternSpec) -> T.StructType:
+    fields = [T.StructField(k, df.schema[k].dataType, True) for k in spec.key_cols]
+    fields += [_measure_field(df, m) for m in spec.measures]
+    fields.append(T.StructField("tag", T.StringType(), False))
+    return T.StructType(fields)
+
+
+def _prepare(df: DataFrame, spec: PatternSpec) -> DataFrame:
+    """Add vectorized predicate booleans + epoch-ms timestamp. Catalyst
+    prunes every column the measures/keys don't need."""
+    needed = {m.src for m in spec.measures}
+    needed.update(spec.key_cols)
+    needed.add(spec.tiebreak_col)
+    cols = [F.col(c) for c in sorted(needed)]
+    cols.append(
+        F.unix_micros(F.col(spec.order_col).cast("timestamp")).alias(_TS_COL)
+    )
+    for i, v in enumerate(spec.variables):
+        cols.append(F.expr(v.predicate).alias(f"{_PRED_PREFIX}{i}"))
+    return df.select(*cols)
+
+
+def match_pattern(df: DataFrame, spec: PatternSpec) -> DataFrame:
+    """Batch row-pattern recognition. Returns one row per match (ONE ROW
+    PER MATCH, FlinkSqlMatchRecognizeExample.scala:60) with the declared
+    measures, plus (if ``spec.emit_timeouts``) one row per timed-out
+    partial with ``tag='timeout'``."""
+    spec.validate()
+    prepared = _prepare(df, spec)
+    out_schema = output_schema(df, spec)
+    n_vars = len(spec.variables)
+    spec_bc = spec  # closure capture; spec is tiny and immutable
+    key_cols = list(spec.key_cols)
+    measure_list = list(spec.measures)
+    tiebreak = spec.tiebreak_col
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([_TS_COL, tiebreak], kind="mergesort")
+        ts = pdf[_TS_COL].to_numpy(dtype=np.int64)
+        preds = np.stack(
+            [
+                pdf[f"{_PRED_PREFIX}{i}"].to_numpy(dtype=bool)
+                for i in range(n_vars)
+            ]
+        )
+        matches, timeouts = nfa.scan_key_group(spec_bc, preds, ts)
+        out_cols: dict[str, list] = {k: [] for k in key_cols}
+        for m in measure_list:
+            out_cols[m.name] = []
+        out_cols["tag"] = []
+        key_vals = {k: pdf[k].iloc[0] if len(pdf) else None for k in key_cols}
+        src_arrays = {m.src: pdf[m.src].to_numpy() for m in measure_list}
+
+        def emit(match: dict, tag: str) -> None:
+            for k in key_cols:
+                out_cols[k].append(key_vals[k])
+            for m in measure_list:
+                span = match.get(m.var)
+                if span is None:
+                    out_cols[m.name].append(
+                        0 if m.fn == "count" else m.default
+                    )
+                elif m.fn == "count":
+                    out_cols[m.name].append(span[2])
+                else:
+                    idx = span[0] if m.fn == "first" else span[1]
+                    out_cols[m.name].append(src_arrays[m.src][idx])
+            out_cols["tag"].append(tag)
+
+        for match in matches:
+            emit(match, MATCH_TAG)
+        for to in timeouts:
+            emit(to, TIMEOUT_TAG)
+        return pd.DataFrame(out_cols, columns=[f.name for f in out_schema.fields])
+
+    return prepared.groupBy(*key_cols).applyInPandas(scan, schema=out_schema)

@@ -1,0 +1,197 @@
+"""Compiled pure-DataFrame fast path for ``A B* C``-class patterns.
+
+When a pattern has the shape
+
+    PATTERN (A B* C) WITHIN <t> AFTER MATCH SKIP PAST LAST ROW
+
+with **B ≡ NOT C** (B's predicate covers every non-C row) and **A ∧ C
+unsatisfiable** — exactly the reference pattern's structure
+(FlinkSqlMatchRecognizeExample.scala:62-66: B = ``balanceBefore >=
+balanceAfter`` is the complement of C = ``balanceBefore <
+balanceAfter``, and A requires ``balanceAfter < 10 ≤ balanceBefore``
+which contradicts C) — the NFA admits a *closed form*, provable from the
+NFA semantics (operators/nfa.py):
+
+- Every row after an A is either a B (run extends) or a C (run
+  completes or dies), so a partial can never die from a contiguity
+  break, and **no A-run survives past the next C row**: if the next C
+  is within the deadline it completes/discards the run; otherwise the
+  run is pruned by ``within`` first.
+- Hence each match pairs a C row with the **earliest A row after the
+  previous C row** whose gap ``ts_C - ts_A < within`` (skip-past-last
+  discards the later candidates; the previous C row is the skip
+  cursor — rows before it can never host a surviving A).
+- A timeout (absence alert) is exactly an A row whose next C row is
+  missing or ≥ ``within`` later.
+
+That closed form is pure window functions: one shuffle on the key, one
+sort, zero Python, whole-stage codegen end-to-end — the plan you want
+for 100 TB. The general NFA operator remains the fallback for every
+other pattern; differential tests pin both paths to identical output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_cep_examples_spark.operators.cep_batch import output_schema
+from flink_cep_examples_spark.plans.pattern import (
+    ONCE,
+    SKIP_PAST_LAST_EVENT,
+    ZERO_OR_MORE,
+    Measure,
+    PatternSpec,
+)
+from flink_cep_examples_spark.schemas import MATCH_TAG, TIMEOUT_TAG
+
+
+def fast_abc_applicable(spec: PatternSpec) -> bool:
+    """Structural check only — the caller is responsible for the
+    semantic guarantees (B ≡ ¬C, A ∧ C = ∅); differential tests against
+    the NFA path verify them on real data."""
+    v = spec.variables
+    return (
+        len(v) == 3
+        and v[0].quantifier == ONCE
+        and v[1].quantifier == ZERO_OR_MORE
+        and v[2].quantifier == ONCE
+        and spec.after_match == SKIP_PAST_LAST_EVENT
+        and all(m.fn in ("first", "last") and m.var in (v[0].name, v[2].name)
+                or (m.fn == "count" and m.var == v[1].name)
+                for m in spec.measures)
+    )
+
+
+def match_pattern_fast_abc(df: DataFrame, spec: PatternSpec) -> DataFrame:
+    """Closed-form evaluation; output schema identical to
+    :func:`~flink_cep_examples_spark.operators.cep_batch.match_pattern`."""
+    if not fast_abc_applicable(spec):
+        raise ValueError("pattern not eligible for the A B* C fast path")
+    spec.validate()
+    a_var, b_var, c_var = (v.name for v in spec.variables)
+    a_pred, _, c_pred = (v.predicate for v in spec.variables)
+    keys = list(spec.key_cols)
+    within_us = (
+        int(spec.within.total_seconds() * 1_000_000)
+        if spec.within is not None
+        else None
+    )
+
+    srcs = sorted({m.src for m in spec.measures} - set(keys))
+    base = df.select(
+        *keys,
+        F.unix_micros(F.col(spec.order_col).cast("timestamp")).alias("__ts"),
+        F.col(spec.tiebreak_col).alias("__tb"),
+        F.expr(a_pred).alias("__is_a"),
+        F.expr(c_pred).alias("__is_c"),
+        *srcs,
+    )
+
+    w_ord = Window.partitionBy(*keys).orderBy("__ts", "__tb")
+    # segment id = number of C rows strictly before this row; a C row
+    # closes (belongs to) the segment it terminates.
+    base = base.withColumn(
+        "__seg",
+        F.coalesce(
+            F.sum(F.col("__is_c").cast("long")).over(
+                w_ord.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).withColumn("__rn", F.row_number().over(w_ord))
+    if spec.emit_timeouts:
+        # Same window partitioning/ordering as __seg/__rn → one Window
+        # stage, no extra shuffle. Because A ∧ C is unsatisfiable, a row
+        # is either a match anchor (C row) or a timeout anchor (A row),
+        # never both — so matches and timeouts are emitted from ONE
+        # filtered frame with CASE WHEN projections (single scan, single
+        # exchange; no union of two subplans).
+        base = base.withColumn(
+            "__next_c",
+            F.min(F.when(F.col("__is_c"), F.col("__ts"))).over(
+                w_ord.rowsBetween(1, Window.unboundedFollowing)
+            ),
+        )
+
+    # ---- per-segment A candidate (for match rows) -------------------
+    w_seg = Window.partitionBy(*keys, "__seg")
+    a_srcs = sorted({m.src for m in spec.measures if m.var == a_var})
+    with_cts = base.withColumn(
+        "__c_ts", F.max(F.when(F.col("__is_c"), F.col("__ts"))).over(w_seg)
+    )
+    deadline_ok = (
+        F.lit(True)
+        if within_us is None
+        else (F.col("__c_ts") - F.col("__ts")) < F.lit(within_us)
+    )
+    a_struct = F.min(
+        F.when(
+            F.col("__is_a") & deadline_ok,
+            F.struct(
+                F.col("__ts").alias("ts"),
+                F.col("__tb").alias("tb"),
+                F.col("__rn").alias("rn"),
+                *[F.col(s).alias(f"s_{s}") for s in a_srcs],
+            ),
+        )
+    ).over(w_seg)
+    with_a = with_cts.withColumn("__a", a_struct)
+
+    is_match_row = F.col("__is_c") & F.col("__a").isNotNull()
+    if spec.emit_timeouts:
+        nc = F.col("__next_c")
+        timed_out_cond = (
+            nc.isNull()
+            if within_us is None
+            else nc.isNull() | ((nc - F.col("__ts")) >= F.lit(within_us))
+        )
+        is_timeout_row = F.col("__is_a") & timed_out_cond
+        keep = is_match_row | is_timeout_row
+    else:
+        keep = is_match_row
+
+    def match_measure(m: Measure):
+        if m.var == c_var:
+            return F.col(m.src)
+        if m.var == a_var:
+            return F.col(f"__a.s_{m.src}")
+        # B count = rows strictly between the A row and the C row
+        return (F.col("__rn") - F.col("__a.rn") - 1).cast("long")
+
+    def timeout_measure(m: Measure):
+        # NOTE (documented deviation): 'count' measures on timeout rows
+        # are 0 here, whereas the NFA reports rows actually consumed
+        # before pruning. The reference's timeout output projects
+        # nothing from B (FlinkCEPAbsenceOfEventExample.scala:97-101),
+        # so parity is unaffected; use the general operator if partial
+        # B-counts matter.
+        if m.var == a_var and m.fn in ("first", "last"):
+            return F.col(m.src)
+        if m.fn == "count":
+            return F.lit(0).cast("long")
+        return F.lit(m.default)
+
+    def measure(m: Measure):
+        if not spec.emit_timeouts:
+            return match_measure(m).alias(m.name)
+        return (
+            F.when(is_match_row, match_measure(m))
+            .otherwise(timeout_measure(m))
+            .alias(m.name)
+        )
+
+    tag = (
+        F.when(is_match_row, F.lit(MATCH_TAG)).otherwise(F.lit(TIMEOUT_TAG))
+        if spec.emit_timeouts
+        else F.lit(MATCH_TAG)
+    )
+    out = with_a.filter(keep).select(
+        *keys, *[measure(m) for m in spec.measures], tag.alias("tag")
+    )
+
+    # align column types with the general operator's output schema
+    target = output_schema(df, spec)
+    return out.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in target.fields]
+    )

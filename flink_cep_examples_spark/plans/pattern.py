@@ -1,0 +1,257 @@
+"""Pattern specification + fluent DSL.
+
+The logical plan of the CEP operator. Both front-ends compile here:
+
+- the fluent Python DSL below mirrors the reference's Pattern builder
+  (``Pattern.begin("A", skipPastLastEvent).where(...).next("B")
+  .oneOrMore().optional().where(...).next("C").where(...)
+  .within(Time.hours(1))`` — FlinkCEPExample.scala:58-74);
+- the MATCH_RECOGNIZE-subset parser (sql/match_recognize.py) produces
+  the same :class:`PatternSpec` (the reference's SQL and DSL paths
+  converge on one operator too — FlinkSqlMatchRecognizeExample.scala:50-68).
+
+Predicates are carried as **SQL boolean expression strings** over the
+input columns. The executors evaluate them *vectorized in Spark SQL*
+(one ``select`` adding boolean columns, whole-stage codegen) before any
+Python sees a row — the NFA only ever reads precomputed booleans.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field, replace
+from datetime import timedelta
+
+# ---------------------------------------------------------------------------
+# Spec dataclasses (frozen: a spec is a logical plan node)
+# ---------------------------------------------------------------------------
+
+#: Quantifiers: how many rows a pattern variable may absorb.
+ONCE = "once"
+ONE_OR_MORE = "one_or_more"  # X+
+ZERO_OR_MORE = "zero_or_more"  # X*  (= oneOrMore().optional() in Flink)
+OPTIONAL = "optional"  # X?
+
+#: Contiguity between the previous variable and this one.
+STRICT = "strict"  # Flink .next() / MATCH_RECOGNIZE native semantics
+RELAXED = "relaxed"  # Flink .followedBy(): skip non-matching rows
+
+#: After-match skip strategies.
+SKIP_PAST_LAST_EVENT = "skip_past_last_event"
+NO_SKIP = "no_skip"
+
+_INTERVAL_RE = re.compile(
+    r"^\s*(\d+)\s*(ms|millisecond|milliseconds|s|sec|second|seconds|"
+    r"m|min|minute|minutes|h|hour|hours|d|day|days)\s*$",
+    re.IGNORECASE,
+)
+
+_UNIT_MS = {
+    "ms": 1, "millisecond": 1, "milliseconds": 1,
+    "s": 1000, "sec": 1000, "second": 1000, "seconds": 1000,
+    "m": 60_000, "min": 60_000, "minute": 60_000, "minutes": 60_000,
+    "h": 3_600_000, "hour": 3_600_000, "hours": 3_600_000,
+    "d": 86_400_000, "day": 86_400_000, "days": 86_400_000,
+}
+
+
+def parse_interval(text: str | timedelta | None) -> timedelta | None:
+    """'1 hour' / '6 minutes' / timedelta → timedelta."""
+    if text is None or isinstance(text, timedelta):
+        return text
+    m = _INTERVAL_RE.match(text)
+    if not m:
+        raise ValueError(f"cannot parse interval: {text!r}")
+    return timedelta(milliseconds=int(m.group(1)) * _UNIT_MS[m.group(2).lower()])
+
+
+@dataclass(frozen=True)
+class PatternVar:
+    """One pattern variable (A / B / C ...)."""
+
+    name: str
+    predicate: str  # SQL boolean expression over input columns; "true" = always
+    quantifier: str = ONCE
+    contiguity: str = STRICT  # vs the previous variable; ignored for the first
+
+    @property
+    def min_count(self) -> int:
+        return 1 if self.quantifier in (ONCE, ONE_OR_MORE) else 0
+
+    @property
+    def can_loop(self) -> bool:
+        return self.quantifier in (ONE_OR_MORE, ZERO_OR_MORE)
+
+    @property
+    def optional(self) -> bool:
+        return self.quantifier in (ZERO_OR_MORE, OPTIONAL)
+
+
+@dataclass(frozen=True)
+class Measure:
+    """One output column computed from the match
+    (MATCH_RECOGNIZE MEASURES / PatternProcessFunction projection,
+    reference FlinkCEPExample.scala:78-92).
+
+    ``fn`` ∈ {'first','last','count'} applied to variable ``var``'s
+    matched rows' ``src`` column. For timeout rows, measures over
+    variables the partial never reached yield ``default``.
+    """
+
+    name: str
+    var: str
+    src: str
+    fn: str = "first"
+    default: object = None
+
+
+@dataclass(frozen=True)
+class PatternSpec:
+    """Complete logical spec of a CEP query: PARTITION BY / ORDER BY /
+    PATTERN / DEFINE / WITHIN / AFTER MATCH SKIP / MEASURES."""
+
+    variables: tuple[PatternVar, ...]
+    key_cols: tuple[str, ...] = ("id",)
+    order_col: str = "event_time"
+    tiebreak_col: str = "seq"
+    within: timedelta | None = None
+    after_match: str = SKIP_PAST_LAST_EVENT
+    measures: tuple[Measure, ...] = field(default_factory=tuple)
+    emit_timeouts: bool = False  # absence-of-event side output
+
+    def var_index(self, name: str) -> int:
+        for i, v in enumerate(self.variables):
+            if v.name == name:
+                return i
+        raise KeyError(name)
+
+    def validate(self) -> "PatternSpec":
+        names = [v.name for v in self.variables]
+        if len(set(names)) != len(names):
+            raise ValueError(f"duplicate pattern variable names: {names}")
+        if not self.variables:
+            raise ValueError("pattern needs at least one variable")
+        for m in self.measures:
+            if m.var not in names:
+                raise ValueError(f"measure {m.name} references unknown var {m.var}")
+            if m.fn not in ("first", "last", "count"):
+                raise ValueError(f"unsupported measure fn {m.fn}")
+        return self
+
+
+# ---------------------------------------------------------------------------
+# Fluent DSL (Milestone 2) — mirrors FlinkCEPExample.scala:58-74
+# ---------------------------------------------------------------------------
+
+
+class Pattern:
+    """Fluent builder.
+
+    >>> p = (Pattern.begin("A", skip=SKIP_PAST_LAST_EVENT)
+    ...      .where("balanceBefore >= 10 AND balanceAfter < 10")
+    ...      .next("B").one_or_more().optional()
+    ...      .where("balanceBefore >= balanceAfter")
+    ...      .next("C").where("balanceBefore < balanceAfter")
+    ...      .within("1 hour"))
+    """
+
+    def __init__(self) -> None:
+        self._vars: list[PatternVar] = []
+        self._skip = SKIP_PAST_LAST_EVENT
+        self._within: timedelta | None = None
+
+    # -- construction -------------------------------------------------
+    @classmethod
+    def begin(cls, name: str, skip: str = SKIP_PAST_LAST_EVENT) -> "Pattern":
+        p = cls()
+        p._skip = skip
+        p._vars.append(PatternVar(name, "true"))
+        return p
+
+    def next(self, name: str) -> "Pattern":
+        """Strict contiguity (Flink ``.next``, FlinkCEPExample.scala:64,69)."""
+        self._vars.append(PatternVar(name, "true", contiguity=STRICT))
+        return self
+
+    def followed_by(self, name: str) -> "Pattern":
+        """Relaxed contiguity (Flink ``.followedBy``) — engine extension;
+        the reference only uses strict."""
+        self._vars.append(PatternVar(name, "true", contiguity=RELAXED))
+        return self
+
+    def where(self, predicate: str) -> "Pattern":
+        v = self._vars[-1]
+        pred = predicate if v.predicate == "true" else f"({v.predicate}) AND ({predicate})"
+        self._vars[-1] = replace(v, predicate=pred)
+        return self
+
+    def one_or_more(self) -> "Pattern":
+        self._vars[-1] = replace(self._vars[-1], quantifier=ONE_OR_MORE)
+        return self
+
+    def optional(self) -> "Pattern":
+        v = self._vars[-1]
+        q = ZERO_OR_MORE if v.quantifier == ONE_OR_MORE else OPTIONAL
+        self._vars[-1] = replace(v, quantifier=q)
+        return self
+
+    def within(self, interval: str | timedelta) -> "Pattern":
+        self._within = parse_interval(interval)
+        return self
+
+    # -- finalization -------------------------------------------------
+    def build(
+        self,
+        key_cols: tuple[str, ...] = ("id",),
+        order_col: str = "event_time",
+        tiebreak_col: str = "seq",
+        measures: tuple[Measure, ...] = (),
+        emit_timeouts: bool = False,
+    ) -> PatternSpec:
+        return PatternSpec(
+            variables=tuple(self._vars),
+            key_cols=tuple(key_cols),
+            order_col=order_col,
+            tiebreak_col=tiebreak_col,
+            within=self._within,
+            after_match=self._skip,
+            measures=tuple(measures),
+            emit_timeouts=emit_timeouts,
+        ).validate()
+
+
+def billing_pattern(emit_timeouts: bool = False) -> PatternSpec:
+    """The reference pattern, verbatim semantics
+    (FlinkCEPExample.scala:58-74 / FlinkSqlMatchRecognizeExample.scala:50-68):
+
+    ``PATTERN (A B* C) WITHIN INTERVAL '1' HOUR AFTER MATCH SKIP PAST
+    LAST ROW`` with
+    A: balanceBefore >= 10 AND balanceAfter < 10 (alarm),
+    B: balanceBefore >= balanceAfter (non-increasing),
+    C: balanceBefore < balanceAfter (top-up);
+    MEASURES A.datetime AS alarmTriggerDatetime, C.datetime AS
+    topupDatetime; with ``emit_timeouts`` the absence variant
+    (FlinkCEPAbsenceOfEventExample.scala:93-103): timed-out partials emit
+    (id, A.datetime, '') on the timeout side output.
+    """
+    return (
+        Pattern.begin("A", skip=SKIP_PAST_LAST_EVENT)
+        .where("balanceBefore >= 10 AND balanceAfter < 10")
+        .next("B")
+        .one_or_more()
+        .optional()
+        .where("balanceBefore >= balanceAfter")
+        .next("C")
+        .where("balanceBefore < balanceAfter")
+        .within("1 hour")
+        .build(
+            key_cols=("id",),
+            order_col="event_time",
+            tiebreak_col="seq",
+            measures=(
+                Measure("alarmTriggerDatetime", "A", "datetime", "first"),
+                Measure("topupDatetime", "C", "datetime", "first", default=""),
+            ),
+            emit_timeouts=emit_timeouts,
+        )
+    )
