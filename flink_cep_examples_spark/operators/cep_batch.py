@@ -55,7 +55,7 @@ def output_schema(df: DataFrame, spec: PatternSpec) -> T.StructType:
 def _prepare(df: DataFrame, spec: PatternSpec) -> DataFrame:
     """Add vectorized predicate booleans + epoch-ms timestamp. Catalyst
     prunes every column the measures/keys don't need."""
-    needed = {m.src for m in spec.measures}
+    needed = {m.src for m in spec.measures if m.fn != "count"}
     needed.update(spec.key_cols)
     needed.add(spec.tiebreak_col)
     cols = [F.col(c) for c in sorted(needed)]
@@ -96,7 +96,9 @@ def match_pattern(df: DataFrame, spec: PatternSpec) -> DataFrame:
             out_cols[m.name] = []
         out_cols["tag"] = []
         key_vals = {k: pdf[k].iloc[0] if len(pdf) else None for k in key_cols}
-        src_arrays = {m.src: pdf[m.src].to_numpy() for m in measure_list}
+        src_arrays = {
+            m.src: pdf[m.src].to_numpy() for m in measure_list if m.fn != "count"
+        }
 
         def emit(match: dict, tag: str) -> None:
             for k in key_cols:

@@ -78,7 +78,9 @@ def match_pattern_fast_abc(df: DataFrame, spec: PatternSpec) -> DataFrame:
         else None
     )
 
-    srcs = sorted({m.src for m in spec.measures} - set(keys))
+    srcs = sorted(
+        {m.src for m in spec.measures if m.fn != "count"} - set(keys)
+    )
     base = df.select(
         *keys,
         F.unix_micros(F.col(spec.order_col).cast("timestamp")).alias("__ts"),
@@ -116,7 +118,9 @@ def match_pattern_fast_abc(df: DataFrame, spec: PatternSpec) -> DataFrame:
 
     # ---- per-segment A candidate (for match rows) -------------------
     w_seg = Window.partitionBy(*keys, "__seg")
-    a_srcs = sorted({m.src for m in spec.measures if m.var == a_var})
+    a_srcs = sorted(
+        {m.src for m in spec.measures if m.var == a_var and m.fn != "count"}
+    )
     with_cts = base.withColumn(
         "__c_ts", F.max(F.when(F.col("__is_c"), F.col("__ts"))).over(w_seg)
     )

@@ -1,0 +1,275 @@
+"""MATCH_RECOGNIZE front-end (SQL:2016 row-pattern recognition subset).
+
+Spark SQL has no MATCH_RECOGNIZE, so this is our own front-end: a parser
+for the subset the reference exercises
+(FlinkSqlMatchRecognizeExample.scala:50-68) —
+
+    PARTITION BY <cols>
+    ORDER BY <col>
+    MEASURES <var>.<col> AS <alias> [, ...] | COUNT(<var>.*) AS <alias>
+    ONE ROW PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW
+    PATTERN ( V1 V2* V3? ... ) [ WITHIN INTERVAL '<n>' <unit> ]
+    DEFINE <var> AS <predicate> [, ...]
+
+— compiled to the same :class:`PatternSpec` the Pattern DSL produces,
+so SQL and DSL converge on one operator exactly as the reference's two
+paths converge on Flink's CepOperator (SURVEY §3.2). The surrounding
+SELECT is delegated to Spark SQL itself.
+
+Parsing approach: clause-keyword splitting + regexes. Predicates pass
+through as Spark SQL expression strings (``A.balanceBefore`` prefixes
+are stripped — Flink scopes DEFINE predicates to the current row, which
+is exactly our row-wise vectorized evaluation). A full Calcite-style
+parser would be over-engineering for this subset; a
+``sparkSessionExtensions`` parser injection is the documented later
+path (SURVEY §3.2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+
+from pyspark.sql import DataFrame
+
+from flink_cep_examples_spark.operators.cep_batch import match_pattern
+from flink_cep_examples_spark.operators.fast_path import (
+    fast_abc_applicable,
+    match_pattern_fast_abc,
+)
+from flink_cep_examples_spark.plans.pattern import (
+    NO_SKIP,
+    ONCE,
+    ONE_OR_MORE,
+    OPTIONAL,
+    SKIP_PAST_LAST_EVENT,
+    STRICT,
+    ZERO_OR_MORE,
+    Measure,
+    PatternSpec,
+    PatternVar,
+    parse_interval,
+)
+
+_CLAUSES = (
+    "PARTITION BY",
+    "ORDER BY",
+    "MEASURES",
+    "ONE ROW PER MATCH",
+    "ALL ROWS PER MATCH",
+    "AFTER MATCH",
+    "PATTERN",
+    "DEFINE",
+)
+
+_QUANT = {"": ONCE, "*": ZERO_OR_MORE, "+": ONE_OR_MORE, "?": OPTIONAL}
+
+
+def _split_clauses(body: str) -> dict[str, str]:
+    """Split the MATCH_RECOGNIZE body into clause → text."""
+    positions = []
+    upper = body.upper()
+    for kw in _CLAUSES:
+        for m in re.finditer(r"(?<![A-Z_])" + kw.replace(" ", r"\s+") + r"(?![A-Z_])", upper):
+            positions.append((m.start(), m.end(), kw))
+    positions.sort()
+    out: dict[str, str] = {}
+    for i, (s, e, kw) in enumerate(positions):
+        end = positions[i + 1][0] if i + 1 < len(positions) else len(body)
+        out[kw] = body[e:end].strip().rstrip(",")
+    return out
+
+
+def _strip_var_prefixes(predicate: str, var_names: list[str]) -> str:
+    """``A.balanceBefore`` → ``balanceBefore``: DEFINE predicates in the
+    reference only reference the current row of their own variable
+    (FlinkSqlMatchRecognizeExample.scala:63-66), which is row-scoped
+    evaluation — our vectorized precompute."""
+    out = predicate
+    for v in var_names:
+        out = re.sub(rf"(?<![\w.]){re.escape(v)}\.", "", out)
+    return out
+
+
+def _parse_pattern_clause(text: str) -> tuple[list[tuple[str, str]], str | None]:
+    """``( A B* C ) WITHIN INTERVAL '1' HOUR`` →
+    ([(name, quant)...], within_text)."""
+    m = re.match(r"\s*\(([^)]*)\)\s*(.*)", text, re.DOTALL)
+    if not m:
+        raise ValueError(f"cannot parse PATTERN clause: {text!r}")
+    inner, rest = m.group(1), m.group(2).strip()
+    vars_ = []
+    for tok in inner.split():
+        qm = re.match(r"^([A-Za-z_][A-Za-z_0-9]*)([*+?]?)$", tok)
+        if not qm:
+            raise ValueError(f"unsupported pattern token: {tok!r}")
+        vars_.append((qm.group(1), _QUANT[qm.group(2)]))
+    within = None
+    wm = re.match(
+        r"WITHIN\s+INTERVAL\s+'(\d+)'\s+(\w+)", rest, re.IGNORECASE
+    )
+    if wm:
+        within = f"{wm.group(1)} {wm.group(2)}"
+    elif rest:
+        raise ValueError(f"unsupported trailing PATTERN text: {rest!r}")
+    return vars_, within
+
+
+_MEASURE_RE = re.compile(
+    r"^\s*(?:"
+    r"(?P<count>COUNT\s*\(\s*(?P<cvar>\w+)\.\*\s*\))"
+    r"|(?:(?P<fn>FIRST|LAST)\s*\(\s*(?P<fvar>\w+)\.(?P<fcol>\w+)\s*\))"
+    r"|(?P<var>\w+)\.(?P<col>\w+)"
+    r")\s+AS\s+(?P<alias>\w+)\s*$",
+    re.IGNORECASE,
+)
+
+
+def _parse_measures(text: str) -> list[Measure]:
+    measures = []
+    for part in re.split(r",(?![^()]*\))", text):
+        part = part.strip()
+        if not part:
+            continue
+        m = _MEASURE_RE.match(part)
+        if not m:
+            raise ValueError(f"unsupported MEASURES item: {part!r}")
+        if m.group("count"):
+            measures.append(
+                Measure(m.group("alias"), m.group("cvar"), "__count__", "count")
+            )
+        elif m.group("fn"):
+            measures.append(
+                Measure(
+                    m.group("alias"),
+                    m.group("fvar"),
+                    m.group("fcol"),
+                    m.group("fn").lower(),
+                )
+            )
+        else:
+            # bare VAR.col — SQL:2016 semantics: last row of VAR for
+            # running/final in ONE ROW PER MATCH; Flink returns the
+            # FIRST row's value for a once-variable (the only usage in
+            # the reference: A.datetime / C.datetime on once-vars where
+            # first == last). We use 'first' to match the reference.
+            measures.append(
+                Measure(m.group("alias"), m.group("var"), m.group("col"), "first")
+            )
+    return measures
+
+
+def parse_match_recognize(body: str) -> PatternSpec:
+    """Parse the text between ``MATCH_RECOGNIZE (`` and the closing ``)``
+    into a :class:`PatternSpec`."""
+    clauses = _split_clauses(body)
+    if "PATTERN" not in clauses or "DEFINE" not in clauses:
+        raise ValueError("MATCH_RECOGNIZE needs PATTERN and DEFINE clauses")
+    if "ALL ROWS PER MATCH" in clauses:
+        raise NotImplementedError("ALL ROWS PER MATCH is not supported (v1)")
+
+    var_quants, within_text = _parse_pattern_clause(clauses["PATTERN"])
+    var_names = [n for n, _ in var_quants]
+
+    defines: dict[str, str] = {}
+    for part in re.split(r",(?=\s*\w+\s+AS\s)", clauses["DEFINE"], flags=re.IGNORECASE):
+        dm = re.match(r"\s*(\w+)\s+AS\s+(.*)$", part.strip(), re.IGNORECASE | re.DOTALL)
+        if not dm:
+            raise ValueError(f"cannot parse DEFINE item: {part!r}")
+        defines[dm.group(1)] = _strip_var_prefixes(dm.group(2).strip(), var_names)
+
+    variables = tuple(
+        PatternVar(
+            name,
+            defines.get(name, "true"),  # undefined var matches any row (SQL:2016)
+            quantifier=quant,
+            contiguity=STRICT,  # MATCH_RECOGNIZE is inherently strictly contiguous
+        )
+        for name, quant in var_quants
+    )
+
+    after = clauses.get("AFTER MATCH", "SKIP PAST LAST ROW").strip().upper()
+    if re.fullmatch(r"SKIP\s+PAST\s+LAST\s+ROW", after):
+        skip = SKIP_PAST_LAST_EVENT
+    elif re.fullmatch(r"SKIP\s+TO\s+NEXT\s+ROW", after):
+        skip = NO_SKIP
+    else:
+        raise NotImplementedError(f"unsupported AFTER MATCH strategy: {after!r}")
+
+    keys = tuple(
+        c.strip() for c in clauses.get("PARTITION BY", "").split(",") if c.strip()
+    )
+    order = clauses.get("ORDER BY", "").strip()
+
+    return PatternSpec(
+        variables=variables,
+        key_cols=keys,
+        order_col=order,
+        within=parse_interval(within_text) if within_text else None,
+        after_match=skip,
+        measures=tuple(_parse_measures(clauses.get("MEASURES", ""))),
+    ).validate()
+
+
+_MR_RE = re.compile(
+    r"MATCH_RECOGNIZE\s*\((?P<body>.*)\)\s*(?:AS\s+)?(?P<alias>\w+)?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def match_recognize(
+    df: DataFrame,
+    body: str,
+    order_col: str | None = None,
+    tiebreak_col: str = "seq",
+    emit_timeouts: bool = False,
+    use_fast_path: bool = True,
+) -> DataFrame:
+    """Apply a MATCH_RECOGNIZE body to a DataFrame.
+
+    Picks the compiled pure-DataFrame fast path when the pattern shape
+    qualifies (caller may disable to force the general NFA), exactly as
+    a query planner would; both produce identical results
+    (differential-tested).
+    """
+    spec = parse_match_recognize(body)
+    updates: dict = {"tiebreak_col": tiebreak_col, "emit_timeouts": emit_timeouts}
+    if order_col is not None:
+        updates["order_col"] = order_col
+    spec = dataclasses.replace(spec, **updates)
+    if use_fast_path and fast_abc_applicable(spec):
+        out = match_pattern_fast_abc(df, spec)
+    else:
+        out = match_pattern(df, spec)
+    if not emit_timeouts:
+        out = out.drop("tag")
+    return out
+
+
+def sql_with_match_recognize(
+    spark,
+    query: str,
+    tables: dict[str, DataFrame],
+    tiebreak_col: str = "seq",
+) -> DataFrame:
+    """Run ``SELECT ... FROM <table> MATCH_RECOGNIZE (...) [AS] t``:
+    the MATCH_RECOGNIZE is evaluated by our engine; everything around it
+    is plain Spark SQL over the result (registered as the alias).
+
+    Only the reference's shape — a single FROM <table> MATCH_RECOGNIZE —
+    is supported; arbitrary nesting is out of scope for v1.
+    """
+    m = re.search(
+        r"SELECT\s+(?P<proj>.*?)\s+FROM\s+(?P<tbl>\w+)\s+MATCH_RECOGNIZE\s*\("
+        r"(?P<body>.*)\)\s*(?:AS\s+)?(?P<alias>\w+)?\s*$",
+        query.strip(),
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError("expected: SELECT ... FROM <table> MATCH_RECOGNIZE (...) [t]")
+    df = tables[m.group("tbl")]
+    result = match_recognize(df, m.group("body"), tiebreak_col=tiebreak_col)
+    alias = m.group("alias") or "t"
+    result.createOrReplaceTempView(alias)
+    return spark.sql(f"SELECT {m.group('proj')} FROM {alias}")

@@ -1,0 +1,98 @@
+"""MATCH_RECOGNIZE front-end tests: the reference SQL query verbatim
+(FlinkSqlMatchRecognizeExample.scala:50-68) must produce the golden
+output, and the parser must build the same spec as the DSL."""
+
+from __future__ import annotations
+
+from datetime import timedelta
+
+import pytest
+
+from flink_cep_examples_spark.plans.pattern import (
+    ONCE,
+    SKIP_PAST_LAST_EVENT,
+    ZERO_OR_MORE,
+    billing_pattern,
+)
+from flink_cep_examples_spark.sql.match_recognize import (
+    parse_match_recognize,
+    sql_with_match_recognize,
+)
+from flink_cep_examples_spark.sources.billing import billing_from_rows
+
+from tests.fixtures import EXPECTED_MATCHES, GOLDEN_INPUT_ROWS
+
+# The reference query body, verbatim apart from the rowtime column name
+# (our event-time column is event_time; Flink's was the registered
+# rowtime attribute user_action_time).
+REFERENCE_MR_BODY = """
+    PARTITION BY id
+    ORDER BY event_time
+    MEASURES
+      A.datetime AS alarm_trigger_datetime,
+      C.datetime AS topup_datetime
+    ONE ROW PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN (A B* C) WITHIN INTERVAL '1' HOUR
+    DEFINE
+      A AS A.balanceBefore >= 10 AND A.balanceAfter < 10,
+      B AS B.balanceBefore >= B.balanceAfter,
+      C AS C.balanceBefore < C.balanceAfter
+"""
+
+
+def test_parser_matches_dsl_spec():
+    spec = parse_match_recognize(REFERENCE_MR_BODY)
+    dsl = billing_pattern()
+    assert [v.name for v in spec.variables] == ["A", "B", "C"]
+    assert [v.quantifier for v in spec.variables] == [ONCE, ZERO_OR_MORE, ONCE]
+    assert spec.variables[0].predicate == "balanceBefore >= 10 AND balanceAfter < 10"
+    assert spec.variables[1].predicate == "balanceBefore >= balanceAfter"
+    assert spec.variables[2].predicate == "balanceBefore < balanceAfter"
+    assert spec.within == timedelta(hours=1) == dsl.within
+    assert spec.after_match == SKIP_PAST_LAST_EVENT
+    assert spec.key_cols == ("id",)
+    assert spec.order_col == "event_time"
+    assert [m.name for m in spec.measures] == [
+        "alarm_trigger_datetime",
+        "topup_datetime",
+    ]
+
+
+@pytest.mark.parametrize("use_fast_path", [True, False])
+def test_reference_sql_query_golden(spark, use_fast_path):
+    df = billing_from_rows(spark, GOLDEN_INPUT_ROWS)
+    query = f"SELECT * FROM billing MATCH_RECOGNIZE ({REFERENCE_MR_BODY}) t"
+    out = sql_with_match_recognize(spark, query, {"billing": df})
+    rows = sorted(
+        (r.id, r.alarm_trigger_datetime, r.topup_datetime) for r in out.collect()
+    )
+    assert rows == EXPECTED_MATCHES
+
+
+def test_measures_count_and_first_last(spark):
+    body = """
+      PARTITION BY id
+      ORDER BY event_time
+      MEASURES
+        FIRST(A.datetime) AS alarm_dt,
+        LAST(B.datetime) AS last_b_dt,
+        COUNT(B.*) AS n_b,
+        C.datetime AS topup_dt
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A B* C) WITHIN INTERVAL '1' HOUR
+      DEFINE
+        A AS A.balanceBefore >= 10 AND A.balanceAfter < 10,
+        B AS B.balanceBefore >= B.balanceAfter,
+        C AS C.balanceBefore < C.balanceAfter
+    """
+    df = billing_from_rows(spark, GOLDEN_INPUT_ROWS)
+    query = f"SELECT * FROM billing MATCH_RECOGNIZE ({body}) t"
+    out = sql_with_match_recognize(spark, query, {"billing": df})
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.id, r.alarm_dt, r.topup_dt) == ("2", "2020-05-01 11:00:00", "2020-05-01 11:40:00")
+    assert r.n_b == 2
+    assert r.last_b_dt == "2020-05-01 11:30:00"
