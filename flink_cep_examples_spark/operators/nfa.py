@@ -1,4 +1,4 @@
-"""The NFA core: event-time row-pattern matching over one key group.
+"""The NFA core: event-time row-pattern matching, incremental.
 
 This is the engine's heart — the part Spark has no built-in for
 (SURVEY §4 "what can never be Catalyst"). It re-implements, from the
@@ -11,13 +11,14 @@ observable semantics of the reference, Flink-CEP-style NFA simulation:
   (``.followedBy``) skips non-matching rows — engine extension;
 - quantifiers ``+ * ?`` with epsilon-skip over optional variables;
 - ``within`` deadline: a partial whose first row is ≥ `within` older
-  than the current row is pruned *before* the row is processed, so a
-  completion at exactly ``start + within`` does NOT match (Flink prunes
-  on ``ts - start >= window``; confirmed by the golden fixtures: 40 min
-  gap → match, 2.5 h → timeout);
+  than the current event time is pruned *before* the row is processed,
+  so a completion at exactly ``start + within`` does NOT match (Flink
+  prunes on ``ts - start >= window``; confirmed by the golden fixtures:
+  40 min gap → match, 2.5 h → timeout);
 - after-match SKIP_PAST_LAST_EVENT (FlinkCEPExample.scala:58): on
-  emission, discard every partial and resume scanning after the match's
-  last row; NO_SKIP emits all completions;
+  emission, discard every partial — including a run begun at the
+  match's own last row — and resume scanning after it; NO_SKIP emits
+  all completions;
 - timeout emission (absence-of-event,
   FlinkCEPAbsenceOfEventExample.scala:93-103): a pruned partial emits
   one timeout row (dedup: one per run, using its longest branch — with
@@ -36,22 +37,27 @@ Design notes (deliberate, documented deviations):
   under NO_SKIP. The reference pattern ends in a ``once`` variable, so
   this is unobservable there.
 
-The scan is pure Python but touches only precomputed numpy boolean
-arrays and int64 timestamps — all predicate evaluation happened
-vectorized in Spark SQL before the shuffle (the single biggest perf
-lever, SURVEY §4). At 100 TB the per-key state stays bounded by the
-``within`` horizon; the batch entry point additionally offers a pure
-DataFrame fast path (operators/fast_path.py) with no Python at all.
+The engine is **incremental**: :class:`Nfa` holds the compiled pattern;
+:class:`NfaState` is a small picklable per-key state (live runs), fed
+one row at a time via :meth:`Nfa.step` — the same object drives the
+batch operator (whole sorted group) and the Structured Streaming
+operator (rows released as the watermark advances, state persisted in
+the state store between micro-batches).
+
+Rows are abstracted as *payloads* (the caller decides what a branch
+must remember per matched row — a row index in batch, a tuple of
+measure values in streaming), so the engine itself only ever touches
+booleans and int64 timestamps; every predicate was evaluated vectorized
+in Spark SQL before the shuffle (SURVEY §4: the biggest perf lever).
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import Any, NamedTuple
 
 import numpy as np
 
 from flink_cep_examples_spark.plans.pattern import (
-    NO_SKIP,
     RELAXED,
     SKIP_PAST_LAST_EVENT,
     PatternSpec,
@@ -61,174 +67,206 @@ from flink_cep_examples_spark.plans.pattern import (
 class _Branch(NamedTuple):
     var: int  # index of the variable currently being filled
     count: int  # rows consumed by that variable so far
-    # per-variable (first_row, last_row, count) or None if not reached
+    # per-variable (first_payload, last_payload, count) or None
     rows: tuple
 
 
 class _Run:
-    __slots__ = ("start", "start_ts", "branches")
+    """One NFA run (all branches sharing a start row). Picklable."""
 
-    def __init__(self, start: int, start_ts: int, branches: list[_Branch]):
-        self.start = start
+    __slots__ = ("start_ts", "seq", "branches")
+
+    def __init__(self, start_ts: int, seq: int, branches: list[_Branch]):
         self.start_ts = start_ts
+        self.seq = seq  # creation order; earliest run wins emission priority
         self.branches = branches
 
+    def __getstate__(self):
+        return (self.start_ts, self.seq, self.branches)
 
-def _successors(spec: PatternSpec, var: int) -> list[int]:
-    """Variables a branch at ``var`` may consume next (excluding the
-    stay-in-loop option): the chain of following variables, stopping
-    after the first non-optional one (epsilon-skip over optionals)."""
-    out = []
-    j = var + 1
-    n = len(spec.variables)
-    while j < n:
-        out.append(j)
-        if not spec.variables[j].optional:
-            break
-        j += 1
-    return out
+    def __setstate__(self, s):
+        self.start_ts, self.seq, self.branches = s
 
 
-def _is_complete(spec: PatternSpec, var: int) -> bool:
-    """A branch that just consumed a row into ``var`` is a complete match
-    iff every later variable is optional."""
-    return all(v.optional for v in spec.variables[var + 1 :])
+class NfaState:
+    """Per-key mutable state: live runs + a monotonically increasing run
+    counter. Small (bounded by the ``within`` horizon) and picklable for
+    the streaming state store."""
+
+    __slots__ = ("runs", "next_seq")
+
+    def __init__(self) -> None:
+        self.runs: list[_Run] = []
+        self.next_seq = 0
+
+    def __getstate__(self):
+        return (self.runs, self.next_seq)
+
+    def __setstate__(self, s):
+        self.runs, self.next_seq = s
 
 
-def _extend(br: _Branch, var: int, row: int) -> _Branch:
-    rows = list(br.rows)
-    cur = rows[var]
-    rows[var] = (row, row, 1) if cur is None else (cur[0], row, cur[2] + 1)
-    count = br.count + 1 if var == br.var else 1
-    return _Branch(var, count, tuple(rows))
+class Nfa:
+    """Compiled pattern + transition logic (stateless; shareable)."""
+
+    def __init__(self, spec: PatternSpec):
+        spec.validate()
+        self.spec = spec
+        self.n_vars = len(spec.variables)
+        self.within_us = (
+            int(spec.within.total_seconds() * 1_000_000)
+            if spec.within is not None
+            else None
+        )
+        self.skip_past = spec.after_match == SKIP_PAST_LAST_EVENT
+        self.emit_timeouts = spec.emit_timeouts
+        self._empty_rows = (None,) * self.n_vars
+        # successors[i]: vars consumable after i (epsilon-skip optionals)
+        self._succ: list[list[int]] = []
+        for i in range(self.n_vars):
+            out, j = [], i + 1
+            while j < self.n_vars:
+                out.append(j)
+                if not spec.variables[j].optional:
+                    break
+                j += 1
+            self._succ.append(out)
+        # complete[i]: consuming into var i may finish the match
+        self._complete = [
+            all(v.optional for v in spec.variables[i + 1 :])
+            for i in range(self.n_vars)
+        ]
+        self._can_loop = [v.can_loop for v in spec.variables]
+        self._relaxed = [v.contiguity == RELAXED for v in spec.variables]
+
+    # -- helpers ------------------------------------------------------
+    def _extend(self, br: _Branch, var: int, payload) -> _Branch:
+        rows = list(br.rows)
+        cur = rows[var]
+        rows[var] = (
+            (payload, payload, 1) if cur is None else (cur[0], payload, cur[2] + 1)
+        )
+        count = br.count + 1 if var == br.var else 1
+        return _Branch(var, count, tuple(rows))
+
+    def _branch_dict(self, br: _Branch) -> dict:
+        return {
+            self.spec.variables[i].name: br.rows[i]
+            for i in range(self.n_vars)
+            if br.rows[i] is not None
+        }
+
+    def _timeout_dict(self, run: _Run) -> dict:
+        best = max(run.branches, key=lambda b: sum(r[2] for r in b.rows if r))
+        return self._branch_dict(best)
+
+    # -- engine steps -------------------------------------------------
+    def advance_time(self, st: NfaState, t_us: int) -> list[dict]:
+        """Prune partials whose deadline has passed at time ``t_us``
+        (an arriving row's event time, or the watermark). Returns
+        timeout emissions (empty unless ``emit_timeouts``)."""
+        if self.within_us is None or not st.runs:
+            return []
+        timeouts, live = [], []
+        for run in st.runs:
+            if t_us - run.start_ts >= self.within_us:
+                if self.emit_timeouts:
+                    timeouts.append(self._timeout_dict(run))
+            else:
+                live.append(run)
+        st.runs = live
+        return timeouts
+
+    def step(
+        self, st: NfaState, t_us: int, pred_row, payload
+    ) -> tuple[list[dict], list[dict]]:
+        """Process one event-time-ordered row. ``pred_row[i]`` is the
+        precomputed boolean of variable i's predicate on this row.
+        Returns ``(matches, timeouts)`` as var-name → (first, last,
+        count) payload dicts."""
+        timeouts = self.advance_time(st, t_us)
+
+        completed: list[tuple[int, _Branch]] = []  # (run seq, branch)
+        for run in st.runs:
+            new_branches: list[_Branch] = []
+            seen = set()
+            for br in run.branches:
+                moved = False
+                if self._can_loop[br.var] and pred_row[br.var]:
+                    nb = self._extend(br, br.var, payload)
+                    moved = True
+                    if self._complete[br.var]:
+                        completed.append((run.seq, nb))
+                    if (nb.var, nb.rows) not in seen:
+                        seen.add((nb.var, nb.rows))
+                        new_branches.append(nb)
+                for j in self._succ[br.var]:
+                    if pred_row[j]:
+                        nb = self._extend(br, j, payload)
+                        moved = True
+                        if self._complete[j]:
+                            completed.append((run.seq, nb))
+                            if not self._can_loop[j]:
+                                continue  # final once-var: branch ends
+                        if (nb.var, nb.rows) not in seen:
+                            seen.add((nb.var, nb.rows))
+                            new_branches.append(nb)
+                if not moved and self._relaxed[br.var]:
+                    if (br.var, br.rows) not in seen:
+                        seen.add((br.var, br.rows))
+                        new_branches.append(br)
+            run.branches = new_branches
+        st.runs = [r for r in st.runs if r.branches]
+
+        # begin-state branching: a fresh run starts at this row
+        if pred_row[0]:
+            nb = self._extend(_Branch(0, 0, self._empty_rows), 0, payload)
+            run = _Run(t_us, st.next_seq, [nb])
+            st.next_seq += 1
+            if self._complete[0]:
+                completed.append((run.seq, nb))
+                if not self._can_loop[0]:
+                    run.branches = []
+            if run.branches:
+                st.runs.append(run)
+
+        matches: list[dict] = []
+        if completed:
+            completed.sort(key=lambda rc: rc[0])
+            if self.skip_past:
+                matches.append(self._branch_dict(completed[0][1]))
+                st.runs = []  # discard every partial (incl. run begun here)
+            else:
+                matches.extend(self._branch_dict(br) for _, br in completed)
+        return matches, timeouts
+
+    def finish(self, st: NfaState) -> list[dict]:
+        """End of input (batch) — watermark → ∞: every partial times out."""
+        timeouts = (
+            [self._timeout_dict(run) for run in st.runs] if self.emit_timeouts else []
+        )
+        st.runs = []
+        return timeouts
 
 
 def scan_key_group(
     spec: PatternSpec,
     preds: np.ndarray,  # bool[n_vars, n_rows], rows already event-time sorted
-    ts_ms: np.ndarray,  # int64[n_rows]
-):
-    """Run the NFA over one sorted key group.
-
-    Returns ``(matches, timeouts)`` where each match is a dict
-    ``var_name -> (first_row, last_row, count)`` plus ``"_last"`` (index
-    of the match's last row), and each timeout is the same for the
-    partial's consumed variables.
-    """
-    n_vars = len(spec.variables)
-    n = ts_ms.shape[0]
-    # timestamps arrive as exact integer microseconds (unix_micros)
-    within_ms = (
-        int(spec.within.total_seconds() * 1_000_000)
-        if spec.within is not None
-        else None
-    )
-    skip_past = spec.after_match == SKIP_PAST_LAST_EVENT
-    empty_rows = (None,) * n_vars
-
-    runs: list[_Run] = []
+    ts_us: np.ndarray,  # int64[n_rows]
+) -> tuple[list[dict], list[dict]]:
+    """Batch driver: run the NFA over one sorted key group with the row
+    index as payload. Returns (matches, timeouts); each dict maps
+    var name → (first_row_idx, last_row_idx, count)."""
+    nfa = Nfa(spec)
+    st = NfaState()
     matches: list[dict] = []
     timeouts: list[dict] = []
-    cursor = -1  # rows ≤ cursor are consumed by an emitted match
-
-    def _branch_to_dict(br: _Branch, last_row: int) -> dict:
-        d = {
-            spec.variables[i].name: br.rows[i]
-            for i in range(n_vars)
-            if br.rows[i] is not None
-        }
-        d["_last"] = last_row
-        return d
-
-    def _timeout(run: _Run) -> None:
-        # one timeout per run: its longest (most-consumed) branch
-        best = max(run.branches, key=lambda b: sum(r[2] for r in b.rows if r))
-        timeouts.append(_branch_to_dict(best, run.start))
-
-    pred_cols = [preds[i] for i in range(n_vars)]
-    first_pred = pred_cols[0]
-
+    n = ts_us.shape[0]
+    cols = [preds[i] for i in range(preds.shape[0])]
     for r in range(n):
-        t = int(ts_ms[r])
-
-        # 1. prune timed-out partials before processing the row
-        if within_ms is not None and runs:
-            live = []
-            for run in runs:
-                if t - run.start_ts >= within_ms:
-                    if spec.emit_timeouts:
-                        _timeout(run)
-                else:
-                    live.append(run)
-            runs = live
-
-        # 2. advance live runs with row r
-        completed: list[tuple[_Run, _Branch]] = []
-        for run in runs:
-            new_branches: list[_Branch] = []
-            seen = set()
-            for br in run.branches:
-                v = spec.variables[br.var]
-                moved = False
-                # stay in loop
-                if v.can_loop and pred_cols[br.var][r]:
-                    nb = _extend(br, br.var, r)
-                    moved = True
-                    if _is_complete(spec, br.var):
-                        completed.append((run, nb))
-                    key = (nb.var, nb.rows)
-                    if key not in seen:
-                        seen.add(key)
-                        new_branches.append(nb)
-                # advance to a later variable
-                for j in _successors(spec, br.var):
-                    if pred_cols[j][r]:
-                        nb = _extend(br, j, r)
-                        moved = True
-                        if _is_complete(spec, j):
-                            completed.append((run, nb))
-                            if not spec.variables[j].can_loop:
-                                continue  # final once-var: branch ends here
-                        key = (nb.var, nb.rows)
-                        if key not in seen:
-                            seen.add(key)
-                            new_branches.append(nb)
-                if not moved and v.contiguity == RELAXED:
-                    # relaxed: survive a non-matching row unchanged
-                    key = (br.var, br.rows)
-                    if key not in seen:
-                        seen.add(key)
-                        new_branches.append(br)
-                # strict + no transition → branch dies (drop it)
-            run.branches = new_branches
-        runs = [run for run in runs if run.branches]
-
-        # 3. start a new run at r (begin-state branching)
-        if r > cursor and first_pred[r]:
-            nb = _extend(_Branch(0, 0, empty_rows), 0, r)
-            run = _Run(r, t, [nb])
-            if _is_complete(spec, 0):
-                completed.append((run, nb))
-                if not spec.variables[0].can_loop:
-                    run.branches = []
-            if run.branches:
-                runs.append(run)
-
-        # 4. emit completions
-        if completed:
-            completed.sort(key=lambda rc: rc[0].start)
-            if skip_past:
-                run, br = completed[0]
-                matches.append(_branch_to_dict(br, r))
-                runs = []  # discard every partial; resume past last row
-                cursor = r
-            else:  # NO_SKIP: emit all completions, partials keep running
-                for run, br in completed:
-                    matches.append(_branch_to_dict(br, r))
-
-    # 5. end of input = watermark → ∞: every surviving partial times out
-    if spec.emit_timeouts:
-        for run in runs:
-            _timeout(run)
-
+        pred_row = tuple(bool(c[r]) for c in cols)
+        m, to = nfa.step(st, int(ts_us[r]), pred_row, r)
+        matches.extend(m)
+        timeouts.extend(to)
+    timeouts.extend(nfa.finish(st))
     return matches, timeouts

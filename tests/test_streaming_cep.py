@@ -1,0 +1,74 @@
+"""Streaming CEP golden test (SURVEY §7 M3): the reference fixtures
+replayed through Structured Streaming — file source, watermark 6 min
+(FlinkCEPExample.scala:28), memory sink — must produce the same match
+and timeout rows as batch. Emission order differs from Flink (per
+micro-batch, SURVEY §7 known-hard #3), so we compare sets."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from flink_cep_examples_spark.plans.pattern import billing_pattern
+from flink_cep_examples_spark.schemas import MATCH_TAG, TIMEOUT_TAG
+from flink_cep_examples_spark.sources.billing import read_billing_csv_stream
+from flink_cep_examples_spark.streaming import match_pattern_stream
+
+from tests.fixtures import EXPECTED_MATCHES, EXPECTED_TIMEOUTS, GOLDEN_INPUT_ROWS
+
+
+@pytest.mark.slow
+def test_streaming_golden(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    chk = tmp_path / "chk"
+
+    def write_batch(name: str, rows):
+        (src / name).write_text(
+            "\n".join(",".join(map(str, r)) for r in rows) + "\n"
+        )
+
+    write_batch("batch1.csv", GOLDEN_INPUT_ROWS)
+
+    stream = read_billing_csv_stream(spark, str(src))
+    spec = billing_pattern(emit_timeouts=True)
+    out = match_pattern_stream(stream, spec, watermark_delay="6 minutes")
+
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cep_stream_out")
+        .option("checkpointLocation", str(chk))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # watermark sentinel: a far-future non-alarm event pushes the
+        # watermark past every deadline so pending releases + absence
+        # timers fire (no-data micro-batches handle the final hop).
+        write_batch("batch2.csv", [("99", "2021-01-01 00:00:00", 5, 5)])
+        q.processAllAvailable()
+        # allow a no-data micro-batch to run the event-time timers
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM cep_stream_out").collect()
+            if len(rows) >= 2:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+
+    rows = spark.sql("SELECT * FROM cep_stream_out").collect()
+    matches = sorted(
+        (r.id, r.alarmTriggerDatetime, r.topupDatetime)
+        for r in rows
+        if r.tag == MATCH_TAG
+    )
+    timeouts = sorted(
+        (r.id, r.alarmTriggerDatetime, r.topupDatetime)
+        for r in rows
+        if r.tag == TIMEOUT_TAG
+    )
+    assert matches == EXPECTED_MATCHES
+    assert timeouts == EXPECTED_TIMEOUTS
