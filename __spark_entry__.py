@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()`` / ``oracle_sql()`` — the engine's full query catalog
+(flink_cep_examples_spark/queries/) with DuckDB oracles where the
+semantics are SQL-expressible; CEP/NFA queries included via their
+independently derived closed-form window-SQL oracles.
 """
 
 from __future__ import annotations
@@ -14,25 +14,26 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _catalog():
+    from flink_cep_examples_spark.queries import QUERIES, ORACLES, load_all
+
+    load_all()
+    return QUERIES, ORACLES
+
+
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the reference CEP pattern (A B* C within 1h,
+    skip past last row) with absence alerts, over the sf0.001 events
+    table, on the compiled pure-DataFrame fast path."""
+    queries, _ = _catalog()
+    return queries["cep_alerts_with_timeouts"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q, _ = _catalog()
+    return dict(q)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    _, o = _catalog()
+    return dict(o)

@@ -1,0 +1,68 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": "headline_total", "value": <sec>, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is materialized with the noop sink (full execution, no
+driver-side collect). A small warmup run amortizes JVM/codegen startup
+so timings reflect steady-state throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flink_cep_examples_spark.queries import QUERIES, load_all
+from flink_cep_examples_spark.session import get_spark
+
+#: benchmarked query set; extensions register more over time.
+HEADLINE = [
+    "cep_alert_reactions",
+    "cep_alerts_with_timeouts",
+    "cep_alert_reactions_nfa",
+    "cep_match_recognize",
+    "cep_keyed_process",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    load_all()
+    spark = get_spark(app_name="cep-bench")
+
+    # warmup: flagship at the smallest SF
+    QUERIES["cep_alert_reactions"](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in QUERIES:
+            continue
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,32 @@
+"""Query catalog: every operator exposed as a (spark, sf_dir) → DataFrame
+callable plus (where SQL-expressible) a DuckDB oracle string.
+
+Modules register into QUERIES / ORACLES; ``__spark_entry__.py`` re-exports
+them for the driver's correctness harness.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, fn, oracle: str | None = None) -> None:
+    QUERIES[name] = fn
+    if oracle is not None:
+        ORACLES[name] = oracle
+
+
+def load_all() -> None:
+    """Import every query module (idempotent)."""
+    from flink_cep_examples_spark.queries import (  # noqa: F401
+        cep,
+        dedup,
+        relational,
+        similarity,
+        text,
+    )

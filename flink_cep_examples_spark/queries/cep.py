@@ -1,0 +1,200 @@
+"""CEP queries over the driver's synthetic ``events`` table.
+
+The events table is mapped onto the billing shape (FIXTURES.md §4:
+``user_id → id``, ``ts → event_time``, balance walk from ``value``), and
+the reference pattern (A B* C within 1h, skip past last,
+FlinkCEPExample.scala:58-74) runs through every execution tier:
+
+- ``cep_alert_reactions``        — compiled pure-DataFrame fast path
+- ``cep_alert_reactions_nfa``    — general NFA (same spec ⇒ same oracle)
+- ``cep_alerts_with_timeouts``   — absence variant, match+timeout union
+- ``cep_match_recognize``        — MATCH_RECOGNIZE front-end
+- ``cep_keyed_process``          — example-4 state machine (different,
+  documented semantics: latest alarm, >= expiry)
+
+The DuckDB oracles are *independent derivations*: closed-form window-SQL
+translations of the NFA semantics (see operators/fast_path.py for the
+proof sketch), written directly against the parquet views — so Spark's
+NFA, Spark's window fast path, and DuckDB's evaluation are three
+independent implementations pinned to one answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_cep_examples_spark.operators.cep_batch import match_pattern
+from flink_cep_examples_spark.operators.fast_path import match_pattern_fast_abc
+from flink_cep_examples_spark.operators.keyed_process import billing_low_level_alerts
+from flink_cep_examples_spark.plans.pattern import billing_pattern
+from flink_cep_examples_spark.queries import register
+from flink_cep_examples_spark.sources.billing import events_as_billing
+from flink_cep_examples_spark.sql.match_recognize import sql_with_match_recognize
+
+WITHIN_US = 3_600_000_000  # 1 hour, microseconds
+
+#: Shared oracle prelude: the events→billing mapping + predicate flags +
+#: skip-cursor segmentation, exactly mirroring events_as_billing and the
+#: fast-path derivation.
+_ORACLE_BASE = f"""
+WITH billing AS (
+  SELECT CAST(user_id AS VARCHAR) AS id,
+         ts, event_id,
+         epoch_us(ts) AS tus,
+         COALESCE(LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 50.0) AS bb,
+         value AS ba
+  FROM events
+),
+flagged AS (
+  SELECT *, (bb >= 10 AND ba < 10) AS is_a, (bb < ba) AS is_c
+  FROM billing
+),
+seg AS (
+  SELECT *,
+         COALESCE(SUM(CASE WHEN is_c THEN 1 ELSE 0 END) OVER
+           (PARTITION BY id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg_id,
+         MIN(CASE WHEN is_c THEN tus END) OVER
+           (PARTITION BY id ORDER BY ts, event_id
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_c_tus
+  FROM flagged
+),
+cts AS (
+  SELECT *,
+         MAX(CASE WHEN is_c THEN tus END) OVER (PARTITION BY id, seg_id) AS c_tus
+  FROM seg
+),
+cand AS (
+  SELECT *,
+         MIN(CASE WHEN is_a AND c_tus - tus < {WITHIN_US} THEN tus END)
+           OVER (PARTITION BY id, seg_id) AS a_tus
+  FROM cts
+)
+"""
+
+_FMT = "'%Y-%m-%d %H:%M:%S'"
+
+_MATCHES_SELECT = f"""
+SELECT id,
+       strftime(make_timestamp(a_tus), {_FMT}) AS alarmTriggerDatetime,
+       strftime(make_timestamp(tus), {_FMT})  AS topupDatetime
+FROM cand
+WHERE is_c AND a_tus IS NOT NULL
+"""
+
+_TIMEOUTS_SELECT = f"""
+SELECT id,
+       strftime(make_timestamp(tus), {_FMT}) AS alarmTriggerDatetime,
+       '' AS topupDatetime
+FROM cand
+WHERE is_a AND (next_c_tus IS NULL OR next_c_tus - tus >= {WITHIN_US})
+"""
+
+ORACLE_MATCHES = _ORACLE_BASE + _MATCHES_SELECT
+
+ORACLE_WITH_TIMEOUTS = (
+    _ORACLE_BASE
+    + f"""
+SELECT *, 'match' AS tag FROM ({_MATCHES_SELECT})
+UNION ALL
+SELECT *, 'timeout' AS tag FROM ({_TIMEOUTS_SELECT})
+"""
+)
+
+#: Example-4 (keyed process) closed form: a top-up row emits with the
+#: LATEST alarm before it iff the gap < 1h (inline ``>=`` expiry,
+#: FlinkProcessFunctionExample.scala:73-77) and no top-up row sits
+#: between that alarm and it (an intervening in-window top-up consumed
+#: the alert; an out-of-window one implies this one is out too).
+ORACLE_KEYED_PROCESS = f"""
+WITH billing AS (
+  SELECT CAST(user_id AS VARCHAR) AS id,
+         ts, event_id,
+         epoch_us(ts) AS tus,
+         COALESCE(LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 50.0) AS bb,
+         value AS ba
+  FROM events
+),
+flagged AS (
+  SELECT *, (bb >= 10 AND ba < 10) AS is_a, (bb < ba) AS is_c
+  FROM billing
+),
+lasts AS (
+  SELECT *,
+         MAX(CASE WHEN is_a THEN tus END) OVER w AS last_a_tus,
+         MAX(CASE WHEN is_c THEN tus END) OVER w AS last_c_tus
+  FROM flagged
+  WINDOW w AS (PARTITION BY id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT id,
+       strftime(make_timestamp(last_a_tus), {_FMT}) AS alarmTriggerDatetime,
+       strftime(make_timestamp(tus), {_FMT}) AS topupDatetime
+FROM lasts
+WHERE is_c AND last_a_tus IS NOT NULL
+  AND tus - last_a_tus < 3600000000
+  AND (last_c_tus IS NULL OR last_c_tus < last_a_tus)
+"""
+
+_MR_BODY = """
+  PARTITION BY id
+  ORDER BY event_time
+  MEASURES
+    A.datetime AS alarmTriggerDatetime,
+    C.datetime AS topupDatetime
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (A B* C) WITHIN INTERVAL '1' HOUR
+  DEFINE
+    A AS A.balanceBefore >= 10 AND A.balanceAfter < 10,
+    B AS B.balanceBefore >= B.balanceAfter,
+    C AS C.balanceBefore < C.balanceAfter
+"""
+
+
+def _matches_only(df: DataFrame) -> DataFrame:
+    return df.drop("tag")
+
+
+def cep_alert_reactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _matches_only(
+        match_pattern_fast_abc(events_as_billing(spark, sf_dir), billing_pattern())
+    )
+
+
+def cep_alert_reactions_nfa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _matches_only(
+        match_pattern(events_as_billing(spark, sf_dir), billing_pattern())
+    )
+
+
+def cep_alerts_with_timeouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return match_pattern_fast_abc(
+        events_as_billing(spark, sf_dir), billing_pattern(emit_timeouts=True)
+    )
+
+
+def cep_alerts_with_timeouts_nfa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return match_pattern(
+        events_as_billing(spark, sf_dir), billing_pattern(emit_timeouts=True)
+    )
+
+
+def cep_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = events_as_billing(spark, sf_dir)
+    query = f"SELECT * FROM billing MATCH_RECOGNIZE ({_MR_BODY}) t"
+    return sql_with_match_recognize(spark, query, {"billing": df})
+
+
+def cep_keyed_process(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return billing_low_level_alerts(events_as_billing(spark, sf_dir))
+
+
+register("cep_alert_reactions", cep_alert_reactions, ORACLE_MATCHES)
+register("cep_alert_reactions_nfa", cep_alert_reactions_nfa, ORACLE_MATCHES)
+register("cep_alerts_with_timeouts", cep_alerts_with_timeouts, ORACLE_WITH_TIMEOUTS)
+register(
+    "cep_alerts_with_timeouts_nfa", cep_alerts_with_timeouts_nfa, ORACLE_WITH_TIMEOUTS
+)
+register("cep_match_recognize", cep_match_recognize, ORACLE_MATCHES)
+register("cep_keyed_process", cep_keyed_process, ORACLE_KEYED_PROCESS)

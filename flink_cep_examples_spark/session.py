@@ -45,6 +45,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.spill.compress", "true")
+        # driver-generated events.parquet carries TIMESTAMP(NANOS), which
+        # Spark's parquet reader rejects; read as int64 nanos and convert
+        # in the loader (sources/tables.py) — ns→µs truncation matches
+        # DuckDB's own ns→µs handling.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )

@@ -97,7 +97,9 @@ def events_as_billing(spark: SparkSession, sf_dir: str) -> DataFrame:
     long-vs-double does not change semantics. ``event_id`` is the
     tiebreak (unique, driver-generated).
     """
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from flink_cep_examples_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
         ev.select(

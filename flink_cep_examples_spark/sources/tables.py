@@ -3,6 +3,8 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLE_NAMES = (
     "region",
@@ -21,8 +23,19 @@ TABLE_NAMES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table. Parquet → full predicate pushdown and
     column pruning from Catalyst; no schema inference needed (parquet is
-    self-describing)."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    self-describing).
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the parquet; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as int64 nanos
+    and is converted here to a microsecond TimestampType (truncation —
+    the same thing DuckDB does), keeping every downstream query
+    oracle-comparable."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
