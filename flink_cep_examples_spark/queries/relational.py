@@ -1,1 +1,395 @@
-"""Placeholder — populated in a later milestone."""
+"""Relational query catalog over the driver's synthetic TPC-H-ish star
+schema (SURVEY.md §7 milestone 6 — "thin engine surface": these are pure
+Spark SQL plans, present so the engine's relational capabilities are
+pinned by DuckDB oracles and benchmarked at scale).
+
+Scale design notes (100 TB mindset):
+
+- Dimension joins (``region``, ``nation``, ``customer``, ``supplier``,
+  ``part``) are explicitly ``broadcast()`` — at any realistic scale the
+  dims are orders of magnitude smaller than ``lineitem``/``orders``/
+  ``events``, so the big fact table never shuffles for a dim join.
+- Filters are applied directly on the scan columns (no UDFs) so Catalyst
+  pushes them into the parquet reader (check: ``PushedFilters`` in
+  ``.explain``), and only referenced columns are read (``ReadSchema``).
+- Aggregates run map-side partial first (Spark's default hash aggregate)
+  — the shuffle carries pre-combined partials, not raw rows.
+- Top-k uses ``ORDER BY ... LIMIT k`` which Spark executes as
+  ``TakeOrderedAndProject`` (per-partition heap + driver merge of k
+  rows), not a global sort.
+
+Oracle-exactness: money/value aggregates are computed in DECIMAL (exact,
+order-independent) and cast to DOUBLE at the end, so Spark's parallel
+partial aggregation and DuckDB's sequential one produce bit-identical
+doubles. Every top-k has a unique-key tiebreak so LIMIT is
+deterministic. Timestamps are emitted as formatted strings (UTC both
+sides — session.py pins ``spark.sql.session.timeZone=UTC``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_cep_examples_spark.queries import register
+from flink_cep_examples_spark.sources.tables import load_table
+
+_D = "decimal(14,4)"  # exact money type: keeps every decimal product precision <= 38 (no Spark precision-loss rounding)
+_R = "decimal(8,6)"  # exact rate type (discount, tax)
+
+
+def _dec(c: str):
+    return F.col(c).cast(_D)
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 adapted: pricing summary for shipped lineitems.
+
+    Capability parity target: grouped aggregation with multiple
+    aggregates (reference has none — north-star extension per
+    SURVEY.md §2.2 note / §7 M6)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_discount").cast(_R)
+    tax = F.col("l_tax").cast(_R)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - disc))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - disc) * (F.lit(1) + tax))
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_qty"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(24,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
+                * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
+                * (1 - CAST(l_discount AS DECIMAL(8,6)))
+                * (1 + CAST(l_tax AS DECIMAL(8,6)))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(24,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 adapted: top-10 open BUILDING-segment orders by pending
+    revenue. Demonstrates fact-fact join + broadcast dim + TakeOrdered."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("2000-03-15")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("2000-03-15")
+    )
+    disc = F.col("l_discount").cast(_R)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - disc))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_Q3 = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
+                * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '2000-03-15'
+  AND l_shipdate > TIMESTAMP '2000-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 adapted: revenue by region where customer and supplier
+    share a nation. Six-way join; every dim side broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    disc = F.col("l_discount").cast(_R)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - disc))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+ORACLE_Q5 = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
+                * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY r_name, n_name
+"""
+
+
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 adapted: top-20 customers by revenue lost to returns."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    disc = F.col("l_discount").cast(_R)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - disc))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+ORACLE_Q10 = """
+SELECT c_custkey, c_name, n_name, c_acctbal,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
+                * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def customer_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions: each customer's top-3 orders by total price
+    (row_number with unique tiebreak), with running spend (lag-style
+    frame). Covers the rank/lag/frames surface SURVEY.md §2.2 lists as
+    out-of-reference but engine-provided."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rnk"),
+            F.sum(F.col("o_totalprice").cast(_D))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double")
+            .alias("running_spend"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+ORACLE_RANKS = """
+SELECT o_custkey, o_orderkey, o_totalprice, rnk, running_spend
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER w AS rnk,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(24,4))) OVER
+              (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_spend
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+) t
+WHERE rnk <= 3
+"""
+
+
+def events_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation on the event stream table — the
+    batch twin of the streaming windowed agg (same ``window()`` op runs
+    under Structured Streaming with a watermark)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(_D)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(24,4))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user via Spark's
+    native ``session_window``; the oracle derives sessions independently
+    with a lag/cumulative-sum reformulation — two different algorithms,
+    one answer."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
+
+
+ORACLE_SESSIONS = """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gaps
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+
+def priority_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-of-aggregate: each order priority's share of total
+    spend — a groupBy feeding a window over the aggregate output (tiny:
+    5 rows after the first agg, so the window stage is trivial)."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.sum(_dec("o_totalprice")).alias("spend_dec"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    total = Window.partitionBy()
+    return agg.select(
+        "o_orderpriority",
+        F.col("spend_dec").cast("double").alias("spend"),
+        "n_orders",
+        (
+            F.col("spend_dec").cast("double")
+            / F.sum("spend_dec").over(total).cast("double")
+        ).alias("share"),
+    )
+
+
+ORACLE_SHARE = """
+WITH agg AS (
+  SELECT o_orderpriority,
+         SUM(CAST(o_totalprice AS DECIMAL(24,4))) AS spend_dec,
+         COUNT(*) AS n_orders
+  FROM orders
+  GROUP BY o_orderpriority
+)
+SELECT o_orderpriority,
+       CAST(spend_dec AS DOUBLE) AS spend,
+       n_orders,
+       CAST(spend_dec AS DOUBLE) / CAST(SUM(spend_dec) OVER () AS DOUBLE) AS share
+FROM agg
+"""
+
+
+register("q1_pricing_summary", q1_pricing_summary, ORACLE_Q1)
+register("q3_top_unshipped_orders", q3_top_unshipped_orders, ORACLE_Q3)
+register("q5_regional_revenue", q5_regional_revenue, ORACLE_Q5)
+register("q10_returned_revenue", q10_returned_revenue, ORACLE_Q10)
+register("customer_order_ranks", customer_order_ranks, ORACLE_RANKS)
+register("events_hourly_by_type", events_hourly_by_type, ORACLE_HOURLY)
+register("events_sessions", events_sessions, ORACLE_SESSIONS)
+register("priority_share", priority_share, ORACLE_SHARE)
