@@ -1,1 +1,235 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis operators over the ``documents`` table — the
+training-data-pipeline surface (language ID, quality scoring, token
+counting, fingerprinting). All hot-path logic is built-in
+``pyspark.sql.functions`` (JVM-side, whole-stage codegen — no Python
+UDFs), so at 100 TB these are embarrassingly-parallel scan+project
+plans with full column pruning: each query reads only ``doc_id``,
+``text`` (and ``n_chars``) from parquet.
+
+Oracle-exactness notes: token splitting is ``\\s+`` on trimmed text in
+both engines (Java regex vs RE2 agree on this class); word-boundary
+counts use ``\\b`` (supported by both); ratios divide identical int64s
+→ bit-identical doubles; fingerprints are md5 (identical everywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_cep_examples_spark.queries import register
+from flink_cep_examples_spark.sources.tables import load_table
+
+#: Function-word lists for the n-gram/stopword language heuristic.
+#: Deterministic scoring, not label recovery — the synthetic corpus'
+#: ``lang`` column is uncorrelated with its text.
+LANG_STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in", "a"),
+    "es": ("el", "la", "de", "que", "y", "los"),
+    "fr": ("le", "la", "les", "des", "et", "un"),
+    "de": ("der", "die", "und", "das", "ein", "zu"),
+}
+
+_PUNCT = r"[.,;:!?]"
+_NONWORD = r"[^a-z0-9 ]"
+
+
+def _tok_count(c):
+    return F.size(F.split(F.trim(c), r"\s+"))
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + word-character tally per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = _tok_count(F.col("text"))
+    n_word_chars = F.length(F.regexp_replace("text", r"\s", ""))
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.length("text").alias("len_chars"),
+        n_word_chars.alias("n_word_chars"),
+        (n_word_chars.cast("double") / n_tok).alias("avg_token_len"),
+    )
+
+
+ORACLE_TOKEN_STATS = r"""
+SELECT doc_id,
+       array_length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+       length(text) AS len_chars,
+       length(regexp_replace(text, '\s', '', 'g')) AS n_word_chars,
+       CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+         / array_length(regexp_split_to_array(trim(text), '\s+')) AS avg_token_len
+FROM documents
+"""
+
+
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: punctuation / stopword / digit ratios and a
+    composite keep-flag, the standard pre-training corpus filters."""
+    docs = load_table(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    n_tok = _tok_count(F.col("text"))
+    n_punct = F.regexp_count("text", F.lit(_PUNCT))
+    n_digit = F.regexp_count("text", F.lit(r"[0-9]"))
+    stop_re = r"\b(" + "|".join(LANG_STOPWORDS["en"]) + r")\b"
+    n_stop = F.regexp_count(lower, F.lit(stop_re))
+    punct_ratio = n_punct.cast("double") / F.length("text")
+    stop_ratio = n_stop.cast("double") / n_tok
+    digit_ratio = n_digit.cast("double") / F.length("text")
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        (
+            (n_tok >= 10)
+            & (punct_ratio < 0.1)
+            & (digit_ratio < 0.2)
+        ).alias("keep"),
+    )
+
+
+ORACLE_QUALITY = (
+    r"""
+WITH s AS (
+  SELECT doc_id,
+         array_length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+         len(regexp_extract_all(lower(text), '\b("""
+    + "|".join(LANG_STOPWORDS["en"])
+    + r""")\b')) AS n_stop,
+         length(text) AS n
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(n_punct AS DOUBLE) / n AS punct_ratio,
+       CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+       CAST(n_digit AS DOUBLE) / n AS digit_ratio,
+       (n_tokens >= 10 AND CAST(n_punct AS DOUBLE) / n < 0.1
+        AND CAST(n_digit AS DOUBLE) / n < 0.2) AS keep
+FROM s
+"""
+)
+
+
+def _lang_scores(lower):
+    scores = {
+        lang: F.regexp_count(lower, F.lit(r"\b(" + "|".join(ws) + r")\b"))
+        for lang, ws in LANG_STOPWORDS.items()
+    }
+    # CJK characters decide zh; Java regex syntax (oracle uses RE2's).
+    scores["zh"] = F.regexp_count(lower, F.lit(r"[一-鿿]"))
+    return scores
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via function-word hit counts; argmax with a fixed
+    priority order (en > es > fr > de > zh) as the deterministic
+    tiebreak."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = _lang_scores(F.lower(F.col("text")))
+    order = ["en", "es", "fr", "de", "zh"]
+    pred = F.lit("zh")
+    for lang in reversed(order[:-1]):
+        later = [s[o] for o in order[order.index(lang) + 1 :]]
+        cond = s[lang] >= later[0]
+        for c in later[1:]:
+            cond = cond & (s[lang] >= c)
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[s[o].alias(f"score_{o}") for o in order],
+        pred.alias("pred_lang"),
+    )
+
+
+def _oracle_lang() -> str:
+    score_exprs = ",\n         ".join(
+        r"len(regexp_extract_all(lower(text), '\b("
+        + "|".join(ws)
+        + rf")\b')) AS score_{lang}"
+        for lang, ws in LANG_STOPWORDS.items()
+    )
+    return rf"""
+WITH s AS (
+  SELECT doc_id, lang AS labeled_lang,
+         {score_exprs},
+         len(regexp_extract_all(lower(text), '[\x{{4e00}}-\x{{9fff}}]')) AS score_zh
+  FROM documents
+)
+SELECT doc_id, labeled_lang, score_en, score_es, score_fr, score_de, score_zh,
+       CASE
+         WHEN score_en >= score_es AND score_en >= score_fr
+          AND score_en >= score_de AND score_en >= score_zh THEN 'en'
+         WHEN score_es >= score_fr AND score_es >= score_de
+          AND score_es >= score_zh THEN 'es'
+         WHEN score_fr >= score_de AND score_fr >= score_zh THEN 'fr'
+         WHEN score_de >= score_zh THEN 'de'
+         ELSE 'zh'
+       END AS pred_lang
+FROM s
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 content hash over normalized text
+    (lowercase, punctuation stripped, whitespace collapsed) plus a
+    64-bit numeric fingerprint (first 15 md5 hex digits) usable as a
+    shuffle/bucket key at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), _NONWORD, ""), r" +", " "
+        )
+    )
+    fp = F.md5(norm)
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.conv(F.substring(fp, 1, 15), 16, 10).cast("bigint").alias("fp64"),
+    )
+
+
+ORACLE_FINGERPRINT = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               ' +', ' ', 'g'))) AS fingerprint,
+       CAST('0x' || substr(md5(trim(regexp_replace(
+            regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+            ' +', ' ', 'g'))), 1, 15) AS BIGINT) AS fp64
+FROM documents
+"""
+
+
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile: 50-char buckets with doc + token stats."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.floor(F.col("n_chars") / 50).alias("bucket")
+    n_tok = _tok_count(F.col("text"))
+    return (
+        docs.select(bucket, n_tok.alias("n_tok"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+    )
+
+
+ORACLE_LENGTH_HIST = r"""
+SELECT CAST(floor(n_chars / 50) AS BIGINT) AS bucket,
+       COUNT(*) AS n_docs,
+       SUM(array_length(regexp_split_to_array(trim(text), '\s+'))) AS total_tokens
+FROM documents
+GROUP BY 1
+"""
+
+
+register("text_token_stats", text_token_stats, ORACLE_TOKEN_STATS)
+register("text_quality_scores", text_quality_scores, ORACLE_QUALITY)
+register("text_lang_id", text_lang_id, _oracle_lang())
+register("text_fingerprint", text_fingerprint, ORACLE_FINGERPRINT)
+register("doc_length_histogram", doc_length_histogram, ORACLE_LENGTH_HIST)
