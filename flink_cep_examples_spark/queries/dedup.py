@@ -1,1 +1,345 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication operators over the ``documents`` table — exact,
+n-gram-Jaccard, MinHash+LSH, and SimHash — the dedup family a
+large-scale training-data pipeline needs.
+
+Scale design (100 TB mindset):
+
+- **Exact dedup** shuffles only a 32-byte md5 per doc (groupBy on the
+  content hash; the text column never crosses the wire).
+- **MinHash+LSH** is the scale path for near-dup: per-doc signatures are
+  computed scan-side (one pass, built-in functions only — no Python),
+  docs shuffle once per band on a tiny (band, key) pair, and only
+  bucket-colliding candidates are compared. State per reducer is one
+  bucket's membership, never O(n²).
+- **n-gram Jaccard** applies the sound size filter
+  ``min(|A|,|B|) >= t * max(|A|,|B|)`` (set-similarity-join literature)
+  before computing exact overlap; still O(candidate-pairs) — documented
+  as the correctness gate that LSH recall is measured against, not the
+  100 TB path.
+- All hashing is md5-derived (portable: identical in Spark and DuckDB),
+  with fixed permutation constants — fully deterministic across runs
+  and engines.
+
+Everything below is built-in ``pyspark.sql.functions`` — higher-order
+array functions (``transform``/``aggregate``), no Python UDFs — so the
+whole pipeline stays in whole-stage codegen / JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_cep_examples_spark.queries import register
+from flink_cep_examples_spark.sources.tables import load_table
+
+#: Mersenne prime 2^31 - 1: keeps (a*h + b) % P inside int64.
+P = 2_147_483_647
+
+#: Fixed MinHash permutation constants (deterministic; generated once
+#: from the LCG x -> (1103515245 x + 12345) mod 2^31 seeded at 42).
+MINHASH_AB = [
+    (1250496027, 1116302264), (1000197917, 1669573542),
+    (655939761, 337678108), (929265307, 945482809),
+    (1634915998, 1634208519), (217140536, 1171917789),
+    (1939403527, 783368690), (1178568022, 1271438522),
+    (1355621028, 1494389603), (1532146233, 1741849297),
+    (1243502087, 1602827009), (1077893732, 1442188101),
+    (1662160292, 662415610), (1815422009, 1968612597),
+    (2048058518, 8394568), (1081232569, 1313980438),
+    (2113525983, 1851836679), (656696034, 1177783124),
+    (1241689220, 187285130), (1724586126, 1159159358),
+    (1508742531, 1183051542), (1949051396, 1746163896),
+    (105839021, 1348786446), (1274024551, 1682511131),
+    (1992173386, 1880565231), (723563354, 1802842551),
+    (1231583941, 745845152), (1452828912, 1529970549),
+    (996617000, 1127804867), (577610504, 365781531),
+    (1330077821, 285377242), (1647637699, 102830063),
+]
+NUM_HASHES = len(MINHASH_AB)  # 32
+BANDS, ROWS_PER_BAND = 8, 4  # 8 bands x 4 rows
+JACCARD_T = 0.5
+
+_NONWORD = r"[^a-z0-9 ]"
+
+
+def _norm_text(c) -> Column:
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(c), _NONWORD, ""), r" +", " ")
+    )
+
+
+def _tokens(c) -> Column:
+    return F.split(_norm_text(c), " ")
+
+
+def _shingles(c, n: int = 3) -> Column:
+    """Distinct token n-grams (contiguous), joined with spaces."""
+    toks = _tokens(c)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def _h31(s) -> Column:
+    """Portable 31-bit string hash: first 15 md5 hex digits mod P."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint") % P
+
+
+_SQL_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+
+def _sql_h31(s: str) -> str:
+    return f"(CAST('0x' || substr(md5({s}), 1, 15) AS BIGINT) % {P})"
+
+
+def _sql_shingles(n: int = 3) -> str:
+    """DuckDB: distinct token 3-grams of the normalized text."""
+    return (
+        f"list_distinct([array_to_string(toks[i:i+{n - 1}], ' ') "
+        f"FOR i IN range(1, greatest(len(toks) - {n - 2}, 2))])"
+    )
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the normalized-content hash: every doc mapped to
+    its canonical (minimum) doc_id; ``n_dups`` = group size."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", F.md5(_norm_text(F.col("text"))).alias("fp"))
+    groups = fp.groupBy("fp").agg(
+        F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_dups")
+    )
+    return fp.join(groups, "fp").select("doc_id", "canonical_id", "n_dups")
+
+
+ORACLE_EXACT = f"""
+WITH fp AS (
+  SELECT doc_id, md5({_SQL_NORM}) AS fp FROM documents
+),
+groups AS (
+  SELECT fp, MIN(doc_id) AS canonical_id, COUNT(*) AS n_dups
+  FROM fp GROUP BY fp
+)
+SELECT doc_id, canonical_id, n_dups
+FROM fp JOIN groups USING (fp)
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard >= {t}. Candidate space
+    pruned by the sound size filter (no false negatives:
+    J >= t implies min|A|,|B| >= t * max). Correctness gate for the LSH
+    path; quadratic in the surviving candidates by design.""".format(
+        t=JACCARD_T
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", _shingles(F.col("text")).alias("sh")
+    ).withColumn("n", F.size("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.col("a.n") + F.col("b.n") - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least(F.col("a.n"), F.col("b.n"))
+                >= JACCARD_T * F.greatest(F.col("a.n"), F.col("b.n"))
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_T)
+    )
+
+
+ORACLE_JACCARD = f"""
+WITH sh AS (
+  SELECT doc_id, {_sql_shingles()} AS sh
+  FROM (SELECT doc_id, regexp_split_to_array({_SQL_NORM}, ' ') AS toks
+        FROM documents)
+),
+sized AS (SELECT doc_id, sh, len(sh) AS n FROM sh)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         / (a.n + b.n - len(list_intersect(a.sh, b.sh))) AS jaccard
+FROM sized a JOIN sized b
+  ON a.doc_id < b.doc_id
+ AND least(a.n, b.n) >= {JACCARD_T} * greatest(a.n, b.n)
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / (a.n + b.n - len(list_intersect(a.sh, b.sh))) >= {JACCARD_T}
+"""
+
+
+def _minhash_sig(sh) -> list[Column]:
+    """32 minhash values: min over shingles of (a*h31(s)+b) % P."""
+    hs = F.transform(sh, lambda s: _h31(s))
+    return [
+        F.array_min(F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % P)).alias(
+            f"mh{i}"
+        )
+        for i, (a, b) in enumerate(MINHASH_AB)
+    ]
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: 32-hash signatures, 8 bands x 4 rows;
+    candidate pairs share >= 1 band bucket; output the signature-
+    estimated Jaccard (fraction of agreeing minhashes). The 100 TB
+    path: signatures scan-side, one explode+shuffle on (band, key)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = docs.select(
+        "doc_id", *_minhash_sig(_shingles(F.col("text")))
+    )
+    mh = [F.col(f"mh{i}") for i in range(NUM_HASHES)]
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.lit(bi),
+                    *mh[bi * ROWS_PER_BAND : (bi + 1) * ROWS_PER_BAND],
+                )
+            )
+            for bi in range(BANDS)
+        ]
+    )
+    exploded = sig.withColumn("band_key", F.explode(band_keys))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    est = sum(
+        F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
+        for i in range(NUM_HASHES)
+    ).cast("double") / NUM_HASHES
+    return (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            est.alias("est_jaccard"),
+        )
+        .distinct()
+    )
+
+
+def _oracle_minhash() -> str:
+    mins = ",\n         ".join(
+        f"list_min([({a} * h + {b}) % {P} FOR h IN hs]) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_AB)
+    )
+    bands = ",\n    ".join(
+        "md5(concat_ws(',', {}))".format(
+            ", ".join(
+                [str(bi)]
+                + [f"mh{j}" for j in range(bi * ROWS_PER_BAND, (bi + 1) * ROWS_PER_BAND)]
+            )
+        )
+        + f" AS bk{bi}"
+        for bi in range(BANDS)
+    )
+    est = " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(NUM_HASHES)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_sql_shingles()} AS sh
+  FROM (SELECT doc_id, regexp_split_to_array({_SQL_NORM}, ' ') AS toks
+        FROM documents)
+),
+hashed AS (
+  SELECT doc_id, [{_sql_h31('s')} FOR s IN sh] AS hs FROM sh
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed
+),
+banded AS (
+  SELECT *,
+    {bands}
+  FROM sig
+),
+exploded AS (
+  SELECT doc_id, {", ".join(f"mh{i}" for i in range(NUM_HASHES))},
+         unnest([{", ".join(f"bk{b}" for b in range(BANDS))}]) AS band_key
+  FROM banded
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(({est}) AS DOUBLE) / {NUM_HASHES} AS est_jaccard
+FROM exploded a JOIN exploded b
+  ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+SIMHASH_BITS = 32
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per doc over token occurrences (+1/-1 per bit,
+    sign of the sum), plus the high-16-bit bucket used as the blocking
+    key at scale (near-dups agree on most bits, so they collide)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    hs = F.transform(toks, lambda t: _h31(t))
+    bit_cols = []
+    for b in range(SIMHASH_BITS):
+        vote = F.aggregate(
+            hs,
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bit_cols.append(F.when(vote > 0, F.lit(2**b).cast("bigint")).otherwise(0))
+    simhash = sum(bit_cols[1:], bit_cols[0]).alias("simhash")
+    return docs.select("doc_id", simhash).select(
+        "doc_id",
+        "simhash",
+        F.shiftright("simhash", SIMHASH_BITS - 16).alias("bucket16"),
+    )
+
+
+def _oracle_simhash() -> str:
+    votes = ",\n         ".join(
+        f"list_sum([CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs])"
+        f" AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sim = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN CAST({2 ** b} AS BIGINT) ELSE 0 END"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array({_SQL_NORM}, ' ') AS toks FROM documents
+),
+hashed AS (
+  SELECT doc_id, [{_sql_h31('t')} FOR t IN toks] AS hs FROM toks
+),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM hashed
+),
+sims AS (
+  SELECT doc_id, ({sim}) AS simhash FROM votes
+)
+SELECT doc_id, simhash, simhash >> {SIMHASH_BITS - 16} AS bucket16
+FROM sims
+"""
+
+
+register("dedup_exact", dedup_exact, ORACLE_EXACT)
+register("dedup_ngram_jaccard", dedup_ngram_jaccard, ORACLE_JACCARD)
+register("dedup_minhash_lsh", dedup_minhash_lsh, _oracle_minhash())
+register("dedup_simhash", dedup_simhash, _oracle_simhash())
