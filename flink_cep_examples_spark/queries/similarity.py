@@ -1,1 +1,238 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity search over the ``embeddings`` table (``array<float>``
+column): brute-force cosine top-k as the baseline, a sign-LSH bucketed
+variant as the scale path, and embedding-cosine near-dup pairs.
+
+Scale design (100 TB mindset):
+
+- Brute-force top-k broadcasts the (tiny) query vector and runs the
+  dot product scan-side with built-in higher-order functions
+  (``zip_with`` + ``aggregate`` — JVM-side, no Python); Spark executes
+  the ``ORDER BY cos LIMIT k`` as TakeOrderedAndProject (per-partition
+  heaps, k rows to the driver) — no global sort at any scale.
+- The LSH variant hashes every vector to an N_PLANES-bit sign-bucket
+  (fixed md5-derived ±1 hyperplanes) computed scan-side; search
+  touches only the query's bucket (~n/2^N_PLANES of the data), and the
+  near-dup join blocks on bucket equality, so the shuffle key is a
+  2-byte bucket id, never a pairwise cross.
+- Floating point: all folds are sequential left-to-right in BOTH
+  engines (verified bit-identical); per-group double SUMs are avoided
+  (Spark's partial aggregation reorders them) — grouped stats go
+  through exact DECIMAL instead.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_cep_examples_spark.queries import register
+from flink_cep_examples_spark.sources.tables import load_table
+
+DIM = 64
+N_PLANES = 8
+TOP_K = 10
+QUERY_VEC_ID = 0
+DUP_COS_T = 0.4
+
+
+def _plane_sign(j: int, d: int) -> int:
+    """Deterministic ±1 from md5("j,d") — identical constants are
+    embedded in the Spark plan and the DuckDB oracle SQL."""
+    h = int(hashlib.md5(f"{j},{d}".encode()).hexdigest()[:15], 16)
+    return 1 if h % 2 == 1 else -1
+
+
+#: Fixed ±1 hyperplanes over the embedding dims.
+PLANES = [[_plane_sign(j, d) for d in range(DIM)] for j in range(N_PLANES)]
+
+
+def _dot(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def _bucket(vec) -> Column:
+    """Sign-LSH bucket id (N_PLANES bits)."""
+    bits = [
+        F.when(_dot(vec, F.array(*[F.lit(float(s)) for s in plane])) > 0, 2**j)
+        .otherwise(0)
+        for j, plane in enumerate(PLANES)
+    ]
+    return sum(bits[1:], bits[0]).cast("bigint")
+
+
+_SQL_DOT = (
+    "list_sum([CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)"
+    " FOR x IN list_zip({a}, {b})])"
+)
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return _SQL_DOT.format(a=a, b=b)
+
+
+def _sql_norm(a: str) -> str:
+    return f"sqrt({_sql_dot(a, a)})"
+
+
+def _sql_bucket(vec: str) -> str:
+    bits = []
+    for j, plane in enumerate(PLANES):
+        lit = "[" + ", ".join(f"{float(s)}" for s in plane) + "]"
+        bits.append(
+            f"CASE WHEN {_sql_dot(vec, lit)} > 0 THEN {2 ** j} ELSE 0 END"
+        )
+    return "CAST((" + " + ".join(bits) + ") AS BIGINT)"
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for the fixed query vector (vec_id=0):
+    broadcast the query, scan-side dot products, TakeOrdered k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    cos = _dot(F.col("embedding"), F.col("qv")) / (
+        _norm(F.col("embedding")) * _norm(F.col("qv"))
+    )
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "label", cos.alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+ORACLE_BRUTEFORCE = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID})
+SELECT vec_id, label,
+       {_sql_dot('embedding', 'qv')}
+         / ({_sql_norm('embedding')} * {_sql_norm('qv')}) AS cos
+FROM embeddings, q
+WHERE vec_id != {QUERY_VEC_ID}
+ORDER BY cos DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: only vectors in the query's sign-LSH bucket
+    are scored (the IVF-style probe-1 search path). Recall vs the
+    brute-force baseline is measured in tests, not assumed."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", _bucket(F.col("embedding"))
+    )
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    cos = _dot(F.col("embedding"), F.col("qv")) / (
+        _norm(F.col("embedding")) * _norm(F.col("qv"))
+    )
+    return (
+        emb.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "label", cos.alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+ORACLE_LSH_TOPK = f"""
+WITH b AS (
+  SELECT vec_id, label, embedding, {_sql_bucket('embedding')} AS bucket
+  FROM embeddings
+),
+q AS (SELECT embedding AS qv, bucket AS qbucket FROM b
+      WHERE vec_id = {QUERY_VEC_ID})
+SELECT vec_id, label,
+       {_sql_dot('embedding', 'qv')}
+         / ({_sql_norm('embedding')} * {_sql_norm('qv')}) AS cos
+FROM b, q
+WHERE bucket = qbucket AND vec_id != {QUERY_VEC_ID}
+ORDER BY cos DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= {t}, candidate pairs blocked
+    on sign-LSH bucket equality (the scale path — near-identical
+    vectors land in the same bucket with high probability).""".format(
+        t=DUP_COS_T
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", _bucket(F.col("embedding")).alias("bucket")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        _norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= DUP_COS_T)
+    )
+
+
+ORACLE_COSINE_DUPS = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {_sql_dot('a.embedding', 'b.embedding')}
+         / ({_sql_norm('a.embedding')} * {_sql_norm('b.embedding')}) AS cos
+FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_sql_dot('a.embedding', 'b.embedding')}
+        / ({_sql_norm('a.embedding')} * {_sql_norm('b.embedding')}) >= {DUP_COS_T}
+"""
+
+
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label corpus stats: count + mean squared norm. The per-row
+    norm² double is bit-identical in both engines (sequential fold);
+    the per-GROUP sum goes through DECIMAL(18,12) because Spark's
+    partial aggregation reorders double addition."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n2 = _dot(F.col("embedding"), F.col("embedding")).cast("decimal(18,12)")
+    return (
+        emb.select("label", n2.alias("n2"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (F.sum("n2").cast("double") / F.count(F.lit(1))).alias("mean_sq_norm"),
+        )
+    )
+
+
+ORACLE_LABEL_STATS = f"""
+SELECT label, COUNT(*) AS n_vecs,
+       CAST(SUM(CAST({_sql_dot('embedding', 'embedding')} AS DECIMAL(18,12)))
+            AS DOUBLE) / COUNT(*) AS mean_sq_norm
+FROM embeddings
+GROUP BY label
+"""
+
+
+register("ann_bruteforce_topk", ann_bruteforce_topk, ORACLE_BRUTEFORCE)
+register("ann_lsh_topk", ann_lsh_topk, ORACLE_LSH_TOPK)
+register("embedding_cosine_dups", embedding_cosine_dups, ORACLE_COSINE_DUPS)
+register("embedding_label_stats", embedding_label_stats, ORACLE_LABEL_STATS)

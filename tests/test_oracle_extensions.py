@@ -1,0 +1,59 @@
+"""Every non-CEP catalog query vs its DuckDB oracle at sf0.001 (fast
+suite gate; the driver re-runs the same contract at sf0.01), plus
+semantic checks the oracle can't express: LSH recall vs brute force,
+dedup family consistency."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_cep_examples_spark.queries import QUERIES, ORACLES, load_all
+
+from tests.oracle_harness import compare
+
+load_all()
+
+EXT_QUERY_NAMES = sorted(n for n in ORACLES if not n.startswith("cep_"))
+
+
+@pytest.mark.parametrize("name", EXT_QUERY_NAMES)
+def test_extension_query_vs_oracle(spark, sf_small, name):
+    ok, msg = compare(QUERIES[name](spark, sf_small), ORACLES[name], sf_small)
+    assert ok, f"{name}: {msg}"
+
+
+def test_minhash_lsh_vs_exact_jaccard(spark, sf_oracle):
+    """LSH candidate recall: every exact-Jaccard near-dup pair (the
+    correctness gate) must be surfaced by the banded MinHash path —
+    with 8 bands x 4 rows and t=0.5, P(miss) = (1-s^4)^8 is ~2% at
+    s=0.5 and <0.01% at s=0.8; the planted near-dups sit well above
+    threshold, so on this corpus recall must be total."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_ngram_jaccard"](spark, sf_oracle).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_minhash_lsh"](spark, sf_oracle).collect()
+    }
+    assert exact, "expected planted near-dup pairs in the corpus"
+    assert exact <= lsh, f"LSH missed pairs: {sorted(exact - lsh)[:5]}"
+
+
+def test_exact_dedup_canonical_is_group_min(spark, sf_oracle):
+    rows = QUERIES["dedup_exact"](spark, sf_oracle).collect()
+    assert all(r.canonical_id <= r.doc_id for r in rows)
+
+
+def test_ann_lsh_results_subset_of_bruteforce_space(spark, sf_oracle):
+    """The probe-1 LSH search returns vectors whose exact cosine equals
+    the brute-force computation for the same ids (same scoring, pruned
+    candidate set)."""
+    brute = {
+        r.vec_id: r.cos
+        for r in QUERIES["ann_bruteforce_topk"](spark, sf_oracle).collect()
+    }
+    lsh = QUERIES["ann_lsh_topk"](spark, sf_oracle).collect()
+    for r in lsh:
+        if r.vec_id in brute:
+            assert abs(r.cos - brute[r.vec_id]) < 1e-12
