@@ -22,13 +22,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from flink_cep_examples_spark.queries import QUERIES, load_all
 from flink_cep_examples_spark.session import get_spark
 
-#: benchmarked query set; extensions register more over time.
+#: benchmarked query set: CEP tiers + one representative per
+#: extension family (relational, windows/sessions, dedup, text, ANN).
 HEADLINE = [
     "cep_alert_reactions",
     "cep_alerts_with_timeouts",
     "cep_alert_reactions_nfa",
     "cep_match_recognize",
     "cep_keyed_process",
+    "q1_pricing_summary",
+    "q5_regional_revenue",
+    "events_sessions",
+    "dedup_minhash_lsh",
+    "text_fingerprint",
+    "ann_bruteforce_topk",
 ]
 
 

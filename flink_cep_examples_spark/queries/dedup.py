@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_cep_examples_spark.queries import register
-from flink_cep_examples_spark.sources.tables import load_table
+from flink_cep_examples_spark.sources.tables import load_table, spread
 
 #: Mersenne prime 2^31 - 1: keeps (a*h + b) % P inside int64.
 P = 2_147_483_647
@@ -111,7 +111,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on the normalized-content hash: every doc mapped to
     its canonical (minimum) doc_id; ``n_dups`` = group size."""
     docs = load_table(spark, sf_dir, "documents")
-    fp = docs.select("doc_id", F.md5(_norm_text(F.col("text"))).alias("fp"))
+    fp = spread(docs, "doc_id").select(
+        "doc_id", F.md5(_norm_text(F.col("text"))).alias("fp")
+    )
     groups = fp.groupBy("fp").agg(
         F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_dups")
     )
@@ -139,7 +141,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         t=JACCARD_T
     )
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
+    sh = spread(docs, "doc_id").select(
         "doc_id", _shingles(F.col("text")).alias("sh")
     ).withColumn("n", F.size("sh"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -182,15 +184,48 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
 """
 
 
-def _minhash_sig(sh) -> list[Column]:
-    """32 minhash values: min over shingles of (a*h31(s)+b) % P."""
-    hs = F.transform(sh, lambda s: _h31(s))
-    return [
-        F.array_min(F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % P)).alias(
-            f"mh{i}"
-        )
-        for i, (a, b) in enumerate(MINHASH_AB)
-    ]
+#: Shingle-hash combiners: hash(3-gram) = (h1*C1 + h2*C2 + h3) % P over
+#: the per-token hashes. Purely arithmetic → whole-stage codegen.
+C1, C2 = 1_000_003, 10_007
+
+
+def _shingle_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, hs) rows: hashed 3-gram shingles, built without any
+    higher-order function. Token md5 is evaluated once per token
+    (codegen'd built-in); the 3-gram hash combines the current + two
+    lead token hashes arithmetically over a per-doc window. Tail
+    positions hash their 2/1-token remainder (coalesce 0), so every
+    doc — even a 1-token one — has at least one shingle.
+
+    Perf note: the HOF formulation (transform/slice/concat_ws per
+    shingle) evaluates interpreted, outside codegen — measured ~50×
+    slower than this window formulation at sf0.1."""
+    from pyspark.sql.window import Window
+
+    e = spread(docs, "doc_id").select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "t")
+    ).select("doc_id", "pos", _h31(F.col("t")).alias("h"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    hs = (
+        F.col("h") * C1
+        + F.coalesce(F.lead("h", 1).over(w), F.lit(0)) * C2
+        + F.coalesce(F.lead("h", 2).over(w), F.lit(0))
+    ) % P
+    return e.select("doc_id", hs.alias("hs"))
+
+
+def _minhash_signatures(docs: DataFrame) -> DataFrame:
+    """32 minhash values per doc: min over shingle hashes of
+    (a*hs+b) % P. 32 ``min`` aggregates over the exploded shingle rows
+    — map-side combinable (each partition reduces to one partial
+    signature per doc before the shuffle); duplicate shingles need no
+    dedup because min is idempotent over a multiset."""
+    return _shingle_hashes(docs).groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("hs") + F.lit(b)) % P).alias(f"mh{i}")
+            for i, (a, b) in enumerate(MINHASH_AB)
+        ]
+    )
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -199,9 +234,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimated Jaccard (fraction of agreeing minhashes). The 100 TB
     path: signatures scan-side, one explode+shuffle on (band, key)."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = docs.select(
-        "doc_id", *_minhash_sig(_shingles(F.col("text")))
-    )
+    sig = _minhash_signatures(docs)
     mh = [F.col(f"mh{i}") for i in range(NUM_HASHES)]
     band_keys = F.array(
         *[
@@ -252,13 +285,17 @@ def _oracle_minhash() -> str:
         f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(NUM_HASHES)
     )
     return f"""
-WITH sh AS (
-  SELECT doc_id, {_sql_shingles()} AS sh
+WITH th AS (
+  SELECT doc_id, [{_sql_h31('t')} FOR t IN toks] AS th
   FROM (SELECT doc_id, regexp_split_to_array({_SQL_NORM}, ' ') AS toks
         FROM documents)
 ),
 hashed AS (
-  SELECT doc_id, [{_sql_h31('s')} FOR s IN sh] AS hs FROM sh
+  SELECT doc_id,
+         [(th[i] * {C1} + coalesce(th[i + 1], 0) * {C2}
+           + coalesce(th[i + 2], 0)) % {P}
+          FOR i IN range(1, len(th) + 1)] AS hs
+  FROM th
 ),
 sig AS (
   SELECT doc_id,
@@ -290,19 +327,27 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign of the sum), plus the high-16-bit bucket used as the blocking
     key at scale (near-dups agree on most bits, so they collide)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
-    hs = F.transform(toks, lambda t: _h31(t))
-    bit_cols = []
-    for b in range(SIMHASH_BITS):
-        vote = F.aggregate(
-            hs,
-            F.lit(0).cast("bigint"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        bit_cols.append(F.when(vote > 0, F.lit(2**b).cast("bigint")).otherwise(0))
+    # explode + hash once + 32 sum aggregates (same codegen-blowup
+    # avoidance as _minhash_signatures; map-side combinable).
+    hashed = spread(docs, "doc_id").select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("t")
+    ).select("doc_id", _h31(F.col("t")).alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    bit_cols = [
+        F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("bigint")).otherwise(0)
+        for b in range(SIMHASH_BITS)
+    ]
     simhash = sum(bit_cols[1:], bit_cols[0]).alias("simhash")
-    return docs.select("doc_id", simhash).select(
+    return votes.select("doc_id", simhash).select(
         "doc_id",
         "simhash",
         F.shiftright("simhash", SIMHASH_BITS - 16).alias("bucket16"),

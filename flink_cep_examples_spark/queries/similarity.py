@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_cep_examples_spark.queries import register
-from flink_cep_examples_spark.sources.tables import load_table
+from flink_cep_examples_spark.sources.tables import load_table, spread
 
 DIM = 64
 N_PLANES = 8
@@ -97,7 +97,7 @@ def _sql_bucket(vec: str) -> str:
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k for the fixed query vector (vec_id=0):
     broadcast the query, scan-side dot products, TakeOrdered k."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("embedding").alias("qv")
     )
@@ -129,7 +129,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: only vectors in the query's sign-LSH bucket
     are scored (the IVF-style probe-1 search path). Recall vs the
     brute-force baseline is measured in tests, not assumed."""
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id").withColumn(
         "bucket", _bucket(F.col("embedding"))
     )
     q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
@@ -170,7 +170,7 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors land in the same bucket with high probability).""".format(
         t=DUP_COS_T
     )
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", "embedding", _bucket(F.col("embedding")).alias("bucket")
     )
     a, b = emb.alias("a"), emb.alias("b")

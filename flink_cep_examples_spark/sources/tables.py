@@ -38,6 +38,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Repartition to the session's default parallelism ahead of a
+    CPU-heavy per-row pipeline (higher-order functions / md5 hashing
+    evaluate interpreted, outside whole-stage codegen).
+
+    Rationale: the synthetic tables arrive as one parquet row group →
+    one task, which serializes interpreted compute locally. On a real
+    cluster the scan has thousands of splits and this repartition is a
+    cheap rebalance of raw rows — far cheaper than the compute it
+    parallelizes. Results never depend on partitioning."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *key_cols) if key_cols else df.repartition(n)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in TABLE_NAMES}
 
