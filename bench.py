@@ -45,10 +45,14 @@ def main() -> None:
     load_all()
     spark = get_spark(app_name="cep-bench")
 
-    # warmup: flagship at the smallest SF
-    QUERIES["cep_alert_reactions"](spark, "/root/testdata/sf0.001").write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # warmup each headline plan at the smallest SF: compiles the same
+    # codegen/plan shape so timings below measure steady-state
+    # throughput, not first-call JIT+codegen compilation.
+    for name in HEADLINE:
+        if name in QUERIES:
+            QUERIES[name](spark, "/root/testdata/sf0.001").write.format(
+                "noop"
+            ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

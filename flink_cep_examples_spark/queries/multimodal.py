@@ -1,0 +1,127 @@
+"""Multimodal catalog queries: binary payload + typed metadata columns
+processed through Arrow-batched ``mapInPandas`` (operators/multimodal).
+
+Oracle strategy: payloads are utf-8 bytes of ASCII text, so DuckDB can
+independently reproduce byte counts, md5 digests, and frame slices with
+string arithmetic — pinning the Spark binary plumbing end-to-end. The
+feature-extraction query (numpy byte statistics) has no SQL oracle and
+is covered by the driver's rows-only check plus unit tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_cep_examples_spark.operators.multimodal import (
+    FORMATS,
+    extract_features,
+    media_table,
+    resize_media,
+    sample_frames,
+)
+from flink_cep_examples_spark.queries import register
+from flink_cep_examples_spark.sources.tables import load_table, spread
+
+FRAME_EVERY = 2
+RESIZE_W = RESIZE_H = 32
+
+_SQL_FORMAT = (
+    "CASE CAST(doc_id % 4 AS INTEGER) "
+    + " ".join(f"WHEN {i} THEN '{f}'" for i, f in enumerate(FORMATS))
+    + " END"
+)
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_table(spread(load_table(spark, sf_dir, "documents"), "doc_id"))
+
+
+def mm_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media table's typed-metadata projection + payload digest.
+    Touches ``meta`` and ``payload`` independently — metadata-only
+    consumers never deserialize the bytes."""
+    m = _media(spark, sf_dir)
+    return m.select(
+        "doc_id",
+        F.col("meta.format").alias("format"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_frames").alias("n_frames"),
+        F.length("payload").alias("payload_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+ORACLE_CATALOG = f"""
+SELECT doc_id,
+       {_SQL_FORMAT} AS format,
+       CAST(16 + doc_id % 64 AS INTEGER) AS width,
+       CAST(16 + (doc_id * 7) % 64 AS INTEGER) AS height,
+       CAST(1 + doc_id % 8 AS INTEGER) AS n_frames,
+       CAST(length(text) AS INTEGER) AS payload_bytes,
+       md5(text) AS payload_md5
+FROM documents
+"""
+
+
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stub-decoded byte features (mean, entropy, 16-bin histogram) via
+    Arrow-batched numpy — no SQL oracle (rows-only driver check; exact
+    values unit-tested against pure numpy in tests/)."""
+    return extract_features(_media(spark, sf_dir))
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-2nd-frame sample of each payload's n_frames equal chunks
+    (row-expanding mapInPandas), digest per kept frame."""
+    return sample_frames(_media(spark, sf_dir), every=FRAME_EVERY)
+
+
+ORACLE_FRAMES = f"""
+WITH m AS (
+  SELECT doc_id, text,
+         CAST(1 + doc_id % 8 AS INTEGER) AS n_frames,
+         CAST(length(text) // (1 + doc_id % 8) AS INTEGER) AS fsize
+  FROM documents
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS frame_idx,
+       CAST(CASE WHEN fsize > 0 THEN fsize ELSE 0 END AS INTEGER) AS frame_bytes,
+       md5(CASE WHEN fsize > 0
+                THEN substr(text, i * fsize + 1, fsize) ELSE '' END) AS frame_md5
+FROM m, unnest(range(0, n_frames, {FRAME_EVERY})) AS t(i)
+"""
+
+
+def mm_resize_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize every payload to {w}x{h} bytes (cyclic-pad/truncate stub
+    resize) and digest the result — binary-in/binary-out through Arrow
+    verified against DuckDB's string reconstruction.""".format(
+        w=RESIZE_W, h=RESIZE_H
+    )
+    resized = resize_media(_media(spark, sf_dir), RESIZE_W, RESIZE_H)
+    return resized.select(
+        "doc_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.length("payload").alias("payload_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+ORACLE_RESIZE = f"""
+SELECT doc_id,
+       CAST({RESIZE_W} AS INTEGER) AS width,
+       CAST({RESIZE_H} AS INTEGER) AS height,
+       CAST({RESIZE_W * RESIZE_H} AS INTEGER) AS payload_bytes,
+       md5(substr(repeat(text, CAST(ceil({RESIZE_W * RESIZE_H} * 1.0
+                                     / length(text)) AS INTEGER)),
+                  1, {RESIZE_W * RESIZE_H})) AS payload_md5
+FROM documents
+"""
+
+
+register("mm_media_catalog", mm_media_catalog, ORACLE_CATALOG)
+register("mm_decode_features", mm_decode_features)  # rows-only check
+register("mm_frame_sample", mm_frame_sample, ORACLE_FRAMES)
+register("mm_resize_digest", mm_resize_digest, ORACLE_RESIZE)
