@@ -1,0 +1,134 @@
+"""Property-based tests (SURVEY §5 strategy #4).
+
+The NFA core is differentially tested against an independent
+closed-form reference implementation of the billing pattern
+(A B* C within 1h, skip past last row). For this predicate family the
+closed form is exact: is_b is the complement of is_c and is_a ⊂ is_b,
+so a match is (earliest A whose next C is < 1h away, that C), and a
+timeout is an A whose next C is missing or ≥ 1h away (the same
+derivation as operators/fast_path.py — but re-derived here in ~20
+lines of pure Python, with no shared code).
+
+Spark-level: one job runs ~50 random key groups through BOTH execution
+tiers (general NFA via applyInPandas, compiled window fast path) and
+requires identical output — cross-tier differential (§5 strategy #2)
+on random data, not just the golden fixtures.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from flink_cep_examples_spark.operators.nfa import scan_key_group
+from flink_cep_examples_spark.plans.pattern import billing_pattern
+
+WITHIN_US = 3_600_000_000
+
+#: (gap_minutes ≤ 90, balance_before, balance_after) per event; balances
+#: hug the alarm threshold 10 so all predicate combinations occur.
+event = st.tuples(
+    st.integers(min_value=0, max_value=90),
+    st.integers(min_value=0, max_value=25),
+    st.integers(min_value=0, max_value=25),
+)
+sequences = st.lists(event, min_size=0, max_size=30)
+
+
+def _rows_from_seq(seq):
+    """Cumulative distinct-ish timestamps (µs) + predicate flags."""
+    ts, t = [], 0
+    for gap, _, _ in seq:
+        t += gap * 60_000_000 + 1  # +1µs keeps timestamps strictly increasing
+        ts.append(t)
+    is_a = [bb >= 10 and ba < 10 for _, bb, ba in seq]
+    is_b = [bb >= ba for _, bb, ba in seq]
+    is_c = [bb < ba for _, bb, ba in seq]
+    return np.array(ts, dtype=np.int64), is_a, is_b, is_c
+
+
+def _closed_form(ts, is_a, is_c):
+    """Independent reference: matches = (earliest in-window A per C),
+    timeouts = A with no C in (ts_a, ts_a + 1h)."""
+    n = len(ts)
+    next_c = [None] * n
+    nc = None
+    for i in range(n - 1, -1, -1):
+        next_c[i] = nc
+        if is_c[i]:
+            nc = i
+    matches, timeouts, claimed = [], [], set()
+    for i in range(n):
+        if not is_a[i]:
+            continue
+        j = next_c[i]
+        if j is None or ts[j] - ts[i] >= WITHIN_US:
+            timeouts.append(i)
+        elif j not in claimed:
+            matches.append((i, j))
+            claimed.add(j)
+    return matches, timeouts
+
+
+@given(sequences)
+@settings(max_examples=500, deadline=None)
+def test_nfa_matches_closed_form(seq):
+    ts, is_a, is_b, is_c = _rows_from_seq(seq)
+    spec = billing_pattern(emit_timeouts=True)
+    preds = np.array([is_a, is_b, is_c], dtype=bool).reshape(3, len(seq))
+    matches, timeouts = scan_key_group(spec, preds, ts)
+    got_matches = sorted((m["A"][0], m["C"][0]) for m in matches)
+    got_timeouts = sorted(t["A"][0] for t in timeouts)
+    exp_matches, exp_timeouts = _closed_form(ts, is_a, is_c)
+    assert got_matches == sorted(exp_matches)
+    assert got_timeouts == sorted(exp_timeouts)
+
+
+@given(sequences)
+@settings(max_examples=300, deadline=None)
+def test_nfa_invariants(seq):
+    ts, is_a, is_b, is_c = _rows_from_seq(seq)
+    spec = billing_pattern(emit_timeouts=True)
+    preds = np.array([is_a, is_b, is_c], dtype=bool).reshape(3, len(seq))
+    matches, _ = scan_key_group(spec, preds, ts)
+    spans = sorted((m["A"][0], m["C"][1]) for m in matches)
+    for (a, c) in spans:
+        assert is_a[a] and is_c[c] and a < c
+        assert ts[c] - ts[a] < WITHIN_US  # strict deadline
+    # skip-past-last-event: non-overlapping, strictly ordered spans
+    for (_, c_prev), (a_next, _) in zip(spans, spans[1:]):
+        assert a_next > c_prev
+
+
+@pytest.mark.slow
+def test_cross_tier_differential_random(spark):
+    """~50 random key groups in ONE DataFrame through both tiers."""
+    import random
+
+    from flink_cep_examples_spark.operators.cep_batch import match_pattern
+    from flink_cep_examples_spark.operators.fast_path import match_pattern_fast_abc
+    from flink_cep_examples_spark.sources import billing_from_rows
+
+    from datetime import datetime, timedelta
+
+    rng = random.Random(20260813)
+    rows = []
+    for key in range(50):
+        t = datetime(2020, 5, 1)
+        for _ in range(rng.randint(0, 40)):
+            t += timedelta(seconds=rng.randint(0, 90 * 60) + 1)
+            rows.append(
+                (
+                    f"k{key}",
+                    t.strftime("%Y-%m-%d %H:%M:%S"),
+                    rng.randint(0, 25),
+                    rng.randint(0, 25),
+                )
+            )
+    df = billing_from_rows(spark, rows)
+    spec = billing_pattern(emit_timeouts=True)
+    nfa_out = sorted(map(tuple, match_pattern(df, spec).collect()))
+    fast_out = sorted(map(tuple, match_pattern_fast_abc(df, spec).collect()))
+    assert nfa_out == fast_out
+    assert nfa_out, "random corpus should produce at least one match/timeout"
