@@ -100,16 +100,24 @@ def events_as_billing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_cep_examples_spark.sources.tables import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return (
-        ev.select(
-            F.col("user_id").cast("string").alias("id"),
-            F.col("ts").alias(EVENT_TIME_COL),
-            F.col("event_id").alias(SEQ_COL),
-            F.coalesce(F.lag("value").over(w), F.lit(50.0)).alias("balanceBefore"),
-            F.col("value").alias("balanceAfter"),
-        )
-        .withColumn(
-            "datetime", F.date_format(EVENT_TIME_COL, "yyyy-MM-dd HH:mm:ss")
-        )
+    # Project the string key FIRST, then window over the projected
+    # attribute: downstream pattern matching partitions by ``id``, and
+    # referencing the same attribute here lets Catalyst satisfy both
+    # stages with ONE hash Exchange (cast is bijective on integers, so
+    # keying by the string changes nothing; verified by
+    # tests/test_plans.py::test_cep_fast_path_single_exchange).
+    base = ev.select(
+        F.col("user_id").cast("string").alias("id"),
+        F.col("ts").alias(EVENT_TIME_COL),
+        F.col("event_id").alias(SEQ_COL),
+        F.col("value"),
+    )
+    w = Window.partitionBy("id").orderBy(EVENT_TIME_COL, SEQ_COL)
+    return base.select(
+        "id",
+        EVENT_TIME_COL,
+        SEQ_COL,
+        F.coalesce(F.lag("value").over(w), F.lit(50.0)).alias("balanceBefore"),
+        F.col("value").alias("balanceAfter"),
+        F.date_format(EVENT_TIME_COL, "yyyy-MM-dd HH:mm:ss").alias("datetime"),
     )

@@ -1,3 +1,7 @@
+from flink_cep_examples_spark.streaming.analytics import (  # noqa: F401
+    hourly_by_type_stream,
+    sessions_stream,
+)
 from flink_cep_examples_spark.streaming.cep_stream import (  # noqa: F401
     match_pattern_stream,
 )

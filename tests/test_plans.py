@@ -1,0 +1,63 @@
+"""Physical-plan audits: the scale properties the docstrings claim must
+actually appear in the executed plan — filters pushed to the parquet
+scan, columns pruned, dimension joins broadcast, top-k as TakeOrdered,
+and the CEP fast path at exactly one Exchange."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_cep_examples_spark.queries import QUERIES, load_all
+
+load_all()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_small):
+    return {
+        n: _plan(QUERIES[n](spark, sf_small))
+        for n in [
+            "q1_pricing_summary",
+            "q3_top_unshipped_orders",
+            "q5_regional_revenue",
+            "ann_bruteforce_topk",
+            "cep_alert_reactions",
+            "text_token_stats",
+        ]
+    }
+
+
+def test_q1_filter_pushed_and_columns_pruned(plans):
+    p = plans["q1_pricing_summary"]
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # projection needs 7 of 11 lineitem columns; the scan must not read more
+    schema_line = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in schema_line and "l_partkey" not in schema_line
+
+
+def test_dim_joins_broadcast(plans):
+    for name in ("q3_top_unshipped_orders", "q5_regional_revenue"):
+        p = plans[name]
+        assert "BroadcastHashJoin" in p, name
+    # q5: all four dims broadcast -> exactly one shuffle join
+    # (lineitem x orders) survives
+    assert plans["q5_regional_revenue"].count("BroadcastHashJoin") >= 4
+
+
+def test_topk_is_take_ordered(plans):
+    assert "TakeOrderedAndProject" in plans["q3_top_unshipped_orders"]
+    assert "TakeOrderedAndProject" in plans["ann_bruteforce_topk"]
+
+
+def test_cep_fast_path_single_exchange(plans):
+    """One scan, one hash Exchange on the key — the whole pattern match
+    rides a single shuffle (operators/fast_path.py contract)."""
+    assert plans["cep_alert_reactions"].count("Exchange") == 1
+
+
+def test_scan_only_pipeline_has_no_exchange(plans):
+    assert "Exchange" not in plans["text_token_stats"]
