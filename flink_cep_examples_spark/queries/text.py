@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_cep_examples_spark.queries import register
-from flink_cep_examples_spark.sources.tables import load_table
+from flink_cep_examples_spark.sources.tables import load_table, spread
 
 #: Function-word lists for the n-gram/stopword language heuristic.
 #: Deterministic scoring, not label recovery — the synthetic corpus'
@@ -40,7 +40,7 @@ def _tok_count(c):
 
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + word-character tally per doc."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     n_tok = _tok_count(F.col("text"))
     n_word_chars = F.length(F.regexp_replace("text", r"\s", ""))
     return docs.select(
@@ -66,7 +66,7 @@ FROM documents
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: punctuation / stopword / digit ratios and a
     composite keep-flag, the standard pre-training corpus filters."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     lower = F.lower(F.col("text"))
     n_tok = _tok_count(F.col("text"))
     n_punct = F.regexp_count("text", F.lit(_PUNCT))
@@ -128,7 +128,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID via function-word hit counts; argmax with a fixed
     priority order (en > es > fr > de > zh) as the deterministic
     tiebreak."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     s = _lang_scores(F.lower(F.col("text")))
     order = ["en", "es", "fr", "de", "zh"]
     pred = F.lit("zh")
@@ -179,7 +179,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lowercase, punctuation stripped, whitespace collapsed) plus a
     64-bit numeric fingerprint (first 15 md5 hex digits) usable as a
     shuffle/bucket key at scale."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     norm = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(F.col("text")), _NONWORD, ""), r" +", " "
@@ -206,7 +206,7 @@ FROM documents
 
 def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus length profile: 50-char buckets with doc + token stats."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     bucket = F.floor(F.col("n_chars") / 50).alias("bucket")
     n_tok = _tok_count(F.col("text"))
     return (

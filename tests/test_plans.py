@@ -59,5 +59,7 @@ def test_cep_fast_path_single_exchange(plans):
     assert plans["cep_alert_reactions"].count("Exchange") == 1
 
 
-def test_scan_only_pipeline_has_no_exchange(plans):
-    assert "Exchange" not in plans["text_token_stats"]
+def test_scan_pipeline_only_rebalances(plans):
+    """Text pipelines shuffle exactly once — the deliberate spread()
+    rebalance ahead of per-row compute — and nothing else."""
+    assert plans["text_token_stats"].count("Exchange") == 1
