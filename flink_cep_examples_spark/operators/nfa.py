@@ -138,6 +138,15 @@ class Nfa:
         ]
         self._can_loop = [v.can_loop for v in spec.variables]
         self._relaxed = [v.contiguity == RELAXED for v in spec.variables]
+        # A branch sitting at var i survives a row it cannot consume iff
+        # something it is WAITING FOR is relaxed: a relaxed successor
+        # (contiguity describes a var's relation to its predecessor), or
+        # its own next loop iteration when the looping var is relaxed.
+        self._wait_relaxed = [
+            any(self._relaxed[j] for j in self._succ[i])
+            or (self._can_loop[i] and self._relaxed[i])
+            for i in range(self.n_vars)
+        ]
 
     # -- helpers ------------------------------------------------------
     def _extend(self, br: _Branch, var: int, payload) -> _Branch:
@@ -211,7 +220,7 @@ class Nfa:
                         if (nb.var, nb.rows) not in seen:
                             seen.add((nb.var, nb.rows))
                             new_branches.append(nb)
-                if not moved and self._relaxed[br.var]:
+                if not moved and self._wait_relaxed[br.var]:
                     if (br.var, br.rows) not in seen:
                         seen.add((br.var, br.rows))
                         new_branches.append(br)

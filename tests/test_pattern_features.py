@@ -1,0 +1,76 @@
+"""NFA feature coverage beyond the reference pattern: relaxed
+contiguity (followed_by), NO_SKIP overlap semantics, quantifier
+variants — unit-level against scan_key_group with hand-written tiny
+sequences (SURVEY §5 strategy #5)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from flink_cep_examples_spark.operators.nfa import scan_key_group
+from flink_cep_examples_spark.plans.pattern import NO_SKIP, Pattern
+
+MIN = 60_000_000  # one minute in µs
+
+
+def _scan(spec, rows):
+    """rows: list of (minute, flags...) with one flag per variable."""
+    ts = np.array([r[0] * MIN for r in rows], dtype=np.int64)
+    n_vars = len(spec.variables)
+    preds = np.array(
+        [[bool(r[1 + i]) for r in rows] for i in range(n_vars)], dtype=bool
+    )
+    return scan_key_group(spec, preds, ts)
+
+
+def test_next_requires_contiguity():
+    spec = Pattern.begin("A").next("C").build()
+    # A, gap row matching nothing, C  → strict: no match
+    m, _ = _scan(spec, [(0, 1, 0), (1, 0, 0), (2, 0, 1)])
+    assert m == []
+
+
+def test_followed_by_skips_gap_rows():
+    spec = Pattern.begin("A").followed_by("C").build()
+    m, _ = _scan(spec, [(0, 1, 0), (1, 0, 0), (2, 0, 1)])
+    assert [(x["A"][0], x["C"][0]) for x in m] == [(0, 2)]
+
+
+def test_no_skip_emits_overlapping_matches():
+    spec = Pattern.begin("A", skip=NO_SKIP).followed_by("C").build()
+    # two As before one C → two overlapping matches under NO_SKIP
+    m, _ = _scan(spec, [(0, 1, 0), (1, 1, 0), (2, 0, 1)])
+    assert sorted((x["A"][0], x["C"][0]) for x in m) == [(0, 2), (1, 2)]
+
+
+def test_skip_past_last_event_claims_c():
+    spec = Pattern.begin("A").followed_by("C").build()
+    m, _ = _scan(spec, [(0, 1, 0), (1, 1, 0), (2, 0, 1)])
+    assert [(x["A"][0], x["C"][0]) for x in m] == [(0, 2)]
+
+
+def test_one_or_more_requires_at_least_one():
+    spec = Pattern.begin("A").next("B").one_or_more().next("C").build()
+    # A C with no B → no match
+    m, _ = _scan(spec, [(0, 1, 0, 0), (1, 0, 0, 1)])
+    assert m == []
+    # A B B C → match, B count 2
+    m, _ = _scan(
+        spec, [(0, 1, 0, 0), (1, 0, 1, 0), (2, 0, 1, 0), (3, 0, 0, 1)]
+    )
+    assert len(m) == 1 and m[0]["B"][2] == 2
+
+
+def test_optional_once():
+    spec = Pattern.begin("A").next("B").optional().next("C").build()
+    # B? : both A C and A B C match
+    m, _ = _scan(spec, [(0, 1, 0, 0), (1, 0, 0, 1)])
+    assert len(m) == 1
+    m, _ = _scan(spec, [(0, 1, 0, 0), (1, 0, 1, 0), (2, 0, 0, 1)])
+    assert len(m) == 1 and m[0]["B"][2] == 1
+
+
+def test_within_prunes_followed_by_runs():
+    spec = Pattern.begin("A").followed_by("C").within("10 minutes").build()
+    m, to = _scan(spec, [(0, 1, 0), (15, 0, 1)])
+    assert m == []
