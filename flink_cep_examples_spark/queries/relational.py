@@ -385,7 +385,38 @@ FROM agg
 """
 
 
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-function surface: parse the ``props`` JSON column with a
+    typed ``from_json`` schema (not schema inference — the engine's
+    fixed-schema philosophy, SURVEY §1.4) and aggregate the extracted
+    field per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k BIGINT").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+ORACLE_JSON = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(props ->> 'k' AS BIGINT)) AS sum_k,
+       MIN(CAST(props ->> 'k' AS BIGINT)) AS min_k,
+       MAX(CAST(props ->> 'k' AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
 register("q1_pricing_summary", q1_pricing_summary, ORACLE_Q1)
+register("events_json_props", events_json_props, ORACLE_JSON)
 register("q3_top_unshipped_orders", q3_top_unshipped_orders, ORACLE_Q3)
 register("q5_regional_revenue", q5_regional_revenue, ORACLE_Q5)
 register("q10_returned_revenue", q10_returned_revenue, ORACLE_Q10)

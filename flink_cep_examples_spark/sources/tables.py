@@ -20,6 +20,15 @@ TABLE_NAMES = (
 )
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Self-heal an externally-created SparkSession (the driver harness
+    passes its own): the confs every query depends on are all
+    runtime-settable. Idempotent, called from load_table."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table. Parquet → full predicate pushdown and
     column pruning from Catalyst; no schema inference needed (parquet is
@@ -30,6 +39,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     and is converted here to a microsecond TimestampType (truncation —
     the same thing DuckDB does), keeping every downstream query
     oracle-comparable."""
+    ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn(
