@@ -19,6 +19,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import tempfile
+
 from flink_cep_examples_spark.queries import QUERIES, load_all
 from flink_cep_examples_spark.session import get_spark
 
@@ -69,6 +71,35 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    # streaming CEP micro-batch throughput (BASELINE.md TBD row):
+    # materialize the billing mapping once, replay it through the
+    # stateful streaming operator (file source, availableNow).
+    from flink_cep_examples_spark.plans.pattern import billing_pattern
+    from flink_cep_examples_spark.sources.billing import events_as_billing
+    from flink_cep_examples_spark.streaming import match_pattern_stream
+
+    billing = events_as_billing(spark, sf_dir)
+    n_events = billing.count()
+    with tempfile.TemporaryDirectory() as tmp:
+        src = f"{tmp}/billing"
+        billing.write.parquet(src)
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src)
+        out = match_pattern_stream(
+            stream, billing_pattern(emit_timeouts=True), "6 minutes"
+        )
+        t0 = time.perf_counter()
+        q = (
+            out.writeStream.outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", f"{tmp}/chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        timings["cep_streaming"] = round(time.perf_counter() - t0, 3)
+
     print(
         json.dumps(
             {
@@ -77,6 +108,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "cep_batch_events_per_sec": round(
+                    n_events / timings["cep_alerts_with_timeouts"]
+                ),
+                "cep_streaming_events_per_sec": round(
+                    n_events / timings["cep_streaming"]
+                ),
             }
         )
     )
