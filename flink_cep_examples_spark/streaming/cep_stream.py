@@ -122,10 +122,14 @@ def match_pattern_stream(
             data["tag"].append(tag)
         return pd.DataFrame(data, columns=out_names)
 
+    # one compiled NFA shared by every key group on the worker (it is
+    # key-stateless: per-key state lives in NfaState) — ~10k groups per
+    # micro-batch would otherwise recompile it 10k times.
+    nfa = Nfa(spec)
+
     def process(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        nfa = Nfa(spec)
         wm_us = state.getCurrentWatermarkMs() * 1000
         if state.exists:
             buffer, nst = pickle.loads(state.get[0])
