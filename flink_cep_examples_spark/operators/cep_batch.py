@@ -76,7 +76,9 @@ def match_pattern(df: DataFrame, spec: PatternSpec) -> DataFrame:
     prepared = _prepare(df, spec)
     out_schema = output_schema(df, spec)
     n_vars = len(spec.variables)
-    spec_bc = spec  # closure capture; spec is tiny and immutable
+    # pre-compiled once; scan_key_group accepts the compiled Nfa so the
+    # per-key-group path (possibly 10k+ groups) skips recompilation
+    spec_bc = nfa.Nfa(spec)
     key_cols = list(spec.key_cols)
     measure_list = list(spec.measures)
     tiebreak = spec.tiebreak_col

@@ -259,14 +259,14 @@ class Nfa:
 
 
 def scan_key_group(
-    spec: PatternSpec,
+    spec,  # PatternSpec, or a pre-compiled Nfa (hot loops pass the Nfa)
     preds: np.ndarray,  # bool[n_vars, n_rows], rows already event-time sorted
     ts_us: np.ndarray,  # int64[n_rows]
 ) -> tuple[list[dict], list[dict]]:
     """Batch driver: run the NFA over one sorted key group with the row
     index as payload. Returns (matches, timeouts); each dict maps
     var name → (first_row_idx, last_row_idx, count)."""
-    nfa = Nfa(spec)
+    nfa = spec if isinstance(spec, Nfa) else Nfa(spec)
     st = NfaState()
     matches: list[dict] = []
     timeouts: list[dict] = []
