@@ -5,3 +5,6 @@ from flink_cep_examples_spark.streaming.analytics import (  # noqa: F401
 from flink_cep_examples_spark.streaming.cep_stream import (  # noqa: F401
     match_pattern_stream,
 )
+from flink_cep_examples_spark.streaming.keyed_process_stream import (  # noqa: F401
+    keyed_process_stream,
+)
