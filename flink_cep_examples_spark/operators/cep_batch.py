@@ -124,4 +124,10 @@ def match_pattern(df: DataFrame, spec: PatternSpec) -> DataFrame:
             emit(to, TIMEOUT_TAG)
         return pd.DataFrame(out_cols, columns=[f.name for f in out_schema.fields])
 
-    return prepared.groupBy(*key_cols).applyInPandas(scan, schema=out_schema)
+    from flink_cep_examples_spark.operators.partition_scan import (
+        grouped_partition_scan,
+    )
+
+    return grouped_partition_scan(
+        prepared, key_cols, [_TS_COL, tiebreak], scan, out_schema
+    )

@@ -149,7 +149,13 @@ def keyed_process(
             {c: [row.get(c) for row in out] for c in out_cols}, columns=out_cols
         )
 
-    return prepared.groupBy(*key_list).applyInPandas(run_group, schema=output_schema)
+    from flink_cep_examples_spark.operators.partition_scan import (
+        grouped_partition_scan,
+    )
+
+    return grouped_partition_scan(
+        prepared, key_list, [_TS_COL, tiebreak_col], run_group, output_schema
+    )
 
 
 # ---------------------------------------------------------------------------
