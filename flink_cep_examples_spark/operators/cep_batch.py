@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from flink_cep_examples_spark.plans.pattern import Measure, PatternSpec
+from flink_cep_examples_spark.plans.pattern import STRICT, Measure, PatternSpec
 from flink_cep_examples_spark.operators import nfa
 from flink_cep_examples_spark.schemas import MATCH_TAG, TIMEOUT_TAG
 
@@ -123,6 +123,98 @@ def match_pattern(df: DataFrame, spec: PatternSpec) -> DataFrame:
         for to in timeouts:
             emit(to, TIMEOUT_TAG)
         return pd.DataFrame(out_cols, columns=[f.name for f in out_schema.fields])
+
+    from flink_cep_examples_spark.operators.partition_scan import (
+        grouped_partition_scan,
+    )
+
+    return grouped_partition_scan(
+        prepared, key_cols, [_TS_COL, tiebreak], scan, out_schema
+    )
+
+
+def match_pattern_all_rows(df: DataFrame, spec: PatternSpec) -> DataFrame:
+    """ALL ROWS PER MATCH (SQL:2016): one output row per matched INPUT
+    row, carrying every input column plus ``classifier`` (the pattern
+    variable that consumed the row), a per-key ``match_seq``, and the
+    measures with FINAL semantics (whole-match values repeated on each
+    row).
+
+    Requires strict contiguity (MATCH_RECOGNIZE's own model): each
+    variable's consumed rows are then exactly the contiguous index span
+    the NFA recorded, so the row set reconstructs from (first, last)
+    spans without storing per-row payloads. Timeout side outputs do not
+    exist in this mode (SQL has no timeout channel)."""
+    spec.validate()
+    if any(v.contiguity != STRICT for v in spec.variables[1:]):
+        raise NotImplementedError(
+            "ALL ROWS PER MATCH requires strict contiguity"
+        )
+    data_cols = list(df.columns)
+    prepared = df.select(
+        *data_cols,
+        F.unix_micros(F.col(spec.order_col).cast("timestamp")).alias(_TS_COL),
+        *[
+            F.expr(v.predicate).alias(f"{_PRED_PREFIX}{i}")
+            for i, v in enumerate(spec.variables)
+        ],
+    )
+    out_schema = T.StructType(
+        [T.StructField(c, df.schema[c].dataType, True) for c in data_cols]
+        + [
+            T.StructField("classifier", T.StringType(), False),
+            T.StructField("match_seq", T.LongType(), False),
+        ]
+        + [_measure_field(df, m) for m in spec.measures]
+    )
+    n_vars = len(spec.variables)
+    compiled = nfa.Nfa(spec)
+    var_names = [v.name for v in spec.variables]
+    measure_list = list(spec.measures)
+    key_cols = list(spec.key_cols)
+    tiebreak = spec.tiebreak_col
+    out_cols = [f.name for f in out_schema.fields]
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([_TS_COL, tiebreak], kind="mergesort")
+        ts = pdf[_TS_COL].to_numpy(dtype=np.int64)
+        preds = np.stack(
+            [
+                pdf[f"{_PRED_PREFIX}{i}"].to_numpy(dtype=bool)
+                for i in range(n_vars)
+            ]
+        )
+        matches, _ = nfa.scan_key_group(compiled, preds, ts)
+        src_arrays = {
+            m.src: pdf[m.src].to_numpy()
+            for m in measure_list
+            if m.fn != "count"
+        }
+        data_arrays = {c: pdf[c].to_numpy() for c in data_cols}
+        rows: dict[str, list] = {c: [] for c in out_cols}
+        for seq, match in enumerate(matches):
+            mvals = {}
+            for m in measure_list:
+                span = match.get(m.var)
+                if span is None:
+                    mvals[m.name] = 0 if m.fn == "count" else m.default
+                elif m.fn == "count":
+                    mvals[m.name] = span[2]
+                else:
+                    idx = span[0] if m.fn == "first" else span[1]
+                    mvals[m.name] = src_arrays[m.src][idx]
+            for vname in var_names:
+                span = match.get(vname)
+                if span is None:
+                    continue
+                for r in range(span[0], span[1] + 1):
+                    for c in data_cols:
+                        rows[c].append(data_arrays[c][r])
+                    rows["classifier"].append(vname)
+                    rows["match_seq"].append(seq)
+                    for m in measure_list:
+                        rows[m.name].append(mvals[m.name])
+        return pd.DataFrame(rows, columns=out_cols)
 
     from flink_cep_examples_spark.operators.partition_scan import (
         grouped_partition_scan,

@@ -118,6 +118,7 @@ class PatternSpec:
     after_match: str = SKIP_PAST_LAST_EVENT
     measures: tuple[Measure, ...] = field(default_factory=tuple)
     emit_timeouts: bool = False  # absence-of-event side output
+    rows_per_match: str = "one"  # "one" | "all" (MATCH_RECOGNIZE modes)
 
     def var_index(self, name: str) -> int:
         for i, v in enumerate(self.variables):

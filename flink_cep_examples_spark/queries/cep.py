@@ -186,6 +186,44 @@ def cep_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_with_match_recognize(spark, query, {"billing": df})
 
 
+_MR_ALL_ROWS_BODY = _MR_BODY.replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH")
+
+#: ALL ROWS PER MATCH closed form: a matched segment's rows between its
+#: anchor A and its C, classified positionally; per-key match_seq =
+#: 0-based rank of the match's C among the key's matches.
+ORACLE_ALL_ROWS = (
+    _ORACLE_BASE
+    + f"""
+SELECT id,
+       strftime(make_timestamp(tus), {_FMT}) AS datetime,
+       CASE WHEN tus = a_tus THEN 'A'
+            WHEN tus = c_tus THEN 'C'
+            ELSE 'B' END AS classifier,
+       CAST(DENSE_RANK() OVER (PARTITION BY id ORDER BY c_tus) - 1 AS BIGINT)
+         AS match_seq,
+       strftime(make_timestamp(a_tus), {_FMT}) AS alarmTriggerDatetime,
+       strftime(make_timestamp(c_tus), {_FMT}) AS topupDatetime
+FROM cand
+WHERE a_tus IS NOT NULL AND c_tus IS NOT NULL
+  AND tus BETWEEN a_tus AND c_tus
+"""
+)
+
+
+def cep_match_recognize_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = events_as_billing(spark, sf_dir)
+    query = f"SELECT * FROM billing MATCH_RECOGNIZE ({_MR_ALL_ROWS_BODY}) t"
+    out = sql_with_match_recognize(spark, query, {"billing": df})
+    return out.select(
+        "id",
+        "datetime",
+        "classifier",
+        "match_seq",
+        "alarmTriggerDatetime",
+        "topupDatetime",
+    )
+
+
 def cep_keyed_process(spark: SparkSession, sf_dir: str) -> DataFrame:
     return billing_low_level_alerts(events_as_billing(spark, sf_dir))
 
@@ -197,4 +235,5 @@ register(
     "cep_alerts_with_timeouts_nfa", cep_alerts_with_timeouts_nfa, ORACLE_WITH_TIMEOUTS
 )
 register("cep_match_recognize", cep_match_recognize, ORACLE_MATCHES)
+register("cep_match_recognize_all_rows", cep_match_recognize_all_rows, ORACLE_ALL_ROWS)
 register("cep_keyed_process", cep_keyed_process, ORACLE_KEYED_PROCESS)

@@ -33,7 +33,10 @@ import re
 
 from pyspark.sql import DataFrame
 
-from flink_cep_examples_spark.operators.cep_batch import match_pattern
+from flink_cep_examples_spark.operators.cep_batch import (
+    match_pattern,
+    match_pattern_all_rows,
+)
 from flink_cep_examples_spark.operators.fast_path import (
     fast_abc_applicable,
     match_pattern_fast_abc,
@@ -166,8 +169,6 @@ def parse_match_recognize(body: str) -> PatternSpec:
     clauses = _split_clauses(body)
     if "PATTERN" not in clauses or "DEFINE" not in clauses:
         raise ValueError("MATCH_RECOGNIZE needs PATTERN and DEFINE clauses")
-    if "ALL ROWS PER MATCH" in clauses:
-        raise NotImplementedError("ALL ROWS PER MATCH is not supported (v1)")
 
     var_quants, within_text = _parse_pattern_clause(clauses["PATTERN"])
     var_names = [n for n, _ in var_quants]
@@ -209,6 +210,7 @@ def parse_match_recognize(body: str) -> PatternSpec:
         within=parse_interval(within_text) if within_text else None,
         after_match=skip,
         measures=tuple(_parse_measures(clauses.get("MEASURES", ""))),
+        rows_per_match="all" if "ALL ROWS PER MATCH" in clauses else "one",
     ).validate()
 
 
@@ -238,6 +240,10 @@ def match_recognize(
     if order_col is not None:
         updates["order_col"] = order_col
     spec = dataclasses.replace(spec, **updates)
+    if spec.rows_per_match == "all":
+        if emit_timeouts:
+            raise ValueError("ALL ROWS PER MATCH has no timeout channel")
+        return match_pattern_all_rows(df, spec)
     if use_fast_path and fast_abc_applicable(spec):
         out = match_pattern_fast_abc(df, spec)
     else:
