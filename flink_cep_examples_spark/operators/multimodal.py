@@ -62,7 +62,10 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("payload_bytes", T.IntegerType()),
         T.StructField("mean_byte", T.DoubleType()),
         T.StructField("byte_entropy", T.DoubleType()),
-        T.StructField("hist16", T.ArrayType(T.LongType())),
+        # Comma-joined 16-bucket histogram. A string (not array<long>) so
+        # downstream engines/canonicalizers that can't hash array cells —
+        # including the driver's pandas-based comparator — handle it.
+        T.StructField("hist16", T.StringType()),
     ]
 )
 
@@ -133,7 +136,14 @@ def extract_features(media: DataFrame) -> DataFrame:
                     entropy = 0.0
                     mean = 0.0
                 out.append(
-                    (doc_id, meta["format"], arr.size, mean, entropy, list(hist))
+                    (
+                        doc_id,
+                        meta["format"],
+                        arr.size,
+                        mean,
+                        entropy,
+                        ",".join(map(str, hist)),
+                    )
                 )
             yield pd.DataFrame(
                 out, columns=[f.name for f in FEATURE_SCHEMA.fields]

@@ -39,8 +39,11 @@ def grouped_partition_scan(
     ``sort_cols``), executing one Python scan per partition.
     Equivalent to ``df.groupBy(*key_cols).applyInPandas(...)`` where
     the function sorts by ``sort_cols`` itself."""
-    n = df.sparkSession.sparkContext.defaultParallelism
-    prepared = df.repartition(n, *key_cols).sortWithinPartitions(
+    # No explicit partition count: repartition(*cols) sizes the exchange
+    # from spark.sql.shuffle.partitions, and AQE is free to coalesce —
+    # at 100 TB the shuffle width must come from config/AQE, not from
+    # the driver's core count.
+    prepared = df.repartition(*key_cols).sortWithinPartitions(
         *key_cols, *sort_cols
     )
 
@@ -48,7 +51,9 @@ def grouped_partition_scan(
         carry: pd.DataFrame | None = None
 
         def emit_groups(pdf: pd.DataFrame):
-            for _, g in pdf.groupby(key_cols, sort=False):
+            # dropna=False: null keys are normal groups, exactly as in
+            # Spark's groupBy().applyInPandas.
+            for _, g in pdf.groupby(key_cols, sort=False, dropna=False):
                 out = process_group(g)
                 if len(out):
                     yield out
@@ -64,7 +69,7 @@ def grouped_partition_scan(
             last_key = tuple(pdf.iloc[-1][k] for k in key_cols)
             mask = pd.Series(True, index=pdf.index)
             for k, v in zip(key_cols, last_key):
-                mask &= pdf[k] == v
+                mask &= pdf[k].isna() if pd.isna(v) else (pdf[k] == v)
             carry = pdf[mask]
             head = pdf[~mask]
             if len(head):

@@ -407,7 +407,7 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_JSON = """
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(props ->> 'k' AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k,
        MIN(CAST(props ->> 'k' AS BIGINT)) AS min_k,
        MAX(CAST(props ->> 'k' AS BIGINT)) AS max_k
 FROM events

@@ -222,7 +222,7 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_LENGTH_HIST = r"""
 SELECT CAST(floor(n_chars / 50) AS BIGINT) AS bucket,
        COUNT(*) AS n_docs,
-       SUM(array_length(regexp_split_to_array(trim(text), '\s+'))) AS total_tokens
+       CAST(SUM(array_length(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens
 FROM documents
 GROUP BY 1
 """

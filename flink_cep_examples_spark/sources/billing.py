@@ -56,15 +56,31 @@ def read_billing_csv(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_billing_csv_stream(spark: SparkSession, directory: str) -> DataFrame:
-    """Streaming file source over a directory of billing CSVs."""
+    """Streaming file source over a directory of billing CSVs.
+
+    Tiebreak deviation (documented): ``monotonically_increasing_id`` is
+    unsupported in streaming and the file source exposes no per-row
+    offset, so ``seq`` is a content hash salted with the source file
+    path. Consequences: (a) two *identical* duplicate rows in one file
+    collapse to the same seq — their relative order against other
+    equal-timestamp rows is arbitrary; (b) distinct same-timestamp
+    events order by hash value, not read order, so streaming results
+    can differ from the batch/reference read-order tiebreak when a key
+    has several events at one timestamp. Ordering across timestamps —
+    the semantics the CEP operators depend on — is unaffected.
+    """
     df = spark.readStream.schema(BILLING_SCHEMA).csv(directory, header=False)
-    # monotonically_increasing_id is not supported in streaming; derive a
-    # deterministic tiebreak from content instead (stable across retries).
     df = df.withColumn(
         SEQ_COL,
-        F.xxhash64("id", "datetime", "balanceBefore", "balanceAfter"),
+        F.xxhash64(
+            F.col("_metadata.file_path"),
+            "id",
+            "datetime",
+            "balanceBefore",
+            "balanceAfter",
+        ),
     )
-    return with_event_time(df)
+    return with_event_time(df).drop("_metadata")
 
 
 def billing_from_rows(spark: SparkSession, rows: list[tuple]) -> DataFrame:

@@ -42,9 +42,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # `ts div 1000` is integer division on the int64 nanos. A float
+        # division (`/ 1000` then cast) would promote ~1.7e18 values past
+        # double's 2^53 exact range and can land 1 µs off DuckDB's exact
+        # integer truncation — enough to flip boundary `within` checks.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -66,8 +66,9 @@ def _prepare_stream(df: DataFrame, spec: PatternSpec) -> DataFrame:
     needed = {m.src for m in spec.measures if m.fn != "count"}
     needed.update(spec.key_cols)
     needed.add(spec.tiebreak_col)
+    needed.add(spec.order_col)  # kept for the watermark; in `needed` so a
+    # measure over the event-time column doesn't select it twice
     cols = [F.col(c) for c in sorted(needed)]
-    cols.append(F.col(spec.order_col))  # kept for the watermark
     cols.append(F.unix_micros(F.col(spec.order_col).cast("timestamp")).alias(_TS_COL))
     for i, v in enumerate(spec.variables):
         cols.append(F.expr(v.predicate).alias(f"{_PRED_PREFIX}{i}"))
