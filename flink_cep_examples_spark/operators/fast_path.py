@@ -53,8 +53,10 @@ def fast_abc_applicable(spec: PatternSpec) -> bool:
     v = spec.variables
     return (
         len(v) == 3
+        and not any(vv.negated for vv in v)
         and v[0].quantifier == ONCE
         and v[1].quantifier == ZERO_OR_MORE
+        and not v[1].combinations
         and v[2].quantifier == ONCE
         and spec.after_match == SKIP_PAST_LAST_EVENT
         and all(m.fn in ("first", "last") and m.var in (v[0].name, v[2].name)

@@ -9,16 +9,30 @@ observable semantics of the reference, Flink-CEP-style NFA simulation:
 - strict contiguity (``.next``, FlinkCEPExample.scala:64,69): a live
   branch must consume the next row or die; relaxed contiguity
   (``.followedBy``) skips non-matching rows — engine extension;
-- quantifiers ``+ * ?`` with epsilon-skip over optional variables;
+- quantifiers ``+ * ?`` and counted ``times(n[, m])`` with epsilon-skip
+  over optional variables;
+- loop contiguity: by default iterations follow the variable's own
+  contiguity (deviation note below); ``consecutive()`` forces strict,
+  ``allowCombinations()`` lets a branch also *skip* a matching loop row
+  (non-deterministic relaxed — all combinations);
+- negative (absence) variables — ``notNext`` (the row directly after
+  the previous match must not satisfy the predicate; absolute, even if
+  that row could transition) and ``notFollowedBy`` (no gap row may
+  satisfy it before the next variable matches; a row that *transitions*
+  takes precedence, mirroring Flink's NOT(N) ignore-condition). A
+  TRAILING ``notFollowedBy`` + ``within`` is timed absence: the match
+  emits when the deadline passes with no forbidden row;
 - ``within`` deadline: a partial whose first row is ≥ `within` older
   than the current event time is pruned *before* the row is processed,
   so a completion at exactly ``start + within`` does NOT match (Flink
   prunes on ``ts - start >= window``; confirmed by the golden fixtures:
   40 min gap → match, 2.5 h → timeout);
-- after-match SKIP_PAST_LAST_EVENT (FlinkCEPExample.scala:58): on
-  emission, discard every partial — including a run begun at the
-  match's own last row — and resume scanning after it; NO_SKIP emits
-  all completions;
+- after-match skip (FlinkCEPExample.scala:58): SKIP_PAST_LAST_EVENT —
+  on emission, discard every partial — including a run begun at the
+  match's own last row — and resume after it; SKIP_TO_NEXT (SQL:2016
+  ``AFTER MATCH SKIP TO NEXT ROW``) — emit at most one match per start
+  row: on emission discard only the partials sharing the match's start
+  row, other runs continue; NO_SKIP emits all completions;
 - timeout emission (absence-of-event,
   FlinkCEPAbsenceOfEventExample.scala:93-103): a pruned partial emits
   one timeout row (dedup: one per run, using its longest branch — with
@@ -26,16 +40,21 @@ observable semantics of the reference, Flink-CEP-style NFA simulation:
   one branch, so this equals Flink's per-partial emission).
 
 Design notes (deliberate, documented deviations):
-- loop-iteration contiguity follows the variable's own contiguity
-  (MATCH_RECOGNIZE-style strictness for ``.next`` loops). Flink's
-  default loop contiguity is relaxed unless ``.consecutive()``; for the
+- default loop-iteration contiguity follows the variable's own
+  contiguity (MATCH_RECOGNIZE-style strictness for ``.next`` loops);
+  Flink's default is relaxed unless ``.consecutive()``. For the
   reference pattern B's predicate is the complement of C's, so the two
-  semantics coincide (any row between two Bs is either a B or completes
-  the match).
+  semantics coincide. ``consecutive()`` / ``allowCombinations()`` give
+  explicit control.
 - matches complete the moment the final state is reached (non-greedy
   emission); patterns ending in a loop variable emit on each extension
   under NO_SKIP. The reference pattern ends in a ``once`` variable, so
   this is unobservable there.
+- a ``notFollowedBy`` guarding a gap also constrains rows ignored
+  *between loop iterations* of the preceding variable, and when
+  optional variables are epsilon-skipped the union of all gaps on the
+  skip path is active (the waiting row cannot know which gap it sits
+  in).
 
 The engine is **incremental**: :class:`Nfa` holds the compiled pattern;
 :class:`NfaState` is a small picklable per-key state (live runs), fed
@@ -53,39 +72,45 @@ in Spark SQL before the shuffle (SURVEY §4: the biggest perf lever).
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple
+from typing import NamedTuple
 
 import numpy as np
 
 from flink_cep_examples_spark.plans.pattern import (
     RELAXED,
     SKIP_PAST_LAST_EVENT,
+    SKIP_TO_NEXT,
+    STRICT,
     PatternSpec,
 )
 
 
 class _Branch(NamedTuple):
-    var: int  # index of the variable currently being filled
+    var: int  # POSITIVE-variable position currently being filled
     count: int  # rows consumed by that variable so far
-    # per-variable (first_payload, last_payload, count) or None
+    # per-positive-variable (first_payload, last_payload, count) or None
     rows: tuple
+    fresh: bool = True  # consumed/created on the previous processed row
+    # (drives notNext: only the immediately-next row is checked)
 
 
 class _Run:
     """One NFA run (all branches sharing a start row). Picklable."""
 
-    __slots__ = ("start_ts", "seq", "branches")
+    __slots__ = ("start_ts", "seq", "branches", "pending")
 
     def __init__(self, start_ts: int, seq: int, branches: list[_Branch]):
         self.start_ts = start_ts
         self.seq = seq  # creation order; earliest run wins emission priority
         self.branches = branches
+        # completed branch awaiting a trailing-notFollowedBy deadline
+        self.pending: _Branch | None = None
 
     def __getstate__(self):
-        return (self.start_ts, self.seq, self.branches)
+        return (self.start_ts, self.seq, self.branches, self.pending)
 
     def __setstate__(self, s):
-        self.start_ts, self.seq, self.branches = s
+        self.start_ts, self.seq, self.branches, self.pending = s
 
 
 class NfaState:
@@ -112,150 +137,274 @@ class Nfa:
     def __init__(self, spec: PatternSpec):
         spec.validate()
         self.spec = spec
-        self.n_vars = len(spec.variables)
         self.within_us = (
             int(spec.within.total_seconds() * 1_000_000)
             if spec.within is not None
             else None
         )
-        self.skip_past = spec.after_match == SKIP_PAST_LAST_EVENT
+        self.after_match = spec.after_match
         self.emit_timeouts = spec.emit_timeouts
-        self._empty_rows = (None,) * self.n_vars
-        # successors[i]: vars consumable after i (epsilon-skip optionals)
+
+        all_vars = spec.variables
+        #: spec indices of the positive (consuming) variables, in order
+        self._pos = [i for i, v in enumerate(all_vars) if not v.negated]
+        self.n_pos = len(self._pos)
+        self._names = [all_vars[i].name for i in self._pos]
+        self._empty_rows = (None,) * self.n_pos
+
+        pv = [all_vars[i] for i in self._pos]
+        self._minc = [v.min_count for v in pv]
+        self._maxc = [v.max_count for v in pv]
+        self._can_loop = [v.can_loop for v in pv]
+        self._relaxed = [v.contiguity == RELAXED for v in pv]
+        self._loop_relaxed = [
+            (v.loop_contiguity or v.contiguity) == RELAXED for v in pv
+        ]
+        self._combinations = [v.combinations for v in pv]
+        self._optional = [v.optional for v in pv]
+
+        # gap[p] = negative spec-var constraints between positive p and
+        # positive p+1 (gap[n_pos-1] = trailing): list of (pred_index,
+        # is_not_next)
+        gaps: list[list[tuple[int, bool]]] = [[] for _ in range(self.n_pos)]
+        p = -1
+        for i, v in enumerate(all_vars):
+            if v.negated:
+                gaps[p].append((i, v.contiguity == STRICT))
+            else:
+                p += 1
+        self._trailing = gaps[self.n_pos - 1]
+        assert all(not nn for _, nn in self._trailing)  # validated upstream
+
+        # successors[p]: positive positions consumable after p
+        # (epsilon-skip over optional positives)
         self._succ: list[list[int]] = []
-        for i in range(self.n_vars):
-            out, j = [], i + 1
-            while j < self.n_vars:
+        for p in range(self.n_pos):
+            out, j = [], p + 1
+            while j < self.n_pos:
                 out.append(j)
-                if not spec.variables[j].optional:
+                if not self._optional[j]:
                     break
                 j += 1
             self._succ.append(out)
-        # complete[i]: consuming into var i may finish the match
+        # complete[p]: consuming into positive p may finish the match
+        # (all later positives optional); with trailing negatives the
+        # completion is *pending* until the within deadline.
         self._complete = [
-            all(v.optional for v in spec.variables[i + 1 :])
-            for i in range(self.n_vars)
+            all(self._optional[q] for q in range(p + 1, self.n_pos))
+            for p in range(self.n_pos)
         ]
-        self._can_loop = [v.can_loop for v in spec.variables]
-        self._relaxed = [v.contiguity == RELAXED for v in spec.variables]
-        # A branch sitting at var i survives a row it cannot consume iff
-        # something it is WAITING FOR is relaxed: a relaxed successor
-        # (contiguity describes a var's relation to its predecessor), or
-        # its own next loop iteration when the looping var is relaxed.
-        self._wait_relaxed = [
-            any(self._relaxed[j] for j in self._succ[i])
-            or (self._can_loop[i] and self._relaxed[i])
-            for i in range(self.n_vars)
+        # negatives active while a branch waits at p: union of every gap
+        # on its epsilon-skip path (it cannot know which gap the waiting
+        # row sits in). Trailing gap excluded — handled via pending.
+        self._active_negs: list[list[tuple[int, bool]]] = []
+        for p in range(self.n_pos):
+            last = self._succ[p][-1] if self._succ[p] else p
+            negs: list[tuple[int, bool]] = []
+            for j in range(p, last):
+                negs.extend(gaps[j])
+            self._active_negs.append(negs)
+        self._succ_relaxed = [
+            any(self._relaxed[q] for q in self._succ[p])
+            for p in range(self.n_pos)
         ]
 
     # -- helpers ------------------------------------------------------
-    def _extend(self, br: _Branch, var: int, payload) -> _Branch:
+    def _extend(self, br: _Branch, p: int, payload) -> _Branch:
         rows = list(br.rows)
-        cur = rows[var]
-        rows[var] = (
+        cur = rows[p]
+        rows[p] = (
             (payload, payload, 1) if cur is None else (cur[0], payload, cur[2] + 1)
         )
-        count = br.count + 1 if var == br.var else 1
-        return _Branch(var, count, tuple(rows))
+        count = br.count + 1 if p == br.var else 1
+        return _Branch(p, count, tuple(rows), True)
 
     def _branch_dict(self, br: _Branch) -> dict:
         return {
-            self.spec.variables[i].name: br.rows[i]
-            for i in range(self.n_vars)
-            if br.rows[i] is not None
+            self._names[p]: br.rows[p]
+            for p in range(self.n_pos)
+            if br.rows[p] is not None
         }
 
     def _timeout_dict(self, run: _Run) -> dict:
         best = max(run.branches, key=lambda b: sum(r[2] for r in b.rows if r))
         return self._branch_dict(best)
 
+    def _may_wait(self, br: _Branch) -> bool:
+        """Can this branch survive a row it doesn't consume? Yes if its
+        own next loop iteration is relaxed (and still allowed), or if it
+        may leave for a relaxed successor (min count satisfied)."""
+        p = br.var
+        loop_ok = (
+            self._can_loop[p]
+            and self._loop_relaxed[p]
+            and (self._maxc[p] is None or br.count < self._maxc[p])
+        )
+        return loop_ok or (br.count >= self._minc[p] and self._succ_relaxed[p])
+
     # -- engine steps -------------------------------------------------
-    def advance_time(self, st: NfaState, t_us: int) -> list[dict]:
+    def advance_time(
+        self, st: NfaState, t_us: int
+    ) -> tuple[list[dict], list[dict]]:
         """Prune partials whose deadline has passed at time ``t_us``
         (an arriving row's event time, or the watermark). Returns
-        timeout emissions (empty unless ``emit_timeouts``)."""
+        ``(matches, timeouts)``: matches are pending timed-absence
+        completions whose deadline arrived clean; timeouts are expired
+        partials (empty unless ``emit_timeouts``)."""
         if self.within_us is None or not st.runs:
-            return []
-        timeouts, live = [], []
+            return [], []
+        matches, timeouts, live = [], [], []
         for run in st.runs:
             if t_us - run.start_ts >= self.within_us:
-                if self.emit_timeouts:
+                if run.pending is not None:
+                    matches.append(self._branch_dict(run.pending))
+                elif self.emit_timeouts and run.branches:
                     timeouts.append(self._timeout_dict(run))
             else:
                 live.append(run)
         st.runs = live
-        return timeouts
+        if matches and self.after_match == SKIP_PAST_LAST_EVENT:
+            st.runs = []
+        return matches, timeouts
 
     def step(
         self, st: NfaState, t_us: int, pred_row, payload
     ) -> tuple[list[dict], list[dict]]:
         """Process one event-time-ordered row. ``pred_row[i]`` is the
-        precomputed boolean of variable i's predicate on this row.
-        Returns ``(matches, timeouts)`` as var-name → (first, last,
-        count) payload dicts."""
-        timeouts = self.advance_time(st, t_us)
+        precomputed boolean of spec variable i's predicate on this row
+        (negated variables included). Returns ``(matches, timeouts)``
+        as var-name → (first, last, count) payload dicts."""
+        matches, timeouts = self.advance_time(st, t_us)
 
         completed: list[tuple[int, _Branch]] = []  # (run seq, branch)
         for run in st.runs:
+            # a trailing-notFollowedBy row voids the pending completion
+            # (a later completion may re-arm it below)
+            if run.pending is not None and any(
+                pred_row[n] for n, _ in self._trailing
+            ):
+                run.pending = None
             new_branches: list[_Branch] = []
             seen = set()
+
+            def keep(nb: _Branch) -> None:
+                k = (nb.var, nb.rows)
+                if k not in seen:
+                    seen.add(k)
+                    new_branches.append(nb)
+
+            def complete(run: _Run, nb: _Branch) -> None:
+                if self._trailing:
+                    if run.pending is None:
+                        run.pending = nb
+                else:
+                    completed.append((run.seq, nb))
+
             for br in run.branches:
-                moved = False
-                if self._can_loop[br.var] and pred_row[br.var]:
-                    nb = self._extend(br, br.var, payload)
-                    moved = True
-                    if self._complete[br.var]:
-                        completed.append((run.seq, nb))
-                    if (nb.var, nb.rows) not in seen:
-                        seen.add((nb.var, nb.rows))
-                        new_branches.append(nb)
-                for j in self._succ[br.var]:
-                    if pred_row[j]:
-                        nb = self._extend(br, j, payload)
-                        moved = True
-                        if self._complete[j]:
-                            completed.append((run.seq, nb))
-                            if not self._can_loop[j]:
-                                continue  # final once-var: branch ends
-                        if (nb.var, nb.rows) not in seen:
-                            seen.add((nb.var, nb.rows))
-                            new_branches.append(nb)
-                if not moved and self._wait_relaxed[br.var]:
-                    if (br.var, br.rows) not in seen:
-                        seen.add((br.var, br.rows))
-                        new_branches.append(br)
+                p = br.var
+                # notNext: the row directly after the previous match
+                # must not satisfy the negative — absolute, checked
+                # before any transition.
+                if br.fresh and any(
+                    nn and pred_row[n] for n, nn in self._active_negs[p]
+                ):
+                    continue
+                # moved_det: the row was consumed into a DETERMINISTIC
+                # variable (no allowCombinations) — then the un-advanced
+                # branch must not also survive (relaxed contiguity is
+                # deterministic: a matching row must be taken). Rows
+                # consumed only into combination vars leave the ignore
+                # edge open (non-deterministic relaxed: all subsets).
+                moved_det = False
+                if (
+                    self._can_loop[p]
+                    and pred_row[self._pos[p]]
+                    and (self._maxc[p] is None or br.count < self._maxc[p])
+                ):
+                    nb = self._extend(br, p, payload)
+                    moved_det = moved_det or not self._combinations[p]
+                    if self._complete[p] and nb.count >= self._minc[p]:
+                        complete(run, nb)
+                    keep(nb)
+                if br.count >= self._minc[p]:
+                    for q in self._succ[p]:
+                        if pred_row[self._pos[q]]:
+                            nb = self._extend(br, q, payload)
+                            moved_det = moved_det or not self._combinations[q]
+                            if self._complete[q] and self._minc[q] <= 1:
+                                complete(run, nb)
+                                if not self._can_loop[q]:
+                                    continue  # final once-var: branch ends
+                            keep(nb)
+                # survival without consuming (the "ignore edge"): blocked
+                # by a deterministic consumption or by any active
+                # notFollowedBy the row satisfies.
+                may_ignore = not moved_det
+                if (
+                    may_ignore
+                    and self._may_wait(br)
+                    and not any(
+                        (not nn) and pred_row[n]
+                        for n, nn in self._active_negs[p]
+                    )
+                ):
+                    keep(br._replace(fresh=False))
             run.branches = new_branches
-        st.runs = [r for r in st.runs if r.branches]
+        st.runs = [r for r in st.runs if r.branches or r.pending is not None]
 
         # begin-state branching: a fresh run starts at this row
-        if pred_row[0]:
+        first = self._pos[0]
+        if pred_row[first]:
             nb = self._extend(_Branch(0, 0, self._empty_rows), 0, payload)
             run = _Run(t_us, st.next_seq, [nb])
             st.next_seq += 1
-            if self._complete[0]:
-                completed.append((run.seq, nb))
+            if self._complete[0] and self._minc[0] <= 1:
+                if self._trailing:
+                    run.pending = nb
+                else:
+                    completed.append((run.seq, nb))
                 if not self._can_loop[0]:
                     run.branches = []
-            if run.branches:
+            if run.branches or run.pending is not None:
                 st.runs.append(run)
 
-        matches: list[dict] = []
         if completed:
-            completed.sort(key=lambda rc: rc[0])
-            if self.skip_past:
+            completed.sort(key=lambda rc: rc[0])  # stable: per-run order kept
+            if self.after_match == SKIP_PAST_LAST_EVENT:
                 matches.append(self._branch_dict(completed[0][1]))
                 st.runs = []  # discard every partial (incl. run begun here)
+            elif self.after_match == SKIP_TO_NEXT:
+                emitted: set[int] = set()
+                for seq, br in completed:
+                    if seq not in emitted:
+                        emitted.add(seq)
+                        matches.append(self._branch_dict(br))
+                # discard only partials sharing an emitted match's start
+                # row; runs begun at other rows continue
+                st.runs = [r for r in st.runs if r.seq not in emitted]
             else:
                 matches.extend(self._branch_dict(br) for _, br in completed)
         return matches, timeouts
 
-    def finish(self, st: NfaState) -> list[dict]:
-        """End of input (batch) — watermark → ∞: every partial times out."""
+    def finish(self, st: NfaState) -> tuple[list[dict], list[dict]]:
+        """End of input (batch) — watermark → ∞: pending timed-absence
+        completions emit as matches, every other partial times out."""
+        matches = [
+            self._branch_dict(r.pending)
+            for r in st.runs
+            if r.pending is not None
+        ]
         timeouts = (
-            [self._timeout_dict(run) for run in st.runs] if self.emit_timeouts else []
+            [
+                self._timeout_dict(r)
+                for r in st.runs
+                if r.pending is None and r.branches
+            ]
+            if self.emit_timeouts
+            else []
         )
         st.runs = []
-        return timeouts
+        return matches, timeouts
 
 
 def scan_key_group(
@@ -277,5 +426,7 @@ def scan_key_group(
         m, to = nfa.step(st, int(ts_us[r]), pred_row, r)
         matches.extend(m)
         timeouts.extend(to)
-    timeouts.extend(nfa.finish(st))
+    m, to = nfa.finish(st)
+    matches.extend(m)
+    timeouts.extend(to)
     return matches, timeouts

@@ -31,6 +31,7 @@ ONCE = "once"
 ONE_OR_MORE = "one_or_more"  # X+
 ZERO_OR_MORE = "zero_or_more"  # X*  (= oneOrMore().optional() in Flink)
 OPTIONAL = "optional"  # X?
+TIMES = "times"  # X{n} / X{n,m} (Flink .times(n[, m]))
 
 #: Contiguity between the previous variable and this one.
 STRICT = "strict"  # Flink .next() / MATCH_RECOGNIZE native semantics
@@ -38,6 +39,7 @@ RELAXED = "relaxed"  # Flink .followedBy(): skip non-matching rows
 
 #: After-match skip strategies.
 SKIP_PAST_LAST_EVENT = "skip_past_last_event"
+SKIP_TO_NEXT = "skip_to_next"  # ≤1 match per start row (SQL SKIP TO NEXT ROW)
 NO_SKIP = "no_skip"
 
 _INTERVAL_RE = re.compile(
@@ -67,24 +69,50 @@ def parse_interval(text: str | timedelta | None) -> timedelta | None:
 
 @dataclass(frozen=True)
 class PatternVar:
-    """One pattern variable (A / B / C ...)."""
+    """One pattern variable (A / B / C ...).
+
+    ``negated`` marks a *non-consuming* absence constraint inside the
+    pattern (Flink ``notNext``/``notFollowedBy``): no row matching
+    ``predicate`` may appear in the gap this variable guards. Its
+    ``contiguity`` encodes the flavor — STRICT = ``notNext`` (only the
+    row immediately after the previous match is checked), RELAXED =
+    ``notFollowedBy`` (every row until the next variable matches).
+    """
 
     name: str
     predicate: str  # SQL boolean expression over input columns; "true" = always
     quantifier: str = ONCE
     contiguity: str = STRICT  # vs the previous variable; ignored for the first
+    times: tuple[int, int | None] | None = None  # (min, max|None) for TIMES
+    #: loop-iteration contiguity override (Flink ``consecutive()`` →
+    #: STRICT, ``allowCombinations()`` → RELAXED+combinations). ``None``
+    #: inherits the variable's own ``contiguity`` (documented deviation
+    #: from Flink's always-relaxed default; see operators/nfa.py).
+    loop_contiguity: str | None = None
+    combinations: bool = False  # allowCombinations(): branch may skip a
+    # matching loop row and still take a later one
+    negated: bool = False
 
     @property
     def min_count(self) -> int:
+        if self.quantifier == TIMES:
+            return self.times[0]
         return 1 if self.quantifier in (ONCE, ONE_OR_MORE) else 0
 
     @property
+    def max_count(self) -> int | None:
+        """Max rows this variable may absorb; ``None`` = unbounded."""
+        if self.quantifier == TIMES:
+            return self.times[1]
+        return 1 if self.quantifier in (ONCE, OPTIONAL) else None
+
+    @property
     def can_loop(self) -> bool:
-        return self.quantifier in (ONE_OR_MORE, ZERO_OR_MORE)
+        return self.max_count is None or self.max_count > 1
 
     @property
     def optional(self) -> bool:
-        return self.quantifier in (ZERO_OR_MORE, OPTIONAL)
+        return self.min_count == 0
 
 
 @dataclass(frozen=True)
@@ -132,9 +160,44 @@ class PatternSpec:
             raise ValueError(f"duplicate pattern variable names: {names}")
         if not self.variables:
             raise ValueError("pattern needs at least one variable")
+        positives = [v for v in self.variables if not v.negated]
+        if not positives:
+            raise ValueError("pattern needs at least one non-negated variable")
+        if self.variables[0].negated:
+            raise ValueError(
+                "pattern cannot start with notNext/notFollowedBy "
+                f"({self.variables[0].name})"
+            )
+        negated_names = {v.name for v in self.variables if v.negated}
+        for v in self.variables:
+            if v.quantifier == TIMES:
+                lo, hi = v.times
+                if lo < 0 or (hi is not None and hi < max(lo, 1)):
+                    raise ValueError(f"bad times bounds on {v.name}: {v.times}")
+            if v.negated and v.quantifier != ONCE:
+                raise ValueError(
+                    f"negated variable {v.name} cannot take a quantifier"
+                )
+        # trailing negatives (absence at pattern end) need a deadline to
+        # ever resolve (Flink has the same rule: notFollowedBy may only
+        # end a pattern when within() is set)
+        if self.variables[-1].negated:
+            if self.variables[-1].contiguity == STRICT:
+                raise ValueError(
+                    "pattern cannot end with notNext; use notFollowedBy + within"
+                )
+            if self.within is None:
+                raise ValueError(
+                    "a pattern ending in notFollowedBy requires within()"
+                )
         for m in self.measures:
             if m.var not in names:
                 raise ValueError(f"measure {m.name} references unknown var {m.var}")
+            if m.var in negated_names:
+                raise ValueError(
+                    f"measure {m.name} references negated var {m.var} "
+                    "(absence variables never match rows)"
+                )
             if m.fn not in ("first", "last", "count"):
                 raise ValueError(f"unsupported measure fn {m.fn}")
         return self
@@ -186,14 +249,72 @@ class Pattern:
         self._vars[-1] = replace(v, predicate=pred)
         return self
 
+    def not_next(self, name: str) -> "Pattern":
+        """Absence constraint on the immediately-next row (Flink
+        ``.notNext``): the row directly after the previous variable's
+        match must NOT satisfy this variable's predicate."""
+        self._vars.append(
+            PatternVar(name, "true", contiguity=STRICT, negated=True)
+        )
+        return self
+
+    def not_followed_by(self, name: str) -> "Pattern":
+        """Absence constraint on the whole gap (Flink
+        ``.notFollowedBy``): no row between the previous variable's
+        match and the next variable's match may satisfy this predicate.
+        As the FINAL pattern element it needs ``within()`` and emits the
+        match when the deadline passes with no such row (timed absence)."""
+        self._vars.append(
+            PatternVar(name, "true", contiguity=RELAXED, negated=True)
+        )
+        return self
+
     def one_or_more(self) -> "Pattern":
         self._vars[-1] = replace(self._vars[-1], quantifier=ONE_OR_MORE)
         return self
 
+    def times(self, n: int, m: int | None = None) -> "Pattern":
+        """Exactly ``n`` rows (Flink ``.times(n)``) or ``n``–``m`` rows
+        (``.times(n, m)``); ``m=None`` with ``n>0`` means exactly n."""
+        self._vars[-1] = replace(
+            self._vars[-1], quantifier=TIMES, times=(n, n if m is None else m)
+        )
+        return self
+
+    def times_or_more(self, n: int) -> "Pattern":
+        """At least ``n`` rows (Flink ``.timesOrMore(n)`` / ``X{n,}``)."""
+        self._vars[-1] = replace(
+            self._vars[-1], quantifier=TIMES, times=(n, None)
+        )
+        return self
+
     def optional(self) -> "Pattern":
         v = self._vars[-1]
+        if v.quantifier == TIMES:
+            # Flink's times(n).optional() means "0 or exactly n..m" —
+            # not expressible as a (min, max) band; refuse rather than
+            # silently matching 1..m too.
+            raise NotImplementedError(
+                "optional() after times(): '0 or exactly n' is unsupported"
+            )
         q = ZERO_OR_MORE if v.quantifier == ONE_OR_MORE else OPTIONAL
         self._vars[-1] = replace(v, quantifier=q)
+        return self
+
+    def consecutive(self) -> "Pattern":
+        """Strict loop contiguity (Flink ``.consecutive()``): iterations
+        of the looping variable must be adjacent rows."""
+        self._vars[-1] = replace(self._vars[-1], loop_contiguity=STRICT)
+        return self
+
+    def allow_combinations(self) -> "Pattern":
+        """Non-deterministic relaxed loop contiguity (Flink
+        ``.allowCombinations()``): a branch may also SKIP a row matching
+        the looping variable and take a later one, yielding all row
+        combinations."""
+        self._vars[-1] = replace(
+            self._vars[-1], loop_contiguity=RELAXED, combinations=True
+        )
         return self
 
     def within(self, interval: str | timedelta) -> "Pattern":

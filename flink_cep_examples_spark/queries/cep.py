@@ -228,6 +228,150 @@ def cep_keyed_process(spark: SparkSession, sf_dir: str) -> DataFrame:
     return billing_low_level_alerts(events_as_billing(spark, sf_dir))
 
 
+# ---------------------------------------------------------------------------
+# Pattern-algebra extensions (round 2): notFollowedBy, SKIP TO NEXT ROW,
+# counted quantifier B{2,}
+# ---------------------------------------------------------------------------
+
+#: Timed absence INSIDE the pattern algebra: alarm not followed by a
+#: top-up within 1 hour (Flink ``notFollowedBy`` as the LAST pattern
+#: element + ``within`` — the other absence idiom next to the
+#: TimedOutPartialMatchHandler variant above). One row per alarm whose
+#: following hour contains no top-up; the match emits when the deadline
+#: passes clean (operators/nfa.py trailing-negative semantics).
+ORACLE_NOT_FOLLOWED_BY = f"""
+WITH billing AS (
+  SELECT CAST(user_id AS VARCHAR) AS id,
+         ts, event_id,
+         epoch_us(ts) AS tus,
+         COALESCE(LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 50.0) AS bb,
+         value AS ba
+  FROM events
+),
+flagged AS (
+  SELECT *, (bb >= 10 AND ba < 10) AS is_a, (bb < ba) AS is_c
+  FROM billing
+)
+SELECT f.id,
+       strftime(make_timestamp(f.tus), {_FMT}) AS alarmTriggerDatetime
+FROM flagged f
+WHERE f.is_a AND NOT EXISTS (
+  SELECT 1 FROM flagged g
+  WHERE g.id = f.id AND g.is_c
+    AND (g.ts > f.ts OR (g.ts = f.ts AND g.event_id > f.event_id))
+    AND g.tus - f.tus < {WITHIN_US}
+)
+"""
+
+
+def cep_absence_not_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cep_examples_spark.plans.pattern import NO_SKIP, Measure, Pattern
+
+    spec = (
+        Pattern.begin("A", skip=NO_SKIP)
+        .where("balanceBefore >= 10 AND balanceAfter < 10")
+        .not_followed_by("N")
+        .where("balanceBefore < balanceAfter")
+        .within("1 hour")
+        .build(
+            key_cols=("id",),
+            order_col="event_time",
+            tiebreak_col="seq",
+            measures=(Measure("alarmTriggerDatetime", "A", "datetime", "first"),),
+        )
+    )
+    return _matches_only(match_pattern(events_as_billing(spark, sf_dir), spec))
+
+
+#: SKIP TO NEXT ROW: at most one match per start row, but matches from
+#: different start rows may overlap — every alarm pairs with the FIRST
+#: top-up after it when the gap is under an hour (contrast with skip
+#: past last, where an emitted match consumes all later alarms' starts).
+ORACLE_SKIP_TO_NEXT = (
+    _ORACLE_BASE
+    + f"""
+SELECT id,
+       strftime(make_timestamp(tus), {_FMT}) AS alarmTriggerDatetime,
+       strftime(make_timestamp(next_c_tus), {_FMT}) AS topupDatetime
+FROM cand
+WHERE is_a AND next_c_tus IS NOT NULL AND next_c_tus - tus < {WITHIN_US}
+"""
+)
+
+_MR_SKIP_TO_NEXT_BODY = _MR_BODY.replace(
+    "AFTER MATCH SKIP PAST LAST ROW", "AFTER MATCH SKIP TO NEXT ROW"
+)
+
+
+def cep_skip_to_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = events_as_billing(spark, sf_dir)
+    query = f"SELECT * FROM billing MATCH_RECOGNIZE ({_MR_SKIP_TO_NEXT_BODY}) t"
+    return sql_with_match_recognize(spark, query, {"billing": df})
+
+
+#: Counted quantifier: alarm, at least TWO non-increasing events, then
+#: the top-up — ``PATTERN (A B{{2,}} C)``. Every run dies at its
+#: segment's first C (B is C's complement: match, under-count, or
+#: deadline), so segments are identical to the base pattern and the
+#: skip-past winner is the earliest A with ≥2 rows before its C and the
+#: gap under a day (the events table is sparse per user — a 1h window
+#: leaves no multi-B runs at small SF, which would make this a 0-row
+#: gate).
+TIMES_WITHIN_US = 86_400_000_000  # 1 day
+
+ORACLE_TIMES = f"""
+WITH billing AS (
+  SELECT CAST(user_id AS VARCHAR) AS id,
+         ts, event_id,
+         epoch_us(ts) AS tus,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         COALESCE(LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 50.0) AS bb,
+         value AS ba
+  FROM events
+),
+flagged AS (
+  SELECT *, (bb >= 10 AND ba < 10) AS is_a, (bb < ba) AS is_c
+  FROM billing
+),
+seg AS (
+  SELECT *,
+         COALESCE(SUM(CASE WHEN is_c THEN 1 ELSE 0 END) OVER
+           (PARTITION BY id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg_id
+  FROM flagged
+),
+cts AS (
+  SELECT *,
+         MAX(CASE WHEN is_c THEN tus END) OVER (PARTITION BY id, seg_id) AS c_tus,
+         MAX(CASE WHEN is_c THEN rn END) OVER (PARTITION BY id, seg_id) AS c_rn
+  FROM seg
+),
+cand AS (
+  SELECT *,
+         MIN(CASE WHEN is_a AND c_tus - tus < {TIMES_WITHIN_US}
+                       AND c_rn - rn >= 3 THEN tus END)
+           OVER (PARTITION BY id, seg_id) AS a_tus
+  FROM cts
+)
+SELECT id,
+       strftime(make_timestamp(a_tus), {_FMT}) AS alarmTriggerDatetime,
+       strftime(make_timestamp(tus), {_FMT}) AS topupDatetime
+FROM cand
+WHERE is_c AND a_tus IS NOT NULL
+"""
+
+_MR_TIMES_BODY = _MR_BODY.replace(
+    "PATTERN (A B* C) WITHIN INTERVAL '1' HOUR",
+    "PATTERN (A B{2,} C) WITHIN INTERVAL '1' DAY",
+)
+
+
+def cep_times_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = events_as_billing(spark, sf_dir)
+    query = f"SELECT * FROM billing MATCH_RECOGNIZE ({_MR_TIMES_BODY}) t"
+    return sql_with_match_recognize(spark, query, {"billing": df})
+
+
 register("cep_alert_reactions", cep_alert_reactions, ORACLE_MATCHES)
 register("cep_alert_reactions_nfa", cep_alert_reactions_nfa, ORACLE_MATCHES)
 register("cep_alerts_with_timeouts", cep_alerts_with_timeouts, ORACLE_WITH_TIMEOUTS)
@@ -237,3 +381,10 @@ register(
 register("cep_match_recognize", cep_match_recognize, ORACLE_MATCHES)
 register("cep_match_recognize_all_rows", cep_match_recognize_all_rows, ORACLE_ALL_ROWS)
 register("cep_keyed_process", cep_keyed_process, ORACLE_KEYED_PROCESS)
+register(
+    "cep_absence_not_followed_by",
+    cep_absence_not_followed_by,
+    ORACLE_NOT_FOLLOWED_BY,
+)
+register("cep_skip_to_next", cep_skip_to_next, ORACLE_SKIP_TO_NEXT)
+register("cep_times_pattern", cep_times_pattern, ORACLE_TIMES)

@@ -42,11 +42,12 @@ from flink_cep_examples_spark.operators.fast_path import (
     match_pattern_fast_abc,
 )
 from flink_cep_examples_spark.plans.pattern import (
-    NO_SKIP,
     ONCE,
     ONE_OR_MORE,
     OPTIONAL,
     SKIP_PAST_LAST_EVENT,
+    SKIP_TO_NEXT,
+    TIMES,
     STRICT,
     ZERO_OR_MORE,
     Measure,
@@ -95,19 +96,33 @@ def _strip_var_prefixes(predicate: str, var_names: list[str]) -> str:
     return out
 
 
-def _parse_pattern_clause(text: str) -> tuple[list[tuple[str, str]], str | None]:
-    """``( A B* C ) WITHIN INTERVAL '1' HOUR`` →
-    ([(name, quant)...], within_text)."""
+def _parse_pattern_clause(
+    text: str,
+) -> tuple[list[tuple[str, str, tuple | None]], str | None]:
+    """``( A B* C{2,4} ) WITHIN INTERVAL '1' HOUR`` →
+    ([(name, quant, times)...], within_text)."""
     m = re.match(r"\s*\(([^)]*)\)\s*(.*)", text, re.DOTALL)
     if not m:
         raise ValueError(f"cannot parse PATTERN clause: {text!r}")
     inner, rest = m.group(1), m.group(2).strip()
+    def _norm_braces(bm: re.Match) -> str:
+        lo, hi = bm.group(1), bm.group(2)
+        # {n} → {n,n} (exact); {n,} stays open-ended (n or more)
+        return "{%s,%s}" % (lo, hi if hi is not None else lo)
+
     vars_ = []
-    for tok in inner.split():
-        qm = re.match(r"^([A-Za-z_][A-Za-z_0-9]*)([*+?]?)$", tok)
+    normed = re.sub(r"\{\s*(\d+)\s*(?:,\s*(\d*)\s*)?\}", _norm_braces, inner)
+    for tok in normed.split():
+        qm = re.match(
+            r"^([A-Za-z_][A-Za-z_0-9]*)(?:([*+?])|\{(\d+),(\d*)\})?$", tok
+        )
         if not qm:
             raise ValueError(f"unsupported pattern token: {tok!r}")
-        vars_.append((qm.group(1), _QUANT[qm.group(2)]))
+        name, punct, lo, hi = qm.groups()
+        if lo is not None:
+            vars_.append((name, TIMES, (int(lo), int(hi) if hi else None)))
+        else:
+            vars_.append((name, _QUANT[punct or ""], None))
     within = None
     wm = re.match(
         r"WITHIN\s+INTERVAL\s+'(\d+)'\s+(\w+)", rest, re.IGNORECASE
@@ -171,7 +186,7 @@ def parse_match_recognize(body: str) -> PatternSpec:
         raise ValueError("MATCH_RECOGNIZE needs PATTERN and DEFINE clauses")
 
     var_quants, within_text = _parse_pattern_clause(clauses["PATTERN"])
-    var_names = [n for n, _ in var_quants]
+    var_names = [n for n, _, _ in var_quants]
 
     defines: dict[str, str] = {}
     for part in re.split(r",(?=\s*\w+\s+AS\s)", clauses["DEFINE"], flags=re.IGNORECASE):
@@ -186,15 +201,16 @@ def parse_match_recognize(body: str) -> PatternSpec:
             defines.get(name, "true"),  # undefined var matches any row (SQL:2016)
             quantifier=quant,
             contiguity=STRICT,  # MATCH_RECOGNIZE is inherently strictly contiguous
+            times=times,
         )
-        for name, quant in var_quants
+        for name, quant, times in var_quants
     )
 
     after = clauses.get("AFTER MATCH", "SKIP PAST LAST ROW").strip().upper()
     if re.fullmatch(r"SKIP\s+PAST\s+LAST\s+ROW", after):
         skip = SKIP_PAST_LAST_EVENT
     elif re.fullmatch(r"SKIP\s+TO\s+NEXT\s+ROW", after):
-        skip = NO_SKIP
+        skip = SKIP_TO_NEXT
     else:
         raise NotImplementedError(f"unsupported AFTER MATCH strategy: {after!r}")
 

@@ -165,10 +165,11 @@ def match_pattern_stream(
             m, to = nfa.step(nst, t, preds, payload)
             results.extend((x, MATCH_TAG) for x in m)
             results.extend((x, TIMEOUT_TAG) for x in to)
-        # the watermark itself may expire partials (absence alerts)
-        results.extend(
-            (x, TIMEOUT_TAG) for x in nfa.advance_time(nst, wm_us)
-        )
+        # the watermark itself may expire partials (absence alerts) or
+        # confirm pending timed-absence completions (matches)
+        wm_matches, wm_timeouts = nfa.advance_time(nst, wm_us)
+        results.extend((x, MATCH_TAG) for x in wm_matches)
+        results.extend((x, TIMEOUT_TAG) for x in wm_timeouts)
 
         # next obligation: earliest buffered release or partial deadline
         pending: list[int] = [r[0] for r in buffer]

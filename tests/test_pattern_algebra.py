@@ -1,0 +1,332 @@
+"""Pattern-algebra semantics on the NFA core: after-match skip
+strategies (incl. SKIP TO NEXT ROW), times(n[,m]), consecutive() /
+allowCombinations() loop contiguity, and notNext / notFollowedBy
+absence variables (incl. trailing timed absence).
+
+Pure-NFA tests: predicates are pre-evaluated booleans (exactly what the
+Spark operators feed the engine), so these pin engine semantics without
+a SparkSession.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from flink_cep_examples_spark.operators.nfa import Nfa, NfaState, scan_key_group
+from flink_cep_examples_spark.plans.pattern import (
+    NO_SKIP,
+    SKIP_PAST_LAST_EVENT,
+    SKIP_TO_NEXT,
+    Measure,
+    Pattern,
+)
+
+MIN = 60_000_000  # one minute in µs
+
+
+def run(spec, rows, ts=None):
+    """rows: list of sets of variable names the row satisfies."""
+    names = [v.name for v in spec.variables]
+    preds = np.array(
+        [[name in r for r in rows] for name in names], dtype=bool
+    )
+    if ts is None:
+        ts = np.arange(len(rows), dtype=np.int64) * MIN
+    else:
+        ts = np.asarray(ts, dtype=np.int64)
+    return scan_key_group(spec, preds, ts)
+
+
+def spans(matches, var):
+    return [m.get(var) and (m[var][0], m[var][1]) for m in matches]
+
+
+# ---------------------------------------------------------------------------
+# After-match skip strategies
+# ---------------------------------------------------------------------------
+
+
+def ab_plus(skip):
+    return (
+        Pattern.begin("A", skip=skip).where("x").next("B").one_or_more().where("y")
+    ).build()
+
+
+def test_no_skip_emits_every_loop_extension():
+    m, _ = run(ab_plus(NO_SKIP), [{"A"}, {"B"}, {"B"}])
+    # A B and A BB — every completion of the same start row
+    assert spans(m, "B") == [(1, 1), (1, 2)]
+
+
+def test_skip_to_next_one_match_per_start_row():
+    m, _ = run(ab_plus(SKIP_TO_NEXT), [{"A"}, {"B"}, {"B"}])
+    # the A BB extension shares the start row with the emitted A B
+    assert spans(m, "B") == [(1, 1)]
+
+
+def test_skip_to_next_keeps_other_start_rows():
+    p = (
+        Pattern.begin("A", skip=SKIP_TO_NEXT)
+        .where("x")
+        .followed_by("C")
+        .where("y")
+    ).build()
+    m, _ = run(p, [{"A"}, {"A"}, {"C"}])
+    # both starts complete at row 2; distinct start rows → both emit
+    assert spans(m, "A") == [(0, 0), (1, 1)]
+    # skip-past would emit only the earliest
+    p2 = (
+        Pattern.begin("A", skip=SKIP_PAST_LAST_EVENT)
+        .where("x")
+        .followed_by("C")
+        .where("y")
+    ).build()
+    m2, _ = run(p2, [{"A"}, {"A"}, {"C"}])
+    assert spans(m2, "A") == [(0, 0)]
+
+
+def test_skip_to_next_discards_sibling_partials_of_start_row():
+    # after the match at row2, the same start row must not emit again
+    m, _ = run(ab_plus(SKIP_TO_NEXT), [{"A"}, {"B"}, {"B"}, {"A"}, {"B"}])
+    assert spans(m, "A") == [(0, 0), (3, 3)]
+    assert spans(m, "B") == [(1, 1), (4, 4)]
+
+
+# ---------------------------------------------------------------------------
+# times(n[, m])
+# ---------------------------------------------------------------------------
+
+
+def abc_times(lo, hi=None, skip=NO_SKIP):
+    return (
+        Pattern.begin("A", skip=skip)
+        .where("a")
+        .next("B")
+        .times(lo, hi)
+        .where("b")
+        .next("C")
+        .where("c")
+    ).build()
+
+
+def test_times_exact_requires_n_rows():
+    assert run(abc_times(2), [{"A"}, {"B"}, {"C"}])[0] == []
+    m, _ = run(abc_times(2), [{"A"}, {"B"}, {"B"}, {"C"}])
+    assert spans(m, "B") == [(1, 2)]
+
+
+def test_times_exact_caps_loop():
+    # a third B breaks strict contiguity once B{2} is saturated
+    assert run(abc_times(2), [{"A"}, {"B"}, {"B"}, {"B"}, {"C"}])[0] == []
+
+
+def test_times_range():
+    m, _ = run(abc_times(2, 3), [{"A"}, {"B"}, {"B"}, {"B"}, {"C"}])
+    assert spans(m, "B") == [(1, 3)]
+    # below the floor still fails
+    assert run(abc_times(2, 3), [{"A"}, {"B"}, {"C"}])[0] == []
+
+
+def test_times_in_final_position_counts():
+    p = (
+        Pattern.begin("A", skip=NO_SKIP).where("a").next("B").times(2).where("b")
+    ).build()
+    m, _ = run(p, [{"A"}, {"B"}, {"B"}, {"B"}])
+    assert spans(m, "B") == [(1, 2)]  # exactly two, not three
+
+
+# ---------------------------------------------------------------------------
+# Loop contiguity: consecutive() / allowCombinations()
+# ---------------------------------------------------------------------------
+
+
+def test_default_relaxed_loop_skips_gap_rows():
+    p = (
+        Pattern.begin("A", skip=NO_SKIP)
+        .where("a")
+        .followed_by("B")
+        .times(2)
+        .where("b")
+    ).build()
+    m, _ = run(p, [{"A"}, {"B"}, set(), {"B"}])
+    assert spans(m, "B") == [(1, 3)]
+
+
+def test_consecutive_requires_adjacent_loop_rows():
+    p = (
+        Pattern.begin("A", skip=NO_SKIP)
+        .where("a")
+        .followed_by("B")
+        .times(2)
+        .where("b")
+        .consecutive()
+    ).build()
+    assert run(p, [{"A"}, {"B"}, set(), {"B"}])[0] == []
+    m, _ = run(p, [{"A"}, set(), {"B"}, {"B"}])
+    assert spans(m, "B") == [(2, 3)]
+
+
+def test_allow_combinations_emits_all_subsets():
+    p = (
+        Pattern.begin("A", skip=NO_SKIP)
+        .where("a")
+        .followed_by("B")
+        .times(2)
+        .where("b")
+        .allow_combinations()
+    ).build()
+    m, _ = run(p, [{"A"}, {"B"}, {"B"}, {"B"}])
+    # all 2-subsets of the three Bs
+    assert spans(m, "B") == [(1, 2), (1, 3), (2, 3)]
+    # deterministic relaxed loop: only the contiguous first pair
+    p2 = (
+        Pattern.begin("A", skip=NO_SKIP)
+        .where("a")
+        .followed_by("B")
+        .times(2)
+        .where("b")
+    ).build()
+    m2, _ = run(p2, [{"A"}, {"B"}, {"B"}, {"B"}])
+    assert spans(m2, "B") == [(1, 2)]
+
+
+# ---------------------------------------------------------------------------
+# notNext / notFollowedBy
+# ---------------------------------------------------------------------------
+
+
+def test_not_next_blocks_immediate_row_only():
+    p = (
+        Pattern.begin("A", skip=NO_SKIP)
+        .where("a")
+        .not_next("N")
+        .where("n")
+        .followed_by("C")
+        .where("c")
+    ).build()
+    assert run(p, [{"A"}, {"N"}, {"C"}])[0] == []
+    # N later in the gap is fine — only the immediate row is guarded
+    m, _ = run(p, [{"A"}, set(), {"N"}, {"C"}])
+    assert spans(m, "C") == [(3, 3)]
+
+
+def test_not_followed_by_blocks_whole_gap():
+    p = (
+        Pattern.begin("A", skip=NO_SKIP)
+        .where("a")
+        .not_followed_by("N")
+        .where("n")
+        .followed_by("C")
+        .where("c")
+    ).build()
+    assert run(p, [{"A"}, set(), {"N"}, {"C"}])[0] == []
+    m, _ = run(p, [{"A"}, set(), {"C"}])
+    assert spans(m, "C") == [(2, 2)]
+
+
+def test_not_followed_by_take_precedence():
+    # a row matching both N and C transitions (Flink's NOT(N) guards the
+    # ignore edge, not the take edge)
+    p = (
+        Pattern.begin("A", skip=NO_SKIP)
+        .where("a")
+        .not_followed_by("N")
+        .where("n")
+        .followed_by("C")
+        .where("c")
+    ).build()
+    m, _ = run(p, [{"A"}, {"N", "C"}])
+    assert spans(m, "C") == [(1, 1)]
+
+
+def test_trailing_not_followed_by_validation():
+    with pytest.raises(ValueError, match="within"):
+        (
+            Pattern.begin("A", skip=NO_SKIP).where("a").not_followed_by("N").where("n")
+        ).build()
+    with pytest.raises(ValueError, match="notNext"):
+        (
+            Pattern.begin("A", skip=NO_SKIP)
+            .where("a")
+            .not_next("N")
+            .where("n")
+            .within("1 hour")
+        ).build()
+
+
+def trailing_spec(skip=NO_SKIP):
+    return (
+        Pattern.begin("A", skip=skip)
+        .where("a")
+        .not_followed_by("N")
+        .where("n")
+        .within("1 hour")
+    ).build()
+
+
+def test_trailing_absence_emits_at_end_of_input():
+    m, to = run(trailing_spec(), [{"A"}])
+    assert spans(m, "A") == [(0, 0)] and to == []
+
+
+def test_trailing_absence_killed_by_forbidden_row():
+    m, _ = run(trailing_spec(), [{"A"}, {"N"}])
+    assert m == []
+
+
+def test_trailing_absence_emits_at_deadline_not_before():
+    # N arrives 2h after A: deadline (1h) passed clean → match emitted
+    # when the NFA's clock reaches the deadline, N is irrelevant
+    m, _ = run(trailing_spec(), [{"A"}, {"N"}], ts=[0, 7_200_000_000])
+    assert spans(m, "A") == [(0, 0)]
+
+
+def test_trailing_absence_streaming_incremental():
+    # same semantics via incremental step/advance_time (streaming shape)
+    spec = trailing_spec()
+    nfa = Nfa(spec)
+    st = NfaState()
+    m, to = nfa.step(st, 0, (True, False), 0)
+    assert m == [] and to == []
+    # watermark passes the deadline with no N seen
+    m, to = nfa.advance_time(st, 3_600_000_001)
+    assert [x["A"][0] for x in m] == [0] and to == []
+    assert st.runs == []
+
+
+# ---------------------------------------------------------------------------
+# Interplay: measures over absence patterns, skip with timeouts
+# ---------------------------------------------------------------------------
+
+
+def test_measure_on_negated_var_rejected():
+    with pytest.raises(ValueError, match="negated"):
+        (
+            Pattern.begin("A", skip=NO_SKIP)
+            .where("a")
+            .not_followed_by("N")
+            .where("n")
+            .within("1 hour")
+        ).build(measures=(Measure("m", "N", "x", "first"),))
+
+
+def test_skip_to_next_timeouts_still_emit():
+    # relaxed contiguity: the partial survives the gap row, then the
+    # within deadline prunes it → timeout (a STRICT partial killed by a
+    # contiguity break dies structurally and emits nothing, as in Flink)
+    p = (
+        Pattern.begin("A", skip=SKIP_TO_NEXT)
+        .where("a")
+        .followed_by("B")
+        .where("b")
+        .within("1 hour")
+    ).build(emit_timeouts=True)
+    # A with no B within the hour → timeout; later A+B → match
+    m, to = run(
+        p,
+        [{"A"}, set(), {"A"}, {"B"}],
+        ts=[0, MIN, 2 * 3_600_000_000, 2 * 3_600_000_000 + MIN],
+    )
+    assert spans(m, "A") == [(2, 2)]
+    assert spans(to, "A") == [(0, 0)]
