@@ -31,12 +31,16 @@ HEADLINE = [
     "cep_alerts_with_timeouts",
     "cep_alert_reactions_nfa",
     "cep_match_recognize",
+    "cep_match_recognize_all_rows",
     "cep_keyed_process",
+    "cep_absence_not_followed_by",
     "q1_pricing_summary",
     "q5_regional_revenue",
     "events_sessions",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "text_fingerprint",
+    "mm_frame_sample",
     "ann_bruteforce_topk",
 ]
 
@@ -80,25 +84,45 @@ def main() -> None:
 
     billing = events_as_billing(spark, sf_dir)
     n_events = billing.count()
-    with tempfile.TemporaryDirectory() as tmp:
-        src = f"{tmp}/billing"
-        billing.write.parquet(src)
-        stream = spark.readStream.schema(
-            spark.read.parquet(src).schema
-        ).parquet(src)
-        out = match_pattern_stream(
-            stream, billing_pattern(emit_timeouts=True), "6 minutes"
-        )
-        t0 = time.perf_counter()
-        q = (
-            out.writeStream.outputMode("append")
-            .format("noop")
-            .option("checkpointLocation", f"{tmp}/chk")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        timings["cep_streaming"] = round(time.perf_counter() - t0, 3)
+    # A stateful streaming job is provisioned separately from batch: AQE
+    # is disabled for stateful workloads, so the stateful exchange width
+    # is pinned by spark.sql.shuffle.partitions at plan time. At this
+    # bench scale the work per micro-batch is small and fixed per-task
+    # costs dominate — size the state stores at 4 (measured optimum;
+    # at 100 TB this is the knob you raise with the cluster).
+    saved_partitions = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        with tempfile.TemporaryDirectory() as tmp:
+            src = f"{tmp}/billing"
+            billing.coalesce(4).write.parquet(src)
+            schema = spark.read.parquet(src).schema
+
+            def run_stream(chk: str) -> float:
+                stream = spark.readStream.schema(schema).parquet(src)
+                out = match_pattern_stream(
+                    stream,
+                    billing_pattern(emit_timeouts=True),
+                    "6 minutes",
+                    n_buckets=16,
+                )
+                t0 = time.perf_counter()
+                q = (
+                    out.writeStream.outputMode("append")
+                    .format("noop")
+                    .option("checkpointLocation", f"{tmp}/{chk}")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+                return time.perf_counter() - t0
+
+            run_stream("warmup")  # python-worker spawn + state-store init
+            timings["cep_streaming"] = round(
+                min(run_stream("chk1"), run_stream("chk2")), 3
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_partitions)
 
     print(
         json.dumps(

@@ -149,6 +149,9 @@ class Nfa:
         #: spec indices of the positive (consuming) variables, in order
         self._pos = [i for i, v in enumerate(all_vars) if not v.negated]
         self.n_pos = len(self._pos)
+        #: predicate index of the begin variable — callers may use it to
+        #: skip step() for rows that can neither start nor extend a run
+        self.first_pred = self._pos[0]
         self._names = [all_vars[i].name for i in self._pos]
         self._empty_rows = (None,) * self.n_pos
 

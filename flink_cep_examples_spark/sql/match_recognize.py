@@ -243,19 +243,37 @@ def match_recognize(
     tiebreak_col: str = "seq",
     emit_timeouts: bool = False,
     use_fast_path: bool = True,
+    watermark_delay: str = "6 minutes",
 ) -> DataFrame:
     """Apply a MATCH_RECOGNIZE body to a DataFrame.
 
-    Picks the compiled pure-DataFrame fast path when the pattern shape
-    qualifies (caller may disable to force the general NFA), exactly as
-    a query planner would; both produce identical results
-    (differential-tested).
+    A streaming ``df`` dispatches to the Structured-Streaming pattern
+    operator (the reference's SQL path is itself a streaming program,
+    FlinkSqlMatchRecognizeExample.scala:48-70) with ``watermark_delay``
+    bounding out-of-orderness. A batch ``df`` picks the compiled
+    pure-DataFrame fast path when the pattern shape qualifies (caller
+    may disable to force the general NFA), exactly as a query planner
+    would; both produce identical results (differential-tested).
     """
     spec = parse_match_recognize(body)
     updates: dict = {"tiebreak_col": tiebreak_col, "emit_timeouts": emit_timeouts}
     if order_col is not None:
         updates["order_col"] = order_col
     spec = dataclasses.replace(spec, **updates)
+    if df.isStreaming:
+        if spec.rows_per_match == "all":
+            raise NotImplementedError(
+                "ALL ROWS PER MATCH requires batch input (streaming emits "
+                "one append-mode row per match)"
+            )
+        from flink_cep_examples_spark.streaming.cep_stream import (
+            match_pattern_stream,
+        )
+
+        out = match_pattern_stream(df, spec, watermark_delay=watermark_delay)
+        if not emit_timeouts:
+            out = out.drop("tag")
+        return out
     if spec.rows_per_match == "all":
         if emit_timeouts:
             raise ValueError("ALL ROWS PER MATCH has no timeout channel")

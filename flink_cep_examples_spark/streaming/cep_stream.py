@@ -57,8 +57,10 @@ from flink_cep_examples_spark.schemas import MATCH_TAG, TIMEOUT_TAG
 
 _PRED_PREFIX = "__cep_p_"
 _TS_COL = "__cep_ts_us"
+_BUCKET_COL = "__cep_bucket"
 
-#: state: one pickled blob = (buffer: list[row tuple], NfaState)
+#: state: one pickled blob per KEY-BUCKET =
+#: dict[key_tuple -> (buffer: list[row tuple], NfaState)]
 _STATE_SCHEMA = T.StructType([T.StructField("blob", T.BinaryType(), True)])
 
 
@@ -79,16 +81,40 @@ def match_pattern_stream(
     df: DataFrame,
     spec: PatternSpec,
     watermark_delay: str = "6 minutes",
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Streaming row-pattern recognition. ``df`` must be a streaming
     DataFrame containing ``spec.order_col`` as a timestamp column.
     Default watermark delay mirrors the reference's 6-minute
     out-of-orderness (FlinkCEPExample.scala:28). Output: append-mode
-    stream with keys + measures + ``tag``."""
+    stream with keys + measures + ``tag``.
+
+    Scale note (the 100 TB lever): state is grouped by a HASH BUCKET of
+    the key, not by the key itself — ``applyInPandasWithState`` invokes
+    Python and (un)pickles state once per group per micro-batch, so
+    per-key grouping costs O(distinct keys) crossings (~10k/s ceiling)
+    while bucketing costs O(n_buckets). Inside a bucket the per-key
+    buffers/NFA states live in one dict; semantics per key are
+    unchanged (verified by the batch-vs-stream differential tests).
+    ``n_buckets`` defaults to 4× ``spark.sql.shuffle.partitions`` —
+    enough groups to spread across state-store tasks, few enough that
+    Arrow/pickle overhead amortizes."""
     spec.validate()
     out_schema = output_schema(df, spec)
-    prepared = _prepare_stream(df, spec).withWatermark(
-        spec.order_col, watermark_delay
+    if n_buckets is None:
+        try:
+            n_buckets = 4 * int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except (TypeError, ValueError):  # e.g. "auto"
+            n_buckets = 4 * df.sparkSession.sparkContext.defaultParallelism
+    prepared = (
+        _prepare_stream(df, spec)
+        .withColumn(
+            _BUCKET_COL,
+            F.pmod(F.xxhash64(*spec.key_cols), F.lit(n_buckets)).cast("int"),
+        )
+        .withWatermark(spec.order_col, watermark_delay)
     )
 
     n_vars = len(spec.variables)
@@ -106,9 +132,47 @@ def match_pattern_stream(
     pred_cols = [f"{_PRED_PREFIX}{i}" for i in range(n_vars)]
     out_names = [f.name for f in out_schema.fields]
 
-    def emit_rows(key, results: list[tuple[dict, str]]) -> pd.DataFrame:
+    # one compiled NFA shared by every bucket group on the worker (it is
+    # key-stateless: per-key state lives in NfaState).
+    nfa = Nfa(spec)
+    # columns the buffer must retain (stable order, no duplicates)
+    buf_cols = list(
+        dict.fromkeys([*key_cols, _TS_COL, tiebreak, *pred_cols, *all_srcs])
+    )
+
+    def process(
+        bucket: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        # bucket state = (columnar event buffer as a pandas DataFrame —
+        # pickles as a handful of numpy blocks, ~6× smaller and ~100×
+        # fewer objects than per-row tuples — and the per-key NFA states)
+        if state.exists:
+            buffer, nfa_states = pickle.loads(state.get[0])
+        else:
+            buffer, nfa_states = None, {}
+
+        frames = [] if buffer is None else [buffer]
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if len(pdf):
+                    # late beyond watermark: dropped (as Flink CEP);
+                    # vectorized — ingest touches no Python rows
+                    live = pdf[pdf[_TS_COL].to_numpy() >= wm_us]
+                    if len(live):
+                        frames.append(live[buf_cols])
+        allbuf = (
+            frames[0]
+            if len(frames) == 1
+            else pd.concat(frames, ignore_index=True)
+            if frames
+            else None
+        )
+
+        # one output accumulator for the whole bucket
         data: dict[str, list] = {c: [] for c in out_names}
-        for match, tag in results:
+
+        def emit(key: tuple, match: dict, tag: str) -> None:
             for k, kv in zip(key_cols, key):
                 data[k].append(kv)
             for m in measures:
@@ -121,70 +185,99 @@ def match_pattern_stream(
                     payload = span[0] if m.fn == "first" else span[1]
                     data[m.name].append(payload[all_srcs.index(m.src)])
             data["tag"].append(tag)
-        return pd.DataFrame(data, columns=out_names)
 
-    # one compiled NFA shared by every key group on the worker (it is
-    # key-stateless: per-key state lives in NfaState) — ~10k groups per
-    # micro-batch would otherwise recompile it 10k times.
-    nfa = Nfa(spec)
-
-    def process(
-        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        wm_us = state.getCurrentWatermarkMs() * 1000
-        if state.exists:
-            buffer, nst = pickle.loads(state.get[0])
-        else:
-            buffer, nst = [], NfaState()
-
-        if not state.hasTimedOut:
-            for pdf in pdfs:
-                if len(pdf) == 0:
-                    continue
-                ts_arr = pdf[_TS_COL].to_numpy()
-                tb_arr = pdf[tiebreak].to_numpy()
-                pred_arr = pdf[pred_cols].to_numpy(dtype=bool)
-                src_arr = pdf[all_srcs].to_numpy() if all_srcs else None
-                for i in range(len(pdf)):
-                    t = int(ts_arr[i])
-                    if t < wm_us:
-                        continue  # late beyond watermark: dropped (as Flink CEP)
-                    payload = (
-                        tuple(src_arr[i]) if src_arr is not None else ()
+        buffer = None
+        buffered_keys: set = set()
+        if allbuf is not None and len(allbuf):
+            rel_mask = allbuf[_TS_COL].to_numpy() <= wm_us
+            release = allbuf[rel_mask]
+            buffer = allbuf[~rel_mask]
+            if len(buffer) == 0:
+                buffer = None
+            else:
+                buffer = buffer.reset_index(drop=True)
+                if len(key_cols) == 1:
+                    buffered_keys = {(k,) for k in buffer[key_cols[0]]}
+                else:
+                    buffered_keys = set(
+                        zip(*(buffer[k] for k in key_cols))
                     )
-                    buffer.append(
-                        (t, tb_arr[i], tuple(bool(b) for b in pred_arr[i]), payload)
+            if len(release):
+                # event-time order per key, one sorted pass over the
+                # whole bucket with key-change detection — the same
+                # amortization as the batch partition scan
+                release = release.sort_values(
+                    [*key_cols, _TS_COL, tiebreak], kind="mergesort"
+                )
+                key_arrs = [release[k].to_numpy() for k in key_cols]
+                ts_arr = release[_TS_COL].to_numpy()
+                pred_arr = release[pred_cols].to_numpy(dtype=bool)
+                src_arr = release[all_srcs].to_numpy() if all_srcs else None
+                # rows that can't start a run and have no run to extend
+                # are no-ops — skip the step() call entirely
+                can_begin = pred_arr[:, nfa.first_pred]
+                kt: tuple | None = None
+                nst = None
+                single = key_arrs[0] if len(key_arrs) == 1 else None
+                for i in range(len(release)):
+                    rkt = (
+                        (single[i],)
+                        if single is not None
+                        else tuple(a[i] for a in key_arrs)
                     )
+                    if rkt != kt:
+                        kt = rkt
+                        nst = nfa_states.get(kt)
+                        if nst is None:
+                            nst = nfa_states[kt] = NfaState()
+                    if not nst.runs and not can_begin[i]:
+                        continue
+                    m, to = nfa.step(
+                        nst,
+                        int(ts_arr[i]),
+                        pred_arr[i],
+                        tuple(src_arr[i]) if src_arr is not None else (),
+                    )
+                    for x in m:
+                        emit(kt, x, MATCH_TAG)
+                    for x in to:
+                        emit(kt, x, TIMEOUT_TAG)
 
-        results: list[tuple[dict, str]] = []
-        # release buffered rows the watermark has passed, in event-time order
-        buffer.sort(key=lambda r: (r[0], r[1]))
-        release = [r for r in buffer if r[0] <= wm_us]
-        buffer = [r for r in buffer if r[0] > wm_us]
-        for t, _tb, preds, payload in release:
-            m, to = nfa.step(nst, t, preds, payload)
-            results.extend((x, MATCH_TAG) for x in m)
-            results.extend((x, TIMEOUT_TAG) for x in to)
         # the watermark itself may expire partials (absence alerts) or
         # confirm pending timed-absence completions (matches)
-        wm_matches, wm_timeouts = nfa.advance_time(nst, wm_us)
-        results.extend((x, MATCH_TAG) for x in wm_matches)
-        results.extend((x, TIMEOUT_TAG) for x in wm_timeouts)
+        pending: list[int] = []
+        for kt in list(nfa_states):
+            nst = nfa_states[kt]
+            wm_matches, wm_timeouts = nfa.advance_time(nst, wm_us)
+            for x in wm_matches:
+                emit(kt, x, MATCH_TAG)
+            for x in wm_timeouts:
+                emit(kt, x, TIMEOUT_TAG)
+            if not nst.runs:
+                if kt not in buffered_keys:
+                    del nfa_states[kt]
+            elif nfa.within_us is not None:
+                pending.extend(
+                    run.start_ts + nfa.within_us for run in nst.runs
+                )
 
-        # next obligation: earliest buffered release or partial deadline
-        pending: list[int] = [r[0] for r in buffer]
-        if nfa.within_us is not None:
-            pending += [run.start_ts + nfa.within_us for run in nst.runs]
-        if not buffer and not nst.runs:
+        if buffer is None and not nfa_states:
             state.remove()
         else:
-            state.update((pickle.dumps((buffer, nst)),))
+            state.update((pickle.dumps((buffer, nfa_states)),))
+            if buffer is not None:
+                pending.append(int(buffer[_TS_COL].min()))
             if pending:
-                state.setTimeoutTimestamp(max(min(pending) // 1000, state.getCurrentWatermarkMs() + 1))
-        if results:
-            yield emit_rows(key, results)
+                state.setTimeoutTimestamp(
+                    max(
+                        min(pending) // 1000,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+        if data["tag"]:
+            yield pd.DataFrame(data, columns=out_names)
 
-    return prepared.groupBy(*key_cols).applyInPandasWithState(
+    return prepared.groupBy(_BUCKET_COL).applyInPandasWithState(
         process,
         outputStructType=out_schema,
         stateStructType=_STATE_SCHEMA,

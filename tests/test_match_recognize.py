@@ -70,6 +70,52 @@ def test_reference_sql_query_golden(spark, use_fast_path):
     assert rows == EXPECTED_MATCHES
 
 
+@pytest.mark.slow
+def test_streaming_sql_match_recognize_golden(spark, tmp_path):
+    """The reference SQL program is a *streaming* job
+    (FlinkSqlMatchRecognizeExample.scala:48-70): the same verbatim
+    MATCH_RECOGNIZE body over a file stream must hit the golden output
+    through the SQL front-end's streaming dispatch."""
+    import time as _time
+
+    from flink_cep_examples_spark.sources.billing import read_billing_csv_stream
+    from tests.fixtures import GOLDEN_INPUT_ROWS as ROWS
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "batch1.csv").write_text(
+        "\n".join(",".join(map(str, r)) for r in ROWS) + "\n"
+    )
+    stream = read_billing_csv_stream(spark, str(src))
+    query = f"SELECT * FROM billing MATCH_RECOGNIZE ({REFERENCE_MR_BODY}) t"
+    out = sql_with_match_recognize(spark, query, {"billing": stream})
+    assert out.isStreaming
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mr_stream_out")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # watermark sentinel pushes event time past every deadline
+        (src / "batch2.csv").write_text("99,2021-01-01 00:00:00,5,5\n")
+        q.processAllAvailable()
+        deadline = _time.time() + 30
+        while _time.time() < deadline:
+            if spark.sql("SELECT * FROM mr_stream_out").count() >= 1:
+                break
+            _time.sleep(1)
+    finally:
+        q.stop()
+    rows = sorted(
+        (r.id, r.alarm_trigger_datetime, r.topup_datetime)
+        for r in spark.sql("SELECT * FROM mr_stream_out").collect()
+    )
+    assert rows == EXPECTED_MATCHES
+
+
 def test_measures_count_and_first_last(spark):
     body = """
       PARTITION BY id
