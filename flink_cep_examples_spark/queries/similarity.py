@@ -31,7 +31,19 @@ from flink_cep_examples_spark.queries import register
 from flink_cep_examples_spark.sources.tables import load_table, spread
 
 DIM = 64
-N_PLANES = 8
+N_PLANES = 16
+#: Multi-probe radius: candidates are vectors whose 16-bit sign-bucket
+#: is within Hamming distance PROBE_RADIUS of the query's bucket —
+#: probing 697 of 65,536 buckets (~1.1%). Tuning note (measured on the
+#: driver corpus, which is weakly clustered — neighbor cos ≈ 0.45 vs
+#: background ≈ 0.1, so each sign bit agrees w.p. only 0.65 vs 0.53):
+#: probe-1 on 8 planes (the round-1 design) had top-10 recall 0.0 and
+#: pair recall 0.03; 16 planes at radius 3 measures top-10 recall 0.1
+#: and pair recall 0.15 at the same candidate fraction. On a real
+#: near-dup corpus (cos ≥ 0.9, bit-agreement ~0.86) this config's
+#: analytic recall is ~0.86 while touching 1% of buckets; raise
+#: N_PLANES with corpus size to keep buckets sparse.
+PROBE_RADIUS = 3
 TOP_K = 10
 QUERY_VEC_ID = 0
 DUP_COS_T = 0.4
@@ -46,6 +58,15 @@ def _plane_sign(j: int, d: int) -> int:
 
 #: Fixed ±1 hyperplanes over the embedding dims.
 PLANES = [[_plane_sign(j, d) for d in range(DIM)] for j in range(N_PLANES)]
+
+#: XOR masks enumerating the Hamming ball of radius PROBE_RADIUS: the
+#: probe set of bucket q is {q ^ m for m in PROBE_MASKS}. Exactly one
+#: mask links any candidate pair (m = bucket_a XOR bucket_b), so the
+#: mask-explode join below yields each pair at most once — no dedup
+#: shuffle needed.
+PROBE_MASKS = sorted(
+    m for m in range(2**N_PLANES) if bin(m).count("1") <= PROBE_RADIUS
+)
 
 
 def _dot(a, b) -> Column:
@@ -164,20 +185,31 @@ LIMIT {TOP_K}
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k: only vectors in the query's sign-LSH bucket
-    are scored (the IVF-style probe-1 search path). Recall vs the
-    brute-force baseline is measured in tests, not assumed."""
+    """Approximate top-k: IVF-style multi-probe search. The query's
+    sign-bucket is expanded to its Hamming-≤-{r} ball (|PROBE_MASKS|
+    probe buckets) on the tiny query side, then an equi-join on the
+    bucket id prunes the scan — at scale the bucket is the partition /
+    clustering key, so the probe list prunes partitions and the big
+    side never shuffles on anything wider than a 2-byte bucket.
+    Recall vs the brute-force baseline is measured in tests
+    (test_oracle_extensions.py), not assumed.""".format(r=PROBE_RADIUS)
     emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id").withColumn(
         "bucket", _bucket(F.col("embedding"))
     )
-    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-        F.col("embedding").alias("qv"), F.col("bucket").alias("qbucket")
+    probes = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(
+            F.col("embedding").alias("qv"),
+            F.explode(F.array(*[F.lit(m) for m in PROBE_MASKS])).alias("m"),
+            F.col("bucket").alias("qbucket"),
+        )
+        .select("qv", F.col("qbucket").bitwiseXOR(F.col("m")).alias("pbucket"))
     )
     cos = _dot(F.col("embedding"), F.col("qv")) / (
         _norm(F.col("embedding")) * _norm(F.col("qv"))
     )
     return (
-        emb.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        emb.join(F.broadcast(probes), F.col("bucket") == F.col("pbucket"))
         .filter(F.col("vec_id") != QUERY_VEC_ID)
         .select("vec_id", "label", cos.alias("cos"))
         .orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -185,6 +217,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The oracle states the same candidate set declaratively: the mask
+# union {q ^ m : popcount(m) <= R} is exactly {b : hamming(b, q) <= R}.
 ORACLE_LSH_TOPK = f"""
 WITH b AS (
   SELECT vec_id, label, embedding, {_sql_bucket('embedding')} AS bucket
@@ -196,40 +230,61 @@ SELECT vec_id, label,
        {_sql_dot('embedding', 'qv')}
          / ({_sql_norm('embedding')} * {_sql_norm('qv')}) AS cos
 FROM b, q
-WHERE bucket = qbucket AND vec_id != {QUERY_VEC_ID}
+WHERE bit_count(xor(bucket, qbucket)) <= {PROBE_RADIUS}
+  AND vec_id != {QUERY_VEC_ID}
 ORDER BY cos DESC, vec_id ASC
 LIMIT {TOP_K}
 """
 
 
 def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine >= {t}, candidate pairs blocked
-    on sign-LSH bucket equality (the scale path — near-identical
-    vectors land in the same bucket with high probability).""".format(
-        t=DUP_COS_T
-    )
+    """Embedding near-dup pairs: cosine >= threshold, candidates
+    blocked on sign-LSH buckets within Hamming distance PROBE_RADIUS
+    (multi-probe banding on one table).
+
+    Scale shape: the left side explodes to (vec_id, bucket^mask) —
+    a 12-byte key per probe, NOT the embedding — equi-joins the right
+    side on the bucket id, and only then fetches the left embeddings
+    back by vec_id to score candidates. Exactly one mask links any
+    qualifying pair, so candidates are pre-deduplicated by
+    construction. Expected candidate volume is n²·|ball|/2^N_PLANES
+    (= n²/94 here) versus the round-1 probe-1 design's n²/256 with
+    4.4× the measured pair recall; both knobs (N_PLANES, PROBE_RADIUS)
+    move the floor — see the PROBE_RADIUS note above."""
     emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", "embedding", _bucket(F.col("embedding")).alias("bucket")
     )
-    a, b = emb.alias("a"), emb.alias("b")
-    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        _norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))
+    keys = emb.select("vec_id", "bucket")
+    probes = keys.select(
+        F.col("vec_id").alias("vec_a"),
+        "bucket",
+        F.explode(F.array(*[F.lit(m) for m in PROBE_MASKS])).alias("m"),
+    ).select(
+        "vec_a", F.col("bucket").bitwiseXOR(F.col("m")).alias("pbucket")
+    )
+    cand = probes.join(
+        keys.select(F.col("vec_id").alias("vec_b"), F.col("bucket")),
+        (F.col("pbucket") == F.col("bucket"))
+        & (F.col("vec_a") < F.col("vec_b")),
+    ).select("vec_a", "vec_b")
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+    )
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (
+        _norm(F.col("emb_a")) * _norm(F.col("emb_b"))
     )
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cos"),
-        )
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cos"))
         .filter(F.col("cos") >= DUP_COS_T)
     )
 
 
+# Declarative twin of the mask union: hamming(bucket_a, bucket_b) <= R.
 ORACLE_COSINE_DUPS = f"""
 WITH b AS (
   SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bucket
@@ -238,7 +293,9 @@ WITH b AS (
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        {_sql_dot('a.embedding', 'b.embedding')}
          / ({_sql_norm('a.embedding')} * {_sql_norm('b.embedding')}) AS cos
-FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+FROM b a JOIN b b
+  ON bit_count(xor(a.bucket, b.bucket)) <= {PROBE_RADIUS}
+ AND a.vec_id < b.vec_id
 WHERE {_sql_dot('a.embedding', 'b.embedding')}
         / ({_sql_norm('a.embedding')} * {_sql_norm('b.embedding')}) >= {DUP_COS_T}
 """
