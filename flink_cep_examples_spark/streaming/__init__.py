@@ -8,3 +8,9 @@ from flink_cep_examples_spark.streaming.cep_stream import (  # noqa: F401
 from flink_cep_examples_spark.streaming.keyed_process_stream import (  # noqa: F401
     keyed_process_stream,
 )
+from flink_cep_examples_spark.streaming.keyed_process_tws import (  # noqa: F401
+    HAVE_TWS_RUNTIME,
+    ROCKSDB_PROVIDER,
+    billing_low_level_alerts_tws,
+    keyed_process_tws,
+)
