@@ -25,6 +25,8 @@ def plans(spark, sf_small):
             "q3_top_unshipped_orders",
             "q5_regional_revenue",
             "ann_bruteforce_topk",
+            "ann_lsh_topk",
+            "embedding_cosine_dups",
             "cep_alert_reactions",
             "text_token_stats",
         ]
@@ -51,6 +53,25 @@ def test_dim_joins_broadcast(plans):
 def test_topk_is_take_ordered(plans):
     assert "TakeOrderedAndProject" in plans["q3_top_unshipped_orders"]
     assert "TakeOrderedAndProject" in plans["ann_bruteforce_topk"]
+
+
+def test_ann_probe_side_broadcast(plans):
+    """Multi-probe LSH: the exploded probe list (the tiny side) must be
+    broadcast — the big embeddings side joins buckets without a
+    shuffle-for-join."""
+    p = plans["ann_lsh_topk"]
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_cosine_dup_pair_join_ships_keys_not_vectors(plans):
+    """The pair-blocking join's streamed probe side must carry only
+    (vec_id, bucket-probe) — embeddings re-enter by id after blocking,
+    so no Exchange ships a 697x-exploded embedding column."""
+    p = plans["embedding_cosine_dups"]
+    for line in p.splitlines():
+        if "Exchange hashpartitioning(pbucket" in line:
+            assert "embedding" not in line
 
 
 def test_cep_fast_path_single_exchange(plans):
