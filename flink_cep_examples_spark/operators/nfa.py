@@ -424,7 +424,14 @@ def scan_key_group(
     timeouts: list[dict] = []
     n = ts_us.shape[0]
     cols = [preds[i] for i in range(preds.shape[0])]
+    # rows that can neither start a run (begin predicate false) nor
+    # extend one (no live runs) are no-ops — skip the step() call; all
+    # pending obligations live in st.runs, so empty runs ⇒ nothing to
+    # time out either (same pruning as the streaming operator)
+    can_begin = cols[nfa.first_pred]
     for r in range(n):
+        if not st.runs and not can_begin[r]:
+            continue
         pred_row = tuple(bool(c[r]) for c in cols)
         m, to = nfa.step(st, int(ts_us[r]), pred_row, r)
         matches.extend(m)
