@@ -39,6 +39,7 @@ HEADLINE = [
     "events_sessions",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "corpus_clean_pipeline",
     "text_fingerprint",
     "mm_frame_sample",
     "ann_bruteforce_topk",

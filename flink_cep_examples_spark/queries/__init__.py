@@ -27,6 +27,7 @@ def load_all() -> None:
         cep,
         dedup,
         multimodal,
+        pipeline,
         relational,
         similarity,
         text,

@@ -1,0 +1,80 @@
+"""Composite training-corpus cleaning pipeline — the end-to-end pass a
+pre-training data pipeline runs over raw documents, composed from the
+engine's own operators (each independently oracle-gated):
+
+1. quality gate  — :func:`queries.text.text_quality_scores` ``keep``
+   (length / punctuation / digit-ratio filters);
+2. exact dedup   — :func:`queries.dedup.dedup_exact`: only the
+   canonical (minimum) doc_id of each normalized-content hash group
+   survives;
+3. near dedup    — :func:`queries.dedup.dedup_minhash_lsh` candidate
+   pairs at estimated Jaccard ≥ NEAR_DUP_T: the larger doc_id of each
+   pair is dropped (union-by-min keeps one representative per cluster
+   for pair-shaped clusters; the synthetic corpus' planted dups are
+   pairs).
+
+Scale shape (100 TB): step 1 is a scan+project; step 2 shuffles a
+32-byte hash; step 3 is the banded-LSH shuffle; the final assembly is
+two joins against SMALL sides (the dup-losers list is a fraction of
+the corpus) — both broadcastable, so the surviving corpus never
+re-shuffles. The oracle composes the same three steps' oracle SQL as
+CTEs, so the gate checks the composition, not just the parts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_cep_examples_spark.queries import register
+from flink_cep_examples_spark.queries.dedup import (
+    ORACLE_EXACT,
+    _oracle_minhash,
+    dedup_exact,
+    dedup_minhash_lsh,
+)
+from flink_cep_examples_spark.queries.text import (
+    ORACLE_QUALITY,
+    text_quality_scores,
+)
+
+#: estimated-Jaccard threshold above which an LSH candidate pair is a
+#: near-duplicate (0.5 = the classic MinHash dedup operating point)
+NEAR_DUP_T = 0.5
+
+
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surviving corpus after quality + exact-dup + near-dup filtering:
+    (doc_id, n_tokens) of every kept document."""
+    quality = text_quality_scores(spark, sf_dir).where("keep").select(
+        "doc_id", "n_tokens"
+    )
+    canonical = dedup_exact(spark, sf_dir).where(
+        F.col("doc_id") == F.col("canonical_id")
+    ).select("doc_id")
+    near_losers = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .where(F.col("est_jaccard") >= NEAR_DUP_T)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        quality.join(canonical, "doc_id")
+        .join(F.broadcast(near_losers), "doc_id", "left_anti")
+    )
+
+
+ORACLE_PIPELINE = f"""
+WITH q AS ({ORACLE_QUALITY}),
+e AS ({ORACLE_EXACT}),
+nd AS ({_oracle_minhash()})
+SELECT q.doc_id, q.n_tokens
+FROM q
+JOIN e ON e.doc_id = q.doc_id AND e.doc_id = e.canonical_id
+WHERE q.keep
+  AND q.doc_id NOT IN (
+    SELECT doc_b FROM nd WHERE est_jaccard >= {NEAR_DUP_T}
+  )
+"""
+
+register("corpus_clean_pipeline", corpus_clean_pipeline, ORACLE_PIPELINE)
