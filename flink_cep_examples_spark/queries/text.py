@@ -38,14 +38,23 @@ def _tok_count(c):
     return F.size(F.split(F.trim(c), r"\s+"))
 
 
+#: BPE-ish piece pattern: letter runs, single digits (GPT-2 tokenizers
+#: split digit strings), single symbol chars. Class-only alternation —
+#: verified to count identically under Java regex (Spark) and RE2
+#: (DuckDB) including unicode text.
+_BPE_RE = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
+
+
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens + word-character tally per doc."""
+    """Token counting: whitespace tokens, a BPE-ish regex piece count
+    (the pre-training cost estimator), and word-character tally."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     n_tok = _tok_count(F.col("text"))
     n_word_chars = F.length(F.regexp_replace("text", r"\s", ""))
     return docs.select(
         "doc_id",
         n_tok.alias("n_tokens"),
+        F.regexp_count("text", F.lit(_BPE_RE)).alias("n_bpe_pieces"),
         F.length("text").alias("len_chars"),
         n_word_chars.alias("n_word_chars"),
         (n_word_chars.cast("double") / n_tok).alias("avg_token_len"),
@@ -55,6 +64,8 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TOKEN_STATS = r"""
 SELECT doc_id,
        array_length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]'))
+         AS n_bpe_pieces,
        length(text) AS len_chars,
        length(regexp_replace(text, '\s', '', 'g')) AS n_word_chars,
        CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)

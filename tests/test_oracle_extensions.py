@@ -63,6 +63,26 @@ def test_ann_lsh_results_subset_of_bruteforce_space(spark, sf_oracle):
     assert len({r.vec_id for r in lsh} & set(brute)) >= 1
 
 
+def test_probe_masks_are_exactly_the_hamming_ball():
+    """The Spark side's mask-explode union and the oracle's declarative
+    bit_count(xor(a,b)) <= R describe the same candidate set: the mask
+    list enumerates the Hamming ball exactly once."""
+    from math import comb
+
+    from flink_cep_examples_spark.queries.similarity import (
+        N_PLANES,
+        PROBE_MASKS,
+        PROBE_RADIUS,
+    )
+
+    assert len(set(PROBE_MASKS)) == len(PROBE_MASKS)
+    assert len(PROBE_MASKS) == sum(
+        comb(N_PLANES, k) for k in range(PROBE_RADIUS + 1)
+    )
+    assert all(0 <= m < 2**N_PLANES for m in PROBE_MASKS)
+    assert all(bin(m).count("1") <= PROBE_RADIUS for m in PROBE_MASKS)
+
+
 def test_cosine_dup_blocking_recall_floor(spark, sf_oracle):
     """Pair-candidate recall of the Hamming-<=R blocking vs the exact
     all-pairs answer. The corpus is weakly clustered (above-threshold
