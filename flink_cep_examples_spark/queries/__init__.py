@@ -29,6 +29,7 @@ def load_all() -> None:
         multimodal,
         pipeline,
         relational,
+        relational_shapes,
         similarity,
         text,
     )

@@ -29,6 +29,9 @@ def plans(spark, sf_small):
             "embedding_cosine_dups",
             "cep_alert_reactions",
             "text_token_stats",
+            "q4_late_order_counts",
+            "q6_revenue_delta",
+            "q22_quiet_rich_customers",
         ]
     }
 
@@ -78,6 +81,36 @@ def test_cep_fast_path_single_exchange(plans):
     """One scan, one hash Exchange on the key — the whole pattern match
     rides a single shuffle (operators/fast_path.py contract)."""
     assert plans["cep_alert_reactions"].count("Exchange") == 1
+
+
+def test_exists_plans_as_semi_join(plans):
+    """Q4's EXISTS must run as LeftSemi (probe-side dedup inside the
+    join, match multiplicity never materialized) — not an inner join +
+    distinct."""
+    p = plans["q4_late_order_counts"]
+    assert "LeftSemi" in p
+    # the probe scan reads only the two lineitem columns the condition needs
+    li_schema = [l for l in p.splitlines() if "ReadSchema" in l and "l_orderkey" in l]
+    assert li_schema and all(
+        "l_extendedprice" not in l and "l_quantity" not in l for l in li_schema
+    )
+
+
+def test_not_exists_plans_as_anti_join(plans):
+    """Q22's NOT EXISTS must run as LeftAnti with the filtered orders
+    probe broadcast (tiny after the o_totalprice pushdown)."""
+    p = plans["q22_quiet_rich_customers"]
+    assert "LeftAnti" in p
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice" in p
+
+
+def test_scalar_agg_pushes_all_filters(plans):
+    """Q6: all four predicates reach the parquet scan; the aggregate
+    input is pre-filtered rows only."""
+    p = plans["q6_revenue_delta"]
+    pushed = next(l for l in p.splitlines() if "PushedFilters" in l)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, col
 
 
 def test_scan_pipeline_only_rebalances(plans):
