@@ -237,6 +237,76 @@ LIMIT {TOP_K}
 """
 
 
+BATCH_K = 5
+#: Batch query set: every 100th vector. A real workload's query set is
+#: its own table; the modulus keeps the oracle self-contained.
+BATCH_QUERY_MOD = 100
+
+
+def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched similarity search: top-k neighbors for EVERY query in a
+    query set, one plan. This is the shape a retrieval/dedup pipeline
+    actually runs — thousands of probe vectors at once, not one.
+
+    Scale shape: the query side explodes to (q_id, qv, probe-bucket)
+    — |queries| × |Hamming ball| rows — and equi-joins the corpus on
+    the 2-byte bucket id (broadcast while the query set is small; at
+    larger query sets the join shuffles on the bucket id, never a
+    pairwise cross). Per-query top-k is a window rank partitioned by
+    q_id over ~1% of the corpus per query; no global sort anywhere."""
+    from pyspark.sql.window import Window
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id").withColumn(
+        "bucket", _bucket(F.col("embedding"))
+    )
+    probes = (
+        emb.filter(F.col("vec_id") % BATCH_QUERY_MOD == 0)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qv"),
+            F.explode(F.array(*[F.lit(m) for m in PROBE_MASKS])).alias("m"),
+            F.col("bucket").alias("qbucket"),
+        )
+        .select(
+            "q_id", "qv", F.col("qbucket").bitwiseXOR(F.col("m")).alias("pbucket")
+        )
+    )
+    cos = _dot(F.col("embedding"), F.col("qv")) / (
+        _norm(F.col("embedding")) * _norm(F.col("qv"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        emb.join(F.broadcast(probes), F.col("bucket") == F.col("pbucket"))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", "label", cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BATCH_K)
+    )
+
+
+ORACLE_BATCH_TOPK = f"""
+WITH b AS (
+  SELECT vec_id, label, embedding, {_sql_bucket('embedding')} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, embedding AS qv, bucket AS qbucket FROM b
+      WHERE vec_id % {BATCH_QUERY_MOD} = 0),
+cand AS (
+  SELECT q.q_id, b.vec_id, b.label,
+         {_sql_dot('b.embedding', 'q.qv')}
+           / ({_sql_norm('b.embedding')} * {_sql_norm('q.qv')}) AS cos
+  FROM b JOIN q
+    ON bit_count(xor(b.bucket, q.qbucket)) <= {PROBE_RADIUS}
+   AND b.vec_id != q.q_id
+)
+SELECT q_id, vec_id, label, cos,
+       CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC)
+            AS INT) AS rank
+FROM cand
+QUALIFY rank <= {BATCH_K}
+"""
+
+
 def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: cosine >= threshold, candidates
     blocked on sign-LSH buckets within Hamming distance PROBE_RADIUS
@@ -329,5 +399,6 @@ GROUP BY label
 
 register("ann_bruteforce_topk", ann_bruteforce_topk, ORACLE_BRUTEFORCE)
 register("ann_lsh_topk", ann_lsh_topk, ORACLE_LSH_TOPK)
+register("ann_batch_topk", ann_batch_topk, ORACLE_BATCH_TOPK)
 register("embedding_cosine_dups", embedding_cosine_dups, ORACLE_COSINE_DUPS)
 register("embedding_label_stats", embedding_label_stats, ORACLE_LABEL_STATS)

@@ -26,6 +26,7 @@ def plans(spark, sf_small):
             "q5_regional_revenue",
             "ann_bruteforce_topk",
             "ann_lsh_topk",
+            "ann_batch_topk",
             "embedding_cosine_dups",
             "cep_alert_reactions",
             "text_token_stats",
@@ -65,6 +66,16 @@ def test_ann_probe_side_broadcast(plans):
     p = plans["ann_lsh_topk"]
     assert "BroadcastHashJoin" in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_batch_ann_bucket_join_is_hash_not_cross(plans):
+    """Batched top-k joins corpus to probes on bucket equality — a
+    BroadcastHashJoin on the bucket id, never a nested-loop cross; the
+    per-query rank is one window, no global sort."""
+    p = plans["ann_batch_topk"]
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "Window" in p
 
 
 def test_cosine_dup_pair_join_ships_keys_not_vectors(plans):
