@@ -1,0 +1,208 @@
+"""IVF (inverted-file) approximate nearest neighbor: a trained
+coarse quantizer — K-means centroids — partitions the corpus into K
+inverted lists; a query probes only the NPROBE nearest lists.
+Complements the sign-LSH path (queries/similarity.py): LSH needs no
+training and hashes scan-side; IVF adapts its partitions to the data
+distribution, the standard trade at billion-vector scale.
+
+Scale shape (100 TB mindset):
+
+- Training is Lloyd's algorithm with driver-held centroids (K×DIM
+  doubles — the MLlib pattern): ASSIGNMENT is a scan-side fold over K
+  broadcast literal centroids (argmin via ``array_min`` over
+  (dist, cid) structs — no join, no shuffle); the MEAN recompute is
+  one shuffle of map-side-combined decimal partials keyed (cid, pos).
+  Per iteration: one scan + one tiny shuffle.
+- At serving time the corpus would be written clustered by ``cid``
+  (partition/bucket key), so an NPROBE/K fraction of files is read per
+  query; here the final filter expresses that pruning declaratively.
+- Determinism / oracle-exactness: seeds are the K smallest vec_ids;
+  per-dimension means go through exact DECIMAL(28,18) sums (order-
+  independent) so Spark's parallel aggregation and DuckDB's
+  sequential CTE produce bit-identical centroids; all distance/cosine
+  folds are sequential left-to-right in both engines (the proven
+  ``aggregate``/``list_sum`` pairing); every argmin/top-k breaks ties
+  on the id. The full pipeline — train + assign + probe + rank — is
+  pinned by one static DuckDB oracle, not a weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_cep_examples_spark.queries import register
+from flink_cep_examples_spark.queries.similarity import (
+    DIM,
+    QUERY_VEC_ID,
+    TOP_K,
+    _dot,
+    _norm,
+    _sql_dot,
+    _sql_norm,
+)
+from flink_cep_examples_spark.sources.tables import load_table, spread
+
+K_LISTS = 8
+NPROBE = 2
+_MEAN_DEC = "decimal(28,18)"
+
+
+def _sqdist(vec, cent: list[float]) -> Column:
+    """Sequential-fold squared L2 distance to a literal centroid."""
+    c = F.array(*[F.lit(float(v)) for v in cent])
+    return F.aggregate(
+        F.zip_with(
+            vec, c, lambda x, cc: (x.cast("double") - cc) * (x.cast("double") - cc)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(emb: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
+    """cid = argmin over centroids of (dist, cid) — scan-side, no join."""
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _sqdist(F.col("embedding"), vec).alias("d"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, vec in sorted(cents.items())
+            ]
+        )
+    )
+    return emb.withColumn("cid", best.getField("cid"))
+
+
+def _means(assigned: DataFrame) -> dict[int, list[float]]:
+    """Per-cluster per-dimension mean via exact decimal sums; K×DIM
+    doubles collected to the driver (the MLlib centroid pattern)."""
+    rows = (
+        assigned.select("cid", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("cid", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("double").cast(_MEAN_DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .collect()
+    )
+    out: dict[int, list[float]] = {}
+    for r in rows:
+        out.setdefault(r.cid, [0.0] * DIM)[r.pos] = r.m
+    return out
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k for the fixed query vector: seed with the K smallest
+    vec_ids, one Lloyd refinement (assign → exact-decimal means),
+    final assignment, then exact cosine over the NPROBE nearest
+    inverted lists only."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", "label", "embedding"
+    )
+
+    seed_rows = sorted(
+        emb.filter(F.col("vec_id") < K_LISTS)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    cents = {
+        int(r.vec_id): [float(x) for x in r.embedding] for r in seed_rows
+    }
+    cents = _means(_assign(emb, cents))  # one Lloyd refinement
+    assigned = _assign(emb, cents)  # final inverted lists
+
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .first()
+        .embedding
+    ]
+
+    def py_sqdist(c: list[float]) -> float:
+        acc = 0.0
+        for x, cc in zip(qvec, c):
+            acc += (x - cc) * (x - cc)
+        return acc
+
+    probe_cids = [
+        c for _, c in sorted((py_sqdist(v), c) for c, v in cents.items())[:NPROBE]
+    ]
+
+    q = F.array(*[F.lit(x) for x in qvec])
+    cos = _dot(F.col("embedding"), q) / (_norm(F.col("embedding")) * _norm(q))
+    return (
+        assigned.filter(F.col("cid").isin(probe_cids))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "label", "cid", cos.alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def _sql_sqdist(vec: str, cvec: str) -> str:
+    return (
+        "list_sum([(CAST(x[1] AS DOUBLE) - x[2]) * (CAST(x[1] AS DOUBLE) - x[2])"
+        f" FOR x IN list_zip({vec}, {cvec})])"
+    )
+
+
+def _sql_assign(src: str, cents: str, out: str) -> str:
+    """Argmin assignment CTE: rank (dist, cid) per vector, keep rank 1
+    — lexicographically identical to the Spark array_min struct."""
+    return f"""{out} AS (
+  SELECT vec_id, label, embedding, cid FROM (
+    SELECT s.vec_id, s.label, s.embedding, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.vec_id
+             ORDER BY {_sql_sqdist('s.embedding', 'c.cvec')} ASC, c.cid ASC
+           ) AS rn
+    FROM {src} s CROSS JOIN {cents} c)
+  WHERE rn = 1
+)"""
+
+
+_SQL_MEANS = f"""c1 AS (
+  SELECT cid, list(m ORDER BY pos) AS cvec FROM (
+    SELECT cid, pos,
+           CAST(SUM(CAST(CAST(embedding[pos] AS DOUBLE)
+                         AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*) AS m
+    FROM a1, generate_series(1, {DIM}) AS g(pos)
+    GROUP BY cid, pos)
+  GROUP BY cid
+)"""
+
+
+ORACLE_IVF = f"""
+WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+c0 AS (
+  SELECT vec_id AS cid,
+         [CAST(x AS DOUBLE) FOR x IN embedding] AS cvec
+  FROM e WHERE vec_id < {K_LISTS}
+),
+{_sql_assign('e', 'c0', 'a1')},
+{_SQL_MEANS},
+{_sql_assign('e', 'c1', 'a2')},
+q AS (SELECT embedding AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
+probes AS (
+  SELECT c1.cid FROM c1, q
+  ORDER BY {_sql_sqdist('q.qv', 'c1.cvec')} ASC, c1.cid ASC
+  LIMIT {NPROBE}
+)
+SELECT a2.vec_id, a2.label, a2.cid,
+       {_sql_dot('a2.embedding', 'q.qv')}
+         / ({_sql_norm('a2.embedding')} * {_sql_norm('q.qv')}) AS cos
+FROM a2 JOIN probes USING (cid), q
+WHERE a2.vec_id != {QUERY_VEC_ID}
+ORDER BY cos DESC, a2.vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+register("ivf_topk", ivf_topk, ORACLE_IVF)

@@ -83,6 +83,17 @@ def test_probe_masks_are_exactly_the_hamming_ball():
     assert all(bin(m).count("1") <= PROBE_RADIUS for m in PROBE_MASKS)
 
 
+def test_ivf_recall_vs_bruteforce(spark, sf_oracle):
+    """IVF with NPROBE=2 of K_LISTS=8 (25% of lists scanned) must keep
+    most of the exact top-10 — measured 9/10 on this corpus; the floor
+    leaves margin for constant tweaks, not for regressions to chance."""
+    ivf = {r.vec_id for r in QUERIES["ivf_topk"](spark, sf_oracle).collect()}
+    bf = {
+        r.vec_id for r in QUERIES["ann_bruteforce_topk"](spark, sf_oracle).collect()
+    }
+    assert len(ivf & bf) >= 7
+
+
 def test_cosine_dup_blocking_recall_floor(spark, sf_oracle):
     """Pair-candidate recall of the Hamming-<=R blocking vs the exact
     all-pairs answer. The corpus is weakly clustered (above-threshold
