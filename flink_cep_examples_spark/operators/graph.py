@@ -1,0 +1,68 @@
+"""Distributed graph operators. Currently: connected components by
+min-label propagation (Pregel-lite) — the building block behind
+near-dup clustering (queries/dedup.py::dedup_clusters).
+
+Scale notes: each round is one shuffle (edge join on the label side's
+id + a map-side-combinable min); the number of rounds equals the
+largest component diameter. Labels and the edge set are
+localCheckpoint'ed so lineage stays flat across rounds and upstream
+(possibly expensive) edge derivation runs exactly once. The driver
+holds only the per-round changed-count scalar. For dup-cluster graphs
+(tiny, dense components) this converges in 2-3 rounds; for
+long-diameter graphs prefer the pointer-doubling variant (O(log d)
+rounds at the cost of a second join per round) before reaching for it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str = "a", dst: str = "b"
+) -> DataFrame:
+    """Undirected connected components of the (src, dst) edge set.
+
+    Returns (id, component) for every node appearing in an edge, where
+    ``component`` is the minimum node id of its component — a
+    deterministic canonical label whatever the execution order.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    ud = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+
+    labels = (
+        ud.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint()
+    )
+    while True:
+        nbr_min = (
+            ud.join(labels, ud["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select("id", F.col("lbl").alias("component"))

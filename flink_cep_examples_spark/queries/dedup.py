@@ -266,7 +266,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_minhash() -> str:
+def _minhash_pair_ctes() -> str:
+    """The shared CTE chain ending in a ``pairs`` relation
+    (doc_a, doc_b, est_jaccard) — composed by both the pair oracle and
+    the clustering oracle."""
     mins = ",\n         ".join(
         f"list_min([({a} * h + {b}) % {P} FOR h IN hs]) AS mh{i}"
         for i, (a, b) in enumerate(MINHASH_AB)
@@ -284,8 +287,7 @@ def _oracle_minhash() -> str:
     est = " + ".join(
         f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(NUM_HASHES)
     )
-    return f"""
-WITH th AS (
+    return f"""th AS (
   SELECT doc_id, [{_sql_h31('t')} FOR t IN toks] AS th
   FROM (SELECT doc_id, regexp_split_to_array({_SQL_NORM}, ' ') AS toks
         FROM documents)
@@ -311,11 +313,19 @@ exploded AS (
   SELECT doc_id, {", ".join(f"mh{i}" for i in range(NUM_HASHES))},
          unnest([{", ".join(f"bk{b}" for b in range(BANDS))}]) AS band_key
   FROM banded
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(({est}) AS DOUBLE) / {NUM_HASHES} AS est_jaccard
-FROM exploded a JOIN exploded b
-  ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(({est}) AS DOUBLE) / {NUM_HASHES} AS est_jaccard
+  FROM exploded a JOIN exploded b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+)"""
+
+
+def _oracle_minhash() -> str:
+    return f"""
+WITH {_minhash_pair_ctes()}
+SELECT doc_a, doc_b, est_jaccard FROM pairs
 """
 
 
@@ -384,7 +394,68 @@ FROM sims
 """
 
 
+CLUSTER_T = 0.5
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the MinHash-LSH
+    pair graph (est_jaccard >= {t}), every document mapped to its
+    component's minimum doc_id — the step a corpus pipeline runs after
+    pair generation to pick one canonical doc per duplicate group
+    (pairs alone can't: near-dup is not transitive-closed).
+
+    Algorithm: operators/graph.py::connected_components (min-label
+    propagation to fixpoint, one shuffle per round, rounds = component
+    diameter — 2-3 for dup clusters in practice). Deterministic: the
+    fixpoint is exactly the transitive closure the oracle's recursive
+    CTE computes, whatever the execution order.""".format(t=CLUSTER_T)
+    from pyspark.sql.window import Window
+
+    from flink_cep_examples_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = dedup_minhash_lsh(spark, sf_dir).filter(
+        F.col("est_jaccard") >= CLUSTER_T
+    )
+    comp = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    allc = docs.join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+    return allc.withColumn(
+        "n_members",
+        F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+    )
+
+
+def _oracle_clusters() -> str:
+    """Transitive closure via recursive CTE: reach(id, r) = node r
+    reaches id over the symmetric edge set; cluster = MIN(r)."""
+    return f"""
+WITH RECURSIVE {_minhash_pair_ctes()},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs WHERE est_jaccard >= {CLUSTER_T}
+),
+ud AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+reach(id, r) AS (
+  SELECT DISTINCT a, a FROM ud
+  UNION
+  SELECT ud.b, reach.r FROM reach JOIN ud ON ud.a = reach.id
+),
+comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+allc AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+FROM allc
+"""
+
+
 register("dedup_exact", dedup_exact, ORACLE_EXACT)
+register("dedup_clusters", dedup_clusters, _oracle_clusters())
 register("dedup_ngram_jaccard", dedup_ngram_jaccard, ORACLE_JACCARD)
 register("dedup_minhash_lsh", dedup_minhash_lsh, _oracle_minhash())
 register("dedup_simhash", dedup_simhash, _oracle_simhash())
