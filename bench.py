@@ -43,6 +43,10 @@ HEADLINE = [
     "text_fingerprint",
     "mm_frame_sample",
     "ann_bruteforce_topk",
+    "ann_batch_topk",
+    "ivf_topk",
+    "dedup_clusters",
+    "q4_late_order_counts",
 ]
 
 
