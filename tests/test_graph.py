@@ -29,3 +29,43 @@ def test_triangle_plus_pendant(spark):
     # triangle {3,7,9} + pendant 11 off 9; edge direction immaterial
     got = _components(spark, [(7, 3), (9, 7), (3, 9), (11, 9)])
     assert got == {3: 3, 7: 3, 9: 3, 11: 3}
+
+
+def _union_find(edges):
+    """Independent reference: path-compressed union-find."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node of the component
+    comp = {}
+    for x in list(parent):
+        comp.setdefault(find(x), []).append(x)
+    return {x: root for root, xs in comp.items() for x in xs}
+
+
+def test_random_graphs_match_union_find(spark):
+    """Property: on deterministic pseudo-random graphs the distributed
+    min-label propagation equals an independent union-find."""
+    import hashlib
+
+    def h(i, salt):
+        return int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:8], 16)
+
+    for salt in range(3):
+        n_nodes, n_edges = 40, 35
+        edges = [
+            (h(i, salt) % n_nodes, h(i + 1000, salt) % n_nodes)
+            for i in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        assert _components(spark, edges) == _union_find(edges), salt
