@@ -32,5 +32,6 @@ def load_all() -> None:
         relational,
         relational_shapes,
         similarity,
+        temporal,
         text,
     )
