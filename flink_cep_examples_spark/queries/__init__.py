@@ -31,6 +31,7 @@ def load_all() -> None:
         pipeline,
         relational,
         relational_shapes,
+        sampling,
         similarity,
         temporal,
         text,

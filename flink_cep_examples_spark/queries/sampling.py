@@ -1,0 +1,166 @@
+"""Training-corpus curation operators: deterministic stratified
+sampling, a KMV distinct-count sketch, and a ROLLUP report — each with
+an exactly-matching DuckDB oracle.
+
+Determinism across engines is the design constraint here: no
+``rand()``, no engine hash functions, no transcendental math. Sampling
+and sketching both key off a Knuth multiplicative mixer
+``(x * 2654435761) mod 2^32`` — plain BIGINT arithmetic that DuckDB and
+Spark evaluate identically (products stay < 2^63), giving a uniform,
+reproducible "random" that survives reruns, engine swaps, and
+partitioning changes. That reproducibility is what makes a 100 TB
+sample auditable: membership is a pure function of the row, so the
+sample can be re-derived, diffed, and extended incrementally.
+
+Scale notes:
+
+- ``docs_stratified_sample`` is a pure scan+filter (no shuffle at all);
+  the per-stratum rate lookup is a CASE expression, not a join.
+- ``events_kmv_distinct`` shuffles one (type, hash) pair per row into a
+  top-k-per-group window; with k=64 the state per group is bounded, and
+  the pre-aggregation (distinct hash) is map-side combinable. This is
+  the sketch pattern (KMV / bottom-k): at 100 TB you'd keep the k
+  minima per partition and merge, which Spark's partial aggregation
+  already does for min-k via the distinct+window composition here.
+- ``orders_rollup_report`` is one shuffle; ROLLUP grand-total rows are
+  computed from the same partials, and subtotal labels are coalesced to
+  'ALL' so the output is null-free (cross-engine hash safety).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flink_cep_examples_spark.queries import register
+from flink_cep_examples_spark.sources.tables import load_table
+
+#: Knuth's multiplicative constant (2^32 / phi, odd)
+_MIX = 2654435761
+_MOD = 1 << 32
+
+#: per-language keep-rate (percent); head language downsampled
+_RATES = {"en": 35, "de": 80, "fr": 80, "es": 80, "zh": 80}
+_DEFAULT_RATE = 50
+
+
+def _mix(col):
+    return (col * F.lit(_MIX)) % F.lit(_MOD)
+
+
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified sample of ``documents``:
+    keep a row iff mix(doc_id) mod 100 < rate(lang). Head-language
+    downsampling + tail upweighting is the standard rebalancing move
+    for LLM corpora; hash-membership makes it reproducible and
+    incrementally extendable (raising a rate strictly grows the
+    sample)."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.lit(_DEFAULT_RATE)
+    for lang, r in _RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return docs.filter(_mix(F.col("doc_id")) % 100 < rate).select(
+        "doc_id", "lang", "source", "n_chars", rate.alias("stratum_rate")
+    )
+
+
+ORACLE_SAMPLE = """
+SELECT doc_id, lang, source, n_chars,
+       CASE lang WHEN 'en' THEN 35 WHEN 'de' THEN 80 WHEN 'fr' THEN 80
+                 WHEN 'es' THEN 80 WHEN 'zh' THEN 80 ELSE 50 END
+         AS stratum_rate
+FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 % 100 <
+      CASE lang WHEN 'en' THEN 35 WHEN 'de' THEN 80 WHEN 'fr' THEN 80
+                WHEN 'es' THEN 80 WHEN 'zh' THEN 80 ELSE 50 END
+"""
+
+
+def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) distinct-count sketch: per event_type, keep the
+    k=64 smallest mixed user hashes; estimate distinct users as
+    (k-1) * 2^32 / kth_min. Emits estimate alongside the kth-min hash
+    (the sketch's whole state is the k minima, mergeable by min-k
+    union). Exact same integers + one IEEE multiply/divide in both
+    engines -> bit-identical estimates."""
+    k = 64
+    ev = load_table(spark, sf_dir, "events")
+    hashed = (
+        ev.select("event_type", _mix(F.col("user_id")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    ranked = hashed.withColumn("rk", F.row_number().over(w))
+    kth = ranked.filter(F.col("rk") <= k).groupBy("event_type").agg(
+        F.max("h").alias("kth_min"), F.count(F.lit(1)).alias("n_kept")
+    )
+    return kth.select(
+        "event_type",
+        "kth_min",
+        "n_kept",
+        F.when(
+            F.col("n_kept") < k, F.col("n_kept").cast("double")
+        )
+        .otherwise(
+            (F.lit(float(k - 1)) * F.lit(float(_MOD))) / F.col("kth_min")
+        )
+        .alias("est_distinct"),
+    )
+
+
+ORACLE_KMV = """
+WITH hashed AS (
+  SELECT DISTINCT event_type, (user_id * 2654435761) % 4294967296 AS h
+  FROM events
+), ranked AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+  FROM hashed
+), kth AS (
+  SELECT event_type, MAX(h) AS kth_min, COUNT(*) AS n_kept
+  FROM ranked WHERE rk <= 64 GROUP BY event_type
+)
+SELECT event_type, kth_min, n_kept,
+       CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+            ELSE (CAST(63 AS DOUBLE) * CAST(4294967296 AS DOUBLE))
+                 / CAST(kth_min AS DOUBLE) END AS est_distinct
+FROM kth
+"""
+
+
+def orders_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(priority, status): order counts and exact-decimal revenue
+    at detail, per-priority subtotal, and grand-total levels. Subtotal
+    grouping nulls are projected to 'ALL' (null-free output)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(24,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(24,4))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+register("docs_stratified_sample", docs_stratified_sample, ORACLE_SAMPLE)
+register("events_kmv_distinct", events_kmv_distinct, ORACLE_KMV)
+register("orders_rollup_report", orders_rollup_report, ORACLE_ROLLUP)

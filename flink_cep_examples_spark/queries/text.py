@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from flink_cep_examples_spark.queries import register
 from flink_cep_examples_spark.sources.tables import load_table, spread
@@ -239,8 +240,72 @@ GROUP BY 1
 """
 
 
+def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by tf-idf with a *linear* idf
+    (score = tf * N / df): multiply/divide are IEEE correctly-rounded,
+    so both engines produce bit-identical doubles — ln() is only
+    1-ulp-accurate and library-dependent, which would poison the
+    cross-engine value hash. Ranking (the actual deliverable) is
+    idf-monotone either way.
+
+    Scale shape: explode -> map-side-combinable (doc,term) counts, one
+    shuffle; document frequency is an agg *of the tf frame* (vocab-
+    sized, tiny vs corpus) joined back broadcast; final top-3 is a
+    bounded per-doc window."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "score",
+            (F.col("tf").cast("double") * F.col("n_total").cast("double"))
+            / F.col("df").cast("double"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "score", "rk")
+    )
+
+
+ORACLE_TFIDF = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+), idf AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, idf.df,
+         CAST(tf.tf AS DOUBLE)
+           * CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+           / CAST(idf.df AS DOUBLE) AS score,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY CAST(tf.tf AS DOUBLE)
+                                     * CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                                     / CAST(idf.df AS DOUBLE) DESC,
+                                     tf.term ASC) AS rk
+  FROM tf JOIN idf USING (term)
+)
+SELECT doc_id, term, tf, df, score, rk FROM scored WHERE rk <= 3
+"""
+
+
 register("text_token_stats", text_token_stats, ORACLE_TOKEN_STATS)
 register("text_quality_scores", text_quality_scores, ORACLE_QUALITY)
 register("text_lang_id", text_lang_id, _oracle_lang())
 register("text_fingerprint", text_fingerprint, ORACLE_FINGERPRINT)
 register("doc_length_histogram", doc_length_histogram, ORACLE_LENGTH_HIST)
+register("docs_tfidf_top_terms", docs_tfidf_top_terms, ORACLE_TFIDF)
