@@ -28,6 +28,7 @@ def load_all() -> None:
         dedup,
         ivf,
         multimodal,
+        percentiles,
         pipeline,
         relational,
         relational_shapes,
