@@ -47,6 +47,8 @@ HEADLINE = [
     "ivf_topk",
     "dedup_clusters",
     "q4_late_order_counts",
+    "docs_bigram_topk",
+    "events_funnel_interval_join",
 ]
 
 

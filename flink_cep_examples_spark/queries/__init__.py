@@ -25,6 +25,7 @@ def load_all() -> None:
     """Import every query module (idempotent)."""
     from flink_cep_examples_spark.queries import (  # noqa: F401
         cep,
+        curation,
         dedup,
         ivf,
         multimodal,

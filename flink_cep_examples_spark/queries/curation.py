@@ -1,0 +1,251 @@
+"""Corpus-curation operators over ``documents`` — the quality-filter /
+scrubbing stage of a pre-training data pipeline (beyond-reference
+surface; the reference's closest analogue is the predicate/projection
+tier, SURVEY §2.2).
+
+Everything here is built-in ``pyspark.sql.functions`` — higher-order
+array functions and regexes run JVM-side inside whole-stage codegen, so
+each query is an embarrassingly-parallel scan+project (plus one bounded
+TakeOrdered for the corpus top-k). At 100 TB: full column pruning (only
+``doc_id``/``text`` leave the parquet scan), no shuffle except the
+map-side-combined bigram count, no Python in any hot path.
+
+Oracle-exactness notes: ratios divide identical int64s → bit-identical
+IEEE doubles; every regex is a character-class/alternation pattern from
+the Java∩RE2 common dialect (no lookaround, no backrefs); bigrams are
+built by the same index arithmetic in both engines (0-indexed transform
+in Spark, 1-indexed list comprehension in DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_cep_examples_spark.queries import register
+from flink_cep_examples_spark.sources.tables import load_table, spread
+
+#: PII patterns (Java∩RE2-portable: classes + bounded repeats only).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PHONE_RE = r"\+[0-9][0-9()\- ]{6,}[0-9]"
+
+#: Gopher-style quality rule thresholds (Rae et al. 2021, public).
+MIN_WORDS, MAX_WORDS = 50, 100_000
+MIN_MEAN_LEN, MAX_MEAN_LEN = 3.0, 10.0
+MIN_ALPHA_FRAC = 0.8
+
+TOP_BIGRAMS = 20
+
+
+def _toks(c) -> Column:
+    return F.split(F.trim(c), r"\s+")
+
+
+def _bigrams(toks: Column) -> Column:
+    """Adjacent-pair array; empty for 0/1-token docs (guarded —
+    ``sequence(0, -1)`` would count *down* in Spark)."""
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals: duplicate-token and duplicate-bigram
+    fractions per document (the Gopher "repetition" family — high
+    values flag boilerplate / degenerate generations)."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = _toks(F.col("text"))
+    big = _bigrams(toks)
+    n_tok = F.size(toks)
+    n_dis = F.size(F.array_distinct(toks))
+    n_big = F.size(big)
+    n_bdis = F.size(F.array_distinct(big))
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_dis.alias("n_distinct_tokens"),
+        ((n_tok - n_dis).cast("double") / n_tok).alias("dup_token_ratio"),
+        n_big.alias("n_bigrams"),
+        n_bdis.alias("n_distinct_bigrams"),
+        F.when(n_big > 0, (n_big - n_bdis).cast("double") / n_big)
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_ratio"),
+    )
+
+
+ORACLE_REPETITION = r"""
+WITH s AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+), b AS (
+  SELECT doc_id, toks,
+         [toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))] AS big
+  FROM s
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_distinct_tokens,
+       CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks)
+         AS dup_token_ratio,
+       len(big) AS n_bigrams,
+       len(list_distinct(big)) AS n_distinct_bigrams,
+       CASE WHEN len(big) > 0
+            THEN CAST(len(big) - len(list_distinct(big)) AS DOUBLE) / len(big)
+            ELSE 0.0 END AS dup_bigram_ratio
+FROM b
+"""
+
+
+def docs_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule filter: word-count bounds, mean word length
+    band, and minimum fraction of words containing an alphabetic
+    character. Emits the metrics, the per-rule flags, and the composite
+    ``keep`` — the standard shape for an auditable corpus gate (keep
+    the flags so downstream can re-cut without a rescan)."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = _toks(F.col("text"))
+    n_words = F.size(toks)
+    n_word_chars = F.length(F.regexp_replace("text", r"\s", ""))
+    mean_len = n_word_chars.cast("double") / n_words
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    alpha_frac = n_alpha.cast("double") / n_words
+    words_ok = (n_words >= MIN_WORDS) & (n_words <= MAX_WORDS)
+    len_ok = (mean_len >= MIN_MEAN_LEN) & (mean_len <= MAX_MEAN_LEN)
+    alpha_ok = alpha_frac >= MIN_ALPHA_FRAC
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        words_ok.alias("words_ok"),
+        len_ok.alias("mean_len_ok"),
+        alpha_ok.alias("alpha_ok"),
+        (words_ok & len_ok & alpha_ok).alias("keep"),
+    )
+
+
+ORACLE_GOPHER = rf"""
+WITH s AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\s+') AS toks,
+         length(regexp_replace(text, '\s', '', 'g')) AS n_word_chars
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         CAST(n_word_chars AS DOUBLE) / len(toks) AS mean_word_len,
+         CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]')))
+              AS DOUBLE) / len(toks) AS alpha_word_frac
+  FROM s
+)
+SELECT doc_id, n_words, mean_word_len, alpha_word_frac,
+       (n_words >= {MIN_WORDS} AND n_words <= {MAX_WORDS}) AS words_ok,
+       (mean_word_len >= {MIN_MEAN_LEN} AND mean_word_len <= {MAX_MEAN_LEN})
+         AS mean_len_ok,
+       (alpha_word_frac >= {MIN_ALPHA_FRAC}) AS alpha_ok,
+       (n_words >= {MIN_WORDS} AND n_words <= {MAX_WORDS}
+        AND mean_word_len >= {MIN_MEAN_LEN} AND mean_word_len <= {MAX_MEAN_LEN}
+        AND alpha_word_frac >= {MIN_ALPHA_FRAC}) AS keep
+FROM m
+"""
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4s / international phone numbers in
+    ``text_col`` (appends ``<col>_scrubbed`` + per-kind counts).
+    Reusable operator — ``docs_pii_scrub`` below is its query form."""
+    c = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return df.withColumns(
+        {
+            f"{text_col}_scrubbed": scrubbed,
+            "n_emails": F.regexp_count(c, F.lit(EMAIL_RE)),
+            "n_ips": F.regexp_count(c, F.lit(IPV4_RE)),
+            "n_phones": F.regexp_count(c, F.lit(PHONE_RE)),
+        }
+    )
+
+
+def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit over the corpus: per-kind redaction counts and a
+    digest of the scrubbed text. (The synthetic corpus is clean — the
+    cross-engine differential then pins that the scrub is an exact
+    identity on clean text, i.e. no false-positive rewrites; dirty-text
+    behavior is pinned by unit tests on constructed rows.)"""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    return scrub_pii(docs).select(
+        "doc_id",
+        "n_emails",
+        "n_ips",
+        "n_phones",
+        F.md5(F.col("text_scrubbed")).alias("scrubbed_md5"),
+    )
+
+
+ORACLE_PII = rf"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text, '{IPV4_RE}')) AS n_ips,
+       len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '{EMAIL_RE}', '<EMAIL>', 'g'),
+             '{IPV4_RE}', '<IP>', 'g'),
+             '{PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5
+FROM documents
+"""
+
+
+def docs_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-{k} bigrams (count desc, bigram asc tiebreak).
+
+    Scale shape: explode → map-side-combined count (partial agg before
+    the one shuffle, keyed by the bigram string) → TakeOrdered {k} (per-
+    partition heaps; {k} rows cross to the driver, never a global
+    sort).""".format(k=TOP_BIGRAMS)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(_bigrams(_toks(F.col("text")))).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(TOP_BIGRAMS)
+    )
+
+
+ORACLE_BIGRAM_TOPK = rf"""
+WITH s AS (
+  SELECT regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+), e AS (
+  SELECT unnest([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))])
+           AS bigram
+  FROM s
+)
+SELECT bigram, COUNT(*) AS n
+FROM e
+GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT {TOP_BIGRAMS}
+"""
+
+
+register("docs_repetition_stats", docs_repetition_stats, ORACLE_REPETITION)
+register("docs_gopher_quality", docs_gopher_quality, ORACLE_GOPHER)
+register("docs_pii_scrub", docs_pii_scrub, ORACLE_PII)
+register("docs_bigram_topk", docs_bigram_topk, ORACLE_BIGRAM_TOPK)

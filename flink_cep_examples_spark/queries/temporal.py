@@ -195,6 +195,65 @@ FROM grid LEFT JOIN agg USING (event_type, hour)
 """
 
 
+def events_funnel_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase funnel: every (click, purchase) pair by the same
+    user with the purchase in [click, click + 30 min] — the interval
+    join (Flink ``intervalJoin``). The SAME operator drives the
+    streaming twin (``streaming/joins.py``): in batch the equi-key +
+    range condition plans as a sort-merge join on user_id with the
+    range as residual filter (one Exchange per side, never a nested
+    loop); in streaming it is Spark's watermarked stream-stream join
+    with state evicted past the interval."""
+    from flink_cep_examples_spark.streaming.joins import interval_join_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return interval_join_stream(
+        clicks,
+        purchases,
+        on="user_id",
+        left_time="click_ts",
+        right_time="purchase_ts",
+        lower_seconds=0,
+        upper_seconds=1800,
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias(
+            "delay_us"
+        ),
+        "purchase_value",
+    )
+
+
+ORACLE_FUNNEL = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+       date_diff('microsecond', c.ts, p.ts) AS delay_us,
+       p.value AS purchase_value
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'click') c
+JOIN (SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
+
 register("events_asof_attribution", events_asof_attribution, ORACLE_ASOF)
+register(
+    "events_funnel_interval_join", events_funnel_interval_join, ORACLE_FUNNEL
+)
 register("events_range_error_context", events_range_error_context, ORACLE_RANGE)
 register("events_hourly_gapfill", events_hourly_gapfill, ORACLE_GAPFILL)
