@@ -29,6 +29,7 @@ def load_all() -> None:
         dedup,
         ivf,
         multimodal,
+        packing,
         percentiles,
         pipeline,
         relational,
