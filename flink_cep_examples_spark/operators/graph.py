@@ -29,9 +29,14 @@ def connected_components(
     deterministic canonical label whatever the execution order.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    ud = e.union(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
+    # Partition the (static) symmetric edge set by the per-round join
+    # key ONCE; localCheckpoint materializes it with the partitioning
+    # recorded, so every round's edge⋈label join reuses it shuffle-free.
+    ud = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .repartition(F.col("b"))
+        .localCheckpoint()
+    )
 
     labels = (
         ud.select(F.col("a").alias("id"))
@@ -40,6 +45,9 @@ def connected_components(
         .localCheckpoint()
     )
     while True:
+        # One shuffle per round (the groupBy on a): `ud` is pre-hashed
+        # on b, `labels` on id (distinct seed / previous join output),
+        # and the label-update join keys land co-partitioned too.
         nbr_min = (
             ud.join(labels, ud["b"] == labels["id"])
             .groupBy("a")
@@ -49,19 +57,17 @@ def connected_components(
             labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
             .select(
                 "id",
+                F.col("lbl").alias("old_lbl"),
                 F.least(
                     F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
                 ).alias("lbl"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
+        # Convergence probe reads the just-materialized blocks — no
+        # re-join with the previous labels, no extra shuffle.
+        changed = new_labels.filter(F.col("lbl") != F.col("old_lbl")).count()
+        labels = new_labels.select("id", "lbl")
         if changed == 0:
             break
 

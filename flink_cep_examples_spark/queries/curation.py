@@ -57,24 +57,54 @@ def _bigrams(toks: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _token_bigram_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, t, bigram) rows: posexplode the token array and form
+    each adjacent pair with a per-doc ``lead`` window (null at the last
+    position). Everything stays in whole-stage codegen — the
+    array-HOF formulation (``transform`` + ``element_at``) evaluates
+    interpreted and measured ~6× slower at sf0.1 (same pathology as
+    the shingle hashing in queries/dedup.py)."""
+    from pyspark.sql.window import Window
+
+    e = docs.select(
+        "doc_id", F.posexplode(_toks(F.col("text"))).alias("pos", "t")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return e.select(
+        "doc_id",
+        "t",
+        F.concat_ws(" ", F.col("t"), F.lead("t", 1).over(w)).alias("bigram"),
+        F.lead("t", 1).over(w).isNotNull().alias("has_next"),
+    )
+
+
 def docs_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition signals: duplicate-token and duplicate-bigram
     fractions per document (the Gopher "repetition" family — high
-    values flag boilerplate / degenerate generations)."""
+    values flag boilerplate / degenerate generations).
+
+    Plan shape: explode → per-doc window (one shuffle on doc_id, reused
+    by the groupBy — same key, no second exchange) → count/
+    count-distinct aggregates; all codegen."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    toks = _toks(F.col("text"))
-    big = _bigrams(toks)
-    n_tok = F.size(toks)
-    n_dis = F.size(F.array_distinct(toks))
-    n_big = F.size(big)
-    n_bdis = F.size(F.array_distinct(big))
-    return docs.select(
+    rows = _token_bigram_rows(docs)
+    agg = rows.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("t").alias("n_distinct_tokens"),
+        F.sum(F.col("has_next").cast("int")).alias("n_bigrams"),
+        F.countDistinct(
+            F.when(F.col("has_next"), F.col("bigram"))
+        ).alias("n_distinct_bigrams"),
+    )
+    n_tok, n_dis = F.col("n_tokens"), F.col("n_distinct_tokens")
+    n_big, n_bdis = F.col("n_bigrams"), F.col("n_distinct_bigrams")
+    return agg.select(
         "doc_id",
-        n_tok.alias("n_tokens"),
-        n_dis.alias("n_distinct_tokens"),
+        "n_tokens",
+        "n_distinct_tokens",
         ((n_tok - n_dis).cast("double") / n_tok).alias("dup_token_ratio"),
-        n_big.alias("n_bigrams"),
-        n_bdis.alias("n_distinct_bigrams"),
+        "n_bigrams",
+        "n_distinct_bigrams",
         F.when(n_big > 0, (n_big - n_bdis).cast("double") / n_big)
         .otherwise(F.lit(0.0))
         .alias("dup_bigram_ratio"),
@@ -213,15 +243,16 @@ FROM documents
 def docs_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level top-{k} bigrams (count desc, bigram asc tiebreak).
 
-    Scale shape: explode → map-side-combined count (partial agg before
-    the one shuffle, keyed by the bigram string) → TakeOrdered {k} (per-
-    partition heaps; {k} rows cross to the driver, never a global
-    sort).""".format(k=TOP_BIGRAMS)
-    docs = load_table(spark, sf_dir, "documents")
+    Scale shape: codegen explode + per-doc lead window (shuffle on
+    doc_id) → map-side-combined count (partial agg before the shuffle
+    on the bigram string) → TakeOrdered {k} (per-partition heaps; {k}
+    rows cross to the driver, never a global sort).""".format(
+        k=TOP_BIGRAMS
+    )
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     return (
-        docs.select(
-            F.explode(_bigrams(_toks(F.col("text")))).alias("bigram")
-        )
+        _token_bigram_rows(docs)
+        .filter(F.col("has_next"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("bigram"))

@@ -65,6 +65,74 @@ def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: target mixture weights (percent, sums to 100) for docs_mixture_sample
+_MIX_W = {"en": 30, "de": 20, "es": 20, "fr": 15, "zh": 15}
+_MIX_W_DEFAULT = 10
+_PPM = 1_000_000
+
+
+def docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing: sample ``documents`` so the output hits a
+    target per-language mixture (the data-mixing stage of a training
+    pipeline — e.g. cap English at 30%). Unlike the fixed-rate
+    stratified sample, the keep rates are DERIVED FROM THE DATA in a
+    first aggregation pass: T = min_l floor(n_l*100/w_l) is the largest
+    total the observed counts can support at the target weights,
+    k_l = floor(w_l*T/100) the per-language quota, and the keep rate
+    r_l = floor(k_l*1e6/n_l) ppm. Membership is then the usual
+    deterministic hash threshold mix(doc_id) % 1e6 < r_l.
+
+    Every step is int64 arithmetic (floor division), so Spark and
+    DuckDB derive bit-identical rates; the ppm threshold makes the
+    realized share converge to the target as n_l grows (law of large
+    numbers), while membership stays a pure row function.
+
+    Scale shape: pass 1 is a map-side-combined count (one row per
+    language crosses the wire); the rate table is broadcast; pass 2 is
+    scan + broadcast-join + filter — no wide shuffle anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.lit(_MIX_W_DEFAULT)
+    for lang, wt in _MIX_W.items():
+        w = F.when(F.col("lang") == lang, F.lit(wt)).otherwise(w)
+    counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_lang")
+    ).withColumn("w", w)
+    t = counts.select(
+        F.min(F.expr("n_lang * 100 div w")).alias("t_total")
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(t))
+        .withColumn("k_target", F.expr("w * t_total div 100"))
+        .withColumn("keep_ppm", F.expr("k_target * 1000000 div n_lang"))
+        .select("lang", "n_lang", "k_target", "keep_ppm")
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(_mix(F.col("doc_id")) % _PPM < F.col("keep_ppm"))
+        .select("doc_id", "lang", "source", "n_chars", "keep_ppm")
+    )
+
+
+ORACLE_MIXTURE = """
+WITH c AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
+w AS (
+  SELECT lang, n_lang,
+         CASE lang WHEN 'en' THEN 30 WHEN 'de' THEN 20 WHEN 'es' THEN 20
+                   WHEN 'fr' THEN 15 WHEN 'zh' THEN 15 ELSE 10 END AS w
+  FROM c
+),
+t AS (SELECT MIN(n_lang * 100 // w) AS t_total FROM w),
+r AS (
+  SELECT lang, n_lang, (w * t_total // 100) AS k_target,
+         ((w * t_total // 100) * 1000000 // n_lang) AS keep_ppm
+  FROM w, t
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars, r.keep_ppm
+FROM documents d JOIN r USING (lang)
+WHERE (d.doc_id * 2654435761) % 4294967296 % 1000000 < r.keep_ppm
+"""
+
+
 ORACLE_SAMPLE = """
 SELECT doc_id, lang, source, n_chars,
        CASE lang WHEN 'en' THEN 35 WHEN 'de' THEN 80 WHEN 'fr' THEN 80
@@ -162,5 +230,6 @@ GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 
 
 register("docs_stratified_sample", docs_stratified_sample, ORACLE_SAMPLE)
+register("docs_mixture_sample", docs_mixture_sample, ORACLE_MIXTURE)
 register("events_kmv_distinct", events_kmv_distinct, ORACLE_KMV)
 register("orders_rollup_report", orders_rollup_report, ORACLE_ROLLUP)

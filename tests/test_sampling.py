@@ -1,0 +1,40 @@
+"""Mixture rebalancing semantics the oracle can't express: the derived
+rates actually move the realized mixture toward the target."""
+
+from __future__ import annotations
+
+from flink_cep_examples_spark.queries import QUERIES, load_all
+
+load_all()
+
+
+def test_mixture_sample_rebalances_toward_target(spark, sf_small):
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    n_in = {r.lang: r.n for r in docs.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    out = QUERIES["docs_mixture_sample"](spark, sf_small)
+    rows = out.collect()
+    n_out = {}
+    for r in rows:
+        n_out[r.lang] = n_out.get(r.lang, 0) + 1
+    total_in, total_out = sum(n_in.values()), sum(n_out.values())
+    assert 0 < total_out < total_in
+    target = {"en": 0.30, "de": 0.20, "es": 0.20, "fr": 0.15, "zh": 0.15}
+    for lang, share in target.items():
+        got = n_out[lang] / total_out
+        # realized share lands near the target (hash-threshold noise is
+        # a few rows at this corpus size)...
+        assert abs(got - share) < 0.03, (lang, got, share)
+        # ...and never further from it than the input mixture was
+        assert abs(got - share) <= abs(n_in[lang] / total_in - share) + 0.03
+    # no language gains absolute rows; the binding language (the one
+    # whose count set T) is kept in full at rate 1.0
+    for lang, k in n_out.items():
+        assert k <= n_in[lang]
+    binding = min(n_in, key=lambda l: n_in[l] * 100 // (target[l] * 100))
+    assert n_out[binding] == n_in[binding]
+
+
+def test_mixture_sample_is_deterministic(spark, sf_small):
+    a = sorted(r.doc_id for r in QUERIES["docs_mixture_sample"](spark, sf_small).collect())
+    b = sorted(r.doc_id for r in QUERIES["docs_mixture_sample"](spark, sf_small).collect())
+    assert a == b and len(a) > 0
