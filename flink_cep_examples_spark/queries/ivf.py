@@ -43,6 +43,11 @@ from flink_cep_examples_spark.queries.similarity import (
 )
 from flink_cep_examples_spark.sources.tables import load_table, spread
 
+import numpy as np
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import IntegerType
+
 K_LISTS = 8
 NPROBE = 2
 _MEAN_DEC = "decimal(28,18)"
@@ -61,19 +66,34 @@ def _sqdist(vec, cent: list[float]) -> Column:
 
 
 def _assign(emb: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
-    """cid = argmin over centroids of (dist, cid) — scan-side, no join."""
-    best = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    _sqdist(F.col("embedding"), vec).alias("d"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, vec in sorted(cents.items())
-            ]
-        )
-    )
-    return emb.withColumn("cid", best.getField("cid"))
+    """cid = argmin over centroids of (dist, cid) — scan-side, no join.
+
+    Arrow-vectorized (K×DIM numpy passes per batch) but with the HOF
+    fold's exact arithmetic: per-dimension sequential accumulation and
+    ascending-cid strict-< argmin (ties keep the smaller cid), so the
+    assignment is bit-identical to the interpreted ``_sqdist``/
+    ``array_min(struct(d, cid))`` formulation the DuckDB oracle
+    mirrors."""
+    items = sorted((int(c), [float(v) for v in vec]) for c, vec in cents.items())
+
+    @pandas_udf(IntegerType())
+    def assign_udf(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        A = np.vstack(v.to_numpy()).astype(np.float64)
+        best_d = np.full(len(A), np.inf)
+        best_c = np.zeros(len(A), dtype=np.int32)
+        for cid, cent in items:
+            acc = np.zeros(len(A))
+            for d, cc in enumerate(cent):
+                diff = A[:, d] - cc
+                acc += diff * diff
+            take = acc < best_d
+            best_d[take] = acc[take]
+            best_c[take] = cid
+        return pd.Series(best_c)
+
+    return emb.withColumn("cid", assign_udf("embedding"))
 
 
 def _means(assigned: DataFrame) -> dict[int, list[float]]:
