@@ -48,6 +48,7 @@ HEADLINE = [
     "dedup_clusters",
     "q4_late_order_counts",
     "docs_bigram_topk",
+    "docs_pack_sequences",
     "events_funnel_interval_join",
 ]
 
