@@ -26,6 +26,7 @@ def load_all() -> None:
     from flink_cep_examples_spark.queries import (  # noqa: F401
         cep,
         curation,
+        decontam,
         dedup,
         ivf,
         multimodal,

@@ -1,0 +1,126 @@
+"""Benchmark decontamination — flag training documents that contain any
+n-gram from a held-out evaluation set (the standard pre-training
+"contamination" sweep: an eval question leaking into the corpus inflates
+downstream scores, so contaminated docs are dropped or masked).
+
+Method (the public n-gram-overlap recipe): normalize text the same way
+the dedup family does (lowercase, strip non-alphanumerics), hash every
+contiguous N_GRAM-token window to a 31-bit integer with the repo's
+portable md5-arith hash, and semi-join corpus windows against the eval
+set's windows. A doc is contaminated iff it shares ≥ 1 window hash.
+
+The eval set here is a deterministic pseudo-random corpus slice
+(mix(doc_id) % EVAL_MOD == EVAL_RESIDUE) so the query is
+self-contained; a real pipeline passes its own eval table.
+
+Scale shape (100 TB): corpus-side window hashing is the codegen
+posexplode + lead-window pattern (one shuffle on doc_id, int64 rows
+only — text never leaves the scan stage); the eval side is tiny and
+BROADCAST, so the containment join never shuffles the corpus; the
+per-doc hit count is a map-side-combinable count-distinct. At larger
+eval sets, swap the broadcast for a bloom filter on the window hash —
+same plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from flink_cep_examples_spark.queries import register
+from flink_cep_examples_spark.queries.dedup import (
+    P,
+    _h31,
+    _sql_h31,
+    _tokens,
+)
+from flink_cep_examples_spark.sources.tables import load_table, spread
+
+#: contamination n-gram width (tokens); 8 is the common public choice
+N_GRAM = 8
+
+#: rolling-hash combiner base (shares the dedup convention family)
+C = 1_000_003
+
+#: eval-set selector: mix(doc_id) % EVAL_MOD == EVAL_RESIDUE (~2%)
+_MIX, _MOD = 2654435761, 1 << 32
+EVAL_MOD, EVAL_RESIDUE = 50, 7
+
+#: Horner weights C^(N_GRAM-1-k) mod P for window position k
+_WEIGHTS = [pow(C, N_GRAM - 1 - k, P) for k in range(N_GRAM)]
+
+
+def _window_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, wh) — hash of every contiguous N_GRAM-token window:
+    sum_k h(tok_{i+k}) * C^(N_GRAM-1-k) mod P over per-token 31-bit
+    hashes. Windows shorter than N_GRAM (doc tail) are excluded, like
+    the standard recipe. All arithmetic stays < 2^63."""
+    e = docs.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "t")
+    ).select("doc_id", "pos", _h31(F.col("t")).alias("h"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    acc = None
+    for k, wt in enumerate(_WEIGHTS):
+        term = (F.lead("h", k).over(w) % P) * F.lit(wt) % P
+        acc = term if acc is None else (acc + term) % P
+    has_full = F.lead("h", N_GRAM - 1).over(w).isNotNull()
+    return e.select(
+        "doc_id", acc.alias("wh"), has_full.alias("full")
+    ).filter("full").select("doc_id", "wh")
+
+
+def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contaminated training docs: corpus documents (outside the eval
+    slice) sharing at least one {n}-token window hash with the eval
+    slice. Emits (doc_id, n_hits = distinct shared window hashes),
+    contaminated rows only.""".format(n=N_GRAM)
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    is_eval = (F.col("doc_id") * _MIX) % _MOD % EVAL_MOD == EVAL_RESIDUE
+    eval_hashes = (
+        _window_hashes(docs.filter(is_eval)).select("wh").distinct()
+    )
+    corpus = _window_hashes(docs.filter(~is_eval))
+    return (
+        corpus.join(F.broadcast(eval_hashes), "wh")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("wh").alias("n_hits"))
+    )
+
+
+def _sql_window_hashes(src: str, out: str) -> str:
+    terms = " + ".join(
+        f"(th[i+{k}] * {wt}) % {P}" for k, wt in enumerate(_WEIGHTS)
+    )
+    return f"""{out} AS (
+  SELECT doc_id,
+         unnest([({terms}) % {P}
+                 FOR i IN range(1, len(th) - {N_GRAM - 2})]) AS wh
+  FROM (
+    SELECT doc_id,
+           [{_sql_h31('t')} FOR t IN
+              regexp_split_to_array(
+                trim(regexp_replace(regexp_replace(lower(text),
+                     '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ')] AS th
+    FROM {src})
+)"""
+
+
+ORACLE_DECONTAM = f"""
+WITH eval_docs AS (
+  SELECT * FROM documents
+  WHERE (doc_id * {_MIX}) % {_MOD} % {EVAL_MOD} = {EVAL_RESIDUE}
+),
+corpus_docs AS (
+  SELECT * FROM documents
+  WHERE (doc_id * {_MIX}) % {_MOD} % {EVAL_MOD} != {EVAL_RESIDUE}
+),
+{_sql_window_hashes('eval_docs', 'ew')},
+{_sql_window_hashes('corpus_docs', 'cw')}
+SELECT cw.doc_id, COUNT(DISTINCT cw.wh) AS n_hits
+FROM cw JOIN (SELECT DISTINCT wh FROM ew) e USING (wh)
+GROUP BY cw.doc_id
+"""
+
+
+register("docs_decontaminate", docs_decontaminate, ORACLE_DECONTAM)

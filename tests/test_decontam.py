@@ -1,0 +1,51 @@
+"""Decontamination semantics on constructed rows: an 8-token shared
+run is a hit, a 7-token one is not, and normalization (case /
+punctuation) does not defeat the match. The exact-hash oracle runs in
+test_oracle_extensions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_cep_examples_spark.queries import load_all
+from flink_cep_examples_spark.queries.decontam import N_GRAM, _window_hashes
+
+load_all()
+
+EVAL_TEXT = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+
+
+def _hashes(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return _window_hashes(df)
+
+
+def _hits(spark, corpus_text):
+    ev = _hashes(spark, [(1, EVAL_TEXT)]).select("wh").distinct()
+    cw = _hashes(spark, [(2, corpus_text)])
+    return cw.join(ev, "wh").count()
+
+
+def test_exact_8gram_is_flagged(spark):
+    assert _hits(spark, f"intro words {EVAL_TEXT} trailing words") == 1
+
+
+def test_7_token_overlap_is_not_flagged(spark):
+    seven = " ".join(EVAL_TEXT.split()[:7])
+    assert _hits(spark, f"intro {seven} unrelated tail of doc") == 0
+
+
+def test_normalization_defeats_case_and_punct(spark):
+    disguised = "Alpha, BETA gamma; delta EPSILON zeta (eta) theta!"
+    assert _hits(spark, f"some prefix {disguised} some suffix") == 1
+
+
+def test_short_docs_produce_no_windows(spark):
+    out = _hashes(spark, [(1, "only five little tokens here")])
+    assert out.count() == 0
+
+
+def test_window_count_is_tokens_minus_seven(spark):
+    n = 12
+    text = " ".join(f"t{i}" for i in range(n))
+    assert _hashes(spark, [(1, text)]).count() == n - (N_GRAM - 1)
