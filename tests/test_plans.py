@@ -128,3 +128,39 @@ def test_scan_pipeline_only_rebalances(plans):
     """Text pipelines shuffle exactly once — the deliberate spread()
     rebalance ahead of per-row compute — and nothing else."""
     assert plans["text_token_stats"].count("Exchange") == 1
+
+
+def test_decontam_eval_side_broadcast(spark, sf_small):
+    """Decontamination must join the corpus against a BROADCAST eval
+    hash set — the corpus never shuffles on the window hash."""
+    p = _plan(QUERIES["docs_decontaminate"](spark, sf_small))
+    assert "BroadcastHashJoin" in p
+    # the only Exchanges are the per-doc window sort (and its eval-side
+    # twin) + the final per-doc count — never a corpus-wide hash join
+    assert "SortMergeJoin" not in p
+
+
+def test_mixture_sample_rate_table_broadcast(spark, sf_small):
+    """Mixture rebalance: the derived rate table is broadcast; the
+    corpus-side pass is scan + broadcast join + filter with no
+    corpus-wide Exchange."""
+    p = _plan(QUERIES["docs_mixture_sample"](spark, sf_small))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_packing_is_single_shuffle(spark, sf_small):
+    """Sequence packing: exactly one Exchange (the bucket groupBy);
+    token counting stays in the scan stage."""
+    p = _plan(QUERIES["docs_pack_sequences"](spark, sf_small))
+    assert p.count("Exchange") == 1
+
+
+def test_interval_join_is_equi_join_with_range_residual(spark, sf_small):
+    """The batch interval join must plan as an EQUI-join on the key
+    with the time range as residual condition (broadcast-hash at this
+    SF; sort-merge once both sides are big) — never a nested loop over
+    the range."""
+    p = _plan(QUERIES["events_funnel_interval_join"](spark, sf_small))
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
