@@ -301,6 +301,47 @@ GROUP BY 1, 2
 """
 
 
+def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) 1-hour windows every 15 minutes per
+    event_type — the third standard window type (Flink's
+    ``SlidingEventTimeWindows``) next to tumbling and session. Each
+    event lands in exactly size/slide = 4 windows; Spark's ``window``
+    with a slide does the replication inside the aggregation operator
+    (map-side combined), so the shuffle carries pre-aggregated
+    (window, type) partials, not 4× the events. The same expression
+    runs under Structured Streaming
+    (streaming/analytics.py::sliding_counts_stream)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+#: DuckDB twin: replicate each event into the 4 window starts
+#: s = time_bucket(15min) - k*15min, k in 0..3 — exactly the windows
+#: with s <= ts < s + 1h on the 15-minute grid.
+ORACLE_SLIDING = """
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n_events
+FROM (
+  SELECT event_type,
+         unnest([time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE
+                 FOR k IN range(0, 4)]) AS ws
+  FROM events)
+GROUP BY 1, 2
+"""
+
+
 def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min inactivity gap) per user via Spark's
     native ``session_window``; the oracle derives sessions independently
@@ -422,5 +463,6 @@ register("q5_regional_revenue", q5_regional_revenue, ORACLE_Q5)
 register("q10_returned_revenue", q10_returned_revenue, ORACLE_Q10)
 register("customer_order_ranks", customer_order_ranks, ORACLE_RANKS)
 register("events_hourly_by_type", events_hourly_by_type, ORACLE_HOURLY)
+register("events_sliding_counts", events_sliding_counts, ORACLE_SLIDING)
 register("events_sessions", events_sessions, ORACLE_SESSIONS)
 register("priority_share", priority_share, ORACLE_SHARE)

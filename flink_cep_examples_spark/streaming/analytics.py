@@ -47,6 +47,31 @@ def hourly_by_type_stream(
     )
 
 
+def sliding_counts_stream(
+    events: DataFrame, watermark_delay: str = "10 minutes"
+) -> DataFrame:
+    """Sliding 1-hour/15-min counts per event_type (streaming twin of
+    queries/relational.py::events_sliding_counts). A window finalizes
+    (append mode) when the watermark passes its end; each event
+    contributes to 4 overlapping windows, all handled inside Spark's
+    windowed-aggregation state."""
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 def sessions_stream(
     events: DataFrame,
     gap: str = "30 minutes",

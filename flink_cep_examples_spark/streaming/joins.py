@@ -32,15 +32,27 @@ def interval_join_stream(
     lower_seconds: int,
     upper_seconds: int,
     watermark_delay: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join rows sharing key ``on`` where
+    """Join rows sharing key ``on`` where
     ``right_time ∈ [left_time + lower, left_time + upper]`` (bounds
     inclusive, Flink ``between`` semantics; ``left_time``/``right_time``
     must be distinct column names). Works on two streaming DataFrames —
     or two batch DataFrames, where the identical expression tree makes
-    the batch result the streaming oracle."""
+    the batch result the streaming oracle.
+
+    ``how="left_outer"`` additionally emits unmatched left rows with
+    nulls (beyond Flink, whose ``intervalJoin`` is inner-only) — in
+    streaming, an unmatched row is emitted once the watermark proves no
+    further match can arrive (left_time + upper + delay). Note the
+    global watermark is the MIN over both sides' (max event time -
+    delay), so a quiet LEFT side also stalls null emission; tail rows
+    whose horizon hasn't closed when a finite replay ends are withheld
+    — trim comparisons to the closed horizon."""
     if left_time == right_time:
         raise ValueError("left_time and right_time must differ (rename one)")
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported join type: {how}")
     streaming = left.isStreaming
     if streaming:
         left = left.withWatermark(left_time, watermark_delay)
@@ -51,4 +63,4 @@ def interval_join_stream(
         & (rt >= lt + F.expr(f"INTERVAL {lower_seconds} SECONDS"))
         & (rt <= lt + F.expr(f"INTERVAL {upper_seconds} SECONDS"))
     )
-    return left.join(right, cond, "inner").drop(right[on])
+    return left.join(right, cond, how).drop(right[on])

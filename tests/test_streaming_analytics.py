@@ -70,3 +70,29 @@ def test_sessions_stream_matches_batch(spark, events_dir):
     b, s = key(batch), key(streamed)
     assert b, "expected finalized sessions"
     assert b == s
+
+
+@pytest.mark.slow
+def test_sliding_stream_matches_batch(spark, events_dir):
+    from flink_cep_examples_spark.streaming.analytics import (
+        sliding_counts_stream,
+    )
+
+    batch = sliding_counts_stream(spark.read.parquet(events_dir))
+    streamed = _run_stream(
+        spark, events_dir, sliding_counts_stream, "sliding_mem"
+    )
+    max_ts = spark.read.parquet(events_dir).agg(F.max("ts")).first()[0]
+    horizon = F.lit(max_ts) - F.expr("INTERVAL 10 MINUTES")
+    key = lambda df: sorted(
+        (r.window_start, r.event_type, r.n_events)
+        for r in df.filter(F.col("window_end") <= horizon).collect()
+    )
+    b, s = key(batch), key(streamed)
+    assert b, "expected finalized sliding windows"
+    assert b == s
+    # every event contributes to exactly 4 overlapping windows
+    n_events = spark.read.parquet(events_dir).count()
+    total = sum(n for _, _, n in key(batch))
+    closed_frac = total / (4 * n_events)
+    assert 0.5 < closed_frac <= 1.0
