@@ -62,8 +62,8 @@ def _prepare(df: DataFrame, spec: PatternSpec) -> DataFrame:
     cols.append(
         F.unix_micros(F.col(spec.order_col).cast("timestamp")).alias(_TS_COL)
     )
-    for i, v in enumerate(spec.variables):
-        cols.append(F.expr(v.predicate).alias(f"{_PRED_PREFIX}{i}"))
+    for i, e in enumerate(spec.pred_exprs):
+        cols.append(F.expr(e).alias(f"{_PRED_PREFIX}{i}"))
     return df.select(*cols)
 
 
@@ -75,7 +75,7 @@ def match_pattern(df: DataFrame, spec: PatternSpec) -> DataFrame:
     spec.validate()
     prepared = _prepare(df, spec)
     out_schema = output_schema(df, spec)
-    n_vars = len(spec.variables)
+    n_vars = len(spec.pred_exprs)
     # pre-compiled once; scan_key_group accepts the compiled Nfa so the
     # per-key-group path (possibly 10k+ groups) skips recompilation
     spec_bc = nfa.Nfa(spec)
@@ -155,8 +155,8 @@ def match_pattern_all_rows(df: DataFrame, spec: PatternSpec) -> DataFrame:
         *data_cols,
         F.unix_micros(F.col(spec.order_col).cast("timestamp")).alias(_TS_COL),
         *[
-            F.expr(v.predicate).alias(f"{_PRED_PREFIX}{i}")
-            for i, v in enumerate(spec.variables)
+            F.expr(e).alias(f"{_PRED_PREFIX}{i}")
+            for i, e in enumerate(spec.pred_exprs)
         ],
     )
     out_schema = T.StructType(
@@ -167,7 +167,7 @@ def match_pattern_all_rows(df: DataFrame, spec: PatternSpec) -> DataFrame:
         ]
         + [_measure_field(df, m) for m in spec.measures]
     )
-    n_vars = len(spec.variables)
+    n_vars = len(spec.pred_exprs)
     compiled = nfa.Nfa(spec)
     var_names = [v.name for v in spec.variables]
     measure_list = list(spec.measures)

@@ -92,6 +92,7 @@ class _Branch(NamedTuple):
     rows: tuple
     fresh: bool = True  # consumed/created on the previous processed row
     # (drives notNext: only the immediately-next row is checked)
+    loop_open: bool = True  # until() not yet fired (permanent once False)
 
 
 class _Run:
@@ -212,6 +213,16 @@ class Nfa:
             for p in range(self.n_pos)
         ]
 
+        # until(): at most one looping variable carries a stop condition
+        # (validated upstream). Its predicate is the extra pred column
+        # AFTER the per-variable ones (PatternSpec.pred_exprs layout).
+        self._until_var: int | None = None  # positive position
+        self._until_pred: int | None = None
+        for p, v in enumerate(pv):
+            if v.until is not None:
+                self._until_var = p
+                self._until_pred = len(all_vars)
+
     # -- helpers ------------------------------------------------------
     def _extend(self, br: _Branch, p: int, payload) -> _Branch:
         rows = list(br.rows)
@@ -220,7 +231,7 @@ class Nfa:
             (payload, payload, 1) if cur is None else (cur[0], payload, cur[2] + 1)
         )
         count = br.count + 1 if p == br.var else 1
-        return _Branch(p, count, tuple(rows), True)
+        return _Branch(p, count, tuple(rows), True, br.loop_open)
 
     def _branch_dict(self, br: _Branch) -> dict:
         return {
@@ -242,6 +253,7 @@ class Nfa:
             self._can_loop[p]
             and self._loop_relaxed[p]
             and (self._maxc[p] is None or br.count < self._maxc[p])
+            and (br.loop_open or p != self._until_var)
         )
         return loop_ok or (br.count >= self._minc[p] and self._succ_relaxed[p])
 
@@ -312,6 +324,19 @@ class Nfa:
                     nn and pred_row[n] for n, nn in self._active_negs[p]
                 ):
                     continue
+                # until(): a stop row fired while the looping variable
+                # is reachable (currently filling it, or it is a
+                # successor) closes the loop permanently for this
+                # branch — the stop row itself is never consumed by it.
+                if (
+                    br.loop_open
+                    and self._until_var is not None
+                    and pred_row[self._until_pred]
+                    and (
+                        p == self._until_var or self._until_var in self._succ[p]
+                    )
+                ):
+                    br = br._replace(loop_open=False)
                 # moved_det: the row was consumed into a DETERMINISTIC
                 # variable (no allowCombinations) — then the un-advanced
                 # branch must not also survive (relaxed contiguity is
@@ -321,6 +346,7 @@ class Nfa:
                 moved_det = False
                 if (
                     self._can_loop[p]
+                    and (br.loop_open or p != self._until_var)
                     and pred_row[self._pos[p]]
                     and (self._maxc[p] is None or br.count < self._maxc[p])
                 ):
@@ -331,6 +357,8 @@ class Nfa:
                     keep(nb)
                 if br.count >= self._minc[p]:
                     for q in self._succ[p]:
+                        if q == self._until_var and not br.loop_open:
+                            continue
                         if pred_row[self._pos[q]]:
                             nb = self._extend(br, q, payload)
                             moved_det = moved_det or not self._combinations[q]

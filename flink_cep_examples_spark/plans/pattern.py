@@ -92,6 +92,11 @@ class PatternVar:
     combinations: bool = False  # allowCombinations(): branch may skip a
     # matching loop row and still take a later one
     negated: bool = False
+    #: Flink ``until(condition)``: SQL boolean stop condition for a
+    #: looping variable — once a row satisfies it while the loop is
+    #: reachable, no further rows are accepted into the loop (the
+    #: stop row itself included); the rest of the pattern proceeds.
+    until: str | None = None
 
     @property
     def min_count(self) -> int:
@@ -148,6 +153,15 @@ class PatternSpec:
     emit_timeouts: bool = False  # absence-of-event side output
     rows_per_match: str = "one"  # "one" | "all" (MATCH_RECOGNIZE modes)
 
+    @property
+    def pred_exprs(self) -> tuple[str, ...]:
+        """Every SQL boolean the engine must pre-evaluate per row, in
+        the canonical order the NFA indexes them: one per variable,
+        then the (at most one) until() stop condition."""
+        out = [v.predicate for v in self.variables]
+        out.extend(v.until for v in self.variables if v.until is not None)
+        return tuple(out)
+
     def var_index(self, name: str) -> int:
         for i, v in enumerate(self.variables):
             if v.name == name:
@@ -177,6 +191,14 @@ class PatternSpec:
             if v.negated and v.quantifier != ONCE:
                 raise ValueError(
                     f"negated variable {v.name} cannot take a quantifier"
+                )
+        until_vars = [v for v in self.variables if v.until is not None]
+        if len(until_vars) > 1:
+            raise ValueError("at most one variable may carry until()")
+        for v in until_vars:
+            if v.negated or not v.can_loop:
+                raise ValueError(
+                    f"until() requires a looping positive variable ({v.name})"
                 )
         # trailing negatives (absence at pattern end) need a deadline to
         # ever resolve (Flink has the same rule: notFollowedBy may only
@@ -315,6 +337,14 @@ class Pattern:
         self._vars[-1] = replace(
             self._vars[-1], loop_contiguity=RELAXED, combinations=True
         )
+        return self
+
+    def until(self, condition: str) -> "Pattern":
+        """Stop condition for the current looping variable (Flink
+        ``.until(cond)``): once a row satisfies ``condition`` while the
+        loop is open, no further rows enter the loop — the stop row
+        itself included; the remainder of the pattern is unaffected."""
+        self._vars[-1] = replace(self._vars[-1], until=condition)
         return self
 
     def within(self, interval: str | timedelta) -> "Pattern":

@@ -372,7 +372,105 @@ def cep_times_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_with_match_recognize(spark, query, {"billing": df})
 
 
+#: until() stop threshold on the loop: once a balance reaches this, no
+#: more rows join the B loop (Flink ``oneOrMore().until(cond)``).
+UNTIL_BA = 120
+
+#: A, then B* (B = non-increasing, C's complement — every gap row is a
+#: B) with ``until(balanceAfter >= UNTIL_BA)``, then C, within 1h, skip
+#: past last. until() does not affect WHICH matches exist (the loop is
+#: optional and relaxed; post-stop rows are ignored, not fatal) — it
+#: truncates the loop's row set, so the pinned behavior is the n_b
+#: count: rows strictly between the winning A and its C that precede
+#: the first stop row after A.
+ORACLE_UNTIL = f"""
+WITH billing AS (
+  SELECT CAST(user_id AS VARCHAR) AS id,
+         ts, event_id,
+         epoch_us(ts) AS tus,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         COALESCE(LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 50.0) AS bb,
+         value AS ba
+  FROM events
+),
+flagged AS (
+  SELECT *, (bb >= 10 AND ba < 10) AS is_a, (bb < ba) AS is_c,
+         (ba >= {UNTIL_BA}) AS is_u
+  FROM billing
+),
+seg AS (
+  SELECT *,
+         COALESCE(SUM(CASE WHEN is_c THEN 1 ELSE 0 END) OVER
+           (PARTITION BY id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg_id
+  FROM flagged
+),
+cts AS (
+  SELECT *,
+         MAX(CASE WHEN is_c THEN tus END) OVER (PARTITION BY id, seg_id) AS c_tus,
+         MAX(CASE WHEN is_c THEN rn END) OVER (PARTITION BY id, seg_id) AS c_rn
+  FROM seg
+),
+cand AS (
+  SELECT *,
+         MIN(CASE WHEN is_a AND c_tus - tus < {WITHIN_US} THEN tus END)
+           OVER (PARTITION BY id, seg_id) AS a_tus,
+         MIN(CASE WHEN is_a AND c_tus - tus < {WITHIN_US} THEN rn END)
+           OVER (PARTITION BY id, seg_id) AS a_rn
+  FROM cts
+),
+stopped AS (
+  SELECT *,
+         MIN(CASE WHEN is_u AND rn > a_rn THEN rn END)
+           OVER (PARTITION BY id, seg_id) AS u_rn
+  FROM cand
+)
+SELECT id,
+       strftime(make_timestamp(any_value(a_tus)), {_FMT}) AS alarmTriggerDatetime,
+       strftime(make_timestamp(any_value(c_tus)), {_FMT}) AS topupDatetime,
+       CAST(SUM(CASE WHEN rn > a_rn AND rn < c_rn
+                      AND (u_rn IS NULL OR rn < u_rn)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+FROM stopped
+WHERE a_tus IS NOT NULL
+GROUP BY id, seg_id
+"""
+
+
+def cep_until_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cep_examples_spark.plans.pattern import (
+        SKIP_PAST_LAST_EVENT,
+        Measure,
+        Pattern,
+    )
+
+    spec = (
+        Pattern.begin("A", skip=SKIP_PAST_LAST_EVENT)
+        .where("balanceBefore >= 10 AND balanceAfter < 10")
+        .followed_by("B")
+        .one_or_more()
+        .optional()
+        .where("balanceBefore >= balanceAfter")
+        .until(f"balanceAfter >= {UNTIL_BA}")
+        .followed_by("C")
+        .where("balanceBefore < balanceAfter")
+        .within("1 hour")
+        .build(
+            key_cols=("id",),
+            order_col="event_time",
+            tiebreak_col="seq",
+            measures=(
+                Measure("alarmTriggerDatetime", "A", "datetime", "first"),
+                Measure("topupDatetime", "C", "datetime", "first"),
+                Measure("n_b", "B", "datetime", "count"),
+            ),
+        )
+    )
+    return _matches_only(match_pattern(events_as_billing(spark, sf_dir), spec))
+
+
 register("cep_alert_reactions", cep_alert_reactions, ORACLE_MATCHES)
+register("cep_until_pattern", cep_until_pattern, ORACLE_UNTIL)
 register("cep_alert_reactions_nfa", cep_alert_reactions_nfa, ORACLE_MATCHES)
 register("cep_alerts_with_timeouts", cep_alerts_with_timeouts, ORACLE_WITH_TIMEOUTS)
 register(

@@ -72,8 +72,8 @@ def _prepare_stream(df: DataFrame, spec: PatternSpec) -> DataFrame:
     # measure over the event-time column doesn't select it twice
     cols = [F.col(c) for c in sorted(needed)]
     cols.append(F.unix_micros(F.col(spec.order_col).cast("timestamp")).alias(_TS_COL))
-    for i, v in enumerate(spec.variables):
-        cols.append(F.expr(v.predicate).alias(f"{_PRED_PREFIX}{i}"))
+    for i, e in enumerate(spec.pred_exprs):
+        cols.append(F.expr(e).alias(f"{_PRED_PREFIX}{i}"))
     return df.select(*cols)
 
 
@@ -117,7 +117,7 @@ def match_pattern_stream(
         .withWatermark(spec.order_col, watermark_delay)
     )
 
-    n_vars = len(spec.variables)
+    n_vars = len(spec.pred_exprs)
     key_cols = list(spec.key_cols)
     measures = list(spec.measures)
     tiebreak = spec.tiebreak_col

@@ -330,3 +330,83 @@ def test_skip_to_next_timeouts_still_emit():
     )
     assert spans(m, "A") == [(2, 2)]
     assert spans(to, "A") == [(0, 0)]
+
+
+# ---------------------------------------------------------------------------
+# until() stop condition
+# ---------------------------------------------------------------------------
+
+
+def abc_until(skip=NO_SKIP, with_until=True):
+    p = (
+        Pattern.begin("A", skip=skip)
+        .where("x")
+        .followed_by("B")
+        .one_or_more()
+        .optional()
+        .where("y")
+    )
+    if with_until:
+        p = p.until("u")
+    return p.followed_by("C").where("z").build()
+
+
+def run_until(spec, rows, ts=None):
+    """rows: sets of variable names + 'U' for the stop condition."""
+    names = [v.name for v in spec.variables]
+    if any(v.until is not None for v in spec.variables):
+        names = names + ["U"]
+    preds = np.array([[n in r for r in rows] for n in names], dtype=bool)
+    ts = (
+        np.arange(len(rows), dtype=np.int64) * MIN
+        if ts is None
+        else np.asarray(ts, dtype=np.int64)
+    )
+    return scan_key_group(spec, preds, ts)
+
+
+def test_until_truncates_the_loop_but_not_the_match():
+    rows = [{"A"}, {"B"}, {"B"}, {"B", "U"}, {"B"}, {"C"}]
+    m, _ = run_until(abc_until(), rows)
+    assert spans(m, "B") == [(1, 2)]  # stop row and later B excluded
+    assert spans(m, "C") == [(5, 5)]
+    m2, _ = run_until(abc_until(with_until=False), rows)
+    assert spans(m2, "B") == [(1, 4)]  # without until: the whole loop
+
+
+def test_until_before_any_loop_row_empties_the_loop():
+    rows = [{"A"}, {"B", "U"}, {"B"}, {"C"}]
+    m, _ = run_until(abc_until(), rows)
+    assert len(m) == 1 and m[0].get("B") is None
+    assert spans(m, "C") == [(3, 3)]
+
+
+def test_until_is_per_run():
+    # run 1 sees the stop row; run 2 starts after it and loops freely
+    rows = [{"A"}, {"U"}, {"A"}, {"B"}, {"C"}]
+    m, _ = run_until(abc_until(skip=NO_SKIP), rows)
+    got = sorted(
+        ((-1, -1) if sp is None else sp for sp in spans(m, "B"))
+    )
+    assert got == [(-1, -1), (3, 3)]
+
+
+def test_until_requires_looping_variable():
+    with pytest.raises(ValueError):
+        (
+            Pattern.begin("A").where("x").followed_by("B").where("y").until("u")
+        ).build().validate()
+
+
+def test_single_until_only():
+    with pytest.raises(ValueError):
+        (
+            Pattern.begin("A")
+            .where("x")
+            .one_or_more()
+            .until("u")
+            .followed_by("B")
+            .where("y")
+            .one_or_more()
+            .until("v")
+        ).build().validate()
