@@ -276,6 +276,62 @@ LIMIT {TOP_BIGRAMS}
 """
 
 
+#: chunking geometry: fixed character window with overlap (the RAG /
+#: context-window splitting default)
+CHUNK_CHARS = 500
+CHUNK_STRIDE = 400  # 100-char overlap
+
+
+def docs_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping character-window chunking — the UDTF-shaped span
+    splitter feeding retrieval indexes and context-window packing: one
+    row per (doc, chunk) with the span coordinates and a chunk digest.
+
+    Plan shape: ``posexplode(sequence(...))`` is a codegen row
+    generator — no Python, no shuffle at all (pure scan → generate →
+    project), so it scales as a straight map over the corpus. Char
+    (not byte) offsets: both engines index UTF-8 strings by codepoint,
+    so the spans agree on multibyte text."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    n = F.length("text")
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(CHUNK_STRIDE)
+    )
+    return docs.select(
+        "doc_id",
+        F.explode(starts).alias("start"),
+        "text",
+    ).select(
+        "doc_id",
+        (F.col("start") / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+        F.col("start").cast("long").alias("start"),
+        F.expr(f"substr(text, start + 1, {CHUNK_CHARS})").alias("chunk"),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        "start",
+        F.length("chunk").cast("long").alias("chunk_len"),
+        F.md5("chunk").alias("chunk_md5"),
+    )
+
+
+ORACLE_CHUNKS = f"""
+WITH s AS (
+  SELECT doc_id, text,
+         unnest(range(0, greatest(length(text), 1), {CHUNK_STRIDE})) AS start
+  FROM documents
+)
+SELECT doc_id,
+       start // {CHUNK_STRIDE} AS chunk_id,
+       start,
+       length(substr(text, CAST(start + 1 AS INT), {CHUNK_CHARS}))
+         AS chunk_len,
+       md5(substr(text, CAST(start + 1 AS INT), {CHUNK_CHARS})) AS chunk_md5
+FROM s
+"""
+
+
+register("docs_chunk_spans", docs_chunk_spans, ORACLE_CHUNKS)
 register("docs_repetition_stats", docs_repetition_stats, ORACLE_REPETITION)
 register("docs_gopher_quality", docs_gopher_quality, ORACLE_GOPHER)
 register("docs_pii_scrub", docs_pii_scrub, ORACLE_PII)

@@ -83,3 +83,43 @@ def test_gopher_flags_consistent(spark, sf_small):
     rows = QUERIES["docs_gopher_quality"](spark, sf_small).collect()
     for r in rows:
         assert r.keep == (r.words_ok and r.mean_len_ok and r.alpha_ok)
+
+
+def test_chunk_spans_cover_and_overlap(spark):
+    """Chunks tile the doc with the configured stride: consecutive
+    starts differ by CHUNK_STRIDE, every char is covered, and the
+    overlap region repeats verbatim."""
+    from flink_cep_examples_spark.queries.curation import (
+        CHUNK_CHARS,
+        CHUNK_STRIDE,
+    )
+
+    text = "".join(chr(ord("a") + (i % 26)) for i in range(950))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        df.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.length("text") - 1, F.lit(0)),
+                    F.lit(CHUNK_STRIDE),
+                )
+            ).alias("start"),
+            "text",
+        )
+        .select(
+            "start",
+            F.expr(f"substr(text, start + 1, {CHUNK_CHARS})").alias("chunk"),
+        )
+        .collect(),
+        key=lambda r: r.start,
+    )
+    starts = [r.start for r in rows]
+    assert starts == [0, 400, 800]
+    assert len(rows[0].chunk) == CHUNK_CHARS
+    assert len(rows[-1].chunk) == 950 - 800
+    # overlap region identical between consecutive chunks
+    assert rows[0].chunk[CHUNK_STRIDE:] == rows[1].chunk[: CHUNK_CHARS - CHUNK_STRIDE]
+    # full coverage: stitching strides reconstructs the doc
+    assert "".join(r.chunk[:CHUNK_STRIDE] for r in rows) == text

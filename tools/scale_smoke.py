@@ -1,0 +1,121 @@
+"""Scaling smoke: replicate the sf0.1 tables K× into DISJOINT key
+spaces (new users / docs / vectors — the way real corpora grow) and
+measure representative operators at 1× and K×. A scale-shaped operator
+should grow ~linearly (constant-ish per-row cost); anything
+super-linear has an all-pairs or driver-side bottleneck hiding in it.
+
+Usage: python tools/scale_smoke.py [K] [sf_dir]   (default K=10, sf0.1)
+Prints one JSON line per (query, scale) with rows/sec, then a summary
+table. Results are recorded in SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from flink_cep_examples_spark.queries import QUERIES, load_all  # noqa: E402
+from flink_cep_examples_spark.session import get_spark  # noqa: E402
+
+#: representative operators: CEP fast path, CEP NFA, banded LSH dedup,
+#: connected components, text window pipeline, windowed relational agg,
+#: batched ANN (bucket join), sequence packing (stateful Python tier)
+SMOKE = [
+    "cep_alerts_with_timeouts",
+    "cep_alert_reactions_nfa",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "docs_bigram_topk",
+    "events_sessions",
+    "ann_batch_topk",
+    "docs_pack_sequences",
+]
+
+#: per-table (id columns to offset) — disjoint key spaces per replica
+_OFFSETS = {
+    "events": {"event_id": 100_000_000, "user_id": 10_000_000},
+    "documents": {"doc_id": 10_000_000},
+    "embeddings": {"vec_id": 10_000_000},
+}
+
+
+def replicate(spark, sf_dir: str, out_dir: str, k: int) -> None:
+    for name, offs in _OFFSETS.items():
+        src = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        parts = []
+        for i in range(k):
+            rep = src
+            for col, step in offs.items():
+                rep = rep.withColumn(col, F.col(col) + F.lit(i * step))
+            parts.append(rep)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+    # small TPC-H tables pass through untouched (not scaled here)
+    for name in (
+        "region nation customer supplier part orders lineitem".split()
+    ):
+        spark.read.parquet(f"{sf_dir}/{name}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/{name}.parquet")
+
+
+def time_query(spark, name: str, sf_dir: str) -> float:
+    QUERIES[name](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()  # warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    load_all()
+    spark = get_spark(
+        app_name="scale-smoke",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    )
+    results: dict[str, dict[int, float]] = {}
+    with tempfile.TemporaryDirectory() as tmp:
+        big = f"{tmp}/x{k}"
+        replicate(spark, sf_dir, big, k)
+        for name in SMOKE:
+            t1 = time_query(spark, name, sf_dir)
+            tk = time_query(spark, name, big)
+            results[name] = {1: t1, k: tk}
+            print(
+                json.dumps(
+                    {
+                        "query": name,
+                        "t_1x_sec": round(t1, 3),
+                        f"t_{k}x_sec": round(tk, 3),
+                        "growth": round(tk / t1, 2),
+                        "k": k,
+                    }
+                )
+            )
+    print(f"\n{'query':32s} {'1x':>8s} {k:>6d}x  growth (linear = {k}.0)")
+    for name, r in results.items():
+        print(
+            f"{name:32s} {r[1]:8.3f} {r[k]:7.3f}  {r[k] / r[1]:6.2f}"
+        )
+
+
+if __name__ == "__main__":
+    main()
