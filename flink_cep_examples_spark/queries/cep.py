@@ -437,14 +437,15 @@ GROUP BY id, seg_id
 """
 
 
-def cep_until_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+def until_pattern_spec():
+    """The until() spec, importable by the streaming agreement test."""
     from flink_cep_examples_spark.plans.pattern import (
         SKIP_PAST_LAST_EVENT,
         Measure,
         Pattern,
     )
 
-    spec = (
+    return (
         Pattern.begin("A", skip=SKIP_PAST_LAST_EVENT)
         .where("balanceBefore >= 10 AND balanceAfter < 10")
         .followed_by("B")
@@ -466,7 +467,12 @@ def cep_until_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return _matches_only(match_pattern(events_as_billing(spark, sf_dir), spec))
+
+
+def cep_until_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _matches_only(
+        match_pattern(events_as_billing(spark, sf_dir), until_pattern_spec())
+    )
 
 
 register("cep_alert_reactions", cep_alert_reactions, ORACLE_MATCHES)

@@ -72,3 +72,57 @@ def test_streaming_golden(spark, tmp_path):
     )
     assert matches == EXPECTED_MATCHES
     assert timeouts == EXPECTED_TIMEOUTS
+
+
+@pytest.mark.slow
+def test_streaming_until_matches_batch(spark, sf_small, tmp_path):
+    """until() through the streaming operator: the extra stop-condition
+    pred column rides the state buffer; replaying the events-as-billing
+    stream (plus a far-future watermark sentinel) must reproduce the
+    batch matches exactly, n_b truncation included."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.operators import match_pattern
+    from flink_cep_examples_spark.queries.cep import until_pattern_spec
+    from flink_cep_examples_spark.sources.billing import events_as_billing
+
+    spec = until_pattern_spec()
+    billing = events_as_billing(spark, sf_small)
+    sentinel = spark.createDataFrame(
+        [("zz", "2031-01-01 00:00:00", 50.0, 50.0, 999_999_999)],
+        "id string, datetime string, balanceBefore double, "
+        "balanceAfter double, seq long",
+    ).select(
+        "id",
+        F.to_timestamp("datetime").alias("event_time"),
+        "seq",
+        "balanceBefore",
+        "balanceAfter",
+        "datetime",
+    )
+    src = str(tmp_path / "billing_until")
+    billing.select(sentinel.columns).unionByName(sentinel).coalesce(
+        2
+    ).write.parquet(src)
+
+    batch = match_pattern(spark.read.parquet(src), spec).drop("tag")
+    expected = sorted(map(tuple, batch.collect()))
+    assert expected, "expected until matches in the fixture"
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    from flink_cep_examples_spark.streaming import match_pattern_stream
+
+    out = match_pattern_stream(stream, spec, "6 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("until_mem")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        map(tuple, spark.table("until_mem").drop("tag").collect())
+    )
+    assert expected == got
