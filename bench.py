@@ -49,6 +49,8 @@ HEADLINE = [
     "q4_late_order_counts",
     "docs_bigram_topk",
     "docs_pack_sequences",
+    "docs_chunk_spans",
+    "cep_until_pattern",
     "events_funnel_interval_join",
 ]
 
