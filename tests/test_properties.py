@@ -132,3 +132,138 @@ def test_cross_tier_differential_random(spark):
     fast_out = sorted(map(tuple, match_pattern_fast_abc(df, spec).collect()))
     assert nfa_out == fast_out
     assert nfa_out, "random corpus should produce at least one match/timeout"
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: the pandas fold vs an independent reference greedy
+# ---------------------------------------------------------------------------
+
+token_lists = st.lists(
+    st.integers(min_value=1, max_value=400), min_size=1, max_size=120
+)
+
+
+@given(token_lists)
+@settings(max_examples=300, deadline=None)
+def test_packing_fold_matches_reference_greedy(tokens):
+    import pandas as pd
+
+    from flink_cep_examples_spark.queries.packing import (
+        TOKEN_BUDGET,
+        _pack_bucket,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(tokens)),
+            "bucket": [0] * len(tokens),
+            "n_tokens": tokens,
+        }
+    )
+    out = _pack_bucket(pdf)
+
+    # independent reference: explicit first-fit in doc order
+    exp_seq, exp_pos = [], []
+    seq = pos = fill = 0
+    for i, t in enumerate(tokens):
+        fits = fill + t <= TOKEN_BUDGET
+        if i == 0:
+            fill = min(t, TOKEN_BUDGET)
+        elif fits:
+            fill += t
+            pos += 1
+        else:
+            seq += 1
+            pos = 0
+            fill = min(t, TOKEN_BUDGET)
+        exp_seq.append(seq)
+        exp_pos.append(pos)
+    assert list(out["pack_seq"]) == exp_seq
+    assert list(out["pack_pos"]) == exp_pos
+    assert list(out["truncated"]) == [t > TOKEN_BUDGET for t in tokens]
+    # invariant: every non-truncated pack fits the budget
+    fills = {}
+    for t, s, tr in zip(tokens, exp_seq, out["truncated"]):
+        if not tr:
+            fills[s] = fills.get(s, 0) + t
+    assert all(v <= TOKEN_BUDGET for v in fills.values())
+
+
+# ---------------------------------------------------------------------------
+# until(): with a never-firing stop condition the NFA is unchanged
+# ---------------------------------------------------------------------------
+
+
+@given(sequences)
+@settings(max_examples=200, deadline=None)
+def test_until_never_firing_is_identity(seq):
+    import numpy as np
+
+    from flink_cep_examples_spark.operators.nfa import scan_key_group
+    from flink_cep_examples_spark.plans.pattern import NO_SKIP, Pattern
+
+    def build(with_until):
+        p = (
+            Pattern.begin("A", skip=NO_SKIP)
+            .where("a")
+            .followed_by("B")
+            .one_or_more()
+            .optional()
+            .where("b")
+        )
+        if with_until:
+            p = p.until("u")
+        return p.followed_by("C").where("c").build()
+
+    ts, is_a, is_b, is_c = _rows_from_seq(seq)
+    preds_plain = np.array([is_a, is_b, is_c], dtype=bool)
+    preds_until = np.vstack(
+        [preds_plain, np.zeros((1, len(seq)), dtype=bool)]
+    )
+    m1, t1 = scan_key_group(build(False), preds_plain, ts)
+    m2, t2 = scan_key_group(build(True), preds_until, ts)
+    assert m1 == m2 and t1 == t2
+
+
+@given(sequences)
+@settings(max_examples=200, deadline=None)
+def test_until_preserves_matches_and_truncates_loops(seq):
+    """With B optional+relaxed, until() never changes WHICH (A, C)
+    matches complete — it only truncates each match's B span to rows
+    before the first stop row after its start."""
+    import numpy as np
+
+    from flink_cep_examples_spark.operators.nfa import scan_key_group
+    from flink_cep_examples_spark.plans.pattern import NO_SKIP, Pattern
+
+    def build(with_until):
+        p = (
+            Pattern.begin("A", skip=NO_SKIP)
+            .where("a")
+            .followed_by("B")
+            .one_or_more()
+            .optional()
+            .where("b")
+        )
+        if with_until:
+            p = p.until("u")
+        return p.followed_by("C").where("c").build()
+
+    ts, is_a, is_b, is_c = _rows_from_seq(seq)
+    is_u = [bb == ba for _, bb, ba in seq]  # fires on balance plateaus
+    plain = np.array([is_a, is_b, is_c], dtype=bool)
+    withu = np.vstack([plain, np.array([is_u], dtype=bool)])
+    m1, _ = scan_key_group(build(False), plain, ts)
+    m2, _ = scan_key_group(build(True), withu, ts)
+
+    key = lambda m: (m["A"], m["C"])  # noqa: E731
+    assert sorted(map(key, m1)) == sorted(map(key, m2))
+    u_idx = [i for i, u in enumerate(is_u) if u]
+    for m in m2:
+        span = m.get("B")
+        if span is None:
+            continue
+        start = m["A"][0]
+        stops = [i for i in u_idx if i > start]
+        if stops:
+            assert span[1] < stops[0]
