@@ -19,16 +19,70 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _driver_components(spark, pairs, schema) -> DataFrame:
+    """Union-find over a collected edge list — the small-graph fast
+    path. Returns the identical (id, min-label component) mapping the
+    distributed loop computes."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = [(x, find(x)) for x in parent]
+    return spark.createDataFrame(rows, schema)
+
+
+#: edge-count at or below which components run as driver union-find:
+#: a dup-pair graph is a vanishing fraction of the corpus (the LSH
+#: gate already pruned it), so even a 100 TB corpus rarely exceeds
+#: this; the distributed loop remains the correctness-identical
+#: fallback when it does.
+DRIVER_EDGE_LIMIT = 2_000_000
+
+
 def connected_components(
-    edges: DataFrame, src: str = "a", dst: str = "b"
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    driver_edge_limit: int = DRIVER_EDGE_LIMIT,
 ) -> DataFrame:
     """Undirected connected components of the (src, dst) edge set.
 
     Returns (id, component) for every node appearing in an edge, where
     ``component`` is the minimum node id of its component — a
     deterministic canonical label whatever the execution order.
+
+    Hybrid execution: the edge set is materialized once (it feeds
+    every round anyway); if it is small — the normal case for near-dup
+    pair graphs — a driver-side union-find replaces the iterative
+    shuffle loop (one job instead of ~2 per round). Both paths produce
+    the identical min-label mapping; ``driver_edge_limit=0`` forces
+    the distributed loop.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e = e.localCheckpoint()
+    if e.count() <= driver_edge_limit:
+        from pyspark.sql import types as T
+
+        out_schema = T.StructType(
+            [
+                T.StructField("id", e.schema["a"].dataType),
+                T.StructField("component", e.schema["a"].dataType),
+            ]
+        )
+        pairs = [(r.a, r.b) for r in e.collect()]
+        return _driver_components(e.sparkSession, pairs, out_schema)
     # Partition the (static) symmetric edge set by the per-round join
     # key ONCE; localCheckpoint materializes it with the partitioning
     # recorded, so every round's edge⋈label join reuses it shuffle-free.

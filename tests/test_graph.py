@@ -7,10 +7,16 @@ from __future__ import annotations
 from flink_cep_examples_spark.operators.graph import connected_components
 
 
-def _components(spark, edges):
+def _components(spark, edges, driver_edge_limit=None):
     df = spark.createDataFrame(edges, ["a", "b"])
+    kw = (
+        {}
+        if driver_edge_limit is None
+        else {"driver_edge_limit": driver_edge_limit}
+    )
     return {
-        r.id: r.component for r in connected_components(df).collect()
+        r.id: r.component
+        for r in connected_components(df, **kw).collect()
     }
 
 
@@ -68,4 +74,10 @@ def test_random_graphs_match_union_find(spark):
             for i in range(n_edges)
         ]
         edges = [(a, b) for a, b in edges if a != b]
+        # small graph -> driver union-find fast path
         assert _components(spark, edges) == _union_find(edges), salt
+        # force the DISTRIBUTED min-label loop and require the same answer
+        assert (
+            _components(spark, edges, driver_edge_limit=0)
+            == _union_find(edges)
+        ), salt
