@@ -342,6 +342,50 @@ GROUP BY 1, 2
 """
 
 
+def events_rolling_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-1-hour rolling aggregate per user — the
+    time-RANGE window frame (``RANGE BETWEEN INTERVAL PRECEDING AND
+    CURRENT ROW``), the remaining standard window-frame family next to
+    ROWS frames and tumbling/sliding/session groups. Frame bounds are
+    exact µs integers; the rolling SUM goes through DECIMAL so the
+    incremental frame arithmetic is order-independent and bit-identical
+    to the oracle's.
+
+    Scale shape: one shuffle (hash by user), per-partition sort, then a
+    single forward sweep with an O(1) sliding frame — no self-join, no
+    explode; the classic windowed-aggregation plan."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        F.sum(F.col("value").cast(_D)).over(w).cast("double").alias(
+            "sum_trailing_1h"
+        ),
+    )
+
+
+ORACLE_ROLLING = """
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_trailing_1h,
+       CAST(SUM(CAST(value AS DECIMAL(24,4))) OVER w AS DOUBLE)
+         AS sum_trailing_1h
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY epoch_us(ts)
+  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+)
+"""
+
+
 def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30-min inactivity gap) per user via Spark's
     native ``session_window``; the oracle derives sessions independently
@@ -464,5 +508,6 @@ register("q10_returned_revenue", q10_returned_revenue, ORACLE_Q10)
 register("customer_order_ranks", customer_order_ranks, ORACLE_RANKS)
 register("events_hourly_by_type", events_hourly_by_type, ORACLE_HOURLY)
 register("events_sliding_counts", events_sliding_counts, ORACLE_SLIDING)
+register("events_rolling_value", events_rolling_value, ORACLE_ROLLING)
 register("events_sessions", events_sessions, ORACLE_SESSIONS)
 register("priority_share", priority_share, ORACLE_SHARE)
