@@ -34,19 +34,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     column pruning from Catalyst; no schema inference needed (parquet is
     self-describing).
 
-    ``events.ts`` is TIMESTAMP(NANOS) in the parquet; with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as int64 nanos
-    and is converted here to a microsecond TimestampType (truncation —
-    the same thing DuckDB does), keeping every downstream query
+    ``events.ts`` is normalized to a session-UTC ``TimestampType``
+    regardless of how the driver generated the parquet that round:
+    TIMESTAMP(NANOS) (with ``nanosAsLong`` it arrives as int64 nanos,
+    truncated here to µs exactly as DuckDB truncates) or timestamp[us]
+    without tz (arrives TIMESTAMP_NTZ; a cast under the UTC session tz
+    is value-preserving), keeping every downstream query
     oracle-comparable."""
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # `ts div 1000` is integer division on the int64 nanos. A float
-        # division (`/ 1000` then cast) would promote ~1.7e18 values past
-        # double's 2^53 exact range and can land 1 µs off DuckDB's exact
-        # integer truncation — enough to flip boundary `within` checks.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, T.LongType):
+            # `ts div 1000` is integer division on the int64 nanos. A float
+            # division (`/ 1000` then cast) would promote ~1.7e18 values past
+            # double's 2^53 exact range and can land 1 µs off DuckDB's exact
+            # integer truncation — enough to flip boundary `within` checks.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(dt, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
