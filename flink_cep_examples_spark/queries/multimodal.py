@@ -66,9 +66,51 @@ FROM documents
 
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stub-decoded byte features (mean, entropy, 16-bin histogram) via
-    Arrow-batched numpy — no SQL oracle (rows-only driver check; exact
-    values unit-tested against pure numpy in tests/)."""
+    Arrow-batched numpy. The fake decode is deterministic byte
+    arithmetic, so DuckDB reproduces it exactly: mean = sum(byte)/n is
+    exact IEEE (integer-valued partials), the 16-bin histogram is
+    integer counts, and entropy differs only in last-ulp summation
+    order — inside the comparator's 6-decimal rounding."""
     return extract_features(_media(spark, sf_dir))
+
+
+ORACLE_FEATURES = f"""
+WITH chars AS (
+  SELECT doc_id, ord(substr(text, CAST(i AS INTEGER), 1)) AS b
+  FROM documents, unnest(range(1, length(text) + 1)) AS t(i)
+),
+bins AS (
+  SELECT doc_id, CAST(b // 16 AS INTEGER) AS bin, count(*) AS c
+  FROM chars GROUP BY 1, 2
+),
+means AS (
+  SELECT doc_id, sum(b) * 1.0 / count(*) AS mean_byte FROM chars GROUP BY doc_id
+),
+ents AS (
+  SELECT doc_id, -sum((c * 1.0 / n) * log2(c * 1.0 / n)) AS byte_entropy
+  FROM (SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM bins)
+  GROUP BY doc_id
+),
+hists AS (
+  SELECT d.doc_id,
+         string_agg(CAST(coalesce(bn.c, 0) AS VARCHAR), ','
+                    ORDER BY g.bin) AS hist16
+  FROM (SELECT doc_id FROM documents) d
+  CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) g
+  LEFT JOIN bins bn ON bn.doc_id = d.doc_id AND bn.bin = g.bin
+  GROUP BY d.doc_id
+)
+SELECT doc.doc_id,
+       {_SQL_FORMAT.replace("doc_id", "doc.doc_id")} AS format,
+       CAST(length(doc.text) AS INTEGER) AS payload_bytes,
+       coalesce(m.mean_byte, 0.0) AS mean_byte,
+       coalesce(e.byte_entropy, 0.0) AS byte_entropy,
+       h.hist16
+FROM documents doc
+LEFT JOIN means m ON m.doc_id = doc.doc_id
+LEFT JOIN ents e ON e.doc_id = doc.doc_id
+JOIN hists h ON h.doc_id = doc.doc_id
+"""
 
 
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -122,6 +164,6 @@ FROM documents
 
 
 register("mm_media_catalog", mm_media_catalog, ORACLE_CATALOG)
-register("mm_decode_features", mm_decode_features)  # rows-only check
+register("mm_decode_features", mm_decode_features, ORACLE_FEATURES)
 register("mm_frame_sample", mm_frame_sample, ORACLE_FRAMES)
 register("mm_resize_digest", mm_resize_digest, ORACLE_RESIZE)

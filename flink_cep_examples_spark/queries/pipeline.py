@@ -15,10 +15,13 @@ engine's own operators (each independently oracle-gated):
 
 Scale shape (100 TB): step 1 is a scan+project; step 2 shuffles a
 32-byte hash; step 3 is the banded-LSH shuffle; the final assembly is
-two joins against SMALL sides (the dup-losers list is a fraction of
-the corpus) — both broadcastable, so the surviving corpus never
-re-shuffles. The oracle composes the same three steps' oracle SQL as
-CTEs, so the gate checks the composition, not just the parts.
+two joins on a single int64-ish doc_id column. The near-dup loser set
+is proportional to the corpus duplicate fraction (commonly 20-50% of
+docs at pre-training scale), so it must NOT be force-broadcast: both
+joins are left unhinted and AQE picks broadcast vs shuffle from the
+runtime size — an anti-join shuffling one id column is cheap either
+way. The oracle composes the same three steps' oracle SQL as CTEs, so
+the gate checks the composition, not just the parts.
 """
 
 from __future__ import annotations
@@ -60,7 +63,7 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         quality.join(canonical, "doc_id")
-        .join(F.broadcast(near_losers), "doc_id", "left_anti")
+        .join(near_losers, "doc_id", "left_anti")
     )
 
 

@@ -52,7 +52,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer truncation — enough to flip boundary `within` checks.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif isinstance(dt, T.TimestampNTZType):
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            # Cast to the concrete LTZ type, not the "timestamp" alias: the
+            # alias resolves via spark.sql.timestampType, so a caller setting
+            # that conf to TIMESTAMP_NTZ would make the cast a silent no-op.
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 

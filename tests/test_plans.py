@@ -156,6 +156,18 @@ def test_packing_is_single_shuffle(spark, sf_small):
     assert p.count("Exchange") == 1
 
 
+def test_pipeline_anti_join_not_forced_broadcast(spark, sf_small):
+    """The near-dup loser set scales with the corpus duplicate fraction
+    (20-50% of docs at 100 TB) — the left_anti that removes it must NOT
+    carry a mandatory broadcast hint; AQE picks the strategy from the
+    runtime size of the single id column."""
+    df = QUERIES["corpus_clean_pipeline"](spark, sf_small)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    for line in optimized.splitlines():
+        if "Join LeftAnti" in line:
+            assert "strategy=broadcast" not in line, line
+
+
 def test_interval_join_is_equi_join_with_range_residual(spark, sf_small):
     """The batch interval join must plan as an EQUI-join on the key
     with the time range as residual condition (broadcast-hash at this
