@@ -15,10 +15,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _catalog():
-    from flink_cep_examples_spark.queries import QUERIES, ORACLES, load_all
+    """The driver-exported subset: exactly 50 queries (the gate records
+    at most 50 rows), one per distinct operator-family member. The full
+    catalog — including NFA-tier twins and shape-overlapping queries
+    marked ``driver=False`` — stays oracle-gated in pytest
+    (tests/test_oracle_extensions.py)."""
+    from flink_cep_examples_spark.queries import (
+        DRIVER_QUERIES,
+        ORACLES,
+        QUERIES,
+        load_all,
+    )
 
     load_all()
-    return QUERIES, ORACLES
+    q = {n: QUERIES[n] for n in DRIVER_QUERIES}
+    o = {n: ORACLES[n] for n in DRIVER_QUERIES if n in ORACLES}
+    return q, o
 
 
 def entry(spark: SparkSession) -> DataFrame:

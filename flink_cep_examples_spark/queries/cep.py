@@ -477,10 +477,15 @@ def cep_until_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register("cep_alert_reactions", cep_alert_reactions, ORACLE_MATCHES)
 register("cep_until_pattern", cep_until_pattern, ORACLE_UNTIL)
-register("cep_alert_reactions_nfa", cep_alert_reactions_nfa, ORACLE_MATCHES)
+register(
+    "cep_alert_reactions_nfa", cep_alert_reactions_nfa, ORACLE_MATCHES,
+    driver=False,  # NFA-tier twin of cep_alert_reactions; differential in pytest
+)
 register("cep_alerts_with_timeouts", cep_alerts_with_timeouts, ORACLE_WITH_TIMEOUTS)
 register(
-    "cep_alerts_with_timeouts_nfa", cep_alerts_with_timeouts_nfa, ORACLE_WITH_TIMEOUTS
+    "cep_alerts_with_timeouts_nfa", cep_alerts_with_timeouts_nfa,
+    ORACLE_WITH_TIMEOUTS,
+    driver=False,  # NFA-tier twin of cep_alerts_with_timeouts
 )
 register("cep_match_recognize", cep_match_recognize, ORACLE_MATCHES)
 register("cep_match_recognize_all_rows", cep_match_recognize_all_rows, ORACLE_ALL_ROWS)

@@ -456,6 +456,9 @@ FROM allc
 
 register("dedup_exact", dedup_exact, ORACLE_EXACT)
 register("dedup_clusters", dedup_clusters, _oracle_clusters())
-register("dedup_ngram_jaccard", dedup_ngram_jaccard, ORACLE_JACCARD)
+register(
+    "dedup_ngram_jaccard", dedup_ngram_jaccard, ORACLE_JACCARD,
+    driver=False,  # exact-Jaccard recall gate; minhash_lsh is the scale path
+)
 register("dedup_minhash_lsh", dedup_minhash_lsh, _oracle_minhash())
 register("dedup_simhash", dedup_simhash, _oracle_simhash())

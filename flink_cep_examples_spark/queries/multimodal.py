@@ -2,10 +2,9 @@
 processed through Arrow-batched ``mapInPandas`` (operators/multimodal).
 
 Oracle strategy: payloads are utf-8 bytes of ASCII text, so DuckDB can
-independently reproduce byte counts, md5 digests, and frame slices with
-string arithmetic — pinning the Spark binary plumbing end-to-end. The
-feature-extraction query (numpy byte statistics) has no SQL oracle and
-is covered by the driver's rows-only check plus unit tests."""
+independently reproduce byte counts, md5 digests, frame slices, and the
+fake-decode byte statistics with string/char arithmetic — pinning the
+Spark binary plumbing end-to-end, numpy feature math included."""
 
 from __future__ import annotations
 
@@ -163,7 +162,10 @@ FROM documents
 """
 
 
-register("mm_media_catalog", mm_media_catalog, ORACLE_CATALOG)
+register(
+    "mm_media_catalog", mm_media_catalog, ORACLE_CATALOG,
+    driver=False,  # metadata projection; decode/frame/resize cover the family
+)
 register("mm_decode_features", mm_decode_features, ORACLE_FEATURES)
 register("mm_frame_sample", mm_frame_sample, ORACLE_FRAMES)
 register("mm_resize_digest", mm_resize_digest, ORACLE_RESIZE)

@@ -307,5 +307,8 @@ register("text_token_stats", text_token_stats, ORACLE_TOKEN_STATS)
 register("text_quality_scores", text_quality_scores, ORACLE_QUALITY)
 register("text_lang_id", text_lang_id, _oracle_lang())
 register("text_fingerprint", text_fingerprint, ORACLE_FINGERPRINT)
-register("doc_length_histogram", doc_length_histogram, ORACLE_LENGTH_HIST)
+register(
+    "doc_length_histogram", doc_length_histogram, ORACLE_LENGTH_HIST,
+    driver=False,  # simple bucketed count; pytest-gated
+)
 register("docs_tfidf_top_terms", docs_tfidf_top_terms, ORACLE_TFIDF)

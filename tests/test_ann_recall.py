@@ -1,0 +1,89 @@
+"""Recall gate for the parameterized LSH search (VERDICT r2 item 3).
+
+The driver corpus is weakly clustered (neighbor cos ~ 0.45), where any
+sub-scan candidate generator has low recall — the honest measurement in
+similarity.py's tuning note. A *search component* is judged on the
+workload it exists for: near-duplicate retrieval, planted pairs at
+cos >= 0.9. This test builds that corpus synthetically, picks
+(n_planes, probe_radius) with lsh_params(n), and gates top-1 recall
+>= 0.8 (analytically ~0.97 at these settings; the margin absorbs rng
+geometry)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from flink_cep_examples_spark.queries.similarity import (
+    N_PLANES,
+    PLANES,
+    lsh_params,
+    lsh_search,
+    make_planes,
+    make_probe_masks,
+)
+
+
+def _clustered_corpus(n_base: int = 300, dim: int = 64, eps: float = 0.3):
+    """n_base unit vectors + one planted near-dup each (cos ~ 0.96)."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(n_base, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    noise = rng.normal(size=(n_base, dim))
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    dup = base + eps * noise
+    dup /= np.linalg.norm(dup, axis=1, keepdims=True)
+    return base, dup, (base * dup).sum(axis=1)
+
+
+def test_lsh_recall_on_near_dup_corpus(spark):
+    base, dup, pair_cos = _clustered_corpus()
+    n_base = len(base)
+    assert (pair_cos >= 0.9).mean() > 0.95  # the plant is a real near-dup set
+
+    vecs = np.vstack([base, dup])
+    rows = [
+        (i, "base" if i < n_base else "dup", [float(x) for x in vecs[i]])
+        for i in range(2 * n_base)
+    ]
+    df = spark.createDataFrame(
+        rows, schema="vec_id long, label string, embedding array<double>"
+    )
+
+    n_planes, radius = lsh_params(2 * n_base)
+    out = lsh_search(
+        df,
+        F.col("vec_id") >= n_base,  # every dup queries for its base
+        k=1,
+        n_planes=n_planes,
+        probe_radius=radius,
+    )
+    top1 = {r.q_id: r.vec_id for r in out.collect()}
+
+    eligible = [i for i in range(n_base) if pair_cos[i] >= 0.9]
+    hits = sum(1 for i in eligible if top1.get(n_base + i) == i)
+    recall = hits / len(eligible)
+    assert recall >= 0.8, f"top-1 recall {recall:.2f} at planes={n_planes} r={radius}"
+
+
+def test_lsh_params_scale_with_corpus():
+    """Buckets stay ~constant-occupancy as the corpus grows: n_planes
+    is log2-ish in n, so candidate volume per query doesn't scale with
+    corpus size."""
+    p_small, _ = lsh_params(10_000)
+    p_big, _ = lsh_params(10_000_000)
+    assert p_big > p_small
+    assert abs((10_000_000 / 2**p_big) - (10_000 / 2**p_small)) < 200
+
+
+def test_planes_are_prefix_stable():
+    """An index hashed at 24 planes can be probed at any narrower
+    width without rehashing — plane j is independent of n_planes."""
+    assert make_planes(8) == make_planes(24)[:8]
+    assert PLANES == make_planes(N_PLANES)
+
+
+def test_probe_masks_cover_ball_exactly():
+    masks = make_probe_masks(8, 2)
+    assert len(masks) == 1 + 8 + 28
+    assert all(bin(m).count("1") <= 2 for m in masks)
