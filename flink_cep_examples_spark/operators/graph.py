@@ -1,22 +1,26 @@
 """Distributed graph operators. Currently: connected components by
-min-label propagation (Pregel-lite) — the building block behind
-near-dup clustering (queries/dedup.py::dedup_clusters).
+min-label propagation (Pregel-lite) with a pointer-doubling variant —
+the building block behind near-dup clustering
+(queries/dedup.py::dedup_clusters).
 
-Scale notes: each round is one shuffle (edge join on the label side's
-id + a map-side-combinable min); the number of rounds equals the
-largest component diameter. Labels and the edge set are
+Scale notes: each label-propagation round is one shuffle (edge join on
+the label side's id + a map-side-combinable min); the number of rounds
+equals the largest component diameter. Labels and the edge set are
 localCheckpoint'ed so lineage stays flat across rounds and upstream
 (possibly expensive) edge derivation runs exactly once. The driver
 holds only the per-round changed-count scalar. For dup-cluster graphs
 (tiny, dense components) this converges in 2-3 rounds; for
-long-diameter graphs prefer the pointer-doubling variant (O(log d)
-rounds at the cost of a second join per round) before reaching for it.
+long-diameter graphs ``algorithm="pointer_doubling"`` adds a label
+self-join per round that shortcuts label chains, reaching the fixpoint
+in O(log d) rounds (hash-to-min style) at the cost of a second shuffle
+per round.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _driver_components(spark, pairs, schema) -> DataFrame:
@@ -43,12 +47,30 @@ def _driver_components(spark, pairs, schema) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
-#: edge-count at or below which components run as driver union-find:
-#: a dup-pair graph is a vanishing fraction of the corpus (the LSH
-#: gate already pruned it), so even a 100 TB corpus rarely exceeds
-#: this; the distributed loop remains the correctness-identical
-#: fallback when it does.
+#: Edge-count cap for the driver union-find fast path: a dup-pair graph
+#: is a vanishing fraction of the corpus (the LSH gate already pruned
+#: it), so even a 100 TB corpus rarely exceeds this.
 DRIVER_EDGE_LIMIT = 2_000_000
+
+#: Estimated-bytes cap for the same path — edges × per-edge Python heap
+#: footprint, NOT just edge count: 2M edges of long string ids would be
+#: hundreds of collected MB where 2M int64 pairs are ~100 MB. Estimated
+#: per-value overheads below are CPython object sizes (str header ~49B,
+#: boxed int ~28B); when either cap trips, the distributed loop — which
+#: never collects anything but the changed-count scalar — takes over.
+DRIVER_BYTE_LIMIT = 128 * 2**20
+
+
+def _edge_bytes_expr(e: DataFrame):
+    """Estimated collected Python-heap bytes for one edge row."""
+    per_col = []
+    for c in ("a", "b"):
+        dt = e.schema[c].dataType
+        if isinstance(dt, (T.StringType, T.BinaryType)):
+            per_col.append(F.length(c).cast("long") + F.lit(49))
+        else:
+            per_col.append(F.lit(28).cast("long"))
+    return (per_col[0] + per_col[1] + F.lit(60)).alias("bytes")  # + tuple
 
 
 def connected_components(
@@ -56,6 +78,8 @@ def connected_components(
     src: str = "a",
     dst: str = "b",
     driver_edge_limit: int = DRIVER_EDGE_LIMIT,
+    driver_byte_limit: int = DRIVER_BYTE_LIMIT,
+    algorithm: str = "label_prop",
 ) -> DataFrame:
     """Undirected connected components of the (src, dst) edge set.
 
@@ -64,17 +88,24 @@ def connected_components(
     deterministic canonical label whatever the execution order.
 
     Hybrid execution: the edge set is materialized once (it feeds
-    every round anyway); if it is small — the normal case for near-dup
-    pair graphs — a driver-side union-find replaces the iterative
-    shuffle loop (one job instead of ~2 per round). Both paths produce
-    the identical min-label mapping; ``driver_edge_limit=0`` forces
-    the distributed loop.
+    every round anyway); if BOTH the edge count and the estimated
+    collected byte size are under the driver caps — the normal case
+    for near-dup pair graphs — a driver-side union-find replaces the
+    iterative shuffle loop (one job instead of ~2 per round). All
+    paths produce the identical min-label mapping;
+    ``driver_edge_limit=0`` forces the distributed loop.
+
+    ``algorithm``: ``"label_prop"`` (1 shuffle/round, rounds = component
+    diameter — right for shallow dup clusters) or ``"pointer_doubling"``
+    (2 shuffles/round, O(log d) rounds — right for long-diameter
+    graphs such as chained near-dup paths).
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = e.localCheckpoint()
-    if e.count() <= driver_edge_limit:
-        from pyspark.sql import types as T
-
+    stats = e.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(_edge_bytes_expr(e)).alias("bytes")
+    ).first()
+    if stats.n <= driver_edge_limit and (stats.bytes or 0) <= driver_byte_limit:
         out_schema = T.StructType(
             [
                 T.StructField("id", e.schema["a"].dataType),
@@ -83,6 +114,17 @@ def connected_components(
         )
         pairs = [(r.a, r.b) for r in e.collect()]
         return _driver_components(e.sparkSession, pairs, out_schema)
+    labels, _ = _distributed_components(
+        e, doubling=(algorithm == "pointer_doubling")
+    )
+    return labels.select("id", F.col("lbl").alias("component"))
+
+
+def _distributed_components(
+    e: DataFrame, doubling: bool
+) -> tuple[DataFrame, int]:
+    """The iterative loop; returns (labels, rounds) — rounds exposed so
+    tests can pin the O(log d) claim, not just the result."""
     # Partition the (static) symmetric edge set by the per-round join
     # key ONCE; localCheckpoint materializes it with the partitioning
     # recorded, so every round's edge⋈label join reuses it shuffle-free.
@@ -98,10 +140,12 @@ def connected_components(
         .withColumn("lbl", F.col("id"))
         .localCheckpoint()
     )
+    rounds = 0
     while True:
-        # One shuffle per round (the groupBy on a): `ud` is pre-hashed
-        # on b, `labels` on id (distinct seed / previous join output),
-        # and the label-update join keys land co-partitioned too.
+        rounds += 1
+        # One shuffle (the groupBy on a): `ud` is pre-hashed on b,
+        # `labels` on id, and the label-update join keys land
+        # co-partitioned too.
         nbr_min = (
             ud.join(labels, ud["b"] == labels["id"])
             .groupBy("a")
@@ -118,11 +162,30 @@ def connected_components(
             )
             .localCheckpoint()
         )
+        if doubling:
+            # Pointer-doubling shortcut: every label value is itself a
+            # node id, so replace lbl with that node's (just-updated)
+            # label — label chains halve instead of shrinking one hop.
+            # Labels only decrease toward the component min, so the
+            # shortcut never changes the fixpoint, only the round count.
+            ptr = new_labels.select(
+                F.col("id").alias("lbl"), F.col("lbl").alias("plbl")
+            )
+            new_labels = (
+                new_labels.join(ptr, "lbl", "left")
+                .select(
+                    "id",
+                    "old_lbl",
+                    F.least(
+                        F.col("lbl"), F.coalesce(F.col("plbl"), F.col("lbl"))
+                    ).alias("lbl"),
+                )
+                .localCheckpoint()
+            )
         # Convergence probe reads the just-materialized blocks — no
         # re-join with the previous labels, no extra shuffle.
         changed = new_labels.filter(F.col("lbl") != F.col("old_lbl")).count()
         labels = new_labels.select("id", "lbl")
         if changed == 0:
             break
-
-    return labels.select("id", F.col("lbl").alias("component"))
+    return labels, rounds
