@@ -80,12 +80,15 @@ def main() -> None:
                 "overwrite"
             ).save()
 
-    # min over 3 INTERLEAVED passes: the host shows multi-second noise
-    # windows that outlast back-to-back reruns of one query, so taking
-    # min-of-k consecutive runs still records the noise; a full pass
-    # between samples decorrelates them, and min is the standard robust
-    # estimator under asymmetric noise.
-    timings: dict[str, float] = {}
+    # 3 INTERLEAVED passes: the host shows multi-second noise windows
+    # that outlast back-to-back reruns of one query, so taking min-of-k
+    # consecutive runs still records the noise; a full pass between
+    # samples decorrelates them. Both min (robust under asymmetric
+    # noise — the headline number) and median (what a single run should
+    # expect; regressions hide less easily behind one lucky sample) are
+    # reported, so a +30% median with a flat min reads as host drift
+    # and a +30% min reads as a real regression.
+    samples: dict[str, list[float]] = {}
     for _ in range(3):
         for name in HEADLINE:
             if name not in QUERIES:
@@ -94,8 +97,14 @@ def main() -> None:
             QUERIES[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            el = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings.get(name, el), el)
+            samples.setdefault(name, []).append(
+                round(time.perf_counter() - t0, 3)
+            )
+
+    import statistics
+
+    timings = {n: min(v) for n, v in samples.items()}
+    medians = {n: round(statistics.median(v), 3) for n, v in samples.items()}
 
     # streaming CEP micro-batch throughput (BASELINE.md TBD row):
     # materialize the billing mapping once, replay it through the
@@ -161,8 +170,10 @@ def main() -> None:
                 return time.perf_counter() - t0
 
             run_stream("warmup")  # python-worker spawn + state-store init
-            timings["cep_streaming"] = round(
-                min(run_stream("chk1"), run_stream("chk2")), 3
+            stream_samples = [run_stream("chk1"), run_stream("chk2")]
+            timings["cep_streaming"] = round(min(stream_samples), 3)
+            medians["cep_streaming"] = round(
+                statistics.median(stream_samples), 3
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved_partitions)
@@ -174,6 +185,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
                 "sf": float(sf),
                 "cep_batch_events_per_sec": round(
                     n_batch_events / timings["cep_alerts_with_timeouts"]

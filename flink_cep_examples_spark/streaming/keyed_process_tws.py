@@ -1,4 +1,11 @@
-"""Keyed-process tier on Spark 4's ``transformWithStateInPandas`` —
+"""EXPERIMENTAL — API-contract-tested only, never executed in this
+build environment (the tier needs the ``protobuf`` package and the
+RocksDB state-store provider, neither present here; see README). The
+executed, oracle-gated keyed-process paths are the batch tier
+(operators/keyed_process.py) and the ``applyInPandasWithState`` tier
+(streaming/keyed_process_stream.py).
+
+Keyed-process tier on Spark 4's ``transformWithStateInPandas`` —
 the survey-preferred mapping of Flink's ``KeyedProcessFunction``
 (FlinkProcessFunctionExample.scala:44-87): named typed per-key value
 states, event-time timers, and an output collector, with state held
