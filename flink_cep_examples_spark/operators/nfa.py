@@ -33,6 +33,12 @@ observable semantics of the reference, Flink-CEP-style NFA simulation:
   ``AFTER MATCH SKIP TO NEXT ROW``) — emit at most one match per start
   row: on emission discard only the partials sharing the match's start
   row, other runs continue; NO_SKIP emits all completions;
+  SKIP_TO_FIRST/SKIP_TO_LAST <var> (SQL:2016 / Flink skipToFirst/Last)
+  — resume AT the first/last row the named variable matched: the
+  emitted run and every run started before that row are discarded,
+  runs started at/after it survive. Quantifier preference (greedy
+  ``B*`` vs reluctant ``B*?``) arbitrates same-row completions of one
+  run, leftmost variable first;
 - timeout emission (absence-of-event,
   FlinkCEPAbsenceOfEventExample.scala:93-103): a pruned partial emits
   one timeout row (dedup: one per run, using its longest branch — with
@@ -79,6 +85,8 @@ import numpy as np
 from flink_cep_examples_spark.plans.pattern import (
     RELAXED,
     SKIP_PAST_LAST_EVENT,
+    SKIP_TO_FIRST,
+    SKIP_TO_LAST,
     SKIP_TO_NEXT,
     STRICT,
     PatternSpec,
@@ -88,7 +96,9 @@ from flink_cep_examples_spark.plans.pattern import (
 class _Branch(NamedTuple):
     var: int  # POSITIVE-variable position currently being filled
     count: int  # rows consumed by that variable so far
-    # per-positive-variable (first_payload, last_payload, count) or None
+    # per-positive-variable span
+    # (first_payload, last_payload, count, first_ts_us, last_ts_us) or
+    # None — the timestamps feed SKIP TO FIRST/LAST resumption points
     rows: tuple
     fresh: bool = True  # consumed/created on the previous processed row
     # (drives notNext: only the immediately-next row is checked)
@@ -166,6 +176,13 @@ class Nfa:
         ]
         self._combinations = [v.combinations for v in pv]
         self._optional = [v.optional for v in pv]
+        self._greedy = [v.greedy for v in pv]
+        #: positive position SKIP_TO_FIRST/LAST resumes at (else None)
+        self._skip_pos: int | None = (
+            self._names.index(spec.skip_var)
+            if spec.skip_var is not None
+            else None
+        )
 
         # gap[p] = negative spec-var constraints between positive p and
         # positive p+1 (gap[n_pos-1] = trailing): list of (pred_index,
@@ -224,14 +241,63 @@ class Nfa:
                 self._until_pred = len(all_vars)
 
     # -- helpers ------------------------------------------------------
-    def _extend(self, br: _Branch, p: int, payload) -> _Branch:
+    def _extend(self, br: _Branch, p: int, payload, t_us: int) -> _Branch:
         rows = list(br.rows)
         cur = rows[p]
         rows[p] = (
-            (payload, payload, 1) if cur is None else (cur[0], payload, cur[2] + 1)
+            (payload, payload, 1, t_us, t_us)
+            if cur is None
+            else (cur[0], payload, cur[2] + 1, cur[3], t_us)
         )
         count = br.count + 1 if p == br.var else 1
         return _Branch(p, count, tuple(rows), True, br.loop_open)
+
+    def _pref_key(self, br: _Branch) -> tuple:
+        """SQL:2016 quantifier preference among same-row completions of
+        one run: leftmost variable first, greedy prefers more rows,
+        reluctant fewer. Stable sort keeps branch creation order as the
+        final tie-break."""
+        return tuple(
+            (-(br.rows[p][2]) if self._greedy[p] else br.rows[p][2])
+            if br.rows[p] is not None
+            else 0
+            for p in range(self.n_pos)
+        )
+
+    def _skip_cutoff(self, br: _Branch) -> int | None:
+        """Resumption timestamp for SKIP_TO_FIRST/LAST: the first/last
+        row the skip variable matched in the emitted branch. None when
+        the (optional) variable matched no rows — the caller then only
+        discards the emitted run (Flink's skip-to-miss relaxed
+        behavior), which always makes progress."""
+        span = br.rows[self._skip_pos] if self._skip_pos is not None else None
+        if span is None:
+            return None
+        return span[3] if self.after_match == SKIP_TO_FIRST else span[4]
+
+    def _apply_skip_to(
+        self, st: NfaState, completed: list[tuple[int, _Branch]]
+    ) -> list[dict]:
+        """Sequential SKIP TO FIRST/LAST emission: emit the earliest
+        surviving run's preferred branch, discard it plus every run
+        started BEFORE the resumption row (runs started at or after it
+        survive — matching 'resumes at' that row), then consider the
+        next surviving completion."""
+        out: list[dict] = []
+        killed: set[int] = set()
+        start_by_seq = {r.seq: r.start_ts for r in st.runs}
+        for seq, br in completed:  # sorted by (seq, pref)
+            if seq in killed:
+                continue
+            out.append(self._branch_dict(br))
+            killed.add(seq)
+            cutoff = self._skip_cutoff(br)
+            if cutoff is not None:
+                killed.update(
+                    s for s, ts in start_by_seq.items() if ts < cutoff
+                )
+        st.runs = [r for r in st.runs if r.seq not in killed]
+        return out
 
     def _branch_dict(self, br: _Branch) -> dict:
         return {
@@ -268,18 +334,29 @@ class Nfa:
         partials (empty unless ``emit_timeouts``)."""
         if self.within_us is None or not st.runs:
             return [], []
-        matches, timeouts, live = [], [], []
+        matched_branches, timeouts, live = [], [], []
         for run in st.runs:
             if t_us - run.start_ts >= self.within_us:
                 if run.pending is not None:
-                    matches.append(self._branch_dict(run.pending))
+                    matched_branches.append(run.pending)
                 elif self.emit_timeouts and run.branches:
                     timeouts.append(self._timeout_dict(run))
             else:
                 live.append(run)
         st.runs = live
-        if matches and self.after_match == SKIP_PAST_LAST_EVENT:
-            st.runs = []
+        if matched_branches:
+            if self.after_match == SKIP_PAST_LAST_EVENT:
+                st.runs = []
+            elif self.after_match in (SKIP_TO_FIRST, SKIP_TO_LAST):
+                cutoffs = [
+                    c
+                    for c in map(self._skip_cutoff, matched_branches)
+                    if c is not None
+                ]
+                if cutoffs:
+                    cut = max(cutoffs)
+                    st.runs = [r for r in st.runs if r.start_ts >= cut]
+        matches = [self._branch_dict(b) for b in matched_branches]
         return matches, timeouts
 
     def step(
@@ -350,7 +427,7 @@ class Nfa:
                     and pred_row[self._pos[p]]
                     and (self._maxc[p] is None or br.count < self._maxc[p])
                 ):
-                    nb = self._extend(br, p, payload)
+                    nb = self._extend(br, p, payload, t_us)
                     moved_det = moved_det or not self._combinations[p]
                     if self._complete[p] and nb.count >= self._minc[p]:
                         complete(run, nb)
@@ -360,7 +437,7 @@ class Nfa:
                         if q == self._until_var and not br.loop_open:
                             continue
                         if pred_row[self._pos[q]]:
-                            nb = self._extend(br, q, payload)
+                            nb = self._extend(br, q, payload, t_us)
                             moved_det = moved_det or not self._combinations[q]
                             if self._complete[q] and self._minc[q] <= 1:
                                 complete(run, nb)
@@ -386,7 +463,7 @@ class Nfa:
         # begin-state branching: a fresh run starts at this row
         first = self._pos[0]
         if pred_row[first]:
-            nb = self._extend(_Branch(0, 0, self._empty_rows), 0, payload)
+            nb = self._extend(_Branch(0, 0, self._empty_rows), 0, payload, t_us)
             run = _Run(t_us, st.next_seq, [nb])
             st.next_seq += 1
             if self._complete[0] and self._minc[0] <= 1:
@@ -400,7 +477,10 @@ class Nfa:
                 st.runs.append(run)
 
         if completed:
-            completed.sort(key=lambda rc: rc[0])  # stable: per-run order kept
+            # (seq, pref) sort: earliest run wins; within a run the
+            # quantifier-preferred branch (greedy/reluctant) wins; the
+            # stable sort keeps branch creation order as final tie-break.
+            completed.sort(key=lambda rc: (rc[0], self._pref_key(rc[1])))
             if self.after_match == SKIP_PAST_LAST_EVENT:
                 matches.append(self._branch_dict(completed[0][1]))
                 st.runs = []  # discard every partial (incl. run begun here)
@@ -413,6 +493,8 @@ class Nfa:
                 # discard only partials sharing an emitted match's start
                 # row; runs begun at other rows continue
                 st.runs = [r for r in st.runs if r.seq not in emitted]
+            elif self.after_match in (SKIP_TO_FIRST, SKIP_TO_LAST):
+                matches.extend(self._apply_skip_to(st, completed))
             else:
                 matches.extend(self._branch_dict(br) for _, br in completed)
         return matches, timeouts

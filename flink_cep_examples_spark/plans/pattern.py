@@ -41,6 +41,13 @@ RELAXED = "relaxed"  # Flink .followedBy(): skip non-matching rows
 SKIP_PAST_LAST_EVENT = "skip_past_last_event"
 SKIP_TO_NEXT = "skip_to_next"  # ≤1 match per start row (SQL SKIP TO NEXT ROW)
 NO_SKIP = "no_skip"
+#: SQL:2016 AFTER MATCH SKIP TO FIRST/LAST <var> (Flink
+#: ``AfterMatchSkipStrategy.skipToFirst/skipToLast``): on emission,
+#: matching resumes AT the first/last row the named variable matched —
+#: runs started at or after that row survive, earlier ones (and the
+#: emitted run) are discarded. Requires ``PatternSpec.skip_var``.
+SKIP_TO_FIRST = "skip_to_first"
+SKIP_TO_LAST = "skip_to_last"
 
 _INTERVAL_RE = re.compile(
     r"^\s*(\d+)\s*(ms|millisecond|milliseconds|s|sec|second|seconds|"
@@ -97,6 +104,15 @@ class PatternVar:
     #: reachable, no further rows are accepted into the loop (the
     #: stop row itself included); the rest of the pattern proceeds.
     until: str | None = None
+    #: SQL:2016 quantifier preference (``B*`` greedy vs ``B*?``
+    #: reluctant): when several branches of the SAME run complete on
+    #: the SAME row, the one-match-per-run strategies prefer the branch
+    #: where this variable absorbed more rows (greedy, default) or
+    #: fewer (reluctant), leftmost variable deciding first. Emission
+    #: stays eager (a match emits at the earliest completing row);
+    #: greediness arbitrates simultaneous completions — observable with
+    #: ``allowCombinations`` / epsilon-skippable loops.
+    greedy: bool = True
 
     @property
     def min_count(self) -> int:
@@ -149,6 +165,8 @@ class PatternSpec:
     tiebreak_col: str = "seq"
     within: timedelta | None = None
     after_match: str = SKIP_PAST_LAST_EVENT
+    #: variable name for SKIP_TO_FIRST / SKIP_TO_LAST
+    skip_var: str | None = None
     measures: tuple[Measure, ...] = field(default_factory=tuple)
     emit_timeouts: bool = False  # absence-of-event side output
     rows_per_match: str = "one"  # "one" | "all" (MATCH_RECOGNIZE modes)
@@ -191,6 +209,24 @@ class PatternSpec:
             if v.negated and v.quantifier != ONCE:
                 raise ValueError(
                     f"negated variable {v.name} cannot take a quantifier"
+                )
+        if self.after_match in (SKIP_TO_FIRST, SKIP_TO_LAST):
+            if self.skip_var is None:
+                raise ValueError(
+                    "SKIP TO FIRST/LAST requires skip_var (the variable "
+                    "whose first/last row matching resumes at)"
+                )
+            if self.skip_var not in names:
+                raise ValueError(f"skip_var {self.skip_var!r} not in pattern")
+            if self.skip_var in negated_names:
+                raise ValueError(
+                    f"skip_var {self.skip_var!r} is negated (never matches rows)"
+                )
+        for v in self.variables:
+            if not v.greedy and not (v.can_loop or v.optional):
+                raise ValueError(
+                    f"reluctant() on {v.name} needs a quantifier "
+                    "(once-variables have nothing to prefer)"
                 )
         until_vars = [v for v in self.variables if v.until is not None]
         if len(until_vars) > 1:
@@ -244,13 +280,22 @@ class Pattern:
     def __init__(self) -> None:
         self._vars: list[PatternVar] = []
         self._skip = SKIP_PAST_LAST_EVENT
+        self._skip_var: str | None = None
         self._within: timedelta | None = None
 
     # -- construction -------------------------------------------------
     @classmethod
-    def begin(cls, name: str, skip: str = SKIP_PAST_LAST_EVENT) -> "Pattern":
+    def begin(
+        cls,
+        name: str,
+        skip: str = SKIP_PAST_LAST_EVENT,
+        skip_var: str | None = None,
+    ) -> "Pattern":
+        """``skip_var`` names the variable SKIP_TO_FIRST/SKIP_TO_LAST
+        resumes at (Flink ``skipToFirst("B")``/``skipToLast("B")``)."""
         p = cls()
         p._skip = skip
+        p._skip_var = skip_var
         p._vars.append(PatternVar(name, "true"))
         return p
 
@@ -339,6 +384,19 @@ class Pattern:
         )
         return self
 
+    def reluctant(self) -> "Pattern":
+        """SQL:2016 reluctant quantifier (``B*?`` / ``B+?``): among
+        branches of one run completing on the same row, prefer the one
+        where this variable absorbed the FEWEST rows (greedy — the
+        default — prefers the most)."""
+        self._vars[-1] = replace(self._vars[-1], greedy=False)
+        return self
+
+    def greedy(self) -> "Pattern":
+        """Explicit greedy marker (the default preference)."""
+        self._vars[-1] = replace(self._vars[-1], greedy=True)
+        return self
+
     def until(self, condition: str) -> "Pattern":
         """Stop condition for the current looping variable (Flink
         ``.until(cond)``): once a row satisfies ``condition`` while the
@@ -367,6 +425,7 @@ class Pattern:
             tiebreak_col=tiebreak_col,
             within=self._within,
             after_match=self._skip,
+            skip_var=self._skip_var,
             measures=tuple(measures),
             emit_timeouts=emit_timeouts,
         ).validate()

@@ -8,8 +8,11 @@ for the subset the reference exercises
     ORDER BY <col>
     MEASURES <var>.<col> AS <alias> [, ...] | COUNT(<var>.*) AS <alias>
     ONE ROW PER MATCH
-    AFTER MATCH SKIP PAST LAST ROW | AFTER MATCH SKIP TO NEXT ROW
+    AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW
+                | SKIP TO FIRST <var> | SKIP TO LAST <var>
     PATTERN ( V1 V2* V3? ... ) [ WITHIN INTERVAL '<n>' <unit> ]
+      (quantifiers: * + ? {n} {n,m} {n,}; a trailing ? after * + {n,m}
+       marks the SQL:2016 RELUCTANT preference, e.g. B*? / B{1,3}?)
     DEFINE <var> AS <predicate> [, ...]
 
 — compiled to the same :class:`PatternSpec` the Pattern DSL produces,
@@ -46,6 +49,8 @@ from flink_cep_examples_spark.plans.pattern import (
     ONE_OR_MORE,
     OPTIONAL,
     SKIP_PAST_LAST_EVENT,
+    SKIP_TO_FIRST,
+    SKIP_TO_LAST,
     SKIP_TO_NEXT,
     TIMES,
     STRICT,
@@ -98,9 +103,10 @@ def _strip_var_prefixes(predicate: str, var_names: list[str]) -> str:
 
 def _parse_pattern_clause(
     text: str,
-) -> tuple[list[tuple[str, str, tuple | None]], str | None]:
-    """``( A B* C{2,4} ) WITHIN INTERVAL '1' HOUR`` →
-    ([(name, quant, times)...], within_text)."""
+) -> tuple[list[tuple[str, str, tuple | None, bool]], str | None]:
+    """``( A B*? C{2,4} ) WITHIN INTERVAL '1' HOUR`` →
+    ([(name, quant, times, greedy)...], within_text). A trailing ``?``
+    after ``*``/``+``/``{n,m}`` is the SQL:2016 reluctant marker."""
     m = re.match(r"\s*\(([^)]*)\)\s*(.*)", text, re.DOTALL)
     if not m:
         raise ValueError(f"cannot parse PATTERN clause: {text!r}")
@@ -114,15 +120,20 @@ def _parse_pattern_clause(
     normed = re.sub(r"\{\s*(\d+)\s*(?:,\s*(\d*)\s*)?\}", _norm_braces, inner)
     for tok in normed.split():
         qm = re.match(
-            r"^([A-Za-z_][A-Za-z_0-9]*)(?:([*+?])|\{(\d+),(\d*)\})?$", tok
+            r"^([A-Za-z_][A-Za-z_0-9]*)"
+            r"(?:([*+])(\?)?|(\?)|\{(\d+),(\d*)\}(\?)?)?$",
+            tok,
         )
         if not qm:
             raise ValueError(f"unsupported pattern token: {tok!r}")
-        name, punct, lo, hi = qm.groups()
+        name, punct, rel1, opt, lo, hi, rel2 = qm.groups()
+        greedy = not (rel1 or rel2)
         if lo is not None:
-            vars_.append((name, TIMES, (int(lo), int(hi) if hi else None)))
+            vars_.append(
+                (name, TIMES, (int(lo), int(hi) if hi else None), greedy)
+            )
         else:
-            vars_.append((name, _QUANT[punct or ""], None))
+            vars_.append((name, _QUANT[(punct or opt) or ""], None, greedy))
     within = None
     wm = re.match(
         r"WITHIN\s+INTERVAL\s+'(\d+)'\s+(\w+)", rest, re.IGNORECASE
@@ -186,7 +197,7 @@ def parse_match_recognize(body: str) -> PatternSpec:
         raise ValueError("MATCH_RECOGNIZE needs PATTERN and DEFINE clauses")
 
     var_quants, within_text = _parse_pattern_clause(clauses["PATTERN"])
-    var_names = [n for n, _, _ in var_quants]
+    var_names = [n for n, _, _, _ in var_quants]
 
     defines: dict[str, str] = {}
     for part in re.split(r",(?=\s*\w+\s+AS\s)", clauses["DEFINE"], flags=re.IGNORECASE):
@@ -202,15 +213,24 @@ def parse_match_recognize(body: str) -> PatternSpec:
             quantifier=quant,
             contiguity=STRICT,  # MATCH_RECOGNIZE is inherently strictly contiguous
             times=times,
+            greedy=greedy,
         )
-        for name, quant, times in var_quants
+        for name, quant, times, greedy in var_quants
     )
 
     after = clauses.get("AFTER MATCH", "SKIP PAST LAST ROW").strip().upper()
+    skip_var = None
     if re.fullmatch(r"SKIP\s+PAST\s+LAST\s+ROW", after):
         skip = SKIP_PAST_LAST_EVENT
     elif re.fullmatch(r"SKIP\s+TO\s+NEXT\s+ROW", after):
         skip = SKIP_TO_NEXT
+    elif sm := re.fullmatch(r"SKIP\s+TO\s+(FIRST|LAST)\s+(\w+)", after):
+        skip = SKIP_TO_FIRST if sm.group(1) == "FIRST" else SKIP_TO_LAST
+        # AFTER MATCH text was upper-cased for matching; recover the
+        # variable's original casing from the pattern clause.
+        skip_var = next(
+            (n for n in var_names if n.upper() == sm.group(2)), sm.group(2)
+        )
     else:
         raise NotImplementedError(f"unsupported AFTER MATCH strategy: {after!r}")
 
@@ -225,6 +245,7 @@ def parse_match_recognize(body: str) -> PatternSpec:
         order_col=order,
         within=parse_interval(within_text) if within_text else None,
         after_match=skip,
+        skip_var=skip_var,
         measures=tuple(_parse_measures(clauses.get("MEASURES", ""))),
         rows_per_match="all" if "ALL ROWS PER MATCH" in clauses else "one",
     ).validate()

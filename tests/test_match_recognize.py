@@ -142,3 +142,48 @@ def test_measures_count_and_first_last(spark):
     assert (r.id, r.alarm_dt, r.topup_dt) == ("2", "2020-05-01 11:00:00", "2020-05-01 11:40:00")
     assert r.n_b == 2
     assert r.last_b_dt == "2020-05-01 11:30:00"
+
+
+def test_parser_reluctant_quantifiers_and_skip_to():
+    from flink_cep_examples_spark.plans.pattern import (
+        ONE_OR_MORE,
+        SKIP_TO_LAST,
+        TIMES,
+    )
+
+    spec = parse_match_recognize(
+        """
+        PARTITION BY id
+        ORDER BY event_time
+        MEASURES A.datetime AS a_dt
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO LAST B
+        PATTERN (A B+? C{1,3}? D*)
+        DEFINE A AS x, B AS y, C AS z
+        """
+    )
+    a, b, c, d = spec.variables
+    assert (b.quantifier, b.greedy) == (ONE_OR_MORE, False)
+    assert (c.quantifier, c.times, c.greedy) == (TIMES, (1, 3), False)
+    assert (a.greedy, d.greedy) == (True, True)
+    assert spec.after_match == SKIP_TO_LAST
+    assert spec.skip_var == "B"
+
+
+def test_skip_to_last_b_equals_skip_past_on_billing_algebra(spark):
+    """On the reference predicate algebra (A ⊂ B, B = ¬C) overlapping
+    matches are impossible, so SKIP TO LAST B must reproduce the golden
+    SKIP PAST LAST ROW output exactly — pinning the new strategy
+    through the full batch operator, where it takes the general NFA
+    path (the compiled fast path only covers SKIP PAST LAST ROW)."""
+    from flink_cep_examples_spark.sql.match_recognize import match_recognize
+
+    df = billing_from_rows(spark, GOLDEN_INPUT_ROWS)
+    body = REFERENCE_MR_BODY.replace(
+        "SKIP PAST LAST ROW", "SKIP TO LAST B"
+    )
+    got = sorted(
+        (r.id, r.alarm_trigger_datetime, r.topup_datetime)
+        for r in match_recognize(df, body).collect()
+    )
+    assert got == sorted(EXPECTED_MATCHES)

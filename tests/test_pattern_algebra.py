@@ -410,3 +410,111 @@ def test_single_until_only():
             .one_or_more()
             .until("v")
         ).build().validate()
+
+
+# ---------------------------------------------------------------------------
+# SKIP TO FIRST/LAST <var> (SQL:2016 / Flink skipToFirst/skipToLast)
+# ---------------------------------------------------------------------------
+
+from flink_cep_examples_spark.plans.pattern import (  # noqa: E402
+    SKIP_TO_FIRST,
+    SKIP_TO_LAST,
+)
+
+
+def abc_times2(skip, skip_var=None):
+    """A B{2} C, strict — with every row satisfying every variable the
+    candidate matches overlap, so each strategy selects a DIFFERENT
+    match set (the distinguishing fixture)."""
+    return (
+        Pattern.begin("A", skip=skip, skip_var=skip_var)
+        .where("x")
+        .next("B")
+        .times(2)
+        .where("y")
+        .next("C")
+        .where("z")
+    ).build()
+
+
+ALL_ROWS_6 = [{"A", "B", "C"}] * 6  # candidate matches start at 0, 1, 2
+
+
+def test_skip_strategies_select_distinct_match_sets():
+    starts = lambda m: [sp[0] for sp in spans(m, "A")]
+    m, _ = run(abc_times2(SKIP_PAST_LAST_EVENT), ALL_ROWS_6)
+    assert starts(m) == [0]  # resume after row 3: no room for another
+    m, _ = run(abc_times2(SKIP_TO_NEXT), ALL_ROWS_6)
+    assert starts(m) == [0, 1, 2]  # one per start row
+    m, _ = run(abc_times2(SKIP_TO_FIRST, "B"), ALL_ROWS_6)
+    # resume at first B (row 1): starts 1 and 2 both survive
+    assert starts(m) == [0, 1, 2]
+    m, _ = run(abc_times2(SKIP_TO_LAST, "B"), ALL_ROWS_6)
+    # resume at last B (row 2): start 1 is discarded, start 2 survives
+    assert starts(m) == [0, 2]
+
+
+def test_skip_to_first_of_missing_var_discards_only_emitted_run():
+    # B is optional and absent: skip-to-first-B has no resumption row —
+    # only the emitted run is discarded (progress guaranteed), matching
+    # Flink's relaxed skip-to-miss behavior.
+    p = (
+        Pattern.begin("A", skip=SKIP_TO_FIRST, skip_var="B")
+        .where("x")
+        .next("B")
+        .one_or_more()
+        .optional()
+        .where("y")
+        .next("C")
+        .where("z")
+    ).build()
+    m, _ = run(p, [{"A"}, {"C", "A"}, {"C"}])
+    # match (A0, C1); run started at row 1 survives and matches (A1, C2)
+    assert spans(m, "A") == [(0, 0), (1, 1)]
+
+
+def test_skip_var_must_exist_and_be_positive():
+    with pytest.raises(ValueError):
+        (
+            Pattern.begin("A", skip=SKIP_TO_LAST, skip_var="Z").where("x")
+        ).build()
+    with pytest.raises(ValueError):
+        (
+            Pattern.begin("A", skip=SKIP_TO_LAST).where("x")
+        ).build()
+
+
+# ---------------------------------------------------------------------------
+# Greedy vs reluctant quantifier preference
+# ---------------------------------------------------------------------------
+
+
+def a_bplus_comb_c(reluctant: bool):
+    p = (
+        Pattern.begin("A", skip=SKIP_PAST_LAST_EVENT)
+        .where("x")
+        .followed_by("B")
+        .one_or_more()
+        .allow_combinations()
+    )
+    if reluctant:
+        p = p.reluctant()
+    return (p.where("y").followed_by("C").where("z")).build()
+
+
+def test_greedy_prefers_most_rows_reluctant_fewest():
+    # allowCombinations: branches with B = {1,2}, {1}, {2} all complete
+    # on row 3 — the quantifier preference picks which one emits.
+    rows = [{"A"}, {"B"}, {"B"}, {"C"}]
+    m, _ = run(a_bplus_comb_c(reluctant=False), rows)
+    assert [mm["B"][2] for mm in m] == [2]  # greedy: both B rows
+    assert spans(m, "B") == [(1, 2)]
+    m, _ = run(a_bplus_comb_c(reluctant=True), rows)
+    assert [mm["B"][2] for mm in m] == [1]  # reluctant: a single B row
+
+
+def test_reluctant_needs_quantifier():
+    with pytest.raises(ValueError):
+        (
+            Pattern.begin("A").where("x").next("B").reluctant().where("y")
+        ).build()
