@@ -126,3 +126,64 @@ def test_streaming_until_matches_batch(spark, sf_small, tmp_path):
         map(tuple, spark.table("until_mem").drop("tag").collect())
     )
     assert expected == got
+
+
+@pytest.mark.slow
+def test_streaming_skip_to_last_matches_batch(spark, tmp_path):
+    """SKIP TO LAST B through the streaming operator: the strategy's
+    resumption cutoff lives in Nfa.step (shared by both tiers), so the
+    streamed replay must reproduce the batch match set — which on this
+    every-row-matches fixture differs from every other strategy
+    (starts {0, 2}, not {0} or {0, 1, 2})."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.operators import match_pattern
+    from flink_cep_examples_spark.plans.pattern import (
+        SKIP_TO_LAST,
+        Measure,
+        Pattern,
+    )
+    from flink_cep_examples_spark.sources.billing import billing_from_rows
+
+    spec = (
+        Pattern.begin("A", skip=SKIP_TO_LAST, skip_var="B")
+        .where("balanceAfter >= 0")
+        .next("B")
+        .times(2)
+        .where("balanceAfter >= 0")
+        .next("C")
+        .where("balanceAfter >= 0")
+    ).build(
+        measures=(
+            Measure("alarmTriggerDatetime", "A", "datetime", "first"),
+            Measure("topupDatetime", "C", "datetime", "first"),
+        )
+    )
+    rows = [
+        ("1", f"2020-05-01 11:{mm:02d}:00", 50, 50) for mm in range(6)
+    ] + [("99", "2021-01-01 00:00:00", -1, -1)]  # watermark sentinel
+    df = billing_from_rows(spark, rows)
+
+    batch = match_pattern(df, spec).drop("tag")
+    expected = sorted(map(tuple, batch.collect()))
+    assert [e[1] for e in expected] == [
+        "2020-05-01 11:00:00",  # start 0 (B = rows 1-2, C = row 3)
+        "2020-05-01 11:02:00",  # resume at last B (row 2) -> start 2
+    ]
+
+    src = str(tmp_path / "skipto")
+    df.coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    out = match_pattern_stream(stream, spec, "6 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("skipto_mem")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(map(tuple, spark.table("skipto_mem").drop("tag").collect()))
+    assert expected == got
