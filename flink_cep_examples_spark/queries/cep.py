@@ -475,6 +475,61 @@ def cep_until_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def skip_to_last_spec():
+    """``PATTERN (A B{2} C) AFTER MATCH SKIP TO LAST B`` with all-true
+    predicates: every row can play every role, so candidate matches
+    overlap and the resumption point is what selects the match set —
+    per key, matches start at row positions 0, 2, 4, ... (each match
+    spans 4 rows and resumes at its penultimate row). The closed-form
+    positional answer is the DuckDB oracle; SKIP PAST LAST would start
+    at 0, 4, 8, ... and SKIP TO NEXT at every row, so the oracle pins
+    THIS strategy, not just the pattern."""
+    from flink_cep_examples_spark.plans.pattern import (
+        SKIP_TO_LAST,
+        Measure,
+        Pattern,
+    )
+
+    return (
+        Pattern.begin("A", skip=SKIP_TO_LAST, skip_var="B")
+        .where("true")
+        .next("B")
+        .times(2)
+        .where("true")
+        .next("C")
+        .where("true")
+    ).build(
+        key_cols=("id",),
+        order_col="event_time",
+        tiebreak_col="seq",
+        measures=(
+            Measure("alarmTriggerDatetime", "A", "datetime", "first"),
+            Measure("topupDatetime", "C", "datetime", "first"),
+        ),
+    )
+
+
+def cep_skip_to_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _matches_only(
+        match_pattern(events_as_billing(spark, sf_dir), skip_to_last_spec())
+    )
+
+
+ORACLE_SKIP_TO_LAST = f"""
+WITH b AS (
+  SELECT CAST(user_id AS VARCHAR) AS id,
+         strftime(ts, {_FMT}) AS dt,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS r
+  FROM events
+)
+SELECT a.id,
+       a.dt AS alarmTriggerDatetime,
+       c.dt AS topupDatetime
+FROM b a JOIN b c ON c.id = a.id AND c.r = a.r + 3
+WHERE a.r % 2 = 0
+"""
+
+
 register("cep_alert_reactions", cep_alert_reactions, ORACLE_MATCHES)
 register("cep_until_pattern", cep_until_pattern, ORACLE_UNTIL)
 register(
@@ -497,3 +552,7 @@ register(
 )
 register("cep_skip_to_next", cep_skip_to_next, ORACLE_SKIP_TO_NEXT)
 register("cep_times_pattern", cep_times_pattern, ORACLE_TIMES)
+register(
+    "cep_skip_to_last", cep_skip_to_last, ORACLE_SKIP_TO_LAST,
+    driver=False,  # driver set capped at 50; oracle-gated in pytest
+)
