@@ -264,10 +264,10 @@ WHERE f.is_a AND NOT EXISTS (
 """
 
 
-def cep_absence_not_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+def absence_spec():
     from flink_cep_examples_spark.plans.pattern import NO_SKIP, Measure, Pattern
 
-    spec = (
+    return (
         Pattern.begin("A", skip=NO_SKIP)
         .where("balanceBefore >= 10 AND balanceAfter < 10")
         .not_followed_by("N")
@@ -280,7 +280,19 @@ def cep_absence_not_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
             measures=(Measure("alarmTriggerDatetime", "A", "datetime", "first"),),
         )
     )
-    return _matches_only(match_pattern(events_as_billing(spark, sf_dir), spec))
+
+
+def cep_absence_not_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timed-absence on the compiled closed-form path (one window over
+    one key Exchange, zero Python); the NFA tier is the
+    differential-tested fallback (tests/test_pattern_features.py)."""
+    from flink_cep_examples_spark.operators.fast_path import (
+        match_pattern_fast_absence,
+    )
+
+    return _matches_only(
+        match_pattern_fast_absence(events_as_billing(spark, sf_dir), absence_spec())
+    )
 
 
 #: SKIP TO NEXT ROW: at most one match per start row, but matches from

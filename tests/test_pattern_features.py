@@ -74,3 +74,44 @@ def test_within_prunes_followed_by_runs():
     spec = Pattern.begin("A").followed_by("C").within("10 minutes").build()
     m, to = _scan(spec, [(0, 1, 0), (15, 0, 1)])
     assert m == []
+
+
+def test_fast_absence_matches_nfa_differential(spark, sf_small):
+    """The timed-absence closed form and the general NFA must agree
+    row-for-row on the events-derived billing stream."""
+    from flink_cep_examples_spark.operators.cep_batch import match_pattern
+    from flink_cep_examples_spark.operators.fast_path import (
+        match_pattern_fast_absence,
+    )
+    from flink_cep_examples_spark.queries.cep import absence_spec
+    from flink_cep_examples_spark.sources.billing import events_as_billing
+
+    df = events_as_billing(spark, sf_small)
+    spec = absence_spec()
+    fast = sorted(map(tuple, match_pattern_fast_absence(df, spec).collect()))
+    nfa = sorted(map(tuple, match_pattern(df, spec).collect()))
+    assert fast == nfa and fast
+
+
+def test_fast_absence_tie_rows_void_like_nfa(spark):
+    """An N row at the SAME timestamp but later tiebreak sits after the
+    A in match order and must void it; at exactly start+within the
+    deadline fires first (strict <) and the match survives."""
+    from flink_cep_examples_spark.operators.cep_batch import match_pattern
+    from flink_cep_examples_spark.operators.fast_path import (
+        match_pattern_fast_absence,
+    )
+    from flink_cep_examples_spark.queries.cep import absence_spec
+    from flink_cep_examples_spark.sources.billing import billing_from_rows
+
+    rows = [
+        ("1", "2020-05-01 11:00:00", 50, 5),   # alarm
+        ("1", "2020-05-01 11:00:00", 5, 9),    # same-ts top-up: voids
+        ("2", "2020-05-01 11:00:00", 50, 5),   # alarm
+        ("2", "2020-05-01 12:00:00", 5, 9),    # top-up at exactly +1h:
+    ]                                          # deadline fired first
+    df = billing_from_rows(spark, rows)
+    spec = absence_spec()
+    fast = sorted(map(tuple, match_pattern_fast_absence(df, spec).collect()))
+    nfa = sorted(map(tuple, match_pattern(df, spec).collect()))
+    assert fast == nfa == [("2", "2020-05-01 11:00:00", "match")]

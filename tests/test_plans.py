@@ -94,6 +94,14 @@ def test_cep_fast_path_single_exchange(plans):
     assert plans["cep_alert_reactions"].count("Exchange") == 1
 
 
+def test_absence_fast_path_single_exchange_no_python(spark, sf_small):
+    """The timed-absence closed form: one key Exchange, no Python
+    stage (no mapInPandas / ArrowEvalPython in the plan)."""
+    p = _plan(QUERIES["cep_absence_not_followed_by"](spark, sf_small))
+    assert p.count("Exchange") == 1
+    assert "Python" not in p and "mapInPandas" not in p.lower()
+
+
 def test_exists_plans_as_semi_join(plans):
     """Q4's EXISTS must run as LeftSemi (probe-side dedup inside the
     join, match multiplicity never materialized) — not an inner join +
