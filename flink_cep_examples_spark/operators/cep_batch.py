@@ -52,6 +52,20 @@ def output_schema(df: DataFrame, spec: PatternSpec) -> T.StructType:
     return T.StructType(fields)
 
 
+def all_rows_output_schema(df: DataFrame, spec: PatternSpec) -> T.StructType:
+    """ALL ROWS PER MATCH output: every input column + classifier +
+    per-key match_seq + FINAL measures (shared by the NFA tier and the
+    fast path so both stay schema-identical)."""
+    return T.StructType(
+        [T.StructField(c, df.schema[c].dataType, True) for c in df.columns]
+        + [
+            T.StructField("classifier", T.StringType(), False),
+            T.StructField("match_seq", T.LongType(), False),
+        ]
+        + [_measure_field(df, m) for m in spec.measures]
+    )
+
+
 def _prepare(df: DataFrame, spec: PatternSpec) -> DataFrame:
     """Add vectorized predicate booleans + epoch-ms timestamp. Catalyst
     prunes every column the measures/keys don't need."""
@@ -159,14 +173,7 @@ def match_pattern_all_rows(df: DataFrame, spec: PatternSpec) -> DataFrame:
             for i, e in enumerate(spec.pred_exprs)
         ],
     )
-    out_schema = T.StructType(
-        [T.StructField(c, df.schema[c].dataType, True) for c in data_cols]
-        + [
-            T.StructField("classifier", T.StringType(), False),
-            T.StructField("match_seq", T.LongType(), False),
-        ]
-        + [_measure_field(df, m) for m in spec.measures]
-    )
+    out_schema = all_rows_output_schema(df, spec)
     n_vars = len(spec.pred_exprs)
     compiled = nfa.Nfa(spec)
     var_names = [v.name for v in spec.variables]

@@ -28,6 +28,13 @@ That closed form is pure window functions: one shuffle on the key, one
 sort, zero Python, whole-stage codegen end-to-end — the plan you want
 for 100 TB. The general NFA operator remains the fallback for every
 other pattern; differential tests pin both paths to identical output.
+
+Three shapes compile here:
+- :func:`match_pattern_fast_abc` — ONE ROW PER MATCH (+ timeouts);
+- :func:`match_pattern_fast_abc_all_rows` — ALL ROWS PER MATCH (the
+  match row set is a segment filter, classifier is positional);
+- :func:`match_pattern_fast_absence` — ``A notFollowedBy(N) within T``
+  timed absence (match ⇔ no N row before the deadline).
 """
 
 from __future__ import annotations
@@ -135,6 +142,122 @@ def match_pattern_fast_absence(df: DataFrame, spec: PatternSpec) -> DataFrame:
         )
     )
     target = output_schema(df, spec)
+    return out.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in target.fields]
+    )
+
+
+def match_pattern_fast_abc_all_rows(df: DataFrame, spec: PatternSpec) -> DataFrame:
+    """ALL ROWS PER MATCH on the same A B* C closed form (same semantic
+    guarantees as :func:`match_pattern_fast_abc`): a match's row set is
+    exactly its segment's rows from the anchor A onward (the segment
+    ends at its C row), so the expansion is a filter — no NFA, no
+    Python. classifier is positional (anchor → A, closing C → C, rest →
+    B), match_seq the per-key dense rank of the matched segment (the
+    NFA's emission order), measures FINAL over the segment. Output
+    schema identical to
+    :func:`~flink_cep_examples_spark.operators.cep_batch.match_pattern_all_rows`;
+    differential-tested against it."""
+    if not fast_abc_applicable(spec):
+        raise ValueError("pattern not eligible for the A B* C fast path")
+    spec.validate()
+    from flink_cep_examples_spark.operators.cep_batch import (
+        all_rows_output_schema,
+    )
+
+    a_var, b_var, c_var = (v.name for v in spec.variables)
+    a_pred, _, c_pred = (v.predicate for v in spec.variables)
+    keys = list(spec.key_cols)
+    within_us = (
+        int(spec.within.total_seconds() * 1_000_000)
+        if spec.within is not None
+        else None
+    )
+    data_cols = list(df.columns)
+    a_srcs = sorted(
+        {m.src for m in spec.measures if m.var == a_var and m.fn != "count"}
+    )
+    c_srcs = sorted(
+        {m.src for m in spec.measures if m.var == c_var and m.fn != "count"}
+    )
+
+    base = df.select(
+        *data_cols,
+        F.unix_micros(F.col(spec.order_col).cast("timestamp")).alias("__ts"),
+        F.col(spec.tiebreak_col).alias("__tb"),
+        F.expr(a_pred).alias("__is_a"),
+        F.expr(c_pred).alias("__is_c"),
+    )
+    w_ord = Window.partitionBy(*keys).orderBy("__ts", "__tb")
+    base = base.withColumn(
+        "__seg",
+        F.coalesce(
+            F.sum(F.col("__is_c").cast("long")).over(
+                w_ord.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).withColumn("__rn", F.row_number().over(w_ord))
+
+    w_seg = Window.partitionBy(*keys, "__seg")
+    with_c = base.withColumn(
+        "__c",
+        F.max(
+            F.when(
+                F.col("__is_c"),
+                F.struct(
+                    F.col("__ts").alias("ts"),
+                    F.col("__rn").alias("rn"),
+                    *[F.col(s).alias(f"s_{s}") for s in c_srcs],
+                ),
+            )
+        ).over(w_seg),
+    )
+    deadline_ok = (
+        F.lit(True)
+        if within_us is None
+        else (F.col("__c.ts") - F.col("__ts")) < F.lit(within_us)
+    )
+    with_a = with_c.withColumn(
+        "__a",
+        F.min(
+            F.when(
+                F.col("__is_a") & deadline_ok,
+                F.struct(
+                    F.col("__rn").alias("rn"),
+                    *[F.col(s).alias(f"s_{s}") for s in a_srcs],
+                ),
+            )
+        ).over(w_seg),
+    )
+    kept = with_a.filter(
+        F.col("__a").isNotNull() & (F.col("__rn") >= F.col("__a.rn"))
+    )
+    # per-key 0-based match index in emission (= segment) order; same
+    # partitioning as w_ord → no additional Exchange.
+    match_seq = (
+        F.dense_rank().over(Window.partitionBy(*keys).orderBy("__seg")) - 1
+    ).cast("long")
+    classifier = (
+        F.when(F.col("__rn") == F.col("__a.rn"), F.lit(a_var))
+        .when(F.col("__is_c"), F.lit(c_var))
+        .otherwise(F.lit(b_var))
+    )
+
+    def measure(m: Measure):
+        if m.fn == "count":  # B count = rows strictly between A and C
+            return (F.col("__c.rn") - F.col("__a.rn") - 1).cast("long")
+        if m.var == a_var:
+            return F.col(f"__a.s_{m.src}")
+        return F.col(f"__c.s_{m.src}")
+
+    out = kept.select(
+        *data_cols,
+        classifier.alias("classifier"),
+        match_seq.alias("match_seq"),
+        *[measure(m).alias(m.name) for m in spec.measures],
+    )
+    target = all_rows_output_schema(df, spec)
     return out.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in target.fields]
     )

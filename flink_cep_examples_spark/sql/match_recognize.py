@@ -43,6 +43,7 @@ from flink_cep_examples_spark.operators.cep_batch import (
 from flink_cep_examples_spark.operators.fast_path import (
     fast_abc_applicable,
     match_pattern_fast_abc,
+    match_pattern_fast_abc_all_rows,
 )
 from flink_cep_examples_spark.plans.pattern import (
     ONCE,
@@ -298,6 +299,8 @@ def match_recognize(
     if spec.rows_per_match == "all":
         if emit_timeouts:
             raise ValueError("ALL ROWS PER MATCH has no timeout channel")
+        if use_fast_path and fast_abc_applicable(spec):
+            return match_pattern_fast_abc_all_rows(df, spec)
         return match_pattern_all_rows(df, spec)
     if use_fast_path and fast_abc_applicable(spec):
         out = match_pattern_fast_abc(df, spec)

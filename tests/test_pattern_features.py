@@ -115,3 +115,26 @@ def test_fast_absence_tie_rows_void_like_nfa(spark):
     fast = sorted(map(tuple, match_pattern_fast_absence(df, spec).collect()))
     nfa = sorted(map(tuple, match_pattern(df, spec).collect()))
     assert fast == nfa == [("2", "2020-05-01 11:00:00", "match")]
+
+
+def test_fast_all_rows_matches_nfa_differential(spark, sf_small):
+    """ALL ROWS PER MATCH closed form vs the NFA tier: identical row
+    multisets (every input column + classifier + match_seq + final
+    measures) on the events-derived billing stream."""
+    from flink_cep_examples_spark.operators.cep_batch import (
+        match_pattern_all_rows,
+    )
+    from flink_cep_examples_spark.operators.fast_path import (
+        match_pattern_fast_abc_all_rows,
+    )
+    from flink_cep_examples_spark.plans.pattern import billing_pattern
+    from flink_cep_examples_spark.sources.billing import events_as_billing
+
+    df = events_as_billing(spark, sf_small)
+    spec = billing_pattern()
+    fast = match_pattern_fast_abc_all_rows(df, spec)
+    nfa = match_pattern_all_rows(df, spec)
+    assert fast.columns == nfa.columns
+    f_rows = sorted(map(tuple, fast.collect()))
+    n_rows = sorted(map(tuple, nfa.collect()))
+    assert f_rows == n_rows and f_rows
