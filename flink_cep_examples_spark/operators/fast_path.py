@@ -158,8 +158,8 @@ def match_pattern_fast_abc_all_rows(df: DataFrame, spec: PatternSpec) -> DataFra
     schema identical to
     :func:`~flink_cep_examples_spark.operators.cep_batch.match_pattern_all_rows`;
     differential-tested against it."""
-    if not fast_abc_applicable(spec):
-        raise ValueError("pattern not eligible for the A B* C fast path")
+    if not fast_abc_applicable(spec) or spec.variables[1].until is not None:
+        raise ValueError("pattern not eligible for the A B* C all-rows path")
     spec.validate()
     from flink_cep_examples_spark.operators.cep_batch import (
         all_rows_output_schema,
@@ -278,6 +278,8 @@ def match_pattern_fast_abc(df: DataFrame, spec: PatternSpec) -> DataFrame:
         else None
     )
 
+    until_pred = spec.variables[1].until
+
     srcs = sorted(
         {m.src for m in spec.measures if m.fn != "count"} - set(keys)
     )
@@ -287,6 +289,7 @@ def match_pattern_fast_abc(df: DataFrame, spec: PatternSpec) -> DataFrame:
         F.col(spec.tiebreak_col).alias("__tb"),
         F.expr(a_pred).alias("__is_a"),
         F.expr(c_pred).alias("__is_c"),
+        *([F.expr(until_pred).alias("__is_u")] if until_pred else []),
         *srcs,
     )
 
@@ -341,6 +344,21 @@ def match_pattern_fast_abc(df: DataFrame, spec: PatternSpec) -> DataFrame:
         )
     ).over(w_seg)
     with_a = with_cts.withColumn("__a", a_struct)
+    if until_pred:
+        # Flink until(): the first stop row after the match's A closes
+        # the loop — B rows from it on (the stop row included) are not
+        # consumed, truncating the count; the match itself survives
+        # (relaxed contiguity carries the run to its C). Same window
+        # partitioning → no extra Exchange.
+        with_a = with_a.withColumn(
+            "__u_rn",
+            F.min(
+                F.when(
+                    F.col("__is_u") & (F.col("__rn") > F.col("__a.rn")),
+                    F.col("__rn"),
+                )
+            ).over(w_seg),
+        )
 
     is_match_row = F.col("__is_c") & F.col("__a").isNotNull()
     if spec.emit_timeouts:
@@ -360,8 +378,13 @@ def match_pattern_fast_abc(df: DataFrame, spec: PatternSpec) -> DataFrame:
             return F.col(m.src)
         if m.var == a_var:
             return F.col(f"__a.s_{m.src}")
-        # B count = rows strictly between the A row and the C row
-        return (F.col("__rn") - F.col("__a.rn") - 1).cast("long")
+        # B count = rows strictly between the A row and the C row,
+        # truncated at the first until() stop row when one exists
+        # (evaluated on the C row, where __rn is the C position)
+        end = F.col("__rn")
+        if until_pred:
+            end = F.least(end, F.coalesce(F.col("__u_rn"), end))
+        return (end - F.col("__a.rn") - 1).cast("long")
 
     def timeout_measure(m: Measure):
         # NOTE (documented deviation): 'count' measures on timeout rows

@@ -482,8 +482,12 @@ def until_pattern_spec():
 
 
 def cep_until_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """until() on the compiled fast path: the billing algebra keeps the
+    A/C selection identical to the base pattern and until() only
+    truncates the B count at the first stop row — closed-form per the
+    oracle; NFA tier is the differential-tested fallback."""
     return _matches_only(
-        match_pattern(events_as_billing(spark, sf_dir), until_pattern_spec())
+        match_pattern_fast_abc(events_as_billing(spark, sf_dir), until_pattern_spec())
     )
 
 

@@ -138,3 +138,20 @@ def test_fast_all_rows_matches_nfa_differential(spark, sf_small):
     f_rows = sorted(map(tuple, fast.collect()))
     n_rows = sorted(map(tuple, nfa.collect()))
     assert f_rows == n_rows and f_rows
+
+
+def test_fast_until_matches_nfa_differential(spark, sf_small):
+    """until() count truncation on the fast path vs the NFA tier —
+    identical rows, n_b truncation included."""
+    from flink_cep_examples_spark.operators.cep_batch import match_pattern
+    from flink_cep_examples_spark.operators.fast_path import (
+        match_pattern_fast_abc,
+    )
+    from flink_cep_examples_spark.queries.cep import until_pattern_spec
+    from flink_cep_examples_spark.sources.billing import events_as_billing
+
+    df = events_as_billing(spark, sf_small)
+    spec = until_pattern_spec()
+    fast = sorted(map(tuple, match_pattern_fast_abc(df, spec).collect()))
+    nfa = sorted(map(tuple, match_pattern(df, spec).collect()))
+    assert fast == nfa and fast
