@@ -87,6 +87,38 @@ def skip_to_next_row(df):
     return match_pattern(df, spec).drop("tag")
 
 
+def skip_to_last(df):
+    """SQL:2016 AFTER MATCH SKIP TO LAST <var> (round 3): after a
+    match, scanning resumes AT the last row variable B consumed —
+    overlapping matches whose start lies at/after that row survive.
+    On the golden input the billing algebra makes strategies coincide;
+    the strategy-distinguishing fixtures live in
+    tests/test_pattern_algebra.py."""
+    from flink_cep_examples_spark.plans.pattern import SKIP_TO_LAST
+
+    spec = (
+        Pattern.begin("A", skip=SKIP_TO_LAST, skip_var="B")
+        .where(ALARM)
+        .next("B")
+        .one_or_more()
+        .optional()
+        .where(NON_INCREASING)
+        .next("C")
+        .where(TOPUP)
+        .within("1 hour")
+        .build(
+            key_cols=("id",),
+            order_col="event_time",
+            tiebreak_col="seq",
+            measures=(
+                Measure("alarmTriggerDatetime", "A", "datetime", "first"),
+                Measure("topupDatetime", "C", "datetime", "last"),
+            ),
+        )
+    )
+    return match_pattern(df, spec).drop("tag")
+
+
 def main() -> None:
     spark = session()
     df = input_df(spark, sys.argv)
@@ -96,6 +128,8 @@ def main() -> None:
     counted_consecutive(df).show(truncate=False)
     print("== AFTER MATCH SKIP TO NEXT ROW")
     skip_to_next_row(df).show(truncate=False)
+    print("== AFTER MATCH SKIP TO LAST B")
+    skip_to_last(df).show(truncate=False)
 
 
 if __name__ == "__main__":
