@@ -97,8 +97,10 @@ class _Branch(NamedTuple):
     var: int  # POSITIVE-variable position currently being filled
     count: int  # rows consumed by that variable so far
     # per-positive-variable span
-    # (first_payload, last_payload, count, first_ts_us, last_ts_us) or
-    # None — the timestamps feed SKIP TO FIRST/LAST resumption points
+    # (first_payload, last_payload, count, first_row_ord, last_row_ord)
+    # or None — the ordinals (per-key row positions in (order, tiebreak)
+    # sequence) feed SKIP TO FIRST/LAST resumption points POSITIONALLY,
+    # so rows sharing a timestamp still resolve correctly
     rows: tuple
     fresh: bool = True  # consumed/created on the previous processed row
     # (drives notNext: only the immediately-next row is checked)
@@ -108,38 +110,42 @@ class _Branch(NamedTuple):
 class _Run:
     """One NFA run (all branches sharing a start row). Picklable."""
 
-    __slots__ = ("start_ts", "seq", "branches", "pending")
+    __slots__ = ("start_ts", "seq", "branches", "pending", "start_ord")
 
-    def __init__(self, start_ts: int, seq: int, branches: list[_Branch]):
+    def __init__(
+        self, start_ts: int, seq: int, branches: list[_Branch], start_ord: int = 0
+    ):
         self.start_ts = start_ts
         self.seq = seq  # creation order; earliest run wins emission priority
         self.branches = branches
+        self.start_ord = start_ord  # per-key row position of the start row
         # completed branch awaiting a trailing-notFollowedBy deadline
         self.pending: _Branch | None = None
 
     def __getstate__(self):
-        return (self.start_ts, self.seq, self.branches, self.pending)
+        return (self.start_ts, self.seq, self.branches, self.pending, self.start_ord)
 
     def __setstate__(self, s):
-        self.start_ts, self.seq, self.branches, self.pending = s
+        self.start_ts, self.seq, self.branches, self.pending, self.start_ord = s
 
 
 class NfaState:
-    """Per-key mutable state: live runs + a monotonically increasing run
-    counter. Small (bounded by the ``within`` horizon) and picklable for
-    the streaming state store."""
+    """Per-key mutable state: live runs + monotonically increasing run
+    and row counters. Small (bounded by the ``within`` horizon) and
+    picklable for the streaming state store."""
 
-    __slots__ = ("runs", "next_seq")
+    __slots__ = ("runs", "next_seq", "row_ord")
 
     def __init__(self) -> None:
         self.runs: list[_Run] = []
         self.next_seq = 0
+        self.row_ord = 0  # rows processed for this key, in order
 
     def __getstate__(self):
-        return (self.runs, self.next_seq)
+        return (self.runs, self.next_seq, self.row_ord)
 
     def __setstate__(self, s):
-        self.runs, self.next_seq = s
+        self.runs, self.next_seq, self.row_ord = s
 
 
 class Nfa:
@@ -241,13 +247,13 @@ class Nfa:
                 self._until_pred = len(all_vars)
 
     # -- helpers ------------------------------------------------------
-    def _extend(self, br: _Branch, p: int, payload, t_us: int) -> _Branch:
+    def _extend(self, br: _Branch, p: int, payload, ord_: int) -> _Branch:
         rows = list(br.rows)
         cur = rows[p]
         rows[p] = (
-            (payload, payload, 1, t_us, t_us)
+            (payload, payload, 1, ord_, ord_)
             if cur is None
-            else (cur[0], payload, cur[2] + 1, cur[3], t_us)
+            else (cur[0], payload, cur[2] + 1, cur[3], ord_)
         )
         count = br.count + 1 if p == br.var else 1
         return _Branch(p, count, tuple(rows), True, br.loop_open)
@@ -265,7 +271,7 @@ class Nfa:
         )
 
     def _skip_cutoff(self, br: _Branch) -> int | None:
-        """Resumption timestamp for SKIP_TO_FIRST/LAST: the first/last
+        """Resumption row ordinal for SKIP_TO_FIRST/LAST: the first/last
         row the skip variable matched in the emitted branch. None when
         the (optional) variable matched no rows — the caller then only
         discards the emitted run (Flink's skip-to-miss relaxed
@@ -285,7 +291,7 @@ class Nfa:
         next surviving completion."""
         out: list[dict] = []
         killed: set[int] = set()
-        start_by_seq = {r.seq: r.start_ts for r in st.runs}
+        start_by_seq = {r.seq: r.start_ord for r in st.runs}
         for seq, br in completed:  # sorted by (seq, pref)
             if seq in killed:
                 continue
@@ -355,7 +361,7 @@ class Nfa:
                 ]
                 if cutoffs:
                     cut = max(cutoffs)
-                    st.runs = [r for r in st.runs if r.start_ts >= cut]
+                    st.runs = [r for r in st.runs if r.start_ord >= cut]
         matches = [self._branch_dict(b) for b in matched_branches]
         return matches, timeouts
 
@@ -367,6 +373,8 @@ class Nfa:
         (negated variables included). Returns ``(matches, timeouts)``
         as var-name → (first, last, count) payload dicts."""
         matches, timeouts = self.advance_time(st, t_us)
+        ord_ = st.row_ord
+        st.row_ord += 1
 
         completed: list[tuple[int, _Branch]] = []  # (run seq, branch)
         for run in st.runs:
@@ -427,7 +435,7 @@ class Nfa:
                     and pred_row[self._pos[p]]
                     and (self._maxc[p] is None or br.count < self._maxc[p])
                 ):
-                    nb = self._extend(br, p, payload, t_us)
+                    nb = self._extend(br, p, payload, ord_)
                     moved_det = moved_det or not self._combinations[p]
                     if self._complete[p] and nb.count >= self._minc[p]:
                         complete(run, nb)
@@ -437,7 +445,7 @@ class Nfa:
                         if q == self._until_var and not br.loop_open:
                             continue
                         if pred_row[self._pos[q]]:
-                            nb = self._extend(br, q, payload, t_us)
+                            nb = self._extend(br, q, payload, ord_)
                             moved_det = moved_det or not self._combinations[q]
                             if self._complete[q] and self._minc[q] <= 1:
                                 complete(run, nb)
@@ -463,8 +471,8 @@ class Nfa:
         # begin-state branching: a fresh run starts at this row
         first = self._pos[0]
         if pred_row[first]:
-            nb = self._extend(_Branch(0, 0, self._empty_rows), 0, payload, t_us)
-            run = _Run(t_us, st.next_seq, [nb])
+            nb = self._extend(_Branch(0, 0, self._empty_rows), 0, payload, ord_)
+            run = _Run(t_us, st.next_seq, [nb], start_ord=ord_)
             st.next_seq += 1
             if self._complete[0] and self._minc[0] <= 1:
                 if self._trailing:

@@ -518,3 +518,16 @@ def test_reluctant_needs_quantifier():
         (
             Pattern.begin("A").where("x").next("B").reluctant().where("y")
         ).build()
+
+
+def test_skip_to_last_is_positional_under_timestamp_ties():
+    """SQL resumption is a row POSITION, not a timestamp: with every
+    row sharing one timestamp (ordered by tiebreak), SKIP TO LAST B
+    must still discard the run started between the match start and the
+    resumption row — starts {0, 2}, exactly as in the distinct-ts
+    fixture. A timestamp-based cutoff would let every same-ts run
+    survive and emit starts {0, 1, 2}."""
+    m, _ = run(
+        abc_times2(SKIP_TO_LAST, "B"), ALL_ROWS_6, ts=[0] * len(ALL_ROWS_6)
+    )
+    assert [sp[0] for sp in spans(m, "A")] == [0, 2]

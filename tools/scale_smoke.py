@@ -30,6 +30,9 @@ from flink_cep_examples_spark.session import get_spark  # noqa: E402
 SMOKE = [
     "cep_alerts_with_timeouts",
     "cep_alert_reactions_nfa",
+    "cep_absence_not_followed_by",  # timed-absence fast path (round 3)
+    "cep_match_recognize_all_rows",  # all-rows fast path (round 3)
+    "cep_until_pattern",  # until() on the fast path (round 3)
     "dedup_minhash_lsh",
     "dedup_clusters",
     "docs_bigram_topk",
