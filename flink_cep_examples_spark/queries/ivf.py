@@ -116,15 +116,12 @@ def _means(assigned: DataFrame) -> dict[int, list[float]]:
     return out
 
 
-def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-k for the fixed query vector: seed with the K smallest
-    vec_ids, one Lloyd refinement (assign → exact-decimal means),
-    final assignment, then exact cosine over the NPROBE nearest
-    inverted lists only."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
-        "vec_id", "label", "embedding"
-    )
-
+def _trained_assignment(
+    emb: DataFrame,
+) -> tuple[DataFrame, dict[int, list[float]]]:
+    """Seed with the K smallest vec_ids, one Lloyd refinement (assign →
+    exact-decimal means), final assignment. Returns (assigned df with
+    ``cid``, trained centroids)."""
     seed_rows = sorted(
         emb.filter(F.col("vec_id") < K_LISTS)
         .select("vec_id", "embedding")
@@ -135,7 +132,16 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         int(r.vec_id): [float(x) for x in r.embedding] for r in seed_rows
     }
     cents = _means(_assign(emb, cents))  # one Lloyd refinement
-    assigned = _assign(emb, cents)  # final inverted lists
+    return _assign(emb, cents), cents
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k for the fixed query vector: trained coarse quantizer,
+    then exact cosine over the NPROBE nearest inverted lists only."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", "label", "embedding"
+    )
+    assigned, cents = _trained_assignment(emb)
 
     qvec = [
         float(x)
@@ -225,4 +231,78 @@ LIMIT {TOP_K}
 """
 
 
+#: SemDeDup cosine threshold: within-cluster pairs at or above it are
+#: semantic duplicates; the larger vec_id of each pair is pruned.
+SEMDEDUP_T = 0.4
+
+
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embeddings with the trained coarse
+    quantizer, compare pairs ONLY within a cluster, and keep the
+    minimum vec_id of every cosine >= {t} duplicate pair. Returns the
+    surviving (vec_id, label, cid) rows.
+
+    Scale shape: the cluster id bounds the quadratic term — pair
+    candidates are sum_k (n_k choose 2) ~ n^2/K instead of n^2, and K
+    grows with the corpus, so the pair join is an equi-join on ``cid``
+    (one shuffle keyed by a small int; at 100 TB the corpus would be
+    written clustered by cid, making it co-located). Cosines ride the
+    Arrow-vectorized kernel; the final removal is a left_anti on
+    vec_id with AQE choosing the strategy — never a forced broadcast
+    (the loser set scales with the duplicate fraction).""".format(
+        t=SEMDEDUP_T
+    )
+    from flink_cep_examples_spark.queries.similarity import _pd_cos
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", "label", "embedding"
+    )
+    assigned, _ = _trained_assignment(emb)
+    assigned = assigned.localCheckpoint()  # train once, feed both sides
+    a = assigned.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "cid"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), "cid"
+    )
+    losers = (
+        a.join(b, ["cid"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_b", _pd_cos("emb_a", "emb_b").alias("cos"))
+        .filter(F.col("cos") >= SEMDEDUP_T)
+        .select("vec_b")
+        .distinct()
+    )
+    return assigned.join(
+        losers, assigned["vec_id"] == losers["vec_b"], "left_anti"
+    ).select("vec_id", "label", "cid")
+
+
+ORACLE_SEMDEDUP = f"""
+WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+c0 AS (
+  SELECT vec_id AS cid,
+         [CAST(x AS DOUBLE) FOR x IN embedding] AS cvec
+  FROM e WHERE vec_id < {K_LISTS}
+),
+{_sql_assign('e', 'c0', 'a1')},
+{_SQL_MEANS},
+{_sql_assign('e', 'c1', 'a2')},
+losers AS (
+  SELECT DISTINCT b.vec_id
+  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {_sql_dot('a.embedding', 'b.embedding')}
+          / ({_sql_norm('a.embedding')} * {_sql_norm('b.embedding')})
+        >= {SEMDEDUP_T}
+)
+SELECT a2.vec_id, a2.label, a2.cid
+FROM a2 ANTI JOIN losers ON a2.vec_id = losers.vec_id
+"""
+
+
 register("ivf_topk", ivf_topk, ORACLE_IVF)
+register(
+    "semdedup_prune", semdedup_prune, ORACLE_SEMDEDUP,
+    driver=False,  # driver set capped at 50; oracle-gated in pytest
+)
