@@ -52,6 +52,8 @@ HEADLINE = [
     "docs_chunk_spans",
     "cep_until_pattern",
     "events_funnel_interval_join",
+    "cep_skip_to_last",
+    "semdedup_prune",
 ]
 
 
