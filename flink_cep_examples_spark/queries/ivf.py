@@ -137,9 +137,14 @@ def _trained_assignment(
 
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k for the fixed query vector: trained coarse quantizer,
-    then exact cosine over the NPROBE nearest inverted lists only."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
-        "vec_id", "label", "embedding"
+    then exact cosine over the NPROBE nearest inverted lists only.
+    The embeddings are materialized once (localCheckpoint) — training
+    runs 4 actions over them (seed fetch, refine means, final assign,
+    query fetch), each of which would otherwise rescan + reshuffle."""
+    emb = (
+        spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+        .select("vec_id", "label", "embedding")
+        .localCheckpoint()
     )
     assigned, cents = _trained_assignment(emb)
 
