@@ -147,6 +147,115 @@ def match_pattern_fast_absence(df: DataFrame, spec: PatternSpec) -> DataFrame:
     )
 
 
+def _segment_anchors(
+    df: DataFrame, spec: PatternSpec, carry_cols: list[str]
+) -> tuple[DataFrame, Window]:
+    """Shared closed-form segmentation for the A B* C shapes — ONE
+    definition so the one-row and all-rows paths cannot drift:
+
+    - ``__seg``  — number of C rows strictly before this row (a C row
+      closes the segment it terminates);
+    - ``__rn``   — per-key row position in (order, tiebreak) sequence;
+    - ``__c``    — the segment's closing-C struct ``(ts, rn, s_<src>…)``,
+      NULL for a trailing segment with no C — every match condition
+      must check it (the anchor ``__a`` below already does: its
+      deadline references ``__c.ts``, and with no ``within`` the
+      explicit ``__c IS NOT NULL`` conjunct takes over);
+    - ``__a``    — the anchor struct ``(ts, tb, rn, s_<src>…)`` of the
+      EARLIEST A row whose gap to the segment's C is inside ``within``;
+      NULL when the segment has no C row or no qualifying A;
+    - ``__is_u`` / ``__u_rn`` — the until() stop predicate and the
+      first stop row after the anchor, when the loop variable carries
+      an until() condition.
+
+    Returns (annotated frame, the per-key ordering window) — all
+    columns computed over one hash Exchange on the key."""
+    a_var, _, c_var = (v.name for v in spec.variables)
+    a_pred, _, c_pred = (v.predicate for v in spec.variables)
+    keys = list(spec.key_cols)
+    within_us = (
+        int(spec.within.total_seconds() * 1_000_000)
+        if spec.within is not None
+        else None
+    )
+    until_pred = spec.variables[1].until
+    a_srcs = sorted(
+        {m.src for m in spec.measures if m.var == a_var and m.fn != "count"}
+    )
+    c_srcs = sorted(
+        {m.src for m in spec.measures if m.var == c_var and m.fn != "count"}
+    )
+
+    base = df.select(
+        *carry_cols,
+        F.unix_micros(F.col(spec.order_col).cast("timestamp")).alias("__ts"),
+        F.col(spec.tiebreak_col).alias("__tb"),
+        F.expr(a_pred).alias("__is_a"),
+        F.expr(c_pred).alias("__is_c"),
+        *([F.expr(until_pred).alias("__is_u")] if until_pred else []),
+    )
+    w_ord = Window.partitionBy(*keys).orderBy("__ts", "__tb")
+    base = base.withColumn(
+        "__seg",
+        F.coalesce(
+            F.sum(F.col("__is_c").cast("long")).over(
+                w_ord.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).withColumn("__rn", F.row_number().over(w_ord))
+
+    w_seg = Window.partitionBy(*keys, "__seg")
+    out = base.withColumn(
+        "__c",
+        F.max(
+            F.when(
+                F.col("__is_c"),
+                F.struct(
+                    F.col("__ts").alias("ts"),
+                    F.col("__rn").alias("rn"),
+                    *[F.col(s).alias(f"s_{s}") for s in c_srcs],
+                ),
+            )
+        ).over(w_seg),
+    )
+    deadline_ok = (
+        F.col("__c").isNotNull()
+        if within_us is None
+        else (F.col("__c.ts") - F.col("__ts")) < F.lit(within_us)
+    )
+    out = out.withColumn(
+        "__a",
+        F.min(
+            F.when(
+                F.col("__is_a") & deadline_ok,
+                F.struct(
+                    F.col("__ts").alias("ts"),
+                    F.col("__tb").alias("tb"),
+                    F.col("__rn").alias("rn"),
+                    *[F.col(s).alias(f"s_{s}") for s in a_srcs],
+                ),
+            )
+        ).over(w_seg),
+    )
+    if until_pred:
+        # Flink until(): the first stop row after the match's A closes
+        # the loop — B rows from it on (the stop row included) are not
+        # consumed, truncating the count; the match itself survives
+        # (relaxed contiguity carries the run to its C). Same window
+        # partitioning → no extra Exchange.
+        out = out.withColumn(
+            "__u_rn",
+            F.min(
+                F.when(
+                    F.col("__is_u") & (F.col("__rn") > F.col("__a.rn")),
+                    F.col("__rn"),
+                )
+            ).over(w_seg),
+        )
+    return out, w_ord
+
+
 def match_pattern_fast_abc_all_rows(df: DataFrame, spec: PatternSpec) -> DataFrame:
     """ALL ROWS PER MATCH on the same A B* C closed form (same semantic
     guarantees as :func:`match_pattern_fast_abc`): a match's row set is
@@ -166,72 +275,16 @@ def match_pattern_fast_abc_all_rows(df: DataFrame, spec: PatternSpec) -> DataFra
     )
 
     a_var, b_var, c_var = (v.name for v in spec.variables)
-    a_pred, _, c_pred = (v.predicate for v in spec.variables)
     keys = list(spec.key_cols)
-    within_us = (
-        int(spec.within.total_seconds() * 1_000_000)
-        if spec.within is not None
-        else None
-    )
     data_cols = list(df.columns)
-    a_srcs = sorted(
-        {m.src for m in spec.measures if m.var == a_var and m.fn != "count"}
-    )
-    c_srcs = sorted(
-        {m.src for m in spec.measures if m.var == c_var and m.fn != "count"}
-    )
 
-    base = df.select(
-        *data_cols,
-        F.unix_micros(F.col(spec.order_col).cast("timestamp")).alias("__ts"),
-        F.col(spec.tiebreak_col).alias("__tb"),
-        F.expr(a_pred).alias("__is_a"),
-        F.expr(c_pred).alias("__is_c"),
-    )
-    w_ord = Window.partitionBy(*keys).orderBy("__ts", "__tb")
-    base = base.withColumn(
-        "__seg",
-        F.coalesce(
-            F.sum(F.col("__is_c").cast("long")).over(
-                w_ord.rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ),
-    ).withColumn("__rn", F.row_number().over(w_ord))
-
-    w_seg = Window.partitionBy(*keys, "__seg")
-    with_c = base.withColumn(
-        "__c",
-        F.max(
-            F.when(
-                F.col("__is_c"),
-                F.struct(
-                    F.col("__ts").alias("ts"),
-                    F.col("__rn").alias("rn"),
-                    *[F.col(s).alias(f"s_{s}") for s in c_srcs],
-                ),
-            )
-        ).over(w_seg),
-    )
-    deadline_ok = (
-        F.lit(True)
-        if within_us is None
-        else (F.col("__c.ts") - F.col("__ts")) < F.lit(within_us)
-    )
-    with_a = with_c.withColumn(
-        "__a",
-        F.min(
-            F.when(
-                F.col("__is_a") & deadline_ok,
-                F.struct(
-                    F.col("__rn").alias("rn"),
-                    *[F.col(s).alias(f"s_{s}") for s in a_srcs],
-                ),
-            )
-        ).over(w_seg),
-    )
+    with_a, _ = _segment_anchors(df, spec, data_cols)
+    # the anchor implies a closing C (its deadline references __c), but
+    # assert the invariant structurally: a match needs BOTH ends.
     kept = with_a.filter(
-        F.col("__a").isNotNull() & (F.col("__rn") >= F.col("__a.rn"))
+        F.col("__a").isNotNull()
+        & F.col("__c").isNotNull()
+        & (F.col("__rn") >= F.col("__a.rn"))
     )
     # per-key 0-based match index in emission (= segment) order; same
     # partitioning as w_ord → no additional Exchange.
@@ -270,41 +323,18 @@ def match_pattern_fast_abc(df: DataFrame, spec: PatternSpec) -> DataFrame:
         raise ValueError("pattern not eligible for the A B* C fast path")
     spec.validate()
     a_var, b_var, c_var = (v.name for v in spec.variables)
-    a_pred, _, c_pred = (v.predicate for v in spec.variables)
     keys = list(spec.key_cols)
     within_us = (
         int(spec.within.total_seconds() * 1_000_000)
         if spec.within is not None
         else None
     )
-
     until_pred = spec.variables[1].until
 
     srcs = sorted(
         {m.src for m in spec.measures if m.fn != "count"} - set(keys)
     )
-    base = df.select(
-        *keys,
-        F.unix_micros(F.col(spec.order_col).cast("timestamp")).alias("__ts"),
-        F.col(spec.tiebreak_col).alias("__tb"),
-        F.expr(a_pred).alias("__is_a"),
-        F.expr(c_pred).alias("__is_c"),
-        *([F.expr(until_pred).alias("__is_u")] if until_pred else []),
-        *srcs,
-    )
-
-    w_ord = Window.partitionBy(*keys).orderBy("__ts", "__tb")
-    # segment id = number of C rows strictly before this row; a C row
-    # closes (belongs to) the segment it terminates.
-    base = base.withColumn(
-        "__seg",
-        F.coalesce(
-            F.sum(F.col("__is_c").cast("long")).over(
-                w_ord.rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ),
-    ).withColumn("__rn", F.row_number().over(w_ord))
+    with_a, w_ord = _segment_anchors(df, spec, [*keys, *srcs])
     if spec.emit_timeouts:
         # Same window partitioning/ordering as __seg/__rn → one Window
         # stage, no extra shuffle. Because A ∧ C is unsatisfiable, a row
@@ -312,52 +342,11 @@ def match_pattern_fast_abc(df: DataFrame, spec: PatternSpec) -> DataFrame:
         # never both — so matches and timeouts are emitted from ONE
         # filtered frame with CASE WHEN projections (single scan, single
         # exchange; no union of two subplans).
-        base = base.withColumn(
+        with_a = with_a.withColumn(
             "__next_c",
             F.min(F.when(F.col("__is_c"), F.col("__ts"))).over(
                 w_ord.rowsBetween(1, Window.unboundedFollowing)
             ),
-        )
-
-    # ---- per-segment A candidate (for match rows) -------------------
-    w_seg = Window.partitionBy(*keys, "__seg")
-    a_srcs = sorted(
-        {m.src for m in spec.measures if m.var == a_var and m.fn != "count"}
-    )
-    with_cts = base.withColumn(
-        "__c_ts", F.max(F.when(F.col("__is_c"), F.col("__ts"))).over(w_seg)
-    )
-    deadline_ok = (
-        F.lit(True)
-        if within_us is None
-        else (F.col("__c_ts") - F.col("__ts")) < F.lit(within_us)
-    )
-    a_struct = F.min(
-        F.when(
-            F.col("__is_a") & deadline_ok,
-            F.struct(
-                F.col("__ts").alias("ts"),
-                F.col("__tb").alias("tb"),
-                F.col("__rn").alias("rn"),
-                *[F.col(s).alias(f"s_{s}") for s in a_srcs],
-            ),
-        )
-    ).over(w_seg)
-    with_a = with_cts.withColumn("__a", a_struct)
-    if until_pred:
-        # Flink until(): the first stop row after the match's A closes
-        # the loop — B rows from it on (the stop row included) are not
-        # consumed, truncating the count; the match itself survives
-        # (relaxed contiguity carries the run to its C). Same window
-        # partitioning → no extra Exchange.
-        with_a = with_a.withColumn(
-            "__u_rn",
-            F.min(
-                F.when(
-                    F.col("__is_u") & (F.col("__rn") > F.col("__a.rn")),
-                    F.col("__rn"),
-                )
-            ).over(w_seg),
         )
 
     is_match_row = F.col("__is_c") & F.col("__a").isNotNull()

@@ -100,6 +100,11 @@ def connected_components(
     (2 shuffles/round, O(log d) rounds — right for long-diameter
     graphs such as chained near-dup paths).
     """
+    if algorithm not in ("label_prop", "pointer_doubling"):
+        raise ValueError(
+            f"unknown algorithm {algorithm!r}: "
+            "expected 'label_prop' or 'pointer_doubling'"
+        )
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = e.localCheckpoint()
     stats = e.agg(

@@ -282,27 +282,36 @@ class Nfa:
         return span[3] if self.after_match == SKIP_TO_FIRST else span[4]
 
     def _apply_skip_to(
-        self, st: NfaState, completed: list[tuple[int, _Branch]]
+        self, st: NfaState, completed: list[tuple[int, int, _Branch]]
     ) -> list[dict]:
-        """Sequential SKIP TO FIRST/LAST emission: emit the earliest
-        surviving run's preferred branch, discard it plus every run
-        started BEFORE the resumption row (runs started at or after it
-        survive — matching 'resumes at' that row), then consider the
-        next surviving completion."""
+        """Sequential SKIP TO FIRST/LAST emission over (seq, start_ord,
+        branch) tuples sorted by (seq, preference): emit the earliest
+        surviving run's preferred branch, then discard every run —
+        live OR completed-but-unemitted — started BEFORE the resumption
+        row (runs started at/after it survive: matching 'resumes at'
+        that row). Completions are carried with their own start ordinal
+        because their runs may already be gone from ``st.runs`` (all
+        branches consumed into a final once-variable)."""
         out: list[dict] = []
         killed: set[int] = set()
-        start_by_seq = {r.seq: r.start_ord for r in st.runs}
-        for seq, br in completed:  # sorted by (seq, pref)
+        cutoff: int | None = None
+        for seq, start_ord, br in completed:
             if seq in killed:
+                continue
+            if cutoff is not None and start_ord < cutoff:
+                killed.add(seq)  # started before the resumption row
                 continue
             out.append(self._branch_dict(br))
             killed.add(seq)
-            cutoff = self._skip_cutoff(br)
-            if cutoff is not None:
-                killed.update(
-                    s for s, ts in start_by_seq.items() if ts < cutoff
-                )
-        st.runs = [r for r in st.runs if r.seq not in killed]
+            c = self._skip_cutoff(br)
+            if c is not None:
+                cutoff = c if cutoff is None else max(cutoff, c)
+        st.runs = [
+            r
+            for r in st.runs
+            if r.seq not in killed
+            and (cutoff is None or r.start_ord >= cutoff)
+        ]
         return out
 
     def _branch_dict(self, br: _Branch) -> dict:
@@ -340,29 +349,28 @@ class Nfa:
         partials (empty unless ``emit_timeouts``)."""
         if self.within_us is None or not st.runs:
             return [], []
-        matched_branches, timeouts, live = [], [], []
+        matured, timeouts, live = [], [], []
         for run in st.runs:
             if t_us - run.start_ts >= self.within_us:
                 if run.pending is not None:
-                    matched_branches.append(run.pending)
+                    matured.append((run.seq, run.start_ord, run.pending))
                 elif self.emit_timeouts and run.branches:
                     timeouts.append(self._timeout_dict(run))
             else:
                 live.append(run)
         st.runs = live
-        if matched_branches:
+        if not matured:
+            return [], timeouts
+        if self.after_match in (SKIP_TO_FIRST, SKIP_TO_LAST):
+            # same sequential resumption discipline as step(): an
+            # earlier emission's cutoff suppresses matured completions
+            # (and live runs) started before the resumption row.
+            matured.sort(key=lambda rc: (rc[0], self._pref_key(rc[2])))
+            matches = self._apply_skip_to(st, matured)
+        else:
+            matches = [self._branch_dict(b) for _, _, b in matured]
             if self.after_match == SKIP_PAST_LAST_EVENT:
                 st.runs = []
-            elif self.after_match in (SKIP_TO_FIRST, SKIP_TO_LAST):
-                cutoffs = [
-                    c
-                    for c in map(self._skip_cutoff, matched_branches)
-                    if c is not None
-                ]
-                if cutoffs:
-                    cut = max(cutoffs)
-                    st.runs = [r for r in st.runs if r.start_ord >= cut]
-        matches = [self._branch_dict(b) for b in matched_branches]
         return matches, timeouts
 
     def step(
@@ -398,7 +406,7 @@ class Nfa:
                     if run.pending is None:
                         run.pending = nb
                 else:
-                    completed.append((run.seq, nb))
+                    completed.append((run.seq, run.start_ord, nb))
 
             for br in run.branches:
                 p = br.var
@@ -478,7 +486,7 @@ class Nfa:
                 if self._trailing:
                     run.pending = nb
                 else:
-                    completed.append((run.seq, nb))
+                    completed.append((run.seq, run.start_ord, nb))
                 if not self._can_loop[0]:
                     run.branches = []
             if run.branches or run.pending is not None:
@@ -488,13 +496,13 @@ class Nfa:
             # (seq, pref) sort: earliest run wins; within a run the
             # quantifier-preferred branch (greedy/reluctant) wins; the
             # stable sort keeps branch creation order as final tie-break.
-            completed.sort(key=lambda rc: (rc[0], self._pref_key(rc[1])))
+            completed.sort(key=lambda rc: (rc[0], self._pref_key(rc[2])))
             if self.after_match == SKIP_PAST_LAST_EVENT:
-                matches.append(self._branch_dict(completed[0][1]))
+                matches.append(self._branch_dict(completed[0][2]))
                 st.runs = []  # discard every partial (incl. run begun here)
             elif self.after_match == SKIP_TO_NEXT:
                 emitted: set[int] = set()
-                for seq, br in completed:
+                for seq, _, br in completed:
                     if seq not in emitted:
                         emitted.add(seq)
                         matches.append(self._branch_dict(br))
@@ -504,7 +512,9 @@ class Nfa:
             elif self.after_match in (SKIP_TO_FIRST, SKIP_TO_LAST):
                 matches.extend(self._apply_skip_to(st, completed))
             else:
-                matches.extend(self._branch_dict(br) for _, br in completed)
+                matches.extend(
+                    self._branch_dict(br) for _, _, br in completed
+                )
         return matches, timeouts
 
     def finish(self, st: NfaState) -> tuple[list[dict], list[dict]]:

@@ -246,9 +246,7 @@ def docs_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: codegen explode + per-doc lead window (shuffle on
     doc_id) → map-side-combined count (partial agg before the shuffle
     on the bigram string) → TakeOrdered {k} (per-partition heaps; {k}
-    rows cross to the driver, never a global sort).""".format(
-        k=TOP_BIGRAMS
-    )
+    rows cross to the driver, never a global sort)."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     return (
         _token_bigram_rows(docs)

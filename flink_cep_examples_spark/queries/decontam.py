@@ -72,9 +72,9 @@ def _window_hashes(docs: DataFrame) -> DataFrame:
 
 def docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contaminated training docs: corpus documents (outside the eval
-    slice) sharing at least one {n}-token window hash with the eval
+    slice) sharing at least one N_GRAM-token window hash with the eval
     slice. Emits (doc_id, n_hits = distinct shared window hashes),
-    contaminated rows only.""".format(n=N_GRAM)
+    contaminated rows only."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     is_eval = (F.col("doc_id") * _MIX) % _MOD % EVAL_MOD == EVAL_RESIDUE
     eval_hashes = (

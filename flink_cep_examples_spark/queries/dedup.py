@@ -134,12 +134,10 @@ FROM fp JOIN groups USING (fp)
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact 3-gram Jaccard >= {t}. Candidate space
-    pruned by the sound size filter (no false negatives:
+    """Near-dup pairs by exact 3-gram Jaccard >= JACCARD_T. Candidate
+    space pruned by the sound size filter (no false negatives:
     J >= t implies min|A|,|B| >= t * max). Correctness gate for the LSH
-    path; quadratic in the surviving candidates by design.""".format(
-        t=JACCARD_T
-    )
+    path; quadratic in the surviving candidates by design."""
     docs = load_table(spark, sf_dir, "documents")
     sh = spread(docs, "doc_id").select(
         "doc_id", _shingles(F.col("text")).alias("sh")
@@ -408,7 +406,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation to fixpoint, one shuffle per round, rounds = component
     diameter — 2-3 for dup clusters in practice). Deterministic: the
     fixpoint is exactly the transitive closure the oracle's recursive
-    CTE computes, whatever the execution order.""".format(t=CLUSTER_T)
+    CTE computes, whatever the execution order."""
     from pyspark.sql.window import Window
 
     from flink_cep_examples_spark.operators.graph import connected_components

@@ -245,8 +245,8 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embeddings with the trained coarse
     quantizer, compare pairs ONLY within a cluster, and keep the
-    minimum vec_id of every cosine >= {t} duplicate pair. Returns the
-    surviving (vec_id, label, cid) rows.
+    minimum vec_id of every cosine >= SEMDEDUP_T duplicate pair.
+    Returns the surviving (vec_id, label, cid) rows.
 
     Scale shape: the cluster id bounds the quadratic term — pair
     candidates are sum_k (n_k choose 2) ~ n^2/K instead of n^2, and K
@@ -255,13 +255,13 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     written clustered by cid, making it co-located). Cosines ride the
     Arrow-vectorized kernel; the final removal is a left_anti on
     vec_id with AQE choosing the strategy — never a forced broadcast
-    (the loser set scales with the duplicate fraction).""".format(
-        t=SEMDEDUP_T
-    )
+    (the loser set scales with the duplicate fraction)."""
     from flink_cep_examples_spark.queries.similarity import _pd_cos
 
-    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id").select(
-        "vec_id", "label", "embedding"
+    emb = (
+        spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+        .select("vec_id", "label", "embedding")
+        .localCheckpoint()  # training runs 3 actions over the source
     )
     assigned, _ = _trained_assignment(emb)
     assigned = assigned.localCheckpoint()  # train once, feed both sides

@@ -135,11 +135,9 @@ FROM m, unnest(range(0, n_frames, {FRAME_EVERY})) AS t(i)
 
 
 def mm_resize_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize every payload to {w}x{h} bytes (cyclic-pad/truncate stub
-    resize) and digest the result — binary-in/binary-out through Arrow
-    verified against DuckDB's string reconstruction.""".format(
-        w=RESIZE_W, h=RESIZE_H
-    )
+    """Resize every payload to RESIZE_W x RESIZE_H bytes (cyclic-pad/
+    truncate stub resize) and digest the result — binary-in/binary-out
+    through Arrow verified against DuckDB's string reconstruction."""
     resized = resize_media(_media(spark, sf_dir), RESIZE_W, RESIZE_H)
     return resized.select(
         "doc_id",

@@ -95,10 +95,8 @@ def pack_sequences(docs: DataFrame, doc_id: str = "doc_id",
 
 
 def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pack the ``documents`` corpus into {b}-token training sequences
-    across {nb} hash buckets (whitespace token counts).""".format(
-        b=TOKEN_BUDGET, nb=N_BUCKETS
-    )
+    """Pack the ``documents`` corpus into TOKEN_BUDGET-token training
+    sequences across N_BUCKETS hash buckets (whitespace token counts)."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias(

@@ -290,7 +290,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering key, so the probe list prunes partitions and the big
     side never shuffles on anything wider than a 2-byte bucket.
     Recall vs the brute-force baseline is measured in tests
-    (test_oracle_extensions.py), not assumed.""".format(r=PROBE_RADIUS)
+    (test_oracle_extensions.py), not assumed."""
     emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id").withColumn(
         "bucket", _pd_bucket("embedding")
     )
@@ -345,6 +345,7 @@ def lsh_search(
     k: int = BATCH_K,
     n_planes: int = N_PLANES,
     probe_radius: int = PROBE_RADIUS,
+    broadcast_probes: bool = True,
 ) -> DataFrame:
     """Parameterized multi-probe sign-LSH top-k for every query row
     (rows where ``is_query``), with an EXACT-cosine rerank: candidate
@@ -356,10 +357,15 @@ def lsh_search(
 
     Scale shape: the query side explodes to (q_id, qv, probe-bucket)
     — |queries| × |Hamming ball| rows — and equi-joins the corpus on
-    the bucket id (broadcast while the query set is small; at larger
-    query sets the join shuffles on the bucket id, never a pairwise
-    cross). Per-query top-k is a window rank partitioned by q_id over
-    the probed fraction of the corpus; no global sort anywhere."""
+    the bucket id. ``broadcast_probes`` (default True) hints the
+    exploded probe side broadcast: right for interactive query sets
+    (up to ~10k probes × the ball), and what the pinned driver queries
+    use so their physical plans stay audit-stable. For corpus-scale
+    query batches PASS FALSE — the exploded side then shuffles on the
+    bucket id (never a pairwise cross) and AQE picks the strategy from
+    runtime size instead of an unconditional broadcast that would OOM.
+    Per-query top-k is a window rank partitioned by q_id over the
+    probed fraction of the corpus; no global sort anywhere."""
     from pyspark.sql.window import Window
 
     planes = make_planes(n_planes)
@@ -380,8 +386,9 @@ def lsh_search(
     )
     cos = _pd_cos("embedding", "qv")
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    probe_side = F.broadcast(probes) if broadcast_probes else probes
     return (
-        emb.join(F.broadcast(probes), F.col("bucket") == F.col("pbucket"))
+        emb.join(probe_side, F.col("bucket") == F.col("pbucket"))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id", "label", cos.alias("cos"))
         .withColumn("rank", F.row_number().over(w))

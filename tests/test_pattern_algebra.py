@@ -531,3 +531,24 @@ def test_skip_to_last_is_positional_under_timestamp_ties():
         abc_times2(SKIP_TO_LAST, "B"), ALL_ROWS_6, ts=[0] * len(ALL_ROWS_6)
     )
     assert [sp[0] for sp in spans(m, "A")] == [0, 2]
+
+
+def test_skip_to_last_prunes_completed_runs_started_before_cutoff():
+    """Regression: two runs completing on the SAME row, where the
+    earlier emission's resumption point lies after the later run's
+    start — the later completed-but-unemitted match must be discarded
+    even though its run already left the live set (its only branch was
+    consumed into the final once-variable)."""
+    from flink_cep_examples_spark.plans.pattern import SKIP_TO_LAST
+
+    p = (
+        Pattern.begin("A", skip=SKIP_TO_LAST, skip_var="C")
+        .where("x")
+        .followed_by("C")
+        .where("y")
+    ).build()
+    # A@0, A@1, C@5: both runs complete at row 5; emitting run 0 sets
+    # the resumption point to row 5 (last C), so run 1 (start 1 < 5)
+    # must NOT emit.
+    m, _ = run(p, [{"A"}, {"A"}, {}, {}, {}, {"C"}])
+    assert spans(m, "A") == [(0, 0)]

@@ -155,3 +155,46 @@ def test_fast_until_matches_nfa_differential(spark, sf_small):
     fast = sorted(map(tuple, match_pattern_fast_abc(df, spec).collect()))
     nfa = sorted(map(tuple, match_pattern(df, spec).collect()))
     assert fast == nfa and fast
+
+
+def test_fast_all_rows_no_phantom_match_without_within(spark):
+    """A trailing segment holding an A but no C must emit NOTHING even
+    when the pattern has no WITHIN (regression: the all-rows closed
+    form once dropped the closing-C invariant when within was None)."""
+    from flink_cep_examples_spark.operators.cep_batch import (
+        match_pattern_all_rows,
+    )
+    from flink_cep_examples_spark.operators.fast_path import (
+        match_pattern_fast_abc_all_rows,
+    )
+    from flink_cep_examples_spark.plans.pattern import Measure, Pattern
+    from flink_cep_examples_spark.sources.billing import billing_from_rows
+
+    spec = (
+        Pattern.begin("A")
+        .where("balanceBefore >= 10 AND balanceAfter < 10")
+        .next("B")
+        .one_or_more()
+        .optional()
+        .where("balanceBefore >= balanceAfter")
+        .next("C")
+        .where("balanceBefore < balanceAfter")
+        # no .within()
+    ).build(
+        measures=(
+            Measure("alarmTriggerDatetime", "A", "datetime", "first"),
+            Measure("topupDatetime", "C", "datetime", "first"),
+        )
+    )
+    rows = [
+        ("1", "2020-05-01 11:00:00", 50, 5),   # alarm
+        ("1", "2020-05-01 11:10:00", 5, 9),    # top-up -> match
+        ("1", "2020-05-01 12:00:00", 50, 5),   # trailing alarm, no C
+        ("1", "2020-05-01 12:10:00", 5, 4),    # trailing B
+    ]
+    df = billing_from_rows(spark, rows)
+    fast = sorted(map(tuple, match_pattern_fast_abc_all_rows(df, spec).collect()))
+    nfa = sorted(map(tuple, match_pattern_all_rows(df, spec).collect()))
+    assert fast == nfa
+    # exactly the first match's two rows; nothing from the trailing segment
+    assert len(fast) == 2

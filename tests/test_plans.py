@@ -184,3 +184,21 @@ def test_interval_join_is_equi_join_with_range_residual(spark, sf_small):
     p = _plan(QUERIES["events_funnel_interval_join"](spark, sf_small))
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_lsh_search_broadcast_is_optional(spark, sf_small):
+    """broadcast_probes=False must leave NO mandatory broadcast hint on
+    the probe join — corpus-scale query batches rely on AQE choosing
+    the strategy from runtime size (same contract as the pipeline
+    anti-join)."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.queries.similarity import lsh_search
+    from flink_cep_examples_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    df = lsh_search(
+        emb, F.col("vec_id") % 100 == 0, broadcast_probes=False
+    )
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in optimized
