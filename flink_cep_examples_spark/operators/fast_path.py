@@ -148,7 +148,10 @@ def match_pattern_fast_absence(df: DataFrame, spec: PatternSpec) -> DataFrame:
 
 
 def _segment_anchors(
-    df: DataFrame, spec: PatternSpec, carry_cols: list[str]
+    df: DataFrame,
+    spec: PatternSpec,
+    carry_cols: list[str],
+    include_c_payload: bool = False,
 ) -> tuple[DataFrame, Window]:
     """Shared closed-form segmentation for the A B* C shapes — ONE
     definition so the one-row and all-rows paths cannot drift:
@@ -156,14 +159,19 @@ def _segment_anchors(
     - ``__seg``  — number of C rows strictly before this row (a C row
       closes the segment it terminates);
     - ``__rn``   — per-key row position in (order, tiebreak) sequence;
-    - ``__c``    — the segment's closing-C struct ``(ts, rn, s_<src>…)``,
-      NULL for a trailing segment with no C — every match condition
-      must check it (the anchor ``__a`` below already does: its
-      deadline references ``__c.ts``, and with no ``within`` the
-      explicit ``__c IS NOT NULL`` conjunct takes over);
-    - ``__a``    — the anchor struct ``(ts, tb, rn, s_<src>…)`` of the
-      EARLIEST A row whose gap to the segment's C is inside ``within``;
-      NULL when the segment has no C row or no qualifying A;
+    - ``__c``    — the segment's closing-C struct ``(ts, rn)`` — plus
+      the C-side measure payload columns when ``include_c_payload``
+      (the all-rows path reads them; the one-row path reads C measures
+      off the C row itself and skips the struct width). NULL for a
+      trailing segment with no C — every match condition must check it
+      (the anchor ``__a`` below already does: its deadline references
+      ``__c.ts``, and with no ``within`` the explicit ``__c IS NOT
+      NULL`` conjunct takes over);
+    - ``__a``    — the anchor struct ``(rn, s_<src>…)`` of the EARLIEST
+      A row whose gap to the segment's C is inside ``within`` (``rn``
+      leads, and is monotone in (order, tiebreak), so the struct-min IS
+      the earliest row); NULL when the segment has no C row or no
+      qualifying A;
     - ``__is_u`` / ``__u_rn`` — the until() stop predicate and the
       first stop row after the anchor, when the loop variable carries
       an until() condition.
@@ -206,18 +214,12 @@ def _segment_anchors(
     ).withColumn("__rn", F.row_number().over(w_ord))
 
     w_seg = Window.partitionBy(*keys, "__seg")
+    c_fields = [F.col("__ts").alias("ts"), F.col("__rn").alias("rn")]
+    if include_c_payload:
+        c_fields += [F.col(s).alias(f"s_{s}") for s in c_srcs]
     out = base.withColumn(
         "__c",
-        F.max(
-            F.when(
-                F.col("__is_c"),
-                F.struct(
-                    F.col("__ts").alias("ts"),
-                    F.col("__rn").alias("rn"),
-                    *[F.col(s).alias(f"s_{s}") for s in c_srcs],
-                ),
-            )
-        ).over(w_seg),
+        F.max(F.when(F.col("__is_c"), F.struct(*c_fields))).over(w_seg),
     )
     deadline_ok = (
         F.col("__c").isNotNull()
@@ -230,8 +232,6 @@ def _segment_anchors(
             F.when(
                 F.col("__is_a") & deadline_ok,
                 F.struct(
-                    F.col("__ts").alias("ts"),
-                    F.col("__tb").alias("tb"),
                     F.col("__rn").alias("rn"),
                     *[F.col(s).alias(f"s_{s}") for s in a_srcs],
                 ),
@@ -278,7 +278,7 @@ def match_pattern_fast_abc_all_rows(df: DataFrame, spec: PatternSpec) -> DataFra
     keys = list(spec.key_cols)
     data_cols = list(df.columns)
 
-    with_a, _ = _segment_anchors(df, spec, data_cols)
+    with_a, _ = _segment_anchors(df, spec, data_cols, include_c_payload=True)
     # the anchor implies a closing C (its deadline references __c), but
     # assert the invariant structurally: a match needs BOTH ends.
     kept = with_a.filter(

@@ -107,6 +107,18 @@ class _Branch(NamedTuple):
     loop_open: bool = True  # until() not yet fired (permanent once False)
 
 
+def _migrate_branch(br: _Branch) -> _Branch:
+    """Pad pre-round-3 3-field row spans to the 5-field ordinal-carrying
+    shape so old streaming-checkpoint state restores cleanly."""
+    if all(r is None or len(r) == 5 for r in br.rows):
+        return br
+    return br._replace(
+        rows=tuple(
+            r if r is None or len(r) == 5 else (*r, 0, 0) for r in br.rows
+        )
+    )
+
+
 class _Run:
     """One NFA run (all branches sharing a start row). Picklable."""
 
@@ -126,7 +138,14 @@ class _Run:
         return (self.start_ts, self.seq, self.branches, self.pending, self.start_ord)
 
     def __setstate__(self, s):
+        # tolerate pre-round-3 checkpoints (4-tuple, 3-field row spans):
+        # skip-to strategies did not exist then, so ordinal 0 is inert.
+        if len(s) == 4:
+            s = (*s, 0)
         self.start_ts, self.seq, self.branches, self.pending, self.start_ord = s
+        self.branches = [_migrate_branch(b) for b in self.branches]
+        if self.pending is not None:
+            self.pending = _migrate_branch(self.pending)
 
 
 class NfaState:
@@ -145,6 +164,8 @@ class NfaState:
         return (self.runs, self.next_seq, self.row_ord)
 
     def __setstate__(self, s):
+        if len(s) == 2:  # pre-round-3 checkpoint
+            s = (*s, 0)
         self.runs, self.next_seq, self.row_ord = s
 
 
@@ -384,7 +405,8 @@ class Nfa:
         ord_ = st.row_ord
         st.row_ord += 1
 
-        completed: list[tuple[int, _Branch]] = []  # (run seq, branch)
+        # (run seq, run start ordinal, branch)
+        completed: list[tuple[int, int, _Branch]] = []
         for run in st.runs:
             # a trailing-notFollowedBy row voids the pending completion
             # (a later completion may re-arm it below)
@@ -519,23 +541,23 @@ class Nfa:
 
     def finish(self, st: NfaState) -> tuple[list[dict], list[dict]]:
         """End of input (batch) — watermark → ∞: pending timed-absence
-        completions emit as matches, every other partial times out."""
-        matches = [
-            self._branch_dict(r.pending)
-            for r in st.runs
-            if r.pending is not None
-        ]
+        completions emit as matches, every other partial times out.
+        Delegates to :meth:`advance_time` at an effectively-infinite
+        timestamp so emission runs under the SAME after-match skip
+        discipline as mid-stream maturation — batch output cannot
+        depend on whether a deadline happened to pass before input
+        ended. Pendings require ``within`` (validated), so the
+        no-``within`` fallback only ever flushes timeouts."""
+        if self.within_us is not None and st.runs:
+            horizon = max(r.start_ts for r in st.runs) + self.within_us
+            return self.advance_time(st, horizon)
         timeouts = (
-            [
-                self._timeout_dict(r)
-                for r in st.runs
-                if r.pending is None and r.branches
-            ]
+            [self._timeout_dict(r) for r in st.runs if r.branches]
             if self.emit_timeouts
             else []
         )
         st.runs = []
-        return matches, timeouts
+        return [], timeouts
 
 
 def scan_key_group(

@@ -241,11 +241,13 @@ FROM documents
 
 
 def docs_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-level top-{k} bigrams (count desc, bigram asc tiebreak).
+    """Corpus-level top-TOP_BIGRAMS bigrams (count desc, bigram asc
+    tiebreak).
 
     Scale shape: codegen explode + per-doc lead window (shuffle on
     doc_id) → map-side-combined count (partial agg before the shuffle
-    on the bigram string) → TakeOrdered {k} (per-partition heaps; {k}
+    on the bigram string) → TakeOrdered TOP_BIGRAMS (per-partition
+    heaps; only that many
     rows cross to the driver, never a global sort)."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     return (

@@ -397,7 +397,7 @@ CLUSTER_T = 0.5
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the MinHash-LSH
-    pair graph (est_jaccard >= {t}), every document mapped to its
+    pair graph (est_jaccard >= CLUSTER_T), every document mapped to its
     component's minimum doc_id — the step a corpus pipeline runs after
     pair generation to pick one canonical doc per duplicate group
     (pairs alone can't: near-dup is not transitive-closed).

@@ -284,7 +284,7 @@ LIMIT {TOP_K}
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: IVF-style multi-probe search. The query's
-    sign-bucket is expanded to its Hamming-≤-{r} ball (|PROBE_MASKS|
+    sign-bucket is expanded to its Hamming-<=-PROBE_RADIUS ball (|PROBE_MASKS|
     probe buckets) on the tiny query side, then an equi-join on the
     bucket id prunes the scan — at scale the bucket is the partition /
     clustering key, so the probe list prunes partitions and the big

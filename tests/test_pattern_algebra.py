@@ -552,3 +552,30 @@ def test_skip_to_last_prunes_completed_runs_started_before_cutoff():
     # must NOT emit.
     m, _ = run(p, [{"A"}, {"A"}, {}, {}, {}, {"C"}])
     assert spans(m, "A") == [(0, 0)]
+
+
+def test_finish_applies_skip_to_discipline():
+    """Regression: end-of-input flush must apply the same SKIP TO
+    FIRST/LAST resumption pruning as mid-stream deadline maturation —
+    batch output must not depend on whether a late row pushed the
+    deadline past before the input ended."""
+    from flink_cep_examples_spark.plans.pattern import SKIP_TO_LAST
+
+    p = (
+        Pattern.begin("A", skip=SKIP_TO_LAST, skip_var="B")
+        .where("x")
+        .followed_by("B")
+        .one_or_more()
+        .where("y")
+        .not_followed_by("N")
+        .where("z")
+        .within("10 minutes")
+    ).build()
+    rows = [{"A"}, {"A"}, {"B"}]
+    # end-of-input flush: run 0 emits with resumption at its last B
+    # (row 2); run 1 (started at row 1 < 2) must be suppressed.
+    m, _ = run(p, rows)
+    assert spans(m, "A") == [(0, 0)]
+    # the same pendings matured by a far-future row must agree
+    m2, _ = run(p, rows + [set()], ts=[0, MIN, 2 * MIN, 10**12])
+    assert spans(m2, "A") == [(0, 0)]
