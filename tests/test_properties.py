@@ -267,3 +267,86 @@ def test_until_preserves_matches_and_truncates_loops(seq):
         stops = [i for i in u_idx if i > start]
         if stops:
             assert span[1] < stops[0]
+
+
+# ---------------------------------------------------------------------------
+# After-match skip-strategy lattice (round 3): on ARBITRARY predicate
+# flag sequences, every one-match-per-resumption strategy emits a
+# subset of the NO_SKIP completion set, and the per-run strategies
+# nest by how aggressively they discard state.
+# ---------------------------------------------------------------------------
+
+from flink_cep_examples_spark.plans.pattern import (  # noqa: E402
+    NO_SKIP,
+    SKIP_PAST_LAST_EVENT,
+    SKIP_TO_FIRST,
+    SKIP_TO_LAST,
+    SKIP_TO_NEXT,
+    Pattern,
+)
+
+#: each row gets independent A/B/C flags — overlapping predicates, the
+#: regime where the strategies genuinely differ.
+flag_rows = st.lists(
+    st.tuples(st.booleans(), st.booleans(), st.booleans()),
+    min_size=0,
+    max_size=14,
+)
+
+
+def _abc_spec(skip, skip_var=None):
+    return (
+        Pattern.begin("A", skip=skip, skip_var=skip_var)
+        .where("x")
+        .next("B")
+        .one_or_more()
+        .optional()
+        .where("y")
+        .next("C")
+        .where("z")
+        .within("1 hour")
+    ).build()
+
+
+def _matches(skip, rows, skip_var=None):
+    ts = np.arange(1, len(rows) + 1, dtype=np.int64) * 60_000_000
+    preds = np.array(
+        [[r[i] for r in rows] for i in range(3)], dtype=bool
+    )
+    m, _ = scan_key_group(_abc_spec(skip, skip_var), preds, ts)
+    return [
+        (x["A"][0], x["C"][0], x.get("B", (None, None, 0))[2]) for x in m
+    ]
+
+
+@settings(max_examples=200, deadline=None)
+@given(flag_rows)
+def test_skip_strategies_emit_subsets_of_no_skip(rows):
+    all_completions = set(_matches(NO_SKIP, rows))
+    for skip, var in (
+        (SKIP_PAST_LAST_EVENT, None),
+        (SKIP_TO_NEXT, None),
+        (SKIP_TO_FIRST, "B"),
+        (SKIP_TO_LAST, "B"),
+    ):
+        got = _matches(skip, rows, var)
+        assert len(set(got)) == len(got), (skip, got)  # no duplicate emission
+        assert set(got) <= all_completions, (skip, got)
+
+
+@settings(max_examples=200, deadline=None)
+@given(flag_rows)
+def test_skip_past_last_is_the_most_aggressive(rows):
+    """skip-past-last discards the most state, so it never emits more
+    matches than skip-to-next (one per start row) or no-skip."""
+    n_past = len(_matches(SKIP_PAST_LAST_EVENT, rows))
+    n_next = len(_matches(SKIP_TO_NEXT, rows))
+    n_all = len(_matches(NO_SKIP, rows))
+    assert n_past <= n_next <= n_all
+
+
+@settings(max_examples=200, deadline=None)
+@given(flag_rows)
+def test_skip_to_next_starts_are_distinct(rows):
+    starts = [a for a, _, _ in _matches(SKIP_TO_NEXT, rows)]
+    assert len(starts) == len(set(starts))
