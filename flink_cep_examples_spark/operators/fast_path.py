@@ -107,8 +107,9 @@ def match_pattern_fast_absence(df: DataFrame, spec: PatternSpec) -> DataFrame:
     Hence match ⇔ ``is_a AND (next_n_ts IS NULL OR next_n_ts - ts >=
     within)`` where ``next_n_ts`` is the first following N row in
     (order, tiebreak) position — one window over one hash Exchange on
-    the key, zero Python, whole-stage codegen end-to-end. ~4× the NFA
-    tier at sf0.1; the NFA remains the differential-tested fallback."""
+    the key, zero Python, whole-stage codegen end-to-end. Measured
+    2.5-3.5× the NFA tier at sf0.1 (±40% host-noise band); the NFA
+    remains the differential-tested fallback."""
     if not fast_absence_applicable(spec):
         raise ValueError("pattern not eligible for the timed-absence fast path")
     spec.validate()

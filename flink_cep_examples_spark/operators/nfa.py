@@ -367,31 +367,47 @@ class Nfa:
         (an arriving row's event time, or the watermark). Returns
         ``(matches, timeouts)``: matches are pending timed-absence
         completions whose deadline arrived clean; timeouts are expired
-        partials (empty unless ``emit_timeouts``)."""
+        partials (empty unless ``emit_timeouts``).
+
+        Several deadlines may pass inside one call (a time jump, or
+        end-of-input); they are processed SEQUENTIALLY in deadline
+        order — identical ``within`` means deadline order is run-start
+        order, which is ``st.runs``' append order — so the output never
+        depends on whether an inert row happened to land between two
+        deadlines: under SKIP_PAST_LAST_EVENT the first pending match
+        discards every later expired run (their matches AND timeouts)
+        exactly as its incremental emission would; under
+        SKIP_TO_FIRST/LAST the running resumption cutoff suppresses
+        later expired runs that started before it."""
         if self.within_us is None or not st.runs:
             return [], []
-        matured, timeouts, live = [], [], []
+        expired, live = [], []
         for run in st.runs:
-            if t_us - run.start_ts >= self.within_us:
-                if run.pending is not None:
-                    matured.append((run.seq, run.start_ord, run.pending))
-                elif self.emit_timeouts and run.branches:
-                    timeouts.append(self._timeout_dict(run))
-            else:
-                live.append(run)
+            (expired if t_us - run.start_ts >= self.within_us else live).append(
+                run
+            )
         st.runs = live
-        if not matured:
-            return [], timeouts
-        if self.after_match in (SKIP_TO_FIRST, SKIP_TO_LAST):
-            # same sequential resumption discipline as step(): an
-            # earlier emission's cutoff suppresses matured completions
-            # (and live runs) started before the resumption row.
-            matured.sort(key=lambda rc: (rc[0], self._pref_key(rc[2])))
-            matches = self._apply_skip_to(st, matured)
-        else:
-            matches = [self._branch_dict(b) for _, _, b in matured]
-            if self.after_match == SKIP_PAST_LAST_EVENT:
-                st.runs = []
+        if not expired:
+            return [], []
+        matches: list[dict] = []
+        timeouts: list[dict] = []
+        cutoff: int | None = None
+        for run in expired:  # deadline (= start = append) order
+            if cutoff is not None and run.start_ord < cutoff:
+                continue  # discarded by an earlier emission's resumption
+            if run.pending is not None:
+                matches.append(self._branch_dict(run.pending))
+                if self.after_match == SKIP_PAST_LAST_EVENT:
+                    st.runs = []
+                    break  # every later expired run is discarded too
+                if self.after_match in (SKIP_TO_FIRST, SKIP_TO_LAST):
+                    c = self._skip_cutoff(run.pending)
+                    if c is not None:
+                        cutoff = c if cutoff is None else max(cutoff, c)
+            elif self.emit_timeouts and run.branches:
+                timeouts.append(self._timeout_dict(run))
+        if cutoff is not None:
+            st.runs = [r for r in st.runs if r.start_ord >= cutoff]
         return matches, timeouts
 
     def step(

@@ -579,3 +579,53 @@ def test_finish_applies_skip_to_discipline():
     # the same pendings matured by a far-future row must agree
     m2, _ = run(p, rows + [set()], ts=[0, MIN, 2 * MIN, 10**12])
     assert spans(m2, "A") == [(0, 0)]
+
+
+def test_simultaneous_deadline_maturation_matches_incremental():
+    """Regression: several deadlines passing inside ONE advance_time
+    call (time jump / end of input) must produce the same output as
+    deadlines maturing one row at a time.
+
+    SKIP_PAST_LAST: the first pending match discards every later
+    expired run — 1 match either way, never 2."""
+    p = (
+        Pattern.begin("A", skip=SKIP_PAST_LAST_EVENT)
+        .where("x")
+        .not_followed_by("N")
+        .where("y")
+        .within("10 minutes")
+    ).build()
+    rows = [{"A"}, {"A"}]
+    flush = run(p, rows)[0]  # both deadlines mature in finish()
+    stepped = run(p, rows + [set()], ts=[0, MIN, 100 * MIN])[0]
+    between = run(p, rows + [set(), set()], ts=[0, MIN, int(10.5 * MIN), 100 * MIN])[0]
+    assert spans(flush, "A") == spans(stepped, "A") == spans(between, "A") == [(0, 0)]
+
+
+def test_skip_to_cutoff_suppresses_timeouts_consistently():
+    """Regression: a run the resumption cutoff discards must emit
+    NEITHER a match NOR a timeout, whether its deadline matures
+    incrementally or in the same flush as the emitting run."""
+    from dataclasses import replace as _dc_replace
+
+    from flink_cep_examples_spark.plans.pattern import SKIP_TO_LAST
+
+    p = (
+        Pattern.begin("A", skip=SKIP_TO_LAST, skip_var="B")
+        .where("x")
+        .followed_by("B")
+        .times(2)
+        .where("y")
+        .not_followed_by("N")
+        .where("z")
+        .within("10 minutes")
+    ).build()
+    spec = _dc_replace(p, emit_timeouts=True).validate()
+    # A@0, B@1, A@2, B@3: run0 = A0,B{1,3} pending; run1 = A2,B{3,?}
+    # partial. run0's emission (cutoff = last B ord 3) discards run1
+    # (start 2 < 3) -> no timeout from it, flush or incremental.
+    rows = [{"A"}, {"B"}, {"A"}, {"B"}]
+    m1, t1 = run(spec, rows)
+    m2, t2 = run(spec, rows + [set(), set()], ts=[0, MIN, 2 * MIN, 3 * MIN, int(10.5 * MIN), 100 * MIN])
+    assert spans(m1, "A") == spans(m2, "A") == [(0, 0)]
+    assert t1 == t2 == []
