@@ -116,14 +116,22 @@ def _means(assigned: DataFrame) -> dict[int, list[float]]:
     return out
 
 
+def n_lists(n_vectors: int, target_cluster_rows: int = 256) -> int:
+    """Corpus-size-scaled cluster count: K = n / target keeps cluster
+    size ~constant, so IVF probe cost and semdedup's within-cluster
+    pair volume stay linear in n (the SemDeDup design; K_LISTS is a
+    pinned constant only for the oracle-gated driver queries)."""
+    return max(2, min(65_536, n_vectors // max(target_cluster_rows, 1)))
+
+
 def _trained_assignment(
-    emb: DataFrame,
+    emb: DataFrame, k_lists: int = K_LISTS
 ) -> tuple[DataFrame, dict[int, list[float]]]:
     """Seed with the K smallest vec_ids, one Lloyd refinement (assign →
     exact-decimal means), final assignment. Returns (assigned df with
     ``cid``, trained centroids)."""
     seed_rows = sorted(
-        emb.filter(F.col("vec_id") < K_LISTS)
+        emb.filter(F.col("vec_id") < k_lists)
         .select("vec_id", "embedding")
         .collect(),
         key=lambda r: r.vec_id,

@@ -87,3 +87,29 @@ def test_probe_masks_cover_ball_exactly():
     masks = make_probe_masks(8, 2)
     assert len(masks) == 1 + 8 + 28
     assert all(bin(m).count("1") <= 2 for m in masks)
+
+
+def test_ivf_cluster_count_scales_with_corpus():
+    """semdedup/IVF knob: K = n/target keeps cluster size constant, so
+    within-cluster pair volume (quadratic in cluster size) stays
+    linear in n."""
+    from flink_cep_examples_spark.queries.ivf import n_lists
+
+    assert n_lists(2_000) == 7
+    assert n_lists(2_000_000) == 7812
+    assert n_lists(2_000_000) / n_lists(2_000) > 500  # ~linear in n
+    assert n_lists(10) == 2  # floor
+
+
+def test_trained_assignment_accepts_k(spark, sf_small):
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.queries.ivf import _trained_assignment
+    from flink_cep_examples_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    assigned, cents = _trained_assignment(emb, k_lists=4)
+    assert len(cents) == 4
+    assert assigned.select("cid").distinct().count() <= 4
