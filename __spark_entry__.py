@@ -28,6 +28,12 @@ def _catalog():
     )
 
     load_all()
+    # The gate records only the first 50 rows: a catalog that drifts past
+    # 50 would silently export queries the gate never verifies.
+    assert len(DRIVER_QUERIES) == 50, (
+        f"DRIVER_QUERIES must stay at exactly 50 (gate cap), "
+        f"got {len(DRIVER_QUERIES)}"
+    )
     q = {n: QUERIES[n] for n in DRIVER_QUERIES}
     o = {n: ORACLES[n] for n in DRIVER_QUERIES if n in ORACLES}
     return q, o

@@ -74,7 +74,7 @@ def _prepare(df: DataFrame, spec: PatternSpec) -> DataFrame:
     needed.add(spec.tiebreak_col)
     cols = [F.col(c) for c in sorted(needed)]
     cols.append(
-        F.unix_micros(F.col(spec.order_col).cast("timestamp")).alias(_TS_COL)
+        F.unix_micros(F.col(spec.order_col).cast(T.TimestampType())).alias(_TS_COL)
     )
     for i, e in enumerate(spec.pred_exprs):
         cols.append(F.expr(e).alias(f"{_PRED_PREFIX}{i}"))
@@ -167,7 +167,7 @@ def match_pattern_all_rows(df: DataFrame, spec: PatternSpec) -> DataFrame:
     data_cols = list(df.columns)
     prepared = df.select(
         *data_cols,
-        F.unix_micros(F.col(spec.order_col).cast("timestamp")).alias(_TS_COL),
+        F.unix_micros(F.col(spec.order_col).cast(T.TimestampType())).alias(_TS_COL),
         *[
             F.expr(e).alias(f"{_PRED_PREFIX}{i}")
             for i, e in enumerate(spec.pred_exprs)

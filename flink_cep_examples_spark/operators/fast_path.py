@@ -41,6 +41,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from flink_cep_examples_spark.operators.cep_batch import output_schema
 from flink_cep_examples_spark.plans.pattern import (
@@ -120,7 +121,7 @@ def match_pattern_fast_absence(df: DataFrame, spec: PatternSpec) -> DataFrame:
     srcs = sorted({m.src for m in spec.measures} - set(keys))
     base = df.select(
         *keys,
-        F.unix_micros(F.col(spec.order_col).cast("timestamp")).alias("__ts"),
+        F.unix_micros(F.col(spec.order_col).cast(T.TimestampType())).alias("__ts"),
         F.col(spec.tiebreak_col).alias("__tb"),
         F.expr(a_v.predicate).alias("__is_a"),
         F.expr(n_v.predicate).alias("__is_n"),
@@ -197,7 +198,7 @@ def _segment_anchors(
 
     base = df.select(
         *carry_cols,
-        F.unix_micros(F.col(spec.order_col).cast("timestamp")).alias("__ts"),
+        F.unix_micros(F.col(spec.order_col).cast(T.TimestampType())).alias("__ts"),
         F.col(spec.tiebreak_col).alias("__tb"),
         F.expr(a_pred).alias("__is_a"),
         F.expr(c_pred).alias("__is_c"),

@@ -67,7 +67,10 @@ def _edge_bytes_expr(e: DataFrame):
     for c in ("a", "b"):
         dt = e.schema[c].dataType
         if isinstance(dt, (T.StringType, T.BinaryType)):
-            per_col.append(F.length(c).cast("long") + F.lit(49))
+            # octet_length: collected str heap cost scales with UTF-8
+            # bytes, not characters (length undercounts up to 4x on
+            # non-ASCII ids); identical to length for BinaryType.
+            per_col.append(F.octet_length(c).cast("long") + F.lit(49))
         else:
             per_col.append(F.lit(28).cast("long"))
     return (per_col[0] + per_col[1] + F.lit(60)).alias("bytes")  # + tuple

@@ -116,7 +116,7 @@ def keyed_process(
     key_list = list(key_cols)
 
     prepared = df.withColumn(
-        _TS_COL, (F.unix_micros(F.col(order_col).cast("timestamp")) / 1000).cast("long")
+        _TS_COL, (F.unix_micros(F.col(order_col).cast(T.TimestampType())) / 1000).cast("long")
     )
     out_cols = [f.name for f in output_schema.fields]
 

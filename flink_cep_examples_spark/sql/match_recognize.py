@@ -299,7 +299,14 @@ def match_recognize(
     if spec.rows_per_match == "all":
         if emit_timeouts:
             raise ValueError("ALL ROWS PER MATCH has no timeout channel")
-        if use_fast_path and fast_abc_applicable(spec):
+        # fast_abc_applicable doesn't check until(), but the all-rows
+        # closed form rejects it — guard here so an until-carrying spec
+        # falls back to the NFA tier instead of raising.
+        if (
+            use_fast_path
+            and fast_abc_applicable(spec)
+            and spec.variables[1].until is None
+        ):
             return match_pattern_fast_abc_all_rows(df, spec)
         return match_pattern_all_rows(df, spec)
     if use_fast_path and fast_abc_applicable(spec):

@@ -71,7 +71,7 @@ def _prepare_stream(df: DataFrame, spec: PatternSpec) -> DataFrame:
     needed.add(spec.order_col)  # kept for the watermark; in `needed` so a
     # measure over the event-time column doesn't select it twice
     cols = [F.col(c) for c in sorted(needed)]
-    cols.append(F.unix_micros(F.col(spec.order_col).cast("timestamp")).alias(_TS_COL))
+    cols.append(F.unix_micros(F.col(spec.order_col).cast(T.TimestampType())).alias(_TS_COL))
     for i, e in enumerate(spec.pred_exprs):
         cols.append(F.expr(e).alias(f"{_PRED_PREFIX}{i}"))
     return df.select(*cols)

@@ -245,7 +245,7 @@ def keyed_process_tws(
     out_cols = [f.name for f in output_schema.fields]
 
     prepared = df.withColumn(
-        order_col, F.col(order_col).cast("timestamp")
+        order_col, F.col(order_col).cast(T.TimestampType())
     ).withWatermark(order_col, watermark_delay)
     prepared = prepared.withColumn(
         _TS_COL, (F.unix_micros(order_col) / 1000).cast("long")
