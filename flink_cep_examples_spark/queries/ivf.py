@@ -65,33 +65,59 @@ def _sqdist(vec, cent: list[float]) -> Column:
     )
 
 
-def _assign(emb: DataFrame, cents: dict[int, list[float]]) -> DataFrame:
+def _assign(
+    emb: DataFrame, cents: dict[int, list[float]], exact: bool = True
+) -> DataFrame:
     """cid = argmin over centroids of (dist, cid) — scan-side, no join.
 
-    Arrow-vectorized (K×DIM numpy passes per batch) but with the HOF
-    fold's exact arithmetic: per-dimension sequential accumulation and
-    ascending-cid strict-< argmin (ties keep the smaller cid), so the
-    assignment is bit-identical to the interpreted ``_sqdist``/
-    ``array_min(struct(d, cid))`` formulation the DuckDB oracle
-    mirrors."""
+    ``exact=True`` (the oracle queries): Arrow-vectorized K×DIM numpy
+    passes per batch with the HOF fold's exact arithmetic —
+    per-dimension sequential accumulation and ascending-cid strict-<
+    argmin (ties keep the smaller cid) — bit-identical to the
+    interpreted ``_sqdist``/``array_min(struct(d, cid))`` formulation
+    the DuckDB oracle mirrors. Cost is O(n·K·DIM) with a Python-level
+    loop over K×DIM, fine for the pinned K=8 but quadratic once K
+    scales with n.
+
+    ``exact=False`` (the ``k_lists=None`` deployment path): one BLAS
+    matmul per batch — ``dist² = ‖a‖² − 2·A·Cᵀ + ‖c‖²`` — same
+    smallest-cid tie rule (np.argmin takes the first minimum and cids
+    are sorted ascending). Sum reassociation can differ in the last
+    float ulp, which is irrelevant without an oracle pinning bytes;
+    this is what keeps scan-side assignment linear when K = n/target."""
     items = sorted((int(c), [float(v) for v in vec]) for c, vec in cents.items())
 
-    @pandas_udf(IntegerType())
-    def assign_udf(v: pd.Series) -> pd.Series:
-        if len(v) == 0:
-            return pd.Series([], dtype="int32")
-        A = np.vstack(v.to_numpy()).astype(np.float64)
-        best_d = np.full(len(A), np.inf)
-        best_c = np.zeros(len(A), dtype=np.int32)
-        for cid, cent in items:
-            acc = np.zeros(len(A))
-            for d, cc in enumerate(cent):
-                diff = A[:, d] - cc
-                acc += diff * diff
-            take = acc < best_d
-            best_d[take] = acc[take]
-            best_c[take] = cid
-        return pd.Series(best_c)
+    if exact:
+
+        @pandas_udf(IntegerType())
+        def assign_udf(v: pd.Series) -> pd.Series:
+            if len(v) == 0:
+                return pd.Series([], dtype="int32")
+            A = np.vstack(v.to_numpy()).astype(np.float64)
+            best_d = np.full(len(A), np.inf)
+            best_c = np.zeros(len(A), dtype=np.int32)
+            for cid, cent in items:
+                acc = np.zeros(len(A))
+                for d, cc in enumerate(cent):
+                    diff = A[:, d] - cc
+                    acc += diff * diff
+                take = acc < best_d
+                best_d[take] = acc[take]
+                best_c[take] = cid
+            return pd.Series(best_c)
+
+    else:
+        cids = np.array([c for c, _ in items], dtype=np.int32)
+        C = np.array([cent for _, cent in items], dtype=np.float64)
+        c_sq = (C * C).sum(axis=1)
+
+        @pandas_udf(IntegerType())
+        def assign_udf(v: pd.Series) -> pd.Series:
+            if len(v) == 0:
+                return pd.Series([], dtype="int32")
+            A = np.vstack(v.to_numpy()).astype(np.float64)
+            d2 = (A * A).sum(axis=1)[:, None] - 2.0 * (A @ C.T) + c_sq[None, :]
+            return pd.Series(cids[np.argmin(d2, axis=1)])
 
     return emb.withColumn("cid", assign_udf("embedding"))
 
@@ -124,12 +150,24 @@ def n_lists(n_vectors: int, target_cluster_rows: int = 256) -> int:
     return max(2, min(65_536, n_vectors // max(target_cluster_rows, 1)))
 
 
+def _resolve_k(emb: DataFrame, k_lists: int | None) -> int:
+    """``k_lists=None`` → corpus-scaled ``n_lists(count)`` (the
+    deployment default: constant cluster size, linear pair volume);
+    an explicit int → use as-is (the oracle queries pin ``K_LISTS``
+    for byte-stability). ``emb`` is already materialized, so the
+    count is a cheap action."""
+    if k_lists is not None:
+        return k_lists
+    return n_lists(emb.count())
+
+
 def _trained_assignment(
-    emb: DataFrame, k_lists: int = K_LISTS
+    emb: DataFrame, k_lists: int = K_LISTS, exact: bool = True
 ) -> tuple[DataFrame, dict[int, list[float]]]:
     """Seed with the K smallest vec_ids, one Lloyd refinement (assign →
     exact-decimal means), final assignment. Returns (assigned df with
-    ``cid``, trained centroids)."""
+    ``cid``, trained centroids). ``exact`` selects the assignment
+    kernel (sequential-fold for oracle queries, BLAS for deployment)."""
     seed_rows = sorted(
         emb.filter(F.col("vec_id") < k_lists)
         .select("vec_id", "embedding")
@@ -139,22 +177,29 @@ def _trained_assignment(
     cents = {
         int(r.vec_id): [float(x) for x in r.embedding] for r in seed_rows
     }
-    cents = _means(_assign(emb, cents))  # one Lloyd refinement
-    return _assign(emb, cents), cents
+    cents = _means(_assign(emb, cents, exact))  # one Lloyd refinement
+    return _assign(emb, cents, exact), cents
 
 
-def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_topk(
+    spark: SparkSession, sf_dir: str, *, k_lists: int | None = K_LISTS
+) -> DataFrame:
     """IVF top-k for the fixed query vector: trained coarse quantizer,
     then exact cosine over the NPROBE nearest inverted lists only.
     The embeddings are materialized once (localCheckpoint) — training
     runs 4 actions over them (seed fetch, refine means, final assign,
-    query fetch), each of which would otherwise rescan + reshuffle."""
+    query fetch), each of which would otherwise rescan + reshuffle.
+
+    ``k_lists``: pinned ``K_LISTS`` for the registered oracle query;
+    pass ``None`` at deployment for corpus-scaled ``n_lists(n)``."""
     emb = (
         spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
         .select("vec_id", "label", "embedding")
         .localCheckpoint()
     )
-    assigned, cents = _trained_assignment(emb)
+    assigned, cents = _trained_assignment(
+        emb, _resolve_k(emb, k_lists), exact=k_lists is not None
+    )
 
     qvec = [
         float(x)
@@ -249,7 +294,9 @@ LIMIT {TOP_K}
 SEMDEDUP_T = 0.4
 
 
-def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semdedup_prune(
+    spark: SparkSession, sf_dir: str, *, k_lists: int | None = K_LISTS
+) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embeddings with the trained coarse
     quantizer, compare pairs ONLY within a cluster, and keep the
@@ -263,7 +310,11 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     written clustered by cid, making it co-located). Cosines ride the
     Arrow-vectorized kernel; the final removal is a left_anti on
     vec_id with AQE choosing the strategy — never a forced broadcast
-    (the loser set scales with the duplicate fraction)."""
+    (the loser set scales with the duplicate fraction).
+
+    ``k_lists``: pinned ``K_LISTS`` for the registered oracle query;
+    pass ``None`` at deployment for corpus-scaled ``n_lists(n)`` —
+    constant cluster size is what keeps the pair volume linear."""
     from flink_cep_examples_spark.queries.similarity import _pd_cos
 
     emb = (
@@ -271,7 +322,9 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", "embedding")
         .localCheckpoint()  # training runs 3 actions over the source
     )
-    assigned, _ = _trained_assignment(emb)
+    assigned, _ = _trained_assignment(
+        emb, _resolve_k(emb, k_lists), exact=k_lists is not None
+    )
     assigned = assigned.localCheckpoint()  # train once, feed both sides
     a = assigned.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "cid"

@@ -113,3 +113,32 @@ def test_trained_assignment_accepts_k(spark, sf_small):
     assigned, cents = _trained_assignment(emb, k_lists=4)
     assert len(cents) == 4
     assert assigned.select("cid").distinct().count() <= 4
+
+
+def test_blas_assignment_agrees_with_exact_kernel(spark):
+    """The k_lists=None deployment path swaps the sequential-fold
+    assignment kernel for a BLAS matmul (ivf._assign exact=False).
+    Same centroids, same corpus → identical cid per vector (argmin ties
+    break to the smallest cid in both; ulp-level reassociation noise
+    cannot flip an argmin on this corpus)."""
+    from flink_cep_examples_spark.queries.ivf import (
+        _assign,
+        _trained_assignment,
+    )
+    from flink_cep_examples_spark.sources.tables import load_table, spread
+
+    emb = (
+        spread(load_table(spark, "/root/testdata/sf0.01", "embeddings"), "vec_id")
+        .select("vec_id", "label", "embedding")
+        .localCheckpoint()
+    )
+    _, cents = _trained_assignment(emb, k_lists=8, exact=True)
+    a_exact = {
+        r.vec_id: r.cid
+        for r in _assign(emb, cents, exact=True).select("vec_id", "cid").collect()
+    }
+    a_blas = {
+        r.vec_id: r.cid
+        for r in _assign(emb, cents, exact=False).select("vec_id", "cid").collect()
+    }
+    assert a_exact == a_blas

@@ -39,7 +39,25 @@ SMOKE = [
     "events_sessions",
     "ann_batch_topk",
     "docs_pack_sequences",
+    "semdedup_prune",  # pinned K_LISTS=8 — the known-quadratic control
+    "semdedup_prune_auto",  # k_lists=None → n_lists(n): the deployment knob
+    "ivf_topk_auto",
 ]
+
+
+def _auto_queries():
+    """Deployment-knob variants: corpus-scaled cluster count
+    (k_lists=None → n_lists(n)). Not registered in the catalog — the
+    registered queries pin K for oracle byte-stability; these exist to
+    MEASURE the linearity claim."""
+    from flink_cep_examples_spark.queries.ivf import ivf_topk, semdedup_prune
+
+    return {
+        "semdedup_prune_auto": lambda sp, d: semdedup_prune(
+            sp, d, k_lists=None
+        ),
+        "ivf_topk_auto": lambda sp, d: ivf_topk(sp, d, k_lists=None),
+    }
 
 #: per-table (id columns to offset) — disjoint key spaces per replica
 _OFFSETS = {
@@ -72,15 +90,12 @@ def replicate(spark, sf_dir: str, out_dir: str, k: int) -> None:
 
 
 def time_query(spark, name: str, sf_dir: str) -> float:
-    QUERIES[name](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()  # warm
+    fn = QUERIES.get(name) or _auto_queries()[name]
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
     return best
 
