@@ -526,6 +526,22 @@ def skip_to_last_spec():
 
 
 def cep_skip_to_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compiled positional fast path (round 4): the dense all-true
+    fixed-width shape is pure row-ordinal arithmetic — the same algebra
+    as the DuckDB oracle below. NFA twin kept as the differential."""
+    from flink_cep_examples_spark.operators.fast_path import (
+        match_pattern_fast_positional,
+    )
+
+    return _matches_only(
+        match_pattern_fast_positional(
+            events_as_billing(spark, sf_dir), skip_to_last_spec()
+        )
+    )
+
+
+def cep_skip_to_last_nfa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFA-tier twin of cep_skip_to_last (differential fallback)."""
     return _matches_only(
         match_pattern(events_as_billing(spark, sf_dir), skip_to_last_spec())
     )
@@ -570,5 +586,9 @@ register("cep_skip_to_next", cep_skip_to_next, ORACLE_SKIP_TO_NEXT)
 register("cep_times_pattern", cep_times_pattern, ORACLE_TIMES)
 register(
     "cep_skip_to_last", cep_skip_to_last, ORACLE_SKIP_TO_LAST,
-    driver=False,  # driver set capped at 50; oracle-gated in pytest
+    driver=False,  # rotation handled in queries/__init__ driver set
+)
+register(
+    "cep_skip_to_last_nfa", cep_skip_to_last_nfa, ORACLE_SKIP_TO_LAST,
+    driver=False,  # NFA-tier twin; differential in pytest
 )

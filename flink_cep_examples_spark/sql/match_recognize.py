@@ -42,8 +42,10 @@ from flink_cep_examples_spark.operators.cep_batch import (
 )
 from flink_cep_examples_spark.operators.fast_path import (
     fast_abc_applicable,
+    fast_positional_applicable,
     match_pattern_fast_abc,
     match_pattern_fast_abc_all_rows,
+    match_pattern_fast_positional,
 )
 from flink_cep_examples_spark.plans.pattern import (
     ONCE,
@@ -311,6 +313,10 @@ def match_recognize(
         return match_pattern_all_rows(df, spec)
     if use_fast_path and fast_abc_applicable(spec):
         out = match_pattern_fast_abc(df, spec)
+    elif use_fast_path and fast_positional_applicable(spec):
+        # fast_positional_applicable rejects emit_timeouts itself, so
+        # this arm never swallows the timeout channel
+        out = match_pattern_fast_positional(df, spec)
     else:
         out = match_pattern(df, spec)
     if not emit_timeouts:

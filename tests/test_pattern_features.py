@@ -198,3 +198,111 @@ def test_fast_all_rows_no_phantom_match_without_within(spark):
     assert fast == nfa
     # exactly the first match's two rows; nothing from the trailing segment
     assert len(fast) == 2
+
+
+def test_fast_positional_matches_nfa_all_strategies(spark, sf_small):
+    """The positional closed form and the general NFA must agree
+    row-for-row on the events-derived billing stream for every
+    positional AFTER MATCH strategy over a dense fixed-width pattern
+    (A B{2} C, all-true predicates): SKIP PAST LAST (stride 4), SKIP TO
+    NEXT (stride 1), SKIP TO FIRST B (stride 1), SKIP TO LAST B
+    (stride 2), and a no-loop A C shape (stride 2)."""
+    from flink_cep_examples_spark.operators.cep_batch import match_pattern
+    from flink_cep_examples_spark.operators.fast_path import (
+        fast_positional_applicable,
+        match_pattern_fast_positional,
+    )
+    from flink_cep_examples_spark.plans.pattern import (
+        SKIP_PAST_LAST_EVENT,
+        SKIP_TO_FIRST,
+        SKIP_TO_LAST,
+        SKIP_TO_NEXT,
+        Measure,
+        Pattern,
+    )
+    from flink_cep_examples_spark.sources.billing import events_as_billing
+
+    df = events_as_billing(spark, sf_small)
+    measures = (
+        Measure("alarmTriggerDatetime", "A", "datetime", "first"),
+        Measure("topupDatetime", "C", "datetime", "first"),
+    )
+
+    def abc(skip, skip_var=None):
+        return (
+            Pattern.begin("A", skip=skip, skip_var=skip_var)
+            .where("true")
+            .next("B").times(2).where("true")
+            .next("C").where("true")
+        ).build(
+            key_cols=("id",), order_col="event_time", tiebreak_col="seq",
+            measures=measures,
+        )
+
+    def ac(skip, skip_var=None):
+        return (
+            Pattern.begin("A", skip=skip, skip_var=skip_var)
+            .where("true")
+            .next("C").where("true")
+        ).build(
+            key_cols=("id",), order_col="event_time", tiebreak_col="seq",
+            measures=measures,
+        )
+
+    specs = [
+        abc(SKIP_PAST_LAST_EVENT),
+        abc(SKIP_TO_NEXT),
+        abc(SKIP_TO_FIRST, "B"),
+        abc(SKIP_TO_LAST, "B"),
+        abc(SKIP_TO_FIRST, "C"),
+        ac(SKIP_PAST_LAST_EVENT),
+        ac(SKIP_TO_FIRST, "C"),
+    ]
+    for spec in specs:
+        assert fast_positional_applicable(spec), spec.after_match
+        fast = sorted(
+            map(tuple, match_pattern_fast_positional(df, spec).collect())
+        )
+        nfa = sorted(map(tuple, match_pattern(df, spec).collect()))
+        assert fast == nfa and fast, (spec.after_match, spec.skip_var)
+
+
+def test_fast_positional_rejects_non_dense_shapes():
+    """Real predicates, loops, deadlines, or a zero stride (SKIP TO
+    FIRST of the begin variable) must fall back to the NFA tier."""
+    from flink_cep_examples_spark.operators.fast_path import (
+        fast_positional_applicable,
+    )
+    from flink_cep_examples_spark.plans.pattern import (
+        SKIP_TO_FIRST,
+        Pattern,
+    )
+
+    dense = (
+        Pattern.begin("A").where("true").next("C").where("true")
+    ).build()
+    assert fast_positional_applicable(dense)
+
+    predicated = (
+        Pattern.begin("A").where("balanceAfter < 10").next("C").where("true")
+    ).build()
+    assert not fast_positional_applicable(predicated)
+
+    looping = (
+        Pattern.begin("A").where("true")
+        .next("B").one_or_more().where("true")
+        .next("C").where("true")
+    ).build()
+    assert not fast_positional_applicable(looping)
+
+    deadlined = (
+        Pattern.begin("A").where("true").next("C").where("true")
+        .within("1 hour")
+    ).build()
+    assert not fast_positional_applicable(deadlined)
+
+    zero_stride = (
+        Pattern.begin("A", skip=SKIP_TO_FIRST, skip_var="A")
+        .where("true").next("C").where("true")
+    ).build()
+    assert not fast_positional_applicable(zero_stride)

@@ -202,3 +202,12 @@ def test_lsh_search_broadcast_is_optional(spark, sf_small):
     )
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     assert "strategy=broadcast" not in optimized
+
+
+def test_positional_fast_path_single_exchange_no_python(spark, sf_small):
+    """The positional SKIP TO fast path must stay pure-JVM: one hash
+    Exchange on the key, zero Python evaluators (the NFA tier it
+    replaces is a BatchEvalPython plan)."""
+    p = _plan(QUERIES["cep_skip_to_last"](spark, sf_small))
+    assert p.count("Exchange") == 1, p
+    assert "Python" not in p, p
