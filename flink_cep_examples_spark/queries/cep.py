@@ -586,7 +586,7 @@ register("cep_skip_to_next", cep_skip_to_next, ORACLE_SKIP_TO_NEXT)
 register("cep_times_pattern", cep_times_pattern, ORACLE_TIMES)
 register(
     "cep_skip_to_last", cep_skip_to_last, ORACLE_SKIP_TO_LAST,
-    driver=False,  # rotation handled in queries/__init__ driver set
+    # round-4 rotation: promoted into the 50-row driver gate
 )
 register(
     "cep_skip_to_last_nfa", cep_skip_to_last_nfa, ORACLE_SKIP_TO_LAST,

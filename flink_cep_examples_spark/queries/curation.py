@@ -332,10 +332,12 @@ FROM s
 
 
 register("docs_chunk_spans", docs_chunk_spans, ORACLE_CHUNKS)
-register("docs_repetition_stats", docs_repetition_stats, ORACLE_REPETITION)
+register("docs_repetition_stats", docs_repetition_stats, ORACLE_REPETITION, driver=False,  # r4 rotation: driver-verified green in r2+r3; pytest-gated now
+)
 register("docs_gopher_quality", docs_gopher_quality, ORACLE_GOPHER)
-register("docs_pii_scrub", docs_pii_scrub, ORACLE_PII)
+register("docs_pii_scrub", docs_pii_scrub, ORACLE_PII, driver=False,  # r4 rotation: driver-verified green in r2+r3; pytest-gated now
+)
 register(
     "docs_bigram_topk", docs_bigram_topk, ORACLE_BIGRAM_TOPK,
-    driver=False,  # term-stats shape covered by docs_tfidf_top_terms
+    # round-4 rotation: promoted into the 50-row driver gate
 )

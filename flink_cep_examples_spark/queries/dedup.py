@@ -452,11 +452,13 @@ FROM allc
 """
 
 
-register("dedup_exact", dedup_exact, ORACLE_EXACT)
+register("dedup_exact", dedup_exact, ORACLE_EXACT, driver=False,  # r4 rotation: driver-verified green in r2+r3; pytest-gated now
+)
 register("dedup_clusters", dedup_clusters, _oracle_clusters())
 register(
     "dedup_ngram_jaccard", dedup_ngram_jaccard, ORACLE_JACCARD,
-    driver=False,  # exact-Jaccard recall gate; minhash_lsh is the scale path
+    # round-4 rotation: promoted into the 50-row driver gate
 )
 register("dedup_minhash_lsh", dedup_minhash_lsh, _oracle_minhash())
-register("dedup_simhash", dedup_simhash, _oracle_simhash())
+register("dedup_simhash", dedup_simhash, _oracle_simhash(), driver=False,  # r4 rotation: driver-verified green in r2+r3; pytest-gated now
+)

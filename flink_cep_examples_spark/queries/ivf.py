@@ -370,5 +370,5 @@ FROM a2 ANTI JOIN losers ON a2.vec_id = losers.vec_id
 register("ivf_topk", ivf_topk, ORACLE_IVF)
 register(
     "semdedup_prune", semdedup_prune, ORACLE_SEMDEDUP,
-    driver=False,  # driver set capped at 50; oracle-gated in pytest
+    # round-4 rotation: promoted into the 50-row driver gate
 )

@@ -500,32 +500,36 @@ GROUP BY event_type
 """
 
 
-register("q1_pricing_summary", q1_pricing_summary, ORACLE_Q1)
+register("q1_pricing_summary", q1_pricing_summary, ORACLE_Q1, driver=False,  # r4 rotation: driver-verified green in r2+r3; pytest-gated now
+)
 register(
     "events_json_props", events_json_props, ORACLE_JSON,
-    driver=False,  # JSON extraction; pytest-gated
+    # round-4 rotation: promoted into the 50-row driver gate
 )
-register("q3_top_unshipped_orders", q3_top_unshipped_orders, ORACLE_Q3)
-register("q5_regional_revenue", q5_regional_revenue, ORACLE_Q5)
+register("q3_top_unshipped_orders", q3_top_unshipped_orders, ORACLE_Q3, driver=False,  # r4 rotation: driver-verified green in r2+r3; pytest-gated now
+)
+register("q5_regional_revenue", q5_regional_revenue, ORACLE_Q5, driver=False,  # r4 rotation: driver-verified green in r2+r3; pytest-gated now
+)
 register(
     "q10_returned_revenue", q10_returned_revenue, ORACLE_Q10,
-    driver=False,  # join-agg-topk shape covered by q3/q5
+    # round-4 rotation: promoted into the 50-row driver gate
 )
 register(
     "customer_order_ranks", customer_order_ranks, ORACLE_RANKS,
-    driver=False,  # window-rank shape covered by sessions/gapfill windows
+    # round-4 rotation: promoted into the 50-row driver gate
 )
-register("events_hourly_by_type", events_hourly_by_type, ORACLE_HOURLY)
+register("events_hourly_by_type", events_hourly_by_type, ORACLE_HOURLY, driver=False,  # r4 rotation: driver-verified green in r2+r3; pytest-gated now
+)
 register(
     "events_sliding_counts", events_sliding_counts, ORACLE_SLIDING,
-    driver=False,  # windowed-agg family keeps events_hourly_by_type
+    # round-4 rotation: promoted into the 50-row driver gate
 )
 register(
     "events_rolling_value", events_rolling_value, ORACLE_ROLLING,
-    driver=False,  # RANGE-frame window; pytest-gated
+    # round-4 rotation: promoted into the 50-row driver gate
 )
 register("events_sessions", events_sessions, ORACLE_SESSIONS)
 register(
     "priority_share", priority_share, ORACLE_SHARE,
-    driver=False,  # simple share-of-total; pytest-gated
+    # round-4 rotation: promoted into the 50-row driver gate
 )

@@ -521,13 +521,14 @@ GROUP BY label
 
 
 register("ann_bruteforce_topk", ann_bruteforce_topk, ORACLE_BRUTEFORCE)
-register("ann_lsh_topk", ann_lsh_topk, ORACLE_LSH_TOPK)
+register("ann_lsh_topk", ann_lsh_topk, ORACLE_LSH_TOPK, driver=False,  # r4 rotation: driver-verified green in r2+r3; pytest-gated now
+)
 register("ann_batch_topk", ann_batch_topk, ORACLE_BATCH_TOPK)
 register(
     "embedding_cosine_dups", embedding_cosine_dups, ORACLE_COSINE_DUPS,
-    driver=False,  # shape covered by ann_* + dedup families
+    # round-4 rotation: promoted into the 50-row driver gate
 )
 register(
     "embedding_label_stats", embedding_label_stats, ORACLE_LABEL_STATS,
-    driver=False,  # simple aggregate; pytest-gated
+    # round-4 rotation: promoted into the 50-row driver gate
 )
