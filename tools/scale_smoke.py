@@ -42,6 +42,13 @@ SMOKE = [
     "semdedup_prune",  # pinned K_LISTS=8 — the known-quadratic control
     "semdedup_prune_auto",  # k_lists=None → n_lists(n): the deployment knob
     "ivf_topk_auto",
+    # round-4: families with no prior 10× row (VERDICT r3 item 4)
+    "events_asof_attribution",
+    "events_range_error_context",
+    "events_funnel_interval_join",
+    "cep_keyed_process",
+    "docs_decontaminate",
+    "cep_skip_to_last",  # round-4 positional fast path
 ]
 
 
