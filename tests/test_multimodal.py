@@ -80,3 +80,42 @@ def test_resize_exact_size_and_determinism(spark, media):
     assert {r.doc_id: bytes(r.payload) for r in out} == {
         r.doc_id: bytes(r.payload) for r in again
     }
+
+
+def test_real_decode_contract_png():
+    """Real-mode decode contract: WITH a codec installed, a round-trip
+    PNG decodes to the flat grayscale uint8 array the fake mode's shape
+    contract promises; WITHOUT codecs (this sandbox) the call must
+    raise NotImplementedError — never a silent wrong answer."""
+    import numpy as np
+    import pytest
+
+    from flink_cep_examples_spark.operators.multimodal import decode_media
+
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="PIL"):
+            decode_media(b"\x89PNG fake", "png", fake=False)
+        return
+    img = Image.fromarray(
+        np.arange(64, dtype=np.uint8).reshape(8, 8), mode="L"
+    )
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    arr = decode_media(buf.getvalue(), "png", fake=False)
+    assert arr.dtype == np.uint8 and arr.shape == (64,)
+    assert (arr == np.arange(64, dtype=np.uint8)).all()
+
+
+def test_real_decode_video_always_gated():
+    """mp4 has no bundled decoder in any environment (needs ffmpeg):
+    real mode must always raise, codecs or not."""
+    import pytest
+
+    from flink_cep_examples_spark.operators.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        decode_media(b"\x00\x00\x00 ftypmp42", "mp4", fake=False)
