@@ -76,3 +76,98 @@ def test_content_dedup_stream_keys_on_digest(spark, doubled_events_dir):
     )
     assert out.count() == n_payloads
     assert out.select("content_key").distinct().count() == n_payloads
+
+
+@pytest.fixture(scope="module")
+def docs_with_ts_dir(spark, sf_small, tmp_path_factory):
+    """sf0.001 documents + a synthetic event time that makes arrival
+    order = doc_id order (so the batch candidate-pair convention
+    'smaller doc_id is the owner' is exactly the stream's
+    first-arrival ownership)."""
+    out = str(tmp_path_factory.mktemp("minhash_stream") / "docs")
+    (
+        load_table(spark, sf_small, "documents")
+        .withColumn(
+            "ts",
+            F.to_timestamp(F.lit("2020-05-01 00:00:00"))
+            + F.make_dt_interval(secs=F.col("doc_id").cast("double")),
+        )
+        .coalesce(2)
+        .write.parquet(out)
+    )
+    return out
+
+
+@pytest.mark.slow
+def test_minhash_band_keys_udf_matches_batch(spark, sf_small):
+    """The streaming scan-side band-key kernel must reproduce the batch
+    signature pipeline's band keys bit-for-bit, doc by doc."""
+    from flink_cep_examples_spark.queries.dedup import (
+        BANDS,
+        NUM_HASHES,
+        ROWS_PER_BAND,
+        _minhash_signatures,
+    )
+    from flink_cep_examples_spark.streaming.dedup_stream import (
+        minhash_band_keys_udf,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    sig = _minhash_signatures(docs)
+    mh = [F.col(f"mh{i}") for i in range(NUM_HASHES)]
+    batch_keys = {
+        r.doc_id: r.keys
+        for r in sig.select(
+            "doc_id",
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.lit(bi),
+                            *mh[bi * ROWS_PER_BAND : (bi + 1) * ROWS_PER_BAND],
+                        )
+                    )
+                    for bi in range(BANDS)
+                ]
+            ).alias("keys"),
+        ).collect()
+    }
+    stream_keys = {
+        r.doc_id: r.keys
+        for r in docs.select(
+            "doc_id", minhash_band_keys_udf()(F.col("text")).alias("keys")
+        ).collect()
+    }
+    assert stream_keys == batch_keys and stream_keys
+
+
+@pytest.mark.slow
+def test_minhash_band_stream_matches_batch_losers(spark, docs_with_ts_dir, sf_small):
+    """Stream/batch agreement for near-dup detection: the docs flagged
+    by the streaming detector (>= 1 band-bucket collision with an
+    earlier arrival) must be exactly the batch candidate pairs' doc_b
+    side (dedup_minhash_lsh joins on shared bucket with
+    doc_a < doc_b), and every detected (owner, dup) must be a batch
+    candidate pair."""
+    from flink_cep_examples_spark.queries.dedup import dedup_minhash_lsh
+    from flink_cep_examples_spark.streaming.dedup_stream import (
+        dedup_minhash_band_stream,
+    )
+
+    out = _run_stream(
+        spark,
+        docs_with_ts_dir,
+        lambda s: dedup_minhash_band_stream(s, watermark_delay="365 days"),
+        "minhash_band_mem",
+    )
+    detections = out.collect()
+    pairs = dedup_minhash_lsh(spark, sf_small).collect()
+    batch_losers = {r.doc_b for r in pairs}
+    batch_pairs = {(r.doc_a, r.doc_b) for r in pairs}
+
+    assert {r.dup_id for r in detections} == batch_losers and batch_losers
+    # every detection is a genuine batch candidate pair (owner is the
+    # bucket's first arrival = smallest doc_id in the bucket, which is
+    # a valid doc_a for that doc_b)
+    assert {(r.owner_id, r.dup_id) for r in detections} <= batch_pairs
