@@ -176,11 +176,13 @@ def match_pattern_all_rows(df: DataFrame, spec: PatternSpec) -> DataFrame:
     out_schema = all_rows_output_schema(df, spec)
     n_vars = len(spec.pred_exprs)
     compiled = nfa.Nfa(spec)
-    var_names = [v.name for v in spec.variables]
     measure_list = list(spec.measures)
     key_cols = list(spec.key_cols)
     tiebreak = spec.tiebreak_col
     out_cols = [f.name for f in out_schema.fields]
+    # SQL:2016 {- var -}: excluded variables still shape the match
+    # (measures/skip/deadline unchanged) but emit no output rows
+    emit_names = [v.name for v in spec.variables if not v.excluded]
 
     def scan(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([_TS_COL, tiebreak], kind="mergesort")
@@ -210,7 +212,7 @@ def match_pattern_all_rows(df: DataFrame, spec: PatternSpec) -> DataFrame:
                 else:
                     idx = span[0] if m.fn == "first" else span[1]
                     mvals[m.name] = src_arrays[m.src][idx]
-            for vname in var_names:
+            for vname in emit_names:
                 span = match.get(vname)
                 if span is None:
                     continue

@@ -315,6 +315,12 @@ def match_pattern_fast_abc_all_rows(df: DataFrame, spec: PatternSpec) -> DataFra
         match_seq.alias("match_seq"),
         *[measure(m).alias(m.name) for m in spec.measures],
     )
+    # SQL:2016 {- var -}: excluded variables' rows drop from the output
+    # only — the match itself (anchors, measures, match_seq) is computed
+    # above on the full segment, so this is a plain post-filter
+    excluded = [v.name for v in spec.variables if v.excluded]
+    if excluded:
+        out = out.filter(~F.col("classifier").isin(excluded))
     target = all_rows_output_schema(df, spec)
     return out.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in target.fields]

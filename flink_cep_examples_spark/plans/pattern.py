@@ -113,6 +113,12 @@ class PatternVar:
     #: greediness arbitrates simultaneous completions — observable with
     #: ``allowCombinations`` / epsilon-skippable loops.
     greedy: bool = True
+    #: SQL:2016 pattern exclusion ``{- B -}``: the variable matches
+    #: rows normally (the MATCH is unchanged — measures, skip
+    #: strategies, and deadlines all still see them) but its rows are
+    #: omitted from ALL ROWS PER MATCH output. No effect in ONE ROW
+    #: PER MATCH (per the standard).
+    excluded: bool = False
 
     @property
     def min_count(self) -> int:

@@ -224,6 +224,46 @@ def cep_match_recognize_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MR_EXCL_BODY = _MR_ALL_ROWS_BODY.replace(
+    "PATTERN (A B* C)", "PATTERN (A {- B* -} C)"
+)
+
+#: {- B* -} exclusion: same matches as ALL ROWS, minus the B rows.
+ORACLE_ALL_ROWS_EXCL = (
+    _ORACLE_BASE
+    + f"""
+SELECT id,
+       strftime(make_timestamp(tus), {_FMT}) AS datetime,
+       CASE WHEN tus = a_tus THEN 'A' ELSE 'C' END AS classifier,
+       CAST(DENSE_RANK() OVER (PARTITION BY id ORDER BY c_tus) - 1 AS BIGINT)
+         AS match_seq,
+       strftime(make_timestamp(a_tus), {_FMT}) AS alarmTriggerDatetime,
+       strftime(make_timestamp(c_tus), {_FMT}) AS topupDatetime
+FROM cand
+WHERE a_tus IS NOT NULL AND c_tus IS NOT NULL
+  AND (tus = a_tus OR tus = c_tus)
+"""
+)
+
+
+def cep_match_recognize_excl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2016 ``{- B* -}`` pattern exclusion (round 4): identical
+    matches to cep_match_recognize_all_rows, but the excluded loop
+    variable's rows are omitted from the output — on the compiled
+    all-rows fast path this is a post-filter on the classifier."""
+    df = events_as_billing(spark, sf_dir)
+    query = f"SELECT * FROM billing MATCH_RECOGNIZE ({_MR_EXCL_BODY}) t"
+    out = sql_with_match_recognize(spark, query, {"billing": df})
+    return out.select(
+        "id",
+        "datetime",
+        "classifier",
+        "match_seq",
+        "alarmTriggerDatetime",
+        "topupDatetime",
+    )
+
+
 def cep_keyed_process(spark: SparkSession, sf_dir: str) -> DataFrame:
     return billing_low_level_alerts(events_as_billing(spark, sf_dir))
 
@@ -576,6 +616,10 @@ register(
 )
 register("cep_match_recognize", cep_match_recognize, ORACLE_MATCHES)
 register("cep_match_recognize_all_rows", cep_match_recognize_all_rows, ORACLE_ALL_ROWS)
+register(
+    "cep_match_recognize_excl", cep_match_recognize_excl, ORACLE_ALL_ROWS_EXCL,
+    driver=False,  # driver set capped at 50; oracle-gated in pytest
+)
 register("cep_keyed_process", cep_keyed_process, ORACLE_KEYED_PROCESS)
 register(
     "cep_absence_not_followed_by",

@@ -106,10 +106,12 @@ def _strip_var_prefixes(predicate: str, var_names: list[str]) -> str:
 
 def _parse_pattern_clause(
     text: str,
-) -> tuple[list[tuple[str, str, tuple | None, bool]], str | None]:
-    """``( A B*? C{2,4} ) WITHIN INTERVAL '1' HOUR`` →
-    ([(name, quant, times, greedy)...], within_text). A trailing ``?``
-    after ``*``/``+``/``{n,m}`` is the SQL:2016 reluctant marker."""
+) -> tuple[list[tuple[str, str, tuple | None, bool, bool]], str | None]:
+    """``( A {- B*? -} C{2,4} ) WITHIN INTERVAL '1' HOUR`` →
+    ([(name, quant, times, greedy, excluded)...], within_text). A
+    trailing ``?`` after ``*``/``+``/``{n,m}`` is the SQL:2016
+    reluctant marker; ``{- ... -}`` is the SQL:2016 exclusion (rows
+    omitted from ALL ROWS PER MATCH output)."""
     m = re.match(r"\s*\(([^)]*)\)\s*(.*)", text, re.DOTALL)
     if not m:
         raise ValueError(f"cannot parse PATTERN clause: {text!r}")
@@ -120,8 +122,23 @@ def _parse_pattern_clause(
         return "{%s,%s}" % (lo, hi if hi is not None else lo)
 
     vars_ = []
+    # pad exclusion braces so they tokenize standalone whatever the
+    # spacing ({-B*-} / {- B* -} both parse); the quantifier-brace
+    # regex below only rewrites numeric {n}/{n,m}, never {- / -}
+    inner = inner.replace("{-", " {- ").replace("-}", " -} ")
     normed = re.sub(r"\{\s*(\d+)\s*(?:,\s*(\d*)\s*)?\}", _norm_braces, inner)
+    excluding = False
     for tok in normed.split():
+        if tok == "{-":
+            if excluding:
+                raise ValueError("nested {- ... -} exclusions")
+            excluding = True
+            continue
+        if tok == "-}":
+            if not excluding:
+                raise ValueError("unbalanced -} in PATTERN")
+            excluding = False
+            continue
         qm = re.match(
             r"^([A-Za-z_][A-Za-z_0-9]*)"
             r"(?:([*+])(\?)?|(\?)|\{(\d+),(\d*)\}(\?)?)?$",
@@ -133,10 +150,15 @@ def _parse_pattern_clause(
         greedy = not (rel1 or rel2)
         if lo is not None:
             vars_.append(
-                (name, TIMES, (int(lo), int(hi) if hi else None), greedy)
+                (name, TIMES, (int(lo), int(hi) if hi else None), greedy,
+                 excluding)
             )
         else:
-            vars_.append((name, _QUANT[(punct or opt) or ""], None, greedy))
+            vars_.append(
+                (name, _QUANT[(punct or opt) or ""], None, greedy, excluding)
+            )
+    if excluding:
+        raise ValueError("unclosed {- in PATTERN")
     within = None
     wm = re.match(
         r"WITHIN\s+INTERVAL\s+'(\d+)'\s+(\w+)", rest, re.IGNORECASE
@@ -200,7 +222,7 @@ def parse_match_recognize(body: str) -> PatternSpec:
         raise ValueError("MATCH_RECOGNIZE needs PATTERN and DEFINE clauses")
 
     var_quants, within_text = _parse_pattern_clause(clauses["PATTERN"])
-    var_names = [n for n, _, _, _ in var_quants]
+    var_names = [n for n, _, _, _, _ in var_quants]
 
     defines: dict[str, str] = {}
     for part in re.split(r",(?=\s*\w+\s+AS\s)", clauses["DEFINE"], flags=re.IGNORECASE):
@@ -217,8 +239,9 @@ def parse_match_recognize(body: str) -> PatternSpec:
             contiguity=STRICT,  # MATCH_RECOGNIZE is inherently strictly contiguous
             times=times,
             greedy=greedy,
+            excluded=excluded,
         )
-        for name, quant, times, greedy in var_quants
+        for name, quant, times, greedy, excluded in var_quants
     )
 
     after = clauses.get("AFTER MATCH", "SKIP PAST LAST ROW").strip().upper()

@@ -187,3 +187,54 @@ def test_skip_to_last_b_equals_skip_past_on_billing_algebra(spark):
         for r in match_recognize(df, body).collect()
     )
     assert got == sorted(EXPECTED_MATCHES)
+
+
+def test_exclusion_parses_and_fast_matches_nfa(spark, sf_small):
+    """{- B* -}: parser sets excluded on the loop variable only; the
+    compiled all-rows path and the NFA tier emit identical row sets
+    (matches unchanged, B rows omitted from output)."""
+    from flink_cep_examples_spark.operators.cep_batch import (
+        match_pattern_all_rows,
+    )
+    from flink_cep_examples_spark.queries.cep import (
+        _MR_EXCL_BODY,
+        cep_match_recognize_excl,
+    )
+    from flink_cep_examples_spark.sources.billing import events_as_billing
+    from flink_cep_examples_spark.sql.match_recognize import (
+        parse_match_recognize,
+    )
+
+    spec = parse_match_recognize(_MR_EXCL_BODY)
+    assert [v.excluded for v in spec.variables] == [False, True, False]
+
+    import dataclasses
+
+    spec = dataclasses.replace(spec, tiebreak_col="seq")
+    df = events_as_billing(spark, sf_small)
+    fast = sorted(map(tuple, cep_match_recognize_excl(spark, sf_small).collect()))
+    nfa_out = match_pattern_all_rows(df, spec).select(
+        "id", "datetime", "classifier", "match_seq",
+        "alarmTriggerDatetime", "topupDatetime",
+    )
+    nfa = sorted(map(tuple, nfa_out.collect()))
+    assert fast == nfa and fast
+    assert all(r[2] in ("A", "C") for r in fast)
+
+
+def test_exclusion_parser_rejects_unbalanced():
+    import pytest
+
+    from flink_cep_examples_spark.sql.match_recognize import (
+        _parse_pattern_clause,
+    )
+
+    with pytest.raises(ValueError, match="unclosed"):
+        _parse_pattern_clause("( A {- B* C )")
+    with pytest.raises(ValueError, match="unbalanced"):
+        _parse_pattern_clause("( A B* -} C )")
+    with pytest.raises(ValueError, match="nested"):
+        _parse_pattern_clause("( A {- {- B* -} -} C )")
+    # spacing-insensitive
+    vars_, _ = _parse_pattern_clause("( A {-B*-} C )")
+    assert [(v[0], v[4]) for v in vars_] == [("A", False), ("B", True), ("C", False)]
