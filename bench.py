@@ -54,6 +54,7 @@ HEADLINE = [
     "events_funnel_interval_join",
     "cep_skip_to_last",
     "semdedup_prune",
+    "cep_match_recognize_excl",  # round-4 {- B -} exclusion fast path
 ]
 
 
@@ -180,6 +181,65 @@ def main() -> None:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved_partitions)
 
+    # round-over-round delta block: compare against the newest recorded
+    # BENCH_r{N}.json so >25% regressions are flagged automatically.
+    # min-vs-min AND median-vs-median must both regress to flag "real"
+    # (the documented ±40% host-noise band moves min OR median alone;
+    # a genuine plan regression moves both).
+    import glob
+    import re as _re
+
+    delta = None
+    prior = sorted(
+        glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_r*.json")),
+        key=lambda p: int(_re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    if prior:
+        try:
+            prev = json.load(open(prior[-1]))
+            if "parsed" in prev and isinstance(prev["parsed"], dict):
+                # driver-recorded wrapper: the bench JSON line sits
+                # under "parsed" (raw stdout tail under "tail")
+                prev = prev["parsed"]
+            if float(prev.get("sf", -1)) != float(sf):
+                raise ValueError(f"baseline sf {prev.get('sf')} != {sf}")
+            prev_q = prev.get("queries", {})
+            prev_med = prev.get("queries_median", prev_q)
+            flagged = {}
+            for n, now_min in timings.items():
+                if n not in prev_q or prev_q[n] <= 0:
+                    continue
+                min_ratio = now_min / prev_q[n]
+                med_ratio = (
+                    medians[n] / prev_med[n] if prev_med.get(n) else None
+                )
+                if min_ratio > 1.25:
+                    flagged[n] = {
+                        "prev_min": prev_q[n],
+                        "now_min": now_min,
+                        "min_ratio": round(min_ratio, 2),
+                        "median_ratio": (
+                            round(med_ratio, 2) if med_ratio else None
+                        ),
+                        "verdict": (
+                            "regression"
+                            if med_ratio and med_ratio > 1.25
+                            else "host_noise_suspected"
+                        ),
+                    }
+            common = [n for n in timings if n in prev_q]
+            delta = {
+                "baseline_file": os.path.basename(prior[-1]),
+                "common_queries": len(common),
+                "common_total_prev": round(sum(prev_q[n] for n in common), 3),
+                "common_total_now": round(sum(timings[n] for n in common), 3),
+                "flagged": flagged,
+            }
+        except (OSError, ValueError, KeyError) as exc:
+            delta = {"baseline_file": os.path.basename(prior[-1]),
+                     "skipped": str(exc) or type(exc).__name__}
+
     print(
         json.dumps(
             {
@@ -188,6 +248,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_median": medians,
+                "delta": delta,
                 "sf": float(sf),
                 "cep_batch_events_per_sec": round(
                     n_batch_events / timings["cep_alerts_with_timeouts"]
