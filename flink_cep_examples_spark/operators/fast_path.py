@@ -558,3 +558,120 @@ def match_pattern_fast_positional(df: DataFrame, spec: PatternSpec) -> DataFrame
     return out.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in target.fields]
     )
+
+
+# ---------------------------------------------------------------------------
+# PERMUTE closed form: SQL:2016 PATTERN (PERMUTE (A, B, C)) under
+# AFTER MATCH SKIP TO NEXT ROW (round 4)
+# ---------------------------------------------------------------------------
+
+
+def match_pattern_permute(df: DataFrame, spec: PatternSpec) -> DataFrame:
+    """``PERMUTE (V1, ..., Vk)`` = alternation over every ordering of
+    the k once-variables, preferred in lexicographic order of the
+    listed sequence (SQL:2016 expansion). Under ``SKIP TO NEXT ROW``
+    (or NO_SKIP — identical here: at most one match binding per start
+    row, the preferred one) every start row is tried independently, so
+    the operator is a pure window closed form:
+
+    - candidate at per-key position r ⇔ some ordering σ has
+      ``pred_{σ(i)}(row r+i)`` for all i < k — k² boolean ``lead``
+      columns, one per (variable, offset), OR-of-ANDs over the k!
+      orderings (k ≤ 4, enforced by validate());
+    - the BINDING is the lexicographically-first matching ordering
+      (a CASE chain in the same preference order), which fixes each
+      variable's row offset for the measures (``lead(src, offset)``);
+    - ``within`` bounds the window span: ``ts[r+k-1] − ts[r] <
+      within`` (strict, matching the NFA's deadline convention).
+
+    One hash Exchange on the key, zero Python. The NFA tier has no
+    alternation, so this closed form IS the PERMUTE implementation;
+    correctness is pinned by the DuckDB oracle (an independent
+    derivation of the same algebra) and preference-order unit tests."""
+    from itertools import permutations
+
+    if not spec.permute:
+        raise ValueError("spec is not a PERMUTE pattern")
+    if spec.after_match not in (SKIP_TO_NEXT, NO_SKIP):
+        raise NotImplementedError(
+            "PERMUTE supports AFTER MATCH SKIP TO NEXT ROW only (other "
+            "resumption strategies need sequential selection over "
+            "non-dense candidates — NFA alternation, not implemented)"
+        )
+    if spec.emit_timeouts or spec.rows_per_match != "one":
+        raise NotImplementedError(
+            "PERMUTE supports ONE ROW PER MATCH without timeouts"
+        )
+    spec.validate()
+    k = len(spec.variables)
+    keys = list(spec.key_cols)
+    within_us = (
+        int(spec.within.total_seconds() * 1_000_000)
+        if spec.within is not None
+        else None
+    )
+    srcs = sorted(
+        {m.src for m in spec.measures if m.fn != "count"} - set(keys)
+    )
+    base = df.select(
+        *keys,
+        F.unix_micros(F.col(spec.order_col).cast(T.TimestampType())).alias("__ts"),
+        F.col(spec.tiebreak_col).alias("__tb"),
+        *[
+            F.expr(v.predicate).alias(f"__p{j}")
+            for j, v in enumerate(spec.variables)
+        ],
+        *srcs,
+    )
+    w_ord = Window.partitionBy(*keys).orderBy("__ts", "__tb")
+
+    def at(col: str, off: int):
+        return F.col(col) if off == 0 else F.lead(col, off).over(w_ord)
+
+    # k × k grid: variable j's predicate evaluated at row offset i
+    grid = {
+        (j, i): at(f"__p{j}", i) for j in range(k) for i in range(k)
+    }
+    orderings = list(permutations(range(k)))  # lexicographic by construction
+
+    def seq_cond(seq):
+        cond = F.lit(True)
+        for i, j in enumerate(seq):
+            cond = cond & F.coalesce(grid[(j, i)], F.lit(False))
+        return cond
+
+    fits = at("__tb", k - 1).isNotNull()
+    span_ok = (
+        F.lit(True)
+        if within_us is None
+        else (at("__ts", k - 1) - F.col("__ts")) < F.lit(within_us)
+    )
+    conds = [seq_cond(seq) for seq in orderings]
+    any_match = conds[0]
+    for c in conds[1:]:
+        any_match = any_match | c
+
+    def measure(m: Measure):
+        if m.fn == "count":
+            return F.lit(1).cast("long")
+        j = spec.var_index(m.var)
+        expr = F.lit(None)
+        # first matching ordering in preference order binds the vars
+        for seq, cond in zip(reversed(orderings), reversed(conds)):
+            expr = F.when(cond, at(m.src, seq.index(j))).otherwise(expr)
+        return expr
+
+    out = (
+        base.withColumn("__keep", fits & span_ok & any_match)
+        .withColumns({f"__m_{m.name}": measure(m) for m in spec.measures})
+        .filter(F.col("__keep"))
+        .select(
+            *keys,
+            *[F.col(f"__m_{m.name}").alias(m.name) for m in spec.measures],
+            F.lit(MATCH_TAG).alias("tag"),
+        )
+    )
+    target = output_schema(df, spec)
+    return out.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in target.fields]
+    )

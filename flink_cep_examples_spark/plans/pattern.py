@@ -176,6 +176,14 @@ class PatternSpec:
     measures: tuple[Measure, ...] = field(default_factory=tuple)
     emit_timeouts: bool = False  # absence-of-event side output
     rows_per_match: str = "one"  # "one" | "all" (MATCH_RECOGNIZE modes)
+    #: SQL:2016 ``PATTERN (PERMUTE (A, B, C))``: the variables match in
+    #: ANY order (alternation over all orderings, preferred in
+    #: lexicographic order of the listed sequence). Supported subset:
+    #: once-variables, strict contiguity, ONE ROW PER MATCH, AFTER
+    #: MATCH SKIP TO NEXT ROW — compiled to a window closed form
+    #: (operators/fast_path.py::match_pattern_permute); the NFA tier
+    #: has no alternation, so other modes raise.
+    permute: bool = False
 
     @property
     def pred_exprs(self) -> tuple[str, ...]:
@@ -194,6 +202,21 @@ class PatternSpec:
 
     def validate(self) -> "PatternSpec":
         names = [v.name for v in self.variables]
+        if self.permute:
+            if len(self.variables) > 4:
+                raise ValueError(
+                    "PERMUTE supports at most 4 variables "
+                    f"({len(self.variables)} given: {len(names)}! orderings)"
+                )
+            bad = [
+                v.name
+                for v in self.variables
+                if v.negated or v.quantifier != ONCE or v.until is not None
+            ]
+            if bad:
+                raise ValueError(
+                    f"PERMUTE variables must be plain once-variables: {bad}"
+                )
         if len(set(names)) != len(names):
             raise ValueError(f"duplicate pattern variable names: {names}")
         if not self.variables:

@@ -264,6 +264,80 @@ def cep_match_recognize_excl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MR_PERMUTE_BODY = """
+  PARTITION BY id
+  ORDER BY event_time
+  MEASURES
+    A.datetime AS alarmTriggerDatetime,
+    C.datetime AS topupDatetime
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (PERMUTE (A, B, C))
+  DEFINE
+    A AS A.balanceBefore >= 10 AND A.balanceAfter < 10,
+    B AS B.balanceBefore >= B.balanceAfter,
+    C AS C.balanceBefore < C.balanceAfter
+"""
+
+#: PERMUTE closed form, independently derived: a start row matches iff
+#: some ordering of (A, B, C) covers the 3-row window; the binding is
+#: the lexicographically-first ordering (ABC, ACB, BAC, BCA, CAB, CBA
+#: — note A implies B here, so preference is observable and the oracle
+#: pins it, not just the match set).
+ORACLE_PERMUTE = f"""
+WITH billing AS (
+  SELECT CAST(user_id AS VARCHAR) AS id,
+         ts, event_id,
+         epoch_us(ts) AS tus,
+         COALESCE(LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 50.0) AS bb,
+         value AS ba
+  FROM events
+),
+flagged AS (
+  SELECT *, (bb >= 10 AND ba < 10) AS pa, (bb >= ba) AS pb, (bb < ba) AS pc
+  FROM billing
+),
+led AS (
+  SELECT id, tus AS t0,
+         LEAD(tus, 1) OVER w AS t1, LEAD(tus, 2) OVER w AS t2,
+         pa AS a0, LEAD(pa, 1) OVER w AS a1, LEAD(pa, 2) OVER w AS a2,
+         pb AS b0, LEAD(pb, 1) OVER w AS b1, LEAD(pb, 2) OVER w AS b2,
+         pc AS c0, LEAD(pc, 1) OVER w AS c1, LEAD(pc, 2) OVER w AS c2
+  FROM flagged
+  WINDOW w AS (PARTITION BY id ORDER BY ts, event_id)
+)
+SELECT id,
+       strftime(make_timestamp(CASE
+         WHEN a0 AND b1 AND c2 THEN t0
+         WHEN a0 AND c1 AND b2 THEN t0
+         WHEN b0 AND a1 AND c2 THEN t1
+         WHEN b0 AND c1 AND a2 THEN t2
+         WHEN c0 AND a1 AND b2 THEN t1
+         ELSE t2 END), {_FMT}) AS alarmTriggerDatetime,
+       strftime(make_timestamp(CASE
+         WHEN a0 AND b1 AND c2 THEN t2
+         WHEN a0 AND c1 AND b2 THEN t1
+         WHEN b0 AND a1 AND c2 THEN t2
+         WHEN b0 AND c1 AND a2 THEN t1
+         WHEN c0 AND a1 AND b2 THEN t0
+         ELSE t0 END), {_FMT}) AS topupDatetime
+FROM led
+WHERE t2 IS NOT NULL
+  AND ((a0 AND b1 AND c2) OR (a0 AND c1 AND b2) OR (b0 AND a1 AND c2)
+       OR (b0 AND c1 AND a2) OR (c0 AND a1 AND b2) OR (c0 AND b1 AND a2))
+"""
+
+
+def cep_permute_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2016 ``PATTERN (PERMUTE (A, B, C))`` under SKIP TO NEXT ROW
+    (round 4): any-order alternation compiled to a k²-lead window
+    closed form with lexicographic binding preference
+    (operators/fast_path.py::match_pattern_permute)."""
+    df = events_as_billing(spark, sf_dir)
+    query = f"SELECT * FROM billing MATCH_RECOGNIZE ({_MR_PERMUTE_BODY}) t"
+    return sql_with_match_recognize(spark, query, {"billing": df})
+
+
 def cep_keyed_process(spark: SparkSession, sf_dir: str) -> DataFrame:
     return billing_low_level_alerts(events_as_billing(spark, sf_dir))
 
@@ -618,6 +692,10 @@ register("cep_match_recognize", cep_match_recognize, ORACLE_MATCHES)
 register("cep_match_recognize_all_rows", cep_match_recognize_all_rows, ORACLE_ALL_ROWS)
 register(
     "cep_match_recognize_excl", cep_match_recognize_excl, ORACLE_ALL_ROWS_EXCL,
+    driver=False,  # driver set capped at 50; oracle-gated in pytest
+)
+register(
+    "cep_permute_pattern", cep_permute_pattern, ORACLE_PERMUTE,
     driver=False,  # driver set capped at 50; oracle-gated in pytest
 )
 register("cep_keyed_process", cep_keyed_process, ORACLE_KEYED_PROCESS)

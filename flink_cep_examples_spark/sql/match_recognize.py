@@ -106,12 +106,30 @@ def _strip_var_prefixes(predicate: str, var_names: list[str]) -> str:
 
 def _parse_pattern_clause(
     text: str,
-) -> tuple[list[tuple[str, str, tuple | None, bool, bool]], str | None]:
+) -> tuple[list[tuple[str, str, tuple | None, bool, bool]], str | None, bool]:
     """``( A {- B*? -} C{2,4} ) WITHIN INTERVAL '1' HOUR`` →
-    ([(name, quant, times, greedy, excluded)...], within_text). A
-    trailing ``?`` after ``*``/``+``/``{n,m}`` is the SQL:2016
-    reluctant marker; ``{- ... -}`` is the SQL:2016 exclusion (rows
-    omitted from ALL ROWS PER MATCH output)."""
+    ([(name, quant, times, greedy, excluded)...], within_text,
+    permute). A trailing ``?`` after ``*``/``+``/``{n,m}`` is the
+    SQL:2016 reluctant marker; ``{- ... -}`` is the SQL:2016 exclusion
+    (rows omitted from ALL ROWS PER MATCH output); ``( PERMUTE (A, B,
+    C) )`` is the SQL:2016 any-order alternation (bare once-variables
+    only)."""
+    pm = re.match(
+        r"\s*\(\s*PERMUTE\s*\(([^)]*)\)\s*\)\s*(.*)",
+        text,
+        re.DOTALL | re.IGNORECASE,
+    )
+    if pm:
+        names, rest = pm.group(1), pm.group(2).strip()
+        vars_ = []
+        for tok in names.split(","):
+            tok = tok.strip()
+            if not re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", tok):
+                raise ValueError(
+                    f"PERMUTE takes bare variable names, got {tok!r}"
+                )
+            vars_.append((tok, ONCE, None, True, False))
+        return vars_, _parse_within(rest), True
     m = re.match(r"\s*\(([^)]*)\)\s*(.*)", text, re.DOTALL)
     if not m:
         raise ValueError(f"cannot parse PATTERN clause: {text!r}")
@@ -159,15 +177,18 @@ def _parse_pattern_clause(
             )
     if excluding:
         raise ValueError("unclosed {- in PATTERN")
-    within = None
+    return vars_, _parse_within(rest), False
+
+
+def _parse_within(rest: str) -> str | None:
+    if not rest:
+        return None
     wm = re.match(
-        r"WITHIN\s+INTERVAL\s+'(\d+)'\s+(\w+)", rest, re.IGNORECASE
+        r"WITHIN\s+INTERVAL\s+'(\d+)'\s+(\w+)\s*$", rest, re.IGNORECASE
     )
-    if wm:
-        within = f"{wm.group(1)} {wm.group(2)}"
-    elif rest:
+    if not wm:
         raise ValueError(f"unsupported trailing PATTERN text: {rest!r}")
-    return vars_, within
+    return f"{wm.group(1)} {wm.group(2)}"
 
 
 _MEASURE_RE = re.compile(
@@ -221,7 +242,7 @@ def parse_match_recognize(body: str) -> PatternSpec:
     if "PATTERN" not in clauses or "DEFINE" not in clauses:
         raise ValueError("MATCH_RECOGNIZE needs PATTERN and DEFINE clauses")
 
-    var_quants, within_text = _parse_pattern_clause(clauses["PATTERN"])
+    var_quants, within_text, permute = _parse_pattern_clause(clauses["PATTERN"])
     var_names = [n for n, _, _, _, _ in var_quants]
 
     defines: dict[str, str] = {}
@@ -274,6 +295,7 @@ def parse_match_recognize(body: str) -> PatternSpec:
         skip_var=skip_var,
         measures=tuple(_parse_measures(clauses.get("MEASURES", ""))),
         rows_per_match="all" if "ALL ROWS PER MATCH" in clauses else "one",
+        permute=permute,
     ).validate()
 
 
@@ -307,6 +329,17 @@ def match_recognize(
     if order_col is not None:
         updates["order_col"] = order_col
     spec = dataclasses.replace(spec, **updates)
+    if spec.permute:
+        if df.isStreaming:
+            raise NotImplementedError("PERMUTE requires batch input")
+        from flink_cep_examples_spark.operators.fast_path import (
+            match_pattern_permute,
+        )
+
+        out = match_pattern_permute(df, spec)
+        if not emit_timeouts:
+            out = out.drop("tag")
+        return out
     if df.isStreaming:
         if spec.rows_per_match == "all":
             raise NotImplementedError(

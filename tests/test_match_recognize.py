@@ -236,5 +236,81 @@ def test_exclusion_parser_rejects_unbalanced():
     with pytest.raises(ValueError, match="nested"):
         _parse_pattern_clause("( A {- {- B* -} -} C )")
     # spacing-insensitive
-    vars_, _ = _parse_pattern_clause("( A {-B*-} C )")
+    vars_, _, _ = _parse_pattern_clause("( A {-B*-} C )")
     assert [(v[0], v[4]) for v in vars_] == [("A", False), ("B", True), ("C", False)]
+
+
+def test_permute_lexicographic_preference(spark):
+    """Two orderings (ABC and BAC) both cover the window — the binding
+    must be the lexicographically-first (ABC): alarm from row 0, not
+    row 1."""
+    from flink_cep_examples_spark.sources.billing import billing_from_rows
+    from flink_cep_examples_spark.sql.match_recognize import match_recognize
+    from flink_cep_examples_spark.queries.cep import _MR_PERMUTE_BODY
+
+    rows = [
+        ("1", "2020-05-01 11:00:00", 50, 5),   # A (also B)
+        ("1", "2020-05-01 11:10:00", 50, 5),   # A (also B)
+        ("1", "2020-05-01 11:20:00", 5, 50),   # C
+    ]
+    df = billing_from_rows(spark, rows)
+    out = match_recognize(df, _MR_PERMUTE_BODY, order_col="event_time")
+    got = sorted(map(tuple, out.collect()))
+    # start row 0: ABC binds alarm=11:00, topup=11:20; start rows 1-2
+    # have no complete window
+    assert got == [("1", "2020-05-01 11:00:00", "2020-05-01 11:20:00")]
+
+
+def test_permute_rejects_unsupported_shapes(spark):
+    import pytest
+
+    from flink_cep_examples_spark.sources.billing import billing_from_rows
+    from flink_cep_examples_spark.sql.match_recognize import (
+        _parse_pattern_clause,
+        match_recognize,
+    )
+
+    with pytest.raises(ValueError, match="bare variable"):
+        _parse_pattern_clause("( PERMUTE (A, B*) )")
+    vars_, within, permute = _parse_pattern_clause(
+        "( PERMUTE (A, B) ) WITHIN INTERVAL '1' HOUR"
+    )
+    assert permute and within == "1 HOUR" and len(vars_) == 2
+
+    df = billing_from_rows(spark, [("1", "2020-05-01 11:00:00", 50, 5)])
+    body = """
+      PARTITION BY id ORDER BY event_time
+      MEASURES A.datetime AS a ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (PERMUTE (A, C))
+      DEFINE A AS A.balanceAfter < 10, C AS C.balanceBefore < C.balanceAfter
+    """
+    with pytest.raises(NotImplementedError, match="SKIP TO NEXT"):
+        match_recognize(df, body, order_col="event_time").collect()
+
+
+def test_permute_within_bounds_window_span(spark):
+    """WITHIN: a window whose span reaches the deadline is not a match
+    (strict <, matching the NFA convention)."""
+    from flink_cep_examples_spark.sources.billing import billing_from_rows
+    from flink_cep_examples_spark.sql.match_recognize import match_recognize
+
+    body = """
+      PARTITION BY id ORDER BY event_time
+      MEASURES A.datetime AS alarmTriggerDatetime, C.datetime AS topupDatetime
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP TO NEXT ROW
+      PATTERN (PERMUTE (A, C)) WITHIN INTERVAL '1' HOUR
+      DEFINE
+        A AS A.balanceBefore >= 10 AND A.balanceAfter < 10,
+        C AS C.balanceBefore < C.balanceAfter
+    """
+    rows = [
+        ("1", "2020-05-01 11:00:00", 50, 5),   # A
+        ("1", "2020-05-01 12:00:00", 5, 50),   # C at exactly +1h: no
+        ("2", "2020-05-01 11:00:00", 50, 5),   # A
+        ("2", "2020-05-01 11:59:59", 5, 50),   # C inside: match
+    ]
+    df = billing_from_rows(spark, rows)
+    got = sorted(map(tuple, match_recognize(df, body, order_col="event_time").collect()))
+    assert got == [("2", "2020-05-01 11:00:00", "2020-05-01 11:59:59")]
