@@ -306,3 +306,72 @@ def test_fast_positional_rejects_non_dense_shapes():
         .where("true").next("C").where("true")
     ).build()
     assert not fast_positional_applicable(zero_stride)
+
+
+def test_fast_positional_random_shapes_match_nfa(spark):
+    """Seeded sweep over random dense fixed-width shapes: var count,
+    widths, skip strategy, skip var, and measure fns all vary; the
+    closed form and the NFA must agree on a small synthetic stream."""
+    import random
+
+    from flink_cep_examples_spark.operators.cep_batch import match_pattern
+    from flink_cep_examples_spark.operators.fast_path import (
+        fast_positional_applicable,
+        match_pattern_fast_positional,
+    )
+    from flink_cep_examples_spark.plans.pattern import (
+        NO_SKIP,
+        SKIP_PAST_LAST_EVENT,
+        SKIP_TO_FIRST,
+        SKIP_TO_LAST,
+        SKIP_TO_NEXT,
+        Measure,
+        Pattern,
+    )
+    from flink_cep_examples_spark.sources.billing import billing_from_rows
+
+    rng = random.Random(4)
+    rows = [
+        (str(k), f"2020-05-01 {10 + i // 60:02d}:{i % 60:02d}:00",
+         rng.randint(0, 60), rng.randint(0, 60))
+        for k in range(6)
+        for i in range(rng.randint(3, 17))
+    ]
+    df = billing_from_rows(spark, rows)
+
+    checked = 0
+    for trial in range(12):
+        n_vars = rng.randint(1, 3)
+        names = ["A", "B", "C"][:n_vars]
+        widths = [rng.randint(1, 3) for _ in names]
+        strategy = rng.choice(
+            [SKIP_PAST_LAST_EVENT, SKIP_TO_NEXT, NO_SKIP,
+             SKIP_TO_FIRST, SKIP_TO_LAST]
+        )
+        skip_var = (
+            rng.choice(names)
+            if strategy in (SKIP_TO_FIRST, SKIP_TO_LAST)
+            else None
+        )
+        p = Pattern.begin(names[0], skip=strategy, skip_var=skip_var)
+        if widths[0] > 1:
+            p = p.times(widths[0])
+        for nm, w in zip(names[1:], widths[1:]):
+            p = p.next(nm)
+            if w > 1:
+                p = p.times(w)
+        fn = rng.choice(["first", "last", "count"])
+        spec = p.build(
+            key_cols=("id",), order_col="event_time", tiebreak_col="seq",
+            measures=(Measure("m", rng.choice(names), "datetime", fn),),
+        )
+        if not fast_positional_applicable(spec):
+            # zero-stride SKIP TO FIRST <first var> — NFA-only shape
+            continue
+        fast = sorted(
+            map(tuple, match_pattern_fast_positional(df, spec).collect())
+        )
+        nfa = sorted(map(tuple, match_pattern(df, spec).collect()))
+        assert fast == nfa, (names, widths, strategy, skip_var, fn)
+        checked += 1
+    assert checked >= 8
