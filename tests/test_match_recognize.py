@@ -314,3 +314,46 @@ def test_permute_within_bounds_window_span(spark):
     df = billing_from_rows(spark, rows)
     got = sorted(map(tuple, match_recognize(df, body, order_col="event_time").collect()))
     assert got == [("2", "2020-05-01 11:00:00", "2020-05-01 11:59:59")]
+
+
+def test_permute_matches_python_bruteforce(spark):
+    """Third derivation for PERMUTE: a per-key Python brute force
+    (orderings tried lexicographically per start row) must agree with
+    the window closed form on a random seeded stream."""
+    import random
+    from itertools import permutations
+
+    from flink_cep_examples_spark.sources.billing import billing_from_rows
+    from flink_cep_examples_spark.sql.match_recognize import match_recognize
+    from flink_cep_examples_spark.queries.cep import _MR_PERMUTE_BODY
+
+    rng = random.Random(11)
+    rows = [
+        (str(k), f"2020-05-01 {10 + i // 60:02d}:{i % 60:02d}:00",
+         rng.randint(0, 40), rng.randint(0, 40))
+        for k in range(5)
+        for i in range(rng.randint(3, 25))
+    ]
+    df = billing_from_rows(spark, rows)
+    got = sorted(map(tuple, match_recognize(df, _MR_PERMUTE_BODY,
+                                            order_col="event_time").collect()))
+
+    # brute force over the same billing mapping
+    def preds(bb, ba):
+        return {"A": bb >= 10 and ba < 10, "B": bb >= ba, "C": bb < ba}
+
+    per_key: dict[str, list] = {}
+    for k, dt, bb, ba in rows:
+        per_key.setdefault(k, []).append((dt, bb, ba))
+    expect = []
+    for k, seq_rows in per_key.items():
+        seq_rows.sort()  # dt strings sort chronologically; gen order stable
+        flags = [preds(bb, ba) for _, bb, ba in seq_rows]
+        for r in range(len(seq_rows) - 2):
+            for ordering in permutations("ABC"):
+                if all(flags[r + i][v] for i, v in enumerate(ordering)):
+                    alarm = seq_rows[r + ordering.index("A")][0]
+                    topup = seq_rows[r + ordering.index("C")][0]
+                    expect.append((k, alarm, topup))
+                    break
+    assert got == sorted(expect) and got
