@@ -76,8 +76,17 @@ def minhash_band_keys_udf():
     tests/test_streaming_dedup.py. Scan-side and stateless: in batch
     the signature is a groupBy over exploded shingles (map-side
     combinable — right for a full-corpus pass); at ingest each doc's
-    signature is computed alone, so a per-row kernel needs no shuffle
-    at all."""
+    signature must be complete before the stateful bucket scan, and a
+    pre-stateful streaming aggregation would hold rows until watermark
+    close, so the signature is computed per document inside the scan.
+
+    Cost note (honest trade): the md5 token hashing here is per-row
+    Python — unavoidable if streaming keys must equal the batch keys
+    bit-for-bit, since the batch path's md5/`conv` arithmetic has no
+    vectorized numpy equivalent. The work is O(tokens) per document
+    exactly like the batch JVM path, arrives pre-shuffle, and scales
+    out with input partitions; swap in a cheaper non-md5 hash family
+    on BOTH paths if ingest CPU ever dominates."""
     import hashlib
     import re
 
