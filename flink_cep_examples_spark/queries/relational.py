@@ -533,3 +533,206 @@ register(
     "priority_share", priority_share, ORACLE_SHARE,
     # round-4 rotation: promoted into the 50-row driver gate
 )
+
+
+# ---------------------------------------------------------------------------
+# Round 4: four more TPC-H-shaped plans, each a distinct plan pattern
+# (adapted to the driver schema — no commit/receipt dates or shipmode).
+# ---------------------------------------------------------------------------
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 adapted: share of revenue from PROMO parts in one
+    month. Plan pattern: fact scan with a pushed date-range filter,
+    broadcast part join, single scalar aggregate with a conditional
+    numerator (map-side combinable)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    disc = F.col("l_discount").cast(_R)
+    rev = _dec("l_extendedprice") * (F.lit(1) - disc)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-02-01"))
+        )
+        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                        F.lit(0).cast(_D)
+                    )
+                ).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+ORACLE_Q14 = """
+SELECT 100.0
+       * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(l_extendedprice AS DECIMAL(14,4))
+                            * (1 - CAST(l_discount AS DECIMAL(8,6)))
+                       ELSE CAST(0 AS DECIMAL(14,4)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4))
+                  * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE)
+       AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1997-02-01'
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 adapted: customers with any order whose total quantity
+    exceeds a threshold. Plan pattern: pre-aggregate the fact on the
+    join key FIRST (HAVING pushes the heavy groupBy below the joins,
+    shrinking the join input to qualifying orders only), then join
+    orders + broadcast customer, top-k by total price."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+        .filter(F.col("total_qty") > 55)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_totalprice").alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+ORACLE_Q18 = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(14,4))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING total_qty > 55
+)
+SELECT c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_totalprice AS totalprice, total_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+ORDER BY totalprice DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 adapted: revenue from three OR'd brand/size/quantity
+    bands. Plan pattern: a disjunctive join-filter — the per-band
+    conjuncts reference both sides, so they evaluate post-join, but the
+    OR of the part-side prefixes (brand/size) and the lineitem-side
+    quantity bounds still push to the scans; broadcast part join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    disc = F.col("l_discount").cast(_R)
+    qty = F.col("l_quantity")
+    band = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & (F.col("p_size").between(1, 10))
+            & qty.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#22")
+            & (F.col("p_size").between(1, 15))
+            & qty.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & (F.col("p_size").between(1, 25))
+            & qty.between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(band)
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - disc))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+ORACLE_Q19 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4))
+               * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q12_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adapted (no shipmode column): per order-priority
+    class, how many orders shipped late (> 30 days after the order
+    date) vs on time. Plan pattern: fact-fact equi-join (lineitem x
+    orders, both shuffled on the order key), conditional counts via
+    datediff — a date-arithmetic conditional aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 30
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.when(urgent, F.lit("high")).otherwise(F.lit("low")).alias(
+                "priority_class"
+            )
+        )
+        .agg(
+            F.sum(F.when(late, 1).otherwise(0)).alias("late_items"),
+            F.sum(F.when(~late, 1).otherwise(0)).alias("ontime_items"),
+        )
+        .orderBy("priority_class")
+    )
+
+
+ORACLE_Q12 = """
+SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 'high' ELSE 'low' END AS priority_class,
+       SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 30
+                THEN 1 ELSE 0 END) AS late_items,
+       SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 30
+                THEN 0 ELSE 1 END) AS ontime_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+register(
+    "q14_promo_revenue", q14_promo_revenue, ORACLE_Q14,
+    driver=False,  # driver set capped at 50; oracle-gated in pytest
+)
+register(
+    "q18_large_orders", q18_large_orders, ORACLE_Q18,
+    driver=False,  # driver set capped at 50; oracle-gated in pytest
+)
+register(
+    "q19_disjunctive_revenue", q19_disjunctive_revenue, ORACLE_Q19,
+    driver=False,  # driver set capped at 50; oracle-gated in pytest
+)
+register(
+    "q12_priority_late_ship", q12_priority_late_ship, ORACLE_Q12,
+    driver=False,  # driver set capped at 50; oracle-gated in pytest
+)
