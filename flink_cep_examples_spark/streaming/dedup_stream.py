@@ -111,6 +111,8 @@ def minhash_band_keys_udf():
     def h31(tok: str) -> int:
         h = memo.get(tok)
         if h is None:
+            if len(memo) >= 1_000_000:  # bound the cache on long streams
+                memo.clear()
             h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16) % P
             memo[tok] = h
         return h
