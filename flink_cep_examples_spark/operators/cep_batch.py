@@ -30,19 +30,123 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from flink_cep_examples_spark.plans.pattern import STRICT, Measure, PatternSpec
+from flink_cep_examples_spark.plans.pattern import (
+    AGG_FNS,
+    NILADIC_FNS,
+    STRICT,
+    Measure,
+    PatternSpec,
+)
 from flink_cep_examples_spark.operators import nfa
 from flink_cep_examples_spark.schemas import MATCH_TAG, TIMEOUT_TAG
 
 _PRED_PREFIX = "__cep_p_"
 _TS_COL = "__cep_ts_ms"
 
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
 
 def _measure_field(df: DataFrame, m: Measure) -> T.StructField:
-    if m.fn == "count":
+    if m.fn in ("count", "count_col", "match_number"):
         return T.StructField(m.name, T.LongType(), True)
+    if m.fn == "classifier":
+        return T.StructField(m.name, T.StringType(), True)
     src_type = df.schema[m.src].dataType
+    if m.fn == "avg":
+        return T.StructField(m.name, T.DoubleType(), True)
+    if m.fn == "sum":
+        out = (
+            T.LongType() if isinstance(src_type, _INTEGRAL) else T.DoubleType()
+        )
+        return T.StructField(m.name, out, True)
     return T.StructField(m.name, src_type, True)
+
+
+def _needs_src(m: Measure) -> bool:
+    return m.fn != "count" and m.fn not in NILADIC_FNS
+
+
+_NULLABLE_PD = {T.LongType(): "Int64", T.DoubleType(): "Float64"}
+
+
+def _null_safe_agg_cast(pdf, measure_list, out_schema) -> None:
+    """Aggregates over an empty/all-NULL row set yield SQL NULL; a
+    plain float64 pandas column would turn that None into NaN (Arrow
+    sends NaN as NaN, not null). Cast those columns to the pandas
+    nullable dtype so NULLs survive the Arrow boundary."""
+    for m in measure_list:
+        if m.fn in AGG_FNS and m.fn != "count_col":
+            want = _NULLABLE_PD.get(out_schema[m.name].dataType)
+            if want is not None:
+                pdf[m.name] = pdf[m.name].astype(want)
+
+
+def _make_measure_eval(measure_list, subsets, src_arrays):
+    """Shared measure evaluator (one-row + all-rows tiers): returns
+    ``eval_measures(match, match_no) -> dict[name, value]``.
+
+    ``match`` maps var name → (first_idx, last_idx, count, first_ord,
+    last_ord); SUBSET names resolve to the union of their components'
+    spans. Aggregates slice the contiguous [first_idx, last_idx] row
+    range per component — sound because the spec validated strict
+    contiguity. ``match_no`` is the 1-based per-key match ordinal
+    (``None`` on timeout rows)."""
+    import pandas as _pd
+
+    subset_map = dict(subsets)
+
+    def spans_of(var: str, match: dict) -> list:
+        if var in subset_map:
+            spans = [match[c] for c in subset_map[var] if match.get(c)]
+            return sorted(spans, key=lambda s: s[3])
+        s = match.get(var)
+        return [s] if s is not None else []
+
+    def eval_measures(match: dict, match_no) -> dict:
+        out = {}
+        classifier = None
+        if any(m.fn == "classifier" for m in measure_list) and match:
+            classifier = max(match.items(), key=lambda kv: kv[1][4])[0]
+        for m in measure_list:
+            if m.fn == "match_number":
+                out[m.name] = match_no
+                continue
+            if m.fn == "classifier":
+                out[m.name] = classifier
+                continue
+            spans = spans_of(m.var, match)
+            if not spans:
+                out[m.name] = 0 if m.fn in ("count", "count_col") else m.default
+                continue
+            if m.fn == "count":
+                out[m.name] = sum(s[2] for s in spans)
+            elif m.fn == "first":
+                out[m.name] = src_arrays[m.src][spans[0][0]]
+            elif m.fn == "last":
+                out[m.name] = src_arrays[m.src][spans[-1][1]]
+            else:  # aggregate over every consumed row (strict spans)
+                arr = src_arrays[m.src]
+                vals = _pd.Series(
+                    np.concatenate([arr[s[0] : s[1] + 1] for s in spans])
+                    if len(spans) > 1
+                    else arr[spans[0][0] : spans[0][1] + 1]
+                )
+                n = int(vals.count())
+                if m.fn == "count_col":
+                    out[m.name] = n
+                elif n == 0:
+                    out[m.name] = None  # SQL: aggregate over all-NULL
+                elif m.fn == "sum":
+                    out[m.name] = vals.sum()
+                elif m.fn == "avg":
+                    out[m.name] = float(vals.mean())
+                elif m.fn == "min":
+                    out[m.name] = vals.min()
+                else:
+                    out[m.name] = vals.max()
+        return out
+
+    return eval_measures
 
 
 def output_schema(df: DataFrame, spec: PatternSpec) -> T.StructType:
@@ -69,7 +173,7 @@ def all_rows_output_schema(df: DataFrame, spec: PatternSpec) -> T.StructType:
 def _prepare(df: DataFrame, spec: PatternSpec) -> DataFrame:
     """Add vectorized predicate booleans + epoch-ms timestamp. Catalyst
     prunes every column the measures/keys don't need."""
-    needed = {m.src for m in spec.measures if m.fn != "count"}
+    needed = {m.src for m in spec.measures if _needs_src(m)}
     needed.update(spec.key_cols)
     needed.add(spec.tiebreak_col)
     cols = [F.col(c) for c in sorted(needed)]
@@ -95,6 +199,7 @@ def match_pattern(df: DataFrame, spec: PatternSpec) -> DataFrame:
     spec_bc = nfa.Nfa(spec)
     key_cols = list(spec.key_cols)
     measure_list = list(spec.measures)
+    subsets = spec.subsets
     tiebreak = spec.tiebreak_col
 
     def scan(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -113,30 +218,24 @@ def match_pattern(df: DataFrame, spec: PatternSpec) -> DataFrame:
         out_cols["tag"] = []
         key_vals = {k: pdf[k].iloc[0] if len(pdf) else None for k in key_cols}
         src_arrays = {
-            m.src: pdf[m.src].to_numpy() for m in measure_list if m.fn != "count"
+            m.src: pdf[m.src].to_numpy() for m in measure_list if _needs_src(m)
         }
+        eval_measures = _make_measure_eval(measure_list, subsets, src_arrays)
 
-        def emit(match: dict, tag: str) -> None:
+        def emit(match: dict, tag: str, match_no) -> None:
             for k in key_cols:
                 out_cols[k].append(key_vals[k])
-            for m in measure_list:
-                span = match.get(m.var)
-                if span is None:
-                    out_cols[m.name].append(
-                        0 if m.fn == "count" else m.default
-                    )
-                elif m.fn == "count":
-                    out_cols[m.name].append(span[2])
-                else:
-                    idx = span[0] if m.fn == "first" else span[1]
-                    out_cols[m.name].append(src_arrays[m.src][idx])
+            for name, val in eval_measures(match, match_no).items():
+                out_cols[name].append(val)
             out_cols["tag"].append(tag)
 
-        for match in matches:
-            emit(match, MATCH_TAG)
+        for i, match in enumerate(matches):
+            emit(match, MATCH_TAG, i + 1)
         for to in timeouts:
-            emit(to, TIMEOUT_TAG)
-        return pd.DataFrame(out_cols, columns=[f.name for f in out_schema.fields])
+            emit(to, TIMEOUT_TAG, None)
+        out = pd.DataFrame(out_cols, columns=[f.name for f in out_schema.fields])
+        _null_safe_agg_cast(out, measure_list, out_schema)
+        return out
 
     from flink_cep_examples_spark.operators.partition_scan import (
         grouped_partition_scan,
@@ -177,6 +276,7 @@ def match_pattern_all_rows(df: DataFrame, spec: PatternSpec) -> DataFrame:
     n_vars = len(spec.pred_exprs)
     compiled = nfa.Nfa(spec)
     measure_list = list(spec.measures)
+    subsets = spec.subsets
     key_cols = list(spec.key_cols)
     tiebreak = spec.tiebreak_col
     out_cols = [f.name for f in out_schema.fields]
@@ -197,21 +297,13 @@ def match_pattern_all_rows(df: DataFrame, spec: PatternSpec) -> DataFrame:
         src_arrays = {
             m.src: pdf[m.src].to_numpy()
             for m in measure_list
-            if m.fn != "count"
+            if _needs_src(m)
         }
+        eval_measures = _make_measure_eval(measure_list, subsets, src_arrays)
         data_arrays = {c: pdf[c].to_numpy() for c in data_cols}
         rows: dict[str, list] = {c: [] for c in out_cols}
         for seq, match in enumerate(matches):
-            mvals = {}
-            for m in measure_list:
-                span = match.get(m.var)
-                if span is None:
-                    mvals[m.name] = 0 if m.fn == "count" else m.default
-                elif m.fn == "count":
-                    mvals[m.name] = span[2]
-                else:
-                    idx = span[0] if m.fn == "first" else span[1]
-                    mvals[m.name] = src_arrays[m.src][idx]
+            mvals = eval_measures(match, seq + 1)
             for vname in emit_names:
                 span = match.get(vname)
                 if span is None:
@@ -223,7 +315,9 @@ def match_pattern_all_rows(df: DataFrame, spec: PatternSpec) -> DataFrame:
                     rows["match_seq"].append(seq)
                     for m in measure_list:
                         rows[m.name].append(mvals[m.name])
-        return pd.DataFrame(rows, columns=out_cols)
+        out = pd.DataFrame(rows, columns=out_cols)
+        _null_safe_agg_cast(out, measure_list, out_schema)
+        return out
 
     from flink_cep_examples_spark.operators.partition_scan import (
         grouped_partition_scan,

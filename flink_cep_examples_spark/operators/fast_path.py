@@ -488,6 +488,7 @@ def fast_positional_applicable(spec: PatternSpec) -> bool:
         and not spec.emit_timeouts
         and spec.rows_per_match == "one"
         and _positional_delta(spec, counts) is not None
+        and not spec.subsets  # SUBSET vars resolve only in the NFA tier
         and all(m.fn in ("first", "last", "count") for m in spec.measures)
     )
 

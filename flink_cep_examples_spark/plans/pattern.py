@@ -142,14 +142,29 @@ class PatternVar:
         return self.min_count == 0
 
 
+#: Aggregate measure fns: evaluated over EVERY row the variable (or
+#: SUBSET union) consumed. Reconstructing that row set from the NFA's
+#: compact (first, last, count) spans requires strict contiguity
+#: (MATCH_RECOGNIZE's own model) — validated on the spec.
+AGG_FNS = ("sum", "min", "max", "avg", "count_col")
+#: Match-level fns taking no variable/column at all.
+NILADIC_FNS = ("classifier", "match_number")
+
+
 @dataclass(frozen=True)
 class Measure:
     """One output column computed from the match
     (MATCH_RECOGNIZE MEASURES / PatternProcessFunction projection,
     reference FlinkCEPExample.scala:78-92).
 
-    ``fn`` ∈ {'first','last','count'} applied to variable ``var``'s
-    matched rows' ``src`` column. For timeout rows, measures over
+    ``fn`` ∈ {'first','last','count'} ∪ :data:`AGG_FNS` applied to
+    variable (or SUBSET) ``var``'s matched rows' ``src`` column
+    ('count' counts rows, ``var.*``; 'count_col' counts non-null
+    ``src`` values, SQL ``COUNT(var.col)``), or a niladic match fn —
+    'classifier' (name of the variable that matched the LAST row of
+    the match, SQL:2016 ``CLASSIFIER()`` under ONE ROW PER MATCH) /
+    'match_number' (1-based per-partition match ordinal in emission
+    order, ``MATCH_NUMBER()``). For timeout rows, measures over
     variables the partial never reached yield ``default``.
     """
 
@@ -184,6 +199,10 @@ class PatternSpec:
     #: (operators/fast_path.py::match_pattern_permute); the NFA tier
     #: has no alternation, so other modes raise.
     permute: bool = False
+    #: SQL:2016 ``SUBSET U = (A, B)``: union variables usable in
+    #: MEASURES — U's matched rows are the union of its components'
+    #: rows. Stored as ((name, (component, ...)), ...).
+    subsets: tuple[tuple[str, tuple[str, ...]], ...] = ()
 
     @property
     def pred_exprs(self) -> tuple[str, ...]:
@@ -277,16 +296,51 @@ class PatternSpec:
                 raise ValueError(
                     "a pattern ending in notFollowedBy requires within()"
                 )
+        subset_names = set()
+        for sname, components in self.subsets:
+            if sname in names or sname in subset_names:
+                raise ValueError(f"SUBSET name {sname!r} collides")
+            subset_names.add(sname)
+            if not components:
+                raise ValueError(f"SUBSET {sname!r} is empty")
+            for c in components:
+                if c not in names:
+                    raise ValueError(
+                        f"SUBSET {sname!r} references unknown var {c!r}"
+                    )
+                if c in negated_names:
+                    raise ValueError(
+                        f"SUBSET {sname!r} references negated var {c!r}"
+                    )
+        measurable = set(names) | subset_names
         for m in self.measures:
-            if m.var not in names:
+            if m.fn in NILADIC_FNS:
+                continue  # no variable/column reference
+            if m.var not in measurable:
                 raise ValueError(f"measure {m.name} references unknown var {m.var}")
             if m.var in negated_names:
                 raise ValueError(
                     f"measure {m.name} references negated var {m.var} "
                     "(absence variables never match rows)"
                 )
-            if m.fn not in ("first", "last", "count"):
+            if m.fn not in ("first", "last", "count") + AGG_FNS:
                 raise ValueError(f"unsupported measure fn {m.fn}")
+        if any(m.fn in AGG_FNS for m in self.measures):
+            # aggregates reconstruct a variable's row set from its
+            # contiguous (first_idx, last_idx) span — only sound when
+            # every transition is strict and loops can't skip rows
+            bad = [
+                v.name
+                for v in positives
+                if (v.contiguity != STRICT and v is not positives[0])
+                or (v.loop_contiguity or v.contiguity) != STRICT
+                or v.combinations
+            ]
+            if bad:
+                raise ValueError(
+                    "aggregate measures (SUM/AVG/MIN/MAX/COUNT(col)) "
+                    f"require strict contiguity; relaxed vars: {bad}"
+                )
         return self
 
 

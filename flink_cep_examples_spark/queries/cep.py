@@ -676,6 +676,142 @@ WHERE a.r % 2 = 0
 """
 
 
+_MR_AGG_BODY = """
+  PARTITION BY id
+  ORDER BY event_time
+  MEASURES
+    A.datetime AS alarmTriggerDatetime,
+    SUM(B.balanceAfter) AS sum_b,
+    AVG(B.balanceAfter) AS avg_b,
+    MIN(B.balanceAfter) AS min_b,
+    MAX(B.balanceAfter) AS max_b,
+    COUNT(B.balanceAfter) AS n_b,
+    CLASSIFIER() AS cls,
+    MATCH_NUMBER() AS match_no
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (A B* C) WITHIN INTERVAL '1' HOUR
+  DEFINE
+    A AS A.balanceBefore >= 10 AND A.balanceAfter < 10,
+    B AS B.balanceBefore >= B.balanceAfter,
+    C AS C.balanceBefore < C.balanceAfter
+"""
+
+#: Aggregate-measures closed form: each match lives in one (id, seg_id)
+#: segment of the shared oracle base; its B rows are exactly the rows
+#: strictly between a_tus and c_tus (strict contiguity), so SQL
+#: aggregates with a positional filter reproduce the MEASURES.
+#: CLASSIFIER() is constantly 'C' (the last row of an A B* C match);
+#: MATCH_NUMBER() is the per-key emission ordinal = rank of c_tus.
+ORACLE_MEASURE_AGGS = (
+    _ORACLE_BASE
+    + f"""
+, agg AS (
+  SELECT id, seg_id, a_tus, c_tus,
+         SUM(CASE WHEN tus > a_tus AND tus < c_tus THEN ba END) AS sum_b,
+         AVG(CASE WHEN tus > a_tus AND tus < c_tus THEN ba END) AS avg_b,
+         MIN(CASE WHEN tus > a_tus AND tus < c_tus THEN ba END) AS min_b,
+         MAX(CASE WHEN tus > a_tus AND tus < c_tus THEN ba END) AS max_b,
+         COUNT(CASE WHEN tus > a_tus AND tus < c_tus THEN ba END) AS n_b
+  FROM cand
+  WHERE a_tus IS NOT NULL AND c_tus IS NOT NULL
+        AND tus BETWEEN a_tus AND c_tus
+  GROUP BY id, seg_id, a_tus, c_tus
+)
+SELECT id,
+       strftime(make_timestamp(a_tus), {_FMT}) AS alarmTriggerDatetime,
+       COALESCE(sum_b, 0.0) AS sum_b,
+       COALESCE(avg_b, 0.0) AS avg_b,
+       COALESCE(min_b, 0.0) AS min_b,
+       COALESCE(max_b, 0.0) AS max_b,
+       n_b,
+       'C' AS cls,
+       ROW_NUMBER() OVER (PARTITION BY id ORDER BY c_tus) AS match_no
+FROM agg
+"""
+)
+
+
+def cep_measure_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2016 aggregate MEASURES (SUM/AVG/MIN/MAX/COUNT over a loop
+    variable's rows) + CLASSIFIER() + MATCH_NUMBER() on the reference
+    pattern — evaluated in the NFA tier from the strict-contiguity row
+    spans (operators/cep_batch.py ``_make_measure_eval``).
+
+    Empty-``B*`` matches yield SQL NULL aggregates (unit-tested in
+    tests/test_measures.py); the catalog query COALESCEs them to 0 on
+    BOTH sides because the gate's DuckDB fetch goes through pandas,
+    which cannot represent a NULL double (NULL → NaN)."""
+    from pyspark.sql import functions as F
+
+    df = events_as_billing(spark, sf_dir)
+    query = f"SELECT * FROM billing MATCH_RECOGNIZE ({_MR_AGG_BODY}) t"
+    out = sql_with_match_recognize(spark, query, {"billing": df})
+    return out.select(
+        "id",
+        "alarmTriggerDatetime",
+        *[
+            F.coalesce(c, F.lit(0.0)).alias(c)
+            for c in ("sum_b", "avg_b", "min_b", "max_b")
+        ],
+        "n_b",
+        "cls",
+        "match_no",
+    )
+
+
+_MR_SUBSET_BODY = """
+  PARTITION BY id
+  ORDER BY event_time
+  MEASURES
+    A.datetime AS alarmTriggerDatetime,
+    FIRST(U.balanceAfter) AS u_first,
+    LAST(U.balanceAfter) AS u_last,
+    SUM(U.balanceAfter) AS u_sum,
+    COUNT(U.*) AS u_rows
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (A B* C) WITHIN INTERVAL '1' HOUR
+  SUBSET U = (A, C)
+  DEFINE
+    A AS A.balanceBefore >= 10 AND A.balanceAfter < 10,
+    B AS B.balanceBefore >= B.balanceAfter,
+    C AS C.balanceBefore < C.balanceAfter
+"""
+
+#: SUBSET U = (A, C): U's rows are the union of the A row and the C
+#: row, so FIRST/LAST/SUM/COUNT over U are two-row closed forms.
+ORACLE_SUBSET = (
+    _ORACLE_BASE
+    + f"""
+, pairs AS (
+  SELECT id, seg_id, a_tus,
+         MAX(CASE WHEN tus = a_tus THEN ba END) AS a_ba,
+         MAX(CASE WHEN tus = c_tus THEN ba END) AS c_ba
+  FROM cand
+  WHERE a_tus IS NOT NULL AND c_tus IS NOT NULL
+        AND tus BETWEEN a_tus AND c_tus
+  GROUP BY id, seg_id, a_tus
+)
+SELECT id,
+       strftime(make_timestamp(a_tus), {_FMT}) AS alarmTriggerDatetime,
+       a_ba AS u_first,
+       c_ba AS u_last,
+       a_ba + c_ba AS u_sum,
+       CAST(2 AS BIGINT) AS u_rows
+FROM pairs
+"""
+)
+
+
+def cep_subset_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2016 SUBSET union variables: measures over ``U = (A, C)``
+    resolve to the union of the component variables' matched rows."""
+    df = events_as_billing(spark, sf_dir)
+    query = f"SELECT * FROM billing MATCH_RECOGNIZE ({_MR_SUBSET_BODY}) t"
+    return sql_with_match_recognize(spark, query, {"billing": df})
+
+
 register("cep_alert_reactions", cep_alert_reactions, ORACLE_MATCHES)
 register("cep_until_pattern", cep_until_pattern, ORACLE_UNTIL)
 register(
@@ -713,4 +849,12 @@ register(
 register(
     "cep_skip_to_last_nfa", cep_skip_to_last_nfa, ORACLE_SKIP_TO_LAST,
     driver=False,  # NFA-tier twin; differential in pytest
+)
+register(
+    "cep_measure_aggregates", cep_measure_aggregates, ORACLE_MEASURE_AGGS,
+    driver=False,  # driver set capped at 50; oracle-gated in pytest
+)
+register(
+    "cep_subset_measures", cep_subset_measures, ORACLE_SUBSET,
+    driver=False,  # driver set capped at 50; oracle-gated in pytest
 )

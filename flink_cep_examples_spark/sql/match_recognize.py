@@ -6,13 +6,17 @@ for the subset the reference exercises
 
     PARTITION BY <cols>
     ORDER BY <col>
-    MEASURES <var>.<col> AS <alias> [, ...] | COUNT(<var>.*) AS <alias>
+    MEASURES [FINAL] <var>.<col> | FIRST/LAST(<var>.<col>)
+             | SUM/AVG/MIN/MAX/COUNT(<var>.<col>) | COUNT(<var>.*)
+             | CLASSIFIER() | MATCH_NUMBER()      AS <alias> [, ...]
+      (<var> may be a SUBSET name; aggregates need strict contiguity)
     ONE ROW PER MATCH
     AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW
                 | SKIP TO FIRST <var> | SKIP TO LAST <var>
     PATTERN ( V1 V2* V3? ... ) [ WITHIN INTERVAL '<n>' <unit> ]
       (quantifiers: * + ? {n} {n,m} {n,}; a trailing ? after * + {n,m}
        marks the SQL:2016 RELUCTANT preference, e.g. B*? / B{1,3}?)
+    SUBSET <name> = (<var>, ...) [, ...]
     DEFINE <var> AS <predicate> [, ...]
 
 — compiled to the same :class:`PatternSpec` the Pattern DSL produces,
@@ -72,6 +76,7 @@ _CLAUSES = (
     "ALL ROWS PER MATCH",
     "AFTER MATCH",
     "PATTERN",
+    "SUBSET",
     "DEFINE",
 )
 
@@ -192,8 +197,10 @@ def _parse_within(rest: str) -> str | None:
 
 
 _MEASURE_RE = re.compile(
-    r"^\s*(?:"
+    r"^\s*(?:FINAL\s+)?(?:"  # FINAL is the default (and only) semantics
     r"(?P<count>COUNT\s*\(\s*(?P<cvar>\w+)\.\*\s*\))"
+    r"|(?P<nilad>CLASSIFIER|MATCH_NUMBER)\s*\(\s*\)"
+    r"|(?:(?P<agg>SUM|AVG|MIN|MAX|COUNT)\s*\(\s*(?P<avar>\w+)\.(?P<acol>\w+)\s*\))"
     r"|(?:(?P<fn>FIRST|LAST)\s*\(\s*(?P<fvar>\w+)\.(?P<fcol>\w+)\s*\))"
     r"|(?P<var>\w+)\.(?P<col>\w+)"
     r")\s+AS\s+(?P<alias>\w+)\s*$",
@@ -213,6 +220,20 @@ def _parse_measures(text: str) -> list[Measure]:
         if m.group("count"):
             measures.append(
                 Measure(m.group("alias"), m.group("cvar"), "__count__", "count")
+            )
+        elif m.group("nilad"):
+            measures.append(
+                Measure(m.group("alias"), "", "", m.group("nilad").lower())
+            )
+        elif m.group("agg"):
+            fn = m.group("agg").lower()
+            measures.append(
+                Measure(
+                    m.group("alias"),
+                    m.group("avar"),
+                    m.group("acol"),
+                    "count_col" if fn == "count" else fn,
+                )
             )
         elif m.group("fn"):
             measures.append(
@@ -286,6 +307,21 @@ def parse_match_recognize(body: str) -> PatternSpec:
     )
     order = clauses.get("ORDER BY", "").strip()
 
+    subsets: list[tuple[str, tuple[str, ...]]] = []
+    if "SUBSET" in clauses:
+        # SUBSET U = (A, B), V = (B, C)
+        for sm in re.finditer(
+            r"(\w+)\s*=\s*\(([^)]*)\)", clauses["SUBSET"]
+        ):
+            components = tuple(
+                c.strip() for c in sm.group(2).split(",") if c.strip()
+            )
+            subsets.append((sm.group(1), components))
+        if not subsets:
+            raise ValueError(
+                f"cannot parse SUBSET clause: {clauses['SUBSET']!r}"
+            )
+
     return PatternSpec(
         variables=variables,
         key_cols=keys,
@@ -296,6 +332,7 @@ def parse_match_recognize(body: str) -> PatternSpec:
         measures=tuple(_parse_measures(clauses.get("MEASURES", ""))),
         rows_per_match="all" if "ALL ROWS PER MATCH" in clauses else "one",
         permute=permute,
+        subsets=tuple(subsets),
     ).validate()
 
 

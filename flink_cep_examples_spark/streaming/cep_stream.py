@@ -100,6 +100,19 @@ def match_pattern_stream(
     enough groups to spread across state-store tasks, few enough that
     Arrow/pickle overhead amortizes."""
     spec.validate()
+    unsupported = {
+        m.fn for m in spec.measures if m.fn not in ("first", "last", "count")
+    }
+    if unsupported or spec.subsets:
+        # streaming branches carry only (first, last) payloads per
+        # variable — aggregates / CLASSIFIER / MATCH_NUMBER / SUBSET
+        # are batch-tier features (run the batch operator on the
+        # micro-batch in foreachBatch if needed)
+        raise NotImplementedError(
+            f"streaming measures support first/last/count only, got "
+            f"{sorted(unsupported)}"
+            + (" + SUBSET" if spec.subsets else "")
+        )
     out_schema = output_schema(df, spec)
     if n_buckets is None:
         try:

@@ -1,0 +1,194 @@
+"""SQL:2016 measure extensions (round 4): aggregate MEASURES
+(SUM/AVG/MIN/MAX/COUNT(var.col)), CLASSIFIER(), MATCH_NUMBER(), and
+SUBSET union variables — unit semantics the catalog oracles can't pin
+(NULL aggregates over empty spans, COUNT(col) null-skipping, parser
+acceptance), plus validation and streaming gates.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from flink_cep_examples_spark.plans.pattern import (
+    Measure,
+    Pattern,
+    PatternSpec,
+    PatternVar,
+    RELAXED,
+    SKIP_PAST_LAST_EVENT,
+)
+from flink_cep_examples_spark.sql.match_recognize import (
+    match_recognize,
+    parse_match_recognize,
+)
+
+_SCHEMA = (
+    "id string, event_time timestamp, seq long, "
+    "balanceBefore double, balanceAfter double"
+)
+
+
+def _t(minute: int) -> dt.datetime:
+    return dt.datetime(2020, 5, 1, 11, minute)
+
+
+def _abc_body(measures: str, extra: str = "") -> str:
+    return f"""
+      PARTITION BY id
+      ORDER BY event_time
+      MEASURES {measures}
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A B* C)
+      {extra}
+      DEFINE
+        A AS A.balanceBefore >= 10 AND A.balanceAfter < 10,
+        B AS B.balanceBefore >= B.balanceAfter,
+        C AS C.balanceBefore < C.balanceAfter
+    """
+
+
+def test_empty_loop_aggregates_are_null(spark):
+    """SUM/AVG/MIN/MAX over a variable that matched no rows is SQL
+    NULL (not NaN, not 0); COUNT is 0. The NULL must survive the
+    Arrow boundary (pandas nullable dtype, not float64 NaN)."""
+    df = spark.createDataFrame(
+        [("k1", _t(0), 1, 13.0, 9.0), ("k1", _t(30), 2, 9.0, 20.0)],
+        _SCHEMA,
+    )
+    body = _abc_body(
+        "SUM(B.balanceAfter) AS s, AVG(B.balanceAfter) AS a, "
+        "MIN(B.balanceAfter) AS lo, MAX(B.balanceAfter) AS hi, "
+        "COUNT(B.balanceAfter) AS n, COUNT(B.*) AS nr"
+    )
+    [row] = match_recognize(df, body, use_fast_path=False).collect()
+    assert (row.s, row.a, row.lo, row.hi) == (None, None, None, None)
+    assert (row.n, row.nr) == (0, 0)
+
+
+def test_count_col_skips_nulls_count_star_does_not(spark):
+    """COUNT(B.col) counts non-null values; COUNT(B.*) counts rows.
+    The NULL sits in a measured-only column so the DEFINE predicates
+    (which a NULL would fail) are unaffected."""
+    df = spark.createDataFrame(
+        [
+            ("k1", _t(0), 1, 13.0, 9.0, 1.0),
+            ("k1", _t(10), 2, 9.0, 5.0, None),  # B row, NULL score
+            ("k1", _t(20), 3, 5.0, 4.0, 7.0),  # B row
+            ("k1", _t(30), 4, 4.0, 20.0, 2.0),
+        ],
+        _SCHEMA + ", score double",
+    )
+    body = _abc_body(
+        "COUNT(B.score) AS n_vals, COUNT(B.*) AS n_rows, "
+        "SUM(B.score) AS s"
+    )
+    [row] = match_recognize(df, body, use_fast_path=False).collect()
+    assert row.n_vals == 1
+    assert row.n_rows == 2
+    assert row.s == 7.0  # NULL ignored, per SQL
+
+
+def test_classifier_and_match_number(spark):
+    """CLASSIFIER() names the variable that matched the LAST row;
+    MATCH_NUMBER() is the 1-based per-partition emission ordinal."""
+    rows = []
+    for k, base in (("k1", 0), ("k2", 0)):
+        rows += [
+            (k, _t(base + 0), 1, 13.0, 9.0),
+            (k, _t(base + 10), 2, 9.0, 20.0),
+            (k, _t(base + 20), 3, 20.0, 8.0),
+            (k, _t(base + 30), 4, 8.0, 30.0),
+        ]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    body = _abc_body("CLASSIFIER() AS cls, MATCH_NUMBER() AS n")
+    out = match_recognize(df, body, use_fast_path=False).collect()
+    assert len(out) == 4  # two matches per key
+    for r in out:
+        assert r.cls == "C"
+    per_key = sorted((r.id, r.n) for r in out)
+    assert per_key == [("k1", 1), ("k1", 2), ("k2", 1), ("k2", 2)]
+
+
+def test_subset_union_spans(spark):
+    """SUBSET U = (A, C): measures over U see the union of A's and C's
+    rows, ordered by row position."""
+    df = spark.createDataFrame(
+        [
+            ("k1", _t(0), 1, 13.0, 9.0),
+            ("k1", _t(10), 2, 9.0, 5.0),
+            ("k1", _t(30), 3, 5.0, 20.0),
+        ],
+        _SCHEMA,
+    )
+    body = _abc_body(
+        "FIRST(U.balanceAfter) AS uf, LAST(U.balanceAfter) AS ul, "
+        "SUM(U.balanceAfter) AS us, COUNT(U.*) AS un",
+        extra="SUBSET U = (A, C)",
+    )
+    [row] = match_recognize(df, body, use_fast_path=False).collect()
+    assert (row.uf, row.ul, row.us, row.un) == (9.0, 20.0, 29.0, 2)
+
+
+def test_final_prefix_accepted():
+    spec = parse_match_recognize(
+        _abc_body("FINAL SUM(B.balanceAfter) AS s, FINAL A.balanceAfter AS a")
+    )
+    assert [m.fn for m in spec.measures] == ["sum", "first"]
+
+
+def test_aggregate_requires_strict_contiguity():
+    with pytest.raises(ValueError, match="strict contiguity"):
+        PatternSpec(
+            variables=(
+                PatternVar("A", "true"),
+                PatternVar("B", "true", contiguity=RELAXED),
+            ),
+            measures=(Measure("s", "B", "x", "sum"),),
+            after_match=SKIP_PAST_LAST_EVENT,
+        ).validate()
+
+
+def test_subset_validation():
+    base = dict(
+        variables=(PatternVar("A", "true"), PatternVar("B", "true")),
+        after_match=SKIP_PAST_LAST_EVENT,
+    )
+    with pytest.raises(ValueError, match="collides"):
+        PatternSpec(subsets=(("A", ("B",)),), **base).validate()
+    with pytest.raises(ValueError, match="unknown var"):
+        PatternSpec(subsets=(("U", ("Z",)),), **base).validate()
+    # measures may reference a declared subset
+    PatternSpec(
+        subsets=(("U", ("A", "B")),),
+        measures=(Measure("c", "U", "__count__", "count"),),
+        **base,
+    ).validate()
+
+
+def test_streaming_rejects_aggregate_measures(spark, tmp_path):
+    from flink_cep_examples_spark.streaming.cep_stream import (
+        match_pattern_stream,
+    )
+
+    schema_dir = tmp_path / "in"
+    schema_dir.mkdir()
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .parquet(str(schema_dir))
+    )
+    spec = (
+        Pattern.begin("A", skip=SKIP_PAST_LAST_EVENT)
+        .where("balanceBefore >= 10 AND balanceAfter < 10")
+        .next("B")
+        .one_or_more()
+        .optional()
+        .where("balanceBefore >= balanceAfter")
+        .next("C")
+        .where("balanceBefore < balanceAfter")
+        .build(measures=[Measure("s", "B", "balanceAfter", "sum")])
+    )
+    with pytest.raises(NotImplementedError, match="first/last/count"):
+        match_pattern_stream(stream, spec)
