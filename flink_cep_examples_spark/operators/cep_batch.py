@@ -34,6 +34,7 @@ from flink_cep_examples_spark.plans.pattern import (
     AGG_FNS,
     NILADIC_FNS,
     STRICT,
+    AlternationSpec,
     Measure,
     PatternSpec,
 )
@@ -234,6 +235,91 @@ def match_pattern(df: DataFrame, spec: PatternSpec) -> DataFrame:
         for to in timeouts:
             emit(to, TIMEOUT_TAG, None)
         out = pd.DataFrame(out_cols, columns=[f.name for f in out_schema.fields])
+        _null_safe_agg_cast(out, measure_list, out_schema)
+        return out
+
+    from flink_cep_examples_spark.operators.partition_scan import (
+        grouped_partition_scan,
+    )
+
+    return grouped_partition_scan(
+        prepared, key_cols, [_TS_COL, tiebreak], scan, out_schema
+    )
+
+
+def match_pattern_alternation(df: DataFrame, aspec: AlternationSpec) -> DataFrame:
+    """Batch row-pattern recognition for a top-level PATTERN
+    alternation ``(P1 | P2 | ...)``: one NFA per alternative advanced
+    in lockstep per key group, the shared after-match strategy acting
+    on the union of their partial matches
+    (operators/nfa.py::scan_key_group_alternation).
+
+    Same Spark staging as :func:`match_pattern` — every alternative's
+    DEFINE predicates are evaluated vectorized in ONE pre-shuffle
+    ``select`` (the predicate column list is simply the concatenation
+    of the alternatives'), one hash Exchange on the keys, measures
+    projected per matched alternative (a measure over a variable the
+    matched alternative lacks yields NULL)."""
+    aspec.validate()
+    key_cols = list(aspec.key_cols)
+    tiebreak = aspec.tiebreak_col
+    measure_list = list(aspec.measures)
+    alts = aspec.alternatives
+
+    pred_exprs: list[str] = []
+    offsets: list[tuple[int, int]] = []  # (start, n_preds) per alternative
+    for alt in alts:
+        exprs = alt.pred_exprs
+        offsets.append((len(pred_exprs), len(exprs)))
+        pred_exprs.extend(exprs)
+
+    needed = {m.src for m in measure_list if _needs_src(m)}
+    needed.update(key_cols)
+    needed.add(tiebreak)
+    cols = [F.col(c) for c in sorted(needed)]
+    cols.append(
+        F.unix_micros(F.col(aspec.order_col).cast(T.TimestampType())).alias(
+            _TS_COL
+        )
+    )
+    for i, e in enumerate(pred_exprs):
+        cols.append(F.expr(e).alias(f"{_PRED_PREFIX}{i}"))
+    prepared = df.select(*cols)
+
+    fields = [
+        T.StructField(k, df.schema[k].dataType, True) for k in key_cols
+    ]
+    fields += [_measure_field(df, m) for m in measure_list]
+    out_schema = T.StructType(fields)
+    out_names = [f.name for f in out_schema.fields]
+
+    nfas = [nfa.Nfa(alt) for alt in alts]
+    after = aspec.after_match
+    n_total = len(pred_exprs)
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([_TS_COL, tiebreak], kind="mergesort")
+        ts = pdf[_TS_COL].to_numpy(dtype=np.int64)
+        all_preds = np.stack(
+            [
+                pdf[f"{_PRED_PREFIX}{i}"].to_numpy(dtype=bool)
+                for i in range(n_total)
+            ]
+        )
+        preds_list = [all_preds[s : s + k] for s, k in offsets]
+        matched = nfa.scan_key_group_alternation(nfas, preds_list, ts, after)
+        key_vals = {k: pdf[k].iloc[0] if len(pdf) else None for k in key_cols}
+        src_arrays = {
+            m.src: pdf[m.src].to_numpy() for m in measure_list if _needs_src(m)
+        }
+        eval_measures = _make_measure_eval(measure_list, (), src_arrays)
+        out_cols: dict[str, list] = {c: [] for c in out_names}
+        for i, (_, match) in enumerate(matched):
+            for k in key_cols:
+                out_cols[k].append(key_vals[k])
+            for name, val in eval_measures(match, i + 1).items():
+                out_cols[name].append(val)
+        out = pd.DataFrame(out_cols, columns=out_names)
         _null_safe_agg_cast(out, measure_list, out_schema)
         return out
 

@@ -418,6 +418,55 @@ class Nfa:
         (negated variables included). Returns ``(matches, timeouts)``
         as var-name → (first, last, count) payload dicts."""
         matches, timeouts = self.advance_time(st, t_us)
+        completed = self._consume(st, t_us, pred_row, payload)
+        if completed:
+            # (seq, pref) sort: earliest run wins; within a run the
+            # quantifier-preferred branch (greedy/reluctant) wins; the
+            # stable sort keeps branch creation order as final tie-break.
+            completed.sort(key=lambda rc: (rc[0], self._pref_key(rc[2])))
+            if self.after_match == SKIP_PAST_LAST_EVENT:
+                matches.append(self._branch_dict(completed[0][2]))
+                st.runs = []  # discard every partial (incl. run begun here)
+            elif self.after_match == SKIP_TO_NEXT:
+                emitted: set[int] = set()
+                for seq, _, br in completed:
+                    if seq not in emitted:
+                        emitted.add(seq)
+                        matches.append(self._branch_dict(br))
+                # discard only partials sharing an emitted match's start
+                # row; runs begun at other rows continue
+                st.runs = [r for r in st.runs if r.seq not in emitted]
+            elif self.after_match in (SKIP_TO_FIRST, SKIP_TO_LAST):
+                matches.extend(self._apply_skip_to(st, completed))
+            else:
+                matches.extend(
+                    self._branch_dict(br) for _, _, br in completed
+                )
+        return matches, timeouts
+
+    def step_collect(
+        self, st: NfaState, t_us: int, pred_row, payload
+    ) -> list[tuple[int, int, _Branch]]:
+        """Alternation driver entry: process one row but return the RAW
+        completions — (run seq, run start ordinal, branch) sorted by
+        (seq, quantifier preference) — withOUT applying the after-match
+        skip. The caller (scan_key_group_alternation) coordinates
+        emission and run discarding ACROSS several NFAs so skip
+        strategies act on the union of alternatives. Only valid for
+        specs without trailing negatives (no pending completions) and
+        without timeout emission — the alternation validator enforces
+        both."""
+        matches, _ = self.advance_time(st, t_us)
+        assert not matches, "alternation specs cannot carry pendings"
+        completed = self._consume(st, t_us, pred_row, payload)
+        completed.sort(key=lambda rc: (rc[0], self._pref_key(rc[2])))
+        return completed
+
+    def _consume(
+        self, st: NfaState, t_us: int, pred_row, payload
+    ) -> list[tuple[int, int, _Branch]]:
+        """Feed one row to every live run + the begin state; returns
+        the completions this row produced (skip NOT yet applied)."""
         ord_ = st.row_ord
         st.row_ord += 1
 
@@ -530,30 +579,7 @@ class Nfa:
             if run.branches or run.pending is not None:
                 st.runs.append(run)
 
-        if completed:
-            # (seq, pref) sort: earliest run wins; within a run the
-            # quantifier-preferred branch (greedy/reluctant) wins; the
-            # stable sort keeps branch creation order as final tie-break.
-            completed.sort(key=lambda rc: (rc[0], self._pref_key(rc[2])))
-            if self.after_match == SKIP_PAST_LAST_EVENT:
-                matches.append(self._branch_dict(completed[0][2]))
-                st.runs = []  # discard every partial (incl. run begun here)
-            elif self.after_match == SKIP_TO_NEXT:
-                emitted: set[int] = set()
-                for seq, _, br in completed:
-                    if seq not in emitted:
-                        emitted.add(seq)
-                        matches.append(self._branch_dict(br))
-                # discard only partials sharing an emitted match's start
-                # row; runs begun at other rows continue
-                st.runs = [r for r in st.runs if r.seq not in emitted]
-            elif self.after_match in (SKIP_TO_FIRST, SKIP_TO_LAST):
-                matches.extend(self._apply_skip_to(st, completed))
-            else:
-                matches.extend(
-                    self._branch_dict(br) for _, _, br in completed
-                )
-        return matches, timeouts
+        return completed
 
     def finish(self, st: NfaState) -> tuple[list[dict], list[dict]]:
         """End of input (batch) — watermark → ∞: pending timed-absence
@@ -606,3 +632,76 @@ def scan_key_group(
     matches.extend(m)
     timeouts.extend(to)
     return matches, timeouts
+
+
+def scan_key_group_alternation(
+    nfas: list,  # one compiled Nfa per alternative
+    preds: list,  # per-alternative bool[n_vars_a, n_rows] arrays
+    ts_us: np.ndarray,
+    after_match: str,
+) -> list[tuple[int, dict]]:
+    """Batch driver for top-level PATTERN alternation ``(P1 | P2 |
+    ...)``: one NFA per alternative advances in lockstep over the
+    sorted key group; emission and after-match discarding act on the
+    UNION of the alternatives' runs, so the skip strategy sees the
+    alternation as ONE pattern.
+
+    Preference among simultaneous completions (SQL:2016 derivation
+    order): earliest start row first, then LEFTMOST alternative, then
+    the alternative's own quantifier preference. Returns matches as
+    ``(alternative_index, var→span dict)`` in emission order.
+
+    Supported strategies: SKIP_PAST_LAST_EVENT (emit the preferred
+    completion, discard every partial of every alternative),
+    SKIP_TO_NEXT (at most one match per start row across ALL
+    alternatives; discard partials sharing an emitted start row), and
+    NO_SKIP (emit everything). SKIP TO FIRST/LAST is rejected by the
+    alternation validator (the skip variable need not exist in every
+    alternative). Per-alternative ``within`` deadlines prune inside
+    each NFA's own advance_time.
+
+    Scale note: per-row cost is O(live branches) summed over
+    alternatives — identical to running the alternatives separately —
+    plus an O(#completions) merge; a row inert for EVERY alternative
+    is skipped entirely (row ordinals advance in every NFA on every
+    processed row, keeping cross-alternative ordinal comparisons
+    valid)."""
+    states = [NfaState() for _ in nfas]
+    n = ts_us.shape[0]
+    cols = [[p[i] for i in range(p.shape[0])] for p in preds]
+    begins = [c[nf.first_pred] for nf, c in zip(nfas, cols)]
+    out: list[tuple[int, dict]] = []
+    for r in range(n):
+        if not any(
+            st.runs or begins[a][r] for a, st in enumerate(states)
+        ):
+            continue
+        t = int(ts_us[r])
+        merged: list[tuple[int, int, int, object]] = []
+        for a, (nf, st) in enumerate(zip(nfas, states)):
+            pred_row = tuple(bool(c[r]) for c in cols[a])
+            for pos, (seq, start_ord, br) in enumerate(
+                nf.step_collect(st, t, pred_row, r)
+            ):
+                merged.append((start_ord, a, pos, br))
+        if not merged:
+            continue
+        merged.sort(key=lambda e: e[:3])
+        if after_match == SKIP_PAST_LAST_EVENT:
+            start_ord, a, _, br = merged[0]
+            out.append((a, nfas[a]._branch_dict(br)))
+            for st in states:
+                st.runs = []
+        elif after_match == SKIP_TO_NEXT:
+            emitted: set[int] = set()
+            for start_ord, a, _, br in merged:
+                if start_ord not in emitted:
+                    emitted.add(start_ord)
+                    out.append((a, nfas[a]._branch_dict(br)))
+            for st in states:
+                st.runs = [
+                    run for run in st.runs if run.start_ord not in emitted
+                ]
+        else:  # NO_SKIP
+            out.extend((a, nfas[a]._branch_dict(br)) for _, a, _, br in merged)
+    return out

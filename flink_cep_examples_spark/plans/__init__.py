@@ -1,4 +1,5 @@
 from flink_cep_examples_spark.plans.pattern import (  # noqa: F401
+    AlternationSpec,
     Measure,
     Pattern,
     PatternSpec,

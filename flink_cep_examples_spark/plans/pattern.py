@@ -344,6 +344,148 @@ class PatternSpec:
         return self
 
 
+@dataclass(frozen=True)
+class AlternationSpec:
+    """Top-level SQL:2016 PATTERN alternation ``(P1 | P2 | ...)``.
+
+    Each alternative is a complete :class:`PatternSpec` (its own
+    variables/quantifiers/contiguity); partition keys, ordering,
+    ``within`` handling, and the after-match strategy are shared —
+    the alternation behaves as ONE pattern whose skip strategy acts
+    on the union of the alternatives' partial matches
+    (operators/nfa.py::scan_key_group_alternation). Preference among
+    simultaneous completions: earliest start row, then leftmost
+    alternative (SQL:2016 derivation order), then the alternative's
+    own quantifier preference.
+
+    v1 scope (validated): batch, ONE ROW PER MATCH, strategies
+    SKIP PAST LAST ROW / SKIP TO NEXT ROW / NO_SKIP, no timeout
+    channel, no trailing absence variables, no SUBSET/PERMUTE.
+    MEASURES live here (not on the alternatives): a measure over a
+    variable the matched alternative lacks yields its ``default``
+    (SQL:2016: unmatched variable → NULL); ``CLASSIFIER()``
+    disambiguates."""
+
+    alternatives: tuple[PatternSpec, ...]
+    measures: tuple[Measure, ...] = ()
+
+    # shared config (identical across alternatives; validated)
+    @property
+    def key_cols(self):
+        return self.alternatives[0].key_cols
+
+    @property
+    def order_col(self):
+        return self.alternatives[0].order_col
+
+    @property
+    def tiebreak_col(self):
+        return self.alternatives[0].tiebreak_col
+
+    @property
+    def after_match(self):
+        return self.alternatives[0].after_match
+
+    @property
+    def emit_timeouts(self):
+        return False
+
+    def with_updates(self, **kw) -> "AlternationSpec":
+        """Apply shared-config updates (order/tiebreak cols) to every
+        alternative."""
+        if kw.pop("emit_timeouts", False):
+            raise NotImplementedError(
+                "alternation has no timeout channel (no trailing "
+                "absence variables are allowed in alternatives)"
+            )
+        return AlternationSpec(
+            alternatives=tuple(replace(a, **kw) for a in self.alternatives),
+            measures=self.measures,
+        )
+
+    def validate(self) -> "AlternationSpec":
+        if len(self.alternatives) < 2:
+            raise ValueError("alternation needs at least two alternatives")
+        a0 = self.alternatives[0]
+        for alt in self.alternatives:
+            alt.validate()
+            if (
+                alt.key_cols != a0.key_cols
+                or alt.order_col != a0.order_col
+                or alt.tiebreak_col != a0.tiebreak_col
+                or alt.after_match != a0.after_match
+            ):
+                raise ValueError(
+                    "alternatives must share keys/order/after-match"
+                )
+            if alt.emit_timeouts:
+                raise NotImplementedError(
+                    "alternation has no timeout channel"
+                )
+            if alt.rows_per_match != "one":
+                raise NotImplementedError(
+                    "alternation supports ONE ROW PER MATCH only"
+                )
+            if alt.variables[-1].negated:
+                raise NotImplementedError(
+                    "alternatives cannot end in an absence variable "
+                    "(pending completions are per-NFA)"
+                )
+            if alt.permute or alt.subsets:
+                raise NotImplementedError(
+                    "PERMUTE/SUBSET cannot be combined with alternation"
+                )
+            if alt.measures:
+                raise ValueError(
+                    "measures belong on the AlternationSpec, not on "
+                    "individual alternatives"
+                )
+        if a0.after_match not in (
+            SKIP_PAST_LAST_EVENT,
+            SKIP_TO_NEXT,
+            NO_SKIP,
+        ):
+            raise NotImplementedError(
+                "alternation supports SKIP PAST LAST ROW / SKIP TO NEXT "
+                "ROW / NO_SKIP (a SKIP TO FIRST/LAST variable need not "
+                "exist in every alternative)"
+            )
+        names_union = {
+            v.name
+            for alt in self.alternatives
+            for v in alt.variables
+            if not v.negated
+        }
+        has_agg = any(m.fn in AGG_FNS for m in self.measures)
+        for m in self.measures:
+            if m.fn in NILADIC_FNS:
+                continue
+            if m.var not in names_union:
+                raise ValueError(
+                    f"measure {m.name} references unknown var {m.var}"
+                )
+            if m.fn not in ("first", "last", "count") + AGG_FNS:
+                raise ValueError(f"unsupported measure fn {m.fn}")
+        if has_agg:
+            # same soundness rule as PatternSpec: spans reconstruct
+            # row sets only under strict contiguity
+            for alt in self.alternatives:
+                positives = [v for v in alt.variables if not v.negated]
+                bad = [
+                    v.name
+                    for v in positives
+                    if (v.contiguity != STRICT and v is not positives[0])
+                    or (v.loop_contiguity or v.contiguity) != STRICT
+                    or v.combinations
+                ]
+                if bad:
+                    raise ValueError(
+                        "aggregate measures require strict contiguity "
+                        f"in every alternative; relaxed vars: {bad}"
+                    )
+        return self
+
+
 # ---------------------------------------------------------------------------
 # Fluent DSL (Milestone 2) — mirrors FlinkCEPExample.scala:58-74
 # ---------------------------------------------------------------------------

@@ -812,6 +812,65 @@ def cep_subset_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_with_match_recognize(spark, query, {"billing": df})
 
 
+_MR_ALT_BODY = """
+  PARTITION BY id
+  ORDER BY event_time
+  MEASURES
+    A.datetime AS alarmTriggerDatetime,
+    CLASSIFIER() AS outcome
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (A C | A B{2})
+  DEFINE
+    A AS A.balanceBefore >= 10 AND A.balanceAfter < 10,
+    B AS B.balanceBefore >= B.balanceAfter,
+    C AS C.balanceBefore < C.balanceAfter
+"""
+
+#: Alternation closed form under SKIP TO NEXT ROW: runs at different
+#: start rows never interact (emission discards only same-start runs),
+#: so each A row independently asks "is the next row a C (leftmost
+#: branch, emitted at +1 before the B-branch can complete at +2), else
+#: are the next two rows both B?" — pure LEAD() arithmetic.
+ORACLE_ALTERNATION = f"""
+WITH billing AS (
+  SELECT CAST(user_id AS VARCHAR) AS id,
+         ts, event_id,
+         epoch_us(ts) AS tus,
+         COALESCE(LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 50.0) AS bb,
+         value AS ba
+  FROM events
+),
+flagged AS (
+  SELECT *,
+         (bb >= 10 AND ba < 10) AS is_a,
+         (bb >= ba) AS is_b,
+         (bb < ba) AS is_c,
+         LEAD(bb < ba, 1) OVER w AS nc1,
+         LEAD(bb >= ba, 1) OVER w AS nb1,
+         LEAD(bb >= ba, 2) OVER w AS nb2
+  FROM billing
+  WINDOW w AS (PARTITION BY id ORDER BY ts, event_id)
+)
+SELECT id,
+       strftime(make_timestamp(tus), {_FMT}) AS alarmTriggerDatetime,
+       CASE WHEN nc1 THEN 'C' ELSE 'B' END AS outcome
+FROM flagged
+WHERE is_a AND (nc1 OR (nb1 AND nb2))
+"""
+
+
+def cep_alternation_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2016 top-level PATTERN alternation ``(A C | A B{2})``: after
+    an alarm, either an immediate top-up (leftmost branch) or two
+    consecutive non-increasing rows. One NFA per alternative advances
+    in lockstep; the skip strategy acts on the union of their runs
+    (operators/nfa.py::scan_key_group_alternation)."""
+    df = events_as_billing(spark, sf_dir)
+    query = f"SELECT * FROM billing MATCH_RECOGNIZE ({_MR_ALT_BODY}) t"
+    return sql_with_match_recognize(spark, query, {"billing": df})
+
+
 register("cep_alert_reactions", cep_alert_reactions, ORACLE_MATCHES)
 register("cep_until_pattern", cep_until_pattern, ORACLE_UNTIL)
 register(
@@ -856,5 +915,9 @@ register(
 )
 register(
     "cep_subset_measures", cep_subset_measures, ORACLE_SUBSET,
+    driver=False,  # driver set capped at 50; oracle-gated in pytest
+)
+register(
+    "cep_alternation_pattern", cep_alternation_pattern, ORACLE_ALTERNATION,
     driver=False,  # driver set capped at 50; oracle-gated in pytest
 )

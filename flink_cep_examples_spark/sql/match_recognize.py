@@ -15,7 +15,9 @@ for the subset the reference exercises
                 | SKIP TO FIRST <var> | SKIP TO LAST <var>
     PATTERN ( V1 V2* V3? ... ) [ WITHIN INTERVAL '<n>' <unit> ]
       (quantifiers: * + ? {n} {n,m} {n,}; a trailing ? after * + {n,m}
-       marks the SQL:2016 RELUCTANT preference, e.g. B*? / B{1,3}?)
+       marks the SQL:2016 RELUCTANT preference, e.g. B*? / B{1,3}?;
+       top-level alternation ``( A B | C D )`` — leftmost-preferred,
+       batch, PAST LAST ROW / TO NEXT ROW strategies)
     SUBSET <name> = (<var>, ...) [, ...]
     DEFINE <var> AS <predicate> [, ...]
 
@@ -43,6 +45,7 @@ from pyspark.sql import DataFrame
 from flink_cep_examples_spark.operators.cep_batch import (
     match_pattern,
     match_pattern_all_rows,
+    match_pattern_alternation,
 )
 from flink_cep_examples_spark.operators.fast_path import (
     fast_abc_applicable,
@@ -62,6 +65,7 @@ from flink_cep_examples_spark.plans.pattern import (
     TIMES,
     STRICT,
     ZERO_OR_MORE,
+    AlternationSpec,
     Measure,
     PatternSpec,
     PatternVar,
@@ -111,14 +115,16 @@ def _strip_var_prefixes(predicate: str, var_names: list[str]) -> str:
 
 def _parse_pattern_clause(
     text: str,
-) -> tuple[list[tuple[str, str, tuple | None, bool, bool]], str | None, bool]:
+) -> tuple[list[list[tuple]], str | None, bool]:
     """``( A {- B*? -} C{2,4} ) WITHIN INTERVAL '1' HOUR`` →
-    ([(name, quant, times, greedy, excluded)...], within_text,
-    permute). A trailing ``?`` after ``*``/``+``/``{n,m}`` is the
-    SQL:2016 reluctant marker; ``{- ... -}`` is the SQL:2016 exclusion
-    (rows omitted from ALL ROWS PER MATCH output); ``( PERMUTE (A, B,
-    C) )`` is the SQL:2016 any-order alternation (bare once-variables
-    only)."""
+    ([alternative_1, ...], within_text, permute) where each
+    alternative is [(name, quant, times, greedy, excluded), ...] —
+    one alternative for a plain pattern, several for a top-level
+    SQL:2016 alternation ``( A B | C D )``. A trailing ``?`` after
+    ``*``/``+``/``{n,m}`` is the SQL:2016 reluctant marker;
+    ``{- ... -}`` is the SQL:2016 exclusion (rows omitted from ALL
+    ROWS PER MATCH output); ``( PERMUTE (A, B, C) )`` is the SQL:2016
+    any-order alternation (bare once-variables only)."""
     pm = re.match(
         r"\s*\(\s*PERMUTE\s*\(([^)]*)\)\s*\)\s*(.*)",
         text,
@@ -134,11 +140,26 @@ def _parse_pattern_clause(
                     f"PERMUTE takes bare variable names, got {tok!r}"
                 )
             vars_.append((tok, ONCE, None, True, False))
-        return vars_, _parse_within(rest), True
+        return [vars_], _parse_within(rest), True
     m = re.match(r"\s*\(([^)]*)\)\s*(.*)", text, re.DOTALL)
     if not m:
         raise ValueError(f"cannot parse PATTERN clause: {text!r}")
     inner, rest = m.group(1), m.group(2).strip()
+    if "|" in inner:
+        # top-level SQL:2016 alternation: each branch parses as its
+        # own variable sequence (grouping parens are not supported, so
+        # every | is top-level)
+        branches = [b.strip() for b in inner.split("|")]
+        if not all(branches):
+            raise ValueError(f"empty alternation branch in: {inner!r}")
+        return [_parse_var_seq(b) for b in branches], _parse_within(rest), False
+    return [_parse_var_seq(inner)], _parse_within(rest), False
+
+
+def _parse_var_seq(inner: str) -> list[tuple[str, str, tuple | None, bool, bool]]:
+    """Tokenize one variable sequence (a pattern or one alternation
+    branch): ``A {- B*? -} C{2,4}`` → [(name, quant, times, greedy,
+    excluded), ...]."""
     def _norm_braces(bm: re.Match) -> str:
         lo, hi = bm.group(1), bm.group(2)
         # {n} → {n,n} (exact); {n,} stays open-ended (n or more)
@@ -182,7 +203,7 @@ def _parse_pattern_clause(
             )
     if excluding:
         raise ValueError("unclosed {- in PATTERN")
-    return vars_, _parse_within(rest), False
+    return vars_
 
 
 def _parse_within(rest: str) -> str | None:
@@ -256,15 +277,16 @@ def _parse_measures(text: str) -> list[Measure]:
     return measures
 
 
-def parse_match_recognize(body: str) -> PatternSpec:
+def parse_match_recognize(body: str) -> PatternSpec | AlternationSpec:
     """Parse the text between ``MATCH_RECOGNIZE (`` and the closing ``)``
-    into a :class:`PatternSpec`."""
+    into a :class:`PatternSpec` (or an :class:`AlternationSpec` when
+    the PATTERN clause carries a top-level alternation)."""
     clauses = _split_clauses(body)
     if "PATTERN" not in clauses or "DEFINE" not in clauses:
         raise ValueError("MATCH_RECOGNIZE needs PATTERN and DEFINE clauses")
 
-    var_quants, within_text, permute = _parse_pattern_clause(clauses["PATTERN"])
-    var_names = [n for n, _, _, _, _ in var_quants]
+    alt_quants, within_text, permute = _parse_pattern_clause(clauses["PATTERN"])
+    var_names = sorted({n for alt in alt_quants for n, _, _, _, _ in alt})
 
     defines: dict[str, str] = {}
     for part in re.split(r",(?=\s*\w+\s+AS\s)", clauses["DEFINE"], flags=re.IGNORECASE):
@@ -273,18 +295,21 @@ def parse_match_recognize(body: str) -> PatternSpec:
             raise ValueError(f"cannot parse DEFINE item: {part!r}")
         defines[dm.group(1)] = _strip_var_prefixes(dm.group(2).strip(), var_names)
 
-    variables = tuple(
-        PatternVar(
-            name,
-            defines.get(name, "true"),  # undefined var matches any row (SQL:2016)
-            quantifier=quant,
-            contiguity=STRICT,  # MATCH_RECOGNIZE is inherently strictly contiguous
-            times=times,
-            greedy=greedy,
-            excluded=excluded,
+    def _variables(var_quants) -> tuple[PatternVar, ...]:
+        return tuple(
+            PatternVar(
+                name,
+                defines.get(name, "true"),  # undefined var matches any row
+                quantifier=quant,
+                contiguity=STRICT,  # MATCH_RECOGNIZE is strictly contiguous
+                times=times,
+                greedy=greedy,
+                excluded=excluded,
+            )
+            for name, quant, times, greedy, excluded in var_quants
         )
-        for name, quant, times, greedy, excluded in var_quants
-    )
+
+    variables = _variables(alt_quants[0])
 
     after = clauses.get("AFTER MATCH", "SKIP PAST LAST ROW").strip().upper()
     skip_var = None
@@ -322,15 +347,38 @@ def parse_match_recognize(body: str) -> PatternSpec:
                 f"cannot parse SUBSET clause: {clauses['SUBSET']!r}"
             )
 
+    measures = tuple(_parse_measures(clauses.get("MEASURES", "")))
+    rows_per_match = "all" if "ALL ROWS PER MATCH" in clauses else "one"
+    within = parse_interval(within_text) if within_text else None
+
+    if len(alt_quants) > 1:
+        if subsets:
+            raise NotImplementedError("SUBSET with alternation")
+        alternatives = tuple(
+            PatternSpec(
+                variables=_variables(aq),
+                key_cols=keys,
+                order_col=order,
+                within=within,
+                after_match=skip,
+                skip_var=skip_var,
+                rows_per_match=rows_per_match,
+            )
+            for aq in alt_quants
+        )
+        return AlternationSpec(
+            alternatives=alternatives, measures=measures
+        ).validate()
+
     return PatternSpec(
         variables=variables,
         key_cols=keys,
         order_col=order,
-        within=parse_interval(within_text) if within_text else None,
+        within=within,
         after_match=skip,
         skip_var=skip_var,
-        measures=tuple(_parse_measures(clauses.get("MEASURES", ""))),
-        rows_per_match="all" if "ALL ROWS PER MATCH" in clauses else "one",
+        measures=measures,
+        rows_per_match=rows_per_match,
         permute=permute,
         subsets=tuple(subsets),
     ).validate()
@@ -365,6 +413,11 @@ def match_recognize(
     updates: dict = {"tiebreak_col": tiebreak_col, "emit_timeouts": emit_timeouts}
     if order_col is not None:
         updates["order_col"] = order_col
+    if isinstance(spec, AlternationSpec):
+        spec = spec.with_updates(**updates)
+        if df.isStreaming:
+            raise NotImplementedError("alternation requires batch input")
+        return match_pattern_alternation(df, spec)
     spec = dataclasses.replace(spec, **updates)
     if spec.permute:
         if df.isStreaming:

