@@ -48,6 +48,7 @@ def load_all() -> None:
         pipeline,
         relational,
         relational_shapes,
+        relational_tpch,
         sampling,
         similarity,
         temporal,
