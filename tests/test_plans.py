@@ -211,3 +211,49 @@ def test_positional_fast_path_single_exchange_no_python(spark, sf_small):
     p = _plan(QUERIES["cep_skip_to_last"](spark, sf_small))
     assert p.count("Exchange") == 1, p
     assert "Python" not in p, p
+
+
+def test_tpch_completion_no_nested_loops(spark, sf_small):
+    """Round-4 TPC-H completion (Q2..Q21): every plan must be hash/
+    broadcast joins only — an accidental cartesian or nested loop on
+    the fact-fact shapes would be the 100 TB killer."""
+    # q11/q15 carry ONE BroadcastNestedLoopJoin by design: the scalar
+    # threshold/max is a one-row aggregate crossJoined back broadcast
+    # (the q22 shape) — a 1-row build side is free at any scale.
+    scalar_cross = {"q11_important_stock": 1, "q15_top_supplier": 1}
+    for name in (
+        "q2_min_cost_supplier",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_type_profit",
+        "q11_important_stock",
+        "q13_order_count_distribution",
+        "q15_top_supplier",
+        "q16_supplier_part_counts",
+        "q20_part_promotion_suppliers",
+        "q21_waiting_suppliers",
+    ):
+        p = _plan(QUERIES[name](spark, sf_small))
+        assert "CartesianProduct" not in p, name
+        # <=: Catalyst may rewrite the scalar crossJoin into an
+        # equi-join outright (q15's equality filter), which is fine
+        assert p.count("BroadcastNestedLoopJoin") <= scalar_cross.get(
+            name, 0
+        ), name
+
+
+def test_q21_semi_and_anti_joins(spark, sf_small):
+    """Q21's EXISTS / NOT EXISTS double correlation must plan as real
+    LeftSemi + LeftAnti joins (not subquery re-scans)."""
+    p = _plan(QUERIES["q21_waiting_suppliers"](spark, sf_small))
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "TakeOrderedAndProject" in p  # top-10 is a heap, not a sort
+
+
+def test_q2_correlated_min_broadcasts_back(spark, sf_small):
+    """Q2's per-part MIN back-join and the supplier/nation/region dims
+    must all broadcast — lineitem shuffles once for the offers
+    aggregate and never for a dim."""
+    p = _plan(QUERIES["q2_min_cost_supplier"](spark, sf_small))
+    assert p.count("BroadcastHashJoin") >= 3
