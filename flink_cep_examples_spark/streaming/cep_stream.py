@@ -65,7 +65,7 @@ _STATE_SCHEMA = T.StructType([T.StructField("blob", T.BinaryType(), True)])
 
 
 def _prepare_stream(df: DataFrame, spec: PatternSpec) -> DataFrame:
-    needed = {m.src for m in spec.measures if m.fn != "count"}
+    needed = {m.src for m in spec.measures if m.fn != "count" and m.src}
     needed.update(spec.key_cols)
     needed.add(spec.tiebreak_col)
     needed.add(spec.order_col)  # kept for the watermark; in `needed` so a
@@ -101,16 +101,21 @@ def match_pattern_stream(
     Arrow/pickle overhead amortizes."""
     spec.validate()
     unsupported = {
-        m.fn for m in spec.measures if m.fn not in ("first", "last", "count")
+        m.fn
+        for m in spec.measures
+        if m.fn not in ("first", "last", "count", "classifier")
     }
     if unsupported or spec.subsets:
         # streaming branches carry only (first, last) payloads per
-        # variable — aggregates / CLASSIFIER / MATCH_NUMBER / SUBSET
-        # are batch-tier features (run the batch operator on the
-        # micro-batch in foreachBatch if needed)
+        # variable, so aggregates / SUBSET are batch-tier features
+        # (run the batch operator inside foreachBatch if needed);
+        # MATCH_NUMBER would need a per-key LIFETIME match counter —
+        # unbounded state for unbounded key cardinality, against this
+        # operator's bounded-state guarantee. CLASSIFIER() is fine:
+        # it reads the match's own span ordinals.
         raise NotImplementedError(
-            f"streaming measures support first/last/count only, got "
-            f"{sorted(unsupported)}"
+            f"streaming measures support first/last/count/classifier, "
+            f"got {sorted(unsupported)}"
             + (" + SUBSET" if spec.subsets else "")
         )
     out_schema = output_schema(df, spec)
@@ -189,6 +194,15 @@ def match_pattern_stream(
             for k, kv in zip(key_cols, key):
                 data[k].append(kv)
             for m in measures:
+                if m.fn == "classifier":
+                    # variable that consumed the match's LAST row: the
+                    # span with the largest per-key row ordinal
+                    data[m.name].append(
+                        max(match.items(), key=lambda kv_: kv_[1][4])[0]
+                        if match
+                        else None
+                    )
+                    continue
                 span = match.get(m.var)
                 if span is None:
                     data[m.name].append(0 if m.fn == "count" else m.default)

@@ -187,3 +187,63 @@ def test_streaming_skip_to_last_matches_batch(spark, tmp_path):
     q.awaitTermination(180)
     got = sorted(map(tuple, spark.table("skipto_mem").drop("tag").collect()))
     assert expected == got
+
+
+def test_streaming_classifier_matches_batch(spark, sf_small, tmp_path):
+    """CLASSIFIER() through the streaming operator (round 4): the
+    measure reads the match's own span ordinals, so it needs no extra
+    state; the streamed replay must reproduce the batch rows exactly.
+    (MATCH_NUMBER stays batch-only by design: a per-key lifetime
+    counter would be unbounded state.)"""
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.operators import match_pattern
+    from flink_cep_examples_spark.plans.pattern import Measure, billing_pattern
+    from flink_cep_examples_spark.sources.billing import events_as_billing
+    from flink_cep_examples_spark.streaming import match_pattern_stream
+
+    spec = dataclasses.replace(
+        billing_pattern(),
+        measures=(
+            Measure("alarm_dt", "A", "datetime", "first"),
+            Measure("cls", "", "", "classifier"),
+            Measure("n_b", "B", "__count__", "count"),
+        ),
+    )
+    billing = events_as_billing(spark, sf_small)
+    sentinel = spark.createDataFrame(
+        [("zz", "2031-01-01 00:00:00", 50.0, 50.0, 999_999_999)],
+        "id string, datetime string, balanceBefore double, "
+        "balanceAfter double, seq long",
+    ).select(
+        "id",
+        F.to_timestamp("datetime").alias("event_time"),
+        "seq",
+        "balanceBefore",
+        "balanceAfter",
+        "datetime",
+    )
+    src = str(tmp_path / "billing_cls")
+    billing.select(sentinel.columns).unionByName(sentinel).coalesce(
+        2
+    ).write.parquet(src)
+
+    batch = match_pattern(spark.read.parquet(src), spec).drop("tag")
+    expected = sorted(map(tuple, batch.collect()))
+    assert expected and all(t[-2] == "C" for t in expected)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = match_pattern_stream(stream, spec, "6 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cls_mem")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(map(tuple, spark.table("cls_mem").drop("tag").collect()))
+    assert expected == got
