@@ -8,7 +8,11 @@
    (the golden fixture's B at 11:20 / C at 11:40 match in B-C order;
    a C-B order would match the same pattern);
 3. ``AFTER MATCH SKIP TO LAST B`` on a dense fixed-width pattern —
-   the positional fast path (row-ordinal arithmetic).
+   the positional fast path (row-ordinal arithmetic);
+4. (round 4) top-level alternation ``(A C | A B{2})`` — one NFA per
+   alternative in lockstep, leftmost-preferred;
+5. (round 4) aggregate MEASURES + CLASSIFIER() + MATCH_NUMBER() +
+   SUBSET union variables.
 """
 
 import sys
@@ -51,6 +55,45 @@ SELECT * FROM billing MATCH_RECOGNIZE (
 """
 
 
+ALTERNATION = """
+SELECT * FROM billing MATCH_RECOGNIZE (
+  PARTITION BY id
+  ORDER BY event_time
+  MEASURES
+    A.datetime AS alarmDatetime,
+    CLASSIFIER() AS outcome
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (A C | A B{2})
+  DEFINE
+    A AS A.balanceBefore >= 10 AND A.balanceAfter < 10,
+    B AS B.balanceBefore >= B.balanceAfter,
+    C AS C.balanceBefore < C.balanceAfter
+) t
+"""
+
+AGG_MEASURES = """
+SELECT * FROM billing MATCH_RECOGNIZE (
+  PARTITION BY id
+  ORDER BY event_time
+  MEASURES
+    A.datetime AS alarmDatetime,
+    SUM(B.balanceAfter) AS sum_b,
+    COUNT(B.*) AS n_b,
+    LAST(U.balanceAfter) AS final_balance,
+    MATCH_NUMBER() AS match_no
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (A B* C) WITHIN INTERVAL '1' HOUR
+  SUBSET U = (A, C)
+  DEFINE
+    A AS A.balanceBefore >= 10 AND A.balanceAfter < 10,
+    B AS B.balanceBefore >= B.balanceAfter,
+    C AS C.balanceBefore < C.balanceAfter
+) t
+"""
+
+
 def main() -> None:
     spark = session()
     df = input_df(spark, sys.argv)
@@ -60,6 +103,14 @@ def main() -> None:
     )
     print("-- PERMUTE (B, C), SKIP TO NEXT ROW --")
     sql_with_match_recognize(spark, PERMUTE, {"billing": df}).show(
+        truncate=False
+    )
+    print("-- alternation (A C | A B{2}) with CLASSIFIER() --")
+    sql_with_match_recognize(spark, ALTERNATION, {"billing": df}).show(
+        truncate=False
+    )
+    print("-- aggregate MEASURES + SUBSET + MATCH_NUMBER() --")
+    sql_with_match_recognize(spark, AGG_MEASURES, {"billing": df}).show(
         truncate=False
     )
 

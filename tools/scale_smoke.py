@@ -49,6 +49,10 @@ SMOKE = [
     "cep_keyed_process",
     "docs_decontaminate",
     "cep_skip_to_last",  # round-4 positional fast path
+    "cep_alternation_pattern",  # round-4 lockstep multi-NFA
+    "cep_measure_aggregates",  # round-4 aggregate MEASURES (NFA tier)
+    "q21_waiting_suppliers",  # round-4 fact-fact semi+anti joins
+    "q13_order_count_distribution",  # round-4 outer join + double agg
 ]
 
 
@@ -66,11 +70,16 @@ def _auto_queries():
         "ivf_topk_auto": lambda sp, d: ivf_topk(sp, d, k_lists=None),
     }
 
-#: per-table (id columns to offset) — disjoint key spaces per replica
+#: per-table (id columns to offset) — disjoint key spaces per replica.
+#: TPC-H facts grow the realistic way: more orders / customers, the
+#: SAME parts, suppliers, and nations (dims stay fixed size).
 _OFFSETS = {
     "events": {"event_id": 100_000_000, "user_id": 10_000_000},
     "documents": {"doc_id": 10_000_000},
     "embeddings": {"vec_id": 10_000_000},
+    "orders": {"o_orderkey": 100_000_000, "o_custkey": 10_000_000},
+    "lineitem": {"l_orderkey": 100_000_000},
+    "customer": {"c_custkey": 10_000_000},
 }
 
 
@@ -87,10 +96,8 @@ def replicate(spark, sf_dir: str, out_dir: str, k: int) -> None:
         for p in parts[1:]:
             out = out.unionByName(p)
         out.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
-    # small TPC-H tables pass through untouched (not scaled here)
-    for name in (
-        "region nation customer supplier part orders lineitem".split()
-    ):
+    # dimension tables pass through untouched (fixed size at any scale)
+    for name in "region nation supplier part".split():
         spark.read.parquet(f"{sf_dir}/{name}.parquet").write.mode(
             "overwrite"
         ).parquet(f"{out_dir}/{name}.parquet")
