@@ -52,8 +52,10 @@ from flink_cep_examples_spark.plans.pattern import (
     SKIP_TO_FIRST,
     SKIP_TO_LAST,
     SKIP_TO_NEXT,
+    STRICT,
     TIMES,
     ZERO_OR_MORE,
+    AlternationSpec,
     Measure,
     PatternSpec,
 )
@@ -675,4 +677,194 @@ def match_pattern_permute(df: DataFrame, spec: PatternSpec) -> DataFrame:
     target = output_schema(df, spec)
     return out.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in target.fields]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Alternation closed form: top-level PATTERN (P1 | P2 | ...) with
+# fixed-width branches under AFTER MATCH SKIP TO NEXT ROW (round 4)
+# ---------------------------------------------------------------------------
+
+
+def fast_alternation_applicable(aspec: AlternationSpec) -> bool:
+    """Closed-form-eligible alternation: every alternative is a
+    fixed-width strict sequence (ONCE / times(n, n) variables, no
+    negatives, no until) under SKIP TO NEXT ROW — then start rows
+    never interact (emission discards only same-start runs) and each
+    start row's preferred completion is pure lead() arithmetic. Other
+    strategies stay on the lockstep-NFA coordinator (PAST LAST ROW
+    makes starts sequentially dependent)."""
+    if aspec.after_match != SKIP_TO_NEXT:
+        return False
+    for alt in aspec.alternatives:
+        if _fixed_counts(alt) is None:
+            return False
+        if any(
+            v.negated or v.until is not None for v in alt.variables
+        ):
+            return False
+        if any(v.contiguity != STRICT for v in alt.variables[1:]):
+            return False
+    return all(
+        m.fn in ("first", "last", "count", "classifier", "match_number")
+        for m in aspec.measures
+    )
+
+
+def match_pattern_alternation_fast(
+    df: DataFrame, aspec: AlternationSpec
+) -> DataFrame:
+    """Closed form for fixed-width alternation under SKIP TO NEXT ROW,
+    provable from the coordinator semantics
+    (operators/nfa.py::scan_key_group_alternation):
+
+    - branch b (total width L_b) starting at per-key position r
+      completes at row r + L_b - 1 iff every variable's predicate
+      holds at its fixed offsets — AND of lead() booleans;
+    - emission is eager, so the branch with the SMALLEST completion
+      row wins the start; ties prefer the leftmost alternative —
+      i.e. the winner is min by (L_b, b) among satisfied branches
+      (a CASE chain in that order);
+    - under SKIP TO NEXT ROW an emission discards only runs sharing
+      its start row, so every start row decides independently — no
+      sequential dependency, pure window algebra;
+    - ``within`` bounds each branch's span: ts[r+L_b-1] − ts[r] <
+      within (strict, the NFA's deadline convention);
+    - MATCH_NUMBER() is a second row_number over the emitted rows.
+
+    One hash Exchange on the key, zero Python; differential-tested
+    against the lockstep-NFA coordinator on seeded random streams."""
+    if not fast_alternation_applicable(aspec):
+        raise ValueError("alternation not eligible for the fast path")
+    aspec.validate()
+    alts = aspec.alternatives
+    keys = list(aspec.key_cols)
+    within_us = (
+        int(alts[0].within.total_seconds() * 1_000_000)
+        if alts[0].within is not None
+        else None
+    )
+
+    # evaluate each distinct predicate once, vectorized pre-window
+    pred_col: dict[str, str] = {}
+    for alt in alts:
+        for v in alt.variables:
+            pred_col.setdefault(v.predicate, f"__ap{len(pred_col)}")
+    srcs = sorted(
+        {m.src for m in aspec.measures if m.fn in ("first", "last")}
+        - set(keys)
+    )
+    base = df.select(
+        *keys,
+        F.unix_micros(
+            F.col(aspec.order_col).cast(T.TimestampType())
+        ).alias("__ts"),
+        F.col(aspec.tiebreak_col).alias("__tb"),
+        *srcs,
+        *[F.expr(e).alias(n) for e, n in pred_col.items()],
+    )
+    w = Window.partitionBy(*keys).orderBy("__ts", "__tb")
+
+    def at(col: str, off: int):
+        return F.col(col) if off == 0 else F.lead(col, off).over(w)
+
+    # per-branch geometry + candidate boolean
+    lengths: list[int] = []
+    offsets: list[dict[str, tuple[int, int]]] = []  # var -> (start, width)
+    cands = []
+    for alt in alts:
+        counts = _fixed_counts(alt)
+        L = sum(counts)
+        lengths.append(L)
+        offs = {}
+        cand = F.lit(True)
+        pos = 0
+        for v, c in zip(alt.variables, counts):
+            offs[v.name] = (pos, c)
+            for o in range(pos, pos + c):
+                cand = cand & at(pred_col[v.predicate], o)
+            pos += c
+        if within_us is not None and L > 1:
+            cand = cand & (
+                at("__ts", L - 1) - F.col("__ts") < F.lit(within_us)
+            )
+        offsets.append(offs)
+        cands.append(F.coalesce(cand, F.lit(False)))
+
+    # preference: smallest completion row, then leftmost alternative
+    pref = sorted(range(len(alts)), key=lambda b: (lengths[b], b))
+    winner = F.lit(None).cast("int")
+    for b in reversed(pref):
+        winner = F.when(cands[b], F.lit(b)).otherwise(winner)
+
+    def measure(m: Measure):
+        if m.fn == "match_number":
+            return None  # second window after the filter (below)
+        val = F.lit(None)
+        for b in reversed(pref):
+            offs = offsets[b]
+            if m.fn == "classifier":
+                last_var = max(
+                    offs.items(), key=lambda kv: kv[1][0] + kv[1][1]
+                )[0]
+                bval = F.lit(last_var)
+            elif m.var not in offs:
+                bval = F.lit(0).cast("long") if m.fn == "count" else F.lit(None)
+            elif m.fn == "count":
+                bval = F.lit(offs[m.var][1]).cast("long")
+            else:
+                start, width = offs[m.var]
+                off = start if m.fn == "first" else start + width - 1
+                bval = at(m.src, off)
+            val = F.when(F.col("__b") == b, bval).otherwise(val)
+        return val
+
+    mcols = {
+        f"__m_{m.name}": measure(m)
+        for m in aspec.measures
+        if m.fn != "match_number"
+    }
+    # measure leads MUST be evaluated before the filter — a lead over
+    # the filtered rows would read the next MATCH, not the next row
+    out = (
+        base.withColumn("__r0", F.row_number().over(w) - 1)
+        .withColumn("__b", winner)
+        .withColumns(mcols)
+        .filter(F.col("__b").isNotNull())
+    )
+    if any(m.fn == "match_number" for m in aspec.measures):
+        # emission order is COMPLETION order (eager NFA), not start
+        # order: completion ordinal = start + L_winner - 1, start
+        # ordinal breaking same-row ties (the coordinator's merge key)
+        comp = F.lit(None).cast("long")
+        for b in reversed(pref):
+            comp = F.when(
+                F.col("__b") == b, F.col("__r0") + F.lit(lengths[b] - 1)
+            ).otherwise(comp)
+        out = out.withColumn("__comp", comp)
+        for m in aspec.measures:
+            if m.fn == "match_number":
+                out = out.withColumn(
+                    f"__m_{m.name}",
+                    F.row_number()
+                    .over(
+                        Window.partitionBy(*keys).orderBy("__comp", "__r0")
+                    )
+                    .cast("long"),
+                )
+    out = out.select(
+        *keys,
+        *[F.col(f"__m_{m.name}").alias(m.name) for m in aspec.measures],
+    )
+    from flink_cep_examples_spark.operators.cep_batch import (
+        _measure_field,
+    )
+
+    # schema-identical to match_pattern_alternation (no tag column —
+    # alternation has no timeout channel)
+    fields = [
+        T.StructField(k, df.schema[k].dataType, True) for k in keys
+    ] + [_measure_field(df, m) for m in aspec.measures]
+    return out.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in fields]
     )

@@ -863,9 +863,12 @@ WHERE is_a AND (nc1 OR (nb1 AND nb2))
 def cep_alternation_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL:2016 top-level PATTERN alternation ``(A C | A B{2})``: after
     an alarm, either an immediate top-up (leftmost branch) or two
-    consecutive non-increasing rows. One NFA per alternative advances
-    in lockstep; the skip strategy acts on the union of their runs
-    (operators/nfa.py::scan_key_group_alternation)."""
+    consecutive non-increasing rows. Fixed-width branches under SKIP
+    TO NEXT ROW compile to the lead-window closed form
+    (operators/fast_path.py::match_pattern_alternation_fast — one
+    Exchange, zero Python); the lockstep multi-NFA coordinator
+    (operators/nfa.py::scan_key_group_alternation) is the
+    differential-tested general tier."""
     df = events_as_billing(spark, sf_dir)
     query = f"SELECT * FROM billing MATCH_RECOGNIZE ({_MR_ALT_BODY}) t"
     return sql_with_match_recognize(spark, query, {"billing": df})

@@ -417,6 +417,13 @@ def match_recognize(
         spec = spec.with_updates(**updates)
         if df.isStreaming:
             raise NotImplementedError("alternation requires batch input")
+        from flink_cep_examples_spark.operators.fast_path import (
+            fast_alternation_applicable,
+            match_pattern_alternation_fast,
+        )
+
+        if use_fast_path and fast_alternation_applicable(spec):
+            return match_pattern_alternation_fast(df, spec)
         return match_pattern_alternation(df, spec)
     spec = dataclasses.replace(spec, **updates)
     if spec.permute:

@@ -190,3 +190,67 @@ def test_streaming_rejects_alternation(spark, tmp_path):
             DEFINE A AS fa, C AS fc, D AS fd
             """,
         )
+
+
+def test_alternation_fast_path_matches_coordinator(spark):
+    """The SKIP TO NEXT ROW closed form (fast_path.py::
+    match_pattern_alternation_fast) must reproduce the lockstep-NFA
+    coordinator exactly on seeded random streams — including the
+    eager-completion preference (shorter branch wins the start) and
+    classifier / match_number measures."""
+    import dataclasses
+    import random
+
+    from flink_cep_examples_spark.operators.fast_path import (
+        fast_alternation_applicable,
+        match_pattern_alternation_fast,
+    )
+    from flink_cep_examples_spark.plans.pattern import SKIP_TO_NEXT
+
+    spec = AlternationSpec(
+        alternatives=tuple(
+            dataclasses.replace(a, after_match=SKIP_TO_NEXT)
+            for a in _alt_spec().alternatives
+        ),
+        measures=(
+            Measure("start_seq", "A", "seq", "first"),
+            Measure("cls", "", "", "classifier"),
+            Measure("c_seq", "C", "seq", "last"),
+            Measure("n_d", "D", "", "count"),
+            Measure("mno", "", "", "match_number"),
+        ),
+    )
+    assert fast_alternation_applicable(spec)
+    rng = random.Random(7)
+    rows = []
+    for key in range(15):
+        n = rng.randint(5, 40)
+        for i in range(n):
+            rows.append(
+                (
+                    f"k{key}",
+                    dt.datetime(2020, 5, 1) + dt.timedelta(minutes=i),
+                    i,
+                    rng.random() < 0.4,
+                    rng.random() < 0.35,
+                    rng.random() < 0.5,
+                )
+            )
+    df = spark.createDataFrame(rows, _SCHEMA)
+    slow = sorted(
+        map(tuple, match_pattern_alternation(df, spec).collect())
+    )
+    fast = sorted(
+        map(tuple, match_pattern_alternation_fast(df, spec).collect())
+    )
+    assert slow and slow == fast
+
+
+def test_alternation_fast_path_ineligible_shapes():
+    """PAST LAST ROW (sequential starts) and loop variables fall back
+    to the coordinator."""
+    from flink_cep_examples_spark.operators.fast_path import (
+        fast_alternation_applicable,
+    )
+
+    assert not fast_alternation_applicable(_alt_spec())  # PAST_LAST
