@@ -171,9 +171,35 @@ def all_rows_output_schema(df: DataFrame, spec: PatternSpec) -> T.StructType:
     )
 
 
+def _with_nav_cols(df: DataFrame, spec: PatternSpec) -> DataFrame:
+    """Materialize PREV()/NEXT() navigation as lag/lead columns over
+    the (key, order, tiebreak) window — the same ordering the NFA
+    sorts by, so ``PREV(x)`` is exactly the previous processed row.
+    The window's hash partitioning on the keys is the SAME exchange
+    the pattern operator needs next, so Catalyst reuses it (one
+    shuffle total, plan-audited)."""
+    if not spec.nav_cols:
+        return df
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*spec.key_cols).orderBy(
+        F.col(spec.order_col).cast(T.TimestampType()), spec.tiebreak_col
+    )
+    return df.select(
+        "*",
+        *[
+            (F.lag if kind == "prev" else F.lead)(src, off)
+            .over(w)
+            .alias(alias)
+            for alias, src, off, kind in spec.nav_cols
+        ],
+    )
+
+
 def _prepare(df: DataFrame, spec: PatternSpec) -> DataFrame:
     """Add vectorized predicate booleans + epoch-ms timestamp. Catalyst
     prunes every column the measures/keys don't need."""
+    df = _with_nav_cols(df, spec)
     needed = {m.src for m in spec.measures if _needs_src(m)}
     needed.update(spec.key_cols)
     needed.add(spec.tiebreak_col)
@@ -350,7 +376,7 @@ def match_pattern_all_rows(df: DataFrame, spec: PatternSpec) -> DataFrame:
             "ALL ROWS PER MATCH requires strict contiguity"
         )
     data_cols = list(df.columns)
-    prepared = df.select(
+    prepared = _with_nav_cols(df, spec).select(
         *data_cols,
         F.unix_micros(F.col(spec.order_col).cast(T.TimestampType())).alias(_TS_COL),
         *[

@@ -74,6 +74,7 @@ def fast_abc_applicable(spec: PatternSpec) -> bool:
         and v[1].quantifier == ZERO_OR_MORE
         and not v[1].combinations
         and v[2].quantifier == ONCE
+        and not spec.nav_cols  # PREV/NEXT columns exist only in the NFA tier's prepare
         and spec.after_match == SKIP_PAST_LAST_EVENT
         and all(m.fn in ("first", "last") and m.var in (v[0].name, v[2].name)
                 or (m.fn == "count" and m.var == v[1].name)
@@ -94,6 +95,7 @@ def fast_absence_applicable(spec: PatternSpec) -> bool:
         and v[0].quantifier == ONCE
         and v[1].negated
         and v[1].contiguity == RELAXED
+        and not spec.nav_cols
         and spec.within is not None
         and spec.after_match in (NO_SKIP, SKIP_TO_NEXT)
         and not spec.emit_timeouts
@@ -490,6 +492,7 @@ def fast_positional_applicable(spec: PatternSpec) -> bool:
         and not spec.emit_timeouts
         and spec.rows_per_match == "one"
         and _positional_delta(spec, counts) is not None
+        and not spec.nav_cols
         and not spec.subsets  # SUBSET vars resolve only in the NFA tier
         and all(m.fn in ("first", "last", "count") for m in spec.measures)
     )
@@ -595,6 +598,8 @@ def match_pattern_permute(df: DataFrame, spec: PatternSpec) -> DataFrame:
 
     if not spec.permute:
         raise ValueError("spec is not a PERMUTE pattern")
+    if spec.nav_cols:
+        raise NotImplementedError("PREV/NEXT navigation with PERMUTE")
     if spec.after_match not in (SKIP_TO_NEXT, NO_SKIP):
         raise NotImplementedError(
             "PERMUTE supports AFTER MATCH SKIP TO NEXT ROW only (other "
@@ -704,6 +709,8 @@ def fast_alternation_applicable(aspec: AlternationSpec) -> bool:
         ):
             return False
         if any(v.contiguity != STRICT for v in alt.variables[1:]):
+            return False
+        if alt.nav_cols:
             return False
     return all(
         m.fn in ("first", "last", "count", "classifier", "match_number")

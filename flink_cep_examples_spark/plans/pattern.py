@@ -203,6 +203,15 @@ class PatternSpec:
     #: MEASURES — U's matched rows are the union of its components'
     #: rows. Stored as ((name, (component, ...)), ...).
     subsets: tuple[tuple[str, tuple[str, ...]], ...] = ()
+    #: SQL:2016 PREV()/NEXT() physical-row navigation in DEFINE
+    #: predicates: each entry (alias, src_col, offset, kind) with kind
+    #: ∈ {'prev', 'next'} materializes as a lag/lead column over the
+    #: (key, order, tiebreak) window BEFORE predicate evaluation —
+    #: navigation stays vectorized Catalyst, the NFA still only sees
+    #: booleans. Predicates reference the alias. (Pattern navigation
+    #: FIRST()/LAST() inside DEFINE is run-dependent and NOT
+    #: precomputable — unsupported, the parser rejects it.)
+    nav_cols: tuple[tuple[str, str, int, str], ...] = ()
 
     @property
     def pred_exprs(self) -> tuple[str, ...]:

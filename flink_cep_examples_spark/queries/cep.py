@@ -874,6 +874,70 @@ def cep_alternation_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_with_match_recognize(spark, query, {"billing": df})
 
 
+_MR_VSHAPE_BODY = """
+  PARTITION BY id
+  ORDER BY event_time
+  MEASURES
+    STRT.datetime AS strtDatetime,
+    COUNT(DOWN.*) AS n_down,
+    UP.balanceAfter AS up_ba
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (STRT DOWN+ UP)
+  DEFINE
+    DOWN AS DOWN.balanceAfter < PREV(DOWN.balanceAfter),
+    UP AS UP.balanceAfter > PREV(UP.balanceAfter)
+"""
+
+#: V-shape closed form: d/u flags are lag arithmetic; since d and u
+#: are disjoint and the loop is deterministic, a match is (start r,
+#: first u-row m after an unbroken d-run covering r+1..m-1). Row 0 of
+#: a partition is never d (PREV is NULL → predicate false), so every
+#: u-row's preceding-run start ``lnp`` (last non-d position before m)
+#: is well-defined; under SKIP TO NEXT ROW every r in [lnp, m-2]
+#: emits independently.
+ORACLE_VSHAPE = f"""
+WITH b AS (
+  SELECT CAST(user_id AS VARCHAR) AS id,
+         ts,
+         strftime(ts, {_FMT}) AS dt,
+         value AS ba,
+         ROW_NUMBER() OVER w - 1 AS pos,
+         COALESCE(value < LAG(value) OVER w, FALSE) AS d,
+         COALESCE(value > LAG(value) OVER w, FALSE) AS u
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+nd AS (
+  SELECT *,
+         MAX(CASE WHEN NOT d THEN pos END) OVER
+           (PARTITION BY id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lnp
+  FROM b
+)
+SELECT m.id,
+       r.dt AS strtDatetime,
+       m.pos - 1 - r.pos AS n_down,
+       m.ba AS up_ba
+FROM nd m
+JOIN b r ON r.id = m.id AND r.pos BETWEEN m.lnp AND m.pos - 2
+WHERE m.u
+"""
+
+
+def cep_vshape_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2016 PREV() physical-row navigation in DEFINE: the classic
+    V-shape pattern (strictly-falling run, then a rise). PREV
+    materializes as a vectorized lag column over the (key, order)
+    window BEFORE predicate evaluation (operators/cep_batch.py
+    ``_with_nav_cols``) — the NFA still only reads booleans, and the
+    window's key partitioning is the same exchange the pattern
+    operator shuffles on."""
+    df = events_as_billing(spark, sf_dir)
+    query = f"SELECT * FROM billing MATCH_RECOGNIZE ({_MR_VSHAPE_BODY}) t"
+    return sql_with_match_recognize(spark, query, {"billing": df})
+
+
 register("cep_alert_reactions", cep_alert_reactions, ORACLE_MATCHES)
 register("cep_until_pattern", cep_until_pattern, ORACLE_UNTIL)
 register(
@@ -922,5 +986,9 @@ register(
 )
 register(
     "cep_alternation_pattern", cep_alternation_pattern, ORACLE_ALTERNATION,
+    driver=False,  # driver set capped at 50; oracle-gated in pytest
+)
+register(
+    "cep_vshape_prev", cep_vshape_prev, ORACLE_VSHAPE,
     driver=False,  # driver set capped at 50; oracle-gated in pytest
 )

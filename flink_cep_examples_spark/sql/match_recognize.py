@@ -20,6 +20,10 @@ for the subset the reference exercises
        batch, PAST LAST ROW / TO NEXT ROW strategies)
     SUBSET <name> = (<var>, ...) [, ...]
     DEFINE <var> AS <predicate> [, ...]
+      (predicates may navigate PHYSICAL rows with PREV(<var>.<col>
+       [, n]) / NEXT(<var>.<col> [, n]) — materialized as vectorized
+       lag/lead columns before the NFA; run-dependent FIRST/LAST
+       navigation is rejected)
 
 — compiled to the same :class:`PatternSpec` the Pattern DSL produces,
 so SQL and DSL converge on one operator exactly as the reference's two
@@ -289,11 +293,48 @@ def parse_match_recognize(body: str) -> PatternSpec | AlternationSpec:
     var_names = sorted({n for alt in alt_quants for n, _, _, _, _ in alt})
 
     defines: dict[str, str] = {}
+    nav_cols: dict[tuple[str, int, str], str] = {}
+
+    def _rewrite_nav(pred: str) -> str:
+        """SQL:2016 physical-row navigation: ``PREV(V.col [, n])`` /
+        ``NEXT(V.col [, n])`` → a lag/lead column alias; the column is
+        materialized vectorized before predicate evaluation (the
+        variable qualifier is irrelevant — PREV navigates PHYSICAL
+        rows, not the variable's rows, per the standard). Pattern
+        navigation FIRST/LAST inside DEFINE is run-dependent and
+        rejected."""
+        if re.search(r"(?<!\w)(FIRST|LAST)\s*\(", pred, re.IGNORECASE):
+            raise NotImplementedError(
+                "FIRST()/LAST() navigation in DEFINE is run-dependent "
+                "(not precomputable); only PREV()/NEXT() are supported"
+            )
+
+        def sub(m: re.Match) -> str:
+            kind = m.group(1).lower()
+            col = m.group(3)
+            off = int(m.group(4) or 1)
+            key = (col, off, kind)
+            alias = nav_cols.setdefault(key, f"__nav_{kind}{off}_{col}")
+            return alias
+
+        return re.sub(
+            r"(?<!\w)(PREV|NEXT)\s*\(\s*(?:(\w+)\.)?(\w+)\s*(?:,\s*(\d+))?\s*\)",
+            sub,
+            pred,
+            flags=re.IGNORECASE,
+        )
+
     for part in re.split(r",(?=\s*\w+\s+AS\s)", clauses["DEFINE"], flags=re.IGNORECASE):
         dm = re.match(r"\s*(\w+)\s+AS\s+(.*)$", part.strip(), re.IGNORECASE | re.DOTALL)
         if not dm:
             raise ValueError(f"cannot parse DEFINE item: {part!r}")
-        defines[dm.group(1)] = _strip_var_prefixes(dm.group(2).strip(), var_names)
+        defines[dm.group(1)] = _strip_var_prefixes(
+            _rewrite_nav(dm.group(2).strip()), var_names
+        )
+    nav_tuple = tuple(
+        (alias, col, off, kind)
+        for (col, off, kind), alias in nav_cols.items()
+    )
 
     def _variables(var_quants) -> tuple[PatternVar, ...]:
         return tuple(
@@ -363,6 +404,7 @@ def parse_match_recognize(body: str) -> PatternSpec | AlternationSpec:
                 after_match=skip,
                 skip_var=skip_var,
                 rows_per_match=rows_per_match,
+                nav_cols=nav_tuple,
             )
             for aq in alt_quants
         )
@@ -381,6 +423,7 @@ def parse_match_recognize(body: str) -> PatternSpec | AlternationSpec:
         rows_per_match=rows_per_match,
         permute=permute,
         subsets=tuple(subsets),
+        nav_cols=nav_tuple,
     ).validate()
 
 

@@ -118,6 +118,14 @@ def match_pattern_stream(
             f"got {sorted(unsupported)}"
             + (" + SUBSET" if spec.subsets else "")
         )
+    if spec.nav_cols:
+        # PREV/NEXT would need lag/lead ACROSS micro-batch boundaries
+        # (the previous physical row may have been released in an
+        # earlier batch) — computable from the state buffer, but not
+        # implemented; batch-tier feature for now
+        raise NotImplementedError(
+            "PREV()/NEXT() navigation requires batch input"
+        )
     out_schema = output_schema(df, spec)
     if n_buckets is None:
         try:

@@ -1,0 +1,157 @@
+"""SQL:2016 PREV()/NEXT() physical-row navigation in DEFINE (round 4).
+
+The V-shape catalog query pins PREV against a DuckDB closed form
+(queries/cep.py::ORACLE_VSHAPE, 4.8k rows at sf0.01). Here: NEXT and
+offset-n semantics on hand-built sequences, the run-dependent
+FIRST/LAST rejection, tier gates, and the one-exchange plan claim.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from flink_cep_examples_spark.sql.match_recognize import (
+    match_recognize,
+    parse_match_recognize,
+)
+
+_SCHEMA = (
+    "id string, event_time timestamp, seq long, "
+    "balanceBefore double, balanceAfter double"
+)
+
+
+def _t(minute: int) -> dt.datetime:
+    return dt.datetime(2020, 5, 1, 11, minute)
+
+
+def _walk(vals):
+    """Balance walk rows for one key."""
+    return [
+        ("k1", _t(i), i, float(vals[i - 1]) if i else 50.0, float(v))
+        for i, v in enumerate(vals)
+    ]
+
+
+def test_prev_offset_two(spark):
+    """PREV(x, 2) compares against the row TWO positions back."""
+    df = spark.createDataFrame(_walk([10, 20, 5, 30]), _SCHEMA)
+    body = """
+      PARTITION BY id ORDER BY event_time
+      MEASURES D.seq AS at_seq
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP TO NEXT ROW
+      PATTERN (D)
+      DEFINE D AS D.balanceAfter < PREV(D.balanceAfter, 2)
+    """
+    got = sorted(
+        r.at_seq for r in match_recognize(df, body).collect()
+    )
+    # only row 2 (5 < 10); row 3 (30 > 20); rows 0,1 have NULL PREV2
+    assert got == [2]
+
+
+def test_next_navigation(spark):
+    """NEXT(x) reads the following physical row — a 'peak' pattern
+    needs no lookahead variable."""
+    df = spark.createDataFrame(_walk([10, 30, 20, 40, 15]), _SCHEMA)
+    body = """
+      PARTITION BY id ORDER BY event_time
+      MEASURES P.seq AS peak_seq
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP TO NEXT ROW
+      PATTERN (P)
+      DEFINE P AS P.balanceAfter > PREV(P.balanceAfter)
+               AND P.balanceAfter > NEXT(P.balanceAfter)
+    """
+    got = sorted(r.peak_seq for r in match_recognize(df, body).collect())
+    assert got == [1, 3]  # 30 and 40 are local maxima
+
+
+def test_first_last_in_define_rejected():
+    with pytest.raises(NotImplementedError, match="run-dependent"):
+        parse_match_recognize(
+            """
+            PARTITION BY id ORDER BY event_time
+            MEASURES A.seq AS s
+            ONE ROW PER MATCH
+            PATTERN (A B)
+            DEFINE B AS B.balanceAfter > FIRST(A.balanceAfter)
+            """
+        )
+
+
+def test_nav_disables_fast_paths():
+    from flink_cep_examples_spark.operators.fast_path import (
+        fast_abc_applicable,
+        fast_positional_applicable,
+    )
+
+    spec = parse_match_recognize(
+        """
+        PARTITION BY id ORDER BY event_time
+        MEASURES A.datetime AS a_dt
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A B* C)
+        DEFINE A AS A.balanceBefore >= 10 AND A.balanceAfter < 10,
+               B AS B.balanceAfter < PREV(B.balanceAfter),
+               C AS C.balanceBefore < C.balanceAfter
+        """
+    )
+    assert spec.nav_cols
+    assert not fast_abc_applicable(spec)
+    assert not fast_positional_applicable(spec)
+
+
+def test_nav_dedupes_identical_references():
+    """Two predicates using PREV of the same column share one lag."""
+    spec = parse_match_recognize(
+        """
+        PARTITION BY id ORDER BY event_time
+        MEASURES D.seq AS s
+        ONE ROW PER MATCH
+        PATTERN (D U)
+        DEFINE D AS D.balanceAfter < PREV(D.balanceAfter),
+               U AS U.balanceAfter > PREV(U.balanceAfter)
+        """
+    )
+    assert len(spec.nav_cols) == 1
+
+
+def test_streaming_rejects_navigation(spark, tmp_path):
+    from flink_cep_examples_spark.streaming.cep_stream import (
+        match_pattern_stream,
+    )
+
+    d = tmp_path / "in"
+    d.mkdir()
+    stream = spark.readStream.schema(_SCHEMA).parquet(str(d))
+    spec = parse_match_recognize(
+        """
+        PARTITION BY id ORDER BY event_time
+        MEASURES D.seq AS s
+        ONE ROW PER MATCH
+        PATTERN (D)
+        DEFINE D AS D.balanceAfter < PREV(D.balanceAfter)
+        """
+    )
+    with pytest.raises(NotImplementedError, match="batch"):
+        match_pattern_stream(stream, spec)
+
+
+def test_nav_window_reuses_pattern_exchange(spark, sf_small):
+    """The lag window partitions on the same keys the pattern operator
+    shuffles on — the plan must carry exactly ONE hash exchange."""
+    from flink_cep_examples_spark.queries import QUERIES, load_all
+
+    load_all()
+    plan = (
+        QUERIES["cep_vshape_prev"](spark, sf_small)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
