@@ -91,31 +91,53 @@ def _make_measure_eval(measure_list, subsets, src_arrays):
     spans. Aggregates slice the contiguous [first_idx, last_idx] row
     range per component — sound because the spec validated strict
     contiguity. ``match_no`` is the 1-based per-key match ordinal
-    (``None`` on timeout rows)."""
+    (``None`` on timeout rows). ``upto`` (ALL ROWS PER MATCH only)
+    clips RUNNING measures to rows with index ≤ upto — FINAL measures
+    ignore it."""
     import pandas as _pd
 
     subset_map = dict(subsets)
 
-    def spans_of(var: str, match: dict) -> list:
+    def spans_of(var: str, match: dict, upto=None) -> list:
         if var in subset_map:
             spans = [match[c] for c in subset_map[var] if match.get(c)]
-            return sorted(spans, key=lambda s: s[3])
-        s = match.get(var)
-        return [s] if s is not None else []
+            spans = sorted(spans, key=lambda s: s[3])
+        else:
+            s = match.get(var)
+            spans = [s] if s is not None else []
+        if upto is None:
+            return spans
+        # RUNNING: clip each contiguous span at the current row index
+        return [
+            (s[0], min(s[1], upto), min(s[1], upto) - s[0] + 1, s[3], s[4])
+            for s in spans
+            if s[0] <= upto
+        ]
 
-    def eval_measures(match: dict, match_no) -> dict:
+    def eval_measures(match: dict, match_no, upto=None) -> dict:
         out = {}
         classifier = None
         if any(m.fn == "classifier" for m in measure_list) and match:
             classifier = max(match.items(), key=lambda kv: kv[1][4])[0]
         for m in measure_list:
+            cut = upto if (m.running and upto is not None) else None
             if m.fn == "match_number":
                 out[m.name] = match_no
                 continue
             if m.fn == "classifier":
-                out[m.name] = classifier
+                if cut is not None:
+                    live = {
+                        k: v for k, v in match.items() if v[0] <= cut
+                    }
+                    out[m.name] = (
+                        max(live.items(), key=lambda kv: min(kv[1][1], cut))[0]
+                        if live
+                        else None
+                    )
+                else:
+                    out[m.name] = classifier
                 continue
-            spans = spans_of(m.var, match)
+            spans = spans_of(m.var, match, cut)
             if not spans:
                 out[m.name] = 0 if m.fn in ("count", "count_col") else m.default
                 continue
@@ -414,6 +436,7 @@ def match_pattern_all_rows(df: DataFrame, spec: PatternSpec) -> DataFrame:
         eval_measures = _make_measure_eval(measure_list, subsets, src_arrays)
         data_arrays = {c: pdf[c].to_numpy() for c in data_cols}
         rows: dict[str, list] = {c: [] for c in out_cols}
+        any_running = any(m.running for m in measure_list)
         for seq, match in enumerate(matches):
             mvals = eval_measures(match, seq + 1)
             for vname in emit_names:
@@ -425,8 +448,13 @@ def match_pattern_all_rows(df: DataFrame, spec: PatternSpec) -> DataFrame:
                         rows[c].append(data_arrays[c][r])
                     rows["classifier"].append(vname)
                     rows["match_seq"].append(seq)
+                    vals = (
+                        eval_measures(match, seq + 1, upto=r)
+                        if any_running
+                        else mvals
+                    )
                     for m in measure_list:
-                        rows[m.name].append(mvals[m.name])
+                        rows[m.name].append(vals[m.name])
         out = pd.DataFrame(rows, columns=out_cols)
         _null_safe_agg_cast(out, measure_list, out_schema)
         return out

@@ -166,6 +166,13 @@ class Measure:
     'match_number' (1-based per-partition match ordinal in emission
     order, ``MATCH_NUMBER()``). For timeout rows, measures over
     variables the partial never reached yield ``default``.
+
+    ``running`` (SQL:2016 ``RUNNING`` prefix) only matters under ALL
+    ROWS PER MATCH: the measure sees the match's rows UP TO the
+    current output row instead of the whole match. This engine's
+    default is FINAL even in ALL ROWS (documented deviation — the
+    standard defaults to RUNNING there; say ``RUNNING`` explicitly).
+    In ONE ROW PER MATCH the two coincide (evaluated at the last row).
     """
 
     name: str
@@ -173,6 +180,7 @@ class Measure:
     src: str
     fn: str = "first"
     default: object = None
+    running: bool = False
 
 
 @dataclass(frozen=True)

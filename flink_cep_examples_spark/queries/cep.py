@@ -874,6 +874,79 @@ def cep_alternation_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_with_match_recognize(spark, query, {"billing": df})
 
 
+_MR_RUNNING_BODY = """
+  PARTITION BY id
+  ORDER BY event_time
+  MEASURES
+    RUNNING COUNT(B.*) AS b_so_far,
+    RUNNING SUM(B.balanceAfter) AS sum_b_so_far,
+    FINAL COUNT(B.*) AS n_b
+  ALL ROWS PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (A B* C) WITHIN INTERVAL '1' HOUR
+  DEFINE
+    A AS A.balanceBefore >= 10 AND A.balanceAfter < 10,
+    B AS B.balanceBefore >= B.balanceAfter,
+    C AS C.balanceBefore < C.balanceAfter
+"""
+
+#: RUNNING semantics closed form: per match row, the B rows seen so
+#: far are a cumulative window inside the (id, seg) partition (pre-A
+#: rows contribute 0 via the CASE, so the unfiltered window is safe).
+ORACLE_RUNNING = (
+    _ORACLE_BASE
+    + f"""
+, runwin AS (
+  SELECT *,
+         SUM(CASE WHEN tus > a_tus AND tus < c_tus THEN 1 ELSE 0 END)
+           OVER rw AS b_so_far,
+         SUM(CASE WHEN tus > a_tus AND tus < c_tus THEN ba END)
+           OVER rw AS sum_b_so_far,
+         SUM(CASE WHEN tus > a_tus AND tus < c_tus THEN 1 ELSE 0 END)
+           OVER (PARTITION BY id, seg_id) AS n_b
+  FROM cand
+  WINDOW rw AS (PARTITION BY id, seg_id ORDER BY tus, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT id,
+       strftime(make_timestamp(tus), {_FMT}) AS datetime,
+       CASE WHEN tus = a_tus THEN 'A'
+            WHEN tus = c_tus THEN 'C'
+            ELSE 'B' END AS classifier,
+       CAST(DENSE_RANK() OVER (PARTITION BY id ORDER BY c_tus) - 1 AS BIGINT)
+         AS match_seq,
+       CAST(b_so_far AS BIGINT) AS b_so_far,
+       COALESCE(sum_b_so_far, 0.0) AS sum_b_so_far,
+       CAST(n_b AS BIGINT) AS n_b
+FROM runwin
+WHERE a_tus IS NOT NULL AND c_tus IS NOT NULL
+  AND tus BETWEEN a_tus AND c_tus
+"""
+)
+
+
+def cep_running_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2016 RUNNING measure semantics under ALL ROWS PER MATCH:
+    each output row sees the match's rows up to itself (here the
+    cumulative B count/sum), FINAL measures repeat the whole-match
+    value. RUNNING forces the NFA tier (per-row span clipping in
+    ``cep_batch.py::_make_measure_eval``)."""
+    from pyspark.sql import functions as F
+
+    df = events_as_billing(spark, sf_dir)
+    query = f"SELECT * FROM billing MATCH_RECOGNIZE ({_MR_RUNNING_BODY}) t"
+    out = sql_with_match_recognize(spark, query, {"billing": df})
+    return out.select(
+        "id",
+        "datetime",
+        "classifier",
+        "match_seq",
+        "b_so_far",
+        F.coalesce("sum_b_so_far", F.lit(0.0)).alias("sum_b_so_far"),
+        "n_b",
+    )
+
+
 _MR_VSHAPE_BODY = """
   PARTITION BY id
   ORDER BY event_time
@@ -990,5 +1063,9 @@ register(
 )
 register(
     "cep_vshape_prev", cep_vshape_prev, ORACLE_VSHAPE,
+    driver=False,  # driver set capped at 50; oracle-gated in pytest
+)
+register(
+    "cep_running_measures", cep_running_measures, ORACLE_RUNNING,
     driver=False,  # driver set capped at 50; oracle-gated in pytest
 )

@@ -6,10 +6,14 @@ for the subset the reference exercises
 
     PARTITION BY <cols>
     ORDER BY <col>
-    MEASURES [FINAL] <var>.<col> | FIRST/LAST(<var>.<col>)
+    MEASURES [FINAL|RUNNING] <var>.<col> | FIRST/LAST(<var>.<col>)
              | SUM/AVG/MIN/MAX/COUNT(<var>.<col>) | COUNT(<var>.*)
              | CLASSIFIER() | MATCH_NUMBER()      AS <alias> [, ...]
-      (<var> may be a SUBSET name; aggregates need strict contiguity)
+      (<var> may be a SUBSET name; aggregates need strict contiguity;
+       RUNNING clips a measure to the rows up to the current output
+       row under ALL ROWS PER MATCH — this engine defaults to FINAL
+       everywhere, a documented deviation from the standard's ALL
+       ROWS default)
     ONE ROW PER MATCH
     AFTER MATCH SKIP PAST LAST ROW | SKIP TO NEXT ROW
                 | SKIP TO FIRST <var> | SKIP TO LAST <var>
@@ -222,7 +226,7 @@ def _parse_within(rest: str) -> str | None:
 
 
 _MEASURE_RE = re.compile(
-    r"^\s*(?:FINAL\s+)?(?:"  # FINAL is the default (and only) semantics
+    r"^\s*(?:(?P<running>RUNNING)\s+|FINAL\s+)?(?:"  # FINAL is the default
     r"(?P<count>COUNT\s*\(\s*(?P<cvar>\w+)\.\*\s*\))"
     r"|(?P<nilad>CLASSIFIER|MATCH_NUMBER)\s*\(\s*\)"
     r"|(?:(?P<agg>SUM|AVG|MIN|MAX|COUNT)\s*\(\s*(?P<avar>\w+)\.(?P<acol>\w+)\s*\))"
@@ -242,13 +246,16 @@ def _parse_measures(text: str) -> list[Measure]:
         m = _MEASURE_RE.match(part)
         if not m:
             raise ValueError(f"unsupported MEASURES item: {part!r}")
+        running = bool(m.group("running"))
         if m.group("count"):
             measures.append(
-                Measure(m.group("alias"), m.group("cvar"), "__count__", "count")
+                Measure(m.group("alias"), m.group("cvar"), "__count__",
+                        "count", running=running)
             )
         elif m.group("nilad"):
             measures.append(
-                Measure(m.group("alias"), "", "", m.group("nilad").lower())
+                Measure(m.group("alias"), "", "", m.group("nilad").lower(),
+                        running=running)
             )
         elif m.group("agg"):
             fn = m.group("agg").lower()
@@ -258,6 +265,7 @@ def _parse_measures(text: str) -> list[Measure]:
                     m.group("avar"),
                     m.group("acol"),
                     "count_col" if fn == "count" else fn,
+                    running=running,
                 )
             )
         elif m.group("fn"):
@@ -267,6 +275,7 @@ def _parse_measures(text: str) -> list[Measure]:
                     m.group("fvar"),
                     m.group("fcol"),
                     m.group("fn").lower(),
+                    running=running,
                 )
             )
         else:
@@ -504,6 +513,8 @@ def match_recognize(
             use_fast_path
             and fast_abc_applicable(spec)
             and spec.variables[1].until is None
+            # RUNNING measures need per-row clipping — NFA tier only
+            and not any(m.running for m in spec.measures)
         ):
             return match_pattern_fast_abc_all_rows(df, spec)
         return match_pattern_all_rows(df, spec)

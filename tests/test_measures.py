@@ -192,3 +192,42 @@ def test_streaming_rejects_aggregate_measures(spark, tmp_path):
     )
     with pytest.raises(NotImplementedError, match="first/last/count"):
         match_pattern_stream(stream, spec)
+
+
+def test_running_measures_all_rows(spark):
+    """RUNNING clips measures to rows up to the current output row;
+    FINAL repeats the whole-match value; RUNNING LAST tracks the most
+    recent matched row of the variable so far (NULL before it)."""
+    df = spark.createDataFrame(
+        [
+            ("k1", _t(0), 1, 13.0, 9.0),   # A
+            ("k1", _t(10), 2, 9.0, 5.0),   # B
+            ("k1", _t(20), 3, 5.0, 4.0),   # B
+            ("k1", _t(30), 4, 4.0, 20.0),  # C
+        ],
+        _SCHEMA,
+    )
+    body = """
+      PARTITION BY id ORDER BY event_time
+      MEASURES
+        RUNNING COUNT(B.*) AS nb_run,
+        RUNNING SUM(B.balanceAfter) AS sb_run,
+        RUNNING LAST(B.balanceAfter) AS lb_run,
+        FINAL COUNT(B.*) AS nb_fin
+      ALL ROWS PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A B* C)
+      DEFINE
+        A AS A.balanceBefore >= 10 AND A.balanceAfter < 10,
+        B AS B.balanceBefore >= B.balanceAfter,
+        C AS C.balanceBefore < C.balanceAfter
+    """
+    rows = sorted(
+        match_recognize(df, body).collect(), key=lambda r: r.seq
+    )
+    assert [(r.nb_run, r.sb_run, r.lb_run, r.nb_fin) for r in rows] == [
+        (0, None, None, 2),   # A row: no B yet
+        (1, 5.0, 5.0, 2),     # first B
+        (2, 9.0, 4.0, 2),     # second B
+        (2, 9.0, 4.0, 2),     # C row: running == final for B
+    ]
