@@ -65,9 +65,16 @@ from flink_cep_examples_spark.schemas import MATCH_TAG, TIMEOUT_TAG
 def fast_abc_applicable(spec: PatternSpec) -> bool:
     """Structural check only — the caller is responsible for the
     semantic guarantees (B ≡ ¬C, A ∧ C = ∅); differential tests against
-    the NFA path verify them on real data."""
+    the NFA path verify them on real data.
+
+    Measures: A/C first-last and COUNT(B.*) everywhere; aggregates
+    over B, CLASSIFIER() and MATCH_NUMBER() additionally compile on
+    the one-row no-timeout shape (B rows are the segment slice between
+    the anchor and the C row — a windowed conditional aggregate)."""
+    from flink_cep_examples_spark.plans.pattern import AGG_FNS, NILADIC_FNS
+
     v = spec.variables
-    return (
+    if not (
         len(v) == 3
         and not any(vv.negated for vv in v)
         and v[0].quantifier == ONCE
@@ -75,10 +82,17 @@ def fast_abc_applicable(spec: PatternSpec) -> bool:
         and not v[1].combinations
         and v[2].quantifier == ONCE
         and not spec.nav_cols  # PREV/NEXT columns exist only in the NFA tier's prepare
+        and not spec.subsets
         and spec.after_match == SKIP_PAST_LAST_EVENT
-        and all(m.fn in ("first", "last") and m.var in (v[0].name, v[2].name)
-                or (m.fn == "count" and m.var == v[1].name)
-                for m in spec.measures)
+    ):
+        return False
+    extended_ok = not spec.emit_timeouts and v[1].until is None
+    return all(
+        (m.fn in ("first", "last") and m.var in (v[0].name, v[2].name))
+        or (m.fn == "count" and m.var == v[1].name)
+        or (m.fn in AGG_FNS and m.var == v[1].name and extended_ok)
+        or (m.fn in NILADIC_FNS and extended_ok)
+        for m in spec.measures
     )
 
 
@@ -276,7 +290,15 @@ def match_pattern_fast_abc_all_rows(df: DataFrame, spec: PatternSpec) -> DataFra
     schema identical to
     :func:`~flink_cep_examples_spark.operators.cep_batch.match_pattern_all_rows`;
     differential-tested against it."""
-    if not fast_abc_applicable(spec) or spec.variables[1].until is not None:
+    from flink_cep_examples_spark.plans.pattern import AGG_FNS, NILADIC_FNS
+
+    if (
+        not fast_abc_applicable(spec)
+        or spec.variables[1].until is not None
+        or any(
+            m.fn in AGG_FNS or m.fn in NILADIC_FNS for m in spec.measures
+        )  # extended measures compile on the ONE ROW shape only
+    ):
         raise ValueError("pattern not eligible for the A B* C all-rows path")
     spec.validate()
     from flink_cep_examples_spark.operators.cep_batch import (
@@ -346,10 +368,42 @@ def match_pattern_fast_abc(df: DataFrame, spec: PatternSpec) -> DataFrame:
     )
     until_pred = spec.variables[1].until
 
+    from flink_cep_examples_spark.plans.pattern import AGG_FNS, NILADIC_FNS
+
     srcs = sorted(
-        {m.src for m in spec.measures if m.fn != "count"} - set(keys)
+        {
+            m.src
+            for m in spec.measures
+            if m.fn != "count" and m.fn not in NILADIC_FNS and m.src
+        }
+        - set(keys)
     )
     with_a, w_ord = _segment_anchors(df, spec, [*keys, *srcs])
+    agg_measures = [m for m in spec.measures if m.fn in AGG_FNS]
+    if agg_measures:
+        # B rows of a match are the segment slice strictly between the
+        # anchor A and the closing C — a windowed conditional aggregate
+        # over the SAME (key, __seg) partition (no new exchange).
+        # Empty slice → NULL (COUNT → 0), matching the NFA evaluator.
+        w_seg = Window.partitionBy(*keys, "__seg")
+        in_b = (F.col("__rn") > F.col("__a.rn")) & (
+            F.col("__rn") < F.col("__c.rn")
+        )
+        _AGG = {
+            "sum": F.sum,
+            "min": F.min,
+            "max": F.max,
+            "avg": F.avg,
+            "count_col": F.count,
+        }
+        with_a = with_a.withColumns(
+            {
+                f"__bagg_{m.name}": _AGG[m.fn](
+                    F.when(in_b, F.col(m.src))
+                ).over(w_seg)
+                for m in agg_measures
+            }
+        )
     if spec.emit_timeouts:
         # Same window partitioning/ordering as __seg/__rn → one Window
         # stage, no extra shuffle. Because A ∧ C is unsatisfiable, a row
@@ -378,6 +432,14 @@ def match_pattern_fast_abc(df: DataFrame, spec: PatternSpec) -> DataFrame:
         keep = is_match_row
 
     def match_measure(m: Measure):
+        if m.fn in AGG_FNS:
+            return F.col(f"__bagg_{m.name}")
+        if m.fn == "classifier":
+            return F.lit(c_var)  # a match's last row is always its C
+        if m.fn == "match_number":
+            # per-key emission ordinal: matches emit at their C rows in
+            # event-time order; same key partitioning → no new exchange
+            return F.row_number().over(w_ord)
         if m.var == c_var:
             return F.col(m.src)
         if m.var == a_var:

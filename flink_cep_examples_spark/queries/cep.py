@@ -1012,7 +1012,10 @@ def cep_vshape_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("cep_alert_reactions", cep_alert_reactions, ORACLE_MATCHES)
-register("cep_until_pattern", cep_until_pattern, ORACLE_UNTIL)
+register(
+    "cep_until_pattern", cep_until_pattern, ORACLE_UNTIL,
+    driver=False,  # r4.2 rotation: driver-verified green in r2+r3; pytest-gated
+)
 register(
     "cep_alert_reactions_nfa", cep_alert_reactions_nfa, ORACLE_MATCHES,
     driver=False,  # NFA-tier twin of cep_alert_reactions; differential in pytest
@@ -1024,7 +1027,10 @@ register(
     driver=False,  # NFA-tier twin of cep_alerts_with_timeouts
 )
 register("cep_match_recognize", cep_match_recognize, ORACLE_MATCHES)
-register("cep_match_recognize_all_rows", cep_match_recognize_all_rows, ORACLE_ALL_ROWS)
+register(
+    "cep_match_recognize_all_rows", cep_match_recognize_all_rows, ORACLE_ALL_ROWS,
+    driver=False,  # r4.2 rotation: verified r2+r3; all-rows family now driver-repped by cep_running_measures
+)
 register(
     "cep_match_recognize_excl", cep_match_recognize_excl, ORACLE_ALL_ROWS_EXCL,
     driver=False,  # driver set capped at 50; oracle-gated in pytest
@@ -1039,7 +1045,10 @@ register(
     cep_absence_not_followed_by,
     ORACLE_NOT_FOLLOWED_BY,
 )
-register("cep_skip_to_next", cep_skip_to_next, ORACLE_SKIP_TO_NEXT)
+register(
+    "cep_skip_to_next", cep_skip_to_next, ORACLE_SKIP_TO_NEXT,
+    driver=False,  # r4.2 rotation: verified r2+r3; skip family driver-repped by cep_skip_to_last
+)
 register("cep_times_pattern", cep_times_pattern, ORACLE_TIMES)
 register(
     "cep_skip_to_last", cep_skip_to_last, ORACLE_SKIP_TO_LAST,
@@ -1049,23 +1058,18 @@ register(
     "cep_skip_to_last_nfa", cep_skip_to_last_nfa, ORACLE_SKIP_TO_LAST,
     driver=False,  # NFA-tier twin; differential in pytest
 )
-register(
+register(  # r4.2 rotation: promoted into the 50-row driver gate
     "cep_measure_aggregates", cep_measure_aggregates, ORACLE_MEASURE_AGGS,
-    driver=False,  # driver set capped at 50; oracle-gated in pytest
 )
-register(
+register(  # r4.2 rotation: promoted into the 50-row driver gate
     "cep_subset_measures", cep_subset_measures, ORACLE_SUBSET,
-    driver=False,  # driver set capped at 50; oracle-gated in pytest
 )
-register(
+register(  # r4.2 rotation: promoted into the 50-row driver gate
     "cep_alternation_pattern", cep_alternation_pattern, ORACLE_ALTERNATION,
-    driver=False,  # driver set capped at 50; oracle-gated in pytest
 )
-register(
+register(  # r4.2 rotation: promoted into the 50-row driver gate
     "cep_vshape_prev", cep_vshape_prev, ORACLE_VSHAPE,
-    driver=False,  # driver set capped at 50; oracle-gated in pytest
 )
-register(
+register(  # r4.2 rotation: promoted into the 50-row driver gate
     "cep_running_measures", cep_running_measures, ORACLE_RUNNING,
-    driver=False,  # driver set capped at 50; oracle-gated in pytest
 )

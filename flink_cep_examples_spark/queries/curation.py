@@ -331,7 +331,10 @@ FROM s
 """
 
 
-register("docs_chunk_spans", docs_chunk_spans, ORACLE_CHUNKS)
+register(
+    "docs_chunk_spans", docs_chunk_spans, ORACLE_CHUNKS,
+    driver=False,  # r4.2 rotation: driver-verified green in r2+r3; pytest-gated
+)
 register("docs_repetition_stats", docs_repetition_stats, ORACLE_REPETITION, driver=False,  # r4 rotation: driver-verified green in r2+r3; pytest-gated now
 )
 register("docs_gopher_quality", docs_gopher_quality, ORACLE_GOPHER)

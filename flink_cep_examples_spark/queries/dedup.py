@@ -459,6 +459,9 @@ register(
     "dedup_ngram_jaccard", dedup_ngram_jaccard, ORACLE_JACCARD,
     # round-4 rotation: promoted into the 50-row driver gate
 )
-register("dedup_minhash_lsh", dedup_minhash_lsh, _oracle_minhash())
+register(
+    "dedup_minhash_lsh", dedup_minhash_lsh, _oracle_minhash(),
+    driver=False,  # r4.2 rotation: driver-verified green in r2+r3; pytest-gated
+)
 register("dedup_simhash", dedup_simhash, _oracle_simhash(), driver=False,  # r4 rotation: driver-verified green in r2+r3; pytest-gated now
 )

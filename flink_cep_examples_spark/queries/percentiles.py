@@ -68,5 +68,6 @@ FROM ranked GROUP BY event_type
 
 
 register(
-    "events_value_percentiles", events_value_percentiles, ORACLE_PERCENTILES
+    "events_value_percentiles", events_value_percentiles, ORACLE_PERCENTILES,
+    driver=False,  # r4.2 rotation: driver-verified green in r2+r3; pytest-gated
 )

@@ -520,7 +520,10 @@ GROUP BY label
 """
 
 
-register("ann_bruteforce_topk", ann_bruteforce_topk, ORACLE_BRUTEFORCE)
+register(
+    "ann_bruteforce_topk", ann_bruteforce_topk, ORACLE_BRUTEFORCE,
+    driver=False,  # r4.2 rotation: driver-verified green in r2+r3; pytest-gated
+)
 register("ann_lsh_topk", ann_lsh_topk, ORACLE_LSH_TOPK, driver=False,  # r4 rotation: driver-verified green in r2+r3; pytest-gated now
 )
 register("ann_batch_topk", ann_batch_topk, ORACLE_BATCH_TOPK)

@@ -509,12 +509,18 @@ def match_recognize(
         # fast_abc_applicable doesn't check until(), but the all-rows
         # closed form rejects it — guard here so an until-carrying spec
         # falls back to the NFA tier instead of raising.
+        from flink_cep_examples_spark.plans.pattern import AGG_FNS, NILADIC_FNS
+
         if (
             use_fast_path
             and fast_abc_applicable(spec)
             and spec.variables[1].until is None
-            # RUNNING measures need per-row clipping — NFA tier only
-            and not any(m.running for m in spec.measures)
+            # RUNNING / aggregate / niladic measures need the NFA tier
+            # in all-rows mode (the fast path compiles them one-row only)
+            and not any(
+                m.running or m.fn in AGG_FNS or m.fn in NILADIC_FNS
+                for m in spec.measures
+            )
         ):
             return match_pattern_fast_abc_all_rows(df, spec)
         return match_pattern_all_rows(df, spec)

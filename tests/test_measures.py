@@ -231,3 +231,38 @@ def test_running_measures_all_rows(spark):
         (2, 9.0, 4.0, 2),     # second B
         (2, 9.0, 4.0, 2),     # C row: running == final for B
     ]
+
+
+def test_agg_measures_fast_path_matches_nfa(spark, sf_small):
+    """Aggregate MEASURES + CLASSIFIER + MATCH_NUMBER on the A B* C
+    shape compile to windowed conditional aggregates
+    (fast_path.py::match_pattern_fast_abc) — must equal the NFA tier
+    on the real events-as-billing corpus, NULL-empty segments
+    included."""
+    import dataclasses
+
+    from flink_cep_examples_spark.operators.cep_batch import match_pattern
+    from flink_cep_examples_spark.operators.fast_path import (
+        fast_abc_applicable,
+        match_pattern_fast_abc,
+    )
+    from flink_cep_examples_spark.plans.pattern import billing_pattern
+    from flink_cep_examples_spark.sources.billing import events_as_billing
+
+    spec = dataclasses.replace(
+        billing_pattern(),
+        measures=(
+            Measure("alarm_dt", "A", "datetime", "first"),
+            Measure("sum_b", "B", "balanceAfter", "sum"),
+            Measure("avg_b", "B", "balanceAfter", "avg"),
+            Measure("min_b", "B", "balanceAfter", "min"),
+            Measure("n_b", "B", "balanceAfter", "count_col"),
+            Measure("cls", "", "", "classifier"),
+            Measure("mno", "", "", "match_number"),
+        ),
+    )
+    assert fast_abc_applicable(spec)
+    df = events_as_billing(spark, sf_small)
+    nfa_rows = sorted(map(tuple, match_pattern(df, spec).collect()))
+    fast_rows = sorted(map(tuple, match_pattern_fast_abc(df, spec).collect()))
+    assert nfa_rows and nfa_rows == fast_rows
