@@ -466,3 +466,139 @@ def match_pattern_all_rows(df: DataFrame, spec: PatternSpec) -> DataFrame:
     return grouped_partition_scan(
         prepared, key_cols, [_TS_COL, tiebreak], scan, out_schema
     )
+
+
+def match_pattern_time_sliced(
+    df: DataFrame,
+    spec: PatternSpec,
+    slice_duration=None,
+) -> DataFrame:
+    """Skew-resistant batch CEP: split each key's TIMELINE into slices
+    and pattern-match the slices in parallel.
+
+    The 100 TB problem this solves: ``match_pattern`` scans one key's
+    rows sequentially inside one task, so a hot key (one user holding
+    1% of a 100 TB stream) serializes. When the pattern carries a
+    ``within`` deadline, no match spans more than ``within`` of event
+    time — so the timeline can be cut into slices of ``slice_duration``
+    (≥ within), each slice extended with the following ``within`` of
+    rows (every row lands in ≤ 2 slices), and matched independently;
+    a match belongs to the slice containing its FIRST row, which
+    dedupes the overlap. The shuffle key becomes (key, slice): a hot
+    key spreads over time-proportional many tasks.
+
+    Soundness requires starts to be decided independently, so only the
+    start-local strategies qualify: SKIP_TO_NEXT (emission discards
+    same-start runs only — same slice by construction) and NO_SKIP.
+    SKIP PAST LAST ROW threads a cursor through the whole timeline and
+    must stay on the sequential operator. Timeout (absence) emission is
+    start-local too and is supported.
+
+    Default ``slice_duration`` = ``within`` (maximum parallelism at
+    2× row replication worst case; longer slices replicate less).
+    """
+    from flink_cep_examples_spark.plans.pattern import (
+        NO_SKIP,
+        SKIP_TO_NEXT,
+        parse_interval,
+    )
+
+    spec.validate()
+    if spec.within is None:
+        raise ValueError(
+            "time-sliced matching needs within() (it bounds a match's "
+            "event-time span — without it a match may cross any slice)"
+        )
+    if spec.after_match not in (SKIP_TO_NEXT, NO_SKIP):
+        raise NotImplementedError(
+            "time-sliced matching supports SKIP TO NEXT ROW / NO_SKIP "
+            "(SKIP PAST LAST ROW threads a sequential cursor through "
+            "the key's whole timeline)"
+        )
+    if any(m.fn == "match_number" for m in spec.measures):
+        raise NotImplementedError(
+            "MATCH_NUMBER() is a whole-timeline ordinal — not available "
+            "on the sliced operator"
+        )
+    within_us = int(spec.within.total_seconds() * 1_000_000)
+    slice_td = parse_interval(slice_duration) if slice_duration else spec.within
+    slice_us = int(slice_td.total_seconds() * 1_000_000)
+    if slice_us < within_us:
+        raise ValueError(
+            f"slice_duration ({slice_td}) must be >= within "
+            f"({spec.within}) so a row lands in at most 2 slices"
+        )
+
+    prepared = _prepare(df, spec)
+    home = F.floor(F.col(_TS_COL) / F.lit(slice_us))
+    # a row whose offset into its home slice is < within also serves
+    # the PREVIOUS slice (it can extend/complete a match started there)
+    also_prev = (F.col(_TS_COL) % F.lit(slice_us) < F.lit(within_us)) & (
+        home > 0
+    )
+    sliced = prepared.withColumn(
+        "__slice",
+        F.explode(
+            F.when(
+                also_prev, F.array(home.cast("long"), (home - 1).cast("long"))
+            ).otherwise(F.array(home.cast("long")))
+        ),
+    )
+
+    out_schema = output_schema(df, spec)
+    n_vars = len(spec.pred_exprs)
+    compiled = nfa.Nfa(spec)
+    key_cols = list(spec.key_cols)
+    measure_list = list(spec.measures)
+    subsets = spec.subsets
+    tiebreak = spec.tiebreak_col
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([_TS_COL, tiebreak], kind="mergesort")
+        ts = pdf[_TS_COL].to_numpy(dtype=np.int64)
+        preds = np.stack(
+            [
+                pdf[f"{_PRED_PREFIX}{i}"].to_numpy(dtype=bool)
+                for i in range(n_vars)
+            ]
+        )
+        matches, timeouts = nfa.scan_key_group(compiled, preds, ts)
+        slice_id = int(pdf["__slice"].iloc[0]) if len(pdf) else 0
+        lo, hi = slice_id * slice_us, (slice_id + 1) * slice_us
+        key_vals = {k: pdf[k].iloc[0] if len(pdf) else None for k in key_cols}
+        src_arrays = {
+            m.src: pdf[m.src].to_numpy() for m in measure_list if _needs_src(m)
+        }
+        eval_measures = _make_measure_eval(measure_list, subsets, src_arrays)
+        out_cols: dict[str, list] = {
+            f.name: [] for f in out_schema.fields
+        }
+
+        def emit(match: dict, tag: str) -> None:
+            # home-slice ownership: the match's first row decides
+            start = min(s[0] for s in match.values())
+            if not (lo <= ts[start] < hi):
+                return
+            for k in key_cols:
+                out_cols[k].append(key_vals[k])
+            for name, val in eval_measures(match, None).items():
+                out_cols[name].append(val)
+            out_cols["tag"].append(tag)
+
+        for match in matches:
+            emit(match, MATCH_TAG)
+        for to in timeouts:
+            emit(to, TIMEOUT_TAG)
+        out = pd.DataFrame(
+            out_cols, columns=[f.name for f in out_schema.fields]
+        )
+        _null_safe_agg_cast(out, measure_list, out_schema)
+        return out
+
+    from flink_cep_examples_spark.operators.partition_scan import (
+        grouped_partition_scan,
+    )
+
+    return grouped_partition_scan(
+        sliced, [*key_cols, "__slice"], [_TS_COL, tiebreak], scan, out_schema
+    )

@@ -396,6 +396,22 @@ def absence_spec():
     )
 
 
+def cep_sliced_absence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The timed-absence pattern through the TIME-SLICED operator
+    (operators/cep_batch.py::match_pattern_time_sliced): each user's
+    timeline splits into 1-hour slices matched in parallel — the
+    hot-key skew path (shuffle key = (id, slice)); same answer as the
+    sequential NFA and the compiled closed form, pinned by the same
+    oracle."""
+    from flink_cep_examples_spark.operators.cep_batch import (
+        match_pattern_time_sliced,
+    )
+
+    return _matches_only(
+        match_pattern_time_sliced(events_as_billing(spark, sf_dir), absence_spec())
+    )
+
+
 def cep_absence_not_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timed-absence on the compiled closed-form path (one window over
     one key Exchange, zero Python); the NFA tier is the
@@ -1072,4 +1088,8 @@ register(  # r4.2 rotation: promoted into the 50-row driver gate
 )
 register(  # r4.2 rotation: promoted into the 50-row driver gate
     "cep_running_measures", cep_running_measures, ORACLE_RUNNING,
+)
+register(
+    "cep_sliced_absence", cep_sliced_absence, ORACLE_NOT_FOLLOWED_BY,
+    driver=False,  # sliced twin of cep_absence_not_followed_by; pytest-gated
 )
