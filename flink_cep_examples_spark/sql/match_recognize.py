@@ -5,7 +5,7 @@ for the subset the reference exercises
 (FlinkSqlMatchRecognizeExample.scala:50-68) —
 
     PARTITION BY <cols>
-    ORDER BY <col>
+    ORDER BY <col> [, <tiebreak_col>]
     MEASURES [FINAL|RUNNING] <var>.<col> | FIRST/LAST(<var>.<col>)
              | SUM/AVG/MIN/MAX/COUNT(<var>.<col>) | COUNT(<var>.*)
              | CLASSIFIER() | MATCH_NUMBER()      AS <alias> [, ...]
@@ -380,7 +380,18 @@ def parse_match_recognize(body: str) -> PatternSpec | AlternationSpec:
     keys = tuple(
         c.strip() for c in clauses.get("PARTITION BY", "").split(",") if c.strip()
     )
-    order = clauses.get("ORDER BY", "").strip()
+    order_cols = [
+        c.strip()
+        for c in clauses.get("ORDER BY", "").split(",")
+        if c.strip()
+    ]
+    if len(order_cols) > 2:
+        raise NotImplementedError(
+            "ORDER BY supports at most two sort keys (event-time column "
+            f"+ one tiebreak), got {order_cols}"
+        )
+    order = order_cols[0] if order_cols else ""
+    order_tiebreak = order_cols[1] if len(order_cols) == 2 else None
 
     subsets: list[tuple[str, tuple[str, ...]]] = []
     if "SUBSET" in clauses:
@@ -409,6 +420,7 @@ def parse_match_recognize(body: str) -> PatternSpec | AlternationSpec:
                 variables=_variables(aq),
                 key_cols=keys,
                 order_col=order,
+                tiebreak_col=order_tiebreak or "seq",
                 within=within,
                 after_match=skip,
                 skip_var=skip_var,
@@ -425,6 +437,7 @@ def parse_match_recognize(body: str) -> PatternSpec | AlternationSpec:
         variables=variables,
         key_cols=keys,
         order_col=order,
+        tiebreak_col=order_tiebreak or "seq",
         within=within,
         after_match=skip,
         skip_var=skip_var,
@@ -462,7 +475,11 @@ def match_recognize(
     would; both produce identical results (differential-tested).
     """
     spec = parse_match_recognize(body)
-    updates: dict = {"tiebreak_col": tiebreak_col, "emit_timeouts": emit_timeouts}
+    updates: dict = {"emit_timeouts": emit_timeouts}
+    if spec.tiebreak_col == "seq":
+        # a second ORDER BY key in the SQL is the tiebreak and wins
+        # over the caller parameter; otherwise the parameter applies
+        updates["tiebreak_col"] = tiebreak_col
     if order_col is not None:
         updates["order_col"] = order_col
     if isinstance(spec, AlternationSpec):

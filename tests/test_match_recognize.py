@@ -357,3 +357,21 @@ def test_permute_matches_python_bruteforce(spark):
                     expect.append((k, alarm, topup))
                     break
     assert got == sorted(expect) and got
+
+
+def test_order_by_second_column_is_tiebreak():
+    from flink_cep_examples_spark.sql.match_recognize import (
+        parse_match_recognize,
+    )
+
+    spec = parse_match_recognize(
+        """
+        PARTITION BY id ORDER BY event_time, event_id
+        MEASURES A.seq AS s
+        ONE ROW PER MATCH
+        PATTERN (A)
+        DEFINE A AS fa
+        """
+    )
+    assert spec.order_col == "event_time"
+    assert spec.tiebreak_col == "event_id"
