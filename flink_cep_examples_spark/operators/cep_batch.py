@@ -91,53 +91,32 @@ def _make_measure_eval(measure_list, subsets, src_arrays):
     spans. Aggregates slice the contiguous [first_idx, last_idx] row
     range per component — sound because the spec validated strict
     contiguity. ``match_no`` is the 1-based per-key match ordinal
-    (``None`` on timeout rows). ``upto`` (ALL ROWS PER MATCH only)
-    clips RUNNING measures to rows with index ≤ upto — FINAL measures
-    ignore it."""
+    (``None`` on timeout rows). RUNNING measures (ALL ROWS PER MATCH)
+    are NOT handled here — see :func:`_running_series`."""
     import pandas as _pd
 
     subset_map = dict(subsets)
 
-    def spans_of(var: str, match: dict, upto=None) -> list:
+    def spans_of(var: str, match: dict) -> list:
         if var in subset_map:
             spans = [match[c] for c in subset_map[var] if match.get(c)]
-            spans = sorted(spans, key=lambda s: s[3])
-        else:
-            s = match.get(var)
-            spans = [s] if s is not None else []
-        if upto is None:
-            return spans
-        # RUNNING: clip each contiguous span at the current row index
-        return [
-            (s[0], min(s[1], upto), min(s[1], upto) - s[0] + 1, s[3], s[4])
-            for s in spans
-            if s[0] <= upto
-        ]
+            return sorted(spans, key=lambda s: s[3])
+        s = match.get(var)
+        return [s] if s is not None else []
 
-    def eval_measures(match: dict, match_no, upto=None) -> dict:
+    def eval_measures(match: dict, match_no) -> dict:
         out = {}
         classifier = None
         if any(m.fn == "classifier" for m in measure_list) and match:
             classifier = max(match.items(), key=lambda kv: kv[1][4])[0]
         for m in measure_list:
-            cut = upto if (m.running and upto is not None) else None
             if m.fn == "match_number":
                 out[m.name] = match_no
                 continue
             if m.fn == "classifier":
-                if cut is not None:
-                    live = {
-                        k: v for k, v in match.items() if v[0] <= cut
-                    }
-                    out[m.name] = (
-                        max(live.items(), key=lambda kv: min(kv[1][1], cut))[0]
-                        if live
-                        else None
-                    )
-                else:
-                    out[m.name] = classifier
+                out[m.name] = classifier
                 continue
-            spans = spans_of(m.var, match, cut)
+            spans = spans_of(m.var, match)
             if not spans:
                 out[m.name] = 0 if m.fn in ("count", "count_col") else m.default
                 continue
@@ -170,6 +149,53 @@ def _make_measure_eval(measure_list, subsets, src_arrays):
         return out
 
     return eval_measures
+
+
+def _running_series(m: Measure, spans: list, arr, lo: int, hi: int) -> list:
+    """RUNNING value of one measure for every row index in [lo, hi]:
+    one incremental pass over the match (linear, not per-row
+    re-aggregation). ``spans`` are the variable's ordered contiguous
+    spans; ``arr`` the source column (None for count/count★)."""
+    out = [None] * (hi - lo + 1)
+    si = 0
+    count = n_vals = 0
+    total = 0.0
+    mn = mx = first = last = None
+    for r in range(lo, hi + 1):
+        while si < len(spans) and r > spans[si][1]:
+            si += 1
+        if si < len(spans) and spans[si][0] <= r <= spans[si][1]:
+            count += 1
+            if arr is not None:
+                v = arr[r]
+                if count == 1:
+                    first = v  # first ROW's value, null or not
+                last = v
+                if not pd.isna(v):
+                    n_vals += 1
+                    total += v if m.fn in ("sum", "avg") else 0.0
+                    mn = v if mn is None or v < mn else mn
+                    mx = v if mx is None or v > mx else mx
+        i = r - lo
+        if m.fn == "count":
+            out[i] = count
+        elif m.fn == "count_col":
+            out[i] = n_vals
+        elif m.fn == "first":
+            out[i] = first if count else None
+        elif m.fn == "last":
+            out[i] = last if count else None
+        elif n_vals == 0:
+            out[i] = None  # SQL: aggregate over empty/all-NULL prefix
+        elif m.fn == "sum":
+            out[i] = total
+        elif m.fn == "avg":
+            out[i] = total / n_vals
+        elif m.fn == "min":
+            out[i] = mn
+        else:
+            out[i] = mx
+    return out
 
 
 def output_schema(df: DataFrame, spec: PatternSpec) -> T.StructType:
@@ -321,6 +347,19 @@ def match_pattern_alternation(df: DataFrame, aspec: AlternationSpec) -> DataFram
         offsets.append((len(pred_exprs), len(exprs)))
         pred_exprs.extend(exprs)
 
+    # PREV/NEXT lag columns: union across alternatives (the SQL parser
+    # shares one nav tuple, but merge defensively), materialized before
+    # predicate evaluation exactly as in _prepare
+    merged_nav: dict[str, tuple] = {}
+    for alt in alts:
+        for nav in alt.nav_cols:
+            merged_nav[nav[0]] = nav
+    if merged_nav:
+        import dataclasses as _dc
+
+        df = _with_nav_cols(
+            df, _dc.replace(alts[0], nav_cols=tuple(merged_nav.values()))
+        )
     needed = {m.src for m in measure_list if _needs_src(m)}
     needed.update(key_cols)
     needed.add(tiebreak)
@@ -436,9 +475,37 @@ def match_pattern_all_rows(df: DataFrame, spec: PatternSpec) -> DataFrame:
         eval_measures = _make_measure_eval(measure_list, subsets, src_arrays)
         data_arrays = {c: pdf[c].to_numpy() for c in data_cols}
         rows: dict[str, list] = {c: [] for c in out_cols}
-        any_running = any(m.running for m in measure_list)
+        subset_map = dict(subsets)
+        running = [m for m in measure_list if m.running]
+
+        def _spans(var: str, match: dict) -> list:
+            if var in subset_map:
+                return sorted(
+                    (match[c] for c in subset_map[var] if match.get(c)),
+                    key=lambda s: s[3],
+                )
+            s = match.get(var)
+            return [s] if s is not None else []
+
         for seq, match in enumerate(matches):
             mvals = eval_measures(match, seq + 1)
+            run_series: dict[str, tuple[int, list]] = {}
+            if running and match:
+                lo = min(s[0] for s in match.values())
+                hi = max(s[1] for s in match.values())
+                for m in running:
+                    if m.fn in ("match_number", "classifier"):
+                        continue  # constant / current-row vname below
+                    run_series[m.name] = (
+                        lo,
+                        _running_series(
+                            m,
+                            _spans(m.var, match),
+                            src_arrays.get(m.src),
+                            lo,
+                            hi,
+                        ),
+                    )
             for vname in emit_names:
                 span = match.get(vname)
                 if span is None:
@@ -448,13 +515,16 @@ def match_pattern_all_rows(df: DataFrame, spec: PatternSpec) -> DataFrame:
                         rows[c].append(data_arrays[c][r])
                     rows["classifier"].append(vname)
                     rows["match_seq"].append(seq)
-                    vals = (
-                        eval_measures(match, seq + 1, upto=r)
-                        if any_running
-                        else mvals
-                    )
                     for m in measure_list:
-                        rows[m.name].append(vals[m.name])
+                        if m.name in run_series:
+                            lo, series = run_series[m.name]
+                            rows[m.name].append(series[r - lo])
+                        elif m.running and m.fn == "classifier":
+                            # RUNNING CLASSIFIER() = the current row's
+                            # own variable (SQL:2016)
+                            rows[m.name].append(vname)
+                        else:
+                            rows[m.name].append(mvals[m.name])
         out = pd.DataFrame(rows, columns=out_cols)
         _null_safe_agg_cast(out, measure_list, out_schema)
         return out
@@ -530,18 +600,20 @@ def match_pattern_time_sliced(
         )
 
     prepared = _prepare(df, spec)
-    home = F.floor(F.col(_TS_COL) / F.lit(slice_us))
+    # integer-exact floor division, correct for negative (pre-1970)
+    # timestamps too: pmod is always in [0, slice_us), and
+    # (ts - pmod) / slice_us is an exact integer
+    offset = F.pmod(F.col(_TS_COL), F.lit(slice_us))
+    home = ((F.col(_TS_COL) - offset) / F.lit(slice_us)).cast("long")
     # a row whose offset into its home slice is < within also serves
     # the PREVIOUS slice (it can extend/complete a match started there)
-    also_prev = (F.col(_TS_COL) % F.lit(slice_us) < F.lit(within_us)) & (
-        home > 0
-    )
+    also_prev = offset < F.lit(within_us)
     sliced = prepared.withColumn(
         "__slice",
         F.explode(
             F.when(
-                also_prev, F.array(home.cast("long"), (home - 1).cast("long"))
-            ).otherwise(F.array(home.cast("long")))
+                also_prev, F.array(home, home - 1)
+            ).otherwise(F.array(home))
         ),
     )
 

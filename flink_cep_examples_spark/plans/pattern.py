@@ -192,6 +192,11 @@ class PatternSpec:
     key_cols: tuple[str, ...] = ("id",)
     order_col: str = "event_time"
     tiebreak_col: str = "seq"
+    #: True when the SQL body named the tiebreak itself (a second
+    #: ORDER BY key) — then it wins over the API-level tiebreak_col
+    #: parameter (match_recognize checks this flag, not a sentinel
+    #: value, so an explicit ``ORDER BY ts, seq`` is not clobbered)
+    explicit_tiebreak: bool = False
     within: timedelta | None = None
     after_match: str = SKIP_PAST_LAST_EVENT
     #: variable name for SKIP_TO_FIRST / SKIP_TO_LAST
@@ -252,6 +257,17 @@ class PatternSpec:
             if bad:
                 raise ValueError(
                     f"PERMUTE variables must be plain once-variables: {bad}"
+                )
+            bad_m = [
+                m.name
+                for m in self.measures
+                if m.fn not in ("first", "last", "count")
+            ]
+            if bad_m:
+                raise NotImplementedError(
+                    "PERMUTE measures support first/last/COUNT(var.*) "
+                    f"only (the window closed form predates the extended "
+                    f"fns): {bad_m}"
                 )
         if len(set(names)) != len(names):
             raise ValueError(f"duplicate pattern variable names: {names}")

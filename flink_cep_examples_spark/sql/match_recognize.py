@@ -285,7 +285,13 @@ def _parse_measures(text: str) -> list[Measure]:
             # the reference: A.datetime / C.datetime on once-vars where
             # first == last). We use 'first' to match the reference.
             measures.append(
-                Measure(m.group("alias"), m.group("var"), m.group("col"), "first")
+                Measure(
+                    m.group("alias"),
+                    m.group("var"),
+                    m.group("col"),
+                    "first",
+                    running=running,
+                )
             )
     return measures
 
@@ -421,6 +427,7 @@ def parse_match_recognize(body: str) -> PatternSpec | AlternationSpec:
                 key_cols=keys,
                 order_col=order,
                 tiebreak_col=order_tiebreak or "seq",
+                explicit_tiebreak=order_tiebreak is not None,
                 within=within,
                 after_match=skip,
                 skip_var=skip_var,
@@ -438,6 +445,7 @@ def parse_match_recognize(body: str) -> PatternSpec | AlternationSpec:
         key_cols=keys,
         order_col=order,
         tiebreak_col=order_tiebreak or "seq",
+        explicit_tiebreak=order_tiebreak is not None,
         within=within,
         after_match=skip,
         skip_var=skip_var,
@@ -476,7 +484,12 @@ def match_recognize(
     """
     spec = parse_match_recognize(body)
     updates: dict = {"emit_timeouts": emit_timeouts}
-    if spec.tiebreak_col == "seq":
+    explicit = (
+        spec.alternatives[0].explicit_tiebreak
+        if isinstance(spec, AlternationSpec)
+        else spec.explicit_tiebreak
+    )
+    if not explicit:
         # a second ORDER BY key in the SQL is the tiebreak and wins
         # over the caller parameter; otherwise the parameter applies
         updates["tiebreak_col"] = tiebreak_col

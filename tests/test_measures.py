@@ -266,3 +266,29 @@ def test_agg_measures_fast_path_matches_nfa(spark, sf_small):
     nfa_rows = sorted(map(tuple, match_pattern(df, spec).collect()))
     fast_rows = sorted(map(tuple, match_pattern_fast_abc(df, spec).collect()))
     assert nfa_rows and nfa_rows == fast_rows
+
+
+def test_running_bare_column_measure(spark):
+    """RUNNING B.price (bare VAR.col) must carry the running flag —
+    rows before B's first row see NULL, later rows B's first value."""
+    df = spark.createDataFrame(
+        [
+            ("k1", _t(0), 1, 13.0, 9.0),   # A
+            ("k1", _t(10), 2, 9.0, 5.0),   # B
+            ("k1", _t(30), 3, 5.0, 20.0),  # C
+        ],
+        _SCHEMA,
+    )
+    body = """
+      PARTITION BY id ORDER BY event_time
+      MEASURES RUNNING B.balanceAfter AS b_run
+      ALL ROWS PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A B* C)
+      DEFINE
+        A AS A.balanceBefore >= 10 AND A.balanceAfter < 10,
+        B AS B.balanceBefore >= B.balanceAfter,
+        C AS C.balanceBefore < C.balanceAfter
+    """
+    rows = sorted(match_recognize(df, body).collect(), key=lambda r: r.seq)
+    assert [r.b_run for r in rows] == [None, 5.0, 5.0]

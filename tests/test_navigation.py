@@ -155,3 +155,85 @@ def test_nav_window_reuses_pattern_exchange(spark, sf_small):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_alternation_with_navigation(spark):
+    """PREV() inside an alternation's DEFINE must materialize on the
+    coordinator path (regression: unresolved __nav column)."""
+    df = spark.createDataFrame(_walk([10, 5, 3, 20, 30]), _SCHEMA)
+    body = """
+      PARTITION BY id ORDER BY event_time
+      MEASURES A.seq AS s, CLASSIFIER() AS c
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A D{2} | A U)
+      DEFINE A AS A.balanceAfter < 10,
+             D AS D.balanceAfter < PREV(D.balanceAfter),
+             U AS U.balanceAfter > PREV(U.balanceAfter)
+    """
+    got = sorted(
+        (r.s, r.c) for r in match_recognize(df, body).collect()
+    )
+    # row1 (ba=5) is A; rows 2 is D (3<5) but row3 is U -> D{2} fails,
+    # U-branch: A at 1, U at 2? 3<5 no. A at 2 (ba=3): U at 3 (20>3).
+    assert got == [(2, "U")]
+
+
+def test_permute_rejects_extended_measure_fns():
+    from flink_cep_examples_spark.sql.match_recognize import (
+        parse_match_recognize,
+    )
+
+    with pytest.raises(NotImplementedError, match="PERMUTE measures"):
+        parse_match_recognize(
+            """
+            PARTITION BY id ORDER BY event_time
+            MEASURES CLASSIFIER() AS c
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (PERMUTE (A, B))
+            DEFINE A AS fa, B AS fb
+            """
+        )
+    with pytest.raises(NotImplementedError, match="PERMUTE measures"):
+        parse_match_recognize(
+            """
+            PARTITION BY id ORDER BY event_time
+            MEASURES COUNT(A.balanceAfter) AS n
+            ONE ROW PER MATCH
+            AFTER MATCH SKIP TO NEXT ROW
+            PATTERN (PERMUTE (A, B))
+            DEFINE A AS fa, B AS fb
+            """
+        )
+
+
+def test_explicit_order_tiebreak_not_clobbered():
+    """ORDER BY ts, seq with a caller tiebreak parameter: the SQL's
+    explicit second key wins (flag-based, not the 'seq' sentinel)."""
+    import dataclasses
+
+    from flink_cep_examples_spark.sql.match_recognize import (
+        parse_match_recognize,
+    )
+
+    spec = parse_match_recognize(
+        """
+        PARTITION BY id ORDER BY event_time, seq
+        MEASURES A.seq AS s
+        ONE ROW PER MATCH
+        PATTERN (A)
+        DEFINE A AS fa
+        """
+    )
+    assert spec.explicit_tiebreak and spec.tiebreak_col == "seq"
+    implicit = parse_match_recognize(
+        """
+        PARTITION BY id ORDER BY event_time
+        MEASURES A.seq AS s
+        ONE ROW PER MATCH
+        PATTERN (A)
+        DEFINE A AS fa
+        """
+    )
+    assert not implicit.explicit_tiebreak

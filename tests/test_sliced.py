@@ -119,3 +119,21 @@ def test_sliced_spreads_hot_key(spark):
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, match_pattern(df, spec).collect())
     )
+
+
+def test_sliced_negative_timestamps(spark):
+    """Pre-1970 event times: slice ids go negative and cross-boundary
+    matches must still replicate into the previous slice (pmod-based
+    offsets, no home>0 guard)."""
+    rows = [
+        ("k", dt.datetime(1969, 12, 31, 23, 58), 0, True, False),
+        ("k", dt.datetime(1970, 1, 1, 0, 1), 1, False, True),
+    ]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    spec = _spec()
+    seq = sorted(map(tuple, match_pattern(df, spec).collect()))
+    sliced = sorted(
+        map(tuple, match_pattern_time_sliced(df, spec).collect())
+    )
+    assert seq, "expected the cross-epoch match"
+    assert seq == sliced
