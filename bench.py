@@ -55,8 +55,8 @@ HEADLINE = [
     "cep_skip_to_last",
     "semdedup_prune",
     "cep_match_recognize_excl",  # round-4 {- B -} exclusion fast path
-    "cep_alternation_pattern",  # round-4 multi-NFA alternation
-    "cep_measure_aggregates",  # round-4 aggregate MEASURES (NFA tier)
+    "cep_alternation_pattern",  # round-4 alternation (compiled TO-NEXT form)
+    "cep_measure_aggregates",  # round-4 aggregate MEASURES (compiled windows)
     "q21_waiting_suppliers",  # round-4 heaviest fact-fact semi/anti shape
 ]
 
