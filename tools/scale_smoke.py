@@ -53,6 +53,8 @@ SMOKE = [
     "cep_measure_aggregates",  # round-4 aggregate MEASURES (NFA tier)
     "q21_waiting_suppliers",  # round-4 fact-fact semi+anti joins
     "q13_order_count_distribution",  # round-4 outer join + double agg
+    "cep_vshape_prev",  # round-4 PREV navigation (lag window + NFA)
+    "cep_sliced_absence",  # round-4 time-sliced operator (uniform corpus)
 ]
 
 
