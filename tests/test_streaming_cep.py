@@ -247,3 +247,75 @@ def test_streaming_classifier_matches_batch(spark, sf_small, tmp_path):
     q.awaitTermination(180)
     got = sorted(map(tuple, spark.table("cls_mem").drop("tag").collect()))
     assert expected == got
+
+
+def test_streaming_restart_from_checkpoint(spark, tmp_path):
+    """State-store recovery: run the CEP stream over HALF the input,
+    STOP the query, append the rest, and start a NEW query from the
+    SAME checkpoint — buffered rows and open partial matches must
+    restore (pickled NfaState blobs) and the final output must equal
+    the batch answer. This is the micro-batch crash/redeploy story."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.operators import match_pattern
+    from flink_cep_examples_spark.plans.pattern import billing_pattern
+    from flink_cep_examples_spark.sources.billing import events_as_billing
+    from flink_cep_examples_spark.streaming import match_pattern_stream
+
+    spec = billing_pattern(emit_timeouts=True)
+    billing = events_as_billing(spark, "/root/testdata/sf0.001")
+    sentinel = spark.createDataFrame(
+        [("zz", "2031-01-01 00:00:00", 50.0, 50.0, 999_999_999)],
+        "id string, datetime string, balanceBefore double, "
+        "balanceAfter double, seq long",
+    ).select(
+        "id",
+        F.to_timestamp("datetime").alias("event_time"),
+        "seq",
+        "balanceBefore",
+        "balanceAfter",
+        "datetime",
+    )
+    full = billing.select(sentinel.columns).unionByName(sentinel).cache()
+    batch = match_pattern(full, spec)
+    expected = sorted(map(tuple, batch.collect()))
+    assert expected
+
+    # split by time: first half of each key's rows lands in part 1 —
+    # guaranteeing open partials (mid-pattern) at the stop point
+    cut = full.approxQuantile("seq", [0.5], 0.01)[0]
+    src = tmp_path / "src"
+    src.mkdir()
+    chk = str(tmp_path / "chk")
+    full.filter(F.col("seq") <= cut).coalesce(1).write.parquet(
+        str(src / "p1")
+    )
+    schema = spark.read.parquet(str(src / "p1")).schema
+
+    sink = str(tmp_path / "out")
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        out = match_pattern_stream(stream, spec, "6 minutes")
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")  # memory sink cannot recover from a checkpoint
+            .option("path", sink)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()  # first half; query STOPS (availableNow) with open state
+    full.filter(F.col("seq") > cut).coalesce(1).write.parquet(
+        str(src / "p2")
+    )
+    run_once()  # NEW query object, same checkpoint: state restores
+    got = sorted(map(tuple, spark.read.parquet(sink).collect()))
+    assert got == expected
+    full.unpersist()
