@@ -4,5 +4,6 @@ from flink_cep_examples_spark.plans.pattern import (  # noqa: F401
     Pattern,
     PatternSpec,
     PatternVar,
+    alternation,
     billing_pattern,
 )

@@ -724,3 +724,29 @@ def billing_pattern(emit_timeouts: bool = False) -> PatternSpec:
             emit_timeouts=emit_timeouts,
         )
     )
+
+
+def alternation(
+    *alternatives: "Pattern | PatternSpec",
+    measures: tuple[Measure, ...] = (),
+) -> AlternationSpec:
+    """DSL-side top-level alternation, the builder twin of the SQL
+    front-end's ``PATTERN (A B | C D)``:
+
+    >>> spec = alternation(
+    ...     Pattern.begin("A", skip=SKIP_TO_NEXT).where("fa")
+    ...            .next("C").where("fc"),
+    ...     Pattern.begin("A", skip=SKIP_TO_NEXT).where("fa")
+    ...            .next("D").where("fd").times(2),
+    ...     measures=(Measure("s", "A", "seq", "first"),),
+    ... )
+
+    ``Pattern`` builders are built with their default keys/ordering;
+    pass pre-built :class:`PatternSpec`s to customize those (they must
+    agree across alternatives — validated)."""
+    specs = tuple(
+        a.build() if isinstance(a, Pattern) else a for a in alternatives
+    )
+    return AlternationSpec(
+        alternatives=specs, measures=tuple(measures)
+    ).validate()

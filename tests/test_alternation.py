@@ -18,6 +18,7 @@ import pytest
 from flink_cep_examples_spark.plans.pattern import (
     AlternationSpec,
     Measure,
+    Pattern,
     PatternSpec,
     PatternVar,
     SKIP_PAST_LAST_EVENT,
@@ -254,3 +255,34 @@ def test_alternation_fast_path_ineligible_shapes():
     )
 
     assert not fast_alternation_applicable(_alt_spec())  # PAST_LAST
+
+
+def test_dsl_alternation_helper(spark):
+    """plans.alternation(): the builder-side twin of PATTERN (P1 | P2)
+    — same operator, same results as hand-built AlternationSpec."""
+    from flink_cep_examples_spark.plans.pattern import (
+        SKIP_TO_NEXT,
+        alternation,
+    )
+
+    spec = alternation(
+        Pattern.begin("A", skip=SKIP_TO_NEXT).where("fa").next("C").where("fc"),
+        Pattern.begin("A", skip=SKIP_TO_NEXT)
+        .where("fa")
+        .next("D")
+        .where("fd")
+        .times(2),
+        measures=(
+            Measure("start_seq", "A", "seq", "first"),
+            Measure("cls", "", "", "classifier"),
+        ),
+    )
+    assert isinstance(spec, AlternationSpec)
+    rows = [
+        ("k", dt.datetime(2020, 5, 1, 11, 0), 0, True, False, True),
+        ("k", dt.datetime(2020, 5, 1, 11, 1), 1, False, False, True),
+        ("k", dt.datetime(2020, 5, 1, 11, 2), 2, False, False, True),
+    ]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    got = [(r.start_seq, r.cls) for r in match_pattern_alternation(df, spec).collect()]
+    assert got == [(0, "D")]
