@@ -70,6 +70,16 @@ def _needs_src(m: Measure) -> bool:
 _NULLABLE_PD = {T.LongType(): "Int64", T.DoubleType(): "Float64"}
 
 
+def _resolve_spans(var: str, match: dict, subset_map: dict) -> list:
+    """A variable's (or SUBSET union's) ordered spans in a match dict
+    — shared by the measure evaluator and the RUNNING-series builder."""
+    if var in subset_map:
+        spans = [match[c] for c in subset_map[var] if match.get(c)]
+        return sorted(spans, key=lambda s: s[3])
+    s = match.get(var)
+    return [s] if s is not None else []
+
+
 def _null_safe_agg_cast(pdf, measure_list, out_schema) -> None:
     """Aggregates over an empty/all-NULL row set yield SQL NULL; a
     plain float64 pandas column would turn that None into NaN (Arrow
@@ -98,11 +108,7 @@ def _make_measure_eval(measure_list, subsets, src_arrays):
     subset_map = dict(subsets)
 
     def spans_of(var: str, match: dict) -> list:
-        if var in subset_map:
-            spans = [match[c] for c in subset_map[var] if match.get(c)]
-            return sorted(spans, key=lambda s: s[3])
-        s = match.get(var)
-        return [s] if s is not None else []
+        return _resolve_spans(var, match, subset_map)
 
     def eval_measures(match: dict, match_no) -> dict:
         out = {}
@@ -173,7 +179,8 @@ def _running_series(m: Measure, spans: list, arr, lo: int, hi: int) -> list:
                 last = v
                 if not pd.isna(v):
                     n_vals += 1
-                    total += v if m.fn in ("sum", "avg") else 0.0
+                    if m.fn in ("sum", "avg"):
+                        total += v
                     mn = v if mn is None or v < mn else mn
                     mx = v if mx is None or v > mx else mx
         i = r - lo
@@ -340,49 +347,25 @@ def match_pattern_alternation(df: DataFrame, aspec: AlternationSpec) -> DataFram
     measure_list = list(aspec.measures)
     alts = aspec.alternatives
 
-    pred_exprs: list[str] = []
     offsets: list[tuple[int, int]] = []  # (start, n_preds) per alternative
+    pos = 0
     for alt in alts:
-        exprs = alt.pred_exprs
-        offsets.append((len(pred_exprs), len(exprs)))
-        pred_exprs.extend(exprs)
+        offsets.append((pos, len(alt.pred_exprs)))
+        pos += len(alt.pred_exprs)
 
-    # PREV/NEXT lag columns: union across alternatives (the SQL parser
-    # shares one nav tuple, but merge defensively), materialized before
-    # predicate evaluation exactly as in _prepare
-    merged_nav: dict[str, tuple] = {}
-    for alt in alts:
-        for nav in alt.nav_cols:
-            merged_nav[nav[0]] = nav
-    if merged_nav:
-        import dataclasses as _dc
+    # AlternationSpec exposes the derived pred_exprs / nav_cols /
+    # subsets views, so the staging is EXACTLY PatternSpec's (one
+    # shared _prepare — no drift between the operators)
+    prepared = _prepare(df, aspec)
 
-        df = _with_nav_cols(
-            df, _dc.replace(alts[0], nav_cols=tuple(merged_nav.values()))
-        )
-    needed = {m.src for m in measure_list if _needs_src(m)}
-    needed.update(key_cols)
-    needed.add(tiebreak)
-    cols = [F.col(c) for c in sorted(needed)]
-    cols.append(
-        F.unix_micros(F.col(aspec.order_col).cast(T.TimestampType())).alias(
-            _TS_COL
-        )
-    )
-    for i, e in enumerate(pred_exprs):
-        cols.append(F.expr(e).alias(f"{_PRED_PREFIX}{i}"))
-    prepared = df.select(*cols)
-
-    fields = [
-        T.StructField(k, df.schema[k].dataType, True) for k in key_cols
-    ]
-    fields += [_measure_field(df, m) for m in measure_list]
-    out_schema = T.StructType(fields)
+    # same output schema as the single-spec operator, minus the tag
+    # column (alternation has no timeout channel)
+    out_schema = T.StructType(output_schema(df, aspec).fields[:-1])
     out_names = [f.name for f in out_schema.fields]
 
     nfas = [nfa.Nfa(alt) for alt in alts]
     after = aspec.after_match
-    n_total = len(pred_exprs)
+    n_total = pos
 
     def scan(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([_TS_COL, tiebreak], kind="mergesort")
@@ -477,16 +460,6 @@ def match_pattern_all_rows(df: DataFrame, spec: PatternSpec) -> DataFrame:
         rows: dict[str, list] = {c: [] for c in out_cols}
         subset_map = dict(subsets)
         running = [m for m in measure_list if m.running]
-
-        def _spans(var: str, match: dict) -> list:
-            if var in subset_map:
-                return sorted(
-                    (match[c] for c in subset_map[var] if match.get(c)),
-                    key=lambda s: s[3],
-                )
-            s = match.get(var)
-            return [s] if s is not None else []
-
         for seq, match in enumerate(matches):
             mvals = eval_measures(match, seq + 1)
             run_series: dict[str, tuple[int, list]] = {}
@@ -500,7 +473,7 @@ def match_pattern_all_rows(df: DataFrame, spec: PatternSpec) -> DataFrame:
                         lo,
                         _running_series(
                             m,
-                            _spans(m.var, match),
+                            _resolve_spans(m.var, match, subset_map),
                             src_arrays.get(m.src),
                             lo,
                             hi,

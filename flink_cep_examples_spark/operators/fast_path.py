@@ -45,6 +45,8 @@ from pyspark.sql import types as T
 
 from flink_cep_examples_spark.operators.cep_batch import output_schema
 from flink_cep_examples_spark.plans.pattern import (
+    AGG_FNS,
+    NILADIC_FNS,
     NO_SKIP,
     ONCE,
     RELAXED,
@@ -71,8 +73,6 @@ def fast_abc_applicable(spec: PatternSpec) -> bool:
     over B, CLASSIFIER() and MATCH_NUMBER() additionally compile on
     the one-row no-timeout shape (B rows are the segment slice between
     the anchor and the C row — a windowed conditional aggregate)."""
-    from flink_cep_examples_spark.plans.pattern import AGG_FNS, NILADIC_FNS
-
     v = spec.variables
     if not (
         len(v) == 3
@@ -290,8 +290,6 @@ def match_pattern_fast_abc_all_rows(df: DataFrame, spec: PatternSpec) -> DataFra
     schema identical to
     :func:`~flink_cep_examples_spark.operators.cep_batch.match_pattern_all_rows`;
     differential-tested against it."""
-    from flink_cep_examples_spark.plans.pattern import AGG_FNS, NILADIC_FNS
-
     if (
         not fast_abc_applicable(spec)
         or spec.variables[1].until is not None
@@ -367,8 +365,6 @@ def match_pattern_fast_abc(df: DataFrame, spec: PatternSpec) -> DataFrame:
         else None
     )
     until_pred = spec.variables[1].until
-
-    from flink_cep_examples_spark.plans.pattern import AGG_FNS, NILADIC_FNS
 
     srcs = sorted(
         {

@@ -423,6 +423,28 @@ class AlternationSpec:
     def emit_timeouts(self):
         return False
 
+    # derived views that let the batch operator reuse PatternSpec's
+    # shared staging helpers (_prepare / _with_nav_cols / output_schema)
+    @property
+    def pred_exprs(self) -> tuple[str, ...]:
+        """Concatenation of the alternatives' predicate lists — the
+        canonical order the lockstep coordinator slices per-alt."""
+        return tuple(e for a in self.alternatives for e in a.pred_exprs)
+
+    @property
+    def nav_cols(self):
+        """Union of the alternatives' PREV/NEXT columns (the SQL
+        parser shares one tuple; merge defensively by alias)."""
+        merged = {}
+        for a in self.alternatives:
+            for nav in a.nav_cols:
+                merged[nav[0]] = nav
+        return tuple(merged.values())
+
+    @property
+    def subsets(self):
+        return ()  # SUBSET with alternation is rejected by validate()
+
     def with_updates(self, **kw) -> "AlternationSpec":
         """Apply shared-config updates (order/tiebreak cols) to every
         alternative."""

@@ -63,6 +63,8 @@ from flink_cep_examples_spark.operators.fast_path import (
     match_pattern_fast_positional,
 )
 from flink_cep_examples_spark.plans.pattern import (
+    AGG_FNS,
+    NILADIC_FNS,
     ONCE,
     ONE_OR_MORE,
     OPTIONAL,
@@ -539,8 +541,6 @@ def match_recognize(
         # fast_abc_applicable doesn't check until(), but the all-rows
         # closed form rejects it — guard here so an until-carrying spec
         # falls back to the NFA tier instead of raising.
-        from flink_cep_examples_spark.plans.pattern import AGG_FNS, NILADIC_FNS
-
         if (
             use_fast_path
             and fast_abc_applicable(spec)
