@@ -676,32 +676,56 @@ def scan_key_group_alternation(
             st.runs or begins[a][r] for a, st in enumerate(states)
         ):
             continue
-        t = int(ts_us[r])
-        merged: list[tuple[int, int, int, object]] = []
-        for a, (nf, st) in enumerate(zip(nfas, states)):
-            pred_row = tuple(bool(c[r]) for c in cols[a])
-            for pos, (seq, start_ord, br) in enumerate(
-                nf.step_collect(st, t, pred_row, r)
-            ):
-                merged.append((start_ord, a, pos, br))
-        if not merged:
-            continue
-        merged.sort(key=lambda e: e[:3])
-        if after_match == SKIP_PAST_LAST_EVENT:
-            start_ord, a, _, br = merged[0]
-            out.append((a, nfas[a]._branch_dict(br)))
-            for st in states:
-                st.runs = []
-        elif after_match == SKIP_TO_NEXT:
-            emitted: set[int] = set()
-            for start_ord, a, _, br in merged:
-                if start_ord not in emitted:
-                    emitted.add(start_ord)
-                    out.append((a, nfas[a]._branch_dict(br)))
-            for st in states:
-                st.runs = [
-                    run for run in st.runs if run.start_ord not in emitted
-                ]
-        else:  # NO_SKIP
-            out.extend((a, nfas[a]._branch_dict(br)) for _, a, _, br in merged)
+        pred_rows = [tuple(bool(c[r]) for c in cols[a]) for a in range(len(nfas))]
+        out.extend(
+            coordinate_alternation_row(
+                nfas, states, int(ts_us[r]), pred_rows, r, after_match
+            )
+        )
+    return out
+
+
+def coordinate_alternation_row(
+    nfas: list,
+    states: list[NfaState],
+    t_us: int,
+    pred_rows: list[tuple],
+    payload,
+    after_match: str,
+) -> list[tuple[int, dict]]:
+    """One row of lockstep multi-NFA coordination — the shared core of
+    the batch scan above and the streaming alternation operator
+    (streaming/cep_stream.py): collect raw completions from every
+    alternative, emit under the UNION skip discipline, discard runs
+    accordingly. MUST be called for every alternative on every
+    processed row (ordinals advance in lockstep so cross-alternative
+    start_ord comparisons stay valid); callers may skip a row only
+    when EVERY alternative is inert on it."""
+    merged: list[tuple[int, int, int, object]] = []
+    for a, (nf, st) in enumerate(zip(nfas, states)):
+        for pos, (seq, start_ord, br) in enumerate(
+            nf.step_collect(st, t_us, pred_rows[a], payload)
+        ):
+            merged.append((start_ord, a, pos, br))
+    if not merged:
+        return []
+    merged.sort(key=lambda e: e[:3])
+    out: list[tuple[int, dict]] = []
+    if after_match == SKIP_PAST_LAST_EVENT:
+        start_ord, a, _, br = merged[0]
+        out.append((a, nfas[a]._branch_dict(br)))
+        for st in states:
+            st.runs = []
+    elif after_match == SKIP_TO_NEXT:
+        emitted: set[int] = set()
+        for start_ord, a, _, br in merged:
+            if start_ord not in emitted:
+                emitted.add(start_ord)
+                out.append((a, nfas[a]._branch_dict(br)))
+        for st in states:
+            st.runs = [
+                run for run in st.runs if run.start_ord not in emitted
+            ]
+    else:  # NO_SKIP
+        out.extend((a, nfas[a]._branch_dict(br)) for _, a, _, br in merged)
     return out

@@ -500,7 +500,13 @@ def match_recognize(
     if isinstance(spec, AlternationSpec):
         spec = spec.with_updates(**updates)
         if df.isStreaming:
-            raise NotImplementedError("alternation requires batch input")
+            from flink_cep_examples_spark.streaming.cep_stream import (
+                match_pattern_stream_alternation,
+            )
+
+            return match_pattern_stream_alternation(
+                df, spec, watermark_delay=watermark_delay
+            )
         from flink_cep_examples_spark.operators.fast_path import (
             fast_alternation_applicable,
             match_pattern_alternation_fast,

@@ -51,7 +51,11 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from flink_cep_examples_spark.operators.cep_batch import output_schema
-from flink_cep_examples_spark.operators.nfa import Nfa, NfaState
+from flink_cep_examples_spark.operators.nfa import (
+    Nfa,
+    NfaState,
+    coordinate_alternation_row,
+)
 from flink_cep_examples_spark.plans.pattern import PatternSpec
 from flink_cep_examples_spark.schemas import MATCH_TAG, TIMEOUT_TAG
 
@@ -310,6 +314,230 @@ def match_pattern_stream(
                     )
                 )
         if data["tag"]:
+            yield pd.DataFrame(data, columns=out_names)
+
+    return prepared.groupBy(_BUCKET_COL).applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def match_pattern_stream_alternation(
+    df: DataFrame,
+    aspec,
+    watermark_delay: str = "6 minutes",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Streaming top-level PATTERN alternation: one NfaState PER
+    ALTERNATIVE per key rides the bucketed state store, rows released
+    in event-time order feed every alternative in lockstep, and
+    emission runs the same union skip discipline as batch
+    (operators/nfa.py::coordinate_alternation_row — the shared core,
+    so the two tiers cannot drift). Output: append-mode stream with
+    keys + measures (no tag — alternation has no timeout channel).
+
+    Same scale design as :func:`match_pattern_stream` (hash-bucketed
+    state, columnar buffers); per-row cost is the sum of the
+    alternatives' live branches, exactly as in batch."""
+    from flink_cep_examples_spark.plans.pattern import AlternationSpec
+
+    assert isinstance(aspec, AlternationSpec)
+    aspec.validate()
+    unsupported = {
+        m.fn
+        for m in aspec.measures
+        if m.fn not in ("first", "last", "count", "classifier")
+    }
+    if unsupported:
+        raise NotImplementedError(
+            f"streaming measures support first/last/count/classifier, "
+            f"got {sorted(unsupported)}"
+        )
+    if aspec.nav_cols:
+        raise NotImplementedError(
+            "PREV()/NEXT() navigation requires batch input"
+        )
+    alts = aspec.alternatives
+    from flink_cep_examples_spark.operators.cep_batch import (
+        output_schema as _batch_output_schema,
+    )
+
+    out_schema = T.StructType(_batch_output_schema(df, aspec).fields[:-1])
+    if n_buckets is None:
+        try:
+            n_buckets = 4 * int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except (TypeError, ValueError):
+            n_buckets = 4 * df.sparkSession.sparkContext.defaultParallelism
+    prepared = (
+        _prepare_stream(df, aspec)
+        .withColumn(
+            _BUCKET_COL,
+            F.pmod(F.xxhash64(*aspec.key_cols), F.lit(n_buckets)).cast("int"),
+        )
+        .withWatermark(aspec.order_col, watermark_delay)
+    )
+
+    offsets = []
+    pos = 0
+    for alt in alts:
+        offsets.append((pos, len(alt.pred_exprs)))
+        pos += len(alt.pred_exprs)
+    n_vars = pos
+    key_cols = list(aspec.key_cols)
+    measures = list(aspec.measures)
+    after = aspec.after_match
+    tiebreak = aspec.tiebreak_col
+    all_srcs = sorted(
+        {m.src for m in measures if m.fn not in ("count", "classifier")}
+    )
+    pred_cols = [f"{_PRED_PREFIX}{i}" for i in range(n_vars)]
+    out_names = [f.name for f in out_schema.fields]
+
+    nfas = [Nfa(alt) for alt in alts]
+    first_preds = [s + nf.first_pred for (s, _), nf in zip(offsets, nfas)]
+    buf_cols = list(
+        dict.fromkeys([*key_cols, _TS_COL, tiebreak, *pred_cols, *all_srcs])
+    )
+
+    def process(
+        bucket: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if state.exists:
+            buffer, alt_states = pickle.loads(state.get[0])
+        else:
+            buffer, alt_states = None, {}
+
+        frames = [] if buffer is None else [buffer]
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if len(pdf):
+                    live = pdf[pdf[_TS_COL].to_numpy() >= wm_us]
+                    if len(live):
+                        frames.append(live[buf_cols])
+        allbuf = (
+            frames[0]
+            if len(frames) == 1
+            else pd.concat(frames, ignore_index=True)
+            if frames
+            else None
+        )
+
+        data: dict[str, list] = {c: [] for c in out_names}
+
+        def emit(key: tuple, match: dict) -> None:
+            for k, kv in zip(key_cols, key):
+                data[k].append(kv)
+            for m in measures:
+                if m.fn == "classifier":
+                    data[m.name].append(
+                        max(match.items(), key=lambda kv_: kv_[1][4])[0]
+                        if match
+                        else None
+                    )
+                    continue
+                span = match.get(m.var)
+                if span is None:
+                    data[m.name].append(0 if m.fn == "count" else m.default)
+                elif m.fn == "count":
+                    data[m.name].append(span[2])
+                else:
+                    payload = span[0] if m.fn == "first" else span[1]
+                    data[m.name].append(payload[all_srcs.index(m.src)])
+
+        buffer = None
+        buffered_keys: set = set()
+        if allbuf is not None and len(allbuf):
+            rel_mask = allbuf[_TS_COL].to_numpy() <= wm_us
+            release = allbuf[rel_mask]
+            buffer = allbuf[~rel_mask]
+            if len(buffer) == 0:
+                buffer = None
+            else:
+                buffer = buffer.reset_index(drop=True)
+                if len(key_cols) == 1:
+                    buffered_keys = {(k,) for k in buffer[key_cols[0]]}
+                else:
+                    buffered_keys = set(zip(*(buffer[k] for k in key_cols)))
+            if len(release):
+                release = release.sort_values(
+                    [*key_cols, _TS_COL, tiebreak], kind="mergesort"
+                )
+                key_arrs = [release[k].to_numpy() for k in key_cols]
+                ts_arr = release[_TS_COL].to_numpy()
+                pred_arr = release[pred_cols].to_numpy(dtype=bool)
+                src_arr = release[all_srcs].to_numpy() if all_srcs else None
+                kt: tuple | None = None
+                sts = None
+                single = key_arrs[0] if len(key_arrs) == 1 else None
+                for i in range(len(release)):
+                    rkt = (
+                        (single[i],)
+                        if single is not None
+                        else tuple(a[i] for a in key_arrs)
+                    )
+                    if rkt != kt:
+                        kt = rkt
+                        sts = alt_states.get(kt)
+                        if sts is None:
+                            sts = alt_states[kt] = [
+                                NfaState() for _ in nfas
+                            ]
+                    # skip only when EVERY alternative is inert on the
+                    # row (ordinals must advance in lockstep)
+                    if not any(
+                        st.runs or pred_arr[i, fp]
+                        for st, fp in zip(sts, first_preds)
+                    ):
+                        continue
+                    row = pred_arr[i]
+                    pred_rows = [
+                        tuple(bool(x) for x in row[s : s + k])
+                        for s, k in offsets
+                    ]
+                    payload = tuple(src_arr[i]) if src_arr is not None else ()
+                    for _, match in coordinate_alternation_row(
+                        nfas, sts, int(ts_arr[i]), pred_rows, payload, after
+                    ):
+                        emit(kt, match)
+
+        # watermark prunes expired partials per alternative (no
+        # pendings — alternatives cannot end in absence variables)
+        pending: list[int] = []
+        for kt in list(alt_states):
+            sts = alt_states[kt]
+            for nf, st in zip(nfas, sts):
+                wm_matches, _ = nf.advance_time(st, wm_us)
+                assert not wm_matches  # no trailing negatives
+            if not any(st.runs for st in sts):
+                if kt not in buffered_keys:
+                    del alt_states[kt]
+            else:
+                for nf, st in zip(nfas, sts):
+                    if nf.within_us is not None:
+                        pending.extend(
+                            run.start_ts + nf.within_us for run in st.runs
+                        )
+
+        if buffer is None and not alt_states:
+            state.remove()
+        else:
+            state.update((pickle.dumps((buffer, alt_states)),))
+            if buffer is not None:
+                pending.append(int(buffer[_TS_COL].min()))
+            if pending:
+                state.setTimeoutTimestamp(
+                    max(
+                        min(pending) // 1000,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+        if any(data[c] for c in out_names):
             yield pd.DataFrame(data, columns=out_names)
 
     return prepared.groupBy(_BUCKET_COL).applyInPandasWithState(

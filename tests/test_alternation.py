@@ -175,22 +175,55 @@ def test_alternation_unmatched_branch_measures_null(spark):
     assert r.c_seq == 1 and r.d_seq is None
 
 
-def test_streaming_rejects_alternation(spark, tmp_path):
-    d = tmp_path / "in"
-    d.mkdir()
-    stream = spark.readStream.schema(_SCHEMA).parquet(str(d))
-    with pytest.raises(NotImplementedError, match="batch"):
-        match_recognize(
-            stream,
-            """
-            PARTITION BY id ORDER BY event_time
-            MEASURES A.seq AS s
-            ONE ROW PER MATCH
-            AFTER MATCH SKIP PAST LAST ROW
-            PATTERN (A C | A D{2})
-            DEFINE A AS fa, C AS fc, D AS fd
-            """,
-        )
+def test_streaming_alternation_matches_batch(spark, sf_small, tmp_path):
+    """Streaming alternation (round 4): per-key lockstep NfaStates in
+    the bucketed state store run the SAME coordination core as batch
+    (nfa.py::coordinate_alternation_row) — the streamed replay of the
+    events-as-billing corpus must reproduce the batch coordinator
+    exactly (classifier included)."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.queries.cep import _MR_ALT_BODY
+    from flink_cep_examples_spark.sources.billing import events_as_billing
+
+    billing = events_as_billing(spark, sf_small)
+    sentinel = spark.createDataFrame(
+        [("zz", "2031-01-01 00:00:00", 50.0, 50.0, 999_999_999)],
+        "id string, datetime string, balanceBefore double, "
+        "balanceAfter double, seq long",
+    ).select(
+        "id",
+        F.to_timestamp("datetime").alias("event_time"),
+        "seq",
+        "balanceBefore",
+        "balanceAfter",
+        "datetime",
+    )
+    src = str(tmp_path / "billing_alt")
+    billing.select(sentinel.columns).unionByName(sentinel).coalesce(
+        2
+    ).write.parquet(src)
+
+    batch_df = spark.read.parquet(src)
+    expected = sorted(
+        map(tuple, match_recognize(batch_df, _MR_ALT_BODY).collect())
+    )
+    assert expected
+
+    schema = batch_df.schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = match_recognize(stream, _MR_ALT_BODY)
+    assert out.isStreaming
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("alt_mem")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(map(tuple, spark.table("alt_mem").collect()))
+    assert expected == got
 
 
 def test_alternation_fast_path_matches_coordinator(spark):
