@@ -539,6 +539,15 @@ def match_pattern_time_sliced(
 
     Default ``slice_duration`` = ``within`` (maximum parallelism at
     2× row replication worst case; longer slices replicate less).
+
+    SIZING RULE: pick ``slice_duration`` so a typical (key, slice)
+    group still holds MANY rows — the parallelism win must beat the
+    per-group overhead. Slicing a sparse uniform corpus at ``within``
+    shatters it into near-empty groups and the group machinery
+    dominates (measured: 45 s vs 3 s on 2k sparse keys at a 1-hour
+    slice; 4.5× FASTER than sequential on one 1M-row hot key at the
+    same slice). This operator is the hot-key path; the sequential
+    operator remains right for uniformly small keys.
     """
     from flink_cep_examples_spark.plans.pattern import (
         NO_SKIP,

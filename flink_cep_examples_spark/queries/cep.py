@@ -402,13 +402,21 @@ def cep_sliced_absence(spark: SparkSession, sf_dir: str) -> DataFrame:
     timeline splits into 1-hour slices matched in parallel — the
     hot-key skew path (shuffle key = (id, slice)); same answer as the
     sequential NFA and the compiled closed form, pinned by the same
-    oracle."""
+    oracle. The slice is COARSE (30 days >> within) because this
+    corpus's keys are sparse — slicing at the 1-hour within would
+    shatter 2k keys into ~200k one-row groups and the per-group
+    overhead, not the scan, would dominate (measured 45 s vs ~3 s;
+    see the docstring's slice-sizing rule)."""
     from flink_cep_examples_spark.operators.cep_batch import (
         match_pattern_time_sliced,
     )
 
     return _matches_only(
-        match_pattern_time_sliced(events_as_billing(spark, sf_dir), absence_spec())
+        match_pattern_time_sliced(
+            events_as_billing(spark, sf_dir),
+            absence_spec(),
+            slice_duration="30 days",
+        )
     )
 
 
