@@ -124,3 +124,55 @@ GROUP BY cw.doc_id
 
 
 register("docs_decontaminate", docs_decontaminate, ORACLE_DECONTAM)
+
+
+def docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every UNORDERED source
+    pair, how many distinct N_GRAM-token window hashes they share —
+    the corpus-analysis sweep that finds mirrored/scraped content
+    across ingestion sources before training.
+
+    Scale shape: windows reduce to DISTINCT (source, wh) pairs first
+    (map-side combinable; text never leaves the scan stage), then the
+    self-join runs on the 31-bit hash — the join key is an int, its
+    fan-out bounded by the number of SOURCES sharing a window (≤
+    #sources, a small constant), never by document count."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    sw = (
+        _window_hashes(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "wh")
+        .distinct()
+    )
+    a, b = sw.alias("a"), sw.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.wh") == F.col("b.wh"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_windows"))
+    )
+
+
+ORACLE_SOURCE_OVERLAP = f"""
+WITH {_sql_window_hashes('documents', 'w')},
+sw AS (
+  SELECT DISTINCT d.source, w.wh
+  FROM w JOIN documents d USING (doc_id)
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       COUNT(*) AS shared_windows
+FROM sw a JOIN sw b ON a.wh = b.wh AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
+register(
+    "docs_source_overlap", docs_source_overlap, ORACLE_SOURCE_OVERLAP,
+    driver=False,  # driver set capped at 50; oracle-gated in pytest
+)

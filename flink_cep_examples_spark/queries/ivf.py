@@ -372,3 +372,123 @@ register(
     "semdedup_prune", semdedup_prune, ORACLE_SEMDEDUP,
     # round-4 rotation: promoted into the 50-row driver gate
 )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index (round 4): the deployment shape — train once,
+# write the corpus CLUSTERED BY cid, serve queries off the index with
+# partition pruning instead of re-training per query.
+# ---------------------------------------------------------------------------
+
+
+def write_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    *,
+    k_lists: int | None = K_LISTS,
+) -> None:
+    """Train the coarse quantizer and persist the index:
+
+    - ``{index_dir}/centroids`` — (cid, centroid array<double>);
+    - ``{index_dir}/lists`` — the corpus partitioned BY ``cid``
+      (Hive-style directories), so a search's NPROBE probe lists map
+      to NPROBE/K of the files on disk and the parquet reader PRUNES
+      the rest (``PartitionFilters`` in the plan — the at-scale win:
+      at a billion vectors a query touches only its probe lists).
+
+    Writing is one training pass + one clustered write; searches are
+    then scan-only (:func:`ivf_search_persisted`)."""
+    emb = (
+        spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+        .select("vec_id", "label", "embedding")
+        .localCheckpoint()
+    )
+    assigned, cents = _trained_assignment(
+        emb, _resolve_k(emb, k_lists), exact=k_lists is not None
+    )
+    spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in sorted(cents.items())],
+        "cid int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(
+        f"{index_dir}/lists"
+    )
+
+
+def ivf_search_persisted(
+    spark: SparkSession,
+    index_dir: str,
+    qvec: list[float],
+    *,
+    nprobe: int = NPROBE,
+    top_k: int = TOP_K,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Serve one query off a persisted index: pick the ``nprobe``
+    nearest centroids driver-side (K×DIM doubles), read ONLY those
+    ``cid=`` partitions (partition-pruned scan, plan-audited), exact
+    cosine + top-k. No training, no shuffle beyond TakeOrdered."""
+    cents = {
+        int(r.cid): [float(x) for x in r.centroid]
+        for r in spark.read.parquet(f"{index_dir}/centroids").collect()
+    }
+
+    def py_sqdist(c: list[float]) -> float:
+        acc = 0.0
+        for x, cc in zip(qvec, c):
+            acc += (x - cc) * (x - cc)
+        return acc
+
+    probe_cids = [
+        c
+        for _, c in sorted((py_sqdist(v), c) for c, v in cents.items())[
+            :nprobe
+        ]
+    ]
+    lists = spark.read.parquet(f"{index_dir}/lists").filter(
+        F.col("cid").isin(probe_cids)
+    )
+    if exclude_vec_id is not None:
+        lists = lists.filter(F.col("vec_id") != exclude_vec_id)
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    cos = _dot(F.col("embedding"), q) / (_norm(F.col("embedding")) * _norm(q))
+    return (
+        lists.select(
+            "vec_id", "label", F.col("cid").cast("int").alias("cid"),
+            cos.alias("cos")
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(top_k)
+    )
+
+
+def ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog twin of ``ivf_topk`` through the PERSISTED index: write
+    the clustered index (idempotent per sf), then serve the fixed
+    query vector off it — identical parameters and kernels, so the
+    SAME static DuckDB oracle pins it; the search plan additionally
+    shows parquet partition pruning on cid (tests/test_plans.py)."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    index_dir = f"{tempfile.gettempdir()}/spark_graft_ivf_index_{tag}"
+    write_ivf_index(spark, sf_dir, index_dir, k_lists=K_LISTS)
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .first()
+        .embedding
+    ]
+    return ivf_search_persisted(
+        spark, index_dir, qvec, exclude_vec_id=QUERY_VEC_ID
+    )
+
+
+register(
+    "ivf_persisted_topk", ivf_persisted_topk, ORACLE_IVF,
+    driver=False,  # persisted-index twin of ivf_topk; pytest-gated
+)

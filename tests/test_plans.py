@@ -257,3 +257,21 @@ def test_q2_correlated_min_broadcasts_back(spark, sf_small):
     aggregate and never for a dim."""
     p = _plan(QUERIES["q2_min_cost_supplier"](spark, sf_small))
     assert p.count("BroadcastHashJoin") >= 3
+
+
+def test_ivf_persisted_search_prunes_partitions(spark, sf_small):
+    """The persisted-index search must read ONLY the probe lists: the
+    parquet scan carries PartitionFilters on cid (at a billion vectors
+    this is the difference between touching NPROBE/K of the files and
+    all of them)."""
+    p = _plan(QUERIES["ivf_persisted_topk"](spark, sf_small))
+    scan_lines = [l for l in p.splitlines() if "PartitionFilters" in l]
+    assert any("cid" in l for l in scan_lines), scan_lines
+
+
+def test_source_overlap_joins_on_int_hash(spark, sf_small):
+    """The cross-source join ships only (source, wh) int pairs — no
+    text columns reach the self-join."""
+    p = _plan(QUERIES["docs_source_overlap"](spark, sf_small))
+    join_lines = [l for l in p.splitlines() if "SortMergeJoin" in l or "BroadcastHashJoin" in l]
+    assert join_lines and not any("text" in l for l in join_lines)
