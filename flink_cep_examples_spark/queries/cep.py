@@ -1101,3 +1101,75 @@ register(
     "cep_sliced_absence", cep_sliced_absence, ORACLE_NOT_FOLLOWED_BY,
     driver=False,  # sliced twin of cep_absence_not_followed_by; pytest-gated
 )
+
+
+def events_signup_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP on the RAW events table (no billing mapping): signups with
+    no purchase within 2 hours — the funnel-drop absence sweep, keyed
+    by user over (ts, event_id). Compiles to the timed-absence closed
+    form (one window over one key Exchange, zero Python)."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.operators.fast_path import (
+        match_pattern_fast_absence,
+    )
+    from flink_cep_examples_spark.plans.pattern import (
+        Measure,
+        NO_SKIP,
+        Pattern,
+    )
+    from flink_cep_examples_spark.sources.tables import load_table, spread
+
+    events = spread(load_table(spark, sf_dir, "events"), "user_id").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+    )
+    spec = (
+        Pattern.begin("S", skip=NO_SKIP)
+        .where("event_type = 'signup'")
+        .not_followed_by("P")
+        .where("event_type = 'purchase'")
+        .within("2 hours")
+        .build(
+            key_cols=("user_id",),
+            order_col="ts",
+            tiebreak_col="event_id",
+            measures=(Measure("signup_ts", "S", "ts_str", "first"),),
+        )
+    )
+    return match_pattern_fast_absence(events, spec).drop("tag")
+
+
+#: Absence closed form on raw events: a signup emits iff the first
+#: following purchase (per user, (ts, event_id) order) is missing or
+#: >= 2 hours later (strict-< deadline: a purchase at exactly +2h
+#: does not void, matching the NFA's within convention).
+ORACLE_SIGNUP_NO_PURCHASE = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type, epoch_us(ts) AS tus
+  FROM events
+),
+n AS (
+  SELECT *,
+         MIN(CASE WHEN event_type = 'purchase' THEN tus END) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_p
+  FROM e
+)
+SELECT user_id,
+       strftime(ts, {_FMT}) AS signup_ts
+FROM n
+WHERE event_type = 'signup'
+  AND (next_p IS NULL OR next_p - tus >= 7200000000)
+"""
+
+
+register(
+    "events_signup_no_purchase",
+    events_signup_no_purchase,
+    ORACLE_SIGNUP_NO_PURCHASE,
+    driver=False,  # driver set capped at 50; oracle-gated in pytest
+)
