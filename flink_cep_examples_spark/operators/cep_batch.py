@@ -382,7 +382,9 @@ def match_pattern_alternation(df: DataFrame, aspec: AlternationSpec) -> DataFram
         src_arrays = {
             m.src: pdf[m.src].to_numpy() for m in measure_list if _needs_src(m)
         }
-        eval_measures = _make_measure_eval(measure_list, (), src_arrays)
+        eval_measures = _make_measure_eval(
+            measure_list, aspec.subsets, src_arrays
+        )
         out_cols: dict[str, list] = {c: [] for c in out_names}
         for i, (_, match) in enumerate(matched):
             for k in key_cols:

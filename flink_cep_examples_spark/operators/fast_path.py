@@ -759,6 +759,8 @@ def fast_alternation_applicable(aspec: AlternationSpec) -> bool:
     makes starts sequentially dependent)."""
     if aspec.after_match != SKIP_TO_NEXT:
         return False
+    if aspec.subsets:
+        return False  # SUBSET measures resolve only in the coordinator
     for alt in aspec.alternatives:
         if _fixed_counts(alt) is None:
             return False

@@ -405,6 +405,10 @@ class AlternationSpec:
 
     alternatives: tuple[PatternSpec, ...]
     measures: tuple[Measure, ...] = ()
+    #: SUBSET union variables shared by the alternatives (measures may
+    #: reference them; components missing from the matched alternative
+    #: are skipped). Used by the parser's group-quantifier unrolling.
+    subsets: tuple[tuple[str, tuple[str, ...]], ...] = ()
 
     # shared config (identical across alternatives; validated)
     @property
@@ -445,9 +449,6 @@ class AlternationSpec:
                 merged[nav[0]] = nav
         return tuple(merged.values())
 
-    @property
-    def subsets(self):
-        return ()  # SUBSET with alternation is rejected by validate()
 
     def with_updates(self, **kw) -> "AlternationSpec":
         """Apply shared-config updates (order/tiebreak cols) to every
@@ -460,6 +461,7 @@ class AlternationSpec:
         return AlternationSpec(
             alternatives=tuple(replace(a, **kw) for a in self.alternatives),
             measures=self.measures,
+            subsets=self.subsets,
         )
 
     def validate(self) -> "AlternationSpec":
@@ -515,11 +517,23 @@ class AlternationSpec:
             for v in alt.variables
             if not v.negated
         }
+        subset_names = set()
+        for sname, components in self.subsets:
+            if sname in names_union or sname in subset_names:
+                raise ValueError(f"SUBSET name {sname!r} collides")
+            subset_names.add(sname)
+            if not components:
+                raise ValueError(f"SUBSET {sname!r} is empty")
+            for c in components:
+                if c not in names_union:
+                    raise ValueError(
+                        f"SUBSET {sname!r} references unknown var {c!r}"
+                    )
         has_agg = any(m.fn in AGG_FNS for m in self.measures)
         for m in self.measures:
             if m.fn in NILADIC_FNS:
                 continue
-            if m.var not in names_union:
+            if m.var not in names_union and m.var not in subset_names:
                 raise ValueError(
                     f"measure {m.name} references unknown var {m.var}"
                 )

@@ -1103,6 +1103,65 @@ register(
 )
 
 
+_MR_GROUP_BODY = """
+  PARTITION BY id
+  ORDER BY event_time
+  MEASURES
+    FIRST(D.datetime) AS zigStartDatetime,
+    COUNT(D.*) AS n_down,
+    LAST(U.balanceAfter) AS final_ba
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN ((D U){2})
+  DEFINE
+    D AS D.balanceAfter < D.balanceBefore,
+    U AS U.balanceAfter > U.balanceBefore
+"""
+
+#: Group-quantifier closed form: ``(D U){2}`` is fixed width 4, so
+#: under SKIP TO NEXT ROW every start row decides independently —
+#: pure LEAD arithmetic over the d/u flags. Measures over the base
+#: names resolve via the parser's auto-SUBSET (D = D__1 ∪ D__2).
+ORACLE_GROUP_ZIGZAG = f"""
+WITH billing AS (
+  SELECT CAST(user_id AS VARCHAR) AS id,
+         ts, event_id,
+         strftime(ts, {_FMT}) AS dt,
+         COALESCE(LAG(value) OVER w, 50.0) AS bb,
+         value AS ba
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+f AS (
+  SELECT *,
+         (ba < bb) AS d,
+         LEAD(ba > bb, 1) OVER w AS u1,
+         LEAD(ba < bb, 2) OVER w AS d2,
+         LEAD(ba > bb, 3) OVER w AS u2,
+         LEAD(ba, 3) OVER w AS ba3
+  FROM billing
+  WINDOW w AS (PARTITION BY id ORDER BY ts, event_id)
+)
+SELECT id,
+       dt AS zigStartDatetime,
+       CAST(2 AS BIGINT) AS n_down,
+       ba3 AS final_ba
+FROM f
+WHERE d AND u1 AND d2 AND u2
+"""
+
+
+def cep_group_zigzag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2016 grouped sub-pattern quantifier ``(D U){2}``: two
+    consecutive down-up zigzags per user. The parser unrolls the
+    bounded group into suffixed copies (D__1 U__1 D__2 U__2) with an
+    auto-generated SUBSET union so MEASURES address the base names
+    (sql/match_recognize.py::_expand_group_quantifiers)."""
+    df = events_as_billing(spark, sf_dir)
+    query = f"SELECT * FROM billing MATCH_RECOGNIZE ({_MR_GROUP_BODY}) t"
+    return sql_with_match_recognize(spark, query, {"billing": df})
+
+
 def events_signup_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP on the RAW events table (no billing mapping): signups with
     no purchase within 2 hours — the funnel-drop absence sweep, keyed
@@ -1167,6 +1226,10 @@ WHERE event_type = 'signup'
 """
 
 
+register(
+    "cep_group_zigzag", cep_group_zigzag, ORACLE_GROUP_ZIGZAG,
+    driver=False,  # driver set capped at 50; oracle-gated in pytest
+)
 register(
     "events_signup_no_purchase",
     events_signup_no_purchase,

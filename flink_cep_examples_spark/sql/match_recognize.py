@@ -20,8 +20,10 @@ for the subset the reference exercises
     PATTERN ( V1 V2* V3? ... ) [ WITHIN INTERVAL '<n>' <unit> ]
       (quantifiers: * + ? {n} {n,m} {n,}; a trailing ? after * + {n,m}
        marks the SQL:2016 RELUCTANT preference, e.g. B*? / B{1,3}?;
-       top-level alternation ``( A B | C D )`` — leftmost-preferred,
-       batch, PAST LAST ROW / TO NEXT ROW strategies)
+       top-level alternation ``( A B | C D )`` — leftmost-preferred;
+       bounded GROUP quantifiers ``(B C){n}``/``{n,m}``/``?`` unroll
+       at parse time — exact bounds to suffixed copies, ranges to
+       alternation branches, measures via auto-SUBSET unions)
     SUBSET <name> = (<var>, ...) [, ...]
     DEFINE <var> AS <predicate> [, ...]
       (predicates may navigate PHYSICAL rows with PREV(<var>.<col>
@@ -151,19 +153,77 @@ def _parse_pattern_clause(
                 )
             vars_.append((tok, ONCE, None, True, False))
         return [vars_], _parse_within(rest), True
-    m = re.match(r"\s*\(([^)]*)\)\s*(.*)", text, re.DOTALL)
+    m = re.match(r"\s*\((.*)\)\s*(WITHIN\b.*)?$", text, re.DOTALL | re.IGNORECASE)
     if not m:
         raise ValueError(f"cannot parse PATTERN clause: {text!r}")
-    inner, rest = m.group(1), m.group(2).strip()
-    if "|" in inner:
-        # top-level SQL:2016 alternation: each branch parses as its
-        # own variable sequence (grouping parens are not supported, so
-        # every | is top-level)
-        branches = [b.strip() for b in inner.split("|")]
-        if not all(branches):
-            raise ValueError(f"empty alternation branch in: {inner!r}")
-        return [_parse_var_seq(b) for b in branches], _parse_within(rest), False
-    return [_parse_var_seq(inner)], _parse_within(rest), False
+    inner, rest = m.group(1), (m.group(2) or "").strip()
+    # top-level SQL:2016 alternation first (inner parens belong to
+    # group quantifiers, expanded per branch below)
+    branches = [b.strip() for b in inner.split("|")]
+    if not all(branches):
+        raise ValueError(f"empty alternation branch in: {inner!r}")
+    expanded: list[str] = []
+    for b in branches:
+        expanded.extend(_expand_group_quantifiers(b))
+    if len(expanded) > 16:
+        raise NotImplementedError(
+            f"group-quantifier expansion produced {len(expanded)} "
+            "alternatives (cap 16) — reduce the {n,m} ranges"
+        )
+    return [_parse_var_seq(x) for x in expanded], _parse_within(rest), False
+
+
+_GROUP_RE = re.compile(
+    r"\(([^()]*)\)\s*(\{\s*(\d+)\s*(?:,\s*(\d*)\s*)?\}|\?|\*|\+)"
+)
+
+
+def _expand_group_quantifiers(text: str) -> list[str]:
+    """SQL:2016 grouped sub-patterns with BOUNDED quantifiers,
+    expanded at parse time: ``(B C){2}`` unrolls to ``B__1 C__1 B__2
+    C__2`` (suffixed copies; measures over the base name resolve via
+    an auto-generated SUBSET union), and ``(B C){1,2}`` / ``(B C)?``
+    expand to one alternative per repetition count — riding the
+    alternation machinery, so emission is EAGER (the engine's
+    documented alternation preference: earliest completion wins, NOT
+    the standard's longest-greedy derivation). Unbounded group
+    quantifiers (``(B C)+``/``*``/``{n,}``) would need true sub-NFA
+    loops and are rejected."""
+    m = _GROUP_RE.search(text)
+    if not m:
+        return [text]
+    body, quant, lo, hi = m.group(1), m.group(2), m.group(3), m.group(4)
+    if quant in ("*", "+") or (hi == "" and lo is not None):
+        raise NotImplementedError(
+            f"unbounded group quantifier {quant if quant in ('*', '+') else '{n,}'} "
+            "— only bounded groups ((X Y){n}, {n,m}, ?) expand"
+        )
+    if quant == "?":
+        lo_i, hi_i = 0, 1
+    else:
+        lo_i = int(lo)
+        hi_i = int(hi) if hi else lo_i
+    if hi_i < lo_i or hi_i - lo_i > 8 or hi_i > 8:
+        raise ValueError(f"bad group bounds {{{lo_i},{hi_i}}} (max 8)")
+    toks = body.split()
+    if not toks:
+        raise ValueError("empty group () in PATTERN")
+    if any(t in ("{-", "-}") or "{-" in t or "-}" in t for t in toks):
+        raise NotImplementedError("{- -} exclusion inside a group")
+    outs: list[str] = []
+    for k in range(lo_i, hi_i + 1):
+        unrolled: list[str] = []
+        for copy in range(1, k + 1):
+            for tok in toks:
+                nm = re.match(r"([A-Za-z_][A-Za-z_0-9]*)(.*)$", tok)
+                if not nm:
+                    raise ValueError(f"unsupported token in group: {tok!r}")
+                unrolled.append(f"{nm.group(1)}__{copy}{nm.group(2)}")
+        expanded = (
+            text[: m.start()] + " " + " ".join(unrolled) + " " + text[m.end():]
+        )
+        outs.extend(_expand_group_quantifiers(expanded))
+    return outs
 
 
 def _parse_var_seq(inner: str) -> list[tuple[str, str, tuple | None, bool, bool]]:
@@ -307,7 +367,18 @@ def parse_match_recognize(body: str) -> PatternSpec | AlternationSpec:
         raise ValueError("MATCH_RECOGNIZE needs PATTERN and DEFINE clauses")
 
     alt_quants, within_text, permute = _parse_pattern_clause(clauses["PATTERN"])
-    var_names = sorted({n for alt in alt_quants for n, _, _, _, _ in alt})
+    all_names = {n for alt in alt_quants for n, _, _, _, _ in alt}
+    # group-quantifier copies carry a __k suffix; DEFINE/MEASURES use
+    # the base name, resolved via an auto-generated SUBSET union
+    group_bases: dict[str, list[str]] = {}
+    for alt in alt_quants:
+        for n, _, _, _, _ in alt:
+            if "__" in n:
+                base = n.rsplit("__", 1)[0]
+                group_bases.setdefault(base, [])
+                if n not in group_bases[base]:
+                    group_bases[base].append(n)
+    var_names = sorted(all_names | set(group_bases))
 
     defines: dict[str, str] = {}
     nav_cols: dict[tuple[str, int, str], str] = {}
@@ -353,11 +424,18 @@ def parse_match_recognize(body: str) -> PatternSpec | AlternationSpec:
         for (col, off, kind), alias in nav_cols.items()
     )
 
+    def _lookup_define(name: str) -> str:
+        if name in defines:
+            return defines[name]
+        if "__" in name:  # group copy: shares the base variable's DEFINE
+            return defines.get(name.rsplit("__", 1)[0], "true")
+        return "true"  # undefined var matches any row (SQL:2016)
+
     def _variables(var_quants) -> tuple[PatternVar, ...]:
         return tuple(
             PatternVar(
                 name,
-                defines.get(name, "true"),  # undefined var matches any row
+                _lookup_define(name),
                 quantifier=quant,
                 contiguity=STRICT,  # MATCH_RECOGNIZE is strictly contiguous
                 times=times,
@@ -420,6 +498,9 @@ def parse_match_recognize(body: str) -> PatternSpec | AlternationSpec:
     rows_per_match = "all" if "ALL ROWS PER MATCH" in clauses else "one"
     within = parse_interval(within_text) if within_text else None
 
+    auto_subsets = tuple(
+        (b, tuple(ns)) for b, ns in group_bases.items()
+    )
     if len(alt_quants) > 1:
         if subsets:
             raise NotImplementedError("SUBSET with alternation")
@@ -439,7 +520,9 @@ def parse_match_recognize(body: str) -> PatternSpec | AlternationSpec:
             for aq in alt_quants
         )
         return AlternationSpec(
-            alternatives=alternatives, measures=measures
+            alternatives=alternatives,
+            measures=measures,
+            subsets=auto_subsets,
         ).validate()
 
     return PatternSpec(
@@ -454,7 +537,7 @@ def parse_match_recognize(body: str) -> PatternSpec | AlternationSpec:
         measures=measures,
         rows_per_match=rows_per_match,
         permute=permute,
-        subsets=tuple(subsets),
+        subsets=tuple(subsets) + auto_subsets,
         nav_cols=nav_tuple,
     ).validate()
 

@@ -360,6 +360,10 @@ def match_pattern_stream_alternation(
         raise NotImplementedError(
             "PREV()/NEXT() navigation requires batch input"
         )
+    if aspec.subsets:
+        raise NotImplementedError(
+            "SUBSET measures (group-quantifier unions) are batch-tier"
+        )
     alts = aspec.alternatives
     from flink_cep_examples_spark.operators.cep_batch import (
         output_schema as _batch_output_schema,

@@ -319,3 +319,100 @@ def test_dsl_alternation_helper(spark):
     df = spark.createDataFrame(rows, _SCHEMA)
     got = [(r.start_seq, r.cls) for r in match_pattern_alternation(df, spec).collect()]
     assert got == [(0, "D")]
+
+
+def test_group_quantifier_exact_unroll(spark):
+    """(D U){2}: exact bounds unroll to ONE linear spec with suffixed
+    copies; measures over the base names resolve via the auto-SUBSET."""
+    from flink_cep_examples_spark.sql.match_recognize import (
+        parse_match_recognize,
+    )
+
+    body = """
+      PARTITION BY id ORDER BY event_time
+      MEASURES FIRST(D.seq) AS s, COUNT(D.*) AS nd, LAST(U.seq) AS e
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP TO NEXT ROW
+      PATTERN ((D U){2})
+      DEFINE D AS fd, U AS fc
+    """
+    spec = parse_match_recognize(body)
+    assert isinstance(spec, PatternSpec)
+    assert [v.name for v in spec.variables] == [
+        "D__1", "U__1", "D__2", "U__2"
+    ]
+    assert dict(spec.subsets) == {
+        "D": ("D__1", "D__2"), "U": ("U__1", "U__2")
+    }
+    # d u d u d -> starts 0 (rows 0-3); start 2 fails (row 4 has no u5)
+    rows = [
+        ("k", dt.datetime(2020, 5, 1, 11, i), i, False, c, d)
+        for i, (d, c) in enumerate(
+            [(True, False), (False, True), (True, False), (False, True),
+             (True, False)]
+        )
+    ]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    got = [
+        (r.s, r.nd, r.e) for r in match_recognize(df, body).collect()
+    ]
+    assert got == [(0, 2, 3)]
+
+
+def test_group_quantifier_range_becomes_alternation(spark):
+    """(D U){1,2}: expands to 2 alternatives; under the engine's EAGER
+    emission the 1-repetition completion wins each start."""
+    from flink_cep_examples_spark.sql.match_recognize import (
+        parse_match_recognize,
+    )
+
+    body = """
+      PARTITION BY id ORDER BY event_time
+      MEASURES COUNT(D.*) AS nd
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP TO NEXT ROW
+      PATTERN ((D U){1,2})
+      DEFINE D AS fd, U AS fc
+    """
+    spec = parse_match_recognize(body)
+    assert isinstance(spec, AlternationSpec)
+    assert len(spec.alternatives) == 2
+    rows = [
+        ("k", dt.datetime(2020, 5, 1, 11, i), i, False, c, d)
+        for i, (d, c) in enumerate(
+            [(True, False), (False, True), (True, False), (False, True)]
+        )
+    ]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    got = sorted(r.nd for r in match_recognize(df, body).collect())
+    # starts 0 and 2 both complete eagerly at one repetition
+    assert got == [1, 1]
+
+
+def test_group_quantifier_optional_and_rejections():
+    from flink_cep_examples_spark.sql.match_recognize import (
+        parse_match_recognize,
+    )
+
+    spec = parse_match_recognize(
+        """
+        PARTITION BY id ORDER BY event_time
+        MEASURES A.seq AS s
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (A (D U)?)
+        DEFINE A AS fa, D AS fd, U AS fc
+        """
+    )
+    assert isinstance(spec, AlternationSpec)
+    assert [len(a.variables) for a in spec.alternatives] == [1, 3]
+    with pytest.raises(NotImplementedError, match="unbounded group"):
+        parse_match_recognize(
+            """
+            PARTITION BY id ORDER BY event_time
+            MEASURES A.seq AS s
+            ONE ROW PER MATCH
+            PATTERN (A (D U)+)
+            DEFINE A AS fa, D AS fd, U AS fc
+            """
+        )
