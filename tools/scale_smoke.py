@@ -54,7 +54,9 @@ SMOKE = [
     "q21_waiting_suppliers",  # round-4 fact-fact semi+anti joins
     "q13_order_count_distribution",  # round-4 outer join + double agg
     "cep_vshape_prev",  # round-4 PREV navigation (lag window + NFA)
-    "cep_sliced_absence",  # round-4 time-sliced operator (uniform corpus)
+    "cep_sliced_absence",  # round-4 time-sliced operator (30-day slices)
+    "cep_group_zigzag",  # round-4 group quantifier (NFA, auto-SUBSET)
+    "events_signup_no_purchase",  # round-4 raw-events absence (compiled)
 ]
 
 
