@@ -350,3 +350,103 @@ def test_skip_past_last_is_the_most_aggressive(rows):
 def test_skip_to_next_starts_are_distinct(rows):
     starts = [a for a, _, _ in _matches(SKIP_TO_NEXT, rows)]
     assert len(starts) == len(set(starts))
+
+
+# ---------------------------------------------------------------------------
+# Alternation (round 4): hypothesis differential + invariants at the
+# NFA level — the seeded Spark differential in test_alternation.py
+# covers the operator; this drives the coordinator core over hundreds
+# of generated streams with no Spark in the loop.
+# ---------------------------------------------------------------------------
+
+from flink_cep_examples_spark.operators.nfa import (  # noqa: E402
+    Nfa,
+    scan_key_group_alternation,
+)
+from flink_cep_examples_spark.plans.pattern import (  # noqa: E402
+    PatternSpec,
+    PatternVar,
+    SKIP_PAST_LAST_EVENT,
+    SKIP_TO_NEXT,
+    TIMES,
+)
+
+_alt_flags = st.lists(
+    st.tuples(st.booleans(), st.booleans(), st.booleans()),  # fa, fc, fd
+    min_size=0,
+    max_size=40,
+)
+
+
+def _alt_nfas(skip):
+    mk = lambda *vs: PatternSpec(
+        variables=vs, key_cols=("id",), after_match=skip
+    )
+    return [
+        Nfa(mk(PatternVar("A", "fa"), PatternVar("C", "fc"))),
+        Nfa(
+            mk(
+                PatternVar("A", "fa"),
+                PatternVar("D", "fd", quantifier=TIMES, times=(2, 2)),
+            )
+        ),
+    ]
+
+
+def _run_alt(seq, skip):
+    fa = [s[0] for s in seq]
+    fc = [s[1] for s in seq]
+    fd = [s[2] for s in seq]
+    ts = np.arange(1, len(seq) + 1, dtype=np.int64) * 1_000_000
+    preds = [
+        np.array([fa, fc], dtype=bool),
+        np.array([fa, fd], dtype=bool),
+    ]
+    out = scan_key_group_alternation(_alt_nfas(skip), preds, ts, skip)
+    spans = []
+    for a, match in out:
+        lo = min(s[0] for s in match.values())
+        hi = max(s[1] for s in match.values())
+        spans.append((lo, hi, a, match))
+    return fa, fc, fd, spans
+
+
+@given(_alt_flags)
+@settings(max_examples=300, deadline=None)
+def test_alternation_past_last_equals_brute_force(seq):
+    """The coordinator under SKIP PAST LAST ROW must equal the ~15-line
+    independent brute force (tests/test_alternation.py), in emission
+    order, on arbitrary flag streams."""
+    from tests.test_alternation import _brute_past_last
+
+    fa, fc, fd, spans = _run_alt(seq, SKIP_PAST_LAST_EVENT)
+    got = [(lo, a) for lo, _, a, _ in spans]
+    assert got == _brute_past_last(fa, fc, fd)
+
+
+@given(_alt_flags)
+@settings(max_examples=300, deadline=None)
+def test_alternation_invariants(seq):
+    """Structural invariants on both strategies: every match's rows
+    satisfy its branch's predicates; PAST LAST matches never overlap;
+    TO NEXT emits at most one match per start row."""
+    fa, fc, fd, past = _run_alt(seq, SKIP_PAST_LAST_EVENT)
+
+    def check_flags(a, match):
+        if a == 0:  # A C
+            assert fa[match["A"][0]] and fc[match["C"][0]]
+        else:  # A D{2}
+            d0, d1 = match["D"][0], match["D"][1]
+            assert fa[match["A"][0]] and fd[d0] and fd[d1] and d1 == d0 + 1
+
+    prev_hi = -1
+    for lo, hi, a, match in past:
+        check_flags(a, match)
+        assert lo > prev_hi  # non-overlapping, ascending
+        prev_hi = hi
+
+    _, _, _, nxt = _run_alt(seq, SKIP_TO_NEXT)
+    starts = [lo for lo, _, _, _ in nxt]
+    assert len(starts) == len(set(starts))  # one match per start row
+    for lo, hi, a, match in nxt:
+        check_flags(a, match)
