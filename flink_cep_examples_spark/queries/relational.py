@@ -5,10 +5,15 @@ pinned by DuckDB oracles and benchmarked at scale).
 
 Scale design notes (100 TB mindset):
 
-- Dimension joins (``region``, ``nation``, ``customer``, ``supplier``,
-  ``part``) are explicitly ``broadcast()`` — at any realistic scale the
-  dims are orders of magnitude smaller than ``lineitem``/``orders``/
-  ``events``, so the big fact table never shuffles for a dim join.
+- Join strategy: ``broadcast()`` hints are applied ONLY to
+  fixed-cardinality sides — ``nation``/``region`` (25/5 rows at every
+  SF) and one-row scalar aggregates. ``customer``/``supplier``/``part``
+  scale linearly with SF (150k/10k/200k × SF): at warehouse scale
+  (SF ≈ 10⁵ for the 100 TB target) a forced broadcast of customer is
+  billions of rows — a guaranteed broadcast-OOM — so those joins carry
+  NO hint and AQE picks broadcast vs shuffled-hash from runtime sizes
+  (it still broadcasts them at small SF; the plan is scale-safe either
+  way). ``tests/test_plans.py`` audits exactly this invariant.
 - Filters are applied directly on the scan columns (no UDFs) so Catalyst
   pushes them into the parquet reader (check: ``PushedFilters`` in
   ``.explain``), and only referenced columns are read (``ReadSchema``).
@@ -90,7 +95,8 @@ GROUP BY l_returnflag, l_linestatus
 
 def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 adapted: top-10 open BUILDING-segment orders by pending
-    revenue. Demonstrates fact-fact join + broadcast dim + TakeOrdered."""
+    revenue. Demonstrates fact-fact join + AQE-chosen dim join +
+    TakeOrdered."""
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -103,7 +109,7 @@ def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = F.col("l_discount").cast(_R)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.sum(_dec("l_extendedprice") * (F.lit(1) - disc))
@@ -141,7 +147,8 @@ LIMIT 10
 
 def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 adapted: revenue by region where customer and supplier
-    share a nation. Six-way join; every dim side broadcast."""
+    share a nation. Six-way join; fixed dims (nation/region) broadcast,
+    SF-scaling dims (customer/supplier) AQE-chosen."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01"))
@@ -154,9 +161,9 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = F.col("l_discount").cast(_R)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
@@ -196,7 +203,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = F.col("l_discount").cast(_R)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
         .agg(
@@ -544,7 +551,7 @@ register(
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 adapted: share of revenue from PROMO parts in one
     month. Plan pattern: fact scan with a pushed date-range filter,
-    broadcast part join, single scalar aggregate with a conditional
+    AQE-chosen part join, single scalar aggregate with a conditional
     numerator (map-side combinable)."""
     li = load_table(spark, sf_dir, "lineitem")
     pt = load_table(spark, sf_dir, "part")
@@ -555,7 +562,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-01-01"))
             & (F.col("l_shipdate") < F.lit("1997-02-01"))
         )
-        .join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(pt, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             (
                 F.lit(100.0)
@@ -590,7 +597,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     exceeds a threshold. Plan pattern: pre-aggregate the fact on the
     join key FIRST (HAVING pushes the heavy groupBy below the joins,
     shrinking the join input to qualifying orders only), then join
-    orders + broadcast customer, top-k by total price."""
+    orders + customer (AQE-chosen strategy), top-k by total price."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -601,7 +608,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_name",
             "o_orderkey",
@@ -635,7 +642,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands. Plan pattern: a disjunctive join-filter — the per-band
     conjuncts reference both sides, so they evaluate post-join, but the
     OR of the part-side prefixes (brand/size) and the lineitem-side
-    quantity bounds still push to the scans; broadcast part join."""
+    quantity bounds still push to the scans; AQE-chosen part join."""
     li = load_table(spark, sf_dir, "lineitem")
     pt = load_table(spark, sf_dir, "part")
     disc = F.col("l_discount").cast(_R)
@@ -658,7 +665,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(pt, F.col("l_partkey") == F.col("p_partkey"))
         .filter(band)
         .agg(
             F.sum(_dec("l_extendedprice") * (F.lit(1) - disc))

@@ -13,8 +13,9 @@ Scale design notes (100 TB mindset):
 - The Q22 scalar threshold is a one-row aggregate crossJoin(broadcast)
   — no collect(), no second scan of customer.
 - Q17's per-part average is a map-side-combinable groupBy on the
-  (already brand-filtered, broadcast-joined) lineitem subset, then a
-  broadcast back-join — the big table shuffles once on l_partkey.
+  (already brand-filtered) lineitem subset, then an AQE-chosen
+  back-join (``qlim`` scales with |part| — no forced broadcast); the
+  big table shuffles once on l_partkey.
 - Filters sit directly on scan columns (parquet pushdown); sums that
   feed cross-engine hash comparison go through exact DECIMAL.
 
@@ -112,7 +113,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 adapted: average yearly revenue lost if Brand#4
     orders below half their part's average quantity were dropped.
     The correlated scalar subquery (per-part AVG) becomes an explicit
-    aggregate + broadcast back-join; ``l_quantity`` is integral so the
+    aggregate + AQE-chosen back-join (``qlim`` scales with |part|); ``l_quantity`` is integral so the
     double AVG is order-independent and exact in both engines."""
     part = load_table(spark, sf_dir, "part").filter(
         F.col("p_brand") == "Brand#4"
@@ -121,13 +122,13 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_quantity", "l_extendedprice"
     )
     branded = li.join(
-        F.broadcast(part), li.l_partkey == part.p_partkey
+        part, li.l_partkey == part.p_partkey
     ).select("l_partkey", "l_quantity", "l_extendedprice")
     qlim = branded.groupBy("l_partkey").agg(
         (F.lit(0.5) * F.avg("l_quantity")).alias("qlim")
     )
     return (
-        branded.join(F.broadcast(qlim), "l_partkey")
+        branded.join(qlim, "l_partkey")
         .filter(F.col("l_quantity") < F.col("qlim"))
         .agg(
             (F.sum(F.col("l_extendedprice").cast(_D)).cast("double") / 7.0)

@@ -14,11 +14,14 @@ double-correlated EXISTS / NOT EXISTS.
 
 Scale design notes (100 TB mindset), matching relational.py:
 
-- dims (part 2k, supplier 100, nation 25) broadcast; lineitem/orders
-  never shuffle for a dim join;
+- fixed-cardinality dims (nation 25, region 5) carry explicit
+  ``broadcast()`` hints; SF-scaling dims (part/supplier/customer and
+  their filtered subsets) carry NO hint — AQE picks broadcast vs
+  shuffled-hash from runtime sizes, so the plan survives SF ≈ 10⁵
+  where a forced broadcast of a 150k×SF-row dim would OOM;
 - per-group → global "best/threshold" values are one-row aggregates
   crossJoined back broadcast (Q11/Q15) or per-key aggregates
-  broadcast back-joined (Q2), never collect();
+  back-joined with AQE-chosen strategy (Q2), never collect();
 - Q21's EXISTS / NOT EXISTS are real LeftSemi / LeftAnti joins on the
   order key with a supplier-inequality residual — the anti side is
   pre-filtered to LATE rows only before the join;
@@ -55,7 +58,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     offering it at the minimum observed price (MIN l_extendedprice
     over that (part, supplier) pair), suppliers restricted to the
     EUROPE region. The correlated MIN subquery becomes a per-part
-    aggregate broadcast back-joined onto the offers."""
+    aggregate back-joined onto the offers (AQE-chosen strategy —
+    ``best`` scales with |part|, so no forced broadcast)."""
     part = (
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_type") == "LARGE")
@@ -65,7 +69,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_suppkey", "l_extendedprice"
     )
     offers = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_partkey", "l_suppkey")
         .agg(F.min("l_extendedprice").alias("offer"))
     )
@@ -83,9 +87,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     return (
-        offers.join(F.broadcast(best), "p_partkey")
+        offers.join(best, "p_partkey")
         .filter(F.col("offer") == F.col("best"))
-        .join(F.broadcast(euro_supp), offers.l_suppkey == euro_supp.s_suppkey)
+        .join(euro_supp, offers.l_suppkey == euro_supp.s_suppkey)
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "offer")
         .orderBy(
             F.desc("s_acctbal"), "n_name", "s_name", "p_partkey"
@@ -145,9 +149,9 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", F.col("n_name").alias("supp_nation"))
     )
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
             "supp_nation",
@@ -214,10 +218,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = _rev()
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(asia_cust), orders.o_custkey == asia_cust.c_custkey)
+        .join(asia_cust, orders.o_custkey == asia_cust.c_custkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             (
@@ -280,8 +284,8 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cost = _dec("p_retailprice") * F.col("l_quantity")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -329,7 +333,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice"
     )
-    national = li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    national = li.join(supp, li.l_suppkey == supp.s_suppkey)
     per_part = national.groupBy("l_partkey").agg(
         F.sum(_dec("l_extendedprice")).alias("value_dec")
     )
@@ -420,7 +424,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("mx"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -460,9 +464,9 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_suppkey"
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(
-            F.broadcast(bad_supp),
+            bad_supp,
             li.l_suppkey == bad_supp.s_suppkey,
             "left_anti",
         )
@@ -497,7 +501,7 @@ def q20_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-01-01"))
     )
     heavy = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 30)
@@ -561,7 +565,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
     )
     l1 = late.join(
-        F.broadcast(supp), late.l_suppkey == supp.s_suppkey
+        supp, late.l_suppkey == supp.s_suppkey
     ).select("l_orderkey", "l_suppkey", "s_name")
     l2 = li.select(
         F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")

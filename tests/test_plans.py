@@ -45,13 +45,32 @@ def test_q1_filter_pushed_and_columns_pruned(plans):
     assert "l_orderkey" not in schema_line and "l_partkey" not in schema_line
 
 
-def test_dim_joins_broadcast(plans):
+def test_dim_joins_aqe_chosen_never_nested_loop(spark, sf_small):
+    """customer/supplier/part scale with SF (150k/10k/200k x SF) — a
+    forced broadcast would OOM at warehouse scale, so those joins must
+    carry NO mandatory hint (AQE/static stats pick the strategy from
+    runtime sizes) and must never degrade to a nested loop. Only the
+    fixed-cardinality sides (nation 25 / region 5 rows, one-row
+    scalars) may keep an explicit hint."""
     for name in ("q3_top_unshipped_orders", "q5_regional_revenue"):
-        p = plans[name]
-        assert "BroadcastHashJoin" in p, name
-    # q5: all four dims broadcast -> exactly one shuffle join
-    # (lineitem x orders) survives
-    assert plans["q5_regional_revenue"].count("BroadcastHashJoin") >= 4
+        df = QUERIES[name](spark, sf_small)
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        for line in optimized.splitlines():
+            if "strategy=broadcast" in line:
+                # hints survive only on the fixed dims
+                assert "customer" not in line and "supplier" not in line, (
+                    name,
+                    line,
+                )
+        df.collect()  # materialize so AQE finalizes its join choices
+        final = _plan(df)
+        assert "isFinalPlan=true" in final, name
+        # equi hash/merge joins only — never a cartesian/nested loop
+        assert "CartesianProduct" not in final, name
+        assert "BroadcastNestedLoopJoin" not in final, name
+        # at this SF the dims are tiny: the chosen strategy is still
+        # broadcast (proving we lost nothing locally by unforcing it)
+        assert "BroadcastHashJoin" in final, name
 
 
 def test_topk_is_take_ordered(plans):
@@ -251,12 +270,22 @@ def test_q21_semi_and_anti_joins(spark, sf_small):
     assert "TakeOrderedAndProject" in p  # top-10 is a heap, not a sort
 
 
-def test_q2_correlated_min_broadcasts_back(spark, sf_small):
-    """Q2's per-part MIN back-join and the supplier/nation/region dims
-    must all broadcast — lineitem shuffles once for the offers
-    aggregate and never for a dim."""
-    p = _plan(QUERIES["q2_min_cost_supplier"](spark, sf_small))
-    assert p.count("BroadcastHashJoin") >= 3
+def test_q2_correlated_min_aqe_back_join(spark, sf_small):
+    """Q2's per-part MIN back-join: ``best`` scales with |part|, so no
+    forced broadcast — AQE picks the strategy at runtime. At this SF it
+    still resolves to broadcast; at any SF it must never be a nested
+    loop."""
+    df = QUERIES["q2_min_cost_supplier"](spark, sf_small)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    # exactly the two fixed-dim hints (nation, region) survive; the
+    # part / best / euro_supp joins carry none
+    assert optimized.count("strategy=broadcast") <= 2
+    df.collect()
+    final = _plan(df)
+    assert "isFinalPlan=true" in final
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" not in final
+    assert "BroadcastHashJoin" in final
 
 
 def test_ivf_persisted_search_prunes_partitions(spark, sf_small):
