@@ -1035,7 +1035,7 @@ def cep_vshape_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_with_match_recognize(spark, query, {"billing": df})
 
 
-register("cep_alert_reactions", cep_alert_reactions, ORACLE_MATCHES)
+register("cep_alert_reactions", cep_alert_reactions, ORACLE_MATCHES, driver=False)
 register(
     "cep_until_pattern", cep_until_pattern, ORACLE_UNTIL,
     driver=False,  # r4.2 rotation: driver-verified green in r2+r3; pytest-gated
@@ -1044,43 +1044,42 @@ register(
     "cep_alert_reactions_nfa", cep_alert_reactions_nfa, ORACLE_MATCHES,
     driver=False,  # NFA-tier twin of cep_alert_reactions; differential in pytest
 )
-register("cep_alerts_with_timeouts", cep_alerts_with_timeouts, ORACLE_WITH_TIMEOUTS)
+register("cep_alerts_with_timeouts", cep_alerts_with_timeouts, ORACLE_WITH_TIMEOUTS, driver=False)
 register(
     "cep_alerts_with_timeouts_nfa", cep_alerts_with_timeouts_nfa,
     ORACLE_WITH_TIMEOUTS,
     driver=False,  # NFA-tier twin of cep_alerts_with_timeouts
 )
-register("cep_match_recognize", cep_match_recognize, ORACLE_MATCHES)
+register("cep_match_recognize", cep_match_recognize, ORACLE_MATCHES, driver=False)
 register(
     "cep_match_recognize_all_rows", cep_match_recognize_all_rows, ORACLE_ALL_ROWS,
     driver=False,  # r4.2 rotation: verified r2+r3; all-rows family now driver-repped by cep_running_measures
 )
 register(
     "cep_match_recognize_excl", cep_match_recognize_excl, ORACLE_ALL_ROWS_EXCL,
-    driver=False,  # driver set capped at 50; oracle-gated in pytest
+    # r5 rotation: promoted into the 50-row driver gate (never verified)
 )
 register(
     "cep_permute_pattern", cep_permute_pattern, ORACLE_PERMUTE,
-    driver=False,  # driver set capped at 50; oracle-gated in pytest
+    # r5 rotation: promoted into the 50-row driver gate (never verified)
 )
-register("cep_keyed_process", cep_keyed_process, ORACLE_KEYED_PROCESS)
+register("cep_keyed_process", cep_keyed_process, ORACLE_KEYED_PROCESS, driver=False)
 register(
     "cep_absence_not_followed_by",
     cep_absence_not_followed_by,
-    ORACLE_NOT_FOLLOWED_BY,
-)
+    ORACLE_NOT_FOLLOWED_BY, driver=False)
 register(
     "cep_skip_to_next", cep_skip_to_next, ORACLE_SKIP_TO_NEXT,
     driver=False,  # r4.2 rotation: verified r2+r3; skip family driver-repped by cep_skip_to_last
 )
-register("cep_times_pattern", cep_times_pattern, ORACLE_TIMES)
+register("cep_times_pattern", cep_times_pattern, ORACLE_TIMES, driver=False)
 register(
     "cep_skip_to_last", cep_skip_to_last, ORACLE_SKIP_TO_LAST,
     # round-4 rotation: promoted into the 50-row driver gate
 )
 register(
     "cep_skip_to_last_nfa", cep_skip_to_last_nfa, ORACLE_SKIP_TO_LAST,
-    driver=False,  # NFA-tier twin; differential in pytest
+    # r5 rotation: promoted into the 50-row driver gate (never verified)
 )
 register(  # r4.2 rotation: promoted into the 50-row driver gate
     "cep_measure_aggregates", cep_measure_aggregates, ORACLE_MEASURE_AGGS,
@@ -1099,7 +1098,7 @@ register(  # r4.2 rotation: promoted into the 50-row driver gate
 )
 register(
     "cep_sliced_absence", cep_sliced_absence, ORACLE_NOT_FOLLOWED_BY,
-    driver=False,  # sliced twin of cep_absence_not_followed_by; pytest-gated
+    # r5 rotation: promoted into the 50-row driver gate (never verified)
 )
 
 
@@ -1228,11 +1227,11 @@ WHERE event_type = 'signup'
 
 register(
     "cep_group_zigzag", cep_group_zigzag, ORACLE_GROUP_ZIGZAG,
-    driver=False,  # driver set capped at 50; oracle-gated in pytest
+    # r5 rotation: promoted into the 50-row driver gate (never verified)
 )
 register(
     "events_signup_no_purchase",
     events_signup_no_purchase,
     ORACLE_SIGNUP_NO_PURCHASE,
-    driver=False,  # driver set capped at 50; oracle-gated in pytest
+    # r5 rotation: promoted into the 50-row driver gate (never verified)
 )

@@ -337,7 +337,7 @@ register(
 )
 register("docs_repetition_stats", docs_repetition_stats, ORACLE_REPETITION, driver=False,  # r4 rotation: driver-verified green in r2+r3; pytest-gated now
 )
-register("docs_gopher_quality", docs_gopher_quality, ORACLE_GOPHER)
+register("docs_gopher_quality", docs_gopher_quality, ORACLE_GOPHER, driver=False)
 register("docs_pii_scrub", docs_pii_scrub, ORACLE_PII, driver=False,  # r4 rotation: driver-verified green in r2+r3; pytest-gated now
 )
 register(

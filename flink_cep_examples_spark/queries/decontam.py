@@ -123,7 +123,7 @@ GROUP BY cw.doc_id
 """
 
 
-register("docs_decontaminate", docs_decontaminate, ORACLE_DECONTAM)
+register("docs_decontaminate", docs_decontaminate, ORACLE_DECONTAM, driver=False)
 
 
 def docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,5 +174,5 @@ GROUP BY 1, 2
 
 register(
     "docs_source_overlap", docs_source_overlap, ORACLE_SOURCE_OVERLAP,
-    driver=False,  # driver set capped at 50; oracle-gated in pytest
+    # r5 rotation: promoted into the 50-row driver gate (never verified)
 )

@@ -454,10 +454,10 @@ FROM allc
 
 register("dedup_exact", dedup_exact, ORACLE_EXACT, driver=False,  # r4 rotation: driver-verified green in r2+r3; pytest-gated now
 )
-register("dedup_clusters", dedup_clusters, _oracle_clusters())
+register("dedup_clusters", dedup_clusters, _oracle_clusters(), driver=False)
 register(
     "dedup_ngram_jaccard", dedup_ngram_jaccard, ORACLE_JACCARD,
-    # round-4 rotation: promoted into the 50-row driver gate
+    driver=False,  # r5 rotation: driver-verified green r3+r4; pytest-gated now
 )
 register(
     "dedup_minhash_lsh", dedup_minhash_lsh, _oracle_minhash(),

@@ -490,5 +490,5 @@ def ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register(
     "ivf_persisted_topk", ivf_persisted_topk, ORACLE_IVF,
-    driver=False,  # persisted-index twin of ivf_topk; pytest-gated
+    # r5 rotation: promoted into the 50-row driver gate (never verified)
 )

@@ -168,6 +168,6 @@ register(
     "mm_decode_features", mm_decode_features, ORACLE_FEATURES,
     driver=False,  # r4.2 rotation: driver-verified green in r2+r3; pytest-gated
 )
-register("mm_frame_sample", mm_frame_sample, ORACLE_FRAMES)
+register("mm_frame_sample", mm_frame_sample, ORACLE_FRAMES, driver=False)
 register("mm_resize_digest", mm_resize_digest, ORACLE_RESIZE, driver=False,  # r4 rotation: driver-verified green in r2+r3; pytest-gated now
 )

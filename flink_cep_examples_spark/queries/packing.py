@@ -140,4 +140,4 @@ FROM rec
 """
 
 
-register("docs_pack_sequences", docs_pack_sequences, ORACLE_PACK)
+register("docs_pack_sequences", docs_pack_sequences, ORACLE_PACK, driver=False)

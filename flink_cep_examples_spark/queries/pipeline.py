@@ -80,4 +80,4 @@ WHERE q.keep
   )
 """
 
-register("corpus_clean_pipeline", corpus_clean_pipeline, ORACLE_PIPELINE)
+register("corpus_clean_pipeline", corpus_clean_pipeline, ORACLE_PIPELINE, driver=False)

@@ -523,7 +523,7 @@ register(
 )
 register(
     "customer_order_ranks", customer_order_ranks, ORACLE_RANKS,
-    # round-4 rotation: promoted into the 50-row driver gate
+    driver=False,  # r5 rotation: driver-verified green r3+r4; pytest-gated now
 )
 register("events_hourly_by_type", events_hourly_by_type, ORACLE_HOURLY, driver=False,  # r4 rotation: driver-verified green in r2+r3; pytest-gated now
 )
@@ -729,17 +729,17 @@ GROUP BY 1 ORDER BY 1
 
 register(
     "q14_promo_revenue", q14_promo_revenue, ORACLE_Q14,
-    driver=False,  # driver set capped at 50; oracle-gated in pytest
+    # r5 rotation: promoted into the 50-row driver gate (never verified)
 )
 register(
     "q18_large_orders", q18_large_orders, ORACLE_Q18,
-    driver=False,  # driver set capped at 50; oracle-gated in pytest
+    # r5 rotation: promoted into the 50-row driver gate (never verified)
 )
 register(
     "q19_disjunctive_revenue", q19_disjunctive_revenue, ORACLE_Q19,
-    driver=False,  # driver set capped at 50; oracle-gated in pytest
+    # r5 rotation: promoted into the 50-row driver gate (never verified)
 )
 register(
     "q12_priority_late_ship", q12_priority_late_ship, ORACLE_Q12,
-    driver=False,  # driver set capped at 50; oracle-gated in pytest
+    # r5 rotation: promoted into the 50-row driver gate (never verified)
 )

@@ -620,25 +620,23 @@ LIMIT 10
 register(  # r4.2 rotation: promoted into the 50-row driver gate
     "q2_min_cost_supplier", q2_min_cost_supplier, ORACLE_Q2
 )
-register("q7_volume_shipping", q7_volume_shipping, ORACLE_Q7, driver=False)
-register("q8_market_share", q8_market_share, ORACLE_Q8, driver=False)
-register("q9_product_type_profit", q9_product_type_profit, ORACLE_Q9, driver=False)
-register("q11_important_stock", q11_important_stock, ORACLE_Q11, driver=False)
+register("q7_volume_shipping", q7_volume_shipping, ORACLE_Q7)
+register("q8_market_share", q8_market_share, ORACLE_Q8)
+register("q9_product_type_profit", q9_product_type_profit, ORACLE_Q9)
+register("q11_important_stock", q11_important_stock, ORACLE_Q11)
 register(  # r4.2 rotation: promoted into the 50-row driver gate
     "q13_order_count_distribution",
     q13_order_count_distribution,
     ORACLE_Q13,
 )
-register("q15_top_supplier", q15_top_supplier, ORACLE_Q15, driver=False)
+register("q15_top_supplier", q15_top_supplier, ORACLE_Q15)
 register(
     "q16_supplier_part_counts", q16_supplier_part_counts, ORACLE_Q16,
-    driver=False,
 )
 register(
     "q20_part_promotion_suppliers",
     q20_part_promotion_suppliers,
     ORACLE_Q20,
-    driver=False,
 )
 register(  # r4.2 rotation: promoted into the 50-row driver gate
     "q21_waiting_suppliers", q21_waiting_suppliers, ORACLE_Q21

@@ -526,12 +526,12 @@ register(
 )
 register("ann_lsh_topk", ann_lsh_topk, ORACLE_LSH_TOPK, driver=False,  # r4 rotation: driver-verified green in r2+r3; pytest-gated now
 )
-register("ann_batch_topk", ann_batch_topk, ORACLE_BATCH_TOPK)
+register("ann_batch_topk", ann_batch_topk, ORACLE_BATCH_TOPK, driver=False)
 register(
     "embedding_cosine_dups", embedding_cosine_dups, ORACLE_COSINE_DUPS,
-    # round-4 rotation: promoted into the 50-row driver gate
+    driver=False,  # r5 rotation: driver-verified green r3+r4; pytest-gated now
 )
 register(
     "embedding_label_stats", embedding_label_stats, ORACLE_LABEL_STATS,
-    # round-4 rotation: promoted into the 50-row driver gate
+    driver=False,  # r5 rotation: driver-verified green r3+r4; pytest-gated now
 )

@@ -303,7 +303,7 @@ SELECT doc_id, term, tf, df, score, rk FROM scored WHERE rk <= 3
 """
 
 
-register("text_token_stats", text_token_stats, ORACLE_TOKEN_STATS)
+register("text_token_stats", text_token_stats, ORACLE_TOKEN_STATS, driver=False)
 register("text_quality_scores", text_quality_scores, ORACLE_QUALITY, driver=False,  # r4 rotation: driver-verified green in r2+r3; pytest-gated now
 )
 register("text_lang_id", text_lang_id, _oracle_lang(), driver=False,  # r4 rotation: driver-verified green in r2+r3; pytest-gated now
@@ -312,7 +312,7 @@ register("text_fingerprint", text_fingerprint, ORACLE_FINGERPRINT, driver=False,
 )
 register(
     "doc_length_histogram", doc_length_histogram, ORACLE_LENGTH_HIST,
-    # round-4 rotation: promoted into the 50-row driver gate
+    driver=False,  # r5 rotation: driver-verified green r3+r4; pytest-gated now
 )
 register("docs_tfidf_top_terms", docs_tfidf_top_terms, ORACLE_TFIDF, driver=False,  # r4 rotation: driver-verified green in r2+r3; pytest-gated now
 )
