@@ -772,6 +772,13 @@ def fast_alternation_applicable(aspec: AlternationSpec) -> bool:
             return False
         if alt.nav_cols:
             return False
+    # the closed form evaluates ONE within bound (alternatives[0].within)
+    # against every branch's span; a DSL-built alternation whose branches
+    # carry different (or partly missing) deadlines would silently get
+    # branch 0's deadline here while the lockstep coordinator honors each
+    # branch's own — route those to the coordinator instead
+    if len({alt.within for alt in aspec.alternatives}) != 1:
+        return False
     return all(
         m.fn in ("first", "last", "count", "classifier", "match_number")
         for m in aspec.measures

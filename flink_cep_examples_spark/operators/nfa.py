@@ -457,7 +457,11 @@ class Nfa:
         without timeout emission — the alternation validator enforces
         both."""
         matches, _ = self.advance_time(st, t_us)
-        assert not matches, "alternation specs cannot carry pendings"
+        if matches:  # survives python -O, unlike assert
+            raise AssertionError(
+                "alternation specs cannot carry pendings — validator "
+                "must reject trailing absence variables"
+            )
         completed = self._consume(st, t_us, pred_row, payload)
         completed.sort(key=lambda rc: (rc[0], self._pref_key(rc[2])))
         return completed

@@ -158,8 +158,29 @@ def _parse_pattern_clause(
         raise ValueError(f"cannot parse PATTERN clause: {text!r}")
     inner, rest = m.group(1), (m.group(2) or "").strip()
     # top-level SQL:2016 alternation first (inner parens belong to
-    # group quantifiers, expanded per branch below)
-    branches = [b.strip() for b in inner.split("|")]
+    # group quantifiers, expanded per branch below). Split depth-aware:
+    # a '|' nested inside parentheses — e.g. ((A B | C D){2}) — is
+    # alternation *inside a group*, which has no implementation path
+    # here; diagnose it clearly instead of splitting mid-group.
+    branches, depth, cur = [], 0, []
+    for ch in inner:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "|":
+            if depth > 0:
+                raise NotImplementedError(
+                    "alternation inside a group is not supported: "
+                    f"{inner.strip()!r} — only top-level PATTERN "
+                    "(P1 | P2 | ...) alternation is implemented"
+                )
+            branches.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    branches.append("".join(cur))
+    branches = [b.strip() for b in branches]
     if not all(branches):
         raise ValueError(f"empty alternation branch in: {inner!r}")
     expanded: list[str] = []

@@ -517,7 +517,12 @@ def match_pattern_stream_alternation(
             sts = alt_states[kt]
             for nf, st in zip(nfas, sts):
                 wm_matches, _ = nf.advance_time(st, wm_us)
-                assert not wm_matches  # no trailing negatives
+                if wm_matches:  # survives python -O, unlike assert
+                    raise AssertionError(
+                        "alternation state yielded pending completions "
+                        "at watermark — validator must reject trailing "
+                        "absence variables in alternatives"
+                    )
             if not any(st.runs for st in sts):
                 if kt not in buffered_keys:
                     del alt_states[kt]

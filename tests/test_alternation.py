@@ -416,3 +416,75 @@ def test_group_quantifier_optional_and_rejections():
             DEFINE A AS fa, D AS fd, U AS fc
             """
         )
+
+
+def test_alternation_mixed_within_falls_back_to_coordinator(spark):
+    """Branches with DIFFERENT (or partly missing) within deadlines are
+    NOT closed-form eligible: the fast path evaluates one bound
+    (alternatives[0].within) against every branch's span, while the
+    coordinator honors each branch's own deadline — the applicability
+    check must route mixed-deadline specs to the coordinator, where
+    each branch's deadline actually bites."""
+    import dataclasses
+
+    from flink_cep_examples_spark.operators.fast_path import (
+        fast_alternation_applicable,
+    )
+    from flink_cep_examples_spark.plans.pattern import SKIP_TO_NEXT
+
+    base = _alt_spec(after_match=SKIP_TO_NEXT)
+    alt1, alt2 = base.alternatives
+    spec = AlternationSpec(
+        alternatives=(
+            dataclasses.replace(alt1, within=dt.timedelta(minutes=5)),
+            dataclasses.replace(alt2, within=dt.timedelta(hours=1)),
+        ),
+        measures=(
+            Measure("start_seq", "A", "seq", "first"),
+            Measure("cls", "", "", "classifier"),
+            Measure("n_d", "D", "", "count"),
+        ),
+    )
+    assert not fast_alternation_applicable(spec)
+    # uniform deadlines stay eligible
+    uniform = AlternationSpec(
+        alternatives=tuple(
+            dataclasses.replace(a, within=dt.timedelta(hours=1))
+            for a in base.alternatives
+        ),
+        measures=spec.measures,
+    )
+    assert fast_alternation_applicable(uniform)
+    # coordinator semantics: branch 1 (A C) completes first at +10 min
+    # but its OWN 5-minute deadline kills it; branch 2 (A D D)
+    # completes at +11 min inside ITS 1-hour deadline and must win.
+    # A shared branch-0 deadline (the old fast-path bug) would have
+    # killed both and emitted nothing.
+    t0 = dt.datetime(2020, 5, 1, 12, 0, 0)
+    rows = [
+        ("k", t0, 0, True, False, False),  # A
+        ("k", t0 + dt.timedelta(minutes=10), 1, False, True, True),  # C & D
+        ("k", t0 + dt.timedelta(minutes=11), 2, False, False, True),  # D
+    ]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    got = [
+        (r.start_seq, r.n_d)
+        for r in match_pattern_alternation(df, spec).collect()
+    ]
+    assert got == [(0, 2)]
+
+
+def test_nested_alternation_in_group_raises_clearly():
+    """'|' inside parentheses — PATTERN ((A B | C D){2}) — must raise
+    NotImplementedError naming the construct, not an opaque
+    unsupported-token error from mid-group splitting."""
+    with pytest.raises(NotImplementedError, match="alternation inside a group"):
+        parse_match_recognize(
+            """
+            PARTITION BY id ORDER BY event_time
+            MEASURES A.seq AS s
+            ONE ROW PER MATCH
+            PATTERN ((A B | C D){2})
+            DEFINE A AS fa, B AS fd, C AS fc, D AS fd
+            """
+        )
