@@ -74,6 +74,8 @@ def fast_abc_applicable(spec: PatternSpec) -> bool:
     the one-row no-timeout shape (B rows are the segment slice between
     the anchor and the C row — a windowed conditional aggregate)."""
     v = spec.variables
+    if spec.loop_groups:
+        return False
     if not (
         len(v) == 3
         and not any(vv.negated for vv in v)
@@ -104,7 +106,8 @@ def fast_absence_applicable(spec: PatternSpec) -> bool:
     so NO_SKIP and SKIP_TO_NEXT coincide and both are eligible."""
     v = spec.variables
     return (
-        len(v) == 2
+        not spec.loop_groups
+        and len(v) == 2
         and not v[0].negated
         and v[0].quantifier == ONCE
         and v[1].negated
@@ -495,6 +498,8 @@ def match_pattern_fast_abc(df: DataFrame, spec: PatternSpec) -> DataFrame:
 def _fixed_counts(spec: PatternSpec) -> list[int] | None:
     """Per-variable exact row counts when every variable is fixed-width
     (ONCE, or times(n, n) with n >= 1); None otherwise."""
+    if spec.loop_groups:
+        return None  # unbounded iterations are never fixed-width
     counts: list[int] = []
     for v in spec.variables:
         if v.negated or v.until is not None or v.combinations:

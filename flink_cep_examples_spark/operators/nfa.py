@@ -257,6 +257,27 @@ class Nfa:
             for p in range(self.n_pos)
         ]
 
+        # unbounded group quantifiers (X Y)+: loop-back edges. Spec
+        # indices → positive positions (group vars are non-negated,
+        # validated), then for each group's END position the loop-back
+        # targets are the group's start position plus epsilon-skips
+        # over optional vars INSIDE the group (mirroring _succ) — a new
+        # iteration may begin at any of them. Consuming the loop-back
+        # row resets the target variable's count (_extend: p != br.var)
+        # while its row SPAN keeps merging across iterations, which is
+        # exactly what FIRST/LAST/COUNT need.
+        pos_of_spec = {i: p for p, i in enumerate(self._pos)}
+        self._loop_succ: dict[int, tuple[int, ...]] = {}
+        for s_i, e_i in getattr(spec, "loop_groups", ()):
+            s_p, e_p = pos_of_spec[s_i], pos_of_spec[e_i]
+            targets, j = [], s_p
+            while j <= e_p:
+                targets.append(j)
+                if not self._optional[j]:
+                    break
+                j += 1
+            self._loop_succ[e_p] = tuple(targets)
+
         # until(): at most one looping variable carries a stop condition
         # (validated upstream). Its predicate is the extra pred column
         # AFTER the per-variable ones (PatternSpec.pred_exprs layout).
@@ -550,6 +571,19 @@ class Nfa:
                                 complete(run, nb)
                                 if not self._can_loop[q]:
                                     continue  # final once-var: branch ends
+                            keep(nb)
+                    # group loop-back: the end variable of a (X Y)+
+                    # group just finished an iteration — a parallel
+                    # branch may start the next iteration at the
+                    # group's start (strict: it must consume this
+                    # row). Never a completion (the group start is
+                    # always followed by the non-optional group end).
+                    for q in self._loop_succ.get(p, ()):
+                        if pred_row[self._pos[q]]:
+                            nb = self._extend(br, q, payload, ord_)
+                            moved_det = (
+                                moved_det or not self._combinations[q]
+                            )
                             keep(nb)
                 # survival without consuming (the "ignore edge"): blocked
                 # by a deterministic consumption or by any active

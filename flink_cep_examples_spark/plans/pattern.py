@@ -216,6 +216,22 @@ class PatternSpec:
     #: MEASURES — U's matched rows are the union of its components'
     #: rows. Stored as ((name, (component, ...)), ...).
     subsets: tuple[tuple[str, tuple[str, ...]], ...] = ()
+    #: Unbounded group quantifier ``(X Y)+`` (SQL:2016 grouped
+    #: one-or-more): each entry is an INCLUSIVE (start, end) index
+    #: range over ``variables`` forming a sub-NFA loop — after the end
+    #: variable completes an iteration, a branch may non-
+    #: deterministically loop back to the start variable (consuming the
+    #: next row into it) in addition to proceeding forward. ``(X Y)*``
+    #: and ``(X Y){n,}`` compile to this at parse time (alternation /
+    #: unrolled copies + a trailing ``+`` group — sql/match_recognize).
+    #: Emission stays EAGER (earliest completion wins under the
+    #: one-match skip strategies): the loop takes more iterations only
+    #: while the rest of the pattern cannot yet complete — the engine's
+    #: documented deviation from longest-greedy derivation. Iteration
+    #: row spans per variable MERGE across iterations, so FIRST = first
+    #: iteration's first row, LAST = last iteration's last row, and
+    #: COUNT(var.*) counts rows across all iterations.
+    loop_groups: tuple[tuple[int, int], ...] = ()
     #: SQL:2016 PREV()/NEXT() physical-row navigation in DEFINE
     #: predicates: each entry (alias, src_col, offset, kind) with kind
     #: ∈ {'prev', 'next'} materializes as a lag/lead column over the
@@ -358,6 +374,74 @@ class PatternSpec:
                 )
             if m.fn not in ("first", "last", "count") + AGG_FNS:
                 raise ValueError(f"unsupported measure fn {m.fn}")
+        if self.loop_groups:
+            if self.permute:
+                raise ValueError("loop groups cannot combine with PERMUTE")
+            if self.rows_per_match == "all":
+                raise NotImplementedError(
+                    "ALL ROWS PER MATCH with an unbounded group "
+                    "quantifier: per-row classification reconstructs "
+                    "each variable's rows from one contiguous span, "
+                    "which group iterations interleave"
+                )
+            spans_sorted = sorted(self.loop_groups)
+            prev_end = -1
+            group_vars: set[str] = set()
+            for s, e in spans_sorted:
+                if not (0 <= s <= e < len(self.variables)):
+                    raise ValueError(f"loop group ({s}, {e}) out of range")
+                if s <= prev_end:
+                    raise ValueError(
+                        "loop groups cannot overlap or nest: "
+                        f"{self.loop_groups}"
+                    )
+                prev_end = e
+                seg = self.variables[s : e + 1]
+                for v in seg:
+                    if v.negated:
+                        raise ValueError(
+                            f"negated var {v.name} inside a loop group"
+                        )
+                    if v.until is not None:
+                        raise NotImplementedError(
+                            f"until() inside a loop group ({v.name})"
+                        )
+                    if v.contiguity != STRICT or (
+                        (v.loop_contiguity or v.contiguity) != STRICT
+                    ):
+                        raise NotImplementedError(
+                            f"loop-group var {v.name} must be strictly "
+                            "contiguous (MATCH_RECOGNIZE semantics)"
+                        )
+                    group_vars.add(v.name)
+                if seg[-1].optional:
+                    raise ValueError(
+                        f"the last variable of a loop group ({seg[-1].name}) "
+                        "must be non-optional (it marks the iteration "
+                        "boundary)"
+                    )
+                if s == e:
+                    raise ValueError(
+                        f"single-variable loop group ({seg[0].name}): "
+                        "use the variable's own quantifier "
+                        "(+ / * / {n,}) instead"
+                    )
+            # aggregate measures slice a variable's contiguous
+            # [first, last] span; group iterations interleave the
+            # member variables' rows, so the slice would include the
+            # sibling's rows — first/last/COUNT(var.*) stay exact
+            subset_expand = dict(self.subsets)
+            for m in self.measures:
+                if m.fn in AGG_FNS:
+                    comps = set(subset_expand.get(m.var, (m.var,)))
+                    if comps & group_vars:
+                        raise NotImplementedError(
+                            f"aggregate measure {m.name} over loop-group "
+                            f"variable(s) {sorted(comps & group_vars)}: "
+                            "iteration rows interleave, the contiguous-"
+                            "span aggregate would be wrong — use "
+                            "FIRST/LAST/COUNT(var.*)"
+                        )
         if any(m.fn in AGG_FNS for m in self.measures):
             # aggregates reconstruct a variable's row set from its
             # contiguous (first_idx, last_idx) span — only sound when

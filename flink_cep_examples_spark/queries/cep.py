@@ -1235,3 +1235,98 @@ register(
     ORACLE_SIGNUP_NO_PURCHASE,
     # r5 rotation: promoted into the 50-row driver gate (never verified)
 )
+
+
+def cep_group_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2016 UNBOUNDED group quantifier ``(X Y)+`` as a TRUE sub-NFA
+    loop (round 5 — no parse-time unrolling): per user, an alternating
+    chain of (event_id%3=1, event_id%3=2) pairs terminated by an
+    event_id%3=0 row, under AFTER MATCH SKIP PAST LAST ROW. The parser
+    compiles the group to PatternSpec.loop_groups; operators/nfa.py
+    adds a loop-back edge from the group's end variable to its start,
+    so iterations are unbounded with exact per-variable FIRST/LAST/
+    COUNT spans. Emission is eager (the chain extends only while Z has
+    not yet arrived), and earliest-started run wins — i.e. the MAXIMAL
+    alternating suffix before each Z row, which is what the
+    independent closed-form oracle below computes via islands."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.sources.tables import load_table, spread
+    from flink_cep_examples_spark.sql.match_recognize import match_recognize
+
+    events = spread(load_table(spark, sf_dir, "events"), "user_id").select(
+        "user_id", "ts", "event_id"
+    )
+    out = match_recognize(
+        events,
+        """
+        PARTITION BY user_id ORDER BY ts, event_id
+        MEASURES FIRST(X.ts) AS first_x_ts,
+                 LAST(Z.ts) AS last_z_ts,
+                 COUNT(X.*) AS pairs
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN ((X Y)+ Z)
+        DEFINE X AS event_id % 3 = 1,
+               Y AS event_id % 3 = 2,
+               Z AS event_id % 3 = 0
+        """,
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.date_format("first_x_ts", "yyyy-MM-dd HH:mm:ss").alias("first_x_ts"),
+        F.date_format("last_z_ts", "yyyy-MM-dd HH:mm:ss").alias("last_z_ts"),
+        "pairs",
+    )
+
+
+#: Closed form for the unbounded group chain, derived independently of
+#: the NFA: classify rows m = event_id % 3; break the per-user (ts,
+#: event_id)-ordered timeline into maximal ALTERNATING (1,2) islands
+#: (a row continues an island iff its class is in (1,2) and the
+#: previous row's class is its complement 3-m); a Z row (m=0) whose
+#: predecessor ends such an island with class 2 emits one match whose
+#: start is the island's EARLIEST class-1 row (eager emission +
+#: earliest-run preference under SKIP PAST LAST ROW = maximal even
+#: suffix; alternation makes every (1,2)-pair chain from that row
+#: phase-correct automatically). pairs = half the chain length.
+ORACLE_GROUP_UNBOUNDED = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_id % 3 AS m,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+f AS (
+  SELECT *,
+         CASE WHEN m IN (1, 2)
+               AND lag(m) OVER (PARTITION BY user_id ORDER BY rn) = 3 - m
+              THEN 0 ELSE 1 END AS brk
+  FROM e
+),
+isl AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY rn) AS gid
+  FROM f
+),
+z AS (
+  SELECT i.user_id, i.rn AS zrn, i.ts AS zts, p.gid AS pgid
+  FROM isl i JOIN isl p
+    ON p.user_id = i.user_id AND p.rn = i.rn - 1
+  WHERE i.m = 0 AND p.m = 2
+),
+s AS (
+  SELECT user_id, gid, MIN(rn) AS srn, MIN(ts) AS sts
+  FROM isl WHERE m = 1 GROUP BY user_id, gid
+)
+SELECT z.user_id,
+       strftime(s.sts, {_FMT}) AS first_x_ts,
+       strftime(z.zts, {_FMT}) AS last_z_ts,
+       (z.zrn - s.srn) // 2 AS pairs
+FROM z JOIN s ON s.user_id = z.user_id AND s.gid = z.pgid
+"""
+
+
+register(
+    "cep_group_unbounded", cep_group_unbounded, ORACLE_GROUP_UNBOUNDED,
+    # round 5: new sub-NFA loop feature — straight into the driver gate
+)

@@ -162,7 +162,8 @@ FROM documents
 
 register(
     "mm_media_catalog", mm_media_catalog, ORACLE_CATALOG,
-    # round-4 rotation: promoted into the 50-row driver gate
+    driver=False,  # r5 rotation: driver-verified green r2-r4; slot
+    # freed for cep_group_unbounded (new sub-NFA loop feature)
 )
 register(
     "mm_decode_features", mm_decode_features, ORACLE_FEATURES,

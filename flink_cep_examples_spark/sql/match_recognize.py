@@ -21,9 +21,11 @@ for the subset the reference exercises
       (quantifiers: * + ? {n} {n,m} {n,}; a trailing ? after * + {n,m}
        marks the SQL:2016 RELUCTANT preference, e.g. B*? / B{1,3}?;
        top-level alternation ``( A B | C D )`` — leftmost-preferred;
-       bounded GROUP quantifiers ``(B C){n}``/``{n,m}``/``?`` unroll
-       at parse time — exact bounds to suffixed copies, ranges to
-       alternation branches, measures via auto-SUBSET unions)
+       GROUP quantifiers: bounded ``(B C){n}``/``{n,m}``/``?``
+       unroll at parse time — exact bounds to suffixed copies, ranges
+       to alternation branches; UNBOUNDED ``(B C)+``/``*``/``{n,}``
+       compile to true sub-NFA loop states (PatternSpec.loop_groups);
+       measures via auto-SUBSET unions)
     SUBSET <name> = (<var>, ...) [, ...]
     DEFINE <var> AS <predicate> [, ...]
       (predicates may navigate PHYSICAL rows with PREV(<var>.<col>
@@ -127,16 +129,18 @@ def _strip_var_prefixes(predicate: str, var_names: list[str]) -> str:
 
 def _parse_pattern_clause(
     text: str,
-) -> tuple[list[list[tuple]], str | None, bool]:
+) -> tuple[list[tuple[list[tuple], tuple]], str | None, bool]:
     """``( A {- B*? -} C{2,4} ) WITHIN INTERVAL '1' HOUR`` →
-    ([alternative_1, ...], within_text, permute) where each
-    alternative is [(name, quant, times, greedy, excluded), ...] —
-    one alternative for a plain pattern, several for a top-level
-    SQL:2016 alternation ``( A B | C D )``. A trailing ``?`` after
-    ``*``/``+``/``{n,m}`` is the SQL:2016 reluctant marker;
-    ``{- ... -}`` is the SQL:2016 exclusion (rows omitted from ALL
-    ROWS PER MATCH output); ``( PERMUTE (A, B, C) )`` is the SQL:2016
-    any-order alternation (bare once-variables only)."""
+    ([(alternative_1, loop_groups_1), ...], within_text, permute)
+    where each alternative is [(name, quant, times, greedy, excluded),
+    ...] and its loop_groups are (start, end) index ranges of
+    unbounded ``(X Y)+`` sub-NFA loops — one alternative for a plain
+    pattern, several for a top-level SQL:2016 alternation
+    ``( A B | C D )``. A trailing ``?`` after ``*``/``+``/``{n,m}``
+    is the SQL:2016 reluctant marker; ``{- ... -}`` is the SQL:2016
+    exclusion (rows omitted from ALL ROWS PER MATCH output);
+    ``( PERMUTE (A, B, C) )`` is the SQL:2016 any-order alternation
+    (bare once-variables only)."""
     pm = re.match(
         r"\s*\(\s*PERMUTE\s*\(([^)]*)\)\s*\)\s*(.*)",
         text,
@@ -152,7 +156,7 @@ def _parse_pattern_clause(
                     f"PERMUTE takes bare variable names, got {tok!r}"
                 )
             vars_.append((tok, ONCE, None, True, False))
-        return [vars_], _parse_within(rest), True
+        return [(vars_, ())], _parse_within(rest), True
     m = re.match(r"\s*\((.*)\)\s*(WITHIN\b.*)?$", text, re.DOTALL | re.IGNORECASE)
     if not m:
         raise ValueError(f"cannot parse PATTERN clause: {text!r}")
@@ -194,31 +198,102 @@ def _parse_pattern_clause(
     return [_parse_var_seq(x) for x in expanded], _parse_within(rest), False
 
 
+#: loop-group marker tokens emitted by _expand_group_quantifiers for
+#: unbounded groups: ``(B C)+`` → ``{g+ B C +g}``. Space-delimited like
+#: the exclusion markers, never valid variable names, consumed by
+#: _parse_var_seq into PatternSpec.loop_groups index ranges.
+_LOOP_OPEN, _LOOP_CLOSE = "{g+", "+g}"
+
+
 _GROUP_RE = re.compile(
     r"\(([^()]*)\)\s*(\{\s*(\d+)\s*(?:,\s*(\d*)\s*)?\}|\?|\*|\+)"
 )
 
 
 def _expand_group_quantifiers(text: str) -> list[str]:
-    """SQL:2016 grouped sub-patterns with BOUNDED quantifiers,
-    expanded at parse time: ``(B C){2}`` unrolls to ``B__1 C__1 B__2
-    C__2`` (suffixed copies; measures over the base name resolve via
-    an auto-generated SUBSET union), and ``(B C){1,2}`` / ``(B C)?``
-    expand to one alternative per repetition count — riding the
-    alternation machinery, so emission is EAGER (the engine's
-    documented alternation preference: earliest completion wins, NOT
-    the standard's longest-greedy derivation). Unbounded group
-    quantifiers (``(B C)+``/``*``/``{n,}``) would need true sub-NFA
-    loops and are rejected."""
+    """SQL:2016 grouped sub-patterns, expanded at parse time.
+
+    BOUNDED: ``(B C){2}`` unrolls to ``B__1 C__1 B__2 C__2`` (suffixed
+    copies; measures over the base name resolve via an auto-generated
+    SUBSET union), and ``(B C){1,2}`` / ``(B C)?`` expand to one
+    alternative per repetition count — riding the alternation
+    machinery, so emission is EAGER (the engine's documented
+    alternation preference: earliest completion wins, NOT the
+    standard's longest-greedy derivation).
+
+    UNBOUNDED (round 5): ``(B C)+`` compiles to loop-group marker
+    tokens (``{g+ B C +g}``) that _parse_var_seq turns into a TRUE
+    sub-NFA loop (PatternSpec.loop_groups → operators/nfa.py loop-back
+    edges); ``(B C)*`` expands to two alternatives (absent | ``+``);
+    ``(B C){n,}`` unrolls n-1 suffixed copies followed by a suffixed
+    ``+`` group. Emission stays eager: the loop iterates only while
+    the remainder of the pattern has not yet completed."""
     m = _GROUP_RE.search(text)
     if not m:
         return [text]
     body, quant, lo, hi = m.group(1), m.group(2), m.group(3), m.group(4)
-    if quant in ("*", "+") or (hi == "" and lo is not None):
-        raise NotImplementedError(
-            f"unbounded group quantifier {quant if quant in ('*', '+') else '{n,}'} "
-            "— only bounded groups ((X Y){n}, {n,m}, ?) expand"
+    toks = body.split()
+    if not toks:
+        raise ValueError("empty group () in PATTERN")
+    if any(t in ("{-", "-}") or "{-" in t or "-}" in t for t in toks):
+        raise NotImplementedError("{- -} exclusion inside a group")
+
+    def _name_suffix(tok: str) -> tuple[str, str]:
+        nm = re.match(r"([A-Za-z_][A-Za-z_0-9]*)(.*)$", tok)
+        if not nm:
+            raise ValueError(f"unsupported token in group: {tok!r}")
+        return nm.group(1), nm.group(2)
+
+    def _unroll(n: int, start_copy: int = 1) -> str:
+        """n suffixed copies of the group body as a flat token string."""
+        out: list[str] = []
+        for copy in range(start_copy, start_copy + n):
+            for tok in toks:
+                name, suffix = _name_suffix(tok)
+                out.append(f"{name}__{copy}{suffix}")
+        return " ".join(out)
+
+    def _loop_tokens(copy: int | None) -> str:
+        """The group body wrapped in loop markers (one-or-more sub-NFA
+        loop); ``copy`` suffixes the names (for {n,} whose earlier
+        iterations are unrolled copies 1..n-1)."""
+        inner = []
+        for tok in toks:
+            name, suffix = _name_suffix(tok)
+            if suffix:
+                raise NotImplementedError(
+                    f"quantified variable {tok!r} inside an unbounded "
+                    "group — flatten the inner quantifier first"
+                )
+            inner.append(name if copy is None else f"{name}__{copy}")
+        if len(inner) == 1:
+            # (B)+ is just B+ — no loop group needed
+            return inner[0] + "+"
+        return f"{_LOOP_OPEN} {' '.join(inner)} {_LOOP_CLOSE}"
+
+    unbounded = quant in ("*", "+") or (hi == "" and lo is not None)
+    if unbounded:
+        n_min = (
+            1 if quant == "+" else 0 if quant == "*" else int(lo)
         )
+        variants: list[str] = []
+        if n_min == 0:
+            # (B C)* = absent | (B C)+ — two alternatives
+            variants.append("")
+            variants.append(_loop_tokens(None))
+        elif n_min == 1:
+            variants.append(_loop_tokens(None))
+        else:
+            # (B C){n,} = n-1 unrolled copies + a one-or-more group
+            # (suffixed so names stay unique; SUBSET unions make
+            # measures over the base names see every copy)
+            variants.append(_unroll(n_min - 1) + " " + _loop_tokens(n_min))
+        outs: list[str] = []
+        for var in variants:
+            expanded = text[: m.start()] + " " + var + " " + text[m.end():]
+            outs.extend(_expand_group_quantifiers(expanded))
+        return outs
+
     if quant == "?":
         lo_i, hi_i = 0, 1
     else:
@@ -226,31 +301,23 @@ def _expand_group_quantifiers(text: str) -> list[str]:
         hi_i = int(hi) if hi else lo_i
     if hi_i < lo_i or hi_i - lo_i > 8 or hi_i > 8:
         raise ValueError(f"bad group bounds {{{lo_i},{hi_i}}} (max 8)")
-    toks = body.split()
-    if not toks:
-        raise ValueError("empty group () in PATTERN")
-    if any(t in ("{-", "-}") or "{-" in t or "-}" in t for t in toks):
-        raise NotImplementedError("{- -} exclusion inside a group")
-    outs: list[str] = []
+    outs = []
     for k in range(lo_i, hi_i + 1):
-        unrolled: list[str] = []
-        for copy in range(1, k + 1):
-            for tok in toks:
-                nm = re.match(r"([A-Za-z_][A-Za-z_0-9]*)(.*)$", tok)
-                if not nm:
-                    raise ValueError(f"unsupported token in group: {tok!r}")
-                unrolled.append(f"{nm.group(1)}__{copy}{nm.group(2)}")
         expanded = (
-            text[: m.start()] + " " + " ".join(unrolled) + " " + text[m.end():]
+            text[: m.start()] + " " + _unroll(k) + " " + text[m.end():]
         )
         outs.extend(_expand_group_quantifiers(expanded))
     return outs
 
 
-def _parse_var_seq(inner: str) -> list[tuple[str, str, tuple | None, bool, bool]]:
+def _parse_var_seq(
+    inner: str,
+) -> tuple[list[tuple[str, str, tuple | None, bool, bool]], tuple]:
     """Tokenize one variable sequence (a pattern or one alternation
-    branch): ``A {- B*? -} C{2,4}`` → [(name, quant, times, greedy,
-    excluded), ...]."""
+    branch): ``A {- B*? -} C{2,4}`` → ([(name, quant, times, greedy,
+    excluded), ...], loop_groups) where loop_groups are the (start,
+    end) variable-index ranges of ``{g+ ... +g}`` sub-NFA loop markers
+    (unbounded group quantifiers)."""
     def _norm_braces(bm: re.Match) -> str:
         lo, hi = bm.group(1), bm.group(2)
         # {n} → {n,n} (exact); {n,} stays open-ended (n or more)
@@ -263,7 +330,26 @@ def _parse_var_seq(inner: str) -> list[tuple[str, str, tuple | None, bool, bool]
     inner = inner.replace("{-", " {- ").replace("-}", " -} ")
     normed = re.sub(r"\{\s*(\d+)\s*(?:,\s*(\d*)\s*)?\}", _norm_braces, inner)
     excluding = False
+    groups: list[tuple[int, int]] = []
+    group_start: int | None = None
     for tok in normed.split():
+        if tok == _LOOP_OPEN:
+            if group_start is not None:
+                raise NotImplementedError("nested unbounded groups")
+            if excluding:
+                raise NotImplementedError(
+                    "{- -} exclusion around an unbounded group"
+                )
+            group_start = len(vars_)
+            continue
+        if tok == _LOOP_CLOSE:
+            if group_start is None:
+                raise ValueError("unbalanced loop-group marker in PATTERN")
+            if len(vars_) == group_start:
+                raise ValueError("empty unbounded group in PATTERN")
+            groups.append((group_start, len(vars_) - 1))
+            group_start = None
+            continue
         if tok == "{-":
             if excluding:
                 raise ValueError("nested {- ... -} exclusions")
@@ -294,7 +380,9 @@ def _parse_var_seq(inner: str) -> list[tuple[str, str, tuple | None, bool, bool]
             )
     if excluding:
         raise ValueError("unclosed {- in PATTERN")
-    return vars_
+    if group_start is not None:
+        raise ValueError("unclosed loop-group marker in PATTERN")
+    return vars_, tuple(groups)
 
 
 def _parse_within(rest: str) -> str | None:
@@ -388,11 +476,11 @@ def parse_match_recognize(body: str) -> PatternSpec | AlternationSpec:
         raise ValueError("MATCH_RECOGNIZE needs PATTERN and DEFINE clauses")
 
     alt_quants, within_text, permute = _parse_pattern_clause(clauses["PATTERN"])
-    all_names = {n for alt in alt_quants for n, _, _, _, _ in alt}
+    all_names = {n for alt, _lg in alt_quants for n, _, _, _, _ in alt}
     # group-quantifier copies carry a __k suffix; DEFINE/MEASURES use
     # the base name, resolved via an auto-generated SUBSET union
     group_bases: dict[str, list[str]] = {}
-    for alt in alt_quants:
+    for alt, _lg in alt_quants:
         for n, _, _, _, _ in alt:
             if "__" in n:
                 base = n.rsplit("__", 1)[0]
@@ -466,7 +554,7 @@ def parse_match_recognize(body: str) -> PatternSpec | AlternationSpec:
             for name, quant, times, greedy, excluded in var_quants
         )
 
-    variables = _variables(alt_quants[0])
+    variables = _variables(alt_quants[0][0])
 
     after = clauses.get("AFTER MATCH", "SKIP PAST LAST ROW").strip().upper()
     skip_var = None
@@ -528,6 +616,7 @@ def parse_match_recognize(body: str) -> PatternSpec | AlternationSpec:
         alternatives = tuple(
             PatternSpec(
                 variables=_variables(aq),
+                loop_groups=lg,
                 key_cols=keys,
                 order_col=order,
                 tiebreak_col=order_tiebreak or "seq",
@@ -538,7 +627,7 @@ def parse_match_recognize(body: str) -> PatternSpec | AlternationSpec:
                 rows_per_match=rows_per_match,
                 nav_cols=nav_tuple,
             )
-            for aq in alt_quants
+            for aq, lg in alt_quants
         )
         return AlternationSpec(
             alternatives=alternatives,
@@ -548,6 +637,7 @@ def parse_match_recognize(body: str) -> PatternSpec | AlternationSpec:
 
     return PatternSpec(
         variables=variables,
+        loop_groups=alt_quants[0][1],
         key_cols=keys,
         order_col=order,
         tiebreak_col=order_tiebreak or "seq",

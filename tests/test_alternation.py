@@ -406,16 +406,18 @@ def test_group_quantifier_optional_and_rejections():
     )
     assert isinstance(spec, AlternationSpec)
     assert [len(a.variables) for a in spec.alternatives] == [1, 3]
-    with pytest.raises(NotImplementedError, match="unbounded group"):
-        parse_match_recognize(
-            """
-            PARTITION BY id ORDER BY event_time
-            MEASURES A.seq AS s
-            ONE ROW PER MATCH
-            PATTERN (A (D U)+)
-            DEFINE A AS fa, D AS fd, U AS fc
-            """
-        )
+    # round 5: (D U)+ is no longer rejected — it parses to a true
+    # sub-NFA loop group (tests/test_group_loops.py covers semantics)
+    plus = parse_match_recognize(
+        """
+        PARTITION BY id ORDER BY event_time
+        MEASURES A.seq AS s
+        ONE ROW PER MATCH
+        PATTERN (A (D U)+)
+        DEFINE A AS fa, D AS fd, U AS fc
+        """
+    )
+    assert plus.loop_groups == ((1, 2),)
 
 
 def test_alternation_mixed_within_falls_back_to_coordinator(spark):

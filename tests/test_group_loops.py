@@ -1,0 +1,302 @@
+"""Unbounded group quantifiers ``(X Y)+`` / ``*`` / ``{n,}`` (round 5):
+true sub-NFA loop states (PatternSpec.loop_groups → operators/nfa.py
+loop-back edges), parser compilation, eager-emission semantics against
+a brute-force reference, and the spec-level guard rails.
+
+Reference semantics source: SQL:2016 row-pattern grouped quantifiers
+(the reference repo itself never groups — this is north-star surface);
+emission is the engine's documented EAGER discipline: a loop iterates
+only while the remainder of the pattern has not yet completed, and
+the earliest-started run wins under the one-match skip strategies.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from flink_cep_examples_spark.operators import nfa as N
+from flink_cep_examples_spark.plans.pattern import (
+    Measure,
+    PatternSpec,
+    PatternVar,
+    SKIP_PAST_LAST_EVENT,
+)
+from flink_cep_examples_spark.sql.match_recognize import (
+    _expand_group_quantifiers,
+    match_recognize,
+    parse_match_recognize,
+)
+
+_XYZ = PatternSpec(
+    variables=(
+        PatternVar("X", "px"),
+        PatternVar("Y", "py"),
+        PatternVar("Z", "pz"),
+    ),
+    loop_groups=((0, 1),),
+)
+
+
+def _run_xyz(ms: list[int]) -> list[tuple[int, int, int]]:
+    """Drive the NFA over class sequence ``ms`` (1=X, 2=Y, 0=Z);
+    returns (x_first, z_row, n_pairs) per match."""
+    eng = N.Nfa(_XYZ)
+    stt = N.NfaState()
+    out = []
+    for i, m in enumerate(ms):
+        pred = [m == 1, m == 2, m == 0]
+        matches, _ = eng.step(stt, i * 1000, pred, i)
+        for d in matches:
+            out.append((d["X"][0], d["Z"][1], d["X"][2]))
+    return out
+
+
+def _brute_xyz(ms: list[int]) -> list[tuple[int, int, int]]:
+    """Brute force ``(X Y)+ Z`` under SKIP PAST LAST ROW: at each Z
+    row, the earliest start s past the cursor whose rows s..t-1
+    alternate 1,2 (starting with 1, hence even length >= 2) wins; a
+    match moves the cursor past its last row."""
+    out = []
+    cursor = 0
+    for t, m in enumerate(ms):
+        if m != 0:
+            continue
+        best = None
+        for s in range(cursor, t - 1):
+            if ms[s] != 1 or (t - s) % 2 != 0:
+                continue
+            if all(ms[s + j] == 1 + j % 2 for j in range(t - s)):
+                best = s
+                break
+        if best is not None:
+            out.append((best, t, (t - best) // 2))
+            cursor = t + 1
+    return out
+
+
+def test_loop_nfa_hand_cases():
+    assert _run_xyz([1, 2, 1, 2, 0]) == [(0, 4, 2)]
+    assert _run_xyz([2, 1, 2, 0]) == [(1, 3, 1)]
+    assert _run_xyz([1, 2, 0, 1, 2, 1, 2, 0]) == [(0, 2, 1), (3, 7, 2)]
+    assert _run_xyz([1, 1, 2, 0]) == [(1, 3, 1)]  # phase break restarts
+    assert _run_xyz([1, 2, 1, 0]) == []  # Z after an incomplete pair
+    assert _run_xyz([0]) == []
+    assert _run_xyz([1, 2, 1, 2, 1, 2, 0]) == [(0, 6, 3)]
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2), max_size=40))
+def test_loop_nfa_matches_brute_force(ms):
+    assert _run_xyz(ms) == _brute_xyz(ms)
+
+
+def test_parser_plus_builds_loop_group():
+    spec = parse_match_recognize(
+        """
+        PARTITION BY id ORDER BY event_time
+        MEASURES FIRST(X.seq) AS s, COUNT(X.*) AS k
+        ONE ROW PER MATCH
+        PATTERN ((X Y)+ Z)
+        DEFINE X AS fa, Y AS fd, Z AS fc
+        """
+    )
+    assert isinstance(spec, PatternSpec)
+    assert [v.name for v in spec.variables] == ["X", "Y", "Z"]
+    assert spec.loop_groups == ((0, 1),)
+
+
+def test_parser_star_becomes_alternation():
+    spec = parse_match_recognize(
+        """
+        PARTITION BY id ORDER BY event_time
+        MEASURES A.seq AS s
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (A (X Y)* Z)
+        DEFINE A AS fa, X AS fd, Y AS fc, Z AS fe
+        """
+    )
+    names = [[v.name for v in a.variables] for a in spec.alternatives]
+    groups = [a.loop_groups for a in spec.alternatives]
+    assert names == [["A", "Z"], ["A", "X", "Y", "Z"]]
+    assert groups == [(), ((1, 2),)]
+
+
+def test_parser_n_or_more_unrolls_then_loops():
+    out = _expand_group_quantifiers("A (B C){3,} D")
+    assert out == ["A  B__1 C__1 B__2 C__2 {g+ B__3 C__3 +g}  D"]
+    spec = parse_match_recognize(
+        """
+        PARTITION BY id ORDER BY event_time
+        MEASURES COUNT(B.*) AS nb
+        ONE ROW PER MATCH
+        PATTERN (A (B C){2,} D)
+        DEFINE A AS fa, B AS fd, C AS fc, D AS fe
+        """
+    )
+    assert [v.name for v in spec.variables] == [
+        "A", "B__1", "C__1", "B__2", "C__2", "D",
+    ]
+    assert spec.loop_groups == ((3, 4),)
+    # the auto-SUBSET union makes COUNT(B.*) span all copies
+    assert ("B", ("B__1", "B__2")) in spec.subsets
+
+
+def test_parser_single_var_group_is_var_quantifier():
+    assert _expand_group_quantifiers("A (B)+ C") == ["A  B+  C"]
+
+
+def test_parser_rejects_quantified_var_in_unbounded_group():
+    with pytest.raises(NotImplementedError, match="quantified variable"):
+        _expand_group_quantifiers("A (B{2} C)+ D")
+
+
+def test_validate_rejects_aggregates_over_loop_vars():
+    spec = PatternSpec(
+        variables=(
+            PatternVar("X", "px"),
+            PatternVar("Y", "py"),
+            PatternVar("Z", "pz"),
+        ),
+        loop_groups=((0, 1),),
+        measures=(Measure("s", "X", "v", "sum"),),
+    )
+    with pytest.raises(NotImplementedError, match="aggregate measure"):
+        spec.validate()
+
+
+def test_validate_rejects_all_rows_with_loop_groups():
+    spec = PatternSpec(
+        variables=(
+            PatternVar("X", "px"),
+            PatternVar("Y", "py"),
+            PatternVar("Z", "pz"),
+        ),
+        loop_groups=((0, 1),),
+        rows_per_match="all",
+    )
+    with pytest.raises(NotImplementedError, match="ALL ROWS PER MATCH"):
+        spec.validate()
+
+
+def test_validate_rejects_optional_group_end():
+    spec = PatternSpec(
+        variables=(
+            PatternVar("X", "px"),
+            PatternVar("Y", "py", quantifier="optional"),
+            PatternVar("Z", "pz"),
+        ),
+        loop_groups=((0, 1),),
+    )
+    with pytest.raises(ValueError, match="non-optional"):
+        spec.validate()
+
+
+def test_loop_group_not_fast_path_eligible():
+    from flink_cep_examples_spark.operators.fast_path import (
+        _fixed_counts,
+        fast_abc_applicable,
+        fast_positional_applicable,
+    )
+
+    assert _fixed_counts(_XYZ) is None
+    assert not fast_abc_applicable(_XYZ)
+    assert not fast_positional_applicable(_XYZ)
+
+
+_SCHEMA = "id string, event_time timestamp, seq long, m long"
+
+
+def _class_df(spark, ms, key="k"):
+    t0 = dt.datetime(2020, 5, 1, 12, 0, 0)
+    rows = [
+        (key, t0 + dt.timedelta(minutes=i), i, m) for i, m in enumerate(ms)
+    ]
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+def test_sql_group_plus_end_to_end(spark):
+    df = _class_df(spark, [1, 2, 1, 2, 0, 1, 2, 0, 2, 0])
+    out = match_recognize(
+        df,
+        """
+        PARTITION BY id ORDER BY event_time, seq
+        MEASURES FIRST(X.seq) AS s, LAST(Z.seq) AS e, COUNT(X.*) AS k
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN ((X Y)+ Z)
+        DEFINE X AS m = 1, Y AS m = 2, Z AS m = 0
+        """,
+    )
+    got = sorted((r.s, r.e, r.k) for r in out.collect())
+    assert got == [(0, 4, 2), (5, 7, 1)]
+
+
+def test_sql_group_star_end_to_end(spark):
+    """(X Y)* via the alternation machinery: the empty-group branch
+    completes A Z directly; eager emission prefers the earliest
+    completion (A Z at the first Z when no pair precedes it)."""
+    df = _class_df(spark, [3, 0, 3, 1, 2, 0])
+    out = match_recognize(
+        df,
+        """
+        PARTITION BY id ORDER BY event_time, seq
+        MEASURES FIRST(A.seq) AS a, LAST(Z.seq) AS e, COUNT(X.*) AS k
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (A (X Y)* Z)
+        DEFINE A AS m = 3, X AS m = 1, Y AS m = 2, Z AS m = 0
+        """,
+    )
+    got = sorted((r.a, r.e, r.k) for r in out.collect())
+    # A@0 completes at Z@1 with zero pairs; A@2 loops one pair to Z@5
+    assert got == [(0, 1, 0), (2, 5, 1)]
+
+
+def test_streaming_group_plus_matches_batch(spark, tmp_path):
+    """The loop-group NFA drives the streaming tier unchanged: replay
+    the class stream through match_pattern_stream and compare with the
+    batch result."""
+    import pandas as pd
+
+    from flink_cep_examples_spark.streaming.cep_stream import (
+        match_pattern_stream,
+    )
+
+    ms = [1, 2, 1, 2, 0, 1, 1, 2, 0, 2, 1, 2, 1, 2, 1, 2, 0]
+    # trailing far-future sentinel (matches nothing) pushes the
+    # watermark past every real row so the streamed replay emits the
+    # full batch match set before the availableNow query stops
+    df = _class_df(spark, ms + [9] * 3)
+    body = """
+        PARTITION BY id ORDER BY event_time, seq
+        MEASURES FIRST(X.seq) AS s, LAST(Z.seq) AS e, COUNT(X.*) AS k
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN ((X Y)+ Z)
+        DEFINE X AS m = 1, Y AS m = 2, Z AS m = 0
+    """
+    batch = sorted((r.s, r.e, r.k) for r in match_recognize(df, body).collect())
+
+    spec = parse_match_recognize(body)
+    src_dir = tmp_path / "src"
+    df.coalesce(1).write.parquet(str(src_dir))
+    stream = spark.readStream.schema(df.schema).parquet(str(src_dir))
+    out = match_pattern_stream(stream, spec, watermark_delay="0 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("grp_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.s, r.e, r.k)
+        for r in spark.sql("SELECT * FROM grp_stream").collect()
+    )
+    assert got == batch and len(batch) >= 3

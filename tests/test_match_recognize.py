@@ -236,7 +236,7 @@ def test_exclusion_parser_rejects_unbalanced():
     with pytest.raises(ValueError, match="nested"):
         _parse_pattern_clause("( A {- {- B* -} -} C )")
     # spacing-insensitive
-    [vars_], _, _ = _parse_pattern_clause("( A {-B*-} C )")
+    [(vars_, _lg)], _, _ = _parse_pattern_clause("( A {-B*-} C )")
     assert [(v[0], v[4]) for v in vars_] == [("A", False), ("B", True), ("C", False)]
 
 
