@@ -107,19 +107,21 @@ def match_pattern_stream(
     unsupported = {
         m.fn
         for m in spec.measures
-        if m.fn not in ("first", "last", "count", "classifier")
+        if m.fn
+        not in ("first", "last", "count", "classifier", "match_number")
     }
     if unsupported or spec.subsets:
         # streaming branches carry only (first, last) payloads per
         # variable, so aggregates / SUBSET are batch-tier features
-        # (run the batch operator inside foreachBatch if needed);
-        # MATCH_NUMBER would need a per-key LIFETIME match counter —
-        # unbounded state for unbounded key cardinality, against this
-        # operator's bounded-state guarantee. CLASSIFIER() is fine:
-        # it reads the match's own span ordinals.
+        # (run the batch operator inside foreachBatch if needed).
+        # CLASSIFIER() reads the match's own span ordinals;
+        # MATCH_NUMBER() (round 5) is a per-key monotone counter in
+        # the bucket state — one int64 per key ever matched, the same
+        # growth class as a streaming groupBy count and far below the
+        # NFA/buffer state itself.
         raise NotImplementedError(
-            f"streaming measures support first/last/count/classifier, "
-            f"got {sorted(unsupported)}"
+            f"streaming measures support first/last/count/classifier/"
+            f"match_number, got {sorted(unsupported)}"
             + (" + SUBSET" if spec.subsets else "")
         )
     if spec.nav_cols:
@@ -178,9 +180,15 @@ def match_pattern_stream(
         # pickles as a handful of numpy blocks, ~6× smaller and ~100×
         # fewer objects than per-row tuples — and the per-key NFA states)
         if state.exists:
-            buffer, nfa_states = pickle.loads(state.get[0])
+            stored = pickle.loads(state.get[0])
+            if len(stored) == 2:  # pre-round-5 checkpoint: no counters
+                buffer, nfa_states = stored
+                match_nos: dict = {}
+            else:
+                buffer, nfa_states, match_nos = stored
         else:
-            buffer, nfa_states = None, {}
+            buffer, nfa_states, match_nos = None, {}, {}
+        track_match_no = any(m.fn == "match_number" for m in measures)
 
         frames = [] if buffer is None else [buffer]
         if not state.hasTimedOut:
@@ -203,9 +211,16 @@ def match_pattern_stream(
         data: dict[str, list] = {c: [] for c in out_names}
 
         def emit(key: tuple, match: dict, tag: str) -> None:
+            if track_match_no and tag == MATCH_TAG:
+                mn = match_nos[key] = match_nos.get(key, 0) + 1
+            else:
+                mn = None  # timeout rows carry NULL, as in batch
             for k, kv in zip(key_cols, key):
                 data[k].append(kv)
             for m in measures:
+                if m.fn == "match_number":
+                    data[m.name].append(mn)
+                    continue
                 if m.fn == "classifier":
                     # variable that consumed the match's LAST row: the
                     # span with the largest per-key row ordinal
@@ -300,10 +315,12 @@ def match_pattern_stream(
                     run.start_ts + nfa.within_us for run in nst.runs
                 )
 
-        if buffer is None and not nfa_states:
+        if buffer is None and not nfa_states and not match_nos:
             state.remove()
         else:
-            state.update((pickle.dumps((buffer, nfa_states)),))
+            state.update(
+                (pickle.dumps((buffer, nfa_states, match_nos)),)
+            )
             if buffer is not None:
                 pending.append(int(buffer[_TS_COL].min()))
             if pending:

@@ -319,3 +319,79 @@ def test_streaming_restart_from_checkpoint(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(sink).collect()))
     assert got == expected
     full.unpersist()
+
+
+@pytest.mark.slow
+def test_streaming_match_number_matches_batch(spark, tmp_path):
+    """MATCH_NUMBER() in streaming (round 5): a per-key monotone
+    counter in the bucket state. Replayed over TWO micro-batches
+    (maxFilesPerTrigger=1) so the counter must survive checkpointed
+    state between batches; the streamed (key, measures, match_no) set
+    must equal the batch operator's."""
+    import datetime as dt
+
+    from flink_cep_examples_spark.sql.match_recognize import (
+        match_recognize,
+        parse_match_recognize,
+    )
+    from flink_cep_examples_spark.streaming.cep_stream import (
+        match_pattern_stream,
+    )
+
+    body = """
+        PARTITION BY id ORDER BY event_time, seq
+        MEASURES FIRST(X.seq) AS s, MATCH_NUMBER() AS mno
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (X Z)
+        DEFINE X AS m = 1, Z AS m = 0
+    """
+    t0 = dt.datetime(2020, 5, 1, 12, 0, 0)
+    schema = "id string, event_time timestamp, seq long, m long"
+
+    def rows(ms, key, base):
+        return [
+            (key, t0 + dt.timedelta(minutes=base + i), base + i, m)
+            for i, m in enumerate(ms)
+        ]
+
+    # two files = two micro-batches; each key matches in BOTH files, so
+    # the second batch's ordinals continue from persisted counters
+    first = rows([1, 0, 1, 0, 2], "a", 0) + rows([1, 0], "b", 0)
+    second = rows([1, 0, 9], "a", 10) + rows([1, 0, 1, 0, 9], "b", 10)
+    src = tmp_path / "mno_src"
+    spark.createDataFrame(first, schema).coalesce(1).write.parquet(str(src))
+    spark.createDataFrame(second, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    batch_df = spark.read.parquet(str(src))
+    batch = sorted(
+        (r.id, r.s, r.mno) for r in match_recognize(batch_df, body).collect()
+    )
+
+    spec = parse_match_recognize(body)
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = match_pattern_stream(stream, spec, watermark_delay="0 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mno_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.id, r.s, r.mno)
+        for r in spark.sql("SELECT * FROM mno_stream").collect()
+    )
+    assert got == batch and len({k for k, _, _ in batch}) == 2
+    # ordinals are per-key 1..n
+    for key in ("a", "b"):
+        assert [m for k, _, m in got if k == key] == list(
+            range(1, sum(k == key for k, _, _ in got) + 1)
+        )
