@@ -147,6 +147,7 @@ def dedup_minhash_band_stream(
     event_time_col: str = "ts",
     watermark_delay: str = "10 minutes",
     n_buckets: int = 64,
+    signature: str = "vector",
 ) -> DataFrame:
     """Streaming near-duplicate DETECTION: emit one row per (arriving
     doc, colliding LSH band bucket) where the bucket already has an
@@ -176,9 +177,35 @@ def dedup_minhash_band_stream(
 
     horizon_ms = int(pd.Timedelta(watermark_delay).total_seconds() * 1000)
 
+    # signature mode (round 5): "vector" (the DEFAULT) computes the
+    # band keys with codegen JVM tokenization + the flat-numpy Arrow
+    # kernel (queries/dedup.py vector_band_keys_kernel — same MinHash
+    # structure, vectorized byte-matrix token hashing, no per-token
+    # Python; shared bit-identically with the batch vector path);
+    # "md5" keeps the memoized per-token-md5 kernel whose keys are
+    # byte-equal to the batch md5/`conv` arithmetic that the DuckDB
+    # oracles pin.
+    if signature == "vector":
+        from flink_cep_examples_spark.queries.dedup import (
+            with_vector_band_keys,
+        )
+
+        keyed = with_vector_band_keys(
+            docs, text_col=text_col, out_col="__bks"
+        ).withColumn(
+            "__bk",
+            F.explode(
+                F.transform(F.col("__bks"), lambda k: k.cast("string"))
+            ),
+        )
+    elif signature == "md5":
+        keyed = docs.withColumn(
+            "__bk", F.explode(minhash_band_keys_udf()(F.col(text_col)))
+        )
+    else:
+        raise ValueError(f"unknown signature mode {signature!r}")
     exploded = (
-        docs.withColumn("__bk", F.explode(minhash_band_keys_udf()(F.col(text_col))))
-        .select(
+        keyed.select(
             F.col("__bk").alias("band_key"),
             F.col(id_col).alias("dup_id"),
             F.col(event_time_col).alias("dup_ts"),

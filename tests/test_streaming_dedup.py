@@ -158,7 +158,9 @@ def test_minhash_band_stream_matches_batch_losers(spark, docs_with_ts_dir, sf_sm
     out = _run_stream(
         spark,
         docs_with_ts_dir,
-        lambda s: dedup_minhash_band_stream(s, watermark_delay="365 days"),
+        lambda s: dedup_minhash_band_stream(
+            s, watermark_delay="365 days", signature="md5"
+        ),
         "minhash_band_mem",
     )
     detections = out.collect()
@@ -171,3 +173,87 @@ def test_minhash_band_stream_matches_batch_losers(spark, docs_with_ts_dir, sf_sm
     # bucket's first arrival = smallest doc_id in the bucket, which is
     # a valid doc_a for that doc_b)
     assert {(r.owner_id, r.dup_id) for r in detections} <= batch_pairs
+
+
+@pytest.mark.slow
+def test_vector_band_stream_matches_batch(spark, docs_with_ts_dir):
+    """The "vector" signature mode (round 5, the deployment default):
+    scan-side band keys come from codegen tokenization + one Arrow
+    numpy kernel shared bit-identically by batch and streaming — the
+    streamed detections must equal the batch first-owner convention
+    computed from the SAME with_vector_band_keys column."""
+    from pyspark.sql import Window
+
+    from flink_cep_examples_spark.queries.dedup import with_vector_band_keys
+    from flink_cep_examples_spark.streaming.dedup_stream import (
+        dedup_minhash_band_stream,
+    )
+
+    out = _run_stream(
+        spark,
+        docs_with_ts_dir,
+        lambda s: dedup_minhash_band_stream(s, watermark_delay="365 days"),
+        "vector_band_mem",
+    )
+    detections = {(r.band_key, r.dup_id, r.owner_id) for r in out.collect()}
+
+    docs = spark.read.parquet(docs_with_ts_dir)
+    exploded = with_vector_band_keys(docs).select(
+        "doc_id",
+        "ts",
+        F.explode(F.col("band_keys").cast("array<string>")).alias("band_key"),
+    )
+    w = Window.partitionBy("band_key").orderBy("ts", "doc_id")
+    batch = (
+        exploded.withColumn("owner_id", F.first("doc_id").over(w))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+    )
+    expected = {
+        (r.band_key, r.doc_id, r.owner_id) for r in batch.collect()
+    }
+    assert detections == expected and detections
+
+
+@pytest.mark.slow
+def test_vector_band_keys_flag_planted_near_dups(spark):
+    """Recall smoke for the vector mode: 30 planted near-identical pairs
+    (one token edited out of ~60) must share >= 1 band bucket;
+    unrelated random docs must not collide with them."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(500)]
+    rows = []
+    for i in range(30):
+        base = [rng.choice(vocab) for _ in range(60)]
+        edited = list(base)
+        edited[rng.randrange(60)] = rng.choice(vocab)
+        rows.append((2 * i, " ".join(base)))
+        rows.append((2 * i + 1, " ".join(edited)))
+    for j in range(100, 130):  # unrelated docs
+        rows.append((j + 1000, " ".join(rng.choice(vocab) for _ in range(60))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    from flink_cep_examples_spark.queries.dedup import with_vector_band_keys
+
+    keyed = with_vector_band_keys(df).select(
+        "doc_id", F.explode("band_keys").alias("bk")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = {
+        (r.x, r.y)
+        for r in a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("x"), F.col("b.doc_id").alias("y"))
+        .distinct()
+        .collect()
+    }
+    planted = {(2 * i, 2 * i + 1) for i in range(30)}
+    recall = len(planted & pairs) / len(planted)
+    assert recall >= 0.9, recall
+    # no random doc collides with a planted one
+    assert not any(x >= 1000 or y >= 1000 for x, y in pairs), pairs
