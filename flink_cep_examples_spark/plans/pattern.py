@@ -614,6 +614,23 @@ class AlternationSpec:
                         f"SUBSET {sname!r} references unknown var {c!r}"
                     )
         has_agg = any(m.fn in AGG_FNS for m in self.measures)
+        group_vars = {
+            v.name
+            for alt in self.alternatives
+            for s, e in alt.loop_groups
+            for v in alt.variables[s : e + 1]
+        }
+        if group_vars:
+            subset_expand = dict(self.subsets)
+            for m in self.measures:
+                if m.fn in AGG_FNS:
+                    comps = set(subset_expand.get(m.var, (m.var,)))
+                    if comps & group_vars:
+                        raise NotImplementedError(
+                            f"aggregate measure {m.name} over loop-group "
+                            f"variable(s) {sorted(comps & group_vars)} — "
+                            "iteration rows interleave the contiguous span"
+                        )
         for m in self.measures:
             if m.fn in NILADIC_FNS:
                 continue

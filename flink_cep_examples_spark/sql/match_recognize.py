@@ -611,8 +611,11 @@ def parse_match_recognize(body: str) -> PatternSpec | AlternationSpec:
         (b, tuple(ns)) for b, ns in group_bases.items()
     )
     if len(alt_quants) > 1:
-        if subsets:
-            raise NotImplementedError("SUBSET with alternation")
+        # user SUBSET clauses compose with the auto-generated group
+        # unions: the coordinator resolves both through the same
+        # span-union path (operators/cep_batch.py::_resolve_spans);
+        # components may live in different alternatives — a measure
+        # over a union the matched alternative lacks yields NULL.
         alternatives = tuple(
             PatternSpec(
                 variables=_variables(aq),
@@ -632,7 +635,7 @@ def parse_match_recognize(body: str) -> PatternSpec | AlternationSpec:
         return AlternationSpec(
             alternatives=alternatives,
             measures=measures,
-            subsets=auto_subsets,
+            subsets=tuple(subsets) + auto_subsets,
         ).validate()
 
     return PatternSpec(

@@ -490,3 +490,45 @@ def test_nested_alternation_in_group_raises_clearly():
             DEFINE A AS fa, B AS fd, C AS fc, D AS fd
             """
         )
+
+
+def test_subset_with_alternation(spark):
+    """Round 5: user SUBSET clauses compose with alternation — the
+    union resolves through the same span path as the auto-generated
+    group unions. U = (C, D) spans whichever variable the matched
+    alternative used; a union the matched alternative lacks entirely
+    yields NULL/0 measures."""
+    body = """
+        PARTITION BY id ORDER BY event_time, seq
+        MEASURES FIRST(A.seq) AS a_seq, LAST(U.seq) AS u_last,
+                 COUNT(U.*) AS u_n, CLASSIFIER() AS cls
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (A C | A D{2})
+        SUBSET U = (C, D)
+        DEFINE A AS fa, C AS fc, D AS fd
+    """
+    spec = parse_match_recognize(body)
+    assert isinstance(spec, AlternationSpec)
+    assert ("U", ("C", "D")) in spec.subsets
+
+    t0 = dt.datetime(2020, 5, 1, 12, 0, 0)
+    rows = [
+        ("k", t0 + dt.timedelta(minutes=i), i, fa, fc, fd)
+        for i, (fa, fc, fd) in enumerate(
+            [
+                (True, False, False),   # A
+                (False, True, False),   # C  -> branch 1 from seq 0
+                (True, False, False),   # A
+                (False, False, True),   # D
+                (False, False, True),   # D  -> branch 2 from seq 2
+            ]
+        )
+    ]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    from flink_cep_examples_spark.sql.match_recognize import match_recognize
+
+    got = sorted(
+        (r.a_seq, r.u_last, r.u_n) for r in match_recognize(df, body).collect()
+    )
+    assert got == [(0, 1, 1), (2, 4, 2)]
