@@ -58,6 +58,7 @@ HEADLINE = [
     "cep_alternation_pattern",  # round-4 alternation (compiled TO-NEXT form)
     "cep_measure_aggregates",  # round-4 aggregate MEASURES (compiled windows)
     "q21_waiting_suppliers",  # round-4 heaviest fact-fact semi/anti shape
+    "cep_group_unbounded",  # round-5 sub-NFA loop groups ((X Y)+ Z)
 ]
 
 
