@@ -891,3 +891,29 @@ def alternation(
     return AlternationSpec(
         alternatives=specs, measures=tuple(measures)
     ).validate()
+
+
+def permute_to_alternation(spec: PatternSpec) -> AlternationSpec:
+    """Compile a PERMUTE spec into the equivalent top-level
+    alternation: one alternative per ordering of the listed variables,
+    generated in lexicographic order of the listed sequence — which is
+    exactly the alternation coordinator's leftmost-alternative
+    preference, so same-row completions bind lexicographically, like
+    the batch closed form (operators/fast_path.py::
+    match_pattern_permute). Used by the streaming tier: the lockstep
+    coordinator already runs per key in the bucketed state store, so
+    PERMUTE on a stream needs no new machinery."""
+    from itertools import permutations
+
+    if not spec.permute:
+        raise ValueError("spec does not carry PERMUTE")
+    spec.validate()
+    alternatives = tuple(
+        replace(spec, variables=tuple(perm), permute=False, measures=())
+        for perm in permutations(spec.variables)
+    )
+    return AlternationSpec(
+        alternatives=alternatives,
+        measures=spec.measures,
+        subsets=spec.subsets,
+    ).validate()

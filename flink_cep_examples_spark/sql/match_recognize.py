@@ -715,7 +715,25 @@ def match_recognize(
     spec = dataclasses.replace(spec, **updates)
     if spec.permute:
         if df.isStreaming:
-            raise NotImplementedError("PERMUTE requires batch input")
+            # round 5: PERMUTE on a stream compiles to the alternation
+            # coordinator (one alternative per ordering, lexicographic
+            # preference = leftmost-alternative preference); the
+            # lockstep per-key state machinery already runs in the
+            # bucketed state store.
+            from flink_cep_examples_spark.plans.pattern import (
+                permute_to_alternation,
+            )
+            from flink_cep_examples_spark.streaming.cep_stream import (
+                match_pattern_stream_alternation,
+            )
+
+            if emit_timeouts:
+                raise ValueError("PERMUTE has no timeout channel")
+            return match_pattern_stream_alternation(
+                df,
+                permute_to_alternation(spec),
+                watermark_delay=watermark_delay,
+            )
         from flink_cep_examples_spark.operators.fast_path import (
             match_pattern_permute,
         )

@@ -375,3 +375,128 @@ def test_order_by_second_column_is_tiebreak():
     )
     assert spec.order_col == "event_time"
     assert spec.tiebreak_col == "event_id"
+
+
+def test_permute_alternation_compilation_matches_closed_form(spark):
+    """permute_to_alternation (the streaming path's compilation) must
+    reproduce the batch PERMUTE closed form exactly on seeded random
+    streams — orderings as alternatives in lexicographic order, the
+    coordinator's leftmost preference = the closed form's
+    lexicographic binding."""
+    import random
+
+    import datetime as dt
+
+    from flink_cep_examples_spark.operators.cep_batch import (
+        match_pattern_alternation,
+    )
+    from flink_cep_examples_spark.operators.fast_path import (
+        match_pattern_permute,
+    )
+    from flink_cep_examples_spark.plans.pattern import (
+        Measure,
+        PatternSpec,
+        PatternVar,
+        SKIP_TO_NEXT,
+        permute_to_alternation,
+    )
+
+    spec = PatternSpec(
+        variables=(
+            PatternVar("A", "fa"),
+            PatternVar("B", "fb"),
+            PatternVar("C", "fc"),
+        ),
+        key_cols=("id",),
+        order_col="event_time",
+        after_match=SKIP_TO_NEXT,
+        permute=True,
+        measures=(
+            Measure("s", "A", "seq", "first"),
+            Measure("c_seq", "C", "seq", "first"),
+        ),
+    )
+    rng = random.Random(3)
+    rows = []
+    for key in range(12):
+        n = rng.randint(5, 30)
+        for i in range(n):
+            rows.append(
+                (
+                    f"k{key}",
+                    dt.datetime(2020, 5, 1) + dt.timedelta(minutes=i),
+                    i,
+                    rng.random() < 0.4,
+                    rng.random() < 0.4,
+                    rng.random() < 0.4,
+                )
+            )
+    df = spark.createDataFrame(
+        rows,
+        "id string, event_time timestamp, seq long, "
+        "fa boolean, fb boolean, fc boolean",
+    )
+    closed = sorted(
+        (r.id, r.s, r.c_seq)
+        for r in match_pattern_permute(df, spec).drop("tag").collect()
+    )
+    alt = sorted(
+        (r.id, r.s, r.c_seq)
+        for r in match_pattern_alternation(
+            df, permute_to_alternation(spec)
+        ).collect()
+    )
+    assert closed and closed == alt
+
+
+@pytest.mark.slow
+def test_permute_streaming_matches_batch(spark, tmp_path):
+    """PERMUTE on a streaming input (round 5): dispatches to the
+    alternation coordinator in the bucketed state store — the replayed
+    stream must equal the batch closed form."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.queries.cep import _MR_PERMUTE_BODY
+    from flink_cep_examples_spark.sources.billing import billing_from_rows
+    from flink_cep_examples_spark.sql.match_recognize import match_recognize
+
+    rows = [
+        ("1", "2020-05-01 11:00:00", 50, 5),
+        ("1", "2020-05-01 11:10:00", 50, 5),
+        ("1", "2020-05-01 11:20:00", 5, 50),
+        ("2", "2020-05-01 11:00:00", 50, 40),   # B first
+        ("2", "2020-05-01 11:05:00", 40, 5),    # A
+        ("2", "2020-05-01 11:06:00", 5, 50),    # C -> BAC binding
+        ("3", "2020-05-01 11:00:00", 5, 50),    # C alone: no window
+        ("zz", "2031-01-01 00:00:00", 50, 50),  # watermark sentinel
+    ]
+    df = billing_from_rows(spark, rows)
+    batch = sorted(
+        map(
+            tuple,
+            match_recognize(
+                df, _MR_PERMUTE_BODY, order_col="event_time"
+            ).collect(),
+        )
+    )
+    assert batch
+
+    src = str(tmp_path / "permute_stream")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    out = match_recognize(
+        stream, _MR_PERMUTE_BODY, order_col="event_time"
+    )
+    assert out.isStreaming
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("permute_stream_mem")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("permute_stream_mem").collect()))
+    assert got == batch
