@@ -681,6 +681,8 @@ class Pattern:
         self._skip = SKIP_PAST_LAST_EVENT
         self._skip_var: str | None = None
         self._within: timedelta | None = None
+        self._loop_groups: list[tuple[int, int]] = []
+        self._group_start: int | None = None
 
     # -- construction -------------------------------------------------
     @classmethod
@@ -808,6 +810,30 @@ class Pattern:
         self._within = parse_interval(interval)
         return self
 
+    # -- unbounded groups (round 5) -----------------------------------
+    def begin_group(self) -> "Pattern":
+        """Open an unbounded ``(X Y)+`` group: the variables added
+        until :meth:`end_group_one_or_more` form the group body (a true
+        sub-NFA loop — see PatternSpec.loop_groups). Groups cannot
+        nest."""
+        if self._group_start is not None:
+            raise ValueError("unbounded groups cannot nest")
+        self._group_start = len(self._vars)
+        return self
+
+    def end_group_one_or_more(self) -> "Pattern":
+        """Close the open group as one-or-more iterations."""
+        if self._group_start is None:
+            raise ValueError("end_group_one_or_more() without begin_group()")
+        if len(self._vars) - self._group_start < 2:
+            raise ValueError(
+                "an unbounded group needs >= 2 variables — use the "
+                "variable quantifier (one_or_more) for a single one"
+            )
+        self._loop_groups.append((self._group_start, len(self._vars) - 1))
+        self._group_start = None
+        return self
+
     # -- finalization -------------------------------------------------
     def build(
         self,
@@ -817,6 +843,8 @@ class Pattern:
         measures: tuple[Measure, ...] = (),
         emit_timeouts: bool = False,
     ) -> PatternSpec:
+        if self._group_start is not None:
+            raise ValueError("unclosed begin_group() at build()")
         return PatternSpec(
             variables=tuple(self._vars),
             key_cols=tuple(key_cols),
@@ -827,6 +855,7 @@ class Pattern:
             skip_var=self._skip_var,
             measures=tuple(measures),
             emit_timeouts=emit_timeouts,
+            loop_groups=tuple(self._loop_groups),
         ).validate()
 
 

@@ -300,3 +300,68 @@ def test_streaming_group_plus_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM grp_stream").collect()
     )
     assert got == batch and len(batch) >= 3
+
+
+def test_dsl_group_builder_matches_sql(spark):
+    """Pattern.begin_group()/end_group_one_or_more(): the DSL twin of
+    PATTERN ((X Y)+ Z) — same spec shape, same matches."""
+    from flink_cep_examples_spark.operators.cep_batch import match_pattern
+    from flink_cep_examples_spark.plans.pattern import (
+        Pattern,
+        Measure,
+        SKIP_PAST_LAST_EVENT,
+    )
+
+    spec = (
+        Pattern.begin("X", skip=SKIP_PAST_LAST_EVENT)
+        .where("m = 1")
+        .next("Y")
+        .where("m = 2")
+        .next("Z")
+        .where("m = 0")
+        .build(
+            key_cols=("id",),
+            order_col="event_time",
+            measures=(
+                Measure("s", "X", "seq", "first"),
+                Measure("e", "Z", "seq", "last"),
+                Measure("k", "X", "", "count"),
+            ),
+        )
+    )
+    # rebuild with the group wrapped around X Y
+    p = Pattern.begin("X", skip=SKIP_PAST_LAST_EVENT)
+    p._vars = []  # begin() seeded X; rebuild the body inside the group
+    p.begin_group()
+    p._vars.append(spec.variables[0])
+    p._vars.append(spec.variables[1])
+    p.end_group_one_or_more()
+    p._vars.append(spec.variables[2])
+    gspec = p.build(
+        key_cols=("id",),
+        order_col="event_time",
+        measures=spec.measures,
+    )
+    assert gspec.loop_groups == ((0, 1),)
+    df = _class_df(spark, [1, 2, 1, 2, 0, 1, 2, 0])
+    got = sorted((r.s, r.e, r.k) for r in match_pattern(df, gspec).drop("tag").collect())
+    assert got == [(0, 4, 2), (5, 7, 1)]
+
+
+def test_dsl_group_builder_guards():
+    from flink_cep_examples_spark.plans.pattern import Pattern
+
+    p = Pattern.begin("A")
+    with pytest.raises(ValueError, match="without begin_group"):
+        p.end_group_one_or_more()
+    p.begin_group()
+    with pytest.raises(ValueError, match="cannot nest"):
+        p.begin_group()
+    p.next("B")
+    with pytest.raises(ValueError, match=">= 2 variables"):
+        p.end_group_one_or_more()
+    p.next("C")
+    p.end_group_one_or_more()
+    q = Pattern.begin("A").begin_group().next("B").next("C")
+    with pytest.raises(ValueError, match="unclosed"):
+        q.build()
