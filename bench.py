@@ -201,11 +201,20 @@ def main() -> None:
     )
     if prior:
         try:
-            prev = json.load(open(prior[-1]))
-            if "parsed" in prev and isinstance(prev["parsed"], dict):
-                # driver-recorded wrapper: the bench JSON line sits
-                # under "parsed" (raw stdout tail under "tail")
-                prev = prev["parsed"]
+            # newest prior round whose record actually parsed: a
+            # truncated driver capture ("parsed": null, e.g. r4) has
+            # no queries dict and would make the delta vacuous
+            prev, chosen = None, prior[-1]
+            for path in reversed(prior):
+                cand = json.load(open(path))
+                if "parsed" in cand:
+                    cand = cand["parsed"]  # driver wrapper
+                if isinstance(cand, dict) and cand.get("queries"):
+                    prev, chosen = cand, path
+                    break
+            if prev is None:
+                raise ValueError("no prior round with parsed queries")
+            prior[-1] = chosen  # delta block reports the file used
             if float(prev.get("sf", -1)) != float(sf):
                 raise ValueError(f"baseline sf {prev.get('sf')} != {sf}")
             prev_q = prev.get("queries", {})

@@ -249,9 +249,12 @@ def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     idf-monotone either way.
 
     Scale shape: explode -> map-side-combinable (doc,term) counts, one
-    shuffle; document frequency is an agg *of the tf frame* (vocab-
-    sized, tiny vs corpus) joined back broadcast; final top-3 is a
-    bounded per-doc window."""
+    shuffle; document frequency is an agg *of the tf frame* joined
+    back WITHOUT a forced broadcast — the vocabulary grows with the
+    corpus (heavy-tailed: 100M+ terms at warehouse scale), so AQE
+    picks broadcast vs shuffled-hash from the runtime size (the df
+    aggregate and the back-join share the term hash partitioning);
+    final top-3 is a bounded per-doc window."""
     docs = load_table(spark, sf_dir, "documents")
     terms = docs.select(
         "doc_id",
@@ -261,7 +264,7 @@ def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_total = docs.agg(F.count(F.lit(1)).alias("n_total"))
     scored = (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_, "term")
         .crossJoin(F.broadcast(n_total))
         .withColumn(
             "score",
