@@ -57,6 +57,8 @@ SMOKE = [
     "cep_sliced_absence",  # round-4 time-sliced operator (30-day slices)
     "cep_group_zigzag",  # round-4 group quantifier (NFA, auto-SUBSET)
     "events_signup_no_purchase",  # round-4 raw-events absence (compiled)
+    "cep_group_unbounded",  # round-5 sub-NFA loop groups ((X Y)+ Z)
+    "docs_tfidf_top_terms",  # round-5 AQE-chosen vocab back-join
 ]
 
 
