@@ -232,11 +232,13 @@ def _expand_group_quantifiers(text: str) -> list[str]:
     if not m:
         return [text]
     body, quant, lo, hi = m.group(1), m.group(2), m.group(3), m.group(4)
-    toks = body.split()
+    # pad exclusion braces so they tokenize standalone; bounded unrolls
+    # carry them through per copy (round 5), unbounded groups reject
+    # them below (exclusion only matters under ALL ROWS, which loop
+    # groups reject anyway)
+    toks = body.replace("{-", " {- ").replace("-}", " -} ").split()
     if not toks:
         raise ValueError("empty group () in PATTERN")
-    if any(t in ("{-", "-}") or "{-" in t or "-}" in t for t in toks):
-        raise NotImplementedError("{- -} exclusion inside a group")
 
     def _name_suffix(tok: str) -> tuple[str, str]:
         nm = re.match(r"([A-Za-z_][A-Za-z_0-9]*)(.*)$", tok)
@@ -245,10 +247,14 @@ def _expand_group_quantifiers(text: str) -> list[str]:
         return nm.group(1), nm.group(2)
 
     def _unroll(n: int, start_copy: int = 1) -> str:
-        """n suffixed copies of the group body as a flat token string."""
+        """n suffixed copies of the group body as a flat token string
+        (exclusion markers pass through unchanged per copy)."""
         out: list[str] = []
         for copy in range(start_copy, start_copy + n):
             for tok in toks:
+                if tok in ("{-", "-}"):
+                    out.append(tok)
+                    continue
                 name, suffix = _name_suffix(tok)
                 out.append(f"{name}__{copy}{suffix}")
         return " ".join(out)
@@ -259,6 +265,12 @@ def _expand_group_quantifiers(text: str) -> list[str]:
         iterations are unrolled copies 1..n-1)."""
         inner = []
         for tok in toks:
+            if tok in ("{-", "-}"):
+                raise NotImplementedError(
+                    "{- -} exclusion inside an UNBOUNDED group (loop "
+                    "groups reject ALL ROWS PER MATCH, where exclusion "
+                    "would matter)"
+                )
             name, suffix = _name_suffix(tok)
             if suffix:
                 raise NotImplementedError(

@@ -365,3 +365,24 @@ def test_dsl_group_builder_guards():
     q = Pattern.begin("A").begin_group().next("B").next("C")
     with pytest.raises(ValueError, match="unclosed"):
         q.build()
+
+
+def test_bounded_group_exclusion_all_rows(spark):
+    """Round 5: {- -} exclusion inside a BOUNDED group — the unroll
+    carries the markers per copy, so under ALL ROWS PER MATCH every
+    copy's excluded variable is omitted from the output rows while the
+    match itself is unchanged."""
+    df = _class_df(spark, [3, 1, 2, 1, 2])
+    out = match_recognize(
+        df,
+        """
+        PARTITION BY id ORDER BY event_time, seq
+        MEASURES FIRST(A.seq) AS a_seq
+        ALL ROWS PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A ({- X -} Y){2})
+        DEFINE A AS m = 3, X AS m = 1, Y AS m = 2
+        """,
+    )
+    rows = sorted((r.seq, r.classifier) for r in out.collect())
+    assert rows == [(0, "A"), (2, "Y__1"), (4, "Y__2")]
