@@ -75,30 +75,36 @@ FROM documents
 """
 
 
+def quality_columns(text_col) -> dict:
+    """The quality-score expressions over one text column — shared by
+    the batch catalog query and the streaming ingest pipeline
+    (streaming/dedup_stream.py::corpus_clean_stream), so the two tiers
+    cannot drift on the keep rule."""
+    lower = F.lower(text_col)
+    n_tok = _tok_count(text_col)
+    n_punct = F.regexp_count(text_col, F.lit(_PUNCT))
+    n_digit = F.regexp_count(text_col, F.lit(r"[0-9]"))
+    stop_re = r"\b(" + "|".join(LANG_STOPWORDS["en"]) + r")\b"
+    n_stop = F.regexp_count(lower, F.lit(stop_re))
+    punct_ratio = n_punct.cast("double") / F.length(text_col)
+    stop_ratio = n_stop.cast("double") / n_tok
+    digit_ratio = n_digit.cast("double") / F.length(text_col)
+    return {
+        "n_tokens": n_tok,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+        "digit_ratio": digit_ratio,
+        "keep": (n_tok >= 10) & (punct_ratio < 0.1) & (digit_ratio < 0.2),
+    }
+
+
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: punctuation / stopword / digit ratios and a
     composite keep-flag, the standard pre-training corpus filters."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    lower = F.lower(F.col("text"))
-    n_tok = _tok_count(F.col("text"))
-    n_punct = F.regexp_count("text", F.lit(_PUNCT))
-    n_digit = F.regexp_count("text", F.lit(r"[0-9]"))
-    stop_re = r"\b(" + "|".join(LANG_STOPWORDS["en"]) + r")\b"
-    n_stop = F.regexp_count(lower, F.lit(stop_re))
-    punct_ratio = n_punct.cast("double") / F.length("text")
-    stop_ratio = n_stop.cast("double") / n_tok
-    digit_ratio = n_digit.cast("double") / F.length("text")
+    cols = quality_columns(F.col("text"))
     return docs.select(
-        "doc_id",
-        n_tok.alias("n_tokens"),
-        punct_ratio.alias("punct_ratio"),
-        stop_ratio.alias("stopword_ratio"),
-        digit_ratio.alias("digit_ratio"),
-        (
-            (n_tok >= 10)
-            & (punct_ratio < 0.1)
-            & (digit_ratio < 0.2)
-        ).alias("keep"),
+        "doc_id", *[expr.alias(name) for name, expr in cols.items()]
     )
 
 

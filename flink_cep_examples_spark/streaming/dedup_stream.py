@@ -266,3 +266,45 @@ def dedup_minhash_band_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def corpus_clean_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    event_time_col: str = "ts",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming ingest twin of queries/pipeline.py::
+    corpus_clean_pipeline — the first two stages run streaming-native:
+
+    1. quality gate — the SAME keep-rule expressions as the batch
+       catalog query (queries/text.py::quality_columns), evaluated
+       scan-side;
+    2. exact content dedup — first occurrence per md5(text) within the
+       watermark horizon (dedup_content_stream).
+
+    Output: the kept (id, ts, quality columns) append stream. The
+    third batch stage (near-dup removal) is deliberately NOT an
+    inline anti-join: stream-stream anti joins would hold rows to the
+    horizon, and a doc's 8 band verdicts live in different state
+    shards. Production ingest does late near-dedup instead — run
+    :func:`dedup_minhash_band_stream` on the SAME source and drop the
+    flagged ``dup_id``s at compaction/shard-write time (the flagged
+    set is a superset of the batch pipeline's est-Jaccard-filtered
+    losers; the batch pipeline remains the exact-recall path)."""
+    from flink_cep_examples_spark.queries.text import quality_columns
+
+    cols = quality_columns(F.col(text_col))
+    scored = docs.select(
+        F.col(id_col),
+        F.col(event_time_col),
+        F.col(text_col),
+        *[expr.alias(name) for name, expr in cols.items()],
+    ).filter(F.col("keep"))
+    return dedup_content_stream(
+        scored,
+        content_col=text_col,
+        event_time_col=event_time_col,
+        watermark_delay=watermark_delay,
+    ).drop(text_col)

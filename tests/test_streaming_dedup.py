@@ -257,3 +257,43 @@ def test_vector_band_keys_flag_planted_near_dups(spark):
     assert recall >= 0.9, recall
     # no random doc collides with a planted one
     assert not any(x >= 1000 or y >= 1000 for x, y in pairs), pairs
+
+
+@pytest.mark.slow
+def test_corpus_clean_stream_matches_batch_prefix(spark, docs_with_ts_dir, sf_small):
+    """Streaming ingest pipeline (round 5): quality gate + exact
+    content dedup replayed over the corpus must keep exactly the batch
+    pipeline's quality∧canonical set (arrival order = doc_id order in
+    the fixture, so stream first-occurrence = batch min-doc_id
+    canonical). Near-dup removal is the documented compaction-side
+    stage — its flagged set is pinned by the band-stream agreement
+    tests above."""
+    from flink_cep_examples_spark.queries.dedup import dedup_exact
+    from flink_cep_examples_spark.queries.text import text_quality_scores
+    from flink_cep_examples_spark.streaming.dedup_stream import (
+        corpus_clean_stream,
+    )
+
+    out = _run_stream(
+        spark,
+        docs_with_ts_dir,
+        lambda s: corpus_clean_stream(s, watermark_delay="365 days"),
+        "clean_stream_mem",
+    )
+    got = {r.doc_id for r in out.collect()}
+
+    quality = {
+        r.doc_id
+        for r in text_quality_scores(spark, sf_small).where("keep").collect()
+    }
+    canonical = {
+        r.doc_id
+        for r in dedup_exact(spark, sf_small)
+        .where(F.col("doc_id") == F.col("canonical_id"))
+        .collect()
+    }
+    # content keying differs slightly from the batch exact-dedup's
+    # normalized-text hash ONLY in normalization (batch normalizes,
+    # stream hashes raw text) — the synthetic corpus' exact dups are
+    # byte-identical, so the sets coincide
+    assert got == (quality & canonical) and got
