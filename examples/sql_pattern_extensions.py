@@ -12,7 +12,10 @@
 4. (round 4) top-level alternation ``(A C | A B{2})`` — one NFA per
    alternative in lockstep, leftmost-preferred;
 5. (round 4) aggregate MEASURES + CLASSIFIER() + MATCH_NUMBER() +
-   SUBSET union variables.
+   SUBSET union variables;
+6. (round 5) UNBOUNDED group quantifier ``(D E)+`` — a true sub-NFA
+   loop (PatternSpec.loop_groups): PAIRS of balance drops repeated any
+   number of times, terminated by a top-up.
 """
 
 import sys
@@ -94,6 +97,25 @@ SELECT * FROM billing MATCH_RECOGNIZE (
 """
 
 
+UNBOUNDED_GROUP = """
+SELECT * FROM billing MATCH_RECOGNIZE (
+  PARTITION BY id
+  ORDER BY event_time
+  MEASURES
+    FIRST(D.datetime) AS firstDownDatetime,
+    COUNT(D.*) AS n_drop_pairs,
+    U.datetime AS topupDatetime
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN ((D E)+ U)
+  DEFINE
+    D AS D.balanceBefore > D.balanceAfter,
+    E AS E.balanceBefore > E.balanceAfter,
+    U AS U.balanceBefore < U.balanceAfter
+) t
+"""
+
+
 def main() -> None:
     spark = session()
     df = input_df(spark, sys.argv)
@@ -111,6 +133,10 @@ def main() -> None:
     )
     print("-- aggregate MEASURES + SUBSET + MATCH_NUMBER() --")
     sql_with_match_recognize(spark, AGG_MEASURES, {"billing": df}).show(
+        truncate=False
+    )
+    print("-- UNBOUNDED group quantifier (D E)+ U (sub-NFA loop) --")
+    sql_with_match_recognize(spark, UNBOUNDED_GROUP, {"billing": df}).show(
         truncate=False
     )
 
