@@ -386,3 +386,50 @@ def test_bounded_group_exclusion_all_rows(spark):
     )
     rows = sorted((r.seq, r.classifier) for r in out.collect())
     assert rows == [(0, "A"), (2, "Y__1"), (4, "Y__2")]
+
+
+def test_loop_group_within_deadline_prunes():
+    """within + loop group: the deadline prunes a run BEFORE the row
+    that would extend or complete it (strict <, the engine's fixture-
+    pinned convention) — a chain whose Z lands at exactly start+within
+    must NOT match, one landing just inside must."""
+    import dataclasses
+
+    spec = dataclasses.replace(_XYZ, within=dt.timedelta(minutes=30))
+    eng = N.Nfa(spec)
+
+    def run(times_ms):
+        stt = N.NfaState()
+        out = []
+        for i, (t, m) in enumerate(times_ms):
+            pred = [m == 1, m == 2, m == 0]
+            matches, _ = eng.step(stt, t * 60_000_000, pred, i)
+            out.extend(matches)
+        return out
+
+    # X@0 Y@10 X@20 Y@25 Z@29 -> span 29min < 30 -> match
+    ok = run([(0, 1), (10, 2), (20, 1), (25, 2), (29, 0)])
+    assert len(ok) == 1 and ok[0]["X"][2] == 2
+    # same shape but Z at exactly +30 -> the run from 0 is pruned; the
+    # inner chain X@20 Y@25 Z@30 (span 10) survives and wins instead
+    late = run([(0, 1), (10, 2), (20, 1), (25, 2), (30, 0)])
+    assert len(late) == 1 and late[0]["X"][:3] == (2, 2, 1)
+
+
+def test_loop_group_skip_to_next_one_match_per_start():
+    """SKIP TO NEXT ROW with a loop group: every eligible start row
+    emits at most one match and starts stay independent — on
+    1,2,1,2,0 both X starts complete at the same Z and BOTH emit."""
+    import dataclasses
+
+    from flink_cep_examples_spark.plans.pattern import SKIP_TO_NEXT
+
+    spec = dataclasses.replace(_XYZ, after_match=SKIP_TO_NEXT)
+    eng = N.Nfa(spec)
+    stt = N.NfaState()
+    out = []
+    for i, m in enumerate([1, 2, 1, 2, 0]):
+        pred = [m == 1, m == 2, m == 0]
+        matches, _ = eng.step(stt, i * 1000, pred, i)
+        out.extend((d["X"][0], d["X"][2]) for d in matches)
+    assert sorted(out) == [(0, 2), (2, 1)]
