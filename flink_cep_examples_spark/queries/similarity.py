@@ -535,3 +535,81 @@ register(
     "embedding_label_stats", embedding_label_stats, ORACLE_LABEL_STATS,
     driver=False,  # r5 rotation: driver-verified green r3+r4; pytest-gated now
 )
+
+
+def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: scalar-quantized (int8) cosine top-k — the ANN SERVING
+    memory/IO lever: a per-vector scale ``max|x| / 127`` and rounded
+    int8 components shrink the index 4× (the scale cancels out of
+    cosine, so only rounding error remains; recall vs the exact
+    baseline is measured in tests/test_ann_recall.py, not assumed).
+
+    Plan shape mirrors ann_bruteforce_topk: posexplode, per-vector
+    max-abs window + the groupBy reuse the SAME vec_id Exchange,
+    broadcast 64-row query join, TakeOrdered k. Rounding is
+    ``floor(x/s + 0.5)`` (half-up, bit-identical in Spark and DuckDB);
+    the int8·query dot runs in exact DECIMAL and the int8 self-norm in
+    exact int64, so the oracle hash matches bit-for-bit."""
+    from pyspark.sql.window import Window
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    e = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    w = Window.partitionBy("vec_id")
+    scale = (
+        F.greatest(F.max(F.abs(F.col("x"))).over(w), F.lit(1e-30)) / 127.0
+    )
+    quant = e.withColumn(
+        "qd", F.floor(F.col("x") / scale + F.lit(0.5)).cast("bigint")
+    )
+    q = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.posexplode("embedding").alias("pos", "qx"))
+        .withColumn("qx", F.col("qx").cast("double"))
+    )
+    qn2 = (
+        q.agg(F.sum((F.col("qx") * F.col("qx")).cast(_TERM_DEC)).alias("qn2"))
+        .select(F.col("qn2").cast("double").alias("qn2"))
+    )
+    cos = F.col("dot") / F.sqrt(F.col("n2q").cast("double") * F.col("qn2"))
+    return (
+        quant.join(F.broadcast(q), "pos")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((F.col("qd") * F.col("qx")).cast(_TERM_DEC))
+            .cast("double")
+            .alias("dot"),
+            F.sum(F.col("qd") * F.col("qd")).alias("n2q"),
+        )
+        .crossJoin(F.broadcast(qn2))
+        .select("vec_id", "label", cos.alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+ORACLE_INT8 = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+sc AS (
+  SELECT vec_id, label,
+         [CAST(floor(CAST(x AS DOUBLE)
+                     / (greatest(list_max([abs(CAST(y AS DOUBLE)) FOR y IN embedding]), 1e-30) / 127.0)
+                     + 0.5) AS BIGINT) FOR x IN embedding] AS qd
+  FROM embeddings WHERE vec_id != {QUERY_VEC_ID}
+)
+SELECT vec_id, label,
+       {_sql_dec_dot('qd', 'qv')}
+         / sqrt(CAST(list_sum([x * x FOR x IN qd]) AS DOUBLE)
+                * {_sql_dec_dot('qv', 'qv')}) AS cos
+FROM sc, q
+ORDER BY cos DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+register(
+    "ann_int8_topk", ann_int8_topk, ORACLE_INT8,
+    driver=False,  # gate capped at 50; oracle-gated in pytest
+)

@@ -142,3 +142,16 @@ def test_blas_assignment_agrees_with_exact_kernel(spark):
         for r in _assign(emb, cents, exact=False).select("vec_id", "cid").collect()
     }
     assert a_exact == a_blas
+
+
+def test_int8_quantized_topk_recall(spark, sf_small):
+    """int8 scalar quantization must preserve the exact top-k almost
+    perfectly (rounding error ~1/254 per component): require >= 0.8
+    overlap with the float brute-force baseline at k=10."""
+    from flink_cep_examples_spark.queries import QUERIES, load_all
+
+    load_all()
+    exact = [r.vec_id for r in QUERIES["ann_bruteforce_topk"](spark, sf_small).collect()]
+    quant = [r.vec_id for r in QUERIES["ann_int8_topk"](spark, sf_small).collect()]
+    overlap = len(set(exact) & set(quant)) / len(exact)
+    assert overlap >= 0.8, (overlap, exact, quant)
