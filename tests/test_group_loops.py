@@ -433,3 +433,40 @@ def test_loop_group_skip_to_next_one_match_per_start():
         matches, _ = eng.step(stt, i * 1000, pred, i)
         out.extend((d["X"][0], d["X"][2]) for d in matches)
     assert sorted(out) == [(0, 2), (2, 1)]
+
+
+def _run_xyz_noskip(ms):
+    import dataclasses
+
+    from flink_cep_examples_spark.plans.pattern import NO_SKIP
+
+    eng = N.Nfa(dataclasses.replace(_XYZ, after_match=NO_SKIP))
+    stt = N.NfaState()
+    out = []
+    for i, m in enumerate(ms):
+        pred = [m == 1, m == 2, m == 0]
+        matches, _ = eng.step(stt, i * 1000, pred, i)
+        for d in matches:
+            out.append((d["X"][0], d["Z"][1], d["X"][2]))
+    return out
+
+
+def _brute_xyz_noskip(ms):
+    """NO_SKIP brute force: EVERY phase-correct alternating chain
+    ending at each Z row emits (no discarding)."""
+    out = []
+    for t, m in enumerate(ms):
+        if m != 0:
+            continue
+        for s in range(0, t - 1):
+            if ms[s] != 1 or (t - s) % 2 != 0:
+                continue
+            if all(ms[s + j] == 1 + j % 2 for j in range(t - s)):
+                out.append((s, t, (t - s) // 2))
+    return out
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2), max_size=30))
+def test_loop_nfa_noskip_matches_brute_force(ms):
+    assert sorted(_run_xyz_noskip(ms)) == sorted(_brute_xyz_noskip(ms))
