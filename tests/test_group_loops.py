@@ -470,3 +470,42 @@ def _brute_xyz_noskip(ms):
 @given(st.lists(st.integers(min_value=0, max_value=2), max_size=30))
 def test_loop_nfa_noskip_matches_brute_force(ms):
     assert sorted(_run_xyz_noskip(ms)) == sorted(_brute_xyz_noskip(ms))
+
+
+@pytest.mark.slow
+def test_streaming_group_star_matches_batch(spark, tmp_path):
+    """(X Y)* on a STREAM: the star compiles to alternation branches
+    (one carrying a loop group) and rides the streaming alternation
+    coordinator — the replay must equal batch."""
+    ms = [3, 0, 3, 1, 2, 0, 3, 1, 2, 1, 2, 0, 9, 9]
+    df = _class_df(spark, ms)
+    body = """
+        PARTITION BY id ORDER BY event_time, seq
+        MEASURES FIRST(A.seq) AS a, LAST(Z.seq) AS e, COUNT(X.*) AS k
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (A (X Y)* Z)
+        DEFINE A AS m = 3, X AS m = 1, Y AS m = 2, Z AS m = 0
+    """
+    batch = sorted((r.a, r.e, r.k) for r in match_recognize(df, body).collect())
+    assert batch
+
+    src = str(tmp_path / "star_stream")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    out = match_recognize(stream, body, watermark_delay="0 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("star_stream_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.a, r.e, r.k)
+        for r in spark.sql("SELECT * FROM star_stream_mem").collect()
+    )
+    assert got == batch
