@@ -42,9 +42,14 @@ def _catalog():
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the reference CEP pattern (A B* C within 1h,
     skip past last row) with absence alerts, over the sf0.001 events
-    table, on the compiled pure-DataFrame fast path."""
-    queries, _ = _catalog()
-    return queries["cep_alerts_with_timeouts"](spark, "/root/testdata/sf0.001")
+    table, on the compiled pure-DataFrame fast path.
+
+    Resolved from the FULL catalog, not the 50-row driver subset —
+    gate rotations must never break the flagship smoke check."""
+    from flink_cep_examples_spark.queries import QUERIES
+
+    _catalog()  # load_all + gate-cap assert
+    return QUERIES["cep_alerts_with_timeouts"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

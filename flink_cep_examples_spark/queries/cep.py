@@ -1330,3 +1330,115 @@ register(
     "cep_group_unbounded", cep_group_unbounded, ORACLE_GROUP_UNBOUNDED,
     # round 5: new sub-NFA loop feature — straight into the driver gate
 )
+
+
+def cep_group_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2016 alternation INSIDE a group — ``(A B | C){2}`` (round
+    5): per user, two repetitions where each independently chooses the
+    (A B) pair or the single C. The parser distributes the choice
+    cross-product onto the top-level alternation machinery
+    (sql/match_recognize.py::_expand_group_quantifiers), so emission
+    per start row follows eager preference: earliest completion, then
+    leftmost alternative — i.e. (C)(C) beats the width-3 derivations,
+    and (A B)(C) beats (C)(A B) on the width-3 tie. The closed-form
+    oracle below encodes exactly that priority with LEAD arithmetic.
+
+    Reference parity: grouped alternation extends FlinkCEP's
+    ``Pattern`` algebra (FlinkCEPExample.scala:58-92 has no grouping);
+    semantics follow the SQL:2016 MATCH_RECOGNIZE derivation order
+    restricted to the engine's documented eager emission."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.sources.tables import load_table, spread
+    from flink_cep_examples_spark.sql.match_recognize import match_recognize
+
+    events = spread(load_table(spark, sf_dir, "events"), "user_id").select(
+        "user_id", "ts", "event_id"
+    )
+    out = match_recognize(
+        events,
+        """
+        PARTITION BY user_id ORDER BY ts, event_id
+        MEASURES FIRST(A.ts) AS first_a_ts,
+                 FIRST(C.ts) AS first_c_ts,
+                 COUNT(A.*) AS n_a,
+                 COUNT(C.*) AS n_c
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN ((A B | C){2})
+        DEFINE A AS event_id % 4 = 1,
+               B AS event_id % 4 = 2,
+               C AS event_id % 4 = 3
+        """,
+        tiebreak_col="event_id",
+    )
+    blank = F.lit("")  # all-C / all-(A B) matches lack the other side;
+    # '' (not NULL) keeps the row-sort/hash comparison total
+    return out.select(
+        "user_id",
+        F.coalesce(
+            F.date_format("first_a_ts", "yyyy-MM-dd HH:mm:ss"), blank
+        ).alias("first_a_ts"),
+        F.coalesce(
+            F.date_format("first_c_ts", "yyyy-MM-dd HH:mm:ss"), blank
+        ).alias("first_c_ts"),
+        "n_a",
+        "n_c",
+    )
+
+
+#: Closed form for the distributed group alternation: per start row,
+#: the four fixed-width derivations complete at start+width-1, so the
+#: eager winner is decided by (completion row, alternative index):
+#: (C)(C) width 2 < (A B)(C) = alt idx 1 < (C)(A B) = alt idx 2
+#: (width-3 tie broken leftmost) < (A B)(A B) width 4. SKIP TO NEXT
+#: ROW makes every start row decide independently.
+ORACLE_GROUP_ALTERNATION = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         event_id % 4 = 1 AS a,
+         event_id % 4 = 2 AS b,
+         event_id % 4 = 3 AS c
+  FROM events
+),
+f AS (
+  SELECT *,
+         LEAD(a, 1) OVER w AS a1, LEAD(b, 1) OVER w AS b1,
+         LEAD(c, 1) OVER w AS c1,
+         LEAD(a, 2) OVER w AS a2, LEAD(b, 2) OVER w AS b2,
+         LEAD(c, 2) OVER w AS c2,
+         LEAD(b, 3) OVER w AS b3,
+         LEAD(ts, 1) OVER w AS t1, LEAD(ts, 2) OVER w AS t2
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+w AS (
+  SELECT *,
+         CASE
+           WHEN c AND c1 THEN 'cc'
+           WHEN a AND b1 AND c2 THEN 'abc'
+           WHEN c AND a1 AND b2 THEN 'cab'
+           WHEN a AND b1 AND a2 AND b3 THEN 'abab'
+         END AS win
+  FROM f
+)
+SELECT user_id,
+       COALESCE(strftime(CASE win WHEN 'abc' THEN ts WHEN 'abab' THEN ts
+                         WHEN 'cab' THEN t1 END, {_FMT}), '') AS first_a_ts,
+       COALESCE(strftime(CASE win WHEN 'cc' THEN ts WHEN 'cab' THEN ts
+                         WHEN 'abc' THEN t2 END, {_FMT}), '') AS first_c_ts,
+       CAST(CASE win WHEN 'cc' THEN 0 WHEN 'abab' THEN 2
+                     ELSE 1 END AS BIGINT) AS n_a,
+       CAST(CASE win WHEN 'cc' THEN 2 WHEN 'abab' THEN 0
+                     ELSE 1 END AS BIGINT) AS n_c
+FROM w
+WHERE win IS NOT NULL
+"""
+
+
+register(
+    "cep_group_alternation",
+    cep_group_alternation,
+    ORACLE_GROUP_ALTERNATION,
+    driver=False,  # gate full at 50; oracle-gated in pytest every run
+)

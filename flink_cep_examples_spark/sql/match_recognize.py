@@ -50,6 +50,7 @@ path (SURVEY §3.2).
 from __future__ import annotations
 
 import dataclasses
+import itertools
 import re
 
 from pyspark.sql import DataFrame
@@ -162,23 +163,18 @@ def _parse_pattern_clause(
         raise ValueError(f"cannot parse PATTERN clause: {text!r}")
     inner, rest = m.group(1), (m.group(2) or "").strip()
     # top-level SQL:2016 alternation first (inner parens belong to
-    # group quantifiers, expanded per branch below). Split depth-aware:
-    # a '|' nested inside parentheses — e.g. ((A B | C D){2}) — is
-    # alternation *inside a group*, which has no implementation path
-    # here; diagnose it clearly instead of splitting mid-group.
+    # grouped sub-patterns, expanded per branch below). Split
+    # depth-aware: a '|' nested inside parentheses — e.g.
+    # ((A B | C D){2}) — is alternation *inside a group*; it stays
+    # with its group here and _expand_group_quantifiers distributes
+    # the sub-branch choices across the repetition copies.
     branches, depth, cur = [], 0, []
     for ch in inner:
         if ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
-        if ch == "|":
-            if depth > 0:
-                raise NotImplementedError(
-                    "alternation inside a group is not supported: "
-                    f"{inner.strip()!r} — only top-level PATTERN "
-                    "(P1 | P2 | ...) alternation is implemented"
-                )
+        if ch == "|" and depth == 0:
             branches.append("".join(cur))
             cur = []
         else:
@@ -206,7 +202,7 @@ _LOOP_OPEN, _LOOP_CLOSE = "{g+", "+g}"
 
 
 _GROUP_RE = re.compile(
-    r"\(([^()]*)\)\s*(\{\s*(\d+)\s*(?:,\s*(\d*)\s*)?\}|\?|\*|\+)"
+    r"\(([^()]*)\)\s*(\{\s*(\d+)\s*(?:,\s*(\d*)\s*)?\}|\?|\*|\+)?"
 )
 
 
@@ -227,7 +223,16 @@ def _expand_group_quantifiers(text: str) -> list[str]:
     edges); ``(B C)*`` expands to two alternatives (absent | ``+``);
     ``(B C){n,}`` unrolls n-1 suffixed copies followed by a suffixed
     ``+`` group. Emission stays eager: the loop iterates only while
-    the remainder of the pattern has not yet completed."""
+    the remainder of the pattern has not yet completed.
+
+    ALTERNATION INSIDE A GROUP (round 5): ``(A B | C D){2}`` — each
+    repetition copy independently picks a sub-branch, so the group
+    distributes to the cross product of choices (here 4 alternatives:
+    ``A__1 B__1 A__2 B__2`` … ``C__1 D__1 C__2 D__2``), riding the
+    top-level alternation machinery. An UNQUANTIFIED group —
+    ``(A | B) C`` or plain ``(B C)`` — is treated as ``{1}``
+    (SQL:2016 grouping). Unbounded quantifiers over an alternating
+    group are rejected (the loop-group NFA holds one fixed body)."""
     m = _GROUP_RE.search(text)
     if not m:
         return [text]
@@ -236,9 +241,13 @@ def _expand_group_quantifiers(text: str) -> list[str]:
     # carry them through per copy (round 5), unbounded groups reject
     # them below (exclusion only matters under ALL ROWS, which loop
     # groups reject anyway)
-    toks = body.replace("{-", " {- ").replace("-}", " -} ").split()
-    if not toks:
-        raise ValueError("empty group () in PATTERN")
+    sub_bodies = [
+        part.replace("{-", " {- ").replace("-}", " -} ").split()
+        for part in body.split("|")
+    ]
+    if not all(sub_bodies):
+        raise ValueError(f"empty group or alternation branch in ({body})")
+    toks = sub_bodies[0]
 
     def _name_suffix(tok: str) -> tuple[str, str]:
         nm = re.match(r"([A-Za-z_][A-Za-z_0-9]*)(.*)$", tok)
@@ -246,18 +255,23 @@ def _expand_group_quantifiers(text: str) -> list[str]:
             raise ValueError(f"unsupported token in group: {tok!r}")
         return nm.group(1), nm.group(2)
 
-    def _unroll(n: int, start_copy: int = 1) -> str:
-        """n suffixed copies of the group body as a flat token string
-        (exclusion markers pass through unchanged per copy)."""
+    def _unroll_seq(copy_toks: list[list[str]], start_copy: int = 1) -> str:
+        """Suffixed copies of the group as a flat token string — one
+        token list per copy (the lists differ when the group body
+        alternates; exclusion markers pass through unchanged)."""
         out: list[str] = []
-        for copy in range(start_copy, start_copy + n):
-            for tok in toks:
+        for i, ctoks in enumerate(copy_toks):
+            copy = start_copy + i
+            for tok in ctoks:
                 if tok in ("{-", "-}"):
                     out.append(tok)
                     continue
                 name, suffix = _name_suffix(tok)
                 out.append(f"{name}__{copy}{suffix}")
         return " ".join(out)
+
+    def _unroll(n: int, start_copy: int = 1) -> str:
+        return _unroll_seq([toks] * n, start_copy)
 
     def _loop_tokens(copy: int | None) -> str:
         """The group body wrapped in loop markers (one-or-more sub-NFA
@@ -284,6 +298,13 @@ def _expand_group_quantifiers(text: str) -> list[str]:
         return f"{_LOOP_OPEN} {' '.join(inner)} {_LOOP_CLOSE}"
 
     unbounded = quant in ("*", "+") or (hi == "" and lo is not None)
+    if unbounded and len(sub_bodies) > 1:
+        raise NotImplementedError(
+            "alternation inside an UNBOUNDED group — "
+            f"({body}){quant} — the loop-group NFA holds one fixed "
+            "body; bound the repetition count ({n,m}) to distribute "
+            "the branches"
+        )
     if unbounded:
         n_min = (
             1 if quant == "+" else 0 if quant == "*" else int(lo)
@@ -306,19 +327,33 @@ def _expand_group_quantifiers(text: str) -> list[str]:
             outs.extend(_expand_group_quantifiers(expanded))
         return outs
 
-    if quant == "?":
+    if quant is None:
+        # unquantified group: SQL:2016 grouping parens, i.e. {1}
+        lo_i = hi_i = 1
+    elif quant == "?":
         lo_i, hi_i = 0, 1
     else:
         lo_i = int(lo)
         hi_i = int(hi) if hi else lo_i
     if hi_i < lo_i or hi_i - lo_i > 8 or hi_i > 8:
         raise ValueError(f"bad group bounds {{{lo_i},{hi_i}}} (max 8)")
+    n_choice = len(sub_bodies)
+    total = sum(n_choice**k for k in range(lo_i, hi_i + 1))
+    if total > 16:
+        raise NotImplementedError(
+            f"group expansion of ({body}){quant or ''} produces "
+            f"{total} alternatives (cap 16) — reduce the repetition "
+            "range or the branch count"
+        )
     outs = []
     for k in range(lo_i, hi_i + 1):
-        expanded = (
-            text[: m.start()] + " " + _unroll(k) + " " + text[m.end():]
-        )
-        outs.extend(_expand_group_quantifiers(expanded))
+        # each repetition copy independently picks a sub-branch:
+        # cross product of choices (a single-body group degenerates
+        # to the plain unroll)
+        for choice in itertools.product(range(n_choice), repeat=k):
+            var = _unroll_seq([sub_bodies[c] for c in choice])
+            expanded = text[: m.start()] + " " + var + " " + text[m.end():]
+            outs.extend(_expand_group_quantifiers(expanded))
     return outs
 
 

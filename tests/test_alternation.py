@@ -476,18 +476,108 @@ def test_alternation_mixed_within_falls_back_to_coordinator(spark):
     assert got == [(0, 2)]
 
 
-def test_nested_alternation_in_group_raises_clearly():
-    """'|' inside parentheses — PATTERN ((A B | C D){2}) — must raise
-    NotImplementedError naming the construct, not an opaque
-    unsupported-token error from mid-group splitting."""
-    with pytest.raises(NotImplementedError, match="alternation inside a group"):
+def test_group_alternation_distributes_choices(spark):
+    """Round 5: alternation INSIDE a group — ``(A C | D){2}`` — each
+    repetition copy independently picks a sub-branch, so the parser
+    distributes the cross product (4 alternatives here) onto the
+    top-level alternation machinery. Input ``A C D D`` matches
+    ``(A C)(D)`` from seq 0 and ``(D)(D)`` from seq 2 under
+    SKIP TO NEXT ROW; measures over the base names span whichever
+    copies the matched alternative used (auto-SUBSET unions)."""
+    spec = parse_match_recognize(
+        """
+        PARTITION BY id ORDER BY event_time, seq
+        MEASURES FIRST(A.seq) AS a_first, COUNT(A.*) AS n_a,
+                 COUNT(D.*) AS n_d
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN ((A C | D){2})
+        DEFINE A AS fa, C AS fc, D AS fd
+        """
+    )
+    assert isinstance(spec, AlternationSpec)
+    assert len(spec.alternatives) == 4  # {AC,D} x {AC,D}
+
+    t0 = dt.datetime(2020, 5, 1, 12, 0, 0)
+    flags = [
+        (True, False, False),   # 0 A
+        (False, True, False),   # 1 C
+        (False, False, True),   # 2 D
+        (False, False, True),   # 3 D
+    ]
+    rows = [
+        ("k", t0 + dt.timedelta(minutes=i), i, fa, fc, fd)
+        for i, (fa, fc, fd) in enumerate(flags)
+    ]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    got = {
+        (r.a_first, r.n_a, r.n_d)
+        for r in match_pattern_alternation(df, spec).collect()
+    }
+    # (A C)(D) from 0: one A copy, one D copy; (D)(D) from 2: no A.
+    assert got == {(None, 0, 2), (0, 1, 1)}
+
+
+def test_unquantified_group_is_grouping_parens(spark):
+    """``(A | D) C`` — an unquantified group is SQL:2016 grouping,
+    i.e. ``{1}``: one alternative per sub-branch."""
+    spec = parse_match_recognize(
+        """
+        PARTITION BY id ORDER BY event_time, seq
+        MEASURES LAST(C.seq) AS c_seq, CLASSIFIER() AS cls
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN ((A | D) C)
+        DEFINE A AS fa, C AS fc, D AS fd
+        """
+    )
+    assert isinstance(spec, AlternationSpec)
+    assert len(spec.alternatives) == 2
+    t0 = dt.datetime(2020, 5, 1, 12, 0, 0)
+    flags = [
+        (True, False, False),   # 0 A
+        (False, True, False),   # 1 C  -> (A) C
+        (False, False, True),   # 2 D
+        (False, True, False),   # 3 C  -> (D) C
+    ]
+    rows = [
+        ("k", t0 + dt.timedelta(minutes=i), i, fa, fc, fd)
+        for i, (fa, fc, fd) in enumerate(flags)
+    ]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    got = sorted(
+        (r.c_seq, r.cls)
+        for r in match_pattern_alternation(df, spec).collect()
+    )
+    assert got == [(1, "C"), (3, "C")]
+
+
+def test_group_alternation_unbounded_raises_clearly():
+    """Unbounded quantifiers over an alternating group have no
+    distribution path (the loop-group NFA holds one fixed body)."""
+    with pytest.raises(NotImplementedError, match="UNBOUNDED group"):
         parse_match_recognize(
             """
             PARTITION BY id ORDER BY event_time
             MEASURES A.seq AS s
             ONE ROW PER MATCH
-            PATTERN ((A B | C D){2})
-            DEFINE A AS fa, B AS fd, C AS fc, D AS fd
+            PATTERN ((A C | D)+)
+            DEFINE A AS fa, C AS fc, D AS fd
+            """
+        )
+
+
+def test_group_alternation_cap():
+    """Cross-product expansion past 16 alternatives is rejected with
+    the cap named, not silently truncated."""
+    with pytest.raises(NotImplementedError, match="cap 16"):
+        parse_match_recognize(
+            """
+            PARTITION BY id ORDER BY event_time
+            MEASURES A.seq AS s
+            ONE ROW PER MATCH
+            PATTERN ((A | C | D){2,3})
+            DEFINE A AS fa, C AS fc, D AS fd
             """
         )
 
