@@ -613,3 +613,170 @@ register(
     "ann_int8_topk", ann_int8_topk, ORACLE_INT8,
     driver=False,  # gate capped at 50; oracle-gated in pytest
 )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the 100 TB ANN memory lever
+
+
+#: PQ geometry: 64-dim vectors → M sub-blocks of S dims, K codewords
+#: per block (codebook = sub-vectors of the K smallest vec_ids — the
+#: same deterministic-seed discipline as IVF, so the DuckDB oracle can
+#: derive the identical codebook in SQL). Index footprint per vector:
+#: M codes (5 bits each at K=32) vs 64 floats — a ~25x compression;
+#: at 100 TB the PQ index of a trillion vectors fits in cluster RAM
+#: while raw floats cannot. Recall on the ISOTROPIC synthetic corpus
+#: (PQ's worst case — no block structure to exploit) is measured at
+#: 0.6 top-10 (tests/test_ann_recall.py floor 0.4); real text
+#: embeddings cluster far more and standard K=256 codebooks recall
+#: much higher.
+PQ_M = 16
+PQ_S = 4  # dims per block (M * S = 64)
+PQ_K = 32
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: product-quantized cosine top-k with ASYMMETRIC distance
+    (ADC): each vector is encoded as M per-block nearest-codeword ids;
+    the query stays exact, and cos(q, x) is approximated against the
+    reconstruction — sum over blocks of dot(q_block, codeword) over
+    the reconstruction norm. Recall vs the exact baseline is measured
+    (tests/test_ann_recall.py), not assumed.
+
+    Scale design: the codebook is O(K*M*S) — 512 floats here — fetched
+    once driver-side (bounded, like IVF's K×DIM centroid fetch) and
+    BROADCAST; encode is a corpus×K bounded blowup on the scan side
+    (never corpus×corpus); the 32-row (block, codeword) query lookup
+    table is broadcast, so search cost per vector is M lookups — the
+    standard IVFADC serving shape. All shuffles key on vec_id.
+
+    Exactness discipline: per-term double→DECIMAL(28,18) casts for
+    both the assignment L2 and the ADC dot (bit-identical in Spark
+    and DuckDB), argmin ties broken on codeword id."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+
+    # deterministic codebook: sub-vectors of the K smallest vec_ids
+    seed_rows = sorted(
+        emb.filter(F.col("vec_id") < PQ_K)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: int(r.vec_id),
+    )
+    cb_rows = [
+        (int(r.vec_id), pos, float(x))
+        for r in seed_rows
+        for pos, x in enumerate(r.embedding)
+    ]
+    cb = spark.createDataFrame(cb_rows, "cw int, pos int, cx double")
+
+    dec = lambda c: c.cast(_TERM_DEC)  # noqa: E731
+
+    # corpus elements with block ids (query vector excluded from hits)
+    e = (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "label", F.posexplode("embedding").alias("pos", "x"))
+        .withColumn("x", F.col("x").cast("double"))
+        .withColumn("b", (F.col("pos") / PQ_S).cast("int"))
+    )
+
+    # encode: per (vec, block) argmin_cw of exact-decimal L2^2
+    diff = F.col("x") - F.col("cx")
+    l2 = (
+        e.join(F.broadcast(cb), "pos")
+        .groupBy("vec_id", "label", "b", "cw")
+        .agg(F.sum(dec(diff * diff)).alias("l2"))
+    )
+    code = l2.groupBy("vec_id", "label", "b").agg(
+        F.min(F.struct("l2", "cw")).alias("m")
+    ).select("vec_id", "label", "b", F.col("m.cw").alias("cw"))
+
+    # query-side lookup table: dot(q_block, codeword) and |codeword|^2
+    # per (block, codeword) — K*M rows, broadcast
+    q = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.posexplode("embedding").alias("pos", "qx"))
+        .withColumn("qx", F.col("qx").cast("double"))
+    )
+    lut = (
+        cb.join(F.broadcast(q), "pos")
+        .withColumn("b", (F.col("pos") / PQ_S).cast("int"))
+        .groupBy("b", "cw")
+        .agg(
+            F.sum(dec(F.col("cx") * F.col("qx"))).alias("qdot"),
+            F.sum(dec(F.col("cx") * F.col("cx"))).alias("cn2"),
+        )
+    )
+    qn2 = q.agg(
+        F.sum(dec(F.col("qx") * F.col("qx"))).cast("double").alias("qn2")
+    )
+
+    cos = (
+        F.col("dot")
+        / F.sqrt(F.col("n2").cast("double") * F.col("qn2"))
+    )
+    return (
+        code.join(F.broadcast(lut), ["b", "cw"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum("qdot").cast("double").alias("dot"),
+            F.sum("cn2").alias("n2"),
+        )
+        .crossJoin(F.broadcast(qn2))
+        .select("vec_id", "label", cos.alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def _sql_dec_l2(a: str, b: str) -> str:
+    """Exact-decimal squared L2 between two float lists (per-term
+    double arithmetic then DECIMAL(28,18) cast — bit-identical to the
+    Spark side's sum(((x - cx) * (x - cx))::decimal)."""
+    return (
+        "list_sum([CAST((CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+        " * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+        f" AS DECIMAL(28,18)) FOR x IN list_zip({a}, {b})])"
+    )
+
+
+ORACLE_PQ = f"""
+WITH cb AS (
+  SELECT vec_id AS cw, embedding AS cv FROM embeddings
+  WHERE vec_id < {PQ_K}
+),
+blocks AS (SELECT unnest(range({PQ_M})) AS b),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
+-- per (block, codeword): exact-decimal query dot and codeword norm^2
+lut AS (
+  SELECT blocks.b, cb.cw,
+         {_sql_dec_dot(f"list_slice(cb.cv, blocks.b * {PQ_S} + 1, (blocks.b + 1) * {PQ_S})",
+                       f"list_slice(q.qv, blocks.b * {PQ_S} + 1, (blocks.b + 1) * {PQ_S})")} AS qdot,
+         {_sql_dec_dot(f"list_slice(cb.cv, blocks.b * {PQ_S} + 1, (blocks.b + 1) * {PQ_S})",
+                       f"list_slice(cb.cv, blocks.b * {PQ_S} + 1, (blocks.b + 1) * {PQ_S})")} AS cn2
+  FROM cb, blocks, q
+),
+-- encode: per (vector, block) the nearest codeword by exact L2
+assign AS (
+  SELECT e.vec_id, e.label, blocks.b, cb.cw,
+         {_sql_dec_l2(f"list_slice(e.embedding, blocks.b * {PQ_S} + 1, (blocks.b + 1) * {PQ_S})",
+                      f"list_slice(cb.cv, blocks.b * {PQ_S} + 1, (blocks.b + 1) * {PQ_S})")} AS l2
+  FROM embeddings e, blocks, cb
+  WHERE e.vec_id != {QUERY_VEC_ID}
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY e.vec_id, blocks.b ORDER BY l2, cb.cw) = 1
+)
+SELECT a.vec_id, a.label,
+       CAST(SUM(l.qdot) AS DOUBLE)
+         / sqrt(CAST(SUM(l.cn2) AS DOUBLE)
+                * (SELECT {_sql_dec_dot('qv', 'qv')} FROM q)) AS cos
+FROM assign a JOIN lut l ON l.b = a.b AND l.cw = a.cw
+GROUP BY a.vec_id, a.label
+ORDER BY cos DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+register(
+    "ann_pq_topk", ann_pq_topk, ORACLE_PQ,
+    driver=False,  # gate capped at 50; oracle-gated in pytest
+)

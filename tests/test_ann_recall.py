@@ -155,3 +155,19 @@ def test_int8_quantized_topk_recall(spark, sf_small):
     quant = [r.vec_id for r in QUERIES["ann_int8_topk"](spark, sf_small).collect()]
     overlap = len(set(exact) & set(quant)) / len(exact)
     assert overlap >= 0.8, (overlap, exact, quant)
+
+
+def test_pq_adc_topk_recall(spark, sf_small):
+    """Product quantization trades accuracy for a ~25x index shrink;
+    on the ISOTROPIC synthetic corpus (PQ's worst case — no block
+    structure for the codebook to exploit) measured top-10 overlap
+    with the exact baseline is 0.5-0.6. The floor distinguishes a
+    working encoder from a broken one (chance overlap at k=10 of 500
+    is ~0.02), not a quality target for real clustered embeddings."""
+    from flink_cep_examples_spark.queries import QUERIES, load_all
+
+    load_all()
+    exact = [r.vec_id for r in QUERIES["ann_bruteforce_topk"](spark, sf_small).collect()]
+    pq = [r.vec_id for r in QUERIES["ann_pq_topk"](spark, sf_small).collect()]
+    overlap = len(set(exact) & set(pq)) / len(exact)
+    assert overlap >= 0.4, (overlap, exact, pq)
