@@ -344,3 +344,72 @@ register(
     "docs_bigram_topk", docs_bigram_topk, ORACLE_BIGRAM_TOPK,
     # round-4 rotation: promoted into the 50-row driver gate
 )
+
+
+def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: self-trained unigram-LM quality score — the standard
+    perplexity-proxy curation signal (a corpus-trained LM scores each
+    document; outliers are boilerplate/noise). Tokens are the corpus's
+    whitespace convention lowercased; the LM is token → count/N over
+    the whole corpus; score = mean ln p(token) per document.
+
+    Scale design: token rows reduce to (doc_id, token, tf) BEFORE the
+    vocabulary join, so the join volume is distinct tokens per doc
+    (not raw length) and hot common-token keys carry one row per doc —
+    AQE's skew split handles the rest. The vocabulary itself stays
+    distributed (shuffle join on token): at 100 TB the vocab is
+    ~10⁸ rows — too big to force-broadcast, small next to the corpus.
+    avg ln p = (Σ tf·ln cnt)/n − ln N uses one scalar broadcast for N.
+    Zero Python UDFs."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    vocab = tf.groupBy("tok").agg(F.sum("tf").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n_total"))
+    return (
+        tf.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.log(F.col("cnt"))).alias("sum_ln_cnt"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("sum_ln_cnt") / F.col("n_tokens")
+                - F.log(F.col("n_total"))
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+ORACLE_UNIGRAM = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok
+),
+vocab AS (
+  SELECT tok, SUM(tf) AS cnt FROM tf GROUP BY tok
+),
+total AS (SELECT SUM(cnt) AS n_total FROM vocab)
+SELECT tf.doc_id,
+       SUM(tf.tf) AS n_tokens,
+       SUM(tf.tf * ln(vocab.cnt)) / SUM(tf.tf) - ln(ANY_VALUE(total.n_total))
+         AS avg_logprob
+FROM tf JOIN vocab USING (tok), total
+GROUP BY tf.doc_id
+"""
+
+
+register(
+    "docs_unigram_logprob", docs_unigram_logprob, ORACLE_UNIGRAM,
+    driver=False,  # gate capped at 50; oracle-gated in pytest
+)
