@@ -59,6 +59,9 @@ HEADLINE = [
     "cep_measure_aggregates",  # round-4 aggregate MEASURES (compiled windows)
     "q21_waiting_suppliers",  # round-4 heaviest fact-fact semi/anti shape
     "cep_group_unbounded",  # round-5 sub-NFA loop groups ((X Y)+ Z)
+    "cep_group_alternation",  # round-5 grouped alternation, leftmost derivation
+    "ann_pq_topk",  # round-5 product-quantized ADC top-k
+    "docs_unigram_logprob",  # round-5 unigram-LM curation score
 ]
 
 

@@ -365,6 +365,7 @@ def match_pattern_alternation(df: DataFrame, aspec: AlternationSpec) -> DataFram
 
     nfas = [nfa.Nfa(alt) for alt in alts]
     after = aspec.after_match
+    derivation = aspec.derivation
     n_total = pos
 
     def scan(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -377,7 +378,9 @@ def match_pattern_alternation(df: DataFrame, aspec: AlternationSpec) -> DataFram
             ]
         )
         preds_list = [all_preds[s : s + k] for s, k in offsets]
-        matched = nfa.scan_key_group_alternation(nfas, preds_list, ts, after)
+        matched = nfa.scan_key_group_alternation(
+            nfas, preds_list, ts, after, derivation
+        )
         key_vals = {k: pdf[k].iloc[0] if len(pdf) else None for k in key_cols}
         src_arrays = {
             m.src: pdf[m.src].to_numpy() for m in measure_list if _needs_src(m)

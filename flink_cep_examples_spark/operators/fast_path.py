@@ -784,6 +784,14 @@ def fast_alternation_applicable(aspec: AlternationSpec) -> bool:
     # branch's own — route those to the coordinator instead
     if len({alt.within for alt in aspec.alternatives}) != 1:
         return False
+    if aspec.derivation == "leftmost" and any(
+        m.fn == "match_number" for m in aspec.measures
+    ):
+        # leftmost emission ORDER is held-resolution order (a start
+        # resolves when every earlier-listed branch dies) — not a
+        # simple window expression; MATCH_NUMBER stays on the
+        # coordinator there
+        return False
     return all(
         m.fn in ("first", "last", "count", "classifier", "match_number")
         for m in aspec.measures
@@ -870,8 +878,17 @@ def match_pattern_alternation_fast(
         offsets.append(offs)
         cands.append(F.coalesce(cand, F.lit(False)))
 
-    # preference: smallest completion row, then leftmost alternative
-    pref = sorted(range(len(alts)), key=lambda b: (lengths[b], b))
+    # preference among satisfied branches at one start row:
+    # eager — smallest completion row, then leftmost alternative;
+    # leftmost (SQL:2016 derivation order) — list order alone: the
+    # earliest-listed branch that completes wins the start regardless
+    # of completion row (under SKIP TO NEXT ROW starts are
+    # independent, so "held until earlier branches die" reduces to
+    # exactly this per-start winner)
+    if aspec.derivation == "leftmost":
+        pref = list(range(len(alts)))
+    else:
+        pref = sorted(range(len(alts)), key=lambda b: (lengths[b], b))
     winner = F.lit(None).cast("int")
     for b in reversed(pref):
         winner = F.when(cands[b], F.lit(b)).otherwise(winner)

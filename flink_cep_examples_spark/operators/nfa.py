@@ -677,6 +677,7 @@ def scan_key_group_alternation(
     preds: list,  # per-alternative bool[n_vars_a, n_rows] arrays
     ts_us: np.ndarray,
     after_match: str,
+    derivation: str = "eager",
 ) -> list[tuple[int, dict]]:
     """Batch driver for top-level PATTERN alternation ``(P1 | P2 |
     ...)``: one NFA per alternative advances in lockstep over the
@@ -708,6 +709,9 @@ def scan_key_group_alternation(
     n = ts_us.shape[0]
     cols = [[p[i] for i in range(p.shape[0])] for p in preds]
     begins = [c[nf.first_pred] for nf, c in zip(nfas, cols)]
+    helds: dict[int, tuple[int, _Branch]] | None = (
+        {} if derivation == "leftmost" else None
+    )
     out: list[tuple[int, dict]] = []
     for r in range(n):
         if not any(
@@ -717,7 +721,16 @@ def scan_key_group_alternation(
         pred_rows = [tuple(bool(c[r]) for c in cols[a]) for a in range(len(nfas))]
         out.extend(
             coordinate_alternation_row(
-                nfas, states, int(ts_us[r]), pred_rows, r, after_match
+                nfas, states, int(ts_us[r]), pred_rows, r, after_match,
+                helds=helds,
+            )
+        )
+    if helds:
+        # end of input: every live run is now dead for resolution
+        # purposes — resolve the remaining held completions
+        out.extend(
+            resolve_alternation_helds(
+                nfas, states, after_match, helds, final=True
             )
         )
     return out
@@ -730,6 +743,7 @@ def coordinate_alternation_row(
     pred_rows: list[tuple],
     payload,
     after_match: str,
+    helds: dict | None = None,
 ) -> list[tuple[int, dict]]:
     """One row of lockstep multi-NFA coordination — the shared core of
     the batch scan above and the streaming alternation operator
@@ -738,13 +752,29 @@ def coordinate_alternation_row(
     accordingly. MUST be called for every alternative on every
     processed row (ordinals advance in lockstep so cross-alternative
     start_ord comparisons stay valid); callers may skip a row only
-    when EVERY alternative is inert on it."""
+    when EVERY alternative is inert on it.
+
+    ``helds`` selects the derivation (AlternationSpec.derivation):
+    None → eager (earliest completion wins, documented default); a
+    dict → SQL:2016 "leftmost" — completions are HELD in it (keyed by
+    start ordinal, best alternative index kept) and emitted only once
+    no earlier-listed alternative can still complete for that start
+    (resolve_alternation_helds). The dict is caller-owned so the
+    streaming operator can persist it per key across micro-batches."""
     merged: list[tuple[int, int, int, object]] = []
     for a, (nf, st) in enumerate(zip(nfas, states)):
         for pos, (seq, start_ord, br) in enumerate(
             nf.step_collect(st, t_us, pred_rows[a], payload)
         ):
             merged.append((start_ord, a, pos, br))
+    if helds is not None:
+        for start_ord, a, _pos, br in sorted(merged, key=lambda e: e[:3]):
+            cur = helds.get(start_ord)
+            if cur is None or a < cur[0]:
+                helds[start_ord] = (a, br)
+        return resolve_alternation_helds(
+            nfas, states, after_match, helds, final=False
+        )
     if not merged:
         return []
     merged.sort(key=lambda e: e[:3])
@@ -766,4 +796,69 @@ def coordinate_alternation_row(
             ]
     else:  # NO_SKIP
         out.extend((a, nfas[a]._branch_dict(br)) for _, a, _, br in merged)
+    return out
+
+
+def _branch_end_ord(br: _Branch) -> int:
+    """Last row ordinal consumed by a completed branch (positional —
+    rows sharing a timestamp resolve by (order, tiebreak) position)."""
+    return max(sp[4] for sp in br.rows if sp is not None)
+
+
+def resolve_alternation_helds(
+    nfas: list,
+    states: list[NfaState],
+    after_match: str,
+    helds: dict,
+    final: bool,
+) -> list[tuple[int, dict]]:
+    """Emit held completions whose SQL:2016 leftmost derivation is now
+    decided (AlternationSpec.derivation == "leftmost").
+
+    A held completion for start ordinal ``s`` from alternative
+    ``a_held`` is blocked while an EARLIER-listed alternative still has
+    a live run for ``s`` — that run, completing later, would win the
+    derivation. Under SKIP PAST LAST ROW the resolution is additionally
+    sequential by start: a live run with an earlier start (any
+    alternative) blocks, because the standard scans starts in order and
+    an earlier start's match preempts; emission discards runs AND holds
+    whose start lies inside the emitted span (start_ord <= end_ord).
+    Under SKIP TO NEXT ROW (and NO_SKIP, which leftmost collapses to
+    one preferred match per start) starts decide independently.
+
+    ``final=True`` (end of batch input / streaming state timeout)
+    treats every live run as unable to complete."""
+    out: list[tuple[int, dict]] = []
+    if not helds:
+        return out
+    if after_match == SKIP_PAST_LAST_EVENT:
+        while helds:
+            s_min = min(helds)
+            a_held, br = helds[s_min]
+            if not final and any(
+                run.start_ord < s_min
+                or (run.start_ord == s_min and ai < a_held)
+                for ai, st in enumerate(states)
+                for run in st.runs
+            ):
+                break
+            end_ord = _branch_end_ord(br)
+            out.append((a_held, nfas[a_held]._branch_dict(br)))
+            for st in states:
+                st.runs = [r for r in st.runs if r.start_ord > end_ord]
+            for s in [s for s in helds if s <= end_ord]:
+                del helds[s]
+    else:  # SKIP_TO_NEXT / NO_SKIP: per-start independent resolution
+        for s in sorted(helds):
+            a_held, br = helds[s]
+            if not final and any(
+                run.start_ord == s and ai < a_held
+                for ai, st in enumerate(states)
+                for run in st.runs
+            ):
+                continue
+            out.append((a_held, nfas[a_held]._branch_dict(br)))
+            for st in states:
+                st.runs = [r for r in st.runs if r.start_ord != s]
+            del helds[s]
     return out

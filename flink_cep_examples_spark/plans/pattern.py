@@ -493,6 +493,20 @@ class AlternationSpec:
     #: reference them; components missing from the matched alternative
     #: are skipped). Used by the parser's group-quantifier unrolling.
     subsets: tuple[tuple[str, tuple[str, ...]], ...] = ()
+    #: Completion preference among alternatives (round 5):
+    #: - "eager"    — earliest completion row wins a start, ties to the
+    #:   leftmost alternative (the engine's documented default for
+    #:   user-written top-level alternation; matches FlinkCEP's
+    #:   emit-on-complete runtime behavior).
+    #: - "leftmost" — SQL:2016 derivation order: the FIRST alternative
+    #:   in list order that EVER completes from a start wins, even if a
+    #:   later-listed alternative completes earlier — completions are
+    #:   held until every earlier-listed alternative's run for that
+    #:   start is dead. The SQL front-end selects this for bounded
+    #:   group-quantifier expansions (branches listed in greedy
+    #:   priority: more repetitions first), closing the round-4
+    #:   min-count-preferred deviation for (B C){n,m} / ?.
+    derivation: str = "eager"
 
     # shared config (identical across alternatives; validated)
     @property
@@ -546,9 +560,15 @@ class AlternationSpec:
             alternatives=tuple(replace(a, **kw) for a in self.alternatives),
             measures=self.measures,
             subsets=self.subsets,
+            derivation=self.derivation,
         )
 
     def validate(self) -> "AlternationSpec":
+        if self.derivation not in ("eager", "leftmost"):
+            raise ValueError(
+                f"derivation must be 'eager' or 'leftmost', "
+                f"got {self.derivation!r}"
+            )
         if len(self.alternatives) < 2:
             raise ValueError("alternation needs at least two alternatives")
         a0 = self.alternatives[0]
@@ -899,6 +919,7 @@ def billing_pattern(emit_timeouts: bool = False) -> PatternSpec:
 def alternation(
     *alternatives: "Pattern | PatternSpec",
     measures: tuple[Measure, ...] = (),
+    derivation: str = "eager",
 ) -> AlternationSpec:
     """DSL-side top-level alternation, the builder twin of the SQL
     front-end's ``PATTERN (A B | C D)``:
@@ -918,7 +939,7 @@ def alternation(
         a.build() if isinstance(a, Pattern) else a for a in alternatives
     )
     return AlternationSpec(
-        alternatives=specs, measures=tuple(measures)
+        alternatives=specs, measures=tuple(measures), derivation=derivation
     ).validate()
 
 

@@ -1337,11 +1337,14 @@ def cep_group_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
     5): per user, two repetitions where each independently chooses the
     (A B) pair or the single C. The parser distributes the choice
     cross-product onto the top-level alternation machinery
-    (sql/match_recognize.py::_expand_group_quantifiers), so emission
-    per start row follows eager preference: earliest completion, then
-    leftmost alternative — i.e. (C)(C) beats the width-3 derivations,
-    and (A B)(C) beats (C)(A B) on the width-3 tie. The closed-form
-    oracle below encodes exactly that priority with LEAD arithmetic.
+    (sql/match_recognize.py::_expand_group_quantifiers) under SQL:2016
+    LEFTMOST derivation (round 5): branches are listed in greedy
+    priority — the lexicographic cross product of per-copy choices —
+    and the earliest-LISTED branch that completes wins the start, even
+    when a shorter derivation completes earlier. So (A B)(A B) beats
+    everything, then (A B)(C), then (C)(A B), then (C)(C). The
+    closed-form oracle below encodes exactly that priority with LEAD
+    arithmetic.
 
     Reference parity: grouped alternation extends FlinkCEP's
     ``Pattern`` algebra (FlinkCEPExample.scala:58-92 has no grouping);
@@ -1387,12 +1390,12 @@ def cep_group_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Closed form for the distributed group alternation: per start row,
-#: the four fixed-width derivations complete at start+width-1, so the
-#: eager winner is decided by (completion row, alternative index):
-#: (C)(C) width 2 < (A B)(C) = alt idx 1 < (C)(A B) = alt idx 2
-#: (width-3 tie broken leftmost) < (A B)(A B) width 4. SKIP TO NEXT
-#: ROW makes every start row decide independently.
+#: Closed form for the distributed group alternation under LEFTMOST
+#: derivation: per start row the winner is the first branch in GREEDY
+#: list order — (A B)(A B), (A B)(C), (C)(A B), (C)(C) — that fully
+#: matches (completion timing is irrelevant: the engine holds shorter
+#: completions until earlier-listed branches die). SKIP TO NEXT ROW
+#: makes every start row decide independently.
 ORACLE_GROUP_ALTERNATION = f"""
 WITH e AS (
   SELECT user_id, ts, event_id,
@@ -1415,10 +1418,10 @@ f AS (
 w AS (
   SELECT *,
          CASE
-           WHEN c AND c1 THEN 'cc'
+           WHEN a AND b1 AND a2 AND b3 THEN 'abab'
            WHEN a AND b1 AND c2 THEN 'abc'
            WHEN c AND a1 AND b2 THEN 'cab'
-           WHEN a AND b1 AND a2 AND b3 THEN 'abab'
+           WHEN c AND c1 THEN 'cc'
          END AS win
   FROM f
 )
@@ -1441,4 +1444,76 @@ register(
     cep_group_alternation,
     ORACLE_GROUP_ALTERNATION,
     driver=False,  # gate full at 50; oracle-gated in pytest every run
+)
+
+
+_MR_GROUP_RANGE_BODY = """
+  PARTITION BY id
+  ORDER BY event_time
+  MEASURES
+    FIRST(D.datetime) AS zigStartDatetime,
+    COUNT(D.*) AS n_down,
+    LAST(U.balanceAfter) AS final_ba
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN ((D U){1,2})
+  DEFINE
+    D AS D.balanceAfter < D.balanceBefore,
+    U AS U.balanceAfter > U.balanceBefore
+"""
+
+
+def cep_group_greedy_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2016 RANGED group quantifier ``(D U){1,2}`` under GREEDY
+    (leftmost-derivation) emission — round 5: the 2-repetition branch
+    is listed first and wins every start where it completes, even
+    though the 1-repetition completion arrives two rows earlier (the
+    engine HOLDS it until the longer branch dies —
+    operators/nfa.py::resolve_alternation_helds). This is the
+    standard's longest-greedy {n,m} semantics; the round-4 engine
+    preferred min-count (documented deviation, now closed)."""
+    df = events_as_billing(spark, sf_dir)
+    query = f"SELECT * FROM billing MATCH_RECOGNIZE ({_MR_GROUP_RANGE_BODY}) t"
+    return sql_with_match_recognize(spark, query, {"billing": df})
+
+
+#: Greedy-range closed form: fixed widths (4 then 2) under SKIP TO
+#: NEXT ROW decide per start row: a start emits iff one repetition
+#: fits (d AND u1); it counts TWO repetitions iff the greedy branch
+#: also fits (d2 AND u3), in which case the measures span rows r..r+3.
+ORACLE_GROUP_GREEDY_RANGE = f"""
+WITH billing AS (
+  SELECT CAST(user_id AS VARCHAR) AS id,
+         ts, event_id,
+         strftime(ts, {_FMT}) AS dt,
+         COALESCE(LAG(value) OVER w, 50.0) AS bb,
+         value AS ba
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+f AS (
+  SELECT *,
+         (ba < bb) AS d,
+         LEAD(ba > bb, 1) OVER w AS u1,
+         LEAD(ba < bb, 2) OVER w AS d2,
+         LEAD(ba > bb, 3) OVER w AS u3,
+         LEAD(ba, 1) OVER w AS ba1,
+         LEAD(ba, 3) OVER w AS ba3
+  FROM billing
+  WINDOW w AS (PARTITION BY id ORDER BY ts, event_id)
+)
+SELECT id,
+       dt AS zigStartDatetime,
+       CAST(CASE WHEN d2 AND u3 THEN 2 ELSE 1 END AS BIGINT) AS n_down,
+       CASE WHEN d2 AND u3 THEN ba3 ELSE ba1 END AS final_ba
+FROM f
+WHERE d AND u1
+"""
+
+
+register(
+    "cep_group_greedy_range",
+    cep_group_greedy_range,
+    ORACLE_GROUP_GREEDY_RANGE,
+    driver=False,  # gate capped at 50; oracle-gated in pytest
 )

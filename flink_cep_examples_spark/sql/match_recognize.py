@@ -23,9 +23,13 @@ for the subset the reference exercises
        top-level alternation ``( A B | C D )`` — leftmost-preferred;
        GROUP quantifiers: bounded ``(B C){n}``/``{n,m}``/``?``
        unroll at parse time — exact bounds to suffixed copies, ranges
-       to alternation branches; UNBOUNDED ``(B C)+``/``*``/``{n,}``
-       compile to true sub-NFA loop states (PatternSpec.loop_groups);
-       measures via auto-SUBSET unions)
+       to alternation branches run under SQL:2016 LEFTMOST derivation
+       (greedy: most repetitions preferred; ``{n,m}?`` reluctant:
+       fewest); alternation inside a group ``(A B | C){n,m}``
+       distributes per-copy choices; UNBOUNDED ``(B C)+``/``*``/
+       ``{n,}`` compile to true sub-NFA loop states
+       (PatternSpec.loop_groups, eager emission); measures via
+       auto-SUBSET unions)
     SUBSET <name> = (<var>, ...) [, ...]
     DEFINE <var> AS <predicate> [, ...]
       (predicates may navigate PHYSICAL rows with PREV(<var>.<col>
@@ -130,9 +134,13 @@ def _strip_var_prefixes(predicate: str, var_names: list[str]) -> str:
 
 def _parse_pattern_clause(
     text: str,
-) -> tuple[list[tuple[list[tuple], tuple]], str | None, bool]:
+) -> tuple[list[tuple[list[tuple], tuple]], str | None, bool, int]:
     """``( A {- B*? -} C{2,4} ) WITHIN INTERVAL '1' HOUR`` →
-    ([(alternative_1, loop_groups_1), ...], within_text, permute)
+    ([(alternative_1, loop_groups_1), ...], within_text, permute,
+    n_top_branches — how many '|'-branches the user WROTE at top
+    level, before group-quantifier expansion; 1 + several expanded
+    alternatives ⇒ a pure group expansion, which parse_match_recognize
+    runs under SQL:2016 "leftmost" derivation)
     where each alternative is [(name, quant, times, greedy, excluded),
     ...] and its loop_groups are (start, end) index ranges of
     unbounded ``(X Y)+`` sub-NFA loops — one alternative for a plain
@@ -157,7 +165,7 @@ def _parse_pattern_clause(
                     f"PERMUTE takes bare variable names, got {tok!r}"
                 )
             vars_.append((tok, ONCE, None, True, False))
-        return [(vars_, ())], _parse_within(rest), True
+        return [(vars_, ())], _parse_within(rest), True, 1
     m = re.match(r"\s*\((.*)\)\s*(WITHIN\b.*)?$", text, re.DOTALL | re.IGNORECASE)
     if not m:
         raise ValueError(f"cannot parse PATTERN clause: {text!r}")
@@ -191,7 +199,12 @@ def _parse_pattern_clause(
             f"group-quantifier expansion produced {len(expanded)} "
             "alternatives (cap 16) — reduce the {n,m} ranges"
         )
-    return [_parse_var_seq(x) for x in expanded], _parse_within(rest), False
+    return (
+        [_parse_var_seq(x) for x in expanded],
+        _parse_within(rest),
+        False,
+        len(branches),
+    )
 
 
 #: loop-group marker tokens emitted by _expand_group_quantifiers for
@@ -202,7 +215,7 @@ _LOOP_OPEN, _LOOP_CLOSE = "{g+", "+g}"
 
 
 _GROUP_RE = re.compile(
-    r"\(([^()]*)\)\s*(\{\s*(\d+)\s*(?:,\s*(\d*)\s*)?\}|\?|\*|\+)?"
+    r"\(([^()]*)\)\s*(\{\s*(\d+)\s*(?:,\s*(\d*)\s*)?\}(\?)?|\?|\*|\+)?"
 )
 
 
@@ -237,6 +250,7 @@ def _expand_group_quantifiers(text: str) -> list[str]:
     if not m:
         return [text]
     body, quant, lo, hi = m.group(1), m.group(2), m.group(3), m.group(4)
+    reluctant = m.group(5) is not None  # {n,m}? — min repetitions preferred
     # pad exclusion braces so they tokenize standalone; bounded unrolls
     # carry them through per copy (round 5), unbounded groups reject
     # them below (exclusion only matters under ALL ROWS, which loop
@@ -346,7 +360,15 @@ def _expand_group_quantifiers(text: str) -> list[str]:
             "range or the branch count"
         )
     outs = []
-    for k in range(lo_i, hi_i + 1):
+    # Branch list order IS the match priority (parse_match_recognize
+    # selects "leftmost" derivation for pure group expansions):
+    # GREEDY (SQL:2016 default) — more repetitions first, then the
+    # lexicographic cross product of per-copy sub-branch choices;
+    # RELUCTANT ({n,m}?) — fewest repetitions first.
+    ks = (
+        range(lo_i, hi_i + 1) if reluctant else range(hi_i, lo_i - 1, -1)
+    )
+    for k in ks:
         # each repetition copy independently picks a sub-branch:
         # cross product of choices (a single-body group degenerates
         # to the plain unroll)
@@ -522,7 +544,9 @@ def parse_match_recognize(body: str) -> PatternSpec | AlternationSpec:
     if "PATTERN" not in clauses or "DEFINE" not in clauses:
         raise ValueError("MATCH_RECOGNIZE needs PATTERN and DEFINE clauses")
 
-    alt_quants, within_text, permute = _parse_pattern_clause(clauses["PATTERN"])
+    alt_quants, within_text, permute, n_top = _parse_pattern_clause(
+        clauses["PATTERN"]
+    )
     all_names = {n for alt, _lg in alt_quants for n, _, _, _, _ in alt}
     # group-quantifier copies carry a __k suffix; DEFINE/MEASURES use
     # the base name, resolved via an auto-generated SUBSET union
@@ -679,10 +703,27 @@ def parse_match_recognize(body: str) -> PatternSpec | AlternationSpec:
             )
             for aq, lg in alt_quants
         )
+        # SQL:2016 derivation order for pure group-quantifier
+        # expansions: the PATTERN had no top-level '|' (one written
+        # branch) yet expanded to several fixed-width alternatives —
+        # those are listed in greedy priority (more repetitions first,
+        # then leftmost sub-branch), and "leftmost" emission makes the
+        # earliest-LISTED branch win a start even when a shorter one
+        # completes earlier — the standard's greedy {n,m}/? semantics.
+        # User-written top-level alternation and loop-group variants
+        # keep the engine's documented eager emission.
+        derivation = (
+            "leftmost"
+            if n_top == 1
+            and not permute
+            and not any(lg for _aq, lg in alt_quants)
+            else "eager"
+        )
         return AlternationSpec(
             alternatives=alternatives,
             measures=measures,
             subsets=tuple(subsets) + auto_subsets,
+            derivation=derivation,
         ).validate()
 
     return PatternSpec(

@@ -55,6 +55,7 @@ from flink_cep_examples_spark.operators.nfa import (
     Nfa,
     NfaState,
     coordinate_alternation_row,
+    resolve_alternation_helds,
 )
 from flink_cep_examples_spark.plans.pattern import PatternSpec
 from flink_cep_examples_spark.schemas import MATCH_TAG, TIMEOUT_TAG
@@ -420,6 +421,7 @@ def match_pattern_stream_alternation(
     out_names = [f.name for f in out_schema.fields]
 
     nfas = [Nfa(alt) for alt in alts]
+    derivation = aspec.derivation
     first_preds = [s + nf.first_pred for (s, _), nf in zip(offsets, nfas)]
     buf_cols = list(
         dict.fromkeys([*key_cols, _TS_COL, tiebreak, *pred_cols, *all_srcs])
@@ -430,9 +432,14 @@ def match_pattern_stream_alternation(
     ) -> Iterator[pd.DataFrame]:
         wm_us = state.getCurrentWatermarkMs() * 1000
         if state.exists:
-            buffer, alt_states = pickle.loads(state.get[0])
+            stored = pickle.loads(state.get[0])
+            if len(stored) == 2:  # pre-leftmost checkpoint shape
+                buffer, alt_states = stored
+                alt_helds: dict = {}
+            else:
+                buffer, alt_states, alt_helds = stored
         else:
-            buffer, alt_states = None, {}
+            buffer, alt_states, alt_helds = None, {}, {}
 
         frames = [] if buffer is None else [buffer]
         if not state.hasTimedOut:
@@ -522,8 +529,14 @@ def match_pattern_stream_alternation(
                         for s, k in offsets
                     ]
                     payload = tuple(src_arr[i]) if src_arr is not None else ()
+                    helds = (
+                        alt_helds.setdefault(kt, {})
+                        if derivation == "leftmost"
+                        else None
+                    )
                     for _, match in coordinate_alternation_row(
-                        nfas, sts, int(ts_arr[i]), pred_rows, payload, after
+                        nfas, sts, int(ts_arr[i]), pred_rows, payload, after,
+                        helds=helds,
                     ):
                         emit(kt, match)
 
@@ -540,9 +553,21 @@ def match_pattern_stream_alternation(
                         "at watermark — validator must reject trailing "
                         "absence variables in alternatives"
                     )
-            if not any(st.runs for st in sts):
+            # watermark-expired runs may unblock held leftmost
+            # completions (the earlier-listed branch died of its
+            # within deadline)
+            helds = alt_helds.get(kt)
+            if helds:
+                for _, match in resolve_alternation_helds(
+                    nfas, sts, after, helds, final=False
+                ):
+                    emit(kt, match)
+            if helds is not None and not helds:
+                del alt_helds[kt]
+            if not any(st.runs for st in sts) and not alt_helds.get(kt):
                 if kt not in buffered_keys:
                     del alt_states[kt]
+                    alt_helds.pop(kt, None)
             else:
                 for nf, st in zip(nfas, sts):
                     if nf.within_us is not None:
@@ -553,7 +578,8 @@ def match_pattern_stream_alternation(
         if buffer is None and not alt_states:
             state.remove()
         else:
-            state.update((pickle.dumps((buffer, alt_states)),))
+            alt_helds = {k: h for k, h in alt_helds.items() if h}
+            state.update((pickle.dumps((buffer, alt_states, alt_helds)),))
             if buffer is not None:
                 pending.append(int(buffer[_TS_COL].min()))
             if pending:

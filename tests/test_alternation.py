@@ -359,9 +359,13 @@ def test_group_quantifier_exact_unroll(spark):
     assert got == [(0, 2, 3)]
 
 
-def test_group_quantifier_range_becomes_alternation(spark):
-    """(D U){1,2}: expands to 2 alternatives; under the engine's EAGER
-    emission the 1-repetition completion wins each start."""
+def test_group_quantifier_range_is_greedy(spark):
+    """(D U){1,2}: expands to 2 alternatives listed in GREEDY priority
+    (2 repetitions first), and — round 5 — pure group expansions run
+    under SQL:2016 "leftmost" derivation: the 2-repetition match wins
+    start 0 even though the 1-repetition completion arrives two rows
+    earlier (the round-4 min-count-preferred deviation, closed). Start
+    2 can only fit one repetition before the input ends."""
     from flink_cep_examples_spark.sql.match_recognize import (
         parse_match_recognize,
     )
@@ -377,6 +381,8 @@ def test_group_quantifier_range_becomes_alternation(spark):
     spec = parse_match_recognize(body)
     assert isinstance(spec, AlternationSpec)
     assert len(spec.alternatives) == 2
+    assert spec.derivation == "leftmost"
+    assert len(spec.alternatives[0].variables) == 4  # greedy-first order
     rows = [
         ("k", dt.datetime(2020, 5, 1, 11, i), i, False, c, d)
         for i, (d, c) in enumerate(
@@ -385,8 +391,8 @@ def test_group_quantifier_range_becomes_alternation(spark):
     ]
     df = spark.createDataFrame(rows, _SCHEMA)
     got = sorted(r.nd for r in match_recognize(df, body).collect())
-    # starts 0 and 2 both complete eagerly at one repetition
-    assert got == [1, 1]
+    # start 0: (D U)(D U) — greedy; start 2: (D U) only
+    assert got == [1, 2]
 
 
 def test_group_quantifier_optional_and_rejections():
@@ -405,7 +411,8 @@ def test_group_quantifier_optional_and_rejections():
         """
     )
     assert isinstance(spec, AlternationSpec)
-    assert [len(a.variables) for a in spec.alternatives] == [1, 3]
+    # greedy priority order: the with-group branch is listed first
+    assert [len(a.variables) for a in spec.alternatives] == [3, 1]
     # round 5: (D U)+ is no longer rejected — it parses to a true
     # sub-NFA loop group (tests/test_group_loops.py covers semantics)
     plus = parse_match_recognize(

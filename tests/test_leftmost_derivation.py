@@ -1,0 +1,235 @@
+"""SQL:2016 "leftmost" derivation for group-quantifier expansions
+(round 5): the earliest-LISTED alternative that completes wins a start
+even when a later-listed one completes earlier — completions are held
+until every earlier-listed branch's run for that start is dead
+(operators/nfa.py::resolve_alternation_helds). Pure group expansions
+list branches in greedy priority (more repetitions first), so this
+closes the round-4 min-count-preferred deviation for (B C){n,m} / ?.
+
+Covers: hold-and-release on both skip strategies, the PAST LAST ROW
+sequential resolution with selective (span-bounded) run discard, a
+seeded random fast-path-vs-coordinator differential, and the
+batch/streaming agreement.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pytest
+
+from flink_cep_examples_spark.plans.pattern import AlternationSpec
+from flink_cep_examples_spark.sql.match_recognize import (
+    match_recognize,
+    parse_match_recognize,
+)
+
+_SCHEMA = "id string, event_time timestamp, seq long, fd boolean, fc boolean"
+
+
+def _df(spark, flags, key="k"):
+    rows = [
+        (key, dt.datetime(2020, 5, 1, 11, 0, 0) + dt.timedelta(minutes=i), i, d, u)
+        for i, (d, u) in enumerate(flags)
+    ]
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+_BODY_TO_NEXT = """
+  PARTITION BY id ORDER BY event_time
+  MEASURES COUNT(D.*) AS nd, FIRST(D.seq) AS s
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN ((D U){1,2})
+  DEFINE D AS fd, U AS fc
+"""
+
+_BODY_PAST_LAST = _BODY_TO_NEXT.replace("SKIP TO NEXT ROW", "SKIP PAST LAST ROW")
+
+D, U, X = (True, False), (False, True), (False, False)
+
+
+@pytest.mark.parametrize("fast", [True, False])
+def test_leftmost_prefers_longer_held_completion(spark, fast):
+    """D U D U: the 2-repetition branch (listed first) wins start 0
+    although the 1-repetition completion arrived two rows earlier."""
+    got = sorted(
+        (r.s, r.nd)
+        for r in match_recognize(
+            _df(spark, [D, U, D, U]), _BODY_TO_NEXT, use_fast_path=fast
+        ).collect()
+    )
+    assert got == [(0, 2), (2, 1)]
+
+
+@pytest.mark.parametrize("fast", [True, False])
+def test_leftmost_releases_held_when_longer_branch_dies(spark, fast):
+    """D U D X: the 2-repetition run for start 0 dies at the X row
+    (strict contiguity), releasing the HELD 1-repetition completion."""
+    got = sorted(
+        (r.s, r.nd)
+        for r in match_recognize(
+            _df(spark, [D, U, D, X]), _BODY_TO_NEXT, use_fast_path=fast
+        ).collect()
+    )
+    assert got == [(0, 1)]
+
+
+def test_leftmost_past_last_sequential_resolution(spark):
+    """PAST LAST ROW: start 0's greedy 2-repetition winner spans rows
+    0-3, discarding the run begun at row 2 (inside the span); scanning
+    resumes at row 4 whose 1-repetition match survives. Eager emission
+    would have produced three 1-repetition matches."""
+    got = sorted(
+        (r.s, r.nd)
+        for r in match_recognize(
+            _df(spark, [D, U, D, U, D, U]), _BODY_PAST_LAST
+        ).collect()
+    )
+    assert got == [(0, 2), (4, 1)]
+
+
+def _dsl_leftmost_spec():
+    """Subset-free DSL twin of ((D U){1,2}) — the shape that can ride
+    the leftmost CLOSED FORM (SQL group expansions carry auto-SUBSET
+    unions, which always route to the coordinator)."""
+    from flink_cep_examples_spark.plans.pattern import (
+        Measure,
+        Pattern,
+        SKIP_TO_NEXT,
+        alternation,
+    )
+
+    two = (
+        Pattern.begin("D1", skip=SKIP_TO_NEXT).where("fd")
+        .next("U1").where("fc")
+        .next("D2").where("fd")
+        .next("U2").where("fc")
+    )
+    one = Pattern.begin("D1", skip=SKIP_TO_NEXT).where("fd").next("U1").where("fc")
+    return alternation(
+        two,
+        one,
+        measures=(
+            Measure("s", "D1", "seq", "first"),
+            Measure("n2", "D2", "seq", "count"),
+        ),
+        derivation="leftmost",
+    )
+
+
+def test_leftmost_spec_flag_and_fast_path_gate():
+    spec = parse_match_recognize(_BODY_TO_NEXT)
+    assert isinstance(spec, AlternationSpec)
+    assert spec.derivation == "leftmost"
+    from flink_cep_examples_spark.operators.fast_path import (
+        fast_alternation_applicable,
+    )
+
+    # SQL group expansions carry auto-SUBSET unions -> coordinator
+    assert not fast_alternation_applicable(spec)
+    # the subset-free DSL twin qualifies for the closed form...
+    dsl = _dsl_leftmost_spec()
+    assert fast_alternation_applicable(dsl)
+    # ...unless it asks for MATCH_NUMBER (emission order is
+    # held-resolution order, not a window expression)
+    import dataclasses
+
+    from flink_cep_examples_spark.plans.pattern import Measure
+
+    mn = dataclasses.replace(
+        dsl, measures=dsl.measures + (Measure("mn", None, None, "match_number"),)
+    )
+    assert not fast_alternation_applicable(mn)
+
+
+def test_leftmost_differential_fast_vs_coordinator(spark):
+    """Seeded random streams: the leftmost closed form and the
+    hold-and-wait coordinator must agree exactly on the subset-free
+    DSL spec."""
+    from flink_cep_examples_spark.operators.cep_batch import (
+        match_pattern_alternation,
+    )
+    from flink_cep_examples_spark.operators.fast_path import (
+        match_pattern_alternation_fast,
+    )
+
+    spec = _dsl_leftmost_spec()
+    rng = random.Random(20260814)
+    for trial in range(6):
+        flags = [
+            (rng.random() < 0.45, rng.random() < 0.45) for _ in range(40)
+        ]
+        df = _df(spark, flags)
+        fast = sorted(
+            (r.s, r.n2)
+            for r in match_pattern_alternation_fast(df, spec).collect()
+        )
+        slow = sorted(
+            (r.s, r.n2)
+            for r in match_pattern_alternation(df, spec).collect()
+        )
+        assert fast == slow, (trial, flags, fast, slow)
+
+
+def test_leftmost_streaming_matches_batch(spark, tmp_path):
+    """The held completions ride the streaming state store (persisted
+    per key across micro-batches, resolved as watermark-expired runs
+    die): replaying the stream must reproduce the batch leftmost match
+    set exactly."""
+    from flink_cep_examples_spark.operators.cep_batch import (
+        match_pattern_alternation,
+    )
+
+    rng = random.Random(7)
+    flags = [(rng.random() < 0.5, rng.random() < 0.5) for _ in range(60)]
+    flags += [(False, False)] * 3  # sentinel rows push the watermark
+    df = _df(spark, flags)
+    # the streaming tier rejects SUBSET unions (batch-tier), so the
+    # subset-free DSL twin is the streamable leftmost shape
+    spec = _dsl_leftmost_spec()
+    batch = sorted(
+        (r.s, r.n2)
+        for r in match_pattern_alternation(df, spec).collect()
+    )
+
+    from flink_cep_examples_spark.streaming.cep_stream import (
+        match_pattern_stream_alternation,
+    )
+    src_dir = tmp_path / "src"
+    df.coalesce(1).write.parquet(str(src_dir))
+    stream = spark.readStream.schema(df.schema).parquet(str(src_dir))
+    out = match_pattern_stream_alternation(
+        stream, spec, watermark_delay="0 seconds"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("leftmost_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.s, r.n2)
+        for r in spark.sql("SELECT * FROM leftmost_stream").collect()
+    )
+    assert got == batch and len(batch) >= 3
+
+
+def test_reluctant_group_range_prefers_fewest(spark):
+    """{n,m}? — the SQL:2016 RELUCTANT group marker lists branches
+    fewest-repetitions-first, so under leftmost derivation the
+    1-repetition match wins start 0 (the greedy twin of
+    test_leftmost_prefers_longer_held_completion)."""
+    body = _BODY_TO_NEXT.replace("(D U){1,2}", "(D U){1,2}?")
+    spec = parse_match_recognize(body)
+    assert isinstance(spec, AlternationSpec)
+    assert spec.derivation == "leftmost"
+    assert len(spec.alternatives[0].variables) == 2  # fewest first
+    got = sorted(
+        (r.s, r.nd)
+        for r in match_recognize(_df(spark, [D, U, D, U]), body).collect()
+    )
+    assert got == [(0, 1), (2, 1)]
