@@ -764,8 +764,11 @@ def fast_alternation_applicable(aspec: AlternationSpec) -> bool:
     makes starts sequentially dependent)."""
     if aspec.after_match != SKIP_TO_NEXT:
         return False
-    if aspec.subsets:
-        return False  # SUBSET measures resolve only in the coordinator
+    # SUBSET unions (incl. the parser's auto-generated group-copy
+    # unions) resolve at COMPILE time for fixed-width branches: the
+    # union's present components have constant offsets per branch, so
+    # FIRST = min start, LAST = max end, COUNT = summed widths — see
+    # the measure() builder below (round 5; previously coordinator-only)
     for alt in aspec.alternatives:
         if _fixed_counts(alt) is None:
             return False
@@ -893,6 +896,19 @@ def match_pattern_alternation_fast(
     for b in reversed(pref):
         winner = F.when(cands[b], F.lit(b)).otherwise(winner)
 
+    subset_map = dict(aspec.subsets)
+
+    def _span(offs: dict, var: str) -> tuple[int, int, int] | None:
+        """(first_off, last_off, n_rows) of a variable OR subset union
+        in one fixed-width branch; None when absent from the branch."""
+        comps = subset_map.get(var, (var,))
+        present = [offs[c] for c in comps if c in offs]
+        if not present:
+            return None
+        first = min(s for s, _ in present)
+        last = max(s + w - 1 for s, w in present)
+        return first, last, sum(w for _, w in present)
+
     def measure(m: Measure):
         if m.fn == "match_number":
             return None  # second window after the filter (below)
@@ -904,14 +920,19 @@ def match_pattern_alternation_fast(
                     offs.items(), key=lambda kv: kv[1][0] + kv[1][1]
                 )[0]
                 bval = F.lit(last_var)
-            elif m.var not in offs:
-                bval = F.lit(0).cast("long") if m.fn == "count" else F.lit(None)
-            elif m.fn == "count":
-                bval = F.lit(offs[m.var][1]).cast("long")
             else:
-                start, width = offs[m.var]
-                off = start if m.fn == "first" else start + width - 1
-                bval = at(m.src, off)
+                span = _span(offs, m.var)
+                if span is None:
+                    bval = (
+                        F.lit(0).cast("long")
+                        if m.fn == "count"
+                        else F.lit(None)
+                    )
+                elif m.fn == "count":
+                    bval = F.lit(span[2]).cast("long")
+                else:
+                    off = span[0] if m.fn == "first" else span[1]
+                    bval = at(m.src, off)
             val = F.when(F.col("__b") == b, bval).otherwise(val)
         return val
 

@@ -831,31 +831,39 @@ def resolve_alternation_helds(
     out: list[tuple[int, dict]] = []
     if not helds:
         return out
+    # one O(live runs) pass: per start ordinal, the best (lowest)
+    # alternative index still alive — resolution checks are then O(1)
+    # per held entry instead of O(runs) each
+    live: dict[int, int] = {}
+    if not final:
+        for ai, st in enumerate(states):
+            for run in st.runs:
+                cur = live.get(run.start_ord)
+                if cur is None or ai < cur:
+                    live[run.start_ord] = ai
     if after_match == SKIP_PAST_LAST_EVENT:
+        min_live = min(live) if live else None
         while helds:
             s_min = min(helds)
             a_held, br = helds[s_min]
-            if not final and any(
-                run.start_ord < s_min
-                or (run.start_ord == s_min and ai < a_held)
-                for ai, st in enumerate(states)
-                for run in st.runs
+            if min_live is not None and (
+                min_live < s_min
+                or (live.get(s_min, len(nfas)) < a_held)
             ):
                 break
             end_ord = _branch_end_ord(br)
             out.append((a_held, nfas[a_held]._branch_dict(br)))
             for st in states:
                 st.runs = [r for r in st.runs if r.start_ord > end_ord]
+            for s in [s for s in live if s <= end_ord]:
+                del live[s]
+            min_live = min(live) if live else None
             for s in [s for s in helds if s <= end_ord]:
                 del helds[s]
     else:  # SKIP_TO_NEXT / NO_SKIP: per-start independent resolution
         for s in sorted(helds):
             a_held, br = helds[s]
-            if not final and any(
-                run.start_ord == s and ai < a_held
-                for ai, st in enumerate(states)
-                for run in st.runs
-            ):
+            if live.get(s, len(nfas)) < a_held:
                 continue
             out.append((a_held, nfas[a_held]._branch_dict(br)))
             for st in states:

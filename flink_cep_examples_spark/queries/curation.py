@@ -413,3 +413,107 @@ register(
     "docs_unigram_logprob", docs_unigram_logprob, ORACLE_UNIGRAM,
     driver=False,  # gate capped at 50; oracle-gated in pytest
 )
+
+
+#: DSIR feature space: hashed token buckets. Fixed small B keeps the
+#: two unigram models broadcastable at ANY corpus size (real DSIR uses
+#: B ~ 10⁴ — still trivially broadcast); add-one smoothing keeps every
+#: bucket's log-ratio finite.
+DSIR_BUCKETS = 512
+DSIR_TARGET = "src0"  # the target domain (deterministic test corpus)
+
+
+def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: DSIR-style importance-resampling weights — score each
+    document by how target-like it is under hashed bag-of-token
+    unigram models (importance weight = p_target / p_raw per feature;
+    the published Data Selection via Importance Resampling recipe).
+    Documents from (or resembling) the target domain get log_weight
+    near/above 0; off-domain documents go negative.
+
+    Scale design: token rows reduce to (doc_id, bucket, tf) BEFORE any
+    join; both models aggregate to B = 512 rows (fixed, broadcastable
+    at any corpus size) with add-one smoothing; per-doc scoring is one
+    broadcast join + one doc-keyed sum. Portable md5-arith bucket hash
+    (identical in Spark and DuckDB), zero Python UDFs."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
+    ).withColumn(
+        "b",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
+        % DSIR_BUCKETS,
+    )
+    btf = tok.groupBy("doc_id", "b").agg(F.count("*").alias("tf"))
+    raw = tok.groupBy("b").agg(
+        F.count("*").alias("cr"),
+        F.sum(
+            (F.col("source") == DSIR_TARGET).cast("bigint")
+        ).alias("ct"),
+    )
+    totals = raw.agg(
+        F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
+    )
+    lw = (
+        raw.crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.col("ct") + 1)
+                    / (F.col("nt") + F.lit(DSIR_BUCKETS))
+                )
+                - F.log(
+                    (F.col("cr") + 1)
+                    / (F.col("nr") + F.lit(DSIR_BUCKETS))
+                )
+            ).alias("lw"),
+        )
+    )
+    return (
+        btf.join(F.broadcast(lw), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("lw")).alias("log_weight"),
+        )
+    )
+
+
+ORACLE_DSIR = rf"""
+WITH tok AS (
+  SELECT doc_id, source,
+         (CAST('0x' || substr(md5(t.tok), 1, 15) AS BIGINT)
+            % {DSIR_BUCKETS}) AS b
+  FROM documents,
+       unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t(tok)
+),
+btf AS (
+  SELECT doc_id, b, COUNT(*) AS tf FROM tok GROUP BY doc_id, b
+),
+raw AS (
+  SELECT b, COUNT(*) AS cr,
+         SUM(CASE WHEN source = '{DSIR_TARGET}' THEN 1 ELSE 0 END) AS ct
+  FROM tok GROUP BY b
+),
+tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM raw),
+lw AS (
+  SELECT b,
+         ln((ct + 1) / CAST(nt + {DSIR_BUCKETS} AS DOUBLE))
+           - ln((cr + 1) / CAST(nr + {DSIR_BUCKETS} AS DOUBLE)) AS lw
+  FROM raw, tot
+)
+SELECT btf.doc_id,
+       SUM(btf.tf) AS n_tokens,
+       SUM(btf.tf * lw.lw) AS log_weight
+FROM btf JOIN lw USING (b)
+GROUP BY btf.doc_id
+"""
+
+
+register(
+    "docs_dsir_weights", docs_dsir_weights, ORACLE_DSIR,
+    driver=False,  # gate capped at 50; oracle-gated in pytest
+)

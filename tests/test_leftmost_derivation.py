@@ -127,9 +127,9 @@ def test_leftmost_spec_flag_and_fast_path_gate():
         fast_alternation_applicable,
     )
 
-    # SQL group expansions carry auto-SUBSET unions -> coordinator
-    assert not fast_alternation_applicable(spec)
-    # the subset-free DSL twin qualifies for the closed form...
+    # SQL group expansions ride the closed form too (round 5): their
+    # auto-SUBSET unions resolve to constant offsets per fixed branch
+    assert fast_alternation_applicable(spec)
     dsl = _dsl_leftmost_spec()
     assert fast_alternation_applicable(dsl)
     # ...unless it asks for MATCH_NUMBER (emission order is
@@ -233,3 +233,30 @@ def test_reluctant_group_range_prefers_fewest(spark):
         for r in match_recognize(_df(spark, [D, U, D, U]), body).collect()
     )
     assert got == [(0, 1), (2, 1)]
+
+
+def test_sql_group_differential_fast_vs_coordinator(spark):
+    """The SQL group expansion (auto-SUBSET measures, round-5 closed
+    form) must agree with the coordinator on seeded random streams —
+    pins the compile-time SUBSET span resolution (FIRST = min offset,
+    LAST = max end, COUNT = summed widths per branch)."""
+    rng = random.Random(99)
+    body = _BODY_TO_NEXT.replace(
+        "COUNT(D.*) AS nd, FIRST(D.seq) AS s",
+        "COUNT(D.*) AS nd, FIRST(D.seq) AS s, LAST(U.seq) AS ulast, "
+        "CLASSIFIER() AS cls",
+    )
+    for trial in range(5):
+        flags = [
+            (rng.random() < 0.5, rng.random() < 0.5) for _ in range(40)
+        ]
+        df = _df(spark, flags)
+        fast = sorted(
+            (r.s, r.nd, r.ulast, r.cls)
+            for r in match_recognize(df, body, use_fast_path=True).collect()
+        )
+        slow = sorted(
+            (r.s, r.nd, r.ulast, r.cls)
+            for r in match_recognize(df, body, use_fast_path=False).collect()
+        )
+        assert fast == slow, (trial, flags, fast, slow)
