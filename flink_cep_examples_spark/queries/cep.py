@@ -1442,8 +1442,7 @@ WHERE win IS NOT NULL
 register(
     "cep_group_alternation",
     cep_group_alternation,
-    ORACLE_GROUP_ALTERNATION,
-    driver=False,  # gate full at 50; oracle-gated in pytest every run
+    ORACLE_GROUP_ALTERNATION,  # r5.2 rotation: new this round — straight into the driver gate
 )
 
 
@@ -1514,6 +1513,5 @@ WHERE d AND u1
 register(
     "cep_group_greedy_range",
     cep_group_greedy_range,
-    ORACLE_GROUP_GREEDY_RANGE,
-    driver=False,  # gate capped at 50; oracle-gated in pytest
+    ORACLE_GROUP_GREEDY_RANGE,  # r5.2 rotation: new this round — straight into the driver gate
 )

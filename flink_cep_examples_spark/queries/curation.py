@@ -410,8 +410,7 @@ GROUP BY tf.doc_id
 
 
 register(
-    "docs_unigram_logprob", docs_unigram_logprob, ORACLE_UNIGRAM,
-    driver=False,  # gate capped at 50; oracle-gated in pytest
+    "docs_unigram_logprob", docs_unigram_logprob, ORACLE_UNIGRAM,  # r5.2 rotation: new this round — straight into the driver gate
 )
 
 
@@ -514,6 +513,5 @@ GROUP BY btf.doc_id
 
 
 register(
-    "docs_dsir_weights", docs_dsir_weights, ORACLE_DSIR,
-    driver=False,  # gate capped at 50; oracle-gated in pytest
+    "docs_dsir_weights", docs_dsir_weights, ORACLE_DSIR,  # r5.2 rotation: new this round — straight into the driver gate
 )

@@ -367,7 +367,8 @@ FROM a2 ANTI JOIN losers ON a2.vec_id = losers.vec_id
 """
 
 
-register("ivf_topk", ivf_topk, ORACLE_IVF)
+register("ivf_topk", ivf_topk, ORACLE_IVF, driver=False,  # r5.2 rotation: driver-verified green r3+r4; pytest-gated now
+)
 register(
     "semdedup_prune", semdedup_prune, ORACLE_SEMDEDUP,
     # round-4 rotation: promoted into the 50-row driver gate

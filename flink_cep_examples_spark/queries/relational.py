@@ -535,7 +535,8 @@ register(
     "events_rolling_value", events_rolling_value, ORACLE_ROLLING,
     # round-4 rotation: promoted into the 50-row driver gate
 )
-register("events_sessions", events_sessions, ORACLE_SESSIONS)
+register("events_sessions", events_sessions, ORACLE_SESSIONS, driver=False,  # r5.2 rotation: driver-verified green r3+r4; pytest-gated now
+)
 register(
     "priority_share", priority_share, ORACLE_SHARE,
     # round-4 rotation: promoted into the 50-row driver gate

@@ -200,7 +200,9 @@ GROUP BY c_mktsegment
 """
 
 
-register("q4_late_order_counts", q4_late_order_counts, ORACLE_Q4)
-register("q6_revenue_delta", q6_revenue_delta, ORACLE_Q6)
+register("q4_late_order_counts", q4_late_order_counts, ORACLE_Q4, driver=False,  # r5.2 rotation: driver-verified green r3+r4; pytest-gated now
+)
+register("q6_revenue_delta", q6_revenue_delta, ORACLE_Q6, driver=False,  # r5.2 rotation: driver-verified green r3+r4; pytest-gated now
+)
 register("q17_small_quantity_revenue", q17_small_quantity_revenue, ORACLE_Q17)
 register("q22_quiet_rich_customers", q22_quiet_rich_customers, ORACLE_Q22)

@@ -229,7 +229,9 @@ GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """
 
 
-register("docs_stratified_sample", docs_stratified_sample, ORACLE_SAMPLE)
+register("docs_stratified_sample", docs_stratified_sample, ORACLE_SAMPLE, driver=False,  # r5.2 rotation: driver-verified green r3+r4; pytest-gated now
+)
 register("docs_mixture_sample", docs_mixture_sample, ORACLE_MIXTURE)
-register("events_kmv_distinct", events_kmv_distinct, ORACLE_KMV)
+register("events_kmv_distinct", events_kmv_distinct, ORACLE_KMV, driver=False,  # r5.2 rotation: driver-verified green r3+r4; pytest-gated now
+)
 register("orders_rollup_report", orders_rollup_report, ORACLE_ROLLUP)

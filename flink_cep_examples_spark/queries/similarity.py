@@ -610,8 +610,7 @@ LIMIT {TOP_K}
 
 
 register(
-    "ann_int8_topk", ann_int8_topk, ORACLE_INT8,
-    driver=False,  # gate capped at 50; oracle-gated in pytest
+    "ann_int8_topk", ann_int8_topk, ORACLE_INT8,  # r5.2 rotation: new this round — straight into the driver gate
 )
 
 
@@ -777,6 +776,5 @@ LIMIT {TOP_K}
 
 
 register(
-    "ann_pq_topk", ann_pq_topk, ORACLE_PQ,
-    driver=False,  # gate capped at 50; oracle-gated in pytest
+    "ann_pq_topk", ann_pq_topk, ORACLE_PQ,  # r5.2 rotation: new this round — straight into the driver gate
 )
