@@ -116,6 +116,40 @@ SELECT * FROM billing MATCH_RECOGNIZE (
 """
 
 
+GREEDY_GROUP = """
+SELECT * FROM billing MATCH_RECOGNIZE (
+  PARTITION BY id
+  ORDER BY event_time
+  MEASURES
+    FIRST(D.datetime) AS zigStart,
+    COUNT(D.*) AS n_down
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN ((D U){1,2})
+  DEFINE
+    D AS D.balanceAfter < D.balanceBefore,
+    U AS U.balanceAfter > U.balanceBefore
+) t
+"""
+
+GROUP_ALTERNATION = """
+SELECT * FROM billing MATCH_RECOGNIZE (
+  PARTITION BY id
+  ORDER BY event_time
+  MEASURES
+    COUNT(D.*) AS n_down,
+    COUNT(U.*) AS n_up,
+    CLASSIFIER() AS cls
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN ((D | U){2})
+  DEFINE
+    D AS D.balanceAfter < D.balanceBefore,
+    U AS U.balanceAfter > U.balanceBefore
+) t
+"""
+
+
 def main() -> None:
     spark = session()
     df = input_df(spark, sys.argv)
@@ -137,6 +171,14 @@ def main() -> None:
     )
     print("-- UNBOUNDED group quantifier (D E)+ U (sub-NFA loop) --")
     sql_with_match_recognize(spark, UNBOUNDED_GROUP, {"billing": df}).show(
+        truncate=False
+    )
+    print("-- GREEDY ranged group (D U){1,2} — SQL:2016 leftmost derivation --")
+    sql_with_match_recognize(spark, GREEDY_GROUP, {"billing": df}).show(
+        truncate=False
+    )
+    print("-- alternation INSIDE a group (D | U){2}: two consecutive moves --")
+    sql_with_match_recognize(spark, GROUP_ALTERNATION, {"billing": df}).show(
         truncate=False
     )
 

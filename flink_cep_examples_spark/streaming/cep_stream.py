@@ -378,10 +378,6 @@ def match_pattern_stream_alternation(
         raise NotImplementedError(
             "PREV()/NEXT() navigation requires batch input"
         )
-    if aspec.subsets:
-        raise NotImplementedError(
-            "SUBSET measures (group-quantifier unions) are batch-tier"
-        )
     alts = aspec.alternatives
     from flink_cep_examples_spark.operators.cep_batch import (
         output_schema as _batch_output_schema,
@@ -421,6 +417,7 @@ def match_pattern_stream_alternation(
     out_names = [f.name for f in out_schema.fields]
 
     nfas = [Nfa(alt) for alt in alts]
+    subset_map = dict(aspec.subsets)
     derivation = aspec.derivation
     first_preds = [s + nf.first_pred for (s, _), nf in zip(offsets, nfas)]
     buf_cols = list(
@@ -469,13 +466,26 @@ def match_pattern_stream_alternation(
                         else None
                     )
                     continue
-                span = match.get(m.var)
-                if span is None:
+                # SUBSET unions (incl. the parser's auto-generated
+                # group-copy unions, round 5): ordered component spans
+                # merge — FIRST from the earliest, LAST from the
+                # latest, COUNT summed (the batch _resolve_spans rule)
+                spans = sorted(
+                    (
+                        match[c]
+                        for c in subset_map.get(m.var, (m.var,))
+                        if match.get(c)
+                    ),
+                    key=lambda sp: sp[3],
+                )
+                if not spans:
                     data[m.name].append(0 if m.fn == "count" else m.default)
                 elif m.fn == "count":
-                    data[m.name].append(span[2])
+                    data[m.name].append(sum(sp[2] for sp in spans))
                 else:
-                    payload = span[0] if m.fn == "first" else span[1]
+                    payload = (
+                        spans[0][0] if m.fn == "first" else spans[-1][1]
+                    )
                     data[m.name].append(payload[all_srcs.index(m.src)])
 
         buffer = None

@@ -260,3 +260,36 @@ def test_sql_group_differential_fast_vs_coordinator(spark):
             for r in match_recognize(df, body, use_fast_path=False).collect()
         )
         assert fast == slow, (trial, flags, fast, slow)
+
+
+def test_sql_group_pattern_streams_with_subset_measures(spark, tmp_path):
+    """Round 5: streaming SUBSET resolution — measures over the
+    parser's auto-generated group-copy unions (COUNT(D.*) /
+    FIRST(D.seq) with D = D__1 ∪ D__2) now resolve in the streaming
+    emit by merging ordered component spans, so SQL group-quantifier
+    patterns stream. Replay must equal batch exactly."""
+    rng = random.Random(11)
+    flags = [(rng.random() < 0.5, rng.random() < 0.5) for _ in range(50)]
+    flags += [(False, False)] * 3  # sentinels push the watermark
+    df = _df(spark, flags)
+    batch = sorted(
+        (r.s, r.nd)
+        for r in match_recognize(df, _BODY_TO_NEXT).collect()
+    )
+    src_dir = tmp_path / "src"
+    df.coalesce(1).write.parquet(str(src_dir))
+    stream = spark.readStream.schema(df.schema).parquet(str(src_dir))
+    out = match_recognize(stream, _BODY_TO_NEXT, watermark_delay="0 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sql_group_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.s, r.nd)
+        for r in spark.sql("SELECT * FROM sql_group_stream").collect()
+    )
+    assert got == batch and len(batch) >= 3
