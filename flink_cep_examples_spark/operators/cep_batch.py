@@ -407,6 +407,115 @@ def match_pattern_alternation(df: DataFrame, aspec: AlternationSpec) -> DataFram
     )
 
 
+def match_pattern_alternation_all_rows(
+    df: DataFrame, aspec: AlternationSpec
+) -> DataFrame:
+    """ALL ROWS PER MATCH for a top-level alternation (round 5): one
+    output row per matched INPUT row with every input column,
+    ``classifier`` (the matched alternative's variable that consumed
+    the row), per-key ``match_seq`` (matches ordered by start then end
+    position — deterministic across derivations), and FINAL measures
+    repeated per row. Requires fixed-width strict alternatives
+    (validated): each variable's rows are then a contiguous index
+    span, so the row set reconstructs from (first, last) spans.
+    Excluded ``{- var -}`` copies shape the match but emit no rows,
+    exactly as in the single-pattern tier."""
+    aspec.validate()
+    if any(alt.rows_per_match != "all" for alt in aspec.alternatives):
+        raise ValueError("aspec is not an ALL ROWS PER MATCH spec")
+    if any(m.running for m in aspec.measures):
+        raise NotImplementedError(
+            "RUNNING measures with alternation ALL ROWS — FINAL only"
+        )
+    key_cols = list(aspec.key_cols)
+    tiebreak = aspec.tiebreak_col
+    measure_list = list(aspec.measures)
+    alts = aspec.alternatives
+    data_cols = list(df.columns)
+
+    offsets: list[tuple[int, int]] = []
+    pos = 0
+    for alt in alts:
+        offsets.append((pos, len(alt.pred_exprs)))
+        pos += len(alt.pred_exprs)
+    n_total = pos
+
+    prepared = _with_nav_cols(df, aspec).select(
+        *data_cols,
+        F.unix_micros(
+            F.col(aspec.order_col).cast(T.TimestampType())
+        ).alias(_TS_COL),
+        *[
+            F.expr(e).alias(f"{_PRED_PREFIX}{i}")
+            for i, e in enumerate(aspec.pred_exprs)
+        ],
+    )
+    out_schema = all_rows_output_schema(df, aspec)
+    out_cols_names = [f.name for f in out_schema.fields]
+    nfas = [nfa.Nfa(alt) for alt in alts]
+    after = aspec.after_match
+    derivation = aspec.derivation
+    emit_names = [
+        [v.name for v in alt.variables if not v.excluded] for alt in alts
+    ]
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([_TS_COL, tiebreak], kind="mergesort")
+        ts = pdf[_TS_COL].to_numpy(dtype=np.int64)
+        all_preds = np.stack(
+            [
+                pdf[f"{_PRED_PREFIX}{i}"].to_numpy(dtype=bool)
+                for i in range(n_total)
+            ]
+        )
+        preds_list = [all_preds[s : s + k] for s, k in offsets]
+        matched = nfa.scan_key_group_alternation(
+            nfas, preds_list, ts, after, derivation
+        )
+        # deterministic numbering across derivations: matches ordered
+        # by (start, end) position, not emission/resolution order
+        matched = sorted(
+            matched,
+            key=lambda am: (
+                min(sp[0] for sp in am[1].values()),
+                max(sp[1] for sp in am[1].values()),
+                am[0],
+            ),
+        )
+        src_arrays = {
+            m.src: pdf[m.src].to_numpy() for m in measure_list if _needs_src(m)
+        }
+        eval_measures = _make_measure_eval(
+            measure_list, aspec.subsets, src_arrays
+        )
+        data_arrays = {c: pdf[c].to_numpy() for c in data_cols}
+        rows: dict[str, list] = {c: [] for c in out_cols_names}
+        for seq, (a, match) in enumerate(matched):
+            mvals = eval_measures(match, seq + 1)
+            for vname in emit_names[a]:
+                span = match.get(vname)
+                if span is None:
+                    continue
+                for r in range(span[0], span[1] + 1):
+                    for c in data_cols:
+                        rows[c].append(data_arrays[c][r])
+                    rows["classifier"].append(vname)
+                    rows["match_seq"].append(seq)
+                    for m in measure_list:
+                        rows[m.name].append(mvals[m.name])
+        out = pd.DataFrame(rows, columns=out_cols_names)
+        _null_safe_agg_cast(out, measure_list, out_schema)
+        return out
+
+    from flink_cep_examples_spark.operators.partition_scan import (
+        grouped_partition_scan,
+    )
+
+    return grouped_partition_scan(
+        prepared, key_cols, [_TS_COL, tiebreak], scan, out_schema
+    )
+
+
 def match_pattern_all_rows(df: DataFrame, spec: PatternSpec) -> DataFrame:
     """ALL ROWS PER MATCH (SQL:2016): one output row per matched INPUT
     row, carrying every input column plus ``classifier`` (the pattern

@@ -587,9 +587,37 @@ class AlternationSpec:
                 raise NotImplementedError(
                     "alternation has no timeout channel"
                 )
-            if alt.rows_per_match != "one":
+            if alt.rows_per_match == "all":
+                # ALL ROWS PER MATCH (round 5): supported for
+                # FIXED-WIDTH STRICT alternatives — each variable's
+                # rows are then a contiguous index span, so the output
+                # row set reconstructs from (first, last) spans exactly
+                # as in the single-pattern all-rows tier.
+                bad = [
+                    v.name
+                    for v in alt.variables
+                    if v.negated
+                    or v.until is not None
+                    or not (
+                        v.quantifier == ONCE
+                        or (
+                            v.quantifier == TIMES
+                            and v.times is not None
+                            and v.times[1] == v.times[0]
+                        )
+                    )
+                ]
+                if bad or alt.loop_groups or any(
+                    v.contiguity != STRICT for v in alt.variables[1:]
+                ):
+                    raise NotImplementedError(
+                        "ALL ROWS PER MATCH with alternation needs "
+                        "fixed-width strict alternatives (ONCE / "
+                        f"times(n,n), no negatives/until/loops): {bad}"
+                    )
+            elif alt.rows_per_match != "one":
                 raise NotImplementedError(
-                    "alternation supports ONE ROW PER MATCH only"
+                    f"unknown rows_per_match {alt.rows_per_match!r}"
                 )
             if alt.variables[-1].negated:
                 raise NotImplementedError(

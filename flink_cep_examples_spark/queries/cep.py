@@ -1515,3 +1515,90 @@ register(
     cep_group_greedy_range,
     ORACLE_GROUP_GREEDY_RANGE,  # r5.2 rotation: new this round — straight into the driver gate
 )
+
+
+def cep_group_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL ROWS PER MATCH over a GREEDY ranged group — round 5: the
+    alternation all-rows tier (operators/cep_batch.py::
+    match_pattern_alternation_all_rows) emits one row per matched
+    input row with per-row CLASSIFIER (the suffixed group copy that
+    consumed it) and a per-key match_seq ordered by (start, end)
+    position. Greedy (D U){1,2} under SKIP TO NEXT ROW: every start
+    where one repetition fits emits; the greedy branch's 4 rows win
+    when it completes (leftmost derivation)."""
+    from pyspark.sql import functions as F
+
+    df = events_as_billing(spark, sf_dir)
+    body = """
+      PARTITION BY id
+      ORDER BY event_time
+      MEASURES COUNT(D.*) AS n_down
+      ALL ROWS PER MATCH
+      AFTER MATCH SKIP TO NEXT ROW
+      PATTERN ((D U){1,2})
+      DEFINE
+        D AS D.balanceAfter < D.balanceBefore,
+        U AS U.balanceAfter > U.balanceBefore
+    """
+    from flink_cep_examples_spark.sql.match_recognize import match_recognize
+
+    out = match_recognize(df, body)
+    return out.select(
+        "id",
+        "datetime",
+        "balanceAfter",
+        "classifier",
+        "match_seq",
+        "n_down",
+    )
+
+
+#: All-rows greedy-range closed form: winner starts (and widths) as in
+#: ORACLE_GROUP_GREEDY_RANGE; each winner expands to its row range via
+#: a positional join, classifier = the copy at the row's offset,
+#: match_seq = the per-key 0-based rank of the start.
+ORACLE_GROUP_ALL_ROWS = f"""
+WITH billing AS (
+  SELECT CAST(user_id AS VARCHAR) AS id,
+         ts, event_id,
+         strftime(ts, {_FMT}) AS dt,
+         COALESCE(LAG(value) OVER w, 50.0) AS bb,
+         value AS ba,
+         ROW_NUMBER() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+f AS (
+  SELECT *,
+         (ba < bb) AS d,
+         LEAD(ba > bb, 1) OVER w AS u1,
+         LEAD(ba < bb, 2) OVER w AS d2,
+         LEAD(ba > bb, 3) OVER w AS u3
+  FROM billing
+  WINDOW w AS (PARTITION BY id ORDER BY ts, event_id)
+),
+starts AS (
+  SELECT id, rn AS srn,
+         CASE WHEN d2 AND u3 THEN 4 ELSE 2 END AS w,
+         CAST(CASE WHEN d2 AND u3 THEN 2 ELSE 1 END AS BIGINT) AS n_down,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY rn) - 1 AS mseq
+  FROM f
+  WHERE d AND u1
+)
+SELECT b.id,
+       b.dt AS datetime,
+       b.ba AS balanceAfter,
+       CASE b.rn - s.srn
+         WHEN 0 THEN 'D__1' WHEN 1 THEN 'U__1'
+         WHEN 2 THEN 'D__2' WHEN 3 THEN 'U__2' END AS classifier,
+       s.mseq AS match_seq,
+       s.n_down
+FROM billing b
+JOIN starts s ON b.id = s.id AND b.rn BETWEEN s.srn AND s.srn + s.w - 1
+"""
+
+
+register(
+    "cep_group_all_rows", cep_group_all_rows, ORACLE_GROUP_ALL_ROWS,
+    driver=False,  # gate capped at 50; oracle-gated in pytest
+)

@@ -797,6 +797,12 @@ def match_recognize(
             match_pattern_alternation_fast,
         )
 
+        if spec.alternatives[0].rows_per_match == "all":
+            from flink_cep_examples_spark.operators.cep_batch import (
+                match_pattern_alternation_all_rows,
+            )
+
+            return match_pattern_alternation_all_rows(df, spec)
         if use_fast_path and fast_alternation_applicable(spec):
             return match_pattern_alternation_fast(df, spec)
         return match_pattern_alternation(df, spec)

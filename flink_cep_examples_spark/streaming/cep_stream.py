@@ -364,6 +364,12 @@ def match_pattern_stream_alternation(
 
     assert isinstance(aspec, AlternationSpec)
     aspec.validate()
+    if aspec.alternatives[0].rows_per_match == "all":
+        raise NotImplementedError(
+            "ALL ROWS PER MATCH with alternation is batch-tier (the "
+            "streaming state keeps first/last payloads per variable, "
+            "not every matched row)"
+        )
     unsupported = {
         m.fn
         for m in aspec.measures

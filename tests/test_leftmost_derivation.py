@@ -293,3 +293,55 @@ def test_sql_group_pattern_streams_with_subset_measures(spark, tmp_path):
         for r in spark.sql("SELECT * FROM sql_group_stream").collect()
     )
     assert got == batch and len(batch) >= 3
+
+
+def test_alternation_all_rows_with_exclusion(spark):
+    """ALL ROWS PER MATCH on a ranged group with an excluded copy:
+    {- U -} rows shape the match but emit no output rows; classifier
+    and match_seq come from the emitting copies only."""
+    body = """
+      PARTITION BY id ORDER BY event_time
+      MEASURES COUNT(D.*) AS nd
+      ALL ROWS PER MATCH
+      AFTER MATCH SKIP TO NEXT ROW
+      PATTERN ((D {- U -}){1,2})
+      DEFINE D AS fd, U AS fc
+    """
+    got = sorted(
+        (r.seq, r.classifier, r.match_seq, r.nd)
+        for r in match_recognize(_df(spark, [D, U, D, U]), body).collect()
+    )
+    # greedy 2-rep from start 0 (rows 0..3, U rows excluded) and
+    # 1-rep from start 2 (row 3 excluded)
+    assert got == [
+        (0, "D__1", 0, 2),
+        (2, "D__1", 1, 1),
+        (2, "D__2", 0, 2),
+    ]
+
+
+def test_alternation_all_rows_streaming_rejected(spark, tmp_path):
+    """The streaming tier keeps first/last payloads per variable, not
+    every matched row — ALL ROWS alternation must raise clearly."""
+    body = _BODY_TO_NEXT.replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH")
+    df = _df(spark, [D, U])
+    src = tmp_path / "src"
+    df.coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    with pytest.raises(NotImplementedError, match="ALL ROWS PER MATCH"):
+        match_recognize(stream, body)
+
+
+def test_alternation_all_rows_rejects_variable_width():
+    """ALL ROWS needs fixed-width strict alternatives — a B* inside an
+    alternation branch cannot reconstruct row sets from spans."""
+    with pytest.raises(NotImplementedError, match="fixed-width"):
+        parse_match_recognize(
+            """
+            PARTITION BY id ORDER BY event_time
+            MEASURES COUNT(D.*) AS nd
+            ALL ROWS PER MATCH
+            PATTERN (D U* | U)
+            DEFINE D AS fd, U AS fc
+            """
+        ).validate()
