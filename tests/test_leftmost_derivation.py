@@ -345,3 +345,110 @@ def test_alternation_all_rows_rejects_variable_width():
             DEFINE D AS fd, U AS fc
             """
         ).validate()
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis: the leftmost coordinator vs the TEXTBOOK derivation scan
+
+
+def _mk_leftmost_spec(after_match):
+    """Three fixed-width strict branches in priority order (widths 3,
+    2, 1 — shorter branches complete earlier but are listed LATER, so
+    hold-and-wait is exercised on every overlap)."""
+    from flink_cep_examples_spark.plans.pattern import (
+        Measure,
+        Pattern,
+        alternation,
+    )
+
+    b0 = (
+        Pattern.begin("A0", skip=after_match).where("fd")
+        .next("B0").where("fc")
+        .next("C0").where("fd")
+    )
+    b1 = Pattern.begin("A1", skip=after_match).where("fd").next("B1").where("fc")
+    b2 = Pattern.begin("A2", skip=after_match).where("fc")
+    return alternation(
+        b0, b1, b2,
+        measures=(
+            Measure("s0", "A0", "seq", "first"),
+            Measure("s1", "A1", "seq", "first"),
+            Measure("s2", "A2", "seq", "first"),
+        ),
+        derivation="leftmost",
+    )
+
+
+_BRANCH_SEQS = [("d", "u", "d"), ("d", "u"), ("u",)]
+
+
+def _row_ok(flags, i, sym):
+    d, u = flags[i]
+    return d if sym == "d" else u
+
+
+def _brute_leftmost(flags, after_match):
+    """Textbook SQL:2016 derivation: scan starts in order; at each
+    start the winner is the FIRST branch in list order whose whole
+    width matches (completion timing irrelevant). PAST LAST resumes
+    after the match end; TO NEXT emits per start independently."""
+    n = len(flags)
+    out = []
+    if after_match == "skip_past_last_event":
+        pos = 0
+        while pos < n:
+            hit = None
+            for s in range(pos, n):
+                for b, seq in enumerate(_BRANCH_SEQS):
+                    if s + len(seq) <= n and all(
+                        _row_ok(flags, s + i, sym) for i, sym in enumerate(seq)
+                    ):
+                        hit = (s, b)
+                        break
+                if hit:
+                    break
+            if not hit:
+                break
+            out.append(hit)
+            pos = hit[0] + len(_BRANCH_SEQS[hit[1]])
+    else:  # skip_to_next: every start decides independently
+        for s in range(n):
+            for b, seq in enumerate(_BRANCH_SEQS):
+                if s + len(seq) <= n and all(
+                    _row_ok(flags, s + i, sym) for i, sym in enumerate(seq)
+                ):
+                    out.append((s, b))
+                    break
+    return sorted(out)
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+from flink_cep_examples_spark.plans.pattern import (  # noqa: E402
+    SKIP_PAST_LAST_EVENT,
+    SKIP_TO_NEXT,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    flags=st.lists(
+        st.tuples(st.booleans(), st.booleans()), min_size=1, max_size=18
+    ),
+    after=st.sampled_from([SKIP_PAST_LAST_EVENT, SKIP_TO_NEXT]),
+)
+def test_leftmost_coordinator_matches_textbook_scan(spark, flags, after):
+    spec = _mk_leftmost_spec(after)
+    from flink_cep_examples_spark.operators.cep_batch import (
+        match_pattern_alternation,
+    )
+
+    df = _df(spark, flags)
+    got = []
+    for r in match_pattern_alternation(df, spec).collect():
+        for b, col in enumerate(("s0", "s1", "s2")):
+            v = getattr(r, col)
+            if v is not None:
+                got.append((v, b))
+                break
+    assert sorted(got) == _brute_leftmost(flags, after), flags
