@@ -370,14 +370,19 @@ def match_pattern_stream_alternation(
             "streaming state keeps first/last payloads per variable, "
             "not every matched row)"
         )
-    unsupported = {
-        m.fn
-        for m in aspec.measures
-        if m.fn not in ("first", "last", "count", "classifier")
-    }
+    allowed = {"first", "last", "count", "classifier"}
+    if aspec.derivation == "eager":
+        # eager emission order is completion order — identical in the
+        # batch scan and the streaming replay, so a per-key counter
+        # reproduces the batch numbering exactly. Leftmost resolution
+        # order can differ at watermark boundaries (a within-pruned
+        # run dies at the watermark tick instead of the next processed
+        # row), so MATCH_NUMBER stays batch-tier there.
+        allowed.add("match_number")
+    unsupported = {m.fn for m in aspec.measures if m.fn not in allowed}
     if unsupported:
         raise NotImplementedError(
-            f"streaming measures support first/last/count/classifier, "
+            f"streaming alternation measures support {sorted(allowed)}, "
             f"got {sorted(unsupported)}"
         )
     if aspec.nav_cols:
@@ -417,13 +422,18 @@ def match_pattern_stream_alternation(
     after = aspec.after_match
     tiebreak = aspec.tiebreak_col
     all_srcs = sorted(
-        {m.src for m in measures if m.fn not in ("count", "classifier")}
+        {
+            m.src
+            for m in measures
+            if m.fn not in ("count", "classifier", "match_number")
+        }
     )
     pred_cols = [f"{_PRED_PREFIX}{i}" for i in range(n_vars)]
     out_names = [f.name for f in out_schema.fields]
 
     nfas = [Nfa(alt) for alt in alts]
     subset_map = dict(aspec.subsets)
+    has_mn = any(m.fn == "match_number" for m in aspec.measures)
     derivation = aspec.derivation
     first_preds = [s + nf.first_pred for (s, _), nf in zip(offsets, nfas)]
     buf_cols = list(
@@ -439,10 +449,14 @@ def match_pattern_stream_alternation(
             if len(stored) == 2:  # pre-leftmost checkpoint shape
                 buffer, alt_states = stored
                 alt_helds: dict = {}
-            else:
+                match_nos: dict = {}
+            elif len(stored) == 3:  # pre-match-number checkpoint shape
                 buffer, alt_states, alt_helds = stored
+                match_nos = {}
+            else:
+                buffer, alt_states, alt_helds, match_nos = stored
         else:
-            buffer, alt_states, alt_helds = None, {}, {}
+            buffer, alt_states, alt_helds, match_nos = None, {}, {}, {}
 
         frames = [] if buffer is None else [buffer]
         if not state.hasTimedOut:
@@ -464,7 +478,12 @@ def match_pattern_stream_alternation(
         def emit(key: tuple, match: dict) -> None:
             for k, kv in zip(key_cols, key):
                 data[k].append(kv)
+            if has_mn:
+                match_nos[key] = match_nos.get(key, 0) + 1
             for m in measures:
+                if m.fn == "match_number":
+                    data[m.name].append(match_nos[key])
+                    continue
                 if m.fn == "classifier":
                     data[m.name].append(
                         max(match.items(), key=lambda kv_: kv_[1][4])[0]
@@ -595,7 +614,9 @@ def match_pattern_stream_alternation(
             state.remove()
         else:
             alt_helds = {k: h for k, h in alt_helds.items() if h}
-            state.update((pickle.dumps((buffer, alt_states, alt_helds)),))
+            state.update(
+                (pickle.dumps((buffer, alt_states, alt_helds, match_nos)),)
+            )
             if buffer is not None:
                 pending.append(int(buffer[_TS_COL].min()))
             if pending:

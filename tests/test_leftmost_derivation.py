@@ -452,3 +452,72 @@ def test_leftmost_coordinator_matches_textbook_scan(spark, flags, after):
                 got.append((v, b))
                 break
     assert sorted(got) == _brute_leftmost(flags, after), flags
+
+
+def test_streaming_alternation_match_number_agrees_with_batch(spark, tmp_path):
+    """MATCH_NUMBER() on a streaming EAGER alternation: a per-key
+    monotone counter in the bucket state reproduces the batch
+    numbering exactly (eager emission order = completion order in
+    both tiers)."""
+    from flink_cep_examples_spark.operators.cep_batch import (
+        match_pattern_alternation,
+    )
+    from flink_cep_examples_spark.plans.pattern import (
+        Measure,
+        Pattern,
+        SKIP_TO_NEXT,
+        alternation,
+    )
+    from flink_cep_examples_spark.streaming.cep_stream import (
+        match_pattern_stream_alternation,
+    )
+
+    spec = alternation(
+        Pattern.begin("A", skip=SKIP_TO_NEXT).where("fd").next("C").where("fc"),
+        Pattern.begin("A", skip=SKIP_TO_NEXT).where("fd")
+        .next("D").where("fd").times(2),
+        measures=(
+            Measure("s", "A", "seq", "first"),
+            Measure("mn", None, None, "match_number"),
+        ),
+    )
+    rng = random.Random(3)
+    flags = [(rng.random() < 0.55, rng.random() < 0.4) for _ in range(60)]
+    flags += [(False, False)] * 3
+    df = _df(spark, flags)
+    batch = sorted(
+        (r.s, r.mn) for r in match_pattern_alternation(df, spec).collect()
+    )
+    src = tmp_path / "src"
+    df.coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    out = match_pattern_stream_alternation(
+        stream, spec, watermark_delay="0 seconds"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("alt_mn_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.s, r.mn)
+        for r in spark.sql("SELECT * FROM alt_mn_stream").collect()
+    )
+    assert got == batch and len(batch) >= 3
+
+
+def test_streaming_alternation_match_number_rejected_for_leftmost(spark, tmp_path):
+    """Leftmost resolution order can differ at watermark boundaries,
+    so MATCH_NUMBER stays batch-tier there — clear error."""
+    body = _BODY_TO_NEXT.replace(
+        "COUNT(D.*) AS nd", "MATCH_NUMBER() AS mn, COUNT(D.*) AS nd"
+    )
+    df = _df(spark, [D, U])
+    src = tmp_path / "src2"
+    df.coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    with pytest.raises(NotImplementedError, match="match_number|MATCH"):
+        match_recognize(stream, body)
