@@ -423,10 +423,6 @@ def match_pattern_alternation_all_rows(
     aspec.validate()
     if any(alt.rows_per_match != "all" for alt in aspec.alternatives):
         raise ValueError("aspec is not an ALL ROWS PER MATCH spec")
-    if any(m.running for m in aspec.measures):
-        raise NotImplementedError(
-            "RUNNING measures with alternation ALL ROWS — FINAL only"
-        )
     key_cols = list(aspec.key_cols)
     tiebreak = aspec.tiebreak_col
     measure_list = list(aspec.measures)
@@ -490,8 +486,29 @@ def match_pattern_alternation_all_rows(
         )
         data_arrays = {c: pdf[c].to_numpy() for c in data_cols}
         rows: dict[str, list] = {c: [] for c in out_cols_names}
+        subset_map = dict(aspec.subsets)
+        running = [m for m in measure_list if m.running]
         for seq, (a, match) in enumerate(matched):
             mvals = eval_measures(match, seq + 1)
+            # RUNNING measures: one incremental series over the match
+            # row range, exactly as in the single-pattern all-rows tier
+            run_series: dict[str, tuple[int, list]] = {}
+            if running and match:
+                lo = min(sp[0] for sp in match.values())
+                hi = max(sp[1] for sp in match.values())
+                for m in running:
+                    if m.fn in ("match_number", "classifier"):
+                        continue  # constant / current-row vname below
+                    run_series[m.name] = (
+                        lo,
+                        _running_series(
+                            m,
+                            _resolve_spans(m.var, match, subset_map),
+                            src_arrays.get(m.src),
+                            lo,
+                            hi,
+                        ),
+                    )
             for vname in emit_names[a]:
                 span = match.get(vname)
                 if span is None:
@@ -502,7 +519,13 @@ def match_pattern_alternation_all_rows(
                     rows["classifier"].append(vname)
                     rows["match_seq"].append(seq)
                     for m in measure_list:
-                        rows[m.name].append(mvals[m.name])
+                        if m.name in run_series:
+                            lo, series = run_series[m.name]
+                            rows[m.name].append(series[r - lo])
+                        elif m.running and m.fn == "classifier":
+                            rows[m.name].append(vname)
+                        else:
+                            rows[m.name].append(mvals[m.name])
         out = pd.DataFrame(rows, columns=out_cols_names)
         _null_safe_agg_cast(out, measure_list, out_schema)
         return out

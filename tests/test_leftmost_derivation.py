@@ -521,3 +521,31 @@ def test_streaming_alternation_match_number_rejected_for_leftmost(spark, tmp_pat
     stream = spark.readStream.schema(df.schema).parquet(str(src))
     with pytest.raises(NotImplementedError, match="match_number|MATCH"):
         match_recognize(stream, body)
+
+
+def test_alternation_all_rows_running_measures(spark):
+    """RUNNING semantics under alternation ALL ROWS: COUNT climbs per
+    output row within each match; RUNNING CLASSIFIER is the current
+    row's own copy (SQL:2016), FINAL repeats the whole-match value."""
+    body = """
+      PARTITION BY id ORDER BY event_time
+      MEASURES RUNNING COUNT(D.*) AS d_so_far,
+               FINAL COUNT(D.*) AS nd,
+               RUNNING CLASSIFIER() AS cur
+      ALL ROWS PER MATCH
+      AFTER MATCH SKIP TO NEXT ROW
+      PATTERN ((D U){1,2})
+      DEFINE D AS fd, U AS fc
+    """
+    got = sorted(
+        (r.match_seq, r.seq, r.d_so_far, r.nd, r.cur)
+        for r in match_recognize(_df(spark, [D, U, D, U]), body).collect()
+    )
+    assert got == [
+        (0, 0, 1, 2, "D__1"),
+        (0, 1, 1, 2, "U__1"),
+        (0, 2, 2, 2, "D__2"),
+        (0, 3, 2, 2, "U__2"),
+        (1, 2, 1, 1, "D__1"),
+        (1, 3, 1, 1, "U__1"),
+    ]
