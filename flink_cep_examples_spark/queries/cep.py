@@ -1602,3 +1602,105 @@ register(
     "cep_group_all_rows", cep_group_all_rows, ORACLE_GROUP_ALL_ROWS,
     driver=False,  # gate capped at 50; oracle-gated in pytest
 )
+
+
+def cep_iter_cond_rebound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST/LAST navigation in DEFINE — Flink's IterativeCondition
+    subset, round 5: ``A B+ C`` where C's predicate references the
+    RUN's own B rows (``value > LAST(B.value) * 1.2`` — a 20% rebound
+    off the drop's bottom). The parser compiles LAST(B.value) to the
+    lag-1 column (the B+ loop ends exactly one row before C, so the
+    offset is pattern-fixed; sql/match_recognize.py::
+    _rewrite_iterative), keeping the predicate vectorized pre-shuffle
+    — the run-dependence costs nothing at execution.
+
+    Reference parity: FlinkCEP's IterativeCondition
+    (ctx.getEventsForPattern, FlinkCEPExample.scala uses simple
+    conditions only) — the pattern-fixed-offset subset."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.sources.tables import load_table, spread
+    from flink_cep_examples_spark.sql.match_recognize import match_recognize
+
+    events = spread(load_table(spark, sf_dir, "events"), "user_id").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = match_recognize(
+        events,
+        """
+        PARTITION BY user_id ORDER BY ts, event_id
+        MEASURES FIRST(A.ts) AS start_ts,
+                 LAST(B.value) AS bottom,
+                 COUNT(B.*) AS n_fall,
+                 LAST(C.ts) AS end_ts
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (A B+ C)
+        DEFINE A AS value >= 80,
+               B AS value < PREV(value),
+               C AS value > LAST(B.value) * 1.2
+        """,
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss").alias("start_dt"),
+        "bottom",
+        "n_fall",
+        F.date_format("end_ts", "yyyy-MM-dd HH:mm:ss").alias("end_dt"),
+    )
+
+
+#: Iterative-condition closed form, derived independently: from a
+#: high-value start, B+ consumes the maximal falling streak; the run
+#: is decided at the FIRST non-falling row e (C-pred rows rise, so C
+#: can never precede e; a non-falling non-rebound row kills the run).
+#: e = nnf (next-non-falling index) evaluated two rows after the
+#: start; the match emits iff e rebounds 20% off its predecessor.
+ORACLE_ITER_COND = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, value,
+         ROW_NUMBER() OVER w AS rn,
+         LAG(value) OVER w AS pv,
+         strftime(ts, {_FMT}) AS dt
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+f AS (
+  SELECT *,
+         (value >= 80) AS a,
+         (pv IS NOT NULL AND value < pv) AS fall,
+         (pv IS NOT NULL AND value > pv * 1.2) AS c_it
+  FROM e
+),
+g AS (
+  SELECT *,
+         MIN(CASE WHEN NOT fall THEN rn END) OVER
+           (PARTITION BY user_id ORDER BY rn
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nnf
+  FROM f
+),
+s AS (
+  SELECT *,
+         LEAD(fall, 1) OVER w2 AS f1,
+         LEAD(nnf, 2) OVER w2 AS ern
+  FROM g
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)
+)
+SELECT s.user_id,
+       s.dt AS start_dt,
+       ee.pv AS bottom,
+       ee.rn - s.rn - 1 AS n_fall,
+       ee.dt AS end_dt
+FROM s
+JOIN g ee ON ee.user_id = s.user_id AND ee.rn = s.ern
+WHERE s.a AND s.f1 AND ee.c_it
+"""
+
+
+register(
+    "cep_iter_cond_rebound",
+    cep_iter_cond_rebound,
+    ORACLE_ITER_COND,
+    driver=False,  # gate capped at 50; oracle-gated in pytest
+)

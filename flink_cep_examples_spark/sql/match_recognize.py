@@ -34,8 +34,12 @@ for the subset the reference exercises
     DEFINE <var> AS <predicate> [, ...]
       (predicates may navigate PHYSICAL rows with PREV(<var>.<col>
        [, n]) / NEXT(<var>.<col> [, n]) — materialized as vectorized
-       lag/lead columns before the NFA; run-dependent FIRST/LAST
-       navigation is rejected)
+       lag/lead columns before the NFA — and reference EARLIER
+       pattern variables with FIRST/LAST(<var>.<col>) when the offset
+       is pattern-fixed (Flink IterativeCondition subset; LAST works
+       even off a loop variable, e.g. ``A B+ C`` with
+       ``C AS x > LAST(B.x)``); genuinely run-dependent references
+       are rejected with a named error)
 
 — compiled to the same :class:`PatternSpec` the Pattern DSL produces,
 so SQL and DSL converge on one operator exactly as the reference's two
@@ -563,18 +567,103 @@ def parse_match_recognize(body: str) -> PatternSpec | AlternationSpec:
     defines: dict[str, str] = {}
     nav_cols: dict[tuple[str, int, str], str] = {}
 
+    def _rewrite_iterative(pred: str, vname: str) -> str:
+        """FIRST/LAST(W.col) inside DEFINE — Flink's IterativeCondition
+        subset (round 5): when the distance from the current row to the
+        referenced row is FIXED by the pattern shape, the reference
+        compiles to the same lag column PREV() uses, so the predicate
+        stays vectorized pre-shuffle.
+
+        ``LAST(W.col)`` in V's DEFINE = W's last matched row = ``b+1``
+        rows back, where ``b`` is the total width of the (fixed-width,
+        strict) variables strictly between W and V — valid even for a
+        LOOP variable W (the classic Flink shape ``A B+ C`` with
+        ``C AS price > LAST(B.price)``). ``FIRST(W.col)`` additionally
+        needs W itself fixed-width (offset ``b + width(W)``). The
+        defining variable V must be single-row (inside a loop the
+        offset changes per iteration), the pattern single-alternative
+        (branches would need different offsets), and the span must not
+        cross an unbounded loop group. Everything else raises a named
+        NotImplementedError."""
+        pat = r"(?<!\w)(FIRST|LAST)\s*\(\s*(\w+)\.(\w+)\s*\)"
+
+        def sub(m: re.Match) -> str:
+            kind, wvar, col = m.group(1).lower(), m.group(2), m.group(3)
+            ref = f"{m.group(1).upper()}({wvar}.{col})"
+            if len(alt_quants) > 1:
+                raise NotImplementedError(
+                    f"{ref} in DEFINE needs a single-alternative "
+                    "pattern (alternation / ranged-group branches put "
+                    "the referenced row at a different offset per "
+                    "branch)"
+                )
+            vars0, lg = alt_quants[0]
+            names = [n for n, *_ in vars0]
+            if vname not in names or wvar not in names:
+                raise ValueError(f"unknown variable in {ref}")
+            wi, vi = names.index(wvar), names.index(vname)
+            if wi >= vi:
+                raise NotImplementedError(
+                    f"{ref}: DEFINE may reference EARLIER variables "
+                    "only (self/forward references are run-dependent)"
+                )
+            if any(s_ <= vi and e_ >= wi for s_, e_ in lg):
+                raise NotImplementedError(
+                    f"{ref} across an unbounded loop group — the "
+                    "offset is unbounded"
+                )
+
+            def width(idx: int) -> int | None:
+                _n, q, t, _g, _x = vars0[idx]
+                if q == ONCE:
+                    return 1
+                if q == TIMES and t is not None and t[1] == t[0]:
+                    return t[0]
+                return None
+
+            if width(vi) != 1:
+                raise NotImplementedError(
+                    f"{ref}: the defining variable {vname} must be "
+                    "single-row (inside a quantified variable the "
+                    "offset changes per consumed row)"
+                )
+            between = [width(i) for i in range(wi + 1, vi)]
+            if any(b is None for b in between):
+                raise NotImplementedError(
+                    f"{ref}: variables between {wvar} and {vname} "
+                    "must be fixed-width (ONCE / times(n))"
+                )
+            b = sum(between)
+            if kind == "last":
+                off = b + 1
+            else:
+                wn = width(wi)
+                if wn is None:
+                    raise NotImplementedError(
+                        f"{ref}: FIRST needs a fixed-width {wvar} "
+                        "(LAST is fine for loop variables)"
+                    )
+                off = b + wn
+            key = (col, off, "prev")
+            return nav_cols.setdefault(key, f"__nav_prev{off}_{col}")
+
+        return re.sub(pat, sub, pred, flags=re.IGNORECASE)
+
     def _rewrite_nav(pred: str) -> str:
         """SQL:2016 physical-row navigation: ``PREV(V.col [, n])`` /
         ``NEXT(V.col [, n])`` → a lag/lead column alias; the column is
         materialized vectorized before predicate evaluation (the
         variable qualifier is irrelevant — PREV navigates PHYSICAL
         rows, not the variable's rows, per the standard). Pattern
-        navigation FIRST/LAST inside DEFINE is run-dependent and
-        rejected."""
+        navigation FIRST/LAST inside DEFINE compiles via
+        _rewrite_iterative when the offset is pattern-fixed; anything
+        still here is run-dependent and rejected."""
         if re.search(r"(?<!\w)(FIRST|LAST)\s*\(", pred, re.IGNORECASE):
             raise NotImplementedError(
-                "FIRST()/LAST() navigation in DEFINE is run-dependent "
-                "(not precomputable); only PREV()/NEXT() are supported"
+                "FIRST()/LAST() navigation in DEFINE is supported only "
+                "as FIRST/LAST(var.col) with a pattern-fixed offset "
+                "(see _rewrite_iterative); this reference is "
+                "run-dependent"
             )
 
         def sub(m: re.Match) -> str:
@@ -597,7 +686,10 @@ def parse_match_recognize(body: str) -> PatternSpec | AlternationSpec:
         if not dm:
             raise ValueError(f"cannot parse DEFINE item: {part!r}")
         defines[dm.group(1)] = _strip_var_prefixes(
-            _rewrite_nav(dm.group(2).strip()), var_names
+            _rewrite_nav(
+                _rewrite_iterative(dm.group(2).strip(), dm.group(1))
+            ),
+            var_names
         )
     nav_tuple = tuple(
         (alias, col, off, kind)

@@ -70,14 +70,29 @@ def test_next_navigation(spark):
     assert got == [1, 3]  # 30 and 40 are local maxima
 
 
-def test_first_last_in_define_rejected():
-    with pytest.raises(NotImplementedError, match="run-dependent"):
+def test_first_last_in_define_fixed_offset_now_compiles():
+    """Round 5: FIRST/LAST(var.col) with a pattern-fixed offset
+    compiles to the PREV lag machinery (Flink IterativeCondition
+    subset) instead of being rejected — here FIRST(A) is one ONCE
+    variable back, i.e. lag 1."""
+    spec = parse_match_recognize(
+        """
+        PARTITION BY id ORDER BY event_time
+        MEASURES A.seq AS s
+        ONE ROW PER MATCH
+        PATTERN (A B)
+        DEFINE B AS B.balanceAfter > FIRST(A.balanceAfter)
+        """
+    )
+    assert ("__nav_prev1_balanceAfter", "balanceAfter", 1, "prev") in spec.nav_cols
+    # a variable-width gap keeps the genuinely run-dependent form out
+    with pytest.raises(NotImplementedError, match="fixed-width"):
         parse_match_recognize(
             """
             PARTITION BY id ORDER BY event_time
             MEASURES A.seq AS s
             ONE ROW PER MATCH
-            PATTERN (A B)
+            PATTERN (A G* B)
             DEFINE B AS B.balanceAfter > FIRST(A.balanceAfter)
             """
         )
@@ -237,3 +252,90 @@ def test_explicit_order_tiebreak_not_clobbered():
         """
     )
     assert not implicit.explicit_tiebreak
+
+
+# ---------------------------------------------------------------------------
+# FIRST/LAST in DEFINE (round 5 — Flink IterativeCondition subset)
+
+
+def test_define_last_compiles_to_lag(spark):
+    """A B+ C with C AS x > LAST(B.x) * 1.2 — LAST(B) is the row
+    directly before C (the loop ends there), so the reference compiles
+    to the PREV lag-1 column and the predicate stays vectorized."""
+    import datetime as dt
+
+    from flink_cep_examples_spark.sql.match_recognize import match_recognize
+
+    vals = [10.0, 8.0, 6.0, 7.5, 12.0, 9.0, 11.0]
+    rows = [
+        ("k", dt.datetime(2020, 5, 1, 11, 0) + dt.timedelta(minutes=i), i, v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "id string, event_time timestamp, seq long, x double"
+    )
+    out = match_recognize(df, """
+      PARTITION BY id ORDER BY event_time
+      MEASURES FIRST(A.seq) AS s, LAST(B.x) AS last_b, LAST(C.seq) AS e
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A B+ C)
+      DEFINE A AS x >= 10,
+             B AS x < PREV(x),
+             C AS x > LAST(B.x) * 1.2
+    """)
+    got = sorted((r.s, r.last_b, r.e) for r in out.collect())
+    # 10,8,6 then 7.5 (> 6*1.2); 12,9 then 11 (> 10.8)
+    assert got == [(0, 6.0, 3), (4, 9.0, 6)]
+
+
+def test_define_first_fixed_offset(spark):
+    """FIRST(A.x) two fixed-width variables back compiles to lag-2."""
+    import datetime as dt
+
+    from flink_cep_examples_spark.sql.match_recognize import match_recognize
+
+    vals = [10.0, 8.0, 11.0, 4.0, 5.0, 3.0]
+    rows = [
+        ("k", dt.datetime(2020, 5, 1, 11, 0) + dt.timedelta(minutes=i), i, v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "id string, event_time timestamp, seq long, x double"
+    )
+    out = match_recognize(df, """
+      PARTITION BY id ORDER BY event_time
+      MEASURES FIRST(A.seq) AS s
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP TO NEXT ROW
+      PATTERN (A B C)
+      DEFINE B AS x < LAST(A.x),
+             C AS x > FIRST(A.x)
+    """)
+    # start 0: B=8<10, C=11>10 -> match; start 2: B=4<11, C=5>11? no;
+    # start 3: B... 5<4? no
+    assert [r.s for r in out.collect()] == [0]
+
+
+def test_define_iterative_rejections():
+    import pytest
+
+    from flink_cep_examples_spark.sql.match_recognize import (
+        parse_match_recognize,
+    )
+
+    head = (
+        "PARTITION BY id ORDER BY event_time "
+        "MEASURES FIRST(A.seq) AS s ONE ROW PER MATCH "
+    )
+    cases = [
+        ("PATTERN (A B+ C) DEFINE C AS x > FIRST(B.x)", "fixed-width"),
+        ("PATTERN (A B) DEFINE A AS x > LAST(B.x)", "EARLIER"),
+        ("PATTERN (A C | A B) DEFINE C AS x > LAST(A.x)", "single-alternative"),
+        ("PATTERN (A B+ C) DEFINE B AS x < LAST(A.x)", "single-row"),
+        ("PATTERN (A B? C) DEFINE C AS x > LAST(A.x)", "fixed-width"),
+        ("PATTERN (A (X Y)+ C) DEFINE C AS x > LAST(A.x)", "loop group"),
+    ]
+    for body, msg in cases:
+        with pytest.raises(NotImplementedError, match=msg):
+            parse_match_recognize(head + body)
