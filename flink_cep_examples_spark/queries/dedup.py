@@ -620,3 +620,98 @@ def with_vector_band_keys(
     shuffle that follows ships 8 longs per doc, never text."""
     kernel = vector_band_keys_kernel()
     return df.withColumn(out_col, kernel(F.col(text_col)))
+
+
+#: Winnowing window: W consecutive shingle hashes per fingerprint
+#: window (Schleimer/Wilkerson/Aiken, "Winnowing: Local Algorithms
+#: for Document Fingerprinting"). Guarantees any shared run of
+#: W + SHINGLE_N - 1 tokens yields a shared fingerprint, while
+#: keeping density ~2/(W+1) — the standard sublinear fingerprint
+#: set for corpus-scale overlap detection.
+WINNOW_W = 4
+_POS_BASE = 1_048_576  # pos < 2^20 packs with the 31-bit hash into int64
+
+
+def docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: winnowing fingerprints — per document, the minimum
+    shingle hash of every W-hash sliding window (leftmost minimum on
+    ties, made total by packing ``hash * 2^20 + pos`` into one int64
+    — exact in both engines), distinct per selection point.
+
+    Scale design: everything happens inside ONE (doc_id) partitioning
+    — ordered positional shingles, the rolling min, and the distinct —
+    so the operator is a single Exchange; fingerprints per doc are
+    ~2/(W+1) of the shingle count (the winnowing density bound), which
+    is what makes downstream cross-doc overlap joins sublinear in
+    corpus text. Portable md5-arith hashing, zero Python UDFs."""
+    from pyspark.sql.window import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = _tokens(F.col("text"))
+    ordered = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+    )
+    sh = docs.select(
+        "doc_id", F.posexplode(ordered).alias("pos", "sh")
+    ).select(
+        "doc_id",
+        "pos",
+        (_h31(F.col("sh")) * _POS_BASE + F.col("pos")).alias("key"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, WINNOW_W - 1)
+    )
+    return (
+        sh.select(
+            "doc_id",
+            F.min("key").over(w).alias("mk"),
+            F.count("*").over(w).alias("cnt"),
+        )
+        .filter(F.col("cnt") == WINNOW_W)  # full windows only
+        .select(
+            "doc_id",
+            (F.col("mk") / _POS_BASE).cast("bigint").alias("fp_hash"),
+            (F.col("mk") % _POS_BASE).alias("fp_pos"),
+        )
+        .distinct()
+    )
+
+
+ORACLE_WINNOWING = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array({_SQL_NORM}, ' ') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(toks[i:i+2], ' ') AS s
+  FROM t, unnest(range(1, greatest(len(toks) - 1, 2))) AS r(i)
+),
+k AS (
+  SELECT doc_id, pos,
+         ({_sql_h31('s')} * {_POS_BASE} + pos) AS key
+  FROM sh
+),
+wnd AS (
+  SELECT doc_id,
+         MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS mk,
+         COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS cnt
+  FROM k
+)
+SELECT DISTINCT doc_id,
+       mk // {_POS_BASE} AS fp_hash,
+       mk % {_POS_BASE} AS fp_pos
+FROM wnd
+WHERE cnt = {WINNOW_W}
+"""
+
+
+register(
+    "docs_winnowing", docs_winnowing, ORACLE_WINNOWING,
+    driver=False,  # gate capped at 50; oracle-gated in pytest
+)
