@@ -647,17 +647,36 @@ def docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    toks = _tokens(F.col("text"))
-    ordered = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+    # one posexplode of raw tokens; the 3-gram assembles from window
+    # LEADs over the SAME (doc_id, pos) partitioning the rolling min
+    # uses — O(tokens) per doc, where a per-element array slice inside
+    # transform() would be O(tokens²) (measured 135 s vs 9 s at the
+    # 10× smoke scale)
+    wo = Window.partitionBy("doc_id").orderBy("pos")
+    tok_rows = docs.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "tok")
     )
-    sh = docs.select(
-        "doc_id", F.posexplode(ordered).alias("pos", "sh")
-    ).select(
-        "doc_id",
-        "pos",
-        (_h31(F.col("sh")) * _POS_BASE + F.col("pos")).alias("key"),
+    sh = (
+        tok_rows.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(
+                " ",
+                F.col("tok"),
+                F.lead("tok", 1).over(wo),
+                F.lead("tok", 2).over(wo),
+            ).alias("sh"),
+            F.lead("tok", 2).over(wo).alias("__t2"),
+        )
+        # keep complete 3-grams only, except the short-doc degenerate
+        # case (< 3 tokens → one truncated shingle at pos 0, matching
+        # the sequence(1, greatest(n-2, 1)) convention)
+        .filter(F.col("__t2").isNotNull() | (F.col("pos") == 0))
+        .select(
+            "doc_id",
+            "pos",
+            (_h31(F.col("sh")) * _POS_BASE + F.col("pos")).alias("key"),
+        )
     )
     w = (
         Window.partitionBy("doc_id")
@@ -713,5 +732,70 @@ WHERE cnt = {WINNOW_W}
 
 register(
     "docs_winnowing", docs_winnowing, ORACLE_WINNOWING,
+    driver=False,  # gate capped at 50; oracle-gated in pytest
+)
+
+
+#: Common-phrase guard for the overlap join: a fingerprint present in
+#: more than this many documents is boilerplate (fan-out F gives F²
+#: pairs) and is dropped BEFORE the self-join — the standard MOSS
+#: practice that bounds pair volume at corpus scale.
+WINNOW_MAX_DF = 10
+WINNOW_MIN_SHARED = 2
+
+
+def docs_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 5: MOSS-style overlap pairs — documents sharing at least
+    WINNOW_MIN_SHARED winnowing fingerprints, with boilerplate
+    fingerprints (document frequency > WINNOW_MAX_DF) dropped before
+    the self-join.
+
+    Scale design: the join operand is the (doc_id, fp_hash) DISTINCT
+    fingerprint set — ~2/(W+1) of the corpus shingle volume — joined
+    on the 31-bit int hash (text never shuffles); the df-cap bounds
+    per-hash fan-out so pair volume is at most df²·|hashes|, never
+    all-pairs. The pair aggregation reuses the join's hash exchange."""
+    fp = docs_winnowing(spark, sf_dir).select("doc_id", "fp_hash").distinct()
+    df_ok = (
+        fp.groupBy("fp_hash")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= WINNOW_MAX_DF)
+        .select("fp_hash")
+    )
+    kept = fp.join(df_ok, "fp_hash")
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(b, "fp_hash")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+
+
+ORACLE_WINNOW_OVERLAP = f"""
+WITH fp0 AS ({ORACLE_WINNOWING}),
+fp AS (SELECT DISTINCT doc_id, fp_hash FROM fp0),
+ok AS (
+  SELECT fp_hash FROM fp GROUP BY fp_hash
+  HAVING COUNT(DISTINCT doc_id) <= {WINNOW_MAX_DF}
+),
+kept AS (SELECT fp.* FROM fp JOIN ok USING (fp_hash))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       COUNT(*) AS n_shared
+FROM kept a JOIN kept b
+  ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+"""
+
+
+register(
+    "docs_winnowing_overlap",
+    docs_winnowing_overlap,
+    ORACLE_WINNOW_OVERLAP,
     driver=False,  # gate capped at 50; oracle-gated in pytest
 )
