@@ -62,6 +62,7 @@ HEADLINE = [
     "cep_group_alternation",  # round-5 grouped alternation, leftmost derivation
     "ann_pq_topk",  # round-5 product-quantized ADC top-k
     "docs_unigram_logprob",  # round-5 unigram-LM curation score
+    "docs_winnowing",  # round-5 winnowing fingerprints (window-lead shingles)
 ]
 
 
