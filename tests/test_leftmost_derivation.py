@@ -549,3 +549,63 @@ def test_alternation_all_rows_running_measures(spark):
         (1, 2, 1, 1, "D__1"),
         (1, 3, 1, 1, "U__1"),
     ]
+
+
+def test_leftmost_helds_survive_checkpoint_restart(spark, tmp_path):
+    """Crash/redeploy story for the held-completion state: stop the
+    stream at a point where a SHORTER branch's completion is HELD
+    (the greedy branch still alive mid-pattern), restart a NEW query
+    from the same checkpoint, and require the batch answer — the held
+    dict rides the pickled state blob alongside the NfaStates."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.operators.cep_batch import (
+        match_pattern_alternation,
+    )
+    from flink_cep_examples_spark.streaming.cep_stream import (
+        match_pattern_stream_alternation,
+    )
+
+    spec = _dsl_leftmost_spec()
+    flags = [D, U, D, U, D, X, D, U] + [X] * 3  # sentinels push watermark
+    df = _df(spark, flags)
+    expected = sorted(
+        (r.s, r.n2) for r in match_pattern_alternation(df, spec).collect()
+    )
+    # start 0 must resolve to the GREEDY branch (n2 = COUNT(D2) = 1)
+    # ACROSS the restart boundary
+    assert (0, 1) in expected
+
+    src = tmp_path / "src"
+    src.mkdir()
+    chk = str(tmp_path / "chk")
+    sink = str(tmp_path / "out")
+    # stop after row 2: start 0's 1-repetition completion is HELD
+    # (the 2-repetition run is alive, waiting for row 3)
+    df.filter(F.col("seq") <= 2).coalesce(1).write.parquet(str(src / "p1"))
+    schema = df.schema
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        out = match_pattern_stream_alternation(
+            stream, spec, watermark_delay="0 seconds"
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    df.filter(F.col("seq") > 2).coalesce(1).write.parquet(str(src / "p2"))
+    run_once()
+    got = sorted(
+        (r.s, r.n2) for r in spark.read.parquet(sink).collect()
+    )
+    assert got == expected
