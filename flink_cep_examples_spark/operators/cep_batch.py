@@ -381,6 +381,19 @@ def match_pattern_alternation(df: DataFrame, aspec: AlternationSpec) -> DataFram
         matched = nfa.scan_key_group_alternation(
             nfas, preds_list, ts, after, derivation
         )
+        # deterministic MATCH_NUMBER across derivations: under leftmost
+        # derivation + SKIP TO NEXT ROW, held-resolution can emit a
+        # blocked earlier start AFTER a later unblocked one, so
+        # emission order is not SQL:2016 start order — renumber by
+        # (start, end, alternative) as the all-rows tier does
+        matched = sorted(
+            matched,
+            key=lambda am: (
+                min(sp[0] for sp in am[1].values()),
+                max(sp[1] for sp in am[1].values()),
+                am[0],
+            ),
+        )
         key_vals = {k: pdf[k].iloc[0] if len(pdf) else None for k in key_cols}
         src_arrays = {
             m.src: pdf[m.src].to_numpy() for m in measure_list if _needs_src(m)

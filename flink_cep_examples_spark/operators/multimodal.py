@@ -187,7 +187,15 @@ def extract_features(media: DataFrame) -> DataFrame:
             mean = np.where(lens > 0, sums / safe_len, 0.0)
             p = hist / safe_len[:, None]
             logs = np.log2(p, out=np.zeros_like(p), where=p > 0)
-            entropy = np.where(lens > 0, -(p * logs).sum(axis=1), 0.0)
+            # entropy terms quantized to integer pico-units before the
+            # sum: the per-term p·log2(p) is transcendental (numpy and
+            # DuckDB log2 may differ by an ulp) and float summation is
+            # order-sensitive — flooring each term at 1e-12 and summing
+            # the (exactly representable) integers makes the value
+            # bit-identical to the oracle's mirrored fixed-point fold
+            # (same discipline as queries/curation.py, round 6)
+            tq = np.floor((p * logs) * 1e12 + 0.5)
+            entropy = np.where(lens > 0, -tq.sum(axis=1) / 1e12, 0.0)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].to_numpy(),

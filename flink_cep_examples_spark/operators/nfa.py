@@ -222,7 +222,11 @@ class Nfa:
             else:
                 p += 1
         self._trailing = gaps[self.n_pos - 1]
-        assert all(not nn for _, nn in self._trailing)  # validated upstream
+        if any(nn for _, nn in self._trailing):  # validated upstream
+            raise ValueError(
+                "trailing not_next is unsupported at the NFA tier "
+                "(PatternSpec.validate should have rejected it)"
+            )
 
         # successors[p]: positive positions consumable after p
         # (epsilon-skip over optional positives)

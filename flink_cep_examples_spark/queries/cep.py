@@ -1079,7 +1079,8 @@ register(
 )
 register(
     "cep_skip_to_last_nfa", cep_skip_to_last_nfa, ORACLE_SKIP_TO_LAST,
-    # r5 rotation: promoted into the 50-row driver gate (never verified)
+    driver=False,  # r6 rotation: driver-verified green r5 (NFA twin of
+    # the still-gated cep_skip_to_last); pytest-gated now
 )
 register(  # r4.2 rotation: promoted into the 50-row driver gate
     "cep_measure_aggregates", cep_measure_aggregates, ORACLE_MEASURE_AGGS,
@@ -1233,7 +1234,7 @@ register(
     "events_signup_no_purchase",
     events_signup_no_purchase,
     ORACLE_SIGNUP_NO_PURCHASE,
-    # r5 rotation: promoted into the 50-row driver gate (never verified)
+    driver=False,  # r6 rotation: driver-verified green r5; pytest-gated
 )
 
 
@@ -1600,7 +1601,7 @@ JOIN starts s ON b.id = s.id AND b.rn BETWEEN s.srn AND s.srn + s.w - 1
 
 register(
     "cep_group_all_rows", cep_group_all_rows, ORACLE_GROUP_ALL_ROWS,
-    driver=False,  # gate capped at 50; oracle-gated in pytest
+    # r6 rotation: promoted — never driver-verified before
 )
 
 
@@ -1702,5 +1703,5 @@ register(
     "cep_iter_cond_rebound",
     cep_iter_cond_rebound,
     ORACLE_ITER_COND,
-    driver=False,  # gate capped at 50; oracle-gated in pytest
+    # r6 rotation: promoted — never driver-verified before
 )

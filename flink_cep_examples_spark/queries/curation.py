@@ -360,7 +360,19 @@ def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed (shuffle join on token): at 100 TB the vocab is
     ~10⁸ rows — too big to force-broadcast, small next to the corpus.
     avg ln p = (Σ tf·ln cnt)/n − ln N uses one scalar broadcast for N.
-    Zero Python UDFs."""
+    Zero Python UDFs.
+
+    Determinism (round-6 fix for the round-5 driver hash red): per-token
+    logs are quantized to integer NANO-NATS (lnq = ⌊ln(cnt)·1e9 + 0.5⌋,
+    a BIGINT), so the distributed per-document reduction is EXACT
+    integer arithmetic — order-free — and the only floating-point ops
+    are a fixed, engine-identical expression at the end. This removes
+    both nondeterministic double-summation order AND the measured
+    cross-engine ln() ulp divergence (Spark's ln(936) differs from
+    DuckDB's by 1 ulp) from the hash surface: a 1-ulp ln discrepancy
+    scales to ~1e-6 of the quantum, flipping the quantization only if
+    the true value sits within ~1e-6 of a half-boundary (guarded by
+    tests/test_float_determinism.py on the actual corpora)."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     tok = docs.select(
         "doc_id",
@@ -368,21 +380,31 @@ def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     vocab = tf.groupBy("tok").agg(F.sum("tf").alias("cnt"))
-    total = vocab.agg(F.sum("cnt").alias("n_total"))
+    lnq = vocab.select(
+        "tok",
+        F.floor(F.log("cnt") * F.lit(1e9) + F.lit(0.5)).alias("lnq"),
+    )
+    total = vocab.agg(
+        F.floor(F.log(F.sum("cnt")) * F.lit(1e9) + F.lit(0.5)).alias(
+            "ln_total_q"
+        )
+    )
     return (
-        tf.join(vocab, "tok")
+        tf.join(lnq, "tok")
         .groupBy("doc_id")
         .agg(
             F.sum("tf").alias("n_tokens"),
-            F.sum(F.col("tf") * F.log(F.col("cnt"))).alias("sum_ln_cnt"),
+            F.sum(F.col("tf") * F.col("lnq")).alias("s_q"),
         )
         .crossJoin(F.broadcast(total))
         .select(
             "doc_id",
             "n_tokens",
             (
-                F.col("sum_ln_cnt") / F.col("n_tokens")
-                - F.log(F.col("n_total"))
+                F.col("s_q").cast("double")
+                / F.lit(1e9)
+                / F.col("n_tokens").cast("double")
+                - F.col("ln_total_q").cast("double") / F.lit(1e9)
             ).alias("avg_logprob"),
         )
     )
@@ -399,12 +421,20 @@ tf AS (
 vocab AS (
   SELECT tok, SUM(tf) AS cnt FROM tf GROUP BY tok
 ),
-total AS (SELECT SUM(cnt) AS n_total FROM vocab)
+lnq AS (
+  SELECT tok, CAST(FLOOR(ln(cnt) * 1e9 + 0.5) AS BIGINT) AS lnq FROM vocab
+),
+total AS (
+  SELECT CAST(FLOOR(ln(SUM(cnt)) * 1e9 + 0.5) AS BIGINT) AS ln_total_q
+  FROM vocab
+)
 SELECT tf.doc_id,
-       SUM(tf.tf) AS n_tokens,
-       SUM(tf.tf * ln(vocab.cnt)) / SUM(tf.tf) - ln(ANY_VALUE(total.n_total))
+       CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+       CAST(CAST(SUM(tf.tf * lnq.lnq) AS BIGINT) AS DOUBLE)
+         / 1e9 / CAST(CAST(SUM(tf.tf) AS BIGINT) AS DOUBLE)
+         - CAST(ANY_VALUE(total.ln_total_q) AS DOUBLE) / 1e9
          AS avg_logprob
-FROM tf JOIN vocab USING (tok), total
+FROM tf JOIN lnq USING (tok), total
 GROUP BY tf.doc_id
 """
 
@@ -434,7 +464,14 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     join; both models aggregate to B = 512 rows (fixed, broadcastable
     at any corpus size) with add-one smoothing; per-doc scoring is one
     broadcast join + one doc-keyed sum. Portable md5-arith bucket hash
-    (identical in Spark and DuckDB), zero Python UDFs."""
+    (identical in Spark and DuckDB), zero Python UDFs.
+
+    Determinism (round-6, same fix as docs_unigram_logprob): per-bucket
+    log-ratios are quantized to integer nano-nats (BIGINT lwq), the
+    per-document reduction Σ tf·lwq is exact order-free integer
+    arithmetic, and the only float op is a final engine-identical
+    /1e9 — closing the round-5 driver hash red caused by
+    nondeterministic double-summation order + ln() ulp divergence."""
     docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     tok = docs.select(
         "doc_id",
@@ -459,16 +496,20 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw.crossJoin(F.broadcast(totals))
         .select(
             "b",
-            (
-                F.log(
-                    (F.col("ct") + 1)
-                    / (F.col("nt") + F.lit(DSIR_BUCKETS))
+            F.floor(
+                (
+                    F.log(
+                        (F.col("ct") + 1)
+                        / (F.col("nt") + F.lit(DSIR_BUCKETS))
+                    )
+                    - F.log(
+                        (F.col("cr") + 1)
+                        / (F.col("nr") + F.lit(DSIR_BUCKETS))
+                    )
                 )
-                - F.log(
-                    (F.col("cr") + 1)
-                    / (F.col("nr") + F.lit(DSIR_BUCKETS))
-                )
-            ).alias("lw"),
+                * F.lit(1e9)
+                + F.lit(0.5)
+            ).alias("lwq"),
         )
     )
     return (
@@ -476,7 +517,10 @@ def docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum("tf").alias("n_tokens"),
-            F.sum(F.col("tf") * F.col("lw")).alias("log_weight"),
+            (
+                F.sum(F.col("tf") * F.col("lwq")).cast("double")
+                / F.lit(1e9)
+            ).alias("log_weight"),
         )
     )
 
@@ -500,13 +544,16 @@ raw AS (
 tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM raw),
 lw AS (
   SELECT b,
-         ln((ct + 1) / CAST(nt + {DSIR_BUCKETS} AS DOUBLE))
-           - ln((cr + 1) / CAST(nr + {DSIR_BUCKETS} AS DOUBLE)) AS lw
+         CAST(FLOOR((
+           ln((ct + 1) / CAST(nt + {DSIR_BUCKETS} AS DOUBLE))
+             - ln((cr + 1) / CAST(nr + {DSIR_BUCKETS} AS DOUBLE))
+         ) * 1e9 + 0.5) AS BIGINT) AS lwq
   FROM raw, tot
 )
 SELECT btf.doc_id,
-       SUM(btf.tf) AS n_tokens,
-       SUM(btf.tf * lw.lw) AS log_weight
+       CAST(SUM(btf.tf) AS BIGINT) AS n_tokens,
+       CAST(CAST(SUM(btf.tf * lw.lwq) AS BIGINT) AS DOUBLE) / 1e9
+         AS log_weight
 FROM btf JOIN lw USING (b)
 GROUP BY btf.doc_id
 """

@@ -732,7 +732,7 @@ WHERE cnt = {WINNOW_W}
 
 register(
     "docs_winnowing", docs_winnowing, ORACLE_WINNOWING,
-    driver=False,  # gate capped at 50; oracle-gated in pytest
+    # r6 rotation: promoted — never driver-verified before
 )
 
 
@@ -797,5 +797,5 @@ register(
     "docs_winnowing_overlap",
     docs_winnowing_overlap,
     ORACLE_WINNOW_OVERLAP,
-    driver=False,  # gate capped at 50; oracle-gated in pytest
+    # r6 rotation: promoted — never driver-verified before
 )

@@ -130,7 +130,9 @@ def _means(assigned: DataFrame) -> dict[int, list[float]]:
         .groupBy("cid", "pos")
         .agg(
             (
-                F.sum(F.col("x").cast("double").cast(_MEAN_DEC)).cast("double")
+                F.round(
+                    F.sum(F.col("x").cast("double").cast(_MEAN_DEC)), 12
+                ).cast("double")
                 / F.count(F.lit(1))
             ).alias("m")
         )
@@ -255,8 +257,8 @@ def _sql_assign(src: str, cents: str, out: str) -> str:
 _SQL_MEANS = f"""c1 AS (
   SELECT cid, list(m ORDER BY pos) AS cvec FROM (
     SELECT cid, pos,
-           CAST(SUM(CAST(CAST(embedding[pos] AS DOUBLE)
-                         AS DECIMAL(28,18))) AS DOUBLE) / COUNT(*) AS m
+           CAST(ROUND(SUM(CAST(CAST(embedding[pos] AS DOUBLE)
+                         AS DECIMAL(28,18))), 12) AS DOUBLE) / COUNT(*) AS m
     FROM a1, generate_series(1, {DIM}) AS g(pos)
     GROUP BY cid, pos)
   GROUP BY cid

@@ -68,8 +68,10 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched numpy. The fake decode is deterministic byte
     arithmetic, so DuckDB reproduces it exactly: mean = sum(byte)/n is
     exact IEEE (integer-valued partials), the 16-bin histogram is
-    integer counts, and entropy differs only in last-ulp summation
-    order — inside the comparator's 6-decimal rounding."""
+    integer counts, and entropy terms are quantized to integer
+    pico-units before the (exact, order-free) sum so the value is
+    bit-identical across engines (round 6 — the old ulp-level
+    summation wobble only passed under the retired 6-dp comparator)."""
     return extract_features(_media(spark, sf_dir))
 
 
@@ -86,7 +88,12 @@ means AS (
   SELECT doc_id, sum(b) * 1.0 / count(*) AS mean_byte FROM chars GROUP BY doc_id
 ),
 ents AS (
-  SELECT doc_id, -sum((c * 1.0 / n) * log2(c * 1.0 / n)) AS byte_entropy
+  -- fixed-point pico-unit terms: mirrors the Spark kernel's
+  -- floor(p*log2(p)*1e12 + 0.5) exactly (order-free integer sum)
+  SELECT doc_id,
+         -CAST(SUM(CAST(FLOOR((c * 1.0 / n) * log2(c * 1.0 / n) * 1e12
+                               + 0.5) AS BIGINT)) AS BIGINT) / 1e12
+           AS byte_entropy
   FROM (SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM bins)
   GROUP BY doc_id
 ),
@@ -167,7 +174,7 @@ register(
 )
 register(
     "mm_decode_features", mm_decode_features, ORACLE_FEATURES,
-    driver=False,  # r4.2 rotation: driver-verified green in r2+r3; pytest-gated
+    # r6 rotation: RE-promoted — entropy values changed (pico-unit quantization)
 )
 register("mm_frame_sample", mm_frame_sample, ORACLE_FRAMES, driver=False)
 register("mm_resize_digest", mm_resize_digest, ORACLE_RESIZE, driver=False,  # r4 rotation: driver-verified green in r2+r3; pytest-gated now

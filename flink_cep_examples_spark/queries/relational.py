@@ -47,6 +47,18 @@ def _dec(c: str):
     return F.col(c).cast(_D)
 
 
+def _d4(sum_col):
+    """Exact decimal aggregate → hash-stable DOUBLE: round to scale 4
+    FIRST, so the decimal→double conversion's scaled integer fits in
+    2^53 on both engines. DuckDB's wide DECIMAL(38,s≥10)→DOUBLE cast
+    is not correctly rounded (hugeint→double, then a divide) — it
+    flipped q1's sum_charge by 1 ulp at sf0.01 — while Spark's is;
+    at scale 4 both conversions are exact, and ROUND-half-away
+    matches between the engines (verified bitwise, round 6). Every
+    oracle mirrors with CAST(ROUND(SUM(…), 4) AS DOUBLE)."""
+    return F.round(sum_col, 4).cast("double")
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 adapted: pricing summary for shipped lineitems.
 
@@ -62,12 +74,16 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
             F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(_dec("l_extendedprice") * (F.lit(1) - disc))
-            .cast("double")
-            .alias("sum_disc_price"),
-            F.sum(_dec("l_extendedprice") * (F.lit(1) - disc) * (F.lit(1) + tax))
-            .cast("double")
-            .alias("sum_charge"),
+            _d4(
+                F.sum(_dec("l_extendedprice") * (F.lit(1) - disc))
+            ).alias("sum_disc_price"),
+            _d4(
+                F.sum(
+                    _dec("l_extendedprice")
+                    * (F.lit(1) - disc)
+                    * (F.lit(1) + tax)
+                )
+            ).alias("sum_charge"),
             (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias(
                 "avg_qty"
             ),
@@ -80,11 +96,11 @@ ORACLE_Q1 = """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(24,4))) AS DOUBLE) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
-                * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
+                * (1 - CAST(l_discount AS DECIMAL(8,6)))), 4) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
                 * (1 - CAST(l_discount AS DECIMAL(8,6)))
-                * (1 + CAST(l_tax AS DECIMAL(8,6)))) AS DOUBLE) AS sum_charge,
+                * (1 + CAST(l_tax AS DECIMAL(8,6)))), 4) AS DOUBLE) AS sum_charge,
        CAST(SUM(CAST(l_quantity AS DECIMAL(24,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
        COUNT(*) AS count_order
 FROM lineitem
@@ -112,9 +128,9 @@ def q3_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.sum(_dec("l_extendedprice") * (F.lit(1) - disc))
-            .cast("double")
-            .alias("revenue")
+            _d4(
+                F.sum(_dec("l_extendedprice") * (F.lit(1) - disc))
+            ).alias("revenue")
         )
         .select(
             "l_orderkey",
@@ -131,8 +147,8 @@ ORACLE_Q3 = """
 SELECT l_orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
        o_orderpriority,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
-                * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE) AS revenue
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
+                * (1 - CAST(l_discount AS DECIMAL(8,6)))), 4) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -171,17 +187,17 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.sum(_dec("l_extendedprice") * (F.lit(1) - disc))
-            .cast("double")
-            .alias("revenue")
+            _d4(
+                F.sum(_dec("l_extendedprice") * (F.lit(1) - disc))
+            ).alias("revenue")
         )
     )
 
 
 ORACLE_Q5 = """
 SELECT r_name, n_name,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
-                * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE) AS revenue
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
+                * (1 - CAST(l_discount AS DECIMAL(8,6)))), 4) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -207,9 +223,9 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
         .agg(
-            F.sum(_dec("l_extendedprice") * (F.lit(1) - disc))
-            .cast("double")
-            .alias("revenue")
+            _d4(
+                F.sum(_dec("l_extendedprice") * (F.lit(1) - disc))
+            ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
@@ -218,8 +234,8 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q10 = """
 SELECT c_custkey, c_name, n_name, c_acctbal,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
-                * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE) AS revenue
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
+                * (1 - CAST(l_discount AS DECIMAL(8,6)))), 4) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -507,11 +523,13 @@ GROUP BY event_type
 """
 
 
-register("q1_pricing_summary", q1_pricing_summary, ORACLE_Q1, driver=False,  # r4 rotation: driver-verified green in r2+r3; pytest-gated now
+register(
+    "q1_pricing_summary", q1_pricing_summary, ORACLE_Q1,
+    # r6 rotation: RE-promoted — sum_disc_price/sum_charge changed (_d4 ROUND)
 )
 register(
     "events_json_props", events_json_props, ORACLE_JSON,
-    # round-4 rotation: promoted into the 50-row driver gate
+    driver=False,  # r6 rotation: driver-verified green r4+r5; pytest-gated
 )
 register("q3_top_unshipped_orders", q3_top_unshipped_orders, ORACLE_Q3, driver=False,  # r4 rotation: driver-verified green in r2+r3; pytest-gated now
 )
@@ -529,17 +547,17 @@ register("events_hourly_by_type", events_hourly_by_type, ORACLE_HOURLY, driver=F
 )
 register(
     "events_sliding_counts", events_sliding_counts, ORACLE_SLIDING,
-    # round-4 rotation: promoted into the 50-row driver gate
+    driver=False,  # r6 rotation: driver-verified green r4+r5; pytest-gated
 )
 register(
     "events_rolling_value", events_rolling_value, ORACLE_ROLLING,
-    # round-4 rotation: promoted into the 50-row driver gate
+    driver=False,  # r6 rotation: driver-verified green r4+r5; pytest-gated
 )
 register("events_sessions", events_sessions, ORACLE_SESSIONS, driver=False,  # r5.2 rotation: driver-verified green r3+r4; pytest-gated now
 )
 register(
     "priority_share", priority_share, ORACLE_SHARE,
-    # round-4 rotation: promoted into the 50-row driver gate
+    driver=False,  # r6 rotation: driver-verified green r4+r5; pytest-gated
 )
 
 
@@ -567,12 +585,14 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 F.lit(100.0)
-                * F.sum(
-                    F.when(F.col("p_type") == "PROMO", rev).otherwise(
-                        F.lit(0).cast(_D)
+                * _d4(
+                    F.sum(
+                        F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                            F.lit(0).cast(_D)
+                        )
                     )
-                ).cast("double")
-                / F.sum(rev).cast("double")
+                )
+                / _d4(F.sum(rev))
             ).alias("promo_revenue_pct")
         )
     )
@@ -580,12 +600,12 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q14 = """
 SELECT 100.0
-       * CAST(SUM(CASE WHEN p_type = 'PROMO'
+       * CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
                        THEN CAST(l_extendedprice AS DECIMAL(14,4))
                             * (1 - CAST(l_discount AS DECIMAL(8,6)))
-                       ELSE CAST(0 AS DECIMAL(14,4)) END) AS DOUBLE)
-       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4))
-                  * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE)
+                       ELSE CAST(0 AS DECIMAL(14,4)) END), 4) AS DOUBLE)
+       / CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,4))
+                  * (1 - CAST(l_discount AS DECIMAL(8,6)))), 4) AS DOUBLE)
        AS promo_revenue_pct
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -669,17 +689,17 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(pt, F.col("l_partkey") == F.col("p_partkey"))
         .filter(band)
         .agg(
-            F.sum(_dec("l_extendedprice") * (F.lit(1) - disc))
-            .cast("double")
-            .alias("revenue"),
+            _d4(
+                F.sum(_dec("l_extendedprice") * (F.lit(1) - disc))
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
 
 
 ORACLE_Q19 = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4))
-               * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE) AS revenue,
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(14,4))
+               * (1 - CAST(l_discount AS DECIMAL(8,6)))), 4) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 10
@@ -719,10 +739,10 @@ def q12_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q12 = """
 SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
             THEN 'high' ELSE 'low' END AS priority_class,
-       SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 30
-                THEN 1 ELSE 0 END) AS late_items,
-       SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 30
-                THEN 0 ELSE 1 END) AS ontime_items
+       CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 30
+                THEN 1 ELSE 0 END) AS BIGINT) AS late_items,
+       CAST(SUM(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 30
+                THEN 0 ELSE 1 END) AS BIGINT) AS ontime_items
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1 ORDER BY 1
 """

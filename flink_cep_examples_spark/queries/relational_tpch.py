@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_cep_examples_spark.queries import register
+from flink_cep_examples_spark.queries.relational import _d4
 from flink_cep_examples_spark.sources.tables import load_table
 
 _D = "decimal(24,4)"  # exact money accumulator
@@ -158,15 +159,15 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").alias("l_year"),
         )
-        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .agg(_d4(F.sum(_rev())).alias("revenue"))
     )
 
 
 ORACLE_Q7 = """
 SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
        CAST(YEAR(l_shipdate) AS INT) AS l_year,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
-                * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE) AS revenue
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
+                * (1 - CAST(l_discount AS DECIMAL(8,6)))), 4) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON o_orderkey = l_orderkey
 JOIN customer ON c_custkey = o_custkey
@@ -225,12 +226,14 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             (
-                F.sum(
-                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
-                        F.lit(0).cast(_D)
+                _d4(
+                    F.sum(
+                        F.when(
+                            F.col("supp_nation") == "NATION_3", vol
+                        ).otherwise(F.lit(0).cast(_D))
                     )
-                ).cast("double")
-                / F.sum(vol).cast("double")
+                )
+                / _d4(F.sum(vol))
             ).alias("mkt_share")
         )
     )
@@ -238,12 +241,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q8 = """
 SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
-       CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+       CAST(ROUND(SUM(CASE WHEN n2.n_name = 'NATION_3'
                      THEN CAST(l_extendedprice AS DECIMAL(24,4))
                           * (1 - CAST(l_discount AS DECIMAL(8,6)))
-                     ELSE CAST(0 AS DECIMAL(24,4)) END) AS DOUBLE)
-       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
-                  * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE)
+                     ELSE CAST(0 AS DECIMAL(24,4)) END), 4) AS DOUBLE)
+       / CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
+                  * (1 - CAST(l_discount AS DECIMAL(8,6)))), 4) AS DOUBLE)
          AS mkt_share
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
@@ -282,7 +285,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate"
     )
-    cost = _dec("p_retailprice") * F.col("l_quantity")
+    cost = _dec("p_retailprice") * F.col("l_quantity").cast(_D)
     return (
         li.join(part, li.l_partkey == part.p_partkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
@@ -290,8 +293,8 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nation", F.year("o_orderdate").alias("o_year"))
         .agg(
             (
-                F.sum(_rev()).cast("double")
-                - F.lit(0.1) * F.sum(cost).cast("double")
+                _d4(F.sum(_rev()))
+                - F.lit(0.1) * _d4(F.sum(cost))
             ).alias("sum_profit")
         )
     )
@@ -299,10 +302,11 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_Q9 = """
 SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
-                * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE)
-       - 0.1 * CAST(SUM(CAST(p_retailprice AS DECIMAL(24,4))
-                        * l_quantity) AS DOUBLE) AS sum_profit
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
+                * (1 - CAST(l_discount AS DECIMAL(8,6)))), 4) AS DOUBLE)
+       - 0.1 * CAST(ROUND(SUM(CAST(p_retailprice AS DECIMAL(24,4))
+                        * CAST(l_quantity AS DECIMAL(24,4))), 4) AS DOUBLE)
+         AS sum_profit
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 JOIN supplier ON s_suppkey = l_suppkey
@@ -415,7 +419,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01"))
     )
     revenue = li.groupBy("l_suppkey").agg(
-        F.sum(_rev()).cast("double").alias("total_revenue")
+        _d4(F.sum(_rev())).alias("total_revenue")
     )
     mx = revenue.agg(F.max("total_revenue").alias("mx"))
     supp = load_table(spark, sf_dir, "supplier").select(
@@ -432,8 +436,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q15 = """
 WITH revenue AS (
   SELECT l_suppkey,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
-                  * (1 - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE)
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(24,4))
+                  * (1 - CAST(l_discount AS DECIMAL(8,6)))), 4) AS DOUBLE)
            AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -617,17 +621,19 @@ LIMIT 10
 """
 
 
-register(  # r4.2 rotation: promoted into the 50-row driver gate
-    "q2_min_cost_supplier", q2_min_cost_supplier, ORACLE_Q2
+register(
+    "q2_min_cost_supplier", q2_min_cost_supplier, ORACLE_Q2,
+    driver=False,  # r6 rotation: driver-verified green r4.2+r5; pytest-gated
 )
 register("q7_volume_shipping", q7_volume_shipping, ORACLE_Q7)
 register("q8_market_share", q8_market_share, ORACLE_Q8)
 register("q9_product_type_profit", q9_product_type_profit, ORACLE_Q9)
 register("q11_important_stock", q11_important_stock, ORACLE_Q11)
-register(  # r4.2 rotation: promoted into the 50-row driver gate
+register(
     "q13_order_count_distribution",
     q13_order_count_distribution,
     ORACLE_Q13,
+    driver=False,  # r6 rotation: driver-verified green r4.2+r5; pytest-gated
 )
 register("q15_top_supplier", q15_top_supplier, ORACLE_Q15)
 register(

@@ -240,7 +240,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qn2 = (
         q.agg(F.sum((F.col("qx") * F.col("qx")).cast(_TERM_DEC)).alias("qn2"))
-        .select(F.col("qn2").cast("double").alias("qn2"))
+        .select(F.round(F.col("qn2"), 12).cast("double").alias("qn2"))
     )
     cos = F.col("dot") / F.sqrt(F.col("n2") * F.col("qn2"))
     return (
@@ -248,10 +248,10 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != QUERY_VEC_ID)
         .groupBy("vec_id", "label")
         .agg(
-            F.sum((F.col("x") * F.col("qx")).cast(_TERM_DEC))
+            F.round(F.sum((F.col("x") * F.col("qx")).cast(_TERM_DEC)), 12)
             .cast("double")
             .alias("dot"),
-            F.sum((F.col("x") * F.col("x")).cast(_TERM_DEC))
+            F.round(F.sum((F.col("x") * F.col("x")).cast(_TERM_DEC)), 12)
             .cast("double")
             .alias("n2"),
         )
@@ -262,11 +262,23 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_dec_dot(a: str, b: str) -> str:
+def _sql_dec_dot_raw(a: str, b: str) -> str:
+    """Exact DECIMAL dot (order-free, un-cast) — bit-identical to the
+    Spark side's sum((x*y)::decimal(28,18))."""
     return (
-        "CAST(list_sum([CAST(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)"
-        f" AS DECIMAL(28,18)) FOR x IN list_zip({a}, {b})]) AS DOUBLE)"
+        "list_sum([CAST(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)"
+        f" AS DECIMAL(28,18)) FOR x IN list_zip({a}, {b})])"
     )
+
+
+def _sql_dec_dot(a: str, b: str) -> str:
+    """Decimal dot → hash-stable DOUBLE: ROUND to scale 12 first so
+    the decimal→double conversion's scaled integer fits 2^53 — the
+    raw DECIMAL(38,18) cast is NOT correctly rounded in DuckDB
+    (hugeint→double, then a divide; flipped ann_bruteforce/ann_pq by
+    1 ulp at sf0.01). Spark mirrors with round(sum(…), 12)::double."""
+    return f"CAST(ROUND({_sql_dec_dot_raw(a, b)}, 12) AS DOUBLE)"
+
 
 
 ORACLE_BRUTEFORCE = f"""
@@ -506,15 +518,17 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            (F.sum("n2").cast("double") / F.count(F.lit(1))).alias("mean_sq_norm"),
+            (
+                F.round(F.sum("n2"), 6).cast("double") / F.count(F.lit(1))
+            ).alias("mean_sq_norm"),
         )
     )
 
 
 ORACLE_LABEL_STATS = f"""
 SELECT label, COUNT(*) AS n_vecs,
-       CAST(SUM(CAST({_sql_dot('embedding', 'embedding')} AS DECIMAL(18,12)))
-            AS DOUBLE) / COUNT(*) AS mean_sq_norm
+       CAST(ROUND(SUM(CAST({_sql_dot('embedding', 'embedding')} AS DECIMAL(18,12))),
+                  6) AS DOUBLE) / COUNT(*) AS mean_sq_norm
 FROM embeddings
 GROUP BY label
 """
@@ -522,7 +536,7 @@ GROUP BY label
 
 register(
     "ann_bruteforce_topk", ann_bruteforce_topk, ORACLE_BRUTEFORCE,
-    driver=False,  # r4.2 rotation: driver-verified green in r2+r3; pytest-gated
+    # r6 rotation: RE-promoted — cos values changed (ROUND-12 dot discipline)
 )
 register("ann_lsh_topk", ann_lsh_topk, ORACLE_LSH_TOPK, driver=False,  # r4 rotation: driver-verified green in r2+r3; pytest-gated now
 )
@@ -533,7 +547,7 @@ register(
 )
 register(
     "embedding_label_stats", embedding_label_stats, ORACLE_LABEL_STATS,
-    driver=False,  # r5 rotation: driver-verified green r3+r4; pytest-gated now
+    # r6 rotation: RE-promoted — mean_sq_norm changed (ROUND-6 discipline)
 )
 
 
@@ -570,7 +584,7 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qn2 = (
         q.agg(F.sum((F.col("qx") * F.col("qx")).cast(_TERM_DEC)).alias("qn2"))
-        .select(F.col("qn2").cast("double").alias("qn2"))
+        .select(F.round(F.col("qn2"), 12).cast("double").alias("qn2"))
     )
     cos = F.col("dot") / F.sqrt(F.col("n2q").cast("double") * F.col("qn2"))
     return (
@@ -578,7 +592,7 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != QUERY_VEC_ID)
         .groupBy("vec_id", "label")
         .agg(
-            F.sum((F.col("qd") * F.col("qx")).cast(_TERM_DEC))
+            F.round(F.sum((F.col("qd") * F.col("qx")).cast(_TERM_DEC)), 12)
             .cast("double")
             .alias("dot"),
             F.sum(F.col("qd") * F.col("qd")).alias("n2q"),
@@ -706,19 +720,18 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     qn2 = q.agg(
-        F.sum(dec(F.col("qx") * F.col("qx"))).cast("double").alias("qn2")
+        F.round(F.sum(dec(F.col("qx") * F.col("qx"))), 12)
+        .cast("double")
+        .alias("qn2")
     )
 
-    cos = (
-        F.col("dot")
-        / F.sqrt(F.col("n2").cast("double") * F.col("qn2"))
-    )
+    cos = F.col("dot") / F.sqrt(F.col("n2") * F.col("qn2"))
     return (
         code.join(F.broadcast(lut), ["b", "cw"])
         .groupBy("vec_id", "label")
         .agg(
-            F.sum("qdot").cast("double").alias("dot"),
-            F.sum("cn2").alias("n2"),
+            F.round(F.sum("qdot"), 12).cast("double").alias("dot"),
+            F.round(F.sum("cn2"), 12).cast("double").alias("n2"),
         )
         .crossJoin(F.broadcast(qn2))
         .select("vec_id", "label", cos.alias("cos"))
@@ -748,10 +761,10 @@ q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}),
 -- per (block, codeword): exact-decimal query dot and codeword norm^2
 lut AS (
   SELECT blocks.b, cb.cw,
-         {_sql_dec_dot(f"list_slice(cb.cv, blocks.b * {PQ_S} + 1, (blocks.b + 1) * {PQ_S})",
-                       f"list_slice(q.qv, blocks.b * {PQ_S} + 1, (blocks.b + 1) * {PQ_S})")} AS qdot,
-         {_sql_dec_dot(f"list_slice(cb.cv, blocks.b * {PQ_S} + 1, (blocks.b + 1) * {PQ_S})",
-                       f"list_slice(cb.cv, blocks.b * {PQ_S} + 1, (blocks.b + 1) * {PQ_S})")} AS cn2
+         {_sql_dec_dot_raw(f"list_slice(cb.cv, blocks.b * {PQ_S} + 1, (blocks.b + 1) * {PQ_S})",
+                           f"list_slice(q.qv, blocks.b * {PQ_S} + 1, (blocks.b + 1) * {PQ_S})")} AS qdot,
+         {_sql_dec_dot_raw(f"list_slice(cb.cv, blocks.b * {PQ_S} + 1, (blocks.b + 1) * {PQ_S})",
+                           f"list_slice(cb.cv, blocks.b * {PQ_S} + 1, (blocks.b + 1) * {PQ_S})")} AS cn2
   FROM cb, blocks, q
 ),
 -- encode: per (vector, block) the nearest codeword by exact L2
@@ -765,8 +778,8 @@ assign AS (
     PARTITION BY e.vec_id, blocks.b ORDER BY l2, cb.cw) = 1
 )
 SELECT a.vec_id, a.label,
-       CAST(SUM(l.qdot) AS DOUBLE)
-         / sqrt(CAST(SUM(l.cn2) AS DOUBLE)
+       CAST(ROUND(SUM(l.qdot), 12) AS DOUBLE)
+         / sqrt(CAST(ROUND(SUM(l.cn2), 12) AS DOUBLE)
                 * (SELECT {_sql_dec_dot('qv', 'qv')} FROM q)) AS cos
 FROM assign a JOIN lut l ON l.b = a.b AND l.cw = a.cw
 GROUP BY a.vec_id, a.label

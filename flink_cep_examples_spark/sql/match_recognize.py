@@ -635,6 +635,21 @@ def parse_match_recognize(body: str) -> PatternSpec | AlternationSpec:
                 )
             b = sum(between)
             if kind == "last":
+                # W may match ZERO rows (B* / B? / {0,m}) → LAST(W.col)
+                # is NULL under SQL:2016 / Flink for that run, not the
+                # row at a fixed lag (which would read the PRECEDING
+                # variable's row and admit spurious matches). Mirror
+                # the fixed-width rejection FIRST already applies.
+                _wn_, wq_, wt_, _wg_, _wx_ = vars0[wi]
+                w_min = {ONCE: 1, ONE_OR_MORE: 1}.get(
+                    wq_, wt_[0] if wq_ == TIMES and wt_ else 0
+                )
+                if w_min < 1:
+                    raise NotImplementedError(
+                        f"{ref}: {wvar} may match zero rows, so the "
+                        "LAST value is NULL for zero-row runs — not a "
+                        "pattern-fixed offset (run-dependent)"
+                    )
                 off = b + 1
             else:
                 wn = width(wi)
@@ -811,6 +826,20 @@ def parse_match_recognize(body: str) -> PatternSpec | AlternationSpec:
             and not any(lg for _aq, lg in alt_quants)
             else "eager"
         )
+        if derivation == "eager" and not permute and len(alt_quants) > n_top:
+            # e.g. PATTERN ((D U){1,2} | X): the ranged group expanded
+            # into extra alternatives, but the written top-level '|'
+            # demotes the whole pattern to eager emission — the group's
+            # SQL:2016 greedy {n,m} preference would silently revert to
+            # the (closed) round-4 min-count behavior. Refuse loudly
+            # rather than deviate silently (advisor round 5).
+            raise NotImplementedError(
+                "a quantified/alternation group combined with a written "
+                "top-level '|' runs under eager emission, which does not "
+                "honor the group's SQL:2016 greedy derivation order; "
+                "rewrite the pattern without the top-level alternation "
+                "or expand the group by hand"
+            )
         return AlternationSpec(
             alternatives=alternatives,
             measures=measures,

@@ -362,7 +362,11 @@ def match_pattern_stream_alternation(
     alternatives' live branches, exactly as in batch."""
     from flink_cep_examples_spark.plans.pattern import AlternationSpec
 
-    assert isinstance(aspec, AlternationSpec)
+    if not isinstance(aspec, AlternationSpec):
+        raise TypeError(
+            f"match_alternation_stream needs an AlternationSpec, got "
+            f"{type(aspec).__name__}"
+        )
     aspec.validate()
     if aspec.alternatives[0].rows_per_match == "all":
         raise NotImplementedError(
@@ -610,7 +614,11 @@ def match_pattern_stream_alternation(
                             run.start_ts + nf.within_us for run in st.runs
                         )
 
-        if buffer is None and not alt_states:
+        # keep state alive while match_nos is non-empty even if no runs
+        # remain: dropping it would restart MATCH_NUMBER at 1 after a
+        # quiescent period, diverging from batch numbering (the
+        # single-pattern operator guards the same case above)
+        if buffer is None and not alt_states and not match_nos:
             state.remove()
         else:
             alt_helds = {k: h for k, h in alt_helds.items() if h}
