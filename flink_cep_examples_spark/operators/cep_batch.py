@@ -294,6 +294,17 @@ def match_pattern(df: DataFrame, spec: PatternSpec) -> DataFrame:
             ]
         )
         matches, timeouts = nfa.scan_key_group(spec_bc, preds, ts)
+        if spec_bc.longest and len(matches) > 1:
+            # held resolution can emit a blocked earlier start AFTER a
+            # later unblocked one (SKIP TO NEXT ROW) — renumber by
+            # (start, end) ordinal so MATCH_NUMBER is SQL:2016 start
+            # order, as the alternation tiers already do
+            matches.sort(
+                key=lambda m: (
+                    min(sp[3] for sp in m.values()),
+                    max(sp[4] for sp in m.values()),
+                )
+            )
         out_cols: dict[str, list] = {k: [] for k in key_cols}
         for m in measure_list:
             out_cols[m.name] = []

@@ -550,6 +550,7 @@ def fast_positional_applicable(spec: PatternSpec) -> bool:
     counts = _fixed_counts(spec)
     return (
         counts is not None
+        and not spec.loop_groups  # iterations are not fixed-length rows
         and all(_is_const_true(v.predicate) for v in spec.variables)
         and spec.within is None
         and not spec.emit_timeouts

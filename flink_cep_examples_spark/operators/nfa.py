@@ -55,7 +55,12 @@ Design notes (deliberate, documented deviations):
 - matches complete the moment the final state is reached (non-greedy
   emission); patterns ending in a loop variable emit on each extension
   under NO_SKIP. The reference pattern ends in a ``once`` variable, so
-  this is unobservable there.
+  this is unobservable there. Exception (round 6): under
+  ``derivation="longest"`` (selected by the MATCH_RECOGNIZE front-end
+  for unbounded loop-group patterns) completions are HELD per start in
+  :attr:`NfaState.helds` and the preferred — most-iterations — one
+  emits once the start can no longer improve, giving SQL:2016 greedy
+  group-quantifier semantics (:meth:`Nfa._resolve_helds`).
 - a ``notFollowedBy`` guarding a gap also constrains rows ignored
   *between loop iterations* of the preceding variable, and when
   optional variables are epsilon-skipped the union of all gaps on the
@@ -150,23 +155,30 @@ class _Run:
 
 class NfaState:
     """Per-key mutable state: live runs + monotonically increasing run
-    and row counters. Small (bounded by the ``within`` horizon) and
-    picklable for the streaming state store."""
+    and row counters, plus held completions for the "longest"
+    derivation (round 6). Small (bounded by the ``within`` horizon)
+    and picklable for the streaming state store."""
 
-    __slots__ = ("runs", "next_seq", "row_ord")
+    __slots__ = ("runs", "next_seq", "row_ord", "helds")
 
     def __init__(self) -> None:
         self.runs: list[_Run] = []
         self.next_seq = 0
         self.row_ord = 0  # rows processed for this key, in order
+        #: "longest" derivation: start_ord → preferred completed branch
+        #: held while the same start could still complete a
+        #: derivation-preferred (more loop iterations) match
+        self.helds: dict[int, _Branch] = {}
 
     def __getstate__(self):
-        return (self.runs, self.next_seq, self.row_ord)
+        return (self.runs, self.next_seq, self.row_ord, self.helds)
 
     def __setstate__(self, s):
         if len(s) == 2:  # pre-round-3 checkpoint
             s = (*s, 0)
-        self.runs, self.next_seq, self.row_ord = s
+        if len(s) == 3:  # pre-round-6 checkpoint (no helds)
+            s = (*s, {})
+        self.runs, self.next_seq, self.row_ord, self.helds = s
 
 
 class Nfa:
@@ -281,6 +293,17 @@ class Nfa:
                     break
                 j += 1
             self._loop_succ[e_p] = tuple(targets)
+
+        #: "longest" derivation (round 6, SQL:2016 greedy group
+        #: quantifier): completions are HELD in NfaState.helds while
+        #: the same start's loop branches live, then the preferred
+        #: (most-iterations) one emits — vs the default eager emission
+        #: (first completion per start wins, Flink's behavior: Flink
+        #: rejects greedy group patterns outright). Selected by the
+        #: MATCH_RECOGNIZE front-end for loop-group patterns.
+        self.longest = (
+            getattr(spec, "derivation", "eager") == "longest"
+        )
 
         # until(): at most one looping variable carries a stop condition
         # (validated upstream). Its predicate is the extra pred column
@@ -405,6 +428,9 @@ class Nfa:
         SKIP_TO_FIRST/LAST the running resumption cutoff suppresses
         later expired runs that started before it."""
         if self.within_us is None or not st.runs:
+            if self.longest and st.helds:
+                # no live runs → every held start is decided
+                return self._resolve_helds(st), []
             return [], []
         expired, live = [], []
         for run in st.runs:
@@ -433,7 +459,49 @@ class Nfa:
                 timeouts.append(self._timeout_dict(run))
         if cutoff is not None:
             st.runs = [r for r in st.runs if r.start_ord >= cutoff]
+        if self.longest and st.helds:
+            # expiring runs may have unblocked held completions
+            matches.extend(self._resolve_helds(st))
         return matches, timeouts
+
+    def _resolve_helds(self, st: NfaState, final: bool = False) -> list[dict]:
+        """Emit held "longest"-derivation completions whose start is
+        decided: no live run with the SAME start (it could complete a
+        preferred, more-iterations match) and — under SKIP PAST LAST
+        ROW, which resolves starts sequentially — no live run with an
+        EARLIER start (its match would preempt). Emission under SKIP
+        PAST LAST discards runs and helds whose start lies inside the
+        emitted span; SKIP TO NEXT ROW / NO_SKIP (which longest
+        collapses to one preferred match per start, exactly like the
+        alternation tier's leftmost derivation) resolve each start
+        independently. ``final=True`` (end of input) treats every live
+        run as unable to complete."""
+        helds = st.helds
+        out: list[dict] = []
+        if not helds:
+            return out
+        live = set() if final else {r.start_ord for r in st.runs}
+        if self.after_match == SKIP_PAST_LAST_EVENT:
+            min_live = min(live) if live else None
+            while helds:
+                s_min = min(helds)
+                if min_live is not None and min_live <= s_min:
+                    break
+                br = helds[s_min]
+                end_ord = _branch_end_ord(br)
+                out.append(self._branch_dict(br))
+                st.runs = [r for r in st.runs if r.start_ord > end_ord]
+                live = {s for s in live if s > end_ord}
+                min_live = min(live) if live else None
+                for s in [s for s in helds if s <= end_ord]:
+                    del helds[s]
+        else:  # SKIP_TO_NEXT / NO_SKIP: starts decide independently
+            for s in sorted(helds):
+                if s in live:
+                    continue
+                out.append(self._branch_dict(helds[s]))
+                del helds[s]
+        return out
 
     def step(
         self, st: NfaState, t_us: int, pred_row, payload
@@ -444,6 +512,19 @@ class Nfa:
         as var-name → (first, last, count) payload dicts."""
         matches, timeouts = self.advance_time(st, t_us)
         completed = self._consume(st, t_us, pred_row, payload)
+        if self.longest:
+            # SQL:2016 greedy group derivation: hold each start's
+            # preferred completion (quantifier preference — more loop
+            # iterations — via _pref_key) instead of emitting eagerly;
+            # resolution happens once the start can no longer improve.
+            for _seq, s, br in completed:
+                cur = st.helds.get(s)
+                if cur is None or self._pref_key(br) < self._pref_key(cur):
+                    st.helds[s] = br
+            # runs may also have died on this row (contiguity break),
+            # unblocking earlier helds — resolve unconditionally
+            matches.extend(self._resolve_helds(st))
+            return matches, timeouts
         if completed:
             # (seq, pref) sort: earliest run wins; within a run the
             # quantifier-preferred branch (greedy/reluctant) wins; the
@@ -481,6 +562,12 @@ class Nfa:
         specs without trailing negatives (no pending completions) and
         without timeout emission — the alternation validator enforces
         both."""
+        if self.longest:  # survives python -O, unlike assert
+            raise AssertionError(
+                "'longest' derivation is a single-pattern discipline — "
+                "alternation alternatives must stay eager (the "
+                "coordinator owns held resolution)"
+            )
         matches, _ = self.advance_time(st, t_us)
         if matches:  # survives python -O, unlike assert
             raise AssertionError(
@@ -573,8 +660,16 @@ class Nfa:
                             moved_det = moved_det or not self._combinations[q]
                             if self._complete[q] and self._minc[q] <= 1:
                                 complete(run, nb)
-                                if not self._can_loop[q]:
-                                    continue  # final once-var: branch ends
+                                # a final once-var ends the branch —
+                                # UNLESS it closes a loop-group
+                                # iteration (the branch may loop back
+                                # next row; same as a trailing B+
+                                # variable emitting on each extension)
+                                if (
+                                    not self._can_loop[q]
+                                    and q not in self._loop_succ
+                                ):
+                                    continue
                             keep(nb)
                     # group loop-back: the end variable of a (X Y)+
                     # group just finished an iteration — a parallel
@@ -641,7 +736,10 @@ class Nfa:
             else []
         )
         st.runs = []
-        return [], timeouts
+        # "longest" derivation without within: live runs could never be
+        # pruned mid-stream, so held completions resolve here
+        matches = self._resolve_helds(st, final=True) if self.longest else []
+        return matches, timeouts
 
 
 def scan_key_group(

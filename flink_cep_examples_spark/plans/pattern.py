@@ -241,6 +241,17 @@ class PatternSpec:
     #: FIRST()/LAST() inside DEFINE is run-dependent and NOT
     #: precomputable — unsupported, the parser rejects it.)
     nav_cols: tuple[tuple[str, str, int, str], ...] = ()
+    #: Loop-group emission derivation: "eager" (default — first
+    #: completion per start wins, Flink's behavior; Flink rejects
+    #: greedy group patterns outright) or "longest" (SQL:2016 greedy
+    #: group quantifier: a completed match is HELD while the same
+    #: start's loop branch is still alive, and the preferred —
+    #: most-iterations — completion emits; operators/nfa.py holds the
+    #: state in NfaState.helds, so streaming checkpoints carry it).
+    #: The MATCH_RECOGNIZE front-end selects "longest" for
+    #: single-alternative loop-group patterns; the Flink-tier Pattern
+    #: API keeps "eager".
+    derivation: str = "eager"
 
     @property
     def pred_exprs(self) -> tuple[str, ...]:
@@ -259,6 +270,34 @@ class PatternSpec:
 
     def validate(self) -> "PatternSpec":
         names = [v.name for v in self.variables]
+        if self.derivation not in ("eager", "longest"):
+            raise ValueError(
+                f"derivation must be 'eager' or 'longest': {self.derivation!r}"
+            )
+        if self.derivation == "longest":
+            # held completions resolve through the normal match channel
+            # only — the combinations below would route completions
+            # around the hold (pendings) or need resumption-cutoff
+            # coordination the hold doesn't model; all are loud, not
+            # silent-eager (advisor round 5 discipline)
+            if self.emit_timeouts:
+                raise NotImplementedError(
+                    "'longest' derivation with timeout emission: an "
+                    "expired run may hold an unemitted match, so the "
+                    "match/timeout channels would double-report it"
+                )
+            if self.variables[-1].negated:
+                raise NotImplementedError(
+                    "'longest' derivation with a trailing absence "
+                    "variable: timed-absence completions resolve as "
+                    "pendings, bypassing the hold"
+                )
+            if self.after_match in (SKIP_TO_FIRST, SKIP_TO_LAST):
+                raise NotImplementedError(
+                    "'longest' derivation supports AFTER MATCH SKIP "
+                    "PAST LAST ROW / SKIP TO NEXT ROW / NO SKIP (skip-"
+                    "to-variable resumption is eager-only)"
+                )
         if self.permute:
             if len(self.variables) > 4:
                 raise ValueError(

@@ -1091,8 +1091,10 @@ register(  # r4.2 rotation: promoted into the 50-row driver gate
 register(  # r4.2 rotation: promoted into the 50-row driver gate
     "cep_alternation_pattern", cep_alternation_pattern, ORACLE_ALTERNATION,
 )
-register(  # r4.2 rotation: promoted into the 50-row driver gate
+register(
     "cep_vshape_prev", cep_vshape_prev, ORACLE_VSHAPE,
+    driver=False,  # r6 rotation: driver-verified green r4+r5; demoted
+    # to make room for cep_group_longest_chain (gate cap 50)
 )
 register(  # r4.2 rotation: promoted into the 50-row driver gate
     "cep_running_measures", cep_running_measures, ORACLE_RUNNING,
@@ -1704,4 +1706,117 @@ register(
     cep_iter_cond_rebound,
     ORACLE_ITER_COND,
     # r6 rotation: promoted — never driver-verified before
+)
+
+
+def cep_group_longest_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2016 LONGEST (greedy) emission for a TRAILING unbounded
+    group quantifier — ``PATTERN ((X Y)+)`` (round 6): per user, the
+    maximal alternating (X, Y) chain from each chain-starting X row,
+    under AFTER MATCH SKIP PAST LAST ROW. This is the shape where
+    greedy derivation is observable: a completed (X Y) iteration can
+    still EXTEND, so eager emission (round 5's documented deviation)
+    would emit one match per pair while SQL:2016 emits one maximal
+    match per chain. The NFA holds each start's preferred completion
+    (operators/nfa.py NfaState.helds) until the start can no longer
+    improve; MATCH_NUMBER() is start-order per key (the operator
+    renumbers by (start, end) after held resolution).
+
+    On a classified row string this is exactly leftmost-longest
+    ``(?:xy)+`` regex matching, which the closed-form oracle below
+    computes via maximal-alternating-island arithmetic — one match per
+    island holding a class-1 row with a class-2 successor.
+
+    Reference parity: greedy group quantifiers extend FlinkCEP's
+    ``Pattern`` algebra (Flink rejects groupBy+oneOrMore greedy
+    combinations outright, FlinkCEPExample.scala has no grouping);
+    semantics follow SQL:2016 row-pattern preferment."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.sources.tables import load_table, spread
+    from flink_cep_examples_spark.sql.match_recognize import match_recognize
+
+    events = spread(load_table(spark, sf_dir, "events"), "user_id").select(
+        "user_id", "ts", "event_id"
+    )
+    out = match_recognize(
+        events,
+        """
+        PARTITION BY user_id ORDER BY ts, event_id
+        MEASURES FIRST(X.ts) AS first_x_ts,
+                 LAST(Y.ts) AS last_y_ts,
+                 COUNT(X.*) AS pairs,
+                 MATCH_NUMBER() AS mn
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN ((X Y)+)
+        DEFINE X AS event_id % 3 = 1,
+               Y AS event_id % 3 = 2
+        """,
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.date_format("first_x_ts", "yyyy-MM-dd HH:mm:ss").alias("first_x_ts"),
+        F.date_format("last_y_ts", "yyyy-MM-dd HH:mm:ss").alias("last_y_ts"),
+        "pairs",
+        "mn",
+    )
+
+
+#: Closed form for the greedy trailing chain, derived independently of
+#: the NFA: classify m = event_id % 3 over the per-user (ts, event_id)
+#: order; break the timeline into maximal ALTERNATING (1,2) islands
+#: (same brk logic as ORACLE_GROUP_UNBOUNDED). Within an island the
+#: chain starts at its EARLIEST class-1 row srn (an island that starts
+#: with class 2 contributes its 2nd row); greedy consumes
+#: pairs = (island_end - srn + 1) // 2 pairs and SKIP PAST LAST leaves
+#: at most one dangling X — so each island emits at most ONE match,
+#: ending at row srn + 2*pairs - 1. MATCH_NUMBER is start-order per
+#: user.
+ORACLE_GROUP_LONGEST = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_id % 3 AS m,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+f AS (
+  SELECT *,
+         CASE WHEN m IN (1, 2)
+               AND lag(m) OVER (PARTITION BY user_id ORDER BY rn) = 3 - m
+              THEN 0 ELSE 1 END AS brk
+  FROM e
+),
+isl AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY rn) AS gid
+  FROM f
+),
+s AS (
+  SELECT user_id, gid, MIN(CASE WHEN m = 1 THEN rn END) AS srn,
+         MAX(rn) AS ern
+  FROM isl WHERE m IN (1, 2) GROUP BY user_id, gid
+),
+mt AS (
+  SELECT user_id, gid, srn,
+         (ern - srn + 1) // 2 AS pairs,
+         srn + ((ern - srn + 1) // 2) * 2 - 1 AS lrn
+  FROM s WHERE srn IS NOT NULL AND ern > srn
+)
+SELECT mt.user_id,
+       strftime(fx.ts, {_FMT}) AS first_x_ts,
+       strftime(ly.ts, {_FMT}) AS last_y_ts,
+       mt.pairs,
+       row_number() OVER (PARTITION BY mt.user_id ORDER BY mt.srn) AS mn
+FROM mt
+JOIN isl fx ON fx.user_id = mt.user_id AND fx.rn = mt.srn
+JOIN isl ly ON ly.user_id = mt.user_id AND ly.rn = mt.lrn
+"""
+
+
+register(
+    "cep_group_longest_chain",
+    cep_group_longest_chain,
+    ORACLE_GROUP_LONGEST,
+    # round 6: SQL:2016 greedy loop-group derivation — straight into
+    # the driver gate
 )

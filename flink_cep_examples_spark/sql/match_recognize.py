@@ -826,7 +826,14 @@ def parse_match_recognize(body: str) -> PatternSpec | AlternationSpec:
             and not any(lg for _aq, lg in alt_quants)
             else "eager"
         )
-        if derivation == "eager" and not permute and len(alt_quants) > n_top:
+        if (
+            derivation == "eager"
+            and not permute
+            and n_top > 1  # a WRITTEN '|' did the demoting; a pure
+            # star-group expansion (n_top == 1, zero-iteration branch
+            # + loop branch) keeps its documented eager emission
+            and len(alt_quants) > n_top
+        ):
             # e.g. PATTERN ((D U){1,2} | X): the ranged group expanded
             # into extra alternatives, but the written top-level '|'
             # demotes the whole pattern to eager emission — the group's
@@ -862,6 +869,17 @@ def parse_match_recognize(body: str) -> PatternSpec | AlternationSpec:
         permute=permute,
         subsets=tuple(subsets) + auto_subsets,
         nav_cols=nav_tuple,
+        # SQL:2016 greedy group quantifier: an UNBOUNDED loop group
+        # ((X Y)+/*/{n,}) emits the LONGEST (most-iterations)
+        # completion per start — completions are held in the NFA until
+        # the start can no longer improve (operators/nfa.py
+        # NfaState.helds), closing the round-5 documented
+        # eager-emission deviation. The Flink-tier Pattern DSL keeps
+        # eager (Flink rejects greedy group patterns outright, so
+        # there is no Flink behavior to match). Unsupported combos
+        # (timeouts, trailing absence, SKIP TO var) raise loudly in
+        # PatternSpec.validate rather than silently reverting to eager.
+        derivation="longest" if alt_quants[0][1] else "eager",
     ).validate()
 
 

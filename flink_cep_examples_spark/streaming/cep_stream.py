@@ -133,6 +133,17 @@ def match_pattern_stream(
         raise NotImplementedError(
             "PREV()/NEXT() navigation requires batch input"
         )
+    if spec.derivation == "longest" and any(
+        m.fn == "match_number" for m in spec.measures
+    ):
+        # batch renumbers longest-derivation matches by (start, end)
+        # ordinal; streaming emission order is held-RESOLUTION order,
+        # which can differ at watermark boundaries — same rule as the
+        # leftmost alternation tier
+        raise NotImplementedError(
+            "MATCH_NUMBER() under 'longest' derivation is batch-tier "
+            "(held-resolution order differs from start order)"
+        )
     out_schema = output_schema(df, spec)
     if n_buckets is None:
         try:
@@ -308,7 +319,10 @@ def match_pattern_stream(
                 emit(kt, x, MATCH_TAG)
             for x in wm_timeouts:
                 emit(kt, x, TIMEOUT_TAG)
-            if not nst.runs:
+            if not nst.runs and not nst.helds:
+                # helds ⊆ starts with live runs (advance_time resolves
+                # them the moment the last run dies), so the second
+                # test is belt-and-braces against losing a held match
                 if kt not in buffered_keys:
                     del nfa_states[kt]
             elif nfa.within_us is not None:
