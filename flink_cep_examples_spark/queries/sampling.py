@@ -235,3 +235,171 @@ register("docs_mixture_sample", docs_mixture_sample, ORACLE_MIXTURE)
 register("events_kmv_distinct", events_kmv_distinct, ORACLE_KMV, driver=False,  # r5.2 rotation: driver-verified green r3+r4; pytest-gated now
 )
 register("orders_rollup_report", orders_rollup_report, ORACLE_ROLLUP)
+
+
+# ---------------------------------------------------------------------------
+# Round 6: HyperLogLog distinct sketch — the industry-standard
+# distinct-count sketch alongside the KMV/bottom-k one above, built
+# bit-deterministic across engines.
+# ---------------------------------------------------------------------------
+
+#: HLL precision: m = 2^p buckets. Standard error ~1.04/sqrt(m) = 6.5%.
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P
+#: low bits carrying the rank pattern (32 - p)
+_HLL_WBITS = 32 - _HLL_P
+#: rho ranges 1.._HLL_WBITS+1; the harmonic term 2^-rho is scaled by
+#: 2^(WBITS+1) so the per-type denominator sums in EXACT BIGINT
+#: arithmetic (order-free — the r5 float-summation lesson)
+_HLL_Q = _HLL_WBITS + 1
+#: alpha_m * m^2 * 2^Q as ONE double literal shared verbatim by both
+#: engines, so the raw estimate is a single identical IEEE division.
+#: EXPONENT format ('%.17e'): DuckDB parses a plain decimal literal as
+#: DECIMAL and its wide DECIMAL->DOUBLE cast can round incorrectly
+#: (the r5 q1/q19 postmortem); an exponent literal parses as DOUBLE
+#: directly, and 17 significant digits round-trip the exact value.
+_HLL_A = "%.17e" % (
+    (0.7213 / (1 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M * float(1 << _HLL_Q)
+)
+#: linear-counting lookup m*ln(m/z) for z = 1.._HLL_M-1 zero buckets,
+#: precomputed HERE and pasted as the same decimal literals into both
+#: the Spark plan and the DuckDB oracle — cross-engine ln() can differ
+#: in the last ulp (the r5 curation postmortem), identical literals
+#: cannot. z = 0 never hits this branch; z = m needs no entry (a type
+#: with rows always occupies >= 1 bucket).
+import math as _math
+
+_HLL_LC = [
+    _HLL_M * _math.log(_HLL_M / z) for z in range(1, _HLL_M)
+]
+#: second multiplicative round + high-bit feedback: Knuth's low bits
+#: alone are too regular for leading-zero ranks
+_MIX2 = 2246822519
+
+
+def _hll_h2_sql(col: str, idiv: str = "//") -> str:
+    """The full 32-bit mixer as portable integer SQL:
+    h = (x*C1) mod 2^32; h2 = ((h mod 2^31)*C2 + h div 2^16) mod 2^32.
+    The second round reduces h to 31 bits BEFORE the multiply so the
+    product stays < 2^63 — DuckDB raises on INT64 overflow (and
+    Spark's silent wrap would diverge from it). ``idiv`` is the
+    engine's integer-division spelling — DuckDB ``//`` (default),
+    Spark SQL ``div`` — the only syntax the two disagree on; every
+    constant is shared verbatim."""
+    h = f"(({col} * {_MIX}) % {_MOD})"
+    return f"((({h} % {1 << 31}) * {_MIX2} + {h} {idiv} 65536) % {_MOD})"
+
+
+def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event_type (Flajolet et
+    al. 2007): bucket = high p bits of a 32-bit mixed hash, rho = rank
+    of the first 1-bit in the remaining bits, per-bucket state = max
+    rho, estimate = alpha_m * m^2 / sum(2^-rho_j) with the standard
+    linear-counting small-range correction.
+
+    Scale design (the reason this sketch exists at 100 TB): unlike
+    COUNT(DISTINCT) — whose shuffle carries every distinct key — the
+    HLL state is max-per-bucket, so Spark's partial aggregation
+    reduces each map task to <= m rows per type before the exchange;
+    the shuffle is O(types * m) regardless of corpus size, and states
+    merge by bucket-wise MAX (the streaming/backfill merge property).
+    No distinct, no window, no Python.
+
+    Bit parity: rho from length(bin(w)) (identical minimal-binary
+    semantics in Spark and DuckDB), the harmonic sum in scaled BIGINT
+    (order-free), the alpha constant and the linear-counting ln-table
+    as shared decimal literals — see the module docstring's
+    no-transcendentals rule."""
+    ev = load_table(spark, sf_dir, "events")
+    h2 = F.expr(_hll_h2_sql("user_id", idiv="div"))
+    w = h2 % F.lit(1 << _HLL_WBITS)
+    hashed = ev.select(
+        "event_type",
+        (h2 / F.lit(1 << _HLL_WBITS)).cast("long").alias("bucket"),
+        F.when(w == 0, F.lit(_HLL_Q))
+        .otherwise(F.lit(_HLL_Q) - F.length(F.bin(w)))
+        .alias("rho"),
+    )
+    per_bucket = hashed.groupBy("event_type", "bucket").agg(
+        F.max("rho").alias("mj")
+    )
+    agg = per_bucket.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hit"),
+        F.sum(F.expr(f"CAST(power(2, {_HLL_Q} - mj) AS BIGINT)")).alias(
+            "denom_hit"
+        ),
+    )
+    n_zero = F.lit(_HLL_M) - F.col("n_hit")
+    denom = F.col("denom_hit") + n_zero * F.lit(1 << _HLL_Q)
+    raw = F.lit(float(_HLL_A)) / denom.cast("double")
+    lc = F.element_at(
+        F.array(*[F.lit(v) for v in _HLL_LC]),
+        F.greatest(n_zero, F.lit(1)).cast("int"),
+    )
+    return agg.select(
+        "event_type",
+        n_zero.alias("n_zero"),
+        denom.alias("denom_q"),
+        F.when((n_zero > 0) & (raw <= F.lit(2.5 * _HLL_M)), lc)
+        .otherwise(raw)
+        .alias("est_distinct"),
+    )
+
+
+def _oracle_hll() -> str:
+    # exponent-format literals parse as DOUBLE in DuckDB (plain
+    # decimals would parse as DECIMAL and round-trip lossily — see
+    # _HLL_A note); Spark side embeds the identical doubles via F.lit
+    lc_rows = ",\n    ".join(
+        "({}, {})".format(z, "%.17e" % v)
+        for z, v in enumerate(_HLL_LC, start=1)
+    )
+    return f"""
+WITH hashed AS (
+  SELECT event_type,
+         {_hll_h2_sql("user_id")} // {1 << _HLL_WBITS} AS bucket,
+         CASE WHEN {_hll_h2_sql("user_id")} % {1 << _HLL_WBITS} = 0
+              THEN {_HLL_Q}
+              ELSE {_HLL_Q} - length(bin(
+                   {_hll_h2_sql("user_id")} % {1 << _HLL_WBITS}))
+         END AS rho
+  FROM events
+),
+per_bucket AS (
+  SELECT event_type, bucket, MAX(rho) AS mj
+  FROM hashed GROUP BY event_type, bucket
+),
+agg AS (
+  SELECT event_type, COUNT(*) AS n_hit,
+         CAST(SUM(CAST(power(2, {_HLL_Q} - mj) AS BIGINT)) AS BIGINT)
+           AS denom_hit
+  FROM per_bucket GROUP BY event_type
+),
+lctab(z, v) AS (VALUES
+    {lc_rows}
+)
+SELECT a.event_type,
+       {_HLL_M} - a.n_hit AS n_zero,
+       a.denom_hit + ({_HLL_M} - a.n_hit) * {1 << _HLL_Q} AS denom_q,
+       CASE WHEN ({_HLL_M} - a.n_hit) > 0
+             AND {_HLL_A} / CAST(a.denom_hit
+                 + ({_HLL_M} - a.n_hit) * {1 << _HLL_Q} AS DOUBLE)
+                 <= {2.5 * _HLL_M!r}
+            THEN lc.v
+            ELSE {_HLL_A} / CAST(a.denom_hit
+                 + ({_HLL_M} - a.n_hit) * {1 << _HLL_Q} AS DOUBLE)
+       END AS est_distinct
+FROM agg a
+LEFT JOIN lctab lc
+  ON lc.z = CASE WHEN {_HLL_M} - a.n_hit >= 1
+                 THEN {_HLL_M} - a.n_hit ELSE 1 END
+"""
+
+
+register(
+    "events_hll_distinct",
+    events_hll_distinct,
+    _oracle_hll(),
+    driver=False,  # round 6 addition; gate at its 50-row cap — next
+    # rotation promotes it (full-sweep oracle-gated meanwhile)
+)

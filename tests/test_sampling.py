@@ -38,3 +38,38 @@ def test_mixture_sample_is_deterministic(spark, sf_small):
     a = sorted(r.doc_id for r in QUERIES["docs_mixture_sample"](spark, sf_small).collect())
     b = sorted(r.doc_id for r in QUERIES["docs_mixture_sample"](spark, sf_small).collect())
     assert a == b and len(a) > 0
+
+
+def test_hll_distinct_accuracy_and_state_bound(spark, sf_small):
+    """HLL semantics the oracle can't express: the estimate is NEAR the
+    true distinct count (explicitly approximate — the catalog oracle
+    pins bit-exactness, this pins meaning), and the sketch state is
+    bounded at m=256 buckets per type (the 100 TB claim)."""
+    import duckdb
+
+    from flink_cep_examples_spark.queries.sampling import _HLL_M
+
+    out = {r.event_type: r for r in QUERIES["events_hll_distinct"](spark, sf_small).collect()}
+    con = duckdb.connect()
+    exact = dict(
+        con.execute(
+            f"SELECT event_type, COUNT(DISTINCT user_id) "
+            f"FROM '{sf_small}/events.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    con.close()
+    assert set(out) == set(exact)
+    for t, true_n in exact.items():
+        r = out[t]
+        # 1.04/sqrt(256) = 6.5% standard error; allow 3 sigma
+        assert abs(r.est_distinct - true_n) / true_n < 0.20, (t, r, true_n)
+        # state bound: zero + hit buckets tile the m-bucket register file
+        assert 0 <= r.n_zero < _HLL_M
+        # scaled harmonic denominator is positive and <= m * 2^25
+        assert 0 < r.denom_q <= _HLL_M * (1 << 25)
+
+
+def test_hll_distinct_is_deterministic(spark, sf_small):
+    a = sorted(map(tuple, QUERIES["events_hll_distinct"](spark, sf_small).collect()))
+    b = sorted(map(tuple, QUERIES["events_hll_distinct"](spark, sf_small).collect()))
+    assert a == b and len(a) > 0

@@ -59,6 +59,8 @@ SMOKE = [
     "events_signup_no_purchase",  # round-4 raw-events absence (compiled)
     "cep_group_unbounded",  # round-5 sub-NFA loop groups ((X Y)+ Z)
     "docs_tfidf_top_terms",  # round-5 AQE-chosen vocab back-join
+    "cep_group_longest_chain",  # round-6 longest-derivation loop group
+    "corpus_winnow_dedup",  # round-6 winnowing pairs -> components -> keep-one
 ]
 
 
@@ -121,9 +123,18 @@ def time_query(spark, name: str, sf_dir: str) -> float:
 
 
 def main() -> None:
+    global SMOKE
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     load_all()
+    only = set(sys.argv[3:])  # optional: smoke just the named queries
+    if only:
+        unknown = only - set(SMOKE) - set(QUERIES)
+        if unknown:
+            raise SystemExit(f"unknown smoke queries: {sorted(unknown)}")
+        SMOKE = [n for n in SMOKE if n in only] + sorted(
+            only - set(SMOKE)
+        )
     spark = get_spark(
         app_name="scale-smoke",
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
