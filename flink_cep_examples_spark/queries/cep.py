@@ -1820,3 +1820,97 @@ register(
     # round 6: SQL:2016 greedy loop-group derivation — straight into
     # the driver gate
 )
+
+
+def cep_group_range_or_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIXED written alternation + ranged group — ``PATTERN
+    ((D U){1,2} | F)`` (round 6): the round-5 engine refused this
+    combination loudly; the parser's branch list is written-branch-
+    major (top-level '|' preference is leftmost per SQL:2016) and
+    greedy-minor within the written branch (2 repetitions before 1),
+    so leftmost held-emission realizes the standard's preferment for
+    the WHOLE pattern: per start, 2 reps > 1 rep > the F fallback,
+    and the 1-rep completion is HELD while the 2-rep branch lives.
+
+    Classes over raw events (event_id % 4): 1 = D, 2 = U, 3 = F.
+    SKIP TO NEXT ROW makes starts independent, which is what the
+    fixed-width closed-form oracle below needs."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.sources.tables import load_table, spread
+    from flink_cep_examples_spark.sql.match_recognize import match_recognize
+
+    events = spread(load_table(spark, sf_dir, "events"), "user_id").select(
+        "user_id", "ts", "event_id"
+    )
+    out = match_recognize(
+        events,
+        """
+        PARTITION BY user_id ORDER BY ts, event_id
+        MEASURES FIRST(D.ts) AS d_start_ts,
+                 FIRST(F.ts) AS f_ts,
+                 COUNT(D.*) AS n_reps,
+                 CLASSIFIER() AS cl
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN ((D U){1,2} | F)
+        DEFINE D AS event_id % 4 = 1,
+               U AS event_id % 4 = 2,
+               F AS event_id % 4 = 3
+        """,
+        tiebreak_col="event_id",
+    )
+    blank = F.lit("")  # branch-absent measures -> '' keeps hashes total
+    return out.select(
+        "user_id",
+        F.coalesce(
+            F.date_format("d_start_ts", "yyyy-MM-dd HH:mm:ss"), blank
+        ).alias("d_start"),
+        F.coalesce(
+            F.date_format("f_ts", "yyyy-MM-dd HH:mm:ss"), blank
+        ).alias("f_at"),
+        "n_reps",
+        "cl",
+    )
+
+
+#: Fixed widths under SKIP TO NEXT ROW decide each start row
+#: independently, in the written-major/greedy-minor priority order:
+#: 2 reps (rows r..r+3) > 1 rep (r..r+1) > the F fallback (row r).
+ORACLE_GROUP_RANGE_OR_FALLBACK = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_id % 4 AS m,
+         strftime(ts, {_FMT}) AS dt
+  FROM events
+),
+f AS (
+  SELECT *,
+         (m = 1) AS d,
+         LEAD(m = 2, 1) OVER w AS u1,
+         LEAD(m = 1, 2) OVER w AS d2,
+         LEAD(m = 2, 3) OVER w AS u3,
+         (m = 3) AS isf
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CASE WHEN d AND u1 THEN dt ELSE '' END AS d_start,
+       CASE WHEN d AND u1 THEN '' ELSE dt END AS f_at,
+       CAST(CASE WHEN d AND u1 AND d2 AND u3 THEN 2
+                 WHEN d AND u1 THEN 1
+                 ELSE 0 END AS BIGINT) AS n_reps,
+       CASE WHEN d AND u1 AND d2 AND u3 THEN 'U__2'
+            WHEN d AND u1 THEN 'U__1'
+            ELSE 'F' END AS cl
+FROM f
+WHERE (d AND u1) OR isf
+"""
+
+
+register(
+    "cep_group_range_or_fallback",
+    cep_group_range_or_fallback,
+    ORACLE_GROUP_RANGE_OR_FALLBACK,
+    driver=False,  # round 6 addition; gate at its 50-row cap — next
+    # rotation promotes it (full-sweep oracle-gated meanwhile)
+)

@@ -810,43 +810,26 @@ def parse_match_recognize(body: str) -> PatternSpec | AlternationSpec:
             )
             for aq, lg in alt_quants
         )
-        # SQL:2016 derivation order for pure group-quantifier
-        # expansions: the PATTERN had no top-level '|' (one written
-        # branch) yet expanded to several fixed-width alternatives —
-        # those are listed in greedy priority (more repetitions first,
-        # then leftmost sub-branch), and "leftmost" emission makes the
-        # earliest-LISTED branch win a start even when a shorter one
-        # completes earlier — the standard's greedy {n,m}/? semantics.
-        # User-written top-level alternation and loop-group variants
-        # keep the engine's documented eager emission.
+        # SQL:2016 derivation order whenever a group quantifier
+        # EXPANDED the branch list (len > n_top): the parser emits
+        # alternatives written-branch-major (top-level '|' preference
+        # is leftmost per the standard) and greedy-minor within each
+        # written branch (more repetitions first, then leftmost
+        # sub-branch), so "leftmost" emission — earliest-LISTED
+        # branch wins a start even when a shorter one completes
+        # earlier — realizes the standard's preferment for the WHOLE
+        # pattern, including ((D U){1,2} | X) mixes (round 6; the
+        # round-5 engine refused those loudly). PURE written
+        # alternation (len == n_top, nothing expanded) and loop-group
+        # variants keep the engine's documented eager emission —
+        # their oracles pin completion-order semantics.
         derivation = (
             "leftmost"
-            if n_top == 1
-            and not permute
+            if not permute
             and not any(lg for _aq, lg in alt_quants)
+            and len(alt_quants) > n_top
             else "eager"
         )
-        if (
-            derivation == "eager"
-            and not permute
-            and n_top > 1  # a WRITTEN '|' did the demoting; a pure
-            # star-group expansion (n_top == 1, zero-iteration branch
-            # + loop branch) keeps its documented eager emission
-            and len(alt_quants) > n_top
-        ):
-            # e.g. PATTERN ((D U){1,2} | X): the ranged group expanded
-            # into extra alternatives, but the written top-level '|'
-            # demotes the whole pattern to eager emission — the group's
-            # SQL:2016 greedy {n,m} preference would silently revert to
-            # the (closed) round-4 min-count behavior. Refuse loudly
-            # rather than deviate silently (advisor round 5).
-            raise NotImplementedError(
-                "a quantified/alternation group combined with a written "
-                "top-level '|' runs under eager emission, which does not "
-                "honor the group's SQL:2016 greedy derivation order; "
-                "rewrite the pattern without the top-level alternation "
-                "or expand the group by hand"
-            )
         return AlternationSpec(
             alternatives=alternatives,
             measures=measures,

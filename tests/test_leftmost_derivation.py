@@ -609,3 +609,86 @@ def test_leftmost_helds_survive_checkpoint_restart(spark, tmp_path):
         (r.s, r.n2) for r in spark.read.parquet(sink).collect()
     )
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Round 6: leftmost derivation for MIXED written '|' + group expansion
+# (the round-5 engine refused these loudly; the parser's branch list
+# is written-branch-major / greedy-minor, so leftmost emission
+# realizes the standard's preferment for the whole pattern).
+# ---------------------------------------------------------------------------
+
+
+def test_mixed_alternation_group_selects_leftmost():
+    from flink_cep_examples_spark.sql.match_recognize import (
+        parse_match_recognize,
+    )
+
+    spec = parse_match_recognize(
+        """
+        PARTITION BY id ORDER BY event_time
+        MEASURES COUNT(D.*) AS nd
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN ((D U){1,2} | F)
+        DEFINE D AS m = 1, U AS m = 2, F AS m = 3
+        """
+    )
+    assert spec.derivation == "leftmost"
+    # written-branch-major, greedy-minor priority order
+    assert [[v.name for v in a.variables] for a in spec.alternatives] == [
+        ["D__1", "U__1", "D__2", "U__2"],
+        ["D__1", "U__1"],
+        ["F"],
+    ]
+    # pure written alternation (nothing expanded) keeps documented eager
+    plain = parse_match_recognize(
+        """
+        PARTITION BY id ORDER BY event_time
+        MEASURES FIRST(A.seq) AS s
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (A C | A B)
+        DEFINE A AS m = 1, B AS m = 2, C AS m = 3
+        """
+    )
+    assert plain.derivation == "eager"
+
+
+def test_mixed_alternation_group_end_to_end(spark):
+    """((D U){1,2} | F) under SKIP TO NEXT ROW: per start, priority is
+    2 reps > 1 rep > the F fallback — the greedy completion is HELD
+    while the longer branch lives, and F never preempts a D-start."""
+    import datetime as dt
+
+    from flink_cep_examples_spark.sql.match_recognize import match_recognize
+
+    ms = [1, 2, 1, 2, 3, 1, 2, 3, 1]
+    t0 = dt.datetime(2020, 5, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [("k", t0 + dt.timedelta(minutes=i), i, m) for i, m in enumerate(ms)],
+        "id string, event_time timestamp, seq long, m long",
+    )
+    out = match_recognize(
+        df,
+        """
+        PARTITION BY id ORDER BY event_time, seq
+        MEASURES FIRST(D.seq) AS ds, FIRST(F.seq) AS fs,
+                 COUNT(D.*) AS nd, CLASSIFIER() AS cl
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN ((D U){1,2} | F)
+        DEFINE D AS m = 1, U AS m = 2, F AS m = 3
+        """,
+    )
+    got = sorted(
+        ((r.ds, r.fs, r.nd, r.cl) for r in out.collect()),
+        key=lambda t: t[0] if t[0] is not None else t[1],
+    )
+    assert got == [
+        (0, None, 2, "U__2"),   # greedy 2-rep wins start 0
+        (2, None, 1, "U__1"),   # overlapping start inside the span
+        (None, 4, 0, "F"),
+        (5, None, 1, "U__1"),
+        (None, 7, 0, "F"),      # dangling D at 8 never matches
+    ]
