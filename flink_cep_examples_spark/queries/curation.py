@@ -562,3 +562,79 @@ GROUP BY btf.doc_id
 register(
     "docs_dsir_weights", docs_dsir_weights, ORACLE_DSIR,  # r5.2 rotation: new this round — straight into the driver gate
 )
+
+
+def docs_logprob_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 6: CCNet-style head/middle/tail quality buckets — the
+    standard LM-filtering recipe (Wenzek et al. 2020): rank each
+    document within its LANGUAGE by the unigram-LM score
+    (:func:`docs_unigram_logprob` — higher avg log-prob reads as more
+    "normal" text) and split the ranking into terciles; pipelines
+    keep head+middle and drop (or downweight) the tail.
+
+    Determinism: the score itself is bit-exact cross-engine (nano-nat
+    quantized — see docs_unigram_logprob), the rank breaks ties by
+    doc_id, and the tercile boundary is explicit integer arithmetic
+    (3*(rank-1)/n), not NTILE, so engines cannot disagree on bucket
+    edges.
+
+    Scale: one extra (lang) window over the scored docs — lang
+    cardinality is tiny so the partitions are wide; at 100 TB the
+    same recipe runs per (lang, shard) or replaces row_number with a
+    two-pass approximate-quantile cut; this exact form is the oracle-
+    checkable baseline."""
+    scored = docs_unigram_logprob(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), "doc_id"
+    )
+    ranked = (
+        scored.join(docs, "doc_id")
+        .withColumn("ppl_rank", F.row_number().over(w))
+        .withColumn(
+            "n_lang", F.count(F.lit(1)).over(Window.partitionBy("lang"))
+        )
+    )
+    tier = F.floor(
+        (F.lit(3) * (F.col("ppl_rank") - F.lit(1))) / F.col("n_lang")
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "ppl_rank",
+        F.when(tier == 0, F.lit("head"))
+        .when(tier == 1, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+ORACLE_LOGPROB_BUCKETS = f"""
+WITH scored AS ({ORACLE_UNIGRAM}),
+ranked AS (
+  SELECT s.doc_id, d.lang,
+         ROW_NUMBER() OVER (PARTITION BY d.lang
+                            ORDER BY s.avg_logprob DESC, s.doc_id)
+           AS ppl_rank,
+         COUNT(*) OVER (PARTITION BY d.lang) AS n_lang
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, ppl_rank,
+       CASE CAST(FLOOR((3 * (ppl_rank - 1)) / CAST(n_lang AS DOUBLE))
+                 AS BIGINT)
+            WHEN 0 THEN 'head'
+            WHEN 1 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ranked
+"""
+
+
+register(
+    "docs_logprob_buckets",
+    docs_logprob_buckets,
+    ORACLE_LOGPROB_BUCKETS,
+    driver=False,  # round 6 addition; gate at its 50-row cap — next
+    # rotation promotes it (full-sweep oracle-gated meanwhile)
+)

@@ -799,3 +799,124 @@ register(
     ORACLE_WINNOW_OVERLAP,
     # r6 rotation: promoted — never driver-verified before
 )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: asymmetric CONTAINMENT dedup — "doc A is (mostly) inside
+# doc B" — the quote/excerpt/superset case symmetric Jaccard misses
+# (a 50-token excerpt of a 5000-token article has Jaccard ~0.01 but
+# containment ~1.0).
+# ---------------------------------------------------------------------------
+
+#: containment threshold: |shingles(A) ∩ shingles(B)| / |shingles(A)|
+CONTAIN_T = 0.8
+#: boilerplate guard for the inverted-index join (same MOSS practice
+#: as WINNOW_MAX_DF): a shingle in more than this many docs is dropped
+#: before the pair join, bounding per-hash fan-out
+CONTAIN_MAX_DF = 10
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs: (doc_a, doc_b, containment =
+    shared distinct 3-gram shingles / doc_a's distinct shingles) for
+    every ordered pair with containment >= CONTAIN_T, via a shingle
+    INVERTED-INDEX join (never an all-pairs array intersect).
+
+    Scale design: the join operand is the DISTINCT (doc_id, shingle
+    hash) set joined on the 31-bit int hash — text never shuffles —
+    with the df <= CONTAIN_MAX_DF cap bounding fan-out exactly as the
+    winnowing overlap join; pair volume is at most df² per surviving
+    hash. This is the shape that finds excerpt/superset duplicates at
+    corpus scale, where the Jaccard size filter (min >= t*max) would
+    have pruned the pair away."""
+    from pyspark.sql.window import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    wo = Window.partitionBy("doc_id").orderBy("pos")
+    tok_rows = docs.select(
+        "doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "tok")
+    )
+    sh = (
+        tok_rows.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(
+                " ",
+                F.col("tok"),
+                F.lead("tok", 1).over(wo),
+                F.lead("tok", 2).over(wo),
+            ).alias("s3"),
+            F.lead("tok", 2).over(wo).alias("__t2"),
+        )
+        .filter(F.col("__t2").isNotNull() | (F.col("pos") == 0))
+        .select("doc_id", _h31(F.col("s3")).alias("hs"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    df_ok = (
+        sh.groupBy("hs")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= CONTAIN_MAX_DF)
+        .select("hs")
+    )
+    kept = sh.join(df_ok, "hs")
+    a, b = kept.alias("a"), kept.alias("b")
+    shared = (
+        a.join(b, "hs")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            (F.col("n_shared").cast("double") / F.col("n_sh").cast("double"))
+            .alias("containment"),
+        )
+        .filter(F.col("containment") >= CONTAIN_T)
+    )
+
+
+ORACLE_CONTAINMENT = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array({_SQL_NORM}, ' ') AS toks
+  FROM documents
+),
+s3 AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(toks[i:i+2], ' ') AS s
+  FROM t, unnest(range(1, greatest(len(toks) - 1, 2))) AS r(i)
+),
+sh AS (
+  SELECT DISTINCT doc_id, {_sql_h31('s')} AS hs FROM s3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+ok AS (
+  SELECT hs FROM sh GROUP BY hs HAVING COUNT(*) <= {CONTAIN_MAX_DF}
+),
+kept AS (SELECT sh.* FROM sh JOIN ok USING (hs)),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM kept a JOIN kept b ON a.hs = b.hs AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT s.doc_a, s.doc_b, s.n_shared,
+       CAST(s.n_shared AS DOUBLE) / CAST(z.n_sh AS DOUBLE) AS containment
+FROM shared s JOIN sizes z ON z.doc_id = s.doc_a
+WHERE CAST(s.n_shared AS DOUBLE) / CAST(z.n_sh AS DOUBLE) >= {CONTAIN_T}
+"""
+
+
+register(
+    "dedup_containment",
+    dedup_containment,
+    ORACLE_CONTAINMENT,
+    driver=False,  # round 6 addition; gate at its 50-row cap — next
+    # rotation promotes it (full-sweep oracle-gated meanwhile)
+)

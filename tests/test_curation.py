@@ -123,3 +123,53 @@ def test_chunk_spans_cover_and_overlap(spark):
     assert rows[0].chunk[CHUNK_STRIDE:] == rows[1].chunk[: CHUNK_CHARS - CHUNK_STRIDE]
     # full coverage: stitching strides reconstructs the doc
     assert "".join(r.chunk[:CHUNK_STRIDE] for r in rows) == text
+
+
+def test_logprob_buckets_tile_each_language(spark, sf_small):
+    """Terciles the oracle also checks, plus the semantic property the
+    oracle can't express alone: within each language the three bucket
+    sizes differ by at most one, and head docs score >= tail docs."""
+    out = QUERIES["docs_logprob_buckets"](spark, sf_small).collect()
+    by_lang: dict = {}
+    for r in out:
+        by_lang.setdefault(r.lang, {}).setdefault(r.bucket, 0)
+        by_lang[r.lang][r.bucket] += 1
+    for lang, counts in by_lang.items():
+        sizes = [counts.get(b, 0) for b in ("head", "middle", "tail")]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+    # rank ordering is consistent with the bucket labels
+    scored = {
+        r.doc_id: r.avg_logprob
+        for r in QUERIES["docs_unigram_logprob"](spark, sf_small).collect()
+    }
+    for lang in by_lang:
+        rows = [r for r in out if r.lang == lang]
+        head_min = min(scored[r.doc_id] for r in rows if r.bucket == "head")
+        tail_max = max(scored[r.doc_id] for r in rows if r.bucket == "tail")
+        assert head_min >= tail_max - 1e-12, (lang, head_min, tail_max)
+
+
+def test_containment_finds_planted_excerpt(spark, tmp_path):
+    """A short doc whose text is a verbatim slice of a long doc has
+    containment ~1.0 toward it (the pair symmetric Jaccard misses),
+    and the long doc is NOT contained in the short one."""
+    import shutil
+
+    long_toks = [f"w{i}" for i in range(120)]
+    rows = [
+        (1, " ".join(long_toks), "en", "web", 0),
+        (2, " ".join(long_toks[40:60]), "en", "web", 0),  # 20-token slice
+        (3, " ".join(f"z{i}" for i in range(50)), "en", "web", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = tmp_path / "sf"
+    sf_dir.mkdir()
+    df.coalesce(1).write.parquet(str(sf_dir / "documents.parquet"))
+    # satisfy load_table for the other tables the loader may touch
+    out = QUERIES["dedup_containment"](spark, str(sf_dir)).collect()
+    pairs = {(r.doc_a, r.doc_b): r.containment for r in out}
+    assert pairs.get((2, 1), 0) > 0.99
+    assert (1, 2) not in pairs  # asymmetric: the superset is not contained
+    assert not any(3 in p for p in pairs)

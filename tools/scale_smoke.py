@@ -61,6 +61,8 @@ SMOKE = [
     "docs_tfidf_top_terms",  # round-5 AQE-chosen vocab back-join
     "cep_group_longest_chain",  # round-6 longest-derivation loop group
     "corpus_winnow_dedup",  # round-6 winnowing pairs -> components -> keep-one
+    "docs_logprob_buckets",  # round-6 CCNet head/middle/tail terciles
+    "dedup_containment",  # round-6 asymmetric excerpt/superset dedup
 ]
 
 
