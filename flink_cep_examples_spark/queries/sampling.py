@@ -290,6 +290,41 @@ def _hll_h2_sql(col: str, idiv: str = "//") -> str:
     return f"((({h} % {1 << 31}) * {_MIX2} + {h} {idiv} 65536) % {_MOD})"
 
 
+def hll_bucket_rho_cols(col: str) -> tuple:
+    """The HLL register projection as two Spark columns — (bucket,
+    rho) from the 32-bit mix of ``col`` — shared by the batch query
+    and the streaming operator (streaming/sketch_stream.py) so their
+    registers are bit-identical by construction."""
+    h2 = F.expr(_hll_h2_sql(col, idiv="div"))
+    w = h2 % F.lit(1 << _HLL_WBITS)
+    return (
+        (h2 / F.lit(1 << _HLL_WBITS)).cast("long").alias("bucket"),
+        F.when(w == 0, F.lit(_HLL_Q))
+        .otherwise(F.lit(_HLL_Q) - F.length(F.bin(w)))
+        .alias("rho"),
+    )
+
+
+def hll_estimate(registers) -> tuple[int, int, float]:
+    """Finalize one m-register HLL state → (n_zero, denom_q,
+    est_distinct), with EXACTLY the batch query's arithmetic: the
+    harmonic denominator summed in scaled integers (order-free), one
+    IEEE division by the shared alpha literal, and the shared
+    linear-counting table for the small range — so a streaming
+    operator folding the same registers emits bit-identical
+    estimates."""
+    n_zero = 0
+    denom_q = 0
+    for mj in registers:
+        if mj == 0:
+            n_zero += 1
+        denom_q += 1 << (_HLL_Q - int(mj))
+    raw = float(_HLL_A) / float(denom_q)
+    if n_zero > 0 and raw <= 2.5 * _HLL_M:
+        return n_zero, denom_q, _HLL_LC[n_zero - 1]
+    return n_zero, denom_q, raw
+
+
 def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-user estimate per event_type (Flajolet et
     al. 2007): bucket = high p bits of a 32-bit mixed hash, rho = rank
@@ -311,15 +346,7 @@ def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     as shared decimal literals — see the module docstring's
     no-transcendentals rule."""
     ev = load_table(spark, sf_dir, "events")
-    h2 = F.expr(_hll_h2_sql("user_id", idiv="div"))
-    w = h2 % F.lit(1 << _HLL_WBITS)
-    hashed = ev.select(
-        "event_type",
-        (h2 / F.lit(1 << _HLL_WBITS)).cast("long").alias("bucket"),
-        F.when(w == 0, F.lit(_HLL_Q))
-        .otherwise(F.lit(_HLL_Q) - F.length(F.bin(w)))
-        .alias("rho"),
-    )
+    hashed = ev.select("event_type", *hll_bucket_rho_cols("user_id"))
     per_bucket = hashed.groupBy("event_type", "bucket").agg(
         F.max("rho").alias("mj")
     )

@@ -1,0 +1,75 @@
+"""Streaming HLL sketch: the streamed register fold must reproduce the
+batch query bit-for-bit (shared projection + shared finalization), and
+the register state must merge associatively (the property that makes
+the sketch restartable and backfillable)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from flink_cep_examples_spark.queries import QUERIES, load_all
+from flink_cep_examples_spark.queries.sampling import (
+    _HLL_M,
+    hll_bucket_rho_cols,
+    hll_estimate,
+)
+
+load_all()
+
+
+def test_hll_stream_matches_batch_bitwise(spark, sf_small, tmp_path):
+    from flink_cep_examples_spark.streaming.sketch_stream import (
+        hll_distinct_stream,
+    )
+
+    batch = {
+        r.event_type: (r.n_zero, r.denom_q, r.est_distinct)
+        for r in QUERIES["events_hll_distinct"](spark, sf_small).collect()
+    }
+
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    src = tmp_path / "src"
+    # several files → several chances for multi-micro-batch folding
+    ev.repartition(4).write.parquet(str(src))
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    out = hll_distinct_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hll_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM hll_stream").collect()
+    assert rows, "stream emitted nothing"
+    # the LAST update per key is the full-corpus estimate
+    last = {}
+    for r in rows:
+        if r.event_type not in last or r.updates > last[r.event_type].updates:
+            last[r.event_type] = r
+    got = {
+        t: (r.n_zero, r.denom_q, r.est_distinct) for t, r in last.items()
+    }
+    assert got == batch  # bit-exact: shared projection + finalization
+    # running estimates exist when ingestion spanned micro-batches
+    assert max(r.updates for r in rows) >= 1
+
+
+def test_hll_registers_merge_associatively(spark, sf_small):
+    """Fold halves separately, merge by bucket-wise MAX → identical
+    estimate to one whole-corpus fold (restart/backfill soundness)."""
+    ev = (
+        spark.read.parquet(f"{sf_small}/events.parquet")
+        .select(*hll_bucket_rho_cols("user_id"), "event_id")
+        .collect()
+    )
+    whole = np.zeros(_HLL_M, dtype=np.uint8)
+    a, b = whole.copy(), whole.copy()
+    for r in ev:
+        np.maximum.at(whole, [r.bucket], [r.rho])
+        np.maximum.at(a if r.event_id % 2 == 0 else b, [r.bucket], [r.rho])
+    assert hll_estimate(np.maximum(a, b)) == hll_estimate(whole)
+    assert (np.maximum(a, b) == whole).all()
