@@ -430,3 +430,121 @@ register(
     driver=False,  # round 6 addition; gate at its 50-row cap — next
     # rotation promotes it (full-sweep oracle-gated meanwhile)
 )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: count-min sketch — the frequency-estimation member of the
+# sketch family (KMV: distinct; HLL: distinct at fixed state; CMS:
+# per-item counts), built on the same cross-engine integer-arithmetic
+# discipline.
+# ---------------------------------------------------------------------------
+
+#: CMS geometry: d independent hash rows × w counters. Error bound:
+#: est - true <= 2N/w with prob 1 - 2^-d over the salts.
+_CMS_D = 4
+_CMS_W = 256
+_CMS_SALTS = (11, 503, 90001, 7777)
+#: top-k exact heavy hitters probed against the sketch
+_CMS_TOPK = 5
+
+
+def _cms_bucket_sql(col: str, idiv: str) -> str:
+    """Bucket of ``col`` for hash row d (a column named ``d``): the
+    Knuth mixer over the salted id, high 8 bits — a CASE over the d
+    salts so the expression is portable SQL in both engines."""
+    arms = " ".join(
+        f"WHEN {i} THEN ((({col} + {s}) * {_MIX}) % {_MOD}) "
+        f"{idiv} {1 << 24}"
+        for i, s in enumerate(_CMS_SALTS)
+    )
+    return f"(CASE d {arms} END)"
+
+
+def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch probe: per event_type, the top-{k} exact
+    heavy-hitter users (rank by count desc, user_id tiebreak) with
+    their CMS estimate — ``est_cnt = min over d of counter[d][h_d(u)]``
+    — alongside the true count (the sketch guarantees est >= true;
+    tests pin both the bound and the bit-exact estimates).
+
+    Scale design: the sketch build is ONE map-side-combinable
+    aggregation over (type, d, bucket) — at most types × d × w = 4096
+    counter rows survive each map task, so the shuffle is bounded at
+    ANY corpus size and counter states MERGE BY SUM (the
+    streaming/backfill property, same class as the HLL registers).
+    The probe side joins k rows/type against the counter table. At
+    100 TB you keep the counters and drop the raw stream; this exact
+    form keeps the true counts only to make the guarantee testable."""
+    ev = load_table(spark, sf_dir, "events")
+    d_col = F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("d")
+    bucket = F.expr(_cms_bucket_sql("user_id", "div"))
+    counters = (
+        ev.select("event_type", "user_id")
+        .select("event_type", "user_id", d_col)
+        .select("event_type", "d", bucket.alias("bucket"))
+        .groupBy("event_type", "d", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("true_cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("true_cnt").desc(), "user_id"
+    )
+    probe = exact.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= _CMS_TOPK
+    )
+    probed = probe.select(
+        "event_type", "user_id", "true_cnt", "rnk", d_col
+    ).select(
+        "event_type",
+        "user_id",
+        "true_cnt",
+        "rnk",
+        "d",
+        bucket.alias("bucket"),
+    )
+    return (
+        probed.join(counters, ["event_type", "d", "bucket"])
+        .groupBy("event_type", "user_id", "true_cnt", "rnk")
+        .agg(F.min("c").alias("est_cnt"))
+    )
+
+
+def _oracle_cms() -> str:
+    b = _cms_bucket_sql("user_id", "//")
+    return f"""
+WITH ds(d) AS (VALUES (0), (1), (2), (3)),
+counters AS (
+  SELECT event_type, d, {b} AS bucket, COUNT(*) AS c
+  FROM events, ds GROUP BY 1, 2, 3
+),
+exact AS (
+  SELECT event_type, user_id, COUNT(*) AS true_cnt
+  FROM events GROUP BY 1, 2
+),
+probe AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY true_cnt DESC, user_id) AS rnk
+  FROM exact
+),
+probed AS (
+  SELECT event_type, user_id, true_cnt, rnk, d, {b} AS bucket
+  FROM probe, ds WHERE rnk <= {_CMS_TOPK}
+)
+SELECT p.event_type, p.user_id, p.true_cnt, p.rnk,
+       MIN(c.c) AS est_cnt
+FROM probed p
+JOIN counters c
+  ON c.event_type = p.event_type AND c.d = p.d AND c.bucket = p.bucket
+GROUP BY 1, 2, 3, 4
+"""
+
+
+register(
+    "events_cms_heavy_hitters",
+    events_cms_heavy_hitters,
+    _oracle_cms(),
+    driver=False,  # round 6 addition; gate at its 50-row cap — next
+    # rotation promotes it (full-sweep oracle-gated meanwhile)
+)

@@ -73,3 +73,45 @@ def test_hll_distinct_is_deterministic(spark, sf_small):
     a = sorted(map(tuple, QUERIES["events_hll_distinct"](spark, sf_small).collect()))
     b = sorted(map(tuple, QUERIES["events_hll_distinct"](spark, sf_small).collect()))
     assert a == b and len(a) > 0
+
+
+def test_cms_overestimates_and_merges(spark, sf_small):
+    """CMS guarantee the oracle can't express: est >= true for every
+    probed heavy hitter, and counter states merge by SUM (split the
+    corpus, sum the counter tables, probe → same estimates)."""
+    from pyspark.sql import functions as F
+
+    out = QUERIES["events_cms_heavy_hitters"](spark, sf_small).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.est_cnt >= r.true_cnt, r
+        assert 1 <= r.rnk <= 5
+    # merge-by-sum: counters built on two disjoint halves, summed,
+    # equal the whole-corpus counters
+    from flink_cep_examples_spark.queries.sampling import _cms_bucket_sql
+
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    bucket = F.expr(_cms_bucket_sql("user_id", "div"))
+
+    def counters(df):
+        return (
+            df.select(
+                "event_type",
+                F.explode(F.sequence(F.lit(0), F.lit(3))).alias("d"),
+                "user_id",
+            )
+            .select("event_type", "d", bucket.alias("bucket"))
+            .groupBy("event_type", "d", "bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    whole = {
+        (r.event_type, r.d, r.bucket): r.c for r in counters(ev).collect()
+    }
+    lo = counters(ev.filter("event_id % 2 = 0")).collect()
+    hi = counters(ev.filter("event_id % 2 = 1")).collect()
+    merged: dict = {}
+    for r in [*lo, *hi]:
+        k = (r.event_type, r.d, r.bucket)
+        merged[k] = merged.get(k, 0) + r.c
+    assert merged == whole

@@ -63,6 +63,7 @@ SMOKE = [
     "corpus_winnow_dedup",  # round-6 winnowing pairs -> components -> keep-one
     "docs_logprob_buckets",  # round-6 CCNet head/middle/tail terciles
     "dedup_containment",  # round-6 asymmetric excerpt/superset dedup
+    "events_cms_heavy_hitters",  # round-6 count-min sketch probe
 ]
 
 
