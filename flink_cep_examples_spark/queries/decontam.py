@@ -176,3 +176,160 @@ register(
     "docs_source_overlap", docs_source_overlap, ORACLE_SOURCE_OVERLAP,
     # r5 rotation: promoted into the 50-row driver gate (never verified)
 )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: BLOOM-FILTER decontamination — the plan shape the exact
+# semi-join's docstring promises at larger eval sets: compress the
+# eval window-hash set into a fixed-size bit array and test corpus
+# windows against it; false positives are possible (bounded by the
+# filter geometry), false negatives are not.
+# ---------------------------------------------------------------------------
+
+#: filter geometry: M bits as 32-bit words (off < 32 keeps every
+#: shifted bit positive int64 in BOTH engines), K probes with
+#: INDEPENDENT multipliers — additive salts under one multiplier give
+#: probe bits that differ by a wh-independent constant (k hashes
+#: collapse to 1, measured 65 FP docs vs 2 exact at sf0.01);
+#: distinct odd multipliers are genuinely different permutations
+#: (2 bloom-only docs at sf0.01 after the fix). The pytest pins
+#: bloom ⊇ exact (no false negatives), not an FP ceiling.
+_BLOOM_BITS_LOG2 = 17
+_BLOOM_BITS = 1 << _BLOOM_BITS_LOG2
+_BLOOM_WORDS = _BLOOM_BITS // 32
+#: Knuth / xxhash-prime / another odd 32-bit constant; wh < 2^31 so
+#: every product stays < 2^63 in both engines
+_BLOOM_MULTS = (2654435761, 2246822519, 3266489917)
+
+
+def _bloom_bit_sql(col: str, mult: int, idiv: str) -> str:
+    """Probe bit index: high BITS_LOG2 bits of ``col * mult mod 2^32``
+    (identical arithmetic both engines)."""
+    return (
+        f"(({col} * {mult}) % {_MOD}) "
+        f"{idiv} {1 << (32 - _BLOOM_BITS_LOG2)}"
+    )
+
+
+def docs_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter contamination sweep: corpus documents whose
+    N_GRAM window hashes hit the eval slice's Bloom filter (all K
+    probe bits set). Emits (doc_id, n_hits_bloom) — a SUPERSET of the
+    exact semi-join's flags (no false negatives; the pytest pins the
+    superset relation against docs_decontaminate).
+
+    Scale design — the reason this variant exists: the exact recipe
+    broadcasts the eval window-hash SET, which grows with the eval
+    corpus; the filter is a FIXED 2^17-bit / 4096-word table whatever
+    the eval size, so the corpus-side test stays one broadcast join
+    against 4096 rows (or a literal array at deployment) and the
+    corpus never shuffles. Build is a map-side-combined bit_or per
+    word. All arithmetic is the module's portable integer discipline,
+    so DuckDB reproduces the filter bit-for-bit."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    is_eval = (F.col("doc_id") * _MIX) % _MOD % EVAL_MOD == EVAL_RESIDUE
+    eval_hashes = (
+        _window_hashes(docs.filter(is_eval)).select("wh").distinct()
+    )
+    probes = F.explode(
+        F.array(
+            *[
+                F.expr(_bloom_bit_sql("wh", s, "div"))
+                for s in _BLOOM_MULTS
+            ]
+        )
+    ).alias("bit")
+    words = (
+        eval_hashes.select(probes)
+        .select(
+            F.expr("bit div 32").alias("word"),
+            F.expr("CAST(1 AS BIGINT) << CAST(bit % 32 AS INT)").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    corpus = _window_hashes(docs.filter(~is_eval)).withColumn(
+        "probe", probes
+    ).select(
+        "doc_id",
+        "wh",
+        F.expr("probe div 32").alias("word"),
+        F.expr("CAST(1 AS BIGINT) << CAST(probe % 32 AS INT)").alias(
+            "mask"
+        ),
+    )
+    hits = (
+        corpus.join(F.broadcast(words), "word")
+        .withColumn(
+            "set_", (F.col("bits").bitwiseAND(F.col("mask")) != 0)
+        )
+        .groupBy("doc_id", "wh")
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum(F.col("set_").cast("int")).alias("n_set"),
+        )
+        .filter(
+            (F.col("n_probes") == len(_BLOOM_MULTS))
+            & (F.col("n_set") == len(_BLOOM_MULTS))
+        )
+    )
+    return hits.groupBy("doc_id").agg(
+        F.countDistinct("wh").alias("n_hits_bloom")
+    )
+
+
+def _oracle_bloom() -> str:
+    probe_rows = ", ".join(f"({m})" for m in _BLOOM_MULTS)
+    bit_expr = (
+        f"((wh * s.mult) % {_MOD}) "
+        f"// {1 << (32 - _BLOOM_BITS_LOG2)}"
+    )
+    return f"""
+WITH mults(mult) AS (VALUES {probe_rows}),
+eval_docs AS (
+  SELECT * FROM documents
+  WHERE (doc_id * {_MIX}) % {_MOD} % {EVAL_MOD} = {EVAL_RESIDUE}
+),
+corpus_docs AS (
+  SELECT * FROM documents
+  WHERE (doc_id * {_MIX}) % {_MOD} % {EVAL_MOD} != {EVAL_RESIDUE}
+),
+{_sql_window_hashes('eval_docs', 'ew')},
+{_sql_window_hashes('corpus_docs', 'cw')},
+ebits AS (
+  SELECT DISTINCT {bit_expr} AS bit
+  FROM (SELECT DISTINCT wh FROM ew), mults s
+),
+words AS (
+  SELECT bit // 32 AS word, bit_or(1::BIGINT << CAST(bit % 32 AS INT))
+           AS bits
+  FROM ebits GROUP BY 1
+),
+cprobe AS (
+  SELECT cw.doc_id, cw.wh,
+         {bit_expr} // 32 AS word,
+         (1::BIGINT << CAST(({bit_expr}) % 32 AS INT)) AS mask
+  FROM cw, mults s
+),
+whits AS (
+  SELECT doc_id, wh
+  FROM cprobe JOIN words USING (word)
+  GROUP BY doc_id, wh
+  HAVING COUNT(*) = {len(_BLOOM_MULTS)}
+     AND SUM(CASE WHEN (bits & mask) != 0 THEN 1 ELSE 0 END)
+           = {len(_BLOOM_MULTS)}
+)
+SELECT doc_id, COUNT(DISTINCT wh) AS n_hits_bloom
+FROM whits GROUP BY doc_id
+"""
+
+
+register(
+    "docs_decontaminate_bloom",
+    docs_decontaminate_bloom,
+    _oracle_bloom(),
+    driver=False,  # round 6 addition; gate at its 50-row cap — next
+    # rotation promotes it (full-sweep oracle-gated meanwhile)
+)

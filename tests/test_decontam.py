@@ -49,3 +49,24 @@ def test_window_count_is_tokens_minus_seven(spark):
     n = 12
     text = " ".join(f"t{i}" for i in range(n))
     assert _hashes(spark, [(1, text)]).count() == n - (N_GRAM - 1)
+
+
+def test_bloom_flags_superset_of_exact(spark, sf_small):
+    """Bloom guarantee: no false negatives — every exactly-
+    contaminated doc is bloom-flagged with at least as many window
+    hits (false positives allowed, extra docs/hits possible)."""
+    from flink_cep_examples_spark.queries import QUERIES
+
+    exact = {
+        r.doc_id: r.n_hits
+        for r in QUERIES["docs_decontaminate"](spark, sf_small).collect()
+    }
+    bloom = {
+        r.doc_id: r.n_hits_bloom
+        for r in QUERIES["docs_decontaminate_bloom"](
+            spark, sf_small
+        ).collect()
+    }
+    assert set(exact) <= set(bloom)
+    for doc, n in exact.items():
+        assert bloom[doc] >= n, (doc, bloom[doc], n)

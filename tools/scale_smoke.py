@@ -64,6 +64,7 @@ SMOKE = [
     "docs_logprob_buckets",  # round-6 CCNet head/middle/tail terciles
     "dedup_containment",  # round-6 asymmetric excerpt/superset dedup
     "events_cms_heavy_hitters",  # round-6 count-min sketch probe
+    "docs_decontaminate_bloom",  # round-6 fixed-size Bloom decontam
 ]
 
 
