@@ -692,3 +692,98 @@ def test_mixed_alternation_group_end_to_end(spark):
         (5, None, 1, "U__1"),
         (None, 7, 0, "F"),      # dangling D at 8 never matches
     ]
+
+
+def _mixed_nfa_matches(ms, after):
+    """Drive the alternation coordinator directly (no Spark) for
+    PATTERN ((D U){1,2} | F) over class sequence ms (1=D, 2=U, 3=F);
+    returns (start_idx, end_idx, branch) per match in start order,
+    where branch is 'DUDU' / 'DU' / 'F'."""
+    import numpy as np
+
+    from flink_cep_examples_spark.operators.nfa import (
+        Nfa,
+        scan_key_group_alternation,
+    )
+    from flink_cep_examples_spark.plans.pattern import (
+        PatternSpec,
+        PatternVar,
+    )
+
+    def alt(names):
+        return PatternSpec(
+            variables=tuple(PatternVar(n, f"p{n}") for n in names),
+            after_match=after,
+        )
+
+    alts = [
+        alt(("D1", "U1", "D2", "U2")),
+        alt(("D3", "U3")),
+        alt(("F",)),
+    ]
+    nfas = [Nfa(a) for a in alts]
+    n = len(ms)
+    is_d = np.array([m == 1 for m in ms])
+    is_u = np.array([m == 2 for m in ms])
+    is_f = np.array([m == 3 for m in ms])
+    preds = [
+        np.stack([is_d, is_u, is_d, is_u]),
+        np.stack([is_d, is_u]),
+        np.stack([is_f]),
+    ]
+    ts = np.arange(n, dtype=np.int64) * 1000
+    out = scan_key_group_alternation(
+        nfas, preds, ts, after, derivation="leftmost"
+    )
+    label = {0: "DUDU", 1: "DU", 2: "F"}
+    res = []
+    for a, match in out:
+        spans = list(match.values())
+        res.append(
+            (min(s[0] for s in spans), max(s[1] for s in spans), label[a])
+        )
+    return sorted(res)
+
+
+def _mixed_re_matches(ms, skip_past):
+    """Independent reference: SQL:2016 preferment for ((D U){1,2} | F)
+    == Python re leftmost-greedy on the class string ('(?:du){1,2}'
+    prefers 2 repetitions; '|' prefers the left branch)."""
+    import re
+
+    s = "".join({1: "d", 2: "u", 3: "f"}.get(m, ".") for m in ms)
+    pat = re.compile(r"(?:du){1,2}|f")
+    out = []
+    if skip_past:
+        for mt in pat.finditer(s):
+            out.append((mt.start(), mt.end() - 1))
+    else:  # SKIP TO NEXT ROW: one anchored greedy match per start
+        for i in range(len(s)):
+            mt = pat.match(s, i)
+            if mt:
+                out.append((i, mt.end() - 1))
+    return sorted(
+        (a, b, {1: "F", 2: "DU", 4: "DUDU"}[b - a + 1]) for a, b in out
+    )
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=3), max_size=40))
+def test_mixed_alternation_matches_re_skip_to_next(ms):
+    from flink_cep_examples_spark.plans.pattern import SKIP_TO_NEXT
+
+    assert _mixed_nfa_matches(ms, SKIP_TO_NEXT) == _mixed_re_matches(
+        ms, skip_past=False
+    )
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=3), max_size=40))
+def test_mixed_alternation_matches_re_skip_past(ms):
+    from flink_cep_examples_spark.plans.pattern import (
+        SKIP_PAST_LAST_EVENT,
+    )
+
+    assert _mixed_nfa_matches(ms, SKIP_PAST_LAST_EVENT) == _mixed_re_matches(
+        ms, skip_past=True
+    )
