@@ -548,3 +548,136 @@ register(
     driver=False,  # round 6 addition; gate at its 50-row cap — next
     # rotation promotes it (full-sweep oracle-gated meanwhile)
 )
+
+
+def events_hourly_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 6: hypertable-style SKETCH ROLLUP — per (event_type,
+    hour) HLL registers rolled up to a per-type whole-corpus estimate
+    by MERGING the hour sketches (bucket-wise MAX), the continuous-
+    aggregate pattern a 100 TB pipeline uses: keep one tiny register
+    set per (key, window), answer any coarser window by merge, never
+    rescan raw data. The merged estimate is bit-identical to running
+    one flat HLL over the corpus (the merge property the streaming
+    operator also rides), which the oracle checks by computing BOTH
+    levels from scratch.
+
+    Output: one row per (event_type, hour) with the hour estimate,
+    plus the type's merged whole-corpus estimate repeated per row
+    (dtype-stable, null-free).
+
+    Scale: level 1 is the batch HLL aggregation keyed by (type, hour,
+    bucket) — map-side bounded at m rows per (type, hour); level 2
+    re-aggregates the ≤ m-row register sets, never the events."""
+    ev = load_table(spark, sf_dir, "events")
+    hashed = ev.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hour"),
+        *hll_bucket_rho_cols("user_id"),
+    )
+    per_bucket = hashed.groupBy("event_type", "hour", "bucket").agg(
+        F.max("rho").alias("mj")
+    )
+
+    def finalize(grouped, keys):
+        n_zero = F.lit(_HLL_M) - F.col("n_hit")
+        denom = F.col("denom_hit") + n_zero * F.lit(1 << _HLL_Q)
+        raw = F.lit(float(_HLL_A)) / denom.cast("double")
+        lc = F.element_at(
+            F.array(*[F.lit(v) for v in _HLL_LC]),
+            F.greatest(n_zero, F.lit(1)).cast("int"),
+        )
+        return grouped.agg(
+            F.count(F.lit(1)).alias("n_hit"),
+            F.sum(
+                F.expr(f"CAST(power(2, {_HLL_Q} - mj) AS BIGINT)")
+            ).alias("denom_hit"),
+        ).select(
+            *keys,
+            F.when((n_zero > 0) & (raw <= F.lit(2.5 * _HLL_M)), lc)
+            .otherwise(raw)
+            .alias("est"),
+        )
+
+    hour_est = finalize(
+        per_bucket.groupBy("event_type", "hour"), ["event_type", "hour"]
+    ).withColumnRenamed("est", "est_hour")
+    # rollup: merge hour registers by bucket-wise MAX, then finalize
+    merged = per_bucket.groupBy("event_type", "bucket").agg(
+        F.max("mj").alias("mj")
+    )
+    total_est = finalize(
+        merged.groupBy("event_type"), ["event_type"]
+    ).withColumnRenamed("est", "est_total")
+    return hour_est.join(total_est, "event_type").select(
+        "event_type",
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "est_hour",
+        "est_total",
+    )
+
+
+def _oracle_hourly_hll() -> str:
+    lc_rows = ",\n    ".join(
+        "({}, {})".format(z, "%.17e" % v)
+        for z, v in enumerate(_HLL_LC, start=1)
+    )
+    fin = (
+        "CASE WHEN ({m} - n_hit) > 0 AND {A} / CAST(denom_hit"
+        " + ({m} - n_hit) * {q} AS DOUBLE) <= {cap}"
+        " THEN (SELECT v FROM lctab WHERE z = CASE WHEN {m} - n_hit >= 1"
+        "       THEN {m} - n_hit ELSE 1 END)"
+        " ELSE {A} / CAST(denom_hit + ({m} - n_hit) * {q} AS DOUBLE) END"
+    ).format(
+        m=_HLL_M, A=_HLL_A, q=1 << _HLL_Q, cap=repr(2.5 * _HLL_M)
+    )
+    return f"""
+WITH hashed AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         {_hll_h2_sql("user_id")} // {1 << _HLL_WBITS} AS bucket,
+         CASE WHEN {_hll_h2_sql("user_id")} % {1 << _HLL_WBITS} = 0
+              THEN {_HLL_Q}
+              ELSE {_HLL_Q} - length(bin(
+                   {_hll_h2_sql("user_id")} % {1 << _HLL_WBITS}))
+         END AS rho
+  FROM events
+),
+per_bucket AS (
+  SELECT event_type, hour, bucket, MAX(rho) AS mj
+  FROM hashed GROUP BY 1, 2, 3
+),
+lctab(z, v) AS (VALUES
+    {lc_rows}
+),
+hour_agg AS (
+  SELECT event_type, hour, COUNT(*) AS n_hit,
+         CAST(SUM(CAST(power(2, {_HLL_Q} - mj) AS BIGINT)) AS BIGINT)
+           AS denom_hit
+  FROM per_bucket GROUP BY 1, 2
+),
+merged AS (
+  SELECT event_type, bucket, MAX(mj) AS mj
+  FROM per_bucket GROUP BY 1, 2
+),
+total_agg AS (
+  SELECT event_type, COUNT(*) AS n_hit,
+         CAST(SUM(CAST(power(2, {_HLL_Q} - mj) AS BIGINT)) AS BIGINT)
+           AS denom_hit
+  FROM merged GROUP BY 1
+)
+SELECT h.event_type,
+       strftime(h.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+       ({fin.replace("n_hit", "h.n_hit").replace("denom_hit", "h.denom_hit")})
+         AS est_hour,
+       ({fin.replace("n_hit", "t.n_hit").replace("denom_hit", "t.denom_hit")})
+         AS est_total
+FROM hour_agg h JOIN total_agg t USING (event_type)
+"""
+
+
+register(
+    "events_hourly_hll",
+    events_hourly_hll,
+    _oracle_hourly_hll(),
+    driver=False,  # round 6 addition; gate at its 50-row cap — next
+    # rotation promotes it (full-sweep oracle-gated meanwhile)
+)

@@ -115,3 +115,18 @@ def test_cms_overestimates_and_merges(spark, sf_small):
         k = (r.event_type, r.d, r.bucket)
         merged[k] = merged.get(k, 0) + r.c
     assert merged == whole
+
+
+def test_hourly_hll_rollup_merge_equals_flat(spark, sf_small):
+    """The rolled-up per-type estimate (hour registers merged by
+    bucket-wise MAX) must equal the flat whole-corpus HLL bit-for-bit
+    — the continuous-aggregate property."""
+    flat = {
+        r.event_type: r.est_distinct
+        for r in QUERIES["events_hll_distinct"](spark, sf_small).collect()
+    }
+    rolled = {
+        r.event_type: r.est_total
+        for r in QUERIES["events_hourly_hll"](spark, sf_small).collect()
+    }
+    assert rolled == flat
