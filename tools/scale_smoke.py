@@ -65,6 +65,9 @@ SMOKE = [
     "dedup_containment",  # round-6 asymmetric excerpt/superset dedup
     "events_cms_heavy_hitters",  # round-6 count-min sketch probe
     "docs_decontaminate_bloom",  # round-6 fixed-size Bloom decontam
+    "events_hll_distinct",  # round-6 HLL sketch (bounded-state control)
+    "events_hourly_hll",  # round-6 sketch rollup (merge, never rescan)
+    "cep_group_range_or_fallback",  # round-6 mixed '|' + ranged group
 ]
 
 
