@@ -1911,6 +1911,5 @@ register(
     "cep_group_range_or_fallback",
     cep_group_range_or_fallback,
     ORACLE_GROUP_RANGE_OR_FALLBACK,
-    driver=False,  # round 6 addition; gate at its 50-row cap — next
-    # rotation promotes it (full-sweep oracle-gated meanwhile)
+    # r7 rotation: promoted (never-driver-verified pool)
 )

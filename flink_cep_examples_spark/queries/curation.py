@@ -635,6 +635,5 @@ register(
     "docs_logprob_buckets",
     docs_logprob_buckets,
     ORACLE_LOGPROB_BUCKETS,
-    driver=False,  # round 6 addition; gate at its 50-row cap — next
-    # rotation promotes it (full-sweep oracle-gated meanwhile)
+    # r7 rotation: promoted (never-driver-verified pool)
 )

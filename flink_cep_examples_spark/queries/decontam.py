@@ -330,6 +330,5 @@ register(
     "docs_decontaminate_bloom",
     docs_decontaminate_bloom,
     _oracle_bloom(),
-    driver=False,  # round 6 addition; gate at its 50-row cap — next
-    # rotation promotes it (full-sweep oracle-gated meanwhile)
+    # r7 rotation: promoted (never-driver-verified pool)
 )

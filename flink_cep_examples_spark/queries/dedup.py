@@ -917,6 +917,5 @@ register(
     "dedup_containment",
     dedup_containment,
     ORACLE_CONTAINMENT,
-    driver=False,  # round 6 addition; gate at its 50-row cap — next
-    # rotation promotes it (full-sweep oracle-gated meanwhile)
+    # r7 rotation: promoted (never-driver-verified pool)
 )

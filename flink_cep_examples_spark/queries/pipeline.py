@@ -159,6 +159,5 @@ register(
     "corpus_winnow_dedup",
     corpus_winnow_dedup,
     _oracle_winnow_dedup(),
-    driver=False,  # round 6 addition; gate is at its 50-row cap — next
-    # rotation promotes it (pytest/full-sweep oracle-gated meanwhile)
+    # r7 rotation: promoted (never-driver-verified pool)
 )

@@ -537,7 +537,7 @@ register("q5_regional_revenue", q5_regional_revenue, ORACLE_Q5, driver=False,  #
 )
 register(
     "q10_returned_revenue", q10_returned_revenue, ORACLE_Q10,
-    # round-4 rotation: promoted into the 50-row driver gate
+    driver=False,  # r7 rotation: driver-verified green r1/r2/r4/r5/r6; pytest-gated now
 )
 register(
     "customer_order_ranks", customer_order_ranks, ORACLE_RANKS,

@@ -204,5 +204,7 @@ register("q4_late_order_counts", q4_late_order_counts, ORACLE_Q4, driver=False, 
 )
 register("q6_revenue_delta", q6_revenue_delta, ORACLE_Q6, driver=False,  # r5.2 rotation: driver-verified green r3+r4; pytest-gated now
 )
-register("q17_small_quantity_revenue", q17_small_quantity_revenue, ORACLE_Q17)
-register("q22_quiet_rich_customers", q22_quiet_rich_customers, ORACLE_Q22)
+register("q17_small_quantity_revenue", q17_small_quantity_revenue, ORACLE_Q17, driver=False,  # r7 rotation: driver-verified green r3-r6; pytest-gated now
+)
+register("q22_quiet_rich_customers", q22_quiet_rich_customers, ORACLE_Q22, driver=False,  # r7 rotation: driver-verified green r3-r6; pytest-gated now
+)

@@ -231,10 +231,12 @@ GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 
 register("docs_stratified_sample", docs_stratified_sample, ORACLE_SAMPLE, driver=False,  # r5.2 rotation: driver-verified green r3+r4; pytest-gated now
 )
-register("docs_mixture_sample", docs_mixture_sample, ORACLE_MIXTURE)
+register("docs_mixture_sample", docs_mixture_sample, ORACLE_MIXTURE, driver=False,  # r7 rotation: driver-verified green r3-r6; pytest-gated now
+)
 register("events_kmv_distinct", events_kmv_distinct, ORACLE_KMV, driver=False,  # r5.2 rotation: driver-verified green r3+r4; pytest-gated now
 )
-register("orders_rollup_report", orders_rollup_report, ORACLE_ROLLUP)
+register("orders_rollup_report", orders_rollup_report, ORACLE_ROLLUP, driver=False,  # r7 rotation: driver-verified green r3-r6; pytest-gated now
+)
 
 
 # ---------------------------------------------------------------------------
@@ -427,8 +429,7 @@ register(
     "events_hll_distinct",
     events_hll_distinct,
     _oracle_hll(),
-    driver=False,  # round 6 addition; gate at its 50-row cap — next
-    # rotation promotes it (full-sweep oracle-gated meanwhile)
+    # r7 rotation: promoted (never-driver-verified pool)
 )
 
 
@@ -545,8 +546,7 @@ register(
     "events_cms_heavy_hitters",
     events_cms_heavy_hitters,
     _oracle_cms(),
-    driver=False,  # round 6 addition; gate at its 50-row cap — next
-    # rotation promotes it (full-sweep oracle-gated meanwhile)
+    # r7 rotation: promoted (never-driver-verified pool)
 )
 
 
@@ -678,6 +678,5 @@ register(
     "events_hourly_hll",
     events_hourly_hll,
     _oracle_hourly_hll(),
-    driver=False,  # round 6 addition; gate at its 50-row cap — next
-    # rotation promotes it (full-sweep oracle-gated meanwhile)
+    # r7 rotation: promoted (never-driver-verified pool)
 )

@@ -251,9 +251,12 @@ JOIN (SELECT event_id, user_id, ts, value FROM events
 """
 
 
-register("events_asof_attribution", events_asof_attribution, ORACLE_ASOF)
+register("events_asof_attribution", events_asof_attribution, ORACLE_ASOF, driver=False,  # r7 rotation: driver-verified green r3-r6; pytest-gated now
+)
 register(
-    "events_funnel_interval_join", events_funnel_interval_join, ORACLE_FUNNEL
+    "events_funnel_interval_join", events_funnel_interval_join, ORACLE_FUNNEL,
+    driver=False,  # r7 rotation: driver-verified green r3-r6; pytest-gated now
 )
 register("events_range_error_context", events_range_error_context, ORACLE_RANGE)
-register("events_hourly_gapfill", events_hourly_gapfill, ORACLE_GAPFILL)
+register("events_hourly_gapfill", events_hourly_gapfill, ORACLE_GAPFILL, driver=False,  # r7 rotation: driver-verified green r3-r6; pytest-gated now
+)
