@@ -600,6 +600,14 @@ def match_pattern_all_rows(df: DataFrame, spec: PatternSpec) -> DataFrame:
     # SQL:2016 {- var -}: excluded variables still shape the match
     # (measures/skip/deadline unchanged) but emit no output rows
     emit_names = [v.name for v in spec.variables if not v.excluded]
+    # loop-group vars (round 7): a var's rows across iterations are the
+    # stride-L progression from its merged span (exactly-once + strict
+    # body, validated), NOT the contiguous range — L = group width
+    loop_stride = {
+        spec.variables[i].name: ge - gs + 1
+        for gs, ge in spec.loop_groups
+        for i in range(gs, ge + 1)
+    }
 
     def scan(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([_TS_COL, tiebreak], kind="mergesort")
@@ -611,6 +619,16 @@ def match_pattern_all_rows(df: DataFrame, spec: PatternSpec) -> DataFrame:
             ]
         )
         matches, _ = nfa.scan_key_group(compiled, preds, ts)
+        if compiled.longest and len(matches) > 1:
+            # same renumbering as match_pattern: held resolution can
+            # emit starts out of order — match_seq is SQL:2016
+            # (start, end) order
+            matches.sort(
+                key=lambda mm: (
+                    min(sp[3] for sp in mm.values()),
+                    max(sp[4] for sp in mm.values()),
+                )
+            )
         src_arrays = {
             m.src: pdf[m.src].to_numpy()
             for m in measure_list
@@ -644,7 +662,8 @@ def match_pattern_all_rows(df: DataFrame, spec: PatternSpec) -> DataFrame:
                 span = match.get(vname)
                 if span is None:
                     continue
-                for r in range(span[0], span[1] + 1):
+                stride = loop_stride.get(vname, 1)
+                for r in range(span[0], span[1] + 1, stride):
                     for c in data_cols:
                         rows[c].append(data_arrays[c][r])
                     rows["classifier"].append(vname)

@@ -986,3 +986,293 @@ def match_pattern_alternation_fast(
     return out.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in fields]
     )
+
+
+# ---------------------------------------------------------------------------
+# Trailing-loop-group LONGEST derivation — (P1 .. Ps (X1 .. XL)+)
+# ---------------------------------------------------------------------------
+
+
+def fast_loop_chain_applicable(spec) -> bool:
+    """True when the pattern is a TRAILING unbounded loop group under
+    SQL:2016 LONGEST derivation that the vectorized chain kernel can
+    compile: ``PATTERN (P1 .. Ps (X1 .. XL)+)`` — a (possibly empty)
+    prefix of exactly-once strict variables followed by one loop group
+    ending at the last variable (``{n,}`` parses to this shape: n-1
+    unrolled prefix copies + a ``+`` group — sql/match_recognize.py::
+    _expand_group_quantifiers).
+
+    With every variable exactly-once and strict contiguity, a k-
+    iteration match from start row r occupies rows r .. r+s+kL-1 with
+    NO nondeterminism in row→variable assignment (positionally forced),
+    so the NFA's most-iterations held resolution (operators/nfa.py::
+    _resolve_helds) reduces to "maximal stride-L run of valid body
+    chunks" — pure row arithmetic. See
+    :func:`match_pattern_fast_loop_chain`.
+    """
+    if not isinstance(spec, PatternSpec) or spec.derivation != "longest":
+        return False
+    if spec.permute or spec.emit_timeouts or spec.rows_per_match != "one":
+        return False
+    if spec.within is not None:
+        return False
+    if len(spec.loop_groups) != 1:
+        return False
+    gs, ge = spec.loop_groups[0]
+    if ge != len(spec.variables) - 1:
+        return False
+    if spec.after_match not in (SKIP_PAST_LAST_EVENT, SKIP_TO_NEXT, NO_SKIP):
+        return False
+    for i, v in enumerate(spec.variables):
+        if v.negated or v.until is not None or v.quantifier != ONCE:
+            return False
+        if i > 0 and v.contiguity != STRICT:
+            return False
+        if v.loop_contiguity not in (None, STRICT):
+            return False
+    names = {v.name for v in spec.variables}
+    subset_map = dict(spec.subsets)
+    for m in spec.measures:
+        if m.running:
+            return False
+        if m.fn in NILADIC_FNS:
+            continue
+        if m.fn not in ("first", "last", "count"):
+            # aggregates over loop vars are rejected by validate();
+            # count_col (non-null counting) needs per-row null masks
+            # the positional kernel doesn't gather — NFA tier handles it
+            return False
+        comps = subset_map.get(m.var, (m.var,))
+        if not all(c in names for c in comps):
+            return False
+    return True
+
+
+
+def _strided_chain(body_ok, seg_id, pos_in_seg, L: int):
+    """chain[t] = number of consecutive valid body chunks starting at t
+    stepping by L WITHIN t's key segment: chain[t] = 0 if not
+    body_ok[t] else 1 + chain[t+L] (0 past the segment). Fully
+    vectorized: one lexsort groups rows by (segment, pos mod L) — group
+    members are exactly L apart in row order — then a barrier-masked
+    reverse run-length scan (np.maximum.accumulate) computes forward
+    run lengths per group. O(n log n), no Python per row."""
+    import numpy as np
+
+    n = len(body_ok)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    grp = seg_id * np.int64(L) + (pos_in_seg % L)
+    order = np.lexsort((np.arange(n), grp))
+    b = body_ok[order]
+    g = grp[order]
+    # reverse so "run starting at t going forward" becomes "run ending
+    # at t" — computable with a running barrier
+    br = b[::-1]
+    gr = g[::-1]
+    idx1 = np.arange(1, n + 1, dtype=np.int64)
+    new_grp_r = np.empty(n, dtype=bool)
+    new_grp_r[0] = True
+    new_grp_r[1:] = gr[1:] != gr[:-1]
+    # barrier: position after the last False / group boundary
+    bar = np.where(br, np.where(new_grp_r, idx1 - 1, 0), idx1)
+    last_bar = np.maximum.accumulate(bar)
+    count_r = np.where(br, idx1 - last_bar, 0)
+    chain = np.empty(n, dtype=np.int64)
+    chain[order] = count_r[::-1]
+    return chain
+
+
+def match_pattern_fast_loop_chain(
+    df: DataFrame, spec: PatternSpec
+) -> DataFrame:
+    """Vectorized chain kernel for trailing-loop-group LONGEST
+    derivation (the ``cep_group_longest_chain`` shape, round 7 —
+    closes round 6's one perf-weak item: the NFA tier holds per-start
+    completions in a per-row Python loop; this kernel is one numpy
+    pass per PARTITION, with no per-key-group Python at all).
+
+    Derivation (from the NFA semantics, operators/nfa.py):
+
+    - body chunk validity ``ok(t) = ∧_j pred[s+j](t+j)`` — one shifted
+      AND per body variable, masked where the chunk would cross a key
+      segment boundary;
+    - maximal stride-L chains per (segment, t mod L) residue class —
+      :func:`_strided_chain`, one lexsort + one accumulate;
+    - a match at start r = prefix rows ok at r..r+s-1, then
+      k = chain(r+s) ≥ 1 iterations, span r .. r+s+kL-1 (longest: the
+      held resolution keeps the most-iterations completion);
+    - AFTER MATCH SKIP PAST LAST ROW selects starts greedily in start
+      order, one ``searchsorted`` per MATCH — a match's span never
+      crosses its segment, so one pass serves every key in the
+      partition; SKIP TO NEXT ROW / NO SKIP emit every valid start.
+
+    Why partition-level: at sf0.1 the events table has ~67 rows/key —
+    per-key-group pandas dispatch (sort, slice, frame build) dominates
+    runtime at that group size (the round-6 NFA tier measured 3.95×
+    at 10× for exactly this reason). Here the sort happens JVM-side
+    (``sortWithinPartitions``), Python sees each partition once, and
+    key boundaries are just another vectorized mask. Spark staging
+    is otherwise the NFA tier's: predicates vectorized pre-shuffle
+    (cep_batch._prepare), ONE hash Exchange on the keys. Differential-
+    tested against the NFA tier (tests/test_fast_loop_chain.py).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from flink_cep_examples_spark.operators.cep_batch import (
+        _needs_src,
+        _null_safe_agg_cast,
+        _prepare,
+        _PRED_PREFIX,
+        _TS_COL,
+    )
+
+    spec.validate()
+    if not fast_loop_chain_applicable(spec):
+        raise ValueError("pattern shape not compilable by the chain kernel")
+
+    gs, _ = spec.loop_groups[0]
+    s = gs  # prefix length
+    L = len(spec.variables) - s  # body length
+    n_vars = len(spec.variables)
+    prepared = _prepare(df, spec)
+    out_schema = output_schema(df, spec)
+    key_cols = list(spec.key_cols)
+    tiebreak = spec.tiebreak_col
+    measure_list = list(spec.measures)
+    subset_map = dict(spec.subsets)
+    var_pos = {v.name: i for i, v in enumerate(spec.variables)}
+    last_var_name = spec.variables[-1].name
+    past_last = spec.after_match == SKIP_PAST_LAST_EVENT
+    out_names = [f.name for f in out_schema.fields]
+
+    # sort JVM-side; the kernel never sorts in Python
+    sorted_p = prepared.repartition(*key_cols).sortWithinPartitions(
+        *key_cols, _TS_COL, tiebreak
+    )
+
+    def scan_partition(batches):
+        chunks = [c for c in batches if len(c)]
+        if not chunks:
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        n = len(pdf)
+        # --- key segments (contiguous after the JVM sort) ---
+        newkey = np.zeros(n, dtype=bool)
+        newkey[0] = True
+        for kc in key_cols:
+            col = pdf[kc]
+            same = col.eq(col.shift()) | (
+                col.isna() & col.shift().isna()
+            )
+            newkey[1:] |= ~same.to_numpy()[1:]
+        seg_id = np.cumsum(newkey, dtype=np.int64) - 1
+        seg_start_rows = np.flatnonzero(newkey)
+        pos_in_seg = np.arange(n, dtype=np.int64) - seg_start_rows[seg_id]
+        seg_len = np.diff(np.append(seg_start_rows, n))
+        rows_left = seg_len[seg_id] - pos_in_seg  # incl. current row
+
+        p = [
+            pdf[f"{_PRED_PREFIX}{i}"].to_numpy(dtype=bool)
+            for i in range(n_vars)
+        ]
+        # body chunk validity at its first row, masked at segment edges
+        body_ok = p[s].copy()
+        for j in range(1, L):
+            body_ok[: n - j] &= p[s + j][j:]
+            body_ok[n - j :] = False
+        body_ok &= rows_left >= L
+        chain = _strided_chain(body_ok, seg_id, pos_in_seg, L)
+        # prefix validity at the start row (same-segment by rows_left)
+        if s:
+            prefix_ok = p[0].copy()
+            for i in range(1, s):
+                prefix_ok[: n - i] &= p[i][i:]
+                prefix_ok[n - i :] = False
+        else:
+            prefix_ok = np.ones(n, dtype=bool)
+        k_at = np.zeros(n, dtype=np.int64)
+        k_at[: n - s] = chain[s:] if s else chain
+        valid = prefix_ok & (k_at >= 1) & (rows_left >= s + L)
+        starts = np.flatnonzero(valid)
+        if past_last and len(starts):
+            # one searchsorted per match; a match's span stays inside
+            # its segment, so the greedy cursor is partition-global
+            sel: list[int] = []
+            bound = 0
+            while True:
+                i = int(np.searchsorted(starts, bound))
+                if i == len(starts):
+                    break
+                r = int(starts[i])
+                sel.append(r)
+                bound = r + s + int(k_at[r]) * L  # end + 1
+            starts = np.asarray(sel, dtype=np.int64)
+        if not len(starts):
+            return
+        k = k_at[starts]
+        out_cols: dict[str, object] = {}
+        for kc in key_cols:
+            out_cols[kc] = pdf[kc].to_numpy()[starts]
+        src_arrays = {
+            m.src: pdf[m.src].to_numpy()
+            for m in measure_list
+            if _needs_src(m)
+        }
+
+        def var_rows(v: str):
+            """(first_idx, last_idx, count) arrays for one variable."""
+            i = var_pos[v]
+            if i < s:
+                r = starts + i
+                return r, r, np.ones(len(starts), dtype=np.int64)
+            first = starts + i
+            last = starts + s + (k - 1) * L + (i - s)
+            return first, last, k
+
+        # per-key 1-based MATCH_NUMBER (starts are in row order, so
+        # per-segment order is start order)
+        if any(m.fn == "match_number" for m in measure_list):
+            segs = seg_id[starts]
+            new_s = np.empty(len(starts), dtype=bool)
+            new_s[0] = True
+            new_s[1:] = segs[1:] != segs[:-1]
+            first_idx = np.maximum.accumulate(
+                np.where(new_s, np.arange(len(starts)), 0)
+            )
+            mn = np.arange(len(starts)) - first_idx + 1
+        for m in measure_list:
+            if m.fn == "match_number":
+                out_cols[m.name] = mn
+                continue
+            if m.fn == "classifier":
+                out_cols[m.name] = np.repeat(last_var_name, len(starts))
+                continue
+            comps = subset_map.get(m.var, (m.var,))
+            firsts, lasts, counts = zip(*(var_rows(c) for c in comps))
+            if m.fn == "count":
+                total = counts[0].copy()
+                for cc in counts[1:]:
+                    total = total + cc
+                out_cols[m.name] = total
+            elif m.fn == "first":
+                fi = firsts[0]
+                for f2 in firsts[1:]:
+                    fi = np.minimum(fi, f2)
+                out_cols[m.name] = src_arrays[m.src][fi]
+            else:  # last
+                la = lasts[0]
+                for l2 in lasts[1:]:
+                    la = np.maximum(la, l2)
+                out_cols[m.name] = src_arrays[m.src][la]
+        out_cols["tag"] = np.repeat(MATCH_TAG, len(starts))
+        out = pd.DataFrame(out_cols, columns=out_names)
+        _null_safe_agg_cast(out, measure_list, out_schema)
+        yield out
+
+    return sorted_p.mapInPandas(scan_partition, out_schema)

@@ -416,12 +416,21 @@ class PatternSpec:
         if self.loop_groups:
             if self.permute:
                 raise ValueError("loop groups cannot combine with PERMUTE")
-            if self.rows_per_match == "all":
+            if self.rows_per_match == "all" and any(
+                m.running for m in self.measures
+            ):
+                # ALL ROWS itself is fine (round 7): loop-group vars
+                # are exactly-once + strict, so a var's rows are the
+                # stride-L arithmetic progression from its merged span
+                # (operators/cep_batch.py::match_pattern_all_rows
+                # reconstructs them positionally). RUNNING measures
+                # still assume a contiguous per-var prefix, which
+                # iterations interleave — loud, not silently FINAL.
                 raise NotImplementedError(
-                    "ALL ROWS PER MATCH with an unbounded group "
-                    "quantifier: per-row classification reconstructs "
-                    "each variable's rows from one contiguous span, "
-                    "which group iterations interleave"
+                    "RUNNING measures with an unbounded group "
+                    "quantifier: the running series assumes each "
+                    "variable's rows are contiguous, which group "
+                    "iterations interleave — use FINAL measures"
                 )
             spans_sorted = sorted(self.loop_groups)
             prev_end = -1

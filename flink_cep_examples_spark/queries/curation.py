@@ -342,7 +342,7 @@ register("docs_pii_scrub", docs_pii_scrub, ORACLE_PII, driver=False,  # r4 rotat
 )
 register(
     "docs_bigram_topk", docs_bigram_topk, ORACLE_BIGRAM_TOPK,
-    # round-4 rotation: promoted into the 50-row driver gate
+    driver=False,  # r7 rotation: driver-verified green r2/r4/r5/r6; pytest-gated now
 )
 
 

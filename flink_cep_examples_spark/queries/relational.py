@@ -525,7 +525,7 @@ GROUP BY event_type
 
 register(
     "q1_pricing_summary", q1_pricing_summary, ORACLE_Q1,
-    # r6 rotation: RE-promoted — sum_disc_price/sum_charge changed (_d4 ROUND)
+    driver=False,  # r7 rotation: driver-verified green r1/r2/r3/r6 (incl. the _d4 ROUND change in r6); pytest-gated now
 )
 register(
     "events_json_props", events_json_props, ORACLE_JSON,

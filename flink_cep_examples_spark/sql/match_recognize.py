@@ -70,9 +70,11 @@ from flink_cep_examples_spark.operators.cep_batch import (
 )
 from flink_cep_examples_spark.operators.fast_path import (
     fast_abc_applicable,
+    fast_loop_chain_applicable,
     fast_positional_applicable,
     match_pattern_fast_abc,
     match_pattern_fast_abc_all_rows,
+    match_pattern_fast_loop_chain,
     match_pattern_fast_positional,
 )
 from flink_cep_examples_spark.plans.pattern import (
@@ -296,23 +298,32 @@ def _expand_group_quantifiers(text: str) -> list[str]:
         loop); ``copy`` suffixes the names (for {n,} whose earlier
         iterations are unrolled copies 1..n-1)."""
         inner = []
+        n_names = 0
         for tok in toks:
             if tok in ("{-", "-}"):
-                raise NotImplementedError(
-                    "{- -} exclusion inside an UNBOUNDED group (loop "
-                    "groups reject ALL ROWS PER MATCH, where exclusion "
-                    "would matter)"
-                )
+                # {- var -} inside an unbounded group (round 7): the
+                # markers ride through to _parse_var_seq, which sets
+                # ``excluded`` on the enclosed body vars — ALL ROWS
+                # emission then skips their (stride-L) rows
+                inner.append(tok)
+                continue
             name, suffix = _name_suffix(tok)
             if suffix:
                 raise NotImplementedError(
                     f"quantified variable {tok!r} inside an unbounded "
                     "group — flatten the inner quantifier first"
                 )
+            n_names += 1
             inner.append(name if copy is None else f"{name}__{copy}")
         if len(inner) == 1:
             # (B)+ is just B+ — no loop group needed
             return inner[0] + "+"
+        if n_names == 1:
+            # ({- B -})+ — a single fully-excluded var: equivalent to
+            # an excluded B+ (every iteration row is the var's), and
+            # single-var loop groups are rejected by validate()
+            only = next(t for t in inner if t not in ("{-", "-}"))
+            return f"{{- {only}+ -}}"
         return f"{_LOOP_OPEN} {' '.join(inner)} {_LOOP_CLOSE}"
 
     unbounded = quant in ("*", "+") or (hi == "" and lo is not None)
@@ -991,7 +1002,12 @@ def match_recognize(
         ):
             return match_pattern_fast_abc_all_rows(df, spec)
         return match_pattern_all_rows(df, spec)
-    if use_fast_path and fast_abc_applicable(spec):
+    if use_fast_path and fast_loop_chain_applicable(spec):
+        # trailing-loop-group longest derivation compiles to the
+        # vectorized chain kernel (round 7 — the NFA's held-completion
+        # Python loop was the one perf-weak shape in round 6)
+        out = match_pattern_fast_loop_chain(df, spec)
+    elif use_fast_path and fast_abc_applicable(spec):
         out = match_pattern_fast_abc(df, spec)
     elif use_fast_path and fast_positional_applicable(spec):
         # fast_positional_applicable rejects emit_timeouts itself, so

@@ -12,6 +12,7 @@ the earliest-started run wins under the one-match skip strategies.
 
 from __future__ import annotations
 
+import dataclasses
 import datetime as dt
 
 import pytest
@@ -169,7 +170,10 @@ def test_validate_rejects_aggregates_over_loop_vars():
         spec.validate()
 
 
-def test_validate_rejects_all_rows_with_loop_groups():
+def test_validate_allows_all_rows_with_loop_groups():
+    """Round 7: ALL ROWS over loop groups is supported (stride-L
+    positional reconstruction); only RUNNING measures stay rejected
+    (the running series assumes contiguous per-var rows)."""
     spec = PatternSpec(
         variables=(
             PatternVar("X", "px"),
@@ -179,8 +183,18 @@ def test_validate_rejects_all_rows_with_loop_groups():
         loop_groups=((0, 1),),
         rows_per_match="all",
     )
-    with pytest.raises(NotImplementedError, match="ALL ROWS PER MATCH"):
-        spec.validate()
+    spec.validate()  # no raise
+    from flink_cep_examples_spark.plans.pattern import Measure
+
+    running = dataclasses.replace(
+        spec,
+        measures=(
+            Measure(name="c", var="X", src="__count__", fn="count",
+                    running=True),
+        ),
+    )
+    with pytest.raises(NotImplementedError, match="RUNNING"):
+        running.validate()
 
 
 def test_validate_rejects_optional_group_end():

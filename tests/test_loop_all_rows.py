@@ -1,0 +1,139 @@
+"""ALL ROWS PER MATCH for unbounded loop groups (round 7 — VERDICT r6
+items 3 and 5): per-row emission with positional classification
+(operators/cep_batch.py::match_pattern_all_rows stride-L
+reconstruction) and {- var -} exclusion inside the group.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from flink_cep_examples_spark.sql.match_recognize import (
+    match_recognize,
+    parse_match_recognize,
+)
+
+BASE = datetime(2024, 1, 1)
+
+
+def _df(spark, events):
+    return spark.createDataFrame(
+        [
+            (1, BASE + timedelta(minutes=i), e)
+            for i, e in enumerate(events)
+        ],
+        "user_id long, ts timestamp, event_id long",
+    )
+
+
+BODY = """
+PARTITION BY user_id ORDER BY ts, event_id
+MEASURES COUNT(X.*) AS pairs
+ALL ROWS PER MATCH
+AFTER MATCH SKIP PAST LAST ROW
+PATTERN ((X Y)+)
+DEFINE X AS event_id % 3 = 1, Y AS event_id % 3 = 2
+"""
+
+
+def test_loop_group_all_rows_hand_sequence(spark):
+    """x y x y y x y → match 0 covers rows 0-3 (2 pairs, classifiers
+    X Y X Y in row order), row 4 breaks the chain, rows 5-6 are match
+    1."""
+    out = match_recognize(_df(spark, [1, 2, 1, 2, 2, 1, 2]), BODY,
+                          tiebreak_col="event_id")
+    rows = sorted(out.collect(), key=lambda r: r["ts"])
+    got = [(r["event_id"], r["classifier"], r["match_seq"], r["pairs"])
+           for r in rows]
+    assert got == [
+        (1, "X", 0, 2), (2, "Y", 0, 2), (1, "X", 0, 2), (2, "Y", 0, 2),
+        (1, "X", 1, 1), (2, "Y", 1, 1),
+    ]
+
+
+def test_loop_group_all_rows_triple_body(spark):
+    """(X Y Z)+ with 2 iterations: classifiers cycle X Y Z X Y Z."""
+    body = """
+    PARTITION BY user_id ORDER BY ts, event_id
+    MEASURES COUNT(Z.*) AS iters
+    ALL ROWS PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN ((X Y Z)+)
+    DEFINE X AS event_id % 4 = 1, Y AS event_id % 4 = 2,
+           Z AS event_id % 4 = 3
+    """
+    out = match_recognize(
+        _df(spark, [1, 2, 3, 1, 2, 3, 0]), body, tiebreak_col="event_id"
+    )
+    rows = sorted(out.collect(), key=lambda r: r["ts"])
+    assert [r["classifier"] for r in rows] == ["X", "Y", "Z", "X", "Y", "Z"]
+    assert {r["iters"] for r in rows} == {2}
+    assert {r["match_seq"] for r in rows} == {0}
+
+
+def test_loop_group_exclusion_all_rows(spark):
+    """({- X -} Y)+: identical match shape, only Y rows emitted."""
+    body = BODY.replace("PATTERN ((X Y)+)", "PATTERN (({- X -} Y)+)")
+    out = match_recognize(_df(spark, [1, 2, 1, 2, 2, 1, 2]), body,
+                          tiebreak_col="event_id")
+    rows = sorted(out.collect(), key=lambda r: r["ts"])
+    got = [(r["event_id"], r["classifier"], r["match_seq"], r["pairs"])
+           for r in rows]
+    assert got == [(2, "Y", 0, 2), (2, "Y", 0, 2), (2, "Y", 1, 1)]
+
+
+def test_loop_group_all_rows_with_prefix(spark):
+    """A (B C)+: prefix row classifies A (stride 1), body rows cycle."""
+    body = """
+    PARTITION BY user_id ORDER BY ts, event_id
+    MEASURES COUNT(B.*) AS bs
+    ALL ROWS PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN (A (B C)+)
+    DEFINE A AS event_id % 3 = 0,
+           B AS event_id % 3 = 1, C AS event_id % 3 = 2
+    """
+    out = match_recognize(
+        _df(spark, [0, 1, 2, 1, 2, 0]), body, tiebreak_col="event_id"
+    )
+    rows = sorted(out.collect(), key=lambda r: r["ts"])
+    assert [r["classifier"] for r in rows] == ["A", "B", "C", "B", "C"]
+    assert {r["bs"] for r in rows} == {2}
+
+
+def test_running_measure_with_loop_group_raises():
+    with pytest.raises(NotImplementedError, match="RUNNING"):
+        parse_match_recognize(
+            BODY.replace("COUNT(X.*)", "RUNNING COUNT(X.*)")
+        ).validate()
+
+
+def test_all_rows_consistent_with_one_row(spark):
+    """Row count per match in ALL ROWS = 2 × pairs of the ONE ROW
+    twin; same match partitioning."""
+    import random
+
+    rng = random.Random(11)
+    events = [rng.randrange(0, 5) for _ in range(120)]
+    df = _df(spark, events)
+    all_rows = match_recognize(df, BODY, tiebreak_col="event_id").collect()
+    one_row = match_recognize(
+        df,
+        BODY.replace("ALL ROWS PER MATCH", "ONE ROW PER MATCH"),
+        tiebreak_col="event_id",
+    ).collect()
+    assert len(one_row) > 0
+    from collections import Counter
+
+    per_match = Counter(r["match_seq"] for r in all_rows)
+    pairs_by_match = {}
+    for r in all_rows:
+        pairs_by_match[r["match_seq"]] = r["pairs"]
+    assert len(per_match) == len(one_row)
+    for seq, cnt in per_match.items():
+        assert cnt == 2 * pairs_by_match[seq]
+    assert sorted(r["pairs"] for r in one_row) == sorted(
+        pairs_by_match.values()
+    )
