@@ -294,6 +294,18 @@ class Nfa:
                 j += 1
             self._loop_succ[e_p] = tuple(targets)
 
+        #: greedy (non-reluctant) loop groups — in ALTERNATION
+        #: coordination (round 7), a completion from such an
+        #: alternative is held and REPLACED by later (more-iterations)
+        #: completions while its run lives, realizing SQL:2016 longest
+        #: preferment for ``(X Y)*`` expansions; reluctant loops
+        #: (greedy=False body vars) emit their first completion.
+        self.greedy_loops = bool(self._loop_succ) and all(
+            spec.variables[i].greedy
+            for s_i, e_i in getattr(spec, "loop_groups", ())
+            for i in range(s_i, e_i + 1)
+        )
+
         #: "longest" derivation (round 6, SQL:2016 greedy group
         #: quantifier): completions are HELD in NfaState.helds while
         #: the same start's loop branches live, then the preferred
@@ -874,6 +886,16 @@ def coordinate_alternation_row(
             cur = helds.get(start_ord)
             if cur is None or a < cur[0]:
                 helds[start_ord] = (a, br)
+            elif (
+                a == cur[0]
+                and nfas[a].greedy_loops
+                and _branch_end_ord(br) > _branch_end_ord(cur[1])
+            ):
+                # greedy loop branch (round 7): a later completion has
+                # more iterations — SQL:2016 longest preferment within
+                # the winning alternative (the hold persists while the
+                # run lives; see resolve_alternation_helds)
+                helds[start_ord] = (a, br)
         return resolve_alternation_helds(
             nfas, states, after_match, helds, final=False
         )
@@ -951,6 +973,12 @@ def resolve_alternation_helds(
             if min_live is not None and (
                 min_live < s_min
                 or (live.get(s_min, len(nfas)) < a_held)
+                # greedy loop branch (round 7): its own live run can
+                # still extend to a longer completion — hold
+                or (
+                    live.get(s_min) == a_held
+                    and nfas[a_held].greedy_loops
+                )
             ):
                 break
             end_ord = _branch_end_ord(br)
@@ -965,7 +993,9 @@ def resolve_alternation_helds(
     else:  # SKIP_TO_NEXT / NO_SKIP: per-start independent resolution
         for s in sorted(helds):
             a_held, br = helds[s]
-            if live.get(s, len(nfas)) < a_held:
+            if live.get(s, len(nfas)) < a_held or (
+                live.get(s) == a_held and nfas[a_held].greedy_loops
+            ):
                 continue
             out.append((a_held, nfas[a_held]._branch_dict(br)))
             for st in states:

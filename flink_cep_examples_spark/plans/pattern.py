@@ -358,8 +358,18 @@ class PatternSpec:
                 raise ValueError(
                     f"skip_var {self.skip_var!r} is negated (never matches rows)"
                 )
-        for v in self.variables:
-            if not v.greedy and not (v.can_loop or v.optional):
+        loop_var_idx = {
+            i for s, e in self.loop_groups for i in range(s, e + 1)
+        }
+        for i, v in enumerate(self.variables):
+            if (
+                not v.greedy
+                and not (v.can_loop or v.optional)
+                # round 7: greedy=False on a loop-group body var marks
+                # a RELUCTANT group ((B C)+?) — the group quantifier
+                # is what the preference applies to
+                and i not in loop_var_idx
+            ):
                 raise ValueError(
                     f"reluctant() on {v.name} needs a quantifier "
                     "(once-variables have nothing to prefer)"

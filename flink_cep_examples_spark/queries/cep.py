@@ -2063,3 +2063,112 @@ register(
     ORACLE_GROUP_LOOP_ALL_ROWS_EXCL,
     # round 7: exclusion inside a loop group — straight into the gate
 )
+
+
+def cep_group_star_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREEDY ``(X Y)*`` star group (round 7 — VERDICT r6 item 4): the
+    star expands to (loop branch | absent) with the loop branch listed
+    FIRST, runs under leftmost alternation coordination with
+    coordinator-held longest (operators/nfa.py::
+    coordinate_alternation_row greedy_loops replacement), so the
+    most-iterations expansion wins each start — SQL:2016 greedy
+    preferment, closing the round-6 documented eager deviation.
+
+    Greediness is OBSERVABLE here because Z's predicate equals X's
+    (event_id % 5 = 1): after k pairs the dangling class-1 row
+    completes as Z for EVERY k, and the engine must prefer the
+    maximum. Eager emission would always report pairs = 0.
+
+    Hypothesis-differentialed against Python ``re`` leftmost-greedy
+    (tests/test_longest_derivation.py::test_star_greedy_*)."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.sources.tables import load_table, spread
+    from flink_cep_examples_spark.sql.match_recognize import match_recognize
+
+    events = spread(load_table(spark, sf_dir, "events"), "user_id").select(
+        "user_id", "ts", "event_id"
+    )
+    out = match_recognize(
+        events,
+        """
+        PARTITION BY user_id ORDER BY ts, event_id
+        MEASURES FIRST(A.ts) AS a_ts,
+                 LAST(Z.ts) AS z_ts,
+                 COUNT(X.*) AS pairs,
+                 MATCH_NUMBER() AS mn
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A (X Y)* Z)
+        DEFINE A AS event_id % 5 = 3,
+               X AS event_id % 5 = 1,
+               Y AS event_id % 5 = 2,
+               Z AS event_id % 5 = 1
+        """,
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.date_format("a_ts", "yyyy-MM-dd HH:mm:ss").alias("a_ts"),
+        F.date_format("z_ts", "yyyy-MM-dd HH:mm:ss").alias("z_ts"),
+        "pairs",
+        "mn",
+    )
+
+
+#: Greedy-star closed form: classes m = event_id % 5; maximal
+#: alternating (1,2)-islands as in ORACLE_GROUP_LONGEST. An A row
+#: (m=3) at rn=a matches iff the island starting at a+1 opens with
+#: class 1 (its brk is guaranteed at a+1 — the lag row is the A);
+#: the island length is L = ern - a, greedy consumes k = (L-1)//2
+#: pairs (every odd offset is a class-1 row and a valid Z, the
+#: standard prefers the largest k; offset L+1 can never be class 1 —
+#: it would extend the island), ending at z = a + 2k + 1. Interiors
+#: hold no A rows (classes disjoint), so SKIP PAST LAST never blocks
+#: a later A; MATCH_NUMBER is per-user start order.
+ORACLE_GROUP_STAR_GREEDY = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_id % 5 AS m,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+f AS (
+  SELECT *,
+         CASE WHEN m IN (1, 2)
+               AND lag(m) OVER (PARTITION BY user_id ORDER BY rn) = 3 - m
+              THEN 0 ELSE 1 END AS brk
+  FROM e
+),
+isl AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY rn) AS gid
+  FROM f
+),
+runs AS (
+  SELECT user_id, MIN(rn) AS srn, MAX(rn) AS ern
+  FROM isl WHERE m IN (1, 2) GROUP BY user_id, gid
+),
+mt AS (
+  SELECT a.user_id, a.rn AS arn, a.ts AS a_ts,
+         (r.ern - a.rn - 1) // 2 AS pairs,
+         a.rn + ((r.ern - a.rn - 1) // 2) * 2 + 1 AS zrn
+  FROM isl a
+  JOIN runs r ON r.user_id = a.user_id AND r.srn = a.rn + 1
+  JOIN isl s1 ON s1.user_id = a.user_id AND s1.rn = a.rn + 1
+  WHERE a.m = 3 AND s1.m = 1
+)
+SELECT mt.user_id,
+       strftime(mt.a_ts, {_FMT}) AS a_ts,
+       strftime(z.ts, {_FMT}) AS z_ts,
+       CAST(mt.pairs AS BIGINT) AS pairs,
+       row_number() OVER (PARTITION BY mt.user_id ORDER BY mt.arn) AS mn
+FROM mt
+JOIN isl z ON z.user_id = mt.user_id AND z.rn = mt.zrn
+"""
+
+
+register(
+    "cep_group_star_greedy",
+    cep_group_star_greedy,
+    ORACLE_GROUP_STAR_GREEDY,
+    # round 7: greedy star derivation — straight into the driver gate
+)

@@ -547,7 +547,7 @@ register(
 )
 register(
     "embedding_label_stats", embedding_label_stats, ORACLE_LABEL_STATS,
-    # r6 rotation: RE-promoted — mean_sq_norm changed (ROUND-6 discipline)
+    driver=False,  # r7 rotation: driver-verified green r1/r2/r4/r6 (incl. the r6 mean_sq_norm change); pytest-gated now
 )
 
 

@@ -218,10 +218,18 @@ def _parse_pattern_clause(
 #: the exclusion markers, never valid variable names, consumed by
 #: _parse_var_seq into PatternSpec.loop_groups index ranges.
 _LOOP_OPEN, _LOOP_CLOSE = "{g+", "+g}"
+#: reluctant loop-group open marker (``(B C)+?`` — min-iterations
+#: preference): body vars parse with ``greedy=False`` and the
+#: front-end keeps derivation "eager" (earliest completion = fewest
+#: iterations, exactly the reluctant preferment)
+_LOOP_OPEN_R = "{g+?"
 
 
 _GROUP_RE = re.compile(
-    r"\(([^()]*)\)\s*(\{\s*(\d+)\s*(?:,\s*(\d*)\s*)?\}(\?)?|\?|\*|\+)?"
+    # reluctant marker as its own trailing group so `*?` / `+?` /
+    # `{n,}?` all parse (round 7 — `(X Y)*?` used to leave a dangling
+    # `?` token)
+    r"\(([^()]*)\)\s*(\{\s*(\d+)\s*(?:,\s*(\d*)\s*)?\}|\?|\*|\+)?(\?)?"
 )
 
 
@@ -239,10 +247,14 @@ def _expand_group_quantifiers(text: str) -> list[str]:
     UNBOUNDED (round 5): ``(B C)+`` compiles to loop-group marker
     tokens (``{g+ B C +g}``) that _parse_var_seq turns into a TRUE
     sub-NFA loop (PatternSpec.loop_groups → operators/nfa.py loop-back
-    edges); ``(B C)*`` expands to two alternatives (absent | ``+``);
+    edges); ``(B C)*`` expands to two alternatives (``+`` | absent —
+    loop branch FIRST since round 7: under leftmost alternation with
+    coordinator-held longest, that ordering realizes the SQL:2016
+    greedy most-iterations preferment; ``*?`` lists absent first);
     ``(B C){n,}`` unrolls n-1 suffixed copies followed by a suffixed
-    ``+`` group. Emission stays eager: the loop iterates only while
-    the remainder of the pattern has not yet completed.
+    ``+`` group. Reluctant unbounded groups (``+?``/``*?``/``{n,}?``)
+    emit the reluctant loop marker — body vars parse greedy=False and
+    derivation stays eager (fewest-iterations preferment).
 
     ALTERNATION INSIDE A GROUP (round 5): ``(A B | C D){2}`` — each
     repetition copy independently picks a sub-branch, so the group
@@ -256,11 +268,10 @@ def _expand_group_quantifiers(text: str) -> list[str]:
     if not m:
         return [text]
     body, quant, lo, hi = m.group(1), m.group(2), m.group(3), m.group(4)
-    reluctant = m.group(5) is not None  # {n,m}? — min repetitions preferred
+    reluctant = m.group(5) is not None  # `?`-suffix: min repetitions
     # pad exclusion braces so they tokenize standalone; bounded unrolls
-    # carry them through per copy (round 5), unbounded groups reject
-    # them below (exclusion only matters under ALL ROWS, which loop
-    # groups reject anyway)
+    # carry them through per copy (round 5); unbounded groups carry
+    # them into the loop body (round 7 — ALL ROWS emission honors them)
     sub_bodies = [
         part.replace("{-", " {- ").replace("-}", " -} ").split()
         for part in body.split("|")
@@ -293,10 +304,12 @@ def _expand_group_quantifiers(text: str) -> list[str]:
     def _unroll(n: int, start_copy: int = 1) -> str:
         return _unroll_seq([toks] * n, start_copy)
 
-    def _loop_tokens(copy: int | None) -> str:
+    def _loop_tokens(copy: int | None, reluctant: bool = False) -> str:
         """The group body wrapped in loop markers (one-or-more sub-NFA
         loop); ``copy`` suffixes the names (for {n,} whose earlier
-        iterations are unrolled copies 1..n-1)."""
+        iterations are unrolled copies 1..n-1); ``reluctant`` picks
+        the reluctant open marker (min-iterations preference →
+        derivation stays eager)."""
         inner = []
         n_names = 0
         for tok in toks:
@@ -317,14 +330,15 @@ def _expand_group_quantifiers(text: str) -> list[str]:
             inner.append(name if copy is None else f"{name}__{copy}")
         if len(inner) == 1:
             # (B)+ is just B+ — no loop group needed
-            return inner[0] + "+"
+            return inner[0] + ("+?" if reluctant else "+")
         if n_names == 1:
             # ({- B -})+ — a single fully-excluded var: equivalent to
             # an excluded B+ (every iteration row is the var's), and
             # single-var loop groups are rejected by validate()
             only = next(t for t in inner if t not in ("{-", "-}"))
-            return f"{{- {only}+ -}}"
-        return f"{_LOOP_OPEN} {' '.join(inner)} {_LOOP_CLOSE}"
+            return f"{{- {only}{'+?' if reluctant else '+'} -}}"
+        opener = _LOOP_OPEN_R if reluctant else _LOOP_OPEN
+        return f"{opener} {' '.join(inner)} {_LOOP_CLOSE}"
 
     unbounded = quant in ("*", "+") or (hi == "" and lo is not None)
     if unbounded and len(sub_bodies) > 1:
@@ -340,16 +354,28 @@ def _expand_group_quantifiers(text: str) -> list[str]:
         )
         variants: list[str] = []
         if n_min == 0:
-            # (B C)* = absent | (B C)+ — two alternatives
-            variants.append("")
-            variants.append(_loop_tokens(None))
+            # (B C)* = (B C)+ | absent — branch order IS the SQL:2016
+            # derivation preference (round 7): GREEDY lists the loop
+            # branch first (more iterations preferred, leftmost
+            # alternation + coordinator-held longest realize it);
+            # RELUCTANT (`*?`) lists absent first (fewest preferred)
+            if reluctant:
+                variants.append("")
+                variants.append(_loop_tokens(None, reluctant=True))
+            else:
+                variants.append(_loop_tokens(None))
+                variants.append("")
         elif n_min == 1:
-            variants.append(_loop_tokens(None))
+            variants.append(_loop_tokens(None, reluctant=reluctant))
         else:
             # (B C){n,} = n-1 unrolled copies + a one-or-more group
             # (suffixed so names stay unique; SUBSET unions make
             # measures over the base names see every copy)
-            variants.append(_unroll(n_min - 1) + " " + _loop_tokens(n_min))
+            variants.append(
+                _unroll(n_min - 1)
+                + " "
+                + _loop_tokens(n_min, reluctant=reluctant)
+            )
         outs: list[str] = []
         for var in variants:
             expanded = text[: m.start()] + " " + var + " " + text[m.end():]
@@ -416,8 +442,9 @@ def _parse_var_seq(
     excluding = False
     groups: list[tuple[int, int]] = []
     group_start: int | None = None
+    loop_reluctant = False
     for tok in normed.split():
-        if tok == _LOOP_OPEN:
+        if tok in (_LOOP_OPEN, _LOOP_OPEN_R):
             if group_start is not None:
                 raise NotImplementedError("nested unbounded groups")
             if excluding:
@@ -425,6 +452,7 @@ def _parse_var_seq(
                     "{- -} exclusion around an unbounded group"
                 )
             group_start = len(vars_)
+            loop_reluctant = tok == _LOOP_OPEN_R
             continue
         if tok == _LOOP_CLOSE:
             if group_start is None:
@@ -453,6 +481,11 @@ def _parse_var_seq(
             raise ValueError(f"unsupported pattern token: {tok!r}")
         name, punct, rel1, opt, lo, hi, rel2 = qm.groups()
         greedy = not (rel1 or rel2)
+        if group_start is not None and loop_reluctant:
+            # body var of a reluctant loop group ((B C)+?): the
+            # greedy=False flag is how reluctance survives to the
+            # derivation selection (front-end keeps "eager")
+            greedy = False
         if lo is not None:
             vars_.append(
                 (name, TIMES, (int(lo), int(hi) if hi else None), greedy,
@@ -834,10 +867,24 @@ def parse_match_recognize(body: str) -> PatternSpec | AlternationSpec:
         # alternation (len == n_top, nothing expanded) and loop-group
         # variants keep the engine's documented eager emission —
         # their oracles pin completion-order semantics.
+        # round 7: alternatives carrying GREEDY loop groups also run
+        # leftmost — that is how ``(X Y)*`` (= loop branch | absent,
+        # loop listed first) realizes the standard's most-iterations
+        # preferment: the coordinator holds the loop branch's
+        # completions until its run dies, replacing each with the
+        # longer one (coordinate_alternation_row / nfa.greedy_loops).
+        # RELUCTANT loop branches ((X Y)*?) keep eager — earliest
+        # completion IS the fewest-iterations preferment.
+        any_reluctant_loop = any(
+            not alt.variables[i].greedy
+            for alt in alternatives
+            for s_i, e_i in alt.loop_groups
+            for i in range(s_i, e_i + 1)
+        )
         derivation = (
             "leftmost"
             if not permute
-            and not any(lg for _aq, lg in alt_quants)
+            and not any_reluctant_loop
             and len(alt_quants) > n_top
             else "eager"
         )
@@ -864,16 +911,28 @@ def parse_match_recognize(body: str) -> PatternSpec | AlternationSpec:
         subsets=tuple(subsets) + auto_subsets,
         nav_cols=nav_tuple,
         # SQL:2016 greedy group quantifier: an UNBOUNDED loop group
-        # ((X Y)+/*/{n,}) emits the LONGEST (most-iterations)
+        # ((X Y)+/{n,}) emits the LONGEST (most-iterations)
         # completion per start — completions are held in the NFA until
         # the start can no longer improve (operators/nfa.py
         # NfaState.helds), closing the round-5 documented
-        # eager-emission deviation. The Flink-tier Pattern DSL keeps
-        # eager (Flink rejects greedy group patterns outright, so
-        # there is no Flink behavior to match). Unsupported combos
-        # (timeouts, trailing absence, SKIP TO var) raise loudly in
-        # PatternSpec.validate rather than silently reverting to eager.
-        derivation="longest" if alt_quants[0][1] else "eager",
+        # eager-emission deviation. RELUCTANT groups ((X Y)+? — body
+        # vars parse greedy=False, round 7) keep eager: earliest
+        # completion is exactly the fewest-iterations preferment. The
+        # Flink-tier Pattern DSL keeps eager (Flink rejects greedy
+        # group patterns outright, so there is no Flink behavior to
+        # match). Unsupported combos (timeouts, trailing absence,
+        # SKIP TO var) raise loudly in PatternSpec.validate rather
+        # than silently reverting to eager.
+        derivation=(
+            "longest"
+            if alt_quants[0][1]
+            and all(
+                variables[i].greedy
+                for s_i, e_i in alt_quants[0][1]
+                for i in range(s_i, e_i + 1)
+            )
+            else "eager"
+        ),
     ).validate()
 
 

@@ -123,8 +123,11 @@ def test_parser_star_becomes_alternation():
     )
     names = [[v.name for v in a.variables] for a in spec.alternatives]
     groups = [a.loop_groups for a in spec.alternatives]
-    assert names == [["A", "Z"], ["A", "X", "Y", "Z"]]
-    assert groups == [(), ((1, 2),)]
+    # round 7: GREEDY star lists the loop branch FIRST (branch order is
+    # the SQL:2016 derivation preference under leftmost coordination)
+    assert names == [["A", "X", "Y", "Z"], ["A", "Z"]]
+    assert groups == [((1, 2),), ()]
+    assert spec.derivation == "leftmost"
 
 
 def test_parser_n_or_more_unrolls_then_loops():

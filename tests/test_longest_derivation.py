@@ -369,3 +369,147 @@ def test_streaming_match_number_rejected_under_longest(spark, tmp_path):
     stream = spark.readStream.schema(df.schema).parquet(str(src_dir))
     with pytest.raises(NotImplementedError, match="MATCH_NUMBER"):
         match_pattern_stream(stream, spec, watermark_delay="0 seconds")
+
+
+# ---------------------------------------------------------------------------
+# (X Y)* via the alternation coordinator (round 7): greedy star = loop
+# branch listed first + leftmost coordination + coordinator-held
+# longest (nfa.greedy_loops); reluctant star/plus = eager. The regex
+# oracle runs on a classified string whose class 4 satisfies X, Y AND Z
+# simultaneously — the overlap that distinguishes greedy from eager.
+# ---------------------------------------------------------------------------
+
+_STAR_SQL = """
+PARTITION BY id ORDER BY event_time, seq
+MEASURES FIRST(A.seq) AS a, LAST(Z.seq) AS e, COUNT(X.*) AS k
+ONE ROW PER MATCH
+AFTER MATCH SKIP {skip}
+PATTERN (A (X Y){quant} Z)
+DEFINE A AS m = 3, X AS m IN (1, 4), Y AS m IN (2, 4), Z AS m IN (0, 4)
+"""
+
+_STAR_PREDS = {
+    "A": lambda m: m == 3,
+    "X": lambda m: m in (1, 4),
+    "Y": lambda m: m in (2, 4),
+    "Z": lambda m: m in (0, 4),
+}
+
+
+def _star_chars(ms) -> str:
+    return "".join(
+        {3: "a", 1: "x", 2: "y", 0: "z", 4: "w"}.get(m, ".") for m in ms
+    )
+
+
+def _run_star(ms, quant="*", skip="PAST LAST ROW"):
+    """Drive the parsed star pattern through the alternation
+    coordinator (scan_key_group_alternation) — no Spark needed."""
+    import numpy as np
+
+    spec = parse_match_recognize(_STAR_SQL.format(skip=skip, quant=quant))
+    alts = spec.alternatives
+    nfas = [N.Nfa(a) for a in alts]
+    ts = np.arange(len(ms), dtype=np.int64) * 1000
+    preds = [
+        np.array(
+            [[_STAR_PREDS[v.name](m) for m in ms] for v in a.variables],
+            dtype=bool,
+        ).reshape(len(a.variables), len(ms))
+        for a in alts
+    ]
+    got = N.scan_key_group_alternation(
+        nfas, preds, ts, spec.after_match, spec.derivation
+    )
+    out = []
+    for _a, d in got:
+        x = d.get("X")
+        out.append((d["A"][0], d["Z"][1], x[2] if x else 0))
+    return out
+
+
+def _brute_star(ms, pattern, overlapping):
+    s = _star_chars(ms)
+    rx = re.compile(pattern)
+    if not overlapping:
+        return [
+            (mt.start(), mt.end() - 1, (mt.end() - mt.start() - 2) // 2)
+            for mt in rx.finditer(s)
+        ]
+    out = []
+    for i in range(len(s)):
+        mt = rx.match(s, i)
+        if mt:
+            out.append((i, mt.end() - 1, (mt.end() - i - 2) // 2))
+    return out
+
+
+def test_star_greedy_hand_cases():
+    # a w w w: greedy takes one (X Y) pair from the w's, then Z
+    assert _run_star([3, 4, 4, 4]) == [(0, 3, 1)]
+    # reluctant takes the empty expansion
+    assert _run_star([3, 4, 4, 4], quant="*?") == [(0, 1, 0)]
+    # disjoint classes: both coincide
+    assert _run_star([3, 0, 3, 1, 2, 0]) == [(0, 1, 0), (2, 5, 1)]
+    assert _run_star([3, 0, 3, 1, 2, 0], quant="*?") == [
+        (0, 1, 0),
+        (2, 5, 1),
+    ]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=4), min_size=0, max_size=36)
+)
+def test_star_greedy_skip_past_matches_re(ms):
+    assert _run_star(ms) == _brute_star(
+        ms, r"a(?:[xw][yw])*[zw]", overlapping=False
+    )
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=4), min_size=0, max_size=36)
+)
+def test_star_greedy_skip_to_next_matches_re(ms):
+    assert sorted(_run_star(ms, skip="TO NEXT ROW")) == _brute_star(
+        ms, r"a(?:[xw][yw])*[zw]", overlapping=True
+    )
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=4), min_size=0, max_size=36)
+)
+def test_star_reluctant_skip_past_matches_re(ms):
+    assert _run_star(ms, quant="*?") == _brute_star(
+        ms, r"a(?:[xw][yw])*?[zw]", overlapping=False
+    )
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=4), min_size=0, max_size=36)
+)
+def test_plus_reluctant_skip_past_matches_re(ms):
+    """(X Y)+? — single-spec reluctant loop: eager derivation =
+    fewest-iterations preferment = Python re non-greedy +?."""
+    import numpy as np
+
+    spec = parse_match_recognize(
+        _STAR_SQL.format(skip="PAST LAST ROW", quant="+?")
+    )
+    assert spec.derivation == "eager"
+    eng = N.Nfa(spec)
+    stt = N.NfaState()
+    out = []
+    for i, m in enumerate(ms):
+        pred = [_STAR_PREDS[v.name](m) for v in spec.variables]
+        got, _ = eng.step(stt, i * 1000, pred, i)
+        out.extend(got)
+    got, _ = eng.finish(stt)
+    out.extend(got)
+    ours = [(d["A"][0], d["Z"][1], d["X"][2]) for d in out]
+    assert ours == _brute_star(
+        ms, r"a(?:[xw][yw])+?[zw]", overlapping=False
+    )
