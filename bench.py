@@ -63,7 +63,10 @@ HEADLINE = [
     "ann_pq_topk",  # round-5 product-quantized ADC top-k
     "docs_unigram_logprob",  # round-5 unigram-LM curation score
     "docs_winnowing",  # round-5 winnowing fingerprints (window-lead shingles)
-    "cep_group_longest_chain",  # round-6 longest-derivation loop group
+    "cep_group_longest_chain",  # round-6 shape, round-7 chain kernel
+    "events_hll_distinct",  # round-6 HLL sketch (VERDICT r6 item 7)
+    "cep_group_loop_all_rows",  # round-7 loop-group ALL ROWS emission
+    "cep_group_star_greedy",  # round-7 greedy star via held alternation
 ]
 
 #: Round-6 outlier audit (VERDICT r5 item 7): docs_bigram_topk

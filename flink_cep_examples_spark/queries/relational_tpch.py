@@ -644,6 +644,7 @@ register(
     q20_part_promotion_suppliers,
     ORACLE_Q20,
 )
-register(  # r4.2 rotation: promoted into the 50-row driver gate
-    "q21_waiting_suppliers", q21_waiting_suppliers, ORACLE_Q21
+register(
+    "q21_waiting_suppliers", q21_waiting_suppliers, ORACLE_Q21,
+    driver=False,  # r7 rotation: driver-verified green r4/r5/r6; pytest-gated now
 )

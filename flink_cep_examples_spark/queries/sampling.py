@@ -680,3 +680,260 @@ register(
     _oracle_hourly_hll(),
     # r7 rotation: promoted (never-driver-verified pool)
 )
+
+
+# ---------------------------------------------------------------------------
+# KMV set-operation sketch: cross-source Jaccard (round 7)
+# ---------------------------------------------------------------------------
+
+#: bottom-k size for the cross-source shingle sketch
+KMV_J_K = 128
+
+
+def sources_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source content-similarity matrix from KMV (bottom-k)
+    shingle sketches — the SET-OPERATION member of the sketch family
+    (HLL = cardinality, CMS = frequency, KMV bottom-k = distinct
+    count AND principled set ops): per document source, the k=128
+    smallest 31-bit hashes of its distinct 3-gram shingle set; for
+    each source pair, the union sketch is the bottom-k of the merged
+    minima and Jaccard ≈ |union's bottom-k ∩ K_a ∩ K_b| / |bottom-k|
+    (Bar-Yossef et al.'s KMV estimator — unlike HLL, intersections
+    need no error-amplifying inclusion-exclusion).
+
+    Scale design: per-source state is exactly k hashes whatever the
+    corpus size (mergeable by min-k union — map-side combinable), and
+    the pair stage touches #sources² × k rows — bounded by the SOURCE
+    dimension, never the corpus. Text leaves the scan only as 31-bit
+    hashes. Same md5-arithmetic shingle hash as the dedup family, so
+    the DuckDB oracle reproduces the sketch bit-for-bit; the estimate
+    is integer counts + one IEEE divide."""
+    from flink_cep_examples_spark.queries.dedup import _h31, _shingles
+    from flink_cep_examples_spark.sources.tables import spread
+
+    k = KMV_J_K
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    sh = (
+        docs.select(
+            "source", F.explode(_shingles(F.col("text"))).alias("s")
+        )
+        .select("source", _h31(F.col("s")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("source").orderBy("h")
+    kmv = (
+        sh.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("source", "h")
+    )
+    srcs = kmv.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("sa"))
+        .crossJoin(srcs.select(F.col("source").alias("sb")))
+        .filter(F.col("sa") < F.col("sb"))
+    )
+    ka = kmv.select(F.col("source").alias("sa"), "h")
+    kb = kmv.select(F.col("source").alias("sb"), "h")
+    u = (
+        pairs.join(ka, "sa")
+        .select("sa", "sb", "h", F.lit(1).alias("ia"), F.lit(0).alias("ib"))
+        .unionByName(
+            pairs.join(kb, "sb")
+            .select(
+                "sa", "sb", "h", F.lit(0).alias("ia"), F.lit(1).alias("ib")
+            )
+        )
+    )
+    g = u.groupBy("sa", "sb", "h").agg(
+        F.max("ia").alias("ia"), F.max("ib").alias("ib")
+    )
+    wp = Window.partitionBy("sa", "sb").orderBy("h")
+    m = g.withColumn("rk", F.row_number().over(wp)).filter(F.col("rk") <= k)
+    return (
+        m.groupBy("sa", "sb")
+        .agg(
+            F.count(F.lit(1)).alias("n_union_k"),
+            F.sum(F.col("ia") * F.col("ib")).alias("n_both"),
+        )
+        .select(
+            "sa",
+            "sb",
+            "n_union_k",
+            "n_both",
+            (
+                F.col("n_both").cast("double")
+                / F.col("n_union_k").cast("double")
+            ).alias("jacc_est"),
+        )
+    )
+
+
+def _oracle_kmv_jaccard() -> str:
+    from flink_cep_examples_spark.queries.dedup import (
+        _SQL_NORM,
+        _sql_h31,
+        _sql_shingles,
+    )
+
+    return f"""
+WITH t AS (
+  SELECT source, regexp_split_to_array({_SQL_NORM}, ' ') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT source, {_sql_h31('s')} AS h
+  FROM (SELECT source, unnest({_sql_shingles(3)}) AS s FROM t)
+),
+kmv AS (
+  SELECT source, h FROM (
+    SELECT source, h,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+    FROM sh
+  ) WHERE rk <= {KMV_J_K}
+),
+pairs AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM (SELECT DISTINCT source FROM kmv) a,
+       (SELECT DISTINCT source FROM kmv) b
+  WHERE a.source < b.source
+),
+u AS (
+  SELECT p.sa, p.sb, k.h, 1 AS ia, 0 AS ib
+  FROM pairs p JOIN kmv k ON k.source = p.sa
+  UNION ALL
+  SELECT p.sa, p.sb, k.h, 0 AS ia, 1 AS ib
+  FROM pairs p JOIN kmv k ON k.source = p.sb
+),
+g AS (
+  SELECT sa, sb, h, MAX(ia) AS ia, MAX(ib) AS ib
+  FROM u GROUP BY sa, sb, h
+),
+m AS (
+  SELECT * FROM (
+    SELECT sa, sb, ia, ib,
+           ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS rk
+    FROM g
+  ) WHERE rk <= {KMV_J_K}
+)
+SELECT sa, sb,
+       COUNT(*) AS n_union_k,
+       CAST(SUM(ia * ib) AS BIGINT) AS n_both,
+       CAST(SUM(ia * ib) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS jacc_est
+FROM m GROUP BY sa, sb
+"""
+
+
+register(
+    "sources_kmv_jaccard",
+    sources_kmv_jaccard,
+    _oracle_kmv_jaccard(),
+    # round 7: KMV set-operation sketch — straight into the driver gate
+)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable log2-histogram quantiles (round 7)
+# ---------------------------------------------------------------------------
+
+
+def events_value_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed quantile ESTIMATION from a mergeable fixed-width
+    log2 histogram — the bounded-state answer to per-group percentiles
+    at 100 TB (exact rank selection — `events_value_percentiles` —
+    shuffles every row to its group; this aggregates to ≤ 64 counter
+    rows per event_type, map-side combinable, merge = vector add, the
+    same shape a continuous aggregate rolls up).
+
+    Binning is INTEGER-exact so engines cannot disagree: scale value
+    to micro-units (round half up via floor(x*1e6 + 0.5) — the
+    portable rounding the int8 ANN family established), then
+    bin = bit_length(units) = floor(log2)+1 via length(bin(x)) — the
+    HLL rho trick. Bin b covers [2^(b-1), 2^b) micro-units; the
+    quantile estimate reports the bin's EXCLUSIVE upper edge 2^b/1e6
+    (≤ 2× relative error by construction; zero/negative values land
+    in bin 0 with upper edge 0). p50/p90/p99 = the smallest bin whose
+    running count reaches ceil(p·n) — integer rank arithmetic, one
+    IEEE divide at the end."""
+    ev = load_table(spark, sf_dir, "events")
+    units = F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    binned = ev.select(
+        "event_type",
+        F.when(units <= 0, F.lit(0))
+        .otherwise(F.length(F.bin(units)))
+        .alias("b"),
+    )
+    hist = binned.groupBy("event_type", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "event_type",
+        "b",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    edge = F.when(F.col("b") == 0, F.lit(0.0)).otherwise(
+        F.pow(F.lit(2.0), F.col("b").cast("double")) / F.lit(1000000.0)
+    )
+
+    def q(p: str):
+        rank = F.ceil(F.col("n").cast("double") * F.lit(float(p))).cast(
+            "bigint"
+        )
+        return F.min(F.when(F.col("cum") >= rank, edge)).alias(f"p{p[2:]}")
+
+    return cum.groupBy("event_type").agg(
+        F.max("n").alias("n_rows"), q("0.5"), q("0.9"), q("0.99")
+    )
+
+
+ORACLE_QUANTILE_HIST = """
+WITH binned AS (
+  SELECT event_type,
+         CASE WHEN CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) <= 0
+              THEN 0
+              ELSE length(bin(CAST(FLOOR(value * 1000000.0 + 0.5)
+                                   AS BIGINT)))
+         END AS b
+  FROM events
+),
+hist AS (
+  SELECT event_type, b, COUNT(*) AS c FROM binned GROUP BY event_type, b
+),
+cum AS (
+  SELECT event_type, b,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY b
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM hist
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_rows,
+       MIN(CASE WHEN cum >= CAST(CEIL(CAST(n AS DOUBLE) * 0.5) AS BIGINT)
+                THEN CASE WHEN b = 0 THEN 0.0
+                          ELSE power(2.0, CAST(b AS DOUBLE)) / 1000000.0
+                     END END) AS p5,
+       MIN(CASE WHEN cum >= CAST(CEIL(CAST(n AS DOUBLE) * 0.9) AS BIGINT)
+                THEN CASE WHEN b = 0 THEN 0.0
+                          ELSE power(2.0, CAST(b AS DOUBLE)) / 1000000.0
+                     END END) AS p9,
+       MIN(CASE WHEN cum >= CAST(CEIL(CAST(n AS DOUBLE) * 0.99) AS BIGINT)
+                THEN CASE WHEN b = 0 THEN 0.0
+                          ELSE power(2.0, CAST(b AS DOUBLE)) / 1000000.0
+                     END END) AS p99
+FROM cum GROUP BY event_type
+"""
+
+
+register(
+    "events_value_quantile_hist",
+    events_value_quantile_hist,
+    ORACLE_QUANTILE_HIST,
+    # round 7: mergeable histogram quantiles — straight into the gate
+)

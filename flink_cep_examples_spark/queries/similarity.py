@@ -536,7 +536,7 @@ GROUP BY label
 
 register(
     "ann_bruteforce_topk", ann_bruteforce_topk, ORACLE_BRUTEFORCE,
-    # r6 rotation: RE-promoted — cos values changed (ROUND-12 dot discipline)
+    driver=False,  # r7 rotation: driver-verified green r1/r2/r3/r6 (incl. the r6 ROUND-12 dot change); pytest-gated now
 )
 register("ann_lsh_topk", ann_lsh_topk, ORACLE_LSH_TOPK, driver=False,  # r4 rotation: driver-verified green in r2+r3; pytest-gated now
 )

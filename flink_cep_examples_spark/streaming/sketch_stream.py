@@ -124,3 +124,146 @@ def hll_distinct_stream(df: DataFrame, key_col: str = "event_type",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming count-min sketch (round 7): the FREQUENCY member of the
+# sketch trio gets its streaming twin (HLL above = cardinality).
+# ---------------------------------------------------------------------------
+
+_CMS_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("updates", T.LongType(), False),
+        T.StructField("est_cnt", T.LongType(), False),
+    ]
+)
+
+_CMS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("counters", T.BinaryType(), True),
+        T.StructField("updates", T.LongType(), True),
+    ]
+)
+
+
+def cms_frequency_stream(
+    df: DataFrame,
+    probe_ids: list[int],
+    key_col: str = "event_type",
+    id_col: str = "user_id",
+) -> DataFrame:
+    """Streaming count-min frequency monitor: per ``key_col``, the
+    d×w counter matrix (queries/sampling.py::events_cms_heavy_hitters
+    geometry — 4×256 int64, 8 KB) rides the state store and each
+    micro-batch folds in by SUM (``np.add.at`` — one vectorized pass,
+    the counter-merge property the batch docstring promises doing real
+    work). After every fold the stream emits the RUNNING estimate
+    ``min_d counter[d][h_d(u)]`` for each of the caller's
+    ``probe_ids`` (the "watch these users' frequencies live" shape);
+    append mode with an ``updates`` ordinal so consumers pick the
+    latest row per (key, user).
+
+    Bit parity with batch by construction: the (d, bucket) projection
+    is the SAME portable SQL expression (_cms_bucket_sql) evaluated
+    scan-side before the shuffle, and counters merge by exact integer
+    SUM — the replayed stream's final counters equal the batch build's
+    (tests/test_streaming_sketch.py).
+
+    Scale: state is exactly d×w int64 per key at ANY stream length;
+    the ×d row blow-up happens pre-shuffle map-side exactly as the
+    batch build's."""
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    from flink_cep_examples_spark.queries.sampling import (
+        _CMS_D,
+        _CMS_W,
+        _cms_bucket_sql,
+    )
+
+    probes = sorted(int(u) for u in probe_ids)
+    d_col = F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("d")
+    projected = (
+        df.select(F.col(key_col).alias("event_type"), F.col(id_col))
+        .select("event_type", F.col(id_col).alias("user_id"), d_col)
+        .select(
+            "event_type",
+            "d",
+            F.expr(_cms_bucket_sql("user_id", "div")).alias("bucket"),
+        )
+    )
+    # probe buckets are a tiny driver-side constant: d rows per probe
+    import numpy as _np
+
+    from flink_cep_examples_spark.queries.sampling import (
+        _CMS_SALTS,
+        _MIX,
+        _MOD,
+    )
+
+    probe_buckets = {
+        u: [
+            ((u + s) * _MIX) % _MOD // (1 << 24) for s in _CMS_SALTS
+        ]
+        for u in probes
+    }
+
+    def fold(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            blob, updates = state.get
+            counters = (
+                _np.frombuffer(blob, dtype=_np.int64)
+                .reshape(_CMS_D, _CMS_W)
+                .copy()
+            )
+        else:
+            counters = _np.zeros((_CMS_D, _CMS_W), dtype=_np.int64)
+            updates = 0
+        touched = False
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            touched = True
+            _np.add.at(
+                counters,
+                (
+                    pdf["d"].to_numpy(dtype=_np.int64),
+                    pdf["bucket"].to_numpy(dtype=_np.int64),
+                ),
+                1,
+            )
+        if not touched:
+            return
+        updates += 1
+        state.update((counters.tobytes(), updates))
+        ests = [
+            int(
+                min(
+                    counters[d][b]
+                    for d, b in enumerate(probe_buckets[u])
+                )
+            )
+            for u in probes
+        ]
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(probes),
+                "user_id": probes,
+                "updates": [updates] * len(probes),
+                "est_cnt": ests,
+            }
+        )
+
+    return projected.groupBy("event_type").applyInPandasWithState(
+        fold,
+        outputStructType=_CMS_OUT_SCHEMA,
+        stateStructType=_CMS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -73,3 +73,97 @@ def test_hll_registers_merge_associatively(spark, sf_small):
         np.maximum.at(a if r.event_id % 2 == 0 else b, [r.bucket], [r.rho])
     assert hll_estimate(np.maximum(a, b)) == hll_estimate(whole)
     assert (np.maximum(a, b) == whole).all()
+
+
+def test_cms_stream_matches_batch_estimates(spark, sf_small, tmp_path):
+    """Replay the events table through the streaming CMS; the final
+    running estimate per probed user must equal the batch CMS probe
+    (shared bucket SQL + integer SUM merge = bit parity by
+    construction)."""
+    from flink_cep_examples_spark.streaming.sketch_stream import (
+        cms_frequency_stream,
+    )
+
+    batch = {
+        (r.event_type, r.user_id): r.est_cnt
+        for r in QUERIES["events_cms_heavy_hitters"](
+            spark, sf_small
+        ).collect()
+    }
+    assert batch
+    probe_ids = sorted({u for _t, u in batch})
+
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    src = tmp_path / "cms_src"
+    ev.repartition(4).write.parquet(str(src))
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    out = cms_frequency_stream(stream, probe_ids)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM cms_stream").collect()
+    assert rows, "stream emitted nothing"
+    last = {}
+    for r in rows:
+        k = (r.event_type, r.user_id)
+        if k not in last or r.updates > last[k].updates:
+            last[k] = r
+    # every batch-probed (type, user) pair must match the final
+    # streamed estimate exactly
+    for k, est in batch.items():
+        assert k in last, f"stream never reported {k}"
+        assert last[k].est_cnt == est, (k, last[k].est_cnt, est)
+    # the sketch overestimate guarantee holds on the stream side too
+    exact = {
+        (r.event_type, r.user_id): r.cnt
+        for r in spark.read.parquet(f"{sf_small}/events.parquet")
+        .groupBy("event_type", "user_id")
+        .count()
+        .withColumnRenamed("count", "cnt")
+        .collect()
+    }
+    for k, r in last.items():
+        assert r.est_cnt >= exact.get(k, 0)
+
+
+def test_cms_counters_merge_by_sum(spark, sf_small):
+    """Fold halves separately, merge by element-wise SUM → identical
+    counters to one whole fold (backfill/restart soundness)."""
+    from flink_cep_examples_spark.queries.sampling import (
+        _CMS_D,
+        _CMS_W,
+        _cms_bucket_sql,
+    )
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    rows = (
+        ev.select("event_type", "user_id", "event_id")
+        .select(
+            "event_type",
+            "user_id",
+            "event_id",
+            F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("d"),
+        )
+        .select(
+            "event_type",
+            "event_id",
+            "d",
+            F.expr(_cms_bucket_sql("user_id", "div")).alias("bucket"),
+        )
+        .filter(F.col("event_type") == "click")
+        .collect()
+    )
+    whole = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+    a, b = whole.copy(), whole.copy()
+    for r in rows:
+        whole[r.d][r.bucket] += 1
+        (a if r.event_id % 2 == 0 else b)[r.d][r.bucket] += 1
+    assert ((a + b) == whole).all()
