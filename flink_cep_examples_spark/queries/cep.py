@@ -1085,8 +1085,9 @@ register(
 register(  # r4.2 rotation: promoted into the 50-row driver gate
     "cep_measure_aggregates", cep_measure_aggregates, ORACLE_MEASURE_AGGS,
 )
-register(  # r4.2 rotation: promoted into the 50-row driver gate
+register(
     "cep_subset_measures", cep_subset_measures, ORACLE_SUBSET,
+    driver=False,  # r7 rotation: driver-verified green r4/r5/r6; pytest-gated now
 )
 register(  # r4.2 rotation: promoted into the 50-row driver gate
     "cep_alternation_pattern", cep_alternation_pattern, ORACLE_ALTERNATION,

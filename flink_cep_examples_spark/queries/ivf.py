@@ -495,3 +495,199 @@ register(
     "ivf_persisted_topk", ivf_persisted_topk, ORACLE_IVF,
     # r5 rotation: promoted into the 50-row driver gate (never verified)
 )
+
+
+def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (round 7): the full FAISS-style billion-vector serving
+    shape — IVF coarse quantizer PRUNES the candidate set to NPROBE
+    inverted lists, then PQ/ADC scores only the survivors against the
+    broadcast query lookup table. Composes the two oracle-pinned
+    halves this module and queries/similarity.py::ann_pq_topk already
+    prove bit-exact: the trained assignment (seed = K smallest
+    vec_ids, one exact-decimal Lloyd refinement) and the
+    raw-vector PQ codebook (sub-vectors of the PQ_K smallest vec_ids).
+
+    Scale story: probe cost per query = NPROBE/K of the corpus × M
+    LUT lookups per vector — both knobs (``n_lists(n)``, PQ_M)
+    corpus-scaled; the corpus is stored as cid-partitioned CODES (M
+    bytes/vector — ~25× smaller than float32), raw vectors needed
+    only at (re)encode time. Shuffles key on vec_id; codebook, LUT,
+    and probe list are broadcast."""
+    from flink_cep_examples_spark.queries.similarity import (
+        PQ_K,
+        PQ_S,
+        _TERM_DEC,
+    )
+
+    emb = (
+        spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+        .select("vec_id", "label", "embedding")
+        .localCheckpoint()  # training + codebook fetch rescan it
+    )
+    assigned, cents = _trained_assignment(emb, K_LISTS, exact=True)
+
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .first()
+        .embedding
+    ]
+
+    def py_sqdist(c: list[float]) -> float:
+        acc = 0.0
+        for x, cc in zip(qvec, c):
+            acc += (x - cc) * (x - cc)
+        return acc
+
+    probe_cids = [
+        c
+        for _, c in sorted(
+            (py_sqdist(v), c) for c, v in cents.items()
+        )[:NPROBE]
+    ]
+    pruned = assigned.filter(F.col("cid").isin(probe_cids)).filter(
+        F.col("vec_id") != QUERY_VEC_ID
+    )
+
+    # PQ codebook: sub-vectors of the PQ_K smallest vec_ids (identical
+    # to ann_pq_topk — codes are data-independent of the pruning)
+    seed_rows = sorted(
+        emb.filter(F.col("vec_id") < PQ_K)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: int(r.vec_id),
+    )
+    cb = spark.createDataFrame(
+        [
+            (int(r.vec_id), pos, float(x))
+            for r in seed_rows
+            for pos, x in enumerate(r.embedding)
+        ],
+        "cw int, pos int, cx double",
+    )
+    dec = lambda c: c.cast(_TERM_DEC)  # noqa: E731
+
+    e = (
+        pruned.select(
+            "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
+        )
+        .withColumn("x", F.col("x").cast("double"))
+        .withColumn("b", (F.col("pos") / PQ_S).cast("int"))
+    )
+    diff = F.col("x") - F.col("cx")
+    l2 = (
+        e.join(F.broadcast(cb), "pos")
+        .groupBy("vec_id", "label", "b", "cw")
+        .agg(F.sum(dec(diff * diff)).alias("l2"))
+    )
+    code = (
+        l2.groupBy("vec_id", "label", "b")
+        .agg(F.min(F.struct("l2", "cw")).alias("m"))
+        .select("vec_id", "label", "b", F.col("m.cw").alias("cw"))
+    )
+
+    q = (
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(F.posexplode("embedding").alias("pos", "qx"))
+        .withColumn("qx", F.col("qx").cast("double"))
+    )
+    lut = (
+        cb.join(F.broadcast(q), "pos")
+        .withColumn("b", (F.col("pos") / PQ_S).cast("int"))
+        .groupBy("b", "cw")
+        .agg(
+            F.sum(dec(F.col("cx") * F.col("qx"))).alias("qdot"),
+            F.sum(dec(F.col("cx") * F.col("cx"))).alias("cn2"),
+        )
+    )
+    qn2 = q.agg(
+        F.round(F.sum(dec(F.col("qx") * F.col("qx"))), 12)
+        .cast("double")
+        .alias("qn2")
+    )
+    cos = F.col("dot") / F.sqrt(F.col("n2") * F.col("qn2"))
+    return (
+        code.join(F.broadcast(lut), ["b", "cw"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(F.sum("qdot"), 12).cast("double").alias("dot"),
+            F.round(F.sum("cn2"), 12).cast("double").alias("n2"),
+        )
+        .crossJoin(F.broadcast(qn2))
+        .select("vec_id", "label", cos.alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def _oracle_ivfadc() -> str:
+    from flink_cep_examples_spark.queries.similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_S,
+        _sql_dec_dot,
+        _sql_dec_dot_raw,
+        _sql_dec_l2,
+    )
+
+    sl = (
+        lambda v: f"list_slice({v}, blocks.b * {PQ_S} + 1,"
+        f" (blocks.b + 1) * {PQ_S})"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+c0 AS (
+  SELECT vec_id AS cid,
+         [CAST(x AS DOUBLE) FOR x IN embedding] AS cvec
+  FROM e WHERE vec_id < {K_LISTS}
+),
+{_sql_assign('e', 'c0', 'a1')},
+{_SQL_MEANS},
+{_sql_assign('e', 'c1', 'a2')},
+q AS (SELECT embedding AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
+probes AS (
+  SELECT c1.cid FROM c1, q
+  ORDER BY {_sql_sqdist('q.qv', 'c1.cvec')} ASC, c1.cid ASC
+  LIMIT {NPROBE}
+),
+pruned AS (
+  SELECT a2.vec_id, a2.label, a2.embedding
+  FROM a2 JOIN probes USING (cid)
+  WHERE a2.vec_id != {QUERY_VEC_ID}
+),
+cb AS (
+  SELECT vec_id AS cw, embedding AS cv FROM embeddings
+  WHERE vec_id < {PQ_K}
+),
+blocks AS (SELECT unnest(range({PQ_M})) AS b),
+lut AS (
+  SELECT blocks.b, cb.cw,
+         {_sql_dec_dot_raw(sl('cb.cv'), sl('q.qv'))} AS qdot,
+         {_sql_dec_dot_raw(sl('cb.cv'), sl('cb.cv'))} AS cn2
+  FROM cb, blocks, q
+),
+assign AS (
+  SELECT p.vec_id, p.label, blocks.b, cb.cw,
+         {_sql_dec_l2(sl('p.embedding'), sl('cb.cv'))} AS l2
+  FROM pruned p, blocks, cb
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY p.vec_id, blocks.b ORDER BY l2, cb.cw) = 1
+)
+SELECT a.vec_id, a.label,
+       CAST(ROUND(SUM(l.qdot), 12) AS DOUBLE)
+         / sqrt(CAST(ROUND(SUM(l.cn2), 12) AS DOUBLE)
+                * (SELECT {_sql_dec_dot('qv', 'qv')} FROM q)) AS cos
+FROM assign a JOIN lut l ON l.b = a.b AND l.cw = a.cw
+GROUP BY a.vec_id, a.label
+ORDER BY cos DESC, vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+register(
+    "ann_ivfadc_topk",
+    ann_ivfadc_topk,
+    _oracle_ivfadc(),
+    # round 7: the IVF+PQ serving composite — straight into the gate
+)

@@ -171,3 +171,25 @@ def test_pq_adc_topk_recall(spark, sf_small):
     pq = [r.vec_id for r in QUERIES["ann_pq_topk"](spark, sf_small).collect()]
     overlap = len(set(exact) & set(pq)) / len(exact)
     assert overlap >= 0.4, (overlap, exact, pq)
+
+
+def test_ivfadc_topk_recall_and_pruning(spark, sf_small):
+    """IVFADC composes IVF pruning with PQ scoring, so its top-10
+    overlap with the exact baseline is bounded ABOVE by both halves';
+    the floor (chance ~0.02) distinguishes a working composite from a
+    broken one. (The pruning itself is pinned exactly by the DuckDB
+    oracle, whose ``pruned`` CTE reproduces the probed lists.)"""
+    from flink_cep_examples_spark.queries import QUERIES, load_all
+
+    load_all()
+    exact = [
+        r.vec_id
+        for r in QUERIES["ann_bruteforce_topk"](spark, sf_small).collect()
+    ]
+    ivfadc = QUERIES["ann_ivfadc_topk"](spark, sf_small).collect()
+    got = [r.vec_id for r in ivfadc]
+    assert len(got) == len(exact)
+    overlap = len(set(exact) & set(got)) / len(exact)
+    assert overlap >= 0.2, (overlap, exact, got)
+    for r in ivfadc:
+        assert -1.0000001 <= r.cos <= 1.0000001
