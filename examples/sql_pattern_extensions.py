@@ -15,7 +15,11 @@
    SUBSET union variables;
 6. (round 5) UNBOUNDED group quantifier ``(D E)+`` — a true sub-NFA
    loop (PatternSpec.loop_groups): PAIRS of balance drops repeated any
-   number of times, terminated by a top-up.
+   number of times, terminated by a top-up;
+7. (round 7) GREEDY star ``(D U)* C`` — SQL:2016 most-iterations
+   preferment via leftmost alternation with coordinator-held longest;
+8. (round 7) ALL ROWS PER MATCH over a loop group ``(D U)+`` —
+   per-row CLASSIFIER reconstructed positionally (stride-L spans).
 """
 
 import sys
@@ -132,6 +136,39 @@ SELECT * FROM billing MATCH_RECOGNIZE (
 ) t
 """
 
+STAR_GREEDY = """
+SELECT * FROM billing MATCH_RECOGNIZE (
+  PARTITION BY id
+  ORDER BY event_time
+  MEASURES
+    A.datetime AS alarmDatetime,
+    COUNT(D.*) AS n_pairs,
+    C.datetime AS topupDatetime
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN (A (D U)* C)
+  DEFINE
+    A AS A.balanceBefore >= 10 AND A.balanceAfter < 10,
+    D AS D.balanceBefore >= D.balanceAfter,
+    U AS U.balanceBefore >= U.balanceAfter,
+    C AS C.balanceBefore < C.balanceAfter
+) t
+"""
+
+LOOP_ALL_ROWS = """
+SELECT * FROM billing MATCH_RECOGNIZE (
+  PARTITION BY id
+  ORDER BY event_time
+  MEASURES COUNT(D.*) AS n_pairs
+  ALL ROWS PER MATCH
+  AFTER MATCH SKIP PAST LAST ROW
+  PATTERN ((D U)+)
+  DEFINE
+    D AS D.balanceBefore > D.balanceAfter,
+    U AS U.balanceBefore > U.balanceAfter
+) t
+"""
+
 GROUP_ALTERNATION = """
 SELECT * FROM billing MATCH_RECOGNIZE (
   PARTITION BY id
@@ -179,6 +216,14 @@ def main() -> None:
     )
     print("-- alternation INSIDE a group (D | U){2}: two consecutive moves --")
     sql_with_match_recognize(spark, GROUP_ALTERNATION, {"billing": df}).show(
+        truncate=False
+    )
+    print("-- GREEDY star A (D U)* C — most-iterations preferment --")
+    sql_with_match_recognize(spark, STAR_GREEDY, {"billing": df}).show(
+        truncate=False
+    )
+    print("-- ALL ROWS over a loop group (D U)+ — positional classifier --")
+    sql_with_match_recognize(spark, LOOP_ALL_ROWS, {"billing": df}).show(
         truncate=False
     )
 
