@@ -79,9 +79,10 @@ HEADLINE = [
 #: documented ±40% band, not a query-specific regression. Neither
 #: query's code changed since r4.
 BENCH_NOTES = (
-    "r6 outlier audit: docs_bigram_topk + cep_alert_reactions rerun "
-    "solo min-of-5 vs settled control; uniform ~25-40% shift incl. "
-    "control = host drift, no query-specific regression"
+    "r7: headline set +3 (events_hll_distinct, cep_group_loop_all_rows, "
+    "cep_group_star_greedy); cep_group_longest_chain now on the "
+    "partition-level chain kernel (0.79->0.58 s at sf0.1, 10x ratio "
+    "3.95x->1.28x); no flagged regressions vs r6"
 )
 
 

@@ -224,10 +224,12 @@ class PatternSpec:
     #: next row into it) in addition to proceeding forward. ``(X Y)*``
     #: and ``(X Y){n,}`` compile to this at parse time (alternation /
     #: unrolled copies + a trailing ``+`` group — sql/match_recognize).
-    #: Emission stays EAGER (earliest completion wins under the
-    #: one-match skip strategies): the loop takes more iterations only
-    #: while the rest of the pattern cannot yet complete — the engine's
-    #: documented deviation from longest-greedy derivation. Iteration
+    #: Emission follows ``derivation``: the MATCH_RECOGNIZE front-end
+    #: selects "longest" for greedy loop groups (SQL:2016
+    #: most-iterations preferment, rounds 6-7 — including ``*`` via
+    #: leftmost alternation with coordinator-held longest) and "eager"
+    #: for reluctant ones (``+?``: earliest completion = fewest
+    #: iterations); the Flink-tier Pattern DSL keeps eager. Iteration
     #: row spans per variable MERGE across iterations, so FIRST = first
     #: iteration's first row, LAST = last iteration's last row, and
     #: COUNT(var.*) counts rows across all iterations.

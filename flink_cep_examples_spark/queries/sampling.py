@@ -705,24 +705,42 @@ def sources_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size (mergeable by min-k union — map-side combinable), and
     the pair stage touches #sources² × k rows — bounded by the SOURCE
     dimension, never the corpus. Text leaves the scan only as 31-bit
-    hashes. Same md5-arithmetic shingle hash as the dedup family, so
-    the DuckDB oracle reproduces the sketch bit-for-bit; the estimate
-    is integer counts + one IEEE divide."""
-    from flink_cep_examples_spark.queries.dedup import _h31, _shingles
-    from flink_cep_examples_spark.sources.tables import spread
+    hashes. The bottom-k itself is TWO-PHASE: source count is tiny
+    (~5), so a single per-source window sort would funnel the whole
+    corpus's shingle stream into #sources tasks — instead phase 1
+    dense_ranks within (source, h mod 64) salt groups (equal hashes
+    share a salt, so per-salt distinct-rank is globally sound) and
+    phase 2 merges the ≤64·k survivors per source. Shingle hashing
+    reuses the dedup family's token-hash window scheme
+    (``_shingle_hashes``: one md5 per TOKEN + arithmetic 3-gram
+    combination — codegen'd; the per-shingle-string md5 HOF
+    formulation measured ~10× slower), so the DuckDB oracle reproduces
+    the sketch bit-for-bit; the estimate is integer counts + one IEEE
+    divide."""
+    from flink_cep_examples_spark.queries.dedup import _shingle_hashes
 
     k = KMV_J_K
-    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    sh = (
-        docs.select(
-            "source", F.explode(_shingles(F.col("text"))).alias("s")
-        )
-        .select("source", _h31(F.col("s")).alias("h"))
-        .distinct()
+    n_salt = 64
+    docs = load_table(spark, sf_dir, "documents")
+    src_dim = docs.select("doc_id", "source")
+    hashed = _shingle_hashes(docs).join(
+        F.broadcast(src_dim), "doc_id"
+    ).select("source", F.col("hs").alias("h"))
+    # phase 1: parallel partial bottom-k. dense_rank (not row_number)
+    # so pre-distinct duplicates don't evict distinct small hashes;
+    # the k smallest DISTINCT h per (source, salt) all survive.
+    salted = hashed.withColumn("salt", F.pmod(F.col("h"), F.lit(n_salt)))
+    w1 = Window.partitionBy("source", "salt").orderBy("h")
+    cand = (
+        salted.withColumn("rk", F.dense_rank().over(w1))
+        .filter(F.col("rk") <= k)
+        .select("source", "h")
+        .dropDuplicates(["source", "h"])
     )
+    # phase 2: global bottom-k over the ≤ n_salt·k candidates/source
     w = Window.partitionBy("source").orderBy("h")
     kmv = (
-        sh.withColumn("rk", F.row_number().over(w))
+        cand.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("source", "h")
     )
@@ -772,7 +790,9 @@ def _oracle_kmv_jaccard() -> str:
     from flink_cep_examples_spark.queries.dedup import (
         _SQL_NORM,
         _sql_h31,
-        _sql_shingles,
+        C1,
+        C2,
+        P,
     )
 
     return f"""
@@ -780,9 +800,16 @@ WITH t AS (
   SELECT source, regexp_split_to_array({_SQL_NORM}, ' ') AS toks
   FROM documents
 ),
+th AS (
+  SELECT source, [{_sql_h31('tok')} FOR tok IN toks] AS th
+  FROM t
+),
 sh AS (
-  SELECT DISTINCT source, {_sql_h31('s')} AS h
-  FROM (SELECT source, unnest({_sql_shingles(3)}) AS s FROM t)
+  SELECT DISTINCT source,
+         unnest([(th[i] * {C1} + coalesce(th[i + 1], 0) * {C2}
+                  + coalesce(th[i + 2], 0)) % {P}
+                 FOR i IN range(1, len(th) + 1)]) AS h
+  FROM th
 ),
 kmv AS (
   SELECT source, h FROM (

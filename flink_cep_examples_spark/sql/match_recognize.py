@@ -240,9 +240,9 @@ def _expand_group_quantifiers(text: str) -> list[str]:
     copies; measures over the base name resolve via an auto-generated
     SUBSET union), and ``(B C){1,2}`` / ``(B C)?`` expand to one
     alternative per repetition count — riding the alternation
-    machinery, so emission is EAGER (the engine's documented
-    alternation preference: earliest completion wins, NOT the
-    standard's longest-greedy derivation).
+    machinery under SQL:2016 LEFTMOST derivation since round 5
+    (branches listed greedy-major, held until earlier-listed branches
+    die — the standard's longest-greedy preferment).
 
     UNBOUNDED (round 5): ``(B C)+`` compiles to loop-group marker
     tokens (``{g+ B C +g}``) that _parse_var_seq turns into a TRUE

@@ -68,6 +68,11 @@ SMOKE = [
     "events_hll_distinct",  # round-6 HLL sketch (bounded-state control)
     "events_hourly_hll",  # round-6 sketch rollup (merge, never rescan)
     "cep_group_range_or_fallback",  # round-6 mixed '|' + ranged group
+    "cep_group_star_greedy",  # round-7 greedy star via held alternation
+    "cep_group_loop_all_rows",  # round-7 loop-group ALL ROWS (NFA tier)
+    "sources_kmv_jaccard",  # round-7 KMV set-op sketch
+    "events_value_quantile_hist",  # round-7 mergeable histogram quantiles
+    "ann_ivfadc_topk",  # round-7 IVF-pruned PQ/ADC composite
 ]
 
 
