@@ -994,20 +994,22 @@ def match_pattern_alternation_fast(
 
 
 def fast_loop_chain_applicable(spec) -> bool:
-    """True when the pattern is a TRAILING unbounded loop group under
-    SQL:2016 LONGEST derivation that the vectorized chain kernel can
-    compile: ``PATTERN (P1 .. Ps (X1 .. XL)+)`` — a (possibly empty)
-    prefix of exactly-once strict variables followed by one loop group
-    ending at the last variable (``{n,}`` parses to this shape: n-1
-    unrolled prefix copies + a ``+`` group — sql/match_recognize.py::
-    _expand_group_quantifiers).
+    """True when the pattern is an unbounded loop group under SQL:2016
+    LONGEST derivation that the vectorized chain kernel can compile:
+    ``PATTERN (P1 .. Ps (X1 .. XL)+ S1 .. Sf)`` — a (possibly empty)
+    prefix and a (possibly empty, round 7.2) SUFFIX of exactly-once
+    strict variables around one loop group (``{n,}`` parses to this
+    shape: n-1 unrolled prefix copies + a ``+`` group —
+    sql/match_recognize.py::_expand_group_quantifiers).
 
     With every variable exactly-once and strict contiguity, a k-
-    iteration match from start row r occupies rows r .. r+s+kL-1 with
-    NO nondeterminism in row→variable assignment (positionally forced),
-    so the NFA's most-iterations held resolution (operators/nfa.py::
-    _resolve_helds) reduces to "maximal stride-L run of valid body
-    chunks" — pure row arithmetic. See
+    iteration match from start row r occupies rows r .. r+s+kL+f-1
+    with NO nondeterminism in row→variable assignment (positionally
+    forced), so the NFA's most-iterations held resolution
+    (operators/nfa.py::_resolve_helds) reduces to row arithmetic:
+    maximal stride-L run of valid body chunks (f = 0), or
+    backtracking-greedy against the suffix anchor (f ≥ 1,
+    :func:`_strided_chain_suffix`). See
     :func:`match_pattern_fast_loop_chain`.
     """
     if not isinstance(spec, PatternSpec) or spec.derivation != "longest":
@@ -1017,9 +1019,6 @@ def fast_loop_chain_applicable(spec) -> bool:
     if spec.within is not None:
         return False
     if len(spec.loop_groups) != 1:
-        return False
-    gs, ge = spec.loop_groups[0]
-    if ge != len(spec.variables) - 1:
         return False
     if spec.after_match not in (SKIP_PAST_LAST_EVENT, SKIP_TO_NEXT, NO_SKIP):
         return False
@@ -1083,8 +1082,139 @@ def _strided_chain(body_ok, seg_id, pos_in_seg, L: int):
     return chain
 
 
+def _strided_chain_suffix(body_ok, suffix_ok, seg_id, pos_in_seg, L: int):
+    """g[t] = max k ≥ 0 with body_ok at t, t+L, .., t+(k-1)L and
+    suffix_ok at t+kL, all within t's (segment, t mod L) class; -1
+    when no k qualifies — the backtracking-greedy iteration count for
+    a loop group followed by a fixed suffix (take as many iterations
+    as possible such that the suffix still matches; SQL:2016 greedy
+    preferment with the rest-of-pattern constraint).
+
+    Vectorized like :func:`_strided_chain`: within each class (sorted,
+    members exactly L rows apart), R_j = forward body-run length at j,
+    so the valid suffix ANCHORS for j are the suffix_ok members of
+    [j, min(j + R_j, class end)] (the anchor row is consumed by the
+    suffix, not the body). Greedy k = (farthest anchor) − j — one
+    sorted-array searchsorted for the whole partition."""
+    import numpy as np
+
+    n = len(body_ok)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    R = _strided_chain(body_ok, seg_id, pos_in_seg, L)
+    grp = seg_id * np.int64(L) + (pos_in_seg % L)
+    order = np.lexsort((np.arange(n), grp))
+    g_grp = grp[order]
+    R_s = R[order]
+    sfx_s = suffix_ok[order]
+    idx = np.arange(n, dtype=np.int64)
+    new_grp = np.empty(n, dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = g_grp[1:] != g_grp[:-1]
+    cls_idx = np.cumsum(new_grp) - 1
+    starts_c = np.flatnonzero(new_grp)
+    ends_c = np.append(starts_c[1:] - 1, n - 1)
+    cls_end = ends_c[cls_idx]
+    hi = np.minimum(idx + R_s, cls_end)
+    anchors = np.flatnonzero(sfx_s)
+    if len(anchors):
+        ai = np.searchsorted(anchors, hi, side="right") - 1
+        a = np.where(ai >= 0, anchors[np.maximum(ai, 0)], -1)
+        g_s = np.where(a >= idx, a - idx, -1)
+    else:
+        g_s = np.full(n, -1, dtype=np.int64)
+    out = np.empty(n, dtype=np.int64)
+    out[order] = g_s
+    return out
+
+
+def _chain_scan_starts(
+    pdf, key_cols, n_vars, s, L, f, ge, min_iter, past_last
+):
+    """Chain-kernel scan core shared by the one-row and all-rows
+    emitters: key segmentation, body/prefix/suffix validity, greedy
+    iteration counts, and AFTER MATCH start selection — all vectorized
+    over one partition. Returns ``(starts, k, seg_id)`` row-index /
+    iteration-count / segment-id arrays, or None when the partition
+    holds no match."""
+    import numpy as np
+
+    from flink_cep_examples_spark.operators.cep_batch import _PRED_PREFIX
+
+    n = len(pdf)
+    # --- key segments (contiguous after the JVM sort) ---
+    newkey = np.zeros(n, dtype=bool)
+    newkey[0] = True
+    for kc in key_cols:
+        col = pdf[kc]
+        same = col.eq(col.shift()) | (col.isna() & col.shift().isna())
+        newkey[1:] |= ~same.to_numpy()[1:]
+    seg_id = np.cumsum(newkey, dtype=np.int64) - 1
+    seg_start_rows = np.flatnonzero(newkey)
+    pos_in_seg = np.arange(n, dtype=np.int64) - seg_start_rows[seg_id]
+    seg_len = np.diff(np.append(seg_start_rows, n))
+    rows_left = seg_len[seg_id] - pos_in_seg  # incl. current row
+
+    p = [
+        pdf[f"{_PRED_PREFIX}{i}"].to_numpy(dtype=bool)
+        for i in range(n_vars)
+    ]
+    # body chunk validity at its first row, masked at segment edges
+    body_ok = p[s].copy()
+    for j in range(1, L):
+        body_ok[: n - j] &= p[s + j][j:]
+        body_ok[n - j :] = False
+    body_ok &= rows_left >= L
+    if f:
+        # suffix validity at its first row, masked at segment edges
+        suffix_ok = p[ge + 1].copy()
+        for j in range(1, f):
+            suffix_ok[: n - j] &= p[ge + 1 + j][j:]
+            suffix_ok[n - j :] = False
+        suffix_ok &= rows_left >= f
+        g_at = _strided_chain_suffix(
+            body_ok, suffix_ok, seg_id, pos_in_seg, L
+        )
+    else:
+        g_at = _strided_chain(body_ok, seg_id, pos_in_seg, L)
+    # prefix validity at the start row (same-segment by rows_left)
+    if s:
+        prefix_ok = p[0].copy()
+        for i in range(1, s):
+            prefix_ok[: n - i] &= p[i][i:]
+            prefix_ok[n - i :] = False
+    else:
+        prefix_ok = np.ones(n, dtype=bool)
+    k_at = np.full(n, -1, dtype=np.int64)
+    k_at[: n - s] = g_at[s:] if s else g_at
+    lo = max(min_iter, 0 if f else 1)  # f=0: chain counts, no -1
+    valid = (
+        prefix_ok
+        & (k_at >= lo)
+        & (rows_left >= s + lo * L + f)
+        & (rows_left >= s + 1)  # row r+s (k_at's source) in-segment
+    )
+    starts = np.flatnonzero(valid)
+    if past_last and len(starts):
+        # one searchsorted per match; a match's span stays inside
+        # its segment, so the greedy cursor is partition-global
+        sel: list[int] = []
+        bound = 0
+        while True:
+            i = int(np.searchsorted(starts, bound))
+            if i == len(starts):
+                break
+            r = int(starts[i])
+            sel.append(r)
+            bound = r + s + int(k_at[r]) * L + f  # end + 1
+        starts = np.asarray(sel, dtype=np.int64)
+    if not len(starts):
+        return None
+    return starts, k_at[starts], seg_id
+
+
 def match_pattern_fast_loop_chain(
-    df: DataFrame, spec: PatternSpec
+    df: DataFrame, spec: PatternSpec, *, min_iter: int = 1
 ) -> DataFrame:
     """Vectorized chain kernel for trailing-loop-group LONGEST
     derivation (the ``cep_group_longest_chain`` shape, round 7 —
@@ -1132,10 +1262,16 @@ def match_pattern_fast_loop_chain(
     if not fast_loop_chain_applicable(spec):
         raise ValueError("pattern shape not compilable by the chain kernel")
 
-    gs, _ = spec.loop_groups[0]
+    gs, ge = spec.loop_groups[0]
     s = gs  # prefix length
-    L = len(spec.variables) - s  # body length
+    L = ge - gs + 1  # body length
+    f = len(spec.variables) - ge - 1  # suffix length (round 7.2)
     n_vars = len(spec.variables)
+    if min_iter not in (0, 1):
+        raise ValueError("min_iter must be 0 (star) or 1 (plus)")
+    if min_iter == 0 and f == 0:
+        # an empty-loop match with no suffix would be an empty match
+        raise ValueError("min_iter=0 requires a suffix after the group")
     prepared = _prepare(df, spec)
     out_schema = output_schema(df, spec)
     key_cols = list(spec.key_cols)
@@ -1161,61 +1297,13 @@ def match_pattern_fast_loop_chain(
             if len(chunks) > 1
             else chunks[0]
         )
-        n = len(pdf)
-        # --- key segments (contiguous after the JVM sort) ---
-        newkey = np.zeros(n, dtype=bool)
-        newkey[0] = True
-        for kc in key_cols:
-            col = pdf[kc]
-            same = col.eq(col.shift()) | (
-                col.isna() & col.shift().isna()
-            )
-            newkey[1:] |= ~same.to_numpy()[1:]
-        seg_id = np.cumsum(newkey, dtype=np.int64) - 1
-        seg_start_rows = np.flatnonzero(newkey)
-        pos_in_seg = np.arange(n, dtype=np.int64) - seg_start_rows[seg_id]
-        seg_len = np.diff(np.append(seg_start_rows, n))
-        rows_left = seg_len[seg_id] - pos_in_seg  # incl. current row
-
-        p = [
-            pdf[f"{_PRED_PREFIX}{i}"].to_numpy(dtype=bool)
-            for i in range(n_vars)
-        ]
-        # body chunk validity at its first row, masked at segment edges
-        body_ok = p[s].copy()
-        for j in range(1, L):
-            body_ok[: n - j] &= p[s + j][j:]
-            body_ok[n - j :] = False
-        body_ok &= rows_left >= L
-        chain = _strided_chain(body_ok, seg_id, pos_in_seg, L)
-        # prefix validity at the start row (same-segment by rows_left)
-        if s:
-            prefix_ok = p[0].copy()
-            for i in range(1, s):
-                prefix_ok[: n - i] &= p[i][i:]
-                prefix_ok[n - i :] = False
-        else:
-            prefix_ok = np.ones(n, dtype=bool)
-        k_at = np.zeros(n, dtype=np.int64)
-        k_at[: n - s] = chain[s:] if s else chain
-        valid = prefix_ok & (k_at >= 1) & (rows_left >= s + L)
-        starts = np.flatnonzero(valid)
-        if past_last and len(starts):
-            # one searchsorted per match; a match's span stays inside
-            # its segment, so the greedy cursor is partition-global
-            sel: list[int] = []
-            bound = 0
-            while True:
-                i = int(np.searchsorted(starts, bound))
-                if i == len(starts):
-                    break
-                r = int(starts[i])
-                sel.append(r)
-                bound = r + s + int(k_at[r]) * L  # end + 1
-            starts = np.asarray(sel, dtype=np.int64)
-        if not len(starts):
+        scanned = _chain_scan_starts(
+            pdf, key_cols, n_vars, s, L, f, ge, min_iter, past_last
+        )
+        if scanned is None:
             return
-        k = k_at[starts]
+        starts, k, seg_id = scanned
+        n = len(pdf)  # NULL sentinel for the masked measure gathers
         out_cols: dict[str, object] = {}
         for kc in key_cols:
             out_cols[kc] = pdf[kc].to_numpy()[starts]
@@ -1226,10 +1314,15 @@ def match_pattern_fast_loop_chain(
         }
 
         def var_rows(v: str):
-            """(first_idx, last_idx, count) arrays for one variable."""
+            """(first_idx, last_idx, count) arrays for one variable.
+            Loop vars with k = 0 (star) report count 0; their index
+            arrays are then meaningless and masked by the caller."""
             i = var_pos[v]
             if i < s:
                 r = starts + i
+                return r, r, np.ones(len(starts), dtype=np.int64)
+            if i > ge:  # suffix var: one row after the k iterations
+                r = starts + s + k * L + (i - ge - 1)
                 return r, r, np.ones(len(starts), dtype=np.int64)
             first = starts + i
             last = starts + s + (k - 1) * L + (i - s)
@@ -1261,18 +1354,301 @@ def match_pattern_fast_loop_chain(
                     total = total + cc
                 out_cols[m.name] = total
             elif m.fn == "first":
-                fi = firsts[0]
-                for f2 in firsts[1:]:
-                    fi = np.minimum(fi, f2)
-                out_cols[m.name] = src_arrays[m.src][fi]
+                # components with count 0 (k=0 loop vars) hold no rows:
+                # mask them out of the min; all-empty → NULL (a pandas
+                # Series masked with None keeps the dtype's null — NaT
+                # for datetime64 — across the Arrow boundary)
+                fi = np.where(counts[0] > 0, firsts[0], n)
+                for f2, c2 in zip(firsts[1:], counts[1:]):
+                    fi = np.minimum(fi, np.where(c2 > 0, f2, n))
+                has = fi < n
+                if has.all():
+                    out_cols[m.name] = src_arrays[m.src][fi]
+                else:
+                    ser = pd.Series(
+                        src_arrays[m.src][np.where(has, fi, 0)]
+                    )
+                    ser[~has] = None
+                    out_cols[m.name] = ser.to_numpy()
             else:  # last
-                la = lasts[0]
-                for l2 in lasts[1:]:
-                    la = np.maximum(la, l2)
-                out_cols[m.name] = src_arrays[m.src][la]
+                la = np.where(counts[0] > 0, lasts[0], -1)
+                for l2, c2 in zip(lasts[1:], counts[1:]):
+                    la = np.maximum(la, np.where(c2 > 0, l2, -1))
+                has = la >= 0
+                if has.all():
+                    out_cols[m.name] = src_arrays[m.src][la]
+                else:
+                    ser = pd.Series(
+                        src_arrays[m.src][np.where(has, la, 0)]
+                    )
+                    ser[~has] = None
+                    out_cols[m.name] = ser.to_numpy()
         out_cols["tag"] = np.repeat(MATCH_TAG, len(starts))
         out = pd.DataFrame(out_cols, columns=out_names)
         _null_safe_agg_cast(out, measure_list, out_schema)
         yield out
 
     return sorted_p.mapInPandas(scan_partition, out_schema)
+
+
+def fast_loop_chain_all_rows_applicable(spec) -> bool:
+    """ALL ROWS PER MATCH variant of :func:`fast_loop_chain_applicable`
+    (round 7.2): same pattern shapes, per-row emission. ``{- var -}``
+    exclusions are handled (a positional keep-mask); RUNNING measures
+    are not (their per-row series need the NFA tier's running
+    evaluator) and reject here."""
+    import dataclasses
+
+    if not isinstance(spec, PatternSpec):
+        return False
+    if spec.rows_per_match != "all":
+        return False
+    if any(m.running for m in spec.measures):
+        return False
+    one = dataclasses.replace(spec, rows_per_match="one")
+    return fast_loop_chain_applicable(one)
+
+
+def match_pattern_fast_loop_chain_all_rows(
+    df: DataFrame, spec: PatternSpec
+) -> DataFrame:
+    """ALL ROWS PER MATCH on the chain kernel (round 7.2): the same
+    scan core (:func:`_chain_scan_starts`) finds (start, iterations)
+    per match; per-row emission is then pure row arithmetic — match m
+    with k iterations occupies rows r .. r+s+kL+f-1 and offset →
+    variable is positionally forced (off < s: prefix var; body:
+    s + (off−s) mod L; else suffix) — so classifier, the ``{- var -}``
+    exclusion keep-mask, and the output rows assemble from ONE
+    np.repeat + arange, no per-match Python. Measures are FINAL
+    (whole-match values repeated on each row, matching the NFA tier;
+    RUNNING rejects in the applicability check). Output contract:
+    operators/cep_batch.py::all_rows_output_schema — row ORDER differs
+    from the NFA tier's variable-major emission; the row SET and
+    values are differential-tested equal
+    (tests/test_fast_loop_chain.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_cep_examples_spark.operators.cep_batch import (
+        _needs_src,
+        _null_safe_agg_cast,
+        _PRED_PREFIX,
+        _TS_COL,
+        _with_nav_cols,
+        all_rows_output_schema,
+    )
+
+    spec.validate()
+    if not fast_loop_chain_all_rows_applicable(spec):
+        raise ValueError(
+            "pattern shape not compilable by the all-rows chain kernel"
+        )
+
+    gs, ge = spec.loop_groups[0]
+    s = gs
+    L = ge - gs + 1
+    f = len(spec.variables) - ge - 1
+    n_vars = len(spec.variables)
+    data_cols = list(df.columns)
+    prepared = _with_nav_cols(df, spec).select(
+        *data_cols,
+        F.unix_micros(
+            F.col(spec.order_col).cast(T.TimestampType())
+        ).alias(_TS_COL),
+        *[
+            F.expr(e).alias(f"{_PRED_PREFIX}{i}")
+            for i, e in enumerate(spec.pred_exprs)
+        ],
+    )
+    out_schema = all_rows_output_schema(df, spec)
+    key_cols = list(spec.key_cols)
+    tiebreak = spec.tiebreak_col
+    measure_list = list(spec.measures)
+    subset_map = dict(spec.subsets)
+    var_pos = {v.name: i for i, v in enumerate(spec.variables)}
+    var_names = np.array([v.name for v in spec.variables], dtype=object)
+    excluded = np.array([v.excluded for v in spec.variables], dtype=bool)
+    last_var_name = spec.variables[-1].name
+    past_last = spec.after_match == SKIP_PAST_LAST_EVENT
+    out_names = [fld.name for fld in out_schema.fields]
+
+    sorted_p = prepared.repartition(*key_cols).sortWithinPartitions(
+        *key_cols, _TS_COL, tiebreak
+    )
+
+    def scan_partition(batches):
+        chunks = [c for c in batches if len(c)]
+        if not chunks:
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        scanned = _chain_scan_starts(
+            pdf, key_cols, n_vars, s, L, f, ge, 1, past_last
+        )
+        if scanned is None:
+            return
+        starts, k, seg_id = scanned
+        nm = len(starts)
+        src_arrays = {
+            m.src: pdf[m.src].to_numpy()
+            for m in measure_list
+            if _needs_src(m)
+        }
+
+        def var_rows(v: str):
+            i = var_pos[v]
+            if i < s:
+                r = starts + i
+                return r, r, np.ones(nm, dtype=np.int64)
+            if i > ge:
+                r = starts + s + k * L + (i - ge - 1)
+                return r, r, np.ones(nm, dtype=np.int64)
+            first = starts + i
+            last = starts + s + (k - 1) * L + (i - s)
+            return first, last, k
+
+        # 0-based per-segment match_seq (the NFA tier's contract)
+        segs = seg_id[starts]
+        new_s = np.empty(nm, dtype=bool)
+        new_s[0] = True
+        new_s[1:] = segs[1:] != segs[:-1]
+        first_idx = np.maximum.accumulate(
+            np.where(new_s, np.arange(nm), 0)
+        )
+        mseq = np.arange(nm) - first_idx
+        mvals: dict[str, object] = {}
+        for m in measure_list:
+            if m.fn == "match_number":
+                mvals[m.name] = mseq + 1
+                continue
+            if m.fn == "classifier":
+                mvals[m.name] = np.repeat(last_var_name, nm)
+                continue
+            comps = subset_map.get(m.var, (m.var,))
+            firsts, lasts, counts = zip(*(var_rows(c) for c in comps))
+            if m.fn == "count":
+                total = counts[0].copy()
+                for cc in counts[1:]:
+                    total = total + cc
+                mvals[m.name] = total
+            elif m.fn == "first":
+                fi = firsts[0]
+                for f2 in firsts[1:]:
+                    fi = np.minimum(fi, f2)
+                mvals[m.name] = src_arrays[m.src][fi]
+            else:  # last
+                la = lasts[0]
+                for l2 in lasts[1:]:
+                    la = np.maximum(la, l2)
+                mvals[m.name] = src_arrays[m.src][la]
+
+        # --- per-row expansion: one repeat + arange, offset→variable ---
+        lens = s + k * L + f
+        total_rows = int(lens.sum())
+        rep = np.repeat(np.arange(nm), lens)
+        cum = np.repeat(np.cumsum(lens) - lens, lens)
+        off = np.arange(total_rows, dtype=np.int64) - cum
+        k_rep = k[rep]
+        in_loop = (off >= s) & (off < s + k_rep * L)
+        var_idx = np.where(
+            off < s,
+            off,
+            np.where(
+                in_loop,
+                s + (off - s) % L,
+                ge + 1 + (off - s - k_rep * L),
+            ),
+        )
+        keep = ~excluded[var_idx]
+        row_idx = (starts[rep] + off)[keep]
+        rep_k = rep[keep]
+        var_k = var_idx[keep]
+        out_cols: dict[str, object] = {}
+        for c in data_cols:
+            out_cols[c] = pdf[c].to_numpy()[row_idx]
+        out_cols["classifier"] = var_names[var_k]
+        out_cols["match_seq"] = mseq[rep_k]
+        for m in measure_list:
+            out_cols[m.name] = np.asarray(mvals[m.name])[rep_k]
+        out = pd.DataFrame(out_cols, columns=out_names)
+        _null_safe_agg_cast(out, measure_list, out_schema)
+        yield out
+
+    return sorted_p.mapInPandas(scan_partition, out_schema)
+
+
+def fast_star_chain_applicable(aspec) -> bool:
+    """True when an AlternationSpec is a compiled GREEDY STAR —
+    ``PATTERN (P1..Ps (X1..XL)* S1..Sf)`` parses to [loop branch,
+    absent branch] under leftmost coordination (sql/match_recognize.py
+    ::_parse_var_seq) — and the loop branch is chain-kernel compilable
+    with the suffix extension. Leftmost preference of the loop branch
+    plus held-longest within it (operators/nfa.py greedy_loops) equals
+    "max feasible iterations, k = 0 only when no k ≥ 1 completes" —
+    exactly the kernel's backtracking-greedy count
+    (:func:`_strided_chain_suffix`), so the whole alternation compiles
+    to ONE kernel pass with min_iter=0. Requires a non-empty suffix
+    (an empty-loop completion must consume the suffix rows; a bare
+    trailing star would admit empty matches, which the engine — like
+    the standard — never emits)."""
+    import dataclasses
+
+    if not isinstance(aspec, AlternationSpec):
+        return False
+    if aspec.derivation != "leftmost" or len(aspec.alternatives) != 2:
+        return False
+    a0, a1 = aspec.alternatives
+    if len(a0.loop_groups) != 1 or a1.loop_groups:
+        return False
+    gs, ge = a0.loop_groups[0]
+    if len(a0.variables) - ge - 1 < 1:
+        return False
+    if not all(a0.variables[i].greedy for i in range(gs, ge + 1)):
+        return False
+    rest0 = [
+        (v.name, e)
+        for i, (v, e) in enumerate(zip(a0.variables, a0.pred_exprs))
+        if not gs <= i <= ge
+    ]
+    rest1 = [
+        (v.name, e) for v, e in zip(a1.variables, a1.pred_exprs)
+    ]
+    if rest0 != rest1:
+        return False
+    if a0.after_match != a1.after_match:
+        return False
+    synth = dataclasses.replace(
+        a0,
+        measures=aspec.measures,
+        subsets=aspec.subsets,
+        derivation="longest",
+    )
+    try:
+        synth.validate()
+    except (ValueError, NotImplementedError):
+        return False
+    return fast_loop_chain_applicable(synth)
+
+
+def match_pattern_fast_star_chain(
+    df: DataFrame, aspec: AlternationSpec
+) -> DataFrame:
+    """Compile a greedy-star alternation onto the chain kernel
+    (min_iter=0 admits the absent branch as k = 0). Output contract is
+    the alternation coordinator's: same columns, no tag (alternation
+    has no timeout channel). Differential-tested against the
+    coordinator (tests/test_fast_loop_chain.py)."""
+    import dataclasses
+
+    if not fast_star_chain_applicable(aspec):
+        raise ValueError("alternation is not a chain-kernel star shape")
+    synth = dataclasses.replace(
+        aspec.alternatives[0],
+        measures=aspec.measures,
+        subsets=aspec.subsets,
+        derivation="longest",
+    )
+    return match_pattern_fast_loop_chain(df, synth, min_iter=0).drop("tag")

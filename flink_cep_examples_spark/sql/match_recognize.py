@@ -986,7 +986,9 @@ def match_recognize(
             )
         from flink_cep_examples_spark.operators.fast_path import (
             fast_alternation_applicable,
+            fast_star_chain_applicable,
             match_pattern_alternation_fast,
+            match_pattern_fast_star_chain,
         )
 
         if spec.alternatives[0].rows_per_match == "all":
@@ -995,6 +997,10 @@ def match_recognize(
             )
 
             return match_pattern_alternation_all_rows(df, spec)
+        if use_fast_path and fast_star_chain_applicable(spec):
+            # greedy (X..Y)* with a suffix compiles to ONE chain-kernel
+            # pass (round 7.2) instead of the 2-NFA lockstep coordinator
+            return match_pattern_fast_star_chain(df, spec)
         if use_fast_path and fast_alternation_applicable(spec):
             return match_pattern_alternation_fast(df, spec)
         return match_pattern_alternation(df, spec)
@@ -1045,6 +1051,15 @@ def match_recognize(
     if spec.rows_per_match == "all":
         if emit_timeouts:
             raise ValueError("ALL ROWS PER MATCH has no timeout channel")
+        from flink_cep_examples_spark.operators.fast_path import (
+            fast_loop_chain_all_rows_applicable,
+            match_pattern_fast_loop_chain_all_rows,
+        )
+
+        if use_fast_path and fast_loop_chain_all_rows_applicable(spec):
+            # loop-group all-rows emission compiles to the chain kernel
+            # (round 7.2) — positional classifier + exclusion masks
+            return match_pattern_fast_loop_chain_all_rows(df, spec)
         # fast_abc_applicable doesn't check until(), but the all-rows
         # closed form rejects it — guard here so an until-carrying spec
         # falls back to the NFA tier instead of raising.

@@ -189,19 +189,29 @@ def test_gating_falls_back_to_nfa():
     assert not fast_loop_chain_applicable(count_col)
 
 
-def test_non_trailing_group_not_applicable():
-    spec = parse_match_recognize(
-        """
+BODY_SUFFIX = """
         PARTITION BY user_id ORDER BY ts, event_id
-        MEASURES FIRST(X.ts) AS fx
+        MEASURES FIRST(X.ts) AS fx, LAST(Z.ts) AS lz, COUNT(X.*) AS pairs
         ONE ROW PER MATCH
         AFTER MATCH SKIP PAST LAST ROW
         PATTERN ((X Y)+ Z)
         DEFINE X AS event_id % 3 = 1, Y AS event_id % 3 = 2,
                Z AS event_id % 3 = 0
-        """
-    )
-    assert not fast_loop_chain_applicable(spec)
+"""
+
+
+def test_suffix_group_applicable_and_agrees(spark):
+    """Round 7.2: a loop group followed by a fixed suffix compiles to
+    the suffix-anchored chain kernel (_strided_chain_suffix) — the
+    round-6 kernel rejected this shape; the backtracking-greedy count
+    must match the NFA's held-longest resolution."""
+    spec = parse_match_recognize(BODY_SUFFIX)
+    assert fast_loop_chain_applicable(spec)
+    for seed in (11, 12, 13):
+        df = _events_df(spark, _random_rows(seed))
+        fa, nf = _both(spark, df, BODY_SUFFIX)
+        assert fa == nf
+        assert fa, f"seed {seed}: no matches — test is vacuous"
 
 
 def test_chain_kernel_plan_one_exchange(spark):
@@ -245,3 +255,132 @@ def test_strided_chain_vs_bruteforce():
             expect[t] = 1 + (expect[nxt] if same else 0)
         got = _strided_chain(body_ok, seg_id, pos_in_seg, L)
         assert (got == expect).all(), (trial, L, body_ok, seg_id, got, expect)
+
+
+def test_strided_chain_suffix_vs_bruteforce():
+    """_strided_chain_suffix (round 7.2) against the direct recursion
+    g(t) = 1+g(t+L) if body_ok(t) ∧ g(t+L) ≥ 0 else (0 if suffix_ok(t)
+    else −1) — the backtracking-greedy count for loop + fixed suffix."""
+    import numpy as np
+
+    from flink_cep_examples_spark.operators.fast_path import (
+        _strided_chain_suffix,
+    )
+
+    rng = random.Random(9)
+    for trial in range(200):
+        n = rng.randrange(1, 40)
+        L = rng.randrange(1, 5)
+        body_ok = np.array([rng.random() < 0.6 for _ in range(n)])
+        suffix_ok = np.array([rng.random() < 0.4 for _ in range(n)])
+        seg_id = np.zeros(n, dtype=np.int64)
+        cur = 0
+        for i in range(1, n):
+            if rng.random() < 0.15:
+                cur += 1
+            seg_id[i] = cur
+        pos_in_seg = np.zeros(n, dtype=np.int64)
+        for i in range(1, n):
+            pos_in_seg[i] = (
+                pos_in_seg[i - 1] + 1 if seg_id[i] == seg_id[i - 1] else 0
+            )
+        expect = np.full(n, -1, dtype=np.int64)
+        for t in range(n - 1, -1, -1):
+            nxt = t + L
+            same = nxt < n and seg_id[nxt] == seg_id[t]
+            if body_ok[t] and same and expect[nxt] >= 0:
+                expect[t] = 1 + expect[nxt]
+            elif suffix_ok[t]:
+                expect[t] = 0
+        got = _strided_chain_suffix(body_ok, suffix_ok, seg_id, pos_in_seg, L)
+        assert (got == expect).all(), (
+            trial, L, body_ok, suffix_ok, seg_id, got, expect,
+        )
+
+
+BODY_STAR = """
+        PARTITION BY user_id ORDER BY ts, event_id
+        MEASURES FIRST(A.ts) AS a_ts, LAST(Z.ts) AS z_ts,
+                 FIRST(X.ts) AS x1, LAST(Y.ts) AS yl,
+                 COUNT(X.*) AS pairs, MATCH_NUMBER() AS mn
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A (X Y)* Z)
+        DEFINE A AS event_id % 3 = 0, X AS event_id % 3 = 1,
+               Y AS event_id % 3 = 2, Z AS event_id % 3 = 1
+"""
+
+
+def test_star_chain_fast_path_routes_and_agrees(spark):
+    """Greedy ``(X Y)*`` with a suffix compiles to the chain kernel
+    with min_iter=0 (round 7.2) instead of the 2-NFA lockstep
+    coordinator; both must agree — including k = 0 matches whose
+    loop-var measures are NULL/0."""
+    from flink_cep_examples_spark.operators.fast_path import (
+        fast_star_chain_applicable,
+    )
+
+    assert fast_star_chain_applicable(parse_match_recognize(BODY_STAR))
+    for seed in (21, 22):
+        df = _events_df(spark, _random_rows(seed))
+        fa, nf = _both(spark, df, BODY_STAR)
+        assert fa == nf
+        assert fa, f"seed {seed}: no matches — test is vacuous"
+
+
+def test_star_chain_empty_loop_nulls(spark):
+    """Directed k = 0 coverage: A Z with no pairs must emit pairs=0 and
+    NULL FIRST(X)/LAST(Y) on both tiers."""
+    df = _events_df(
+        spark,
+        [(1, 0, 0), (1, 1, 1),  # A Z  (k=0; Z shares X's class)
+         (2, 0, 0), (2, 1, 1), (2, 2, 2), (2, 3, 1)],  # A X Y Z (k=1)
+    )
+    fa, nf = _both(spark, df, BODY_STAR)
+    assert fa == nf
+    by_user = {r[0]: r for r in fa}
+    assert by_user[1][3] is None and by_user[1][4] is None
+    assert by_user[1][5] == 0
+    assert by_user[2][5] == 1
+
+
+BODY_ALL_ROWS_LOOP = """
+        PARTITION BY user_id ORDER BY ts, event_id
+        MEASURES COUNT(X.*) AS pairs
+        ALL ROWS PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN ((X Y)+)
+        DEFINE X AS event_id % 3 = 1, Y AS event_id % 3 = 2
+"""
+
+
+@pytest.mark.parametrize(
+    "body",
+    [
+        BODY_ALL_ROWS_LOOP,
+        BODY_ALL_ROWS_LOOP.replace("((X Y)+)", "(({- X -} Y)+)"),
+        BODY_ALL_ROWS_LOOP.replace(
+            "((X Y)+)", "(A (X Y)+ Z)"
+        ).replace(
+            "DEFINE X", "DEFINE A AS event_id % 3 = 0, Z AS event_id % 3 = 0, X"
+        ),
+    ],
+    ids=["plain", "excl", "prefix-suffix"],
+)
+def test_all_rows_chain_fast_path_agrees(spark, body):
+    """ALL ROWS PER MATCH on the chain kernel (round 7.2) — per-row
+    emission, positional classifier, exclusion keep-mask — must match
+    the NFA tier's row set exactly (order-insensitive compare; the NFA
+    emits variable-major, the kernel row-major)."""
+    from flink_cep_examples_spark.operators.fast_path import (
+        fast_loop_chain_all_rows_applicable,
+    )
+
+    assert fast_loop_chain_all_rows_applicable(parse_match_recognize(body))
+    matched = 0
+    for seed in (31, 32):
+        df = _events_df(spark, _random_rows(seed))
+        fa, nf = _both(spark, df, body)
+        assert fa == nf
+        matched += len(fa)
+    assert matched, "no matches across seeds — test is vacuous"
