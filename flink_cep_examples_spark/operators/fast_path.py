@@ -1011,12 +1011,17 @@ def fast_loop_chain_applicable(spec) -> bool:
     backtracking-greedy against the suffix anchor (f ≥ 1,
     :func:`_strided_chain_suffix`). See
     :func:`match_pattern_fast_loop_chain`.
+
+    ``WITHIN`` deadlines compile too (round 8): the deadline is one
+    more vectorized per-start iteration cap
+    (:func:`_segment_deadline_limit`), so the realistic production
+    shape — grouped pattern + ``WITHIN INTERVAL`` clause, the
+    reference's defining modifier (FlinkSqlMatchRecognizeExample
+    .scala:62) — no longer falls back to the per-key NFA tier.
     """
     if not isinstance(spec, PatternSpec) or spec.derivation != "longest":
         return False
     if spec.permute or spec.emit_timeouts or spec.rows_per_match != "one":
-        return False
-    if spec.within is not None:
         return False
     if len(spec.loop_groups) != 1:
         return False
@@ -1082,7 +1087,41 @@ def _strided_chain(body_ok, seg_id, pos_in_seg, L: int):
     return chain
 
 
-def _strided_chain_suffix(body_ok, suffix_ok, seg_id, pos_in_seg, L: int):
+def _segment_deadline_limit(ts_us, seg_id, within_us: int):
+    """limit[t] = absolute index of the first row u ≥ t in t's key
+    segment with ``ts[u] >= ts[t] + within_us`` (segment end + 1 when
+    none) — so rows t .. limit[t]-1 are exactly the segment rows a
+    ``WITHIN`` match starting at t may span (strict ``<``, matching the
+    NFA's ``ts - start >= within`` pruning, operators/nfa.py
+    ``advance_time``; fixture-pinned).
+
+    Fully vectorized merge-count: one lexsort of 2n (segment, value,
+    kind) entries — each row contributes its ts as an ARRAY entry and
+    ``ts + within`` as a QUERY entry; queries sort before equal array
+    values (side='left', preserving the strict inequality), and the
+    running count of array entries before a query IS the absolute
+    limit, because array entries of earlier segments all sort earlier
+    and number exactly the segment's start offset. No per-segment
+    Python loop, no ts-offset arithmetic that could overflow int64."""
+    import numpy as np
+
+    n = len(ts_us)
+    vals = np.concatenate([ts_us, ts_us + np.int64(within_us)])
+    segs = np.concatenate([seg_id, seg_id])
+    kind = np.empty(2 * n, dtype=np.int8)  # 1 = array entry, 0 = query
+    kind[:n] = 1
+    kind[n:] = 0
+    order = np.lexsort((kind, vals, segs))
+    is_arr = kind[order] == 1
+    before = np.cumsum(is_arr) - is_arr  # array entries strictly before
+    pos = np.empty(2 * n, dtype=np.int64)
+    pos[order] = before
+    return pos[n:]  # per original row: its query's limit
+
+
+def _strided_chain_suffix(
+    body_ok, suffix_ok, seg_id, pos_in_seg, L: int, k_cap=None
+):
     """g[t] = max k ≥ 0 with body_ok at t, t+L, .., t+(k-1)L and
     suffix_ok at t+kL, all within t's (segment, t mod L) class; -1
     when no k qualifies — the backtracking-greedy iteration count for
@@ -1095,7 +1134,13 @@ def _strided_chain_suffix(body_ok, suffix_ok, seg_id, pos_in_seg, L: int):
     so the valid suffix ANCHORS for j are the suffix_ok members of
     [j, min(j + R_j, class end)] (the anchor row is consumed by the
     suffix, not the body). Greedy k = (farthest anchor) − j — one
-    sorted-array searchsorted for the whole partition."""
+    sorted-array searchsorted for the whole partition.
+
+    ``k_cap`` (round 8, optional int64[n] indexed by body-start row):
+    per-start upper bound on the iteration count — the ``WITHIN``
+    deadline cap. The anchor search window shrinks to
+    ``idx + min(R_j, k_cap[j])``; a negative cap admits no anchor
+    (the suffix itself would breach the deadline) → -1."""
     import numpy as np
 
     n = len(body_ok)
@@ -1115,7 +1160,8 @@ def _strided_chain_suffix(body_ok, suffix_ok, seg_id, pos_in_seg, L: int):
     starts_c = np.flatnonzero(new_grp)
     ends_c = np.append(starts_c[1:] - 1, n - 1)
     cls_end = ends_c[cls_idx]
-    hi = np.minimum(idx + R_s, cls_end)
+    steps = R_s if k_cap is None else np.minimum(R_s, k_cap[order])
+    hi = np.minimum(idx + steps, cls_end)
     anchors = np.flatnonzero(sfx_s)
     if len(anchors):
         ai = np.searchsorted(anchors, hi, side="right") - 1
@@ -1129,17 +1175,25 @@ def _strided_chain_suffix(body_ok, suffix_ok, seg_id, pos_in_seg, L: int):
 
 
 def _chain_scan_starts(
-    pdf, key_cols, n_vars, s, L, f, ge, min_iter, past_last
+    pdf, key_cols, n_vars, s, L, f, ge, min_iter, past_last,
+    within_us: int | None = None,
 ):
     """Chain-kernel scan core shared by the one-row and all-rows
     emitters: key segmentation, body/prefix/suffix validity, greedy
     iteration counts, and AFTER MATCH start selection — all vectorized
-    over one partition. Returns ``(starts, k, seg_id)`` row-index /
-    iteration-count / segment-id arrays, or None when the partition
-    holds no match."""
+    over one partition. ``within_us`` (round 8) caps each start's
+    iteration count so the match span r .. r+s+kL+f-1 satisfies
+    ``ts[last] - ts[r] < within`` (the NFA prunes a partial the moment
+    a row at ``start + within`` arrives, so a completion at exactly
+    the deadline does NOT match — :func:`_segment_deadline_limit`).
+    Returns ``(starts, k, seg_id)`` row-index / iteration-count /
+    segment-id arrays, or None when the partition holds no match."""
     import numpy as np
 
-    from flink_cep_examples_spark.operators.cep_batch import _PRED_PREFIX
+    from flink_cep_examples_spark.operators.cep_batch import (
+        _PRED_PREFIX,
+        _TS_COL,
+    )
 
     n = len(pdf)
     # --- key segments (contiguous after the JVM sort) ---
@@ -1165,6 +1219,19 @@ def _chain_scan_starts(
         body_ok[: n - j] &= p[s + j][j:]
         body_ok[n - j :] = False
     body_ok &= rows_left >= L
+    # WITHIN deadline → per-start iteration cap, indexed by the BODY
+    # start row j = r + s: last match row is j + kL - 1 (no suffix) or
+    # the anchor's last suffix row j + kL + f - 1, both < limit[r]
+    if within_us is not None:
+        ts_us = pdf[_TS_COL].to_numpy(dtype=np.int64)
+        limit = _segment_deadline_limit(ts_us, seg_id, within_us)
+        k_cap = np.full(n, -1, dtype=np.int64)
+        if s:
+            k_cap[s:] = (limit[: n - s] - f - np.arange(s, n)) // L
+        else:
+            k_cap = (limit - f - np.arange(n)) // L
+    else:
+        k_cap = None
     if f:
         # suffix validity at its first row, masked at segment edges
         suffix_ok = p[ge + 1].copy()
@@ -1173,10 +1240,12 @@ def _chain_scan_starts(
             suffix_ok[n - j :] = False
         suffix_ok &= rows_left >= f
         g_at = _strided_chain_suffix(
-            body_ok, suffix_ok, seg_id, pos_in_seg, L
+            body_ok, suffix_ok, seg_id, pos_in_seg, L, k_cap=k_cap
         )
     else:
         g_at = _strided_chain(body_ok, seg_id, pos_in_seg, L)
+        if k_cap is not None:
+            g_at = np.minimum(g_at, np.clip(k_cap, 0, None))
     # prefix validity at the start row (same-segment by rows_left)
     if s:
         prefix_ok = p[0].copy()
@@ -1267,6 +1336,11 @@ def match_pattern_fast_loop_chain(
     L = ge - gs + 1  # body length
     f = len(spec.variables) - ge - 1  # suffix length (round 7.2)
     n_vars = len(spec.variables)
+    within_us = (
+        int(spec.within.total_seconds() * 1_000_000)
+        if spec.within is not None
+        else None
+    )
     if min_iter not in (0, 1):
         raise ValueError("min_iter must be 0 (star) or 1 (plus)")
     if min_iter == 0 and f == 0:
@@ -1298,7 +1372,8 @@ def match_pattern_fast_loop_chain(
             else chunks[0]
         )
         scanned = _chain_scan_starts(
-            pdf, key_cols, n_vars, s, L, f, ge, min_iter, past_last
+            pdf, key_cols, n_vars, s, L, f, ge, min_iter, past_last,
+            within_us=within_us,
         )
         if scanned is None:
             return
@@ -1449,6 +1524,11 @@ def match_pattern_fast_loop_chain_all_rows(
     L = ge - gs + 1
     f = len(spec.variables) - ge - 1
     n_vars = len(spec.variables)
+    within_us = (
+        int(spec.within.total_seconds() * 1_000_000)
+        if spec.within is not None
+        else None
+    )
     data_cols = list(df.columns)
     prepared = _with_nav_cols(df, spec).select(
         *data_cols,
@@ -1486,7 +1566,8 @@ def match_pattern_fast_loop_chain_all_rows(
             else chunks[0]
         )
         scanned = _chain_scan_starts(
-            pdf, key_cols, n_vars, s, L, f, ge, 1, past_last
+            pdf, key_cols, n_vars, s, L, f, ge, 1, past_last,
+            within_us=within_us,
         )
         if scanned is None:
             return

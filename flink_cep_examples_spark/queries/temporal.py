@@ -257,6 +257,13 @@ register(
     "events_funnel_interval_join", events_funnel_interval_join, ORACLE_FUNNEL,
     driver=False,  # r7 rotation: driver-verified green r3-r6; pytest-gated now
 )
-register("events_range_error_context", events_range_error_context, ORACLE_RANGE)
+register(
+    "events_range_error_context",
+    events_range_error_context,
+    ORACLE_RANGE,
+    # r8 rotation: 5 green rounds (r3-r7), most-verified in the gate -
+    # demoted to make room (COVERAGE.md policy); still pytest-oracled
+    driver=False,
+)
 register("events_hourly_gapfill", events_hourly_gapfill, ORACLE_GAPFILL, driver=False,  # r7 rotation: driver-verified green r3-r6; pytest-gated now
 )

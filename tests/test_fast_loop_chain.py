@@ -166,12 +166,13 @@ def test_overlap_chains_immediately(spark):
 
 
 def test_gating_falls_back_to_nfa():
+    # WITHIN compiles since round 8 (it used to force the NFA tier)
     within = parse_match_recognize(
         BODY_PLAIN.replace(
             "PATTERN ((X Y)+)", "PATTERN ((X Y)+) WITHIN INTERVAL '1' HOUR"
         )
     )
-    assert not fast_loop_chain_applicable(within)
+    assert fast_loop_chain_applicable(within)
     # count_col (COUNT(var.col), non-null counting) can't come from the
     # SQL front-end for loop vars (the parser rejects it), but the spec
     # type allows it — the kernel must still decline
@@ -212,6 +213,86 @@ def test_suffix_group_applicable_and_agrees(spark):
         fa, nf = _both(spark, df, BODY_SUFFIX)
         assert fa == nf
         assert fa, f"seed {seed}: no matches — test is vacuous"
+
+
+BODY_WITHIN = BODY_PLAIN.replace(
+    "PATTERN ((X Y)+)",
+    "PATTERN ((X Y)+) WITHIN INTERVAL '5' MINUTE",
+)
+
+BODY_SUFFIX_WITHIN = BODY_SUFFIX.replace(
+    "PATTERN ((X Y)+ Z)",
+    "PATTERN ((X Y)+ Z) WITHIN INTERVAL '7' MINUTE",
+)
+
+BODY_PREFIX_WITHIN = BODY_PREFIX.replace(
+    "PATTERN (A (B C)+)",
+    "PATTERN (A (B C)+) WITHIN INTERVAL '6' MINUTE",
+)
+
+
+@pytest.mark.parametrize(
+    "body",
+    [BODY_WITHIN, BODY_SUFFIX_WITHIN, BODY_PREFIX_WITHIN],
+    ids=["within_plain", "within_suffix", "within_prefix"],
+)
+@pytest.mark.parametrize("seed", [5, 33])
+def test_within_matches_nfa(spark, body, seed):
+    """Round 8: WITHIN compiles into the chain kernel as a per-start
+    iteration cap. Rows are 1 minute apart, so the deadline truncates
+    almost every chain — the binding case — and the kernel must agree
+    with the NFA's pruning bit-for-bit."""
+    df = _events_df(spark, _random_rows(seed))
+    spec = parse_match_recognize(body)
+    assert fast_loop_chain_applicable(spec), "WITHIN shape must compile"
+    f, n = _both(spark, df, body)
+    assert f == n
+    assert len(f) > 0, "fixture must exercise matches"
+
+
+def test_within_exact_deadline_excluded(spark):
+    """Strict < at the deadline (the golden-fixture semantics: a
+    completion at exactly start + within does NOT match). Six
+    alternating rows 1 min apart under WITHIN '5' MINUTE: k=3 would
+    span 5 minutes — exactly the deadline — so the kernel must emit
+    k=2 (rows 0-3) and then a second match on rows 4-5."""
+    rows = [(1, i, e) for i, e in enumerate([1, 2, 1, 2, 1, 2])]
+    df = _events_df(spark, rows)
+    f, n = _both(spark, df, BODY_WITHIN)
+    assert f == n
+    assert sorted(r[3] for r in f) == [1, 2]  # pairs per match
+
+
+def test_within_just_inside_deadline(spark):
+    """Same six rows but WITHIN '6' MINUTE: the 5-minute k=3 span now
+    fits strictly inside the deadline — one maximal match."""
+    body = BODY_PLAIN.replace(
+        "PATTERN ((X Y)+)",
+        "PATTERN ((X Y)+) WITHIN INTERVAL '6' MINUTE",
+    )
+    rows = [(1, i, e) for i, e in enumerate([1, 2, 1, 2, 1, 2])]
+    df = _events_df(spark, rows)
+    f, n = _both(spark, df, body)
+    assert f == n
+    assert len(f) == 1 and f[0][3] == 3
+
+
+def test_within_suffix_backtracks_to_deadline(spark):
+    """Suffix + WITHIN: x y x y x y z z — greedy k=3 anchored at the
+    first z spans 6 minutes; WITHIN '6' forbids it (strict <), so the
+    kernel must backtrack... but a shorter k anchors only where a z
+    row sits, and rows 6 AND 7 are both z: k=3→z@6 spans 6' (out),
+    there is no z earlier, so NO match from row 0; SKIP PAST LAST then
+    finds rows 2-6 (k=2, z@6, span 4') — the deadline cap interacts
+    with anchor selection exactly as the NFA resolves it."""
+    rows = [(1, i, e) for i, e in enumerate([1, 2, 1, 2, 1, 2, 3, 3])]
+    df = _events_df(spark, rows)
+    body = BODY_SUFFIX.replace(
+        "PATTERN ((X Y)+ Z)",
+        "PATTERN ((X Y)+ Z) WITHIN INTERVAL '6' MINUTE",
+    )
+    f, n = _both(spark, df, body)
+    assert f == n
 
 
 def test_chain_kernel_plan_one_exchange(spark):

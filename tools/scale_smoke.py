@@ -73,6 +73,7 @@ SMOKE = [
     "sources_kmv_jaccard",  # round-7 KMV set-op sketch
     "events_value_quantile_hist",  # round-7 mergeable histogram quantiles
     "ann_ivfadc_topk",  # round-7 IVF-pruned PQ/ADC composite
+    "cep_group_chain_within",  # round-8 WITHIN on the chain kernel
 ]
 
 
