@@ -438,7 +438,14 @@ class Nfa:
         discards every later expired run (their matches AND timeouts)
         exactly as its incremental emission would; under
         SKIP_TO_FIRST/LAST the running resumption cutoff suppresses
-        later expired runs that started before it."""
+        later expired runs that started before it.
+
+        "longest" derivation composes (round 8): an expired run whose
+        start HOLDS a completion is a decided MATCH — the match channel
+        wins, never the timeout channel (a start that matched within
+        the deadline is not a timed-out partial; only never-matched
+        partials emit timeout rows, mirroring the reference's absence
+        side output, FlinkCEPAbsenceOfEventExample.scala:93-103)."""
         if self.within_us is None or not st.runs:
             if self.longest and st.helds:
                 # no live runs → every held start is decided
@@ -455,6 +462,45 @@ class Nfa:
         matches: list[dict] = []
         timeouts: list[dict] = []
         cutoff: int | None = None
+        if self.longest:
+            # Constant ``within`` makes expiry a start-order PREFIX of
+            # st.runs, so every surviving run starts after every
+            # expired one. Walk the decided starts — expired partials
+            # plus helds below the live frontier — in start order:
+            # held ⇒ match (under SKIP PAST LAST ROW its span discards
+            # later expired partials WITHOUT timeout rows, the same
+            # discipline as mid-stream emission discarding partials);
+            # no held ⇒ timeout row. Helds newly unblocked by the
+            # walk's own span-discards resolve through the standard
+            # _resolve_helds pass below (their starts all lie above
+            # every walked start, so emission stays start-ordered).
+            run_by_start = {r.start_ord: r for r in expired}
+            min_live = min((r.start_ord for r in st.runs), default=None)
+            decided = set(run_by_start)
+            decided.update(
+                s for s in st.helds if min_live is None or s < min_live
+            )
+            for s in sorted(decided):
+                if cutoff is not None and s < cutoff:
+                    st.helds.pop(s, None)  # inside an emitted span
+                    continue
+                br = st.helds.pop(s, None)
+                run = run_by_start.get(s)
+                if br is not None:
+                    matches.append(self._branch_dict(br))
+                    if self.after_match == SKIP_PAST_LAST_EVENT:
+                        end_ord = _branch_end_ord(br)
+                        cutoff = end_ord + 1
+                        st.runs = [
+                            r for r in st.runs if r.start_ord > end_ord
+                        ]
+                        for s2 in [s2 for s2 in st.helds if s2 <= end_ord]:
+                            del st.helds[s2]
+                elif self.emit_timeouts and run is not None and run.branches:
+                    timeouts.append(self._timeout_dict(run))
+            if st.helds:
+                matches.extend(self._resolve_helds(st))
+            return matches, timeouts
         for run in expired:  # deadline (= start = append) order
             if cutoff is not None and run.start_ord < cutoff:
                 continue  # discarded by an earlier emission's resumption
@@ -471,9 +517,6 @@ class Nfa:
                 timeouts.append(self._timeout_dict(run))
         if cutoff is not None:
             st.runs = [r for r in st.runs if r.start_ord >= cutoff]
-        if self.longest and st.helds:
-            # expiring runs may have unblocked held completions
-            matches.extend(self._resolve_helds(st))
         return matches, timeouts
 
     def _resolve_helds(self, st: NfaState, final: bool = False) -> list[dict]:
@@ -742,15 +785,24 @@ class Nfa:
         if self.within_us is not None and st.runs:
             horizon = max(r.start_ts for r in st.runs) + self.within_us
             return self.advance_time(st, horizon)
+        # "longest" derivation without within: live runs could never be
+        # pruned mid-stream, so held completions resolve here. Resolve
+        # BEFORE collecting timeouts: a start that holds a completion
+        # is a match, never a timed-out partial, and under SKIP PAST
+        # LAST ROW an emitted span discards the partials inside it
+        # (st.runs shrinks) without timeout rows.
+        held_starts = frozenset(st.helds) if self.longest else frozenset()
+        matches = self._resolve_helds(st, final=True) if self.longest else []
         timeouts = (
-            [self._timeout_dict(r) for r in st.runs if r.branches]
+            [
+                self._timeout_dict(r)
+                for r in st.runs
+                if r.branches and r.start_ord not in held_starts
+            ]
             if self.emit_timeouts
             else []
         )
         st.runs = []
-        # "longest" derivation without within: live runs could never be
-        # pruned mid-stream, so held completions resolve here
-        matches = self._resolve_helds(st, final=True) if self.longest else []
         return matches, timeouts
 
 

@@ -281,13 +281,10 @@ class PatternSpec:
             # only — the combinations below would route completions
             # around the hold (pendings) or need resumption-cutoff
             # coordination the hold doesn't model; all are loud, not
-            # silent-eager (advisor round 5 discipline)
-            if self.emit_timeouts:
-                raise NotImplementedError(
-                    "'longest' derivation with timeout emission: an "
-                    "expired run may hold an unemitted match, so the "
-                    "match/timeout channels would double-report it"
-                )
+            # silent-eager (advisor round 5 discipline).
+            # emit_timeouts composes since round 8: an expired run
+            # whose start holds a completion is a decided match, never
+            # a timeout (Nfa.advance_time's longest walk).
             if self.variables[-1].negated:
                 raise NotImplementedError(
                     "'longest' derivation with a trailing absence "

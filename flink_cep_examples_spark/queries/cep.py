@@ -1075,12 +1075,13 @@ register(
 register("cep_times_pattern", cep_times_pattern, ORACLE_TIMES, driver=False)
 register(
     "cep_skip_to_last", cep_skip_to_last, ORACLE_SKIP_TO_LAST,
-    # round-4 rotation: promoted into the 50-row driver gate
+    driver=False,  # r8 rotation: 4 green rounds (r4-r7); the skip
+    # family's gate slot passes to the single-green NFA twin
 )
 register(
     "cep_skip_to_last_nfa", cep_skip_to_last_nfa, ORACLE_SKIP_TO_LAST,
-    driver=False,  # r6 rotation: driver-verified green r5 (NFA twin of
-    # the still-gated cep_skip_to_last); pytest-gated now
+    # r8 rotation: promoted (single green r5, stalest row after the
+    # never-verified pool per tools/rotation.py)
 )
 register(  # r4.2 rotation: promoted into the 50-row driver gate
     "cep_measure_aggregates", cep_measure_aggregates, ORACLE_MEASURE_AGGS,
@@ -1097,8 +1098,10 @@ register(
     driver=False,  # r6 rotation: driver-verified green r4+r5; demoted
     # to make room for cep_group_longest_chain (gate cap 50)
 )
-register(  # r4.2 rotation: promoted into the 50-row driver gate
+register(
     "cep_running_measures", cep_running_measures, ORACLE_RUNNING,
+    driver=False,  # r8 rotation: 4 green rounds (r4-r7), most-verified
+    # tier — demoted to make room (COVERAGE.md policy); pytest-oracled
 )
 register(
     "cep_sliced_absence", cep_sliced_absence, ORACLE_NOT_FOLLOWED_BY,
@@ -1237,7 +1240,8 @@ register(
     "events_signup_no_purchase",
     events_signup_no_purchase,
     ORACLE_SIGNUP_NO_PURCHASE,
-    driver=False,  # r6 rotation: driver-verified green r5; pytest-gated
+    # r8 rotation: promoted (single green r5, stalest row after the
+    # never-verified pool per tools/rotation.py)
 )
 
 
@@ -1953,6 +1957,143 @@ register(
     ORACLE_GROUP_CHAIN_WITHIN,
     # round 8: WITHIN on the chain kernel (judge item 2) — into the
     # driver gate
+)
+
+
+def cep_group_absence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absence/timeout emission COMPOSED with a loop-group pattern
+    (round 8): ``PATTERN ((X Y)+ Z) WITHIN INTERVAL '2' DAY`` with the
+    timeout side channel on — the reference's defining capability (the
+    timed-out-partial side output,
+    FlinkCEPAbsenceOfEventExample.scala:93-103,
+    TimedOutPartialMatchHandler) applied to the newest pattern family,
+    which round 7 rejected loudly (plans/pattern.py validate).
+
+    Semantics (operators/nfa.py::Nfa.advance_time longest walk,
+    differential-tested in tests/test_group_absence.py):
+
+    - a chain of (X, Y) pairs terminated by a Z row within the
+      deadline emits ``tag='match'``;
+    - a partial — the alternation kept extending until the start's
+      deadline passed with no Z — emits ``tag='timeout'`` carrying the
+      rows it consumed (Flink's contract: the timeout handler sees
+      timed-out partials, never contiguity-killed runs);
+    - a start that completed within the deadline is a decided MATCH;
+      the match channel always wins over the timeout channel.
+
+    AFTER MATCH SKIP TO NEXT ROW makes starts independent, which the
+    per-start closed-form oracle below exploits. Classes: event_id %
+    4 → 1=X, 2=Y, 3=Z, 0=inert. Runs on the per-key NFA tier (the
+    timeout channel is inherently stateful; the chain kernels decline
+    emit_timeouts by design)."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.sources.tables import load_table, spread
+    from flink_cep_examples_spark.sql.match_recognize import match_recognize
+
+    events = spread(load_table(spark, sf_dir, "events"), "user_id").select(
+        "user_id", "ts", "event_id"
+    )
+    out = match_recognize(
+        events,
+        """
+        PARTITION BY user_id ORDER BY ts, event_id
+        MEASURES FIRST(X.ts) AS first_x_ts,
+                 LAST(Z.ts) AS z_ts,
+                 COUNT(X.*) AS n_x
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN ((X Y)+ Z) WITHIN INTERVAL '2' DAY
+        DEFINE X AS event_id % 4 = 1,
+               Y AS event_id % 4 = 2,
+               Z AS event_id % 4 = 3
+        """,
+        tiebreak_col="event_id",
+        emit_timeouts=True,
+    )
+    return out.select(
+        "user_id",
+        "tag",
+        F.date_format("first_x_ts", "yyyy-MM-dd HH:mm:ss").alias("first_x"),
+        F.coalesce(
+            F.date_format("z_ts", "yyyy-MM-dd HH:mm:ss"), F.lit("")
+        ).alias("z_dt"),
+        "n_x",
+    )
+
+
+#: Closed form for match+timeout channels, derived independently of
+#: the NFA. SKIP TO NEXT ROW makes every class-1 row an independent
+#: start s: from s the run consumes the maximal alternating (1,2)
+#: island tail (same brk/gid decomposition as ORACLE_GROUP_UNBOUNDED);
+#: ``ccnt`` = island rows from s arriving strictly before s's deadline
+#: (one value-RANGE window, the −1 µs shrink making the inclusive
+#: bound a strict <, exactly ORACLE_GROUP_CHAIN_WITHIN's cap trick) —
+#: consumption truncates at u = s + ccnt − 1. The row at u+1 decides
+#: the run: arriving before the deadline it either completes (class 3
+#: straight after a whole pair → match, n_x = consumed/2 pairs) or
+#: kills silently; arriving at/after the deadline — or never (end of
+#: partition) — the run times out with the consumed prefix
+#: (n_x = X rows in s..u).
+ORACLE_GROUP_ABSENCE = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_id % 4 AS m,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+f AS (
+  SELECT *,
+         CASE WHEN m IN (1, 2)
+               AND lag(m) OVER (PARTITION BY user_id ORDER BY rn) = 3 - m
+              THEN 0 ELSE 1 END AS brk
+  FROM e
+),
+isl AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY rn) AS gid
+  FROM f
+),
+ir AS (SELECT * FROM isl WHERE m IN (1, 2)),
+cap AS (
+  SELECT user_id, gid, rn, ts, m,
+         (COUNT(*) OVER (PARTITION BY user_id, gid ORDER BY ts
+                         RANGE BETWEEN UNBOUNDED PRECEDING
+                         AND (INTERVAL '2' DAY - INTERVAL 1 MICROSECOND)
+                             FOLLOWING)
+          - row_number() OVER (PARTITION BY user_id, gid ORDER BY rn)
+          + 1) AS ccnt
+  FROM ir
+),
+dec AS (
+  SELECT c.user_id, c.rn AS srn, c.ts AS sts,
+         c.rn + c.ccnt - 1 AS u,
+         nx.m AS nm, nx.ts AS nts
+  FROM cap c
+  LEFT JOIN e nx ON nx.user_id = c.user_id AND nx.rn = c.rn + c.ccnt
+  WHERE c.m = 1
+)
+SELECT user_id, 'match' AS tag,
+       strftime(sts, {_FMT}) AS first_x,
+       strftime(nts, {_FMT}) AS z_dt,
+       (u + 1 - srn) // 2 AS n_x
+FROM dec
+WHERE nts IS NOT NULL AND nts < sts + INTERVAL '2' DAY
+  AND nm = 3 AND (u + 1 - srn) % 2 = 0 AND u + 1 - srn >= 2
+UNION ALL
+SELECT user_id, 'timeout' AS tag,
+       strftime(sts, {_FMT}) AS first_x,
+       '' AS z_dt,
+       (u - srn) // 2 + 1 AS n_x
+FROM dec
+WHERE nts IS NULL OR nts >= sts + INTERVAL '2' DAY
+"""
+
+
+register(
+    "cep_group_absence",
+    cep_group_absence,
+    ORACLE_GROUP_ABSENCE,
+    # round 8: timeout channel × loop groups (judge item 1) — into
+    # the driver gate
 )
 
 

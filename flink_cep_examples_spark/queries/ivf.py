@@ -373,7 +373,8 @@ register("ivf_topk", ivf_topk, ORACLE_IVF, driver=False,  # r5.2 rotation: drive
 )
 register(
     "semdedup_prune", semdedup_prune, ORACLE_SEMDEDUP,
-    # round-4 rotation: promoted into the 50-row driver gate
+    driver=False,  # r8 rotation: 4 green rounds (r4-r7), most-verified
+    # tier — demoted to make room (COVERAGE.md policy); pytest-oracled
 )
 
 

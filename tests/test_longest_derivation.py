@@ -228,14 +228,16 @@ def test_legacy_state_restores_without_helds():
 def test_validate_guards():
     with pytest.raises(ValueError, match="derivation"):
         _xy_spec(derivation="greediest").validate()
-    with pytest.raises(NotImplementedError, match="timeout"):
-        PatternSpec(
-            variables=(PatternVar("X", "px"), PatternVar("Y", "py")),
-            loop_groups=((0, 1),),
-            derivation="longest",
-            emit_timeouts=True,
-            within=dt.timedelta(hours=1),
-        ).validate()
+    # emit_timeouts composes since round 8 (the advance_time longest
+    # walk: held completion wins the match channel, never timeout) —
+    # see tests/test_group_absence.py for the differentials
+    PatternSpec(
+        variables=(PatternVar("X", "px"), PatternVar("Y", "py")),
+        loop_groups=((0, 1),),
+        derivation="longest",
+        emit_timeouts=True,
+        within=dt.timedelta(hours=1),
+    ).validate()
     with pytest.raises(NotImplementedError, match="SKIP"):
         PatternSpec(
             variables=(PatternVar("X", "px"), PatternVar("Y", "py")),
