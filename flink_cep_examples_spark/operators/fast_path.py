@@ -1025,6 +1025,10 @@ def fast_loop_chain_applicable(spec) -> bool:
         return False
     if len(spec.loop_groups) != 1:
         return False
+    if getattr(spec, "loop_branches", ()):
+        # multi-branch group (A B | C D)+ (round 8): iterations pick a
+        # branch per repetition — no fixed stride, NFA tier only
+        return False
     if spec.after_match not in (SKIP_PAST_LAST_EVENT, SKIP_TO_NEXT, NO_SKIP):
         return False
     for i, v in enumerate(spec.variables):
@@ -1683,6 +1687,8 @@ def fast_star_chain_applicable(aspec) -> bool:
         return False
     a0, a1 = aspec.alternatives
     if len(a0.loop_groups) != 1 or a1.loop_groups:
+        return False
+    if getattr(a0, "loop_branches", ()) or getattr(a1, "loop_branches", ()):
         return False
     gs, ge = a0.loop_groups[0]
     if len(a0.variables) - ge - 1 < 1:

@@ -258,6 +258,30 @@ class Nfa:
             all(self._optional[q] for q in range(p + 1, self.n_pos))
             for p in range(self.n_pos)
         ]
+
+        # multi-branch unbounded group (A B | C D)+ (round 8,
+        # PatternSpec.loop_branches): the linear successor chain is
+        # wrong INSIDE the group — a branch's end variable must jump
+        # PAST the sibling branches (its successors are the variables
+        # after the whole group), and its completion status is the
+        # GROUP end's, not the next sibling's. Loop-back edges (all
+        # branch starts) are added with _loop_succ below.
+        pos_of_spec = {i: p for p, i in enumerate(self._pos)}
+        self._branch_spans: list[tuple[int, int]] = [
+            (pos_of_spec[s], pos_of_spec[e])
+            for s, e in getattr(spec, "loop_branches", ())
+        ]
+        if self._branch_spans:
+            g_end = self._branch_spans[-1][1]
+            after, j = [], g_end + 1
+            while j < self.n_pos:
+                after.append(j)
+                if not self._optional[j]:
+                    break
+                j += 1
+            for _s_p, e_p in self._branch_spans[:-1]:
+                self._succ[e_p] = list(after)
+                self._complete[e_p] = self._complete[g_end]
         # negatives active while a branch waits at p: union of every gap
         # on its epsilon-skip path (it cannot know which gap the waiting
         # row sits in). Trailing gap excluded — handled via pending.
@@ -282,17 +306,36 @@ class Nfa:
         # row resets the target variable's count (_extend: p != br.var)
         # while its row SPAN keeps merging across iterations, which is
         # exactly what FIRST/LAST/COUNT need.
-        pos_of_spec = {i: p for p, i in enumerate(self._pos)}
         self._loop_succ: dict[int, tuple[int, ...]] = {}
-        for s_i, e_i in getattr(spec, "loop_groups", ()):
-            s_p, e_p = pos_of_spec[s_i], pos_of_spec[e_i]
-            targets, j = [], s_p
-            while j <= e_p:
-                targets.append(j)
-                if not self._optional[j]:
-                    break
-                j += 1
-            self._loop_succ[e_p] = tuple(targets)
+        if self._branch_spans:
+            # every branch end loops back to EVERY branch start — one
+            # iteration per branch choice, shared loop
+            starts = tuple(s_p for s_p, _ in self._branch_spans)
+            for _s_p, e_p in self._branch_spans:
+                self._loop_succ[e_p] = starts
+        else:
+            for s_i, e_i in getattr(spec, "loop_groups", ()):
+                s_p, e_p = pos_of_spec[s_i], pos_of_spec[e_i]
+                targets, j = [], s_p
+                while j <= e_p:
+                    targets.append(j)
+                    if not self._optional[j]:
+                        break
+                    j += 1
+                self._loop_succ[e_p] = tuple(targets)
+
+        #: run-start positions: normally just position 0, but a
+        #: pattern BEGINNING with a multi-branch group may start a run
+        #: at any branch's start variable
+        if self._branch_spans and self._branch_spans[0][0] == 0:
+            self._begin_positions: tuple[int, ...] = tuple(
+                s_p for s_p, _ in self._branch_spans
+            )
+        else:
+            self._begin_positions = (0,)
+        #: predicate indices whose OR says "this row can start a run" —
+        #: callers prefilter with these (scan drivers, streaming tier)
+        self.begin_preds = tuple(self._pos[p] for p in self._begin_positions)
 
         #: greedy (non-reluctant) loop groups — in ALTERNATION
         #: coordination (round 7), a completion from such an
@@ -730,14 +773,23 @@ class Nfa:
                     # group just finished an iteration — a parallel
                     # branch may start the next iteration at the
                     # group's start (strict: it must consume this
-                    # row). Never a completion (the group start is
-                    # always followed by the non-optional group end).
+                    # row). For a single-body group this is never a
+                    # completion (the start is always followed by the
+                    # non-optional group end), but a SINGLE-VARIABLE
+                    # branch of a multi-branch group ((A | C D)+,
+                    # round 8) completes on its own start variable —
+                    # check _complete like the successor edge does.
                     for q in self._loop_succ.get(p, ()):
                         if pred_row[self._pos[q]]:
                             nb = self._extend(br, q, payload, ord_)
                             moved_det = (
                                 moved_det or not self._combinations[q]
                             )
+                            if (
+                                self._complete[q]
+                                and nb.count >= self._minc[q]
+                            ):
+                                complete(run, nb)
                             keep(nb)
                 # survival without consuming (the "ignore edge"): blocked
                 # by a deterministic consumption or by any active
@@ -755,21 +807,33 @@ class Nfa:
             run.branches = new_branches
         st.runs = [r for r in st.runs if r.branches or r.pending is not None]
 
-        # begin-state branching: a fresh run starts at this row
-        first = self._pos[0]
-        if pred_row[first]:
-            nb = self._extend(_Branch(0, 0, self._empty_rows), 0, payload, ord_)
-            run = _Run(t_us, st.next_seq, [nb], start_ord=ord_)
-            st.next_seq += 1
-            if self._complete[0] and self._minc[0] <= 1:
+        # begin-state branching: a fresh run starts at this row — one
+        # initial branch per begin position the row satisfies (several
+        # only for a leading multi-branch group whose branch-start
+        # predicates overlap; they share ONE run/start ordinal, exactly
+        # like mid-run branch nondeterminism)
+        run = None
+        for p in self._begin_positions:
+            if not pred_row[self._pos[p]]:
+                continue
+            if run is None:
+                run = _Run(t_us, st.next_seq, [], start_ord=ord_)
+                st.next_seq += 1
+            nb = self._extend(
+                _Branch(p, 0, self._empty_rows), p, payload, ord_
+            )
+            if self._complete[p] and self._minc[p] <= 1:
                 if self._trailing:
-                    run.pending = nb
+                    if run.pending is None:
+                        run.pending = nb
                 else:
                     completed.append((run.seq, run.start_ord, nb))
-                if not self._can_loop[0]:
-                    run.branches = []
-            if run.branches or run.pending is not None:
-                st.runs.append(run)
+                if self._can_loop[p] or p in self._loop_succ:
+                    run.branches.append(nb)
+            else:
+                run.branches.append(nb)
+        if run is not None and (run.branches or run.pending is not None):
+            st.runs.append(run)
 
         return completed
 
@@ -824,7 +888,9 @@ def scan_key_group(
     # extend one (no live runs) are no-ops — skip the step() call; all
     # pending obligations live in st.runs, so empty runs ⇒ nothing to
     # time out either (same pruning as the streaming operator)
-    can_begin = cols[nfa.first_pred]
+    can_begin = cols[nfa.begin_preds[0]]
+    for bp in nfa.begin_preds[1:]:
+        can_begin = can_begin | cols[bp]
     for r in range(n):
         if not st.runs and not can_begin[r]:
             continue
@@ -874,7 +940,12 @@ def scan_key_group_alternation(
     states = [NfaState() for _ in nfas]
     n = ts_us.shape[0]
     cols = [[p[i] for i in range(p.shape[0])] for p in preds]
-    begins = [c[nf.first_pred] for nf, c in zip(nfas, cols)]
+    begins = []
+    for nf, c in zip(nfas, cols):
+        b = c[nf.begin_preds[0]]
+        for bp in nf.begin_preds[1:]:
+            b = b | c[bp]
+        begins.append(b)
     helds: dict[int, tuple[int, _Branch]] | None = (
         {} if derivation == "leftmost" else None
     )

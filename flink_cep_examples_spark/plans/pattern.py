@@ -234,6 +234,18 @@ class PatternSpec:
     #: iteration's first row, LAST = last iteration's last row, and
     #: COUNT(var.*) counts rows across all iterations.
     loop_groups: tuple[tuple[int, int], ...] = ()
+    #: Alternation INSIDE an unbounded group — ``(A B | C D)+``
+    #: (round 8): inclusive (start, end) index sub-ranges partitioning
+    #: the SINGLE loop group into its alternation branches. Every
+    #: iteration matches exactly one branch; after a branch's end
+    #: variable the run may loop back to ANY branch's start (or
+    #: proceed past the group). Preference when branch predicates
+    #: overlap follows the engine's per-variable row-count order
+    #: (operators/nfa.py::_pref_key — leftmost-listed branch wins a
+    #: tie), which coincides with SQL:2016 preferment whenever branch
+    #: predicates are disjoint within a partition (the
+    #: differential-tested regime, tests/test_group_alt_loop.py).
+    loop_branches: tuple[tuple[int, int], ...] = ()
     #: SQL:2016 PREV()/NEXT() physical-row navigation in DEFINE
     #: predicates: each entry (alias, src_col, offset, kind) with kind
     #: ∈ {'prev', 'next'} materializes as a lag/lead column over the
@@ -477,11 +489,51 @@ class PatternSpec:
                         "must be non-optional (it marks the iteration "
                         "boundary)"
                     )
-                if s == e:
+                if s == e and not self.loop_branches:
                     raise ValueError(
                         f"single-variable loop group ({seg[0].name}): "
                         "use the variable's own quantifier "
                         "(+ / * / {n,}) instead"
+                    )
+            if self.loop_branches:
+                if len(self.loop_groups) != 1:
+                    raise ValueError(
+                        "loop_branches requires exactly one loop group "
+                        f"(got {len(self.loop_groups)})"
+                    )
+                gs, ge = self.loop_groups[0]
+                bs = sorted(self.loop_branches)
+                if len(bs) < 2:
+                    raise ValueError(
+                        "loop_branches needs at least two branches — a "
+                        "single body is plain loop_groups"
+                    )
+                prev = gs - 1
+                for b_s, b_e in bs:
+                    if b_s != prev + 1 or b_e < b_s:
+                        raise ValueError(
+                            "loop_branches must partition the loop group "
+                            f"contiguously: {self.loop_branches} over "
+                            f"group ({gs}, {ge})"
+                        )
+                    prev = b_e
+                if prev != ge:
+                    raise ValueError(
+                        f"loop_branches {self.loop_branches} do not cover "
+                        f"loop group ({gs}, {ge})"
+                    )
+                for v in self.variables[gs : ge + 1]:
+                    if v.quantifier != ONCE:
+                        raise NotImplementedError(
+                            f"quantified variable {v.name} inside a "
+                            "multi-branch unbounded group — flatten the "
+                            "inner quantifier first"
+                        )
+                if self.rows_per_match == "all":
+                    raise NotImplementedError(
+                        "ALL ROWS PER MATCH with a multi-branch unbounded "
+                        "group: per-row classifier reconstruction assumes "
+                        "one fixed iteration body"
                     )
             # aggregate measures slice a variable's contiguous
             # [first, last] span; group iterations interleave the
@@ -499,6 +551,8 @@ class PatternSpec:
                             "span aggregate would be wrong — use "
                             "FIRST/LAST/COUNT(var.*)"
                         )
+        if self.loop_branches and not self.loop_groups:
+            raise ValueError("loop_branches without a loop group")
         if any(m.fn in AGG_FNS for m in self.measures):
             # aggregates reconstruct a variable's row set from its
             # contiguous (first_idx, last_idx) span — only sound when

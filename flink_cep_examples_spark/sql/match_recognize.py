@@ -171,7 +171,7 @@ def _parse_pattern_clause(
                     f"PERMUTE takes bare variable names, got {tok!r}"
                 )
             vars_.append((tok, ONCE, None, True, False))
-        return [(vars_, ())], _parse_within(rest), True, 1
+        return [(vars_, (), ())], _parse_within(rest), True, 1
     m = re.match(r"\s*\((.*)\)\s*(WITHIN\b.*)?$", text, re.DOTALL | re.IGNORECASE)
     if not m:
         raise ValueError(f"cannot parse PATTERN clause: {text!r}")
@@ -223,6 +223,10 @@ _LOOP_OPEN, _LOOP_CLOSE = "{g+", "+g}"
 #: front-end keeps derivation "eager" (earliest completion = fewest
 #: iterations, exactly the reluctant preferment)
 _LOOP_OPEN_R = "{g+?"
+#: branch separator inside a multi-branch unbounded group marker
+#: (``(A B | C D)+`` → ``{g+ A B {g|} C D +g}``, round 8): consumed by
+#: _parse_var_seq into PatternSpec.loop_branches sub-ranges
+_LOOP_ALT = "{g|}"
 
 
 _GROUP_RE = re.compile(
@@ -304,15 +308,12 @@ def _expand_group_quantifiers(text: str) -> list[str]:
     def _unroll(n: int, start_copy: int = 1) -> str:
         return _unroll_seq([toks] * n, start_copy)
 
-    def _loop_tokens(copy: int | None, reluctant: bool = False) -> str:
-        """The group body wrapped in loop markers (one-or-more sub-NFA
-        loop); ``copy`` suffixes the names (for {n,} whose earlier
-        iterations are unrolled copies 1..n-1); ``reluctant`` picks
-        the reluctant open marker (min-iterations preference →
-        derivation stays eager)."""
-        inner = []
+    def _one_body(body_toks: list[str], copy: int | None) -> tuple[list[str], int]:
+        """One group body as marker-preserving tokens; returns (tokens,
+        n_names)."""
+        inner: list[str] = []
         n_names = 0
-        for tok in toks:
+        for tok in body_toks:
             if tok in ("{-", "-}"):
                 # {- var -} inside an unbounded group (round 7): the
                 # markers ride through to _parse_var_seq, which sets
@@ -328,6 +329,38 @@ def _expand_group_quantifiers(text: str) -> list[str]:
                 )
             n_names += 1
             inner.append(name if copy is None else f"{name}__{copy}")
+        return inner, n_names
+
+    def _loop_tokens(copy: int | None, reluctant: bool = False) -> str:
+        """The group body (or bodies — alternation inside an unbounded
+        group, round 8) wrapped in loop markers (one-or-more sub-NFA
+        loop); ``copy`` suffixes the names (for {n,} whose earlier
+        iterations are unrolled copies 1..n-1); ``reluctant`` picks
+        the reluctant open marker (min-iterations preference →
+        derivation stays eager)."""
+        if len(sub_bodies) > 1:
+            # (A B | C D)+ — branch bodies separated by the {g|} marker;
+            # _parse_var_seq turns them into PatternSpec.loop_branches
+            # (one iteration per branch choice, NFA tier)
+            if reluctant:
+                raise NotImplementedError(
+                    "reluctant multi-branch unbounded group "
+                    f"(({body}){quant}?) — drop the '?' or bound the "
+                    "repetition count"
+                )
+            parts: list[str] = []
+            for k, btoks in enumerate(sub_bodies):
+                inner, n_names = _one_body(btoks, copy)
+                if any(t in ("{-", "-}") for t in inner):
+                    raise NotImplementedError(
+                        "{- -} exclusion inside a multi-branch "
+                        "unbounded group"
+                    )
+                if k:
+                    parts.append(_LOOP_ALT)
+                parts.extend(inner)
+            return f"{_LOOP_OPEN} {' '.join(parts)} {_LOOP_CLOSE}"
+        inner, n_names = _one_body(toks, copy)
         if len(inner) == 1:
             # (B)+ is just B+ — no loop group needed
             return inner[0] + ("+?" if reluctant else "+")
@@ -341,12 +374,11 @@ def _expand_group_quantifiers(text: str) -> list[str]:
         return f"{opener} {' '.join(inner)} {_LOOP_CLOSE}"
 
     unbounded = quant in ("*", "+") or (hi == "" and lo is not None)
-    if unbounded and len(sub_bodies) > 1:
+    if unbounded and len(sub_bodies) > 1 and quant not in ("*", "+"):
         raise NotImplementedError(
-            "alternation inside an UNBOUNDED group — "
-            f"({body}){quant} — the loop-group NFA holds one fixed "
-            "body; bound the repetition count ({n,m}) to distribute "
-            "the branches"
+            "alternation inside an open-ended ranged group — "
+            f"({body}){{{lo},}} — use + ({{1,}}) / * ({{0,}}) or bound "
+            "the repetition count ({n,m}) to distribute the branches"
         )
     if unbounded:
         n_min = (
@@ -441,6 +473,8 @@ def _parse_var_seq(
     normed = re.sub(r"\{\s*(\d+)\s*(?:,\s*(\d*)\s*)?\}", _norm_braces, inner)
     excluding = False
     groups: list[tuple[int, int]] = []
+    branches: list[tuple[int, int]] = []
+    branch_cuts: list[int] = []
     group_start: int | None = None
     loop_reluctant = False
     for tok in normed.split():
@@ -452,7 +486,16 @@ def _parse_var_seq(
                     "{- -} exclusion around an unbounded group"
                 )
             group_start = len(vars_)
+            branch_cuts = []
             loop_reluctant = tok == _LOOP_OPEN_R
+            continue
+        if tok == _LOOP_ALT:
+            if group_start is None:
+                raise ValueError("loop-branch marker outside a group")
+            last = branch_cuts[-1] if branch_cuts else group_start
+            if len(vars_) == last:
+                raise ValueError("empty branch in unbounded group")
+            branch_cuts.append(len(vars_))
             continue
         if tok == _LOOP_CLOSE:
             if group_start is None:
@@ -460,6 +503,15 @@ def _parse_var_seq(
             if len(vars_) == group_start:
                 raise ValueError("empty unbounded group in PATTERN")
             groups.append((group_start, len(vars_) - 1))
+            if branch_cuts:
+                # (A B | C D)+ — record the branch sub-ranges
+                bounds = [group_start, *branch_cuts, len(vars_)]
+                if bounds[-2] == bounds[-1]:
+                    raise ValueError("empty branch in unbounded group")
+                branches.extend(
+                    (bounds[k], bounds[k + 1] - 1)
+                    for k in range(len(bounds) - 1)
+                )
             group_start = None
             continue
         if tok == "{-":
@@ -499,7 +551,7 @@ def _parse_var_seq(
         raise ValueError("unclosed {- in PATTERN")
     if group_start is not None:
         raise ValueError("unclosed loop-group marker in PATTERN")
-    return vars_, tuple(groups)
+    return vars_, tuple(groups), tuple(branches)
 
 
 def _parse_within(rest: str) -> str | None:
@@ -595,11 +647,11 @@ def parse_match_recognize(body: str) -> PatternSpec | AlternationSpec:
     alt_quants, within_text, permute, n_top = _parse_pattern_clause(
         clauses["PATTERN"]
     )
-    all_names = {n for alt, _lg in alt_quants for n, _, _, _, _ in alt}
+    all_names = {n for alt, _lg, _lb in alt_quants for n, _, _, _, _ in alt}
     # group-quantifier copies carry a __k suffix; DEFINE/MEASURES use
     # the base name, resolved via an auto-generated SUBSET union
     group_bases: dict[str, list[str]] = {}
-    for alt, _lg in alt_quants:
+    for alt, _lg, _lb in alt_quants:
         for n, _, _, _, _ in alt:
             if "__" in n:
                 base = n.rsplit("__", 1)[0]
@@ -641,7 +693,7 @@ def parse_match_recognize(body: str) -> PatternSpec | AlternationSpec:
                     "the referenced row at a different offset per "
                     "branch)"
                 )
-            vars0, lg = alt_quants[0]
+            vars0, lg, _lb = alt_quants[0]
             names = [n for n, *_ in vars0]
             if vname not in names or wvar not in names:
                 raise ValueError(f"unknown variable in {ref}")
@@ -842,6 +894,7 @@ def parse_match_recognize(body: str) -> PatternSpec | AlternationSpec:
             PatternSpec(
                 variables=_variables(aq),
                 loop_groups=lg,
+                loop_branches=lb,
                 key_cols=keys,
                 order_col=order,
                 tiebreak_col=order_tiebreak or "seq",
@@ -852,7 +905,7 @@ def parse_match_recognize(body: str) -> PatternSpec | AlternationSpec:
                 rows_per_match=rows_per_match,
                 nav_cols=nav_tuple,
             )
-            for aq, lg in alt_quants
+            for aq, lg, lb in alt_quants
         )
         # SQL:2016 derivation order whenever a group quantifier
         # EXPANDED the branch list (len > n_top): the parser emits
@@ -898,6 +951,7 @@ def parse_match_recognize(body: str) -> PatternSpec | AlternationSpec:
     return PatternSpec(
         variables=variables,
         loop_groups=alt_quants[0][1],
+        loop_branches=alt_quants[0][2],
         key_cols=keys,
         order_col=order,
         tiebreak_col=order_tiebreak or "seq",

@@ -281,7 +281,7 @@ def match_pattern_stream(
                 src_arr = release[all_srcs].to_numpy() if all_srcs else None
                 # rows that can't start a run and have no run to extend
                 # are no-ops — skip the step() call entirely
-                can_begin = pred_arr[:, nfa.first_pred]
+                can_begin = pred_arr[:, list(nfa.begin_preds)].any(axis=1)
                 kt: tuple | None = None
                 nst = None
                 single = key_arrs[0] if len(key_arrs) == 1 else None
@@ -453,7 +453,10 @@ def match_pattern_stream_alternation(
     subset_map = dict(aspec.subsets)
     has_mn = any(m.fn == "match_number" for m in aspec.measures)
     derivation = aspec.derivation
-    first_preds = [s + nf.first_pred for (s, _), nf in zip(offsets, nfas)]
+    begin_pred_cols = [
+        tuple(s + bp for bp in nf.begin_preds)
+        for (s, _), nf in zip(offsets, nfas)
+    ]
     buf_cols = list(
         dict.fromkeys([*key_cols, _TS_COL, tiebreak, *pred_cols, *all_srcs])
     )
@@ -572,8 +575,8 @@ def match_pattern_stream_alternation(
                     # skip only when EVERY alternative is inert on the
                     # row (ordinals must advance in lockstep)
                     if not any(
-                        st.runs or pred_arr[i, fp]
-                        for st, fp in zip(sts, first_preds)
+                        st.runs or any(pred_arr[i, fp] for fp in fps)
+                        for st, fps in zip(sts, begin_pred_cols)
                     ):
                         continue
                     row = pred_arr[i]

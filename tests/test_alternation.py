@@ -559,16 +559,29 @@ def test_unquantified_group_is_grouping_parens(spark):
     assert got == [(1, "C"), (3, "C")]
 
 
-def test_group_alternation_unbounded_raises_clearly():
-    """Unbounded quantifiers over an alternating group have no
-    distribution path (the loop-group NFA holds one fixed body)."""
-    with pytest.raises(NotImplementedError, match="UNBOUNDED group"):
+def test_group_alternation_unbounded_parses_to_loop_branches():
+    """Round 8: ``(A C | D)+`` compiles to PatternSpec.loop_branches
+    (per-iteration branch choice, NFA tier) instead of the round-7
+    loud reject; ``(A C | D){n,}`` keeps a named raise (bound it or
+    use +/*). Differentials: tests/test_group_alt_loop.py."""
+    spec = parse_match_recognize(
+        """
+        PARTITION BY id ORDER BY event_time
+        MEASURES A.seq AS s
+        ONE ROW PER MATCH
+        PATTERN ((A C | D)+)
+        DEFINE A AS fa, C AS fc, D AS fd
+        """
+    )
+    assert spec.loop_groups == ((0, 2),)
+    assert spec.loop_branches == ((0, 1), (2, 2))
+    with pytest.raises(NotImplementedError, match="ranged group"):
         parse_match_recognize(
             """
             PARTITION BY id ORDER BY event_time
             MEASURES A.seq AS s
             ONE ROW PER MATCH
-            PATTERN ((A C | D)+)
+            PATTERN ((A C | D){2,})
             DEFINE A AS fa, C AS fc, D AS fd
             """
         )

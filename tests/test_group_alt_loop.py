@@ -1,0 +1,210 @@
+"""Alternation INSIDE an unbounded group — ``(A B | C D)+`` (round 8,
+PatternSpec.loop_branches): every iteration matches exactly one branch;
+after a branch's end variable the run may loop back to ANY branch's
+start. Round 7 rejected this shape loudly (sql/match_recognize.py).
+
+Reference semantics source: SQL:2016 greedy quantifier preferment over
+an alternation body — on a classified row string with DISJOINT branch
+predicates this is exactly Python ``re`` leftmost-greedy matching of
+``(?:ab|cd)+``, so the brute-force oracle is the ``re`` module:
+
+- AFTER MATCH SKIP PAST LAST ROW == ``re.finditer`` (leftmost-longest,
+  non-overlapping);
+- AFTER MATCH SKIP TO NEXT ROW == ``re.match`` anchored at every
+  position (one greedy match per start, overlaps allowed).
+
+Mixed-width branches (``(A | C D)+``) exercise branch-dependent
+iteration length — the shape the stride-L chain kernels can never
+compile (fast_loop_chain_applicable rejects loop_branches).
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from flink_cep_examples_spark.operators import nfa as N
+from flink_cep_examples_spark.plans.pattern import (
+    NO_SKIP,
+    PatternSpec,
+    PatternVar,
+    SKIP_PAST_LAST_EVENT,
+    SKIP_TO_NEXT,
+)
+from flink_cep_examples_spark.sql.match_recognize import (
+    parse_match_recognize,
+)
+
+# classes: 1=A, 2=B, 3=C, 4=D, 5=Z, 0 inert
+_LETTER = {0: ".", 1: "a", 2: "b", 3: "c", 4: "d", 5: "z"}
+
+
+def _spec(after=SKIP_PAST_LAST_EVENT, branches=((0, 1), (2, 3)), suffix=False):
+    vars_ = [
+        PatternVar("A", "pa"),
+        PatternVar("B", "pb"),
+        PatternVar("C", "pc"),
+        PatternVar("D", "pd"),
+    ]
+    if branches == ((0, 0), (1, 2)):  # mixed width (A | C D)+
+        vars_ = [
+            PatternVar("A", "pa"),
+            PatternVar("C", "pc"),
+            PatternVar("D", "pd"),
+        ]
+    if suffix:
+        vars_.append(PatternVar("Z", "pz"))
+    ge = branches[-1][1]
+    return PatternSpec(
+        variables=tuple(vars_),
+        loop_groups=((0, ge),),
+        loop_branches=branches,
+        after_match=after,
+        derivation="longest",
+    ).validate()
+
+
+def _preds(spec, m):
+    name_cls = {"A": 1, "B": 2, "C": 3, "D": 4, "Z": 5}
+    return tuple(m == name_cls[v.name] for v in spec.variables)
+
+
+def _run(spec, ms):
+    eng = N.Nfa(spec)
+    stt = N.NfaState()
+    out = []
+    for i, m in enumerate(ms):
+        mt, _ = eng.step(stt, i * 1000, _preds(spec, m), i)
+        out.extend(mt)
+    mt, _ = eng.finish(stt)
+    out.extend(mt)
+    res = []
+    for d in out:
+        first = min(sp[3] for sp in d.values())
+        last = max(sp[4] for sp in d.values())
+        res.append((first, last))
+    return sorted(res)
+
+
+def _brute_finditer(rx, ms):
+    s = "".join(_LETTER[m] for m in ms)
+    return sorted((mt.start(), mt.end() - 1) for mt in rx.finditer(s))
+
+
+def _brute_per_start(rx, ms):
+    s = "".join(_LETTER[m] for m in ms)
+    out = []
+    for i in range(len(s)):
+        mt = rx.match(s, i)
+        if mt:
+            out.append((i, mt.end() - 1))
+    return sorted(out)
+
+
+_AB_CD = re.compile(r"(?:ab|cd)+")
+_A_CD = re.compile(r"(?:a|cd)+")
+_AB_CD_Z = re.compile(r"(?:ab|cd)+z")
+
+
+def test_hand_cases_skip_past():
+    run = lambda ms: _run(_spec(), ms)
+    assert run([1, 2, 3, 4, 1, 2]) == [(0, 5)]
+    assert run([1, 2, 0, 3, 4]) == [(0, 1), (3, 4)]
+    assert run([1, 2, 3]) == [(0, 1)]  # dangling C never completes
+    assert run([1, 4]) == []  # a then d: phase break
+    assert run([3, 4, 3, 4]) == [(0, 3)]
+
+
+def test_hand_mixed_width():
+    run = lambda ms: _run(_spec(branches=((0, 0), (1, 2))), ms)
+    # (A | C D)+: "acd" is one 2-iteration match
+    assert run([1, 3, 4]) == [(0, 2)]
+    assert run([3, 4, 1, 1]) == [(0, 3)]
+    assert run([3, 1]) == [(1, 1)]  # dangling c dies; lone a matches
+
+
+_CLS = st.integers(min_value=0, max_value=4)
+_CLS_Z = st.integers(min_value=0, max_value=5)
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.lists(_CLS, max_size=36))
+def test_skip_past_matches_re(ms):
+    assert _run(_spec(), ms) == _brute_finditer(_AB_CD, ms)
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.lists(_CLS, max_size=36))
+def test_skip_to_next_matches_re(ms):
+    assert _run(_spec(after=SKIP_TO_NEXT), ms) == _brute_per_start(_AB_CD, ms)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_CLS, max_size=36))
+def test_no_skip_matches_re(ms):
+    assert _run(_spec(after=NO_SKIP), ms) == _brute_per_start(_AB_CD, ms)
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.lists(_CLS, max_size=36))
+def test_mixed_width_skip_past_matches_re(ms):
+    got = _run(_spec(branches=((0, 0), (1, 2))), ms)
+    assert got == _brute_finditer(_A_CD, ms)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_CLS_Z, max_size=36))
+def test_suffix_skip_past_matches_re(ms):
+    got = _run(_spec(suffix=True), ms)
+    assert got == _brute_finditer(_AB_CD_Z, ms)
+
+
+def test_parser_produces_loop_branches():
+    spec = parse_match_recognize(
+        """
+        PARTITION BY id ORDER BY event_time
+        MEASURES FIRST(A.seq) AS s
+        ONE ROW PER MATCH
+        PATTERN ((A B | C D)+)
+        DEFINE A AS m = 1, B AS m = 2, C AS m = 3, D AS m = 4
+        """
+    )
+    assert spec.loop_groups == ((0, 3),)
+    assert spec.loop_branches == ((0, 1), (2, 3))
+    assert spec.derivation == "longest"
+    from flink_cep_examples_spark.operators.fast_path import (
+        fast_loop_chain_applicable,
+    )
+
+    assert not fast_loop_chain_applicable(spec)
+
+
+def test_validate_guards():
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="ALL ROWS"):
+        PatternSpec(
+            variables=(
+                PatternVar("A", "pa"),
+                PatternVar("B", "pb"),
+                PatternVar("C", "pc"),
+                PatternVar("D", "pd"),
+            ),
+            loop_groups=((0, 3),),
+            loop_branches=((0, 1), (2, 3)),
+            rows_per_match="all",
+            derivation="longest",
+        ).validate()
+    with pytest.raises(ValueError, match="partition"):
+        PatternSpec(
+            variables=(
+                PatternVar("A", "pa"),
+                PatternVar("B", "pb"),
+                PatternVar("C", "pc"),
+            ),
+            loop_groups=((0, 2),),
+            loop_branches=((0, 1), (2, 2), (1, 1)),
+            derivation="longest",
+        ).validate()
