@@ -80,6 +80,39 @@ def _resolve_spans(var: str, match: dict, subset_map: dict) -> list:
     return [s] if s is not None else []
 
 
+def _loop_strides(spec) -> dict[str, int]:
+    """var name → row stride for single-body loop-group variables: a
+    group member's rows across iterations are the stride-L arithmetic
+    progression from its merged (first, last) span, L = group width
+    (exactly-once + strict body, validated). Multi-branch groups
+    (loop_branches) have NO fixed stride — their aggregate/RUNNING
+    measures are rejected in validate, so they never reach here."""
+    if getattr(spec, "loop_branches", ()):
+        return {}
+    return {
+        spec.variables[i].name: ge - gs + 1
+        for gs, ge in spec.loop_groups
+        for i in range(gs, ge + 1)
+    }
+
+
+def _actual_spans(var, match, subset_map, loop_stride) -> list:
+    """Like :func:`_resolve_spans`, but loop-group variables expand to
+    their ACTUAL row set — stride-L singleton spans — so RUNNING series
+    and aggregates never sweep sibling iteration rows (round 8)."""
+    out = []
+    for c in subset_map.get(var, (var,)):
+        s = match.get(c)
+        if s is None:
+            continue
+        stride = loop_stride.get(c, 1) if loop_stride else 1
+        if stride == 1 or s[0] == s[1]:
+            out.append(s)
+        else:
+            out.extend((r, r) for r in range(s[0], s[1] + 1, stride))
+    return sorted(out, key=lambda sp: sp[0])
+
+
 def _null_safe_agg_cast(pdf, measure_list, out_schema) -> None:
     """Aggregates over an empty/all-NULL row set yield SQL NULL; a
     plain float64 pandas column would turn that None into NaN (Arrow
@@ -92,7 +125,7 @@ def _null_safe_agg_cast(pdf, measure_list, out_schema) -> None:
                 pdf[m.name] = pdf[m.name].astype(want)
 
 
-def _make_measure_eval(measure_list, subsets, src_arrays):
+def _make_measure_eval(measure_list, subsets, src_arrays, loop_stride=None):
     """Shared measure evaluator (one-row + all-rows tiers): returns
     ``eval_measures(match, match_no) -> dict[name, value]``.
 
@@ -132,12 +165,21 @@ def _make_measure_eval(measure_list, subsets, src_arrays):
                 out[m.name] = src_arrays[m.src][spans[0][0]]
             elif m.fn == "last":
                 out[m.name] = src_arrays[m.src][spans[-1][1]]
-            else:  # aggregate over every consumed row (strict spans)
+            else:  # aggregate over every consumed row (strict spans;
+                # loop-group vars slice stride-L — round 8, the merged
+                # span interleaves sibling iteration rows)
                 arr = src_arrays[m.src]
+                aspans = (
+                    _actual_spans(m.var, match, subset_map, loop_stride)
+                    if loop_stride
+                    else spans
+                )
                 vals = _pd.Series(
-                    np.concatenate([arr[s[0] : s[1] + 1] for s in spans])
-                    if len(spans) > 1
-                    else arr[spans[0][0] : spans[0][1] + 1]
+                    np.concatenate(
+                        [arr[s[0] : s[1] + 1] for s in aspans]
+                    )
+                    if len(aspans) > 1
+                    else arr[aspans[0][0] : aspans[0][1] + 1]
                 )
                 n = int(vals.count())
                 if m.fn == "count_col":
@@ -283,6 +325,7 @@ def match_pattern(df: DataFrame, spec: PatternSpec) -> DataFrame:
     measure_list = list(spec.measures)
     subsets = spec.subsets
     tiebreak = spec.tiebreak_col
+    stride_map = _loop_strides(spec)
 
     def scan(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([_TS_COL, tiebreak], kind="mergesort")
@@ -313,7 +356,9 @@ def match_pattern(df: DataFrame, spec: PatternSpec) -> DataFrame:
         src_arrays = {
             m.src: pdf[m.src].to_numpy() for m in measure_list if _needs_src(m)
         }
-        eval_measures = _make_measure_eval(measure_list, subsets, src_arrays)
+        eval_measures = _make_measure_eval(
+            measure_list, subsets, src_arrays, loop_stride=stride_map
+        )
 
         def emit(match: dict, tag: str, match_no) -> None:
             for k in key_cols:
@@ -634,7 +679,9 @@ def match_pattern_all_rows(df: DataFrame, spec: PatternSpec) -> DataFrame:
             for m in measure_list
             if _needs_src(m)
         }
-        eval_measures = _make_measure_eval(measure_list, subsets, src_arrays)
+        eval_measures = _make_measure_eval(
+            measure_list, subsets, src_arrays, loop_stride=loop_stride
+        )
         data_arrays = {c: pdf[c].to_numpy() for c in data_cols}
         rows: dict[str, list] = {c: [] for c in out_cols}
         subset_map = dict(subsets)
@@ -652,7 +699,9 @@ def match_pattern_all_rows(df: DataFrame, spec: PatternSpec) -> DataFrame:
                         lo,
                         _running_series(
                             m,
-                            _resolve_spans(m.var, match, subset_map),
+                            _actual_spans(
+                                m.var, match, subset_map, loop_stride
+                            ),
                             src_arrays.get(m.src),
                             lo,
                             hi,
@@ -786,6 +835,7 @@ def match_pattern_time_sliced(
     measure_list = list(spec.measures)
     subsets = spec.subsets
     tiebreak = spec.tiebreak_col
+    stride_map = _loop_strides(spec)
 
     def scan(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([_TS_COL, tiebreak], kind="mergesort")
@@ -803,7 +853,9 @@ def match_pattern_time_sliced(
         src_arrays = {
             m.src: pdf[m.src].to_numpy() for m in measure_list if _needs_src(m)
         }
-        eval_measures = _make_measure_eval(measure_list, subsets, src_arrays)
+        eval_measures = _make_measure_eval(
+            measure_list, subsets, src_arrays, loop_stride=stride_map
+        )
         out_cols: dict[str, list] = {
             f.name: [] for f in out_schema.fields
         }

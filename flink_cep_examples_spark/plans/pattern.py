@@ -437,22 +437,13 @@ class PatternSpec:
         if self.loop_groups:
             if self.permute:
                 raise ValueError("loop groups cannot combine with PERMUTE")
-            if self.rows_per_match == "all" and any(
-                m.running for m in self.measures
-            ):
-                # ALL ROWS itself is fine (round 7): loop-group vars
-                # are exactly-once + strict, so a var's rows are the
-                # stride-L arithmetic progression from its merged span
-                # (operators/cep_batch.py::match_pattern_all_rows
-                # reconstructs them positionally). RUNNING measures
-                # still assume a contiguous per-var prefix, which
-                # iterations interleave — loud, not silently FINAL.
-                raise NotImplementedError(
-                    "RUNNING measures with an unbounded group "
-                    "quantifier: the running series assumes each "
-                    "variable's rows are contiguous, which group "
-                    "iterations interleave — use FINAL measures"
-                )
+            # RUNNING measures with a single-body unbounded group
+            # compose since round 8: the running series walks the
+            # var's ACTUAL rows — the stride-L arithmetic progression
+            # from its merged span (operators/cep_batch.py::
+            # _actual_spans), the same positional reconstruction ALL
+            # ROWS emission uses. Multi-branch groups have no fixed
+            # stride; their ALL ROWS mode is rejected above.
             spans_sorted = sorted(self.loop_groups)
             prev_end = -1
             group_vars: set[str] = set()
@@ -535,22 +526,30 @@ class PatternSpec:
                         "group: per-row classifier reconstruction assumes "
                         "one fixed iteration body"
                     )
-            # aggregate measures slice a variable's contiguous
-            # [first, last] span; group iterations interleave the
-            # member variables' rows, so the slice would include the
-            # sibling's rows — first/last/COUNT(var.*) stay exact
-            subset_expand = dict(self.subsets)
-            for m in self.measures:
-                if m.fn in AGG_FNS:
-                    comps = set(subset_expand.get(m.var, (m.var,)))
-                    if comps & group_vars:
-                        raise NotImplementedError(
-                            f"aggregate measure {m.name} over loop-group "
-                            f"variable(s) {sorted(comps & group_vars)}: "
-                            "iteration rows interleave, the contiguous-"
-                            "span aggregate would be wrong — use "
-                            "FIRST/LAST/COUNT(var.*)"
-                        )
+            # aggregate measures over SINGLE-BODY loop-group vars
+            # compose since round 8: the evaluator slices the var's
+            # stride-L actual rows (operators/cep_batch.py::
+            # _actual_spans), not the merged contiguous span. A
+            # MULTI-BRANCH group's iterations interleave with no fixed
+            # stride, so those stay a loud reject.
+            if self.loop_branches:
+                subset_expand = dict(self.subsets)
+                branch_vars = {
+                    self.variables[i].name
+                    for s, e in self.loop_branches
+                    for i in range(s, e + 1)
+                }
+                for m in self.measures:
+                    if m.fn in AGG_FNS:
+                        comps = set(subset_expand.get(m.var, (m.var,)))
+                        if comps & branch_vars:
+                            raise NotImplementedError(
+                                f"aggregate measure {m.name} over multi-"
+                                "branch group variable(s) "
+                                f"{sorted(comps & branch_vars)}: branch "
+                                "iterations have no fixed row stride — "
+                                "use FIRST/LAST/COUNT(var.*)"
+                            )
         if self.loop_branches and not self.loop_groups:
             raise ValueError("loop_branches without a loop group")
         if any(m.fn in AGG_FNS for m in self.measures):

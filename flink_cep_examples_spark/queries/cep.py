@@ -1092,8 +1092,10 @@ register(
     "cep_subset_measures", cep_subset_measures, ORACLE_SUBSET,
     driver=False,  # r7 rotation: driver-verified green r4/r5/r6; pytest-gated now
 )
-register(  # r4.2 rotation: promoted into the 50-row driver gate
+register(
     "cep_alternation_pattern", cep_alternation_pattern, ORACLE_ALTERNATION,
+    driver=False,  # r8 rotation: 4 green rounds (r4-r7), most-verified
+    # tier — demoted to make room (COVERAGE.md policy); pytest-oracled
 )
 register(
     "cep_vshape_prev", cep_vshape_prev, ORACLE_VSHAPE,
@@ -2395,6 +2397,112 @@ register(
     cep_group_loop_all_rows,
     ORACLE_GROUP_LOOP_ALL_ROWS,
     # round 7: loop-group ALL ROWS — straight into the driver gate
+)
+
+
+def cep_group_loop_all_rows_running(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RUNNING measures over a loop-group ALL ROWS match — round 8
+    (closes the r7 FINAL-only gap, judge item 4): ``RUNNING
+    COUNT(X.*)`` / ``RUNNING SUM(X.event_id)`` over ``((X Y)+)``
+    see the match's rows UP TO the current output row, walking the
+    variable's ACTUAL stride-2 row set (operators/cep_batch.py::
+    _actual_spans) — the merged contiguous span would leak the Y
+    rows into the count/sum. FINAL pairs repeats on every row as
+    before; the running count reaches it exactly at the last X row."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.sources.tables import load_table, spread
+    from flink_cep_examples_spark.sql.match_recognize import match_recognize
+
+    events = spread(load_table(spark, sf_dir, "events"), "user_id").select(
+        "user_id", "ts", "event_id"
+    )
+    out = match_recognize(
+        events,
+        """
+        PARTITION BY user_id ORDER BY ts, event_id
+        MEASURES RUNNING COUNT(X.*) AS rx,
+                 RUNNING SUM(X.event_id) AS sx,
+                 COUNT(X.*) AS pairs
+        ALL ROWS PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN ((X Y)+)
+        DEFINE X AS event_id % 3 = 1,
+               Y AS event_id % 3 = 2
+        """,
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("row_ts"),
+        "event_id",
+        "classifier",
+        "match_seq",
+        "rx",
+        "sx",
+        "pairs",
+    )
+
+
+#: ORACLE_GROUP_LOOP_ALL_ROWS extended with the running columns in
+#: closed form: at row rn of a match starting at srn, the X rows seen
+#: so far are the even offsets ≤ rn, so RUNNING COUNT(X.*) =
+#: (rn − srn) // 2 + 1, and RUNNING SUM(X.event_id) is a prefix-window
+#: sum over the even-offset rows of the joined match range.
+ORACLE_GROUP_LOOP_ALL_ROWS_RUNNING = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_id % 3 AS m,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+f AS (
+  SELECT *,
+         CASE WHEN m IN (1, 2)
+               AND lag(m) OVER (PARTITION BY user_id ORDER BY rn) = 3 - m
+              THEN 0 ELSE 1 END AS brk
+  FROM e
+),
+isl AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY rn) AS gid
+  FROM f
+),
+s AS (
+  SELECT user_id, gid, MIN(CASE WHEN m = 1 THEN rn END) AS srn,
+         MAX(rn) AS ern
+  FROM isl WHERE m IN (1, 2) GROUP BY user_id, gid
+),
+mt AS (
+  SELECT user_id, gid, srn,
+         (ern - srn + 1) // 2 AS pairs,
+         srn + ((ern - srn + 1) // 2) * 2 - 1 AS lrn,
+         row_number() OVER (PARTITION BY user_id ORDER BY srn) - 1 AS mseq
+  FROM s WHERE srn IS NOT NULL AND ern > srn
+)
+SELECT r.user_id,
+       strftime(r.ts, {_FMT}) AS row_ts,
+       r.event_id,
+       CASE (r.rn - mt.srn) % 2 WHEN 0 THEN 'X' ELSE 'Y' END AS classifier,
+       CAST(mt.mseq AS BIGINT) AS match_seq,
+       CAST((r.rn - mt.srn) // 2 + 1 AS BIGINT) AS rx,
+       CAST(SUM(CASE WHEN (r.rn - mt.srn) % 2 = 0 THEN r.event_id
+                     ELSE 0 END)
+              OVER (PARTITION BY r.user_id, mt.gid ORDER BY r.rn
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS sx,
+       CAST(mt.pairs AS BIGINT) AS pairs
+FROM mt
+JOIN isl r ON r.user_id = mt.user_id AND r.rn BETWEEN mt.srn AND mt.lrn
+"""
+
+
+register(
+    "cep_group_loop_all_rows_running",
+    cep_group_loop_all_rows_running,
+    ORACLE_GROUP_LOOP_ALL_ROWS_RUNNING,
+    # round 8: RUNNING in loop-group ALL ROWS (judge item 4) — into
+    # the driver gate
 )
 
 

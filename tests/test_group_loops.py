@@ -159,8 +159,11 @@ def test_parser_rejects_quantified_var_in_unbounded_group():
         _expand_group_quantifiers("A (B{2} C)+ D")
 
 
-def test_validate_rejects_aggregates_over_loop_vars():
-    spec = PatternSpec(
+def test_validate_allows_aggregates_over_loop_vars():
+    """Round 8 (was a loud reject): aggregates over single-body
+    loop-group vars validate — the evaluator slices the stride-L
+    actual rows (tests/test_loop_all_rows.py pins the values)."""
+    PatternSpec(
         variables=(
             PatternVar("X", "px"),
             PatternVar("Y", "py"),
@@ -168,15 +171,13 @@ def test_validate_rejects_aggregates_over_loop_vars():
         ),
         loop_groups=((0, 1),),
         measures=(Measure("s", "X", "v", "sum"),),
-    )
-    with pytest.raises(NotImplementedError, match="aggregate measure"):
-        spec.validate()
+    ).validate()
 
 
 def test_validate_allows_all_rows_with_loop_groups():
     """Round 7: ALL ROWS over loop groups is supported (stride-L
-    positional reconstruction); only RUNNING measures stay rejected
-    (the running series assumes contiguous per-var rows)."""
+    positional reconstruction); round 8 extends the same stride
+    reconstruction to RUNNING measures, so those validate too."""
     spec = PatternSpec(
         variables=(
             PatternVar("X", "px"),
@@ -196,8 +197,7 @@ def test_validate_allows_all_rows_with_loop_groups():
                     running=True),
         ),
     )
-    with pytest.raises(NotImplementedError, match="RUNNING"):
-        running.validate()
+    running.validate()  # round 8: no raise (stride-aware series)
 
 
 def test_validate_rejects_optional_group_end():

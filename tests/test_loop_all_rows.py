@@ -103,10 +103,68 @@ def test_loop_group_all_rows_with_prefix(spark):
     assert {r["bs"] for r in rows} == {2}
 
 
-def test_running_measure_with_loop_group_raises():
-    with pytest.raises(NotImplementedError, match="RUNNING"):
+def test_running_count_over_loop_group(spark):
+    """Round 8 (r7's FINAL-only gap): RUNNING COUNT(X.*) over
+    ``(X Y)+`` ALL ROWS walks the var's ACTUAL stride-2 rows — x y x y
+    yields 1, 1, 2, 2 — not the merged contiguous span (which would
+    count the Y rows too: 1, 2, 2, 3... wrong)."""
+    out = match_recognize(
+        _df(spark, [1, 2, 1, 2]),
+        BODY.replace("COUNT(X.*) AS pairs",
+                     "RUNNING COUNT(X.*) AS rx, COUNT(X.*) AS pairs"),
+        tiebreak_col="event_id",
+    )
+    rows = sorted(out.collect(), key=lambda r: r["ts"])
+    assert [r["rx"] for r in rows] == [1, 1, 2, 2]
+    assert {r["pairs"] for r in rows} == {2}
+
+
+def test_running_sum_over_loop_group(spark):
+    """RUNNING SUM(X.event_id) over (X Y)+ with event ids 1 2 4 5
+    (classes 1 2 1 2 mod 3): X rows are ids 1 and 4 → running sums
+    1, 1, 5, 5; the Y rows' ids (2, 5) never leak in."""
+    out = match_recognize(
+        _df(spark, [1, 2, 4, 5]),
+        BODY.replace("COUNT(X.*) AS pairs",
+                     "RUNNING SUM(X.event_id) AS sx, COUNT(X.*) AS pairs"),
+        tiebreak_col="event_id",
+    )
+    rows = sorted(out.collect(), key=lambda r: r["ts"])
+    assert [r["sx"] for r in rows] == [1, 1, 5, 5]
+
+
+def test_final_aggregate_over_loop_var_one_row(spark):
+    """FINAL SUM/AVG/MIN/MAX over a loop-group var (round 8 — was a
+    loud reject): SUM(X.event_id) on ids 1 2 4 5 = 1 + 4 = 5, and
+    SUM(Y.event_id) = 2 + 5 = 7 — stride-2 slices, not the merged
+    span (sum 12)."""
+    body = """
+    PARTITION BY user_id ORDER BY ts, event_id
+    MEASURES SUM(X.event_id) AS sx, SUM(Y.event_id) AS sy,
+             MAX(X.event_id) AS mx
+    ONE ROW PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN ((X Y)+)
+    DEFINE X AS event_id % 3 = 1, Y AS event_id % 3 = 2
+    """
+    rows = match_recognize(
+        _df(spark, [1, 2, 4, 5]), body, tiebreak_col="event_id"
+    ).collect()
+    assert len(rows) == 1
+    assert (rows[0]["sx"], rows[0]["sy"], rows[0]["mx"]) == (5, 7, 4)
+
+
+def test_aggregate_over_multi_branch_group_raises():
+    with pytest.raises(NotImplementedError, match="fixed row stride"):
         parse_match_recognize(
-            BODY.replace("COUNT(X.*)", "RUNNING COUNT(X.*)")
+            """
+            PARTITION BY user_id ORDER BY ts, event_id
+            MEASURES SUM(A.event_id) AS sa
+            ONE ROW PER MATCH
+            PATTERN ((A B | C D)+)
+            DEFINE A AS event_id % 5 = 1, B AS event_id % 5 = 2,
+                   C AS event_id % 5 = 3, D AS event_id % 5 = 4
+            """
         ).validate()
 
 

@@ -236,7 +236,7 @@ def test_exclusion_parser_rejects_unbalanced():
     with pytest.raises(ValueError, match="nested"):
         _parse_pattern_clause("( A {- {- B* -} -} C )")
     # spacing-insensitive
-    [(vars_, _lg)], _, _, _ = _parse_pattern_clause("( A {-B*-} C )")
+    [(vars_, _lg, _lb)], _, _, _ = _parse_pattern_clause("( A {-B*-} C )")
     assert [(v[0], v[4]) for v in vars_] == [("A", False), ("B", True), ("C", False)]
 
 
@@ -272,7 +272,7 @@ def test_permute_rejects_unsupported_shapes(spark):
 
     with pytest.raises(ValueError, match="bare variable"):
         _parse_pattern_clause("( PERMUTE (A, B*) )")
-    [vars_], within, permute, _ = _parse_pattern_clause(
+    [(vars_, _lg, _lb)], within, permute, _ = _parse_pattern_clause(
         "( PERMUTE (A, B) ) WITHIN INTERVAL '1' HOUR"
     )
     assert permute and within == "1 HOUR" and len(vars_) == 2
