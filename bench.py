@@ -67,6 +67,12 @@ HEADLINE = [
     "events_hll_distinct",  # round-6 HLL sketch (VERDICT r6 item 7)
     "cep_group_loop_all_rows",  # round-7 loop-group ALL ROWS emission
     "cep_group_star_greedy",  # round-7 greedy star via held alternation
+    "sources_kmv_jaccard",  # round-7 two-phase salted KMV (1.98x at 10x —
+    # borderline; regression-tracked per VERDICT r7 item 9)
+    "ann_ivfadc_topk",  # round-7 IVFADC (IVF prune + PQ/ADC)
+    "cep_group_chain_within",  # round-8 WITHIN on the chain kernel
+    "cep_group_absence",  # round-8 timeout channel x loop groups (NFA tier)
+    "cep_group_alt_unbounded",  # round-8 multi-branch loop group (NFA tier)
 ]
 
 #: Round-6 outlier audit (VERDICT r5 item 7): docs_bigram_topk
@@ -79,10 +85,11 @@ HEADLINE = [
 #: documented ±40% band, not a query-specific regression. Neither
 #: query's code changed since r4.
 BENCH_NOTES = (
-    "r7: headline set +3 (events_hll_distinct, cep_group_loop_all_rows, "
-    "cep_group_star_greedy); cep_group_longest_chain now on the "
-    "partition-level chain kernel (0.79->0.58 s at sf0.1, 10x ratio "
-    "3.95x->1.28x); no flagged regressions vs r6"
+    "r8: headline set +5 (sources_kmv_jaccard + ann_ivfadc_topk per "
+    "VERDICT r7 item 9, plus the three new round-8 pattern shapes); "
+    "cep_group_chain_within runs the deadline-capped chain kernel, "
+    "cep_group_absence / cep_group_alt_unbounded are NFA-tier by "
+    "design (timeout channel / per-iteration branch choice)"
 )
 
 
