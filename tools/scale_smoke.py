@@ -74,6 +74,9 @@ SMOKE = [
     "events_value_quantile_hist",  # round-7 mergeable histogram quantiles
     "ann_ivfadc_topk",  # round-7 IVF-pruned PQ/ADC composite
     "cep_group_chain_within",  # round-8 WITHIN on the chain kernel
+    "cep_group_absence",  # round-8 timeout channel x loop groups (NFA)
+    "cep_group_alt_unbounded",  # round-8 multi-branch loop group (NFA)
+    "cep_group_loop_all_rows_running",  # round-8 RUNNING x loop all-rows
 ]
 
 
