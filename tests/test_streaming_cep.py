@@ -395,3 +395,102 @@ def test_streaming_match_number_matches_batch(spark, tmp_path):
         assert [m for k, _, m in got if k == key] == list(
             range(1, sum(k == key for k, _, _ in got) + 1)
         )
+
+
+@pytest.mark.slow
+def test_streaming_group_chain_matches_batch(spark, sf_small, tmp_path):
+    """Round 8 (VERDICT r7 item 5): the chain-kernel shape ``((X Y)+)
+    WITHIN INTERVAL '2' DAY`` under LONGEST derivation streamed through
+    the held-completion NFA coordinator must reproduce the batch chain
+    KERNEL's matches exactly — a cross-tier differential (batch
+    compiles to the deadline-capped match_pattern_fast_loop_chain;
+    streaming holds completions in NfaState.helds across micro-batches
+    and resolves them as the watermark passes each start's deadline).
+    The WITHIN clause is what makes end-of-stream equivalence hold at
+    all: a deadline-free chain's final held completions are
+    semantically undecidable on an unbounded stream (more rows could
+    extend them), so the production shape is the bounded one. A
+    far-future sentinel row (inert class) pushes the closing
+    watermark past every deadline, standing in for the stream's
+    continued advance. Throughput at 10x replay is recorded in
+    SCALING.md."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.sources.tables import load_table
+    from flink_cep_examples_spark.sql.match_recognize import (
+        match_recognize,
+        parse_match_recognize,
+    )
+
+    events = load_table(spark, sf_small, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    sentinel = spark.createDataFrame(
+        [(-1, "2031-01-01 00:00:00", 3)],  # 3 % 3 == 0: inert class
+        "user_id long, dt string, event_id long",
+    ).select("user_id", F.to_timestamp("dt").alias("ts"), "event_id")
+    # micro-batch replay must be ~time-ordered ACROSS batches (rows
+    # later than the watermark are dropped, the standard streaming
+    # contract) — write three time-range chunks sequentially so file
+    # modification times replay them in order, sentinel last
+    src = str(tmp_path / "chain_events")
+    lo, hi = events.agg(
+        F.min("ts").alias("a"), F.max("ts").alias("b")
+    ).first()
+    cut1 = lo + (hi - lo) / 3
+    cut2 = lo + 2 * (hi - lo) / 3
+    for part in (
+        events.filter(F.col("ts") <= F.lit(cut1)),
+        events.filter(
+            (F.col("ts") > F.lit(cut1)) & (F.col("ts") <= F.lit(cut2))
+        ),
+        events.filter(F.col("ts") > F.lit(cut2)),
+        sentinel,
+    ):
+        part.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)  # distinct mtimes -> deterministic replay order
+
+    body = """
+    PARTITION BY user_id ORDER BY ts, event_id
+    MEASURES FIRST(X.ts) AS first_x_ts,
+             LAST(Y.ts) AS last_y_ts,
+             COUNT(X.*) AS pairs
+    ONE ROW PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN ((X Y)+) WITHIN INTERVAL '2' DAY
+    DEFINE X AS event_id % 3 = 1,
+           Y AS event_id % 3 = 2
+    """
+    batch_df = spark.read.parquet(src)
+    batch = sorted(
+        (r.user_id, r.first_x_ts, r.last_y_ts, r.pairs)
+        for r in match_recognize(
+            batch_df, body, tiebreak_col="event_id"
+        ).collect()
+    )
+    assert batch, "expected chain matches in the fixture"
+
+    spec = parse_match_recognize(body)
+    assert spec.derivation == "longest"
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = match_recognize(
+        stream, body, tiebreak_col="event_id", watermark_delay="6 minutes"
+    )
+    q = (
+        out.drop("tag")
+        .writeStream.format("memory")
+        .queryName("chain_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r.user_id, r.first_x_ts, r.last_y_ts, r.pairs)
+        for r in spark.sql("SELECT * FROM chain_stream").collect()
+    )
+    assert got == batch
