@@ -164,7 +164,14 @@ def _make_measure_eval(measure_list, subsets, src_arrays, loop_stride=None):
             elif m.fn == "first":
                 out[m.name] = src_arrays[m.src][spans[0][0]]
             elif m.fn == "last":
-                out[m.name] = src_arrays[m.src][spans[-1][1]]
+                # max by LAST ordinal, not the last-sorted-by-first
+                # span's last — multi-branch group iterations
+                # interleave the components (round 8), so the span
+                # with the latest first row need not hold the latest
+                # last row
+                out[m.name] = src_arrays[m.src][
+                    max(spans, key=lambda sp: sp[4])[1]
+                ]
             else:  # aggregate over every consumed row (strict spans;
                 # loop-group vars slice stride-L — round 8, the merged
                 # span interleaves sibling iteration rows)

@@ -1025,10 +1025,15 @@ def fast_loop_chain_applicable(spec) -> bool:
         return False
     if len(spec.loop_groups) != 1:
         return False
-    if getattr(spec, "loop_branches", ()):
-        # multi-branch group (A B | C D)+ (round 8): iterations pick a
-        # branch per repetition — no fixed stride, NFA tier only
-        return False
+    lb = getattr(spec, "loop_branches", ())
+    if lb:
+        # multi-branch group (A B | C D)+ (round 8): EQUAL-width
+        # branches keep a fixed row stride — the kernel ORs the
+        # per-branch chunk validity and assigns each chunk its
+        # leftmost valid branch (= the NFA's held preference). Mixed
+        # widths have no fixed stride — NFA tier.
+        if len({e - b_s + 1 for b_s, e in lb}) != 1:
+            return False
     if spec.after_match not in (SKIP_PAST_LAST_EVENT, SKIP_TO_NEXT, NO_SKIP):
         return False
     for i, v in enumerate(spec.variables):
@@ -1181,6 +1186,7 @@ def _strided_chain_suffix(
 def _chain_scan_starts(
     pdf, key_cols, n_vars, s, L, f, ge, min_iter, past_last,
     within_us: int | None = None,
+    branch_starts: list[int] | None = None,
 ):
     """Chain-kernel scan core shared by the one-row and all-rows
     emitters: key segmentation, body/prefix/suffix validity, greedy
@@ -1190,8 +1196,18 @@ def _chain_scan_starts(
     ``ts[last] - ts[r] < within`` (the NFA prunes a partial the moment
     a row at ``start + within`` arrives, so a completion at exactly
     the deadline does NOT match — :func:`_segment_deadline_limit`).
-    Returns ``(starts, k, seg_id)`` row-index / iteration-count /
-    segment-id arrays, or None when the partition holds no match."""
+
+    ``branch_starts`` (round 8 — EQUAL-width multi-branch groups,
+    ``(A B | C D)+``): spec positions of each branch's first variable.
+    A chunk is valid when ANY branch body matches it (chain extension
+    is branch-independent), and ``branch_at`` records the LEFTMOST
+    valid branch per chunk — exactly the NFA's held preference, whose
+    per-position row-count key is maximized by choosing the lowest
+    branch wherever possible (choices are per-chunk independent).
+
+    Returns ``(starts, k, seg_id, chunk_grp, branch_at)`` — the last
+    two are None without ``branch_starts`` — or None when the
+    partition holds no match."""
     import numpy as np
 
     from flink_cep_examples_spark.operators.cep_batch import (
@@ -1217,12 +1233,29 @@ def _chain_scan_starts(
         pdf[f"{_PRED_PREFIX}{i}"].to_numpy(dtype=bool)
         for i in range(n_vars)
     ]
-    # body chunk validity at its first row, masked at segment edges
-    body_ok = p[s].copy()
-    for j in range(1, L):
-        body_ok[: n - j] &= p[s + j][j:]
-        body_ok[n - j :] = False
+    branch_at = None
+    if branch_starts is not None:
+        # per-branch chunk validity; OR for the chain, leftmost for
+        # the per-chunk branch assignment
+        body_ok = np.zeros(n, dtype=bool)
+        branch_at = np.full(n, -1, dtype=np.int8)
+        for b in reversed(range(len(branch_starts))):
+            bs = branch_starts[b]
+            ok_b = p[bs].copy()
+            for j in range(1, L):
+                ok_b[: n - j] &= p[bs + j][j:]
+                ok_b[n - j :] = False
+            body_ok |= ok_b
+            branch_at[ok_b] = b  # reversed loop: lowest b wins
+    else:
+        # body chunk validity at its first row, masked at segment edges
+        body_ok = p[s].copy()
+        for j in range(1, L):
+            body_ok[: n - j] &= p[s + j][j:]
+            body_ok[n - j :] = False
     body_ok &= rows_left >= L
+    if branch_at is not None:
+        branch_at[~body_ok] = -1  # segment-edge chunks are not chunks
     # WITHIN deadline → per-start iteration cap, indexed by the BODY
     # start row j = r + s: last match row is j + kL - 1 (no suffix) or
     # the anchor's last suffix row j + kL + f - 1, both < limit[r]
@@ -1287,7 +1320,12 @@ def _chain_scan_starts(
         starts = starts[np.asarray(sel, dtype=np.int64)]
     if not len(starts):
         return None
-    return starts, k_at[starts], seg_id
+    chunk_grp = (
+        seg_id * np.int64(L) + pos_in_seg % L
+        if branch_starts is not None
+        else None
+    )
+    return starts, k_at[starts], seg_id, chunk_grp, branch_at
 
 
 def match_pattern_fast_loop_chain(
@@ -1341,7 +1379,15 @@ def match_pattern_fast_loop_chain(
 
     gs, ge = spec.loop_groups[0]
     s = gs  # prefix length
-    L = ge - gs + 1  # body length
+    branches = getattr(spec, "loop_branches", ())
+    if branches:
+        # equal-width multi-branch group (A B | C D)+ (round 8): the
+        # ROW stride is one branch's width, not the group's spec width
+        L = branches[0][1] - branches[0][0] + 1
+        branch_starts = [bs for bs, _ in branches]
+    else:
+        L = ge - gs + 1  # body length
+        branch_starts = None
     f = len(spec.variables) - ge - 1  # suffix length (round 7.2)
     n_vars = len(spec.variables)
     within_us = (
@@ -1381,12 +1427,28 @@ def match_pattern_fast_loop_chain(
         )
         scanned = _chain_scan_starts(
             pdf, key_cols, n_vars, s, L, f, ge, min_iter, past_last,
-            within_us=within_us,
+            within_us=within_us, branch_starts=branch_starts,
         )
         if scanned is None:
             return
-        starts, k, seg_id = scanned
+        starts, k, seg_id, chunk_grp, branch_at = scanned
         n = len(pdf)  # NULL sentinel for the masked measure gathers
+        if branch_starts is not None:
+            # per-branch sorted (grp, row) keys of valid chunk
+            # positions: a match's chunks all share ONE grp class
+            # (same segment, same residue), so its branch-b chunk
+            # count / first / last resolve with two batched
+            # searchsorted calls per branch
+            enc_by_branch = []
+            for b in range(len(branch_starts)):
+                rows_b = np.flatnonzero(branch_at == b)
+                enc_by_branch.append(
+                    np.sort(chunk_grp[rows_b] * np.int64(n) + rows_b)
+                )
+            first_chunk = starts + s
+            gkey = chunk_grp[first_chunk] * np.int64(n)
+            lo_key = gkey + first_chunk
+            hi_key = gkey + first_chunk + (k - 1) * L
         out_cols: dict[str, object] = {}
         for kc in key_cols:
             out_cols[kc] = pdf[kc].to_numpy()[starts]
@@ -1399,7 +1461,9 @@ def match_pattern_fast_loop_chain(
         def var_rows(v: str):
             """(first_idx, last_idx, count) arrays for one variable.
             Loop vars with k = 0 (star) report count 0; their index
-            arrays are then meaningless and masked by the caller."""
+            arrays are then meaningless and masked by the caller
+            (same for multi-branch vars whose branch matched no
+            iteration of a given match)."""
             i = var_pos[v]
             if i < s:
                 r = starts + i
@@ -1407,6 +1471,24 @@ def match_pattern_fast_loop_chain(
             if i > ge:  # suffix var: one row after the k iterations
                 r = starts + s + k * L + (i - ge - 1)
                 return r, r, np.ones(len(starts), dtype=np.int64)
+            if branch_starts is not None:
+                # branch var: count / first / last of its branch's
+                # chunks inside the match's (grp, row-range) window —
+                # two batched searchsorted calls
+                b, j = divmod(i - gs, L)
+                enc = enc_by_branch[b]
+                if not len(enc):
+                    return (
+                        np.full(len(starts), n, dtype=np.int64),
+                        np.full(len(starts), -1, dtype=np.int64),
+                        np.zeros(len(starts), dtype=np.int64),
+                    )
+                iL = np.searchsorted(enc, lo_key, "left")
+                iR = np.searchsorted(enc, hi_key, "right")
+                cnt = iR - iL
+                first = enc[np.minimum(iL, len(enc) - 1)] - gkey + j
+                last = enc[np.maximum(iR - 1, 0)] - gkey + j
+                return first, last, cnt
             first = starts + i
             last = starts + s + (k - 1) * L + (i - s)
             return first, last, k
@@ -1427,7 +1509,22 @@ def match_pattern_fast_loop_chain(
                 out_cols[m.name] = mn
                 continue
             if m.fn == "classifier":
-                out_cols[m.name] = np.repeat(last_var_name, len(starts))
+                if branch_starts is not None and f == 0:
+                    # the match's last row belongs to the FINAL
+                    # iteration's branch
+                    b_last = branch_at[starts + s + (k - 1) * L]
+                    end_names = np.array(
+                        [
+                            spec.variables[bs + L - 1].name
+                            for bs in branch_starts
+                        ],
+                        dtype=object,
+                    )
+                    out_cols[m.name] = end_names[b_last]
+                else:
+                    out_cols[m.name] = np.repeat(
+                        last_var_name, len(starts)
+                    )
                 continue
             comps = subset_map.get(m.var, (m.var,))
             firsts, lasts, counts = zip(*(var_rows(c) for c in comps))
@@ -1487,6 +1584,11 @@ def fast_loop_chain_all_rows_applicable(spec) -> bool:
     if spec.rows_per_match != "all":
         return False
     if any(m.running for m in spec.measures):
+        return False
+    if getattr(spec, "loop_branches", ()):
+        # validate() rejects ALL ROWS with multi-branch groups anyway;
+        # defensive — this emitter's positional classifier assumes one
+        # fixed iteration body
         return False
     one = dataclasses.replace(spec, rows_per_match="one")
     return fast_loop_chain_applicable(one)
@@ -1579,7 +1681,7 @@ def match_pattern_fast_loop_chain_all_rows(
         )
         if scanned is None:
             return
-        starts, k, seg_id = scanned
+        starts, k, seg_id, _grp, _bat = scanned
         nm = len(starts)
         src_arrays = {
             m.src: pdf[m.src].to_numpy()

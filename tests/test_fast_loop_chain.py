@@ -465,3 +465,126 @@ def test_all_rows_chain_fast_path_agrees(spark, body):
         assert fa == nf
         matched += len(fa)
     assert matched, "no matches across seeds — test is vacuous"
+
+
+# --- round 8: EQUAL-width multi-branch groups on the chain kernel ----
+
+BODY_BRANCHES = """
+PARTITION BY user_id ORDER BY ts, event_id
+MEASURES FIRST(U.ts) AS fu, LAST(U.ts) AS lu,
+         COUNT(A.*) AS n_ab, COUNT(C.*) AS n_cd,
+         FIRST(C.ts) AS fc, LAST(B.ts) AS lb,
+         MATCH_NUMBER() AS mn, CLASSIFIER() AS cl
+ONE ROW PER MATCH
+AFTER MATCH SKIP PAST LAST ROW
+PATTERN ((A B | C D)+)
+SUBSET U = (A, B, C, D)
+DEFINE A AS event_id % 5 = 1, B AS event_id % 5 = 2,
+       C AS event_id % 5 = 3, D AS event_id % 5 = 4
+"""
+
+BODY_BRANCHES_WITHIN = BODY_BRANCHES.replace(
+    "PATTERN ((A B | C D)+)",
+    "PATTERN ((A B | C D)+) WITHIN INTERVAL '90' MINUTE",
+)
+
+BODY_BRANCHES_NEXT = BODY_BRANCHES.replace(
+    "AFTER MATCH SKIP PAST LAST ROW", "AFTER MATCH SKIP TO NEXT ROW"
+)
+
+BODY_BRANCHES_SUFFIX = """
+PARTITION BY user_id ORDER BY ts, event_id
+MEASURES COUNT(A.*) AS n_ab, COUNT(C.*) AS n_cd, LAST(Z.ts) AS lz,
+         CLASSIFIER() AS cl
+ONE ROW PER MATCH
+AFTER MATCH SKIP PAST LAST ROW
+PATTERN ((A B | C D)+ Z)
+DEFINE A AS event_id % 6 = 1, B AS event_id % 6 = 2,
+       C AS event_id % 6 = 3, D AS event_id % 6 = 4,
+       Z AS event_id % 6 = 5
+"""
+
+#: branch predicates OVERLAP (a chunk may satisfy both A B and C D):
+#: the kernel assigns the LEFTMOST valid branch per chunk, which is
+#: exactly the NFA's held preference (its per-position row-count key
+#: is maximized by taking the lowest branch wherever possible —
+#: choices are per-chunk independent)
+BODY_BRANCHES_OVERLAP = """
+PARTITION BY user_id ORDER BY ts, event_id
+MEASURES COUNT(A.*) AS n_ab, COUNT(C.*) AS n_cd,
+         FIRST(A.ts) AS fa, LAST(D.ts) AS ld
+ONE ROW PER MATCH
+AFTER MATCH SKIP PAST LAST ROW
+PATTERN ((A B | C D)+)
+DEFINE A AS event_id IN (1, 5), B AS event_id IN (2, 6),
+       C AS event_id IN (3, 5), D AS event_id IN (4, 6)
+"""
+
+
+def test_branches_kernel_selected(spark):
+    spec = parse_match_recognize(BODY_BRANCHES)
+    assert spec.loop_branches == ((0, 1), (2, 3))
+    assert fast_loop_chain_applicable(spec)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_branches_plain_matches_nfa(spark, seed):
+    df = _events_df(spark, _random_rows(seed))
+    f, n = _both(spark, df, BODY_BRANCHES)
+    assert f == n and f
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_branches_within_matches_nfa(spark, seed):
+    df = _events_df(spark, _random_rows(seed))
+    f, n = _both(spark, df, BODY_BRANCHES_WITHIN)
+    assert f == n and f
+
+
+def test_branches_skip_to_next_matches_nfa(spark):
+    df = _events_df(spark, _random_rows(5))
+    f, n = _both(spark, df, BODY_BRANCHES_NEXT)
+    assert f == n and f
+
+
+@pytest.mark.parametrize("seed", [6, 7, 9])
+def test_branches_suffix_matches_nfa(spark, seed):
+    df = _events_df(spark, _random_rows(seed, n_rows=140))
+    f, n = _both(spark, df, BODY_BRANCHES_SUFFIX)
+    assert f == n
+    if seed == 6:
+        assert f  # at least one seed pins a non-empty fixture
+
+
+def test_branches_overlap_matches_nfa(spark):
+    # small rows: overlapping branch predicates make the NFA explore
+    # every derivation (exponential in chain length)
+    rng = random.Random(8)
+    rows = []
+    for u in range(8):
+        for i in range(18):
+            rows.append((u, i, rng.randrange(0, 7)))
+    df = _events_df(spark, rows)
+    f, n = _both(spark, df, BODY_BRANCHES_OVERLAP)
+    assert f == n and f
+
+
+def test_branches_exact_deadline_probe(spark):
+    """Chunks at the deadline boundary: a pair completing at exactly
+    start + within must NOT count (strict <), one microsecond inside
+    must."""
+    rows = [
+        # user 0: A(t=0) B(1) C(30) D(31) -> within 90min: all inside
+        (0, 0, 1), (0, 1, 2), (0, 30, 3), (0, 31, 4),
+        # user 1: A(0) B(1) C(89) D(90) -> D at exactly +90min: the
+        # 2nd chunk is deadline-clipped, match is the single pair
+        (1, 0, 1), (1, 1, 2), (1, 89, 3), (1, 90, 4),
+    ]
+    df = _events_df(spark, rows)
+    f, n = _both(spark, df, BODY_BRANCHES_WITHIN)
+    assert f == n
+    by_user = {}
+    for r in f:
+        by_user.setdefault(r[0], []).append(r)
+    assert by_user[0][0][3:5] == (1, 1)  # n_ab=1, n_cd=1
+    assert sorted(r[3:5] for r in by_user[1]) == [(0, 1), (1, 0)]

@@ -178,7 +178,20 @@ def test_parser_produces_loop_branches():
         fast_loop_chain_applicable,
     )
 
-    assert not fast_loop_chain_applicable(spec)
+    # EQUAL-width branches compile to the chain kernel (OR'd body
+    # validity + leftmost branch assignment); mixed widths stay NFA
+    assert fast_loop_chain_applicable(spec)
+    mixed = parse_match_recognize(
+        """
+        PARTITION BY id ORDER BY event_time
+        MEASURES FIRST(A.seq) AS s
+        ONE ROW PER MATCH
+        PATTERN ((A | C D)+)
+        DEFINE A AS m = 1, C AS m = 3, D AS m = 4
+        """
+    )
+    assert mixed.loop_branches == ((0, 0), (1, 2))
+    assert not fast_loop_chain_applicable(mixed)
 
 
 def test_validate_guards():
