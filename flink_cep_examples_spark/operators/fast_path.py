@@ -1845,3 +1845,288 @@ def match_pattern_fast_star_chain(
         derivation="longest",
     )
     return match_pattern_fast_loop_chain(df, synth, min_iter=0).drop("tag")
+
+
+def fast_group_absence_applicable(spec) -> bool:
+    """True for the vectorizable timeout-channel loop-group shape
+    (round 8): ``PATTERN ((X1 .. XL)+ S) WITHIN ...`` with
+    ``emit_timeouts`` under AFTER MATCH SKIP TO NEXT ROW / NO SKIP —
+    the reference's absence side output
+    (FlinkCEPAbsenceOfEventExample.scala:93-103) applied to a grouped
+    pattern (``cep_group_absence``).
+
+    Start-independence (TO NEXT / NO SKIP under longest derivation)
+    makes every X1 row's run a CLOSED FORM: it consumes the maximal
+    stride-L chunk chain plus a dangling partial chunk, truncated at
+    the start's deadline; the row after the consumed prefix decides
+    match (suffix pred, chunk-aligned, within deadline), timeout (at
+    or past the deadline, or end of segment), or silent death.
+    SKIP PAST LAST needs the advance_time walk's span-discard
+    coordination and stays on the NFA tier."""
+    if not isinstance(spec, PatternSpec) or spec.derivation != "longest":
+        return False
+    if not spec.emit_timeouts or spec.within is None:
+        return False
+    if spec.permute or spec.rows_per_match != "one":
+        return False
+    if spec.after_match not in (SKIP_TO_NEXT, NO_SKIP):
+        return False
+    if len(spec.loop_groups) != 1 or getattr(spec, "loop_branches", ()):
+        return False
+    gs, ge = spec.loop_groups[0]
+    if gs != 0 or ge != len(spec.variables) - 2:
+        return False  # shape is exactly (group)+ plus ONE suffix var
+    for i, v in enumerate(spec.variables):
+        if v.negated or v.until is not None or v.quantifier != ONCE:
+            return False
+        if i > 0 and v.contiguity != STRICT:
+            return False
+        if not v.greedy:
+            return False
+    names = {v.name for v in spec.variables}
+    subset_map = dict(spec.subsets)
+    for m in spec.measures:
+        if m.running or m.fn not in ("first", "last", "count"):
+            return False
+        comps = subset_map.get(m.var, (m.var,))
+        if not all(c in names for c in comps):
+            return False
+    return True
+
+
+def match_pattern_fast_group_absence(
+    df: DataFrame, spec: PatternSpec
+) -> DataFrame:
+    """Vectorized match+timeout emission for the group-absence shape
+    (see :func:`fast_group_absence_applicable`): one numpy pass per
+    partition, no per-key Python. Derivation (from the NFA semantics,
+    operators/nfa.py advance_time longest walk — differential-tested
+    in tests/test_group_absence.py):
+
+    - run extent from start r: ``k`` full body chunks
+      (:func:`_strided_chain`) plus a dangling PARTIAL chunk (longest
+      strict prefix of the body predicates at r+kL) — rows r..e;
+    - deadline: rows at/after ``limit[r]``
+      (:func:`_segment_deadline_limit`, strict ``<``) are never
+      consumed — a run alive there is a timed-out partial;
+    - the row after the consumed prefix decides: TIMEOUT when it sits
+      at/past the deadline or past the segment end (end-of-input
+      expiry); MATCH when it arrives inside the deadline, satisfies
+      the suffix predicate, and the prefix is whole chunks (k ≥ 1,
+      no dangling partial); anything else is a silent contiguity
+      death (Flink's timeout handler never sees failed runs);
+    - timeout measures cover the CONSUMED rows r..min(e, limit[r]-1).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from flink_cep_examples_spark.operators.cep_batch import (
+        _needs_src,
+        _null_safe_agg_cast,
+        _prepare,
+        _PRED_PREFIX,
+        _TS_COL,
+        output_schema,
+    )
+
+    spec.validate()
+    if not fast_group_absence_applicable(spec):
+        raise ValueError("pattern shape not compilable (group absence)")
+
+    gs, ge = spec.loop_groups[0]
+    L = ge - gs + 1
+    n_vars = len(spec.variables)
+    within_us = int(spec.within.total_seconds() * 1_000_000)
+    prepared = _prepare(df, spec)
+    out_schema = output_schema(df, spec)
+    key_cols = list(spec.key_cols)
+    tiebreak = spec.tiebreak_col
+    measure_list = list(spec.measures)
+    subset_map = dict(spec.subsets)
+    var_pos = {v.name: i for i, v in enumerate(spec.variables)}
+    out_names = [f.name for f in out_schema.fields]
+
+    sorted_p = prepared.repartition(*key_cols).sortWithinPartitions(
+        *key_cols, _TS_COL, tiebreak
+    )
+
+    def scan_partition(batches):
+        chunks = [c for c in batches if len(c)]
+        if not chunks:
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        n = len(pdf)
+        newkey = np.zeros(n, dtype=bool)
+        newkey[0] = True
+        for kc in key_cols:
+            col = pdf[kc]
+            same = col.eq(col.shift()) | (col.isna() & col.shift().isna())
+            newkey[1:] |= ~same.to_numpy()[1:]
+        seg_id = np.cumsum(newkey, dtype=np.int64) - 1
+        seg_start_rows = np.flatnonzero(newkey)
+        pos_in_seg = np.arange(n, dtype=np.int64) - seg_start_rows[seg_id]
+        seg_len = np.diff(np.append(seg_start_rows, n))
+        rows_left = seg_len[seg_id] - pos_in_seg
+
+        p = [
+            pdf[f"{_PRED_PREFIX}{i}"].to_numpy(dtype=bool)
+            for i in range(n_vars)
+        ]
+        ts_us = pdf[_TS_COL].to_numpy(dtype=np.int64)
+
+        # body-prefix validity pok_m (m = 1..L) and the dangling
+        # partial length (longest strict prefix, 0..L-1)
+        pok = p[0].copy() & (rows_left >= 1)
+        partial = np.where(pok, 1, 0).astype(np.int64)
+        body_ok = pok if L == 1 else None
+        for m_len in range(2, L + 1):
+            j = m_len - 1
+            nxt = pok.copy()
+            nxt[: n - j] &= p[j][j:]
+            nxt[n - j :] = False
+            nxt &= rows_left >= m_len
+            pok = nxt
+            if m_len < L:
+                partial = np.where(pok, m_len, partial)
+            else:
+                body_ok = pok
+        k_full = _strided_chain(body_ok, seg_id, pos_in_seg, L)
+        limit = _segment_deadline_limit(ts_us, seg_id, within_us)
+
+        starts = np.flatnonzero(p[0] & (partial >= 1))
+        if not len(starts):
+            return
+        k = k_full[starts]
+        t_part = starts + k * L
+        seg_end = starts + rows_left[starts] - 1
+        tp_ok = (t_part < n) & (t_part <= seg_end)
+        part_len = np.where(
+            tp_ok, partial[np.minimum(t_part, n - 1)], 0
+        )
+        # a dangling partial equal to a full chunk cannot happen
+        # (chain is maximal), but the partial at t_part may itself be
+        # chunk-START of an invalid chunk — partial[] already encodes
+        # the longest strict prefix, which is what the run consumes
+        e = starts + k * L + part_len - 1
+        dl = limit[starts]
+        kill = e + 1
+
+        # MATCH = the LAST chunk-aligned suffix row inside the chain
+        # and the deadline (longest derivation; with OVERLAPPING
+        # predicates — a row satisfying both the body-start and the
+        # suffix — a mid-chain exit branch completes and is HELD, so
+        # a match may end strictly before the maximal chain; the
+        # match channel then beats the timeout channel even if the
+        # longer run later expires, exactly advance_time's walk).
+        # Candidates share the start's (segment, phase) class — one
+        # batched searchsorted over the class-keyed suffix positions.
+        grp = seg_id * np.int64(L) + pos_in_seg % L
+        zpos = np.flatnonzero(p[ge + 1])
+        zenc = np.sort(grp[zpos] * np.int64(n) + zpos)
+        gkey = grp[starts] * np.int64(n)
+        lo_key = gkey + starts + L  # m >= 1 chunks before the suffix
+        hi_key = gkey + np.minimum(starts + k * L, dl - 1)
+        if len(zenc):
+            iR = np.searchsorted(zenc, hi_key, "right") - 1
+            cval = zenc[np.maximum(iR, 0)]
+            has_c = (iR >= 0) & (cval >= lo_key)
+            c = np.where(has_c, cval - gkey, -1)
+        else:
+            has_c = np.zeros(len(starts), dtype=bool)
+            c = np.full(len(starts), -1, dtype=np.int64)
+        is_match = has_c
+        m_iters = np.where(has_c, (c - starts) // L, 0)
+        is_timeout = (~has_c) & ((kill >= dl) | (kill > seg_end))
+        u = np.minimum(e, dl - 1)  # consumed end for timeouts
+
+        src_arrays = {
+            m.src: pdf[m.src].to_numpy()
+            for m in measure_list
+            if _needs_src(m)
+        }
+        key_arrays = {kc: pdf[kc].to_numpy() for kc in key_cols}
+
+        def emit(sel: np.ndarray, matched: bool, tag: str):
+            """One output frame for the selected starts."""
+            r = starts[sel]
+            kk = m_iters[sel] if matched else k[sel]
+            uu = u[sel]
+            kl = c[sel] if matched else kill[sel]
+            cols: dict[str, object] = {
+                kc: key_arrays[kc][r] for kc in key_cols
+            }
+
+            def var_rows(v: str):
+                i = var_pos[v]
+                if i > ge:  # suffix var
+                    if matched:
+                        return kl, kl, np.ones(len(r), dtype=np.int64)
+                    z = np.zeros(len(r), dtype=np.int64)
+                    return (
+                        np.full(len(r), n, dtype=np.int64),
+                        np.full(len(r), -1, dtype=np.int64),
+                        z,
+                    )
+                j = i  # gs == 0
+                if matched:
+                    first = r + j
+                    last = r + (kk - 1) * L + j
+                    return first, last, kk.copy()
+                cnt = np.where(uu - r >= j, (uu - r - j) // L + 1, 0)
+                first = r + j
+                last = r + j + (cnt - 1) * L
+                return first, last, cnt
+
+            for m in measure_list:
+                comps = subset_map.get(m.var, (m.var,))
+                firsts, lasts, counts = zip(
+                    *(var_rows(c) for c in comps)
+                )
+                if m.fn == "count":
+                    total = counts[0].copy()
+                    for cc in counts[1:]:
+                        total = total + cc
+                    cols[m.name] = total
+                elif m.fn == "first":
+                    fi = np.where(counts[0] > 0, firsts[0], n)
+                    for f2, c2 in zip(firsts[1:], counts[1:]):
+                        fi = np.minimum(fi, np.where(c2 > 0, f2, n))
+                    has = fi < n
+                    ser = pd.Series(
+                        src_arrays[m.src][np.where(has, fi, 0)]
+                    )
+                    ser[~has] = None
+                    cols[m.name] = ser.to_numpy()
+                else:  # last
+                    la = np.where(counts[0] > 0, lasts[0], -1)
+                    for l2, c2 in zip(lasts[1:], counts[1:]):
+                        la = np.maximum(la, np.where(c2 > 0, l2, -1))
+                    has = la >= 0
+                    ser = pd.Series(
+                        src_arrays[m.src][np.where(has, la, 0)]
+                    )
+                    ser[~has] = None
+                    cols[m.name] = ser.to_numpy()
+            cols["tag"] = np.repeat(tag, len(r))
+            return pd.DataFrame(cols, columns=out_names)
+
+        frames = []
+        if is_match.any():
+            frames.append(emit(is_match, True, MATCH_TAG))
+        if is_timeout.any():
+            frames.append(emit(is_timeout, False, TIMEOUT_TAG))
+        if not frames:
+            return
+        out = (
+            pd.concat(frames, ignore_index=True)
+            if len(frames) > 1
+            else frames[0]
+        )
+        _null_safe_agg_cast(out, measure_list, out_schema)
+        yield out
+
+    return sorted_p.mapInPandas(scan_partition, out_schema)

@@ -588,3 +588,120 @@ def test_branches_exact_deadline_probe(spark):
         by_user.setdefault(r[0], []).append(r)
     assert by_user[0][0][3:5] == (1, 1)  # n_ab=1, n_cd=1
     assert sorted(r[3:5] for r in by_user[1]) == [(0, 1), (1, 0)]
+
+
+# --- round 8: group-absence kernel (timeout channel, closed form) ----
+
+BODY_ABSENCE = """
+PARTITION BY user_id ORDER BY ts, event_id
+MEASURES FIRST(X.ts) AS fx, LAST(Z.ts) AS lz, COUNT(X.*) AS n_x,
+         LAST(Y.ts) AS ly
+ONE ROW PER MATCH
+AFTER MATCH SKIP TO NEXT ROW
+PATTERN ((X Y)+ Z) WITHIN INTERVAL '45' MINUTE
+DEFINE X AS event_id % 4 = 1, Y AS event_id % 4 = 2,
+       Z AS event_id % 4 = 3
+"""
+
+#: suffix OVERLAPS the body start (a row may satisfy both X and Z):
+#: a mid-chain exit completes and is held — the kernel must pick the
+#: LAST chunk-aligned suffix row, and the match channel must beat the
+#: timeout channel even when the longer run expires
+BODY_ABSENCE_OVERLAP = """
+PARTITION BY user_id ORDER BY ts, event_id
+MEASURES FIRST(X.ts) AS fx, LAST(Z.ts) AS lz, COUNT(X.*) AS n_x
+ONE ROW PER MATCH
+AFTER MATCH SKIP TO NEXT ROW
+PATTERN ((X Y)+ Z) WITHIN INTERVAL '45' MINUTE
+DEFINE X AS event_id IN (1, 5), Y AS event_id IN (2, 6),
+       Z AS event_id IN (3, 5)
+"""
+
+BODY_ABSENCE_W3 = """
+PARTITION BY user_id ORDER BY ts, event_id
+MEASURES FIRST(X.ts) AS fx, COUNT(W.*) AS n_w, LAST(Z.ts) AS lz
+ONE ROW PER MATCH
+AFTER MATCH SKIP TO NEXT ROW
+PATTERN ((X W Y)+ Z) WITHIN INTERVAL '2' HOUR
+DEFINE X AS event_id % 5 = 1, W AS event_id % 5 = 2,
+       Y AS event_id % 5 = 3, Z AS event_id % 5 = 4
+"""
+
+
+def _both_tagged(spark, df, body):
+    fast = match_recognize(
+        df, body, tiebreak_col="event_id", emit_timeouts=True
+    )
+    nfa = match_recognize(
+        df,
+        body,
+        tiebreak_col="event_id",
+        emit_timeouts=True,
+        use_fast_path=False,
+    )
+    f = sorted(map(tuple, fast.collect()))
+    n = sorted(map(tuple, nfa.collect()))
+    return f, n
+
+
+def test_group_absence_kernel_selected():
+    from flink_cep_examples_spark.operators.fast_path import (
+        fast_group_absence_applicable,
+    )
+    import dataclasses
+
+    spec = dataclasses.replace(
+        parse_match_recognize(BODY_ABSENCE), emit_timeouts=True
+    )
+    assert fast_group_absence_applicable(spec)
+    # SKIP PAST LAST needs the advance_time walk's span discards — NFA
+    past = parse_match_recognize(
+        BODY_ABSENCE.replace("SKIP TO NEXT ROW", "SKIP PAST LAST ROW")
+    )
+    assert not fast_group_absence_applicable(
+        dataclasses.replace(past, emit_timeouts=True)
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_group_absence_matches_nfa(spark, seed):
+    df = _events_df(spark, _random_rows(seed))
+    f, n = _both_tagged(spark, df, BODY_ABSENCE)
+    assert f == n and f
+    tags = {r[-1] for r in f} if f else set()
+    if seed == 0:
+        assert tags == {"match", "timeout"}
+
+
+@pytest.mark.parametrize("seed", [4, 5])
+def test_group_absence_overlap_matches_nfa(spark, seed):
+    rng = random.Random(seed)
+    rows = []
+    for u in range(8):
+        for i in range(20):
+            rows.append((u, i * 7, rng.randrange(0, 8)))
+    df = _events_df(spark, rows)
+    f, n = _both_tagged(spark, df, BODY_ABSENCE_OVERLAP)
+    assert f == n
+
+
+@pytest.mark.parametrize("seed", [6, 7])
+def test_group_absence_w3_matches_nfa(spark, seed):
+    df = _events_df(spark, _random_rows(seed, n_rows=120))
+    f, n = _both_tagged(spark, df, BODY_ABSENCE_W3)
+    assert f == n
+
+
+def test_group_absence_exact_deadline_probe(spark):
+    """Strict < at the deadline: a Z at exactly start+45min does NOT
+    complete (the run expires first — timeout); one minute earlier it
+    matches."""
+    rows = [
+        (0, 0, 1), (0, 1, 2), (0, 44, 3),   # z inside -> match
+        (1, 0, 1), (1, 1, 2), (1, 45, 3),   # z at deadline -> timeout
+    ]
+    df = _events_df(spark, rows)
+    f, n = _both_tagged(spark, df, BODY_ABSENCE)
+    assert f == n
+    tags = {r[0]: r[-1] for r in f}
+    assert tags[0] == "match" and tags[1] == "timeout"
