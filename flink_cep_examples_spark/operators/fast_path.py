@@ -1574,23 +1574,41 @@ def match_pattern_fast_loop_chain(
 def fast_loop_chain_all_rows_applicable(spec) -> bool:
     """ALL ROWS PER MATCH variant of :func:`fast_loop_chain_applicable`
     (round 7.2): same pattern shapes, per-row emission. ``{- var -}``
-    exclusions are handled (a positional keep-mask); RUNNING measures
-    are not (their per-row series need the NFA tier's running
-    evaluator) and reject here."""
+    exclusions are handled (a positional keep-mask). RUNNING measures
+    (round 8) compile too for single-variable targets — per-row counts
+    are offset arithmetic, sums are one segmented cumsum over the
+    expanded rows; RUNNING over SUBSET unions and running MIN/MAX
+    (which need segmented extrema) stay on the NFA tier."""
     import dataclasses
 
     if not isinstance(spec, PatternSpec):
         return False
     if spec.rows_per_match != "all":
         return False
-    if any(m.running for m in spec.measures):
-        return False
+    subset_names = {name for name, _ in spec.subsets}
+    for m in spec.measures:
+        if not m.running:
+            continue
+        if m.fn in ("classifier", "match_number"):
+            continue
+        if m.fn in ("count", "count_col", "sum", "avg", "first", "last"):
+            if m.var in subset_names:
+                return False
+            continue
+        return False  # running min/max → NFA tier
     if getattr(spec, "loop_branches", ()):
         # validate() rejects ALL ROWS with multi-branch groups anyway;
         # defensive — this emitter's positional classifier assumes one
         # fixed iteration body
         return False
-    one = dataclasses.replace(spec, rows_per_match="one")
+    # shape + FINAL-measure compilability via the one-row check; the
+    # RUNNING measures were vetted above (the one-row kernel's own
+    # running reject must not veto them here)
+    one = dataclasses.replace(
+        spec,
+        rows_per_match="one",
+        measures=tuple(m for m in spec.measures if not m.running),
+    )
     return fast_loop_chain_applicable(one)
 
 
@@ -1711,7 +1729,15 @@ def match_pattern_fast_loop_chain_all_rows(
         )
         mseq = np.arange(nm) - first_idx
         mvals: dict[str, object] = {}
+        running = [
+            m
+            for m in measure_list
+            if m.running and m.fn != "match_number"
+        ]
+        run_names = {m.name for m in running}
         for m in measure_list:
+            if m.name in run_names:
+                continue  # per-row series, computed after expansion
             if m.fn == "match_number":
                 mvals[m.name] = mseq + 1
                 continue
@@ -1753,6 +1779,73 @@ def match_pattern_fast_loop_chain_all_rows(
                 ge + 1 + (off - s - k_rep * L),
             ),
         )
+        # RUNNING series (round 8) on the PRE-keep expansion: excluded
+        # rows still contribute to measures (SQL:2016), only their
+        # output rows are dropped. Counts are offset arithmetic; sums
+        # are ONE segmented cumsum over the expanded rows (prefix
+        # minus the match's base prefix, ``cum`` being each row's
+        # match-start index).
+        run_cols: dict[str, tuple] = {}  # name -> (values, none_mask)
+        if running:
+            row_idx_full = starts[rep] + off
+            for m in running:
+                if m.fn == "classifier":
+                    run_cols[m.name] = (var_names[var_idx], None)
+                    continue
+                i = var_pos[m.var]
+                if i < s:
+                    cnt_o = (off >= i).astype(np.int64)
+                    last_row = starts[rep] + i
+                    first_row = last_row
+                elif i > ge:
+                    so = s + k_rep * L + (i - ge - 1)
+                    cnt_o = (off >= so).astype(np.int64)
+                    last_row = starts[rep] + so
+                    first_row = last_row
+                else:
+                    j = i - s
+                    cnt_o = np.clip(
+                        (off - s - j) // L + 1, 0, k_rep
+                    )
+                    first_row = starts[rep] + s + j
+                    last_row = (
+                        first_row + (np.maximum(cnt_o, 1) - 1) * L
+                    )
+                if m.fn == "count":
+                    run_cols[m.name] = (cnt_o, None)
+                elif m.fn == "first":
+                    run_cols[m.name] = (
+                        src_arrays[m.src][first_row],
+                        cnt_o == 0,
+                    )
+                elif m.fn == "last":
+                    run_cols[m.name] = (
+                        src_arrays[m.src][last_row],
+                        cnt_o == 0,
+                    )
+                else:  # sum / avg / count_col: segmented cumsum
+                    isvar = var_idx == i
+                    vraw = src_arrays[m.src][row_idx_full]
+                    notna = ~pd.isna(vraw)
+                    hit = isvar & notna
+                    contrib = np.where(
+                        hit, vraw, 0
+                    ).astype(np.float64)
+                    csum = np.cumsum(contrib)
+                    nv = np.cumsum(hit.astype(np.int64))
+                    S = np.concatenate(([0.0], csum))
+                    N0 = np.concatenate(([0], nv))
+                    run_sum = csum - S[cum]
+                    run_nv = nv - N0[cum]
+                    if m.fn == "count_col":
+                        run_cols[m.name] = (run_nv, None)
+                    elif m.fn == "sum":
+                        run_cols[m.name] = (run_sum, run_nv == 0)
+                    else:  # avg
+                        run_cols[m.name] = (
+                            run_sum / np.maximum(run_nv, 1),
+                            run_nv == 0,
+                        )
         keep = ~excluded[var_idx]
         row_idx = (starts[rep] + off)[keep]
         rep_k = rep[keep]
@@ -1763,7 +1856,17 @@ def match_pattern_fast_loop_chain_all_rows(
         out_cols["classifier"] = var_names[var_k]
         out_cols["match_seq"] = mseq[rep_k]
         for m in measure_list:
-            out_cols[m.name] = np.asarray(mvals[m.name])[rep_k]
+            if m.name in run_cols:
+                vals, none_mask = run_cols[m.name]
+                if none_mask is None:
+                    out_cols[m.name] = np.asarray(vals)[keep]
+                else:
+                    ser = pd.Series(np.asarray(vals)[keep])
+                    nm_k = np.asarray(none_mask)[keep]
+                    ser[nm_k] = None
+                    out_cols[m.name] = ser.to_numpy()
+            else:
+                out_cols[m.name] = np.asarray(mvals[m.name])[rep_k]
         out = pd.DataFrame(out_cols, columns=out_names)
         _null_safe_agg_cast(out, measure_list, out_schema)
         yield out

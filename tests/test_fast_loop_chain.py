@@ -705,3 +705,74 @@ def test_group_absence_exact_deadline_probe(spark):
     assert f == n
     tags = {r[0]: r[-1] for r in f}
     assert tags[0] == "match" and tags[1] == "timeout"
+
+
+# --- round 8: RUNNING measures on the all-rows chain kernel ----------
+
+BODY_ALL_ROWS_RUNNING = """
+PARTITION BY user_id ORDER BY ts, event_id
+MEASURES RUNNING COUNT(X.*) AS rx,
+         RUNNING SUM(X.event_id) AS sx,
+         RUNNING AVG(Y.event_id) AS ay,
+         RUNNING LAST(Y.ts) AS rly,
+         RUNNING FIRST(Y.ts) AS rfy,
+         RUNNING CLASSIFIER() AS rcl,
+         COUNT(X.*) AS pairs
+ALL ROWS PER MATCH
+AFTER MATCH SKIP PAST LAST ROW
+PATTERN ((X Y)+)
+DEFINE X AS event_id % 3 = 1, Y AS event_id % 3 = 2
+"""
+
+BODY_ALL_ROWS_RUNNING_PFX = """
+PARTITION BY user_id ORDER BY ts, event_id
+MEASURES RUNNING COUNT(B.*) AS rb, RUNNING SUM(C.event_id) AS sc,
+         RUNNING LAST(A.ts) AS rla
+ALL ROWS PER MATCH
+AFTER MATCH SKIP PAST LAST ROW
+PATTERN (A (B C)+)
+DEFINE A AS event_id % 3 = 0,
+       B AS event_id % 3 = 1, C AS event_id % 3 = 2
+"""
+
+
+def _both_all_rows(spark, df, body):
+    fast = match_recognize(df, body, tiebreak_col="event_id")
+    nfa = match_recognize(
+        df, body, tiebreak_col="event_id", use_fast_path=False
+    )
+    # row SETS compared (emission order differs between tiers)
+    f = sorted(map(tuple, fast.collect()))
+    n = sorted(map(tuple, nfa.collect()))
+    return f, n
+
+
+def test_all_rows_running_kernel_selected():
+    from flink_cep_examples_spark.operators.fast_path import (
+        fast_loop_chain_all_rows_applicable,
+    )
+
+    spec = parse_match_recognize(BODY_ALL_ROWS_RUNNING)
+    assert fast_loop_chain_all_rows_applicable(spec)
+    # RUNNING MIN stays NFA (segmented extrema)
+    spec_min = parse_match_recognize(
+        BODY_ALL_ROWS_RUNNING.replace(
+            "RUNNING SUM(X.event_id) AS sx",
+            "RUNNING MIN(X.event_id) AS sx",
+        )
+    )
+    assert not fast_loop_chain_all_rows_applicable(spec_min)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_all_rows_running_matches_nfa(spark, seed):
+    df = _events_df(spark, _random_rows(seed))
+    f, n = _both_all_rows(spark, df, BODY_ALL_ROWS_RUNNING)
+    assert f == n and f
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_all_rows_running_prefix_matches_nfa(spark, seed):
+    df = _events_df(spark, _random_rows(seed))
+    f, n = _both_all_rows(spark, df, BODY_ALL_ROWS_RUNNING_PFX)
+    assert f == n and f
