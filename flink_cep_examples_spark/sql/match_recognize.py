@@ -481,10 +481,10 @@ def _parse_var_seq(
         if tok in (_LOOP_OPEN, _LOOP_OPEN_R):
             if group_start is not None:
                 raise NotImplementedError("nested unbounded groups")
-            if excluding:
-                raise NotImplementedError(
-                    "{- -} exclusion around an unbounded group"
-                )
+            # {- (A B)+ -} (round 8 — was a loud reject): exclusion
+            # around the group is exclusion of every body variable;
+            # the open ``excluding`` flag marks them as they parse,
+            # exactly like the inside form (({- A B -})+)
             group_start = len(vars_)
             branch_cuts = []
             loop_reluctant = tok == _LOOP_OPEN_R

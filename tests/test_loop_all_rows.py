@@ -195,3 +195,33 @@ def test_all_rows_consistent_with_one_row(spark):
     assert sorted(r["pairs"] for r in one_row) == sorted(
         pairs_by_match.values()
     )
+
+
+def test_exclusion_around_group_all_rows(spark):
+    """``{- (X Y)+ -} Z`` (round 8 — was a loud reject): exclusion
+    AROUND the group equals excluding every body variable; ALL ROWS
+    emits only the Z row while the match shape (and measures) still
+    cover the chain."""
+    body = """
+    PARTITION BY user_id ORDER BY ts, event_id
+    MEASURES COUNT(X.*) AS pairs
+    ALL ROWS PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN ({- (X Y)+ -} Z)
+    DEFINE X AS event_id % 3 = 1, Y AS event_id % 3 = 2,
+           Z AS event_id % 3 = 0
+    """
+    spec = parse_match_recognize(body)
+    assert spec.loop_groups == ((0, 1),)
+    assert [v.excluded for v in spec.variables] == [True, True, False]
+    out = match_recognize(
+        _df(spark, [1, 2, 1, 2, 0]), body, tiebreak_col="event_id"
+    )
+    rows = out.collect()
+    assert [(r["classifier"], r["pairs"]) for r in rows] == [("Z", 2)]
+    # NFA-tier agreement
+    nfa = match_recognize(
+        _df(spark, [1, 2, 1, 2, 0]), body, tiebreak_col="event_id",
+        use_fast_path=False,
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, nfa))
