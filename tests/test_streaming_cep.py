@@ -494,3 +494,154 @@ def test_streaming_group_chain_matches_batch(spark, sf_small, tmp_path):
         for r in spark.sql("SELECT * FROM chain_stream").collect()
     )
     assert got == batch
+
+
+@pytest.mark.slow
+def test_streaming_multi_branch_group_matches_batch(spark, sf_small, tmp_path):
+    """Round 8: alternation inside an unbounded group streamed through
+    the held-completion coordinator (multi-begin, any-branch loop-back
+    NFA state) must equal the batch multi-branch chain KERNEL. WITHIN
+    bounds the chains so end-of-stream equivalence is decidable; a
+    far-future inert sentinel closes the watermark."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.sources.tables import load_table
+    from flink_cep_examples_spark.sql.match_recognize import match_recognize
+
+    events = load_table(spark, sf_small, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    sentinel = spark.createDataFrame(
+        [(-1, "2031-01-01 00:00:00", 0)],
+        "user_id long, dt string, event_id long",
+    ).select("user_id", F.to_timestamp("dt").alias("ts"), "event_id")
+    src = str(tmp_path / "branch_events")
+    lo, hi = events.agg(
+        F.min("ts").alias("a"), F.max("ts").alias("b")
+    ).first()
+    cut = lo + (hi - lo) / 2
+    for part in (
+        events.filter(F.col("ts") <= F.lit(cut)),
+        events.filter(F.col("ts") > F.lit(cut)),
+        sentinel,
+    ):
+        part.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    body = """
+    PARTITION BY user_id ORDER BY ts, event_id
+    MEASURES FIRST(A.ts) AS fa, FIRST(C.ts) AS fc,
+             COUNT(A.*) AS n_ab, COUNT(C.*) AS n_cd
+    ONE ROW PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN ((A B | C D)+) WITHIN INTERVAL '2' DAY
+    DEFINE A AS event_id % 5 = 1, B AS event_id % 5 = 2,
+           C AS event_id % 5 = 3, D AS event_id % 5 = 4
+    """  # per-var measures: SUBSET unions are batch-tier by design
+    key = lambda t: tuple(str(x) for x in t)  # None-safe sort
+    batch_df = spark.read.parquet(src)
+    batch = sorted(
+        map(tuple, match_recognize(
+            batch_df, body, tiebreak_col="event_id"
+        ).collect()),
+        key=key,
+    )
+    assert batch, "expected multi-branch matches in the fixture"
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = match_recognize(
+        stream, body, tiebreak_col="event_id", watermark_delay="6 minutes"
+    )
+    q = (
+        out.drop("tag")
+        .writeStream.format("memory")
+        .queryName("branch_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM branch_stream").collect()),
+        key=key,
+    )
+    assert got == batch
+
+
+@pytest.mark.slow
+def test_streaming_group_absence_matches_batch(spark, sf_small, tmp_path):
+    """Round 8: the timeout channel x loop groups streamed — match AND
+    timeout rows (tags included) must equal the batch group-absence
+    KERNEL; held completions beat the timeout channel across
+    micro-batch boundaries exactly as in advance_time's walk."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.sources.tables import load_table
+    from flink_cep_examples_spark.sql.match_recognize import match_recognize
+
+    events = load_table(spark, sf_small, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    sentinel = spark.createDataFrame(
+        [(-1, "2031-01-01 00:00:00", 0)],
+        "user_id long, dt string, event_id long",
+    ).select("user_id", F.to_timestamp("dt").alias("ts"), "event_id")
+    src = str(tmp_path / "absence_events")
+    lo, hi = events.agg(
+        F.min("ts").alias("a"), F.max("ts").alias("b")
+    ).first()
+    cut = lo + (hi - lo) / 2
+    for part in (
+        events.filter(F.col("ts") <= F.lit(cut)),
+        events.filter(F.col("ts") > F.lit(cut)),
+        sentinel,
+    ):
+        part.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    body = """
+    PARTITION BY user_id ORDER BY ts, event_id
+    MEASURES FIRST(X.ts) AS fx, LAST(Z.ts) AS lz, COUNT(X.*) AS n_x
+    ONE ROW PER MATCH
+    AFTER MATCH SKIP TO NEXT ROW
+    PATTERN ((X Y)+ Z) WITHIN INTERVAL '2' DAY
+    DEFINE X AS event_id % 4 = 1, Y AS event_id % 4 = 2,
+           Z AS event_id % 4 = 3
+    """
+    batch_df = spark.read.parquet(src)
+    batch = sorted(
+        map(tuple, match_recognize(
+            batch_df, body, tiebreak_col="event_id", emit_timeouts=True
+        ).collect())
+    )
+    tags = {r[-1] for r in batch}
+    assert tags == {"match", "timeout"}, tags
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = match_recognize(
+        stream,
+        body,
+        tiebreak_col="event_id",
+        emit_timeouts=True,
+        watermark_delay="6 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("absence_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM absence_stream").collect())
+    )
+    assert got == batch
