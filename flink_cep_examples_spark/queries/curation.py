@@ -637,3 +637,115 @@ register(
     ORACLE_LOGPROB_BUCKETS,
     # r7 rotation: promoted (never-driver-verified pool)
 )
+
+
+#: C4/CCNet-style boilerplate removal knobs: documents segment into
+#: fixed word windows (the corpus has no newline structure; a real
+#: deployment swaps the segmenter for line/sentence splits — the
+#: Spark plumbing is identical), and a segment repeated across many
+#: documents is boilerplate.
+SEG_WORDS = 10
+BOILER_DF = 3
+
+
+def docs_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level segment (pseudo-line) dedup — the C4 "three
+    sentence" / CCNet paragraph-hash boilerplate-removal step
+    (round 8): split every document into ``SEG_WORDS``-word segments,
+    hash each (md5 — at 100 TB the hash IS the shuffle key, never the
+    raw text), count each hash's DOCUMENT frequency, and drop
+    segments appearing in ≥ ``BOILER_DF`` distinct documents. Output:
+    per-doc segment counts and an md5 digest of the kept text
+    (segments in original order), so the cleaning is byte-pinned.
+
+    Plan shape: scan → codegen segmenter (transform + slice, no
+    Python) → ONE shuffle keyed on the segment hash for the df count
+    (map-side combined countDistinct) → hash join back → per-doc agg.
+    No collect, no UDF; the df table is corpus-sized but
+    hash-partitioned — the 100 TB profile of MinHash-LSH's band
+    join."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    words = F.split(F.col("text"), " ")
+    n_seg = F.ceil(F.size(words) / F.lit(SEG_WORDS)).cast("int")
+    segs = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(n_seg - 1, F.lit(0))),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.slice(
+                            words,
+                            i * SEG_WORDS + F.lit(1),
+                            F.lit(SEG_WORDS),
+                        ),
+                    ),
+                )
+            ).alias("seg_id", "seg"),
+        )
+        .withColumn("h", F.md5("seg"))
+    )
+    dfreq = segs.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("seg_df")
+    )
+    joined = segs.join(dfreq, "h")
+    kept = F.when(
+        F.col("seg_df") < BOILER_DF, F.struct("seg_id", "seg")
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_seg"),
+        F.sum(
+            F.when(F.col("seg_df") >= BOILER_DF, 1).otherwise(0)
+        ).cast("long").alias("n_boiler"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept)),
+                    lambda x: x["seg"],
+                ),
+            )
+        ).alias("kept_md5"),
+    )
+
+
+ORACLE_SEGMENT_DEDUP = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CAST(i AS BIGINT) AS seg_id,
+         array_to_string(
+           words[CAST(i * {SEG_WORDS} + 1 AS BIGINT)
+                 : CAST(i * {SEG_WORDS} + {SEG_WORDS} AS BIGINT)],
+           ' '
+         ) AS seg
+  FROM d,
+       unnest(range(0, greatest(
+         CAST(ceil(len(words) / {SEG_WORDS}.0) AS BIGINT), 1))) AS t(i)
+),
+h AS (SELECT *, md5(seg) AS hh FROM s),
+f AS (
+  SELECT *, COUNT(DISTINCT doc_id) OVER (PARTITION BY hh) AS seg_df
+  FROM h
+)
+SELECT doc_id,
+       COUNT(*) AS n_seg,
+       COUNT(CASE WHEN seg_df >= {BOILER_DF} THEN 1 END) AS n_boiler,
+       md5(COALESCE(
+         string_agg(seg, ' ' ORDER BY seg_id)
+           FILTER (WHERE seg_df < {BOILER_DF}),
+         ''
+       )) AS kept_md5
+FROM f GROUP BY doc_id
+"""
+
+
+register(
+    "docs_segment_dedup",
+    docs_segment_dedup,
+    ORACLE_SEGMENT_DEDUP,
+    # round 8: C4-style boilerplate segment removal — into the gate
+)

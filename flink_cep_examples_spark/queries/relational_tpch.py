@@ -627,7 +627,11 @@ register(
 )
 register("q7_volume_shipping", q7_volume_shipping, ORACLE_Q7)
 register("q8_market_share", q8_market_share, ORACLE_Q8)
-register("q9_product_type_profit", q9_product_type_profit, ORACLE_Q9)
+register(
+    "q9_product_type_profit", q9_product_type_profit, ORACLE_Q9,
+    driver=False,  # r8 rotation: 3 green rounds (r5-r7) — demoted to
+    # make room for docs_segment_dedup (COVERAGE.md policy)
+)
 register("q11_important_stock", q11_important_stock, ORACLE_Q11)
 register(
     "q13_order_count_distribution",
