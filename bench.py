@@ -72,7 +72,8 @@ HEADLINE = [
     "ann_ivfadc_topk",  # round-7 IVFADC (IVF prune + PQ/ADC)
     "cep_group_chain_within",  # round-8 WITHIN on the chain kernel
     "cep_group_absence",  # round-8 timeout channel x loop groups (NFA tier)
-    "cep_group_alt_unbounded",  # round-8 multi-branch loop group (NFA tier)
+    "cep_group_alt_unbounded",  # round-8 multi-branch group (chain kernel)
+    "cep_group_nested",  # round-8 nested groups (two-level chain kernel)
 ]
 
 #: Round-6 outlier audit (VERDICT r5 item 7): docs_bigram_topk
@@ -86,10 +87,17 @@ HEADLINE = [
 #: query's code changed since r4.
 BENCH_NOTES = (
     "r8: headline set +5 (sources_kmv_jaccard + ann_ivfadc_topk per "
-    "VERDICT r7 item 9, plus the three new round-8 pattern shapes); "
-    "cep_group_chain_within runs the deadline-capped chain kernel, "
-    "cep_group_absence / cep_group_alt_unbounded are NFA-tier by "
-    "design (timeout channel / per-iteration branch choice)"
+    "VERDICT r7 item 9, plus the three new round-8 pattern shapes, "
+    "all three of which compile to partition-level kernels: "
+    "chain-within 1.43x, group-absence 1.19x, alt-unbounded 1.18x at "
+    "10x). Flag audit (idle-host rerun + solo probes + r7-worktree "
+    "A/B): cep_alert_reactions solo min 0.787 < r7's 0.856 (noise); "
+    "cep_streaming measured 2.43 on r8 code vs 2.10 on the r7 commit "
+    "run back-to-back on the same host (recorded r7 value 1.83 = "
+    "host drift), and a 200k-row pure-Python NFA microbench puts the "
+    "real r8 step() cost at +4% (the advance_time longest-walk "
+    "branch checks) with bit-identical output - inside the "
+    "documented noise band, not a plan regression"
 )
 
 

@@ -2233,3 +2233,299 @@ def match_pattern_fast_group_absence(
         yield out
 
     return sorted_p.mapInPandas(scan_partition, out_schema)
+
+
+def fast_nested_chain_applicable(spec) -> bool:
+    """True for the vectorizable NESTED-group shape (round 8):
+    ``PATTERN ((P1..Ps (X1..XL)+ S1..Sf)+)`` — an OUTER unbounded
+    group spanning the whole pattern whose body is exactly the
+    single-level chain-kernel shape (prefix + one inner unbounded
+    group + suffix, f ≥ 1 so iterations are delimited), under LONGEST
+    derivation, no timeouts, ONE ROW, AFTER MATCH SKIP PAST LAST ROW
+    (disjoint-predicate outer matches never overlap, so every maximal
+    unit chain emits; TO-NEXT/NO-SKIP would need per-start re-chains).
+
+    The kernel requires RUNTIME predicate disjointness (a row
+    satisfying two pattern variables lets the regex backtrack across
+    unit boundaries): each partition checks the pairwise pred
+    overlap and falls back to the per-segment NFA when any row
+    overlaps — same answers either way (differential-tested)."""
+    if not isinstance(spec, PatternSpec) or spec.derivation != "longest":
+        return False
+    if spec.permute or spec.emit_timeouts or spec.rows_per_match != "one":
+        return False
+    if getattr(spec, "loop_branches", ()):
+        return False
+    if spec.after_match != SKIP_PAST_LAST_EVENT:
+        return False
+    if len(spec.loop_groups) != 2:
+        return False
+    spans = sorted(spec.loop_groups)
+    n = len(spec.variables)
+    outer = (0, n - 1)
+    if outer not in spec.loop_groups:
+        return False
+    inner = spans[0] if spans[1] == outer else spans[1]
+    if inner == outer or inner[1] >= n - 1:
+        return False  # need >= 1 suffix var to delimit outer iterations
+    for i, v in enumerate(spec.variables):
+        if v.negated or v.until is not None or v.quantifier != ONCE:
+            return False
+        if i > 0 and v.contiguity != STRICT:
+            return False
+        if not v.greedy:
+            return False
+    names = {v.name for v in spec.variables}
+    subset_map = dict(spec.subsets)
+    for m in spec.measures:
+        if m.running:
+            return False
+        if m.fn in NILADIC_FNS:
+            continue  # per-segment MATCH_NUMBER / last-var CLASSIFIER
+        if m.fn not in ("first", "last", "count"):
+            return False
+        comps = subset_map.get(m.var, (m.var,))
+        if not all(c in names for c in comps):
+            return False
+    return True
+
+
+def match_pattern_fast_nested_chain(
+    df: DataFrame, spec: PatternSpec
+) -> DataFrame:
+    """TWO-LEVEL chain kernel for nested unbounded groups (see
+    :func:`fast_nested_chain_applicable`). Derivation (from the NFA
+    semantics; with DISJOINT predicates each inner unit is the
+    greedy-maximal chunk chain plus its suffix, and an outer match is
+    the maximal run of ADJACENT units — exactly the independently
+    derived ORACLE_GROUP_NESTED decomposition):
+
+    - level 1: the single-level scan core finds every UNIT start
+      (prefix ok, k >= 1 chunks, suffix ok) with its greedy k —
+      SKIP TO NEXT semantics (past_last=False) so every candidate
+      start is kept;
+    - level 2: units chain when the next unit starts right after this
+      unit's last row; chain heads are units no unit ends before, and
+      one pointer chase per unit (the proven skip-past pattern)
+      aggregates per-match totals.
+
+    Rows whose predicates OVERLAP (any pair of variables true on one
+    row) break the greedy-unit argument — the partition then runs the
+    per-segment NFA instead (identical output, differential-tested).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from flink_cep_examples_spark.operators import nfa as _nfa
+    from flink_cep_examples_spark.operators.cep_batch import (
+        _make_measure_eval,
+        _needs_src,
+        _null_safe_agg_cast,
+        _prepare,
+        _PRED_PREFIX,
+        _TS_COL,
+        output_schema,
+    )
+
+    spec.validate()
+    if not fast_nested_chain_applicable(spec):
+        raise ValueError("pattern shape not compilable (nested chain)")
+
+    spans = sorted(spec.loop_groups)
+    n_vars = len(spec.variables)
+    outer = (0, n_vars - 1)
+    inner = spans[0] if spans[1] == outer else spans[1]
+    gs, ge = inner
+    s = gs
+    L = ge - gs + 1
+    f = n_vars - ge - 1
+    prepared = _prepare(df, spec)
+    out_schema = output_schema(df, spec)
+    key_cols = list(spec.key_cols)
+    tiebreak = spec.tiebreak_col
+    measure_list = list(spec.measures)
+    subset_map = dict(spec.subsets)
+    var_pos = {v.name: i for i, v in enumerate(spec.variables)}
+    out_names = [fld.name for fld in out_schema.fields]
+    compiled = _nfa.Nfa(spec)
+
+    sorted_p = prepared.repartition(*key_cols).sortWithinPartitions(
+        *key_cols, _TS_COL, tiebreak
+    )
+
+    def scan_partition(batches):
+        chunks = [c for c in batches if len(c)]
+        if not chunks:
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        n = len(pdf)
+        p = [
+            pdf[f"{_PRED_PREFIX}{i}"].to_numpy(dtype=bool)
+            for i in range(n_vars)
+        ]
+        src_arrays = {
+            m.src: pdf[m.src].to_numpy()
+            for m in measure_list
+            if _needs_src(m)
+        }
+        key_arrays = {kc: pdf[kc].to_numpy() for kc in key_cols}
+
+        overlap = False
+        for i in range(n_vars):
+            for j in range(i + 1, n_vars):
+                if (p[i] & p[j]).any():
+                    overlap = True
+                    break
+            if overlap:
+                break
+        if overlap:
+            # NFA fallback, per key segment (rare: classifier-style
+            # patterns have disjoint predicates by construction)
+            newkey = np.zeros(n, dtype=bool)
+            newkey[0] = True
+            for kc in key_cols:
+                col = pdf[kc]
+                same = col.eq(col.shift()) | (
+                    col.isna() & col.shift().isna()
+                )
+                newkey[1:] |= ~same.to_numpy()[1:]
+            bounds = np.append(np.flatnonzero(newkey), n)
+            ts_us = pdf[_TS_COL].to_numpy(dtype=np.int64)
+            preds_all = np.stack(p)
+            eval_measures = _make_measure_eval(
+                measure_list, spec.subsets, src_arrays
+            )
+            cols: dict[str, list] = {c: [] for c in out_names}
+            for b in range(len(bounds) - 1):
+                lo, hi = int(bounds[b]), int(bounds[b + 1])
+                matches, _ = _nfa.scan_key_group(
+                    compiled, preds_all[:, lo:hi], ts_us[lo:hi]
+                )
+                matches.sort(
+                    key=lambda mm: (
+                        min(sp[3] for sp in mm.values()),
+                        max(sp[4] for sp in mm.values()),
+                    )
+                )
+                for mi, match in enumerate(matches):
+                    shifted = {
+                        v: (sp[0] + lo, sp[1] + lo, sp[2],
+                            sp[3] + lo, sp[4] + lo)
+                        for v, sp in match.items()
+                    }
+                    for kc in key_cols:
+                        cols[kc].append(key_arrays[kc][lo])
+                    for name, val in eval_measures(
+                        shifted, mi + 1
+                    ).items():
+                        cols[name].append(val)
+                    cols["tag"].append(MATCH_TAG)
+            if not cols[out_names[0]]:
+                return
+            out = pd.DataFrame(cols, columns=out_names)
+            _null_safe_agg_cast(out, measure_list, out_schema)
+            yield out
+            return
+
+        scanned = _chain_scan_starts(
+            pdf, key_cols, n_vars, s, L, f, ge, 1, False,
+            within_us=None,
+        )
+        if scanned is None:
+            return
+        ustarts, uk, seg_id, _g, _b = scanned
+        # unit lengths and next-start pointers; (segment, position)
+        # encoding so adjacency never leaks across key segments
+        ulen = s + uk * L + f
+        unxt = ustarts + ulen
+        useg = seg_id[ustarts]
+        enc_start = useg * np.int64(n) + ustarts
+        enc_end = np.sort(useg * np.int64(n) + unxt)
+        idx = np.searchsorted(enc_end, enc_start)
+        has_pred = (idx < len(enc_end)) & (
+            enc_end[np.minimum(idx, len(enc_end) - 1)] == enc_start
+        )
+        start_of = {int(e): i for i, e in enumerate(enc_start)}
+        heads = np.flatnonzero(~has_pred)
+        if not len(heads):
+            return
+        cols = {kc: [] for kc in key_cols}
+        for m in measure_list:
+            cols[m.name] = []
+        cols["tag"] = []
+        mn_per_seg: dict[int, int] = {}
+        cutoff = -1  # SKIP PAST LAST: a head inside an emitted span
+        cutoff_seg = -1  # is a consumed partial — heads are ascending
+        for h in heads:
+            i = int(h)
+            seg = int(useg[i])
+            if seg == cutoff_seg and int(ustarts[i]) < cutoff:
+                continue
+            first_u = i
+            total_pairs = 0
+            n_units = 0
+            while True:
+                total_pairs += int(uk[i])
+                n_units += 1
+                nxt = start_of.get(int(useg[i]) * n + int(unxt[i]))
+                if nxt is None:
+                    break
+                i = nxt
+            last_u = i
+            cutoff = int(unxt[last_u])
+            cutoff_seg = seg
+            r0 = int(ustarts[first_u])
+            rl = int(ustarts[last_u])
+            kl = int(uk[last_u])
+            mn_per_seg[seg] = mn_per_seg.get(seg, 0) + 1
+
+            def var_span(v: str):
+                """(first_idx, last_idx, count) for one variable."""
+                vi = var_pos[v]
+                if vi < s:  # unit prefix var
+                    return r0 + vi, rl + vi, n_units
+                if vi > ge:  # unit suffix var
+                    off = vi - ge - 1
+                    return (
+                        r0 + s + int(uk[first_u]) * L + off,
+                        rl + s + kl * L + off,
+                        n_units,
+                    )
+                j = vi - s  # inner body var
+                return (
+                    r0 + s + j,
+                    rl + s + (kl - 1) * L + j,
+                    total_pairs,
+                )
+
+            for kc in key_cols:
+                cols[kc].append(key_arrays[kc][r0])
+            for m in measure_list:
+                if m.fn == "match_number":
+                    cols[m.name].append(mn_per_seg[seg])
+                    continue
+                if m.fn == "classifier":
+                    cols[m.name].append(spec.variables[-1].name)
+                    continue
+                comps = subset_map.get(m.var, (m.var,))
+                triples = [var_span(c) for c in comps]
+                if m.fn == "count":
+                    cols[m.name].append(sum(t[2] for t in triples))
+                elif m.fn == "first":
+                    cols[m.name].append(
+                        src_arrays[m.src][min(t[0] for t in triples)]
+                    )
+                else:
+                    cols[m.name].append(
+                        src_arrays[m.src][max(t[1] for t in triples)]
+                    )
+            cols["tag"].append(MATCH_TAG)
+        out = pd.DataFrame(cols, columns=out_names)
+        _null_safe_agg_cast(out, measure_list, out_schema)
+        yield out
+
+    return sorted_p.mapInPandas(scan_partition, out_schema)

@@ -322,7 +322,14 @@ class Nfa:
                     if not self._optional[j]:
                         break
                     j += 1
-                self._loop_succ[e_p] = tuple(targets)
+                # NESTED groups (round 8, e.g. (A (B C)+)+) may share
+                # an end variable — its loop-back target set is the
+                # UNION of the groups' starts (inner re-entry and
+                # outer re-entry are both legal next iterations)
+                prev = self._loop_succ.get(e_p, ())
+                self._loop_succ[e_p] = prev + tuple(
+                    t for t in targets if t not in prev
+                )
 
         #: run-start positions: normally just position 0, but a
         #: pattern BEGINNING with a multi-branch group may start a run
@@ -336,6 +343,7 @@ class Nfa:
         #: predicate indices whose OR says "this row can start a run" —
         #: callers prefilter with these (scan drivers, streaming tier)
         self.begin_preds = tuple(self._pos[p] for p in self._begin_positions)
+        self._single_begin = len(self._begin_positions) == 1
 
         #: greedy (non-reluctant) loop groups — in ALTERNATION
         #: coordination (round 7), a completion from such an
@@ -807,11 +815,30 @@ class Nfa:
             run.branches = new_branches
         st.runs = [r for r in st.runs if r.branches or r.pending is not None]
 
-        # begin-state branching: a fresh run starts at this row — one
-        # initial branch per begin position the row satisfies (several
-        # only for a leading multi-branch group whose branch-start
-        # predicates overlap; they share ONE run/start ordinal, exactly
-        # like mid-run branch nondeterminism)
+        # begin-state branching: a fresh run starts at this row. The
+        # single-begin form (every pattern except a leading
+        # multi-branch group) stays the inlined hot path — this runs
+        # per row per key.
+        if self._single_begin:
+            if pred_row[self.first_pred]:
+                nb = self._extend(
+                    _Branch(0, 0, self._empty_rows), 0, payload, ord_
+                )
+                run = _Run(t_us, st.next_seq, [nb], start_ord=ord_)
+                st.next_seq += 1
+                if self._complete[0] and self._minc[0] <= 1:
+                    if self._trailing:
+                        run.pending = nb
+                    else:
+                        completed.append((run.seq, run.start_ord, nb))
+                    if not self._can_loop[0] and 0 not in self._loop_succ:
+                        run.branches = []
+                if run.branches or run.pending is not None:
+                    st.runs.append(run)
+            return completed
+        # multi-begin (leading multi-branch group): one initial branch
+        # per begin position the row satisfies — they share ONE
+        # run/start ordinal, like mid-run branch nondeterminism
         run = None
         for p in self._begin_positions:
             if not pred_row[self._pos[p]]:

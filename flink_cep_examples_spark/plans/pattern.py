@@ -445,17 +445,65 @@ class PatternSpec:
             # ROWS emission uses. Multi-branch groups have no fixed
             # stride; their ALL ROWS mode is rejected above.
             spans_sorted = sorted(self.loop_groups)
-            prev_end = -1
             group_vars: set[str] = set()
-            for s, e in spans_sorted:
+            nested_vars: set[str] = set()
+            # pairwise: DISJOINT or PROPERLY NESTED (round 8 —
+            # ((A B)+ C)+ etc.): an inner group must end strictly
+            # before its outer group's end variable (the outer needs
+            # a distinct iteration-closing var; ((A B)+)+ degenerates
+            # to (A B)+ — write that), and partial overlap is
+            # meaningless
+            for i, (s, e) in enumerate(spans_sorted):
                 if not (0 <= s <= e < len(self.variables)):
                     raise ValueError(f"loop group ({s}, {e}) out of range")
-                if s <= prev_end:
+                for s2, e2 in spans_sorted[i + 1 :]:
+                    if s2 > e:
+                        continue  # disjoint, later
+                    if (
+                        (s <= s2 and e2 <= e) or (s2 <= s and e <= e2)
+                    ) and (s2, e2) != (s, e):
+                        # one group nested inside the other; a SHARED
+                        # end ((A (B C)+)+) is fine — the end
+                        # variable's loop-back target set is the union
+                        # of the groups' starts
+                        nested_vars.update(
+                            self.variables[j].name
+                            for j in range(min(s, s2), max(e, e2) + 1)
+                        )
+                        continue
                     raise ValueError(
-                        "loop groups cannot overlap or nest: "
-                        f"{self.loop_groups}"
+                        "loop groups must be disjoint or properly "
+                        f"nested: {self.loop_groups}"
                     )
-                prev_end = e
+            if nested_vars:
+                if self.loop_branches:
+                    raise NotImplementedError(
+                        "alternation branches inside NESTED unbounded "
+                        "groups"
+                    )
+                if self.rows_per_match == "all":
+                    raise NotImplementedError(
+                        "ALL ROWS PER MATCH with nested unbounded "
+                        "groups: iterations have no fixed row stride"
+                    )
+                if self.emit_timeouts:
+                    raise NotImplementedError(
+                        "timeout emission with nested unbounded groups"
+                    )
+                subset_expand_n = dict(self.subsets)
+                for m in self.measures:
+                    if m.fn in AGG_FNS or m.running:
+                        comps = set(
+                            subset_expand_n.get(m.var, (m.var,))
+                        )
+                        if comps & nested_vars:
+                            raise NotImplementedError(
+                                f"aggregate/RUNNING measure {m.name} "
+                                "over nested-group variable(s) "
+                                f"{sorted(comps & nested_vars)}: "
+                                "iterations have no fixed row stride"
+                            )
+            for s, e in spans_sorted:
                 seg = self.variables[s : e + 1]
                 for v in seg:
                     if v.negated:

@@ -2211,6 +2211,130 @@ register(
 )
 
 
+def cep_group_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED unbounded groups — ``PATTERN (((A B)+ C)+)`` (round 8):
+    round 7's last structural reject. A nested group is just more
+    loop-back edges in the sub-NFA (every group end re-enters its
+    group's start; operators/nfa.py merges targets when groups share
+    an end), and LONGEST derivation holds per-start completions as
+    usual. On a classified row string this is Python ``re``
+    leftmost-greedy ``(?:(?:ab)+c)+`` — differential-tested in
+    tests/test_nested_groups.py (per-shape Hypothesis suites incl.
+    shared-end ``(A (B C)+)+`` and mid-nested ``(A (B C)+ D)+``).
+
+    Classes: event_id % 4 → 1=A, 2=B, 3=C. NFA tier (nested
+    iterations have no fixed row stride; the closed form below is a
+    TWO-LEVEL chain — a kernelization candidate). Greedy structure:
+    disjoint classes make each inner unit the MAXIMAL pair run plus
+    its C, and the outer match the maximal run of adjacent units."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.sources.tables import load_table, spread
+    from flink_cep_examples_spark.sql.match_recognize import match_recognize
+
+    events = spread(load_table(spark, sf_dir, "events"), "user_id").select(
+        "user_id", "ts", "event_id"
+    )
+    out = match_recognize(
+        events,
+        """
+        PARTITION BY user_id ORDER BY ts, event_id
+        MEASURES FIRST(A.ts) AS start_ts,
+                 LAST(C.ts) AS end_ts,
+                 COUNT(A.*) AS n_pairs,
+                 COUNT(C.*) AS n_units
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (((A B)+ C)+)
+        DEFINE A AS event_id % 4 = 1,
+               B AS event_id % 4 = 2,
+               C AS event_id % 4 = 3
+        """,
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss").alias("start_dt"),
+        F.date_format("end_ts", "yyyy-MM-dd HH:mm:ss").alias("end_dt"),
+        "n_pairs",
+        "n_units",
+    )
+
+
+#: TWO-LEVEL chain closed form, derived independently of the NFA:
+#: level 1 — valid (A,B) pairs chain at step 2 into maximal pair runs
+#: (same decomposition as ORACLE_GROUP_ALT_UNBOUNDED); a run whose
+#: end+2 row is class C forms a UNIT [run start, C row]. Level 2 —
+#: units chain when the next unit starts directly after this unit's C
+#: (disjoint classes force greedy-maximal pairs per unit, so units
+#: are unambiguous); each maximal unit chain is one match under SKIP
+#: PAST LAST ROW.
+ORACLE_GROUP_NESTED = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_id % 4 AS m,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+p AS (
+  SELECT *, (m = 1 AND lead(m) OVER w = 2) AS pstart
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+),
+ps AS (
+  SELECT user_id, rn,
+         CASE WHEN lag(rn) OVER w2 = rn - 2 THEN 0 ELSE 1 END AS brk
+  FROM p WHERE pstart
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)
+),
+ch AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY rn) AS cid
+  FROM ps
+),
+runs AS (
+  SELECT user_id, cid, MIN(rn) AS srn, MAX(rn) + 1 AS prn_end,
+         COUNT(*) AS n_pairs
+  FROM ch GROUP BY user_id, cid
+),
+units AS (
+  SELECT r.user_id, r.srn, r.prn_end + 1 AS urn_end, r.n_pairs
+  FROM runs r
+  JOIN e c ON c.user_id = r.user_id AND c.rn = r.prn_end + 1
+  WHERE c.m = 3
+),
+uc AS (
+  SELECT *,
+         CASE WHEN lag(urn_end) OVER w3 = srn - 1 THEN 0 ELSE 1 END AS brk2
+  FROM units
+  WINDOW w3 AS (PARTITION BY user_id ORDER BY srn)
+),
+oc AS (
+  SELECT *, SUM(brk2) OVER (PARTITION BY user_id ORDER BY srn) AS oid
+  FROM uc
+),
+agg AS (
+  SELECT user_id, oid, MIN(srn) AS osrn, MAX(urn_end) AS oern,
+         CAST(SUM(n_pairs) AS BIGINT) AS n_pairs,
+         COUNT(*) AS n_units
+  FROM oc GROUP BY user_id, oid
+)
+SELECT a.user_id,
+       strftime(fs.ts, {_FMT}) AS start_dt,
+       strftime(ls.ts, {_FMT}) AS end_dt,
+       a.n_pairs, a.n_units
+FROM agg a
+JOIN e fs ON fs.user_id = a.user_id AND fs.rn = a.osrn
+JOIN e ls ON ls.user_id = a.user_id AND ls.rn = a.oern
+"""
+
+
+register(
+    "cep_group_nested",
+    cep_group_nested,
+    ORACLE_GROUP_NESTED,
+    # round 8: nested unbounded groups — into the driver gate
+)
+
+
 def cep_group_range_or_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MIXED written alternation + ranged group — ``PATTERN
     ((D U){1,2} | F)`` (round 6): the round-5 engine refused this

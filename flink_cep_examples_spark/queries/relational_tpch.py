@@ -626,7 +626,11 @@ register(
     driver=False,  # r6 rotation: driver-verified green r4.2+r5; pytest-gated
 )
 register("q7_volume_shipping", q7_volume_shipping, ORACLE_Q7)
-register("q8_market_share", q8_market_share, ORACLE_Q8)
+register(
+    "q8_market_share", q8_market_share, ORACLE_Q8,
+    driver=False,  # r8 rotation: 3 green rounds (r5-r7) — demoted to
+    # make room for cep_group_nested (COVERAGE.md policy)
+)
 register(
     "q9_product_type_profit", q9_product_type_profit, ORACLE_Q9,
     driver=False,  # r8 rotation: 3 green rounds (r5-r7) — demoted to

@@ -298,9 +298,16 @@ def _expand_group_quantifiers(text: str) -> list[str]:
         for i, ctoks in enumerate(copy_toks):
             copy = start_copy + i
             for tok in ctoks:
-                if tok in ("{-", "-}"):
+                if tok in ("{-", "-}", _LOOP_OPEN, _LOOP_CLOSE):
+                    # inner-group / exclusion markers ride through;
+                    # each copy gets its OWN (disjoint) inner loop
                     out.append(tok)
                     continue
+                if tok in (_LOOP_OPEN_R, _LOOP_ALT):
+                    raise NotImplementedError(
+                        "reluctant / multi-branch unbounded group "
+                        "inside a repeated group copy"
+                    )
                 name, suffix = _name_suffix(tok)
                 out.append(f"{name}__{copy}{suffix}")
         return " ".join(out)
@@ -321,6 +328,23 @@ def _expand_group_quantifiers(text: str) -> list[str]:
                 # emission then skips their (stride-L) rows
                 inner.append(tok)
                 continue
+            if tok in (_LOOP_OPEN, _LOOP_CLOSE):
+                # an INNER unbounded group's markers (round 8 —
+                # ((A B)+ C)+): the inner group expanded first; its
+                # markers ride through, _parse_var_seq's group stack
+                # records the nesting
+                inner.append(tok)
+                continue
+            if tok == _LOOP_OPEN_R:
+                raise NotImplementedError(
+                    "reluctant unbounded group nested inside another "
+                    "unbounded group — mixed derivations"
+                )
+            if tok == _LOOP_ALT:
+                raise NotImplementedError(
+                    "alternation branches inside a NESTED unbounded "
+                    "group"
+                )
             name, suffix = _name_suffix(tok)
             if suffix:
                 raise NotImplementedError(
@@ -354,6 +378,11 @@ def _expand_group_quantifiers(text: str) -> list[str]:
                 if any(t in ("{-", "-}") for t in inner):
                     raise NotImplementedError(
                         "{- -} exclusion inside a multi-branch "
+                        "unbounded group"
+                    )
+                if any(t in (_LOOP_OPEN, _LOOP_CLOSE) for t in inner):
+                    raise NotImplementedError(
+                        "nested unbounded group inside a multi-branch "
                         "unbounded group"
                     )
                 if k:
@@ -475,44 +504,54 @@ def _parse_var_seq(
     groups: list[tuple[int, int]] = []
     branches: list[tuple[int, int]] = []
     branch_cuts: list[int] = []
-    group_start: int | None = None
-    loop_reluctant = False
+    #: open unbounded groups, innermost last (round 8 — NESTED groups
+    #: ((A B)+ C)+ parse to a stack of (start_idx, reluctant) frames;
+    #: two levels supported, the NFA adds one loop-back edge per
+    #: group end)
+    group_stack: list[tuple[int, bool]] = []
     for tok in normed.split():
         if tok in (_LOOP_OPEN, _LOOP_OPEN_R):
-            if group_start is not None:
-                raise NotImplementedError("nested unbounded groups")
+            if len(group_stack) >= 2:
+                raise NotImplementedError(
+                    "more than two levels of nested unbounded groups"
+                )
+            if group_stack and tok == _LOOP_OPEN_R:
+                raise NotImplementedError(
+                    "reluctant unbounded group nested inside another "
+                    "unbounded group — mixed derivations"
+                )
             # {- (A B)+ -} (round 8 — was a loud reject): exclusion
             # around the group is exclusion of every body variable;
             # the open ``excluding`` flag marks them as they parse,
             # exactly like the inside form (({- A B -})+)
-            group_start = len(vars_)
-            branch_cuts = []
-            loop_reluctant = tok == _LOOP_OPEN_R
+            if not group_stack:
+                branch_cuts = []
+            group_stack.append((len(vars_), tok == _LOOP_OPEN_R))
             continue
         if tok == _LOOP_ALT:
-            if group_start is None:
+            if len(group_stack) != 1:
                 raise ValueError("loop-branch marker outside a group")
-            last = branch_cuts[-1] if branch_cuts else group_start
+            last = branch_cuts[-1] if branch_cuts else group_stack[0][0]
             if len(vars_) == last:
                 raise ValueError("empty branch in unbounded group")
             branch_cuts.append(len(vars_))
             continue
         if tok == _LOOP_CLOSE:
-            if group_start is None:
+            if not group_stack:
                 raise ValueError("unbalanced loop-group marker in PATTERN")
-            if len(vars_) == group_start:
+            g_start, _rel = group_stack.pop()
+            if len(vars_) == g_start:
                 raise ValueError("empty unbounded group in PATTERN")
-            groups.append((group_start, len(vars_) - 1))
-            if branch_cuts:
+            groups.append((g_start, len(vars_) - 1))
+            if branch_cuts and not group_stack:
                 # (A B | C D)+ — record the branch sub-ranges
-                bounds = [group_start, *branch_cuts, len(vars_)]
+                bounds = [g_start, *branch_cuts, len(vars_)]
                 if bounds[-2] == bounds[-1]:
                     raise ValueError("empty branch in unbounded group")
                 branches.extend(
                     (bounds[k], bounds[k + 1] - 1)
                     for k in range(len(bounds) - 1)
                 )
-            group_start = None
             continue
         if tok == "{-":
             if excluding:
@@ -533,7 +572,7 @@ def _parse_var_seq(
             raise ValueError(f"unsupported pattern token: {tok!r}")
         name, punct, rel1, opt, lo, hi, rel2 = qm.groups()
         greedy = not (rel1 or rel2)
-        if group_start is not None and loop_reluctant:
+        if any(rel for _s, rel in group_stack):
             # body var of a reluctant loop group ((B C)+?): the
             # greedy=False flag is how reluctance survives to the
             # derivation selection (front-end keeps "eager")
@@ -549,7 +588,7 @@ def _parse_var_seq(
             )
     if excluding:
         raise ValueError("unclosed {- in PATTERN")
-    if group_start is not None:
+    if group_stack:
         raise ValueError("unclosed loop-group marker in PATTERN")
     return vars_, tuple(groups), tuple(branches)
 
@@ -1135,11 +1174,22 @@ def match_recognize(
         match_pattern_fast_group_absence,
     )
 
+    from flink_cep_examples_spark.operators.fast_path import (
+        fast_nested_chain_applicable,
+        match_pattern_fast_nested_chain,
+    )
+
     if use_fast_path and fast_group_absence_applicable(spec):
         # timeout-channel loop groups under start-independent skip
         # compile to a per-start closed form (round 8 — the NFA tier
         # measured 3.48x at 10x on this shape)
         out = match_pattern_fast_group_absence(df, spec)
+    elif use_fast_path and fast_nested_chain_applicable(spec):
+        # nested unbounded groups compile to a TWO-LEVEL chain
+        # (units = the single-level shape; outer = unit adjacency)
+        # with a runtime predicate-disjointness check and per-segment
+        # NFA fallback (round 8)
+        out = match_pattern_fast_nested_chain(df, spec)
     elif use_fast_path and fast_loop_chain_applicable(spec):
         # trailing-loop-group longest derivation compiles to the
         # vectorized chain kernel (round 7 — the NFA's held-completion

@@ -281,7 +281,11 @@ def match_pattern_stream(
                 src_arr = release[all_srcs].to_numpy() if all_srcs else None
                 # rows that can't start a run and have no run to extend
                 # are no-ops — skip the step() call entirely
-                can_begin = pred_arr[:, list(nfa.begin_preds)].any(axis=1)
+                can_begin = (
+                    pred_arr[:, nfa.begin_preds[0]]
+                    if len(nfa.begin_preds) == 1
+                    else pred_arr[:, list(nfa.begin_preds)].any(axis=1)
+                )
                 kt: tuple | None = None
                 nst = None
                 single = key_arrs[0] if len(key_arrs) == 1 else None

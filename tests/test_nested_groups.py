@@ -1,0 +1,288 @@
+"""NESTED unbounded groups — ``((A B)+ C)+`` (round 8): round 7's
+last structural reject. A nested group is just MORE loop-back edges
+in the sub-NFA: every group end loops back to its group's start, and
+a SHARED end variable (``(A (B C)+)+``) carries the union of its
+groups' starts. Derivation stays LONGEST (held completions per
+start).
+
+Brute-force oracle: on classified row strings these are exactly
+Python ``re`` leftmost-greedy nested quantifiers —
+``(?:(?:ab)+c)+`` etc. — under finditer (SKIP PAST LAST) / anchored
+match-per-start (SKIP TO NEXT).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from flink_cep_examples_spark.operators import nfa as N
+from flink_cep_examples_spark.sql.match_recognize import (
+    match_recognize,
+    parse_match_recognize,
+)
+
+_LETTER = {0: ".", 1: "a", 2: "b", 3: "c", 4: "d"}
+
+
+def _body(pattern: str, defines: str, skip: str = "SKIP PAST LAST ROW"):
+    return f"""
+    PARTITION BY id ORDER BY event_time
+    MEASURES COUNT(A.*) AS na
+    ONE ROW PER MATCH
+    AFTER MATCH {skip}
+    PATTERN ({pattern})
+    DEFINE {defines}
+    """
+
+
+_DEF3 = "A AS m = 1, B AS m = 2, C AS m = 3"
+_DEF4 = _DEF3 + ", D AS m = 4"
+
+
+def _drive(spec, ms, n_preds):
+    eng = N.Nfa(spec)
+    stt = N.NfaState()
+    out = []
+    for i, m in enumerate(ms):
+        preds = tuple(m == cls for cls in range(1, n_preds + 1))
+        mt, _ = eng.step(stt, i * 1000, preds, i)
+        out.extend(mt)
+    mt, _ = eng.finish(stt)
+    out.extend(mt)
+    return sorted(
+        (min(s[3] for s in d.values()), max(s[4] for s in d.values()))
+        for d in out
+    )
+
+
+def _finditer(rx, ms):
+    s = "".join(_LETTER[m] for m in ms)
+    return sorted((mt.start(), mt.end() - 1) for mt in rx.finditer(s))
+
+
+def _per_start(rx, ms):
+    s = "".join(_LETTER[m] for m in ms)
+    return sorted(
+        (i, mt.end() - 1)
+        for i in range(len(s))
+        for mt in [rx.match(s, i)]
+        if mt
+    )
+
+
+_SHAPES = [
+    ("((A B)+ C)+", _DEF3, 3, re.compile(r"(?:(?:ab)+c)+")),
+    ("(A (B C)+)+", _DEF3, 3, re.compile(r"(?:a(?:bc)+)+")),
+    ("(A (B C)+ D)+", _DEF4, 4, re.compile(r"(?:a(?:bc)+d)+")),
+]
+
+
+def test_parser_records_nested_groups():
+    spec = parse_match_recognize(_body("((A B)+ C)+", _DEF3))
+    assert sorted(spec.loop_groups) == [(0, 1), (0, 2)]
+    assert spec.derivation == "longest"
+    from flink_cep_examples_spark.operators.fast_path import (
+        fast_loop_chain_applicable,
+    )
+
+    assert not fast_loop_chain_applicable(spec)  # no fixed stride
+
+
+def test_validate_guards():
+    # identical spans are degenerate (((A B)+)+ == (A B)+)
+    with pytest.raises(ValueError, match="disjoint or properly nested"):
+        parse_match_recognize(_body("((A B)+)+", "A AS m = 1, B AS m = 2"))
+    # ALL ROWS has no fixed stride
+    with pytest.raises(NotImplementedError, match="nested"):
+        parse_match_recognize(
+            _body("((A B)+ C)+", _DEF3).replace(
+                "ONE ROW PER MATCH", "ALL ROWS PER MATCH"
+            )
+        ).validate()
+    # aggregates over nested vars have no stride reconstruction
+    with pytest.raises(NotImplementedError, match="nested"):
+        parse_match_recognize(
+            _body("((A B)+ C)+", _DEF3).replace(
+                "COUNT(A.*) AS na", "SUM(A.m) AS sa"
+            )
+        ).validate()
+
+
+@pytest.mark.parametrize("pattern,defines,np_,rx", _SHAPES)
+@settings(max_examples=250, deadline=None)
+@given(ms=st.lists(st.integers(min_value=0, max_value=4), max_size=30))
+def test_nested_skip_past_matches_re(pattern, defines, np_, rx, ms):
+    spec = parse_match_recognize(_body(pattern, defines))
+    assert _drive(spec, ms, np_) == _finditer(rx, ms)
+
+
+@settings(max_examples=250, deadline=None)
+@given(ms=st.lists(st.integers(min_value=0, max_value=3), max_size=26))
+def test_nested_skip_to_next_matches_re(ms):
+    spec = parse_match_recognize(
+        _body("((A B)+ C)+", _DEF3, skip="SKIP TO NEXT ROW")
+    )
+    rx = re.compile(r"(?:(?:ab)+c)+")
+    assert _drive(spec, ms, 3) == _per_start(rx, ms)
+
+
+def test_nested_spark_end_to_end(spark):
+    """Measures over nested-group vars through the full operator:
+    a b a b c a b c is ONE outer match (2 outer iterations, 3 inner),
+    COUNT per var exact."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    ms = [1, 2, 1, 2, 3, 1, 2, 3, 0, 1, 2, 3]
+    df = spark.createDataFrame(
+        [(1, base + timedelta(minutes=i), m) for i, m in enumerate(ms)],
+        "id long, event_time timestamp, m long",
+    )
+    out = match_recognize(
+        df,
+        """
+        PARTITION BY id ORDER BY event_time
+        MEASURES COUNT(A.*) AS na, COUNT(C.*) AS nc,
+                 FIRST(A.event_time) AS fa, LAST(C.event_time) AS lc
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (((A B)+ C)+)
+        DEFINE A AS m = 1, B AS m = 2, C AS m = 3
+        """,
+        tiebreak_col="m",
+    )
+    rows = sorted(out.collect(), key=lambda r: r["fa"])
+    assert [(r["na"], r["nc"]) for r in rows] == [(3, 2), (1, 1)]
+
+
+# --- round 8.2: two-level chain kernel vs NFA -------------------------
+
+
+def _events_df(spark, rows):
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [(u, base + timedelta(minutes=mo), e) for u, mo, e in rows],
+        "user_id long, ts timestamp, event_id long",
+    )
+
+
+def _random_rows(seed, n_users=6, n_rows=90, classes=5):
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for u in range(n_users):
+        for i in range(rng.randrange(n_rows // 2, n_rows)):
+            rows.append((u, i, rng.randrange(0, classes)))
+    return rows
+
+
+NESTED_BODY = """
+PARTITION BY user_id ORDER BY ts, event_id
+MEASURES FIRST(A.ts) AS fa, LAST(C.ts) AS lc,
+         COUNT(A.*) AS n_pairs, COUNT(C.*) AS n_units,
+         MATCH_NUMBER() AS mn
+ONE ROW PER MATCH
+AFTER MATCH SKIP PAST LAST ROW
+PATTERN (((A B)+ C)+)
+DEFINE A AS event_id % 4 = 1, B AS event_id % 4 = 2,
+       C AS event_id % 4 = 3
+"""
+
+NESTED_BODY_MID = """
+PARTITION BY user_id ORDER BY ts, event_id
+MEASURES FIRST(A.ts) AS fa, LAST(D.ts) AS ld,
+         COUNT(B.*) AS nb, COUNT(D.*) AS nd
+ONE ROW PER MATCH
+AFTER MATCH SKIP PAST LAST ROW
+PATTERN ((A (B C)+ D)+)
+DEFINE A AS event_id % 5 = 1, B AS event_id % 5 = 2,
+       C AS event_id % 5 = 3, D AS event_id % 5 = 4
+"""
+
+#: OVERLAPPING predicates (a row may satisfy A and C) — the kernel
+#: must detect the overlap at runtime and fall back to the NFA
+NESTED_BODY_OVERLAP = """
+PARTITION BY user_id ORDER BY ts, event_id
+MEASURES COUNT(A.*) AS n_pairs, COUNT(C.*) AS n_units
+ONE ROW PER MATCH
+AFTER MATCH SKIP PAST LAST ROW
+PATTERN (((A B)+ C)+)
+DEFINE A AS event_id IN (1, 5), B AS event_id IN (2, 6),
+       C AS event_id IN (3, 5)
+"""
+
+
+def test_nested_kernel_selected():
+    from flink_cep_examples_spark.operators.fast_path import (
+        fast_nested_chain_applicable,
+    )
+
+    spec = parse_match_recognize(NESTED_BODY)
+    assert fast_nested_chain_applicable(spec)
+    nxt = parse_match_recognize(
+        NESTED_BODY.replace("SKIP PAST LAST ROW", "SKIP TO NEXT ROW")
+    )
+    assert not fast_nested_chain_applicable(nxt)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_nested_kernel_matches_nfa(spark, seed):
+    df = _events_df(spark, _random_rows(seed))
+    fast = sorted(
+        map(tuple, match_recognize(
+            df, NESTED_BODY, tiebreak_col="event_id"
+        ).collect())
+    )
+    nfa = sorted(
+        map(tuple, match_recognize(
+            df, NESTED_BODY, tiebreak_col="event_id", use_fast_path=False
+        ).collect())
+    )
+    assert fast == nfa and fast
+
+
+@pytest.mark.parametrize("seed", [4, 5])
+def test_nested_kernel_mid_matches_nfa(spark, seed):
+    df = _events_df(spark, _random_rows(seed, n_rows=140, classes=6))
+    fast = sorted(
+        map(tuple, match_recognize(
+            df, NESTED_BODY_MID, tiebreak_col="event_id"
+        ).collect())
+    )
+    nfa = sorted(
+        map(tuple, match_recognize(
+            df, NESTED_BODY_MID, tiebreak_col="event_id",
+            use_fast_path=False,
+        ).collect())
+    )
+    assert fast == nfa
+
+
+def test_nested_kernel_overlap_falls_back(spark):
+    rows = []
+    import random
+
+    rng = random.Random(9)
+    for u in range(6):
+        for i in range(18):
+            rows.append((u, i, rng.randrange(0, 7)))
+    df = _events_df(spark, rows)
+    fast = sorted(
+        map(tuple, match_recognize(
+            df, NESTED_BODY_OVERLAP, tiebreak_col="event_id"
+        ).collect())
+    )
+    nfa = sorted(
+        map(tuple, match_recognize(
+            df, NESTED_BODY_OVERLAP, tiebreak_col="event_id",
+            use_fast_path=False,
+        ).collect())
+    )
+    assert fast == nfa
