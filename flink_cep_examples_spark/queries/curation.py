@@ -749,3 +749,77 @@ register(
     ORACLE_SEGMENT_DEDUP,
     # round 8: C4-style boilerplate segment removal — into the gate
 )
+
+TOP_BOILER = 20
+
+
+def corpus_boilerplate_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The boilerplate REPORT view over the same segmenter as
+    :func:`docs_segment_dedup`: the ``TOP_BOILER`` most-repeated
+    segments by document frequency (df ≥ 2), with a deterministic
+    representative text per hash. One map-side-combined shuffle plus a
+    bounded TakeOrdered — the audit a curation run prints before
+    committing to a removal threshold."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    words = F.split(F.col("text"), " ")
+    n_seg = F.ceil(F.size(words) / F.lit(SEG_WORDS)).cast("int")
+    segs = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(n_seg - 1, F.lit(0))),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.slice(
+                        words, i * SEG_WORDS + F.lit(1), F.lit(SEG_WORDS)
+                    ),
+                ),
+            )
+        ).alias("seg"),
+    ).withColumn("h", F.md5("seg"))
+    return (
+        segs.groupBy("h")
+        .agg(
+            F.countDistinct("doc_id").alias("seg_df"),
+            F.min("seg").alias("seg"),
+        )
+        .filter(F.col("seg_df") >= 2)
+        .orderBy(F.desc("seg_df"), F.asc("h"))
+        .limit(TOP_BOILER)
+        .select("h", "seg", F.col("seg_df").cast("long").alias("seg_df"))
+    )
+
+
+ORACLE_BOILERPLATE_TOPK = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+),
+s AS (
+  SELECT doc_id,
+         array_to_string(
+           words[CAST(i * {SEG_WORDS} + 1 AS BIGINT)
+                 : CAST(i * {SEG_WORDS} + {SEG_WORDS} AS BIGINT)],
+           ' '
+         ) AS seg
+  FROM d,
+       unnest(range(0, greatest(
+         CAST(ceil(len(words) / {SEG_WORDS}.0) AS BIGINT), 1))) AS t(i)
+),
+g AS (
+  SELECT md5(seg) AS h, COUNT(DISTINCT doc_id) AS seg_df,
+         MIN(seg) AS seg
+  FROM s GROUP BY md5(seg)
+)
+SELECT h, seg, seg_df FROM g
+WHERE seg_df >= 2
+ORDER BY seg_df DESC, h ASC
+LIMIT {TOP_BOILER}
+"""
+
+
+register(
+    "corpus_boilerplate_topk",
+    corpus_boilerplate_topk,
+    ORACLE_BOILERPLATE_TOPK,
+    driver=False,  # report twin of docs_segment_dedup; pytest-oracled
+)
