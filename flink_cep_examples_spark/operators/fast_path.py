@@ -2254,6 +2254,10 @@ def fast_nested_chain_applicable(spec) -> bool:
         return False
     if spec.permute or spec.emit_timeouts or spec.rows_per_match != "one":
         return False
+    if spec.within is not None:
+        # the deadline would cap BOTH chain levels (unit k and the
+        # outer unit count, interdependently) — NFA tier handles it
+        return False
     if getattr(spec, "loop_branches", ()):
         return False
     if spec.after_match != SKIP_PAST_LAST_EVENT:

@@ -142,16 +142,18 @@ def _parse_pattern_clause(
     text: str,
 ) -> tuple[list[tuple[list[tuple], tuple]], str | None, bool, int]:
     """``( A {- B*? -} C{2,4} ) WITHIN INTERVAL '1' HOUR`` →
-    ([(alternative_1, loop_groups_1), ...], within_text, permute,
-    n_top_branches — how many '|'-branches the user WROTE at top
-    level, before group-quantifier expansion; 1 + several expanded
-    alternatives ⇒ a pure group expansion, which parse_match_recognize
-    runs under SQL:2016 "leftmost" derivation)
+    ([(alternative_1, loop_groups_1, loop_branches_1), ...],
+    within_text, permute, n_top_branches — how many '|'-branches the
+    user WROTE at top level, before group-quantifier expansion; 1 +
+    several expanded alternatives ⇒ a pure group expansion, which
+    parse_match_recognize runs under SQL:2016 "leftmost" derivation)
     where each alternative is [(name, quant, times, greedy, excluded),
-    ...] and its loop_groups are (start, end) index ranges of
-    unbounded ``(X Y)+`` sub-NFA loops — one alternative for a plain
-    pattern, several for a top-level SQL:2016 alternation
-    ``( A B | C D )``. A trailing ``?`` after ``*``/``+``/``{n,m}``
+    ...], its loop_groups are (start, end) index ranges of unbounded
+    ``(X Y)+`` sub-NFA loops (NESTED groups, round 8, contribute one
+    range per level), and its loop_branches are the per-branch
+    sub-ranges of a multi-branch group ``(A B | C D)+`` — one
+    alternative for a plain pattern, several for a top-level SQL:2016
+    alternation ``( A B | C D )``. A trailing ``?`` after ``*``/``+``/``{n,m}``
     is the SQL:2016 reluctant marker; ``{- ... -}`` is the SQL:2016
     exclusion (rows omitted from ALL ROWS PER MATCH output);
     ``( PERMUTE (A, B, C) )`` is the SQL:2016 any-order alternation

@@ -286,3 +286,38 @@ def test_nested_kernel_overlap_falls_back(spark):
         ).collect())
     )
     assert fast == nfa
+
+
+def test_nested_within_stays_on_nfa_and_caps(spark):
+    """Nested groups + WITHIN decline the kernel (the deadline would
+    cap both chain levels interdependently) and route to the NFA,
+    which enforces the strict-< deadline: the second unit's C at
+    exactly start+30min is out, one minute earlier is in."""
+    from flink_cep_examples_spark.operators.fast_path import (
+        fast_nested_chain_applicable,
+    )
+
+    body = NESTED_BODY.replace(
+        "PATTERN (((A B)+ C)+)",
+        "PATTERN (((A B)+ C)+) WITHIN INTERVAL '30' MINUTE",
+    )
+    spec = parse_match_recognize(body)
+    assert spec.within is not None
+    assert not fast_nested_chain_applicable(spec)
+
+    rows = [
+        # user 1: unit2's C lands at exactly start+30 -> run 0 expires
+        # holding only unit1; resumption matches unit2 separately (its
+        # own start at +3 puts the C at +27, inside ITS deadline)
+        (1, 0, 1), (1, 1, 2), (1, 2, 3), (1, 3, 1), (1, 4, 2), (1, 30, 3),
+        # user 2: same shape, C at +29 -> both units in one match
+        (2, 0, 1), (2, 1, 2), (2, 2, 3), (2, 3, 1), (2, 4, 2), (2, 29, 3),
+    ]
+    df = _events_df(spark, rows)
+    out = sorted(
+        (r["user_id"], r["n_units"], r["n_pairs"])
+        for r in match_recognize(
+            df, body, tiebreak_col="event_id"
+        ).collect()
+    )
+    assert out == [(1, 1, 1), (1, 1, 1), (2, 2, 2)]
