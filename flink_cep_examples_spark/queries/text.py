@@ -312,6 +312,152 @@ SELECT doc_id, term, tf, df, score, rk FROM scored WHERE rk <= 3
 """
 
 
+#: BM25 retrieval constants (standard Okapi defaults) and the pinned
+#: query — three corpus terms with distinct document frequencies so the
+#: idf weighting is exercised, not degenerate.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("window", "merge", "spark")
+BM25_TOPK = 10
+
+
+def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k retrieval for a pinned 3-term query — the
+    inverted-index scoring operator a corpus-curation / RAG pipeline
+    needs next to the embedding ANN family (sparse lexical retrieval
+    vs dense vector retrieval).
+
+    Cross-engine exactness: idf is the *linear* Robertson form
+    ((N - df + 0.5) / (df + 0.5)) — no ln(), whose 1-ulp library
+    variance would poison the value hash (same craft as
+    docs_tfidf_top_terms). The per-term contributions are pivoted to
+    one column each and added in a FIXED textual order
+    (window + merge + spark), so no engine-dependent SUM order exists
+    anywhere in the score; every other op is IEEE correctly-rounded
+    mul/div/add on identically-parenthesized trees.
+
+    Scale shape: the explode is filtered to the query's own terms
+    BEFORE the tf aggregation, so the ONLY corpus-sized shuffle is
+    ≤ |q| rows per matching document whatever the corpus size — the
+    per-doc length ``dl`` rides THROUGH the explode as a carried
+    column instead of joining a (doc_id, dl) frame back on doc_id
+    (which would shuffle every document's length row at 100 TB); df
+    and the global (N, total_dl) statistics are ≤|q|-row / 1-row
+    broadcasts; the final top-k is an orderBy+limit → TakeOrdered,
+    never a single-partition window."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.select(_tok_count(F.col("text")).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+    )
+    terms = docs.select(
+        "doc_id",
+        _tok_count(F.col("text")).alias("dl"),
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("term"),
+    ).filter(F.col("term").isin(*BM25_QUERY))
+    tf = terms.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    joined = tf.join(F.broadcast(df_), "term").crossJoin(F.broadcast(stats))
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = (
+        F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    tf_d = F.col("tf").cast("double")
+    norm = tf_d * F.lit(BM25_K1 + 1.0) / (
+        tf_d
+        + F.lit(BM25_K1)
+        * (
+            F.lit(1.0 - BM25_B)
+            + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl)
+        )
+    )
+    contrib = joined.withColumn("c", idf * norm)
+    per_doc = contrib.groupBy("doc_id", "dl").agg(
+        *[
+            F.max(F.when(F.col("term") == t, F.col("c"))).alias(f"c_{t}")
+            for t in BM25_QUERY
+        ],
+        *[
+            F.max(F.when(F.col("term") == t, F.col("tf"))).alias(f"tf_{t}")
+            for t in BM25_QUERY
+        ],
+    )
+    score = None
+    for t in BM25_QUERY:  # fixed textual addition order
+        term_c = F.coalesce(F.col(f"c_{t}"), F.lit(0.0))
+        score = term_c if score is None else score + term_c
+    return (
+        per_doc.select(
+            "doc_id",
+            "dl",
+            *[
+                F.coalesce(F.col(f"tf_{t}"), F.lit(0)).alias(f"tf_{t}")
+                for t in BM25_QUERY
+            ],
+            score.alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOPK)
+    )
+
+
+def _oracle_bm25() -> str:
+    terms_list = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    c_cols = ",\n         ".join(
+        f"MAX(CASE WHEN term = '{t}' THEN c END) AS c_{t}" for t in BM25_QUERY
+    )
+    tf_cols = ",\n         ".join(
+        f"MAX(CASE WHEN term = '{t}' THEN tf END) AS tf_{t}"
+        for t in BM25_QUERY
+    )
+    tf_out = ",\n       ".join(
+        f"COALESCE(tf_{t}, 0) AS tf_{t}" for t in BM25_QUERY
+    )
+    score = " + ".join(f"COALESCE(c_{t}, 0.0e0)" for t in BM25_QUERY)
+    return rf"""
+WITH lens AS (
+  SELECT doc_id,
+         array_length(regexp_split_to_array(trim(text), '\s+')) AS dl
+  FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM lens
+), tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+  WHERE term IN ({terms_list}) GROUP BY 1, 2
+), dfr AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), contrib AS (
+  SELECT tf.doc_id, tf.term, tf.tf, lens.dl,
+         ((CAST(stats.n_docs AS DOUBLE) - CAST(dfr.df AS DOUBLE) + 5.0e-1)
+            / (CAST(dfr.df AS DOUBLE) + 5.0e-1))
+         * (CAST(tf.tf AS DOUBLE) * 2.2e0
+            / (CAST(tf.tf AS DOUBLE)
+               + 1.2e0 * (2.5e-1
+                          + 7.5e-1 * (CAST(lens.dl AS DOUBLE)
+                                      / (CAST(stats.total_dl AS DOUBLE)
+                                         / CAST(stats.n_docs AS DOUBLE))))))
+           AS c
+  FROM tf JOIN dfr USING (term) JOIN lens USING (doc_id) CROSS JOIN stats
+), per_doc AS (
+  SELECT doc_id, dl,
+         {c_cols},
+         {tf_cols}
+  FROM contrib GROUP BY 1, 2
+)
+SELECT doc_id, dl,
+       {tf_out},
+       {score} AS score
+FROM per_doc
+ORDER BY score DESC, doc_id ASC
+LIMIT {BM25_TOPK}
+"""
+
+
 register("text_token_stats", text_token_stats, ORACLE_TOKEN_STATS, driver=False)
 register("text_quality_scores", text_quality_scores, ORACLE_QUALITY, driver=False,  # r4 rotation: driver-verified green in r2+r3; pytest-gated now
 )
@@ -324,4 +470,8 @@ register(
     driver=False,  # r5 rotation: driver-verified green r3+r4; pytest-gated now
 )
 register("docs_tfidf_top_terms", docs_tfidf_top_terms, ORACLE_TFIDF, driver=False,  # r4 rotation: driver-verified green in r2+r3; pytest-gated now
+)
+register(
+    "docs_bm25_topk", docs_bm25_topk, _oracle_bm25(),
+    driver=False,  # r8 add: pytest-oracled; rotation may promote in r9
 )
