@@ -358,6 +358,15 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = terms.groupBy("doc_id", "dl", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
+    return _bm25_rank(tf, stats)
+
+
+def _bm25_rank(tf: DataFrame, stats: DataFrame) -> DataFrame:
+    """Score + rank a (doc_id, dl, term, tf) postings frame against the
+    pinned query — SHARED by the scan path (docs_bm25_topk) and the
+    persisted-index path (bm25_persisted_topk), so the two tiers cannot
+    drift on the arithmetic (same expression trees → identical IEEE
+    doubles → one oracle pins both)."""
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     joined = tf.join(F.broadcast(df_), "term").crossJoin(F.broadcast(stats))
     avgdl = F.col("total_dl").cast("double") / F.col("n_docs").cast("double")
@@ -401,6 +410,92 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(BM25_TOPK)
     )
+
+
+#: Inverted-index bucket count: a query's terms hash to ≤|q| buckets, so
+#: the parquet reader prunes all but |q|/64 of the postings files —
+#: constant query-side IO fraction at ANY corpus size.
+BM25_BUCKETS = 64
+
+
+def write_bm25_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
+    """Build and persist the inverted index — the deployment shape for
+    repeated lexical retrieval (train-once/serve-many, the
+    ``write_ivf_index`` analogue; cites reference scope: the reference
+    engine has no retrieval surface, this is north-star extension
+    territory):
+
+    - ``{index_dir}/stats`` — one row (n_docs, total_dl);
+    - ``{index_dir}/postings`` — (doc_id, dl, term, tf) for EVERY
+      term, written ``partitionBy(term_bucket)`` (Hive-style
+      directories, ``term_bucket = pmod(xxhash64(term), 64)``) so a
+      query touches only its own terms' buckets and the scan
+      partition-prunes the rest. A term's postings live entirely in
+      ONE bucket, so per-term document frequency computed from the
+      pruned scan is exact.
+
+    One corpus scan + one (doc, term) aggregation; queries then never
+    touch the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select(_tok_count(F.col("text")).alias("dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/stats")
+    terms = docs.select(
+        "doc_id",
+        _tok_count(F.col("text")).alias("dl"),
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    tf.withColumn(
+        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(BM25_BUCKETS))
+    ).write.mode("overwrite").partitionBy("term_bucket").parquet(
+        f"{index_dir}/postings"
+    )
+
+
+def bm25_search_persisted(
+    spark: SparkSession, index_dir: str, query_terms: tuple[str, ...]
+) -> DataFrame:
+    """Serve one BM25 query off a persisted inverted index: the scan
+    reads ONLY the query terms' buckets (PartitionFilters on
+    term_bucket, plan-audited in tests/test_plans.py) plus the pushed
+    term IN (...) filter — query cost is independent of corpus size
+    beyond the probed postings lists. Scoring is the shared
+    :func:`_bm25_rank` kernel."""
+    stats = spark.read.parquet(f"{index_dir}/stats")
+    postings = spark.read.parquet(f"{index_dir}/postings")
+    bucket_of = {
+        r.term: r.b
+        for r in spark.createDataFrame(
+            [(t,) for t in query_terms], "term string"
+        )
+        .select(
+            "term", F.pmod(F.xxhash64("term"), F.lit(BM25_BUCKETS)).alias("b")
+        )
+        .collect()
+    }
+    tf = postings.filter(
+        F.col("term_bucket").isin(*{int(b) for b in bucket_of.values()})
+        & F.col("term").isin(*query_terms)
+    ).select("doc_id", "dl", "term", "tf")
+    return _bm25_rank(tf, stats)
+
+
+def bm25_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog twin of ``docs_bm25_topk`` through the PERSISTED
+    inverted index (idempotent per sf): identical postings and shared
+    scoring kernel, so the SAME DuckDB oracle pins it — the plan
+    additionally shows parquet partition pruning on term_bucket."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    index_dir = f"{tempfile.gettempdir()}/spark_graft_bm25_index_{tag}"
+    write_bm25_index(spark, sf_dir, index_dir)
+    return bm25_search_persisted(spark, index_dir, BM25_QUERY)
 
 
 def _oracle_bm25() -> str:
@@ -473,5 +568,9 @@ register("docs_tfidf_top_terms", docs_tfidf_top_terms, ORACLE_TFIDF, driver=Fals
 )
 register(
     "docs_bm25_topk", docs_bm25_topk, _oracle_bm25(),
+    driver=False,  # r8 add: pytest-oracled; rotation may promote in r9
+)
+register(
+    "bm25_persisted_topk", bm25_persisted_topk, _oracle_bm25(),
     driver=False,  # r8 add: pytest-oracled; rotation may promote in r9
 )

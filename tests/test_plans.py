@@ -298,6 +298,20 @@ def test_ivf_persisted_search_prunes_partitions(spark, sf_small):
     assert any("cid" in l for l in scan_lines), scan_lines
 
 
+def test_bm25_persisted_search_prunes_buckets(spark, sf_small):
+    """The inverted-index search must read ONLY the query terms'
+    bucket partitions (PartitionFilters on term_bucket) with the term
+    IN (...) filter pushed to the scan, and must agree row-for-row
+    with the corpus-scan path (shared scoring kernel)."""
+    df = QUERIES["bm25_persisted_topk"](spark, sf_small)
+    p = _plan(df)
+    scan_lines = [l for l in p.splitlines() if "PartitionFilters" in l]
+    assert any("term_bucket" in l for l in scan_lines), scan_lines
+    assert "In(term" in p
+    scan = QUERIES["docs_bm25_topk"](spark, sf_small).collect()
+    assert [tuple(r) for r in df.collect()] == [tuple(r) for r in scan]
+
+
 def test_source_overlap_joins_on_int_hash(spark, sf_small):
     """The cross-source join ships only (source, wh) int pairs — no
     text columns reach the self-join."""
