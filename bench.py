@@ -74,6 +74,7 @@ HEADLINE = [
     "cep_group_absence",  # round-8 timeout channel x loop groups (NFA tier)
     "cep_group_alt_unbounded",  # round-8 multi-branch group (chain kernel)
     "cep_group_nested",  # round-8 nested groups (two-level chain kernel)
+    "docs_bm25_topk",  # round-8 BM25 lexical retrieval (1.06x at 10x)
 ]
 
 #: Round-6 outlier audit (VERDICT r5 item 7): docs_bigram_topk

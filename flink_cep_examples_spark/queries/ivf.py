@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from flink_cep_examples_spark.queries import register
 from flink_cep_examples_spark.queries.similarity import (
@@ -291,6 +292,118 @@ LIMIT {TOP_K}
 """
 
 
+def embedding_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-diagnostics report over the trained coarse quantizer —
+    the view a curation pipeline reads before trusting cluster-based
+    ops (SemDeDup pruning, mixture balancing, IVF serving): per
+    cluster, its size, the majority label with its share (purity — how
+    label-coherent the clustering is), and the mean squared distance
+    to the centroid (compactness).
+
+    Exactness: the per-row squared distance is the same sequential
+    zip_with fold both engines already agree on; its per-cluster MEAN
+    goes through the exact-decimal-sum trick (`_means`' craft — a
+    DECIMAL(28,18) sum is order-free where a double sum is not), so
+    the report is bit-stable cross-engine. Purity is one int/int
+    division.
+
+    Scale shape: one broadcast join of the K-row centroid table, two
+    aggregations keyed by the small-int cid — output is K rows at any
+    corpus size; the label-majority window partitions by cid over the
+    K×|labels|-row count frame, never over rows."""
+    emb = (
+        spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+        .select("vec_id", "label", "embedding")
+        .localCheckpoint()
+    )
+    assigned, cents = _trained_assignment(emb, K_LISTS, exact=True)
+    cent_df = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in sorted(cents.items())],
+        "cid int, cvec array<double>",
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("cvec"),
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    stats = (
+        assigned.join(F.broadcast(cent_df), "cid")
+        .select("cid", d2.alias("d2"))
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (
+                F.round(F.sum(F.col("d2").cast(_MEAN_DEC)), 12).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_sqdist"),
+        )
+    )
+    lab = assigned.groupBy("cid", "label").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("cid").orderBy(
+        F.col("n").desc(), F.col("label").asc()
+    )
+    top = (
+        lab.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cid", F.col("label").alias("top_label"), F.col("n").alias("top_n"))
+    )
+    return (
+        stats.join(top, "cid")
+        .select(
+            "cid",
+            "n_vecs",
+            "top_label",
+            "top_n",
+            (F.col("top_n").cast("double") / F.col("n_vecs").cast("double"))
+            .alias("label_purity"),
+            "mean_sqdist",
+        )
+        .orderBy("cid")
+    )
+
+
+ORACLE_CLUSTER_PROFILE = f"""
+WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+c0 AS (
+  SELECT vec_id AS cid,
+         [CAST(x AS DOUBLE) FOR x IN embedding] AS cvec
+  FROM e WHERE vec_id < {K_LISTS}
+),
+{_sql_assign('e', 'c0', 'a1')},
+{_SQL_MEANS},
+{_sql_assign('e', 'c1', 'a2')},
+d AS (
+  SELECT a2.cid, {_sql_sqdist('a2.embedding', 'c1.cvec')} AS d2
+  FROM a2 JOIN c1 USING (cid)
+),
+stats AS (
+  SELECT cid, COUNT(*) AS n_vecs,
+         CAST(ROUND(SUM(CAST(d2 AS DECIMAL(28,18))), 12) AS DOUBLE)
+           / COUNT(*) AS mean_sqdist
+  FROM d GROUP BY 1
+),
+lab AS (SELECT cid, label, COUNT(*) AS n FROM a2 GROUP BY 1, 2),
+top AS (
+  SELECT cid, label AS top_label, n AS top_n FROM (
+    SELECT cid, label, n,
+           ROW_NUMBER() OVER (PARTITION BY cid
+                              ORDER BY n DESC, label ASC) AS rn
+    FROM lab)
+  WHERE rn = 1
+)
+SELECT stats.cid, stats.n_vecs, top.top_label, top.top_n,
+       CAST(top.top_n AS DOUBLE) / CAST(stats.n_vecs AS DOUBLE)
+         AS label_purity,
+       stats.mean_sqdist
+FROM stats JOIN top USING (cid)
+ORDER BY cid
+"""
+
+
 #: SemDeDup cosine threshold: within-cluster pairs at or above it are
 #: semantic duplicates; the larger vec_id of each pair is pruned.
 SEMDEDUP_T = 0.4
@@ -370,6 +483,11 @@ FROM a2 ANTI JOIN losers ON a2.vec_id = losers.vec_id
 
 
 register("ivf_topk", ivf_topk, ORACLE_IVF, driver=False,  # r5.2 rotation: driver-verified green r3+r4; pytest-gated now
+)
+register(
+    "embedding_cluster_profile", embedding_cluster_profile,
+    ORACLE_CLUSTER_PROFILE,
+    driver=False,  # r8 add: pytest-oracled; rotation may promote in r9
 )
 register(
     "semdedup_prune", semdedup_prune, ORACLE_SEMDEDUP,
