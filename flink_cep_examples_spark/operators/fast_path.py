@@ -1111,7 +1111,10 @@ def _segment_deadline_limit(ts_us, seg_id, within_us: int):
     running count of array entries before a query IS the absolute
     limit, because array entries of earlier segments all sort earlier
     and number exactly the segment's start offset. No per-segment
-    Python loop, no ts-offset arithmetic that could overflow int64."""
+    Python loop. (The query keys ARE ``ts + within`` offsets — fine
+    for realistic microsecond epochs, but an adversarial ts near
+    int64 max would wrap; timestamps come from Spark TIMESTAMP
+    columns, bounded far below that.)"""
     import numpy as np
 
     n = len(ts_us)
@@ -2244,6 +2247,9 @@ def fast_nested_chain_applicable(spec) -> bool:
     derivation, no timeouts, ONE ROW, AFTER MATCH SKIP PAST LAST ROW
     (disjoint-predicate outer matches never overlap, so every maximal
     unit chain emits; TO-NEXT/NO-SKIP would need per-start re-chains).
+    ``WITHIN`` composes (round 9): under disjoint predicates units are
+    rigid, so the deadline only truncates the outer unit COUNT —
+    handled in the head walk, see match_pattern_fast_nested_chain.
 
     The kernel requires RUNTIME predicate disjointness (a row
     satisfying two pattern variables lets the regex backtrack across
@@ -2253,10 +2259,6 @@ def fast_nested_chain_applicable(spec) -> bool:
     if not isinstance(spec, PatternSpec) or spec.derivation != "longest":
         return False
     if spec.permute or spec.emit_timeouts or spec.rows_per_match != "one":
-        return False
-    if spec.within is not None:
-        # the deadline would cap BOTH chain levels (unit k and the
-        # outer unit count, interdependently) — NFA tier handles it
         return False
     if getattr(spec, "loop_branches", ()):
         return False
@@ -2461,27 +2463,61 @@ def match_pattern_fast_nested_chain(
         for m in measure_list:
             cols[m.name] = []
         cols["tag"] = []
-        mn_per_seg: dict[int, int] = {}
+        # walk each head's unit chain. WITHIN (round 9): the deadline
+        # caps the whole OUTER match span — a unit joins the current
+        # match iff its last row is < start + within; the unit that
+        # crosses the deadline ends the match (the NFA prunes the run
+        # there and its held longest completion emits) and itself
+        # starts the NEXT match, exactly SKIP PAST LAST resumption.
+        # Under disjoint predicates units are rigid (a chunk row can
+        # never be a suffix row), so the deadline's only freedom is
+        # the unit COUNT — no inner-k/outer-count interdependence.
+        within_us = compiled.within_us
+        ts_k = (
+            pdf[_TS_COL].to_numpy(dtype=np.int64)
+            if within_us is not None
+            else None
+        )
+        emissions: list[tuple[int, int, int, int, int]] = []
         cutoff = -1  # SKIP PAST LAST: a head inside an emitted span
         cutoff_seg = -1  # is a consumed partial — heads are ascending
         for h in heads:
-            i = int(h)
+            i: int | None = int(h)
             seg = int(useg[i])
             if seg == cutoff_seg and int(ustarts[i]) < cutoff:
                 continue
-            first_u = i
-            total_pairs = 0
-            n_units = 0
-            while True:
-                total_pairs += int(uk[i])
-                n_units += 1
-                nxt = start_of.get(int(useg[i]) * n + int(unxt[i]))
-                if nxt is None:
-                    break
-                i = nxt
-            last_u = i
-            cutoff = int(unxt[last_u])
-            cutoff_seg = seg
+            while i is not None:
+                first_u = i
+                t0 = int(ts_k[int(ustarts[i])]) if ts_k is not None else 0
+                total_pairs = 0
+                n_units = 0
+                last_u = i
+                cur: int | None = i
+                while cur is not None:
+                    cutoff = int(unxt[cur])
+                    cutoff_seg = seg
+                    if ts_k is not None and (
+                        int(ts_k[int(unxt[cur]) - 1]) - t0 >= within_us
+                    ):
+                        break  # unit crosses the deadline: match ends
+                    total_pairs += int(uk[cur])
+                    n_units += 1
+                    last_u = cur
+                    cur = start_of.get(int(useg[cur]) * n + int(unxt[cur]))
+                if n_units:
+                    emissions.append(
+                        (seg, first_u, last_u, total_pairs, n_units)
+                    )
+                    i = cur  # deadline-cut unit starts the next match
+                else:
+                    # the unit alone exceeds the deadline from its own
+                    # start row — nothing completes here; retry at the
+                    # next unit in the chain
+                    i = start_of.get(seg * n + int(unxt[i]))
+        if not emissions:
+            return
+        mn_per_seg: dict[int, int] = {}
+        for seg, first_u, last_u, total_pairs, n_units in emissions:
             r0 = int(ustarts[first_u])
             rl = int(ustarts[last_u])
             kl = int(uk[last_u])

@@ -282,6 +282,23 @@ class Nfa:
             for _s_p, e_p in self._branch_spans[:-1]:
                 self._succ[e_p] = list(after)
                 self._complete[e_p] = self._complete[g_end]
+            # PREFIX variables before the group (P (A B | C D)+,
+            # round 9): the linear chain wires them only to the FIRST
+            # branch's start, making a first iteration via any other
+            # branch unreachable. Every position whose epsilon-skip
+            # successor chain reaches the first branch start also
+            # fans out to ALL branch starts. (Branch starts are
+            # non-optional — quantifier ONCE is validated — so they
+            # terminate the chain and appending keeps the leftmost-
+            # branch preference order.)
+            bs0 = self._branch_spans[0][0]
+            for p in range(bs0):
+                if bs0 in self._succ[p]:
+                    self._succ[p].extend(
+                        s_p
+                        for s_p, _ in self._branch_spans[1:]
+                        if s_p not in self._succ[p]
+                    )
         # negatives active while a branch waits at p: union of every gap
         # on its epsilon-skip path (it cannot know which gap the waiting
         # row sits in). Trailing gap excluded — handled via pending.
@@ -331,15 +348,26 @@ class Nfa:
                     t for t in targets if t not in prev
                 )
 
-        #: run-start positions: normally just position 0, but a
-        #: pattern BEGINNING with a multi-branch group may start a run
-        #: at any branch's start variable
-        if self._branch_spans and self._branch_spans[0][0] == 0:
-            self._begin_positions: tuple[int, ...] = tuple(
-                s_p for s_p, _ in self._branch_spans
+        #: run-start positions: the epsilon-closure of position 0 —
+        #: a LEADING optional variable (``A? B``, ``B* C``) matches
+        #: zero rows, so a run may begin at any position reachable by
+        #: skipping optional leading positives (round 9; previously
+        #: only position 0, which silently dropped zero-width-prefix
+        #: matches). A multi-branch group reachable from the begin
+        #: closure additionally opens at EVERY branch's start.
+        begins, j = [], 0
+        while j < self.n_pos:
+            begins.append(j)
+            if not self._optional[j]:
+                break
+            j += 1
+        if self._branch_spans and self._branch_spans[0][0] in begins:
+            begins.extend(
+                s_p
+                for s_p, _ in self._branch_spans[1:]
+                if s_p not in begins
             )
-        else:
-            self._begin_positions = (0,)
+        self._begin_positions: tuple[int, ...] = tuple(begins)
         #: predicate indices whose OR says "this row can start a run" —
         #: callers prefilter with these (scan drivers, streaming tier)
         self.begin_preds = tuple(self._pos[p] for p in self._begin_positions)

@@ -37,11 +37,16 @@ from flink_cep_examples_spark.sql.match_recognize import (
     parse_match_recognize,
 )
 
-# classes: 1=A, 2=B, 3=C, 4=D, 5=Z, 0 inert
-_LETTER = {0: ".", 1: "a", 2: "b", 3: "c", 4: "d", 5: "z"}
+# classes: 1=A, 2=B, 3=C, 4=D, 5=Z, 6=P, 0 inert
+_LETTER = {0: ".", 1: "a", 2: "b", 3: "c", 4: "d", 5: "z", 6: "p"}
 
 
-def _spec(after=SKIP_PAST_LAST_EVENT, branches=((0, 1), (2, 3)), suffix=False):
+def _spec(
+    after=SKIP_PAST_LAST_EVENT,
+    branches=((0, 1), (2, 3)),
+    suffix=False,
+    prefix=False,
+):
     vars_ = [
         PatternVar("A", "pa"),
         PatternVar("B", "pb"),
@@ -54,12 +59,15 @@ def _spec(after=SKIP_PAST_LAST_EVENT, branches=((0, 1), (2, 3)), suffix=False):
             PatternVar("C", "pc"),
             PatternVar("D", "pd"),
         ]
+    if prefix:  # P (…)+ — round-9 regression shape (NFA begin/succ fan-out)
+        vars_.insert(0, PatternVar("P", "pp"))
+        branches = tuple((s + 1, e + 1) for s, e in branches)
     if suffix:
         vars_.append(PatternVar("Z", "pz"))
-    ge = branches[-1][1]
+    gs, ge = branches[0][0], branches[-1][1]
     return PatternSpec(
         variables=tuple(vars_),
-        loop_groups=((0, ge),),
+        loop_groups=((gs, ge),),
         loop_branches=branches,
         after_match=after,
         derivation="longest",
@@ -67,7 +75,7 @@ def _spec(after=SKIP_PAST_LAST_EVENT, branches=((0, 1), (2, 3)), suffix=False):
 
 
 def _preds(spec, m):
-    name_cls = {"A": 1, "B": 2, "C": 3, "D": 4, "Z": 5}
+    name_cls = {"A": 1, "B": 2, "C": 3, "D": 4, "Z": 5, "P": 6}
     return tuple(m == name_cls[v.name] for v in spec.variables)
 
 
@@ -106,6 +114,9 @@ def _brute_per_start(rx, ms):
 _AB_CD = re.compile(r"(?:ab|cd)+")
 _A_CD = re.compile(r"(?:a|cd)+")
 _AB_CD_Z = re.compile(r"(?:ab|cd)+z")
+_P_AB_CD = re.compile(r"p(?:ab|cd)+")
+_P_A_CD = re.compile(r"p(?:a|cd)+")
+_P_AB_CD_Z = re.compile(r"p(?:ab|cd)+z")
 
 
 def test_hand_cases_skip_past():
@@ -125,8 +136,27 @@ def test_hand_mixed_width():
     assert run([3, 1]) == [(1, 1)]  # dangling c dies; lone a matches
 
 
+def test_hand_prefix_cases():
+    """Round-9 regression: a prefix variable before the branch group —
+    the NFA used to wire the prefix's successor only to the FIRST
+    branch start, so p,c,d silently produced nothing while the chain
+    kernel matched (tier divergence, ADVICE r8)."""
+    run = lambda ms: _run(_spec(prefix=True), ms)
+    assert run([6, 3, 4]) == [(0, 2)]  # p then branch 2 — the lost case
+    assert run([6, 1, 2]) == [(0, 2)]
+    assert run([6, 3, 4, 1, 2]) == [(0, 4)]
+    assert run([6, 3, 4, 3, 4]) == [(0, 4)]
+    assert run([3, 4]) == []  # group alone: no prefix, no match
+    # mixed width with prefix: p then (A | C D)+
+    runm = lambda ms: _run(_spec(branches=((0, 0), (1, 2)), prefix=True), ms)
+    assert runm([6, 3, 4]) == [(0, 2)]
+    assert runm([6, 1, 3, 4]) == [(0, 3)]
+
+
 _CLS = st.integers(min_value=0, max_value=4)
 _CLS_Z = st.integers(min_value=0, max_value=5)
+_CLS_P = st.integers(min_value=0, max_value=6).filter(lambda x: x != 5)
+_CLS_PZ = st.integers(min_value=0, max_value=6)
 
 
 @settings(max_examples=400, deadline=None)
@@ -159,6 +189,34 @@ def test_mixed_width_skip_past_matches_re(ms):
 def test_suffix_skip_past_matches_re(ms):
     got = _run(_spec(suffix=True), ms)
     assert got == _brute_finditer(_AB_CD_Z, ms)
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.lists(_CLS_P, max_size=36))
+def test_prefix_skip_past_matches_re(ms):
+    got = _run(_spec(prefix=True), ms)
+    assert got == _brute_finditer(_P_AB_CD, ms)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_CLS_P, max_size=36))
+def test_prefix_skip_to_next_matches_re(ms):
+    got = _run(_spec(after=SKIP_TO_NEXT, prefix=True), ms)
+    assert got == _brute_per_start(_P_AB_CD, ms)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_CLS_P, max_size=36))
+def test_prefix_mixed_width_matches_re(ms):
+    got = _run(_spec(branches=((0, 0), (1, 2)), prefix=True), ms)
+    assert got == _brute_finditer(_P_A_CD, ms)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_CLS_PZ, max_size=36))
+def test_prefix_suffix_skip_past_matches_re(ms):
+    got = _run(_spec(prefix=True, suffix=True), ms)
+    assert got == _brute_finditer(_P_AB_CD_Z, ms)
 
 
 def test_parser_produces_loop_branches():

@@ -288,11 +288,14 @@ def test_nested_kernel_overlap_falls_back(spark):
     assert fast == nfa
 
 
-def test_nested_within_stays_on_nfa_and_caps(spark):
-    """Nested groups + WITHIN decline the kernel (the deadline would
-    cap both chain levels interdependently) and route to the NFA,
-    which enforces the strict-< deadline: the second unit's C at
-    exactly start+30min is out, one minute earlier is in."""
+def test_nested_within_kernel_caps(spark):
+    """Nested groups + WITHIN compile to the two-level chain kernel
+    (round 9 — previously a decline that routed the shape to the
+    per-key Python NFA): under disjoint predicates the deadline only
+    truncates the outer unit count. Strict-< boundary pinned on BOTH
+    tiers: the second unit's C at exactly start+30min is out, one
+    minute earlier is in; the deadline-cut unit then starts its own
+    match (SKIP PAST LAST resumption)."""
     from flink_cep_examples_spark.operators.fast_path import (
         fast_nested_chain_applicable,
     )
@@ -303,7 +306,7 @@ def test_nested_within_stays_on_nfa_and_caps(spark):
     )
     spec = parse_match_recognize(body)
     assert spec.within is not None
-    assert not fast_nested_chain_applicable(spec)
+    assert fast_nested_chain_applicable(spec)
 
     rows = [
         # user 1: unit2's C lands at exactly start+30 -> run 0 expires
@@ -312,12 +315,46 @@ def test_nested_within_stays_on_nfa_and_caps(spark):
         (1, 0, 1), (1, 1, 2), (1, 2, 3), (1, 3, 1), (1, 4, 2), (1, 30, 3),
         # user 2: same shape, C at +29 -> both units in one match
         (2, 0, 1), (2, 1, 2), (2, 2, 3), (2, 3, 1), (2, 4, 2), (2, 29, 3),
+        # user 3: the FIRST unit alone exceeds the deadline from its
+        # own start (C at +31) -> no match can begin at unit1; unit2
+        # (start +33, C at +40) fits alone
+        (3, 0, 1), (3, 1, 2), (3, 31, 3), (3, 33, 1), (3, 34, 2), (3, 40, 3),
     ]
     df = _events_df(spark, rows)
-    out = sorted(
+    fast = sorted(
         (r["user_id"], r["n_units"], r["n_pairs"])
         for r in match_recognize(
             df, body, tiebreak_col="event_id"
         ).collect()
     )
-    assert out == [(1, 1, 1), (1, 1, 1), (2, 2, 2)]
+    nfa = sorted(
+        (r["user_id"], r["n_units"], r["n_pairs"])
+        for r in match_recognize(
+            df, body, tiebreak_col="event_id", use_fast_path=False
+        ).collect()
+    )
+    assert fast == nfa == [
+        (1, 1, 1), (1, 1, 1), (2, 2, 2), (3, 1, 1),
+    ]
+
+
+@pytest.mark.parametrize("seed", [6, 7, 8])
+def test_nested_within_kernel_matches_nfa(spark, seed):
+    """Randomized fast-vs-NFA differential for nested groups + WITHIN,
+    with a deadline tight enough to split chains frequently."""
+    body = NESTED_BODY.replace(
+        "PATTERN (((A B)+ C)+)",
+        "PATTERN (((A B)+ C)+) WITHIN INTERVAL '5' MINUTE",
+    )
+    df = _events_df(spark, _random_rows(seed, n_rows=160))
+    fast = sorted(
+        map(tuple, match_recognize(
+            df, body, tiebreak_col="event_id"
+        ).collect())
+    )
+    nfa = sorted(
+        map(tuple, match_recognize(
+            df, body, tiebreak_col="event_id", use_fast_path=False
+        ).collect())
+    )
+    assert fast == nfa
