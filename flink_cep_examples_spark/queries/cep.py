@@ -1340,7 +1340,8 @@ FROM z JOIN s ON s.user_id = z.user_id AND s.gid = z.pgid
 
 register(
     "cep_group_unbounded", cep_group_unbounded, ORACLE_GROUP_UNBOUNDED,
-    # round 5: new sub-NFA loop feature — straight into the driver gate
+    # r9 rotation: 4 greens (r5-r8) — demoted for the never-verified pool
+    driver=False,
 )
 
 
@@ -1454,7 +1455,9 @@ WHERE win IS NOT NULL
 register(
     "cep_group_alternation",
     cep_group_alternation,
-    ORACLE_GROUP_ALTERNATION,  # r5.2 rotation: new this round — straight into the driver gate
+    ORACLE_GROUP_ALTERNATION,
+    # r9 rotation: 4 greens (r5-r8) — demoted for the never-verified pool
+    driver=False,
 )
 
 
@@ -1525,7 +1528,9 @@ WHERE d AND u1
 register(
     "cep_group_greedy_range",
     cep_group_greedy_range,
-    ORACLE_GROUP_GREEDY_RANGE,  # r5.2 rotation: new this round — straight into the driver gate
+    ORACLE_GROUP_GREEDY_RANGE,
+    # r9 rotation: 4 greens (r5-r8) — demoted for the never-verified pool
+    driver=False,
 )
 
 
@@ -2332,6 +2337,158 @@ register(
     cep_group_nested,
     ORACLE_GROUP_NESTED,
     # round 8: nested unbounded groups — into the driver gate
+)
+
+
+def cep_group_nested_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested unbounded groups + ``WITHIN`` — ``PATTERN (((A B)+ C)+)
+    WITHIN INTERVAL '72' HOUR`` (round 9): the deadline caps the whole
+    outer match span with the engine's strict-< rule (reference
+    deadline clause: FlinkSqlMatchRecognizeExample.scala:62 composed
+    with the nested-group shape). Runs on the TWO-LEVEL chain kernel
+    (operators/fast_path.py::match_pattern_fast_nested_chain) — under
+    disjoint predicates units are rigid, so the deadline only
+    truncates the outer unit COUNT: the deadline-cut unit starts the
+    next match (SKIP PAST LAST resumption), and a unit exceeding the
+    deadline from its own start joins no match at all.
+
+    Classes: event_id % 3 → 1=A, 2=B, 0=C (three classes instead of
+    cep_group_nested's four so adjacent units actually chain at this
+    data scale — the deadline then has chains to split). Oracle: the
+    two-level chain closed form plus a RECURSIVE walk over each unit
+    chain carrying the current match-start timestamp."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.sources.tables import load_table, spread
+    from flink_cep_examples_spark.sql.match_recognize import match_recognize
+
+    events = spread(load_table(spark, sf_dir, "events"), "user_id").select(
+        "user_id", "ts", "event_id"
+    )
+    out = match_recognize(
+        events,
+        """
+        PARTITION BY user_id ORDER BY ts, event_id
+        MEASURES FIRST(A.ts) AS start_ts,
+                 LAST(C.ts) AS end_ts,
+                 COUNT(A.*) AS n_pairs,
+                 COUNT(C.*) AS n_units
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (((A B)+ C)+) WITHIN INTERVAL '72' HOUR
+        DEFINE A AS event_id % 3 = 1,
+               B AS event_id % 3 = 2,
+               C AS event_id % 3 = 0
+        """,
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss").alias("start_dt"),
+        F.date_format("end_ts", "yyyy-MM-dd HH:mm:ss").alias("end_dt"),
+        "n_pairs",
+        "n_units",
+    )
+
+
+#: 72 hours in microseconds — the deadline in the recursive walk.
+_NESTED_W_US = 72 * 3600 * 1_000_000
+
+#: Same two-level chain decomposition as ORACLE_GROUP_NESTED (classes
+#: % 3), then a RECURSIVE walk per unit chain: state t0 is the current
+#: match's start epoch. A unit whose last row is < t0 + W joins the
+#: current match (keeps t0); otherwise it restarts at its OWN first
+#: row if it fits its own deadline, else it is DEAD (t0 NULL — the
+#: next unit restarts fresh, since NULL fails the join test). Matches
+#: group emitted units by (chain, t0).
+ORACLE_GROUP_NESTED_WITHIN = f"""
+WITH RECURSIVE e AS (
+  SELECT user_id, ts, event_id, event_id % 3 AS m,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+p AS (
+  SELECT *, (m = 1 AND lead(m) OVER w = 2) AS pstart
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+),
+ps AS (
+  SELECT user_id, rn,
+         CASE WHEN lag(rn) OVER w2 = rn - 2 THEN 0 ELSE 1 END AS brk
+  FROM p WHERE pstart
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)
+),
+ch AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY rn) AS cid
+  FROM ps
+),
+runs AS (
+  SELECT user_id, cid, MIN(rn) AS srn, MAX(rn) + 1 AS prn_end,
+         COUNT(*) AS n_pairs
+  FROM ch GROUP BY user_id, cid
+),
+units AS (
+  SELECT r.user_id, r.srn, r.prn_end + 1 AS urn_end, r.n_pairs
+  FROM runs r
+  JOIN e c ON c.user_id = r.user_id AND c.rn = r.prn_end + 1
+  WHERE c.m = 0
+),
+uc AS (
+  SELECT *,
+         CASE WHEN lag(urn_end) OVER w3 = srn - 1 THEN 0 ELSE 1 END AS brk2
+  FROM units
+  WINDOW w3 AS (PARTITION BY user_id ORDER BY srn)
+),
+oc AS (
+  SELECT *, SUM(brk2) OVER (PARTITION BY user_id ORDER BY srn) AS oid
+  FROM uc
+),
+useq AS (
+  SELECT o.user_id, o.oid, o.srn, o.urn_end, o.n_pairs,
+         row_number() OVER (
+           PARTITION BY o.user_id, o.oid ORDER BY o.srn
+         ) AS stp,
+         epoch_us(f.ts) AS f_us, epoch_us(l.ts) AS l_us
+  FROM oc o
+  JOIN e f ON f.user_id = o.user_id AND f.rn = o.srn
+  JOIN e l ON l.user_id = o.user_id AND l.rn = o.urn_end
+),
+walk AS (
+  SELECT user_id, oid, stp, srn, urn_end, n_pairs,
+         CASE WHEN l_us - f_us < {_NESTED_W_US} THEN f_us END AS t0
+  FROM useq WHERE stp = 1
+  UNION ALL
+  SELECT u.user_id, u.oid, u.stp, u.srn, u.urn_end, u.n_pairs,
+         CASE
+           WHEN w.t0 IS NOT NULL
+                AND u.l_us - w.t0 < {_NESTED_W_US} THEN w.t0
+           WHEN u.l_us - u.f_us < {_NESTED_W_US} THEN u.f_us
+         END AS t0
+  FROM useq u
+  JOIN walk w ON u.user_id = w.user_id AND u.oid = w.oid
+             AND u.stp = w.stp + 1
+),
+agg AS (
+  SELECT user_id, oid, t0, MIN(srn) AS osrn, MAX(urn_end) AS oern,
+         CAST(SUM(n_pairs) AS BIGINT) AS n_pairs, COUNT(*) AS n_units
+  FROM walk WHERE t0 IS NOT NULL
+  GROUP BY user_id, oid, t0
+)
+SELECT a.user_id,
+       strftime(fs.ts, {_FMT}) AS start_dt,
+       strftime(ls.ts, {_FMT}) AS end_dt,
+       a.n_pairs, a.n_units
+FROM agg a
+JOIN e fs ON fs.user_id = a.user_id AND fs.rn = a.osrn
+JOIN e ls ON ls.user_id = a.user_id AND ls.rn = a.oern
+"""
+
+
+register(
+    "cep_group_nested_within",
+    cep_group_nested_within,
+    ORACLE_GROUP_NESTED_WITHIN,
+    # round 9: deadline composed with nested groups on the kernel
 )
 
 

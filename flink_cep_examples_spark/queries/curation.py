@@ -821,5 +821,5 @@ register(
     "corpus_boilerplate_topk",
     corpus_boilerplate_topk,
     ORACLE_BOILERPLATE_TOPK,
-    driver=False,  # report twin of docs_segment_dedup; pytest-oracled
+    # r9 rotation: promoted from the never-verified pool
 )

@@ -487,7 +487,7 @@ register("ivf_topk", ivf_topk, ORACLE_IVF, driver=False,  # r5.2 rotation: drive
 register(
     "embedding_cluster_profile", embedding_cluster_profile,
     ORACLE_CLUSTER_PROFILE,
-    driver=False,  # r8 add: pytest-oracled; rotation may promote in r9
+    # r9 rotation: promoted from the never-verified pool
 )
 register(
     "semdedup_prune", semdedup_prune, ORACLE_SEMDEDUP,

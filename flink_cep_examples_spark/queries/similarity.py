@@ -624,7 +624,9 @@ LIMIT {TOP_K}
 
 
 register(
-    "ann_int8_topk", ann_int8_topk, ORACLE_INT8,  # r5.2 rotation: new this round — straight into the driver gate
+    "ann_int8_topk", ann_int8_topk, ORACLE_INT8,
+    # r9 rotation: 4 greens (r5-r8) — demoted for the never-verified pool
+    driver=False,
 )
 
 
@@ -789,5 +791,7 @@ LIMIT {TOP_K}
 
 
 register(
-    "ann_pq_topk", ann_pq_topk, ORACLE_PQ,  # r5.2 rotation: new this round — straight into the driver gate
+    "ann_pq_topk", ann_pq_topk, ORACLE_PQ,
+    # r9 rotation: 4 greens (r5-r8) — demoted for the never-verified pool
+    driver=False,
 )

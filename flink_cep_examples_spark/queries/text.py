@@ -568,9 +568,9 @@ register("docs_tfidf_top_terms", docs_tfidf_top_terms, ORACLE_TFIDF, driver=Fals
 )
 register(
     "docs_bm25_topk", docs_bm25_topk, _oracle_bm25(),
-    driver=False,  # r8 add: pytest-oracled; rotation may promote in r9
+    # r9 rotation: promoted from the never-verified pool
 )
 register(
     "bm25_persisted_topk", bm25_persisted_topk, _oracle_bm25(),
-    driver=False,  # r8 add: pytest-oracled; rotation may promote in r9
+    # r9 rotation: promoted from the never-verified pool
 )

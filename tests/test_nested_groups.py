@@ -96,6 +96,15 @@ def test_validate_guards():
     # identical spans are degenerate (((A B)+)+ == (A B)+)
     with pytest.raises(ValueError, match="disjoint or properly nested"):
         parse_match_recognize(_body("((A B)+)+", "A AS m = 1, B AS m = 2"))
+    # THREE-level nesting is a named loud reject (round-9 decision:
+    # the loop-back-edge construction and the longest-derivation
+    # holds are only validated to depth 2; generalize before lifting)
+    with pytest.raises(
+        NotImplementedError, match="more than two levels"
+    ):
+        parse_match_recognize(
+            _body("((((A B)+ C)+ D)+)", _DEF4)
+        )
     # ALL ROWS has no fixed stride
     with pytest.raises(NotImplementedError, match="nested"):
         parse_match_recognize(
