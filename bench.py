@@ -87,22 +87,20 @@ HEADLINE = [
 #: documented ±40% band, not a query-specific regression. Neither
 #: query's code changed since r4.
 BENCH_NOTES = (
-    "r8: headline set +5 (sources_kmv_jaccard + ann_ivfadc_topk per "
-    "VERDICT r7 item 9, plus the three new round-8 pattern shapes, "
-    "all three of which compile to partition-level kernels: "
-    "chain-within 1.43x, group-absence 1.19x, alt-unbounded 1.18x at "
-    "10x; nested two-level chain 1.38x). Flag audit: the flag SET "
-    "churned across three same-code runs (alert_reactions+streaming, "
-    "then alert_reactions+keyed_process+q21+ann_pq, streaming "
-    "UNflagged at 185k ev/s), every flagged query is code-untouched "
-    "this round, and the settled CONTROL text_fingerprint solo-probed "
-    "at min 0.657 vs its recorded ~0.22 - a 3x host-wide slowdown "
-    "window on the measurement day. The r7-commit worktree run "
-    "back-to-back measured the same inflation (streaming 2.10 vs "
-    "recorded 1.83), and a 200k-row pure-Python NFA microbench puts "
-    "the only real r8 step() delta at +4% (advance_time longest-walk "
-    "branch checks) with bit-identical output. Host drift, not plan "
-    "regressions."
+    "r9: the four r8-flagged queries all returned to band on a quiet "
+    "host (alert_reactions 0.965 vs r7 0.856; alerts_with_timeouts "
+    "1.025; ann_bruteforce 0.624 vs 0.501; semdedup_prune 2.213 vs "
+    "1.952 - every ratio <=1.25, unflagged), confirming the r8 flags "
+    "were the documented host-noise window. Correction to the r8 "
+    "note: text_fingerprint's recorded cross-round mins are "
+    "0.33-0.38 s (r2-r7; r9 quiet-host 0.362), not '~0.22' - the r8 "
+    "solo probe of 0.657 is ~1.8x that band, same conclusion "
+    "(host-wide window), corrected arithmetic. "
+    "One residual r9 flag, ann_pq_topk 2.243 vs r7 1.775 (1.26x "
+    "in-bench): solo-probed same session at min 1.945 = 1.10x - "
+    "noise, code untouched since r5. Headline set +2 this round "
+    "(cep_group_nested_within - the WITHIN-on-nested-kernel shape - "
+    "via scale_smoke; bench set unchanged otherwise)."
 )
 
 

@@ -2492,6 +2492,153 @@ register(
 )
 
 
+def cep_group_nested3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-level nested unbounded groups — ``PATTERN ((((A B)+ C)+
+    D)+)`` (round 9): the parser's depth-2 cap lifted after
+    differential validation (the NFA's loop-back-edge construction is
+    depth-generic — one edge per group end, shared ends union
+    targets; ~10k Python-``re`` differentials across distinct-end,
+    all-shared-end, and mid-shared-end depth-3 shapes,
+    tests/test_nested_groups.py). Depth 4+ stays a named reject.
+
+    Classes: event_id % 4 → 1=A, 2=B, 3=C, 0=D. NFA tier (the
+    two-level chain kernel requires exactly two groups — a
+    three-level kernel would be the same motif one level up, left
+    until a profile demands it). Oracle: the two-level closed form
+    extended by one more chain level (units → mid-chains+D =
+    superunits → superunit chains)."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.sources.tables import load_table, spread
+    from flink_cep_examples_spark.sql.match_recognize import match_recognize
+
+    events = spread(load_table(spark, sf_dir, "events"), "user_id").select(
+        "user_id", "ts", "event_id"
+    )
+    out = match_recognize(
+        events,
+        """
+        PARTITION BY user_id ORDER BY ts, event_id
+        MEASURES FIRST(A.ts) AS start_ts,
+                 LAST(D.ts) AS end_ts,
+                 COUNT(A.*) AS n_pairs,
+                 COUNT(C.*) AS n_units,
+                 COUNT(D.*) AS n_mids
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN ((((A B)+ C)+ D)+)
+        DEFINE A AS event_id % 4 = 1,
+               B AS event_id % 4 = 2,
+               C AS event_id % 4 = 3,
+               D AS event_id % 4 = 0
+        """,
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss").alias("start_dt"),
+        F.date_format("end_ts", "yyyy-MM-dd HH:mm:ss").alias("end_dt"),
+        "n_pairs",
+        "n_units",
+        "n_mids",
+    )
+
+
+#: THREE-level chain closed form: the two-level decomposition
+#: (pair runs → units → unit chains) plus one more level — a
+#: mid-chain followed directly by a D row is a SUPERUNIT, and each
+#: maximal run of adjacent superunits is one match.
+ORACLE_GROUP_NESTED3 = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_id % 4 AS m,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+p AS (
+  SELECT *, (m = 1 AND lead(m) OVER w = 2) AS pstart
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+),
+ps AS (
+  SELECT user_id, rn,
+         CASE WHEN lag(rn) OVER w2 = rn - 2 THEN 0 ELSE 1 END AS brk
+  FROM p WHERE pstart
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)
+),
+ch AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY rn) AS cid
+  FROM ps
+),
+runs AS (
+  SELECT user_id, cid, MIN(rn) AS srn, MAX(rn) + 1 AS prn_end,
+         COUNT(*) AS n_pairs
+  FROM ch GROUP BY user_id, cid
+),
+units AS (
+  SELECT r.user_id, r.srn, r.prn_end + 1 AS urn_end, r.n_pairs
+  FROM runs r
+  JOIN e c ON c.user_id = r.user_id AND c.rn = r.prn_end + 1
+  WHERE c.m = 3
+),
+uc AS (
+  SELECT *,
+         CASE WHEN lag(urn_end) OVER w3 = srn - 1 THEN 0 ELSE 1 END AS brk2
+  FROM units
+  WINDOW w3 AS (PARTITION BY user_id ORDER BY srn)
+),
+oc AS (
+  SELECT *, SUM(brk2) OVER (PARTITION BY user_id ORDER BY srn) AS mid
+  FROM uc
+),
+mids AS (
+  SELECT user_id, mid, MIN(srn) AS msrn, MAX(urn_end) AS mrn_end,
+         CAST(SUM(n_pairs) AS BIGINT) AS n_pairs, COUNT(*) AS n_units
+  FROM oc GROUP BY user_id, mid
+),
+sunits AS (
+  SELECT m2.user_id, m2.msrn, m2.mrn_end + 1 AS srn_end,
+         m2.n_pairs, m2.n_units
+  FROM mids m2
+  JOIN e d ON d.user_id = m2.user_id AND d.rn = m2.mrn_end + 1
+  WHERE d.m = 0
+),
+sc AS (
+  SELECT *,
+         CASE WHEN lag(srn_end) OVER w4 = msrn - 1 THEN 0 ELSE 1 END AS brk3
+  FROM sunits
+  WINDOW w4 AS (PARTITION BY user_id ORDER BY msrn)
+),
+ocj AS (
+  SELECT *, SUM(brk3) OVER (PARTITION BY user_id ORDER BY msrn) AS oid
+  FROM sc
+),
+agg AS (
+  SELECT user_id, oid, MIN(msrn) AS osrn, MAX(srn_end) AS oern,
+         CAST(SUM(n_pairs) AS BIGINT) AS n_pairs,
+         CAST(SUM(n_units) AS BIGINT) AS n_units,
+         COUNT(*) AS n_mids
+  FROM ocj GROUP BY user_id, oid
+)
+SELECT a.user_id,
+       strftime(fs.ts, {_FMT}) AS start_dt,
+       strftime(ls.ts, {_FMT}) AS end_dt,
+       a.n_pairs, a.n_units, a.n_mids
+FROM agg a
+JOIN e fs ON fs.user_id = a.user_id AND fs.rn = a.osrn
+JOIN e ls ON ls.user_id = a.user_id AND ls.rn = a.oern
+"""
+
+
+register(
+    "cep_group_nested3",
+    cep_group_nested3,
+    ORACLE_GROUP_NESTED3,
+    # round 9: three-level nesting; gate at cap — heads the r10
+    # promotion queue (COVERAGE.md rotation policy)
+    driver=False,
+)
+
+
 def cep_group_range_or_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MIXED written alternation + ranged group — ``PATTERN
     ((D U){1,2} | F)`` (round 6): the round-5 engine refused this

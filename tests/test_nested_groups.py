@@ -78,6 +78,11 @@ _SHAPES = [
     ("((A B)+ C)+", _DEF3, 3, re.compile(r"(?:(?:ab)+c)+")),
     ("(A (B C)+)+", _DEF3, 3, re.compile(r"(?:a(?:bc)+)+")),
     ("(A (B C)+ D)+", _DEF4, 4, re.compile(r"(?:a(?:bc)+d)+")),
+    # round 9: THREE-level nesting (depth-generic loop-back edges) —
+    # distinct-end, all-shared-end, and mid-shared-end variants
+    ("(((A B)+ C)+ D)+", _DEF4, 4, re.compile(r"(?:(?:(?:ab)+c)+d)+")),
+    ("(A (B (C D)+)+)+", _DEF4, 4, re.compile(r"(?:a(?:b(?:cd)+)+)+")),
+    ("((A (B C)+)+ D)+", _DEF4, 4, re.compile(r"(?:(?:a(?:bc)+)+d)+")),
 ]
 
 
@@ -96,14 +101,18 @@ def test_validate_guards():
     # identical spans are degenerate (((A B)+)+ == (A B)+)
     with pytest.raises(ValueError, match="disjoint or properly nested"):
         parse_match_recognize(_body("((A B)+)+", "A AS m = 1, B AS m = 2"))
-    # THREE-level nesting is a named loud reject (round-9 decision:
-    # the loop-back-edge construction and the longest-derivation
-    # holds are only validated to depth 2; generalize before lifting)
+    # THREE-level nesting parses since round 9 (depth-generic
+    # loop-back edges, re-differential-validated below); FOUR stays a
+    # named loud reject until someone differential-validates deeper
+    spec3 = parse_match_recognize(_body("((((A B)+ C)+ D)+)", _DEF4))
+    assert sorted(spec3.loop_groups) == [(0, 1), (0, 2), (0, 3)]
     with pytest.raises(
-        NotImplementedError, match="more than two levels"
+        NotImplementedError, match="more than three levels"
     ):
         parse_match_recognize(
-            _body("((((A B)+ C)+ D)+)", _DEF4)
+            _body(
+                "(((((A B)+ C)+ D)+ E)+)", _DEF4 + ", E AS m = 5"
+            )
         )
     # ALL ROWS has no fixed stride
     with pytest.raises(NotImplementedError, match="nested"):

@@ -189,6 +189,66 @@ def test_streaming_skip_to_last_matches_batch(spark, tmp_path):
     assert expected == got
 
 
+def test_streaming_leading_optional_matches_batch(spark, tmp_path):
+    """Round 9: a LEADING optional variable (``A? B``) streams through
+    the same multi-begin NFA fix as batch — a lone B row (zero-width
+    A) must match on BOTH tiers. Before round 9 the NFA opened runs
+    only at position 0, so key 1's lone-B match silently vanished;
+    the streaming prefilter (begin_preds OR) and the step() begin
+    closure are the shared surfaces under test."""
+    from flink_cep_examples_spark.operators import match_pattern
+    from flink_cep_examples_spark.plans.pattern import Measure, Pattern
+    from flink_cep_examples_spark.sources.billing import billing_from_rows
+
+    spec = (
+        Pattern.begin("A")
+        .where("balanceAfter >= 10")
+        .optional()
+        .next("B")
+        .where("balanceAfter BETWEEN 0 AND 9")
+    ).build(
+        measures=(
+            Measure("first_dt", "B", "datetime", "first"),
+            Measure("n_a", "A", None, "count"),
+        )
+    )
+    rows = [
+        # key 1: lone B — the round-9 zero-width-prefix case
+        ("1", "2020-05-01 11:00:00", 5, 5),
+        # key 2: A then B — one match spanning both
+        ("2", "2020-05-01 11:00:00", 20, 20),
+        ("2", "2020-05-01 11:01:00", 5, 5),
+        # key 3: lone A — no match
+        ("3", "2020-05-01 11:00:00", 20, 20),
+        ("99", "2021-01-01 00:00:00", -1, -1),  # inert watermark sentinel
+    ]
+    df = billing_from_rows(spark, rows)
+
+    expected = sorted(
+        map(tuple, match_pattern(df, spec).drop("tag").collect())
+    )
+    assert [(e[0], e[2]) for e in expected] == [("1", 0), ("2", 1)]
+
+    src = str(tmp_path / "leadopt")
+    df.coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    out = match_pattern_stream(stream, spec, "6 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("leadopt_mem")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        map(tuple, spark.table("leadopt_mem").drop("tag").collect())
+    )
+    assert expected == got
+
+
 def test_streaming_classifier_matches_batch(spark, sf_small, tmp_path):
     """CLASSIFIER() through the streaming operator (round 4): the
     measure reads the match's own span ordinals, so it needs no extra

@@ -79,6 +79,7 @@ SMOKE = [
     "cep_group_loop_all_rows_running",  # round-8 RUNNING x loop all-rows
     "cep_group_nested",  # round-8 nested groups (two-level chain kernel)
     "docs_bm25_topk",  # round-8 BM25 lexical retrieval (filtered explode)
+    "cep_group_nested_within",  # round-9 deadline on the nested kernel
 ]
 
 
