@@ -2463,15 +2463,22 @@ def match_pattern_fast_nested_chain(
         for m in measure_list:
             cols[m.name] = []
         cols["tag"] = []
-        # walk each head's unit chain. WITHIN (round 9): the deadline
-        # caps the whole OUTER match span — a unit joins the current
-        # match iff its last row is < start + within; the unit that
-        # crosses the deadline ends the match (the NFA prunes the run
-        # there and its held longest completion emits) and itself
-        # starts the NEXT match, exactly SKIP PAST LAST resumption.
-        # Under disjoint predicates units are rigid (a chunk row can
-        # never be a suffix row), so the deadline's only freedom is
-        # the unit COUNT — no inner-k/outer-count interdependence.
+        # walk each head's unit chain. WITHIN (round 9, dead-unit
+        # retry fixed round 10): the deadline caps the whole OUTER
+        # match span — a unit joins the current match iff its last row
+        # is < start + within; the unit that crosses the deadline ends
+        # the match (the NFA prunes the run there and its held longest
+        # completion emits) and itself starts the NEXT match, exactly
+        # SKIP PAST LAST resumption. Under disjoint predicates units
+        # are rigid (a chunk row can never be a suffix row), so the
+        # deadline's only freedom is the unit COUNT — no inner-k/
+        # outer-count interdependence. A unit that exceeds the
+        # deadline from its OWN start consumes nothing: the NFA
+        # retries at the next ROW, and the next viable attempt is the
+        # next candidate start in ustarts (past_last=False keeps every
+        # pair-suffix start, which may lie INSIDE the dead unit) —
+        # cutoff therefore advances only on EMISSION, never past rows
+        # a dead unit failed to consume.
         within_us = compiled.within_us
         ts_k = (
             pdf[_TS_COL].to_numpy(dtype=np.int64)
@@ -2481,6 +2488,7 @@ def match_pattern_fast_nested_chain(
         emissions: list[tuple[int, int, int, int, int]] = []
         cutoff = -1  # SKIP PAST LAST: a head inside an emitted span
         cutoff_seg = -1  # is a consumed partial — heads are ascending
+        n_cand = len(ustarts)
         for h in heads:
             i: int | None = int(h)
             seg = int(useg[i])
@@ -2494,8 +2502,6 @@ def match_pattern_fast_nested_chain(
                 last_u = i
                 cur: int | None = i
                 while cur is not None:
-                    cutoff = int(unxt[cur])
-                    cutoff_seg = seg
                     if ts_k is not None and (
                         int(ts_k[int(unxt[cur]) - 1]) - t0 >= within_us
                     ):
@@ -2508,12 +2514,18 @@ def match_pattern_fast_nested_chain(
                     emissions.append(
                         (seg, first_u, last_u, total_pairs, n_units)
                     )
+                    cutoff = int(unxt[last_u])
+                    cutoff_seg = seg
                     i = cur  # deadline-cut unit starts the next match
                 else:
                     # the unit alone exceeds the deadline from its own
-                    # start row — nothing completes here; retry at the
-                    # next unit in the chain
-                    i = start_of.get(seg * n + int(unxt[i]))
+                    # start row — nothing completes and nothing is
+                    # consumed; retry at the next candidate start in
+                    # this segment (ustarts ascends, so i+1 is the
+                    # NFA's next viable row — possibly a pair-suffix
+                    # of this very unit)
+                    j = i + 1
+                    i = j if j < n_cand and int(useg[j]) == seg else None
         if not emissions:
             return
         mn_per_seg: dict[int, int] = {}

@@ -2350,7 +2350,8 @@ def cep_group_nested_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     disjoint predicates units are rigid, so the deadline only
     truncates the outer unit COUNT: the deadline-cut unit starts the
     next match (SKIP PAST LAST resumption), and a unit exceeding the
-    deadline from its own start joins no match at all.
+    deadline from its own start retries at its pair-suffix starts
+    (the NFA retries per row; round-10 dead-unit fix).
 
     Classes: event_id % 3 → 1=A, 2=B, 0=C (three classes instead of
     cep_group_nested's four so adjacent units actually chain at this
@@ -2396,11 +2397,16 @@ _NESTED_W_US = 72 * 3600 * 1_000_000
 
 #: Same two-level chain decomposition as ORACLE_GROUP_NESTED (classes
 #: % 3), then a RECURSIVE walk per unit chain: state t0 is the current
-#: match's start epoch. A unit whose last row is < t0 + W joins the
-#: current match (keeps t0); otherwise it restarts at its OWN first
-#: row if it fits its own deadline, else it is DEAD (t0 NULL — the
-#: next unit restarts fresh, since NULL fails the join test). Matches
-#: group emitted units by (chain, t0).
+#: match's start epoch and m_srn its start row. A unit whose last row
+#: is < t0 + W joins the current match (keeps t0/m_srn, contributes
+#: all its pairs); otherwise the match ends and the unit RESTARTS at
+#: ``bsrn`` — the EARLIEST of its pair starts from which its own span
+#: fits the deadline (the NFA retries at the next row after a failed
+#: attempt, so a dead unit's pair-SUFFIX may still start a match —
+#: round-10 fix, previously a dead unit was skipped whole, silently
+#: dropping those matches in both the oracle and the kernel). bsrn
+#: NULL = truly dead: contributes nothing, the next unit restarts
+#: fresh. Matches group emitted units by (chain, m_srn).
 ORACLE_GROUP_NESTED_WITHIN = f"""
 WITH RECURSIVE e AS (
   SELECT user_id, ts, event_id, event_id % 3 AS m,
@@ -2428,10 +2434,19 @@ runs AS (
   FROM ch GROUP BY user_id, cid
 ),
 units AS (
-  SELECT r.user_id, r.srn, r.prn_end + 1 AS urn_end, r.n_pairs
+  SELECT r.user_id, r.cid, r.srn, r.prn_end + 1 AS urn_end, r.n_pairs,
+         epoch_us(c.ts) AS l_us
   FROM runs r
   JOIN e c ON c.user_id = r.user_id AND c.rn = r.prn_end + 1
   WHERE c.m = 0
+),
+ubest AS (
+  SELECT u.user_id, u.srn, MIN(g.rn) AS bsrn
+  FROM units u
+  JOIN ch g ON g.user_id = u.user_id AND g.cid = u.cid
+  JOIN e ge ON ge.user_id = u.user_id AND ge.rn = g.rn
+  WHERE u.l_us - epoch_us(ge.ts) < {_NESTED_W_US}
+  GROUP BY u.user_id, u.srn
 ),
 uc AS (
   SELECT *,
@@ -2444,35 +2459,40 @@ oc AS (
   FROM uc
 ),
 useq AS (
-  SELECT o.user_id, o.oid, o.srn, o.urn_end, o.n_pairs,
+  SELECT o.user_id, o.oid, o.srn, o.urn_end, o.n_pairs, o.l_us,
          row_number() OVER (
            PARTITION BY o.user_id, o.oid ORDER BY o.srn
          ) AS stp,
-         epoch_us(f.ts) AS f_us, epoch_us(l.ts) AS l_us
+         ub.bsrn, epoch_us(be.ts) AS b_us,
+         o.n_pairs - (ub.bsrn - o.srn) / 2 AS bpairs
   FROM oc o
-  JOIN e f ON f.user_id = o.user_id AND f.rn = o.srn
-  JOIN e l ON l.user_id = o.user_id AND l.rn = o.urn_end
+  LEFT JOIN ubest ub ON ub.user_id = o.user_id AND ub.srn = o.srn
+  LEFT JOIN e be ON be.user_id = o.user_id AND be.rn = ub.bsrn
 ),
 walk AS (
-  SELECT user_id, oid, stp, srn, urn_end, n_pairs,
-         CASE WHEN l_us - f_us < {_NESTED_W_US} THEN f_us END AS t0
+  SELECT user_id, oid, stp, urn_end,
+         b_us AS t0, bsrn AS m_srn, bpairs AS eff_pairs
   FROM useq WHERE stp = 1
   UNION ALL
-  SELECT u.user_id, u.oid, u.stp, u.srn, u.urn_end, u.n_pairs,
-         CASE
-           WHEN w.t0 IS NOT NULL
-                AND u.l_us - w.t0 < {_NESTED_W_US} THEN w.t0
-           WHEN u.l_us - u.f_us < {_NESTED_W_US} THEN u.f_us
-         END AS t0
+  SELECT u.user_id, u.oid, u.stp, u.urn_end,
+         CASE WHEN w.t0 IS NOT NULL
+                   AND u.l_us - w.t0 < {_NESTED_W_US}
+              THEN w.t0 ELSE u.b_us END AS t0,
+         CASE WHEN w.t0 IS NOT NULL
+                   AND u.l_us - w.t0 < {_NESTED_W_US}
+              THEN w.m_srn ELSE u.bsrn END AS m_srn,
+         CASE WHEN w.t0 IS NOT NULL
+                   AND u.l_us - w.t0 < {_NESTED_W_US}
+              THEN u.n_pairs ELSE u.bpairs END AS eff_pairs
   FROM useq u
   JOIN walk w ON u.user_id = w.user_id AND u.oid = w.oid
              AND u.stp = w.stp + 1
 ),
 agg AS (
-  SELECT user_id, oid, t0, MIN(srn) AS osrn, MAX(urn_end) AS oern,
-         CAST(SUM(n_pairs) AS BIGINT) AS n_pairs, COUNT(*) AS n_units
-  FROM walk WHERE t0 IS NOT NULL
-  GROUP BY user_id, oid, t0
+  SELECT user_id, oid, m_srn AS osrn, MAX(urn_end) AS oern,
+         CAST(SUM(eff_pairs) AS BIGINT) AS n_pairs, COUNT(*) AS n_units
+  FROM walk WHERE m_srn IS NOT NULL
+  GROUP BY user_id, oid, m_srn
 )
 SELECT a.user_id,
        strftime(fs.ts, {_FMT}) AS start_dt,

@@ -337,6 +337,12 @@ def test_nested_within_kernel_caps(spark):
         # own start (C at +31) -> no match can begin at unit1; unit2
         # (start +33, C at +40) fits alone
         (3, 0, 1), (3, 1, 2), (3, 31, 3), (3, 33, 1), (3, 34, 2), (3, 40, 3),
+        # user 4 (round-10 ADVICE pin): a MULTI-pair unit whose full
+        # span exceeds the deadline (A@0..C@31) but whose pair-SUFFIX
+        # fits (A@10..C@31 = 21 min) — the NFA retries at the next
+        # row after the dead attempt, so the suffix MUST match; the
+        # kernel used to skip the whole dead unit and emit nothing
+        (4, 0, 1), (4, 1, 2), (4, 10, 1), (4, 11, 2), (4, 31, 3),
     ]
     df = _events_df(spark, rows)
     fast = sorted(
@@ -352,7 +358,7 @@ def test_nested_within_kernel_caps(spark):
         ).collect()
     )
     assert fast == nfa == [
-        (1, 1, 1), (1, 1, 1), (2, 2, 2), (3, 1, 1),
+        (1, 1, 1), (1, 1, 1), (2, 2, 2), (3, 1, 1), (4, 1, 1),
     ]
 
 
@@ -376,3 +382,45 @@ def test_nested_within_kernel_matches_nfa(spark, seed):
         ).collect())
     )
     assert fast == nfa
+
+
+def _gapped_rows(seed, n_users=6, n_rows=160):
+    """Random rows with RANDOM ts gaps (0-3 min) and no noise class —
+    long pair runs with uneven spacing, so under a 5-minute deadline
+    multi-pair units regularly exceed the deadline while a pair-suffix
+    still fits (the round-10 dead-unit retry shape; the uniform
+    minute-spaced generator above needs a >=3-pair unit for that,
+    ~1e-4 per row — this one produces it every few units)."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for u in range(n_users):
+        t = 0
+        for _ in range(rng.randrange(n_rows // 2, n_rows)):
+            t += rng.randrange(0, 4)
+            rows.append((u, t, rng.choice([1, 1, 2, 2, 3])))
+    return rows
+
+
+@pytest.mark.parametrize("seed", [9, 10, 11, 12])
+def test_nested_within_dead_unit_suffix_matches_nfa(spark, seed):
+    """Fast-vs-NFA differential on the gapped generator: dead units
+    with viable pair-suffixes occur throughout (round-10 ADVICE —
+    the old kernel/oracle dropped those matches silently)."""
+    body = NESTED_BODY.replace(
+        "PATTERN (((A B)+ C)+)",
+        "PATTERN (((A B)+ C)+) WITHIN INTERVAL '5' MINUTE",
+    )
+    df = _events_df(spark, _gapped_rows(seed))
+    fast = sorted(
+        map(tuple, match_recognize(
+            df, body, tiebreak_col="event_id"
+        ).collect())
+    )
+    nfa = sorted(
+        map(tuple, match_recognize(
+            df, body, tiebreak_col="event_id", use_fast_path=False
+        ).collect())
+    )
+    assert fast == nfa and fast
