@@ -2653,9 +2653,9 @@ register(
     "cep_group_nested3",
     cep_group_nested3,
     ORACLE_GROUP_NESTED3,
-    # round 9: three-level nesting; gate at cap — heads the r10
-    # promotion queue (COVERAGE.md rotation policy)
-    driver=False,
+    # round 10 rotation: promoted from the never-verified pool (the
+    # sole member; hash-verified locally at sf0.001 and sf0.01 before
+    # promotion); q7_volume_shipping demoted to hold the 50-row cap
 )
 
 

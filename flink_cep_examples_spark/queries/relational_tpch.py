@@ -625,7 +625,11 @@ register(
     "q2_min_cost_supplier", q2_min_cost_supplier, ORACLE_Q2,
     driver=False,  # r6 rotation: driver-verified green r4.2+r5; pytest-gated
 )
-register("q7_volume_shipping", q7_volume_shipping, ORACLE_Q7)
+register(
+    "q7_volume_shipping", q7_volume_shipping, ORACLE_Q7,
+    driver=False,  # r10 rotation: most-verified (green r5-r9); demoted
+    # for cep_group_nested3 — stays pytest-oracled every run
+)
 register(
     "q8_market_share", q8_market_share, ORACLE_Q8,
     driver=False,  # r8 rotation: 3 green rounds (r5-r7) — demoted to
