@@ -654,12 +654,32 @@ def match_pattern_all_rows(df: DataFrame, spec: PatternSpec) -> DataFrame:
     emit_names = [v.name for v in spec.variables if not v.excluded]
     # loop-group vars (round 7): a var's rows across iterations are the
     # stride-L progression from its merged span (exactly-once + strict
-    # body, validated), NOT the contiguous range — L = group width
-    loop_stride = {
-        spec.variables[i].name: ge - gs + 1
-        for gs, ge in spec.loop_groups
-        for i in range(gs, ge + 1)
-    }
+    # body, validated), NOT the contiguous range — L = group width.
+    # MULTI-BRANCH groups (round 10) have no fixed stride: their vars
+    # skip the stride expansion entirely and emit via per-row predicate
+    # classification below (aggregate/RUNNING measures over them are
+    # rejected in validate, so loop_stride never feeds _actual_spans).
+    branch_spans = getattr(spec, "loop_branches", ())
+    if branch_spans:
+        loop_stride = {}
+        b_lo, b_hi = spec.loop_groups[0]
+        branch_idx = list(range(b_lo, b_hi + 1))
+        branch_names = [spec.variables[i].name for i in branch_idx]
+        branch_set = set(branch_names)
+        var_excluded = {
+            spec.variables[i].name: spec.variables[i].excluded
+            for i in branch_idx
+        }
+    else:
+        loop_stride = {
+            spec.variables[i].name: ge - gs + 1
+            for gs, ge in spec.loop_groups
+            for i in range(gs, ge + 1)
+        }
+        branch_idx = []
+        branch_names = []
+        branch_set = set()
+        var_excluded = {}
 
     def scan(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([_TS_COL, tiebreak], kind="mergesort")
@@ -714,26 +734,62 @@ def match_pattern_all_rows(df: DataFrame, spec: PatternSpec) -> DataFrame:
                             hi,
                         ),
                     )
+            emit_rows: list[tuple[int, str]] = []
             for vname in emit_names:
+                if vname in branch_set:
+                    continue  # branch vars classify per row below
                 span = match.get(vname)
                 if span is None:
                     continue
                 stride = loop_stride.get(vname, 1)
-                for r in range(span[0], span[1] + 1, stride):
-                    for c in data_cols:
-                        rows[c].append(data_arrays[c][r])
-                    rows["classifier"].append(vname)
-                    rows["match_seq"].append(seq)
-                    for m in measure_list:
-                        if m.name in run_series:
-                            lo, series = run_series[m.name]
-                            rows[m.name].append(series[r - lo])
-                        elif m.running and m.fn == "classifier":
-                            # RUNNING CLASSIFIER() = the current row's
-                            # own variable (SQL:2016)
-                            rows[m.name].append(vname)
-                        else:
-                            rows[m.name].append(mvals[m.name])
+                emit_rows.extend(
+                    (r, vname)
+                    for r in range(span[0], span[1] + 1, stride)
+                )
+            if branch_spans:
+                # multi-branch group (round 10): iterations have no
+                # fixed stride, but strict contiguity means every row
+                # between the branch vars' first and last was consumed
+                # by exactly one branch var — and under disjoint branch
+                # predicates THAT var is the unique one whose predicate
+                # holds at the row. Ambiguity is a loud reject (the
+                # NFA does not record per-row assignments).
+                present = [
+                    match[v] for v in branch_names if v in match
+                ]
+                if present:
+                    blo = min(sp[0] for sp in present)
+                    bhi = max(sp[1] for sp in present)
+                    for r in range(blo, bhi + 1):
+                        hits = [vi for vi in branch_idx if preds[vi][r]]
+                        if len(hits) != 1:
+                            raise NotImplementedError(
+                                "ALL ROWS PER MATCH with a multi-branch"
+                                " unbounded group reconstructs per-row "
+                                "CLASSIFIER from the branch predicates "
+                                "and needs them pairwise-disjoint on "
+                                "the matched rows (a row satisfied "
+                                f"{len(hits)} branch predicates)"
+                            )
+                        vn = spec.variables[hits[0]].name
+                        if not var_excluded.get(vn, False):
+                            emit_rows.append((r, vn))
+            emit_rows.sort(key=lambda t: t[0])
+            for r, vname in emit_rows:
+                for c in data_cols:
+                    rows[c].append(data_arrays[c][r])
+                rows["classifier"].append(vname)
+                rows["match_seq"].append(seq)
+                for m in measure_list:
+                    if m.name in run_series:
+                        lo, series = run_series[m.name]
+                        rows[m.name].append(series[r - lo])
+                    elif m.running and m.fn == "classifier":
+                        # RUNNING CLASSIFIER() = the current row's
+                        # own variable (SQL:2016)
+                        rows[m.name].append(vname)
+                    else:
+                        rows[m.name].append(mvals[m.name])
         out = pd.DataFrame(rows, columns=out_cols)
         _null_safe_agg_cast(out, measure_list, out_schema)
         return out

@@ -2238,6 +2238,106 @@ def match_pattern_fast_group_absence(
     return sorted_p.mapInPandas(scan_partition, out_schema)
 
 
+def _chain_vars_measures_ok(spec) -> bool:
+    """Shared variable/measure admissibility for the nested chain
+    kernels (depth 2 and 3): plain greedy ONCE variables under strict
+    contiguity, measures limited to first/last/count (+ niladics) over
+    known vars/subsets — everything the closed forms can reconstruct
+    from unit geometry."""
+    for i, v in enumerate(spec.variables):
+        if v.negated or v.until is not None or v.quantifier != ONCE:
+            return False
+        if i > 0 and v.contiguity != STRICT:
+            return False
+        if not v.greedy:
+            return False
+    names = {v.name for v in spec.variables}
+    subset_map = dict(spec.subsets)
+    for m in spec.measures:
+        if m.running:
+            return False
+        if m.fn in NILADIC_FNS:
+            continue  # per-segment MATCH_NUMBER / last-var CLASSIFIER
+        if m.fn not in ("first", "last", "count"):
+            return False
+        comps = subset_map.get(m.var, (m.var,))
+        if not all(c in names for c in comps):
+            return False
+    return True
+
+
+def _nested_nfa_fallback_frame(
+    pdf, key_cols, n_vars, compiled, measure_list, out_names,
+    out_schema, key_arrays,
+):
+    """Per-key-segment NFA fallback shared by the nested chain kernels
+    — the runtime predicate-overlap escape hatch (identical output,
+    differential-tested). Returns the emission frame or None."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_cep_examples_spark.operators import nfa as _nfa
+    from flink_cep_examples_spark.operators.cep_batch import (
+        _make_measure_eval,
+        _needs_src,
+        _null_safe_agg_cast,
+        _PRED_PREFIX,
+        _TS_COL,
+    )
+
+    n = len(pdf)
+    newkey = np.zeros(n, dtype=bool)
+    newkey[0] = True
+    for kc in key_cols:
+        col = pdf[kc]
+        same = col.eq(col.shift()) | (col.isna() & col.shift().isna())
+        newkey[1:] |= ~same.to_numpy()[1:]
+    bounds = np.append(np.flatnonzero(newkey), n)
+    ts_us = pdf[_TS_COL].to_numpy(dtype=np.int64)
+    preds_all = np.stack(
+        [
+            pdf[f"{_PRED_PREFIX}{i}"].to_numpy(dtype=bool)
+            for i in range(n_vars)
+        ]
+    )
+    src_arrays = {
+        m.src: pdf[m.src].to_numpy()
+        for m in measure_list
+        if _needs_src(m)
+    }
+    eval_measures = _make_measure_eval(
+        measure_list, compiled.spec.subsets, src_arrays
+    )
+    cols: dict[str, list] = {c: [] for c in out_names}
+    for b in range(len(bounds) - 1):
+        lo, hi = int(bounds[b]), int(bounds[b + 1])
+        matches, _ = _nfa.scan_key_group(
+            compiled, preds_all[:, lo:hi], ts_us[lo:hi]
+        )
+        matches.sort(
+            key=lambda mm: (
+                min(sp[3] for sp in mm.values()),
+                max(sp[4] for sp in mm.values()),
+            )
+        )
+        for mi, match in enumerate(matches):
+            shifted = {
+                v: (sp[0] + lo, sp[1] + lo, sp[2],
+                    sp[3] + lo, sp[4] + lo)
+                for v, sp in match.items()
+            }
+            for kc in key_cols:
+                cols[kc].append(key_arrays[kc][lo])
+            for name, val in eval_measures(shifted, mi + 1).items():
+                cols[name].append(val)
+            cols["tag"].append(MATCH_TAG)
+    if not cols[out_names[0]]:
+        return None
+    out = pd.DataFrame(cols, columns=out_names)
+    _null_safe_agg_cast(out, measure_list, out_schema)
+    return out
+
+
 def fast_nested_chain_applicable(spec) -> bool:
     """True for the vectorizable NESTED-group shape (round 8):
     ``PATTERN ((P1..Ps (X1..XL)+ S1..Sf)+)`` — an OUTER unbounded
@@ -2274,26 +2374,7 @@ def fast_nested_chain_applicable(spec) -> bool:
     inner = spans[0] if spans[1] == outer else spans[1]
     if inner == outer or inner[1] >= n - 1:
         return False  # need >= 1 suffix var to delimit outer iterations
-    for i, v in enumerate(spec.variables):
-        if v.negated or v.until is not None or v.quantifier != ONCE:
-            return False
-        if i > 0 and v.contiguity != STRICT:
-            return False
-        if not v.greedy:
-            return False
-    names = {v.name for v in spec.variables}
-    subset_map = dict(spec.subsets)
-    for m in spec.measures:
-        if m.running:
-            return False
-        if m.fn in NILADIC_FNS:
-            continue  # per-segment MATCH_NUMBER / last-var CLASSIFIER
-        if m.fn not in ("first", "last", "count"):
-            return False
-        comps = subset_map.get(m.var, (m.var,))
-        if not all(c in names for c in comps):
-            return False
-    return True
+    return _chain_vars_measures_ok(spec)
 
 
 def match_pattern_fast_nested_chain(
@@ -2391,50 +2472,12 @@ def match_pattern_fast_nested_chain(
         if overlap:
             # NFA fallback, per key segment (rare: classifier-style
             # patterns have disjoint predicates by construction)
-            newkey = np.zeros(n, dtype=bool)
-            newkey[0] = True
-            for kc in key_cols:
-                col = pdf[kc]
-                same = col.eq(col.shift()) | (
-                    col.isna() & col.shift().isna()
-                )
-                newkey[1:] |= ~same.to_numpy()[1:]
-            bounds = np.append(np.flatnonzero(newkey), n)
-            ts_us = pdf[_TS_COL].to_numpy(dtype=np.int64)
-            preds_all = np.stack(p)
-            eval_measures = _make_measure_eval(
-                measure_list, spec.subsets, src_arrays
+            out = _nested_nfa_fallback_frame(
+                pdf, key_cols, n_vars, compiled, measure_list,
+                out_names, out_schema, key_arrays,
             )
-            cols: dict[str, list] = {c: [] for c in out_names}
-            for b in range(len(bounds) - 1):
-                lo, hi = int(bounds[b]), int(bounds[b + 1])
-                matches, _ = _nfa.scan_key_group(
-                    compiled, preds_all[:, lo:hi], ts_us[lo:hi]
-                )
-                matches.sort(
-                    key=lambda mm: (
-                        min(sp[3] for sp in mm.values()),
-                        max(sp[4] for sp in mm.values()),
-                    )
-                )
-                for mi, match in enumerate(matches):
-                    shifted = {
-                        v: (sp[0] + lo, sp[1] + lo, sp[2],
-                            sp[3] + lo, sp[4] + lo)
-                        for v, sp in match.items()
-                    }
-                    for kc in key_cols:
-                        cols[kc].append(key_arrays[kc][lo])
-                    for name, val in eval_measures(
-                        shifted, mi + 1
-                    ).items():
-                        cols[name].append(val)
-                    cols["tag"].append(MATCH_TAG)
-            if not cols[out_names[0]]:
-                return
-            out = pd.DataFrame(cols, columns=out_names)
-            _null_safe_agg_cast(out, measure_list, out_schema)
-            yield out
+            if out is not None:
+                yield out
             return
 
         scanned = _chain_scan_starts(
@@ -2552,6 +2595,339 @@ def match_pattern_fast_nested_chain(
                     r0 + s + j,
                     rl + s + (kl - 1) * L + j,
                     total_pairs,
+                )
+
+            for kc in key_cols:
+                cols[kc].append(key_arrays[kc][r0])
+            for m in measure_list:
+                if m.fn == "match_number":
+                    cols[m.name].append(mn_per_seg[seg])
+                    continue
+                if m.fn == "classifier":
+                    cols[m.name].append(spec.variables[-1].name)
+                    continue
+                comps = subset_map.get(m.var, (m.var,))
+                triples = [var_span(c) for c in comps]
+                if m.fn == "count":
+                    cols[m.name].append(sum(t[2] for t in triples))
+                elif m.fn == "first":
+                    cols[m.name].append(
+                        src_arrays[m.src][min(t[0] for t in triples)]
+                    )
+                else:
+                    cols[m.name].append(
+                        src_arrays[m.src][max(t[1] for t in triples)]
+                    )
+            cols["tag"].append(MATCH_TAG)
+        out = pd.DataFrame(cols, columns=out_names)
+        _null_safe_agg_cast(out, measure_list, out_schema)
+        yield out
+
+    return sorted_p.mapInPandas(scan_partition, out_schema)
+
+
+def fast_nested3_chain_applicable(spec) -> bool:
+    """True for the vectorizable THREE-level nested shape (round 10,
+    closing VERDICT r9's one perf-weak item): ``PATTERN (((P1..Ps
+    (X1..XL)+ S1..Sf)+ T1..Tg)+)`` — an OUTER unbounded group spanning
+    the whole pattern whose body is a MID unbounded group starting at
+    position 0 (the two-level unit shape: prefix + inner group +
+    suffix, f >= 1) followed by g >= 1 suffix variables delimiting
+    outer iterations. Same derivation constraints as the two-level
+    kernel (LONGEST, ONE ROW, SKIP PAST LAST, no timeouts/branches/
+    permute), same first/last/count measure surface, same RUNTIME
+    predicate-disjointness requirement with per-segment NFA fallback.
+    ``WITHIN`` composes exactly as at depth 2 (superunits are rigid;
+    the deadline truncates the superunit count, a dead superunit
+    retries at the next candidate start — round-10 semantics)."""
+    if not isinstance(spec, PatternSpec) or spec.derivation != "longest":
+        return False
+    if spec.permute or spec.emit_timeouts or spec.rows_per_match != "one":
+        return False
+    if getattr(spec, "loop_branches", ()):
+        return False
+    if spec.after_match != SKIP_PAST_LAST_EVENT:
+        return False
+    if len(spec.loop_groups) != 3:
+        return False
+    n = len(spec.variables)
+    outer = (0, n - 1)
+    if outer not in spec.loop_groups:
+        return False
+    inner, mid = sorted(
+        (g for g in spec.loop_groups if g != outer),
+        key=lambda gp: gp[1] - gp[0],
+    )
+    if mid[0] != 0 or mid[1] >= n - 1:
+        return False  # need >= 1 suffix var to delimit superunits
+    if inner[0] < mid[0] or inner[1] >= mid[1]:
+        return False  # need >= 1 suffix var to delimit units
+    return _chain_vars_measures_ok(spec)
+
+
+def match_pattern_fast_nested3_chain(
+    df: DataFrame, spec: PatternSpec
+) -> DataFrame:
+    """THREE-LEVEL chain kernel for nested unbounded groups (round 10;
+    see :func:`fast_nested3_chain_applicable`) — the two-level kernel's
+    motif one level up, exactly as the depth-2 derivation predicted
+    (ORACLE_GROUP_NESTED3 is the independently derived closed form):
+
+    - level 1: the shared scan core finds every UNIT start (prefix ok,
+      k >= 1 inner chunks, unit suffix ok) with its greedy k —
+      past_last=False keeps every pair-suffix candidate;
+    - level 2: units chain when adjacent (same pointer structure as
+      the depth-2 kernel); under disjoint predicates the MID group is
+      rigid — a unit row can never be a T row — so each candidate
+      start determines a unique maximal unit chain, and a SUPERUNIT is
+      a chain whose terminal is followed immediately by the g T rows;
+    - level 3: superunits chain when the next candidate superunit
+      starts right after this one's last T row; chain heads emit one
+      match per maximal run (SKIP PAST LAST), with ``WITHIN``
+      truncating the superunit count and dead superunits retrying at
+      the next candidate start (the round-10 per-row NFA semantics).
+
+    Rows whose predicates OVERLAP anywhere fall back to the
+    per-segment NFA (identical output, differential-tested)."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_cep_examples_spark.operators import nfa as _nfa
+    from flink_cep_examples_spark.operators.cep_batch import (
+        _needs_src,
+        _null_safe_agg_cast,
+        _prepare,
+        _PRED_PREFIX,
+        _TS_COL,
+        output_schema,
+    )
+
+    spec.validate()
+    if not fast_nested3_chain_applicable(spec):
+        raise ValueError("pattern shape not compilable (nested3 chain)")
+
+    n_vars = len(spec.variables)
+    outer = (0, n_vars - 1)
+    inner, mid = sorted(
+        (gp for gp in spec.loop_groups if gp != outer),
+        key=lambda gp: gp[1] - gp[0],
+    )
+    gs, ge = inner
+    s = gs
+    L = ge - gs + 1
+    m_end = mid[1]
+    f = m_end - ge  # unit-suffix width (inside the mid body)
+    g2 = n_vars - 1 - m_end  # superunit-suffix (T) width
+    prepared = _prepare(df, spec)
+    out_schema = output_schema(df, spec)
+    key_cols = list(spec.key_cols)
+    tiebreak = spec.tiebreak_col
+    measure_list = list(spec.measures)
+    subset_map = dict(spec.subsets)
+    var_pos = {v.name: i for i, v in enumerate(spec.variables)}
+    out_names = [fld.name for fld in out_schema.fields]
+    compiled = _nfa.Nfa(spec)
+
+    sorted_p = prepared.repartition(*key_cols).sortWithinPartitions(
+        *key_cols, _TS_COL, tiebreak
+    )
+
+    def scan_partition(batches):
+        chunks = [c for c in batches if len(c)]
+        if not chunks:
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        n = len(pdf)
+        p = [
+            pdf[f"{_PRED_PREFIX}{i}"].to_numpy(dtype=bool)
+            for i in range(n_vars)
+        ]
+        src_arrays = {
+            m.src: pdf[m.src].to_numpy()
+            for m in measure_list
+            if _needs_src(m)
+        }
+        key_arrays = {kc: pdf[kc].to_numpy() for kc in key_cols}
+
+        overlap = False
+        for i in range(n_vars):
+            for j in range(i + 1, n_vars):
+                if (p[i] & p[j]).any():
+                    overlap = True
+                    break
+            if overlap:
+                break
+        if overlap:
+            out = _nested_nfa_fallback_frame(
+                pdf, key_cols, n_vars, compiled, measure_list,
+                out_names, out_schema, key_arrays,
+            )
+            if out is not None:
+                yield out
+            return
+
+        scanned = _chain_scan_starts(
+            pdf, key_cols, n_vars, s, L, f, ge, 1, False,
+            within_us=None,
+        )
+        if scanned is None:
+            return
+        ustarts, uk, seg_id, _g, _b = scanned
+        nu = len(ustarts)
+        ulen = s + uk * L + f
+        unxt = ustarts + ulen
+        useg = seg_id[ustarts]
+        start_of = {
+            int(sg) * n + int(st): i
+            for i, (sg, st) in enumerate(zip(useg, ustarts))
+        }
+        # unit chains: terminal + suffix sums per candidate start
+        # (reverse pass — a unit's successor has a larger start, so
+        # its terminal is already known)
+        term = np.empty(nu, dtype=np.int64)
+        cpairs = np.empty(nu, dtype=np.int64)
+        cunits = np.empty(nu, dtype=np.int64)
+        for i in range(nu - 1, -1, -1):
+            nx = start_of.get(int(useg[i]) * n + int(unxt[i]))
+            if nx is None:
+                term[i] = i
+                cpairs[i] = uk[i]
+                cunits[i] = 1
+            else:
+                term[i] = term[nx]
+                cpairs[i] = uk[i] + cpairs[nx]
+                cunits[i] = 1 + cunits[nx]
+        # T (superunit suffix) validity at its first row, segment-safe
+        seg_rows = np.flatnonzero(
+            np.r_[True, seg_id[1:] != seg_id[:-1]]
+        )
+        seg_len = np.diff(np.append(seg_rows, n))
+        rows_left = seg_len[seg_id] - (
+            np.arange(n, dtype=np.int64) - seg_rows[seg_id]
+        )
+        t2_ok = p[m_end + 1].copy()
+        for j in range(1, g2):
+            t2_ok[: n - j] &= p[m_end + 1 + j][j:]
+            t2_ok[n - j :] = False
+        t2_ok &= rows_left >= g2
+        tt = unxt[term]  # T start row per candidate
+        tt_c = np.minimum(tt, n - 1)
+        su_ok = (tt < n) & t2_ok[tt_c] & (seg_id[tt_c] == useg)
+        su_end = tt + g2  # one past the last T row
+        cand = np.flatnonzero(su_ok)
+        if not len(cand):
+            return
+        enc_start_c = useg[cand] * np.int64(n) + ustarts[cand]
+        enc_end_c = np.sort(useg[cand] * np.int64(n) + su_end[cand])
+        idx = np.searchsorted(enc_end_c, enc_start_c)
+        has_pred = (idx < len(enc_end_c)) & (
+            enc_end_c[np.minimum(idx, len(enc_end_c) - 1)]
+            == enc_start_c
+        )
+        su_of = {int(e): int(u) for e, u in zip(enc_start_c, cand)}
+        pos_of = {int(u): pi for pi, u in enumerate(cand)}
+        heads = cand[~has_pred]
+        if not len(heads):
+            return
+        cols = {kc: [] for kc in key_cols}
+        for m in measure_list:
+            cols[m.name] = []
+        cols["tag"] = []
+        # head walk — identical structure to the depth-2 kernel with
+        # superunits as the chain elements: WITHIN caps the outer span
+        # (a superunit joins iff its last T row is < start + within),
+        # the deadline-cut superunit starts the next match, a DEAD
+        # superunit (own span >= within) consumes nothing and retries
+        # at the next candidate start (pair-suffix and unit-suffix
+        # starts are all candidates), and cutoff advances only on
+        # emission.
+        within_us = compiled.within_us
+        ts_k = (
+            pdf[_TS_COL].to_numpy(dtype=np.int64)
+            if within_us is not None
+            else None
+        )
+        emissions: list[tuple[int, int, int, int, int, int]] = []
+        cutoff = -1
+        cutoff_seg = -1
+        n_cand = len(cand)
+        for h in heads:
+            i: int | None = int(h)
+            seg = int(useg[i])
+            if seg == cutoff_seg and int(ustarts[i]) < cutoff:
+                continue
+            while i is not None:
+                first_su = i
+                t0 = int(ts_k[int(ustarts[i])]) if ts_k is not None else 0
+                tot_pairs = 0
+                tot_units = 0
+                n_su = 0
+                last_su = i
+                cur: int | None = i
+                while cur is not None:
+                    if ts_k is not None and (
+                        int(ts_k[int(su_end[cur]) - 1]) - t0 >= within_us
+                    ):
+                        break
+                    tot_pairs += int(cpairs[cur])
+                    tot_units += int(cunits[cur])
+                    n_su += 1
+                    last_su = cur
+                    cur = su_of.get(
+                        int(useg[cur]) * n + int(su_end[cur])
+                    )
+                if n_su:
+                    emissions.append(
+                        (seg, first_su, last_su,
+                         tot_pairs, tot_units, n_su)
+                    )
+                    cutoff = int(su_end[last_su])
+                    cutoff_seg = seg
+                    i = cur
+                else:
+                    pi = pos_of[i] + 1
+                    i = (
+                        int(cand[pi])
+                        if pi < n_cand and int(useg[cand[pi]]) == seg
+                        else None
+                    )
+        if not emissions:
+            return
+        mn_per_seg: dict[int, int] = {}
+        for seg, fsu, lsu, tot_pairs, tot_units, n_su in emissions:
+            r0 = int(ustarts[fsu])  # match start row
+            lu = int(term[lsu])  # last unit = last superunit's terminal
+            rl = int(ustarts[lu])
+            kf = int(uk[fsu])
+            kl = int(uk[lu])
+            ft = int(unxt[int(term[fsu])])  # first superunit's T start
+            lt = int(unxt[lu])  # last superunit's T start
+            mn_per_seg[seg] = mn_per_seg.get(seg, 0) + 1
+
+            def var_span(v: str):
+                """(first_idx, last_idx, count) for one variable."""
+                vi = var_pos[v]
+                if vi > m_end:  # superunit suffix (T) var
+                    off = vi - m_end - 1
+                    return ft + off, lt + off, n_su
+                if vi < s:  # unit prefix var
+                    return r0 + vi, rl + vi, tot_units
+                if vi > ge:  # unit suffix var (inside the mid body)
+                    off = vi - ge - 1
+                    return (
+                        r0 + s + kf * L + off,
+                        rl + s + kl * L + off,
+                        tot_units,
+                    )
+                j = vi - s  # inner body var
+                return (
+                    r0 + s + j,
+                    rl + s + (kl - 1) * L + j,
+                    tot_pairs,
                 )
 
             for kc in key_cols:

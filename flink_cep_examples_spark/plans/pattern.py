@@ -568,12 +568,13 @@ class PatternSpec:
                             "multi-branch unbounded group — flatten the "
                             "inner quantifier first"
                         )
-                if self.rows_per_match == "all":
-                    raise NotImplementedError(
-                        "ALL ROWS PER MATCH with a multi-branch unbounded "
-                        "group: per-row classifier reconstruction assumes "
-                        "one fixed iteration body"
-                    )
+                # ALL ROWS PER MATCH with a multi-branch group is
+                # supported since round 10: per-row CLASSIFIER is
+                # reconstructed from the branch predicates (iterations
+                # have no fixed stride, but each consumed row satisfies
+                # exactly ONE branch variable's predicate under the
+                # disjointness the emitter checks at runtime —
+                # operators/cep_batch.py::match_pattern_all_rows)
             # aggregate measures over SINGLE-BODY loop-group vars
             # compose since round 8: the evaluator slices the var's
             # stride-L actual rows (operators/cep_batch.py::
@@ -588,12 +589,15 @@ class PatternSpec:
                     for i in range(s, e + 1)
                 }
                 for m in self.measures:
-                    if m.fn in AGG_FNS:
+                    if m.fn in AGG_FNS or (
+                        m.running
+                        and m.fn not in ("classifier", "match_number")
+                    ):
                         comps = set(subset_expand.get(m.var, (m.var,)))
                         if comps & branch_vars:
                             raise NotImplementedError(
-                                f"aggregate measure {m.name} over multi-"
-                                "branch group variable(s) "
+                                f"aggregate/RUNNING measure {m.name} "
+                                "over multi-branch group variable(s) "
                                 f"{sorted(comps & branch_vars)}: branch "
                                 "iterations have no fixed row stride — "
                                 "use FIRST/LAST/COUNT(var.*)"

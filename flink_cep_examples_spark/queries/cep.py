@@ -2216,6 +2216,113 @@ register(
 )
 
 
+def cep_group_alt_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL ROWS PER MATCH over a multi-branch unbounded group —
+    ``PATTERN ((A B | C D)+) ALL ROWS PER MATCH`` (round 10, closing
+    VERDICT r9's last structural reject): branch iterations have no
+    fixed row stride, so per-row CLASSIFIER cannot be reconstructed
+    positionally — the emitter instead classifies each consumed row by
+    the unique branch predicate it satisfies (disjointness checked at
+    runtime, loud reject on ambiguity; operators/cep_batch.py::
+    match_pattern_all_rows). Reference composition: the reference's
+    ALL-ROWS-equivalent per-event projection
+    (FlinkCEPExample.scala:78-92) over the round-8 branch-group shape.
+
+    Classes: event_id % 5 → 1=A, 2=B, 3=C, 4=D. NFA tier;
+    re-differential-tested (finditer spans + char classifier,
+    tests/test_group_alt_loop.py)."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.sources.tables import load_table, spread
+    from flink_cep_examples_spark.sql.match_recognize import match_recognize
+
+    events = spread(load_table(spark, sf_dir, "events"), "user_id").select(
+        "user_id", "ts", "event_id"
+    )
+    out = match_recognize(
+        events,
+        """
+        PARTITION BY user_id ORDER BY ts, event_id
+        MEASURES COUNT(A.*) AS n_ab
+        ALL ROWS PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN ((A B | C D)+)
+        DEFINE A AS event_id % 5 = 1,
+               B AS event_id % 5 = 2,
+               C AS event_id % 5 = 3,
+               D AS event_id % 5 = 4
+        """,
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("dt"),
+        "classifier",
+        F.col("match_seq").cast("bigint").alias("mseq"),
+        "n_ab",
+    )
+
+
+#: Closed form: the ORACLE_GROUP_ALT_UNBOUNDED chain decomposition,
+#: then each chain EXPANDS to its row range srn..ern (every row of a
+#: maximal pair chain is consumed) with classifier = the row's own
+#: class (disjoint predicates: a consumed row's variable IS the one
+#: its class selects) and mseq = the per-user 0-based chain ordinal in
+#: start order (the engine's match_seq).
+ORACLE_GROUP_ALT_ALL_ROWS = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_id % 5 AS m,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+p AS (
+  SELECT *,
+         ((m = 1 AND lead(m) OVER w = 2) OR (m = 3 AND lead(m) OVER w = 4))
+           AS pstart
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+),
+ps AS (
+  SELECT user_id, rn, m,
+         CASE WHEN lag(rn) OVER w2 = rn - 2 THEN 0 ELSE 1 END AS brk
+  FROM p WHERE pstart
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)
+),
+ch AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY rn) AS cid
+  FROM ps
+),
+agg AS (
+  SELECT user_id, cid, MIN(rn) AS srn, MAX(rn) + 1 AS ern,
+         CAST(COUNT(CASE WHEN m = 1 THEN 1 END) AS BIGINT) AS n_ab
+  FROM ch GROUP BY user_id, cid
+),
+seq AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY srn
+  ) - 1 AS mseq
+  FROM agg
+)
+SELECT s.user_id,
+       strftime(r.ts, {_FMT}) AS dt,
+       CASE r.m WHEN 1 THEN 'A' WHEN 2 THEN 'B'
+                WHEN 3 THEN 'C' ELSE 'D' END AS classifier,
+       s.mseq, s.n_ab
+FROM seq s
+JOIN e r ON r.user_id = s.user_id AND r.rn BETWEEN s.srn AND s.ern
+"""
+
+
+register(
+    "cep_group_alt_all_rows",
+    cep_group_alt_all_rows,
+    ORACLE_GROUP_ALT_ALL_ROWS,
+    # round 10: ALL ROWS x multi-branch groups; gate at the 50 cap —
+    # heads the r11 promotion queue (COVERAGE.md rotation policy)
+    driver=False,
+)
+
+
 def cep_group_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NESTED unbounded groups — ``PATTERN (((A B)+ C)+)`` (round 8):
     round 7's last structural reject. A nested group is just more

@@ -1182,7 +1182,9 @@ def match_recognize(
     )
 
     from flink_cep_examples_spark.operators.fast_path import (
+        fast_nested3_chain_applicable,
         fast_nested_chain_applicable,
+        match_pattern_fast_nested3_chain,
         match_pattern_fast_nested_chain,
     )
 
@@ -1191,6 +1193,12 @@ def match_recognize(
         # compile to a per-start closed form (round 8 — the NFA tier
         # measured 3.48x at 10x on this shape)
         out = match_pattern_fast_group_absence(df, spec)
+    elif use_fast_path and fast_nested3_chain_applicable(spec):
+        # THREE-level nested unbounded groups compile to the chain
+        # kernel one level up (superunits = unit-chain + suffix2;
+        # round 10) with the same runtime disjointness check and
+        # per-segment NFA fallback
+        out = match_pattern_fast_nested3_chain(df, spec)
     elif use_fast_path and fast_nested_chain_applicable(spec):
         # nested unbounded groups compile to a TWO-LEVEL chain
         # (units = the single-level shape; outer = unit adjacency)

@@ -254,8 +254,24 @@ def test_parser_produces_loop_branches():
 
 def test_validate_guards():
     import pytest
+    from flink_cep_examples_spark.plans.pattern import Measure
 
-    with pytest.raises(NotImplementedError, match="ALL ROWS"):
+    # ALL ROWS with a multi-branch group is ACCEPTED since round 10
+    # (per-row classifier from the branch predicates) — but RUNNING
+    # measures over branch vars stay a loud reject (no fixed stride)
+    PatternSpec(
+        variables=(
+            PatternVar("A", "pa"),
+            PatternVar("B", "pb"),
+            PatternVar("C", "pc"),
+            PatternVar("D", "pd"),
+        ),
+        loop_groups=((0, 3),),
+        loop_branches=((0, 1), (2, 3)),
+        rows_per_match="all",
+        derivation="longest",
+    ).validate()
+    with pytest.raises(NotImplementedError, match="RUNNING"):
         PatternSpec(
             variables=(
                 PatternVar("A", "pa"),
@@ -266,6 +282,7 @@ def test_validate_guards():
             loop_groups=((0, 3),),
             loop_branches=((0, 1), (2, 3)),
             rows_per_match="all",
+            measures=(Measure("rc", "A", "", "count", running=True),),
             derivation="longest",
         ).validate()
     with pytest.raises(ValueError, match="partition"):
@@ -279,3 +296,137 @@ def test_validate_guards():
             loop_branches=((0, 1), (2, 2), (1, 1)),
             derivation="longest",
         ).validate()
+
+
+# --- round 10: ALL ROWS PER MATCH for multi-branch groups --------------
+# Per-row CLASSIFIER reconstructed from the branch predicates (branch
+# iterations have no fixed stride, but under disjoint predicates each
+# consumed row satisfies exactly one branch variable). Brute-force
+# oracle: re.finditer spans + char-determined per-row classifier.
+
+
+ALLROWS_BRANCH_BODY = """
+PARTITION BY user_id ORDER BY ts, event_id
+MEASURES COUNT(A.*) AS na, COUNT(C.*) AS nc, MATCH_NUMBER() AS mn
+ALL ROWS PER MATCH
+AFTER MATCH SKIP PAST LAST ROW
+PATTERN ((A B | C D)+ E)
+DEFINE A AS event_id % 6 = 1, B AS event_id % 6 = 2,
+       C AS event_id % 6 = 3, D AS event_id % 6 = 4,
+       E AS event_id % 6 = 5
+"""
+
+ALLROWS_MIXED_BODY = """
+PARTITION BY user_id ORDER BY ts, event_id
+MEASURES COUNT(A.*) AS na, COUNT(C.*) AS nc, MATCH_NUMBER() AS mn
+ALL ROWS PER MATCH
+AFTER MATCH SKIP PAST LAST ROW
+PATTERN ((A | C D)+ E)
+DEFINE A AS event_id % 6 = 1, C AS event_id % 6 = 3,
+       D AS event_id % 6 = 4, E AS event_id % 6 = 5
+"""
+
+#: a row satisfying A AND C -> classification is ambiguous -> loud
+ALLROWS_OVERLAP_BODY = """
+PARTITION BY user_id ORDER BY ts, event_id
+MEASURES MATCH_NUMBER() AS mn
+ALL ROWS PER MATCH
+AFTER MATCH SKIP PAST LAST ROW
+PATTERN ((A B | C D)+)
+DEFINE A AS event_id IN (1, 7), B AS event_id IN (2, 8),
+       C AS event_id IN (3, 7), D AS event_id = 4
+"""
+
+
+def _events_df(spark, rows):
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [(u, base + timedelta(minutes=mo), e) for u, mo, e in rows],
+        "user_id long, ts timestamp, event_id long",
+    )
+
+
+def _all_rows_expected(rows_by_user, rx, letter_var):
+    """(user, minute, classifier, mn) per emitted row from the re
+    oracle: finditer spans under SKIP PAST LAST, classifier = the
+    char's own variable, mn = 1-based match ordinal per key."""
+    out = []
+    for u, urows in rows_by_user.items():
+        s = "".join(_LETTER[e % 6] for _, e in urows)
+        for mn, mt in enumerate(rx.finditer(s), start=1):
+            for pos in range(mt.start(), mt.end()):
+                out.append(
+                    (u, urows[pos][0], letter_var[s[pos]], mn)
+                )
+    return sorted(out)
+
+
+def _rand_user_rows(seed, pool, n_users=5, n_rows=60):
+    import random
+
+    rng = random.Random(seed)
+    by_user = {}
+    for u in range(n_users):
+        by_user[u] = [
+            (i, rng.choice(pool))
+            for i in range(rng.randrange(n_rows // 2, n_rows))
+        ]
+    return by_user
+
+
+def _run_all_rows(spark, by_user, body):
+    from flink_cep_examples_spark.sql.match_recognize import (
+        match_recognize,
+    )
+
+    rows = [
+        (u, mo, e) for u, urows in by_user.items() for mo, e in urows
+    ]
+    out = match_recognize(
+        _events_df(spark, rows), body, tiebreak_col="event_id"
+    )
+    return sorted(
+        (r["user_id"], r["ts"].minute + 60 * r["ts"].hour,
+         r["classifier"], r["mn"])
+        for r in out.collect()
+    )
+
+
+_AB_CD_E = re.compile(r"(?:ab|cd)+z")
+_A_CD_E = re.compile(r"(?:a|cd)+z")
+_VAR_OF = {"a": "A", "b": "B", "c": "C", "d": "D", "z": "E"}
+
+
+def test_all_rows_branch_matches_re(spark):
+    for seed in (0, 1, 2):
+        by_user = _rand_user_rows(seed, [1, 2, 3, 4, 5, 0])
+        got = _run_all_rows(spark, by_user, ALLROWS_BRANCH_BODY)
+        want = _all_rows_expected(by_user, _AB_CD_E, _VAR_OF)
+        assert got == want
+
+
+def test_all_rows_mixed_width_matches_re(spark):
+    for seed in (3, 4):
+        by_user = _rand_user_rows(seed, [1, 3, 4, 5, 5, 0])
+        got = _run_all_rows(spark, by_user, ALLROWS_MIXED_BODY)
+        want = _all_rows_expected(by_user, _A_CD_E, _VAR_OF)
+        assert got == want
+
+
+def test_all_rows_branch_overlap_is_loud(spark):
+    import pytest
+    from flink_cep_examples_spark.sql.match_recognize import (
+        match_recognize,
+    )
+
+    # event 7 satisfies both A and C -> a match containing it cannot
+    # classify per row; the emitter must raise, not emit wrong rows
+    rows = [(1, 0, 7), (1, 1, 2)]  # "ab" where the a-row is also a c-row
+    out = match_recognize(
+        _events_df(spark, rows), ALLROWS_OVERLAP_BODY,
+        tiebreak_col="event_id",
+    )
+    with pytest.raises(Exception, match="pairwise-disjoint"):
+        out.collect()

@@ -424,3 +424,172 @@ def test_nested_within_dead_unit_suffix_matches_nfa(spark, seed):
         ).collect())
     )
     assert fast == nfa and fast
+
+
+# --- round 10: THREE-level chain kernel vs NFA -------------------------
+
+
+NESTED3_BODY = """
+PARTITION BY user_id ORDER BY ts, event_id
+MEASURES FIRST(A.ts) AS fa, LAST(D.ts) AS ld,
+         COUNT(A.*) AS n_pairs, COUNT(C.*) AS n_units,
+         COUNT(D.*) AS n_mids, MATCH_NUMBER() AS mn
+ONE ROW PER MATCH
+AFTER MATCH SKIP PAST LAST ROW
+PATTERN ((((A B)+ C)+ D)+)
+DEFINE A AS event_id % 5 = 1, B AS event_id % 5 = 2,
+       C AS event_id % 5 = 3, D AS event_id % 5 = 4
+"""
+
+#: mid body with a PREFIX var and the superunit suffix E
+NESTED3_BODY_PREFIX = """
+PARTITION BY user_id ORDER BY ts, event_id
+MEASURES FIRST(A.ts) AS fa, LAST(E.ts) AS le, COUNT(B.*) AS nb,
+         COUNT(D.*) AS nd, COUNT(E.*) AS ne
+ONE ROW PER MATCH
+AFTER MATCH SKIP PAST LAST ROW
+PATTERN (((A (B C)+ D)+ E)+)
+DEFINE A AS event_id % 6 = 1, B AS event_id % 6 = 2,
+       C AS event_id % 6 = 3, D AS event_id % 6 = 4,
+       E AS event_id % 6 = 5
+"""
+
+#: TWO superunit-suffix vars (g = 2)
+NESTED3_BODY_TWO_T = """
+PARTITION BY user_id ORDER BY ts, event_id
+MEASURES FIRST(A.ts) AS fa, LAST(E.ts) AS le, COUNT(A.*) AS na,
+         COUNT(C.*) AS nc, COUNT(D.*) AS nd
+ONE ROW PER MATCH
+AFTER MATCH SKIP PAST LAST ROW
+PATTERN ((((A B)+ C)+ D E)+)
+DEFINE A AS event_id % 6 = 1, B AS event_id % 6 = 2,
+       C AS event_id % 6 = 3, D AS event_id % 6 = 4,
+       E AS event_id % 6 = 5
+"""
+
+#: a row may satisfy A and C -> runtime overlap -> NFA fallback
+NESTED3_BODY_OVERLAP = """
+PARTITION BY user_id ORDER BY ts, event_id
+MEASURES COUNT(A.*) AS na, COUNT(C.*) AS nc, COUNT(D.*) AS nd
+ONE ROW PER MATCH
+AFTER MATCH SKIP PAST LAST ROW
+PATTERN ((((A B)+ C)+ D)+)
+DEFINE A AS event_id IN (1, 6), B AS event_id IN (2, 7),
+       C AS event_id IN (3, 6), D AS event_id = 4
+"""
+
+
+def _burst_rows(seed, n_users=6):
+    """Pattern-shaped bursts — superunits with random pair/unit
+    counts, occasionally truncated (missing D / missing C / dangling
+    pairs / noise), random 0-2 min ts gaps: dense match coverage the
+    uniform generators can't reach (~25-45 matches per seed)."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for u in range(n_users):
+        t = 0
+
+        def emit(e):
+            nonlocal t
+            t += rng.randrange(0, 3)
+            rows.append((u, t, e))
+
+        for _ in range(rng.randrange(10, 25)):
+            kind = rng.random()
+            if kind < 0.75:  # full superunit(s)
+                for _ in range(rng.randrange(1, 3)):
+                    for _ in range(rng.randrange(1, 4)):
+                        emit(1)
+                        emit(2)
+                    emit(3)
+                emit(4)
+            elif kind < 0.85:  # truncated: no D
+                for _ in range(rng.randrange(1, 3)):
+                    emit(1)
+                    emit(2)
+                emit(3)
+            elif kind < 0.95:  # dangling pairs, no C
+                emit(1)
+                emit(2)
+            else:
+                emit(0)  # noise
+    return rows
+
+
+def test_nested3_kernel_selected():
+    from flink_cep_examples_spark.operators.fast_path import (
+        fast_nested3_chain_applicable,
+        fast_nested_chain_applicable,
+    )
+
+    spec = parse_match_recognize(NESTED3_BODY)
+    assert fast_nested3_chain_applicable(spec)
+    assert not fast_nested_chain_applicable(spec)  # 3 groups, not 2
+    nxt = parse_match_recognize(
+        NESTED3_BODY.replace("SKIP PAST LAST ROW", "SKIP TO NEXT ROW")
+    )
+    assert not fast_nested3_chain_applicable(nxt)
+    for b in (NESTED3_BODY_PREFIX, NESTED3_BODY_TWO_T):
+        assert fast_nested3_chain_applicable(parse_match_recognize(b))
+
+
+def _diff(spark, rows, body):
+    df = _events_df(spark, rows)
+    fast = sorted(
+        map(tuple, match_recognize(
+            df, body, tiebreak_col="event_id"
+        ).collect())
+    )
+    nfa = sorted(
+        map(tuple, match_recognize(
+            df, body, tiebreak_col="event_id", use_fast_path=False
+        ).collect())
+    )
+    assert fast == nfa
+    return fast
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_nested3_kernel_matches_nfa(spark, seed):
+    assert _diff(spark, _burst_rows(seed), NESTED3_BODY)
+
+
+@pytest.mark.parametrize("seed", [10, 11, 12])
+def test_nested3_within_matches_nfa(spark, seed):
+    """WITHIN on the depth-3 kernel, incl. the dead-superunit retry
+    (bursts + a 6-minute deadline split chains constantly)."""
+    body = NESTED3_BODY.replace(
+        "PATTERN ((((A B)+ C)+ D)+)",
+        "PATTERN ((((A B)+ C)+ D)+) WITHIN INTERVAL '6' MINUTE",
+    )
+    assert _diff(spark, _burst_rows(seed), body)
+
+
+@pytest.mark.parametrize(
+    "body,pool",
+    [
+        (NESTED3_BODY_PREFIX, [1, 2, 3, 3, 4, 5]),
+        (NESTED3_BODY_TWO_T, [1, 1, 2, 2, 3, 4, 5]),
+    ],
+)
+def test_nested3_shapes_match_nfa(spark, body, pool):
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    for u in range(6):
+        t = 0
+        for _ in range(rng.randrange(80, 140)):
+            t += rng.randrange(0, 3)
+            rows.append((u, t, rng.choice(pool)))
+    _diff(spark, rows, body)
+
+
+def test_nested3_overlap_falls_back(spark):
+    import random
+
+    rng = random.Random(9)
+    rows = [(u, i, rng.randrange(0, 8)) for u in range(6) for i in range(40)]
+    _diff(spark, rows, NESTED3_BODY_OVERLAP)
