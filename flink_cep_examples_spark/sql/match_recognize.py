@@ -376,12 +376,12 @@ def _expand_group_quantifiers(text: str) -> list[str]:
                 )
             parts: list[str] = []
             for k, btoks in enumerate(sub_bodies):
+                # {- var -} inside a branch body (round 10 — observable
+                # now that ALL ROWS supports multi-branch groups): the
+                # markers ride through to _parse_var_seq exactly like
+                # the single-body form; the ALL ROWS emitter skips the
+                # excluded vars' classified rows
                 inner, n_names = _one_body(btoks, copy)
-                if any(t in ("{-", "-}") for t in inner):
-                    raise NotImplementedError(
-                        "{- -} exclusion inside a multi-branch "
-                        "unbounded group"
-                    )
                 if any(t in (_LOOP_OPEN, _LOOP_CLOSE) for t in inner):
                     raise NotImplementedError(
                         "nested unbounded group inside a multi-branch "

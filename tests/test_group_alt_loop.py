@@ -430,3 +430,32 @@ def test_all_rows_branch_overlap_is_loud(spark):
     )
     with pytest.raises(Exception, match="pairwise-disjoint"):
         out.collect()
+
+
+def test_all_rows_branch_exclusion(spark):
+    """{- var -} inside a branch body (round 10 — previously a parse
+    reject, consequence-free until ALL ROWS landed): the excluded
+    var's rows shape the match but emit nothing."""
+    from flink_cep_examples_spark.sql.match_recognize import (
+        match_recognize,
+    )
+
+    body = """
+    PARTITION BY user_id ORDER BY ts, event_id
+    MEASURES COUNT(A.*) AS na, MATCH_NUMBER() AS mn
+    ALL ROWS PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN ((A {- B -} | C D)+ E)
+    DEFINE A AS event_id % 6 = 1, B AS event_id % 6 = 2,
+           C AS event_id % 6 = 3, D AS event_id % 6 = 4,
+           E AS event_id % 6 = 5
+    """
+    rows = [(1, 0, 1), (1, 1, 2), (1, 2, 3), (1, 3, 4), (1, 4, 5)]
+    got = sorted(
+        (r["event_id"], r["classifier"])
+        for r in match_recognize(
+            _events_df(spark, rows), body, tiebreak_col="event_id"
+        ).collect()
+    )
+    # the B row (event 2) is consumed but not emitted
+    assert got == [(1, "A"), (3, "C"), (4, "D"), (5, "E")]
