@@ -655,31 +655,37 @@ def match_pattern_all_rows(df: DataFrame, spec: PatternSpec) -> DataFrame:
     # loop-group vars (round 7): a var's rows across iterations are the
     # stride-L progression from its merged span (exactly-once + strict
     # body, validated), NOT the contiguous range — L = group width.
-    # MULTI-BRANCH groups (round 10) have no fixed stride: their vars
-    # skip the stride expansion entirely and emit via per-row predicate
-    # classification below (aggregate/RUNNING measures over them are
-    # rejected in validate, so loop_stride never feeds _actual_spans).
+    # MULTI-BRANCH and NESTED groups (round 10) have no fixed stride:
+    # their vars skip the stride expansion entirely and emit via
+    # per-row predicate classification below (aggregate/RUNNING
+    # measures over them are rejected in validate, so loop_stride
+    # never feeds _actual_spans).
     branch_spans = getattr(spec, "loop_branches", ())
+    classified_idx: list[int] = []
     if branch_spans:
-        loop_stride = {}
         b_lo, b_hi = spec.loop_groups[0]
-        branch_idx = list(range(b_lo, b_hi + 1))
-        branch_names = [spec.variables[i].name for i in branch_idx]
-        branch_set = set(branch_names)
-        var_excluded = {
-            spec.variables[i].name: spec.variables[i].excluded
-            for i in branch_idx
-        }
+        classified_idx = list(range(b_lo, b_hi + 1))
     else:
-        loop_stride = {
-            spec.variables[i].name: ge - gs + 1
-            for gs, ge in spec.loop_groups
-            for i in range(gs, ge + 1)
-        }
-        branch_idx = []
-        branch_names = []
-        branch_set = set()
-        var_excluded = {}
+        spans_sorted = sorted(spec.loop_groups)
+        nested: set[int] = set()
+        for gi, (gs, ge) in enumerate(spans_sorted):
+            for gs2, ge2 in spans_sorted[gi + 1 :]:
+                if gs2 > ge:
+                    continue  # disjoint (validated: else properly nested)
+                nested.update(range(min(gs, gs2), max(ge, ge2) + 1))
+        classified_idx = sorted(nested)
+    classified_names = [spec.variables[i].name for i in classified_idx]
+    classified_set = set(classified_names)
+    var_excluded = {
+        spec.variables[i].name: spec.variables[i].excluded
+        for i in classified_idx
+    }
+    loop_stride = {
+        spec.variables[i].name: ge - gs + 1
+        for gs, ge in spec.loop_groups
+        for i in range(gs, ge + 1)
+        if spec.variables[i].name not in classified_set
+    }
 
     def scan(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([_TS_COL, tiebreak], kind="mergesort")
@@ -736,8 +742,8 @@ def match_pattern_all_rows(df: DataFrame, spec: PatternSpec) -> DataFrame:
                     )
             emit_rows: list[tuple[int, str]] = []
             for vname in emit_names:
-                if vname in branch_set:
-                    continue  # branch vars classify per row below
+                if vname in classified_set:
+                    continue  # no fixed stride: classify per row below
                 span = match.get(vname)
                 if span is None:
                     continue
@@ -746,30 +752,33 @@ def match_pattern_all_rows(df: DataFrame, spec: PatternSpec) -> DataFrame:
                     (r, vname)
                     for r in range(span[0], span[1] + 1, stride)
                 )
-            if branch_spans:
-                # multi-branch group (round 10): iterations have no
-                # fixed stride, but strict contiguity means every row
-                # between the branch vars' first and last was consumed
-                # by exactly one branch var — and under disjoint branch
+            if classified_idx:
+                # multi-branch / NESTED group (round 10): iterations
+                # have no fixed stride, but strict contiguity means
+                # every row between the group vars' first and last was
+                # consumed by exactly one of them — and under disjoint
                 # predicates THAT var is the unique one whose predicate
                 # holds at the row. Ambiguity is a loud reject (the
                 # NFA does not record per-row assignments).
                 present = [
-                    match[v] for v in branch_names if v in match
+                    match[v] for v in classified_names if v in match
                 ]
                 if present:
                     blo = min(sp[0] for sp in present)
                     bhi = max(sp[1] for sp in present)
                     for r in range(blo, bhi + 1):
-                        hits = [vi for vi in branch_idx if preds[vi][r]]
+                        hits = [
+                            vi for vi in classified_idx if preds[vi][r]
+                        ]
                         if len(hits) != 1:
                             raise NotImplementedError(
                                 "ALL ROWS PER MATCH with a multi-branch"
-                                " unbounded group reconstructs per-row "
-                                "CLASSIFIER from the branch predicates "
-                                "and needs them pairwise-disjoint on "
-                                "the matched rows (a row satisfied "
-                                f"{len(hits)} branch predicates)"
+                                " or nested unbounded group "
+                                "reconstructs per-row CLASSIFIER from "
+                                "the variable predicates and needs "
+                                "them pairwise-disjoint on the matched "
+                                f"rows (a row satisfied {len(hits)} "
+                                "group-variable predicates)"
                             )
                         vn = spec.variables[hits[0]].name
                         if not var_excluded.get(vn, False):

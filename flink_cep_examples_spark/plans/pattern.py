@@ -442,8 +442,10 @@ class PatternSpec:
             # var's ACTUAL rows — the stride-L arithmetic progression
             # from its merged span (operators/cep_batch.py::
             # _actual_spans), the same positional reconstruction ALL
-            # ROWS emission uses. Multi-branch groups have no fixed
-            # stride; their ALL ROWS mode is rejected above.
+            # ROWS emission uses. Multi-branch and NESTED groups have
+            # no fixed stride; their ALL ROWS emission classifies
+            # rows by predicate instead (round 10), and RUNNING /
+            # aggregate measures over their vars stay loud rejects.
             spans_sorted = sorted(self.loop_groups)
             group_vars: set[str] = set()
             nested_vars: set[str] = set()
@@ -481,11 +483,12 @@ class PatternSpec:
                         "alternation branches inside NESTED unbounded "
                         "groups"
                     )
-                if self.rows_per_match == "all":
-                    raise NotImplementedError(
-                        "ALL ROWS PER MATCH with nested unbounded "
-                        "groups: iterations have no fixed row stride"
-                    )
+                # ALL ROWS PER MATCH with NESTED groups is supported
+                # since round 10: iterations have no fixed row stride,
+                # so per-row CLASSIFIER is reconstructed from the
+                # variable predicates (runtime-disjointness-checked),
+                # exactly like the multi-branch emitter —
+                # operators/cep_batch.py::match_pattern_all_rows
                 if self.emit_timeouts:
                     raise NotImplementedError(
                         "timeout emission with nested unbounded groups"

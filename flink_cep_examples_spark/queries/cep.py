@@ -2323,6 +2323,122 @@ register(
 )
 
 
+def cep_group_nested_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL ROWS PER MATCH over NESTED unbounded groups — ``PATTERN
+    (((A B)+ C)+) ALL ROWS PER MATCH`` (round 10): nested iterations
+    have no fixed row stride (a unit's pair count varies), so per-row
+    CLASSIFIER is reconstructed from the variable predicates exactly
+    like the multi-branch form (disjointness checked at runtime —
+    operators/cep_batch.py::match_pattern_all_rows). Classes:
+    event_id % 4 → 1=A, 2=B, 3=C. NFA tier; re-differential-tested
+    (tests/test_nested_groups.py round-10 section)."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.sources.tables import load_table, spread
+    from flink_cep_examples_spark.sql.match_recognize import match_recognize
+
+    events = spread(load_table(spark, sf_dir, "events"), "user_id").select(
+        "user_id", "ts", "event_id"
+    )
+    out = match_recognize(
+        events,
+        """
+        PARTITION BY user_id ORDER BY ts, event_id
+        MEASURES COUNT(A.*) AS n_pairs
+        ALL ROWS PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (((A B)+ C)+)
+        DEFINE A AS event_id % 4 = 1,
+               B AS event_id % 4 = 2,
+               C AS event_id % 4 = 3
+        """,
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("dt"),
+        "classifier",
+        F.col("match_seq").cast("bigint").alias("mseq"),
+        "n_pairs",
+    )
+
+
+#: The ORACLE_GROUP_NESTED chain decomposition (pairs → units → unit
+#: chains), each chain EXPANDED to its row range osrn..oern with
+#: classifier = the row's own class and mseq = the per-user 0-based
+#: chain ordinal in start order (the engine's match_seq).
+ORACLE_GROUP_NESTED_ALL_ROWS = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_id % 4 AS m,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+p AS (
+  SELECT *, (m = 1 AND lead(m) OVER w = 2) AS pstart
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+),
+ps AS (
+  SELECT user_id, rn,
+         CASE WHEN lag(rn) OVER w2 = rn - 2 THEN 0 ELSE 1 END AS brk
+  FROM p WHERE pstart
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)
+),
+ch AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY rn) AS cid
+  FROM ps
+),
+runs AS (
+  SELECT user_id, cid, MIN(rn) AS srn, MAX(rn) + 1 AS prn_end,
+         COUNT(*) AS n_pairs
+  FROM ch GROUP BY user_id, cid
+),
+units AS (
+  SELECT r.user_id, r.srn, r.prn_end + 1 AS urn_end, r.n_pairs
+  FROM runs r
+  JOIN e c ON c.user_id = r.user_id AND c.rn = r.prn_end + 1
+  WHERE c.m = 3
+),
+uc AS (
+  SELECT *,
+         CASE WHEN lag(urn_end) OVER w3 = srn - 1 THEN 0 ELSE 1 END AS brk2
+  FROM units
+  WINDOW w3 AS (PARTITION BY user_id ORDER BY srn)
+),
+oc AS (
+  SELECT *, SUM(brk2) OVER (PARTITION BY user_id ORDER BY srn) AS oid
+  FROM uc
+),
+agg AS (
+  SELECT user_id, oid, MIN(srn) AS osrn, MAX(urn_end) AS oern,
+         CAST(SUM(n_pairs) AS BIGINT) AS n_pairs
+  FROM oc GROUP BY user_id, oid
+),
+seq AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY osrn
+  ) - 1 AS mseq
+  FROM agg
+)
+SELECT s.user_id,
+       strftime(r.ts, {_FMT}) AS dt,
+       CASE r.m WHEN 1 THEN 'A' WHEN 2 THEN 'B' ELSE 'C' END AS classifier,
+       s.mseq, s.n_pairs
+FROM seq s
+JOIN e r ON r.user_id = s.user_id AND r.rn BETWEEN s.osrn AND s.oern
+"""
+
+
+register(
+    "cep_group_nested_all_rows",
+    cep_group_nested_all_rows,
+    ORACLE_GROUP_NESTED_ALL_ROWS,
+    # round 10: ALL ROWS x nested groups; gate at the 50 cap — joins
+    # the r11 promotion queue behind cep_group_alt_all_rows
+    driver=False,
+)
+
+
 def cep_group_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NESTED unbounded groups — ``PATTERN (((A B)+ C)+)`` (round 8):
     round 7's last structural reject. A nested group is just more

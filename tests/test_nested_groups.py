@@ -114,13 +114,13 @@ def test_validate_guards():
                 "(((((A B)+ C)+ D)+ E)+)", _DEF4 + ", E AS m = 5"
             )
         )
-    # ALL ROWS has no fixed stride
-    with pytest.raises(NotImplementedError, match="nested"):
-        parse_match_recognize(
-            _body("((A B)+ C)+", _DEF3).replace(
-                "ONE ROW PER MATCH", "ALL ROWS PER MATCH"
-            )
-        ).validate()
+    # ALL ROWS over nested groups VALIDATES since round 10 (per-row
+    # classifier from the variable predicates — no stride needed)
+    parse_match_recognize(
+        _body("((A B)+ C)+", _DEF3).replace(
+            "ONE ROW PER MATCH", "ALL ROWS PER MATCH"
+        )
+    ).validate()
     # aggregates over nested vars have no stride reconstruction
     with pytest.raises(NotImplementedError, match="nested"):
         parse_match_recognize(
@@ -593,3 +593,101 @@ def test_nested3_overlap_falls_back(spark):
     rng = random.Random(9)
     rows = [(u, i, rng.randrange(0, 8)) for u in range(6) for i in range(40)]
     _diff(spark, rows, NESTED3_BODY_OVERLAP)
+
+
+# --- round 10: ALL ROWS over nested groups (predicate classifier) ------
+
+
+def _nested_all_rows_expected(by_user, rx, var_of):
+    """(user, minute, classifier, mn) from the re oracle: finditer
+    spans (SKIP PAST LAST), classifier = the char's own variable."""
+    letter = {0: ".", 1: "a", 2: "b", 3: "c", 4: "d"}
+    out = []
+    for u, urows in by_user.items():
+        s = "".join(letter[e % 5] for _, e in urows)
+        for mn, mt in enumerate(rx.finditer(s), start=1):
+            for pos in range(mt.start(), mt.end()):
+                out.append((u, urows[pos][0], var_of[s[pos]], mn))
+    return sorted(out)
+
+
+NESTED_ALLROWS_BODY = """
+PARTITION BY user_id ORDER BY ts, event_id
+MEASURES COUNT(A.*) AS na, MATCH_NUMBER() AS mn
+ALL ROWS PER MATCH
+AFTER MATCH SKIP PAST LAST ROW
+PATTERN (((A B)+ C)+)
+DEFINE A AS event_id % 5 = 1, B AS event_id % 5 = 2,
+       C AS event_id % 5 = 3
+"""
+
+NESTED3_ALLROWS_BODY = """
+PARTITION BY user_id ORDER BY ts, event_id
+MEASURES COUNT(A.*) AS na, MATCH_NUMBER() AS mn
+ALL ROWS PER MATCH
+AFTER MATCH SKIP PAST LAST ROW
+PATTERN ((((A B)+ C)+ D)+)
+DEFINE A AS event_id % 5 = 1, B AS event_id % 5 = 2,
+       C AS event_id % 5 = 3, D AS event_id % 5 = 4
+"""
+
+
+@pytest.mark.parametrize(
+    "body,rx",
+    [
+        (NESTED_ALLROWS_BODY, re.compile(r"(?:(?:ab)+c)+")),
+        (NESTED3_ALLROWS_BODY, re.compile(r"(?:(?:(?:ab)+c)+d)+")),
+    ],
+    ids=["depth2", "depth3"],
+)
+def test_nested_all_rows_matches_re(spark, body, rx):
+    """ALL ROWS over nested groups (round 10 — was a validate reject:
+    no fixed stride): per-row classifier reconstructed from the
+    variable predicates, re-differential over random rows."""
+    import random
+
+    from flink_cep_examples_spark.sql.match_recognize import (
+        match_recognize,
+    )
+
+    var_of = {"a": "A", "b": "B", "c": "C", "d": "D"}
+    for seed in (0, 1):
+        rng = random.Random(seed * 7 + 3)
+        by_user = {
+            u: [(i, rng.choice([1, 1, 2, 2, 3, 3, 4, 0]))
+                for i in range(rng.randrange(40, 70))]
+            for u in range(5)
+        }
+        rows = [
+            (u, mo, e) for u, ur in by_user.items() for mo, e in ur
+        ]
+        got = sorted(
+            (r["user_id"], r["ts"].minute + 60 * r["ts"].hour,
+             r["classifier"], r["mn"])
+            for r in match_recognize(
+                _events_df(spark, rows), body, tiebreak_col="event_id"
+            ).collect()
+        )
+        assert got == _nested_all_rows_expected(by_user, rx, var_of)
+
+
+def test_nested_all_rows_overlap_is_loud(spark):
+    from flink_cep_examples_spark.sql.match_recognize import (
+        match_recognize,
+    )
+
+    body = """
+    PARTITION BY user_id ORDER BY ts, event_id
+    MEASURES MATCH_NUMBER() AS mn
+    ALL ROWS PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN (((A B)+ C)+)
+    DEFINE A AS event_id IN (1, 7), B AS event_id = 2,
+           C AS event_id IN (3, 7)
+    """
+    rows = [(1, 0, 7), (1, 1, 2), (1, 2, 3)]  # row 0 is both A and C
+    out = match_recognize(
+        _events_df(spark, rows), body, tiebreak_col="event_id"
+    )
+    with pytest.raises(Exception, match="pairwise-disjoint"):
+        out.collect()
