@@ -80,30 +80,90 @@ def _resolve_spans(var: str, match: dict, subset_map: dict) -> list:
     return [s] if s is not None else []
 
 
+def _classified_var_idx(spec) -> list[int]:
+    """Variable indices whose per-iteration row sets have NO fixed
+    stride — multi-branch group members, or members of properly NESTED
+    groups (the union span; a unit's inner count varies, so even the
+    shared end variable strides irregularly). Their row sets
+    reconstruct PER ROW from the variable predicates (round 10) under
+    runtime pairwise disjointness, both for ALL ROWS emission and for
+    aggregate/RUNNING measures."""
+    if getattr(spec, "loop_branches", ()):
+        b_lo, b_hi = spec.loop_groups[0]
+        return list(range(b_lo, b_hi + 1))
+    spans_sorted = sorted(spec.loop_groups)
+    nested: set[int] = set()
+    for gi, (gs, ge) in enumerate(spans_sorted):
+        for gs2, ge2 in spans_sorted[gi + 1 :]:
+            if gs2 > ge:
+                continue  # disjoint (validated: else properly nested)
+            nested.update(range(min(gs, gs2), max(ge, ge2) + 1))
+    return sorted(nested)
+
+
+def _classify_preds(spec, preds):
+    """``({var: bool_row}, multi_mask)`` for per-row row-set
+    reconstruction (see :func:`_classified_var_idx`), or None when the
+    spec has no classified vars. ``preds`` is indexed by variable
+    position (a stacked matrix or list of row arrays); ``multi_mask``
+    marks rows satisfying MORE than one classified predicate — the
+    ambiguity the reconstruction must loudly reject."""
+    idx = _classified_var_idx(spec)
+    if not idx:
+        return None
+    mats = {
+        spec.variables[i].name: np.asarray(preds[i], dtype=bool)
+        for i in idx
+    }
+    counts = np.zeros(len(next(iter(mats.values()))), dtype=np.int8)
+    for arr in mats.values():
+        counts += arr
+    return (mats, counts > 1)
+
+
 def _loop_strides(spec) -> dict[str, int]:
     """var name → row stride for single-body loop-group variables: a
     group member's rows across iterations are the stride-L arithmetic
     progression from its merged (first, last) span, L = group width
-    (exactly-once + strict body, validated). Multi-branch groups
-    (loop_branches) have NO fixed stride — their aggregate/RUNNING
-    measures are rejected in validate, so they never reach here."""
+    (exactly-once + strict body, validated). Multi-branch and NESTED
+    group members have NO fixed stride — they are excluded here and
+    reconstruct per row from predicates (:func:`_classified_var_idx`)."""
     if getattr(spec, "loop_branches", ()):
         return {}
+    cls = set(_classified_var_idx(spec))
     return {
         spec.variables[i].name: ge - gs + 1
         for gs, ge in spec.loop_groups
         for i in range(gs, ge + 1)
+        if i not in cls
     }
 
 
-def _actual_spans(var, match, subset_map, loop_stride) -> list:
+def _actual_spans(var, match, subset_map, loop_stride, classify=None) -> list:
     """Like :func:`_resolve_spans`, but loop-group variables expand to
-    their ACTUAL row set — stride-L singleton spans — so RUNNING series
-    and aggregates never sweep sibling iteration rows (round 8)."""
+    their ACTUAL row set — stride-L singleton spans (round 8), or for
+    CLASSIFIED vars (multi-branch / nested groups, round 10) the rows
+    of the merged span where the var's own predicate holds — so
+    RUNNING series and aggregates never sweep sibling iteration
+    rows."""
     out = []
     for c in subset_map.get(var, (var,)):
         s = match.get(c)
         if s is None:
+            continue
+        if classify is not None and c in classify[0]:
+            pr, multi = classify[0][c], classify[1]
+            if bool(multi[s[0] : s[1] + 1].any()):
+                raise NotImplementedError(
+                    "aggregate/RUNNING measure over a multi-branch or "
+                    "nested group variable reconstructs its row set "
+                    "from the variable predicates and needs them "
+                    "pairwise-disjoint on the matched rows"
+                )
+            out.extend(
+                (int(r), int(r))
+                for r in np.flatnonzero(pr[s[0] : s[1] + 1]) + s[0]
+            )
             continue
         stride = loop_stride.get(c, 1) if loop_stride else 1
         if stride == 1 or s[0] == s[1]:
@@ -125,7 +185,9 @@ def _null_safe_agg_cast(pdf, measure_list, out_schema) -> None:
                 pdf[m.name] = pdf[m.name].astype(want)
 
 
-def _make_measure_eval(measure_list, subsets, src_arrays, loop_stride=None):
+def _make_measure_eval(
+    measure_list, subsets, src_arrays, loop_stride=None, classify=None
+):
     """Shared measure evaluator (one-row + all-rows tiers): returns
     ``eval_measures(match, match_no) -> dict[name, value]``.
 
@@ -177,8 +239,10 @@ def _make_measure_eval(measure_list, subsets, src_arrays, loop_stride=None):
                 # span interleaves sibling iteration rows)
                 arr = src_arrays[m.src]
                 aspans = (
-                    _actual_spans(m.var, match, subset_map, loop_stride)
-                    if loop_stride
+                    _actual_spans(
+                        m.var, match, subset_map, loop_stride, classify
+                    )
+                    if loop_stride or classify is not None
                     else spans
                 )
                 vals = _pd.Series(
@@ -333,6 +397,11 @@ def match_pattern(df: DataFrame, spec: PatternSpec) -> DataFrame:
     subsets = spec.subsets
     tiebreak = spec.tiebreak_col
     stride_map = _loop_strides(spec)
+    # aggregate measures over multi-branch / nested group vars (round
+    # 10): their row sets reconstruct per row from the predicates
+    need_classify = bool(_classified_var_idx(spec)) and any(
+        m.fn in AGG_FNS for m in measure_list
+    )
 
     def scan(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([_TS_COL, tiebreak], kind="mergesort")
@@ -364,7 +433,8 @@ def match_pattern(df: DataFrame, spec: PatternSpec) -> DataFrame:
             m.src: pdf[m.src].to_numpy() for m in measure_list if _needs_src(m)
         }
         eval_measures = _make_measure_eval(
-            measure_list, subsets, src_arrays, loop_stride=stride_map
+            measure_list, subsets, src_arrays, loop_stride=stride_map,
+            classify=_classify_preds(spec, preds) if need_classify else None,
         )
 
         def emit(match: dict, tag: str, match_no) -> None:
@@ -660,32 +730,14 @@ def match_pattern_all_rows(df: DataFrame, spec: PatternSpec) -> DataFrame:
     # per-row predicate classification below (aggregate/RUNNING
     # measures over them are rejected in validate, so loop_stride
     # never feeds _actual_spans).
-    branch_spans = getattr(spec, "loop_branches", ())
-    classified_idx: list[int] = []
-    if branch_spans:
-        b_lo, b_hi = spec.loop_groups[0]
-        classified_idx = list(range(b_lo, b_hi + 1))
-    else:
-        spans_sorted = sorted(spec.loop_groups)
-        nested: set[int] = set()
-        for gi, (gs, ge) in enumerate(spans_sorted):
-            for gs2, ge2 in spans_sorted[gi + 1 :]:
-                if gs2 > ge:
-                    continue  # disjoint (validated: else properly nested)
-                nested.update(range(min(gs, gs2), max(ge, ge2) + 1))
-        classified_idx = sorted(nested)
+    classified_idx = _classified_var_idx(spec)
     classified_names = [spec.variables[i].name for i in classified_idx]
     classified_set = set(classified_names)
     var_excluded = {
         spec.variables[i].name: spec.variables[i].excluded
         for i in classified_idx
     }
-    loop_stride = {
-        spec.variables[i].name: ge - gs + 1
-        for gs, ge in spec.loop_groups
-        for i in range(gs, ge + 1)
-        if spec.variables[i].name not in classified_set
-    }
+    loop_stride = _loop_strides(spec)
 
     def scan(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([_TS_COL, tiebreak], kind="mergesort")
@@ -712,8 +764,12 @@ def match_pattern_all_rows(df: DataFrame, spec: PatternSpec) -> DataFrame:
             for m in measure_list
             if _needs_src(m)
         }
+        classify_t = (
+            _classify_preds(spec, preds) if classified_idx else None
+        )
         eval_measures = _make_measure_eval(
-            measure_list, subsets, src_arrays, loop_stride=loop_stride
+            measure_list, subsets, src_arrays, loop_stride=loop_stride,
+            classify=classify_t,
         )
         data_arrays = {c: pdf[c].to_numpy() for c in data_cols}
         rows: dict[str, list] = {c: [] for c in out_cols}
@@ -733,7 +789,8 @@ def match_pattern_all_rows(df: DataFrame, spec: PatternSpec) -> DataFrame:
                         _running_series(
                             m,
                             _actual_spans(
-                                m.var, match, subset_map, loop_stride
+                                m.var, match, subset_map, loop_stride,
+                                classify_t,
                             ),
                             src_arrays.get(m.src),
                             lo,
@@ -926,7 +983,13 @@ def match_pattern_time_sliced(
             m.src: pdf[m.src].to_numpy() for m in measure_list if _needs_src(m)
         }
         eval_measures = _make_measure_eval(
-            measure_list, subsets, src_arrays, loop_stride=stride_map
+            measure_list, subsets, src_arrays, loop_stride=stride_map,
+            classify=(
+                _classify_preds(spec, preds)
+                if _classified_var_idx(spec)
+                and any(m.fn in AGG_FNS for m in measure_list)
+                else None
+            ),
         )
         out_cols: dict[str, list] = {
             f.name: [] for f in out_schema.fields

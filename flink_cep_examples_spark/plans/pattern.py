@@ -493,19 +493,12 @@ class PatternSpec:
                     raise NotImplementedError(
                         "timeout emission with nested unbounded groups"
                     )
-                subset_expand_n = dict(self.subsets)
-                for m in self.measures:
-                    if m.fn in AGG_FNS or m.running:
-                        comps = set(
-                            subset_expand_n.get(m.var, (m.var,))
-                        )
-                        if comps & nested_vars:
-                            raise NotImplementedError(
-                                f"aggregate/RUNNING measure {m.name} "
-                                "over nested-group variable(s) "
-                                f"{sorted(comps & nested_vars)}: "
-                                "iterations have no fixed row stride"
-                            )
+                # aggregate/RUNNING measures over nested-group vars
+                # are supported since round 10: no fixed stride, so
+                # the row set reconstructs per row from the variable
+                # predicates (cep_batch._actual_spans classify path,
+                # runtime-disjointness-checked; the nested kernels
+                # decline such measures and the NFA tier serves them)
             for s, e in spans_sorted:
                 seg = self.variables[s : e + 1]
                 for v in seg:
@@ -583,28 +576,9 @@ class PatternSpec:
             # stride-L actual rows (operators/cep_batch.py::
             # _actual_spans), not the merged contiguous span. A
             # MULTI-BRANCH group's iterations interleave with no fixed
-            # stride, so those stay a loud reject.
-            if self.loop_branches:
-                subset_expand = dict(self.subsets)
-                branch_vars = {
-                    self.variables[i].name
-                    for s, e in self.loop_branches
-                    for i in range(s, e + 1)
-                }
-                for m in self.measures:
-                    if m.fn in AGG_FNS or (
-                        m.running
-                        and m.fn not in ("classifier", "match_number")
-                    ):
-                        comps = set(subset_expand.get(m.var, (m.var,)))
-                        if comps & branch_vars:
-                            raise NotImplementedError(
-                                f"aggregate/RUNNING measure {m.name} "
-                                "over multi-branch group variable(s) "
-                                f"{sorted(comps & branch_vars)}: branch "
-                                "iterations have no fixed row stride — "
-                                "use FIRST/LAST/COUNT(var.*)"
-                            )
+            # stride — since round 10 those reconstruct per row from
+            # the variable predicates instead (the same classify path
+            # nested groups use; runtime-disjointness-checked).
         if self.loop_branches and not self.loop_groups:
             raise ValueError("loop_branches without a loop group")
         if any(m.fn in AGG_FNS for m in self.measures):

@@ -2439,6 +2439,125 @@ register(
 )
 
 
+def cep_group_nested_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate measures over NESTED-group variables — ``SUM/MIN/MAX``
+    over ``(((A B)+ C)+)`` vars (round 10, previously a validate
+    reject: nested iterations have no fixed row stride, so the
+    stride-L slice cannot reconstruct a var's rows). The evaluator now
+    rebuilds each var's row set PER ROW from its predicate (unique
+    under the runtime-checked disjointness — cep_batch._actual_spans
+    classify path). Classes: event_id % 4 → 1=A, 2=B, 3=C. NFA tier
+    (the nested kernels decline aggregate measures by design)."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.sources.tables import load_table, spread
+    from flink_cep_examples_spark.sql.match_recognize import match_recognize
+
+    events = spread(load_table(spark, sf_dir, "events"), "user_id").select(
+        "user_id", "ts", "event_id"
+    )
+    out = match_recognize(
+        events,
+        """
+        PARTITION BY user_id ORDER BY ts, event_id
+        MEASURES FIRST(A.ts) AS start_ts,
+                 SUM(A.event_id) AS sum_a,
+                 MIN(B.event_id) AS min_b,
+                 MAX(C.event_id) AS max_c,
+                 COUNT(A.*) AS n_pairs
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (((A B)+ C)+)
+        DEFINE A AS event_id % 4 = 1,
+               B AS event_id % 4 = 2,
+               C AS event_id % 4 = 3
+        """,
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss").alias("start_dt"),
+        F.col("sum_a").cast("bigint").alias("sum_a"),
+        F.col("min_b").cast("bigint").alias("min_b"),
+        F.col("max_c").cast("bigint").alias("max_c"),
+        "n_pairs",
+    )
+
+
+#: The ORACLE_GROUP_NESTED chain decomposition, then per-chain
+#: aggregates over the expanded row range BY CLASS — a var's rows are
+#: exactly the rows of its class inside the chain span (disjoint
+#: predicates), the same reconstruction the engine performs.
+ORACLE_GROUP_NESTED_AGG = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_id % 4 AS m,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+p AS (
+  SELECT *, (m = 1 AND lead(m) OVER w = 2) AS pstart
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+),
+ps AS (
+  SELECT user_id, rn,
+         CASE WHEN lag(rn) OVER w2 = rn - 2 THEN 0 ELSE 1 END AS brk
+  FROM p WHERE pstart
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)
+),
+ch AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY rn) AS cid
+  FROM ps
+),
+runs AS (
+  SELECT user_id, cid, MIN(rn) AS srn, MAX(rn) + 1 AS prn_end,
+         COUNT(*) AS n_pairs
+  FROM ch GROUP BY user_id, cid
+),
+units AS (
+  SELECT r.user_id, r.srn, r.prn_end + 1 AS urn_end, r.n_pairs
+  FROM runs r
+  JOIN e c ON c.user_id = r.user_id AND c.rn = r.prn_end + 1
+  WHERE c.m = 3
+),
+uc AS (
+  SELECT *,
+         CASE WHEN lag(urn_end) OVER w3 = srn - 1 THEN 0 ELSE 1 END AS brk2
+  FROM units
+  WINDOW w3 AS (PARTITION BY user_id ORDER BY srn)
+),
+oc AS (
+  SELECT *, SUM(brk2) OVER (PARTITION BY user_id ORDER BY srn) AS oid
+  FROM uc
+),
+agg AS (
+  SELECT user_id, oid, MIN(srn) AS osrn, MAX(urn_end) AS oern,
+         CAST(SUM(n_pairs) AS BIGINT) AS n_pairs
+  FROM oc GROUP BY user_id, oid
+)
+SELECT a.user_id,
+       strftime(fs.ts, {_FMT}) AS start_dt,
+       CAST(SUM(CASE WHEN r.m = 1 THEN r.event_id END) AS BIGINT) AS sum_a,
+       CAST(MIN(CASE WHEN r.m = 2 THEN r.event_id END) AS BIGINT) AS min_b,
+       CAST(MAX(CASE WHEN r.m = 3 THEN r.event_id END) AS BIGINT) AS max_c,
+       a.n_pairs
+FROM agg a
+JOIN e fs ON fs.user_id = a.user_id AND fs.rn = a.osrn
+JOIN e r ON r.user_id = a.user_id AND r.rn BETWEEN a.osrn AND a.oern
+GROUP BY a.user_id, fs.ts, a.n_pairs, a.oid
+"""
+
+
+register(
+    "cep_group_nested_agg",
+    cep_group_nested_agg,
+    ORACLE_GROUP_NESTED_AGG,
+    # round 10: aggregates over nested-group vars; gate at the 50 cap
+    # — joins the r11 promotion queue
+    driver=False,
+)
+
+
 def cep_group_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NESTED unbounded groups — ``PATTERN (((A B)+ C)+)`` (round 8):
     round 7's last structural reject. A nested group is just more

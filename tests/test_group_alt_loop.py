@@ -257,8 +257,9 @@ def test_validate_guards():
     from flink_cep_examples_spark.plans.pattern import Measure
 
     # ALL ROWS with a multi-branch group is ACCEPTED since round 10
-    # (per-row classifier from the branch predicates) — but RUNNING
-    # measures over branch vars stay a loud reject (no fixed stride)
+    # (per-row classifier from the branch predicates), and so are
+    # RUNNING/aggregate measures over branch vars (same per-row
+    # reconstruction; ambiguity is a runtime loud reject)
     PatternSpec(
         variables=(
             PatternVar("A", "pa"),
@@ -269,22 +270,9 @@ def test_validate_guards():
         loop_groups=((0, 3),),
         loop_branches=((0, 1), (2, 3)),
         rows_per_match="all",
+        measures=(Measure("rc", "A", "", "count", running=True),),
         derivation="longest",
     ).validate()
-    with pytest.raises(NotImplementedError, match="RUNNING"):
-        PatternSpec(
-            variables=(
-                PatternVar("A", "pa"),
-                PatternVar("B", "pb"),
-                PatternVar("C", "pc"),
-                PatternVar("D", "pd"),
-            ),
-            loop_groups=((0, 3),),
-            loop_branches=((0, 1), (2, 3)),
-            rows_per_match="all",
-            measures=(Measure("rc", "A", "", "count", running=True),),
-            derivation="longest",
-        ).validate()
     with pytest.raises(ValueError, match="partition"):
         PatternSpec(
             variables=(
@@ -459,3 +447,48 @@ def test_all_rows_branch_exclusion(spark):
     )
     # the B row (event 2) is consumed but not emitted
     assert got == [(1, "A"), (3, "C"), (4, "D"), (5, "E")]
+
+
+def test_branch_aggregate_and_running_measures(spark):
+    """Aggregate (ONE ROW) + RUNNING (ALL ROWS) measures over
+    multi-branch group vars (round 10 — was a validate reject): the
+    row set reconstructs per row from the branch predicates."""
+    from flink_cep_examples_spark.sql.match_recognize import (
+        match_recognize,
+    )
+
+    one_row = """
+    PARTITION BY user_id ORDER BY ts, event_id
+    MEASURES SUM(A.event_id) AS sa, SUM(C.event_id) AS sc
+    ONE ROW PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN ((A B | C D)+ E)
+    DEFINE A AS event_id % 6 = 1, B AS event_id % 6 = 2,
+           C AS event_id % 6 = 3, D AS event_id % 6 = 4,
+           E AS event_id % 6 = 5
+    """
+    # a(1) b(2) c(9) d(10) a(7) b(8) e(5): one match
+    rows = [(1, 0, 1), (1, 1, 2), (1, 2, 9), (1, 3, 10),
+            (1, 4, 7), (1, 5, 8), (1, 6, 5)]
+    got = [
+        (r["sa"], r["sc"])
+        for r in match_recognize(
+            _events_df(spark, rows), one_row, tiebreak_col="event_id"
+        ).collect()
+    ]
+    assert got == [(8, 9)]  # A rows 1+7; C row 9
+
+    all_rows = one_row.replace(
+        "MEASURES SUM(A.event_id) AS sa, SUM(C.event_id) AS sc",
+        "MEASURES RUNNING COUNT(A.*) AS rca",
+    ).replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH")
+    got2 = sorted(
+        (r["ts"].minute, r["classifier"], r["rca"])
+        for r in match_recognize(
+            _events_df(spark, rows), all_rows, tiebreak_col="event_id"
+        ).collect()
+    )
+    assert got2 == [
+        (0, "A", 1), (1, "B", 1), (2, "C", 1), (3, "D", 1),
+        (4, "A", 2), (5, "B", 2), (6, "E", 2),
+    ]

@@ -154,18 +154,20 @@ def test_final_aggregate_over_loop_var_one_row(spark):
     assert (rows[0]["sx"], rows[0]["sy"], rows[0]["mx"]) == (5, 7, 4)
 
 
-def test_aggregate_over_multi_branch_group_raises():
-    with pytest.raises(NotImplementedError, match="fixed row stride"):
-        parse_match_recognize(
-            """
-            PARTITION BY user_id ORDER BY ts, event_id
-            MEASURES SUM(A.event_id) AS sa
-            ONE ROW PER MATCH
-            PATTERN ((A B | C D)+)
-            DEFINE A AS event_id % 5 = 1, B AS event_id % 5 = 2,
-                   C AS event_id % 5 = 3, D AS event_id % 5 = 4
-            """
-        ).validate()
+def test_aggregate_over_multi_branch_group_validates():
+    # round 10: aggregates over multi-branch group vars VALIDATE (the
+    # row set reconstructs per row from the branch predicates; see
+    # tests/test_group_alt_loop.py for the value-level differential)
+    parse_match_recognize(
+        """
+        PARTITION BY user_id ORDER BY ts, event_id
+        MEASURES SUM(A.event_id) AS sa
+        ONE ROW PER MATCH
+        PATTERN ((A B | C D)+)
+        DEFINE A AS event_id % 5 = 1, B AS event_id % 5 = 2,
+               C AS event_id % 5 = 3, D AS event_id % 5 = 4
+        """
+    ).validate()
 
 
 def test_all_rows_consistent_with_one_row(spark):

@@ -121,13 +121,13 @@ def test_validate_guards():
             "ONE ROW PER MATCH", "ALL ROWS PER MATCH"
         )
     ).validate()
-    # aggregates over nested vars have no stride reconstruction
-    with pytest.raises(NotImplementedError, match="nested"):
-        parse_match_recognize(
-            _body("((A B)+ C)+", _DEF3).replace(
-                "COUNT(A.*) AS na", "SUM(A.m) AS sa"
-            )
-        ).validate()
+    # aggregates over nested vars VALIDATE since round 10 (row set
+    # reconstructed per row from the variable predicates)
+    parse_match_recognize(
+        _body("((A B)+ C)+", _DEF3).replace(
+            "COUNT(A.*) AS na", "SUM(A.m) AS sa"
+        )
+    ).validate()
 
 
 @pytest.mark.parametrize("pattern,defines,np_,rx", _SHAPES)
@@ -680,6 +680,74 @@ def test_nested_all_rows_overlap_is_loud(spark):
     PARTITION BY user_id ORDER BY ts, event_id
     MEASURES MATCH_NUMBER() AS mn
     ALL ROWS PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN (((A B)+ C)+)
+    DEFINE A AS event_id IN (1, 7), B AS event_id = 2,
+           C AS event_id IN (3, 7)
+    """
+    rows = [(1, 0, 7), (1, 1, 2), (1, 2, 3)]  # row 0 is both A and C
+    out = match_recognize(
+        _events_df(spark, rows), body, tiebreak_col="event_id"
+    )
+    with pytest.raises(Exception, match="pairwise-disjoint"):
+        out.collect()
+
+
+# --- round 10: aggregate measures over nested-group vars ---------------
+
+
+def test_nested_aggregate_measure_matches_re(spark):
+    """SUM/AVG/MIN/MAX over nested-group vars (round 10 — was a
+    validate reject): the row set reconstructs per row from the
+    variable predicates. Oracle: re finditer spans + per-char sums."""
+    import random
+
+    rx = re.compile(r"(?:(?:ab)+c)+")
+    body = """
+    PARTITION BY user_id ORDER BY ts, event_id
+    MEASURES SUM(A.event_id) AS sa, MIN(B.event_id) AS mb,
+             COUNT(A.*) AS na
+    ONE ROW PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN (((A B)+ C)+)
+    DEFINE A AS event_id % 4 = 1, B AS event_id % 4 = 2,
+           C AS event_id % 4 = 3
+    """
+    letter = {0: ".", 1: "a", 2: "b", 3: "c"}
+    for seed in (0, 1):
+        rng = random.Random(seed * 11 + 5)
+        by_user = {
+            u: [(i, rng.randrange(0, 16))
+                for i in range(rng.randrange(40, 70))]
+            for u in range(5)
+        }
+        rows = [
+            (u, mo, e) for u, ur in by_user.items() for mo, e in ur
+        ]
+        got = sorted(
+            (r["user_id"], r["sa"], r["mb"], r["na"])
+            for r in match_recognize(
+                _events_df(spark, rows), body, tiebreak_col="event_id"
+            ).collect()
+        )
+        want = []
+        for u, urows in by_user.items():
+            s = "".join(letter[e % 4] for _, e in urows)
+            for mt in rx.finditer(s):
+                span = range(mt.start(), mt.end())
+                a_vals = [urows[p][1] for p in span if s[p] == "a"]
+                b_vals = [urows[p][1] for p in span if s[p] == "b"]
+                want.append(
+                    (u, sum(a_vals), min(b_vals), len(a_vals))
+                )
+        assert got == sorted(want)
+
+
+def test_nested_aggregate_overlap_is_loud(spark):
+    body = """
+    PARTITION BY user_id ORDER BY ts, event_id
+    MEASURES SUM(A.event_id) AS sa
+    ONE ROW PER MATCH
     AFTER MATCH SKIP PAST LAST ROW
     PATTERN (((A B)+ C)+)
     DEFINE A AS event_id IN (1, 7), B AS event_id = 2,
