@@ -2238,12 +2238,15 @@ def match_pattern_fast_group_absence(
     return sorted_p.mapInPandas(scan_partition, out_schema)
 
 
-def _chain_vars_measures_ok(spec) -> bool:
-    """Shared variable/measure admissibility for the nested chain
-    kernels (depth 2 and 3): plain greedy ONCE variables under strict
+def _chain_vars_measures_ok(spec, allow_agg: bool = False) -> bool:
+    """Shared variable/measure admissibility for the nested chain /
+    islands kernels: plain greedy ONCE variables under strict
     contiguity, measures limited to first/last/count (+ niladics) over
     known vars/subsets — everything the closed forms can reconstruct
-    from unit geometry."""
+    from unit geometry. ``allow_agg`` (round 10, the depth-2 nested
+    kernel only): FINAL SUM/AVG/MIN/MAX compute per emission over the
+    variable's classified rows with the SAME pandas reductions the NFA
+    tier uses."""
     for i, v in enumerate(spec.variables):
         if v.negated or v.until is not None or v.quantifier != ONCE:
             return False
@@ -2258,7 +2261,9 @@ def _chain_vars_measures_ok(spec) -> bool:
             return False
         if m.fn in NILADIC_FNS:
             continue  # per-segment MATCH_NUMBER / last-var CLASSIFIER
-        if m.fn not in ("first", "last", "count"):
+        if m.fn not in ("first", "last", "count") and not (
+            allow_agg and m.fn in AGG_FNS
+        ):
             return False
         comps = subset_map.get(m.var, (m.var,))
         if not all(c in names for c in comps):
@@ -2278,6 +2283,8 @@ def _nested_nfa_fallback_frame(
 
     from flink_cep_examples_spark.operators import nfa as _nfa
     from flink_cep_examples_spark.operators.cep_batch import (
+        _classify_preds,
+        _loop_strides,
         _make_measure_eval,
         _needs_src,
         _null_safe_agg_cast,
@@ -2306,7 +2313,9 @@ def _nested_nfa_fallback_frame(
         if _needs_src(m)
     }
     eval_measures = _make_measure_eval(
-        measure_list, compiled.spec.subsets, src_arrays
+        measure_list, compiled.spec.subsets, src_arrays,
+        loop_stride=_loop_strides(compiled.spec),
+        classify=_classify_preds(compiled.spec, preds_all),
     )
     cols: dict[str, list] = {c: [] for c in out_names}
     for b in range(len(bounds) - 1):
@@ -2374,11 +2383,27 @@ def fast_nested_chain_applicable(spec) -> bool:
     inner = spans[0] if spans[1] == outer else spans[1]
     if inner == outer or inner[1] >= n - 1:
         return False  # need >= 1 suffix var to delimit outer iterations
-    return _chain_vars_measures_ok(spec)
+    return _chain_vars_measures_ok(spec, allow_agg=True)
+
+
+def fast_nested_chain_all_rows_applicable(spec) -> bool:
+    """ALL ROWS PER MATCH on the two-level nested chain kernel (round
+    10): same shape constraints as the one-row form; per-row
+    CLASSIFIER comes from the variable predicates (the match span
+    tiles fully under disjointness), RUNNING measures stay on the NFA
+    tier."""
+    import dataclasses
+
+    if not isinstance(spec, PatternSpec) or spec.rows_per_match != "all":
+        return False
+    if any(m.running for m in spec.measures):
+        return False
+    one = dataclasses.replace(spec, rows_per_match="one")
+    return fast_nested_chain_applicable(one)
 
 
 def match_pattern_fast_nested_chain(
-    df: DataFrame, spec: PatternSpec
+    df: DataFrame, spec: PatternSpec, *, all_rows: bool = False
 ) -> DataFrame:
     """TWO-LEVEL chain kernel for nested unbounded groups (see
     :func:`fast_nested_chain_applicable`). Derivation (from the NFA
@@ -2396,6 +2421,11 @@ def match_pattern_fast_nested_chain(
       one pointer chase per unit (the proven skip-past pattern)
       aggregates per-match totals.
 
+    ``all_rows`` (round 10): ALL ROWS PER MATCH emission — a match's
+    span [start, end) is fully consumed, so the rows expand with one
+    repeat/arange pass and classify by their own predicate; FINAL
+    measures broadcast by emission id.
+
     Rows whose predicates OVERLAP (any pair of variables true on one
     row) break the greedy-unit argument — the partition then runs the
     per-segment NFA instead (identical output, differential-tested).
@@ -2411,11 +2441,18 @@ def match_pattern_fast_nested_chain(
         _prepare,
         _PRED_PREFIX,
         _TS_COL,
+        _with_nav_cols,
+        all_rows_output_schema,
         output_schema,
     )
 
     spec.validate()
-    if not fast_nested_chain_applicable(spec):
+    if all_rows:
+        if not fast_nested_chain_all_rows_applicable(spec):
+            raise ValueError(
+                "pattern shape not compilable (nested chain all-rows)"
+            )
+    elif not fast_nested_chain_applicable(spec):
         raise ValueError("pattern shape not compilable (nested chain)")
 
     spans = sorted(spec.loop_groups)
@@ -2426,13 +2463,29 @@ def match_pattern_fast_nested_chain(
     s = gs
     L = ge - gs + 1
     f = n_vars - ge - 1
-    prepared = _prepare(df, spec)
-    out_schema = output_schema(df, spec)
+    data_cols = list(df.columns)
+    if all_rows:
+        prepared = _with_nav_cols(df, spec).select(
+            *data_cols,
+            F.unix_micros(
+                F.col(spec.order_col).cast(T.TimestampType())
+            ).alias(_TS_COL),
+            *[
+                F.expr(e).alias(f"{_PRED_PREFIX}{i}")
+                for i, e in enumerate(spec.pred_exprs)
+            ],
+        )
+        out_schema = all_rows_output_schema(df, spec)
+    else:
+        prepared = _prepare(df, spec)
+        out_schema = output_schema(df, spec)
     key_cols = list(spec.key_cols)
     tiebreak = spec.tiebreak_col
     measure_list = list(spec.measures)
     subset_map = dict(spec.subsets)
     var_pos = {v.name: i for i, v in enumerate(spec.variables)}
+    var_names = [v.name for v in spec.variables]
+    excluded = [v.excluded for v in spec.variables]
     out_names = [fld.name for fld in out_schema.fields]
     compiled = _nfa.Nfa(spec)
 
@@ -2472,9 +2525,17 @@ def match_pattern_fast_nested_chain(
         if overlap:
             # NFA fallback, per key segment (rare: classifier-style
             # patterns have disjoint predicates by construction)
-            out = _nested_nfa_fallback_frame(
-                pdf, key_cols, n_vars, compiled, measure_list,
-                out_names, out_schema, key_arrays,
+            out = (
+                _all_rows_nfa_fallback_frame(
+                    pdf, key_cols, compiled, measure_list, out_names,
+                    out_schema, data_cols, list(range(n_vars)),
+                    var_names, excluded, p, src_arrays,
+                )
+                if all_rows
+                else _nested_nfa_fallback_frame(
+                    pdf, key_cols, n_vars, compiled, measure_list,
+                    out_names, out_schema, key_arrays,
+                )
             )
             if out is not None:
                 yield out
@@ -2502,10 +2563,14 @@ def match_pattern_fast_nested_chain(
         heads = np.flatnonzero(~has_pred)
         if not len(heads):
             return
-        cols = {kc: [] for kc in key_cols}
+        cols = {} if all_rows else {kc: [] for kc in key_cols}
         for m in measure_list:
             cols[m.name] = []
-        cols["tag"] = []
+        if not all_rows:
+            cols["tag"] = []
+        em_r0: list[int] = []  # all-rows: per-emission span + ordinal
+        em_end: list[int] = []
+        em_mn: list[int] = []
         # walk each head's unit chain. WITHIN (round 9, dead-unit
         # retry fixed round 10): the deadline caps the whole OUTER
         # match span — a unit joins the current match iff its last row
@@ -2597,8 +2662,13 @@ def match_pattern_fast_nested_chain(
                     total_pairs,
                 )
 
-            for kc in key_cols:
-                cols[kc].append(key_arrays[kc][r0])
+            if all_rows:
+                em_r0.append(r0)
+                em_end.append(rl + s + kl * L + f)
+                em_mn.append(mn_per_seg[seg])
+            else:
+                for kc in key_cols:
+                    cols[kc].append(key_arrays[kc][r0])
             for m in measure_list:
                 if m.fn == "match_number":
                     cols[m.name].append(mn_per_seg[seg])
@@ -2607,6 +2677,38 @@ def match_pattern_fast_nested_chain(
                     cols[m.name].append(spec.variables[-1].name)
                     continue
                 comps = subset_map.get(m.var, (m.var,))
+                if m.fn in AGG_FNS:
+                    # FINAL aggregate over classified rows (round 10):
+                    # the var's rows are the span rows where its own
+                    # predicate holds; the reductions are the SAME
+                    # pandas ops the NFA tier's evaluator uses, so the
+                    # tiers agree to the bit even on floats
+                    end = rl + s + kl * L + f
+                    parts = [
+                        src_arrays[m.src][r0:end][
+                            p[var_pos[c]][r0:end]
+                        ]
+                        for c in comps
+                    ]
+                    ser = pd.Series(
+                        np.concatenate(parts)
+                        if len(parts) > 1
+                        else parts[0]
+                    )
+                    nn = int(ser.count())
+                    if m.fn == "count_col":
+                        cols[m.name].append(nn)
+                    elif nn == 0:
+                        cols[m.name].append(None)
+                    elif m.fn == "sum":
+                        cols[m.name].append(ser.sum())
+                    elif m.fn == "avg":
+                        cols[m.name].append(float(ser.mean()))
+                    elif m.fn == "min":
+                        cols[m.name].append(ser.min())
+                    else:
+                        cols[m.name].append(ser.max())
+                    continue
                 triples = [var_span(c) for c in comps]
                 if m.fn == "count":
                     cols[m.name].append(sum(t[2] for t in triples))
@@ -2618,12 +2720,62 @@ def match_pattern_fast_nested_chain(
                     cols[m.name].append(
                         src_arrays[m.src][max(t[1] for t in triples)]
                     )
-            cols["tag"].append(MATCH_TAG)
-        out = pd.DataFrame(cols, columns=out_names)
+            if not all_rows:
+                cols["tag"].append(MATCH_TAG)
+        if not all_rows:
+            out = pd.DataFrame(cols, columns=out_names)
+            _null_safe_agg_cast(out, measure_list, out_schema)
+            yield out
+            return
+        # ALL ROWS (round 10): a match consumes exactly [r0, end), so
+        # rows expand with one repeat/arange pass; classifier = the
+        # row's own variable (disjoint predicates), exclusions drop
+        starts_a = np.asarray(em_r0, dtype=np.int64)
+        ends_a = np.asarray(em_end, dtype=np.int64)
+        lens = ends_a - starts_a
+        n_em = len(starts_a)
+        eidx = np.repeat(np.arange(n_em), lens)
+        row_idx = (
+            np.arange(int(lens.sum()), dtype=np.int64)
+            - np.repeat(np.cumsum(lens) - lens, lens)
+            + np.repeat(starts_a, lens)
+        )
+        rv = np.empty(len(row_idx), dtype=object)
+        keep = np.ones(len(row_idx), dtype=bool)
+        for i in range(n_vars):
+            mask = p[i][row_idx]
+            rv[mask] = var_names[i]
+            if excluded[i]:
+                keep &= ~mask
+        emit_idx = row_idx[keep]
+        emit_eid = eidx[keep]
+        if not len(emit_idx):
+            return
+        data_arrays = {c: pdf[c].to_numpy() for c in data_cols}
+        out_cols: dict[str, object] = {}
+        for c in data_cols:
+            out_cols[c] = data_arrays[c][emit_idx]
+        out_cols["classifier"] = rv[keep]
+        out_cols["match_seq"] = (
+            np.asarray(em_mn, dtype=np.int64)[emit_eid] - 1
+        )
+        for m in measure_list:
+            out_cols[m.name] = np.asarray(
+                cols[m.name], dtype=object
+            )[emit_eid]
+        out = pd.DataFrame(out_cols, columns=out_names)
         _null_safe_agg_cast(out, measure_list, out_schema)
         yield out
 
     return sorted_p.mapInPandas(scan_partition, out_schema)
+
+
+def match_pattern_fast_nested_chain_all_rows(
+    df: DataFrame, spec: PatternSpec
+) -> DataFrame:
+    """ALL ROWS PER MATCH on the two-level nested chain kernel — see
+    :func:`match_pattern_fast_nested_chain` (``all_rows=True``)."""
+    return match_pattern_fast_nested_chain(df, spec, all_rows=True)
 
 
 def fast_nested3_chain_applicable(spec) -> bool:
@@ -2952,6 +3104,567 @@ def match_pattern_fast_nested3_chain(
                         src_arrays[m.src][max(t[1] for t in triples)]
                     )
             cols["tag"].append(MATCH_TAG)
+        out = pd.DataFrame(cols, columns=out_names)
+        _null_safe_agg_cast(out, measure_list, out_schema)
+        yield out
+
+    return sorted_p.mapInPandas(scan_partition, out_schema)
+
+
+def _branch_islands(pdf, key_cols, geom, branches, p, var_names):
+    """Break-mask island decomposition shared by the branch-group
+    kernels (one-row + all-rows): under DISJOINT predicates a branch
+    row is VALID iff its offset-(j-1) predecessor and offset-(j+1)
+    successor are present, in-segment, and themselves valid — a
+    FIXPOINT, since invalidity propagates through a chunk's interior
+    (one row per pass, chunk diameter <= max branch width; constraints
+    never cross chunks, so the fixpoint is exact). Each maximal run of
+    valid rows tiles uniquely as ``(B1|B2|...)+`` and is one greedy
+    SKIP-PAST-LAST match.
+
+    Returns ``(vidx, iid, n_isl, first_row, last_row, var_first,
+    var_last, var_count, mn)`` — island id per valid row, per-island
+    row bounds, per-VAR-NAME first/last row (-1/sentinel when absent)
+    and row counts, and the 1-based per-key-segment island ordinal —
+    or None when the partition holds no island."""
+    import numpy as np
+
+    n = len(pdf)
+    newkey = np.zeros(n, dtype=bool)
+    newkey[0] = True
+    for kc in key_cols:
+        col = pdf[kc]
+        same = col.eq(col.shift()) | (col.isna() & col.shift().isna())
+        newkey[1:] |= ~same.to_numpy()[1:]
+    seg_id = np.cumsum(newkey, dtype=np.int64) - 1
+    same_seg = seg_id[1:] == seg_id[:-1]
+
+    ok_any = np.zeros(n, dtype=bool)
+    for i, _pv, _nx in geom:
+        ok_any |= p[i]
+    valid = ok_any.copy()
+    max_w = max(e - s + 1 for s, e in branches)
+    for _ in range(max_w + 1):
+        bad = np.zeros(n, dtype=bool)
+        for i, prev_i, next_i in geom:
+            pi = p[i]
+            if prev_i >= 0:
+                prev_ok = np.zeros(n, dtype=bool)
+                prev_ok[1:] = (p[prev_i][:-1] & valid[:-1]) & same_seg
+                bad |= pi & ~prev_ok
+            if next_i >= 0:
+                nxt_ok = np.zeros(n, dtype=bool)
+                nxt_ok[:-1] = (p[next_i][1:] & valid[1:]) & same_seg
+                bad |= pi & ~nxt_ok
+        new_valid = valid & ~bad
+        if bool((new_valid == valid).all()):
+            break
+        valid = new_valid
+    vidx = np.flatnonzero(valid)
+    if not len(vidx):
+        return None
+    start = valid.copy()
+    start[1:] &= ~(valid[:-1] & same_seg)
+    iid = (np.cumsum(start) - 1)[vidx]  # island id per valid row
+    n_isl = int(start.sum())
+    big = np.iinfo(np.int64).max
+    first_row = np.full(n_isl, big, dtype=np.int64)
+    last_row = np.full(n_isl, -1, dtype=np.int64)
+    np.minimum.at(first_row, iid, vidx)
+    np.maximum.at(last_row, iid, vidx)
+    var_first: dict[str, "np.ndarray"] = {}
+    var_last: dict[str, "np.ndarray"] = {}
+    var_count: dict[str, "np.ndarray"] = {}
+    for i, _pv, _nx in geom:
+        mask = p[i][vidx]
+        vf = np.full(n_isl, big, dtype=np.int64)
+        vl = np.full(n_isl, -1, dtype=np.int64)
+        vc = np.zeros(n_isl, dtype=np.int64)
+        if mask.any():
+            np.minimum.at(vf, iid[mask], vidx[mask])
+            np.maximum.at(vl, iid[mask], vidx[mask])
+            np.add.at(vc, iid[mask], 1)
+        name = var_names[i]
+        var_first[name] = vf
+        var_last[name] = vl
+        var_count[name] = vc
+    # MATCH_NUMBER: 1-based island ordinal within its key segment
+    isl_seg = seg_id[first_row]
+    new_blk = np.r_[True, isl_seg[1:] != isl_seg[:-1]]
+    blk_first = np.maximum.accumulate(
+        np.where(new_blk, np.arange(n_isl), 0)
+    )
+    mn = np.arange(n_isl) - blk_first + 1
+    return (vidx, iid, n_isl, first_row, last_row,
+            var_first, var_last, var_count, mn)
+
+
+def fast_mixed_branch_applicable(spec) -> bool:
+    """True for the MIXED-WIDTH multi-branch group shape (round 10):
+    ``PATTERN ((B1 | B2 | ...)+)`` spanning the whole pattern with
+    branch widths that differ — the one branch-group shape the
+    stride-L chain kernel can never compile (no fixed iteration
+    length). Compiles to the BREAK-MASK ISLANDS kernel
+    (:func:`match_pattern_fast_mixed_branch`): under disjoint
+    predicates every row knows its unique (branch, offset), offset
+    adjacency forces the chunk tiling, and each maximal unbroken
+    island of branch rows is exactly one greedy SKIP-PAST-LAST match.
+    Equal-width branch groups keep the round-8 chain kernel (which
+    also handles prefix/suffix vars and WITHIN); shapes with prefix/
+    suffix vars, a deadline, or timeout emission stay on the NFA."""
+    if not isinstance(spec, PatternSpec) or spec.derivation != "longest":
+        return False
+    if spec.permute or spec.emit_timeouts or spec.rows_per_match != "one":
+        return False
+    if spec.within is not None:
+        return False
+    if spec.after_match != SKIP_PAST_LAST_EVENT:
+        return False
+    branches = getattr(spec, "loop_branches", ())
+    if len(branches) < 2 or len(spec.loop_groups) != 1:
+        return False
+    n = len(spec.variables)
+    if spec.loop_groups[0] != (0, n - 1):
+        return False  # group must span the whole pattern
+    widths = {e - s + 1 for s, e in branches}
+    if len(widths) < 2:
+        return False  # equal width: the chain kernel's shape
+    return _chain_vars_measures_ok(spec)
+
+
+def match_pattern_fast_mixed_branch(
+    df: DataFrame, spec: PatternSpec
+) -> DataFrame:
+    """BREAK-MASK ISLANDS kernel for mixed-width multi-branch groups
+    (round 10; see :func:`fast_mixed_branch_applicable`). Derivation
+    (independent of the NFA, matching the ORACLE_GROUP_ALT_MIXED
+    closed form):
+
+    - under DISJOINT predicates a row belongs to at most one
+      (branch, offset); a branch row BREAKS the tiling when its
+      offset-(j-1) predecessor or offset-(j+1) successor is missing
+      (or crosses a key segment);
+    - within a maximal unbroken run of branch rows the chunk tiling is
+      forced (each island's first row must be an offset-0 row, every
+      interior adjacency is satisfied), so the island parses as one
+      greedy ``(B1|B2|...)+`` match and SKIP PAST LAST consumes it
+      whole — islands ARE the match set;
+    - everything is one vectorized numpy pass per partition: break
+      masks, island segmentation, per-var first/last/count via
+      ``np.minimum/maximum/add.at`` — zero per-match Python.
+
+    Rows whose predicates OVERLAP fall back to the per-segment NFA
+    (identical output, differential-tested)."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_cep_examples_spark.operators import nfa as _nfa
+    from flink_cep_examples_spark.operators.cep_batch import (
+        _needs_src,
+        _null_safe_agg_cast,
+        _prepare,
+        _PRED_PREFIX,
+        _TS_COL,
+        output_schema,
+    )
+
+    spec.validate()
+    if not fast_mixed_branch_applicable(spec):
+        raise ValueError("pattern shape not compilable (mixed branch)")
+
+    n_vars = len(spec.variables)
+    branches = sorted(spec.loop_branches)
+    #: (var_idx, prev_var_idx or -1, next_var_idx or -1) per group var
+    geom = []
+    for b_s, b_e in branches:
+        for i in range(b_s, b_e + 1):
+            geom.append(
+                (i, i - 1 if i > b_s else -1, i + 1 if i < b_e else -1)
+            )
+    prepared = _prepare(df, spec)
+    out_schema = output_schema(df, spec)
+    key_cols = list(spec.key_cols)
+    tiebreak = spec.tiebreak_col
+    measure_list = list(spec.measures)
+    subset_map = dict(spec.subsets)
+    var_names = [v.name for v in spec.variables]
+    out_names = [fld.name for fld in out_schema.fields]
+    compiled = _nfa.Nfa(spec)
+
+    sorted_p = prepared.repartition(*key_cols).sortWithinPartitions(
+        *key_cols, _TS_COL, tiebreak
+    )
+
+    def scan_partition(batches):
+        chunks = [c for c in batches if len(c)]
+        if not chunks:
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        n = len(pdf)
+        p = [
+            pdf[f"{_PRED_PREFIX}{i}"].to_numpy(dtype=bool)
+            for i in range(n_vars)
+        ]
+        src_arrays = {
+            m.src: pdf[m.src].to_numpy()
+            for m in measure_list
+            if _needs_src(m)
+        }
+        key_arrays = {kc: pdf[kc].to_numpy() for kc in key_cols}
+
+        overlap = False
+        for i in range(n_vars):
+            for j in range(i + 1, n_vars):
+                if (p[i] & p[j]).any():
+                    overlap = True
+                    break
+            if overlap:
+                break
+        if overlap:
+            out = _nested_nfa_fallback_frame(
+                pdf, key_cols, n_vars, compiled, measure_list,
+                out_names, out_schema, key_arrays,
+            )
+            if out is not None:
+                yield out
+            return
+
+        isl = _branch_islands(pdf, key_cols, geom, branches, p, var_names)
+        if isl is None:
+            return
+        (vidx, iid, n_isl, first_row, last_row,
+         var_first, var_last, var_count, mn) = isl
+        big = np.iinfo(np.int64).max
+
+        cols: dict[str, object] = {}
+        for kc in key_cols:
+            cols[kc] = key_arrays[kc][first_row]
+        for m in measure_list:
+            if m.fn == "match_number":
+                cols[m.name] = mn
+                continue
+            if m.fn == "classifier":
+                # ONE ROW classifier = the var of the match's LAST row
+                cls = np.empty(n_isl, dtype=object)
+                for i, _pv, _nx in geom:
+                    hit = p[i][last_row]
+                    cls[hit] = var_names[i]
+                cols[m.name] = cls
+                continue
+            comps = subset_map.get(m.var, (m.var,))
+            if m.fn == "count":
+                tot = np.zeros(n_isl, dtype=np.int64)
+                for c in comps:
+                    tot += var_count[c]
+                cols[m.name] = tot
+                continue
+            if m.fn == "first":
+                idxs = np.full(n_isl, big, dtype=np.int64)
+                for c in comps:
+                    idxs = np.minimum(idxs, var_first[c])
+                has = idxs != big
+            else:  # last
+                idxs = np.full(n_isl, -1, dtype=np.int64)
+                for c in comps:
+                    idxs = np.maximum(idxs, var_last[c])
+                has = idxs >= 0
+            src = src_arrays[m.src]
+            vals = np.empty(n_isl, dtype=object)
+            safe = np.where(has, idxs, 0)
+            picked = src[safe]
+            for k in range(n_isl):
+                vals[k] = picked[k] if has[k] else m.default
+            cols[m.name] = vals
+        cols["tag"] = np.repeat(MATCH_TAG, n_isl)
+        out = pd.DataFrame(cols, columns=out_names)
+        _null_safe_agg_cast(out, measure_list, out_schema)
+        yield out
+
+    return sorted_p.mapInPandas(scan_partition, out_schema)
+
+
+def _all_rows_nfa_fallback_frame(
+    pdf, key_cols, compiled, measure_list, out_names, out_schema,
+    data_cols, class_idx, var_names, excluded, p, src_arrays,
+):
+    """Per-segment NFA fallback for the ALL ROWS kernels (the runtime
+    predicate-overlap escape hatch): the NFA tier's predicate-
+    classified emission — raises on ambiguous MATCHED rows exactly
+    like match_pattern_all_rows. Returns the frame or None."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_cep_examples_spark.operators import nfa as _nfa
+    from flink_cep_examples_spark.operators.cep_batch import (
+        _make_measure_eval,
+        _null_safe_agg_cast,
+        _TS_COL,
+    )
+
+    from flink_cep_examples_spark.operators.cep_batch import (
+        _classify_preds,
+        _loop_strides,
+    )
+
+    n = len(pdf)
+    data_arrays = {c: pdf[c].to_numpy() for c in data_cols}
+    newkey = np.zeros(n, dtype=bool)
+    newkey[0] = True
+    for kc in key_cols:
+        col = pdf[kc]
+        same = col.eq(col.shift()) | (col.isna() & col.shift().isna())
+        newkey[1:] |= ~same.to_numpy()[1:]
+    bounds = np.append(np.flatnonzero(newkey), n)
+    ts_us = pdf[_TS_COL].to_numpy(dtype=np.int64)
+    preds_all = np.stack(p)
+    eval_measures = _make_measure_eval(
+        measure_list, compiled.spec.subsets, src_arrays,
+        loop_stride=_loop_strides(compiled.spec),
+        classify=_classify_preds(compiled.spec, preds_all),
+    )
+    rows: dict[str, list] = {c: [] for c in out_names}
+    for b in range(len(bounds) - 1):
+        lo, hi = int(bounds[b]), int(bounds[b + 1])
+        matches, _ = _nfa.scan_key_group(
+            compiled, preds_all[:, lo:hi], ts_us[lo:hi]
+        )
+        matches.sort(
+            key=lambda mm: (
+                min(sp[3] for sp in mm.values()),
+                max(sp[4] for sp in mm.values()),
+            )
+        )
+        for seq, match in enumerate(matches):
+            shifted = {
+                v: (sp[0] + lo, sp[1] + lo, sp[2],
+                    sp[3] + lo, sp[4] + lo)
+                for v, sp in match.items()
+            }
+            mvals = eval_measures(shifted, seq + 1)
+            blo = min(sp[0] for sp in shifted.values())
+            bhi = max(sp[1] for sp in shifted.values())
+            for r in range(blo, bhi + 1):
+                hits = [vi for vi in class_idx if p[vi][r]]
+                if len(hits) != 1:
+                    raise NotImplementedError(
+                        "ALL ROWS PER MATCH with a multi-branch or "
+                        "nested unbounded group reconstructs per-row "
+                        "CLASSIFIER from the variable predicates and "
+                        "needs them pairwise-disjoint on the matched "
+                        f"rows (a row satisfied {len(hits)} "
+                        "group-variable predicates)"
+                    )
+                if excluded[hits[0]]:
+                    continue
+                for c in data_cols:
+                    rows[c].append(data_arrays[c][r])
+                rows["classifier"].append(var_names[hits[0]])
+                rows["match_seq"].append(seq)
+                for m in measure_list:
+                    rows[m.name].append(mvals[m.name])
+    if not rows[out_names[0]]:
+        return None
+    out = pd.DataFrame(rows, columns=out_names)
+    _null_safe_agg_cast(out, measure_list, out_schema)
+    return out
+
+
+def fast_branch_all_rows_applicable(spec) -> bool:
+    """ALL ROWS PER MATCH on the islands kernel — ANY branch widths
+    (round 10): the round-7 all-rows chain kernel rejects
+    loop_branches entirely, so this is THE compiled path for
+    branch-group ALL ROWS (the NFA tier's per-match Python emission
+    measured 3.3x at 10x). Same shape constraints as the one-row
+    islands kernel except widths may be equal; RUNNING measures stay
+    on the NFA tier."""
+    if not isinstance(spec, PatternSpec) or spec.derivation != "longest":
+        return False
+    if spec.rows_per_match != "all":
+        return False
+    if spec.permute or spec.emit_timeouts or spec.within is not None:
+        return False
+    if spec.after_match != SKIP_PAST_LAST_EVENT:
+        return False
+    branches = getattr(spec, "loop_branches", ())
+    if len(branches) < 2 or len(spec.loop_groups) != 1:
+        return False
+    n = len(spec.variables)
+    if spec.loop_groups[0] != (0, n - 1):
+        return False  # group must span the whole pattern
+    return _chain_vars_measures_ok(spec)
+
+
+def match_pattern_fast_branch_all_rows(
+    df: DataFrame, spec: PatternSpec
+) -> DataFrame:
+    """ALL ROWS PER MATCH via the break-mask islands decomposition
+    (round 10; see :func:`fast_branch_all_rows_applicable`): the
+    islands ARE the matches, every island row emits (minus ``{- -}``
+    exclusions) with classifier = the row's own variable — assembled
+    from ONE boolean-mask pass per variable, zero per-match Python.
+    FINAL measures compute per island and broadcast to rows by island
+    id. Rows whose predicates OVERLAP fall back to the per-segment NFA
+    with the predicate-classified emission the NFA tier uses
+    (identical output, differential-tested)."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_cep_examples_spark.operators import nfa as _nfa
+    from flink_cep_examples_spark.operators.cep_batch import (
+        _make_measure_eval,
+        _needs_src,
+        _null_safe_agg_cast,
+        _PRED_PREFIX,
+        _TS_COL,
+        _with_nav_cols,
+        all_rows_output_schema,
+    )
+
+    spec.validate()
+    if not fast_branch_all_rows_applicable(spec):
+        raise ValueError(
+            "pattern shape not compilable (branch all-rows islands)"
+        )
+
+    n_vars = len(spec.variables)
+    branches = sorted(spec.loop_branches)
+    geom = []
+    for b_s, b_e in branches:
+        for i in range(b_s, b_e + 1):
+            geom.append(
+                (i, i - 1 if i > b_s else -1, i + 1 if i < b_e else -1)
+            )
+    data_cols = list(df.columns)
+    prepared = _with_nav_cols(df, spec).select(
+        *data_cols,
+        F.unix_micros(
+            F.col(spec.order_col).cast(T.TimestampType())
+        ).alias(_TS_COL),
+        *[
+            F.expr(e).alias(f"{_PRED_PREFIX}{i}")
+            for i, e in enumerate(spec.pred_exprs)
+        ],
+    )
+    out_schema = all_rows_output_schema(df, spec)
+    key_cols = list(spec.key_cols)
+    tiebreak = spec.tiebreak_col
+    measure_list = list(spec.measures)
+    subset_map = dict(spec.subsets)
+    var_names = [v.name for v in spec.variables]
+    excluded = [v.excluded for v in spec.variables]
+    out_names = [fld.name for fld in out_schema.fields]
+    compiled = _nfa.Nfa(spec)
+
+    sorted_p = prepared.repartition(*key_cols).sortWithinPartitions(
+        *key_cols, _TS_COL, tiebreak
+    )
+
+    def scan_partition(batches):
+        chunks = [c for c in batches if len(c)]
+        if not chunks:
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        n = len(pdf)
+        p = [
+            pdf[f"{_PRED_PREFIX}{i}"].to_numpy(dtype=bool)
+            for i in range(n_vars)
+        ]
+        src_arrays = {
+            m.src: pdf[m.src].to_numpy()
+            for m in measure_list
+            if _needs_src(m)
+        }
+        data_arrays = {c: pdf[c].to_numpy() for c in data_cols}
+
+        overlap = False
+        for i in range(n_vars):
+            for j in range(i + 1, n_vars):
+                if (p[i] & p[j]).any():
+                    overlap = True
+                    break
+            if overlap:
+                break
+        if overlap:
+            out = _all_rows_nfa_fallback_frame(
+                pdf, key_cols, compiled, measure_list, out_names,
+                out_schema, data_cols,
+                [i for i, _pv, _nx in geom], var_names, excluded,
+                p, src_arrays,
+            )
+            if out is not None:
+                yield out
+            return
+
+        isl = _branch_islands(pdf, key_cols, geom, branches, p, var_names)
+        if isl is None:
+            return
+        (vidx, iid, n_isl, first_row, last_row,
+         var_first, var_last, var_count, mn) = isl
+        big = np.iinfo(np.int64).max
+        # per-island FINAL measure values
+        isl_vals: dict[str, np.ndarray] = {}
+        for m in measure_list:
+            if m.fn == "match_number":
+                isl_vals[m.name] = mn
+                continue
+            if m.fn == "classifier":
+                cls = np.empty(n_isl, dtype=object)
+                for i, _pv, _nx in geom:
+                    hit = p[i][last_row]
+                    cls[hit] = var_names[i]
+                isl_vals[m.name] = cls
+                continue
+            comps = subset_map.get(m.var, (m.var,))
+            if m.fn == "count":
+                tot = np.zeros(n_isl, dtype=np.int64)
+                for c in comps:
+                    tot += var_count[c]
+                isl_vals[m.name] = tot
+                continue
+            if m.fn == "first":
+                idxs = np.full(n_isl, big, dtype=np.int64)
+                for c in comps:
+                    idxs = np.minimum(idxs, var_first[c])
+                has = idxs != big
+            else:  # last
+                idxs = np.full(n_isl, -1, dtype=np.int64)
+                for c in comps:
+                    idxs = np.maximum(idxs, var_last[c])
+                has = idxs >= 0
+            src = src_arrays[m.src]
+            vals = np.empty(n_isl, dtype=object)
+            picked = src[np.where(has, idxs, 0)]
+            for k in range(n_isl):
+                vals[k] = picked[k] if has[k] else m.default
+            isl_vals[m.name] = vals
+        # row-level emission: every island row, classifier = its own
+        # var, {- -} exclusions dropped
+        rv = np.empty(len(vidx), dtype=object)
+        keep = np.ones(len(vidx), dtype=bool)
+        for i, _pv, _nx in geom:
+            mask = p[i][vidx]
+            rv[mask] = var_names[i]
+            if excluded[i]:
+                keep &= ~mask
+        emit_idx = vidx[keep]
+        emit_iid = iid[keep]
+        if not len(emit_idx):
+            return
+        cols: dict[str, object] = {}
+        for c in data_cols:
+            cols[c] = data_arrays[c][emit_idx]
+        cols["classifier"] = rv[keep]
+        cols["match_seq"] = mn[emit_iid] - 1
+        for m in measure_list:
+            cols[m.name] = isl_vals[m.name][emit_iid]
         out = pd.DataFrame(cols, columns=out_names)
         _null_safe_agg_cast(out, measure_list, out_schema)
         yield out

@@ -2558,6 +2558,111 @@ register(
 )
 
 
+def cep_group_alt_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIXED-WIDTH alternation inside an unbounded group — ``PATTERN
+    ((A | C D)+)`` (round 10): iteration length depends on the branch
+    chosen, the one branch-group shape the stride-L chain kernel can
+    never compile. Runs on the round-10 BREAK-MASK ISLANDS kernel
+    (operators/fast_path.py::match_pattern_fast_mixed_branch) when
+    predicates are runtime-disjoint: a row at branch offset j > 0
+    whose predecessor is not offset j-1 of the same branch (or whose
+    required successor is missing) BREAKS the tiling, and each maximal
+    unbroken island of branch rows is exactly one greedy match —
+    per-segment NFA fallback otherwise. Classes: event_id % 5 →
+    1=A (width 1), 3=C, 4=D (width 2)."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.sources.tables import load_table, spread
+    from flink_cep_examples_spark.sql.match_recognize import match_recognize
+
+    events = spread(load_table(spark, sf_dir, "events"), "user_id").select(
+        "user_id", "ts", "event_id"
+    )
+    out = match_recognize(
+        events,
+        """
+        PARTITION BY user_id ORDER BY ts, event_id
+        MEASURES FIRST(U.ts) AS start_ts,
+                 LAST(U.ts) AS end_ts,
+                 COUNT(A.*) AS n_a,
+                 COUNT(C.*) AS n_cd
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN ((A | C D)+)
+        SUBSET U = (A, C, D)
+        DEFINE A AS event_id % 5 = 1,
+               C AS event_id % 5 = 3,
+               D AS event_id % 5 = 4
+        """,
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss").alias("start_dt"),
+        F.date_format("end_ts", "yyyy-MM-dd HH:mm:ss").alias("end_dt"),
+        "n_a",
+        "n_cd",
+    )
+
+
+#: Islands closed form, derived independently of the NFA: under
+#: disjoint classes a row is a BREAK when it is a C whose next row is
+#: not D, a D whose previous row is not C, or not a branch row at all;
+#: every maximal unbroken run of branch rows tiles exactly as
+#: ``(a|cd)+`` (chunk interiors are forced by the offset adjacency),
+#: so each island is one greedy SKIP-PAST-LAST match.
+ORACLE_GROUP_ALT_MIXED = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_id % 5 AS m,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+f AS (
+  SELECT *,
+         (m IN (1, 3, 4)
+          AND NOT (m = 3 AND COALESCE(lead(m) OVER w, -1) != 4)
+          AND NOT (m = 4 AND COALESCE(lag(m) OVER w, -1) != 3)
+         ) AS ok
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+),
+g AS (
+  SELECT *,
+         CASE WHEN ok AND COALESCE(
+                lag(ok) OVER (PARTITION BY user_id ORDER BY rn), FALSE
+              ) THEN 0 ELSE 1 END AS brk
+  FROM f
+),
+isl AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY rn) AS iid
+  FROM g WHERE ok
+),
+agg AS (
+  SELECT user_id, iid, MIN(rn) AS srn, MAX(rn) AS ern,
+         CAST(COUNT(CASE WHEN m = 1 THEN 1 END) AS BIGINT) AS n_a,
+         CAST(COUNT(CASE WHEN m = 3 THEN 1 END) AS BIGINT) AS n_cd
+  FROM isl GROUP BY user_id, iid
+)
+SELECT a.user_id,
+       strftime(fs.ts, {_FMT}) AS start_dt,
+       strftime(ls.ts, {_FMT}) AS end_dt,
+       a.n_a, a.n_cd
+FROM agg a
+JOIN e fs ON fs.user_id = a.user_id AND fs.rn = a.srn
+JOIN e ls ON ls.user_id = a.user_id AND ls.rn = a.ern
+"""
+
+
+register(
+    "cep_group_alt_mixed",
+    cep_group_alt_mixed,
+    ORACLE_GROUP_ALT_MIXED,
+    # round 10: mixed-width branch group (islands kernel); gate at the
+    # 50 cap — joins the r11 promotion queue
+    driver=False,
+)
+
+
 def cep_group_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NESTED unbounded groups — ``PATTERN (((A B)+ C)+)`` (round 8):
     round 7's last structural reject. A nested group is just more

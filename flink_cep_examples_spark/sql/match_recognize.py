@@ -1152,10 +1152,24 @@ def match_recognize(
         if emit_timeouts:
             raise ValueError("ALL ROWS PER MATCH has no timeout channel")
         from flink_cep_examples_spark.operators.fast_path import (
+            fast_branch_all_rows_applicable,
             fast_loop_chain_all_rows_applicable,
+            fast_nested_chain_all_rows_applicable,
+            match_pattern_fast_branch_all_rows,
             match_pattern_fast_loop_chain_all_rows,
+            match_pattern_fast_nested_chain_all_rows,
         )
 
+        if use_fast_path and fast_branch_all_rows_applicable(spec):
+            # branch-group all-rows emission compiles to the islands
+            # kernel (round 10) — per-row classifier from the break-
+            # mask tiling, any widths, zero per-match Python
+            return match_pattern_fast_branch_all_rows(df, spec)
+        if use_fast_path and fast_nested_chain_all_rows_applicable(spec):
+            # nested-group all-rows emission rides the two-level chain
+            # kernel (round 10) — match spans expand with one
+            # repeat/arange pass, per-row classifier from predicates
+            return match_pattern_fast_nested_chain_all_rows(df, spec)
         if use_fast_path and fast_loop_chain_all_rows_applicable(spec):
             # loop-group all-rows emission compiles to the chain kernel
             # (round 7.2) — positional classifier + exclusion masks
@@ -1182,8 +1196,10 @@ def match_recognize(
     )
 
     from flink_cep_examples_spark.operators.fast_path import (
+        fast_mixed_branch_applicable,
         fast_nested3_chain_applicable,
         fast_nested_chain_applicable,
+        match_pattern_fast_mixed_branch,
         match_pattern_fast_nested3_chain,
         match_pattern_fast_nested_chain,
     )
@@ -1193,6 +1209,11 @@ def match_recognize(
         # compile to a per-start closed form (round 8 — the NFA tier
         # measured 3.48x at 10x on this shape)
         out = match_pattern_fast_group_absence(df, spec)
+    elif use_fast_path and fast_mixed_branch_applicable(spec):
+        # mixed-width multi-branch groups compile to the break-mask
+        # islands kernel (round 10) — one vectorized pass, zero
+        # per-match Python; runtime disjointness + NFA fallback
+        out = match_pattern_fast_mixed_branch(df, spec)
     elif use_fast_path and fast_nested3_chain_applicable(spec):
         # THREE-level nested unbounded groups compile to the chain
         # kernel one level up (superunits = unit-chain + suffix2;

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import re
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -492,3 +493,130 @@ def test_branch_aggregate_and_running_measures(spark):
         (0, "A", 1), (1, "B", 1), (2, "C", 1), (3, "D", 1),
         (4, "A", 2), (5, "B", 2), (6, "E", 2),
     ]
+
+
+# --- round 10: mixed-width branch kernel (break-mask islands) ----------
+
+
+MIXED_BODY = """
+PARTITION BY user_id ORDER BY ts, event_id
+MEASURES FIRST(U.ts) AS fu, LAST(U.ts) AS lu,
+         COUNT(A.*) AS na, COUNT(C.*) AS ncd, MATCH_NUMBER() AS mn
+ONE ROW PER MATCH
+AFTER MATCH SKIP PAST LAST ROW
+PATTERN ((A | C D)+)
+SUBSET U = (A, C, D)
+DEFINE A AS event_id % 5 = 1, C AS event_id % 5 = 3,
+       D AS event_id % 5 = 4
+"""
+
+MIXED_BODY_W3 = """
+PARTITION BY user_id ORDER BY ts, event_id
+MEASURES COUNT(A.*) AS na, COUNT(C.*) AS ncde, CLASSIFIER() AS cl
+ONE ROW PER MATCH
+AFTER MATCH SKIP PAST LAST ROW
+PATTERN ((A B | C D E)+)
+DEFINE A AS event_id % 6 = 1, B AS event_id % 6 = 2,
+       C AS event_id % 6 = 3, D AS event_id % 6 = 4,
+       E AS event_id % 6 = 5
+"""
+
+MIXED_BODY_OVERLAP = """
+PARTITION BY user_id ORDER BY ts, event_id
+MEASURES COUNT(A.*) AS na, COUNT(C.*) AS ncd
+ONE ROW PER MATCH
+AFTER MATCH SKIP PAST LAST ROW
+PATTERN ((A | C D)+)
+DEFINE A AS event_id IN (1, 8), C AS event_id IN (3, 8),
+       D AS event_id = 4
+"""
+
+
+def test_mixed_branch_kernel_selected():
+    from flink_cep_examples_spark.operators.fast_path import (
+        fast_mixed_branch_applicable,
+    )
+
+    assert fast_mixed_branch_applicable(
+        parse_match_recognize(MIXED_BODY)
+    )
+    assert fast_mixed_branch_applicable(
+        parse_match_recognize(MIXED_BODY_W3)
+    )
+    # equal widths keep the round-8 chain kernel
+    eq = parse_match_recognize(
+        MIXED_BODY_W3.replace(
+            "PATTERN ((A B | C D E)+)", "PATTERN ((A B | C D)+)"
+        ).replace(", E AS event_id % 6 = 5", "")
+    )
+    assert not fast_mixed_branch_applicable(eq)
+    nxt = parse_match_recognize(
+        MIXED_BODY.replace("SKIP PAST LAST ROW", "SKIP TO NEXT ROW")
+    )
+    assert not fast_mixed_branch_applicable(nxt)
+
+
+def _mixed_diff(spark, rows, body):
+    from flink_cep_examples_spark.sql.match_recognize import (
+        match_recognize,
+    )
+
+    df = _events_df(spark, rows)
+    fast = sorted(
+        map(tuple, match_recognize(
+            df, body, tiebreak_col="event_id"
+        ).collect())
+    )
+    nfa = sorted(
+        map(tuple, match_recognize(
+            df, body, tiebreak_col="event_id", use_fast_path=False
+        ).collect())
+    )
+    assert fast == nfa
+    return fast
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_mixed_branch_kernel_matches_nfa(spark, seed):
+    import random
+
+    rng = random.Random(seed * 13 + 1)
+    rows = [
+        (u, i, rng.choice([1, 1, 3, 4, 3, 4, 0, 2]))
+        for u in range(6)
+        for i in range(rng.randrange(60, 120))
+    ]
+    assert _mixed_diff(spark, rows, MIXED_BODY)
+
+
+@pytest.mark.parametrize("seed", [10, 11])
+def test_mixed_branch_width3_matches_nfa(spark, seed):
+    """Widths 2|3: validity must propagate THROUGH chunk interiors (a
+    D missing its E invalidates its C too) — the fixpoint pass the
+    one-step break mask gets wrong (caught by this differential
+    during round 10 development)."""
+    import random
+
+    rng = random.Random(seed * 13 + 1)
+    rows = [
+        (u, i, rng.choice([1, 2, 1, 2, 3, 4, 5, 0]))
+        for u in range(6)
+        for i in range(rng.randrange(60, 120))
+    ]
+    assert _mixed_diff(spark, rows, MIXED_BODY_W3)
+
+
+def test_mixed_branch_dangling_interior_pin(spark):
+    """c d b: the d lacks its e, which must invalidate the c as well —
+    the island is empty, not a 1-unit [c] match."""
+    rows = [(1, 0, 3), (1, 1, 4), (1, 2, 2)]
+    got = _mixed_diff(spark, rows, MIXED_BODY_W3)
+    assert got == []
+
+
+def test_mixed_branch_overlap_falls_back(spark):
+    import random
+
+    rng = random.Random(5)
+    rows = [(u, i, rng.randrange(0, 9)) for u in range(5) for i in range(50)]
+    _mixed_diff(spark, rows, MIXED_BODY_OVERLAP)
