@@ -811,3 +811,85 @@ def test_streaming_nested_group_matches_batch(
         map(tuple, spark.sql(f"SELECT * FROM {qname}").collect())
     )
     assert got == batch
+
+
+@pytest.mark.slow
+def test_streaming_mixed_width_branch_matches_batch(spark, sf_small, tmp_path):
+    """Round 10: MIXED-WIDTH branch groups ((A | C D)+) streamed
+    through the held-completion coordinator must equal the batch tier
+    (branch-dependent iteration length — the islands kernel's shape;
+    WITHIN bounds chains for end-of-stream decidability, which also
+    routes the batch side to the NFA tier, so this is a genuine
+    cross-tier agreement)."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.sources.tables import load_table
+    from flink_cep_examples_spark.sql.match_recognize import (
+        match_recognize,
+    )
+
+    events = load_table(spark, sf_small, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    sentinel = spark.createDataFrame(
+        [(-1, "2031-01-01 00:00:00", 0)],
+        "user_id long, dt string, event_id long",
+    ).select("user_id", F.to_timestamp("dt").alias("ts"), "event_id")
+    src = str(tmp_path / "mixed_branch_events")
+    lo, hi = events.agg(
+        F.min("ts").alias("a"), F.max("ts").alias("b")
+    ).first()
+    cut = lo + (hi - lo) / 2
+    for part in (
+        events.filter(F.col("ts") <= F.lit(cut)),
+        events.filter(F.col("ts") > F.lit(cut)),
+        sentinel,
+    ):
+        part.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    body = """
+    PARTITION BY user_id ORDER BY ts, event_id
+    MEASURES FIRST(A.ts) AS fa, FIRST(C.ts) AS fc,
+             COUNT(A.*) AS n_a, COUNT(C.*) AS n_cd
+    ONE ROW PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN ((A | C D)+) WITHIN INTERVAL '2' DAY
+    DEFINE A AS event_id % 5 = 1, C AS event_id % 5 = 3,
+           D AS event_id % 5 = 4
+    """
+    key = lambda t: tuple(str(x) for x in t)
+    batch_df = spark.read.parquet(src)
+    batch = sorted(
+        map(tuple, match_recognize(
+            batch_df, body, tiebreak_col="event_id"
+        ).collect()),
+        key=key,
+    )
+    assert batch, "expected mixed-width branch matches in the fixture"
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = match_recognize(
+        stream, body, tiebreak_col="event_id",
+        watermark_delay="6 minutes",
+    )
+    q = (
+        out.drop("tag")
+        .writeStream.format("memory")
+        .queryName("mixed_branch_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        map(tuple, spark.sql(
+            "SELECT * FROM mixed_branch_stream"
+        ).collect()),
+        key=key,
+    )
+    assert got == batch
