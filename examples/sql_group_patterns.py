@@ -17,7 +17,13 @@ result (no arguments needed):
    grouped pattern family);
 4. RUNNING measures over a loop group under ALL ROWS PER MATCH —
    per-row prefix counts/sums walking the variable's stride-L
-   actual rows.
+   actual rows;
+5. (round 10) MIXED-WIDTH branches ``((A | C D)+)`` — iteration
+   length depends on the branch chosen (break-mask islands kernel);
+6. (round 10) ALL ROWS over a mixed-width branch group — per-row
+   CLASSIFIER reconstructed from the branch predicates;
+7. (round 10) aggregates over nested-group variables —
+   ``SUM(A.event_id)`` where A's rows have no fixed stride.
 """
 
 from __future__ import annotations
@@ -125,6 +131,63 @@ def main() -> None:
     ).orderBy("ts").select(
         "ts", "event_id", "classifier", "x_so_far", "pairs"
     ).show(truncate=False)
+
+    print("== 5. mixed-width branches ((A | C D)+) — a c d a chains ==")
+    df = events(spark, [1, 3, 4, 1, 0, 3, 4])
+    match_recognize(
+        df,
+        """
+        PARTITION BY user_id ORDER BY ts, event_id
+        MEASURES FIRST(U.ts) AS start_ts, LAST(U.ts) AS end_ts,
+                 COUNT(A.*) AS a_iters, COUNT(C.*) AS cd_iters
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN ((A | C D)+)
+        SUBSET U = (A, C, D)
+        DEFINE A AS event_id = 1, C AS event_id = 3, D AS event_id = 4
+        """,
+        tiebreak_col="event_id",
+    ).orderBy("start_ts").show(truncate=False)
+
+    print("== 6. ALL ROWS x mixed-width branches — per-row classifier ==")
+    df = events(spark, [1, 3, 4, 1])
+    match_recognize(
+        df,
+        """
+        PARTITION BY user_id ORDER BY ts, event_id
+        MEASURES COUNT(A.*) AS a_iters
+        ALL ROWS PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN ((A | C D)+)
+        DEFINE A AS event_id = 1, C AS event_id = 3, D AS event_id = 4
+        """,
+        tiebreak_col="event_id",
+    ).orderBy("ts").select(
+        "ts", "event_id", "classifier", "match_seq", "a_iters"
+    ).show(truncate=False)
+
+    print("== 7. aggregates over nested-group vars (((A B)+ C)+) ==")
+    df = spark.createDataFrame(
+        [
+            (1, BASE + timedelta(minutes=i), e)
+            for i, e in enumerate([1, 2, 5, 6, 3, 1, 2, 3])
+        ],
+        "user_id long, ts timestamp, event_id long",
+    )
+    match_recognize(
+        df,
+        """
+        PARTITION BY user_id ORDER BY ts, event_id
+        MEASURES SUM(A.event_id) AS sum_a, MAX(C.event_id) AS max_c,
+                 COUNT(A.*) AS pairs
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (((A B)+ C)+)
+        DEFINE A AS event_id % 4 = 1, B AS event_id % 4 = 2,
+               C AS event_id % 4 = 3
+        """,
+        tiebreak_col="event_id",
+    ).orderBy("sum_a").show(truncate=False)
 
 
 if __name__ == "__main__":

@@ -620,3 +620,32 @@ def test_mixed_branch_overlap_falls_back(spark):
     rng = random.Random(5)
     rows = [(u, i, rng.randrange(0, 9)) for u in range(5) for i in range(50)]
     _mixed_diff(spark, rows, MIXED_BODY_OVERLAP)
+
+
+MIXED_BODY_W223 = """
+PARTITION BY user_id ORDER BY ts, event_id
+MEASURES COUNT(A.*) AS na, COUNT(C.*) AS nc, COUNT(E.*) AS ne
+ONE ROW PER MATCH
+AFTER MATCH SKIP PAST LAST ROW
+PATTERN ((A B | C D | E F G)+)
+DEFINE A AS event_id % 8 = 1, B AS event_id % 8 = 2,
+       C AS event_id % 8 = 3, D AS event_id % 8 = 4,
+       E AS event_id % 8 = 5, F AS event_id % 8 = 6,
+       G AS event_id % 8 = 7
+"""
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_mixed_branch_partially_equal_widths(spark, seed):
+    """Widths {2, 2, 3}: two branches SHARE a width while a third
+    differs — the islands kernel accepts (len(widths set) > 1) and
+    each row still knows its unique (branch, offset)."""
+    import random
+
+    rng = random.Random(seed * 23 + 9)
+    rows = [
+        (u, i, rng.choice([1, 2, 3, 4, 5, 6, 7, 1, 2, 0]))
+        for u in range(6)
+        for i in range(rng.randrange(70, 130))
+    ]
+    assert _mixed_diff(spark, rows, MIXED_BODY_W223)

@@ -759,3 +759,35 @@ def test_nested_aggregate_overlap_is_loud(spark):
     )
     with pytest.raises(Exception, match="pairwise-disjoint"):
         out.collect()
+
+
+@pytest.mark.parametrize("seed", [0, 2])
+def test_nested_all_rows_within_matches_nfa(spark, seed):
+    """ALL ROWS x nested groups x WITHIN on the kernel: the deadline
+    walk (incl. round-10 dead-unit retries) feeds the all-rows span
+    expansion — gapped timestamps keep the dead-unit shape frequent."""
+    import random
+
+    body = NESTED_ALLROWS_BODY.replace(
+        "PATTERN (((A B)+ C)+)",
+        "PATTERN (((A B)+ C)+) WITHIN INTERVAL '6' MINUTE",
+    ).replace("% 5", "% 4")
+    rng = random.Random(seed * 29 + 11)
+    rows = []
+    for u in range(6):
+        t = 0
+        for _ in range(rng.randrange(60, 120)):
+            t += rng.randrange(0, 4)
+            rows.append((u, t, rng.choice([1, 1, 2, 2, 3])))
+    df = _events_df(spark, rows)
+    fast = sorted(
+        map(tuple, match_recognize(
+            df, body, tiebreak_col="event_id"
+        ).collect())
+    )
+    nfa = sorted(
+        map(tuple, match_recognize(
+            df, body, tiebreak_col="event_id", use_fast_path=False
+        ).collect())
+    )
+    assert fast == nfa and fast
