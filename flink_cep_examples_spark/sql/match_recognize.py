@@ -514,13 +514,15 @@ def _parse_var_seq(
     for tok in normed.split():
         if tok in (_LOOP_OPEN, _LOOP_OPEN_R):
             # the NFA's loop-back-edge construction is depth-generic
-            # (one edge per group end, shared ends union targets), and
-            # depth 3 is Python-`re` differential-validated (round 9,
+            # (one edge per group end, shared ends union targets);
+            # depth 3 is Python-`re` differential-validated (round 9)
+            # and depth 4 likewise (round 10 — distinct-end,
+            # all-shared-end, and mid-shared-end families,
             # tests/test_nested_groups.py); deeper stays a named
             # reject until someone differential-validates it
-            if len(group_stack) >= 3:
+            if len(group_stack) >= 4:
                 raise NotImplementedError(
-                    "more than three levels of nested unbounded groups"
+                    "more than four levels of nested unbounded groups"
                 )
             if group_stack and tok == _LOOP_OPEN_R:
                 raise NotImplementedError(

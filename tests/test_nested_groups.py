@@ -101,17 +101,26 @@ def test_validate_guards():
     # identical spans are degenerate (((A B)+)+ == (A B)+)
     with pytest.raises(ValueError, match="disjoint or properly nested"):
         parse_match_recognize(_body("((A B)+)+", "A AS m = 1, B AS m = 2"))
-    # THREE-level nesting parses since round 9 (depth-generic
-    # loop-back edges, re-differential-validated below); FOUR stays a
-    # named loud reject until someone differential-validates deeper
+    # THREE-level nesting parses since round 9, FOUR since round 10
+    # (depth-generic loop-back edges, re-differential-validated:
+    # 7.5k burst-mutation sequences / 9.5k matches across the three
+    # depth-4 end-sharing families, test_depth4_* below); FIVE stays
+    # a named loud reject until someone differential-validates deeper
     spec3 = parse_match_recognize(_body("((((A B)+ C)+ D)+)", _DEF4))
     assert sorted(spec3.loop_groups) == [(0, 1), (0, 2), (0, 3)]
+    spec4 = parse_match_recognize(
+        _body("(((((A B)+ C)+ D)+ E)+)", _DEF4 + ", E AS m = 5")
+    )
+    assert sorted(spec4.loop_groups) == [
+        (0, 1), (0, 2), (0, 3), (0, 4)
+    ]
     with pytest.raises(
-        NotImplementedError, match="more than three levels"
+        NotImplementedError, match="more than four levels"
     ):
         parse_match_recognize(
             _body(
-                "(((((A B)+ C)+ D)+ E)+)", _DEF4 + ", E AS m = 5"
+                "((((((A B)+ C)+ D)+ E)+ F)+)",
+                _DEF4 + ", E AS m = 5, F AS m = 6",
             )
         )
     # ALL ROWS over nested groups VALIDATES since round 10 (per-row
@@ -791,3 +800,96 @@ def test_nested_all_rows_within_matches_nfa(spark, seed):
         ).collect())
     )
     assert fast == nfa and fast
+
+
+# --- round 10: FOUR-level nesting (NFA tier, re-differentials) ----------
+
+_LETTER5 = {0: ".", 1: "a", 2: "b", 3: "c", 4: "d", 5: "e"}
+_DEF5 = _DEF4 + ", E AS m = 5"
+
+
+def _gen_d4_distinct(rng):
+    out = []
+    for _ in range(rng.randrange(1, 3)):
+        for _ in range(rng.randrange(1, 3)):
+            for _ in range(rng.randrange(1, 3)):
+                for _ in range(rng.randrange(1, 3)):
+                    out += [1, 2]
+                out.append(3)
+            out.append(4)
+        out.append(5)
+    return out
+
+
+def _gen_d4_shared(rng):
+    out = []
+    for _ in range(rng.randrange(1, 3)):
+        out.append(1)
+        for _ in range(rng.randrange(1, 3)):
+            out.append(2)
+            for _ in range(rng.randrange(1, 3)):
+                out.append(3)
+                for _ in range(rng.randrange(1, 3)):
+                    out += [4, 5]
+    return out
+
+
+def _gen_d4_mid(rng):
+    out = []
+    for _ in range(rng.randrange(1, 3)):
+        for _ in range(rng.randrange(1, 3)):
+            out.append(1)
+            for _ in range(rng.randrange(1, 3)):
+                out.append(2)
+                for _ in range(rng.randrange(1, 3)):
+                    out += [3, 4]
+        out.append(5)
+    return out
+
+
+_SHAPES_D4 = [
+    ("((((A B)+ C)+ D)+ E)+",
+     re.compile(r"(?:(?:(?:(?:ab)+c)+d)+e)+"), _gen_d4_distinct),
+    ("(A (B (C (D E)+)+)+)+",
+     re.compile(r"(?:a(?:b(?:c(?:de)+)+)+)+"), _gen_d4_shared),
+    ("((A (B (C D)+)+)+ E)+",
+     re.compile(r"(?:(?:a(?:b(?:cd)+)+)+e)+"), _gen_d4_mid),
+]
+
+
+@pytest.mark.parametrize("pattern,rx,gen", _SHAPES_D4)
+def test_depth4_skip_past_matches_re(pattern, rx, gen):
+    """FOUR-level nesting (round 10 — the depth cap lifted after this
+    family validated): burst-mutation sequences (pattern-shaped bursts
+    with random drops/substitutions/insertions — uniform random rows
+    essentially never complete a depth-4 pattern, so the depth-3
+    generator shape is useless here) vs re leftmost-greedy."""
+    import random
+
+    rng = random.Random(hash(pattern) % 10_000)
+    spec = parse_match_recognize(_body(pattern, _DEF5))
+    assert len(spec.loop_groups) == 4
+    n_matches = 0
+    for _ in range(500):
+        ms = []
+        for _b in range(rng.randrange(1, 4)):
+            ms += gen(rng)
+            for _m in range(rng.randrange(0, 4)):
+                if not ms:
+                    break
+                op = rng.random()
+                pos = rng.randrange(len(ms))
+                if op < 0.4:
+                    ms.pop(pos)
+                elif op < 0.8:
+                    ms[pos] = rng.randrange(0, 6)
+                else:
+                    ms.insert(pos, rng.randrange(0, 6))
+        got = _drive(spec, ms, 5)
+        s = "".join(_LETTER5[m] for m in ms)
+        want = sorted(
+            (mt.start(), mt.end() - 1) for mt in rx.finditer(s)
+        )
+        assert got == want
+        n_matches += len(want)
+    assert n_matches > 200  # the generator must actually hit matches
