@@ -893,3 +893,61 @@ def test_depth4_skip_past_matches_re(pattern, rx, gen):
         assert got == want
         n_matches += len(want)
     assert n_matches > 200  # the generator must actually hit matches
+
+
+def test_nested_all_rows_prefix_suffix_geometry(spark):
+    """ALL ROWS on the nested kernel with a PREFIX var and a 2-wide
+    unit suffix — ((P (A B)+ C D)+), s=1/L=2/f=2 — exercising the
+    generic span-end arithmetic (the other all-rows tests are all
+    s=0/f=1)."""
+    import random
+
+    body = """
+    PARTITION BY user_id ORDER BY ts, event_id
+    MEASURES COUNT(A.*) AS na, COUNT(P.*) AS np_,
+             SUM(D.event_id) AS sd, MATCH_NUMBER() AS mn
+    ALL ROWS PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN ((P (A B)+ C D)+)
+    DEFINE P AS event_id % 6 = 5, A AS event_id % 6 = 1,
+           B AS event_id % 6 = 2, C AS event_id % 6 = 3,
+           D AS event_id % 6 = 4
+    """
+    rng = random.Random(17)
+    rows = []
+    for u in range(6):
+        t = [0]
+
+        def emit(e):
+            t[0] += rng.randrange(0, 3)
+            rows.append((u, t[0], e))
+
+        for _ in range(rng.randrange(10, 22)):
+            kind = rng.random()
+            if kind < 0.7:
+                for _ in range(rng.randrange(1, 3)):
+                    emit(5)
+                    for _ in range(rng.randrange(1, 4)):
+                        emit(1)
+                        emit(2)
+                    emit(3)
+                    emit(4)
+            elif kind < 0.9:  # truncated unit (no D)
+                emit(5)
+                emit(1)
+                emit(2)
+                emit(3)
+            else:
+                emit(0)
+    df = _events_df(spark, rows)
+    fast = sorted(
+        map(tuple, match_recognize(
+            df, body, tiebreak_col="event_id"
+        ).collect())
+    )
+    nfa = sorted(
+        map(tuple, match_recognize(
+            df, body, tiebreak_col="event_id", use_fast_path=False
+        ).collect())
+    )
+    assert fast == nfa and fast
