@@ -98,6 +98,59 @@ def fast_abc_applicable(spec: PatternSpec) -> bool:
     )
 
 
+def fast_abc_semantics_hold(df: DataFrame, spec: PatternSpec) -> bool:
+    """The A B* C closed forms assume two ROW-LOCAL semantic facts the
+    structural check cannot see (``fast_abc_applicable``: "the caller
+    is responsible"): **B ≡ ¬C** (every non-C row qualifies as B, so
+    strict contiguity is automatic and greedy B* never competes with
+    the closing C) and **A ∧ C ≡ ∅** (a segment-closing row can never
+    anchor the next match). The reference's billing pattern satisfies
+    both per row (B/C are a flipped comparison on the same operands;
+    A∧C is arithmetically impossible), but an arbitrary user query need
+    not — round 11's streaming aggregate differential caught the
+    dispatcher sending ``B AS event_id % 4 = 2`` here, silently
+    producing wrong matches AND summing non-B rows.
+
+    Verified ON THE DATA: one column-pruned job over the three
+    predicate expressions, short-circuited by ``limit(1)`` the moment a
+    violating row is found. Clean data → the closed form is exact for
+    this input; any violation → the caller falls back to the NFA tier.
+    NULL predicate values count as False, matching the NFA prepare —
+    which is also why a purely syntactic complement prover would be
+    UNSOUND: a NULL/NaN operand makes BOTH ``x >= y`` and ``x < y``
+    false, so even a textbook comparison flip can violate B ≡ ¬C on
+    real rows. At scale the check reads only the predicate input
+    columns (projection pushdown), a fraction of the kernel's own
+    shuffle — and the verdict is MEMOIZED per (session, analyzed-plan
+    semantic hash, predicate triple), so repeated queries over the same
+    immutable source pay it once per session. (The memo assumes the
+    data under an identical plan does not change mid-session — the
+    engine's sources are immutable snapshot reads.)"""
+    a_pred, b_pred, c_pred = (v.predicate for v in spec.variables)
+    key = None
+    try:  # classic PySpark only; any failure just skips the memo
+        plan_hash = df._jdf.queryExecution().analyzed().semanticHash()
+        key = (id(df.sparkSession), plan_hash, a_pred, b_pred, c_pred)
+    except Exception:  # noqa: BLE001
+        pass
+    if key is not None and key in _ABC_SEMANTICS_MEMO:
+        return _ABC_SEMANTICS_MEMO[key]
+    pa, pb, pc = (
+        F.coalesce(F.expr(p).cast("boolean"), F.lit(False))
+        for p in (a_pred, b_pred, c_pred)
+    )
+    ok = df.where((pb == pc) | (pa & pc)).isEmpty()
+    if key is not None:
+        if len(_ABC_SEMANTICS_MEMO) >= 256:
+            _ABC_SEMANTICS_MEMO.clear()  # tiny bound; rebuilt on demand
+        _ABC_SEMANTICS_MEMO[key] = ok
+    return ok
+
+
+#: (session id, plan semantic hash, A/B/C predicates) → data-check verdict
+_ABC_SEMANTICS_MEMO: dict[tuple, bool] = {}
+
+
 def fast_absence_applicable(spec: PatternSpec) -> bool:
     """Timed-absence shape: ``A notFollowedBy(N) within T`` — one
     positive once-variable with a single trailing relaxed negative and

@@ -115,11 +115,11 @@ class _Branch(NamedTuple):
 def _migrate_branch(br: _Branch) -> _Branch:
     """Pad pre-round-3 3-field row spans to the 5-field ordinal-carrying
     shape so old streaming-checkpoint state restores cleanly."""
-    if all(r is None or len(r) == 5 for r in br.rows):
-        return br
+    if all(r is None or len(r) >= 5 for r in br.rows):
+        return br  # 5-field, or 6-field with a fold accumulator (r11)
     return br._replace(
         rows=tuple(
-            r if r is None or len(r) == 5 else (*r, 0, 0) for r in br.rows
+            r if r is None or len(r) >= 5 else (*r, 0, 0) for r in br.rows
         )
     )
 
@@ -194,6 +194,15 @@ class Nfa:
         )
         self.after_match = spec.after_match
         self.emit_timeouts = spec.emit_timeouts
+        #: optional (init_fn, fold_fn) — when set, every per-variable
+        #: span grows a 6th field: an accumulator folded over each
+        #: payload the variable consumes. The streaming tier uses this
+        #: for aggregate MEASURES (SUM/AVG/MIN/MAX/COUNT(col)) so they
+        #: emit from bounded state without retaining matched rows
+        #: (round 11; batch drives the NFA with row indices and slices
+        #: the source arrays instead). Branch forks stay correct for
+        #: free: spans are immutable tuples copied per extension.
+        self._payload_fold: tuple | None = None
 
         all_vars = spec.variables
         #: spec indices of the positive (consuming) variables, in order
@@ -407,14 +416,36 @@ class Nfa:
                 self._until_pred = len(all_vars)
 
     # -- helpers ------------------------------------------------------
+    def enable_payload_fold(self, init_fn, fold_fn) -> None:
+        """Grow every span with a folded accumulator (see
+        ``_payload_fold``): ``init_fn(payload) -> acc`` on the
+        variable's first row, ``fold_fn(acc, payload) -> acc`` on each
+        later row. Call before the first ``step()``."""
+        self._payload_fold = (init_fn, fold_fn)
+
     def _extend(self, br: _Branch, p: int, payload, ord_: int) -> _Branch:
         rows = list(br.rows)
         cur = rows[p]
-        rows[p] = (
-            (payload, payload, 1, ord_, ord_)
-            if cur is None
-            else (cur[0], payload, cur[2] + 1, cur[3], ord_)
-        )
+        if self._payload_fold is None:
+            rows[p] = (
+                (payload, payload, 1, ord_, ord_)
+                if cur is None
+                else (cur[0], payload, cur[2] + 1, cur[3], ord_)
+            )
+        else:
+            init_fn, fold_fn = self._payload_fold
+            rows[p] = (
+                (payload, payload, 1, ord_, ord_, init_fn(payload))
+                if cur is None
+                else (
+                    cur[0],
+                    payload,
+                    cur[2] + 1,
+                    cur[3],
+                    ord_,
+                    fold_fn(cur[5], payload),
+                )
+            )
         count = br.count + 1 if p == br.var else 1
         return _Branch(p, count, tuple(rows), True, br.loop_open)
 

@@ -443,9 +443,11 @@ class PatternSpec:
             # from its merged span (operators/cep_batch.py::
             # _actual_spans), the same positional reconstruction ALL
             # ROWS emission uses. Multi-branch and NESTED groups have
-            # no fixed stride; their ALL ROWS emission classifies
-            # rows by predicate instead (round 10), and RUNNING /
-            # aggregate measures over their vars stay loud rejects.
+            # no fixed stride; their ALL ROWS emission AND aggregate
+            # measures classify rows by predicate instead (round 10,
+            # cep_batch._actual_spans classify path) — validation
+            # passes them through, and ambiguity (a row satisfying
+            # two group vars' predicates) is a loud RUNTIME reject.
             spans_sorted = sorted(self.loop_groups)
             group_vars: set[str] = set()
             nested_vars: set[str] = set()

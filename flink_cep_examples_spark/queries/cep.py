@@ -1057,11 +1057,11 @@ register(
 )
 register(
     "cep_match_recognize_excl", cep_match_recognize_excl, ORACLE_ALL_ROWS_EXCL,
-    # r5 rotation: promoted into the 50-row driver gate (never verified)
+    driver=False,  # r11 rotation: 6 green rounds (r5-r10), most-verified; pytest-oracled
 )
 register(
     "cep_permute_pattern", cep_permute_pattern, ORACLE_PERMUTE,
-    # r5 rotation: promoted into the 50-row driver gate (never verified)
+    driver=False,  # r11 rotation: 6 green rounds (r5-r10), most-verified; pytest-oracled
 )
 register("cep_keyed_process", cep_keyed_process, ORACLE_KEYED_PROCESS, driver=False)
 register(
@@ -1109,7 +1109,7 @@ register(
 )
 register(
     "cep_sliced_absence", cep_sliced_absence, ORACLE_NOT_FOLLOWED_BY,
-    # r5 rotation: promoted into the 50-row driver gate (never verified)
+    driver=False,  # r11 rotation: 6 green rounds (r5-r10), most-verified; pytest-oracled
 )
 
 
@@ -1238,7 +1238,7 @@ WHERE event_type = 'signup'
 
 register(
     "cep_group_zigzag", cep_group_zigzag, ORACLE_GROUP_ZIGZAG,
-    # r5 rotation: promoted into the 50-row driver gate (never verified)
+    driver=False,  # r11 rotation: 6 green rounds (r5-r10), most-verified; pytest-oracled
 )
 register(
     "events_signup_no_purchase",
@@ -2228,7 +2228,10 @@ def cep_group_alt_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ALL-ROWS-equivalent per-event projection
     (FlinkCEPExample.scala:78-92) over the round-8 branch-group shape.
 
-    Classes: event_id % 5 → 1=A, 2=B, 3=C, 4=D. NFA tier;
+    Classes: event_id % 5 → 1=A, 2=B, 3=C, 4=D. Served by the
+    break-mask islands ALL ROWS kernel
+    (operators/fast_path.py::fast_branch_all_rows_applicable), with
+    the per-key NFA tier as the overlap/edge fallback;
     re-differential-tested (finditer spans + char classifier,
     tests/test_group_alt_loop.py)."""
     from pyspark.sql import functions as F
@@ -2317,9 +2320,7 @@ register(
     "cep_group_alt_all_rows",
     cep_group_alt_all_rows,
     ORACLE_GROUP_ALT_ALL_ROWS,
-    # round 10: ALL ROWS x multi-branch groups; gate at the 50 cap —
-    # heads the r11 promotion queue (COVERAGE.md rotation policy)
-    driver=False,
+    # r11 rotation: promoted into the 50-row driver gate (never verified)
 )
 
 
@@ -2330,8 +2331,11 @@ def cep_group_nested_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     CLASSIFIER is reconstructed from the variable predicates exactly
     like the multi-branch form (disjointness checked at runtime —
     operators/cep_batch.py::match_pattern_all_rows). Classes:
-    event_id % 4 → 1=A, 2=B, 3=C. NFA tier; re-differential-tested
-    (tests/test_nested_groups.py round-10 section)."""
+    event_id % 4 → 1=A, 2=B, 3=C. Served by the nested-chain ALL ROWS
+    kernel (operators/fast_path.py::
+    fast_nested_chain_all_rows_applicable), NFA tier as the fallback;
+    re-differential-tested (tests/test_nested_groups.py round-10
+    section)."""
     from pyspark.sql import functions as F
 
     from flink_cep_examples_spark.sources.tables import load_table, spread
@@ -2433,9 +2437,7 @@ register(
     "cep_group_nested_all_rows",
     cep_group_nested_all_rows,
     ORACLE_GROUP_NESTED_ALL_ROWS,
-    # round 10: ALL ROWS x nested groups; gate at the 50 cap — joins
-    # the r11 promotion queue behind cep_group_alt_all_rows
-    driver=False,
+    # r11 rotation: promoted into the 50-row driver gate (never verified)
 )
 
 
@@ -2446,8 +2448,10 @@ def cep_group_nested_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     stride-L slice cannot reconstruct a var's rows). The evaluator now
     rebuilds each var's row set PER ROW from its predicate (unique
     under the runtime-checked disjointness — cep_batch._actual_spans
-    classify path). Classes: event_id % 4 → 1=A, 2=B, 3=C. NFA tier
-    (the nested kernels decline aggregate measures by design)."""
+    classify path). Classes: event_id % 4 → 1=A, 2=B, 3=C. Served by
+    the depth-2 nested-chain kernel (fast_nested_chain_applicable
+    passes allow_agg=True since round 10), NFA tier as the overlap
+    fallback."""
     from pyspark.sql import functions as F
 
     from flink_cep_examples_spark.sources.tables import load_table, spread
@@ -2552,9 +2556,7 @@ register(
     "cep_group_nested_agg",
     cep_group_nested_agg,
     ORACLE_GROUP_NESTED_AGG,
-    # round 10: aggregates over nested-group vars; gate at the 50 cap
-    # — joins the r11 promotion queue
-    driver=False,
+    # r11 rotation: promoted into the 50-row driver gate (never verified)
 )
 
 
@@ -2657,9 +2659,7 @@ register(
     "cep_group_alt_mixed",
     cep_group_alt_mixed,
     ORACLE_GROUP_ALT_MIXED,
-    # round 10: mixed-width branch group (islands kernel); gate at the
-    # 50 cap — joins the r11 promotion queue
-    driver=False,
+    # r11 rotation: promoted into the 50-row driver gate (never verified)
 )
 
 

@@ -70,6 +70,7 @@ from flink_cep_examples_spark.operators.cep_batch import (
 )
 from flink_cep_examples_spark.operators.fast_path import (
     fast_abc_applicable,
+    fast_abc_semantics_hold,
     fast_loop_chain_applicable,
     fast_positional_applicable,
     match_pattern_fast_abc,
@@ -1189,6 +1190,9 @@ def match_recognize(
                 m.running or m.fn in AGG_FNS or m.fn in NILADIC_FNS
                 for m in spec.measures
             )
+            # data-verified B ≡ ¬C and A ∧ C = ∅ (round 11) — the
+            # closed form is exact only under them; else NFA tier
+            and fast_abc_semantics_hold(df, spec)
         ):
             return match_pattern_fast_abc_all_rows(df, spec)
         return match_pattern_all_rows(df, spec)
@@ -1233,7 +1237,15 @@ def match_recognize(
         # vectorized chain kernel (round 7 — the NFA's held-completion
         # Python loop was the one perf-weak shape in round 6)
         out = match_pattern_fast_loop_chain(df, spec)
-    elif use_fast_path and fast_abc_applicable(spec):
+    elif (
+        use_fast_path
+        and fast_abc_applicable(spec)
+        # data-verified B ≡ ¬C and A ∧ C = ∅ (round 11): the segment
+        # closed form silently mis-matches (and aggregates non-B rows)
+        # when B is not the complement of C — caught by the streaming
+        # aggregate-measures differential; violations → NFA tier
+        and fast_abc_semantics_hold(df, spec)
+    ):
         out = match_pattern_fast_abc(df, spec)
     elif use_fast_path and fast_positional_applicable(spec):
         # fast_positional_applicable rejects emit_timeouts itself, so

@@ -57,7 +57,7 @@ from flink_cep_examples_spark.operators.nfa import (
     coordinate_alternation_row,
     resolve_alternation_helds,
 )
-from flink_cep_examples_spark.plans.pattern import PatternSpec
+from flink_cep_examples_spark.plans.pattern import AGG_FNS, PatternSpec
 from flink_cep_examples_spark.schemas import MATCH_TAG, TIMEOUT_TAG
 
 _PRED_PREFIX = "__cep_p_"
@@ -110,19 +110,22 @@ def match_pattern_stream(
         for m in spec.measures
         if m.fn
         not in ("first", "last", "count", "classifier", "match_number")
+        + AGG_FNS
     }
     if unsupported or spec.subsets:
-        # streaming branches carry only (first, last) payloads per
-        # variable, so aggregates / SUBSET are batch-tier features
-        # (run the batch operator inside foreachBatch if needed).
-        # CLASSIFIER() reads the match's own span ordinals;
-        # MATCH_NUMBER() (round 5) is a per-key monotone counter in
-        # the bucket state — one int64 per key ever matched, the same
-        # growth class as a streaming groupBy count and far below the
-        # NFA/buffer state itself.
+        # SUBSET stays batch-tier (run the batch operator inside
+        # foreachBatch if needed). CLASSIFIER() reads the match's own
+        # span ordinals; MATCH_NUMBER() (round 5) is a per-key
+        # monotone counter in the bucket state — one int64 per key
+        # ever matched, the same growth class as a streaming groupBy
+        # count and far below the NFA/buffer state itself. Aggregates
+        # (round 11) fold incrementally into each span's accumulator
+        # (Nfa.enable_payload_fold) — per-variable (sum, n_nonnull,
+        # min, max) per source column, O(1) state per live branch, no
+        # matched-row retention.
         raise NotImplementedError(
             f"streaming measures support first/last/count/classifier/"
-            f"match_number, got {sorted(unsupported)}"
+            f"match_number/{'/'.join(AGG_FNS)}, got {sorted(unsupported)}"
             + (" + SUBSET" if spec.subsets else "")
         )
     if spec.nav_cols:
@@ -179,6 +182,43 @@ def match_pattern_stream(
     # one compiled NFA shared by every bucket group on the worker (it is
     # key-stateless: per-key state lives in NfaState).
     nfa = Nfa(spec)
+    # aggregate MEASURES (round 11, VERDICT r10 item 2): fold
+    # (sum, n_nonnull, min, max) per aggregated source column into each
+    # span's 6th field as the variable consumes rows — O(1) extra state
+    # per live branch, no matched-row retention, NULL/NaN rows skipped
+    # (SQL aggregate semantics, matching the batch evaluator's
+    # vals.count()/sum()/mean()/min()/max() over non-null rows)
+    agg_srcs = sorted({m.src for m in measures if m.fn in AGG_FNS})
+    agg_slot = {
+        m.name: agg_srcs.index(m.src)
+        for m in measures
+        if m.fn in AGG_FNS
+    }
+    if agg_srcs:
+        agg_pos = [all_srcs.index(s) for s in agg_srcs]
+
+        def _acc1(v):
+            if v is None or v != v:  # None / NaN: no contribution
+                return (0, 0, None, None)
+            return (v, 1, v, v)
+
+        def _fold1(acc, v):
+            if v is None or v != v:
+                return acc
+            s, n, mn, mx = acc
+            return (
+                s + v,
+                n + 1,
+                v if mn is None or v < mn else mn,
+                v if mx is None or v > mx else mx,
+            )
+
+        nfa.enable_payload_fold(
+            lambda payload: tuple(_acc1(payload[j]) for j in agg_pos),
+            lambda acc, payload: tuple(
+                _fold1(a, payload[j]) for a, j in zip(acc, agg_pos)
+            ),
+        )
     # columns the buffer must retain (stable order, no duplicates)
     buf_cols = list(
         dict.fromkeys([*key_cols, _TS_COL, tiebreak, *pred_cols, *all_srcs])
@@ -244,9 +284,29 @@ def match_pattern_stream(
                     continue
                 span = match.get(m.var)
                 if span is None:
-                    data[m.name].append(0 if m.fn == "count" else m.default)
+                    data[m.name].append(
+                        0 if m.fn in ("count", "count_col") else m.default
+                    )
                 elif m.fn == "count":
                     data[m.name].append(span[2])
+                elif m.fn in AGG_FNS:
+                    # the span's folded accumulator (6th field); a
+                    # 5-field span can only come from a checkpoint
+                    # written without aggregates — Spark rejects such
+                    # restarts on output-schema change, but stay loud
+                    s, n, mn, mx = span[5][agg_slot[m.name]]
+                    if m.fn == "count_col":
+                        data[m.name].append(n)
+                    elif n == 0:
+                        data[m.name].append(None)  # SQL: all-NULL rows
+                    elif m.fn == "sum":
+                        data[m.name].append(s)
+                    elif m.fn == "avg":
+                        data[m.name].append(s / n)
+                    elif m.fn == "min":
+                        data[m.name].append(mn)
+                    else:
+                        data[m.name].append(mx)
                 else:
                     payload = span[0] if m.fn == "first" else span[1]
                     data[m.name].append(payload[all_srcs.index(m.src)])

@@ -649,3 +649,72 @@ def test_mixed_branch_partially_equal_widths(spark, seed):
         for i in range(rng.randrange(70, 130))
     ]
     assert _mixed_diff(spark, rows, MIXED_BODY_W223)
+
+
+# --- round 11: RUNNING measures over branch-group vars -----------------
+
+
+def test_branch_running_measures_match_re(spark):
+    """RUNNING SUM/COUNT over multi-branch group vars (VERDICT r10
+    item 3): the running series walks the var's CLASSIFIED rows —
+    branch predicates, no fixed stride — clipped to the current
+    output row. Oracle: re finditer spans + per-position running
+    values; fast-vs-NFA agreement checked alongside."""
+    import random
+
+    from flink_cep_examples_spark.sql.match_recognize import (
+        match_recognize,
+    )
+
+    rx = re.compile(r"(?:ab|cd)+")
+    body = """
+    PARTITION BY user_id ORDER BY ts, event_id
+    MEASURES RUNNING SUM(C.event_id) AS rsc,
+             RUNNING COUNT(A.*) AS rca
+    ALL ROWS PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN ((A B | C D)+)
+    DEFINE A AS event_id % 5 = 1, B AS event_id % 5 = 2,
+           C AS event_id % 5 = 3, D AS event_id % 5 = 4
+    """
+    for seed in (0, 1):
+        rng = random.Random(seed * 17 + 3)
+        by_user = {
+            u: [(i, rng.randrange(0, 20))
+                for i in range(rng.randrange(40, 70))]
+            for u in range(5)
+        }
+        rows = [
+            (u, mo, e) for u, ur in by_user.items() for mo, e in ur
+        ]
+        df = _events_df(spark, rows)
+        fast_rows = match_recognize(
+            df, body, tiebreak_col="event_id"
+        ).collect()
+        nfa_rows = match_recognize(
+            df, body, tiebreak_col="event_id", use_fast_path=False
+        ).collect()
+        assert sorted(map(tuple, fast_rows)) == sorted(
+            map(tuple, nfa_rows)
+        )
+        got = sorted(
+            (r["user_id"], r["ts"].minute + 60 * r["ts"].hour,
+             -1.0 if r["rsc"] is None else float(r["rsc"]), r["rca"])
+            for r in fast_rows
+        )
+        want = []
+        for u, urows in by_user.items():
+            s = "".join(_LETTER[e % 5] for _, e in urows)
+            for mt in rx.finditer(s):
+                rsc = None
+                rca = 0
+                for p in range(mt.start(), mt.end()):
+                    if s[p] == "c":
+                        rsc = (rsc or 0) + urows[p][1]
+                    elif s[p] == "a":
+                        rca += 1
+                    want.append((
+                        u, urows[p][0],
+                        -1.0 if rsc is None else float(rsc), rca,
+                    ))
+        assert got == sorted(want)

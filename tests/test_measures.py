@@ -168,7 +168,11 @@ def test_subset_validation():
     ).validate()
 
 
-def test_streaming_rejects_aggregate_measures(spark, tmp_path):
+def test_streaming_measure_support_boundary(spark, tmp_path):
+    """Aggregate MEASURES are streaming-supported since round 11
+    (incremental span accumulators — the end-to-end batch agreement
+    lives in tests/test_streaming_cep.py); SUBSET stays the loud
+    batch-tier reject."""
     from flink_cep_examples_spark.streaming.cep_stream import (
         match_pattern_stream,
     )
@@ -179,19 +183,35 @@ def test_streaming_rejects_aggregate_measures(spark, tmp_path):
         spark.readStream.schema(_SCHEMA)
         .parquet(str(schema_dir))
     )
-    spec = (
-        Pattern.begin("A", skip=SKIP_PAST_LAST_EVENT)
-        .where("balanceBefore >= 10 AND balanceAfter < 10")
-        .next("B")
-        .one_or_more()
-        .optional()
-        .where("balanceBefore >= balanceAfter")
-        .next("C")
-        .where("balanceBefore < balanceAfter")
-        .build(measures=[Measure("s", "B", "balanceAfter", "sum")])
+
+    def _spec(**build_kw):
+        return (
+            Pattern.begin("A", skip=SKIP_PAST_LAST_EVENT)
+            .where("balanceBefore >= 10 AND balanceAfter < 10")
+            .next("B")
+            .one_or_more()
+            .optional()
+            .where("balanceBefore >= balanceAfter")
+            .next("C")
+            .where("balanceBefore < balanceAfter")
+            .build(**build_kw)
+        )
+
+    # aggregates build a streaming plan now (round 11)
+    out = match_pattern_stream(
+        stream, _spec(measures=[Measure("s", "B", "balanceAfter", "sum")])
     )
-    with pytest.raises(NotImplementedError, match="first/last/count"):
-        match_pattern_stream(stream, spec)
+    assert out.isStreaming
+    # SUBSET remains batch-tier
+    import dataclasses
+
+    subset_spec = dataclasses.replace(
+        _spec(),
+        measures=(Measure("c", "U", "__count__", "count"),),
+        subsets=(("U", ("A", "C")),),
+    )
+    with pytest.raises(NotImplementedError, match="SUBSET"):
+        match_pattern_stream(stream, subset_spec)
 
 
 def test_running_measures_all_rows(spark):
@@ -292,3 +312,84 @@ def test_running_bare_column_measure(spark):
     """
     rows = sorted(match_recognize(df, body).collect(), key=lambda r: r.seq)
     assert [r.b_run for r in rows] == [None, 5.0, 5.0]
+
+
+def test_abc_kernel_gate_non_complement_b(spark):
+    """Round-11 correctness fix: the A B* C closed form assumes B ≡ ¬C
+    and A ∧ C = ∅ per row ('the caller is responsible',
+    fast_path.py::fast_abc_applicable) — but the dispatcher never
+    checked, so ``B AS event_id % 4 = 2`` silently mis-matched AND
+    summed non-B rows (found by the round-11 streaming aggregate
+    differential). fast_abc_semantics_hold now verifies on the data and
+    falls back to the NFA tier. Pins the exact divergence strings."""
+    import datetime as dt
+
+    from flink_cep_examples_spark.operators.fast_path import (
+        fast_abc_semantics_hold,
+    )
+    from flink_cep_examples_spark.sql.match_recognize import (
+        parse_match_recognize,
+    )
+
+    body = """
+    PARTITION BY user_id ORDER BY ts, event_id
+    MEASURES FIRST(A.ts) AS a_ts, SUM(B.value) AS sum_b,
+             COUNT(B.value) AS n_b
+    ONE ROW PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN (A B* C) WITHIN INTERVAL '2' DAY
+    DEFINE A AS event_id % 4 = 1,
+           B AS event_id % 4 = 2,
+           C AS event_id % 4 = 3
+    """
+    base = dt.datetime(2024, 1, 1)
+    cls = {"a": 1, "b": 2, "c": 3, ".": 4}
+
+    def df_of(classes):
+        return spark.createDataFrame(
+            [
+                (1, base + dt.timedelta(minutes=i), cls[ch], float(i))
+                for i, ch in enumerate(classes)
+            ],
+            "user_id long, ts timestamp, event_id long, value double",
+        )
+
+    spec = parse_match_recognize(body)
+    # the '.'-free strings violate B ≡ ¬C (the 'a' between is neither)
+    assert not fast_abc_semantics_hold(df_of("abac"), spec)
+    for s in ("abac", "a.c", ".abacba.ccbba", "abacb", "abbc.abc"):
+        df = df_of(s)
+        fast = sorted(
+            (r.a_ts.minute, r.sum_b, r.n_b)
+            for r in match_recognize(
+                df, body, tiebreak_col="event_id"
+            ).collect()
+        )
+        nfa = sorted(
+            (r.a_ts.minute, r.sum_b, r.n_b)
+            for r in match_recognize(
+                df, body, tiebreak_col="event_id", use_fast_path=False
+            ).collect()
+        )
+        assert fast == nfa, s
+    # a true complement B (≡ ¬C) with disjoint A/C passes the gate and
+    # keeps the kernel — and kernel == NFA there
+    comp_body = body.replace(
+        "B AS event_id % 4 = 2", "B AS event_id % 4 <> 3"
+    )
+    spec2 = parse_match_recognize(comp_body)
+    df2 = df_of("abac")
+    assert fast_abc_semantics_hold(df2, spec2)
+    fast2 = sorted(
+        (r.a_ts.minute, r.sum_b, r.n_b)
+        for r in match_recognize(
+            df2, comp_body, tiebreak_col="event_id"
+        ).collect()
+    )
+    nfa2 = sorted(
+        (r.a_ts.minute, r.sum_b, r.n_b)
+        for r in match_recognize(
+            df2, comp_body, tiebreak_col="event_id", use_fast_path=False
+        ).collect()
+    )
+    assert fast2 == nfa2 == [(0, 3.0, 2)]

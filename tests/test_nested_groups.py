@@ -770,6 +770,70 @@ def test_nested_aggregate_overlap_is_loud(spark):
         out.collect()
 
 
+# --- round 11: RUNNING measures over nested-group vars -----------------
+
+
+def test_nested_running_measures_match_re(spark):
+    """RUNNING SUM/COUNT over nested-group vars (VERDICT r10 item 3):
+    the running series walks the var's CLASSIFIED rows — predicate
+    reconstruction, no fixed stride — clipped to the current output
+    row. Oracle: re finditer spans + per-position running sums;
+    fast-vs-NFA agreement checked alongside."""
+    import random
+
+    rx = re.compile(r"(?:(?:ab)+c)+")
+    body = """
+    PARTITION BY user_id ORDER BY ts, event_id
+    MEASURES RUNNING SUM(A.event_id) AS rsa,
+             RUNNING COUNT(B.*) AS rcb
+    ALL ROWS PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN (((A B)+ C)+)
+    DEFINE A AS event_id % 4 = 1, B AS event_id % 4 = 2,
+           C AS event_id % 4 = 3
+    """
+    letter = {0: ".", 1: "a", 2: "b", 3: "c"}
+    for seed in (0, 1):
+        rng = random.Random(seed * 13 + 7)
+        by_user = {
+            u: [(i, rng.randrange(0, 16))
+                for i in range(rng.randrange(40, 70))]
+            for u in range(5)
+        }
+        rows = [
+            (u, mo, e) for u, ur in by_user.items() for mo, e in ur
+        ]
+        df = _events_df(spark, rows)
+        fast_rows = match_recognize(
+            df, body, tiebreak_col="event_id"
+        ).collect()
+        nfa_rows = match_recognize(
+            df, body, tiebreak_col="event_id", use_fast_path=False
+        ).collect()
+        assert sorted(map(tuple, fast_rows)) == sorted(
+            map(tuple, nfa_rows)
+        )
+        got = sorted(
+            (r["user_id"], r["ts"].minute + 60 * r["ts"].hour,
+             r["rsa"], r["rcb"])
+            for r in fast_rows
+        )
+        want = []
+        for u, urows in by_user.items():
+            s = "".join(letter[e % 4] for _, e in urows)
+            for mt in rx.finditer(s):
+                rsa = None
+                rcb = 0
+                for p in range(mt.start(), mt.end()):
+                    if s[p] == "a":
+                        rsa = (rsa or 0) + urows[p][1]
+                    elif s[p] == "b":
+                        rcb += 1
+                    want_rsa = float(rsa) if rsa is not None else None
+                    want.append((u, urows[p][0], want_rsa, rcb))
+        assert got == sorted(want)
+
+
 @pytest.mark.parametrize("seed", [0, 2])
 def test_nested_all_rows_within_matches_nfa(spark, seed):
     """ALL ROWS x nested groups x WITHIN on the kernel: the deadline
