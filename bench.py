@@ -87,18 +87,20 @@ HEADLINE = [
 #: documented ±40% band, not a query-specific regression. Neither
 #: query's code changed since r4.
 BENCH_NOTES = (
-    "r10: delta baseline reworked per VERDICT r9 item 5 - the "
-    "baseline is now the PREVIOUS run's full record (BENCH_LAST.json; "
-    "the driver's BENCH_r*.json copies truncate long lines, which "
-    "silently aged the r9 delta back to r7), and a flag additionally "
-    "requires now_min > 1.25x the per-query CROSS-ROUND best so "
-    "already-adjudicated host noise stops re-flagging (r9's full "
-    "record is archived as BENCH_r09_full.json for the band). First "
-    "r10 run vs r9: 48 common queries, flag set EMPTY, batch 104k "
-    "events/s (band 80-140k), streaming 218k events/s. Bench set "
-    "unchanged; new r10 shapes measured via scale_smoke "
-    "(cep_group_nested3 kernel 1.42x at 10x, corpus_boilerplate_topk "
-    "1.16x, embedding_cluster_profile 0.85x - SCALING.md)."
+    "r11: output reworked per VERDICT r10 item 5 - BENCH_EXTRAS line "
+    "first, then a minimal final JSON line (<1.7k chars) that fits the "
+    "driver's 2000-char stdout tail whole, so BENCH_r11.json parses "
+    "with the full query map; baseline now picks the NEWEST record by "
+    "wall_ts/mtime (ADVICE r10: a crashed run could leave a stale "
+    "BENCH_LAST.json shadowing newer driver copies). VERDICT r10 item "
+    "4 (cep_match_recognize_all_rows 0.686->0.865 'regression') "
+    "CLOSED by interleaved A/B bisect on one host: r9 code measured "
+    "0.73-0.75 min today vs current 0.76-0.77 (3-4 pct, inside the "
+    "documented +-40 pct host band) - the r9 0.686 was a faster host "
+    "moment, not a code regression. A B* C kernels now verify B=NOT C "
+    "and A AND C=empty on the data (memoized; min timings unaffected, "
+    "first call pays one pruned limit-1 scan). Depth-4 NFA bound "
+    "measured: 1.43x at 10x (SCALING.md; tools/depth4_scale_probe.py)."
 )
 
 
