@@ -342,16 +342,26 @@ def match_pattern_fast_abc_all_rows(df: DataFrame, spec: PatternSpec) -> DataFra
     ends at its C row), so the expansion is a filter — no NFA, no
     Python. classifier is positional (anchor → A, closing C → C, rest →
     B), match_seq the per-key dense rank of the matched segment (the
-    NFA's emission order), measures FINAL over the segment. Output
+    NFA's emission order), FINAL measures are whole-segment windows.
+
+    RUNNING measures (round 11 — these previously forced the NFA tier,
+    the slowest benched CEP shape): a RUNNING aggregate over B is a
+    CUMULATIVE conditional window over the same (key, __seg) partition
+    ordered by __rn — the partitioning the frame already has, so the
+    running series costs one extra sorted window pass, zero Exchange.
+    RUNNING COUNT(B.*) is pure arithmetic (interior rows are all B
+    under the data-verified B ≡ ¬C); A-variable measures are constants
+    of the anchor struct (the anchor is every match's first row, so
+    RUNNING == FINAL for A); C-variable RUNNING measures unmask at the
+    closing row. RUNNING FIRST/LAST use a struct wrapper so a NULL
+    first/last B value survives (SQL keeps the row's value, null or
+    not — the bare column would make ignorenulls skip it). Output
     schema identical to
     :func:`~flink_cep_examples_spark.operators.cep_batch.match_pattern_all_rows`;
-    differential-tested against it."""
+    differential-tested against it (tests/test_loop_all_rows.py)."""
     if (
         not fast_abc_applicable(spec)
         or spec.variables[1].until is not None
-        or any(
-            m.fn in AGG_FNS or m.fn in NILADIC_FNS for m in spec.measures
-        )  # extended measures compile on the ONE ROW shape only
     ):
         raise ValueError("pattern not eligible for the A B* C all-rows path")
     spec.validate()
@@ -382,12 +392,81 @@ def match_pattern_fast_abc_all_rows(df: DataFrame, spec: PatternSpec) -> DataFra
         .otherwise(F.lit(b_var))
     )
 
+    w_seg_full = Window.partitionBy(*keys, "__seg")
+    w_run = (
+        Window.partitionBy(*keys, "__seg")
+        .orderBy("__rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    in_b = (F.col("__rn") > F.col("__a.rn")) & (
+        F.col("__rn") < F.col("__c.rn")
+    )
+    _AGG = {
+        "sum": F.sum,
+        "min": F.min,
+        "max": F.max,
+        "avg": F.avg,
+        "count_col": F.count,
+    }
+
+    def _single_row_agg(m: Measure, value):
+        """Aggregate over a one-row span (the A or C row)."""
+        if m.fn == "count_col":
+            return value.isNotNull().cast("long")
+        if m.fn == "avg":
+            return value.cast("double")
+        return value  # sum/min/max/first/last of one value
+
     def measure(m: Measure):
-        if m.fn == "count":  # B count = rows strictly between A and C
-            return (F.col("__c.rn") - F.col("__a.rn") - 1).cast("long")
+        if m.fn == "match_number":
+            # RUNNING == FINAL (constant per match); 1-based per key
+            return match_seq + F.lit(1)
+        if m.fn == "classifier":
+            # RUNNING = current row's variable; FINAL = the match's
+            # last row's variable, which is always the closing C
+            return classifier if m.running else F.lit(c_var)
+        if m.var == b_var:
+            if m.fn == "count":
+                if m.running:
+                    # B rows seen so far: interior rows up to this one
+                    return F.greatest(
+                        F.lit(0),
+                        F.least(F.col("__rn"), F.col("__c.rn") - 1)
+                        - F.col("__a.rn"),
+                    ).cast("long")
+                return (F.col("__c.rn") - F.col("__a.rn") - 1).cast("long")
+            if m.fn in ("first", "last"):
+                # full-frame window must be ORDERED for deterministic
+                # first/last; aggregates are order-insensitive
+                win = (
+                    w_run
+                    if m.running
+                    else Window.partitionBy(*keys, "__seg")
+                    .orderBy("__rn")
+                    .rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
+                )
+                fn = F.first if m.fn == "first" else F.last
+                wrapped = F.when(in_b, F.struct(F.col(m.src).alias("v")))
+                return fn(wrapped, ignorenulls=True).over(win)["v"]
+            win = w_run if m.running else w_seg_full
+            return _AGG[m.fn](F.when(in_b, F.col(m.src))).over(win)
         if m.var == a_var:
-            return F.col(f"__a.s_{m.src}")
-        return F.col(f"__c.s_{m.src}")
+            # the anchor is the match's FIRST row → RUNNING == FINAL
+            if m.fn == "count":
+                return F.lit(1).cast("long")
+            return _single_row_agg(m, F.col(f"__a.s_{m.src}"))
+        # C variable: one row at the segment's end; RUNNING measures
+        # see it only from that row on (i.e. only the C row itself)
+        if m.fn == "count":
+            if m.running:
+                return F.col("__is_c").cast("long")
+            return F.lit(1).cast("long")
+        value = F.col(f"__c.s_{m.src}")
+        if m.running:
+            value = F.when(F.col("__is_c"), value)
+        return _single_row_agg(m, value)
 
     out = kept.select(
         *data_cols,

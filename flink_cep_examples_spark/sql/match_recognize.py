@@ -1179,17 +1179,14 @@ def match_recognize(
             return match_pattern_fast_loop_chain_all_rows(df, spec)
         # fast_abc_applicable doesn't check until(), but the all-rows
         # closed form rejects it — guard here so an until-carrying spec
-        # falls back to the NFA tier instead of raising.
+        # falls back to the NFA tier instead of raising. RUNNING /
+        # aggregate / niladic measures compile on this path since
+        # round 11 (cumulative conditional windows over the segment
+        # partition — previously the NFA tier's slowest benched shape).
         if (
             use_fast_path
             and fast_abc_applicable(spec)
             and spec.variables[1].until is None
-            # RUNNING / aggregate / niladic measures need the NFA tier
-            # in all-rows mode (the fast path compiles them one-row only)
-            and not any(
-                m.running or m.fn in AGG_FNS or m.fn in NILADIC_FNS
-                for m in spec.measures
-            )
             # data-verified B ≡ ¬C and A ∧ C = ∅ (round 11) — the
             # closed form is exact only under them; else NFA tier
             and fast_abc_semantics_hold(df, spec)

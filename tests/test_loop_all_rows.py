@@ -227,3 +227,144 @@ def test_exclusion_around_group_all_rows(spark):
         use_fast_path=False,
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, nfa))
+
+
+# --- round 11: RUNNING/agg/niladic measures on the A B* C all-rows ------
+# --- closed form (previously these forced the NFA tier) ------------------
+
+
+def test_abc_all_rows_extended_measures_match_nfa(spark):
+    """The full extended-measure battery on the A B* C ALL ROWS closed
+    form (round 11 — RUNNING aggregates compile to cumulative
+    conditional windows over the segment partition, zero extra
+    Exchange) must equal the NFA tier bit-for-bit, including NULL
+    source values (RUNNING FIRST/LAST keep a NULL row's value via the
+    struct wrapper; SUM/AVG/MIN/MAX/COUNT(col) skip NULLs)."""
+    import random
+    from datetime import datetime, timedelta
+
+    # NULLs live in a measured-only column (score): a NULL in a
+    # PREDICATE column would make both B and C false on that row,
+    # violating the row-wise B = NOT C the kernel's gate verifies —
+    # the gate would (correctly) route the whole frame to the NFA
+    # and the plan assertion below would see MapInPandas.
+    body = """
+    PARTITION BY id ORDER BY event_time, seq
+    MEASURES
+      RUNNING COUNT(B.*) AS b_so_far,
+      RUNNING SUM(B.score) AS sum_b_so_far,
+      RUNNING AVG(B.score) AS avg_b_so_far,
+      RUNNING MIN(B.score) AS min_b,
+      RUNNING MAX(B.score) AS max_b,
+      RUNNING COUNT(B.score) AS nb_vals,
+      FINAL COUNT(B.*) AS n_b,
+      FINAL SUM(B.score) AS sum_b,
+      RUNNING CLASSIFIER() AS cls,
+      MATCH_NUMBER() AS mn,
+      FIRST(A.score) AS a_sc,
+      LAST(C.score) AS c_sc,
+      RUNNING LAST(C.score) AS c_run
+    ALL ROWS PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN (A B* C) WITHIN INTERVAL '1' HOUR
+    DEFINE
+      A AS A.balanceBefore >= 10 AND A.balanceAfter < 10,
+      B AS B.balanceBefore >= B.balanceAfter,
+      C AS C.balanceBefore < C.balanceAfter
+    """
+    rng = random.Random(42)
+    base = datetime(2020, 5, 1)
+    rows = []
+    for k in range(8):
+        t = 0
+        for i in range(rng.randrange(60, 100)):
+            t += rng.randrange(1, 9)
+            bb = rng.uniform(0, 30)
+            ba = rng.choice(
+                [rng.uniform(0, 30), bb - rng.uniform(0, 5)]
+            )
+            score = None if rng.random() < 0.3 else round(
+                rng.uniform(0, 12), 2
+            )
+            rows.append(
+                (
+                    f"k{k}",
+                    base + timedelta(minutes=t),
+                    i,
+                    round(bb, 2),
+                    round(ba, 2),
+                    score,
+                )
+            )
+    df = spark.createDataFrame(
+        rows,
+        "id string, event_time timestamp, seq long, "
+        "balanceBefore double, balanceAfter double, score double",
+    )
+
+    def norm(r):
+        return tuple(
+            round(v, 6) if isinstance(v, float) else v for v in r
+        )
+
+    fast = sorted(norm(tuple(r)) for r in match_recognize(df, body).collect())
+    nfa = sorted(
+        norm(tuple(r))
+        for r in match_recognize(df, body, use_fast_path=False).collect()
+    )
+    assert fast and fast == nfa
+    # and the kernel really served it: no Python, one Exchange
+    plan = (
+        match_recognize(df, body)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "InPandas" not in plan and "EvalPython" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_abc_all_rows_null_predicate_rows_decline_kernel(spark):
+    """A NULL in a PREDICATE column makes both B and C false on that
+    row — row-wise B = NOT C fails, the gate routes to the NFA tier
+    (where the null row correctly BREAKS strict contiguity), and the
+    two tiers agree by construction. Pins the gate decision itself."""
+    from datetime import datetime, timedelta
+
+    from flink_cep_examples_spark.operators.fast_path import (
+        fast_abc_semantics_hold,
+    )
+
+    body = """
+    PARTITION BY id ORDER BY event_time, seq
+    MEASURES FINAL COUNT(B.*) AS n_b
+    ALL ROWS PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN (A B* C)
+    DEFINE
+      A AS A.balanceBefore >= 10 AND A.balanceAfter < 10,
+      B AS B.balanceBefore >= B.balanceAfter,
+      C AS C.balanceBefore < C.balanceAfter
+    """
+    base = datetime(2020, 5, 1)
+    rows = [
+        ("k", base + timedelta(minutes=0), 0, 13.0, 9.0),   # A
+        ("k", base + timedelta(minutes=1), 1, 9.0, None),   # null: not B, not C
+        ("k", base + timedelta(minutes=2), 2, 5.0, 20.0),   # C
+        ("k", base + timedelta(minutes=3), 3, 13.0, 9.0),   # A
+        ("k", base + timedelta(minutes=4), 4, 9.0, 20.0),   # C
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "id string, event_time timestamp, seq long, "
+        "balanceBefore double, balanceAfter double",
+    )
+    assert not fast_abc_semantics_hold(df, parse_match_recognize(body))
+    got = sorted(
+        (r.seq, r.classifier, r.n_b)
+        for r in match_recognize(df, body).collect()
+    )
+    # the null row breaks strict contiguity: only the second A-C pair
+    # matches (the naive segment closed form would have matched the
+    # first A through the null row)
+    assert got == [(3, "A", 0), (4, "C", 0)]
