@@ -452,7 +452,7 @@ def match_pattern_stream_alternation(
             "streaming state keeps first/last payloads per variable, "
             "not every matched row)"
         )
-    allowed = {"first", "last", "count", "classifier"}
+    allowed = {"first", "last", "count", "classifier", *AGG_FNS}
     if aspec.derivation == "eager":
         # eager emission order is completion order — identical in the
         # batch scan and the streaming replay, so a per-key counter
@@ -514,6 +514,45 @@ def match_pattern_stream_alternation(
     out_names = [f.name for f in out_schema.fields]
 
     nfas = [Nfa(alt) for alt in alts]
+    # aggregate MEASURES (round 11): the same incremental span fold as
+    # the single-pattern tier, enabled on EVERY alternative's NFA (the
+    # payload tuple is shared, all_srcs order); emission merges the
+    # component spans' accumulators (SUBSET-union semantics)
+    agg_srcs = sorted({m.src for m in measures if m.fn in AGG_FNS})
+    agg_slot = {
+        m.name: agg_srcs.index(m.src)
+        for m in measures
+        if m.fn in AGG_FNS
+    }
+    if agg_srcs:
+        agg_pos = [all_srcs.index(s) for s in agg_srcs]
+
+        def _acc1(v):
+            if v is None or v != v:
+                return (0, 0, None, None)
+            return (v, 1, v, v)
+
+        def _fold1(acc, v):
+            if v is None or v != v:
+                return acc
+            s, n, mn, mx = acc
+            return (
+                s + v,
+                n + 1,
+                v if mn is None or v < mn else mn,
+                v if mx is None or v > mx else mx,
+            )
+
+        def _init(payload):
+            return tuple(_acc1(payload[j]) for j in agg_pos)
+
+        def _fold(acc, payload):
+            return tuple(
+                _fold1(a, payload[j]) for a, j in zip(acc, agg_pos)
+            )
+
+        for nf in nfas:
+            nf.enable_payload_fold(_init, _fold)
     subset_map = dict(aspec.subsets)
     has_mn = any(m.fn == "match_number" for m in aspec.measures)
     derivation = aspec.derivation
@@ -589,9 +628,34 @@ def match_pattern_stream_alternation(
                     key=lambda sp: sp[3],
                 )
                 if not spans:
-                    data[m.name].append(0 if m.fn == "count" else m.default)
+                    data[m.name].append(
+                        0 if m.fn in ("count", "count_col") else m.default
+                    )
                 elif m.fn == "count":
                     data[m.name].append(sum(sp[2] for sp in spans))
+                elif m.fn in AGG_FNS:
+                    # merge the components' folded accumulators
+                    s = n = 0
+                    mn = mx = None
+                    for sp in spans:
+                        s1, n1, mn1, mx1 = sp[5][agg_slot[m.name]]
+                        s, n = s + s1, n + n1
+                        if mn1 is not None and (mn is None or mn1 < mn):
+                            mn = mn1
+                        if mx1 is not None and (mx is None or mx1 > mx):
+                            mx = mx1
+                    if m.fn == "count_col":
+                        data[m.name].append(n)
+                    elif n == 0:
+                        data[m.name].append(None)  # SQL: all-NULL rows
+                    elif m.fn == "sum":
+                        data[m.name].append(s)
+                    elif m.fn == "avg":
+                        data[m.name].append(s / n)
+                    elif m.fn == "min":
+                        data[m.name].append(mn)
+                    else:
+                        data[m.name].append(mx)
                 else:
                     payload = (
                         spans[0][0] if m.fn == "first" else spans[-1][1]

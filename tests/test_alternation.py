@@ -642,3 +642,84 @@ def test_subset_with_alternation(spark):
         (r.a_seq, r.u_last, r.u_n) for r in match_recognize(df, body).collect()
     )
     assert got == [(0, 1, 1), (2, 4, 2)]
+
+
+def test_streaming_alternation_aggregates_match_batch(spark, sf_small, tmp_path):
+    """Aggregate MEASURES on streaming ALTERNATION (round 11): every
+    alternative's NFA folds (sum, n, min, max) into its spans
+    (Nfa.enable_payload_fold) and emission merges the component spans'
+    accumulators under the parser's group-copy SUBSET unions — must
+    reproduce the batch coordinator exactly, including NULL aggregates
+    for the branch that did not match."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.sources.billing import events_as_billing
+
+    body = """
+      PARTITION BY id
+      ORDER BY event_time
+      MEASURES
+        A.datetime AS alarmTriggerDatetime,
+        CLASSIFIER() AS outcome,
+        SUM(B.balanceAfter) AS sum_b,
+        AVG(B.balanceAfter) AS avg_b,
+        MIN(B.balanceAfter) AS min_b,
+        MAX(B.balanceAfter) AS max_b,
+        COUNT(B.balanceAfter) AS nb_vals,
+        SUM(C.balanceAfter) AS sum_c
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP TO NEXT ROW
+      PATTERN (A C | A B{2})
+      DEFINE
+        A AS A.balanceBefore >= 10 AND A.balanceAfter < 10,
+        B AS B.balanceBefore >= B.balanceAfter,
+        C AS C.balanceBefore < C.balanceAfter
+    """
+    billing = events_as_billing(spark, sf_small)
+    sentinel = spark.createDataFrame(
+        [("zz", "2031-01-01 00:00:00", 50.0, 50.0, 999_999_999)],
+        "id string, datetime string, balanceBefore double, "
+        "balanceAfter double, seq long",
+    ).select(
+        "id",
+        F.to_timestamp("datetime").alias("event_time"),
+        "seq",
+        "balanceBefore",
+        "balanceAfter",
+        "datetime",
+    )
+    src = str(tmp_path / "billing_alt_agg")
+    billing.select(sentinel.columns).unionByName(sentinel).coalesce(
+        2
+    ).write.parquet(src)
+
+    def norm(r):
+        return tuple(
+            round(v, 6) if isinstance(v, float) else v for v in r
+        )
+
+    batch_df = spark.read.parquet(src)
+    expected = sorted(
+        norm(tuple(r)) for r in match_recognize(batch_df, body).collect()
+    )
+    assert expected
+    # both branches must appear, and the unmatched branch's aggregate
+    # must be NULL on the other branch's rows
+    outcomes = {r[2] for r in expected}  # (id, alarm_dt, outcome, ...)
+    assert outcomes == {"B", "C"}
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    out = match_recognize(stream, body)
+    assert out.isStreaming
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("alt_agg_mem")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        norm(tuple(r)) for r in spark.table("alt_agg_mem").collect()
+    )
+    assert expected == got
