@@ -112,21 +112,20 @@ def match_pattern_stream(
         not in ("first", "last", "count", "classifier", "match_number")
         + AGG_FNS
     }
-    if unsupported or spec.subsets:
-        # SUBSET stays batch-tier (run the batch operator inside
-        # foreachBatch if needed). CLASSIFIER() reads the match's own
-        # span ordinals; MATCH_NUMBER() (round 5) is a per-key
-        # monotone counter in the bucket state — one int64 per key
-        # ever matched, the same growth class as a streaming groupBy
-        # count and far below the NFA/buffer state itself. Aggregates
-        # (round 11) fold incrementally into each span's accumulator
+    if unsupported:
+        # CLASSIFIER() reads the match's own span ordinals;
+        # MATCH_NUMBER() (round 5) is a per-key monotone counter in
+        # the bucket state — one int64 per key ever matched, the same
+        # growth class as a streaming groupBy count and far below the
+        # NFA/buffer state itself. Aggregates (round 11) fold
+        # incrementally into each span's accumulator
         # (Nfa.enable_payload_fold) — per-variable (sum, n_nonnull,
         # min, max) per source column, O(1) state per live branch, no
-        # matched-row retention.
+        # matched-row retention. SUBSET unions (round 11) merge the
+        # component spans at emission, the batch _resolve_spans rule.
         raise NotImplementedError(
             f"streaming measures support first/last/count/classifier/"
             f"match_number/{'/'.join(AGG_FNS)}, got {sorted(unsupported)}"
-            + (" + SUBSET" if spec.subsets else "")
         )
     if spec.nav_cols:
         # PREV/NEXT would need lag/lead ACROSS micro-batch boundaries
@@ -168,10 +167,20 @@ def match_pattern_stream(
     key_cols = list(spec.key_cols)
     measures = list(spec.measures)
     tiebreak = spec.tiebreak_col
-    # per-variable tuple of srcs that variable must remember
+    subset_map = dict(spec.subsets)
+
+    def _components(mvar: str) -> tuple[str, ...]:
+        return subset_map.get(mvar, (mvar,))
+
+    # per-variable tuple of srcs that variable must remember — a
+    # measure over a SUBSET union attaches its src to every component
     var_srcs: dict[str, list[str]] = {
         v.name: sorted(
-            {m.src for m in measures if m.var == v.name and m.fn != "count"}
+            {
+                m.src
+                for m in measures
+                if v.name in _components(m.var) and m.fn != "count"
+            }
         )
         for v in spec.variables
     }
@@ -282,19 +291,39 @@ def match_pattern_stream(
                         else None
                     )
                     continue
-                span = match.get(m.var)
-                if span is None:
+                # SUBSET unions (round 11): ordered component spans
+                # merge — FIRST from the earliest, LAST from the span
+                # with the largest LAST ordinal (the batch
+                # _make_measure_eval rule), COUNT summed, aggregate
+                # accumulators combined
+                spans = sorted(
+                    (
+                        match[c]
+                        for c in _components(m.var)
+                        if match.get(c)
+                    ),
+                    key=lambda sp: sp[3],
+                )
+                if not spans:
                     data[m.name].append(
                         0 if m.fn in ("count", "count_col") else m.default
                     )
                 elif m.fn == "count":
-                    data[m.name].append(span[2])
+                    data[m.name].append(sum(sp[2] for sp in spans))
                 elif m.fn in AGG_FNS:
-                    # the span's folded accumulator (6th field); a
+                    # each span's folded accumulator (6th field); a
                     # 5-field span can only come from a checkpoint
                     # written without aggregates — Spark rejects such
                     # restarts on output-schema change, but stay loud
-                    s, n, mn, mx = span[5][agg_slot[m.name]]
+                    s = n = 0
+                    mn = mx = None
+                    for sp in spans:
+                        s1, n1, mn1, mx1 = sp[5][agg_slot[m.name]]
+                        s, n = s + s1, n + n1
+                        if mn1 is not None and (mn is None or mn1 < mn):
+                            mn = mn1
+                        if mx1 is not None and (mx is None or mx1 > mx):
+                            mx = mx1
                     if m.fn == "count_col":
                         data[m.name].append(n)
                     elif n == 0:
@@ -307,8 +336,12 @@ def match_pattern_stream(
                         data[m.name].append(mn)
                     else:
                         data[m.name].append(mx)
-                else:
-                    payload = span[0] if m.fn == "first" else span[1]
+                elif m.fn == "first":
+                    data[m.name].append(
+                        spans[0][0][all_srcs.index(m.src)]
+                    )
+                else:  # last: max by LAST ordinal, not last-sorted
+                    payload = max(spans, key=lambda sp: sp[4])[1]
                     data[m.name].append(payload[all_srcs.index(m.src)])
             data["tag"].append(tag)
 

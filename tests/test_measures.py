@@ -169,10 +169,13 @@ def test_subset_validation():
 
 
 def test_streaming_measure_support_boundary(spark, tmp_path):
-    """Aggregate MEASURES are streaming-supported since round 11
-    (incremental span accumulators — the end-to-end batch agreement
-    lives in tests/test_streaming_cep.py); SUBSET stays the loud
-    batch-tier reject."""
+    """Aggregate MEASURES and SUBSET unions are streaming-supported
+    since round 11 (incremental span accumulators + emission-time span
+    merge — the end-to-end batch agreements live in
+    tests/test_streaming_cep.py); the measure-surface reject list is
+    down to PREV/NEXT navigation."""
+    import dataclasses
+
     from flink_cep_examples_spark.streaming.cep_stream import (
         match_pattern_stream,
     )
@@ -202,16 +205,19 @@ def test_streaming_measure_support_boundary(spark, tmp_path):
         stream, _spec(measures=[Measure("s", "B", "balanceAfter", "sum")])
     )
     assert out.isStreaming
-    # SUBSET remains batch-tier
-    import dataclasses
-
+    # SUBSET builds a streaming plan too (round 11)
     subset_spec = dataclasses.replace(
         _spec(),
         measures=(Measure("c", "U", "__count__", "count"),),
         subsets=(("U", ("A", "C")),),
     )
-    with pytest.raises(NotImplementedError, match="SUBSET"):
-        match_pattern_stream(stream, subset_spec)
+    assert match_pattern_stream(stream, subset_spec).isStreaming
+    # PREV/NEXT navigation is the remaining measure-surface reject
+    nav_spec = dataclasses.replace(
+        _spec(), nav_cols=(("__nav_0", "balanceAfter", 1, "prev"),)
+    )
+    with pytest.raises(NotImplementedError, match="PREV"):
+        match_pattern_stream(stream, nav_spec)
 
 
 def test_running_measures_all_rows(spark):

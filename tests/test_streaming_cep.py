@@ -994,3 +994,93 @@ def test_streaming_aggregate_measures_match_batch(spark, sf_small, tmp_path):
         for r in spark.sql("SELECT * FROM agg_measures_stream").collect()
     )
     assert got == batch
+
+
+@pytest.mark.slow
+def test_streaming_subset_measures_match_batch(spark, sf_small, tmp_path):
+    """SUBSET union measures in streaming (round 11): emission merges
+    the component spans — FIRST from the earliest, LAST by largest
+    last-ordinal, COUNT summed, aggregate accumulators combined — and
+    must equal the batch tier on the cep_subset_measures shape
+    (SUBSET U = (A, C) over A B* C)."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.sources.tables import load_table
+    from flink_cep_examples_spark.sql.match_recognize import (
+        match_recognize,
+    )
+
+    events = load_table(spark, sf_small, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    sentinel = spark.createDataFrame(
+        [(-1, "2031-01-01 00:00:00", 4, 0.0)],  # 4 % 4 == 0: inert
+        "user_id long, dt string, event_id long, value double",
+    ).select(
+        "user_id", F.to_timestamp("dt").alias("ts"), "event_id", "value"
+    )
+    src = str(tmp_path / "subset_events")
+    lo, hi = events.agg(
+        F.min("ts").alias("a"), F.max("ts").alias("b")
+    ).first()
+    cut = lo + (hi - lo) / 2
+    for part in (
+        events.filter(F.col("ts") <= F.lit(cut)),
+        events.filter(F.col("ts") > F.lit(cut)),
+        sentinel,
+    ):
+        part.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    body = """
+    PARTITION BY user_id ORDER BY ts, event_id
+    MEASURES FIRST(U.value) AS u_first, LAST(U.value) AS u_last,
+             SUM(U.value) AS u_sum, COUNT(U.*) AS u_rows
+    ONE ROW PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN (A B* C) WITHIN INTERVAL '2' DAY
+    SUBSET U = (A, C)
+    DEFINE A AS event_id % 4 = 1,
+           B AS event_id % 4 = 2,
+           C AS event_id % 4 = 3
+    """
+
+    def key(r):
+        return (
+            r.user_id,
+            None if r.u_first is None else round(r.u_first, 6),
+            None if r.u_last is None else round(r.u_last, 6),
+            None if r.u_sum is None else round(r.u_sum, 6),
+            r.u_rows,
+        )
+
+    batch_df = spark.read.parquet(src)
+    batch = sorted(
+        key(r)
+        for r in match_recognize(
+            batch_df, body, tiebreak_col="event_id"
+        ).collect()
+    )
+    assert batch
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = match_recognize(
+        stream, body, tiebreak_col="event_id", watermark_delay="6 minutes"
+    )
+    q = (
+        out.drop("tag")
+        .writeStream.format("memory")
+        .queryName("subset_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        key(r) for r in spark.sql("SELECT * FROM subset_stream").collect()
+    )
+    assert got == batch
