@@ -2663,6 +2663,117 @@ register(
 )
 
 
+def cep_group_alt_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate measures over MULTI-BRANCH group variables —
+    ``SUM/MIN/COUNT`` over ``((A B | C D)+)`` vars (round 11, the one
+    classify-path combination without a catalog query: branch
+    iterations have no fixed row stride, so each var's row set
+    reconstructs per row from its own predicate —
+    operators/cep_batch.py::_actual_spans classify path, runtime
+    disjointness-checked). ``FIRST(U.ts)`` over the all-vars SUBSET
+    anchors each match at its start row. Reference composition: the
+    reference's aggregate MEASURES clause
+    (FlinkSqlMatchRecognizeExample.scala:57-59) generalized to the
+    round-8 branch-group shape.
+
+    Classes: event_id % 5 → 1=A, 2=B, 3=C, 4=D."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.sources.tables import load_table, spread
+    from flink_cep_examples_spark.sql.match_recognize import match_recognize
+
+    events = spread(load_table(spark, sf_dir, "events"), "user_id").select(
+        "user_id", "ts", "event_id"
+    )
+    out = match_recognize(
+        events,
+        """
+        PARTITION BY user_id ORDER BY ts, event_id
+        MEASURES FIRST(U.ts) AS start_ts,
+                 SUM(A.event_id) AS sum_a, MIN(B.event_id) AS min_b,
+                 SUM(C.event_id) AS sum_c, COUNT(D.*) AS n_d
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN ((A B | C D)+)
+        SUBSET U = (A, B, C, D)
+        DEFINE A AS event_id % 5 = 1,
+               B AS event_id % 5 = 2,
+               C AS event_id % 5 = 3,
+               D AS event_id % 5 = 4
+        """,
+        tiebreak_col="event_id",
+    )
+    # all-(C D) / all-(A B) matches yield SQL NULL for the other
+    # branch's aggregates — COALESCE on BOTH sides (catalog convention:
+    # the gate's DuckDB fetch goes through pandas, which can't
+    # represent a NULL integer without dtype games)
+    return out.select(
+        "user_id",
+        F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss").alias("start_dt"),
+        F.coalesce(F.col("sum_a").cast("bigint"), F.lit(0)).alias("sum_a"),
+        F.coalesce(F.col("min_b").cast("bigint"), F.lit(0)).alias("min_b"),
+        F.coalesce(F.col("sum_c").cast("bigint"), F.lit(0)).alias("sum_c"),
+        F.col("n_d").cast("bigint").alias("n_d"),
+    )
+
+
+#: The ORACLE_GROUP_ALT_ALL_ROWS chain decomposition (maximal pair
+#: chains of (A B)|(C D) iterations ARE the greedy matches), then per
+#: match one aggregate pass over its row range with each variable's
+#: rows selected by its own class — exactly the engine's classify path.
+ORACLE_GROUP_ALT_AGG = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_id % 5 AS m,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+p AS (
+  SELECT *,
+         ((m = 1 AND lead(m) OVER w = 2) OR (m = 3 AND lead(m) OVER w = 4))
+           AS pstart
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+),
+ps AS (
+  SELECT user_id, rn, m,
+         CASE WHEN lag(rn) OVER w2 = rn - 2 THEN 0 ELSE 1 END AS brk
+  FROM p WHERE pstart
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)
+),
+ch AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY rn) AS cid
+  FROM ps
+),
+agg AS (
+  SELECT user_id, cid, MIN(rn) AS srn, MAX(rn) + 1 AS ern
+  FROM ch GROUP BY user_id, cid
+)
+SELECT s.user_id,
+       strftime(fs.ts, {_FMT}) AS start_dt,
+       CAST(COALESCE(SUM(CASE WHEN r.m = 1 THEN r.event_id END), 0)
+            AS BIGINT) AS sum_a,
+       CAST(COALESCE(MIN(CASE WHEN r.m = 2 THEN r.event_id END), 0)
+            AS BIGINT) AS min_b,
+       CAST(COALESCE(SUM(CASE WHEN r.m = 3 THEN r.event_id END), 0)
+            AS BIGINT) AS sum_c,
+       CAST(COUNT(CASE WHEN r.m = 4 THEN 1 END) AS BIGINT) AS n_d
+FROM agg s
+JOIN e fs ON fs.user_id = s.user_id AND fs.rn = s.srn
+JOIN e r ON r.user_id = s.user_id AND r.rn BETWEEN s.srn AND s.ern
+GROUP BY s.user_id, fs.ts, s.cid
+"""
+
+
+register(
+    "cep_group_alt_agg",
+    cep_group_alt_agg,
+    ORACLE_GROUP_ALT_AGG,
+    # round 11: aggregates over multi-branch group vars; gate at the
+    # 50 cap — heads the r12 promotion queue (COVERAGE.md policy)
+    driver=False,
+)
+
+
 def cep_group_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NESTED unbounded groups — ``PATTERN (((A B)+ C)+)`` (round 8):
     round 7's last structural reject. A nested group is just more
