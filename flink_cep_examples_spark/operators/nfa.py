@@ -418,9 +418,13 @@ class Nfa:
     # -- helpers ------------------------------------------------------
     def enable_payload_fold(self, init_fn, fold_fn) -> None:
         """Grow every span with a folded accumulator (see
-        ``_payload_fold``): ``init_fn(payload) -> acc`` on the
-        variable's first row, ``fold_fn(acc, payload) -> acc`` on each
-        later row. Call before the first ``step()``."""
+        ``_payload_fold``): ``init_fn(payload, ord) -> acc`` on the
+        variable's first row, ``fold_fn(acc, payload, ord) -> acc`` on
+        each later row. ``ord`` is the NFA's per-key row ordinal — the
+        same monotone sequence the span ordinals carry, so a fold that
+        records it can order captured rows ACROSS micro-batches (a
+        caller-side batch-local index would reset and interleave
+        wrongly). Call before the first ``step()``."""
         self._payload_fold = (init_fn, fold_fn)
 
     def _extend(self, br: _Branch, p: int, payload, ord_: int) -> _Branch:
@@ -435,7 +439,7 @@ class Nfa:
         else:
             init_fn, fold_fn = self._payload_fold
             rows[p] = (
-                (payload, payload, 1, ord_, ord_, init_fn(payload))
+                (payload, payload, 1, ord_, ord_, init_fn(payload, ord_))
                 if cur is None
                 else (
                     cur[0],
@@ -443,7 +447,7 @@ class Nfa:
                     cur[2] + 1,
                     cur[3],
                     ord_,
-                    fold_fn(cur[5], payload),
+                    fold_fn(cur[5], payload, ord_),
                 )
             )
         count = br.count + 1 if p == br.var else 1

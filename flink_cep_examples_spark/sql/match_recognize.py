@@ -1138,11 +1138,8 @@ def match_recognize(
             out = out.drop("tag")
         return out
     if df.isStreaming:
-        if spec.rows_per_match == "all":
-            raise NotImplementedError(
-                "ALL ROWS PER MATCH requires batch input (streaming emits "
-                "one append-mode row per match)"
-            )
+        # ALL ROWS PER MATCH streams too (round 11): the span fold
+        # captures consumed rows, emission expands each match
         from flink_cep_examples_spark.streaming.cep_stream import (
             match_pattern_stream,
         )

@@ -69,12 +69,15 @@ _BUCKET_COL = "__cep_bucket"
 _STATE_SCHEMA = T.StructType([T.StructField("blob", T.BinaryType(), True)])
 
 
-def _prepare_stream(df: DataFrame, spec: PatternSpec) -> DataFrame:
+def _prepare_stream(
+    df: DataFrame, spec: PatternSpec, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
     needed = {m.src for m in spec.measures if m.fn != "count" and m.src}
     needed.update(spec.key_cols)
     needed.add(spec.tiebreak_col)
     needed.add(spec.order_col)  # kept for the watermark; in `needed` so a
     # measure over the event-time column doesn't select it twice
+    needed.update(extra_cols)  # ALL ROWS: every input column is output
     cols = [F.col(c) for c in sorted(needed)]
     cols.append(F.unix_micros(F.col(spec.order_col).cast(T.TimestampType())).alias(_TS_COL))
     for i, e in enumerate(spec.pred_exprs):
@@ -146,7 +149,38 @@ def match_pattern_stream(
             "MATCH_NUMBER() under 'longest' derivation is batch-tier "
             "(held-resolution order differs from start order)"
         )
-    out_schema = output_schema(df, spec)
+    all_rows = spec.rows_per_match == "all"
+    if all_rows:
+        # ALL ROWS PER MATCH streams since round 11: the span fold
+        # captures each consumed row's (data columns, release ordinal),
+        # so a completed match expands to its rows at emission. State
+        # grows O(rows per live run) — the same class (and bound: the
+        # ``within`` horizon) as the event buffer itself. Beyond the
+        # reference: Flink SQL MATCH_RECOGNIZE is ONE ROW PER MATCH
+        # only on streams.
+        if spec.emit_timeouts:
+            raise ValueError("ALL ROWS PER MATCH has no timeout channel")
+        if spec.derivation == "longest":
+            # every output row carries match_seq; batch renumbers
+            # longest-derivation matches by (start, end), streaming
+            # cannot — same rule as MATCH_NUMBER above
+            raise NotImplementedError(
+                "ALL ROWS PER MATCH under 'longest' derivation is "
+                "batch-tier (match_seq needs start-order renumbering)"
+            )
+        if any(m.running for m in spec.measures):
+            raise NotImplementedError(
+                "RUNNING measures in streaming ALL ROWS PER MATCH are "
+                "batch-tier (use the batch operator in foreachBatch)"
+            )
+    if all_rows:
+        from flink_cep_examples_spark.operators.cep_batch import (
+            all_rows_output_schema,
+        )
+
+        out_schema = all_rows_output_schema(df, spec)
+    else:
+        out_schema = output_schema(df, spec)
     if n_buckets is None:
         try:
             n_buckets = 4 * int(
@@ -155,7 +189,9 @@ def match_pattern_stream(
         except (TypeError, ValueError):  # e.g. "auto"
             n_buckets = 4 * df.sparkSession.sparkContext.defaultParallelism
     prepared = (
-        _prepare_stream(df, spec)
+        _prepare_stream(
+            df, spec, extra_cols=tuple(df.columns) if all_rows else ()
+        )
         .withColumn(
             _BUCKET_COL,
             F.pmod(F.xxhash64(*spec.key_cols), F.lit(n_buckets)).cast("int"),
@@ -163,6 +199,7 @@ def match_pattern_stream(
         .withWatermark(spec.order_col, watermark_delay)
     )
 
+    data_cols = list(df.columns)
     n_vars = len(spec.pred_exprs)
     key_cols = list(spec.key_cols)
     measures = list(spec.measures)
@@ -185,8 +222,14 @@ def match_pattern_stream(
         for v in spec.variables
     }
     all_srcs = sorted({s for srcs in var_srcs.values() for s in srcs})
+    if all_rows:
+        # every input column is output, so payloads carry them all
+        # (measure srcs are a subset — nav_cols are rejected above)
+        all_srcs = sorted(set(data_cols) | set(all_srcs))
     pred_cols = [f"{_PRED_PREFIX}{i}" for i in range(n_vars)]
     out_names = [f.name for f in out_schema.fields]
+    excluded_vars = {v.name for v in spec.variables if v.excluded}
+    payload_idx = {c: i for i, c in enumerate(all_srcs)}
 
     # one compiled NFA shared by every bucket group on the worker (it is
     # key-stateless: per-key state lives in NfaState).
@@ -203,7 +246,16 @@ def match_pattern_stream(
         for m in measures
         if m.fn in AGG_FNS
     }
-    if agg_srcs:
+    if all_rows:
+        # ALL ROWS (round 11): the fold captures every consumed row —
+        # (payload..., release ordinal) tuples — so emission expands a
+        # match to its rows; aggregates then compute from the captured
+        # rows directly (no separate accumulator needed)
+        nfa.enable_payload_fold(
+            lambda payload, ord_: ((*payload, ord_),),
+            lambda acc, payload, ord_: acc + ((*payload, ord_),),
+        )
+    elif agg_srcs:
         agg_pos = [all_srcs.index(s) for s in agg_srcs]
 
         def _acc1(v):
@@ -223,8 +275,8 @@ def match_pattern_stream(
             )
 
         nfa.enable_payload_fold(
-            lambda payload: tuple(_acc1(payload[j]) for j in agg_pos),
-            lambda acc, payload: tuple(
+            lambda payload, _o: tuple(_acc1(payload[j]) for j in agg_pos),
+            lambda acc, payload, _o: tuple(
                 _fold1(a, payload[j]) for a, j in zip(acc, agg_pos)
             ),
         )
@@ -271,7 +323,89 @@ def match_pattern_stream(
         # one output accumulator for the whole bucket
         data: dict[str, list] = {c: [] for c in out_names}
 
+        def _measure_values(match: dict, mn) -> dict:
+            """FINAL measure values for one match (ALL ROWS emission:
+            computed once, repeated on every expanded row). Aggregates
+            evaluate over the captured rows of the component spans —
+            the var's ACTUAL rows, NULL/NaN skipped (SQL)."""
+            out: dict = {}
+            for m in measures:
+                if m.fn == "match_number":
+                    out[m.name] = mn
+                    continue
+                if m.fn == "classifier":
+                    out[m.name] = (
+                        max(match.items(), key=lambda kv_: kv_[1][4])[0]
+                        if match
+                        else None
+                    )
+                    continue
+                spans = sorted(
+                    (
+                        match[c]
+                        for c in _components(m.var)
+                        if match.get(c)
+                    ),
+                    key=lambda sp: sp[3],
+                )
+                if not spans:
+                    out[m.name] = (
+                        0 if m.fn in ("count", "count_col") else m.default
+                    )
+                elif m.fn == "count":
+                    out[m.name] = sum(sp[2] for sp in spans)
+                elif m.fn in AGG_FNS:
+                    j = payload_idx[m.src]
+                    vals = [
+                        v
+                        for sp in spans
+                        for p in sp[5]
+                        if (v := p[j]) is not None and v == v
+                    ]
+                    if m.fn == "count_col":
+                        out[m.name] = len(vals)
+                    elif not vals:
+                        out[m.name] = None  # SQL: all-NULL rows
+                    elif m.fn == "sum":
+                        out[m.name] = sum(vals)
+                    elif m.fn == "avg":
+                        out[m.name] = sum(vals) / len(vals)
+                    elif m.fn == "min":
+                        out[m.name] = min(vals)
+                    else:
+                        out[m.name] = max(vals)
+                elif m.fn == "first":
+                    out[m.name] = spans[0][0][payload_idx[m.src]]
+                else:  # last: max by LAST ordinal
+                    payload = max(spans, key=lambda sp: sp[4])[1]
+                    out[m.name] = payload[payload_idx[m.src]]
+            return out
+
+        def emit_all_rows(key: tuple, match: dict, tag: str) -> None:
+            if tag != MATCH_TAG:  # no timeout channel under ALL ROWS
+                raise AssertionError("timeout emission under ALL ROWS")
+            mn = match_nos[key] = match_nos.get(key, 0) + 1
+            mvals = _measure_values(match, mn)
+            entries = [
+                (p[-1], vname, p)  # (release ordinal, classifier, row)
+                for vname, sp in match.items()
+                for p in sp[5]
+            ]
+            entries.sort(key=lambda e: e[0])
+            for _ord, vname, p in entries:
+                if vname in excluded_vars:
+                    continue  # {- var -}: consumed but not emitted
+                for c in data_cols:
+                    data[c].append(p[payload_idx[c]])
+                data["classifier"].append(vname)
+                data["match_seq"].append(mn - 1)  # 0-based, as batch
+                for m in measures:
+                    data[m.name].append(mvals[m.name])
+
         def emit(key: tuple, match: dict, tag: str) -> None:
+            if all_rows:
+                emit_all_rows(key, match, tag)
+                return
             if track_match_no and tag == MATCH_TAG:
                 mn = match_nos[key] = match_nos.get(key, 0) + 1
             else:
@@ -442,7 +576,7 @@ def match_pattern_stream(
                         state.getCurrentWatermarkMs() + 1,
                     )
                 )
-        if data["tag"]:
+        if data["match_seq" if all_rows else "tag"]:
             yield pd.DataFrame(data, columns=out_names)
 
     return prepared.groupBy(_BUCKET_COL).applyInPandasWithState(
@@ -576,10 +710,10 @@ def match_pattern_stream_alternation(
                 v if mx is None or v > mx else mx,
             )
 
-        def _init(payload):
+        def _init(payload, _ord):
             return tuple(_acc1(payload[j]) for j in agg_pos)
 
-        def _fold(acc, payload):
+        def _fold(acc, payload, _ord):
             return tuple(
                 _fold1(a, payload[j]) for a, j in zip(acc, agg_pos)
             )

@@ -1084,3 +1084,141 @@ def test_streaming_subset_measures_match_batch(spark, sf_small, tmp_path):
         key(r) for r in spark.sql("SELECT * FROM subset_stream").collect()
     )
     assert got == batch
+
+
+@pytest.mark.slow
+def test_streaming_all_rows_matches_batch(spark, sf_small, tmp_path):
+    """ALL ROWS PER MATCH in streaming (round 11 — previously a
+    structural reject, and beyond the reference: Flink SQL
+    MATCH_RECOGNIZE is ONE ROW PER MATCH only on streams): the span
+    fold captures each consumed row with the NFA's per-key ordinal
+    (monotone ACROSS micro-batches — a batch-local index would
+    interleave a multi-batch match's rows wrongly), emission expands
+    the match sorted by it. Full agreement with the batch tier:
+    every input column + classifier + 0-based match_seq + FINAL
+    measures incl. aggregates."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.sources.tables import load_table
+    from flink_cep_examples_spark.sql.match_recognize import (
+        match_recognize,
+    )
+
+    events = load_table(spark, sf_small, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    sentinel = spark.createDataFrame(
+        [(-1, "2031-01-01 00:00:00", 4, 0.0)],  # 4 % 4 == 0: inert
+        "user_id long, dt string, event_id long, value double",
+    ).select(
+        "user_id", F.to_timestamp("dt").alias("ts"), "event_id", "value"
+    )
+    src = str(tmp_path / "allrows_events")
+    lo, hi = events.agg(
+        F.min("ts").alias("a"), F.max("ts").alias("b")
+    ).first()
+    cut1 = lo + (hi - lo) / 3
+    cut2 = lo + 2 * (hi - lo) / 3
+    for part in (
+        events.filter(F.col("ts") <= F.lit(cut1)),
+        events.filter(
+            (F.col("ts") > F.lit(cut1)) & (F.col("ts") <= F.lit(cut2))
+        ),
+        events.filter(F.col("ts") > F.lit(cut2)),
+        sentinel,
+    ):
+        part.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    body = """
+    PARTITION BY user_id ORDER BY ts, event_id
+    MEASURES FINAL COUNT(B.*) AS n_b, SUM(B.value) AS sum_b,
+             MATCH_NUMBER() AS mn
+    ALL ROWS PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN (A B* C) WITHIN INTERVAL '2' DAY
+    DEFINE A AS event_id % 4 = 1,
+           B AS event_id % 4 = 2,
+           C AS event_id % 4 = 3
+    """
+
+    def key(r):
+        return (
+            r.user_id, r.ts, r.event_id, r.classifier, r.match_seq,
+            r.n_b,
+            None if r.sum_b is None else round(r.sum_b, 6),
+            r.mn,
+        )
+
+    batch_df = spark.read.parquet(src)
+    batch = sorted(
+        key(r)
+        for r in match_recognize(
+            batch_df, body, tiebreak_col="event_id"
+        ).collect()
+    )
+    assert batch
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = match_recognize(
+        stream, body, tiebreak_col="event_id", watermark_delay="6 minutes"
+    )
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("allrows_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        key(r) for r in spark.sql("SELECT * FROM allrows_stream").collect()
+    )
+    assert got == batch
+
+
+def test_streaming_all_rows_rejects(spark, tmp_path):
+    """Streaming ALL ROWS boundary: 'longest' derivation (match_seq
+    needs start-order renumbering) and RUNNING measures stay loud
+    batch-tier rejects."""
+    from flink_cep_examples_spark.sql.match_recognize import (
+        match_recognize,
+    )
+
+    schema_dir = tmp_path / "in"
+    schema_dir.mkdir()
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, event_id long"
+    ).parquet(str(schema_dir))
+    with pytest.raises(NotImplementedError, match="longest"):
+        match_recognize(
+            stream,
+            """
+            PARTITION BY user_id ORDER BY ts, event_id
+            MEASURES COUNT(X.*) AS nx
+            ALL ROWS PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN ((X Y)+) WITHIN INTERVAL '1' HOUR
+            DEFINE X AS event_id % 3 = 1, Y AS event_id % 3 = 2
+            """,
+            tiebreak_col="event_id",
+        )
+    with pytest.raises(NotImplementedError, match="RUNNING"):
+        match_recognize(
+            stream,
+            """
+            PARTITION BY user_id ORDER BY ts, event_id
+            MEASURES RUNNING COUNT(B.*) AS rb
+            ALL ROWS PER MATCH
+            AFTER MATCH SKIP PAST LAST ROW
+            PATTERN (A B* C)
+            DEFINE A AS event_id % 4 = 1, B AS event_id % 4 = 2,
+                   C AS event_id % 4 = 3
+            """,
+            tiebreak_col="event_id",
+        )
