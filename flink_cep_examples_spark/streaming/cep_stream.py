@@ -95,7 +95,10 @@ def match_pattern_stream(
     DataFrame containing ``spec.order_col`` as a timestamp column.
     Default watermark delay mirrors the reference's 6-minute
     out-of-orderness (FlinkCEPExample.scala:28). Output: append-mode
-    stream with keys + measures + ``tag``.
+    stream with keys + measures + ``tag`` — or, under ``ALL ROWS PER
+    MATCH`` (round 11), every input column + per-row classifier +
+    per-key 0-based match_seq + FINAL measures, one output row per
+    consumed row of each completed match.
 
     Scale note (the 100 TB lever): state is grouped by a HASH BUCKET of
     the key, not by the key itself — ``applyInPandasWithState`` invokes
