@@ -57,7 +57,11 @@ from flink_cep_examples_spark.operators.nfa import (
     coordinate_alternation_row,
     resolve_alternation_helds,
 )
-from flink_cep_examples_spark.plans.pattern import AGG_FNS, PatternSpec
+from flink_cep_examples_spark.plans.pattern import (
+    AGG_FNS,
+    PatternSpec,
+    SKIP_PAST_LAST_EVENT,
+)
 from flink_cep_examples_spark.schemas import MATCH_TAG, TIMEOUT_TAG
 
 _PRED_PREFIX = "__cep_p_"
@@ -616,12 +620,26 @@ def match_pattern_stream_alternation(
             f"{type(aspec).__name__}"
         )
     aspec.validate()
-    if aspec.alternatives[0].rows_per_match == "all":
-        raise NotImplementedError(
-            "ALL ROWS PER MATCH with alternation is batch-tier (the "
-            "streaming state keeps first/last payloads per variable, "
-            "not every matched row)"
-        )
+    alt_all_rows = aspec.alternatives[0].rows_per_match == "all"
+    if alt_all_rows:
+        # round 11: the span fold captures consumed rows, so the match
+        # expands at emission — but batch numbers matches by (start,
+        # end) per key, which streaming completion order reproduces
+        # ONLY when matches cannot overlap (SKIP PAST LAST) and
+        # nothing is held for later resolution (eager)
+        if aspec.after_match != SKIP_PAST_LAST_EVENT:
+            raise NotImplementedError(
+                "streaming ALL ROWS alternation requires AFTER MATCH "
+                "SKIP PAST LAST ROW (match_seq needs batch's "
+                "start-order numbering; overlapping matches complete "
+                "out of start order)"
+            )
+        if aspec.derivation != "eager":
+            raise NotImplementedError(
+                "streaming ALL ROWS alternation requires eager "
+                "derivation (held resolutions can emit out of start "
+                "order at watermark boundaries)"
+            )
     allowed = {"first", "last", "count", "classifier", *AGG_FNS}
     if aspec.derivation == "eager":
         # eager emission order is completion order — identical in the
@@ -643,10 +661,18 @@ def match_pattern_stream_alternation(
         )
     alts = aspec.alternatives
     from flink_cep_examples_spark.operators.cep_batch import (
+        all_rows_output_schema as _batch_all_rows_schema,
+    )
+    from flink_cep_examples_spark.operators.cep_batch import (
         output_schema as _batch_output_schema,
     )
 
-    out_schema = T.StructType(_batch_output_schema(df, aspec).fields[:-1])
+    if alt_all_rows:
+        out_schema = _batch_all_rows_schema(df, aspec)
+    else:
+        out_schema = T.StructType(
+            _batch_output_schema(df, aspec).fields[:-1]
+        )
     if n_buckets is None:
         try:
             n_buckets = 4 * int(
@@ -655,7 +681,9 @@ def match_pattern_stream_alternation(
         except (TypeError, ValueError):
             n_buckets = 4 * df.sparkSession.sparkContext.defaultParallelism
     prepared = (
-        _prepare_stream(df, aspec)
+        _prepare_stream(
+            df, aspec, extra_cols=tuple(df.columns) if alt_all_rows else ()
+        )
         .withColumn(
             _BUCKET_COL,
             F.pmod(F.xxhash64(*aspec.key_cols), F.lit(n_buckets)).cast("int"),
@@ -680,8 +708,16 @@ def match_pattern_stream_alternation(
             if m.fn not in ("count", "classifier", "match_number")
         }
     )
+    data_cols = list(df.columns)
+    if alt_all_rows:
+        # every input column is output, so payloads carry them all
+        all_srcs = sorted(set(data_cols) | set(all_srcs))
     pred_cols = [f"{_PRED_PREFIX}{i}" for i in range(n_vars)]
     out_names = [f.name for f in out_schema.fields]
+    payload_idx = {c: i for i, c in enumerate(all_srcs)}
+    excluded_vars = {
+        v.name for alt in alts for v in alt.variables if v.excluded
+    }
 
     nfas = [Nfa(alt) for alt in alts]
     # aggregate MEASURES (round 11): the same incremental span fold as
@@ -721,8 +757,17 @@ def match_pattern_stream_alternation(
                 _fold1(a, payload[j]) for a, j in zip(acc, agg_pos)
             )
 
+        if not alt_all_rows:
+            for nf in nfas:
+                nf.enable_payload_fold(_init, _fold)
+    if alt_all_rows:
+        # ALL ROWS (round 11): capture every consumed row with the
+        # NFA ordinal; aggregates compute from the captured rows
         for nf in nfas:
-            nf.enable_payload_fold(_init, _fold)
+            nf.enable_payload_fold(
+                lambda payload, ord_: ((*payload, ord_),),
+                lambda acc, payload, ord_: acc + ((*payload, ord_),),
+            )
     subset_map = dict(aspec.subsets)
     has_mn = any(m.fn == "match_number" for m in aspec.measures)
     derivation = aspec.derivation
@@ -769,7 +814,85 @@ def match_pattern_stream_alternation(
 
         data: dict[str, list] = {c: [] for c in out_names}
 
+        def _alt_measure_values(match: dict, mn) -> dict:
+            """FINAL measure values for one ALL ROWS match —
+            SUBSET-union component merge over the captured rows."""
+            out: dict = {}
+            for m in measures:
+                if m.fn == "match_number":
+                    out[m.name] = mn
+                    continue
+                if m.fn == "classifier":
+                    out[m.name] = (
+                        max(match.items(), key=lambda kv_: kv_[1][4])[0]
+                        if match
+                        else None
+                    )
+                    continue
+                spans = sorted(
+                    (
+                        match[c]
+                        for c in subset_map.get(m.var, (m.var,))
+                        if match.get(c)
+                    ),
+                    key=lambda sp: sp[3],
+                )
+                if not spans:
+                    out[m.name] = (
+                        0 if m.fn in ("count", "count_col") else m.default
+                    )
+                elif m.fn == "count":
+                    out[m.name] = sum(sp[2] for sp in spans)
+                elif m.fn in AGG_FNS:
+                    j = payload_idx[m.src]
+                    vals = [
+                        v
+                        for sp in spans
+                        for p in sp[5]
+                        if (v := p[j]) is not None and v == v
+                    ]
+                    if m.fn == "count_col":
+                        out[m.name] = len(vals)
+                    elif not vals:
+                        out[m.name] = None
+                    elif m.fn == "sum":
+                        out[m.name] = sum(vals)
+                    elif m.fn == "avg":
+                        out[m.name] = sum(vals) / len(vals)
+                    elif m.fn == "min":
+                        out[m.name] = min(vals)
+                    else:
+                        out[m.name] = max(vals)
+                elif m.fn == "first":
+                    out[m.name] = spans[0][0][payload_idx[m.src]]
+                else:  # last: max by LAST ordinal
+                    payload = max(spans, key=lambda sp: sp[4])[1]
+                    out[m.name] = payload[payload_idx[m.src]]
+            return out
+
+        def emit_all_rows(key: tuple, match: dict) -> None:
+            mn = match_nos[key] = match_nos.get(key, 0) + 1
+            mvals = _alt_measure_values(match, mn)
+            entries = [
+                (p[-1], vname, p)  # (NFA ordinal, classifier, row)
+                for vname, sp in match.items()
+                for p in sp[5]
+            ]
+            entries.sort(key=lambda e: e[0])
+            for _ord, vname, p in entries:
+                if vname in excluded_vars:
+                    continue  # {- var -}: consumed but not emitted
+                for c in data_cols:
+                    data[c].append(p[payload_idx[c]])
+                data["classifier"].append(vname)
+                data["match_seq"].append(mn - 1)  # 0-based, as batch
+                for m in measures:
+                    data[m.name].append(mvals[m.name])
+
         def emit(key: tuple, match: dict) -> None:
+            if alt_all_rows:
+                emit_all_rows(key, match)
+                return
             for k, kv in zip(key_cols, key):
                 data[k].append(kv)
             if has_mn:

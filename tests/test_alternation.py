@@ -723,3 +723,101 @@ def test_streaming_alternation_aggregates_match_batch(spark, sf_small, tmp_path)
         norm(tuple(r)) for r in spark.table("alt_agg_mem").collect()
     )
     assert expected == got
+
+
+def test_streaming_alternation_all_rows_matches_batch(spark, sf_small, tmp_path):
+    """ALL ROWS PER MATCH on streaming ALTERNATION (round 11): the
+    captured-row fold expands each completed match; eligible under
+    SKIP PAST LAST + eager derivation, where streaming completion
+    order equals batch's (start, end) match_seq numbering (matches
+    cannot overlap and nothing is held)."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.sources.billing import events_as_billing
+
+    body = """
+      PARTITION BY id
+      ORDER BY event_time
+      MEASURES CLASSIFIER() AS outcome, SUM(B.balanceAfter) AS sum_b,
+               COUNT(B.*) AS n_b
+      ALL ROWS PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A C | A B{2})
+      DEFINE
+        A AS A.balanceBefore >= 10 AND A.balanceAfter < 10,
+        B AS B.balanceBefore >= B.balanceAfter,
+        C AS C.balanceBefore < C.balanceAfter
+    """
+    billing = events_as_billing(spark, sf_small)
+    sentinel = spark.createDataFrame(
+        [("zz", "2031-01-01 00:00:00", 50.0, 50.0, 999_999_999)],
+        "id string, datetime string, balanceBefore double, "
+        "balanceAfter double, seq long",
+    ).select(
+        "id",
+        F.to_timestamp("datetime").alias("event_time"),
+        "seq",
+        "balanceBefore",
+        "balanceAfter",
+        "datetime",
+    )
+    src = str(tmp_path / "billing_alt_allrows")
+    billing.select(sentinel.columns).unionByName(sentinel).coalesce(
+        2
+    ).write.parquet(src)
+
+    def norm(r):
+        return tuple(
+            round(v, 6) if isinstance(v, float) else v for v in r
+        )
+
+    batch_df = spark.read.parquet(src)
+    batch = sorted(
+        norm(tuple(r)) for r in match_recognize(batch_df, body).collect()
+    )
+    assert batch
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    out = match_recognize(stream, body)
+    assert out.isStreaming
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("alt_allrows_mem")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        norm(tuple(r)) for r in spark.table("alt_allrows_mem").collect()
+    )
+    assert got == batch
+
+
+def test_streaming_alternation_all_rows_rejects_overlapping_skip(
+    spark, tmp_path
+):
+    """Streaming ALL ROWS alternation boundary: SKIP TO NEXT ROW
+    (overlapping matches complete out of start order) stays a loud
+    batch-tier reject — match_seq needs batch's start-order
+    numbering."""
+    schema_dir = tmp_path / "in"
+    schema_dir.mkdir()
+    stream = spark.readStream.schema(
+        "id string, event_time timestamp, seq long, "
+        "balanceBefore double, balanceAfter double"
+    ).parquet(str(schema_dir))
+    body = """
+      PARTITION BY id
+      ORDER BY event_time
+      MEASURES CLASSIFIER() AS outcome
+      ALL ROWS PER MATCH
+      AFTER MATCH SKIP TO NEXT ROW
+      PATTERN (A C | A B{2})
+      DEFINE
+        A AS A.balanceBefore >= 10 AND A.balanceAfter < 10,
+        B AS B.balanceBefore >= B.balanceAfter,
+        C AS C.balanceBefore < C.balanceAfter
+    """
+    with pytest.raises(NotImplementedError, match="SKIP PAST LAST"):
+        match_recognize(stream, body)
