@@ -138,10 +138,19 @@ def match_pattern_stream(
             f"match_number/{'/'.join(AGG_FNS)}, got {sorted(unsupported)}"
         )
     if spec.nav_cols:
-        # PREV/NEXT would need lag/lead ACROSS micro-batch boundaries
-        # (the previous physical row may have been released in an
-        # earlier batch) — computable from the state buffer, but not
-        # implemented; batch-tier feature for now
+        # PREV/NEXT need lag/lead ACROSS micro-batch boundaries (the
+        # previous physical row may have been released in an earlier
+        # batch), but predicates are Spark SQL expressions evaluated
+        # by Catalyst BEFORE the shuffle — a nav value known only
+        # inside the state buffer can't feed them. The natural fix — a
+        # first stateful stage that reorders rows and attaches nav
+        # columns, Catalyst predicate evaluation in between, then this
+        # operator — is closed off at the engine level: Spark rejects
+        # multiple applyInPandasWithState per query ("Multiple
+        # applyInPandasWithStates are not supported", probed on 4.1,
+        # round 11). NEXT additionally needs lookahead Flink CEP does
+        # not offer either. Batch-tier feature; use the batch operator
+        # inside foreachBatch.
         raise NotImplementedError(
             "PREV()/NEXT() navigation requires batch input"
         )
