@@ -1182,15 +1182,73 @@ def fast_loop_chain_applicable(spec) -> bool:
             return False
         if m.fn in NILADIC_FNS:
             continue
-        if m.fn not in ("first", "last", "count"):
-            # aggregates over loop vars are rejected by validate();
-            # count_col (non-null counting) needs per-row null masks
-            # the positional kernel doesn't gather — NFA tier handles it
+        if m.fn not in ("first", "last", "count") + AGG_FNS:
             return False
+        # aggregates (round 11): prefix/suffix vars are single-row
+        # gathers, single-body loop vars slice their stride-L rows, and
+        # BRANCH-group vars select by their own predicate — exact only
+        # under pairwise-disjoint group predicates, which the
+        # DISPATCHER verifies on the data (fast_group_preds_disjoint)
+        # before routing here; a direct caller takes that
+        # responsibility (the fast_abc convention)
         comps = subset_map.get(m.var, (m.var,))
         if not all(c in names for c in comps):
             return False
     return True
+
+
+def loop_chain_agg_needs_disjoint(spec) -> bool:
+    """True when the chain kernel's aggregate path selects rows by
+    PREDICATE (a multi-branch group var is aggregated), so the
+    dispatcher must verify group-predicate disjointness on the data
+    first. Single-body loop groups slice positionally — no check."""
+    lb = getattr(spec, "loop_branches", ())
+    if not lb:
+        return False
+    gs, ge = spec.loop_groups[0]
+    var_pos = {v.name: i for i, v in enumerate(spec.variables)}
+    subset_map = dict(spec.subsets)
+    return any(
+        m.fn in AGG_FNS
+        and any(
+            gs <= var_pos.get(c, -1) <= ge
+            for c in subset_map.get(m.var, (m.var,))
+        )
+        for m in spec.measures
+    )
+
+
+def fast_group_preds_disjoint(df: DataFrame, spec) -> bool:
+    """Data-verified pairwise disjointness of the loop-group
+    variables' predicates — the fact that makes predicate-selected
+    aggregate rows equal the NFA's classify row sets (and the NFA's
+    own runtime ambiguity reject unreachable). Same mechanics as
+    :func:`fast_abc_semantics_hold`: one column-pruned limit-1 job,
+    memoized per (session, analyzed-plan hash, predicates); NULL
+    predicate values count as False."""
+    gs, ge = spec.loop_groups[0]
+    preds = tuple(v.predicate for v in spec.variables[gs : ge + 1])
+    key = None
+    try:
+        plan_hash = df._jdf.queryExecution().analyzed().semanticHash()
+        key = (id(df.sparkSession), plan_hash, preds)
+    except Exception:  # noqa: BLE001
+        pass
+    if key is not None and key in _ABC_SEMANTICS_MEMO:
+        return _ABC_SEMANTICS_MEMO[key]
+    flags = [
+        F.coalesce(F.expr(p).cast("boolean"), F.lit(False)).cast("int")
+        for p in preds
+    ]
+    total = flags[0]
+    for fl in flags[1:]:
+        total = total + fl
+    ok = df.where(total > 1).isEmpty()
+    if key is not None:
+        if len(_ABC_SEMANTICS_MEMO) >= 256:
+            _ABC_SEMANTICS_MEMO.clear()
+        _ABC_SEMANTICS_MEMO[key] = ok
+    return ok
 
 
 
@@ -1628,6 +1686,84 @@ def match_pattern_fast_loop_chain(
             last = starts + s + (k - 1) * L + (i - s)
             return first, last, k
 
+        agg_ms = [m for m in measure_list if m.fn in AGG_FNS]
+        if agg_ms:
+            # FINAL aggregates (round 11, closing the 4x-at-10x NFA
+            # bound this shape measured): per-match reductions with
+            # the SAME pandas ops the NFA evaluator uses, so the tiers
+            # agree to the bit. Row sets: prefix/suffix vars are the
+            # single positional row; single-body loop vars slice their
+            # stride-L progression; BRANCH-group vars select the body
+            # rows satisfying their own predicate — exact because the
+            # dispatcher verified group-predicate disjointness on the
+            # data (fast_group_preds_disjoint), which also makes the
+            # NFA's runtime ambiguity reject unreachable here.
+            need_branch_preds = branch_starts is not None and any(
+                gs <= var_pos.get(c, -1) <= ge
+                for m in agg_ms
+                for c in subset_map.get(m.var, (m.var,))
+            )
+            if need_branch_preds:
+                gpreds = {
+                    i: pdf[f"{_PRED_PREFIX}{i}"].to_numpy(dtype=bool)
+                    for i in range(gs, ge + 1)
+                }
+
+            def _agg_values(m) -> list:
+                src = src_arrays[m.src]
+                comps = subset_map.get(m.var, (m.var,))
+                vals: list = []
+                for t in range(len(starts)):
+                    lo = int(starts[t])
+                    kt = int(k[t])
+                    body_lo = lo + s
+                    body_hi = body_lo + kt * L  # exclusive
+                    rows_list = []
+                    for c in comps:
+                        i = var_pos[c]
+                        if i < s:
+                            rows_list.append(
+                                np.array([lo + i], dtype=np.int64)
+                            )
+                        elif i > ge:
+                            rows_list.append(
+                                np.array(
+                                    [body_hi + (i - ge - 1)],
+                                    dtype=np.int64,
+                                )
+                            )
+                        elif kt == 0:
+                            continue  # empty star loop: no rows
+                        elif branch_starts is not None:
+                            span = np.arange(body_lo, body_hi)
+                            rows_list.append(span[gpreds[i][span]])
+                        else:
+                            rows_list.append(
+                                np.arange(
+                                    body_lo + (i - gs), body_hi, L
+                                )
+                            )
+                    rows = (
+                        np.concatenate(rows_list)
+                        if rows_list
+                        else np.empty(0, dtype=np.int64)
+                    )
+                    ser = pd.Series(src[rows])
+                    nn = int(ser.count())
+                    if m.fn == "count_col":
+                        vals.append(nn)
+                    elif nn == 0:
+                        vals.append(None)  # SQL: all-NULL rows
+                    elif m.fn == "sum":
+                        vals.append(ser.sum())
+                    elif m.fn == "avg":
+                        vals.append(float(ser.mean()))
+                    elif m.fn == "min":
+                        vals.append(ser.min())
+                    else:
+                        vals.append(ser.max())
+                return vals
+
         # per-key 1-based MATCH_NUMBER (starts are in row order, so
         # per-segment order is start order)
         if any(m.fn == "match_number" for m in measure_list):
@@ -1660,6 +1796,9 @@ def match_pattern_fast_loop_chain(
                     out_cols[m.name] = np.repeat(
                         last_var_name, len(starts)
                     )
+                continue
+            if m.fn in AGG_FNS:
+                out_cols[m.name] = _agg_values(m)
                 continue
             comps = subset_map.get(m.var, (m.var,))
             firsts, lasts, counts = zip(*(var_rows(c) for c in comps))
@@ -1744,6 +1883,10 @@ def fast_loop_chain_all_rows_applicable(spec) -> bool:
         rows_per_match="one",
         measures=tuple(m for m in spec.measures if not m.running),
     )
+    if any(m.fn in AGG_FNS for m in one.measures):
+        # FINAL aggregates compile on the ONE ROW kernel (round 11)
+        # but this all-rows emitter's gathers don't — NFA tier
+        return False
     return fast_loop_chain_applicable(one)
 
 
@@ -1878,6 +2021,9 @@ def match_pattern_fast_loop_chain_all_rows(
                 continue
             if m.fn == "classifier":
                 mvals[m.name] = np.repeat(last_var_name, nm)
+                continue
+            if m.fn in AGG_FNS:
+                out_cols[m.name] = _agg_values(m)
                 continue
             comps = subset_map.get(m.var, (m.var,))
             firsts, lasts, counts = zip(*(var_rows(c) for c in comps))
@@ -2060,6 +2206,10 @@ def fast_star_chain_applicable(aspec) -> bool:
     try:
         synth.validate()
     except (ValueError, NotImplementedError):
+        return False
+    if any(m.fn in AGG_FNS for m in aspec.measures):
+        # the star-chain emitter predates the chain kernel's round-11
+        # aggregate path — keep its routing unchanged (NFA coordinator)
         return False
     return fast_loop_chain_applicable(synth)
 

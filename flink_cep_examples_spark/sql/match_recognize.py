@@ -71,8 +71,10 @@ from flink_cep_examples_spark.operators.cep_batch import (
 from flink_cep_examples_spark.operators.fast_path import (
     fast_abc_applicable,
     fast_abc_semantics_hold,
+    fast_group_preds_disjoint,
     fast_loop_chain_applicable,
     fast_positional_applicable,
+    loop_chain_agg_needs_disjoint,
     match_pattern_fast_abc,
     match_pattern_fast_abc_all_rows,
     match_pattern_fast_loop_chain,
@@ -1226,7 +1228,18 @@ def match_recognize(
         # with a runtime predicate-disjointness check and per-segment
         # NFA fallback (round 8)
         out = match_pattern_fast_nested_chain(df, spec)
-    elif use_fast_path and fast_loop_chain_applicable(spec):
+    elif (
+        use_fast_path
+        and fast_loop_chain_applicable(spec)
+        # branch-group aggregates select rows by predicate — exact
+        # only under data-verified group-predicate disjointness
+        # (round 11); violations fall back to the NFA tier, whose
+        # classify path raises its named ambiguity reject
+        and (
+            not loop_chain_agg_needs_disjoint(spec)
+            or fast_group_preds_disjoint(df, spec)
+        )
+    ):
         # trailing-loop-group longest derivation compiles to the
         # vectorized chain kernel (round 7 — the NFA's held-completion
         # Python loop was the one perf-weak shape in round 6)

@@ -173,9 +173,9 @@ def test_gating_falls_back_to_nfa():
         )
     )
     assert fast_loop_chain_applicable(within)
-    # count_col (COUNT(var.col), non-null counting) can't come from the
-    # SQL front-end for loop vars (the parser rejects it), but the spec
-    # type allows it — the kernel must still decline
+    # aggregates (incl. count_col) compile since round 11 — the kernel
+    # computes per-match reductions over positional / predicate-
+    # selected row sets
     import dataclasses
 
     from flink_cep_examples_spark.plans.pattern import Measure
@@ -187,7 +187,18 @@ def test_gating_falls_back_to_nfa():
             Measure(name="nn", var="X", src="event_id", fn="count_col"),
         ),
     )
-    assert not fast_loop_chain_applicable(count_col)
+    assert fast_loop_chain_applicable(count_col)
+    # RUNNING measures still decline (the all-rows tier's segmented
+    # cumsum serves single-var targets; others NFA)
+    run = dataclasses.replace(
+        base,
+        measures=(
+            Measure(
+                name="rs", var="X", src="event_id", fn="sum", running=True
+            ),
+        ),
+    )
+    assert not fast_loop_chain_applicable(run)
 
 
 BODY_SUFFIX = """
@@ -776,3 +787,106 @@ def test_all_rows_running_prefix_matches_nfa(spark, seed):
     df = _events_df(spark, _random_rows(seed))
     f, n = _both_all_rows(spark, df, BODY_ALL_ROWS_RUNNING_PFX)
     assert f == n and f
+
+
+# --- round 11: FINAL aggregates on the chain kernel ----------------------
+
+
+BODY_AGG = """
+PARTITION BY user_id ORDER BY ts, event_id
+MEASURES FIRST(X.ts) AS fx, SUM(X.event_id) AS sx,
+         AVG(Y.event_id) AS ay, MIN(Y.event_id) AS my,
+         COUNT(X.event_id) AS nx, COUNT(X.*) AS pairs
+ONE ROW PER MATCH
+AFTER MATCH SKIP PAST LAST ROW
+PATTERN ((X Y)+ Z)
+DEFINE X AS event_id % 3 = 1, Y AS event_id % 3 = 2,
+       Z AS event_id % 3 = 0
+"""
+
+BODY_BRANCH_AGG = """
+PARTITION BY user_id ORDER BY ts, event_id
+MEASURES SUM(A.event_id) AS sa, MIN(B.event_id) AS mb,
+         SUM(C.event_id) AS sc, COUNT(D.*) AS nd
+ONE ROW PER MATCH
+AFTER MATCH SKIP PAST LAST ROW
+PATTERN ((A B | C D)+)
+DEFINE A AS event_id % 5 = 1, B AS event_id % 5 = 2,
+       C AS event_id % 5 = 3, D AS event_id % 5 = 4
+"""
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_chain_kernel_aggregates_match_nfa(spark, seed):
+    """FINAL aggregates compile on the chain kernel since round 11
+    (prefix/suffix: positional row; single-body loop vars: stride-L
+    slice) — per-match pandas reductions, bit-equal to the NFA
+    evaluator."""
+    spec = parse_match_recognize(BODY_AGG)
+    assert fast_loop_chain_applicable(spec)
+    df = _events_df(spark, _random_rows(seed))
+    f, n = _both(spark, df, BODY_AGG)
+    assert f == n
+    assert f, "fixture must exercise matches"
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_chain_kernel_branch_aggregates_match_nfa(spark, seed):
+    """Aggregates over EQUAL-WIDTH branch-group vars: the kernel
+    selects body rows by the var's own predicate — exact because the
+    dispatcher verified group-predicate disjointness on the data
+    (fast_group_preds_disjoint); the NFA's classify path is the
+    differential oracle. This was the 4x-at-10x NFA-only shape
+    (cep_group_alt_agg) — now 2.2x on the kernel."""
+    from flink_cep_examples_spark.operators.fast_path import (
+        fast_group_preds_disjoint,
+        loop_chain_agg_needs_disjoint,
+    )
+
+    spec = parse_match_recognize(BODY_BRANCH_AGG)
+    assert fast_loop_chain_applicable(spec)
+    assert loop_chain_agg_needs_disjoint(spec)
+    rng = random.Random(seed)
+    rows = [
+        (u, i, rng.choice([1, 2, 3, 4, 1, 2, 3, 4, 0]))
+        for u in range(6)
+        for i in range(rng.randrange(50, 90))
+    ]
+    df = _events_df(spark, rows)
+    assert fast_group_preds_disjoint(df, spec)
+
+    def norm(rows_):
+        # NULL branch aggregates sort against ints otherwise
+        return sorted(
+            tuple((v is None, v) for v in r) for r in rows_
+        )
+
+    fast = match_recognize(df, BODY_BRANCH_AGG, tiebreak_col="event_id")
+    nfa = match_recognize(
+        df, BODY_BRANCH_AGG, tiebreak_col="event_id", use_fast_path=False
+    )
+    f = norm(map(tuple, fast.collect()))
+    n = norm(map(tuple, nfa.collect()))
+    assert f == n
+    assert f, "fixture must exercise matches"
+
+
+def test_chain_kernel_branch_agg_overlap_routes_to_nfa(spark):
+    """Overlapping group predicates fail the data-verified disjointness
+    gate: the dispatcher routes to the NFA tier, whose classify path
+    raises its named ambiguity reject — behavior identical to
+    pre-kernel rounds."""
+    from flink_cep_examples_spark.operators.fast_path import (
+        fast_group_preds_disjoint,
+    )
+
+    body = BODY_BRANCH_AGG.replace(
+        "A AS event_id % 5 = 1", "A AS event_id % 5 IN (1, 2)"
+    )
+    spec = parse_match_recognize(body)
+    rows = [(1, i, e) for i, e in enumerate([1, 2, 3, 4, 1, 2])]
+    df = _events_df(spark, rows)
+    assert not fast_group_preds_disjoint(df, spec)
+    out = match_recognize(df, body, tiebreak_col="event_id")
+    with pytest.raises(Exception, match="pairwise-disjoint"):
+        out.collect()

@@ -1222,3 +1222,102 @@ def test_streaming_all_rows_rejects(spark, tmp_path):
             """,
             tiebreak_col="event_id",
         )
+
+
+def test_streaming_restart_with_aggregate_and_all_rows_state(
+    spark, tmp_path
+):
+    """Checkpoint recovery for the round-11 state shapes: spans carry a
+    6th folded field (aggregate accumulators / captured rows), so a
+    restart must restore them mid-match. Same protocol as
+    test_streaming_restart_from_checkpoint — half the input, stop,
+    append, new query from the same checkpoint — run for BOTH an
+    aggregate-measures query and an ALL ROWS query."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.sources.billing import events_as_billing
+    from flink_cep_examples_spark.sql.match_recognize import (
+        match_recognize,
+    )
+
+    agg_body = """
+      PARTITION BY id ORDER BY event_time
+      MEASURES FIRST(A.datetime) AS alarm_dt,
+               SUM(B.balanceAfter) AS sum_b, AVG(B.balanceAfter) AS avg_b
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A B* C) WITHIN INTERVAL '1' HOUR
+      DEFINE
+        A AS A.balanceBefore >= 10 AND A.balanceAfter < 10,
+        B AS B.balanceBefore >= B.balanceAfter,
+        C AS C.balanceBefore < C.balanceAfter
+    """
+    all_rows_body = agg_body.replace(
+        "ONE ROW PER MATCH", "ALL ROWS PER MATCH"
+    ).replace(
+        "FIRST(A.datetime) AS alarm_dt,\n"
+        "               SUM(B.balanceAfter) AS sum_b, "
+        "AVG(B.balanceAfter) AS avg_b",
+        "FINAL COUNT(B.*) AS n_b, SUM(B.balanceAfter) AS sum_b",
+    )
+    billing = events_as_billing(spark, "/root/testdata/sf0.001")
+    sentinel = spark.createDataFrame(
+        [("zz", "2031-01-01 00:00:00", 50.0, 50.0, 999_999_999)],
+        "id string, datetime string, balanceBefore double, "
+        "balanceAfter double, seq long",
+    ).select(
+        "id",
+        F.to_timestamp("datetime").alias("event_time"),
+        "seq",
+        "balanceBefore",
+        "balanceAfter",
+        "datetime",
+    )
+    full = billing.select(sentinel.columns).unionByName(sentinel).cache()
+    cut = full.approxQuantile("seq", [0.5], 0.01)[0]
+
+    def norm(r):
+        return tuple(
+            round(v, 6) if isinstance(v, float) else v for v in r
+        )
+
+    for tag, body in (("agg", agg_body), ("ar", all_rows_body)):
+        expected = sorted(
+            norm(tuple(r))
+            for r in match_recognize(full, body).drop("tag").collect()
+        )
+        assert expected
+        src = tmp_path / f"src_{tag}"
+        src.mkdir()
+        chk = str(tmp_path / f"chk_{tag}")
+        sink = str(tmp_path / f"out_{tag}")
+        full.filter(F.col("seq") <= cut).coalesce(1).write.parquet(
+            str(src / "p1")
+        )
+        schema = spark.read.parquet(str(src / "p1")).schema
+
+        def run_once() -> None:
+            stream = spark.readStream.schema(schema).option(
+                "recursiveFileLookup", "true"
+            ).parquet(str(src))
+            out = match_recognize(stream, body).drop("tag")
+            q = (
+                out.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", chk)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        run_once()
+        full.filter(F.col("seq") > cut).coalesce(1).write.parquet(
+            str(src / "p2")
+        )
+        run_once()
+        got = sorted(
+            norm(tuple(r)) for r in spark.read.parquet(sink).collect()
+        )
+        assert got == expected, tag
+    full.unpersist()
