@@ -320,15 +320,18 @@ def test_alternation_all_rows_with_exclusion(spark):
     ]
 
 
-def test_alternation_all_rows_streaming_rejected(spark, tmp_path):
-    """The streaming tier keeps first/last payloads per variable, not
-    every matched row — ALL ROWS alternation must raise clearly."""
+def test_alternation_all_rows_streaming_boundary(spark, tmp_path):
+    """ALL ROWS alternation streams since round 11 under SKIP PAST
+    LAST + eager (tests/test_alternation.py has the agreement test);
+    the SKIP TO NEXT shape — overlapping matches complete out of start
+    order, so match_seq can't reproduce batch's numbering — must raise
+    clearly, naming the eligible strategy."""
     body = _BODY_TO_NEXT.replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH")
     df = _df(spark, [D, U])
     src = tmp_path / "src"
     df.coalesce(1).write.parquet(str(src))
     stream = spark.readStream.schema(df.schema).parquet(str(src))
-    with pytest.raises(NotImplementedError, match="ALL ROWS PER MATCH"):
+    with pytest.raises(NotImplementedError, match="SKIP PAST LAST"):
         match_recognize(stream, body)
 
 
