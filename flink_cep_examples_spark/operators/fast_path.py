@@ -1748,20 +1748,7 @@ def match_pattern_fast_loop_chain(
                         if rows_list
                         else np.empty(0, dtype=np.int64)
                     )
-                    ser = pd.Series(src[rows])
-                    nn = int(ser.count())
-                    if m.fn == "count_col":
-                        vals.append(nn)
-                    elif nn == 0:
-                        vals.append(None)  # SQL: all-NULL rows
-                    elif m.fn == "sum":
-                        vals.append(ser.sum())
-                    elif m.fn == "avg":
-                        vals.append(float(ser.mean()))
-                    elif m.fn == "min":
-                        vals.append(ser.min())
-                    else:
-                        vals.append(ser.max())
+                    vals.append(_final_agg_reduce(m.fn, src[rows]))
                 return vals
 
         # per-key 1-based MATCH_NUMBER (starts are in row order, so
@@ -2518,6 +2505,44 @@ def match_pattern_fast_group_absence(
         yield out
 
     return sorted_p.mapInPandas(scan_partition, out_schema)
+
+
+def _final_agg_reduce(fn: str, values):
+    """One FINAL aggregate over a numpy slice of a variable's rows —
+    numpy for numeric dtypes (NaN-skipping, matching the NFA
+    evaluator's pandas reductions bit-for-bit: pandas delegates to the
+    same numpy kernels), pandas for object dtypes (timestamps /
+    decimals with None holes). Returns the SQL value: COUNT(col) the
+    non-null count, any other aggregate over zero non-null rows NULL."""
+    import numpy as np
+    import pandas as pd
+
+    if values.dtype.kind == "f":
+        values = values[~np.isnan(values)]
+        nn = len(values)
+    elif values.dtype == object:
+        ser = pd.Series(values)
+        nn = int(ser.count())
+        if fn == "count_col":
+            return nn
+        if nn == 0:
+            return None
+        if fn == "sum":
+            return ser.sum()
+        if fn == "avg":
+            return float(ser.mean())
+        return ser.min() if fn == "min" else ser.max()
+    else:
+        nn = len(values)
+    if fn == "count_col":
+        return nn
+    if nn == 0:
+        return None
+    if fn == "sum":
+        return values.sum()
+    if fn == "avg":
+        return float(values.mean())
+    return values.min() if fn == "min" else values.max()
 
 
 def _chain_vars_measures_ok(spec, allow_agg: bool = False) -> bool:
@@ -3511,7 +3536,11 @@ def fast_mixed_branch_applicable(spec) -> bool:
     widths = {e - s + 1 for s, e in branches}
     if len(widths) < 2:
         return False  # equal width: the chain kernel's shape
-    return _chain_vars_measures_ok(spec)
+    # allow_agg (round 11): FINAL aggregates compute per island over
+    # the variable's predicate-selected rows — exact because this
+    # kernel verifies predicate disjointness at runtime and falls back
+    # to the NFA per partition on overlap
+    return _chain_vars_measures_ok(spec, allow_agg=True)
 
 
 def match_pattern_fast_mixed_branch(
@@ -3643,6 +3672,23 @@ def match_pattern_fast_mixed_branch(
                 for c in comps:
                     tot += var_count[c]
                 cols[m.name] = tot
+                continue
+            if m.fn in AGG_FNS:
+                # FINAL aggregate over the island's predicate-selected
+                # rows (round 11): exact under the kernel's verified
+                # disjointness; the reductions are the SAME pandas ops
+                # the NFA evaluator uses (bit-equal tiers)
+                comp_idx = [var_names.index(c) for c in comps]
+                src = src_arrays[m.src]
+                vals = np.empty(n_isl, dtype=object)
+                for t in range(n_isl):
+                    lo = int(first_row[t])
+                    hi = int(last_row[t]) + 1
+                    sel = p[comp_idx[0]][lo:hi]
+                    for ci in comp_idx[1:]:
+                        sel = sel | p[ci][lo:hi]
+                    vals[t] = _final_agg_reduce(m.fn, src[lo:hi][sel])
+                cols[m.name] = vals
                 continue
             if m.fn == "first":
                 idxs = np.full(n_isl, big, dtype=np.int64)

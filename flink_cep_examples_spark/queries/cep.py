@@ -2774,6 +2774,109 @@ register(
 )
 
 
+def cep_group_alt_mixed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate measures over MIXED-WIDTH branch-group variables —
+    ``SUM/AVG/MIN/COUNT`` over ``((A | C D)+)`` vars (round 11): the
+    break-mask islands kernel computes FINAL aggregates per island
+    over each variable's predicate-selected rows (exact under its
+    runtime disjointness check; overlap falls back to the NFA
+    classify path). Reference composition: the reference's aggregate
+    MEASURES clause (FlinkSqlMatchRecognizeExample.scala:57-59)
+    generalized to the round-10 mixed-width branch shape.
+
+    Classes: event_id % 5 → 1=A, 3=C, 4=D (2 and 0 inert)."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.sources.tables import load_table, spread
+    from flink_cep_examples_spark.sql.match_recognize import match_recognize
+
+    events = spread(load_table(spark, sf_dir, "events"), "user_id").select(
+        "user_id", "ts", "event_id"
+    )
+    out = match_recognize(
+        events,
+        """
+        PARTITION BY user_id ORDER BY ts, event_id
+        MEASURES FIRST(U.ts) AS start_ts,
+                 SUM(A.event_id) AS sum_a, MIN(C.event_id) AS min_c,
+                 SUM(D.event_id) AS sum_d, COUNT(C.*) AS n_c
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN ((A | C D)+)
+        SUBSET U = (A, C, D)
+        DEFINE A AS event_id % 5 = 1,
+               C AS event_id % 5 = 3,
+               D AS event_id % 5 = 4
+        """,
+        tiebreak_col="event_id",
+    )
+    # an all-A island has NULL C/D aggregates (and vice versa) —
+    # COALESCE on BOTH sides, catalog convention
+    return out.select(
+        "user_id",
+        F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss").alias("start_dt"),
+        F.coalesce(F.col("sum_a").cast("bigint"), F.lit(0)).alias("sum_a"),
+        F.coalesce(F.col("min_c").cast("bigint"), F.lit(0)).alias("min_c"),
+        F.coalesce(F.col("sum_d").cast("bigint"), F.lit(0)).alias("sum_d"),
+        F.col("n_c").cast("bigint").alias("n_c"),
+    )
+
+
+#: The ORACLE_GROUP_ALT_MIXED island decomposition (maximal unbroken
+#: runs of tiled (A)|(C D) rows ARE the greedy matches), then per
+#: island one aggregate pass with each variable's rows selected by
+#: its own class — exactly the islands kernel's round-11 path.
+ORACLE_GROUP_ALT_MIXED_AGG = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_id % 5 AS m,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+f AS (
+  SELECT *,
+         (m IN (1, 3, 4)
+          AND NOT (m = 3 AND COALESCE(lead(m) OVER w, -1) != 4)
+          AND NOT (m = 4 AND COALESCE(lag(m) OVER w, -1) != 3)
+         ) AS ok
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+),
+g AS (
+  SELECT *,
+         CASE WHEN ok AND COALESCE(
+                lag(ok) OVER (PARTITION BY user_id ORDER BY rn), FALSE
+              ) THEN 0 ELSE 1 END AS brk
+  FROM f
+),
+isl AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY rn) AS iid
+  FROM g WHERE ok
+)
+SELECT i.user_id,
+       strftime(MIN(i.ts), {_FMT}) AS start_dt,
+       CAST(COALESCE(SUM(CASE WHEN i.m = 1 THEN i.event_id END), 0)
+            AS BIGINT) AS sum_a,
+       CAST(COALESCE(MIN(CASE WHEN i.m = 3 THEN i.event_id END), 0)
+            AS BIGINT) AS min_c,
+       CAST(COALESCE(SUM(CASE WHEN i.m = 4 THEN i.event_id END), 0)
+            AS BIGINT) AS sum_d,
+       CAST(COUNT(CASE WHEN i.m = 3 THEN 1 END) AS BIGINT) AS n_c
+FROM isl i
+GROUP BY i.user_id, i.iid
+"""
+
+
+register(
+    "cep_group_alt_mixed_agg",
+    cep_group_alt_mixed_agg,
+    ORACLE_GROUP_ALT_MIXED_AGG,
+    # round 11: aggregates over mixed-width branch vars (islands
+    # kernel); gate at the 50 cap — joins the r12 promotion queue
+    # behind cep_group_alt_agg
+    driver=False,
+)
+
+
 def cep_group_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NESTED unbounded groups — ``PATTERN (((A B)+ C)+)`` (round 8):
     round 7's last structural reject. A nested group is just more

@@ -718,3 +718,66 @@ def test_branch_running_measures_match_re(spark):
                         -1.0 if rsc is None else float(rsc), rca,
                     ))
         assert got == sorted(want)
+
+
+@pytest.mark.parametrize("seed", [4, 19])
+def test_mixed_branch_aggregates_match_nfa(spark, seed):
+    """FINAL aggregates on the mixed-width ISLANDS kernel (round 11):
+    per-island reductions over each var's predicate-selected rows —
+    exact under the kernel's runtime disjointness check; the NFA
+    classify path is the differential oracle."""
+    from flink_cep_examples_spark.operators.fast_path import (
+        fast_mixed_branch_applicable,
+    )
+    from flink_cep_examples_spark.sql.match_recognize import (
+        match_recognize,
+    )
+
+    body = """
+    PARTITION BY user_id ORDER BY ts, event_id
+    MEASURES SUM(A.event_id) AS sa, AVG(C.event_id) AS ac,
+             MIN(D.event_id) AS md, COUNT(C.event_id) AS nc
+    ONE ROW PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN ((A | C D)+)
+    DEFINE A AS event_id % 5 = 1, C AS event_id % 5 = 3,
+           D AS event_id % 5 = 4
+    """
+    assert fast_mixed_branch_applicable(parse_match_recognize(body))
+    import random
+
+    rng = random.Random(seed * 31 + 7)
+    rows = [
+        (u, i, rng.choice([1, 1, 3, 4, 3, 4, 0, 2]))
+        for u in range(6)
+        for i in range(rng.randrange(60, 110))
+    ]
+    df = _events_df(spark, rows)
+
+    def norm(rows_):
+        out = []
+        for r in rows_:
+            out.append(
+                tuple(
+                    (v is None, round(v, 6) if isinstance(v, float) else v)
+                    for v in r
+                )
+            )
+        return sorted(out)
+
+    fast = norm(
+        map(
+            tuple,
+            match_recognize(df, body, tiebreak_col="event_id").collect(),
+        )
+    )
+    nfa = norm(
+        map(
+            tuple,
+            match_recognize(
+                df, body, tiebreak_col="event_id", use_fast_path=False
+            ).collect(),
+        )
+    )
+    assert fast == nfa
+    assert fast, "fixture must exercise matches"
