@@ -1321,3 +1321,84 @@ def test_streaming_restart_with_aggregate_and_all_rows_state(
         )
         assert got == expected, tag
     full.unpersist()
+
+
+def test_streaming_timeout_rows_carry_aggregates(spark, tmp_path):
+    """Aggregate measures on TIMEOUT rows (round 11): a timed-out
+    partial's accumulator covers the rows consumed so far — the
+    streaming watermark-expiry emission must value-match batch's
+    partial-span evaluation, including NULL sum / 0 count for
+    empty-B* partials."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.operators import match_pattern
+    from flink_cep_examples_spark.plans.pattern import (
+        Measure,
+        Pattern,
+        SKIP_PAST_LAST_EVENT,
+    )
+    from flink_cep_examples_spark.sources.billing import events_as_billing
+    from flink_cep_examples_spark.streaming import match_pattern_stream
+
+    spec = (
+        Pattern.begin("A", skip=SKIP_PAST_LAST_EVENT)
+        .where("balanceBefore >= 10 AND balanceAfter < 10")
+        .next("B")
+        .one_or_more()
+        .optional()
+        .where("balanceBefore >= balanceAfter")
+        .next("C")
+        .where("balanceBefore < balanceAfter")
+        .within("1 hour")
+        .build(
+            measures=[
+                Measure("a_dt", "A", "datetime", "first"),
+                Measure("sum_b", "B", "balanceAfter", "sum"),
+                Measure("n_b", "B", "balanceAfter", "count_col"),
+            ],
+            emit_timeouts=True,
+        )
+    )
+    billing = events_as_billing(spark, "/root/testdata/sf0.001")
+    sentinel = spark.createDataFrame(
+        [("zz", "2031-01-01 00:00:00", 50.0, 50.0, 999_999_999)],
+        "id string, datetime string, balanceBefore double, "
+        "balanceAfter double, seq long",
+    ).select(
+        "id",
+        F.to_timestamp("datetime").alias("event_time"),
+        "seq",
+        "balanceBefore",
+        "balanceAfter",
+        "datetime",
+    )
+    src = str(tmp_path / "toagg")
+    billing.select(sentinel.columns).unionByName(sentinel).coalesce(
+        2
+    ).write.parquet(src)
+    batch_df = spark.read.parquet(src)
+
+    def norm(r):
+        return tuple(
+            round(v, 6) if isinstance(v, float) else v for v in r
+        )
+
+    batch = sorted(
+        norm(tuple(r)) for r in match_pattern(batch_df, spec).collect()
+    )
+    assert sum(1 for r in batch if r[-1] == "timeout") > 0
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    out = match_pattern_stream(stream, spec, "6 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("toagg_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        norm(tuple(r)) for r in spark.table("toagg_stream").collect()
+    )
+    assert got == batch
