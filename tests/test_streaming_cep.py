@@ -1184,8 +1184,8 @@ def test_streaming_all_rows_matches_batch(spark, sf_small, tmp_path):
 
 def test_streaming_all_rows_rejects(spark, tmp_path):
     """Streaming ALL ROWS boundary: 'longest' derivation (match_seq
-    needs start-order renumbering) and RUNNING measures stay loud
-    batch-tier rejects."""
+    needs start-order renumbering) stays the loud batch-tier reject;
+    RUNNING measures stream since round 11.2 (agreement test below)."""
     from flink_cep_examples_spark.sql.match_recognize import (
         match_recognize,
     )
@@ -1208,20 +1208,115 @@ def test_streaming_all_rows_rejects(spark, tmp_path):
             """,
             tiebreak_col="event_id",
         )
-    with pytest.raises(NotImplementedError, match="RUNNING"):
-        match_recognize(
-            stream,
-            """
-            PARTITION BY user_id ORDER BY ts, event_id
-            MEASURES RUNNING COUNT(B.*) AS rb
-            ALL ROWS PER MATCH
-            AFTER MATCH SKIP PAST LAST ROW
-            PATTERN (A B* C)
-            DEFINE A AS event_id % 4 = 1, B AS event_id % 4 = 2,
-                   C AS event_id % 4 = 3
-            """,
-            tiebreak_col="event_id",
+    running = match_recognize(
+        stream,
+        """
+        PARTITION BY user_id ORDER BY ts, event_id
+        MEASURES RUNNING COUNT(B.*) AS rb
+        ALL ROWS PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A B* C)
+        DEFINE A AS event_id % 4 = 1, B AS event_id % 4 = 2,
+               C AS event_id % 4 = 3
+        """,
+        tiebreak_col="event_id",
+    )
+    assert running.isStreaming
+
+
+@pytest.mark.slow
+def test_streaming_all_rows_running_measures_match_batch(
+    spark, sf_small, tmp_path
+):
+    """RUNNING measures in streaming ALL ROWS (round 11.2): an
+    incremental walk over the match's captured rows clipped to each
+    output row — must value-match the batch tier's _running_series
+    semantics (count counts rows, NULL aggregation skips, empty
+    prefix -> NULL), including rows before the first B."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.sources.tables import load_table
+    from flink_cep_examples_spark.sql.match_recognize import (
+        match_recognize,
+    )
+
+    events = load_table(spark, sf_small, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    sentinel = spark.createDataFrame(
+        [(-1, "2031-01-01 00:00:00", 4, 0.0)],  # 4 % 4 == 0: inert
+        "user_id long, dt string, event_id long, value double",
+    ).select(
+        "user_id", F.to_timestamp("dt").alias("ts"), "event_id", "value"
+    )
+    src = str(tmp_path / "runar_events")
+    lo, hi = events.agg(
+        F.min("ts").alias("a"), F.max("ts").alias("b")
+    ).first()
+    cut = lo + (hi - lo) / 2
+    for part in (
+        events.filter(F.col("ts") <= F.lit(cut)),
+        events.filter(F.col("ts") > F.lit(cut)),
+        sentinel,
+    ):
+        part.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    body = """
+    PARTITION BY user_id ORDER BY ts, event_id
+    MEASURES RUNNING COUNT(B.*) AS rb,
+             RUNNING SUM(B.value) AS rsb,
+             RUNNING AVG(B.value) AS rab,
+             RUNNING LAST(B.value) AS rlb,
+             RUNNING CLASSIFIER() AS rcls,
+             FINAL COUNT(B.*) AS n_b
+    ALL ROWS PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN (A B* C) WITHIN INTERVAL '2' DAY
+    DEFINE A AS event_id % 4 = 1,
+           B AS event_id % 4 = 2,
+           C AS event_id % 4 = 3
+    """
+
+    def key(r):
+        return (
+            r.user_id, r.ts, r.event_id, r.classifier, r.match_seq,
+            r.rb,
+            None if r.rsb is None else round(r.rsb, 6),
+            None if r.rab is None else round(r.rab, 6),
+            None if r.rlb is None else round(r.rlb, 6),
+            r.rcls, r.n_b,
         )
+
+    batch_df = spark.read.parquet(src)
+    batch = sorted(
+        key(r)
+        for r in match_recognize(
+            batch_df, body, tiebreak_col="event_id"
+        ).collect()
+    )
+    assert batch
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = match_recognize(
+        stream, body, tiebreak_col="event_id", watermark_delay="6 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("runar_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        key(r) for r in spark.sql("SELECT * FROM runar_stream").collect()
+    )
+    assert got == batch
 
 
 def test_streaming_restart_with_aggregate_and_all_rows_state(
