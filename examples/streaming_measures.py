@@ -9,7 +9,9 @@ streams).
 Expected golden output: the key-2 match row with aggregates over its
 two B rows (sum_b=7, avg_b=3.5, min_b=3, max_b=4) and
 u_first/u_last = 6/23 over SUBSET U = (A, C); then the same match
-expanded to its four rows (A B B C) by the ALL ROWS query.
+expanded to its four rows (A B B C) by the ALL ROWS query, with
+b_so_far running 0, 1, 2, 2 down the match (round 11.2: RUNNING
+measures stream under ALL ROWS).
 """
 
 import os
@@ -40,7 +42,8 @@ ONE_ROW_BODY = """
 
 ALL_ROWS_BODY = """
   PARTITION BY id ORDER BY event_time
-  MEASURES FINAL COUNT(B.*) AS n_b, SUM(B.balanceAfter) AS sum_b
+  MEASURES FINAL COUNT(B.*) AS n_b, SUM(B.balanceAfter) AS sum_b,
+           RUNNING COUNT(B.*) AS b_so_far
   ALL ROWS PER MATCH
   AFTER MATCH SKIP PAST LAST ROW
   PATTERN (A B* C) WITHIN INTERVAL '1' HOUR
