@@ -1497,3 +1497,77 @@ def test_streaming_timeout_rows_carry_aggregates(spark, tmp_path):
         norm(tuple(r)) for r in spark.table("toagg_stream").collect()
     )
     assert got == batch
+
+
+def test_streaming_all_rows_exclusion_advances_running_state(
+    spark, tmp_path
+):
+    """{- B* -} under streaming ALL ROWS with RUNNING measures: the
+    excluded rows do not emit but the running walk still consumes them
+    — the C row must show the full rb/rsb while no B rows appear.
+    Batch/stream agreement on a hand fixture."""
+    import datetime as dt
+
+    from flink_cep_examples_spark.sql.match_recognize import (
+        match_recognize,
+    )
+
+    body = """
+    PARTITION BY user_id ORDER BY ts, event_id
+    MEASURES RUNNING COUNT(B.*) AS rb, RUNNING SUM(B.value) AS rsb,
+             FINAL COUNT(B.*) AS n_b
+    ALL ROWS PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN (A {- B* -} C) WITHIN INTERVAL '2' DAY
+    DEFINE A AS event_id % 4 = 1, B AS event_id % 4 = 2,
+           C AS event_id % 4 = 3
+    """
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base + dt.timedelta(minutes=i), m, float(i))
+        for i, m in enumerate([1, 2, 2, 3, 1, 3, 0, 1, 2, 3])
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double"
+    )
+    src = str(tmp_path / "excl")
+    df.union(
+        spark.createDataFrame(
+            [(99, dt.datetime(2031, 1, 1), 0, 0.0)], df.schema
+        )
+    ).coalesce(1).write.parquet(src)
+    batch_df = spark.read.parquet(src)
+
+    def key(r):
+        return (
+            r.ts, r.classifier, r.match_seq, r.rb,
+            None if r.rsb is None else round(r.rsb, 6), r.n_b,
+        )
+
+    batch = sorted(
+        key(r)
+        for r in match_recognize(
+            batch_df, body, tiebreak_col="event_id"
+        ).collect()
+    )
+    # no B rows emit; the first match's C row sees rb=2, rsb=1+2
+    assert all(k[1] in ("A", "C") for k in batch)
+    assert (dt.datetime(2024, 1, 1, 0, 3), "C", 0, 2, 3.0, 2) in batch
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    out = match_recognize(
+        stream, body, tiebreak_col="event_id", watermark_delay="6 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("excl_run_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        key(r)
+        for r in spark.sql("SELECT * FROM excl_run_stream").collect()
+    )
+    assert got == batch
