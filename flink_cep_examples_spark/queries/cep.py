@@ -2768,9 +2768,9 @@ register(
     "cep_group_alt_agg",
     cep_group_alt_agg,
     ORACLE_GROUP_ALT_AGG,
-    # round 11: aggregates over multi-branch group vars; gate at the
-    # 50 cap — heads the r12 promotion queue (COVERAGE.md policy)
-    driver=False,
+    # r12 rotation: promoted from the never-verified pool (registered
+    # round 11 at the 50 cap; re-verified green at sf0.01 through the
+    # driver-exact harness before promotion — COVERAGE.md policy)
 )
 
 
@@ -2870,10 +2870,9 @@ register(
     "cep_group_alt_mixed_agg",
     cep_group_alt_mixed_agg,
     ORACLE_GROUP_ALT_MIXED_AGG,
-    # round 11: aggregates over mixed-width branch vars (islands
-    # kernel); gate at the 50 cap — joins the r12 promotion queue
-    # behind cep_group_alt_agg
-    driver=False,
+    # r12 rotation: promoted from the never-verified pool (registered
+    # round 11 at the 50 cap; re-verified green at sf0.01 through the
+    # driver-exact harness before promotion — COVERAGE.md policy)
 )
 
 

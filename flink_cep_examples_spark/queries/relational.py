@@ -758,7 +758,9 @@ register(
 )
 register(
     "q19_disjunctive_revenue", q19_disjunctive_revenue, ORACLE_Q19,
-    # r5 rotation: promoted into the 50-row driver gate (never verified)
+    # r12 rotation: 7 green rounds (r5-r11), most-verified — demoted
+    # for cep_group_alt_mixed_agg (COVERAGE.md policy)
+    driver=False,
 )
 register(
     "q12_priority_late_ship", q12_priority_late_ship, ORACLE_Q12,

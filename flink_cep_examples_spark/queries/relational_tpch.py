@@ -655,6 +655,8 @@ register(
     "q20_part_promotion_suppliers",
     q20_part_promotion_suppliers,
     ORACLE_Q20,
+    driver=False,  # r12 rotation: 7 green rounds (r5-r11), most-
+    # verified — demoted for cep_group_alt_agg (COVERAGE.md policy)
 )
 register(
     "q21_waiting_suppliers", q21_waiting_suppliers, ORACLE_Q21,
