@@ -948,6 +948,12 @@ def match_pattern_stream_alternation(
                     out[m.name] = payload[payload_idx[m.src]]
             return out
 
+        running_ms = [
+            m
+            for m in measures
+            if m.running and m.fn not in ("classifier", "match_number")
+        ]
+
         def emit_all_rows(key: tuple, match: dict) -> None:
             mn = match_nos[key] = match_nos.get(key, 0) + 1
             mvals = _alt_measure_values(match, mn)
@@ -957,7 +963,70 @@ def match_pattern_stream_alternation(
                 for p in sp[5]
             ]
             entries.sort(key=lambda e: e[0])
-            for _ord, vname, p in entries:
+            # RUNNING measures (round 12, ADVICE r11 high): the same
+            # incremental clipped-prefix walk the single-pattern tier
+            # runs (emit_all_rows at match_pattern_stream) — previously
+            # this path silently emitted FINAL values for RUNNING
+            # SUM/COUNT/etc. Batch semantics: count counts rows,
+            # NULL/NaN skip aggregation, FIRST/LAST keep the row's
+            # value null or not, empty prefix → NULL; excluded-var
+            # rows advance the state but emit nothing.
+            run_rows: dict[str, list] = {}
+            run_st: dict[str, list] = {}
+            for m in running_ms:
+                j = payload_idx.get(m.src)
+                rows_m = sorted(
+                    (
+                        (p[-1], None if j is None else p[j])
+                        for c in subset_map.get(m.var, (m.var,))
+                        if match.get(c)
+                        for p in match[c][5]
+                    ),
+                    key=lambda t: t[0],  # ordinals are unique; never
+                    # compare the (possibly None) values
+                )
+                run_rows[m.name] = rows_m
+                # [next_idx, count, n_vals, total, mn_, mx_, first, last]
+                run_st[m.name] = [0, 0, 0, 0.0, None, None, None, None]
+
+            def _running_value(m, ord_):
+                rows_m = run_rows[m.name]
+                st = run_st[m.name]
+                i, cnt, nv, tot, mn_, mx_, first, last = st
+                while i < len(rows_m) and rows_m[i][0] <= ord_:
+                    v = rows_m[i][1]
+                    cnt += 1
+                    if cnt == 1:
+                        first = v  # first ROW's value, null or not
+                    last = v
+                    if v is not None and v == v:
+                        nv += 1
+                        if m.fn in ("sum", "avg"):
+                            tot += v
+                        mn_ = v if mn_ is None or v < mn_ else mn_
+                        mx_ = v if mx_ is None or v > mx_ else mx_
+                    i += 1
+                st[:] = [i, cnt, nv, tot, mn_, mx_, first, last]
+                if m.fn == "count":
+                    return cnt
+                if m.fn == "count_col":
+                    return nv
+                if m.fn == "first":
+                    return first if cnt else None
+                if m.fn == "last":
+                    return last if cnt else None
+                if nv == 0:
+                    return None  # SQL: aggregate over empty prefix
+                if m.fn == "sum":
+                    return tot
+                if m.fn == "avg":
+                    return tot / nv
+                return mn_ if m.fn == "min" else mx_
+
+            for ord_, vname, p in entries:
+                row_runs = {
+                    m.name: _running_value(m, ord_) for m in running_ms
+                }
                 if vname in excluded_vars:
                     continue  # {- var -}: consumed but not emitted
                 for c in data_cols:
@@ -965,7 +1034,12 @@ def match_pattern_stream_alternation(
                 data["classifier"].append(vname)
                 data["match_seq"].append(mn - 1)  # 0-based, as batch
                 for m in measures:
-                    data[m.name].append(mvals[m.name])
+                    if m.name in row_runs:
+                        data[m.name].append(row_runs[m.name])
+                    elif m.running and m.fn == "classifier":
+                        data[m.name].append(vname)
+                    else:
+                        data[m.name].append(mvals[m.name])
 
         def emit(key: tuple, match: dict) -> None:
             if alt_all_rows:

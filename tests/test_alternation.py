@@ -794,6 +794,90 @@ def test_streaming_alternation_all_rows_matches_batch(spark, sf_small, tmp_path)
     assert got == batch
 
 
+def test_streaming_alternation_all_rows_running_matches_batch(
+    spark, sf_small, tmp_path
+):
+    """RUNNING measures under streaming alternation ALL ROWS (round
+    12, ADVICE r11 high): the per-row clipped-prefix walk must agree
+    with batch — previously the alternation emit silently repeated
+    the FINAL value on every row (constant-per-match RUNNING SUM/
+    COUNT/CLASSIFIER), while the single-pattern streaming tier and
+    the batch tier both computed the true running series."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.sources.billing import events_as_billing
+
+    body = """
+      PARTITION BY id
+      ORDER BY event_time
+      MEASURES RUNNING SUM(B.balanceAfter) AS run_b,
+               RUNNING COUNT(B.*) AS b_so_far,
+               RUNNING CLASSIFIER() AS cur,
+               FINAL COUNT(B.*) AS n_b
+      ALL ROWS PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A C | A B{2})
+      DEFINE
+        A AS A.balanceBefore >= 10 AND A.balanceAfter < 10,
+        B AS B.balanceBefore >= B.balanceAfter,
+        C AS C.balanceBefore < C.balanceAfter
+    """
+    billing = events_as_billing(spark, sf_small)
+    sentinel = spark.createDataFrame(
+        [("zz", "2031-01-01 00:00:00", 50.0, 50.0, 999_999_999)],
+        "id string, datetime string, balanceBefore double, "
+        "balanceAfter double, seq long",
+    ).select(
+        "id",
+        F.to_timestamp("datetime").alias("event_time"),
+        "seq",
+        "balanceBefore",
+        "balanceAfter",
+        "datetime",
+    )
+    src = str(tmp_path / "billing_alt_allrows_run")
+    billing.select(sentinel.columns).unionByName(sentinel).coalesce(
+        2
+    ).write.parquet(src)
+
+    def norm(r):
+        return tuple(
+            round(v, 6) if isinstance(v, float) else v for v in r
+        )
+
+    batch_df = spark.read.parquet(src)
+    batch = sorted(
+        norm(tuple(r)) for r in match_recognize(batch_df, body).collect()
+    )
+    assert batch
+    # the running series must actually vary within B{2} matches —
+    # otherwise this test couldn't discriminate FINAL-for-RUNNING
+    by_cols = {f.name: i for i, f in enumerate(match_recognize(
+        batch_df, body).schema.fields)}
+    varying = [
+        r for r in batch
+        if r[by_cols["n_b"]] == 2 and r[by_cols["b_so_far"]] == 1
+    ]
+    assert varying, "need at least one mid-match RUNNING row"
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    out = match_recognize(stream, body)
+    assert out.isStreaming
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("alt_allrows_run_mem")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        norm(tuple(r))
+        for r in spark.table("alt_allrows_run_mem").collect()
+    )
+    assert got == batch
+
+
 def test_streaming_alternation_all_rows_rejects_overlapping_skip(
     spark, tmp_path
 ):

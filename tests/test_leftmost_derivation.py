@@ -554,6 +554,65 @@ def test_alternation_all_rows_running_measures(spark):
     ]
 
 
+def test_alternation_all_rows_running_excl_streaming(spark, tmp_path):
+    """Exclusion × RUNNING under STREAMING top-level alternation ALL
+    ROWS (round 12, ADVICE r11 high): an excluded {- C -} row sits
+    BETWEEN two emitted rows of its branch, so it must advance the
+    RUNNING walk's state (c_so_far jumps from 0 at the A row to 1 at
+    the E row) while emitting no output row — and the streamed rows
+    must agree with batch exactly. The group-copy route stays a loud
+    leftmost-derivation reject; this is the eager route."""
+    body = """
+      PARTITION BY id ORDER BY event_time
+      MEASURES RUNNING COUNT(C.*) AS c_so_far,
+               RUNNING SUM(B.seq) AS b_run,
+               FINAL COUNT(B.*) AS nb
+      ALL ROWS PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A {- C -} E | A B{2})
+      DEFINE A AS fd, B AS fd, C AS fc, E AS fd
+    """
+    df = _df(spark, [D, U, D, X, D, D, D, X, D, U, D]).unionByName(
+        # far-future inert sentinel: advances the watermark past the
+        # last real rows so availableNow flushes every match
+        spark.createDataFrame(
+            [("k", dt.datetime(2020, 5, 2, 0, 0, 0), 99, False, False)],
+            _SCHEMA,
+        )
+    )
+    batch = sorted(
+        tuple(r) for r in match_recognize(df, body).collect()
+    )
+    assert batch
+    cols = {
+        f.name: i
+        for i, f in enumerate(match_recognize(df, body).schema.fields)
+    }
+    # the excluded C row advanced the running count between A and E
+    assert any(r[cols["c_so_far"]] == 1 for r in batch)
+    assert all(r[cols["classifier"]] != "C" for r in batch)
+    # the B branch's running sum varies mid-match
+    assert any(
+        r[cols["nb"]] == 2 and r[cols["b_run"]] is None for r in batch
+    )
+    src = tmp_path / "excl_run_src"
+    df.coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    out = match_recognize(stream, body)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("alt_excl_run_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        tuple(r) for r in spark.table("alt_excl_run_mem").collect()
+    )
+    assert got == batch
+
+
 def test_leftmost_helds_survive_checkpoint_restart(spark, tmp_path):
     """Crash/redeploy story for the held-completion state: stop the
     stream at a point where a SHORTER branch's completion is HELD
