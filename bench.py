@@ -409,7 +409,15 @@ def main() -> None:
             },
             separators=(",", ":"),
         )
-    print(final_line)
+    # No trailing newline (round 12): the r11 driver record captured
+    # the COMPLETE final line inside its 2000-char tail yet still
+    # recorded "parsed": null — consistent with a last-line parse that
+    # splits on "\n" and sees the empty string AFTER a trailing
+    # newline. Ending stdout exactly at the closing brace makes every
+    # plausible last-line extraction (split, splitlines, strip) yield
+    # the JSON object.
+    sys.stdout.write(final_line)
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -39,6 +39,8 @@ Three shapes compile here:
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -123,32 +125,60 @@ def fast_abc_semantics_hold(df: DataFrame, spec: PatternSpec) -> bool:
     columns (projection pushdown), a fraction of the kernel's own
     shuffle — and the verdict is MEMOIZED per (session, analyzed-plan
     semantic hash, predicate triple), so repeated queries over the same
-    immutable source pay it once per session. (The memo assumes the
-    data under an identical plan does not change mid-session — the
-    engine's sources are immutable snapshot reads.)"""
+    immutable source pay it once per session.
+
+    The memo assumes the data under a semantically identical plan does
+    not change mid-session (the engine's sources are immutable snapshot
+    reads). If a source CAN gain rows under the same path/plan (files
+    appended to a parquet directory between queries), disable the memo
+    with ``spark.conf.set(
+    "spark.flinkCepExamplesSpark.abcDataCheckMemo.disabled", "true")``
+    (``ABC_MEMO_DISABLE_CONF``) — every call then re-runs the data
+    check. Round 12 (ADVICE r11): the memo is keyed on the
+    live session OBJECT via a WeakKeyDictionary, so entries die with
+    their session and a recycled ``id()`` can never resurrect a stale
+    verdict."""
     a_pred, b_pred, c_pred = (v.predicate for v in spec.variables)
+    sess = df.sparkSession
     key = None
     try:  # classic PySpark only; any failure just skips the memo
-        plan_hash = df._jdf.queryExecution().analyzed().semanticHash()
-        key = (id(df.sparkSession), plan_hash, a_pred, b_pred, c_pred)
+        if (
+            str(sess.conf.get(ABC_MEMO_DISABLE_CONF, "false")).lower()
+            != "true"
+        ):
+            plan_hash = df._jdf.queryExecution().analyzed().semanticHash()
+            key = (plan_hash, a_pred, b_pred, c_pred)
     except Exception:  # noqa: BLE001
         pass
-    if key is not None and key in _ABC_SEMANTICS_MEMO:
-        return _ABC_SEMANTICS_MEMO[key]
+    if key is not None:
+        per_sess = _ABC_SEMANTICS_MEMO.get(sess)
+        if per_sess is not None and key in per_sess:
+            return per_sess[key]
     pa, pb, pc = (
         F.coalesce(F.expr(p).cast("boolean"), F.lit(False))
         for p in (a_pred, b_pred, c_pred)
     )
     ok = df.where((pb == pc) | (pa & pc)).isEmpty()
     if key is not None:
-        if len(_ABC_SEMANTICS_MEMO) >= 256:
-            _ABC_SEMANTICS_MEMO.clear()  # tiny bound; rebuilt on demand
-        _ABC_SEMANTICS_MEMO[key] = ok
+        try:
+            per_sess = _ABC_SEMANTICS_MEMO.setdefault(sess, {})
+        except TypeError:  # session not weakref-able: skip the memo
+            return ok
+        if len(per_sess) >= 256:
+            per_sess.clear()  # tiny bound; rebuilt on demand
+        per_sess[key] = ok
     return ok
 
 
-#: (session id, plan semantic hash, A/B/C predicates) → data-check verdict
-_ABC_SEMANTICS_MEMO: dict[tuple, bool] = {}
+#: escape hatch for mutable-under-identical-plan sources: set to "true"
+#: to re-run the B≡¬C / A∧C=∅ data check on every dispatch
+ABC_MEMO_DISABLE_CONF = (
+    "spark.flinkCepExamplesSpark.abcDataCheckMemo.disabled"
+)
+
+#: session (weak) → {(plan semantic hash, A/B/C predicates): verdict};
+#: entries are dropped when their session is garbage-collected
+_ABC_SEMANTICS_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def fast_absence_applicable(spec: PatternSpec) -> bool:
@@ -1224,18 +1254,27 @@ def fast_group_preds_disjoint(df: DataFrame, spec) -> bool:
     aggregate rows equal the NFA's classify row sets (and the NFA's
     own runtime ambiguity reject unreachable). Same mechanics as
     :func:`fast_abc_semantics_hold`: one column-pruned limit-1 job,
-    memoized per (session, analyzed-plan hash, predicates); NULL
-    predicate values count as False."""
+    memoized per live-session object + analyzed-plan hash + predicates
+    (same WeakKeyDictionary, same ``ABC_MEMO_DISABLE_CONF`` escape
+    hatch for mutable-under-identical-plan sources); NULL predicate
+    values count as False."""
     gs, ge = spec.loop_groups[0]
     preds = tuple(v.predicate for v in spec.variables[gs : ge + 1])
+    sess = df.sparkSession
     key = None
     try:
-        plan_hash = df._jdf.queryExecution().analyzed().semanticHash()
-        key = (id(df.sparkSession), plan_hash, preds)
+        if (
+            str(sess.conf.get(ABC_MEMO_DISABLE_CONF, "false")).lower()
+            != "true"
+        ):
+            plan_hash = df._jdf.queryExecution().analyzed().semanticHash()
+            key = (plan_hash, preds)
     except Exception:  # noqa: BLE001
         pass
-    if key is not None and key in _ABC_SEMANTICS_MEMO:
-        return _ABC_SEMANTICS_MEMO[key]
+    if key is not None:
+        per_sess = _ABC_SEMANTICS_MEMO.get(sess)
+        if per_sess is not None and key in per_sess:
+            return per_sess[key]
     flags = [
         F.coalesce(F.expr(p).cast("boolean"), F.lit(False)).cast("int")
         for p in preds
@@ -1245,9 +1284,13 @@ def fast_group_preds_disjoint(df: DataFrame, spec) -> bool:
         total = total + fl
     ok = df.where(total > 1).isEmpty()
     if key is not None:
-        if len(_ABC_SEMANTICS_MEMO) >= 256:
-            _ABC_SEMANTICS_MEMO.clear()
-        _ABC_SEMANTICS_MEMO[key] = ok
+        try:
+            per_sess = _ABC_SEMANTICS_MEMO.setdefault(sess, {})
+        except TypeError:  # session not weakref-able: skip the memo
+            return ok
+        if len(per_sess) >= 256:
+            per_sess.clear()
+        per_sess[key] = ok
     return ok
 
 

@@ -112,6 +112,27 @@ class _Branch(NamedTuple):
     loop_open: bool = True  # until() not yet fired (permanent once False)
 
 
+def _rows_key(rows: tuple) -> tuple:
+    """Hashable dedup key for a branch's span tuple. The round-12
+    ALL ROWS capture accumulator is ``[n, shared_log]`` (a list — the
+    shared append-only log, see streaming/cep_stream.py::_cap_fold),
+    which tuples can't hash; key it on (log identity, prefix length):
+    same log object + same length ⇔ identical captured rows, so the
+    dedup never merges branches with different captures. Content-equal
+    captures in DIFFERENT log objects (possible only after a
+    copy-diverge) hash apart — a benign dedup miss, never a wrong
+    merge. Fold-less spans (≤5 fields) and tuple accumulators (the
+    aggregate fold, the pre-round-12 capture) pass through unchanged."""
+    if all(sp is None or len(sp) < 6 or type(sp[5]) is not list for sp in rows):
+        return rows
+    return tuple(
+        sp
+        if sp is None or len(sp) < 6 or type(sp[5]) is not list
+        else (*sp[:5], id(sp[5][1]), sp[5][0])
+        for sp in rows
+    )
+
+
 def _migrate_branch(br: _Branch) -> _Branch:
     """Pad pre-round-3 3-field row spans to the 5-field ordinal-carrying
     shape so old streaming-checkpoint state restores cleanly."""
@@ -438,6 +459,18 @@ class Nfa:
             )
         else:
             init_fn, fold_fn = self._payload_fold
+            if cur is not None and len(cur) < 6:
+                # a 5-field span can only restore from a checkpoint
+                # written WITHOUT the fold (pre-aggregate/ALL ROWS
+                # query shape); the state schema is an opaque binary
+                # blob, so Spark cannot reject the restart itself —
+                # fail loud here instead of an IndexError deep in emit
+                raise RuntimeError(
+                    "restored NFA span has no fold accumulator: this "
+                    "checkpoint was written by a query without "
+                    "aggregate/ALL ROWS measures; restart from a "
+                    "fresh checkpoint directory"
+                )
             rows[p] = (
                 (payload, payload, 1, ord_, ord_, init_fn(payload, ord_))
                 if cur is None
@@ -768,7 +801,7 @@ class Nfa:
             seen = set()
 
             def keep(nb: _Branch) -> None:
-                k = (nb.var, nb.rows)
+                k = (nb.var, _rows_key(nb.rows))
                 if k not in seen:
                     seen.add(k)
                     new_branches.append(nb)

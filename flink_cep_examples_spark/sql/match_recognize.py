@@ -1065,6 +1065,16 @@ def match_recognize(
     pure-DataFrame fast path when the pattern shape qualifies (caller
     may disable to force the general NFA), exactly as a query planner
     would; both produce identical results (differential-tested).
+
+    Fast-path dispatch may run (and memoize, per session + analyzed
+    plan + predicates) a one-off data check on ``df``'s source — e.g.
+    the ``A B* C`` closed forms verify ``B ≡ ¬C`` / ``A ∧ C = ∅`` on
+    the actual rows. The memo assumes a semantically identical plan
+    reads the same data for the session's lifetime (snapshot-immutable
+    sources). If your source can gain rows under the same path between
+    queries, set ``spark.flinkCepExamplesSpark.abcDataCheckMemo.
+    disabled = true`` (``operators.fast_path.ABC_MEMO_DISABLE_CONF``)
+    to re-verify on every call.
     """
     spec = parse_match_recognize(body)
     updates: dict = {"emit_timeouts": emit_timeouts}

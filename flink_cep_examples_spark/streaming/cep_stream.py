@@ -73,6 +73,51 @@ _BUCKET_COL = "__cep_bucket"
 _STATE_SCHEMA = T.StructType([T.StructField("blob", T.BinaryType(), True)])
 
 
+# --- ALL ROWS capture accumulator (round 12, ADVICE r11 low) ----------
+# The round-11 fold extended the capture by TUPLE CONCATENATION —
+# ``acc + ((*payload, ord_),)`` — copying the whole accumulator on
+# every consumed row: O(k²) time per k-row span per live branch, well
+# beyond the documented O(rows per live run) state class for long
+# B*-style runs under a wide within horizon. The replacement is a
+# shared append-only log with per-branch prefix lengths:
+#
+#   acc = [n, log]  — this branch's capture is log[:n]
+#
+# Extension is O(1) amortized: when this branch is the log's tip
+# (len(log) == n) it appends in place; a sibling branch that diverged
+# earlier copies its prefix ONCE (O(n)) and owns the copy thereafter.
+# Branches forked from one ancestor share the log's storage — they
+# only ever read their own prefix — and pickle's memo serializes the
+# shared list once per state blob, so checkpoint size stays O(rows
+# per live run), not O(branches × rows). A plain-tuple accumulator
+# restoring from a pre-round-12 checkpoint is migrated on first touch.
+
+
+def _cap_init(payload, ord_):
+    return [1, [(*payload, ord_)]]
+
+
+def _cap_fold(acc, payload, ord_):
+    if type(acc) is tuple:  # pre-round-12 checkpoint: flat entry tuple
+        acc = [len(acc), list(acc)]
+    n, log = acc
+    if len(log) == n:
+        log.append((*payload, ord_))
+    else:  # a sibling branch extended this log first: copy-diverge
+        log = log[:n]
+        log.append((*payload, ord_))
+    return [n + 1, log]
+
+
+def _cap_rows(acc):
+    """Captured rows of one span's accumulator, oldest first (accepts
+    the pre-round-12 flat-tuple checkpoint shape)."""
+    if type(acc) is tuple:
+        return acc
+    n, log = acc
+    return log if len(log) == n else log[:n]
+
+
 def _prepare_stream(
     df: DataFrame, spec: PatternSpec, extra_cols: tuple[str, ...] = ()
 ) -> DataFrame:
@@ -262,13 +307,11 @@ def match_pattern_stream(
     }
     if all_rows:
         # ALL ROWS (round 11): the fold captures every consumed row —
-        # (payload..., release ordinal) tuples — so emission expands a
-        # match to its rows; aggregates then compute from the captured
-        # rows directly (no separate accumulator needed)
-        nfa.enable_payload_fold(
-            lambda payload, ord_: ((*payload, ord_),),
-            lambda acc, payload, ord_: acc + ((*payload, ord_),),
-        )
+        # (payload..., release ordinal) — so emission expands a match
+        # to its rows; aggregates then compute from the captured rows
+        # directly (no separate accumulator needed). Round 12: shared
+        # append-only log, O(1) amortized per row (_cap_fold).
+        nfa.enable_payload_fold(_cap_init, _cap_fold)
     elif agg_srcs:
         agg_pos = [all_srcs.index(s) for s in agg_srcs]
 
@@ -373,7 +416,7 @@ def match_pattern_stream(
                     vals = [
                         v
                         for sp in spans
-                        for p in sp[5]
+                        for p in _cap_rows(sp[5])
                         if (v := p[j]) is not None and v == v
                     ]
                     if m.fn == "count_col":
@@ -409,7 +452,7 @@ def match_pattern_stream(
             entries = [
                 (p[-1], vname, p)  # (NFA ordinal, classifier, row)
                 for vname, sp in match.items()
-                for p in sp[5]
+                for p in _cap_rows(sp[5])
             ]
             entries.sort(key=lambda e: e[0])
             # RUNNING measures (round 11): an incremental walk over the
@@ -426,7 +469,7 @@ def match_pattern_stream(
                         (p[-1], None if j is None else p[j])
                         for c in _components(m.var)
                         if match.get(c)
-                        for p in match[c][5]
+                        for p in _cap_rows(match[c][5])
                     ),
                     key=lambda t: t[0],  # ordinals are unique; never
                     # compare the (possibly None) values
@@ -532,11 +575,21 @@ def match_pattern_stream(
                 elif m.fn in AGG_FNS:
                     # each span's folded accumulator (6th field); a
                     # 5-field span can only come from a checkpoint
-                    # written without aggregates — Spark rejects such
-                    # restarts on output-schema change, but stay loud
+                    # written without aggregates — the registered
+                    # state schema is a fixed binary blob, so Spark
+                    # CANNOT reject such a restart itself: fail loud
+                    # naming the cause instead of an opaque IndexError
                     s = n = 0
                     mn = mx = None
                     for sp in spans:
+                        if len(sp) < 6:
+                            raise RuntimeError(
+                                "restored span has no aggregate "
+                                "accumulator: this checkpoint was "
+                                "written by a query without aggregate "
+                                "measures; restart from a fresh "
+                                "checkpoint directory"
+                            )
                         s1, n1, mn1, mx1 = sp[5][agg_slot[m.name]]
                         s, n = s + s1, n + n1
                         if mn1 is not None and (mn is None or mn1 < mn):
@@ -840,12 +893,10 @@ def match_pattern_stream_alternation(
                 nf.enable_payload_fold(_init, _fold)
     if alt_all_rows:
         # ALL ROWS (round 11): capture every consumed row with the
-        # NFA ordinal; aggregates compute from the captured rows
+        # NFA ordinal; aggregates compute from the captured rows.
+        # Round 12: shared append-only log, O(1) amortized per row.
         for nf in nfas:
-            nf.enable_payload_fold(
-                lambda payload, ord_: ((*payload, ord_),),
-                lambda acc, payload, ord_: acc + ((*payload, ord_),),
-            )
+            nf.enable_payload_fold(_cap_init, _cap_fold)
     subset_map = dict(aspec.subsets)
     has_mn = any(m.fn == "match_number" for m in aspec.measures)
     derivation = aspec.derivation
@@ -926,7 +977,7 @@ def match_pattern_stream_alternation(
                     vals = [
                         v
                         for sp in spans
-                        for p in sp[5]
+                        for p in _cap_rows(sp[5])
                         if (v := p[j]) is not None and v == v
                     ]
                     if m.fn == "count_col":
@@ -960,7 +1011,7 @@ def match_pattern_stream_alternation(
             entries = [
                 (p[-1], vname, p)  # (NFA ordinal, classifier, row)
                 for vname, sp in match.items()
-                for p in sp[5]
+                for p in _cap_rows(sp[5])
             ]
             entries.sort(key=lambda e: e[0])
             # RUNNING measures (round 12, ADVICE r11 high): the same
@@ -980,7 +1031,7 @@ def match_pattern_stream_alternation(
                         (p[-1], None if j is None else p[j])
                         for c in subset_map.get(m.var, (m.var,))
                         if match.get(c)
-                        for p in match[c][5]
+                        for p in _cap_rows(match[c][5])
                     ),
                     key=lambda t: t[0],  # ordinals are unique; never
                     # compare the (possibly None) values
@@ -1079,10 +1130,22 @@ def match_pattern_stream_alternation(
                 elif m.fn == "count":
                     data[m.name].append(sum(sp[2] for sp in spans))
                 elif m.fn in AGG_FNS:
-                    # merge the components' folded accumulators
+                    # merge the components' folded accumulators; a
+                    # 5-field span restores only from a checkpoint
+                    # written without aggregates (the state blob
+                    # schema never changes, so Spark can't reject the
+                    # restart) — fail loud naming the cause
                     s = n = 0
                     mn = mx = None
                     for sp in spans:
+                        if len(sp) < 6:
+                            raise RuntimeError(
+                                "restored span has no aggregate "
+                                "accumulator: this checkpoint was "
+                                "written by a query without aggregate "
+                                "measures; restart from a fresh "
+                                "checkpoint directory"
+                            )
                         s1, n1, mn1, mx1 = sp[5][agg_slot[m.name]]
                         s, n = s + s1, n + n1
                         if mn1 is not None and (mn is None or mn1 < mn):

@@ -849,3 +849,58 @@ def test_mixed_alternation_matches_re_skip_past(ms):
     assert _mixed_nfa_matches(ms, SKIP_PAST_LAST_EVENT) == _mixed_re_matches(
         ms, skip_past=True
     )
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_alternation_all_rows_running_streaming_differential(
+    spark, tmp_path, seed
+):
+    """Seeded random streaming-vs-batch differential over the round-12
+    RUNNING × streaming alternation ALL ROWS surface (the ADVICE r11
+    high shape): random flag sequences through an eager two-branch
+    pattern with an excluded mid-branch var and the full RUNNING
+    battery (SUM/COUNT/CLASSIFIER) — streamed rows must equal batch
+    bit-for-bit."""
+    body = """
+      PARTITION BY id ORDER BY event_time
+      MEASURES RUNNING COUNT(C.*) AS c_so_far,
+               RUNNING SUM(B.seq) AS b_run,
+               RUNNING COUNT(B.*) AS nb_run,
+               RUNNING CLASSIFIER() AS cur,
+               FINAL COUNT(B.*) AS nb
+      ALL ROWS PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A {- C -} E | A B{2})
+      DEFINE A AS fd, B AS fd, C AS fc, E AS fd
+    """
+    rng = random.Random(seed)
+    flags = [
+        (rng.random() < 0.55, rng.random() < 0.35) for _ in range(80)
+    ]
+    df = _df(spark, flags).unionByName(
+        spark.createDataFrame(
+            [("k", dt.datetime(2020, 5, 2, 0, 0, 0), 999, False, False)],
+            _SCHEMA,
+        )
+    )
+    batch = sorted(
+        tuple(r) for r in match_recognize(df, body).collect()
+    )
+    assert batch, seed
+    src = tmp_path / f"alt_run_diff_{seed}"
+    df.coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    out = match_recognize(stream, body)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(f"alt_run_diff_{seed}")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        tuple(r)
+        for r in spark.table(f"alt_run_diff_{seed}").collect()
+    )
+    assert got == batch, seed

@@ -399,3 +399,56 @@ def test_abc_kernel_gate_non_complement_b(spark):
         ).collect()
     )
     assert fast2 == nfa2 == [(0, 3.0, 2)]
+
+
+def test_abc_semantics_memo_lifecycle(spark):
+    """Round 12 (ADVICE r11 low): the data-check memo is keyed on the
+    live session OBJECT (WeakKeyDictionary — a recycled id() can't
+    resurrect a stale verdict) and honors the escape hatch conf for
+    sources that can gain rows under an identical plan: with the conf
+    set, every call re-runs the check instead of reading the memo."""
+    import datetime as dt
+
+    from flink_cep_examples_spark.operators import fast_path as fp
+    from flink_cep_examples_spark.sql.match_recognize import (
+        parse_match_recognize,
+    )
+
+    body = """
+    PARTITION BY user_id ORDER BY ts, event_id
+    MEASURES FIRST(A.ts) AS a_ts
+    ONE ROW PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN (A B* C) WITHIN INTERVAL '2' DAY
+    DEFINE A AS event_id % 4 = 1,
+           B AS event_id % 4 = 2,
+           C AS event_id % 4 = 3
+    """
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (1, base + dt.timedelta(minutes=i), c, float(i))
+            for i, c in enumerate((1, 2, 3, 4))
+        ],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    spec = parse_match_recognize(body)
+    fp._ABC_SEMANTICS_MEMO.pop(spark, None)
+    assert not fp.fast_abc_semantics_hold(df, spec)  # '.' row: B ≢ ¬C
+    per_sess = fp._ABC_SEMANTICS_MEMO.get(spark)
+    assert per_sess and list(per_sess.values()) == [False]
+    # memo hit: poison the stored verdict and observe it read back
+    key = next(iter(per_sess))
+    per_sess[key] = True
+    assert fp.fast_abc_semantics_hold(df, spec) is True
+    # escape hatch: the conf bypasses the (poisoned) memo entirely
+    spark.conf.set(fp.ABC_MEMO_DISABLE_CONF, "true")
+    try:
+        assert fp.fast_abc_semantics_hold(df, spec) is False
+    finally:
+        spark.conf.unset(fp.ABC_MEMO_DISABLE_CONF)
+        per_sess[key] = False
+    # entries die with their session: the weak dict holds no strong ref
+    import weakref
+
+    assert isinstance(fp._ABC_SEMANTICS_MEMO, weakref.WeakKeyDictionary)

@@ -1571,3 +1571,90 @@ def test_streaming_all_rows_exclusion_advances_running_state(
         for r in spark.sql("SELECT * FROM excl_run_stream").collect()
     )
     assert got == batch
+
+
+def test_pre_aggregate_checkpoint_span_fails_loud():
+    """Round 12 (ADVICE r11 low): the state blob's registered schema is
+    fixed binary, so Spark cannot reject a restart that adds aggregate
+    measures over a checkpoint written without them. A restored 5-field
+    span (no fold accumulator) must raise a RuntimeError naming the
+    cause — both on extension (nfa._extend) and, were it to reach
+    emission, in the stream emit — not an opaque IndexError."""
+    import pickle
+
+    from flink_cep_examples_spark.operators import nfa as N
+    from flink_cep_examples_spark.plans.pattern import (
+        ONE_OR_MORE,
+        PatternSpec,
+        PatternVar,
+        SKIP_PAST_LAST_EVENT,
+    )
+
+    spec = PatternSpec(
+        variables=(
+            PatternVar("A", "pa", quantifier=ONE_OR_MORE),
+            PatternVar("B", "pb"),
+        ),
+        after_match=SKIP_PAST_LAST_EVENT,
+    )
+    eng = N.Nfa(spec)
+    eng.enable_payload_fold(
+        lambda payload, ord_: (payload, ord_),
+        lambda acc, payload, ord_: (payload, ord_),
+    )
+    st = N.NfaState()
+    eng.step(st, 0, (True, False), ("row0",))
+    assert st.runs
+    # simulate a restore from a checkpoint written WITHOUT the fold:
+    # strip every span back to the 5-field shape, round-tripping
+    # through pickle the way the state store does
+    for run in st.runs:
+        run.branches = [
+            br._replace(
+                rows=tuple(
+                    None if sp is None else sp[:5] for sp in br.rows
+                )
+            )
+            for br in run.branches
+        ]
+    st = pickle.loads(pickle.dumps(st))
+    with pytest.raises(RuntimeError, match="fresh checkpoint"):
+        eng.step(st, 1_000, (True, False), ("row1",))
+
+
+def test_capture_accumulator_shared_log_semantics():
+    """Round 12 (ADVICE r11 low): the ALL ROWS capture accumulator is
+    a shared append-only log with per-branch prefix lengths — O(1)
+    amortized extension (the round-11 tuple concat was O(k²) per
+    k-row span). Pins: prefix isolation on sibling divergence, legacy
+    flat-tuple checkpoint migration, and pickle round-trip sharing."""
+    import pickle
+
+    from flink_cep_examples_spark.streaming.cep_stream import (
+        _cap_fold,
+        _cap_init,
+        _cap_rows,
+    )
+
+    a = _cap_init(("r0",), 0)
+    a = _cap_fold(a, ("r1",), 1)
+    # fork: sibling b extends the same ancestor prefix...
+    b = _cap_fold(a, ("rb",), 2)
+    assert _cap_rows(b) == [("r0", 0), ("r1", 1), ("rb", 2)]
+    # ...then a's own later extension must copy-diverge, not clobber
+    a2 = _cap_fold(a, ("ra",), 3)
+    assert _cap_rows(a2) == [("r0", 0), ("r1", 1), ("ra", 3)]
+    assert _cap_rows(b) == [("r0", 0), ("r1", 1), ("rb", 2)]
+    assert _cap_rows(a) == [("r0", 0), ("r1", 1)]  # prefix view intact
+    # in-place tip append: consecutive extension shares storage
+    assert a2[1] is not b[1] and b[1] is a[1]
+    # legacy (pre-round-12) flat-tuple accumulator: readable and
+    # extendable — first touch migrates
+    legacy = (("x", 0), ("y", 1))
+    assert list(_cap_rows(legacy)) == [("x", 0), ("y", 1)]
+    m = _cap_fold(legacy, ("z",), 2)
+    assert _cap_rows(m) == [("x", 0), ("y", 1), ("z", 2)]
+    # pickle memo: two branches sharing one log serialize it once
+    b2, a3 = pickle.loads(pickle.dumps((b, a)))
+    assert _cap_rows(b2) == _cap_rows(b) and _cap_rows(a3) == _cap_rows(a)
+    assert b2[1] is a3[1]  # sharing survives the round-trip
