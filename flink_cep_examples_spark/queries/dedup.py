@@ -459,9 +459,121 @@ FROM allc
 """
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup with a KEEP-BEST policy (round 12): instead of
+    keeping an arbitrary canonical doc per duplicate cluster, keep the
+    highest-QUALITY member — the policy a training-data pipeline
+    actually wants (dropping the cleanest copy of a near-dup group
+    loses signal for free). Composition of two oracled components:
+    the MinHash-LSH cluster map (:func:`dedup_clusters`) joined with
+    the quality scores (queries/text.py::quality_columns), ranked per
+    cluster by (keep-flag DESC, token count DESC, doc_id ASC) — the
+    integer/boolean-exact key order, so engines cannot disagree on
+    ties. Output: every doc with its cluster and a ``kept`` verdict
+    (exactly one per cluster).
+
+    Scale: adds ONE window shuffle on cluster_id to the cluster map
+    (cluster count ~ docs, no skew beyond the duplicate-group sizes
+    the LSH band join already bounds); quality exprs are scan-side
+    codegen. Reference scope: extension (the reference has no corpus
+    operators); north-star dedup family."""
+    from pyspark.sql.window import Window
+
+    from flink_cep_examples_spark.queries.text import quality_columns
+
+    clusters = dedup_clusters(spark, sf_dir)
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "text"
+    )
+    q = quality_columns(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        F.coalesce(q["n_tokens"], F.lit(0)).alias("n_tokens"),
+        F.coalesce(q["keep"].cast("boolean"), F.lit(False)).alias("q_keep"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("q_keep").desc(), F.col("n_tokens").desc(), F.col("doc_id")
+    )
+    return (
+        clusters.join(scored, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            (F.col("rk") == 1).alias("kept"),
+        )
+    )
+
+
+def _oracle_keep_best() -> str:
+    """The cluster closure (``_oracle_clusters`` CTEs) joined with the
+    ``ORACLE_QUALITY`` scoring expressions, ranked by the same exact
+    key."""
+    from flink_cep_examples_spark.queries.text import LANG_STOPWORDS  # noqa: F401
+
+    return rf"""
+WITH RECURSIVE {_minhash_pair_ctes()},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs WHERE est_jaccard >= {CLUSTER_T}
+),
+ud AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+reach(id, r) AS (
+  SELECT DISTINCT a, a FROM ud
+  UNION
+  SELECT ud.b, reach.r FROM reach JOIN ud ON ud.a = reach.id
+),
+comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+allc AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+mem AS (
+  SELECT doc_id, cluster_id,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM allc
+),
+q AS (
+  SELECT doc_id,
+         COALESCE(array_length(regexp_split_to_array(trim(text), '\s+')),
+                  0) AS n_tokens,
+         len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+         length(text) AS n
+  FROM documents
+),
+qk AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(n_tokens >= 10 AND CAST(n_punct AS DOUBLE) / n < 0.1
+                  AND CAST(n_digit AS DOUBLE) / n < 0.2, FALSE) AS q_keep
+  FROM q
+),
+r AS (
+  SELECT m.doc_id, m.cluster_id, m.n_members, qk.n_tokens,
+         ROW_NUMBER() OVER (
+           PARTITION BY m.cluster_id
+           ORDER BY qk.q_keep DESC, qk.n_tokens DESC, m.doc_id ASC
+         ) AS rk
+  FROM mem m JOIN qk USING (doc_id)
+)
+SELECT doc_id, cluster_id, CAST(n_members AS BIGINT) AS n_members,
+       CAST(n_tokens AS BIGINT) AS n_tokens, (rk = 1) AS kept
+FROM r
+"""
+
+
 register("dedup_exact", dedup_exact, ORACLE_EXACT, driver=False,  # r4 rotation: driver-verified green in r2+r3; pytest-gated now
 )
 register("dedup_clusters", dedup_clusters, _oracle_clusters(), driver=False)
+register(
+    "dedup_keep_best",
+    dedup_keep_best,
+    _oracle_keep_best(),
+    # round 12: keep-best dedup policy; gate at the 50 cap — joins
+    # the r13 promotion queue (COVERAGE.md policy)
+    driver=False,
+)
 register(
     "dedup_ngram_jaccard", dedup_ngram_jaccard, ORACLE_JACCARD,
     driver=False,  # r5 rotation: driver-verified green r3+r4; pytest-gated now

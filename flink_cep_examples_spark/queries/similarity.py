@@ -221,14 +221,13 @@ def _sql_bucket(vec: str) -> str:
 _TERM_DEC = "decimal(28,18)"
 
 
-def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-k for the fixed query vector (vec_id=0).
-
-    Plan shape: posexplode the embeddings, broadcast-join the 64-row
-    exploded query on position, one map-side-combinable groupBy summing
-    exact decimal product terms, TakeOrdered k. Everything codegen —
-    ~5-10× the throughput of a higher-order-function fold, and the plan
-    scales: terms shuffle pre-combined per vector, never raw."""
+def _brute_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine of every corpus vector against the fixed query
+    (vec_id=0) — the shared scoring plan of :func:`ann_bruteforce_topk`
+    and :func:`ann_mmr_topk`: posexplode, broadcast-join the exploded
+    query on position, one map-side-combinable groupBy summing exact
+    decimal product terms. Everything codegen; terms shuffle
+    pre-combined per vector, never raw."""
     emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
     e = emb.select(
         "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
@@ -257,6 +256,16 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(qn2))
         .select("vec_id", "label", cos.alias("cos"))
+    )
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for the fixed query vector (vec_id=0).
+
+    Plan shape: the shared :func:`_brute_scores` scoring plan +
+    TakeOrdered k."""
+    return (
+        _brute_scores(spark, sf_dir)
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(TOP_K)
     )
@@ -440,6 +449,171 @@ QUALIFY rank <= {BATCH_K}
 """
 
 
+#: MMR (Maximal Marginal Relevance) constants — candidate pool, picks,
+#: and the relevance/diversity trade-off. MU is a LITERAL (not 1-LAM:
+#: the float 1-0.7 is 0.30000000000000004) so both engines multiply by
+#: the same double.
+MMR_M, MMR_K, MMR_LAM, MMR_MU = 16, 5, 0.7, 0.3
+
+
+def ann_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-k retrieval (round 12): rerank the exact
+    cosine top-M candidate pool so each pick maximizes
+    ``LAM·cos(q,d) − MU·max_{s∈selected} cos(d,s)`` — the standard
+    redundancy-penalized selection a RAG / training-data-diversity
+    pipeline runs after ANN candidate generation (Carbonell &
+    Goldstein 1998, public formulation).
+
+    Scale shape: stage 1 is the oracled distributed scoring plan
+    (:func:`_brute_scores` here; at 100 TB the candidate stage swaps
+    to the partition-pruned ``ivf_topk``/``ann_ivfadc_topk`` servers —
+    MMR only ever sees M rows). Stage 2 computes the M×M candidate
+    similarity matrix distributed (posexplode self-join on position,
+    exact-decimal sums — bit-identical to the oracle) and runs the
+    K-step greedy on the driver over M collected rows: every collect
+    is bounded by M=16 / M²=256 BY CONSTRUCTION, independent of corpus
+    size. Ties break (mmr DESC, vec_id ASC) — exact, engines cannot
+    disagree."""
+    scores = _brute_scores(spark, sf_dir)
+    cand = (
+        scores.orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(MMR_M)
+        .select("vec_id", "cos")
+        .collect()  # M rows — bounded by construction
+    )
+    ids = [r.vec_id for r in cand]
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id").filter(
+        F.col("vec_id").isin(ids)
+    )
+    e = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    n2 = e.groupBy("vec_id").agg(
+        F.round(F.sum((F.col("x") * F.col("x")).cast(_TERM_DEC)), 12)
+        .cast("double")
+        .alias("n2")
+    )
+    pairs = (
+        e.alias("a")
+        .join(e.alias("b"), "pos")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .groupBy(
+            F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib")
+        )
+        .agg(
+            F.round(
+                F.sum((F.col("a.x") * F.col("b.x")).cast(_TERM_DEC)), 12
+            )
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    sims = (
+        pairs.join(
+            n2.select(
+                F.col("vec_id").alias("ia"), F.col("n2").alias("na")
+            ),
+            "ia",
+        )
+        .join(
+            n2.select(
+                F.col("vec_id").alias("ib"), F.col("n2").alias("nb")
+            ),
+            "ib",
+        )
+        .select(
+            "ia",
+            "ib",
+            (F.col("dot") / F.sqrt(F.col("na") * F.col("nb"))).alias("s"),
+        )
+        .collect()  # M(M-1)/2 rows — bounded by construction
+    )
+    sim: dict = {}
+    for r in sims:
+        sim[(r.ia, r.ib)] = sim[(r.ib, r.ia)] = r.s
+    remaining = {r.vec_id: r.cos for r in cand}
+    out_rows = []
+    selected: list[int] = []
+    for rk in range(1, MMR_K + 1):
+        if not remaining:  # pool smaller than K (tiny corpora): the
+            break  # oracle's empty step-CTEs contribute 0 rows too
+        best_vid = best_mmr = best_cos = None
+        for vid in sorted(remaining):  # vec_id ASC = the tiebreak order
+            ms = max((sim[(vid, s)] for s in selected), default=0.0)
+            mmr = MMR_LAM * remaining[vid] - MMR_MU * ms
+            if best_mmr is None or mmr > best_mmr:
+                best_vid, best_mmr, best_cos = vid, mmr, remaining[vid]
+        out_rows.append((rk, best_vid, best_cos, best_mmr))
+        selected.append(best_vid)
+        del remaining[best_vid]
+    return spark.createDataFrame(
+        out_rows, "rk int, vec_id bigint, cos double, mmr double"
+    )
+
+
+def _oracle_mmr() -> str:
+    """The K-step greedy as chained CTEs: candidate pool + symmetric
+    pair-sim matrix, then one argmax CTE per pick (MAX over the
+    selected set's sims; NOT IN excludes prior picks)."""
+    dec_cos = (
+        f"{_sql_dec_dot('embedding', 'qv')} / "
+        f"sqrt({_sql_dec_dot('embedding', 'embedding')} * "
+        f"{_sql_dec_dot('qv', 'qv')})"
+    )
+    pair_cos = (
+        f"{_sql_dec_dot('a.embedding', 'b.embedding')} / "
+        f"sqrt({_sql_dec_dot('a.embedding', 'a.embedding')} * "
+        f"{_sql_dec_dot('b.embedding', 'b.embedding')})"
+    )
+    lam = "CAST(0.7 AS DOUBLE)"
+    mu = "CAST(0.3 AS DOUBLE)"
+    parts = [
+        f"""WITH q AS (SELECT embedding AS qv FROM embeddings
+         WHERE vec_id = {QUERY_VEC_ID}),
+cand AS (
+  SELECT vec_id, {dec_cos} AS cos
+  FROM embeddings, q WHERE vec_id != {QUERY_VEC_ID}
+  ORDER BY cos DESC, vec_id ASC LIMIT {MMR_M}
+),
+ce AS (SELECT e.vec_id, e.embedding FROM embeddings e
+       JOIN cand c USING (vec_id)),
+simh AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, {pair_cos} AS s
+  FROM ce a JOIN ce b ON a.vec_id < b.vec_id
+),
+sim AS (SELECT ia, ib, s FROM simh
+        UNION ALL SELECT ib, ia, s FROM simh),
+s1 AS (SELECT vec_id, cos, {lam} * cos - {mu} * CAST(0 AS DOUBLE) AS mmr
+       FROM cand ORDER BY cos DESC, vec_id ASC LIMIT 1),
+sel1 AS (SELECT vec_id FROM s1)"""
+    ]
+    for k in range(2, MMR_K + 1):
+        parts.append(
+            f""",
+r{k} AS (
+  SELECT c.vec_id, c.cos,
+         {lam} * c.cos - {mu} * (SELECT MAX(s) FROM sim
+            WHERE ia = c.vec_id
+              AND ib IN (SELECT vec_id FROM sel{k - 1})) AS mmr
+  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{k - 1})
+),
+s{k} AS (SELECT vec_id, cos, mmr FROM r{k}
+         ORDER BY mmr DESC, vec_id ASC LIMIT 1),
+sel{k} AS (SELECT vec_id FROM sel{k - 1}
+           UNION ALL SELECT vec_id FROM s{k})"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {k} AS rk, vec_id, cos, mmr FROM s{k}"
+        for k in range(1, MMR_K + 1)
+    )
+    parts.append(
+        f"""
+SELECT CAST(rk AS INT) AS rk, vec_id, cos, mmr FROM ({union})
+ORDER BY rk"""
+    )
+    return "".join(parts)
+
+
 def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: cosine >= threshold, candidates
     blocked on sign-LSH buckets within Hamming distance PROBE_RADIUS
@@ -541,6 +715,14 @@ register(
 register("ann_lsh_topk", ann_lsh_topk, ORACLE_LSH_TOPK, driver=False,  # r4 rotation: driver-verified green in r2+r3; pytest-gated now
 )
 register("ann_batch_topk", ann_batch_topk, ORACLE_BATCH_TOPK, driver=False)
+register(
+    "ann_mmr_topk",
+    ann_mmr_topk,
+    _oracle_mmr(),
+    # round 12: MMR-diversified rerank over the ANN candidate pool;
+    # gate at the 50 cap — joins the r13 promotion queue
+    driver=False,
+)
 register(
     "embedding_cosine_dups", embedding_cosine_dups, ORACLE_COSINE_DUPS,
     driver=False,  # r5 rotation: driver-verified green r3+r4; pytest-gated now

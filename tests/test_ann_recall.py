@@ -193,3 +193,75 @@ def test_ivfadc_topk_recall_and_pruning(spark, sf_small):
     assert overlap >= 0.2, (overlap, exact, got)
     for r in ivfadc:
         assert -1.0000001 <= r.cos <= 1.0000001
+
+
+def test_mmr_topk_diversifies(spark, tmp_path):
+    """ann_mmr_topk (round 12): with a redundant near-dup sitting at
+    cosine rank 2, MMR must skip it for a more diverse candidate —
+    plain top-k cannot — and every pick's score must satisfy the MMR
+    recurrence computed independently in numpy."""
+    # two lobes equally relevant to q: d1/d2 are near-duplicates in
+    # the +y lobe, d3 sits alone in the -y lobe. Plain cosine ranks
+    # the d1/d2 pair 1-2; MMR's redundancy penalty (sim(d1,d2) ~ 1 vs
+    # sim(d1,d3) ~ 0.62) must pull d3 into pick 2.
+    q = np.array([1.0, 0.0, 0.0, 0.0])
+    d1 = np.array([0.9, 0.436, 0.0, 0.0])
+    d2 = np.array([0.9, 0.435, 0.01, 0.0])  # ~duplicate of d1
+    d3 = np.array([0.9, -0.436, 0.0, 0.0])  # the other lobe
+    d4 = np.array([0.5, 0.0, 0.866, 0.0])  # least relevant
+    vecs = {0: q, 1: d1, 2: d2, 3: d3, 4: d4}
+    rows = [(i, "x", [float(v) for v in vec]) for i, vec in vecs.items()]
+    sf_dir = tmp_path / "sf"
+    sf_dir.mkdir()
+    spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    ).coalesce(1).write.parquet(str(sf_dir / "embeddings.parquet"))
+
+    from flink_cep_examples_spark.queries import QUERIES, load_all
+    from flink_cep_examples_spark.queries.similarity import (
+        MMR_K,
+        MMR_LAM,
+        MMR_MU,
+    )
+
+    load_all()
+    out = sorted(
+        QUERIES["ann_mmr_topk"](spark, str(sf_dir)).collect(),
+        key=lambda r: r.rk,
+    )
+    assert len(out) == min(MMR_K, 4)
+    picks = [r.vec_id for r in out]
+
+    def cos(a, b):
+        va, vb = vecs[a], vecs[b]
+        return float(
+            va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+        )
+
+    # independent numpy greedy (same tiebreak)
+    remaining = {i: cos(0, i) for i in (1, 2, 3, 4)}
+    sel, expect = [], []
+    while remaining and len(expect) < MMR_K:
+        scored = {
+            i: MMR_LAM * c - MMR_MU * max(
+                (cos(i, s) for s in sel), default=0.0
+            )
+            for i, c in remaining.items()
+        }
+        best = min(scored, key=lambda i: (-scored[i], i))
+        expect.append(best)
+        sel.append(best)
+        del remaining[best]
+    assert picks == expect
+    # diversity actually kicked in: pick 2 is NOT the cosine-rank-2
+    # candidate (the near-dup of pick 1), and the dup pair does not
+    # occupy the first two picks
+    cos_order = sorted((1, 2, 3, 4), key=lambda i: (-cos(0, i), i))
+    assert picks[1] != cos_order[1]
+    assert set(picks[:2]) != {1, 2}
+    assert picks[1] == 3  # the other lobe's representative
+    for r in out:
+        ms = max(
+            (cos(r.vec_id, s) for s in picks[: r.rk - 1]), default=0.0
+        )
+        assert abs(r.mmr - (MMR_LAM * r.cos - MMR_MU * ms)) < 1e-6

@@ -173,3 +173,36 @@ def test_containment_finds_planted_excerpt(spark, tmp_path):
     assert pairs.get((2, 1), 0) > 0.99
     assert (1, 2) not in pairs  # asymmetric: the superset is not contained
     assert not any(3 in p for p in pairs)
+
+
+def test_keep_best_prefers_quality_then_length(spark, tmp_path):
+    """dedup_keep_best (round 12): a planted near-dup cluster keeps the
+    member with the best (keep-flag, token-count, doc_id) key — NOT the
+    minimum-id canonical doc — and singleton clusters keep their only
+    member."""
+    base = [f"common token number {i} flows onward" for i in range(30)]
+    long_txt = " ".join(" ".join(base).split())
+    # doc 1: near-dup of doc 2 but digit-heavy (fails the quality keep
+    # rule: digit_ratio >= 0.2) — must LOSE despite the smaller id
+    noisy = long_txt + " " + " ".join("1234567890" for _ in range(40))
+    rows = [
+        (1, noisy, "en", "web", 0),
+        (2, long_txt + " extra tail words here", "en", "web", 0),
+        (3, "a tiny unrelated document with some words", "en", "web", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = tmp_path / "sf"
+    sf_dir.mkdir()
+    df.coalesce(1).write.parquet(str(sf_dir / "documents.parquet"))
+    out = {r.doc_id: r for r in QUERIES["dedup_keep_best"](spark, str(sf_dir)).collect()}
+    assert out[1].cluster_id == out[2].cluster_id  # planted near-dups
+    assert out[1].n_members == 2
+    assert not out[1].kept and out[2].kept  # quality beats smaller id
+    assert out[3].kept and out[3].n_members == 1  # singleton keeps
+    # exactly one kept per cluster
+    from collections import Counter
+
+    per = Counter(r.cluster_id for r in out.values() if r.kept)
+    assert all(v == 1 for v in per.values())
