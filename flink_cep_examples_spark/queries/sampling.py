@@ -229,7 +229,103 @@ GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """
 
 
+#: quality-weighted sampling constants: saturation half-point (tokens)
+#: and the hard-penalty divisors for digit-/punct-heavy docs
+_QW_C = 50
+_QW_PPM = 1_000_000
+
+
+def docs_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-WEIGHTED deterministic sampling (round 12): instead of
+    the binary keep-flag cliff, each doc gets a keep PROBABILITY from
+    a soft quality curve — the "soft filtering" move public LLM
+    pipelines use so borderline docs are downweighted, not discarded.
+    Keep rate (ppm) = saturating length curve
+    ``1e6·n_tokens ÷ (n_tokens + C)`` (longer docs asymptote to 1),
+    cut ÷4 for digit-heavy docs (n_digit·5 ≥ len) and ÷2 for
+    punct-heavy docs (n_punct·10 ≥ len). EVERY step is int64 floor
+    arithmetic and membership is the portable multiplicative-hash
+    threshold ``mix(doc_id) % 1e6 < rate`` — Spark and DuckDB derive
+    bit-identical samples, and raising a rate strictly grows the
+    sample (incremental reprocessing).
+
+    Scale shape: scan + filter, zero Exchange — the regex counts and
+    the hash threshold are all codegen row functions."""
+    from flink_cep_examples_spark.queries.text import _PUNCT, _tok_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    nt = F.greatest(_tok_count(F.col("text")).cast("bigint"), F.lit(1))
+    n_punct = F.regexp_count(F.col("text"), F.lit(_PUNCT)).cast("bigint")
+    n_digit = F.regexp_count(F.col("text"), F.lit(r"[0-9]")).cast("bigint")
+    n = F.length("text").cast("bigint")
+    base = f"div({_QW_PPM} * __qw_nt, __qw_nt + {_QW_C})"
+    cut4 = (
+        f"CASE WHEN __qw_nd * 5 >= __qw_n THEN div({base}, 4) "
+        f"ELSE {base} END"
+    )
+    rate = F.expr(
+        f"CASE WHEN __qw_np * 10 >= __qw_n THEN div({cut4}, 2) "
+        f"ELSE {cut4} END"
+    )
+    scored = (
+        docs.withColumn("__qw_nt", nt)
+        .withColumn("__qw_np", n_punct)
+        .withColumn("__qw_nd", n_digit)
+        .withColumn("__qw_n", n)
+        .withColumn("rate_ppm", rate.cast("bigint"))
+    )
+    return scored.filter(
+        _mix(F.col("doc_id")) % _QW_PPM < F.col("rate_ppm")
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("__qw_nt").alias("n_tokens"),
+        "rate_ppm",
+    )
+
+
+ORACLE_QW_SAMPLE = rf"""
+WITH s AS (
+  SELECT doc_id, lang, source,
+         GREATEST(CAST(array_length(
+           regexp_split_to_array(trim(text), '\s+')) AS BIGINT), 1)
+           AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT)
+           AS n_punct,
+         CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT)
+           AS n_digit,
+         CAST(length(text) AS BIGINT) AS n
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang, source, n_tokens,
+         CASE WHEN n_punct * 10 >= n THEN
+           (CASE WHEN n_digit * 5 >= n
+                 THEN ({_QW_PPM} * n_tokens) // (n_tokens + {_QW_C}) // 4
+                 ELSE ({_QW_PPM} * n_tokens) // (n_tokens + {_QW_C}) END) // 2
+         ELSE
+           (CASE WHEN n_digit * 5 >= n
+                 THEN ({_QW_PPM} * n_tokens) // (n_tokens + {_QW_C}) // 4
+                 ELSE ({_QW_PPM} * n_tokens) // (n_tokens + {_QW_C}) END)
+         END AS rate_ppm
+  FROM s
+)
+SELECT doc_id, lang, source, n_tokens, rate_ppm
+FROM r
+WHERE (doc_id * {_MIX}) % {_MOD} % {_QW_PPM} < rate_ppm
+"""
+
+
 register("docs_stratified_sample", docs_stratified_sample, ORACLE_SAMPLE, driver=False,  # r5.2 rotation: driver-verified green r3+r4; pytest-gated now
+)
+register(
+    "docs_quality_weighted_sample",
+    docs_quality_weighted_sample,
+    ORACLE_QW_SAMPLE,
+    # round 12: soft quality-weighted sampling; gate at the 50 cap —
+    # joins the r13 promotion queue
+    driver=False,
 )
 register("docs_mixture_sample", docs_mixture_sample, ORACLE_MIXTURE, driver=False,  # r7 rotation: driver-verified green r3-r6; pytest-gated now
 )
