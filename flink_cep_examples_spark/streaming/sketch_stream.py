@@ -267,3 +267,127 @@ def cms_frequency_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 12: streaming log2-histogram quantiles — the third member of
+# the sketch trio (HLL distinct / CMS frequency / histogram quantiles)
+# gets its streaming twin, completing the batch/streaming symmetry.
+# ---------------------------------------------------------------------------
+
+#: bin 0 (zero/negative) + bit_length of an int64 ≤ 64 → 65 counters.
+_QH_BINS = 65
+
+_QH_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("updates", T.LongType(), False),
+        T.StructField("n_rows", T.LongType(), False),
+        T.StructField("p5", T.DoubleType(), True),
+        T.StructField("p9", T.DoubleType(), True),
+        T.StructField("p99", T.DoubleType(), True),
+    ]
+)
+
+_QH_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("counters", T.BinaryType(), True),
+        T.StructField("updates", T.LongType(), True),
+    ]
+)
+
+
+def quantile_hist_stream(
+    df: DataFrame, key_col: str = "event_type", value_col: str = "value"
+) -> DataFrame:
+    """Streaming quantile monitor from the mergeable log2 histogram:
+    per key, the ≤65 int64 bin counters
+    (queries/sampling.py::events_value_quantile_hist geometry) ride
+    the state store, each micro-batch folds in by vector add
+    (``np.add.at``), and every update emits the RUNNING p50/p90/p99
+    estimates — the live ingestion-health view (value-distribution
+    drift) the batch query gives post-hoc.
+
+    Bit parity with batch by construction: binning is the SAME
+    integer-exact scan-side expression (micro-units half-up round,
+    ``length(bin(x))`` bit-length), and the quantile finalization
+    replicates the batch arithmetic exactly — rank =
+    ``ceil(n·p)`` (one IEEE multiply + ceil), estimate = the smallest
+    bin whose cumulative count reaches the rank, reported as the
+    bin's exclusive upper edge ``2^b / 1e6`` (bin 0 → 0.0). The
+    replayed stream's final row per key equals the batch query's
+    bit-for-bit (tests/test_streaming_sketch.py).
+
+    Scale: state is exactly 65×8 bytes per key at ANY stream length —
+    the bounded-state answer where exact streaming percentiles would
+    retain every row; counters merge by SUM, so restarts/backfills
+    compose (the continuous-aggregate property)."""
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    units = F.floor(F.col(value_col) * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    projected = df.select(
+        F.col(key_col).alias("event_type"),
+        F.when(units <= 0, F.lit(0))
+        .otherwise(F.length(F.bin(units)))
+        .cast("int")
+        .alias("b"),
+    )
+
+    def _edge(b: int) -> float:
+        return 0.0 if b == 0 else (2.0 ** float(b)) / 1000000.0
+
+    def fold(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        if state.exists:
+            blob, updates = state.get
+            counters = np.frombuffer(blob, dtype=np.int64).copy()
+        else:
+            counters = np.zeros(_QH_BINS, dtype=np.int64)
+            updates = 0
+        touched = False
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            touched = True
+            np.add.at(
+                counters, pdf["b"].to_numpy(dtype=np.int64), 1
+            )
+        if not touched:
+            return
+        updates += 1
+        state.update((counters.tobytes(), updates))
+        n = int(counters.sum())
+        cum = np.cumsum(counters)
+
+        def q(p: float):
+            # the batch rank arithmetic exactly: ceil(n_double * p)
+            rank = math.ceil(float(n) * p)
+            hit = np.nonzero(cum >= rank)[0]
+            return _edge(int(hit[0])) if len(hit) else None
+
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "updates": [updates],
+                "n_rows": [n],
+                "p5": [q(0.5)],
+                "p9": [q(0.9)],
+                "p99": [q(0.99)],
+            }
+        )
+
+    return projected.groupBy("event_type").applyInPandasWithState(
+        fold,
+        outputStructType=_QH_OUT_SCHEMA,
+        stateStructType=_QH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -167,3 +167,74 @@ def test_cms_counters_merge_by_sum(spark, sf_small):
         whole[r.d][r.bucket] += 1
         (a if r.event_id % 2 == 0 else b)[r.d][r.bucket] += 1
     assert ((a + b) == whole).all()
+
+
+def test_quantile_hist_stream_matches_batch_bitwise(spark, sf_small, tmp_path):
+    """Streaming log2-histogram quantiles (round 12): the final
+    streamed row per key must equal the batch query bit-for-bit
+    (shared scan-side binning + replicated rank/edge arithmetic), and
+    running estimates appear while ingestion is in flight."""
+    from flink_cep_examples_spark.streaming.sketch_stream import (
+        quantile_hist_stream,
+    )
+
+    batch = {
+        r.event_type: (r.n_rows, r.p5, r.p9, r.p99)
+        for r in QUERIES["events_value_quantile_hist"](
+            spark, sf_small
+        ).collect()
+    }
+
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    src = tmp_path / "src"
+    ev.repartition(4).write.parquet(str(src))
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    out = quantile_hist_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("qh_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM qh_stream").collect()
+    assert rows, "stream emitted nothing"
+    last = {}
+    for r in rows:
+        if r.event_type not in last or r.updates > last[r.event_type].updates:
+            last[r.event_type] = r
+    got = {t: (r.n_rows, r.p5, r.p9, r.p99) for t, r in last.items()}
+    assert got == batch  # bit-exact
+    # the monitor actually ran live: some key updated more than once
+    assert max(r.updates for r in rows) > 1
+
+
+def test_quantile_hist_counters_merge_by_sum(spark, sf_small):
+    """Halves folded separately then vector-added equal one whole fold
+    (restart/backfill soundness — the continuous-aggregate property)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    units = F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    b = (
+        ev.select(
+            F.when(units <= 0, F.lit(0))
+            .otherwise(F.length(F.bin(units)))
+            .cast("int")
+            .alias("b")
+        )
+        .collect()
+    )
+    bins = np.array([r.b for r in b], dtype=np.int64)
+    whole = np.zeros(65, dtype=np.int64)
+    np.add.at(whole, bins, 1)
+    h1 = np.zeros(65, dtype=np.int64)
+    h2 = np.zeros(65, dtype=np.int64)
+    np.add.at(h1, bins[: len(bins) // 2], 1)
+    np.add.at(h2, bins[len(bins) // 2 :], 1)
+    assert ((h1 + h2) == whole).all()
