@@ -1658,3 +1658,82 @@ def test_capture_accumulator_shared_log_semantics():
     b2, a3 = pickle.loads(pickle.dumps((b, a)))
     assert _cap_rows(b2) == _cap_rows(b) and _cap_rows(a3) == _cap_rows(a)
     assert b2[1] is a3[1]  # sharing survives the round-trip
+
+
+@pytest.mark.parametrize("seed", [5, 19])
+def test_streaming_all_rows_fork_heavy_matches_batch(
+    spark, tmp_path, seed
+):
+    """Fork-heavy streaming ALL ROWS differential (round 12): with B
+    NOT the complement of C, the NFA may both consume and ignore a B
+    row — sibling branches share a capture-accumulator prefix and the
+    round-12 shared-log copy-diverge path runs constantly. Random
+    dense sequences, multi-micro-batch replay, streamed rows must
+    equal batch exactly (FINAL + RUNNING)."""
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.sql.match_recognize import (
+        match_recognize,
+    )
+
+    body = """
+      PARTITION BY id ORDER BY event_time
+      MEASURES FINAL COUNT(B.*) AS nb, RUNNING SUM(B.seq) AS b_run,
+               RUNNING COUNT(B.*) AS nb_run
+      ALL ROWS PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A B* C) WITHIN INTERVAL '30' MINUTE
+      DEFINE A AS cls = 1, B AS cls = 2, C AS cls = 3
+    """
+    rng = _random.Random(seed)
+    import datetime as _dt
+
+    rows = []
+    for k in ("k1", "k2"):
+        for i in range(70):
+            # dense B runs with inert rows between B and C: the inert
+            # rows force ignore-edges (B* survives without consuming),
+            # forking branches that share capture prefixes
+            cls = rng.choices((1, 2, 3, 0), weights=(2, 5, 2, 2))[0]
+            rows.append(
+                (
+                    k,
+                    _dt.datetime(2020, 5, 1, 10, 0) + _dt.timedelta(minutes=i),
+                    i,
+                    cls,
+                )
+            )
+        rows.append(
+            (k, _dt.datetime(2020, 5, 2, 0, 0), 999, 0)  # flush sentinel
+        )
+    df = spark.createDataFrame(
+        rows, "id string, event_time timestamp, seq long, cls int"
+    )
+    batch = sorted(tuple(r) for r in match_recognize(df, body).collect())
+    assert batch, seed
+    src = str(tmp_path / f"forks_{seed}")
+    # sequential time slices with distinct mtimes: the replay stays
+    # inside the watermark (random file splits would drop late rows)
+    for lo_m, hi_m in ((0, 25), (25, 50), (50, 100_000)):
+        df.filter(
+            (F.col("seq") >= lo_m) & (F.col("seq") < hi_m)
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    out = match_recognize(stream, body)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(f"forks_{seed}")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        tuple(r) for r in spark.table(f"forks_{seed}").collect()
+    )
+    assert got == batch, seed
