@@ -1875,14 +1875,17 @@ def match_pattern_fast_loop_chain(
     return sorted_p.mapInPandas(scan_partition, out_schema)
 
 
-def fast_loop_chain_all_rows_applicable(spec) -> bool:
+def fast_loop_chain_all_rows_applicable(spec, df=None) -> bool:
     """ALL ROWS PER MATCH variant of :func:`fast_loop_chain_applicable`
     (round 7.2): same pattern shapes, per-row emission. ``{- var -}``
     exclusions are handled (a positional keep-mask). RUNNING measures
     (round 8) compile too for single-variable targets — per-row counts
     are offset arithmetic, sums are one segmented cumsum over the
-    expanded rows; RUNNING over SUBSET unions and running MIN/MAX
-    (which need segmented extrema) stay on the NFA tier."""
+    expanded rows. Round 12: RUNNING MIN/MAX compile as segmented
+    extrema (per-match cummax/cummin) when the source column is a
+    plain numeric type (the float64 path — pass ``df`` so the dtype
+    is checkable; decimals/objects keep the NFA tier's exact pandas
+    reductions). RUNNING over SUBSET unions stays on the NFA tier."""
     import dataclasses
 
     if not isinstance(spec, PatternSpec):
@@ -1890,6 +1893,10 @@ def fast_loop_chain_all_rows_applicable(spec) -> bool:
     if spec.rows_per_match != "all":
         return False
     subset_names = {name for name, _ in spec.subsets}
+    numeric = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType,
+    )
     for m in spec.measures:
         if not m.running:
             continue
@@ -1899,7 +1906,19 @@ def fast_loop_chain_all_rows_applicable(spec) -> bool:
             if m.var in subset_names:
                 return False
             continue
-        return False  # running min/max → NFA tier
+        if m.fn in ("min", "max"):
+            if m.var in subset_names:
+                return False
+            if df is None:
+                return False  # dtype unknowable: NFA tier
+            try:
+                dt = df.schema[m.src].dataType
+            except KeyError:
+                return False
+            if not isinstance(dt, numeric):
+                return False  # decimal/object extrema: NFA tier
+            continue
+        return False  # unknown running fn → NFA tier
     if getattr(spec, "loop_branches", ()):
         # validate() rejects ALL ROWS with multi-branch groups anyway;
         # defensive — this emitter's positional classifier assumes one
@@ -1950,7 +1969,7 @@ def match_pattern_fast_loop_chain_all_rows(
     )
 
     spec.validate()
-    if not fast_loop_chain_all_rows_applicable(spec):
+    if not fast_loop_chain_all_rows_applicable(spec, df):
         raise ValueError(
             "pattern shape not compilable by the all-rows chain kernel"
         )
@@ -2134,6 +2153,33 @@ def match_pattern_fast_loop_chain_all_rows(
                         src_arrays[m.src][last_row],
                         cnt_o == 0,
                     )
+                elif m.fn in ("min", "max"):
+                    # round 12: segmented extrema — per-match cummax/
+                    # cummin over the variable's rows (non-hit rows are
+                    # NaN, which pandas' C cummax skips; `cum` is each
+                    # row's match-base index, so groupby(cum) is the
+                    # match partition). Applicability pinned the source
+                    # to a plain numeric dtype, so float64 is exact.
+                    isvar = var_idx == i
+                    vraw = src_arrays[m.src][row_idx_full]
+                    notna = ~pd.isna(vraw)
+                    hit = isvar & notna
+                    ser = pd.Series(
+                        np.where(hit, vraw, np.nan), dtype="float64"
+                    )
+                    grp = ser.groupby(cum)
+                    run = (
+                        grp.cummax() if m.fn == "max" else grp.cummin()
+                    )
+                    # cummax leaves NaN AT non-hit rows (it skips them
+                    # for the running value but doesn't emit it there)
+                    # — forward-fill within the match carries the
+                    # extremum onto the other variables' rows
+                    run = run.groupby(cum).ffill()
+                    nv = np.cumsum(hit.astype(np.int64))
+                    N0 = np.concatenate(([0], nv))
+                    run_nv = nv - N0[cum]
+                    run_cols[m.name] = (run.to_numpy(), run_nv == 0)
                 else:  # sum / avg / count_col: segmented cumsum
                     isvar = var_idx == i
                     vraw = src_arrays[m.src][row_idx_full]

@@ -3614,6 +3614,121 @@ register(
 )
 
 
+def cep_group_loop_all_rows_extrema(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RUNNING MIN/MAX over a loop-group ALL ROWS match — round 12
+    (closes the kernel's last RUNNING-surface gap): ``RUNNING
+    MIN(X.event_id)`` / ``RUNNING MAX(Y.event_id)`` over ``((X Y)+)``
+    are segmented extrema — the variable's running extremum up to the
+    current output row, NULL before its first row — compiled as
+    per-match cummin/cummax on the all-rows chain kernel
+    (operators/fast_path.py round-12 section; decimal/object sources
+    keep the NFA tier)."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.sources.tables import load_table, spread
+    from flink_cep_examples_spark.sql.match_recognize import match_recognize
+
+    events = spread(load_table(spark, sf_dir, "events"), "user_id").select(
+        "user_id", "ts", "event_id"
+    )
+    out = match_recognize(
+        events,
+        """
+        PARTITION BY user_id ORDER BY ts, event_id
+        MEASURES RUNNING MIN(X.event_id) AS mnx,
+                 RUNNING MAX(Y.event_id) AS mxy,
+                 RUNNING COUNT(X.*) AS rx,
+                 COUNT(X.*) AS pairs
+        ALL ROWS PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN ((X Y)+)
+        DEFINE X AS event_id % 3 = 1,
+               Y AS event_id % 3 = 2
+        """,
+        tiebreak_col="event_id",
+    )
+    # mxy is NULL until the match's first Y row — COALESCE on BOTH
+    # sides (catalog convention: the harness fetches the oracle via
+    # pandas, where an integer NULL becomes NaN)
+    return out.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("row_ts"),
+        "event_id",
+        "classifier",
+        "match_seq",
+        F.coalesce(F.col("mnx").cast("bigint"), F.lit(0)).alias("mnx"),
+        F.coalesce(F.col("mxy").cast("bigint"), F.lit(0)).alias("mxy"),
+        "rx",
+        "pairs",
+    )
+
+
+#: the RUNNING oracle's island walk with window MIN/MAX instead of the
+#: cumulative sum — NULL-skipping window extrema ARE the running
+#: extrema (empty prefix stays NULL)
+ORACLE_GROUP_LOOP_ALL_ROWS_EXTREMA = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_id % 3 AS m,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+f AS (
+  SELECT *,
+         CASE WHEN m IN (1, 2)
+               AND lag(m) OVER (PARTITION BY user_id ORDER BY rn) = 3 - m
+              THEN 0 ELSE 1 END AS brk
+  FROM e
+),
+isl AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY rn) AS gid
+  FROM f
+),
+s AS (
+  SELECT user_id, gid, MIN(CASE WHEN m = 1 THEN rn END) AS srn,
+         MAX(rn) AS ern
+  FROM isl WHERE m IN (1, 2) GROUP BY user_id, gid
+),
+mt AS (
+  SELECT user_id, gid, srn,
+         (ern - srn + 1) // 2 AS pairs,
+         srn + ((ern - srn + 1) // 2) * 2 - 1 AS lrn,
+         row_number() OVER (PARTITION BY user_id ORDER BY srn) - 1 AS mseq
+  FROM s WHERE srn IS NOT NULL AND ern > srn
+)
+SELECT r.user_id,
+       strftime(r.ts, {_FMT}) AS row_ts,
+       r.event_id,
+       CASE (r.rn - mt.srn) % 2 WHEN 0 THEN 'X' ELSE 'Y' END AS classifier,
+       CAST(mt.mseq AS BIGINT) AS match_seq,
+       CAST(COALESCE(
+              MIN(CASE WHEN (r.rn - mt.srn) % 2 = 0 THEN r.event_id END)
+                OVER (PARTITION BY r.user_id, mt.gid ORDER BY r.rn
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              0) AS BIGINT) AS mnx,
+       CAST(COALESCE(
+              MAX(CASE WHEN (r.rn - mt.srn) % 2 = 1 THEN r.event_id END)
+                OVER (PARTITION BY r.user_id, mt.gid ORDER BY r.rn
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              0) AS BIGINT) AS mxy,
+       CAST((r.rn - mt.srn) // 2 + 1 AS BIGINT) AS rx,
+       CAST(mt.pairs AS BIGINT) AS pairs
+FROM mt
+JOIN isl r ON r.user_id = mt.user_id AND r.rn BETWEEN mt.srn AND mt.lrn
+"""
+
+
+register(
+    "cep_group_loop_all_rows_extrema",
+    cep_group_loop_all_rows_extrema,
+    ORACLE_GROUP_LOOP_ALL_ROWS_EXTREMA,
+    # round 12: RUNNING extrema on the all-rows chain kernel; gate at
+    # the 50 cap — joins the r13 promotion queue
+    driver=False,
+)
+
+
 def cep_group_loop_all_rows_excl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """{- var -} exclusion INSIDE an unbounded loop group — round 7
     (VERDICT r6 item 5): ``(({- X -} Y)+)`` matches exactly as the

@@ -1182,9 +1182,11 @@ def match_recognize(
             # kernel (round 10) — match spans expand with one
             # repeat/arange pass, per-row classifier from predicates
             return match_pattern_fast_nested_chain_all_rows(df, spec)
-        if use_fast_path and fast_loop_chain_all_rows_applicable(spec):
+        if use_fast_path and fast_loop_chain_all_rows_applicable(spec, df):
             # loop-group all-rows emission compiles to the chain kernel
-            # (round 7.2) — positional classifier + exclusion masks
+            # (round 7.2) — positional classifier + exclusion masks;
+            # round 12 adds RUNNING MIN/MAX (segmented extrema) for
+            # plain-numeric sources (df passed for the dtype check)
             return match_pattern_fast_loop_chain_all_rows(df, spec)
         # fast_abc_applicable doesn't check until(), but the all-rows
         # closed form rejects it — guard here so an until-carrying spec

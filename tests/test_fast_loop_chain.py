@@ -765,14 +765,64 @@ def test_all_rows_running_kernel_selected():
 
     spec = parse_match_recognize(BODY_ALL_ROWS_RUNNING)
     assert fast_loop_chain_all_rows_applicable(spec)
-    # RUNNING MIN stays NFA (segmented extrema)
+    # RUNNING MIN/MAX (round 12): compiled segmented extrema — but
+    # only when the dtype is checkable and plain numeric
     spec_min = parse_match_recognize(
         BODY_ALL_ROWS_RUNNING.replace(
             "RUNNING SUM(X.event_id) AS sx",
             "RUNNING MIN(X.event_id) AS sx",
         )
     )
-    assert not fast_loop_chain_all_rows_applicable(spec_min)
+    assert not fast_loop_chain_all_rows_applicable(spec_min)  # no df
+
+
+def test_all_rows_running_minmax_dtype_gate(spark):
+    """RUNNING MIN/MAX compile for plain-numeric sources only; a
+    DECIMAL source keeps the NFA tier's exact pandas reductions."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.operators.fast_path import (
+        fast_loop_chain_all_rows_applicable,
+    )
+
+    spec_min = parse_match_recognize(
+        BODY_ALL_ROWS_RUNNING.replace(
+            "RUNNING SUM(X.event_id) AS sx",
+            "RUNNING MIN(X.event_id) AS sx",
+        )
+    )
+    df = _events_df(spark, _random_rows(0))
+    assert fast_loop_chain_all_rows_applicable(spec_min, df)
+    dec = df.withColumn(
+        "event_id", F.col("event_id").cast("decimal(20,2)")
+    )
+    assert not fast_loop_chain_all_rows_applicable(spec_min, dec)
+
+
+BODY_ALL_ROWS_EXTREMA = BODY_ALL_ROWS_RUNNING.replace(
+    "RUNNING SUM(X.event_id) AS sx",
+    "RUNNING SUM(X.event_id) AS sx,\n"
+    "         RUNNING MIN(X.event_id) AS mnx,\n"
+    "         RUNNING MAX(Y.event_id) AS mxy",
+)
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_all_rows_running_extrema_matches_nfa(spark, seed):
+    """Round 12: RUNNING MIN/MAX on the all-rows chain kernel — the
+    segmented cummax/cummin must equal the NFA tier's running walk
+    exactly (NULL-skipping, empty prefix NULL), alongside the round-8
+    running battery."""
+    from flink_cep_examples_spark.operators.fast_path import (
+        fast_loop_chain_all_rows_applicable,
+    )
+
+    df = _events_df(spark, _random_rows(seed))
+    assert fast_loop_chain_all_rows_applicable(
+        parse_match_recognize(BODY_ALL_ROWS_EXTREMA), df
+    )
+    f, n = _both_all_rows(spark, df, BODY_ALL_ROWS_EXTREMA)
+    assert f == n and f
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
