@@ -1897,26 +1897,37 @@ def fast_loop_chain_all_rows_applicable(spec, df=None) -> bool:
         T.ByteType, T.ShortType, T.IntegerType, T.LongType,
         T.FloatType, T.DoubleType,
     )
+
+    def _numeric_src(m) -> bool:
+        if df is None:
+            return False  # dtype unknowable: NFA tier
+        try:
+            return isinstance(df.schema[m.src].dataType, numeric)
+        except KeyError:
+            return False
+
     for m in spec.measures:
         if not m.running:
             continue
         if m.fn in ("classifier", "match_number"):
             continue
-        if m.fn in ("count", "count_col", "sum", "avg", "first", "last"):
+        if m.fn == "count":
+            continue  # rows-only: offsets (single var) / segmented
+            # cumsum of the membership mask (SUBSET union, round 12)
+        if m.fn in ("first", "last"):
             if m.var in subset_names:
-                return False
+                return False  # union first/last gathers: NFA tier
             continue
-        if m.fn in ("min", "max"):
-            if m.var in subset_names:
+        if m.fn == "count_col":
+            continue  # non-null counts: dtype-free segmented cumsum
+        if m.fn in ("sum", "avg", "min", "max"):
+            # the float64 segmented-cumsum/extrema path (round 12
+            # extends it to SUBSET unions): require a plain numeric
+            # source — decimal/object aggregation keeps the NFA
+            # tier's exact pandas reductions (previously a decimal
+            # RUNNING SUM would have been silently folded in float64)
+            if not _numeric_src(m):
                 return False
-            if df is None:
-                return False  # dtype unknowable: NFA tier
-            try:
-                dt = df.schema[m.src].dataType
-            except KeyError:
-                return False
-            if not isinstance(dt, numeric):
-                return False  # decimal/object extrema: NFA tier
             continue
         return False  # unknown running fn → NFA tier
     if getattr(spec, "loop_branches", ()):
@@ -2121,6 +2132,61 @@ def match_pattern_fast_loop_chain_all_rows(
             for m in running:
                 if m.fn == "classifier":
                     run_cols[m.name] = (var_names[var_idx], None)
+                    continue
+                comps = subset_map.get(m.var)
+                if comps is not None:
+                    # SUBSET union (round 12): membership mask over
+                    # the union's positions, then the same segmented
+                    # cumsum / extrema machinery as single vars —
+                    # position offsets don't exist for a union, so
+                    # COUNT rides the cumsum too
+                    posu = np.array(
+                        [var_pos[c] for c in comps], dtype=np.int64
+                    )
+                    ismem = np.isin(var_idx, posu)
+                    if m.fn == "count":
+                        nvm = np.cumsum(ismem.astype(np.int64))
+                        N0m = np.concatenate(([0], nvm))
+                        run_cols[m.name] = (nvm - N0m[cum], None)
+                        continue
+                    vraw = src_arrays[m.src][row_idx_full]
+                    notna = ~pd.isna(vraw)
+                    hit = ismem & notna
+                    nv = np.cumsum(hit.astype(np.int64))
+                    N0 = np.concatenate(([0], nv))
+                    run_nv = nv - N0[cum]
+                    if m.fn == "count_col":
+                        run_cols[m.name] = (run_nv, None)
+                    elif m.fn in ("min", "max"):
+                        ser = pd.Series(
+                            np.where(hit, vraw, np.nan),
+                            dtype="float64",
+                        )
+                        grp = ser.groupby(cum)
+                        run = (
+                            grp.cummax()
+                            if m.fn == "max"
+                            else grp.cummin()
+                        )
+                        run = run.groupby(cum).ffill()
+                        run_cols[m.name] = (
+                            run.to_numpy(),
+                            run_nv == 0,
+                        )
+                    else:  # sum / avg
+                        contrib = np.where(hit, vraw, 0).astype(
+                            np.float64
+                        )
+                        csum = np.cumsum(contrib)
+                        S = np.concatenate(([0.0], csum))
+                        run_sum = csum - S[cum]
+                        if m.fn == "sum":
+                            run_cols[m.name] = (run_sum, run_nv == 0)
+                        else:
+                            run_cols[m.name] = (
+                                run_sum / np.maximum(run_nv, 1),
+                                run_nv == 0,
+                            )
                     continue
                 i = var_pos[m.var]
                 if i < s:

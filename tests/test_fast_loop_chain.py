@@ -758,13 +758,17 @@ def _both_all_rows(spark, df, body):
     return f, n
 
 
-def test_all_rows_running_kernel_selected():
+def test_all_rows_running_kernel_selected(spark):
     from flink_cep_examples_spark.operators.fast_path import (
         fast_loop_chain_all_rows_applicable,
     )
 
     spec = parse_match_recognize(BODY_ALL_ROWS_RUNNING)
-    assert fast_loop_chain_all_rows_applicable(spec)
+    df0 = _events_df(spark, _random_rows(0))
+    # round 12: RUNNING SUM/AVG need the dtype check — df required
+    # (the decimal float64-fold hazard routes to the NFA tier now)
+    assert not fast_loop_chain_all_rows_applicable(spec)
+    assert fast_loop_chain_all_rows_applicable(spec, df0)
     # RUNNING MIN/MAX (round 12): compiled segmented extrema — but
     # only when the dtype is checkable and plain numeric
     spec_min = parse_match_recognize(
@@ -940,3 +944,56 @@ def test_chain_kernel_branch_agg_overlap_routes_to_nfa(spark):
     out = match_recognize(df, body, tiebreak_col="event_id")
     with pytest.raises(Exception, match="pairwise-disjoint"):
         out.collect()
+
+
+BODY_ALL_ROWS_UNION_RUNNING = """
+PARTITION BY user_id ORDER BY ts, event_id
+MEASURES RUNNING COUNT(U.*) AS ru,
+         RUNNING SUM(U.event_id) AS su,
+         RUNNING AVG(U.event_id) AS au,
+         RUNNING MIN(U.event_id) AS mnu,
+         RUNNING MAX(U.event_id) AS mxu,
+         COUNT(X.*) AS pairs
+ALL ROWS PER MATCH
+AFTER MATCH SKIP PAST LAST ROW
+PATTERN ((X Y)+)
+SUBSET U = (X, Y)
+DEFINE X AS event_id % 3 = 1, Y AS event_id % 3 = 2
+"""
+
+
+def test_all_rows_union_running_kernel_selected(spark):
+    """Round 12: RUNNING aggregates over SUBSET unions compile (the
+    membership-mask segmented cumsum/extrema); union FIRST/LAST stays
+    NFA (value gathers need per-row position walks)."""
+    from flink_cep_examples_spark.operators.fast_path import (
+        fast_loop_chain_all_rows_applicable,
+    )
+
+    df0 = _events_df(spark, _random_rows(0))
+    spec = parse_match_recognize(BODY_ALL_ROWS_UNION_RUNNING)
+    assert fast_loop_chain_all_rows_applicable(spec, df0)
+    spec_fl = parse_match_recognize(
+        BODY_ALL_ROWS_UNION_RUNNING.replace(
+            "RUNNING SUM(U.event_id) AS su",
+            "RUNNING LAST(U.event_id) AS su",
+        )
+    )
+    assert not fast_loop_chain_all_rows_applicable(spec_fl, df0)
+    from pyspark.sql import functions as F
+
+    dec = df0.withColumn(
+        "event_id", F.col("event_id").cast("decimal(20,2)")
+    )
+    # decimal union aggregation: exact pandas reductions, NFA tier
+    assert not fast_loop_chain_all_rows_applicable(spec, dec)
+
+
+@pytest.mark.parametrize("seed", [21, 22, 23])
+def test_all_rows_union_running_matches_nfa(spark, seed):
+    """Union RUNNING battery fast-vs-NFA differential: the membership
+    mask must see BOTH variables' rows (a single-var offset walk would
+    halve the counts) and the extrema must carry across iterations."""
+    df = _events_df(spark, _random_rows(seed))
+    f, n = _both_all_rows(spark, df, BODY_ALL_ROWS_UNION_RUNNING)
+    assert f == n and f
