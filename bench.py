@@ -87,6 +87,15 @@ HEADLINE = [
 #: documented ±40% band, not a query-specific regression. Neither
 #: query's code changed since r4.
 BENCH_NOTES = (
+    "r12: the first full-bench run flagged corpus_clean_pipeline "
+    "(1.37x), ann_bruteforce_topk (1.42x - its scoring plan was "
+    "refactored into _brute_scores this round), docs_bigram_topk "
+    "(1.33x). ADJUDICATED host noise by solo min-of-5 interleaved "
+    "with the settled text_fingerprint control: ann_bruteforce min "
+    "0.492 (BELOW its 0.501 cross-round min - the refactor is "
+    "plan-identical), corpus_clean_pipeline min 2.882 (== its 2.873 "
+    "cross-round min), docs_bigram_topk min 0.746 (1.14x, in band), "
+    "control 0.219 (healthy). No code regression. "
     "r11: output reworked per VERDICT r10 item 5 - BENCH_EXTRAS line "
     "first, then a minimal final JSON line (<1.7k chars) that fits the "
     "driver's 2000-char stdout tail whole, so BENCH_r11.json parses "
