@@ -1915,9 +1915,10 @@ def fast_loop_chain_all_rows_applicable(spec, df=None) -> bool:
             continue  # rows-only: offsets (single var) / segmented
             # cumsum of the membership mask (SUBSET union, round 12)
         if m.fn in ("first", "last"):
-            if m.var in subset_names:
-                return False  # union first/last gathers: NFA tier
-            continue
+            continue  # single var: offset arithmetic; SUBSET union:
+            # segmented index-gather (round 12) — dtype-free, and a
+            # member row whose value IS NULL correctly overwrites
+            # the running last (an ffill of values could not)
         if m.fn == "count_col":
             continue  # non-null counts: dtype-free segmented cumsum
         if m.fn in ("sum", "avg", "min", "max"):
@@ -2148,6 +2149,29 @@ def match_pattern_fast_loop_chain_all_rows(
                         nvm = np.cumsum(ismem.astype(np.int64))
                         N0m = np.concatenate(([0], nvm))
                         run_cols[m.name] = (nvm - N0m[cum], None)
+                        continue
+                    if m.fn in ("first", "last"):
+                        # running index of the union's first/last row
+                        # at-or-before each output row, then a gather
+                        # from the source array — the row's value
+                        # null or not (SQL:2016), dtype-free
+                        ar = np.arange(len(ismem), dtype=np.float64)
+                        if m.fn == "last":
+                            idx = pd.Series(
+                                np.where(ismem, ar, np.nan)
+                            ).groupby(cum).cummax()
+                        else:
+                            idx = pd.Series(
+                                np.where(ismem, ar, np.nan)
+                            ).groupby(cum).cummin()
+                        idx = idx.groupby(cum).ffill().to_numpy()
+                        has = ~np.isnan(idx)
+                        gat = src_arrays[m.src][
+                            row_idx_full[
+                                np.where(has, idx, 0).astype(np.int64)
+                            ]
+                        ]
+                        run_cols[m.name] = (gat, ~has)
                         continue
                     vraw = src_arrays[m.src][row_idx_full]
                     notna = ~pd.isna(vraw)

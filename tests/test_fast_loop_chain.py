@@ -953,6 +953,8 @@ MEASURES RUNNING COUNT(U.*) AS ru,
          RUNNING AVG(U.event_id) AS au,
          RUNNING MIN(U.event_id) AS mnu,
          RUNNING MAX(U.event_id) AS mxu,
+         RUNNING FIRST(U.ts) AS fu,
+         RUNNING LAST(U.ts) AS lu,
          COUNT(X.*) AS pairs
 ALL ROWS PER MATCH
 AFTER MATCH SKIP PAST LAST ROW
@@ -963,9 +965,9 @@ DEFINE X AS event_id % 3 = 1, Y AS event_id % 3 = 2
 
 
 def test_all_rows_union_running_kernel_selected(spark):
-    """Round 12: RUNNING aggregates over SUBSET unions compile (the
-    membership-mask segmented cumsum/extrema); union FIRST/LAST stays
-    NFA (value gathers need per-row position walks)."""
+    """Round 12: the FULL RUNNING battery over SUBSET unions compiles
+    (membership-mask segmented cumsum/extrema; FIRST/LAST via the
+    running member-index gather); decimal aggregation stays NFA."""
     from flink_cep_examples_spark.operators.fast_path import (
         fast_loop_chain_all_rows_applicable,
     )
@@ -973,13 +975,6 @@ def test_all_rows_union_running_kernel_selected(spark):
     df0 = _events_df(spark, _random_rows(0))
     spec = parse_match_recognize(BODY_ALL_ROWS_UNION_RUNNING)
     assert fast_loop_chain_all_rows_applicable(spec, df0)
-    spec_fl = parse_match_recognize(
-        BODY_ALL_ROWS_UNION_RUNNING.replace(
-            "RUNNING SUM(U.event_id) AS su",
-            "RUNNING LAST(U.event_id) AS su",
-        )
-    )
-    assert not fast_loop_chain_all_rows_applicable(spec_fl, df0)
     from pyspark.sql import functions as F
 
     dec = df0.withColumn(
