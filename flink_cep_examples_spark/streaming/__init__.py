@@ -14,3 +14,8 @@ from flink_cep_examples_spark.streaming.keyed_process_tws import (  # noqa: F401
     billing_low_level_alerts_tws,
     keyed_process_tws,
 )
+from flink_cep_examples_spark.streaming.sketch_stream import (  # noqa: F401
+    cms_frequency_stream,
+    hll_distinct_stream,
+    quantile_hist_stream,
+)
