@@ -904,3 +904,52 @@ def test_alternation_all_rows_running_streaming_differential(
         for r in spark.table(f"alt_run_diff_{seed}").collect()
     )
     assert got == batch, seed
+
+
+def test_alternation_all_rows_running_subset_streaming(spark, tmp_path):
+    """SUBSET-union RUNNING measures under streaming alternation ALL
+    ROWS (round 12): the clipped-prefix walk merges the union's
+    component captures by ordinal — streamed rows must equal batch
+    exactly (the union sees rows of BOTH branches' variables)."""
+    body = """
+      PARTITION BY id ORDER BY event_time
+      MEASURES RUNNING COUNT(W.*) AS w_so_far,
+               RUNNING SUM(W.seq) AS w_run,
+               FINAL COUNT(W.*) AS nw
+      ALL ROWS PER MATCH
+      AFTER MATCH SKIP PAST LAST ROW
+      PATTERN (A C | A B{2})
+      SUBSET W = (B, C)
+      DEFINE A AS fd, B AS fd, C AS fc
+    """
+    df = _df(spark, [D, U, X, D, D, D, X, D, U, D, D, D]).unionByName(
+        spark.createDataFrame(
+            [("k", dt.datetime(2020, 5, 2, 0, 0, 0), 999, False, False)],
+            _SCHEMA,
+        )
+    )
+    batch = sorted(tuple(r) for r in match_recognize(df, body).collect())
+    assert batch
+    cols = {
+        f.name: i
+        for i, f in enumerate(match_recognize(df, body).schema.fields)
+    }
+    # both branch shapes contribute union rows: some matches have
+    # nw=1 (the C branch), some nw=2 (the B{2} branch)
+    assert {r[cols["nw"]] for r in batch} == {1, 2}
+    src = tmp_path / "alt_subset_run"
+    df.coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    out = match_recognize(stream, body)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("alt_subset_run_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        tuple(r) for r in spark.table("alt_subset_run_mem").collect()
+    )
+    assert got == batch
