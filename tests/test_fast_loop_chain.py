@@ -992,3 +992,31 @@ def test_all_rows_union_running_matches_nfa(spark, seed):
     df = _events_df(spark, _random_rows(seed))
     f, n = _both_all_rows(spark, df, BODY_ALL_ROWS_UNION_RUNNING)
     assert f == n and f
+
+
+BODY_ALL_ROWS_UNION_EXCL = """
+PARTITION BY user_id ORDER BY ts, event_id
+MEASURES RUNNING COUNT(U.*) AS ru,
+         RUNNING LAST(U.event_id) AS lu,
+         RUNNING MAX(U.event_id) AS mxu,
+         COUNT(X.*) AS pairs
+ALL ROWS PER MATCH
+AFTER MATCH SKIP PAST LAST ROW
+PATTERN (({- X -} Y)+)
+SUBSET U = (X, Y)
+DEFINE X AS event_id % 3 = 1, Y AS event_id % 3 = 2
+"""
+
+
+@pytest.mark.parametrize("seed", [41, 42])
+def test_all_rows_union_running_with_exclusion_matches_nfa(spark, seed):
+    """Round 12: excluded {- X -} rows emit nothing but still advance
+    the union's running count/last/max (SQL:2016 — the running series
+    is computed PRE-keep); kernel and NFA must agree exactly."""
+    df = _events_df(spark, _random_rows(seed))
+    f, n = _both_all_rows(spark, df, BODY_ALL_ROWS_UNION_EXCL)
+    assert f == n and f
+    # the excluded X rows' contribution is visible: on some emitted Y
+    # row the union count exceeds the count of emitted rows so far
+    # (X advanced it invisibly)
+    assert any(r for r in f if r[-4] and r[-4] >= 2)
