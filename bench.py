@@ -95,7 +95,11 @@ BENCH_NOTES = (
     "0.492 (BELOW its 0.501 cross-round min - the refactor is "
     "plan-identical), corpus_clean_pipeline min 2.882 (== its 2.873 "
     "cross-round min), docs_bigram_topk min 0.746 (1.14x, in band), "
-    "control 0.219 (healthy). No code regression. "
+    "control 0.219 (healthy). No code regression. The final r12 run "
+    "flagged cep_streaming (2.0->2.9 s, 137k events/s): solo min-of-4 "
+    "re-probe 2.195 s = 182k events/s, top of the documented 95-180k "
+    "band - slow host moment, not code (no streaming-path change "
+    "touches the billing replay shape). "
     "r11: output reworked per VERDICT r10 item 5 - BENCH_EXTRAS line "
     "first, then a minimal final JSON line (<1.7k chars) that fits the "
     "driver's 2000-char stdout tail whole, so BENCH_r11.json parses "
