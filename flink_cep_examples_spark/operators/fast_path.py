@@ -2724,7 +2724,9 @@ def _final_agg_reduce(fn: str, values):
     return values.min() if fn == "min" else values.max()
 
 
-def _chain_vars_measures_ok(spec, allow_agg: bool = False) -> bool:
+def _chain_vars_measures_ok(
+    spec, allow_agg: bool = False, allow_running: bool = False
+) -> bool:
     """Shared variable/measure admissibility for the nested chain /
     islands kernels: plain greedy ONCE variables under strict
     contiguity, measures limited to first/last/count (+ niladics) over
@@ -2732,7 +2734,10 @@ def _chain_vars_measures_ok(spec, allow_agg: bool = False) -> bool:
     from unit geometry. ``allow_agg`` (round 10, the depth-2 nested
     kernel only): FINAL SUM/AVG/MIN/MAX compute per emission over the
     variable's classified rows with the SAME pandas reductions the NFA
-    tier uses."""
+    tier uses. ``allow_running`` (round 12, the islands ALL-ROWS
+    kernel only): RUNNING count/count_col/sum/avg/min/max/first/last
+    over classified rows — segmented series per island; the caller is
+    responsible for the numeric-dtype gate on the float64 fns."""
     for i, v in enumerate(spec.variables):
         if v.negated or v.until is not None or v.quantifier != ONCE:
             return False
@@ -2744,7 +2749,19 @@ def _chain_vars_measures_ok(spec, allow_agg: bool = False) -> bool:
     subset_map = dict(spec.subsets)
     for m in spec.measures:
         if m.running:
-            return False
+            if not allow_running:
+                return False
+            if m.fn in NILADIC_FNS:
+                continue  # RUNNING CLASSIFIER = the row's own var
+            if m.fn not in (
+                "count", "count_col", "sum", "avg", "min", "max",
+                "first", "last",
+            ):
+                return False
+            comps = subset_map.get(m.var, (m.var,))
+            if not all(c in names for c in comps):
+                return False
+            continue
         if m.fn in NILADIC_FNS:
             continue  # per-segment MATCH_NUMBER / last-var CLASSIFIER
         if m.fn not in ("first", "last", "count") and not (
@@ -3933,6 +3950,19 @@ def _all_rows_nfa_fallback_frame(
         loop_stride=_loop_strides(compiled.spec),
         classify=_classify_preds(compiled.spec, preds_all),
     )
+    # RUNNING measures (round 12): the fallback walks each match's
+    # rows in order anyway, so running values fold incrementally —
+    # repeating mvals (FINAL) here would be the exact silent-wrong
+    # class the round-11 streaming ADVICE flagged
+    subset_map_fb = dict(compiled.spec.subsets)
+    running_ms = [
+        m for m in measure_list if m.running and m.fn != "match_number"
+    ]
+    comp_map = {
+        m.name: set(subset_map_fb.get(m.var, (m.var,)))
+        for m in running_ms
+        if m.fn != "classifier"
+    }
     rows: dict[str, list] = {c: [] for c in out_names}
     for b in range(len(bounds) - 1):
         lo, hi = int(bounds[b]), int(bounds[b + 1])
@@ -3954,6 +3984,31 @@ def _all_rows_nfa_fallback_frame(
             mvals = eval_measures(shifted, seq + 1)
             blo = min(sp[0] for sp in shifted.values())
             bhi = max(sp[1] for sp in shifted.values())
+            # [count, n_vals, total, mn_, mx_, first, last]
+            run_st = {
+                m.name: [0, 0, 0.0, None, None, None, None]
+                for m in running_ms
+                if m.fn != "classifier"
+            }
+
+            def _run_val(m):
+                cnt, nv, tot, mn_, mx_, first, last = run_st[m.name]
+                if m.fn == "count":
+                    return cnt
+                if m.fn == "count_col":
+                    return nv
+                if m.fn == "first":
+                    return first if cnt else None
+                if m.fn == "last":
+                    return last if cnt else None
+                if nv == 0:
+                    return None
+                if m.fn == "sum":
+                    return tot
+                if m.fn == "avg":
+                    return tot / nv
+                return mn_ if m.fn == "min" else mx_
+
             for r in range(blo, bhi + 1):
                 hits = [vi for vi in class_idx if p[vi][r]]
                 if len(hits) != 1:
@@ -3965,14 +4020,39 @@ def _all_rows_nfa_fallback_frame(
                         f"rows (a row satisfied {len(hits)} "
                         "group-variable predicates)"
                     )
+                vn = var_names[hits[0]]
+                for m in running_ms:
+                    if m.fn == "classifier" or vn not in comp_map[m.name]:
+                        continue
+                    st = run_st[m.name]
+                    v = (
+                        src_arrays[m.src][r]
+                        if m.fn != "count"  # COUNT(V.*) has no source
+                        else None
+                    )
+                    st[0] += 1
+                    if st[0] == 1:
+                        st[5] = v  # first ROW's value, null or not
+                    st[6] = v
+                    if v is not None and v == v:
+                        st[1] += 1
+                        if m.fn in ("sum", "avg"):
+                            st[2] += v
+                        st[3] = v if st[3] is None or v < st[3] else st[3]
+                        st[4] = v if st[4] is None or v > st[4] else st[4]
                 if excluded[hits[0]]:
-                    continue
+                    continue  # {- var -}: state advanced, row dropped
                 for c in data_cols:
                     rows[c].append(data_arrays[c][r])
-                rows["classifier"].append(var_names[hits[0]])
+                rows["classifier"].append(vn)
                 rows["match_seq"].append(seq)
                 for m in measure_list:
-                    rows[m.name].append(mvals[m.name])
+                    if m.running and m.fn == "classifier":
+                        rows[m.name].append(vn)
+                    elif m.name in run_st:
+                        rows[m.name].append(_run_val(m))
+                    else:
+                        rows[m.name].append(mvals[m.name])
     if not rows[out_names[0]]:
         return None
     out = pd.DataFrame(rows, columns=out_names)
@@ -3980,14 +4060,17 @@ def _all_rows_nfa_fallback_frame(
     return out
 
 
-def fast_branch_all_rows_applicable(spec) -> bool:
+def fast_branch_all_rows_applicable(spec, df=None) -> bool:
     """ALL ROWS PER MATCH on the islands kernel — ANY branch widths
     (round 10): the round-7 all-rows chain kernel rejects
     loop_branches entirely, so this is THE compiled path for
     branch-group ALL ROWS (the NFA tier's per-match Python emission
     measured 3.3x at 10x). Same shape constraints as the one-row
-    islands kernel except widths may be equal; RUNNING measures stay
-    on the NFA tier."""
+    islands kernel except widths may be equal. Round 12: RUNNING
+    measures compile too (segmented series per island over
+    predicate-classified rows; the NFA classify path measured 6.4x
+    at 10x) — SUM/AVG/MIN/MAX need a plain-numeric source, so pass
+    ``df`` for the dtype check (decimal/object keep the NFA tier)."""
     if not isinstance(spec, PatternSpec) or spec.derivation != "longest":
         return False
     if spec.rows_per_match != "all":
@@ -4002,7 +4085,21 @@ def fast_branch_all_rows_applicable(spec) -> bool:
     n = len(spec.variables)
     if spec.loop_groups[0] != (0, n - 1):
         return False  # group must span the whole pattern
-    return _chain_vars_measures_ok(spec)
+    numeric = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType,
+    )
+    for m in spec.measures:
+        if m.running and m.fn in ("sum", "avg", "min", "max"):
+            if df is None:
+                return False  # dtype unknowable: NFA tier
+            try:
+                dt = df.schema[m.src].dataType
+            except KeyError:
+                return False
+            if not isinstance(dt, numeric):
+                return False
+    return _chain_vars_measures_ok(spec, allow_running=True)
 
 
 def match_pattern_fast_branch_all_rows(
@@ -4032,7 +4129,7 @@ def match_pattern_fast_branch_all_rows(
     )
 
     spec.validate()
-    if not fast_branch_all_rows_applicable(spec):
+    if not fast_branch_all_rows_applicable(spec, df):
         raise ValueError(
             "pattern shape not compilable (branch all-rows islands)"
         )
@@ -4116,9 +4213,16 @@ def match_pattern_fast_branch_all_rows(
         (vidx, iid, n_isl, first_row, last_row,
          var_first, var_last, var_count, mn) = isl
         big = np.iinfo(np.int64).max
+        running_ms = [
+            m
+            for m in measure_list
+            if m.running and m.fn != "match_number"
+        ]
         # per-island FINAL measure values
         isl_vals: dict[str, np.ndarray] = {}
         for m in measure_list:
+            if m.running and m.fn != "match_number":
+                continue  # round 12: per-row series, computed below
             if m.fn == "match_number":
                 isl_vals[m.name] = mn
                 continue
@@ -4161,6 +4265,78 @@ def match_pattern_fast_branch_all_rows(
             rv[mask] = var_names[i]
             if excluded[i]:
                 keep &= ~mask
+        # RUNNING series (round 12): segmented per-island series over
+        # predicate-classified rows, computed PRE-keep so excluded
+        # rows still advance the state (SQL:2016) — the chain kernel's
+        # cumsum/extrema/index-gather motifs keyed by island id
+        run_cols: dict[str, tuple] = {}
+        for m in running_ms:
+            if m.fn == "classifier":
+                run_cols[m.name] = (rv, None)  # the row's own var
+                continue
+            comps = set(subset_map.get(m.var, (m.var,)))
+            ismem = np.zeros(len(vidx), dtype=bool)
+            for i, _pv, _nx in geom:
+                if var_names[i] in comps:
+                    ismem |= p[i][vidx]
+            if m.fn == "count":
+                run = (
+                    pd.Series(ismem.astype(np.int64))
+                    .groupby(iid)
+                    .cumsum()
+                    .to_numpy()
+                )
+                run_cols[m.name] = (run, None)
+                continue
+            vraw = src_arrays[m.src][vidx]
+            if m.fn in ("first", "last"):
+                ar = np.arange(len(ismem), dtype=np.float64)
+                ser = pd.Series(np.where(ismem, ar, np.nan))
+                g = ser.groupby(iid)
+                idxp = (
+                    (g.cummax() if m.fn == "last" else g.cummin())
+                    .groupby(iid)
+                    .ffill()
+                    .to_numpy()
+                )
+                has = ~np.isnan(idxp)
+                gat = vraw[np.where(has, idxp, 0).astype(np.int64)]
+                run_cols[m.name] = (gat, ~has)
+                continue
+            notna = ~pd.isna(vraw)
+            hit = ismem & notna
+            nvr = (
+                pd.Series(hit.astype(np.int64))
+                .groupby(iid)
+                .cumsum()
+                .to_numpy()
+            )
+            if m.fn == "count_col":
+                run_cols[m.name] = (nvr, None)
+            elif m.fn in ("min", "max"):
+                ser = pd.Series(
+                    np.where(hit, vraw, np.nan), dtype="float64"
+                )
+                g = ser.groupby(iid)
+                run = (
+                    (g.cummax() if m.fn == "max" else g.cummin())
+                    .groupby(iid)
+                    .ffill()
+                    .to_numpy()
+                )
+                run_cols[m.name] = (run, nvr == 0)
+            else:  # sum / avg
+                contrib = np.where(hit, vraw, 0).astype(np.float64)
+                rsum = (
+                    pd.Series(contrib).groupby(iid).cumsum().to_numpy()
+                )
+                if m.fn == "sum":
+                    run_cols[m.name] = (rsum, nvr == 0)
+                else:
+                    run_cols[m.name] = (
+                        rsum / np.maximum(nvr, 1),
+                        nvr == 0,
+                    )
         emit_idx = vidx[keep]
         emit_iid = iid[keep]
         if not len(emit_idx):
@@ -4171,7 +4347,17 @@ def match_pattern_fast_branch_all_rows(
         cols["classifier"] = rv[keep]
         cols["match_seq"] = mn[emit_iid] - 1
         for m in measure_list:
-            cols[m.name] = isl_vals[m.name][emit_iid]
+            if m.name in run_cols:
+                vals, nmask = run_cols[m.name]
+                v = np.asarray(vals)[keep]
+                if nmask is None:
+                    cols[m.name] = v
+                else:
+                    ser = pd.Series(v)
+                    ser[np.asarray(nmask)[keep]] = None
+                    cols[m.name] = ser.to_numpy()
+            else:
+                cols[m.name] = isl_vals[m.name][emit_iid]
         out = pd.DataFrame(cols, columns=out_names)
         _null_safe_agg_cast(out, measure_list, out_schema)
         yield out

@@ -2324,6 +2324,124 @@ register(
 )
 
 
+def cep_group_alt_all_rows_running(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RUNNING measures over a MIXED-WIDTH branch-group ALL ROWS match
+    (round 12): ``RUNNING COUNT/SUM/MAX`` over ``((A | C D)+)`` vars
+    and a SUBSET union — branch iterations have no fixed stride, so
+    the series walks predicate-CLASSIFIED rows. Compiled on the
+    break-mask islands ALL-ROWS kernel as segmented per-island series
+    (operators/fast_path.py round-12 section; the NFA classify path
+    measured 6.4× at 10×, the kernel 1.5×); predicate overlap falls
+    back to the per-segment NFA whose walk folds the same series
+    incrementally."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.sources.tables import load_table, spread
+    from flink_cep_examples_spark.sql.match_recognize import match_recognize
+
+    events = spread(load_table(spark, sf_dir, "events"), "user_id").select(
+        "user_id", "ts", "event_id"
+    )
+    out = match_recognize(
+        events,
+        """
+        PARTITION BY user_id ORDER BY ts, event_id
+        MEASURES RUNNING COUNT(A.*) AS ra,
+                 RUNNING SUM(A.event_id) AS sa,
+                 RUNNING MAX(W.event_id) AS mxw,
+                 COUNT(C.*) AS nc
+        ALL ROWS PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN ((A | C D)+)
+        SUBSET W = (A, D)
+        DEFINE A AS event_id % 5 = 1,
+               C AS event_id % 5 = 3,
+               D AS event_id % 5 = 4
+        """,
+        tiebreak_col="event_id",
+    )
+    # sa/mxw are NULL before the var's first row — COALESCE on BOTH
+    # sides (catalog convention)
+    return out.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("row_ts"),
+        "event_id",
+        "classifier",
+        "match_seq",
+        F.col("ra").cast("bigint").alias("ra"),
+        F.coalesce(F.col("sa").cast("bigint"), F.lit(0)).alias("sa"),
+        F.coalesce(F.col("mxw").cast("bigint"), F.lit(0)).alias("mxw"),
+        F.col("nc").cast("bigint").alias("nc"),
+    )
+
+
+#: the ORACLE_GROUP_ALT_MIXED_AGG island decomposition emitted PER ROW
+#: with running windows inside each (user_id, island)
+ORACLE_GROUP_ALT_ALL_ROWS_RUNNING = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id, event_id % 5 AS m,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+f AS (
+  SELECT *,
+         (m IN (1, 3, 4)
+          AND NOT (m = 3 AND COALESCE(lead(m) OVER w, -1) != 4)
+          AND NOT (m = 4 AND COALESCE(lag(m) OVER w, -1) != 3)
+         ) AS ok
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+),
+g AS (
+  SELECT *,
+         CASE WHEN ok AND COALESCE(
+                lag(ok) OVER (PARTITION BY user_id ORDER BY rn), FALSE
+              ) THEN 0 ELSE 1 END AS brk
+  FROM f
+),
+isl AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY rn) AS iid
+  FROM g WHERE ok
+),
+sq AS (
+  SELECT user_id, iid,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY MIN(rn)
+         ) - 1 AS mseq
+  FROM isl GROUP BY user_id, iid
+)
+SELECT i.user_id,
+       strftime(i.ts, {_FMT}) AS row_ts,
+       i.event_id,
+       CASE i.m WHEN 1 THEN 'A' WHEN 3 THEN 'C' ELSE 'D' END AS classifier,
+       CAST(sq.mseq AS BIGINT) AS match_seq,
+       CAST(COUNT(CASE WHEN i.m = 1 THEN 1 END)
+              OVER wrun AS BIGINT) AS ra,
+       CAST(COALESCE(SUM(CASE WHEN i.m = 1 THEN i.event_id END)
+              OVER wrun, 0) AS BIGINT) AS sa,
+       CAST(COALESCE(MAX(CASE WHEN i.m IN (1, 4) THEN i.event_id END)
+              OVER wrun, 0) AS BIGINT) AS mxw,
+       CAST(COUNT(CASE WHEN i.m = 3 THEN 1 END)
+              OVER (PARTITION BY i.user_id, i.iid) AS BIGINT) AS nc
+FROM isl i
+JOIN sq ON sq.user_id = i.user_id AND sq.iid = i.iid
+WINDOW wrun AS (PARTITION BY i.user_id, i.iid ORDER BY i.rn
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+register(
+    "cep_group_alt_all_rows_running",
+    cep_group_alt_all_rows_running,
+    ORACLE_GROUP_ALT_ALL_ROWS_RUNNING,
+    # round 12: RUNNING on the islands ALL-ROWS kernel; gate at the
+    # 50 cap — joins the r13 promotion queue
+    driver=False,
+)
+
+
 def cep_group_nested_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALL ROWS PER MATCH over NESTED unbounded groups — ``PATTERN
     (((A B)+ C)+) ALL ROWS PER MATCH`` (round 10): nested iterations

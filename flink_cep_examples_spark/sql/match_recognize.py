@@ -1172,10 +1172,11 @@ def match_recognize(
             match_pattern_fast_nested_chain_all_rows,
         )
 
-        if use_fast_path and fast_branch_all_rows_applicable(spec):
+        if use_fast_path and fast_branch_all_rows_applicable(spec, df):
             # branch-group all-rows emission compiles to the islands
             # kernel (round 10) — per-row classifier from the break-
-            # mask tiling, any widths, zero per-match Python
+            # mask tiling, any widths, zero per-match Python; round 12
+            # adds RUNNING series (df passed for the dtype gate)
             return match_pattern_fast_branch_all_rows(df, spec)
         if use_fast_path and fast_nested_chain_all_rows_applicable(spec):
             # nested-group all-rows emission rides the two-level chain

@@ -781,3 +781,116 @@ def test_mixed_branch_aggregates_match_nfa(spark, seed):
     )
     assert fast == nfa
     assert fast, "fixture must exercise matches"
+
+
+ALLROWS_RUNNING_BODY = """
+PARTITION BY user_id ORDER BY ts, event_id
+MEASURES RUNNING COUNT(A.*) AS ra, RUNNING SUM(A.event_id) AS sa,
+         RUNNING MIN(D.event_id) AS mnd, RUNNING MAX(W.event_id) AS mxw,
+         RUNNING FIRST(W.ts) AS fw, RUNNING LAST(W.event_id) AS lw,
+         RUNNING CLASSIFIER() AS rcl, FINAL COUNT(C.*) AS nc
+ALL ROWS PER MATCH
+AFTER MATCH SKIP PAST LAST ROW
+PATTERN ((A | C D)+)
+SUBSET W = (A, D)
+DEFINE A AS event_id % 5 = 1, C AS event_id % 5 = 3,
+       D AS event_id % 5 = 4
+"""
+
+
+def test_branch_all_rows_running_kernel_selected(spark):
+    """Round 12: RUNNING measures compile on the islands ALL-ROWS
+    kernel (6.4x at 10x on the classify path before); SUM/AVG/MIN/MAX
+    need the numeric dtype check, decimals keep the NFA tier."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.operators.fast_path import (
+        fast_branch_all_rows_applicable,
+    )
+
+    spec = parse_match_recognize(ALLROWS_RUNNING_BODY)
+    df0 = _events_df(spark, [(0, 0, 1)])
+    assert not fast_branch_all_rows_applicable(spec)  # no df: NFA
+    assert fast_branch_all_rows_applicable(spec, df0)
+    dec = df0.withColumn(
+        "event_id", F.col("event_id").cast("decimal(20,2)")
+    )
+    assert not fast_branch_all_rows_applicable(spec, dec)
+
+
+@pytest.mark.parametrize("seed", [51, 52, 53])
+def test_branch_all_rows_running_battery_matches_nfa(spark, seed):
+    """Full RUNNING battery (count/sum/min/max/first/last/classifier,
+    single vars AND a SUBSET union) on the islands kernel vs the NFA
+    classify tier — exact row-set equality."""
+    import random
+
+    from flink_cep_examples_spark.sql.match_recognize import (
+        match_recognize,
+    )
+
+    rng = random.Random(seed)
+    rows = [
+        (u, i, rng.randrange(0, 10))
+        for u in range(5)
+        for i in range(rng.randrange(40, 70))
+    ]
+    df = _events_df(spark, rows)
+    fast = sorted(
+        map(tuple, match_recognize(
+            df, ALLROWS_RUNNING_BODY, tiebreak_col="event_id"
+        ).collect())
+    )
+    nfa = sorted(
+        map(tuple, match_recognize(
+            df, ALLROWS_RUNNING_BODY, tiebreak_col="event_id",
+            use_fast_path=False,
+        ).collect())
+    )
+    assert fast == nfa and fast, seed
+
+
+def test_branch_all_rows_running_overlap_fallback(spark):
+    """Predicate overlap on UNMATCHED rows routes the islands kernel
+    to its per-segment NFA fallback — which must compute the RUNNING
+    series incrementally, not repeat FINAL values (the round-11
+    streaming ADVICE bug class). B and D overlap on event_id=6 rows
+    placed where no match can absorb them."""
+    from flink_cep_examples_spark.sql.match_recognize import (
+        match_recognize,
+    )
+
+    body = """
+    PARTITION BY user_id ORDER BY ts, event_id
+    MEASURES RUNNING COUNT(B.*) AS rb, RUNNING SUM(D.event_id) AS sd,
+             FINAL COUNT(A.*) AS na
+    ALL ROWS PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN ((A B | C D)+)
+    DEFINE A AS event_id = 1, B AS event_id IN (2, 6),
+           C AS event_id = 3, D AS event_id IN (4, 6)
+    """
+    # matches: (1,2)(3,4) island; the 6-rows sit after a 0 (inert) so
+    # they never join a match but make p[B] & p[D] overlap
+    rows = [
+        (0, 0, 1), (0, 1, 2), (0, 2, 3), (0, 3, 4),
+        (0, 4, 0), (0, 5, 6), (0, 6, 0),
+        (0, 7, 1), (0, 8, 2),
+    ]
+    df = _events_df(spark, rows)
+    fast = sorted(
+        map(tuple, match_recognize(
+            df, body, tiebreak_col="event_id"
+        ).collect())
+    )
+    nfa = sorted(
+        map(tuple, match_recognize(
+            df, body, tiebreak_col="event_id", use_fast_path=False
+        ).collect())
+    )
+    assert fast == nfa and fast
+    # the running series actually varies inside the 4-row match
+    cols = {f.name: i for i, f in enumerate(match_recognize(
+        df, body, tiebreak_col="event_id").schema.fields)}
+    vals = sorted(r[cols["rb"]] for r in fast if r[cols["na"]] == 1)
+    assert vals[0] == 0 and vals[-1] == 1
