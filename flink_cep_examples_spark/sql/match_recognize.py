@@ -1178,10 +1178,13 @@ def match_recognize(
             # mask tiling, any widths, zero per-match Python; round 12
             # adds RUNNING series (df passed for the dtype gate)
             return match_pattern_fast_branch_all_rows(df, spec)
-        if use_fast_path and fast_nested_chain_all_rows_applicable(spec):
+        if use_fast_path and fast_nested_chain_all_rows_applicable(
+            spec, df
+        ):
             # nested-group all-rows emission rides the two-level chain
             # kernel (round 10) — match spans expand with one
-            # repeat/arange pass, per-row classifier from predicates
+            # repeat/arange pass, per-row classifier from predicates;
+            # round 12 adds RUNNING series (df passed for dtype gate)
             return match_pattern_fast_nested_chain_all_rows(df, spec)
         if use_fast_path and fast_loop_chain_all_rows_applicable(spec, df):
             # loop-group all-rows emission compiles to the chain kernel

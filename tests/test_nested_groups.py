@@ -1015,3 +1015,81 @@ def test_nested_all_rows_prefix_suffix_geometry(spark):
         ).collect())
     )
     assert fast == nfa and fast
+
+
+NESTED_ALLROWS_RUNNING_BODY = """
+PARTITION BY user_id ORDER BY ts, event_id
+MEASURES RUNNING COUNT(A.*) AS ra, RUNNING SUM(A.event_id) AS sa,
+         RUNNING MIN(B.event_id) AS mnb, RUNNING MAX(W.event_id) AS mxw,
+         RUNNING FIRST(W.ts) AS fw, RUNNING LAST(W.event_id) AS lw,
+         RUNNING CLASSIFIER() AS rcl, FINAL COUNT(C.*) AS nc
+ALL ROWS PER MATCH
+AFTER MATCH SKIP PAST LAST ROW
+PATTERN (((A B)+ C)+)
+SUBSET W = (A, C)
+DEFINE A AS event_id % 4 = 1, B AS event_id % 4 = 2,
+       C AS event_id % 4 = 3
+"""
+
+
+def test_nested_all_rows_running_kernel_selected(spark):
+    """Round 12: RUNNING measures compile on the nested-chain ALL-ROWS
+    kernel (segmented per-match series; the classify path measured
+    4.8x at 10x); SUM/AVG/MIN/MAX need the numeric dtype check —
+    decimals keep the NFA tier."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.operators.fast_path import (
+        fast_nested_chain_all_rows_applicable,
+    )
+    from flink_cep_examples_spark.sql.match_recognize import (
+        parse_match_recognize,
+    )
+
+    spec = parse_match_recognize(NESTED_ALLROWS_RUNNING_BODY)
+    df0 = spark.createDataFrame(
+        [(0, __import__("datetime").datetime(2024, 1, 1), 1)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    assert not fast_nested_chain_all_rows_applicable(spec)  # no df
+    assert fast_nested_chain_all_rows_applicable(spec, df0)
+    dec = df0.withColumn(
+        "event_id", F.col("event_id").cast("decimal(20,2)")
+    )
+    assert not fast_nested_chain_all_rows_applicable(spec, dec)
+
+
+def test_nested_all_rows_running_battery_matches_nfa(spark):
+    """Full RUNNING battery on the nested-chain ALL-ROWS kernel vs the
+    NFA classify tier — exact row-set equality over seeded random
+    fixtures."""
+    import datetime as dt
+    import random
+
+    from flink_cep_examples_spark.sql.match_recognize import (
+        match_recognize,
+    )
+
+    for seed in (61, 62, 63):
+        rng = random.Random(seed)
+        rows = [
+            (u, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+             rng.randrange(0, 8))
+            for u in range(5)
+            for i in range(rng.randrange(40, 70))
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long"
+        )
+        fast = sorted(
+            map(tuple, match_recognize(
+                df, NESTED_ALLROWS_RUNNING_BODY, tiebreak_col="event_id"
+            ).collect())
+        )
+        nfa = sorted(
+            map(tuple, match_recognize(
+                df, NESTED_ALLROWS_RUNNING_BODY,
+                tiebreak_col="event_id", use_fast_path=False,
+            ).collect())
+        )
+        assert fast == nfa and fast, seed
