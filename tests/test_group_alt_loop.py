@@ -894,3 +894,94 @@ def test_branch_all_rows_running_overlap_fallback(spark):
         df, body, tiebreak_col="event_id").schema.fields)}
     vals = sorted(r[cols["rb"]] for r in fast if r[cols["na"]] == 1)
     assert vals[0] == 0 and vals[-1] == 1
+
+
+@pytest.mark.parametrize("seed", [71, 72])
+def test_branch_all_rows_running_width3_matches_nfa(spark, seed):
+    """RUNNING battery on WIDTH-3 mixed branches ((A | C D E)+) — the
+    islands geometry with a 3-row chunk; running series must track
+    predicate-classified rows across chunk interiors."""
+    import random
+
+    from flink_cep_examples_spark.sql.match_recognize import (
+        match_recognize,
+    )
+
+    body = """
+    PARTITION BY user_id ORDER BY ts, event_id
+    MEASURES RUNNING COUNT(E.*) AS re, RUNNING SUM(D.event_id) AS sd,
+             RUNNING LAST(W.event_id) AS lw, FINAL COUNT(A.*) AS na
+    ALL ROWS PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN ((A | C D E)+)
+    SUBSET W = (A, E)
+    DEFINE A AS event_id % 6 = 1, C AS event_id % 6 = 3,
+           D AS event_id % 6 = 4, E AS event_id % 6 = 5
+    """
+    rng = random.Random(seed)
+    rows = [
+        (u, i, rng.randrange(0, 12))
+        for u in range(5)
+        for i in range(rng.randrange(40, 70))
+    ]
+    df = _events_df(spark, rows)
+    fast = sorted(
+        map(tuple, match_recognize(
+            df, body, tiebreak_col="event_id"
+        ).collect())
+    )
+    nfa = sorted(
+        map(tuple, match_recognize(
+            df, body, tiebreak_col="event_id", use_fast_path=False
+        ).collect())
+    )
+    assert fast == nfa and fast, seed
+
+
+def test_branch_all_rows_running_with_exclusion_matches_nfa(spark):
+    """{- D -} inside a branch: excluded rows advance the RUNNING
+    state (pre-keep series) but emit nothing — kernel vs NFA exact."""
+    import random
+
+    from flink_cep_examples_spark.sql.match_recognize import (
+        match_recognize,
+    )
+
+    body = """
+    PARTITION BY user_id ORDER BY ts, event_id
+    MEASURES RUNNING COUNT(D.*) AS rd, RUNNING SUM(D.event_id) AS sd,
+             FINAL COUNT(A.*) AS na
+    ALL ROWS PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN ((A | C {- D -})+)
+    DEFINE A AS event_id % 5 = 1, C AS event_id % 5 = 3,
+           D AS event_id % 5 = 4
+    """
+    saw_advanced = False
+    for seed in (81, 82):
+        rng = random.Random(seed)
+        rows = [
+            (u, i, rng.randrange(0, 10))
+            for u in range(4)
+            for i in range(rng.randrange(40, 60))
+        ]
+        df = _events_df(spark, rows)
+        fast = sorted(
+            map(tuple, match_recognize(
+                df, body, tiebreak_col="event_id"
+            ).collect())
+        )
+        nfa = sorted(
+            map(tuple, match_recognize(
+                df, body, tiebreak_col="event_id", use_fast_path=False
+            ).collect())
+        )
+        assert fast == nfa and fast, seed
+        # D rows advanced the count invisibly: no D row is ever
+        # emitted, yet some emitted row (an A after a C-D chunk)
+        # carries rd >= 1 — observable on at least one seed
+        cols = {f.name: i for i, f in enumerate(match_recognize(
+            df, body, tiebreak_col="event_id").schema.fields)}
+        assert all(r[cols["classifier"]] != "D" for r in fast)
+        saw_advanced |= any(r[cols["rd"]] >= 1 for r in fast)
+    assert saw_advanced
