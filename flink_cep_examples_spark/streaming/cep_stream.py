@@ -199,16 +199,26 @@ def match_pattern_stream(
         raise NotImplementedError(
             "PREV()/NEXT() navigation requires batch input"
         )
-    if spec.derivation == "longest" and any(
-        m.fn == "match_number" for m in spec.measures
+    if (
+        spec.derivation == "longest"
+        and spec.after_match != SKIP_PAST_LAST_EVENT
+        and any(m.fn == "match_number" for m in spec.measures)
     ):
         # batch renumbers longest-derivation matches by (start, end)
-        # ordinal; streaming emission order is held-RESOLUTION order,
-        # which can differ at watermark boundaries — same rule as the
-        # leftmost alternation tier
+        # ordinal; with overlapping matches (NO_SKIP / SKIP TO NEXT)
+        # streaming emission order is held-RESOLUTION order, which can
+        # differ at watermark boundaries — same rule as the leftmost
+        # alternation tier. Under SKIP PAST LAST (round 12) matches
+        # are DISJOINT and holds resolve sequentially by start (a
+        # later start cannot emit before every earlier start is
+        # decided — its rows might belong to the earlier match), so
+        # emission order IS start order and a per-key counter
+        # reproduces the batch numbering (agreement-tested incl.
+        # watermark-boundary within-expiry).
         raise NotImplementedError(
-            "MATCH_NUMBER() under 'longest' derivation is batch-tier "
-            "(held-resolution order differs from start order)"
+            "MATCH_NUMBER() under 'longest' derivation streams only "
+            "with AFTER MATCH SKIP PAST LAST ROW (overlapping matches "
+            "resolve out of start order)"
         )
     all_rows = spec.rows_per_match == "all"
     if all_rows:
@@ -221,13 +231,20 @@ def match_pattern_stream(
         # only on streams.
         if spec.emit_timeouts:
             raise ValueError("ALL ROWS PER MATCH has no timeout channel")
-        if spec.derivation == "longest":
+        if (
+            spec.derivation == "longest"
+            and spec.after_match != SKIP_PAST_LAST_EVENT
+        ):
             # every output row carries match_seq; batch renumbers
             # longest-derivation matches by (start, end), streaming
-            # cannot — same rule as MATCH_NUMBER above
+            # cannot for OVERLAPPING matches — same rule as
+            # MATCH_NUMBER above. SKIP PAST LAST streams (round 12):
+            # disjoint matches + sequential hold resolution make
+            # emission order = start order.
             raise NotImplementedError(
-                "ALL ROWS PER MATCH under 'longest' derivation is "
-                "batch-tier (match_seq needs start-order renumbering)"
+                "ALL ROWS PER MATCH under 'longest' derivation streams "
+                "only with AFTER MATCH SKIP PAST LAST ROW (overlapping "
+                "matches need batch's start-order renumbering)"
             )
         # RUNNING measures compute at emission from the captured
         # rows (round 11) — an incremental walk per match, the batch

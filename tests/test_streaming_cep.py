@@ -1183,8 +1183,10 @@ def test_streaming_all_rows_matches_batch(spark, sf_small, tmp_path):
 
 
 def test_streaming_all_rows_rejects(spark, tmp_path):
-    """Streaming ALL ROWS boundary: 'longest' derivation (match_seq
-    needs start-order renumbering) stays the loud batch-tier reject;
+    """Streaming ALL ROWS boundary: 'longest' derivation streams since
+    round 12 under SKIP PAST LAST (disjoint matches, sequential hold
+    resolution = start-order emission; agreement tests at the end of
+    this file) — overlapping skip strategies keep the loud reject;
     RUNNING measures stream since round 11.2 (agreement test below)."""
     from flink_cep_examples_spark.sql.match_recognize import (
         match_recognize,
@@ -1195,19 +1197,19 @@ def test_streaming_all_rows_rejects(spark, tmp_path):
     stream = spark.readStream.schema(
         "user_id long, ts timestamp, event_id long"
     ).parquet(str(schema_dir))
-    with pytest.raises(NotImplementedError, match="longest"):
-        match_recognize(
-            stream,
-            """
-            PARTITION BY user_id ORDER BY ts, event_id
-            MEASURES COUNT(X.*) AS nx
-            ALL ROWS PER MATCH
-            AFTER MATCH SKIP PAST LAST ROW
-            PATTERN ((X Y)+) WITHIN INTERVAL '1' HOUR
-            DEFINE X AS event_id % 3 = 1, Y AS event_id % 3 = 2
-            """,
-            tiebreak_col="event_id",
-        )
+    longest_past_last = match_recognize(
+        stream,
+        """
+        PARTITION BY user_id ORDER BY ts, event_id
+        MEASURES COUNT(X.*) AS nx
+        ALL ROWS PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN ((X Y)+) WITHIN INTERVAL '1' HOUR
+        DEFINE X AS event_id % 3 = 1, Y AS event_id % 3 = 2
+        """,
+        tiebreak_col="event_id",
+    )
+    assert longest_past_last.isStreaming  # round 12: streams
     running = match_recognize(
         stream,
         """
@@ -1737,3 +1739,154 @@ def test_streaming_all_rows_fork_heavy_matches_batch(
         tuple(r) for r in spark.table(f"forks_{seed}").collect()
     )
     assert got == batch, seed
+
+
+def _longest_replay(spark, tmp_path, df, body, tag):
+    """Time-sliced multi-micro-batch replay; returns (stream, batch)
+    sorted row tuples."""
+    from flink_cep_examples_spark.sql.match_recognize import (
+        match_recognize,
+    )
+    import datetime as dtm
+
+    from pyspark.sql import functions as F
+
+    batch = sorted(
+        map(tuple, match_recognize(df, body, tiebreak_col="event_id").collect())
+    )
+    src = str(tmp_path / f"lg_{tag}")
+    base = dtm.datetime(2024, 1, 1)
+    for lo, hi in ((0, 20), (20, 40), (40, 10**7)):
+        df.filter(
+            (F.col("ts") >= base + dtm.timedelta(minutes=lo))
+            & (F.col("ts") < base + dtm.timedelta(minutes=hi))
+        ).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    out = match_recognize(stream, body, tiebreak_col="event_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(f"lg_{tag}")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        map(tuple, spark.table(f"lg_{tag}").collect())
+    )
+    return got, batch
+
+
+def _longest_fixture(spark, seed, mod):
+    import datetime as dtm
+    import random as _r
+
+    rng = _r.Random(seed)
+    rows = []
+    for u in range(3):
+        for i in range(60):
+            c = rng.randrange(0, mod + 1)
+            rows.append(
+                (u, dtm.datetime(2024, 1, 1) + dtm.timedelta(minutes=i),
+                 (i * 10 + u) * mod + c)
+            )
+    rows.append((0, dtm.datetime(2024, 1, 2), 999_999))  # flush
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long"
+    )
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_streaming_longest_all_rows_past_last_matches_batch(
+    spark, tmp_path, seed
+):
+    """Round 12: ALL ROWS + RUNNING + MATCH_NUMBER under LONGEST
+    derivation stream with SKIP PAST LAST — matches are disjoint and
+    holds resolve sequentially by start (a later start can't emit
+    before every earlier one is decided), so streaming emission order
+    equals batch's (start, end) numbering. Multi-micro-batch replay,
+    loop-group shape."""
+    body = """
+    PARTITION BY user_id ORDER BY ts, event_id
+    MEASURES RUNNING COUNT(X.*) AS rx, RUNNING SUM(X.event_id) AS sx,
+             MATCH_NUMBER() AS mn, COUNT(X.*) AS pairs
+    ALL ROWS PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN ((X Y)+)
+    DEFINE X AS event_id % 3 = 1, Y AS event_id % 3 = 2
+    """
+    df = _longest_fixture(spark, seed, 3)
+    got, batch = _longest_replay(spark, tmp_path, df, body, f"lp{seed}")
+    assert batch and got == batch, seed
+
+
+def test_streaming_longest_all_rows_within_matches_batch(
+    spark, tmp_path
+):
+    """The watermark-boundary case the old blanket reject feared: a
+    WITHIN deadline expires a held island at a watermark tick instead
+    of a consuming row — emission must still come out in start order
+    and value-match batch exactly."""
+    body = """
+    PARTITION BY user_id ORDER BY ts, event_id
+    MEASURES RUNNING COUNT(X.*) AS rx, COUNT(X.*) AS pairs
+    ALL ROWS PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN ((X Y)+) WITHIN INTERVAL '7' MINUTE
+    DEFINE X AS event_id % 3 = 1, Y AS event_id % 3 = 2
+    """
+    for seed in (1, 3):
+        df = _longest_fixture(spark, seed, 3)
+        got, batch = _longest_replay(
+            spark, tmp_path, df, body, f"lw{seed}"
+        )
+        assert batch and got == batch, seed
+
+
+def test_streaming_longest_nested_all_rows_matches_batch(
+    spark, tmp_path
+):
+    """Nested groups (depth 2) × ALL ROWS under longest + SKIP PAST
+    LAST stream too (previously the blanket longest reject)."""
+    body = """
+    PARTITION BY user_id ORDER BY ts, event_id
+    MEASURES RUNNING COUNT(A.*) AS ra, FINAL COUNT(C.*) AS nc
+    ALL ROWS PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN (((A B)+ C)+)
+    DEFINE A AS event_id % 4 = 1, B AS event_id % 4 = 2,
+           C AS event_id % 4 = 3
+    """
+    df = _longest_fixture(spark, 3, 4)
+    got, batch = _longest_replay(spark, tmp_path, df, body, "nst3")
+    assert batch and got == batch
+
+
+def test_streaming_longest_all_rows_overlapping_still_rejects(
+    spark, tmp_path
+):
+    """SKIP TO NEXT under longest keeps the loud reject (overlapping
+    matches resolve out of start order), naming the eligible
+    strategy."""
+    from flink_cep_examples_spark.sql.match_recognize import (
+        match_recognize,
+    )
+
+    schema_dir = tmp_path / "in"
+    schema_dir.mkdir()
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, event_id long"
+    ).parquet(str(schema_dir))
+    body = """
+    PARTITION BY user_id ORDER BY ts, event_id
+    MEASURES COUNT(X.*) AS pairs
+    ALL ROWS PER MATCH
+    AFTER MATCH SKIP TO NEXT ROW
+    PATTERN ((X Y)+)
+    DEFINE X AS event_id % 3 = 1, Y AS event_id % 3 = 2
+    """
+    with pytest.raises(NotImplementedError, match="SKIP PAST LAST"):
+        match_recognize(stream, body, tiebreak_col="event_id")
