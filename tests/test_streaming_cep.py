@@ -1890,3 +1890,26 @@ def test_streaming_longest_all_rows_overlapping_still_rejects(
     """
     with pytest.raises(NotImplementedError, match="SKIP PAST LAST"):
         match_recognize(stream, body, tiebreak_col="event_id")
+
+
+def test_streaming_longest_one_row_match_number_matches_batch(
+    spark, tmp_path
+):
+    """ONE ROW PER MATCH + MATCH_NUMBER under longest + SKIP PAST
+    LAST (round 12): the per-key counter rides the plain emit path —
+    must equal batch's (start, end) renumbering."""
+    body = """
+    PARTITION BY user_id ORDER BY ts, event_id
+    MEASURES FIRST(X.ts) AS fx, MATCH_NUMBER() AS mn,
+             COUNT(X.*) AS pairs
+    ONE ROW PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN ((X Y)+)
+    DEFINE X AS event_id % 3 = 1, Y AS event_id % 3 = 2
+    """
+    for seed in (2, 3):
+        df = _longest_fixture(spark, seed, 3)
+        got, batch = _longest_replay(
+            spark, tmp_path, df, body, f"or{seed}"
+        )
+        assert batch and got == batch, seed
