@@ -359,18 +359,48 @@ def test_streaming_trailing_group_longest_matches_batch(spark, tmp_path):
     assert got == batch and len(batch) >= 3
 
 
-def test_streaming_match_number_rejected_under_longest(spark, tmp_path):
+def test_streaming_match_number_longest_past_last_streams(spark, tmp_path):
+    """Round 12: MATCH_NUMBER under longest + SKIP PAST LAST streams
+    (disjoint matches, sequential hold resolution = start-order
+    emission); overlapping skips keep the loud reject."""
+    import dataclasses
+
+    from flink_cep_examples_spark.plans.pattern import SKIP_TO_NEXT
     from flink_cep_examples_spark.streaming.cep_stream import (
         match_pattern_stream,
     )
 
     spec = parse_match_recognize(_TRAILING_BODY)
-    df = _class_df(spark, [1, 2])
+    ms = [1, 2, 1, 2, 0, 1, 2, 1, 2, 1, 2, 0, 1, 2, 1, 0, 0]
+    df = _class_df(spark, ms)
+    batch = sorted(
+        (r.s, r.e, r.k, r.mn)
+        for r in match_recognize(df, _TRAILING_BODY).collect()
+    )
     src_dir = tmp_path / "src"
     df.coalesce(1).write.parquet(str(src_dir))
     stream = spark.readStream.schema(df.schema).parquet(str(src_dir))
-    with pytest.raises(NotImplementedError, match="MATCH_NUMBER"):
-        match_pattern_stream(stream, spec, watermark_delay="0 seconds")
+    out = match_pattern_stream(stream, spec, watermark_delay="0 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("longest_mn_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.s, r.e, r.k, r.mn)
+        for r in spark.table("longest_mn_stream").collect()
+    )
+    assert got == batch and len(batch) >= 2
+    # overlapping skip: still a loud reject naming the eligible one
+    overlap = dataclasses.replace(spec, after_match=SKIP_TO_NEXT)
+    stream2 = spark.readStream.schema(df.schema).parquet(str(src_dir))
+    with pytest.raises(NotImplementedError, match="SKIP PAST LAST"):
+        match_pattern_stream(
+            stream2, overlap, watermark_delay="0 seconds"
+        )
 
 
 # ---------------------------------------------------------------------------
