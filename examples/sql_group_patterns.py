@@ -189,6 +189,37 @@ def main() -> None:
         tiebreak_col="event_id",
     ).orderBy("sum_a").show(truncate=False)
 
+    print("== 8. round 12: RUNNING series over branch-group vars ==")
+    # per-row running count/sum over predicate-classified rows —
+    # compiled on the islands ALL-ROWS kernel as segmented per-island
+    # series (the NFA classify path measured 6.4x at 10x, the kernel
+    # 1.22x); RUNNING MIN/MAX and SUBSET unions compile too
+    df = spark.createDataFrame(
+        [
+            (1, BASE + timedelta(minutes=i), e)
+            for i, e in enumerate([1, 3, 4, 1, 0, 3, 4, 1])
+        ],
+        "user_id long, ts timestamp, event_id long",
+    )
+    match_recognize(
+        df,
+        """
+        PARTITION BY user_id ORDER BY ts, event_id
+        MEASURES RUNNING COUNT(A.*) AS a_so_far,
+                 RUNNING MAX(W.event_id) AS max_w_so_far,
+                 COUNT(C.*) AS n_cd
+        ALL ROWS PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN ((A | C D)+)
+        SUBSET W = (A, D)
+        DEFINE A AS event_id = 1, C AS event_id = 3, D AS event_id = 4
+        """,
+        tiebreak_col="event_id",
+    ).orderBy("ts").select(
+        "ts", "event_id", "classifier", "match_seq",
+        "a_so_far", "max_w_so_far", "n_cd",
+    ).show(truncate=False)
+
 
 if __name__ == "__main__":
     main()
