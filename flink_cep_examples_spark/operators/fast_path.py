@@ -151,7 +151,10 @@ def fast_abc_semantics_hold(df: DataFrame, spec: PatternSpec) -> bool:
     except Exception:  # noqa: BLE001
         pass
     if key is not None:
-        per_sess = _ABC_SEMANTICS_MEMO.get(sess)
+        try:
+            per_sess = _ABC_SEMANTICS_MEMO.get(sess)
+        except TypeError:  # session not weakref-able (ADVICE r12 low):
+            per_sess = None  # WeakKeyDictionary.get calls ref(key)
         if per_sess is not None and key in per_sess:
             return per_sess[key]
     pa, pb, pc = (
@@ -1272,7 +1275,10 @@ def fast_group_preds_disjoint(df: DataFrame, spec) -> bool:
     except Exception:  # noqa: BLE001
         pass
     if key is not None:
-        per_sess = _ABC_SEMANTICS_MEMO.get(sess)
+        try:
+            per_sess = _ABC_SEMANTICS_MEMO.get(sess)
+        except TypeError:  # session not weakref-able (ADVICE r12 low):
+            per_sess = None  # WeakKeyDictionary.get calls ref(key)
         if per_sess is not None and key in per_sess:
             return per_sess[key]
     flags = [

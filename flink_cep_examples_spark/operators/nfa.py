@@ -133,6 +133,30 @@ def _rows_key(rows: tuple) -> tuple:
     )
 
 
+def _span_content(sp):
+    """Span with a shared-log capture accumulator (``[n, log]``, see
+    streaming/cep_stream.py::_cap_fold) rewritten to its hashable
+    CONTENT — ``(*sp[:5], tuple(log[:n]))``. Fold-less spans and
+    non-list fold accumulators pass through unchanged."""
+    if sp is None or len(sp) < 6 or type(sp[5]) is not list:
+        return sp
+    n, log = sp[5]
+    return (*sp[:5], tuple(log) if len(log) == n else tuple(log[:n]))
+
+
+def _branch_content_key(br: _Branch) -> tuple:
+    """Hashable CONTENT key for a completed branch — unlike _rows_key
+    (which keys shared-log captures by log identity for the O(1)
+    per-row keep() dedup), this resolves the captured rows, so two
+    branches whose logs diverged (copy-diverge) but hold identical
+    captures compare EQUAL. Used only at NO_SKIP emission, where every
+    completed branch is emitted and an identity-keyed dedup miss would
+    emit the same match twice (batch tuple accumulators dedup these by
+    content at keep(); streaming must agree). O(captured rows) per
+    COMPLETION, not per row — the hot keep() path is untouched."""
+    return (br.var, tuple(_span_content(sp) for sp in br.rows))
+
+
 def _migrate_branch(br: _Branch) -> _Branch:
     """Pad pre-round-3 3-field row spans to the 5-field ordinal-carrying
     shape so old streaming-checkpoint state restores cleanly."""
@@ -747,9 +771,18 @@ class Nfa:
             elif self.after_match in (SKIP_TO_FIRST, SKIP_TO_LAST):
                 matches.extend(self._apply_skip_to(st, completed))
             else:
-                matches.extend(
-                    self._branch_dict(br) for _, _, br in completed
-                )
+                # NO_SKIP emits every completion — dedup by CONTENT
+                # (ADVICE r12 medium): identity-keyed keep() lets two
+                # branches with content-equal shared-log captures both
+                # survive and both complete; batch tuple accumulators
+                # merge them at keep(), so emitting both here would
+                # diverge streaming ALL ROWS from batch.
+                seen_emit: set = set()
+                for seq, _, br in completed:
+                    k = (seq, _branch_content_key(br))
+                    if k not in seen_emit:
+                        seen_emit.add(k)
+                        matches.append(self._branch_dict(br))
         return matches, timeouts
 
     def step_collect(
@@ -1164,8 +1197,13 @@ def coordinate_alternation_row(
             st.runs = [
                 run for run in st.runs if run.start_ord not in emitted
             ]
-    else:  # NO_SKIP
-        out.extend((a, nfas[a]._branch_dict(br)) for _, a, _, br in merged)
+    else:  # NO_SKIP — content dedup mirrors Nfa.step (ADVICE r12 medium)
+        seen_emit: set = set()
+        for start_ord, a, _, br in merged:
+            k = (a, start_ord, _branch_content_key(br))
+            if k not in seen_emit:
+                seen_emit.add(k)
+                out.append((a, nfas[a]._branch_dict(br)))
     return out
 
 

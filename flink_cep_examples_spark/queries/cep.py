@@ -1038,17 +1038,17 @@ def cep_vshape_prev(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("cep_alert_reactions", cep_alert_reactions, ORACLE_MATCHES, driver=False)
 register(
     "cep_until_pattern", cep_until_pattern, ORACLE_UNTIL,
-    driver=False,  # r4.2 rotation: driver-verified green in r2+r3; pytest-gated
+    driver=True,  # r13 rotation: re-promoted (last green r3)
 )
 register(
     "cep_alert_reactions_nfa", cep_alert_reactions_nfa, ORACLE_MATCHES,
-    driver=False,  # NFA-tier twin of cep_alert_reactions; differential in pytest
+    driver=True,  # r13 rotation: re-promoted (last green r2)
 )
 register("cep_alerts_with_timeouts", cep_alerts_with_timeouts, ORACLE_WITH_TIMEOUTS, driver=False)
 register(
     "cep_alerts_with_timeouts_nfa", cep_alerts_with_timeouts_nfa,
     ORACLE_WITH_TIMEOUTS,
-    driver=False,  # NFA-tier twin of cep_alerts_with_timeouts
+    driver=True,  # r13 rotation: re-promoted (last green r2)
 )
 register("cep_match_recognize", cep_match_recognize, ORACLE_MATCHES, driver=False)
 register(
@@ -1070,7 +1070,7 @@ register(
     ORACLE_NOT_FOLLOWED_BY, driver=False)
 register(
     "cep_skip_to_next", cep_skip_to_next, ORACLE_SKIP_TO_NEXT,
-    driver=False,  # r4.2 rotation: verified r2+r3; skip family driver-repped by cep_skip_to_last
+    driver=True,  # r13 rotation: re-promoted (last green r3)
 )
 register("cep_times_pattern", cep_times_pattern, ORACLE_TIMES, driver=False)
 register(
@@ -1617,7 +1617,7 @@ JOIN starts s ON b.id = s.id AND b.rn BETWEEN s.srn AND s.srn + s.w - 1
 
 register(
     "cep_group_all_rows", cep_group_all_rows, ORACLE_GROUP_ALL_ROWS,
-    # r6 rotation: promoted — never driver-verified before
+    driver=False,  # r13 rotation: 7 green rounds (r6-r12); pytest-gated now
 )
 
 
@@ -1719,7 +1719,7 @@ register(
     "cep_iter_cond_rebound",
     cep_iter_cond_rebound,
     ORACLE_ITER_COND,
-    # r6 rotation: promoted — never driver-verified before
+    driver=False,  # r13 rotation: 7 green rounds (r6-r12); pytest-gated now
 )
 
 
@@ -1831,8 +1831,7 @@ register(
     "cep_group_longest_chain",
     cep_group_longest_chain,
     ORACLE_GROUP_LONGEST,
-    # round 6: SQL:2016 greedy loop-group derivation — straight into
-    # the driver gate
+    driver=False,  # r13 rotation: 7 green rounds (r6-r12); pytest-gated now
 )
 
 
@@ -2436,9 +2435,8 @@ register(
     "cep_group_alt_all_rows_running",
     cep_group_alt_all_rows_running,
     ORACLE_GROUP_ALT_ALL_ROWS_RUNNING,
-    # round 12: RUNNING on the islands ALL-ROWS kernel; gate at the
-    # 50 cap — joins the r13 promotion queue
-    driver=False,
+    # r13 rotation: promoted into the driver gate (never verified)
+    driver=True,
 )
 
 
@@ -3841,9 +3839,8 @@ register(
     "cep_group_loop_all_rows_extrema",
     cep_group_loop_all_rows_extrema,
     ORACLE_GROUP_LOOP_ALL_ROWS_EXTREMA,
-    # round 12: RUNNING extrema on the all-rows chain kernel; gate at
-    # the 50 cap — joins the r13 promotion queue
-    driver=False,
+    # r13 rotation: promoted into the driver gate (never verified)
+    driver=True,
 )
 
 

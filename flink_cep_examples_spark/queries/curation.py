@@ -333,12 +333,12 @@ FROM s
 
 register(
     "docs_chunk_spans", docs_chunk_spans, ORACLE_CHUNKS,
-    driver=False,  # r4.2 rotation: driver-verified green in r2+r3; pytest-gated
+    driver=True,  # r13 rotation: re-promoted (last green r3)
 )
-register("docs_repetition_stats", docs_repetition_stats, ORACLE_REPETITION, driver=False,  # r4 rotation: driver-verified green in r2+r3; pytest-gated now
+register("docs_repetition_stats", docs_repetition_stats, ORACLE_REPETITION, driver=True,  # r13 rotation: re-promoted (last green r3)
 )
 register("docs_gopher_quality", docs_gopher_quality, ORACLE_GOPHER, driver=False)
-register("docs_pii_scrub", docs_pii_scrub, ORACLE_PII, driver=False,  # r4 rotation: driver-verified green in r2+r3; pytest-gated now
+register("docs_pii_scrub", docs_pii_scrub, ORACLE_PII, driver=True,  # r13 rotation: re-promoted (last green r3)
 )
 register(
     "docs_bigram_topk", docs_bigram_topk, ORACLE_BIGRAM_TOPK,
@@ -560,7 +560,8 @@ GROUP BY btf.doc_id
 
 
 register(
-    "docs_dsir_weights", docs_dsir_weights, ORACLE_DSIR,  # r5.2 rotation: new this round — straight into the driver gate
+    "docs_dsir_weights", docs_dsir_weights, ORACLE_DSIR,
+    driver=False,  # r13 rotation: 7 green rounds (r6-r12); pytest-gated now
 )
 
 

@@ -174,7 +174,7 @@ GROUP BY 1, 2
 
 register(
     "docs_source_overlap", docs_source_overlap, ORACLE_SOURCE_OVERLAP,
-    # r5 rotation: promoted into the 50-row driver gate (never verified)
+    driver=False,  # r13 rotation: 8 green rounds (r5-r12); pytest-gated now
 )
 
 

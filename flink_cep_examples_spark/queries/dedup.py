@@ -570,9 +570,8 @@ register(
     "dedup_keep_best",
     dedup_keep_best,
     _oracle_keep_best(),
-    # round 12: keep-best dedup policy; gate at the 50 cap — joins
-    # the r13 promotion queue (COVERAGE.md policy)
-    driver=False,
+    # r13 rotation: promoted into the driver gate (never verified)
+    driver=True,
 )
 register(
     "dedup_ngram_jaccard", dedup_ngram_jaccard, ORACLE_JACCARD,

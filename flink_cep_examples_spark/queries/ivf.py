@@ -612,7 +612,7 @@ def ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register(
     "ivf_persisted_topk", ivf_persisted_topk, ORACLE_IVF,
-    # r5 rotation: promoted into the 50-row driver gate (never verified)
+    driver=False,  # r13 rotation: 8 green rounds (r5-r12); pytest-gated now
 )
 
 

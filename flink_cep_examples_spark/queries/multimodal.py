@@ -174,7 +174,7 @@ register(
 )
 register(
     "mm_decode_features", mm_decode_features, ORACLE_FEATURES,
-    # r6 rotation: RE-promoted — entropy values changed (pico-unit quantization)
+    driver=False,  # r13 rotation: 8 green rounds (r3,r6-r12); pytest-gated now
 )
 register("mm_frame_sample", mm_frame_sample, ORACLE_FRAMES, driver=False)
 register("mm_resize_digest", mm_resize_digest, ORACLE_RESIZE, driver=False,  # r4 rotation: driver-verified green in r2+r3; pytest-gated now

@@ -750,11 +750,11 @@ GROUP BY 1 ORDER BY 1
 
 register(
     "q14_promo_revenue", q14_promo_revenue, ORACLE_Q14,
-    # r5 rotation: promoted into the 50-row driver gate (never verified)
+    driver=False,  # r13 rotation: 8 green rounds (r5-r12); pytest-gated now
 )
 register(
     "q18_large_orders", q18_large_orders, ORACLE_Q18,
-    # r5 rotation: promoted into the 50-row driver gate (never verified)
+    driver=False,  # r13 rotation: 8 green rounds (r5-r12); pytest-gated now
 )
 register(
     "q19_disjunctive_revenue", q19_disjunctive_revenue, ORACLE_Q19,

@@ -640,16 +640,19 @@ register(
     driver=False,  # r8 rotation: 3 green rounds (r5-r7) — demoted to
     # make room for docs_segment_dedup (COVERAGE.md policy)
 )
-register("q11_important_stock", q11_important_stock, ORACLE_Q11)
+register("q11_important_stock", q11_important_stock, ORACLE_Q11,
+         driver=False)  # r13 rotation: 8 green rounds (r5-r12); pytest-gated
 register(
     "q13_order_count_distribution",
     q13_order_count_distribution,
     ORACLE_Q13,
     driver=False,  # r6 rotation: driver-verified green r4.2+r5; pytest-gated
 )
-register("q15_top_supplier", q15_top_supplier, ORACLE_Q15)
+register("q15_top_supplier", q15_top_supplier, ORACLE_Q15,
+         driver=False)  # r13 rotation: 8 green rounds (r5-r12); pytest-gated
 register(
     "q16_supplier_part_counts", q16_supplier_part_counts, ORACLE_Q16,
+    driver=False,  # r13 rotation: 8 green rounds (r5-r12); pytest-gated now
 )
 register(
     "q20_part_promotion_suppliers",

@@ -323,9 +323,8 @@ register(
     "docs_quality_weighted_sample",
     docs_quality_weighted_sample,
     ORACLE_QW_SAMPLE,
-    # round 12: soft quality-weighted sampling; gate at the 50 cap —
-    # joins the r13 promotion queue
-    driver=False,
+    # r13 rotation: promoted into the driver gate (never verified)
+    driver=True,
 )
 register("docs_mixture_sample", docs_mixture_sample, ORACLE_MIXTURE, driver=False,  # r7 rotation: driver-verified green r3-r6; pytest-gated now
 )

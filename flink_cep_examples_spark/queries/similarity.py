@@ -719,9 +719,8 @@ register(
     "ann_mmr_topk",
     ann_mmr_topk,
     _oracle_mmr(),
-    # round 12: MMR-diversified rerank over the ANN candidate pool;
-    # gate at the 50 cap — joins the r13 promotion queue
-    driver=False,
+    # r13 rotation: promoted into the driver gate (never verified)
+    driver=True,
 )
 register(
     "embedding_cosine_dups", embedding_cosine_dups, ORACLE_COSINE_DUPS,

@@ -356,10 +356,15 @@ def quantile_hist_stream(
         for pdf in pdfs:
             if not len(pdf):
                 continue
+            # NULL value column ⇒ b=NULL (bin(NULL) is NULL); the batch
+            # twin's histogram groupBy simply never sees those rows, so
+            # drop them before the int64 fold (ADVICE r12 low — to_numpy
+            # raises on NA). An all-null micro-batch contributes nothing.
+            binned = pdf["b"].dropna().to_numpy(dtype=np.int64)
+            if not len(binned):
+                continue
             touched = True
-            np.add.at(
-                counters, pdf["b"].to_numpy(dtype=np.int64), 1
-            )
+            np.add.at(counters, binned, 1)
         if not touched:
             return
         updates += 1

@@ -452,3 +452,84 @@ def test_abc_semantics_memo_lifecycle(spark):
     import weakref
 
     assert isinstance(fp._ABC_SEMANTICS_MEMO, weakref.WeakKeyDictionary)
+
+
+def test_abc_semantics_memo_non_weakrefable_session(spark):
+    """ADVICE r12 low: ``WeakKeyDictionary.get`` calls ``ref(key)``, so
+    a non-weakref-able session raised TypeError on the memo READ path
+    (only the WRITE path caught it) — the documented 'skip the memo'
+    fallback was unreachable and the query crashed instead. Pin: both
+    memoized data checks fall through to the actual check for such a
+    session, at both the read and write sites."""
+    import datetime as dt
+    import weakref
+
+    from flink_cep_examples_spark.operators import fast_path as fp
+    from flink_cep_examples_spark.sql.match_recognize import (
+        parse_match_recognize,
+    )
+
+    class _Conf:
+        @staticmethod
+        def get(k, d=None):
+            return "false"
+
+    class _Sess:  # __slots__ without __weakref__: not weakref-able
+        __slots__ = ("conf",)
+
+        def __init__(self):
+            self.conf = _Conf()
+
+    class _Df:
+        def __init__(self, df, sess):
+            self._df = df
+            self.sparkSession = sess
+
+        @property
+        def _jdf(self):
+            return self._df._jdf
+
+        def where(self, c):
+            return self._df.where(c)
+
+    sess = _Sess()
+    with pytest.raises(TypeError):
+        weakref.ref(sess)  # the hazard this pin exists for
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (1, base + dt.timedelta(minutes=i), c, float(i))
+            for i, c in enumerate((1, 2, 3, 4))
+        ],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    spec = parse_match_recognize(
+        """
+        PARTITION BY user_id ORDER BY ts, event_id
+        MEASURES FIRST(A.ts) AS a_ts
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A B* C) WITHIN INTERVAL '2' DAY
+        DEFINE A AS event_id % 4 = 1,
+               B AS event_id % 4 = 2,
+               C AS event_id % 4 = 3
+        """
+    )
+    wrapped = _Df(df, sess)
+    # '.' (event_id=4) row: B ≢ ¬C — check runs, memo silently skipped
+    assert fp.fast_abc_semantics_hold(wrapped, spec) is False
+    assert fp.fast_abc_semantics_hold(wrapped, spec) is False  # again
+
+    spec_g = parse_match_recognize(
+        """
+        PARTITION BY user_id ORDER BY ts, event_id
+        MEASURES COUNT(D.*) AS nd
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN ((D U)+)
+        DEFINE D AS event_id % 4 = 1, U AS event_id % 4 = 2
+        """
+    )
+    assert fp.fast_group_preds_disjoint(wrapped, spec_g) is True
+    assert fp.fast_group_preds_disjoint(wrapped, spec_g) is True

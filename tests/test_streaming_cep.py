@@ -1662,6 +1662,85 @@ def test_capture_accumulator_shared_log_semantics():
     assert b2[1] is a3[1]  # sharing survives the round-trip
 
 
+def test_no_skip_content_equal_diverged_logs_emit_once():
+    """ADVICE r12 medium: keep()'s _rows_key keys shared-log capture
+    accumulators by (log identity, prefix length), so two branches
+    whose logs COPY-DIVERGED but hold identical captures both survive
+    dedup; under NO_SKIP every completed branch is emitted, so the
+    duplicate would emit the same ALL-ROWS match twice — batch tuple
+    accumulators merge such branches by content at keep(). Pin: NO_SKIP
+    emission dedups completions by CONTENT (_branch_content_key) —
+    identical captures in different log objects emit ONCE; genuinely
+    different captures keep emitting separately."""
+    from flink_cep_examples_spark.operators import nfa as N
+    from flink_cep_examples_spark.plans.pattern import (
+        NO_SKIP,
+        PatternSpec,
+        PatternVar,
+    )
+    from flink_cep_examples_spark.streaming.cep_stream import (
+        _cap_fold,
+        _cap_init,
+    )
+
+    spec = PatternSpec(
+        variables=(PatternVar("A", "pa"), PatternVar("B", "pb")),
+        after_match=NO_SKIP,
+    )
+
+    def seed_state(eng):
+        st = N.NfaState()
+        ms, _ = eng.step(st, 0, (True, False), ("a0",))
+        assert not ms and len(st.runs[0].branches) == 1
+        return st
+
+    def diverge(br, replace_row=None):
+        # a sibling's copy-diverge: same prefix content, NEW log object
+        sp = br.rows[0]
+        n, log = sp[5]
+        log2 = list(log)
+        if replace_row is not None:
+            log2[-1] = replace_row
+        return br._replace(rows=((*sp[:5], [n, log2]), *br.rows[1:]))
+
+    eng = N.Nfa(spec)
+    eng.enable_payload_fold(_cap_init, _cap_fold)
+    st = seed_state(eng)
+    br = st.runs[0].branches[0]
+    dup = diverge(br)
+    assert br.rows[0][5][1] is not dup.rows[0][5][1]  # diverged object
+    assert N._branch_content_key(br) == N._branch_content_key(dup)
+    st.runs[0].branches.append(dup)
+    ms, _ = eng.step(st, 1_000, (False, True), ("b1",))
+    assert len(ms) == 1  # content-equal completions collapse
+
+    # control: different CONTENT must NOT collapse
+    eng2 = N.Nfa(spec)
+    eng2.enable_payload_fold(_cap_init, _cap_fold)
+    st2 = seed_state(eng2)
+    br2 = st2.runs[0].branches[0]
+    other = diverge(br2, replace_row=("aX", 0))
+    assert N._branch_content_key(br2) != N._branch_content_key(other)
+    st2.runs[0].branches.append(other)
+    ms2, _ = eng2.step(st2, 1_000, (False, True), ("b1",))
+    assert len(ms2) == 2
+
+    # alternation coordinator's NO_SKIP arm applies the same dedup
+    eng3 = N.Nfa(spec)
+    eng3.enable_payload_fold(_cap_init, _cap_fold)
+    st3 = N.NfaState()
+    out = N.coordinate_alternation_row(
+        [eng3], [st3], 0, [(True, False)], ("a0",), NO_SKIP
+    )
+    assert not out
+    br3 = st3.runs[0].branches[0]
+    st3.runs[0].branches.append(diverge(br3))
+    out = N.coordinate_alternation_row(
+        [eng3], [st3], 1_000, [(False, True)], ("b1",), NO_SKIP
+    )
+    assert len(out) == 1
+
+
 @pytest.mark.parametrize("seed", [5, 19])
 def test_streaming_all_rows_fork_heavy_matches_batch(
     spark, tmp_path, seed

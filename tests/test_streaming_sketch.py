@@ -212,6 +212,67 @@ def test_quantile_hist_stream_matches_batch_bitwise(spark, sf_small, tmp_path):
     assert max(r.updates for r in rows) > 1
 
 
+def test_quantile_hist_stream_tolerates_null_values(spark, tmp_path):
+    """ADVICE r12 low: a NULL value column binned to b=NULL and
+    ``pdf['b'].to_numpy(dtype=np.int64)`` raised on NA, crashing the
+    streaming query where the batch twin survives. Pin: null bins are
+    dropped before the int64 fold — the stream completes, and its
+    final histogram equals the batch twin run on the NON-NULL subset
+    (an all-null micro-batch contributes no state update)."""
+    import datetime as dt
+
+    from flink_cep_examples_spark.streaming.sketch_stream import (
+        quantile_hist_stream,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        ("click", base + dt.timedelta(minutes=i), v)
+        for i, v in enumerate((1.5, None, 0.25, 8.0, None, 2.0))
+    ] + [("view", base, None), ("view", base, 4.0)]
+    ev = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double"
+    )
+    src = tmp_path / "src"
+    ev.repartition(3).write.parquet(str(src))
+
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    q = (
+        quantile_hist_stream(stream)
+        .writeStream.format("memory")
+        .queryName("qh_null_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_rows = spark.sql("SELECT * FROM qh_null_stream").collect()
+    assert got_rows, "stream emitted nothing"
+    last = {}
+    for r in got_rows:
+        if r.event_type not in last or r.updates > last[r.event_type].updates:
+            last[r.event_type] = r
+    got = {t: (r.n_rows, r.p5, r.p9, r.p99) for t, r in last.items()}
+
+    # batch twin over the non-null subset (the implied null semantics:
+    # a null value is no observation)
+    import flink_cep_examples_spark.queries.sampling as S
+
+    nn = ev.filter("value IS NOT NULL")
+    orig = S.load_table
+    S.load_table = lambda _s, _d, _t: nn
+    try:
+        batch = {
+            r.event_type: (r.n_rows, r.p5, r.p9, r.p99)
+            for r in S.events_value_quantile_hist(spark, "unused").collect()
+        }
+    finally:
+        S.load_table = orig
+    assert got == batch
+
+
 def test_quantile_hist_counters_merge_by_sum(spark, sf_small):
     """Halves folded separately then vector-added equal one whole fold
     (restart/backfill soundness — the continuous-aggregate property)."""
