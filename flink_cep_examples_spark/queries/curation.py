@@ -440,7 +440,8 @@ GROUP BY tf.doc_id
 
 
 register(
-    "docs_unigram_logprob", docs_unigram_logprob, ORACLE_UNIGRAM,  # r5.2 rotation: new this round — straight into the driver gate
+    "docs_unigram_logprob", docs_unigram_logprob, ORACLE_UNIGRAM,
+    driver=False,  # r13 rotation: 7 green rounds (r6-r12); pytest-gated now
 )
 
 

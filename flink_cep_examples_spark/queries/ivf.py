@@ -185,7 +185,11 @@ def _trained_assignment(
 
 
 def ivf_topk(
-    spark: SparkSession, sf_dir: str, *, k_lists: int | None = K_LISTS
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    k_lists: int | None = K_LISTS,
+    k: int = TOP_K,
 ) -> DataFrame:
     """IVF top-k for the fixed query vector: trained coarse quantizer,
     then exact cosine over the NPROBE nearest inverted lists only.
@@ -229,7 +233,7 @@ def ivf_topk(
         .filter(F.col("vec_id") != QUERY_VEC_ID)
         .select("vec_id", "label", "cid", cos.alias("cos"))
         .orderBy(F.desc("cos"), F.asc("vec_id"))
-        .limit(TOP_K)
+        .limit(k)
     )
 
 
@@ -809,4 +813,74 @@ register(
     ann_ivfadc_topk,
     _oracle_ivfadc(),
     # round 7: the IVF+PQ serving composite — straight into the gate
+)
+
+
+def ann_mmr_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-k over the PARTITION-PRUNED IVF candidate
+    stage — the 100-TB serving composition of :func:`ann_mmr_topk`
+    (whose catalog form scores candidates with the exact brute plan):
+    stage 1 reads only the NPROBE nearest inverted lists (the
+    persisted-index twin prunes at the parquet-partition level, see
+    :func:`ivf_persisted_topk`), stage 2+3 are the shared MMR rerank
+    (queries/similarity.py::mmr_rerank — M×M distributed sim matrix +
+    driver-side K-step greedy, every collect bounded by M=16 /
+    M(M−1)/2=120 BY CONSTRUCTION). Rerank cost is corpus-independent;
+    the candidate stage is the partition-pruned scan, so the whole
+    query scales exactly as IVF serving does. Recall vs the exact-MMR
+    picks is gated in tests/test_ann_recall.py."""
+    from flink_cep_examples_spark.queries.similarity import (
+        MMR_M,
+        mmr_rerank,
+    )
+
+    cand = (
+        ivf_topk(spark, sf_dir, k=MMR_M)
+        .select("vec_id", "cos")
+        .collect()  # M rows — bounded by construction
+    )
+    return mmr_rerank(spark, sf_dir, cand)
+
+
+def _oracle_mmr_ivf() -> str:
+    """IVF candidate CTEs (the ORACLE_IVF quantizer chain verbatim,
+    LIMIT M instead of TOP_K) feeding the shared MMR greedy CTEs."""
+    from flink_cep_examples_spark.queries.similarity import (
+        MMR_M,
+        _oracle_mmr,
+    )
+
+    cand_ctes = f"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+c0 AS (
+  SELECT vec_id AS cid,
+         [CAST(x AS DOUBLE) FOR x IN embedding] AS cvec
+  FROM e WHERE vec_id < {K_LISTS}
+),
+{_sql_assign('e', 'c0', 'a1')},
+{_SQL_MEANS},
+{_sql_assign('e', 'c1', 'a2')},
+qiv AS (SELECT embedding AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
+probes AS (
+  SELECT c1.cid FROM c1, qiv
+  ORDER BY {_sql_sqdist('qiv.qv', 'c1.cvec')} ASC, c1.cid ASC
+  LIMIT {NPROBE}
+),
+cand AS (
+  SELECT a2.vec_id,
+         {_sql_dot('a2.embedding', 'qiv.qv')}
+           / ({_sql_norm('a2.embedding')} * {_sql_norm('qiv.qv')}) AS cos
+  FROM a2 JOIN probes USING (cid), qiv
+  WHERE a2.vec_id != {QUERY_VEC_ID}
+  ORDER BY cos DESC, a2.vec_id ASC
+  LIMIT {MMR_M}
+)"""
+    return _oracle_mmr(cand_ctes)
+
+
+register(
+    "ann_mmr_ivf_topk",
+    ann_mmr_ivf_topk,
+    _oracle_mmr_ivf(),
+    # round 13: the ann_mmr_topk 100-TB swap proven as a catalog query
+    # (VERDICT r12 item 4) — straight into the driver gate
 )

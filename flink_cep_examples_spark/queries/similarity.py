@@ -481,6 +481,18 @@ def ann_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cos")
         .collect()  # M rows — bounded by construction
     )
+    return mmr_rerank(spark, sf_dir, cand)
+
+
+def mmr_rerank(spark: SparkSession, sf_dir: str, cand) -> DataFrame:
+    """Stages 2+3 of MMR, shared by every candidate generator
+    (:func:`ann_mmr_topk`'s exact scorer; the partition-pruned IVF
+    stage of ``ann_mmr_ivf_topk`` in queries/ivf.py — the 100-TB
+    serving shape): distributed M×M candidate similarity matrix
+    (exact-decimal sums), then the K-step greedy over M collected
+    rows. ``cand`` is the collected top-M pool (rows with
+    ``vec_id``/``cos``) — every collect here is bounded by M=16 /
+    M(M−1)/2=120 BY CONSTRUCTION, independent of corpus size."""
     ids = [r.vec_id for r in cand]
     emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id").filter(
         F.col("vec_id").isin(ids)
@@ -551,10 +563,16 @@ def ann_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_mmr() -> str:
+def _oracle_mmr(cand_ctes: str | None = None) -> str:
     """The K-step greedy as chained CTEs: candidate pool + symmetric
     pair-sim matrix, then one argmax CTE per pick (MAX over the
-    selected set's sims; NOT IN excludes prior picks)."""
+    selected set's sims; NOT IN excludes prior picks).
+
+    ``cand_ctes``: optional replacement WITH-prefix that must end with
+    a CTE named ``cand(vec_id, cos)`` — the IVF-pruned MMR oracle in
+    queries/ivf.py chains its quantizer CTEs through here so both
+    queries share one greedy definition. Default: the exact-decimal
+    brute pool (ann_mmr_topk)."""
     dec_cos = (
         f"{_sql_dec_dot('embedding', 'qv')} / "
         f"sqrt({_sql_dec_dot('embedding', 'embedding')} * "
@@ -567,14 +585,17 @@ def _oracle_mmr() -> str:
     )
     lam = "CAST(0.7 AS DOUBLE)"
     mu = "CAST(0.3 AS DOUBLE)"
-    parts = [
-        f"""WITH q AS (SELECT embedding AS qv FROM embeddings
+    if cand_ctes is None:
+        cand_ctes = f"""WITH q AS (SELECT embedding AS qv FROM embeddings
          WHERE vec_id = {QUERY_VEC_ID}),
 cand AS (
   SELECT vec_id, {dec_cos} AS cos
   FROM embeddings, q WHERE vec_id != {QUERY_VEC_ID}
   ORDER BY cos DESC, vec_id ASC LIMIT {MMR_M}
-),
+)"""
+    parts = [
+        cand_ctes
+        + f""",
 ce AS (SELECT e.vec_id, e.embedding FROM embeddings e
        JOIN cand c USING (vec_id)),
 simh AS (

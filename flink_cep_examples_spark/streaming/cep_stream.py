@@ -41,6 +41,7 @@ state store without extra RocksDB configuration.
 from __future__ import annotations
 
 import pickle
+import re
 from typing import Any, Iterator
 
 import pandas as pd
@@ -118,8 +119,239 @@ def _cap_rows(acc):
     return log if len(log) == n else log[:n]
 
 
+# --- streaming PREV/NEXT navigation (round 13) ------------------------
+# Nav predicates cannot be evaluated by Catalyst before the shuffle:
+# PREV/NEXT read the per-key (order, tiebreak)-adjacent PHYSICAL row,
+# which may live in another micro-batch, and Structured Streaming has
+# no lag/lead window (the natural two-stage fix — a first stateful
+# reorder stage attaching nav columns, Catalyst in between, then this
+# operator — is closed off at the engine level: Spark rejects multiple
+# applyInPandasWithState per query, probed on 4.1, round 11). Instead
+# the stateful operator computes nav columns ITSELF from its own
+# watermark-sorted per-key sequence (PREV(x, n): the last n released
+# rows per key are kept as a tiny tail state; NEXT(x, n): the last n
+# watermark-eligible rows per key are HELD BACK until their successors
+# become eligible — the NFA clock for a held key advances only to the
+# first held row's timestamp, so within-deadlines cannot fire before
+# the row is fed) and evaluates the nav-referencing predicates
+# worker-side with DuckDB over the released frame. To keep that
+# evaluation EXACT, the predicate is token-gated to the dialect
+# intersection where Spark SQL and DuckDB agree (comparisons,
+# arithmetic with true division and sign-of-dividend %, AND/OR/NOT
+# three-valued logic, IS [NOT] NULL, BETWEEN, IN over literals, ABS,
+# NULL→FALSE coalescing — probed semantics, differential-tested
+# against the batch tier); anything outside the gate raises a named
+# NotImplementedError pointing at the batch tier.
+
+_NAV_SQL_TOKEN = re.compile(
+    r"""\s+
+      | '(?:[^']|'')*'                       # string literal
+      | \d+\.\d*(?:[eE][+-]?\d+)? | \.\d+ | \d+(?:[eE][+-]?\d+)?
+      | [A-Za-z_][A-Za-z_0-9]*               # identifier / keyword
+      | <= | >= | <> | != | = | < | >
+      | [+\-*/%(),]
+    """,
+    re.VERBOSE,
+)
+
+_NAV_SQL_KEYWORDS = {
+    "and", "or", "not", "is", "null", "true", "false",
+    "between", "in", "abs",
+}
+
+
+def _compile_stream_nav(spec: PatternSpec, df_cols: list[str]) -> dict:
+    """Validate nav-referencing predicates against the Spark≡DuckDB
+    token gate and plan the in-operator evaluation. Returns
+    ``{"pred_idx": set, "needed": tuple, "max_prev": int,
+    "max_next": int}`` — the predicate indexes that must be evaluated
+    worker-side, the base input columns the buffer must carry for
+    them, and the largest PREV/NEXT offsets (tail length / holdback
+    depth)."""
+    aliases = {alias for alias, _src, _off, _kind in spec.nav_cols}
+    max_prev = max(
+        (off for _a, _s, off, kind in spec.nav_cols if kind == "prev"),
+        default=0,
+    )
+    max_next = max(
+        (off for _a, _s, off, kind in spec.nav_cols if kind == "next"),
+        default=0,
+    )
+    pred_idx: set[int] = set()
+    needed: set[str] = {src for _a, src, _o, _k in spec.nav_cols}
+    for i, expr in enumerate(spec.pred_exprs):
+        if not any(a in expr for a in aliases):
+            continue  # nav-free: stays on the pre-shuffle Catalyst path
+        pred_idx.add(i)
+        pos = 0
+        for m in _NAV_SQL_TOKEN.finditer(expr):
+            if m.start() != pos:
+                break
+            pos = m.end()
+        if pos != len(expr):
+            raise NotImplementedError(
+                f"streaming PREV()/NEXT(): the defining predicate "
+                f"{expr!r} uses SQL outside the token subset where the "
+                f"in-operator evaluation is dialect-exact (columns, "
+                f"literals, comparisons, + - * / %, AND/OR/NOT, IS "
+                f"[NOT] NULL, BETWEEN, IN, ABS); unsupported from "
+                f"offset {pos}: {expr[pos:pos + 25]!r} — use the batch "
+                f"operator inside foreachBatch"
+            )
+        toks = [
+            m.group(0)
+            for m in _NAV_SQL_TOKEN.finditer(expr)
+            if m.group(0).strip()
+        ]
+        for j, tok in enumerate(toks):
+            if not (tok[0].isalpha() or tok[0] == "_"):
+                continue
+            low = tok.lower()
+            if low in _NAV_SQL_KEYWORDS or tok in aliases:
+                continue
+            if j + 1 < len(toks) and toks[j + 1] == "(":
+                # identifier applied as a FUNCTION — outside the gate
+                # (only ABS is in the probed dialect intersection)
+                raise NotImplementedError(
+                    f"streaming PREV()/NEXT(): the defining predicate "
+                    f"{expr!r} calls {tok}(), outside the token subset "
+                    f"where the in-operator evaluation is dialect-exact"
+                    f" (only ABS is gated in); use the batch operator "
+                    f"inside foreachBatch"
+                )
+            if tok not in df_cols:
+                raise ValueError(
+                    f"streaming nav predicate {expr!r} references "
+                    f"unknown column {tok!r}"
+                )
+            needed.add(tok)
+    return {
+        "pred_idx": pred_idx,
+        "needed": tuple(sorted(needed)),
+        "max_prev": max_prev,
+        "max_next": max_next,
+    }
+
+
+def _nav_transform(
+    release: pd.DataFrame,
+    buffer: pd.DataFrame | None,
+    tails: pd.DataFrame | None,
+    key_cols: list[str],
+    tiebreak: str,
+    buf_cols: list[str],
+    nav_specs: list[tuple[str, str, int, str]],
+    nav_pred_sql: dict[int, str],
+    nav_needed: tuple[str, ...],
+    max_prev: int,
+    max_next: int,
+) -> tuple[pd.DataFrame, pd.DataFrame | None, pd.DataFrame | None, dict, dict]:
+    """One micro-batch of streaming PREV/NEXT navigation over the
+    (key, order, tiebreak)-sorted release frame.
+
+    - PREV(x, n): lag within [tail rows ‖ release] per key — ``tails``
+      holds each key's last ``max_prev`` FED rows, so a lag that
+      crosses the micro-batch boundary reads exactly the row the batch
+      window would. New arrivals carry ts ≥ current watermark ≥ every
+      tail ts (the late-drop rule), so a stable sort with tails first
+      reproduces feed order even on exact ties.
+    - NEXT(x, n): lead within the eligible sequence. The last
+      ``max_next`` eligible rows per key are HELD BACK (returned to
+      the buffer): their successor may arrive in a later batch, and no
+      future arrival can sort before them, so once ``max_next``
+      successors are eligible their lead values are final. On an
+      unbounded stream a key's final rows stay pending — the streaming
+      "not yet decidable" twin of a row above the watermark (finite
+      replays flush with a per-key sentinel, as the agreement tests
+      do).
+    - Nav predicates evaluate over the fed frame via DuckDB, restricted
+      by the _compile_stream_nav token gate to the dialect intersection
+      where Spark SQL and DuckDB agree; NULL → FALSE (the NFA prepare
+      convention). Row alignment is pinned with an explicit ORDER BY
+      on a row-number column.
+
+    Returns ``(fed, buffer, tails, held_min_ts, pred_over)``:
+    rows to feed (with nav columns attached), the buffer grown by the
+    held-back rows, the rolled-forward tail state, per-key first-held
+    timestamps (the NFA clock cap), and predicate-index → bool array
+    overrides aligned to ``fed``.
+    """
+    import numpy as np
+
+    mark = "__nav_tail"
+    if tails is not None and len(tails):
+        t = tails.copy()
+        t[mark] = True
+        r = release.copy()
+        r[mark] = False
+        work = pd.concat([t, r], ignore_index=True)
+        work = work.sort_values(
+            [*key_cols, _TS_COL, tiebreak], kind="mergesort"
+        )
+    else:
+        work = release.copy()
+        work[mark] = False
+    g = work.groupby(key_cols, sort=False)
+    aliases = []
+    for alias, src, off, kind in nav_specs:
+        work[alias] = g[src].shift(off if kind == "prev" else -off)
+        aliases.append(alias)
+    cand = work[~work[mark].to_numpy(dtype=bool)]
+
+    held_min_ts: dict[tuple, int] = {}
+    if max_next and len(cand):
+        rev = cand.groupby(key_cols, sort=False).cumcount(ascending=False)
+        hmask = (rev < max_next).to_numpy()
+        fed = cand[~hmask]
+        held = cand[hmask]
+        if len(held):
+            hmin = held.groupby(key_cols, sort=False)[_TS_COL].min()
+            for k, v in hmin.items():
+                held_min_ts[k if isinstance(k, tuple) else (k,)] = int(v)
+            add = held[buf_cols]
+            buffer = (
+                add.reset_index(drop=True)
+                if buffer is None or not len(buffer)
+                else pd.concat([buffer, add], ignore_index=True)
+            )
+    else:
+        fed = cand
+    fed = fed.reset_index(drop=True)
+
+    pred_over: dict[int, Any] = {}
+    if len(fed) and nav_pred_sql:
+        import duckdb
+
+        cols = list(dict.fromkeys([*nav_needed, *aliases]))
+        frame = fed[cols].copy()
+        frame["__nav_rn"] = np.arange(len(frame), dtype=np.int64)
+        sel = ", ".join(nav_pred_sql[i] for i in sorted(nav_pred_sql))
+        con = duckdb.connect()
+        try:
+            con.register("t", frame)
+            res = con.execute(
+                f"SELECT {sel} FROM t ORDER BY __nav_rn"
+            ).df()
+        finally:
+            con.close()
+        for i in sorted(nav_pred_sql):
+            pred_over[i] = res[f"p{i}"].to_numpy(dtype=bool)
+
+    if max_prev:
+        pool = fed[buf_cols]
+        if tails is not None and len(tails):
+            pool = pd.concat([tails, pool], ignore_index=True)
+        rev = pool.groupby(key_cols, sort=False).cumcount(ascending=False)
+        tails = pool[(rev < max_prev).to_numpy()].reset_index(drop=True)
+
+    return fed[buf_cols + aliases], buffer, tails, held_min_ts, pred_over
+
+
 def _prepare_stream(
-    df: DataFrame, spec: PatternSpec, extra_cols: tuple[str, ...] = ()
+    df: DataFrame,
+    spec: PatternSpec,
+    extra_cols: tuple[str, ...] = (),
+    skip_pred_idx: frozenset[int] = frozenset(),
 ) -> DataFrame:
     needed = {m.src for m in spec.measures if m.fn != "count" and m.src}
     needed.update(spec.key_cols)
@@ -130,7 +362,13 @@ def _prepare_stream(
     cols = [F.col(c) for c in sorted(needed)]
     cols.append(F.unix_micros(F.col(spec.order_col).cast(T.TimestampType())).alias(_TS_COL))
     for i, e in enumerate(spec.pred_exprs):
-        cols.append(F.expr(e).alias(f"{_PRED_PREFIX}{i}"))
+        if i in skip_pred_idx:
+            # nav-referencing predicate: Catalyst cannot see the
+            # lag/lead value pre-shuffle — a FALSE placeholder keeps
+            # the column layout; the operator recomputes it at release
+            cols.append(F.lit(False).alias(f"{_PRED_PREFIX}{i}"))
+        else:
+            cols.append(F.expr(e).alias(f"{_PRED_PREFIX}{i}"))
     return df.select(*cols)
 
 
@@ -182,23 +420,20 @@ def match_pattern_stream(
             f"streaming measures support first/last/count/classifier/"
             f"match_number/{'/'.join(AGG_FNS)}, got {sorted(unsupported)}"
         )
-    if spec.nav_cols:
-        # PREV/NEXT need lag/lead ACROSS micro-batch boundaries (the
-        # previous physical row may have been released in an earlier
-        # batch), but predicates are Spark SQL expressions evaluated
-        # by Catalyst BEFORE the shuffle — a nav value known only
-        # inside the state buffer can't feed them. The natural fix — a
-        # first stateful stage that reorders rows and attaches nav
-        # columns, Catalyst predicate evaluation in between, then this
-        # operator — is closed off at the engine level: Spark rejects
-        # multiple applyInPandasWithState per query ("Multiple
-        # applyInPandasWithStates are not supported", probed on 4.1,
-        # round 11). NEXT additionally needs lookahead Flink CEP does
-        # not offer either. Batch-tier feature; use the batch operator
-        # inside foreachBatch.
-        raise NotImplementedError(
-            "PREV()/NEXT() navigation requires batch input"
-        )
+    nav_conf = (
+        _compile_stream_nav(spec, df.columns) if spec.nav_cols else None
+    )
+    if nav_conf is not None:
+        # the gate needs duckdb on the workers; fail at build, not in
+        # the first micro-batch
+        try:
+            import duckdb  # noqa: F401
+        except ImportError as ex:  # pragma: no cover — baked into env
+            raise NotImplementedError(
+                "streaming PREV()/NEXT() evaluates nav predicates "
+                "in-operator via duckdb, which is not importable: "
+                f"{ex}; use the batch operator inside foreachBatch"
+            ) from ex
     if (
         spec.derivation == "longest"
         and spec.after_match != SKIP_PAST_LAST_EVENT
@@ -266,7 +501,13 @@ def match_pattern_stream(
             n_buckets = 4 * df.sparkSession.sparkContext.defaultParallelism
     prepared = (
         _prepare_stream(
-            df, spec, extra_cols=tuple(df.columns) if all_rows else ()
+            df,
+            spec,
+            extra_cols=(tuple(df.columns) if all_rows else ())
+            + (nav_conf["needed"] if nav_conf is not None else ()),
+            skip_pred_idx=frozenset(
+                nav_conf["pred_idx"] if nav_conf is not None else ()
+            ),
         )
         .withColumn(
             _BUCKET_COL,
@@ -356,7 +597,19 @@ def match_pattern_stream(
         )
     # columns the buffer must retain (stable order, no duplicates)
     buf_cols = list(
-        dict.fromkeys([*key_cols, _TS_COL, tiebreak, *pred_cols, *all_srcs])
+        dict.fromkeys(
+            [*key_cols, _TS_COL, tiebreak, *pred_cols, *all_srcs]
+            + (list(nav_conf["needed"]) if nav_conf is not None else [])
+        )
+    )
+    nav_specs = list(spec.nav_cols)  # (alias, src, off, kind)
+    nav_pred_sql = (
+        {
+            i: f"coalesce(({spec.pred_exprs[i]}), false) AS p{i}"
+            for i in sorted(nav_conf["pred_idx"])
+        }
+        if nav_conf is not None
+        else {}
     )
 
     def process(
@@ -366,13 +619,16 @@ def match_pattern_stream(
         # bucket state = (columnar event buffer as a pandas DataFrame —
         # pickles as a handful of numpy blocks, ~6× smaller and ~100×
         # fewer objects than per-row tuples — and the per-key NFA states)
+        nav_tails = None  # per-key PREV tail rows (nav specs only)
         if state.exists:
             stored = pickle.loads(state.get[0])
             if len(stored) == 2:  # pre-round-5 checkpoint: no counters
                 buffer, nfa_states = stored
                 match_nos: dict = {}
-            else:
+            elif len(stored) == 3:
                 buffer, nfa_states, match_nos = stored
+            else:  # round 13: nav specs append the PREV tail frame
+                buffer, nfa_states, match_nos, nav_tails = stored
         else:
             buffer, nfa_states, match_nos = None, {}, {}
         track_match_no = any(m.fn == "match_number" for m in measures)
@@ -636,6 +892,7 @@ def match_pattern_stream(
 
         buffer = None
         buffered_keys: set = set()
+        held_min_ts: dict[tuple, int] = {}
         if allbuf is not None and len(allbuf):
             rel_mask = allbuf[_TS_COL].to_numpy() <= wm_us
             release = allbuf[rel_mask]
@@ -644,12 +901,6 @@ def match_pattern_stream(
                 buffer = None
             else:
                 buffer = buffer.reset_index(drop=True)
-                if len(key_cols) == 1:
-                    buffered_keys = {(k,) for k in buffer[key_cols[0]]}
-                else:
-                    buffered_keys = set(
-                        zip(*(buffer[k] for k in key_cols))
-                    )
             if len(release):
                 # event-time order per key, one sorted pass over the
                 # whole bucket with key-change detection — the same
@@ -657,9 +908,32 @@ def match_pattern_stream(
                 release = release.sort_values(
                     [*key_cols, _TS_COL, tiebreak], kind="mergesort"
                 )
+                pred_over: dict[int, Any] = {}
+                if nav_conf is not None:
+                    (
+                        release,
+                        buffer,
+                        nav_tails,
+                        held_min_ts,
+                        pred_over,
+                    ) = _nav_transform(
+                        release,
+                        buffer,
+                        nav_tails,
+                        key_cols,
+                        tiebreak,
+                        buf_cols,
+                        nav_specs,
+                        nav_pred_sql,
+                        nav_conf["needed"],
+                        nav_conf["max_prev"],
+                        nav_conf["max_next"],
+                    )
                 key_arrs = [release[k].to_numpy() for k in key_cols]
                 ts_arr = release[_TS_COL].to_numpy()
                 pred_arr = release[pred_cols].to_numpy(dtype=bool)
+                for pi, pv in pred_over.items():
+                    pred_arr[:, pi] = pv
                 src_arr = release[all_srcs].to_numpy() if all_srcs else None
                 # rows that can't start a run and have no run to extend
                 # are no-ops — skip the step() call entirely
@@ -695,12 +969,27 @@ def match_pattern_stream(
                     for x in to:
                         emit(kt, x, TIMEOUT_TAG)
 
+        if buffer is not None and len(buffer):
+            # computed AFTER the nav transform — held-back rows joined
+            # the buffer and must keep their key's NFA state alive
+            if len(key_cols) == 1:
+                buffered_keys = {(k,) for k in buffer[key_cols[0]]}
+            else:
+                buffered_keys = set(zip(*(buffer[k] for k in key_cols)))
+
         # the watermark itself may expire partials (absence alerts) or
-        # confirm pending timed-absence completions (matches)
+        # confirm pending timed-absence completions (matches). A key
+        # with held-back rows (streaming NEXT holdback) advances only
+        # to the first held row's timestamp: those rows are ≤ watermark
+        # and must be fed before any within-deadline beyond them fires
+        # (feeding a row at t advances the clock to t first, so the cap
+        # is exactly feed-equivalent).
         pending: list[int] = []
         for kt in list(nfa_states):
             nst = nfa_states[kt]
-            wm_matches, wm_timeouts = nfa.advance_time(nst, wm_us)
+            wm_matches, wm_timeouts = nfa.advance_time(
+                nst, min(wm_us, held_min_ts.get(kt, wm_us))
+            )
             for x in wm_matches:
                 emit(kt, x, MATCH_TAG)
             for x in wm_timeouts:
@@ -716,12 +1005,25 @@ def match_pattern_stream(
                     run.start_ts + nfa.within_us for run in nst.runs
                 )
 
-        if buffer is None and not nfa_states and not match_nos:
+        if (
+            buffer is None
+            and not nfa_states
+            and not match_nos
+            and (nav_tails is None or not len(nav_tails))
+        ):
             state.remove()
         else:
-            state.update(
-                (pickle.dumps((buffer, nfa_states, match_nos)),)
-            )
+            if nav_conf is not None:
+                # nav specs append the PREV tail frame (O(max_prev)
+                # rows per key ever fed — the same per-key-forever
+                # growth class as match_nos; Flink keyed state without
+                # TTL likewise)
+                blob = pickle.dumps(
+                    (buffer, nfa_states, match_nos, nav_tails)
+                )
+            else:
+                blob = pickle.dumps((buffer, nfa_states, match_nos))
+            state.update((blob,))
             if buffer is not None:
                 pending.append(int(buffer[_TS_COL].min()))
             if pending:
@@ -804,8 +1106,14 @@ def match_pattern_stream_alternation(
             f"got {sorted(unsupported)}"
         )
     if aspec.nav_cols:
+        # single-pattern streaming nav landed round 13 (_nav_transform);
+        # the alternation coordinator would additionally need the
+        # holdback clock cap threaded through every alternative's
+        # lockstep advance — batch-tier until a query needs it
         raise NotImplementedError(
-            "PREV()/NEXT() navigation requires batch input"
+            "PREV()/NEXT() navigation in a streaming ALTERNATION is "
+            "not supported (single-pattern streams support it since "
+            "round 13); use the batch operator inside foreachBatch"
         )
     alts = aspec.alternatives
     from flink_cep_examples_spark.operators.cep_batch import (

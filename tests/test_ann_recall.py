@@ -265,3 +265,31 @@ def test_mmr_topk_diversifies(spark, tmp_path):
             (cos(r.vec_id, s) for s in picks[: r.rk - 1]), default=0.0
         )
         assert abs(r.mmr - (MMR_LAM * r.cos - MMR_MU * ms)) < 1e-6
+
+
+def test_mmr_ivf_topk_recall_vs_exact(spark, sf_small):
+    """The 100-TB MMR composition (round 13): candidates from the
+    partition-pruned IVF stage instead of the exact brute scorer.
+    Gate: the IVF-MMR picks recover most of the exact-MMR picks (the
+    IVF pool covers the query's neighborhood unless the probe misses
+    a lobe), and the rerank arithmetic is IDENTICAL — any shared pick
+    carries the same cos, and pick 1 (no diversity term yet) agrees
+    whenever the IVF pool contains the exact top-1."""
+    from flink_cep_examples_spark.queries.ivf import ann_mmr_ivf_topk
+    from flink_cep_examples_spark.queries.similarity import (
+        MMR_K,
+        ann_mmr_topk,
+    )
+
+    exact = {r.rk: r for r in ann_mmr_topk(spark, sf_small).collect()}
+    ivf = {r.rk: r for r in ann_mmr_ivf_topk(spark, sf_small).collect()}
+    assert len(exact) == len(ivf) == MMR_K
+    exact_ids = {r.vec_id for r in exact.values()}
+    ivf_ids = {r.vec_id for r in ivf.values()}
+    overlap = len(exact_ids & ivf_ids) / MMR_K
+    assert overlap >= 0.6, f"IVF-MMR pick recall {overlap:.2f}"
+    # shared picks score identically (same candidate cos + same greedy)
+    exact_cos = {r.vec_id: r.cos for r in exact.values()}
+    for r in ivf.values():
+        if r.vec_id in exact_cos:
+            assert abs(r.cos - exact_cos[r.vec_id]) < 1e-9

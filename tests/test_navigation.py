@@ -136,9 +136,16 @@ def test_nav_dedupes_identical_references():
     assert len(spec.nav_cols) == 1
 
 
-def test_streaming_rejects_navigation(spark, tmp_path):
+def test_streaming_navigation_gate(spark, tmp_path):
+    """Round 13: PREV/NEXT STREAM — the operator computes nav columns
+    from its own watermark-sorted buffer and evaluates the nav-gated
+    predicates in-operator. The token gate keeps that evaluation
+    dialect-exact: SQL outside the probed Spark≡DuckDB intersection
+    raises a named NotImplementedError; an unknown column reference
+    fails loud at build; streaming ALTERNATION nav stays batch-tier."""
     from flink_cep_examples_spark.streaming.cep_stream import (
         match_pattern_stream,
+        match_pattern_stream_alternation,
     )
 
     d = tmp_path / "in"
@@ -153,8 +160,175 @@ def test_streaming_rejects_navigation(spark, tmp_path):
         DEFINE D AS D.balanceAfter < PREV(D.balanceAfter)
         """
     )
-    with pytest.raises(NotImplementedError, match="batch"):
-        match_pattern_stream(stream, spec)
+    assert match_pattern_stream(stream, spec).isStreaming  # now streams
+
+    gated = parse_match_recognize(
+        """
+        PARTITION BY id ORDER BY event_time
+        MEASURES D.seq AS s
+        ONE ROW PER MATCH
+        PATTERN (D)
+        DEFINE D AS concat(id, 'x') = 'kx'
+                 AND D.balanceAfter < PREV(D.balanceAfter)
+        """
+    )
+    with pytest.raises(NotImplementedError, match="token subset"):
+        match_pattern_stream(stream, gated)
+
+    alt = parse_match_recognize(
+        """
+        PARTITION BY id ORDER BY event_time
+        MEASURES A.seq AS s
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A D | A U)
+        DEFINE A AS A.balanceAfter < 10,
+               D AS D.balanceAfter < PREV(D.balanceAfter),
+               U AS U.balanceAfter > PREV(U.balanceAfter)
+        """
+    )
+    with pytest.raises(NotImplementedError, match="ALTERNATION"):
+        match_pattern_stream_alternation(stream, alt)
+
+
+def _nav_walk_rows(keys=("a", "b", "c"), n=60, seed=7):
+    """Random balance walks per key, CLOSED by one same-value row (both
+    strict nav comparisons false — inert for V-shape/peak DEFINEs) and
+    one far-future sentinel per key that flushes the watermark. Both
+    closers are REAL DATA in both tiers, so batch and streaming see
+    identical inputs and the final real rows' nav values resolve."""
+    import random as _r
+
+    rng = _r.Random(seed)
+    rows = []
+    for k in keys:
+        x = 50.0
+        for i in range(n):
+            x += rng.uniform(-10, 10)
+            rows.append(
+                (k, dt.datetime(2020, 5, 1, 10, 0) + dt.timedelta(minutes=i),
+                 i, 0.0, round(x, 2))
+            )
+        rows.append(
+            (k, dt.datetime(2020, 5, 1, 10, 0) + dt.timedelta(minutes=n),
+             n, 0.0, round(x, 2))  # same value: inert closer
+        )
+        rows.append((k, dt.datetime(2031, 1, 1), n + 1, 0.0, round(x, 2)))
+    return rows
+
+
+def _replay_and_compare(spark, tmp_path, body, name, keyf):
+    """Batch vs multi-micro-batch streaming replay of one nav body."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(_nav_walk_rows(), _SCHEMA)
+    batch = sorted(keyf(r) for r in match_recognize(
+        df, body, tiebreak_col="seq"
+    ).collect())
+    assert batch, "test body matched nothing — broken fixture"
+    src = str(tmp_path / f"nav_{name}")
+    cut1 = dt.datetime(2020, 5, 1, 10, 20)
+    cut2 = dt.datetime(2020, 5, 1, 10, 40)
+    for part in (
+        df.filter(F.col("event_time") <= F.lit(cut1)),
+        df.filter(
+            (F.col("event_time") > F.lit(cut1))
+            & (F.col("event_time") <= F.lit(cut2))
+        ),
+        df.filter(F.col("event_time") > F.lit(cut2)),
+    ):
+        part.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = match_recognize(
+        stream, body, tiebreak_col="seq", watermark_delay="6 minutes"
+    )
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName(f"navq_{name}")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        keyf(r)
+        for r in spark.sql(f"SELECT * FROM navq_{name}").collect()
+    )
+    assert got == batch
+
+
+@pytest.mark.slow
+def test_streaming_prev_vshape_matches_batch(spark, tmp_path):
+    """The V-shape PREV query (the reference DEFINE shape,
+    FlinkSqlMatchRecognizeExample.scala:63-66 generalized) streamed
+    over three micro-batches must equal batch exactly — PREV lag
+    values cross micro-batch boundaries via the per-key tail state."""
+    _replay_and_compare(
+        spark,
+        tmp_path,
+        """
+        PARTITION BY id ORDER BY event_time
+        MEASURES STRT.seq AS s, STRT.id AS k, COUNT(DOWN.*) AS nd,
+                 UP.balanceAfter AS up_x
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (STRT DOWN+ UP)
+        DEFINE DOWN AS DOWN.balanceAfter < PREV(DOWN.balanceAfter),
+               UP AS UP.balanceAfter > PREV(UP.balanceAfter)
+        """,
+        "vshape",
+        lambda r: (r.k, r.s, r.nd, r.up_x),
+    )
+
+
+@pytest.mark.slow
+def test_streaming_next_peak_matches_batch(spark, tmp_path):
+    """NEXT lookahead streams via the one-row holdback: a row is fed
+    only once its successor is watermark-eligible, and the NFA clock
+    for a held key is capped at the first held row's timestamp so the
+    within-deadline cannot fire before the row is fed."""
+    _replay_and_compare(
+        spark,
+        tmp_path,
+        """
+        PARTITION BY id ORDER BY event_time
+        MEASURES P.seq AS s, P.id AS k, P.balanceAfter AS x
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (P Q) WITHIN INTERVAL '10' MINUTE
+        DEFINE P AS P.balanceAfter > PREV(P.balanceAfter)
+                 AND P.balanceAfter > NEXT(P.balanceAfter),
+               Q AS Q.balanceAfter < PREV(Q.balanceAfter)
+        """,
+        "peak",
+        lambda r: (r.k, r.s, r.x),
+    )
+
+
+@pytest.mark.slow
+def test_streaming_prev_offset2_matches_batch(spark, tmp_path):
+    """PREV(x, 2) — the tail keeps TWO released rows per key, so a
+    lag-2 crossing a micro-batch boundary reads the right row."""
+    _replay_and_compare(
+        spark,
+        tmp_path,
+        """
+        PARTITION BY id ORDER BY event_time
+        MEASURES D.seq AS s, D.id AS k
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP TO NEXT ROW
+        PATTERN (D)
+        DEFINE D AS D.balanceAfter < PREV(D.balanceAfter, 2)
+        """,
+        "prev2",
+        lambda r: (r.k, r.s),
+    )
 
 
 def test_nav_window_reuses_pattern_exchange(spark, sf_small):
