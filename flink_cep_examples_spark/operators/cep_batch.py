@@ -278,7 +278,13 @@ def _running_series(m: Measure, spans: list, arr, lo: int, hi: int) -> list:
     out = [None] * (hi - lo + 1)
     si = 0
     count = n_vals = 0
-    total = 0.0
+    # lazy-init the sum accumulator from the FIRST value so exact
+    # types fold exactly: a DECIMAL source accumulates in
+    # decimal.Decimal (a float 0.0 seed raised TypeError — round-13
+    # probe finding — and an int 0 seed would silently stay exact only
+    # by accident of Python promotion rules); float sources keep the
+    # float fold bit-for-bit
+    total = None
     mn = mx = first = last = None
     for r in range(lo, hi + 1):
         while si < len(spans) and r > spans[si][1]:
@@ -293,7 +299,7 @@ def _running_series(m: Measure, spans: list, arr, lo: int, hi: int) -> list:
                 if not pd.isna(v):
                     n_vals += 1
                     if m.fn in ("sum", "avg"):
-                        total += v
+                        total = v if total is None else total + v
                     mn = v if mn is None or v < mn else mn
                     mx = v if mx is None or v > mx else mx
         i = r - lo
@@ -310,7 +316,11 @@ def _running_series(m: Measure, spans: list, arr, lo: int, hi: int) -> list:
         elif m.fn == "sum":
             out[i] = total
         elif m.fn == "avg":
-            out[i] = total / n_vals
+            # the avg field is DOUBLE (_measure_field): one divide on
+            # the exact running sum, converted once — mirrors the
+            # FINAL path's float(vals.mean())
+            a = total / n_vals
+            out[i] = a if isinstance(a, float) else float(a)
         elif m.fn == "min":
             out[i] = mn
         else:

@@ -40,6 +40,7 @@ state store without extra RocksDB configuration.
 
 from __future__ import annotations
 
+import decimal
 import pickle
 import re
 from typing import Any, Iterator
@@ -92,6 +93,18 @@ _STATE_SCHEMA = T.StructType([T.StructField("blob", T.BinaryType(), True)])
 # shared list once per state blob, so checkpoint size stays O(rows
 # per live run), not O(branches × rows). A plain-tuple accumulator
 # restoring from a pre-round-12 checkpoint is migrated on first touch.
+
+
+def _dec2f(x):
+    """Exact-accumulator → double-field boundary conversion. A DECIMAL
+    source folds exactly in decimal.Decimal; the SUM/AVG output fields
+    are DOUBLE (_measure_field), and applyInPandasWithState's own
+    decimal→double cast is LOSSY (probed: it scales the unscaled int
+    by a 10^-scale double — Decimal('0.100000') comes back
+    0.09999999999999999), so the operator converts in Python, where
+    float(Decimal) rounds correctly. Non-decimals pass through (an
+    integral SUM keeps its LongType field)."""
+    return float(x) if isinstance(x, decimal.Decimal) else x
 
 
 def _cap_init(payload, ord_):
@@ -697,9 +710,9 @@ def match_pattern_stream(
                     elif not vals:
                         out[m.name] = None  # SQL: all-NULL rows
                     elif m.fn == "sum":
-                        out[m.name] = sum(vals)
+                        out[m.name] = _dec2f(sum(vals))
                     elif m.fn == "avg":
-                        out[m.name] = sum(vals) / len(vals)
+                        out[m.name] = _dec2f(sum(vals) / len(vals))
                     elif m.fn == "min":
                         out[m.name] = min(vals)
                     else:
@@ -748,8 +761,12 @@ def match_pattern_stream(
                     # compare the (possibly None) values
                 )
                 run_rows[m.name] = rows_m
-                # [next_idx, count, n_vals, total, mn_, mx_, first, last]
-                run_st[m.name] = [0, 0, 0, 0.0, None, None, None, None]
+                # [next_idx, count, n_vals, total, mn_, mx_, first,
+                # last] — total lazy-inits from the FIRST value so a
+                # DECIMAL source folds exactly in decimal.Decimal (the
+                # float 0.0 seed raised TypeError; the batch
+                # _running_series got the same round-13 fix)
+                run_st[m.name] = [0, 0, 0, None, None, None, None, None]
 
             def _running_value(m, ord_):
                 rows_m = run_rows[m.name]
@@ -764,7 +781,7 @@ def match_pattern_stream(
                     if v is not None and v == v:
                         nv += 1
                         if m.fn in ("sum", "avg"):
-                            tot += v
+                            tot = v if tot is None else tot + v
                         mn_ = v if mn_ is None or v < mn_ else mn_
                         mx_ = v if mx_ is None or v > mx_ else mx_
                     i += 1
@@ -780,9 +797,10 @@ def match_pattern_stream(
                 if nv == 0:
                     return None  # SQL: aggregate over empty prefix
                 if m.fn == "sum":
-                    return tot
+                    return _dec2f(tot)
                 if m.fn == "avg":
-                    return tot / nv
+                    a = tot / nv
+                    return a if isinstance(a, float) else float(a)
                 return mn_ if m.fn == "min" else mx_
 
             for ord_, vname, p in entries:
@@ -874,9 +892,9 @@ def match_pattern_stream(
                     elif n == 0:
                         data[m.name].append(None)  # SQL: all-NULL rows
                     elif m.fn == "sum":
-                        data[m.name].append(s)
+                        data[m.name].append(_dec2f(s))
                     elif m.fn == "avg":
-                        data[m.name].append(s / n)
+                        data[m.name].append(_dec2f(s / n))
                     elif m.fn == "min":
                         data[m.name].append(mn)
                     else:
@@ -1310,9 +1328,9 @@ def match_pattern_stream_alternation(
                     elif not vals:
                         out[m.name] = None
                     elif m.fn == "sum":
-                        out[m.name] = sum(vals)
+                        out[m.name] = _dec2f(sum(vals))
                     elif m.fn == "avg":
-                        out[m.name] = sum(vals) / len(vals)
+                        out[m.name] = _dec2f(sum(vals) / len(vals))
                     elif m.fn == "min":
                         out[m.name] = min(vals)
                     else:
@@ -1362,8 +1380,12 @@ def match_pattern_stream_alternation(
                     # compare the (possibly None) values
                 )
                 run_rows[m.name] = rows_m
-                # [next_idx, count, n_vals, total, mn_, mx_, first, last]
-                run_st[m.name] = [0, 0, 0, 0.0, None, None, None, None]
+                # [next_idx, count, n_vals, total, mn_, mx_, first,
+                # last] — total lazy-inits from the FIRST value so a
+                # DECIMAL source folds exactly in decimal.Decimal (the
+                # float 0.0 seed raised TypeError; the batch
+                # _running_series got the same round-13 fix)
+                run_st[m.name] = [0, 0, 0, None, None, None, None, None]
 
             def _running_value(m, ord_):
                 rows_m = run_rows[m.name]
@@ -1378,7 +1400,7 @@ def match_pattern_stream_alternation(
                     if v is not None and v == v:
                         nv += 1
                         if m.fn in ("sum", "avg"):
-                            tot += v
+                            tot = v if tot is None else tot + v
                         mn_ = v if mn_ is None or v < mn_ else mn_
                         mx_ = v if mx_ is None or v > mx_ else mx_
                     i += 1
@@ -1394,9 +1416,10 @@ def match_pattern_stream_alternation(
                 if nv == 0:
                     return None  # SQL: aggregate over empty prefix
                 if m.fn == "sum":
-                    return tot
+                    return _dec2f(tot)
                 if m.fn == "avg":
-                    return tot / nv
+                    a = tot / nv
+                    return a if isinstance(a, float) else float(a)
                 return mn_ if m.fn == "min" else mx_
 
             for ord_, vname, p in entries:
@@ -1482,9 +1505,9 @@ def match_pattern_stream_alternation(
                     elif n == 0:
                         data[m.name].append(None)  # SQL: all-NULL rows
                     elif m.fn == "sum":
-                        data[m.name].append(s)
+                        data[m.name].append(_dec2f(s))
                     elif m.fn == "avg":
-                        data[m.name].append(s / n)
+                        data[m.name].append(_dec2f(s / n))
                     elif m.fn == "min":
                         data[m.name].append(mn)
                     else:

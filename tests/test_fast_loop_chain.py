@@ -803,6 +803,117 @@ def test_all_rows_running_minmax_dtype_gate(spark):
     assert not fast_loop_chain_all_rows_applicable(spec_min, dec)
 
 
+def test_decimal_running_folds_exactly_on_nfa_tier(spark):
+    """Round 13 (probe finding): the dtype gate routes DECIMAL RUNNING
+    aggregates to the NFA tier, but that tier's running walk seeded
+    its sum accumulator with float 0.0 — ``0.0 + Decimal`` raised
+    TypeError, so the very queries the gate protects CRASHED instead
+    of folding exactly. Pin: the accumulator lazy-inits from the first
+    value, DECIMAL sums stay exact until the one double conversion at
+    the field boundary (0.1+0.1+0.1 = 0.3 exactly, not
+    0.30000000000000004), MIN/MAX keep the decimal type, AVG divides
+    the exact sum once."""
+    import decimal
+
+    from datetime import timedelta
+
+    rows = [
+        # one match per key: A(1) B(2) B(2) B(2) C(3)
+        (1, i, e, v)
+        for i, (e, v) in enumerate(
+            [(1, "5.0"), (2, "0.1"), (2, "0.1"), (2, "0.1"), (3, "9.0")]
+        )
+    ]
+    df = spark.createDataFrame(
+        [
+            (u, BASE + timedelta(minutes=mo), e, decimal.Decimal(v))
+            for u, mo, e, v in rows
+        ],
+        "user_id long, ts timestamp, event_id long, value decimal(18,6)",
+    )
+    body = """
+    PARTITION BY user_id ORDER BY ts, event_id
+    MEASURES RUNNING SUM(B.value) AS rsum, RUNNING AVG(B.value) AS ravg,
+             RUNNING MIN(B.value) AS rmin, RUNNING MAX(B.value) AS rmax
+    ALL ROWS PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN (A B+ C)
+    DEFINE A AS event_id = 1, B AS event_id = 2, C AS event_id = 3
+    """
+    from flink_cep_examples_spark.operators.fast_path import (
+        fast_loop_chain_all_rows_applicable,
+    )
+
+    spec = parse_match_recognize(body)
+    assert not fast_loop_chain_all_rows_applicable(spec, df)  # NFA tier
+    out = sorted(
+        (r.event_id, r.rsum, r.ravg, r.rmin, r.rmax)
+        for r in match_recognize(df, body, tiebreak_col="event_id").collect()
+    )
+    d = decimal.Decimal
+    assert out == [
+        (1, None, None, None, None),
+        (2, 0.1, 0.1, d("0.1"), d("0.1")),
+        (2, 0.2, 0.1, d("0.1"), d("0.1")),
+        (2, 0.3, 0.1, d("0.1"), d("0.1")),  # exact: NOT 0.30000000000000004
+        (3, 0.3, 0.1, d("0.1"), d("0.1")),
+    ]
+
+
+def test_decimal_running_streams_exactly(spark, tmp_path):
+    """The streaming twin of the decimal RUNNING fix: the emit walk's
+    accumulator had the same float-0.0 seed; a decimal-valued RUNNING
+    SUM must stream (not crash) and agree with batch bit-for-bit."""
+    import decimal
+    import time
+
+    from datetime import timedelta
+
+    rows = [
+        (1, i, e, decimal.Decimal(v))
+        for i, (e, v) in enumerate(
+            [(1, "5.0"), (2, "0.1"), (2, "0.1"), (2, "0.1"), (3, "9.0")]
+        )
+    ] + [(1, 999999, 4, decimal.Decimal("0"))]  # watermark sentinel
+    df = spark.createDataFrame(
+        [(u, BASE + timedelta(minutes=mo), e, v) for u, mo, e, v in rows],
+        "user_id long, ts timestamp, event_id long, value decimal(18,6)",
+    )
+    body = """
+    PARTITION BY user_id ORDER BY ts, event_id
+    MEASURES RUNNING SUM(B.value) AS rsum
+    ALL ROWS PER MATCH
+    AFTER MATCH SKIP PAST LAST ROW
+    PATTERN (A B+ C)
+    DEFINE A AS event_id = 1, B AS event_id = 2, C AS event_id = 3
+    """
+    batch = sorted(
+        (r.event_id, r.rsum)
+        for r in match_recognize(df, body, tiebreak_col="event_id").collect()
+    )
+    src = str(tmp_path / "dec_running")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = match_recognize(
+        stream, body, tiebreak_col="event_id", watermark_delay="6 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dec_running_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    time.sleep(0.2)
+    got = sorted(
+        (r.event_id, r.rsum)
+        for r in spark.sql("SELECT * FROM dec_running_stream").collect()
+    )
+    assert got == batch
+    assert (2, 0.3) in got  # the exact fold survived the double field
+
+
 BODY_ALL_ROWS_EXTREMA = BODY_ALL_ROWS_RUNNING.replace(
     "RUNNING SUM(X.event_id) AS sx",
     "RUNNING SUM(X.event_id) AS sx,\n"

@@ -312,6 +312,72 @@ def test_streaming_next_peak_matches_batch(spark, tmp_path):
 
 
 @pytest.mark.slow
+def test_streaming_nav_restart_from_checkpoint(spark, tmp_path):
+    """Nav state (the round-13 4-tuple blob with the PREV tail frame)
+    must survive a checkpoint restart: stop the query mid-stream —
+    tails and held rows pickled — append the rest, start a NEW query
+    from the SAME checkpoint, final output equals batch."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.streaming.cep_stream import (
+        match_pattern_stream,
+    )
+
+    body = """
+    PARTITION BY id ORDER BY event_time
+    MEASURES STRT.seq AS s, STRT.id AS k, COUNT(DOWN.*) AS nd
+    ONE ROW PER MATCH
+    AFTER MATCH SKIP TO NEXT ROW
+    PATTERN (STRT DOWN+ UP)
+    DEFINE DOWN AS DOWN.balanceAfter < PREV(DOWN.balanceAfter),
+           UP AS UP.balanceAfter > PREV(UP.balanceAfter)
+           AND UP.balanceAfter > NEXT(UP.balanceAfter, 1) - 1000
+    """
+    df = spark.createDataFrame(_nav_walk_rows(n=40), _SCHEMA)
+    spec = parse_match_recognize(body)  # default tiebreak_col = seq
+    batch = sorted(
+        (r.k, r.s, r.nd)
+        for r in match_recognize(df, body, tiebreak_col="seq").collect()
+    )
+    assert batch
+
+    src = tmp_path / "navsrc"
+    src.mkdir()
+    chk = str(tmp_path / "navchk")
+    sink = str(tmp_path / "navout")
+    cut = dt.datetime(2020, 5, 1, 10, 20)
+    df.filter(F.col("event_time") <= F.lit(cut)).coalesce(1).write.parquet(
+        str(src / "p1")
+    )
+    schema = spark.read.parquet(str(src / "p1")).schema
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        out = match_pattern_stream(stream, spec, "6 minutes")
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()  # first half: PREV tails + NEXT holdback in the blob
+    df.filter(F.col("event_time") > F.lit(cut)).coalesce(1).write.parquet(
+        str(src / "p2")
+    )
+    run_once()  # NEW query, same checkpoint
+    got = sorted(
+        (r.k, r.s, r.nd) for r in spark.read.parquet(sink).collect()
+    )
+    assert got == [(k, s, n) for k, s, n in batch]
+
+
+@pytest.mark.slow
 def test_streaming_prev_offset2_matches_batch(spark, tmp_path):
     """PREV(x, 2) — the tail keeps TWO released rows per key, so a
     lag-2 crossing a micro-batch boundary reads the right row."""

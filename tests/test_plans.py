@@ -318,3 +318,42 @@ def test_source_overlap_joins_on_int_hash(spark, sf_small):
     p = _plan(QUERIES["docs_source_overlap"](spark, sf_small))
     join_lines = [l for l in p.splitlines() if "SortMergeJoin" in l or "BroadcastHashJoin" in l]
     assert join_lines and not any("text" in l for l in join_lines)
+
+
+def test_dedup_keep_best_persisted_serves_off_map(spark, sf_small, tmp_path):
+    """The persisted cluster map is train-once/serve-many (round 13):
+    the SERVE plan must read only the map — no documents scan, no
+    MinHash/band-join recompute — and a per-cluster lookup must prune
+    to its bucket's partitions (PartitionFilters on cluster_bucket).
+    The served result equals the recompute path row-for-row."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.queries.dedup import (
+        keep_best_from_map,
+        write_dedup_cluster_map,
+    )
+
+    idx = str(tmp_path / "dedup_map")
+    write_dedup_cluster_map(spark, sf_small, idx)
+
+    served = keep_best_from_map(spark, idx)
+    p = _plan(served)
+    assert "documents" not in p, "serve plan rescans the corpus"
+    assert p.count("Scan parquet") == 1, "serve plan reads more than the map"
+    # exactly one exchange: the cluster_id window (no LSH shuffles)
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+    recompute = QUERIES["dedup_keep_best"](spark, sf_small)
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, recompute.collect())
+    )
+
+    # per-cluster lookup prunes: filter on the bucket column reaches
+    # the scan as a PartitionFilter
+    one = spark.read.parquet(f"{idx}/cluster_map").filter(
+        F.col("cluster_bucket") == 3
+    )
+    scan_lines = [
+        l for l in _plan(one).splitlines() if "PartitionFilters" in l
+    ]
+    assert any("cluster_bucket" in l for l in scan_lines), scan_lines
