@@ -1123,16 +1123,23 @@ def match_pattern_stream_alternation(
             f"streaming alternation measures support {sorted(allowed)}, "
             f"got {sorted(unsupported)}"
         )
-    if aspec.nav_cols:
-        # single-pattern streaming nav landed round 13 (_nav_transform);
-        # the alternation coordinator would additionally need the
-        # holdback clock cap threaded through every alternative's
-        # lockstep advance — batch-tier until a query needs it
-        raise NotImplementedError(
-            "PREV()/NEXT() navigation in a streaming ALTERNATION is "
-            "not supported (single-pattern streams support it since "
-            "round 13); use the batch operator inside foreachBatch"
-        )
+    # PREV/NEXT navigation (round 13): the same in-operator nav columns
+    # + token-gated DuckDB predicate evaluation as the single-pattern
+    # tier (_nav_transform); the holdback clock cap applies to EVERY
+    # alternative's advance (lockstep is preserved — advance_time never
+    # touches row ordinals)
+    nav_conf = (
+        _compile_stream_nav(aspec, df.columns) if aspec.nav_cols else None
+    )
+    if nav_conf is not None:
+        try:
+            import duckdb  # noqa: F401
+        except ImportError as ex:  # pragma: no cover — baked into env
+            raise NotImplementedError(
+                "streaming PREV()/NEXT() evaluates nav predicates "
+                "in-operator via duckdb, which is not importable: "
+                f"{ex}; use the batch operator inside foreachBatch"
+            ) from ex
     alts = aspec.alternatives
     from flink_cep_examples_spark.operators.cep_batch import (
         all_rows_output_schema as _batch_all_rows_schema,
@@ -1156,7 +1163,13 @@ def match_pattern_stream_alternation(
             n_buckets = 4 * df.sparkSession.sparkContext.defaultParallelism
     prepared = (
         _prepare_stream(
-            df, aspec, extra_cols=tuple(df.columns) if alt_all_rows else ()
+            df,
+            aspec,
+            extra_cols=(tuple(df.columns) if alt_all_rows else ())
+            + (nav_conf["needed"] if nav_conf is not None else ()),
+            skip_pred_idx=frozenset(
+                nav_conf["pred_idx"] if nav_conf is not None else ()
+            ),
         )
         .withColumn(
             _BUCKET_COL,
@@ -1248,13 +1261,26 @@ def match_pattern_stream_alternation(
         for (s, _), nf in zip(offsets, nfas)
     ]
     buf_cols = list(
-        dict.fromkeys([*key_cols, _TS_COL, tiebreak, *pred_cols, *all_srcs])
+        dict.fromkeys(
+            [*key_cols, _TS_COL, tiebreak, *pred_cols, *all_srcs]
+            + (list(nav_conf["needed"]) if nav_conf is not None else [])
+        )
+    )
+    nav_specs = list(aspec.nav_cols)
+    nav_pred_sql = (
+        {
+            i: f"coalesce(({aspec.pred_exprs[i]}), false) AS p{i}"
+            for i in sorted(nav_conf["pred_idx"])
+        }
+        if nav_conf is not None
+        else {}
     )
 
     def process(
         bucket: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         wm_us = state.getCurrentWatermarkMs() * 1000
+        nav_tails = None  # per-key PREV tail rows (nav specs only)
         if state.exists:
             stored = pickle.loads(state.get[0])
             if len(stored) == 2:  # pre-leftmost checkpoint shape
@@ -1264,8 +1290,10 @@ def match_pattern_stream_alternation(
             elif len(stored) == 3:  # pre-match-number checkpoint shape
                 buffer, alt_states, alt_helds = stored
                 match_nos = {}
-            else:
+            elif len(stored) == 4:
                 buffer, alt_states, alt_helds, match_nos = stored
+            else:  # round 13: nav specs append the PREV tail frame
+                buffer, alt_states, alt_helds, match_nos, nav_tails = stored
         else:
             buffer, alt_states, alt_helds, match_nos = None, {}, {}, {}
 
@@ -1520,6 +1548,7 @@ def match_pattern_stream_alternation(
 
         buffer = None
         buffered_keys: set = set()
+        held_min_ts: dict[tuple, int] = {}
         if allbuf is not None and len(allbuf):
             rel_mask = allbuf[_TS_COL].to_numpy() <= wm_us
             release = allbuf[rel_mask]
@@ -1528,17 +1557,36 @@ def match_pattern_stream_alternation(
                 buffer = None
             else:
                 buffer = buffer.reset_index(drop=True)
-                if len(key_cols) == 1:
-                    buffered_keys = {(k,) for k in buffer[key_cols[0]]}
-                else:
-                    buffered_keys = set(zip(*(buffer[k] for k in key_cols)))
             if len(release):
                 release = release.sort_values(
                     [*key_cols, _TS_COL, tiebreak], kind="mergesort"
                 )
+                pred_over: dict[int, Any] = {}
+                if nav_conf is not None:
+                    (
+                        release,
+                        buffer,
+                        nav_tails,
+                        held_min_ts,
+                        pred_over,
+                    ) = _nav_transform(
+                        release,
+                        buffer,
+                        nav_tails,
+                        key_cols,
+                        tiebreak,
+                        buf_cols,
+                        nav_specs,
+                        nav_pred_sql,
+                        nav_conf["needed"],
+                        nav_conf["max_prev"],
+                        nav_conf["max_next"],
+                    )
                 key_arrs = [release[k].to_numpy() for k in key_cols]
                 ts_arr = release[_TS_COL].to_numpy()
                 pred_arr = release[pred_cols].to_numpy(dtype=bool)
+                for pi, pv in pred_over.items():
+                    pred_arr[:, pi] = pv
                 src_arr = release[all_srcs].to_numpy() if all_srcs else None
                 kt: tuple | None = None
                 sts = None
@@ -1580,13 +1628,25 @@ def match_pattern_stream_alternation(
                     ):
                         emit(kt, match)
 
+        if buffer is not None and len(buffer):
+            # computed AFTER the nav transform — held-back rows joined
+            # the buffer and must keep their key's states alive
+            if len(key_cols) == 1:
+                buffered_keys = {(k,) for k in buffer[key_cols[0]]}
+            else:
+                buffered_keys = set(zip(*(buffer[k] for k in key_cols)))
+
         # watermark prunes expired partials per alternative (no
-        # pendings — alternatives cannot end in absence variables)
+        # pendings — alternatives cannot end in absence variables).
+        # A key with held-back rows (NEXT holdback) advances only to
+        # the first held row's timestamp — in EVERY alternative, so
+        # the lockstep stays feed-equivalent.
         pending: list[int] = []
         for kt in list(alt_states):
             sts = alt_states[kt]
+            kt_adv = min(wm_us, held_min_ts.get(kt, wm_us))
             for nf, st in zip(nfas, sts):
-                wm_matches, _ = nf.advance_time(st, wm_us)
+                wm_matches, _ = nf.advance_time(st, kt_adv)
                 if wm_matches:  # survives python -O, unlike assert
                     raise AssertionError(
                         "alternation state yielded pending completions "
@@ -1619,13 +1679,24 @@ def match_pattern_stream_alternation(
         # remain: dropping it would restart MATCH_NUMBER at 1 after a
         # quiescent period, diverging from batch numbering (the
         # single-pattern operator guards the same case above)
-        if buffer is None and not alt_states and not match_nos:
+        if (
+            buffer is None
+            and not alt_states
+            and not match_nos
+            and (nav_tails is None or not len(nav_tails))
+        ):
             state.remove()
         else:
             alt_helds = {k: h for k, h in alt_helds.items() if h}
-            state.update(
-                (pickle.dumps((buffer, alt_states, alt_helds, match_nos)),)
-            )
+            if nav_conf is not None:
+                blob = pickle.dumps(
+                    (buffer, alt_states, alt_helds, match_nos, nav_tails)
+                )
+            else:
+                blob = pickle.dumps(
+                    (buffer, alt_states, alt_helds, match_nos)
+                )
+            state.update((blob,))
             if buffer is not None:
                 pending.append(int(buffer[_TS_COL].min()))
             if pending:

@@ -187,8 +187,22 @@ def test_streaming_navigation_gate(spark, tmp_path):
                U AS U.balanceAfter > PREV(U.balanceAfter)
         """
     )
-    with pytest.raises(NotImplementedError, match="ALTERNATION"):
-        match_pattern_stream_alternation(stream, alt)
+    assert match_pattern_stream_alternation(stream, alt).isStreaming
+    gated_alt = parse_match_recognize(
+        """
+        PARTITION BY id ORDER BY event_time
+        MEASURES A.seq AS s
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A D | A U)
+        DEFINE A AS A.balanceAfter < 10,
+               D AS substring(id, 1, 1) = 'k'
+                AND D.balanceAfter < PREV(D.balanceAfter),
+               U AS U.balanceAfter > PREV(U.balanceAfter)
+        """
+    )
+    with pytest.raises(NotImplementedError, match="token subset"):
+        match_pattern_stream_alternation(stream, gated_alt)
 
 
 def _nav_walk_rows(keys=("a", "b", "c"), n=60, seed=7):
@@ -375,6 +389,30 @@ def test_streaming_nav_restart_from_checkpoint(spark, tmp_path):
         (r.k, r.s, r.nd) for r in spark.read.parquet(sink).collect()
     )
     assert got == [(k, s, n) for k, s, n in batch]
+
+
+@pytest.mark.slow
+def test_streaming_alternation_prev_matches_batch(spark, tmp_path):
+    """PREV inside a streaming ALTERNATION (round 13 — the nav
+    transform + the per-alternative lockstep advance cap): the
+    D-run / U-run alternation over the random walks, streamed over
+    three micro-batches, must equal batch exactly."""
+    _replay_and_compare(
+        spark,
+        tmp_path,
+        """
+        PARTITION BY id ORDER BY event_time
+        MEASURES A.seq AS s, A.id AS k, CLASSIFIER() AS cl
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A D{2} | A U{2})
+        DEFINE A AS A.balanceAfter > 0,
+               D AS D.balanceAfter < PREV(D.balanceAfter),
+               U AS U.balanceAfter > PREV(U.balanceAfter)
+        """,
+        "altprev",
+        lambda r: (r.k, r.s, r.cl),
+    )
 
 
 @pytest.mark.slow
