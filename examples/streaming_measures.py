@@ -53,6 +53,25 @@ ALL_ROWS_BODY = """
     C AS C.balanceBefore < C.balanceAfter
 """
 
+# Round 13: PREV() physical-row navigation STREAMS — the operator
+# computes the lag from its own watermark-sorted buffer and evaluates
+# the predicate in-operator (token-gated DuckDB). The V-shape on the
+# golden input emits key 2's two falling-run matches (STRT ba=6 and
+# ba=4, both rising at 11:40); key 1's V (9→5→25) stays PENDING: its
+# closing row is the stream frontier (inside the watermark delay), the
+# streaming twin of "not yet decidable".
+NAV_BODY = """
+  PARTITION BY id ORDER BY event_time
+  MEASURES STRT.balanceAfter AS strt_ba, COUNT(DOWN.*) AS n_down,
+           UP.balanceAfter AS up_ba
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (STRT DOWN+ UP)
+  DEFINE
+    DOWN AS DOWN.balanceAfter < PREV(DOWN.balanceAfter),
+    UP AS UP.balanceAfter > PREV(UP.balanceAfter)
+"""
+
 
 def main() -> None:
     spark = session()
@@ -62,7 +81,11 @@ def main() -> None:
     time.sleep(0.2)
     stream = spark.readStream.schema(batch.schema).parquet(src)
 
-    for name, body in (("one_row", ONE_ROW_BODY), ("all_rows", ALL_ROWS_BODY)):
+    for name, body in (
+        ("one_row", ONE_ROW_BODY),
+        ("all_rows", ALL_ROWS_BODY),
+        ("vshape_prev", NAV_BODY),
+    ):
         out = match_recognize(stream, body)
         q = (
             out.writeStream.format("memory")
@@ -72,9 +95,12 @@ def main() -> None:
             .start()
         )
         q.awaitTermination(120)
-        spark.table(f"golden_{name}").orderBy(
-            *(["id"] if name == "one_row" else ["id", "event_time"])
-        ).show(truncate=False)
+        order = {
+            "one_row": ["id"],
+            "all_rows": ["id", "event_time"],
+            "vshape_prev": ["id", "strt_ba"],
+        }[name]
+        spark.table(f"golden_{name}").orderBy(*order).show(truncate=False)
 
 
 if __name__ == "__main__":

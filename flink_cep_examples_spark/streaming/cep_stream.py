@@ -307,7 +307,20 @@ def _nav_transform(
     g = work.groupby(key_cols, sort=False)
     aliases = []
     for alias, src, off, kind in nav_specs:
-        work[alias] = g[src].shift(off if kind == "prev" else -off)
+        col = work[src]
+        if col.dtype.kind in "iu":
+            # a plain-numpy int column would shift through float64
+            # (NaN holes) and lose exactness past 2**53 — the batch
+            # lag is an exact long. Nullable Int64 shifts losslessly.
+            shifted = (
+                work[src]
+                .astype("Int64")
+                .groupby([work[k] for k in key_cols], sort=False)
+                .shift(off if kind == "prev" else -off)
+            )
+        else:
+            shifted = g[src].shift(off if kind == "prev" else -off)
+        work[alias] = shifted
         aliases.append(alias)
     cand = work[~work[mark].to_numpy(dtype=bool)]
 

@@ -172,8 +172,8 @@ def test_streaming_measure_support_boundary(spark, tmp_path):
     """Aggregate MEASURES and SUBSET unions are streaming-supported
     since round 11 (incremental span accumulators + emission-time span
     merge — the end-to-end batch agreements live in
-    tests/test_streaming_cep.py); the measure-surface reject list is
-    down to PREV/NEXT navigation."""
+    tests/test_streaming_cep.py); PREV/NEXT navigation streams since
+    round 13, emptying the measure-surface reject list."""
     import dataclasses
 
     from flink_cep_examples_spark.streaming.cep_stream import (
@@ -212,12 +212,13 @@ def test_streaming_measure_support_boundary(spark, tmp_path):
         subsets=(("U", ("A", "C")),),
     )
     assert match_pattern_stream(stream, subset_spec).isStreaming
-    # PREV/NEXT navigation is the remaining measure-surface reject
+    # PREV/NEXT navigation streams since round 13 (the reject list is
+    # EMPTY; gate rejects for out-of-dialect predicates are pinned in
+    # tests/test_navigation.py::test_streaming_navigation_gate)
     nav_spec = dataclasses.replace(
         _spec(), nav_cols=(("__nav_0", "balanceAfter", 1, "prev"),)
     )
-    with pytest.raises(NotImplementedError, match="PREV"):
-        match_pattern_stream(stream, nav_spec)
+    assert match_pattern_stream(stream, nav_spec).isStreaming
 
 
 def test_running_measures_all_rows(spark):

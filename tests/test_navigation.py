@@ -391,6 +391,56 @@ def test_streaming_nav_restart_from_checkpoint(spark, tmp_path):
     assert got == [(k, s, n) for k, s, n in batch]
 
 
+def test_streaming_prev_bigint_exact(spark, tmp_path):
+    """Streaming nav must compare BIGINT lags EXACTLY: a plain pandas
+    shift would pass int64 through float64 (NaN holes), collapsing
+    values past 2**53 — 2**53 and 2**53+1 become equal and
+    ``big <> PREV(big)`` silently loses the match batch finds. The
+    operator shifts integer sources through nullable Int64."""
+    import time
+
+    big = 2**53
+    rows = [
+        ("k", dt.datetime(2020, 5, 1, 10, 0), 0, big),
+        ("k", dt.datetime(2020, 5, 1, 10, 1), 1, big + 1),
+        ("k", dt.datetime(2031, 1, 1), 2, big + 1),  # sentinel (equal)
+    ]
+    df = spark.createDataFrame(
+        rows, "id string, event_time timestamp, seq long, big long"
+    )
+    body = """
+      PARTITION BY id ORDER BY event_time
+      MEASURES D.seq AS s
+      ONE ROW PER MATCH
+      AFTER MATCH SKIP TO NEXT ROW
+      PATTERN (D)
+      DEFINE D AS D.big <> PREV(D.big)
+    """
+    batch = sorted(
+        r.s for r in match_recognize(df, body, tiebreak_col="seq").collect()
+    )
+    assert batch == [1]  # exact: 2**53+1 differs from 2**53
+    src = str(tmp_path / "bigsrc")
+    df.coalesce(1).write.parquet(src)
+    time.sleep(0.2)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = match_recognize(
+        stream, body, tiebreak_col="seq", watermark_delay="6 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("navq_bigint")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r.s for r in spark.sql("SELECT * FROM navq_bigint").collect()
+    )
+    assert got == batch
+
+
 @pytest.mark.slow
 def test_streaming_alternation_prev_matches_batch(spark, tmp_path):
     """PREV inside a streaming ALTERNATION (round 13 — the nav
