@@ -87,7 +87,20 @@ HEADLINE = [
 #: documented ±40% band, not a query-specific regression. Neither
 #: query's code changed since r4.
 BENCH_NOTES = (
-    "r12: the first full-bench run flagged corpus_clean_pipeline "
+    "r13: headline 58.2 s vs 54.97 r12 (1.059x, in the documented "
+    "host band). The r12 watch cluster (docs_bigram_topk, "
+    "ann_bruteforce_topk, dedup_minhash_lsh, ann_batch_topk) CLOSED "
+    "in-band without a bisect: 0.87x/0.95x/1.05x/0.92x - the r12 "
+    "same-sign drift did not repeat. New worst flags "
+    "(cep_match_recognize 1.30x, semdedup_prune 1.29x, ann_pq_topk "
+    "1.27x - none touched by r13 code; match_recognize/until run the "
+    "compiled fast path the round did not change) adjudicated by the "
+    "interleaved min-of-5 protocol: the settled text_fingerprint "
+    "CONTROL itself measured 0.436 min (~2x its settled 0.22), i.e. "
+    "the probe session landed on a slow host moment with every flag "
+    "elevated in the same proportion - uniform host drift, no code "
+    "regression (probe numbers in SCALING.md r13 section). "
+    "Prior note - r12: the first full-bench run flagged corpus_clean_pipeline "
     "(1.37x), ann_bruteforce_topk (1.42x - its scoring plan was "
     "refactored into _brute_scores this round), docs_bigram_topk "
     "(1.33x). ADJUDICATED host noise by solo min-of-5 interleaved "
