@@ -217,6 +217,26 @@ def _compile_stream_nav(spec: PatternSpec, df_cols: list[str]) -> dict:
             if m.group(0).strip()
         ]
         for j, tok in enumerate(toks):
+            if tok in ("/", "%"):
+                # ANSI divergence (probed on Spark 4, ANSI default ON):
+                # Spark raises on a zero divisor where DuckDB yields
+                # NULL — admit division/modulo ONLY with a nonzero
+                # NUMERIC LITERAL divisor (the `event_id % 4` shapes);
+                # a column or expression divisor goes batch-tier loud.
+                nxt = toks[j + 1] if j + 1 < len(toks) else ""
+                try:
+                    ok_div = float(nxt) != 0.0
+                except ValueError:
+                    ok_div = False
+                if not ok_div:
+                    raise NotImplementedError(
+                        f"streaming PREV()/NEXT(): {tok!r} in "
+                        f"{expr!r} needs a nonzero numeric LITERAL "
+                        f"divisor (Spark ANSI raises on zero divisors "
+                        f"where the in-operator DuckDB evaluation "
+                        f"yields NULL); use the batch operator inside "
+                        f"foreachBatch"
+                    )
             if not (tok[0].isalpha() or tok[0] == "_"):
                 continue
             low = tok.lower()

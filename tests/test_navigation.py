@@ -175,6 +175,22 @@ def test_streaming_navigation_gate(spark, tmp_path):
     with pytest.raises(NotImplementedError, match="token subset"):
         match_pattern_stream(stream, gated)
 
+    # ANSI divergence: a non-literal divisor raises in Spark on zero
+    # but yields NULL in DuckDB — the gate admits only nonzero-literal
+    # divisors
+    div = parse_match_recognize(
+        """
+        PARTITION BY id ORDER BY event_time
+        MEASURES D.seq AS s
+        ONE ROW PER MATCH
+        PATTERN (D)
+        DEFINE D AS D.balanceAfter / D.balanceBefore > 1
+                 AND D.balanceAfter < PREV(D.balanceAfter)
+        """
+    )
+    with pytest.raises(NotImplementedError, match="divisor"):
+        match_pattern_stream(stream, div)
+
     alt = parse_match_recognize(
         """
         PARTITION BY id ORDER BY event_time
@@ -389,6 +405,86 @@ def test_streaming_nav_restart_from_checkpoint(spark, tmp_path):
         (r.k, r.s, r.nd) for r in spark.read.parquet(sink).collect()
     )
     assert got == [(k, s, n) for k, s, n in batch]
+
+
+def test_nav_gate_dialect_intersection(spark):
+    """The streaming nav gate's core claim: for every token it admits,
+    Spark SQL and DuckDB agree on the predicate value (NULL→FALSE
+    coalesced, the NFA-prepare convention). Differential over random
+    data with NULLs across the full gated vocabulary — comparisons,
+    arithmetic (true division, sign-of-dividend %), AND/OR/NOT
+    three-valued logic, IS [NOT] NULL, BETWEEN, IN, ABS, string
+    literals."""
+    import random
+
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(300):
+        rows.append(
+            (
+                i,
+                rng.choice([None, rng.randint(-50, 50)]),
+                rng.choice([None, round(rng.uniform(-5, 5), 3), 0.0]),
+                rng.choice([None, "alpha", "beta", "g'q"]),
+            )
+        )
+    pdf = pd.DataFrame(rows, columns=["rid", "a", "x", "s"])
+    df = spark.createDataFrame(
+        pdf.astype(object).where(pdf.notna(), None),
+        "rid long, a long, x double, s string",
+    )
+    predicates = [
+        "a > 3 AND x < 2.5",
+        "a = 7 OR NOT (x >= 0)",
+        "a % 7 = 3",
+        "-a % 5 = -2",
+        "a / 4 > 2.5",
+        "x / 2.5 > 1",
+        "a * x + 1 <= a - x",
+        "a BETWEEN -10 AND 10",
+        "a IN (1, 2, 3, -4)",
+        "s = 'alpha'",
+        "s <> 'g''q'",
+        "s IS NULL",
+        "x IS NOT NULL AND abs(x) > 1.5",
+        "(a + 1) * 2 = a * 2 + 2",
+    ]
+    from flink_cep_examples_spark.streaming.cep_stream import (
+        _NAV_SQL_KEYWORDS,
+        _NAV_SQL_TOKEN,
+    )
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    for pred in predicates:
+        # every test predicate must itself pass the token gate
+        pos = 0
+        for m in _NAV_SQL_TOKEN.finditer(pred):
+            assert m.start() == pos, (pred, pos)
+            pos = m.end()
+        assert pos == len(pred), pred
+        sp = {
+            r.rid: bool(r.p)
+            for r in df.select(
+                "rid",
+                F.coalesce(F.expr(pred).cast("boolean"), F.lit(False)).alias(
+                    "p"
+                ),
+            ).collect()
+        }
+        dk = {
+            int(r.rid): bool(r.p)
+            for _, r in con.execute(
+                f"SELECT rid, coalesce(({pred}), false) AS p FROM t"
+            ).df().iterrows()
+        }
+        diff = {k for k in sp if sp[k] != dk[k]}
+        assert not diff, (pred, sorted(diff)[:5])
+    _ = _NAV_SQL_KEYWORDS  # imported to assert the gate surface exists
 
 
 def test_streaming_prev_bigint_exact(spark, tmp_path):
