@@ -133,6 +133,124 @@ WHERE (d.doc_id * 2654435761) % 4294967296 % 1000000 < r.keep_ppm
 """
 
 
+#: per-language share (percent) of that language's OWN token mass kept
+#: by docs_token_budget_mix; head language cut hardest
+_TB_PCT = {"en": 25, "zh": 70}
+_TB_PCT_DEFAULT = 55
+#: hash-space bucket width: 2^32 / 2^20 = 4096 buckets
+_TB_BUCKET_DIV = 1 << 20
+_TB_BUCKETS = _MOD // _TB_BUCKET_DIV
+
+
+def docs_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture assembly (round 13): select documents per
+    language, in deterministic hash order, until a per-language TOKEN
+    budget is filled — the unit real training mixes are specified in
+    ("x billion tokens of web, y of code"), as opposed to
+    ``docs_mixture_sample``'s document-count rates. A doc is kept iff
+    the token mass of the docs ordered before it (by
+    ``mix(doc_id)``, doc_id tiebreak) is still below the budget, so
+    the budget is met exactly or overshot by at most one document,
+    and membership is a pure function of the corpus — reproducible,
+    auditable, and stable under partitioning. Tokens are the chars/4
+    proxy ``(n_chars + 3) div 4`` (the standard bytes-per-token
+    heuristic), keeping the query about budget mechanics.
+
+    Budgets are data-derived like the mixture rates: budget_l =
+    floor(total_tokens_l * pct_l / 100), so a boundary exists at
+    every scale factor.
+
+    Scale design — the naive form is one global per-language sort
+    (window cumsum over the whole corpus). Instead the hash space is
+    cut into 4096 buckets (bucket = h div 2^20, monotone in h, so
+    bucket order refines hash order): pass 1 aggregates token mass
+    per (lang, bucket) — map-side combinable, ≤4096 rows per
+    language out — and a window over that TINY table finds each
+    bucket's preceding mass; buckets that fit entirely under the
+    budget are kept whole via a broadcast semi-join, and ONLY the
+    single boundary bucket per language (~1/4096 of the corpus) pays
+    the exact per-document window. The wide shuffle is O(selected
+    boundary rows), not O(corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pct = F.lit(_TB_PCT_DEFAULT)
+    for lang, p in _TB_PCT.items():
+        pct = F.when(F.col("lang") == lang, F.lit(p)).otherwise(pct)
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.expr("(n_chars + 3) div 4").alias("tok"),
+        _mix(F.col("doc_id")).alias("h"),
+    ).withColumn("b", F.expr(f"h div {_TB_BUCKET_DIV}"))
+    bstats = d.groupBy("lang", "b").agg(F.sum("tok").alias("btok"))
+    wlang = (
+        Window.partitionBy("lang")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    budget = (
+        bstats.groupBy("lang")
+        .agg(F.sum("btok").alias("ntok"))
+        .withColumn("pct", pct)
+        .withColumn("budget", F.expr("ntok * pct div 100"))
+    )
+    live = (
+        bstats.withColumn(
+            "cum_before", F.coalesce(F.sum("btok").over(wlang), F.lit(0))
+        )
+        .join(budget.select("lang", "budget"), "lang")
+        .filter(F.col("cum_before") < F.col("budget"))
+        .select(
+            "lang",
+            "b",
+            (F.col("cum_before") + F.col("btok") <= F.col("budget")).alias(
+                "whole"
+            ),
+            (F.col("budget") - F.col("cum_before")).alias("rem"),
+        )
+    )
+    joined = d.join(F.broadcast(live), ["lang", "b"])
+    kept_whole = joined.filter("whole")
+    wbucket = (
+        Window.partitionBy("lang", "b")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    kept_boundary = (
+        joined.filter(~F.col("whole"))
+        .withColumn(
+            "cum_in", F.coalesce(F.sum("tok").over(wbucket), F.lit(0))
+        )
+        .filter(F.col("cum_in") < F.col("rem"))
+    )
+    cols = ["doc_id", "lang", "tok"]
+    return kept_whole.select(*cols).unionByName(kept_boundary.select(*cols))
+
+
+ORACLE_TOKEN_BUDGET = f"""
+WITH d AS (
+  SELECT doc_id, lang, (n_chars + 3) // 4 AS tok,
+         (doc_id * {_MIX}) % {_MOD} AS h
+  FROM documents
+),
+bgt AS (
+  SELECT lang,
+         (SUM(tok) * CASE lang WHEN 'en' THEN {_TB_PCT['en']}
+                               WHEN 'zh' THEN {_TB_PCT['zh']}
+                               ELSE {_TB_PCT_DEFAULT} END) // 100 AS budget
+  FROM d GROUP BY lang
+),
+c AS (
+  SELECT d.doc_id, d.lang, d.tok, bgt.budget,
+         COALESCE(SUM(d.tok) OVER (
+           PARTITION BY d.lang ORDER BY d.h, d.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM d JOIN bgt USING (lang)
+)
+SELECT doc_id, lang, tok FROM c WHERE cum_before < budget
+"""
+
+
 ORACLE_SAMPLE = """
 SELECT doc_id, lang, source, n_chars,
        CASE lang WHEN 'en' THEN 35 WHEN 'de' THEN 80 WHEN 'fr' THEN 80
@@ -327,6 +445,14 @@ register(
     driver=True,
 )
 register("docs_mixture_sample", docs_mixture_sample, ORACLE_MIXTURE, driver=False,  # r7 rotation: driver-verified green r3-r6; pytest-gated now
+)
+register(
+    "docs_token_budget_mix",
+    docs_token_budget_mix,
+    ORACLE_TOKEN_BUDGET,
+    # round 13 registration after the gate filled: joins the
+    # never-verified pool at the head of the r14 promotion queue
+    driver=False,
 )
 register("events_kmv_distinct", events_kmv_distinct, ORACLE_KMV, driver=False,  # r5.2 rotation: driver-verified green r3+r4; pytest-gated now
 )

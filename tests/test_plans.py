@@ -176,6 +176,16 @@ def test_mixture_sample_rate_table_broadcast(spark, sf_small):
     assert "SortMergeJoin" not in p
 
 
+def test_token_budget_mix_live_buckets_broadcast(spark, sf_small):
+    """Token-budget mix: the live-bucket table joins the corpus by
+    broadcast (never a corpus-wide shuffle join), so the only
+    corpus-keyed Exchange is the boundary-bucket window over ~1/4096
+    of the rows."""
+    p = _plan(QUERIES["docs_token_budget_mix"](spark, sf_small))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
 def test_packing_is_single_shuffle(spark, sf_small):
     """Sequence packing: exactly one Exchange (the bucket groupBy);
     token counting stays in the scan stage."""

@@ -40,6 +40,50 @@ def test_mixture_sample_is_deterministic(spark, sf_small):
     assert a == b and len(a) > 0
 
 
+def test_token_budget_mix_fills_budget_exactly(spark, sf_small):
+    """docs_token_budget_mix (round 13) semantics the oracle restates
+    but a reader can't see from a hash match: per language, the kept
+    token mass meets the budget and overshoots by at most the single
+    boundary document — i.e. the selection is the exact minimal prefix
+    of the deterministic hash order that covers the budget."""
+    from flink_cep_examples_spark.queries.sampling import (
+        _MIX,
+        _MOD,
+        _TB_PCT,
+        _TB_PCT_DEFAULT,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").collect()
+    total = {}
+    for r in docs:
+        total[r.lang] = total.get(r.lang, 0) + (r.n_chars + 3) // 4
+    budget = {
+        lang: t * _TB_PCT.get(lang, _TB_PCT_DEFAULT) // 100
+        for lang, t in total.items()
+    }
+    out = QUERIES["docs_token_budget_mix"](spark, sf_small).collect()
+    kept = {}
+    for r in out:
+        kept.setdefault(r.lang, []).append(r)
+    assert set(kept) == {lang for lang, b in budget.items() if b > 0}
+    for lang, rows in kept.items():
+        rows.sort(key=lambda r: ((r.doc_id * _MIX) % _MOD, r.doc_id))
+        mass = sum(r.tok for r in rows)
+        # budget met (strictly fewer total tokens than the corpus has,
+        # so a boundary doc always exists)...
+        assert mass >= budget[lang], (lang, mass, budget[lang])
+        assert mass < total[lang]
+        # ...and dropping the hash-order-last kept doc falls below it:
+        # minimal prefix, overshoot bounded by one document
+        assert mass - rows[-1].tok < budget[lang], (lang, mass)
+
+
+def test_token_budget_mix_is_deterministic(spark, sf_small):
+    a = sorted(r.doc_id for r in QUERIES["docs_token_budget_mix"](spark, sf_small).collect())
+    b = sorted(r.doc_id for r in QUERIES["docs_token_budget_mix"](spark, sf_small).collect())
+    assert a == b and len(a) > 0
+
+
 def test_hll_distinct_accuracy_and_state_bound(spark, sf_small):
     """HLL semantics the oracle can't express: the estimate is NEAR the
     true distinct count (explicitly approximate — the catalog oracle
