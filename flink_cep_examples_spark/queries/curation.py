@@ -566,6 +566,213 @@ register(
 )
 
 
+#: hashed feature buckets for the NB quality classifier (fixed size →
+#: the model table broadcasts at any corpus size)
+NBQ_BUCKETS = 512
+#: document-statistic feature slots appended after the token buckets:
+#: length bin = min(n_words div 16, 15). Quality classifiers mix
+#: lexical features with doc statistics (the fastText-recipe trick);
+#: on a corpus whose token distribution is homogeneous the statistic
+#: features carry the signal, on a real corpus both do.
+NBQ_LEN_BINS = 16
+NBQ_LEN_BIN_WIDTH = 16
+#: total feature-space size (the add-one smoothing denominator)
+NBQ_FEATS = NBQ_BUCKETS + NBQ_LEN_BINS
+
+
+def docs_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 13: model-based quality filtering — the classifier stage of
+    the GPT-3/CCNet recipe (a learned model scores every document;
+    rule filters only bootstrap its labels). Weak labels come from the
+    gopher-style rule (word-count band + alpha fraction, the
+    ``docs_gopher_quality`` constants); a multinomial Naive Bayes over
+    hashed bag-of-token features (B = 512 buckets) PLUS 16 document-
+    statistic feature slots (length bins — quality classifiers mix
+    lexical features with doc statistics, the fastText-recipe trick)
+    is trained on those labels in one aggregation pass with add-one
+    smoothing; every document is then scored by the full NB log-odds
+    (class-prior term + per-feature log-ratios) and classified by its
+    sign. The value over the rule itself: the model generalizes from
+    the rule's hard thresholds to soft evidence — boundary-bin
+    documents get graded scores rather than a cliff (pinned by the
+    semantics test), which is why pipelines ship the classifier
+    rather than the bootstrap rule.
+
+    Distinct from ``docs_dsir_weights`` (same hashed-unigram machinery,
+    different stage): DSIR computes importance weights against a fixed
+    target DOMAIN for resampling; this trains a supervised classifier
+    on data-derived labels and emits a decision.
+
+    Scale design: token rows reduce to (doc_id, bucket, tf) before any
+    join; the class-count model is B rows (broadcast), the prior and
+    totals are scalars; scoring is one broadcast join + one doc-keyed
+    sum. Determinism: per-bucket log-ratios and the prior are
+    quantized to integer nano-nats (the docs_unigram_logprob fix), so
+    the per-document reduction is exact order-free integer arithmetic
+    and the sign test cannot drift cross-engine."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    base = docs.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("toks")
+    )
+    n_words = F.size("toks")
+    n_alpha = F.size(F.filter(F.col("toks"), lambda t: t.rlike("[a-z]")))
+    lab = base.select(
+        "doc_id",
+        "toks",
+        (
+            (n_words >= MIN_WORDS)
+            & (n_words <= MAX_WORDS)
+            & (n_alpha.cast("double") / n_words >= MIN_ALPHA_FRAC)
+        ).alias("rule_good"),
+    )
+    tok = lab.select(
+        "doc_id", "rule_good", F.explode("toks").alias("tok")
+    ).withColumn(
+        "b",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
+        % NBQ_BUCKETS,
+    )
+    lenf = lab.select(
+        "doc_id",
+        "rule_good",
+        (
+            F.lit(NBQ_BUCKETS)
+            + F.least(
+                F.expr(f"size(toks) div {NBQ_LEN_BIN_WIDTH}"),
+                F.lit(NBQ_LEN_BINS - 1),
+            )
+        ).alias("b"),
+        F.lit(1).cast("long").alias("tf"),
+    )
+    btf = (
+        tok.groupBy("doc_id", "rule_good", "b")
+        .agg(F.count("*").alias("tf"))
+        .unionByName(lenf)
+    )
+    cls = btf.groupBy("b").agg(
+        F.sum(F.when(F.col("rule_good"), F.col("tf")).otherwise(0)).alias(
+            "cg"
+        ),
+        F.sum(F.when(~F.col("rule_good"), F.col("tf")).otherwise(0)).alias(
+            "cb"
+        ),
+    )
+    tot = cls.agg(F.sum("cg").alias("ng"), F.sum("cb").alias("nb"))
+    lw = cls.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.floor(
+            (
+                F.log((F.col("cg") + 1) / (F.col("ng") + F.lit(NBQ_FEATS)))
+                - F.log(
+                    (F.col("cb") + 1) / (F.col("nb") + F.lit(NBQ_FEATS))
+                )
+            )
+            * F.lit(1e9)
+            + F.lit(0.5)
+        ).alias("lwq"),
+    )
+    prior = lab.agg(
+        F.floor(
+            (
+                F.log(F.sum(F.col("rule_good").cast("bigint")) + 1)
+                - F.log(F.sum((~F.col("rule_good")).cast("bigint")) + 1)
+            )
+            * F.lit(1e9)
+            + F.lit(0.5)
+        ).alias("lpq")
+    )
+    return (
+        btf.join(F.broadcast(lw), "b")
+        .groupBy("doc_id", "rule_good")
+        .agg(
+            F.sum("tf").alias("n_feats"),
+            F.sum(F.col("tf") * F.col("lwq")).alias("sq"),
+        )
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "doc_id",
+            "rule_good",
+            "n_feats",
+            (
+                (F.col("sq") + F.col("lpq")).cast("double") / F.lit(1e9)
+            ).alias("log_odds"),
+            ((F.col("sq") + F.col("lpq")) > 0).alias("pred_good"),
+        )
+    )
+
+
+ORACLE_NB_QUALITY = rf"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+lab AS (
+  SELECT doc_id, toks,
+         (len(toks) >= {MIN_WORDS} AND len(toks) <= {MAX_WORDS}
+          AND CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+                AS DOUBLE) / len(toks) >= {MIN_ALPHA_FRAC}) AS rule_good
+  FROM base
+),
+tok AS (
+  SELECT doc_id, rule_good,
+         (CAST('0x' || substr(md5(t.tok), 1, 15) AS BIGINT)
+            % {NBQ_BUCKETS}) AS b
+  FROM lab, unnest(toks) AS t(tok)
+),
+btf AS (
+  SELECT doc_id, rule_good, b, COUNT(*) AS tf
+  FROM tok GROUP BY doc_id, rule_good, b
+  UNION ALL
+  SELECT doc_id, rule_good,
+         {NBQ_BUCKETS} + LEAST(len(toks) // {NBQ_LEN_BIN_WIDTH},
+                               {NBQ_LEN_BINS - 1}) AS b,
+         1 AS tf
+  FROM lab
+),
+cls AS (
+  SELECT b, SUM(CASE WHEN rule_good THEN tf ELSE 0 END) AS cg,
+         SUM(CASE WHEN NOT rule_good THEN tf ELSE 0 END) AS cb
+  FROM btf GROUP BY b
+),
+tot AS (SELECT SUM(cg) AS ng, SUM(cb) AS nb FROM cls),
+lw AS (
+  SELECT b,
+         CAST(FLOOR((
+           ln((cg + 1) / CAST(ng + {NBQ_FEATS} AS DOUBLE))
+             - ln((cb + 1) / CAST(nb + {NBQ_FEATS} AS DOUBLE))
+         ) * 1e9 + 0.5) AS BIGINT) AS lwq
+  FROM cls, tot
+),
+prior AS (
+  SELECT CAST(FLOOR((
+           ln(SUM(CASE WHEN rule_good THEN 1 ELSE 0 END) + 1)
+             - ln(SUM(CASE WHEN NOT rule_good THEN 1 ELSE 0 END) + 1)
+         ) * 1e9 + 0.5) AS BIGINT) AS lpq
+  FROM lab
+)
+SELECT btf.doc_id,
+       ANY_VALUE(btf.rule_good) AS rule_good,
+       CAST(SUM(btf.tf) AS BIGINT) AS n_feats,
+       CAST(CAST(SUM(btf.tf * lw.lwq) AS BIGINT)
+              + ANY_VALUE(prior.lpq) AS DOUBLE) / 1e9 AS log_odds,
+       (CAST(SUM(btf.tf * lw.lwq) AS BIGINT)
+          + ANY_VALUE(prior.lpq)) > 0 AS pred_good
+FROM btf JOIN lw USING (b), prior
+GROUP BY btf.doc_id
+"""
+
+
+register(
+    "docs_nb_quality_classifier",
+    docs_nb_quality_classifier,
+    ORACLE_NB_QUALITY,
+    # round 13 registration after the gate filled: joins the
+    # never-verified pool at the head of the r14 promotion queue
+    driver=False,
+)
+
+
 def docs_logprob_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 6: CCNet-style head/middle/tail quality buckets — the
     standard LM-filtering recipe (Wenzek et al. 2020): rank each

@@ -206,3 +206,43 @@ def test_keep_best_prefers_quality_then_length(spark, tmp_path):
 
     per = Counter(r.cluster_id for r in out.values() if r.kept)
     assert all(v == 1 for v in per.values())
+
+
+def test_nb_quality_classifier_learns_and_generalizes(spark, sf_small):
+    """docs_nb_quality_classifier (round 13): the semantics the oracle
+    hash can't show — the trained model actually discriminates. It
+    (a) reproduces its weak labels on the vast majority of the corpus,
+    (b) predicts BOTH classes (a degenerate always-one-class model
+    would still hash-match an equally degenerate oracle), (c) ranks
+    rule-good docs above rule-bad ones on average, and (d) confines
+    its disagreements to the MIN_WORDS rule boundary (the mixed
+    length-feature bin) — graded evidence where the rule has a cliff."""
+    from flink_cep_examples_spark.queries.curation import (
+        MIN_WORDS,
+        NBQ_LEN_BIN_WIDTH,
+    )
+
+    rows = QUERIES["docs_nb_quality_classifier"](spark, sf_small).collect()
+    n = len(rows)
+    agree = sum(r.rule_good == r.pred_good for r in rows)
+    assert agree / n >= 0.9
+    preds = {r.pred_good for r in rows}
+    assert preds == {True, False}
+    good = [r.log_odds for r in rows if r.rule_good]
+    bad = [r.log_odds for r in rows if not r.rule_good]
+    assert sum(good) / len(good) > 0 > sum(bad) / len(bad)
+    # disagreements only inside the length bin straddling MIN_WORDS
+    # (n_feats = n_words + 1 doc-statistic feature)
+    lo = (MIN_WORDS // NBQ_LEN_BIN_WIDTH) * NBQ_LEN_BIN_WIDTH
+    for r in rows:
+        if r.rule_good != r.pred_good:
+            assert lo <= r.n_feats - 1 < lo + NBQ_LEN_BIN_WIDTH, r
+
+
+def test_nb_quality_classifier_model_is_broadcast(spark, sf_small):
+    """The B+16-row model and the scalar prior join the corpus by
+    broadcast; the corpus never shuffles on a model key."""
+    out = QUERIES["docs_nb_quality_classifier"](spark, sf_small)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
