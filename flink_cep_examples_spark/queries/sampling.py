@@ -140,6 +140,25 @@ _TB_PCT_DEFAULT = 55
 #: hash-space bucket width: 2^32 / 2^20 = 4096 buckets
 _TB_BUCKET_DIV = 1 << 20
 _TB_BUCKETS = _MOD // _TB_BUCKET_DIV
+#: chars/4 token proxy, shared with streaming/budget_stream.py so the
+#: ingest-time admission counts tokens exactly like the batch mix
+TOKEN_PROXY_SQL = "(n_chars + 3) div 4"
+
+
+def token_budgets(spark: SparkSession, sf_dir: str) -> dict[str, int]:
+    """The per-language budgets docs_token_budget_mix derives from the
+    corpus (budget_l = floor(total_tokens_l * pct_l / 100)) as a plain
+    dict — the config an ingest-time admission stream is handed."""
+    docs = load_table(spark, sf_dir, "documents")
+    rows = (
+        docs.groupBy("lang")
+        .agg(F.sum(F.expr(TOKEN_PROXY_SQL)).alias("ntok"))
+        .collect()
+    )
+    return {
+        r.lang: r.ntok * _TB_PCT.get(r.lang, _TB_PCT_DEFAULT) // 100
+        for r in rows
+    }
 
 
 def docs_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -178,7 +197,7 @@ def docs_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select(
         "doc_id",
         "lang",
-        F.expr("(n_chars + 3) div 4").alias("tok"),
+        F.expr(TOKEN_PROXY_SQL).alias("tok"),
         _mix(F.col("doc_id")).alias("h"),
     ).withColumn("b", F.expr(f"h div {_TB_BUCKET_DIV}"))
     bstats = d.groupBy("lang", "b").agg(F.sum("tok").alias("btok"))

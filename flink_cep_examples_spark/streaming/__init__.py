@@ -2,6 +2,10 @@ from flink_cep_examples_spark.streaming.analytics import (  # noqa: F401
     hourly_by_type_stream,
     sessions_stream,
 )
+from flink_cep_examples_spark.streaming.budget_stream import (  # noqa: F401
+    budget_admission_stream,
+    shard_budgets,
+)
 from flink_cep_examples_spark.streaming.cep_stream import (  # noqa: F401
     match_pattern_stream,
 )

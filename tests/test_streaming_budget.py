@@ -1,0 +1,129 @@
+"""Streaming token-budget admission: single-batch replays must
+reproduce the batch minimal-prefix selection exactly (shared token
+proxy + shared hash order), saturation must persist across
+micro-batches (the O(1) state doing its job), and sharded admission
+must equal per-shard minimal prefixes with budgets that sum exactly."""
+
+from __future__ import annotations
+
+from flink_cep_examples_spark.queries import QUERIES, load_all
+from flink_cep_examples_spark.queries.sampling import (
+    _MIX,
+    _MOD,
+    token_budgets,
+)
+from flink_cep_examples_spark.streaming.budget_stream import (
+    budget_admission_stream,
+    shard_budgets,
+)
+
+load_all()
+
+
+def _replay(spark, src_dir, budgets, name, n_shards=1, per_trigger=None):
+    docs_schema = spark.read.parquet(str(src_dir)).schema
+    reader = spark.readStream.schema(docs_schema)
+    if per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", per_trigger)
+    out = budget_admission_stream(
+        reader.parquet(str(src_dir)), budgets, n_shards=n_shards
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def test_budget_stream_single_batch_matches_batch_query(
+    spark, sf_small, tmp_path
+):
+    """One micro-batch + the batch query's own derived budgets → the
+    admitted set IS the batch minimal hash-order prefix, doc for doc."""
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    src = tmp_path / "src1"
+    docs.coalesce(1).write.parquet(str(src))
+    budgets = token_budgets(spark, sf_small)
+    rows = _replay(spark, src, budgets, "budget_single")
+    got = {(r.doc_id, r.lang, r.tok) for r in rows}
+    want = {
+        (r.doc_id, r.lang, r.tok)
+        for r in QUERIES["docs_token_budget_mix"](spark, sf_small).collect()
+    }
+    assert got == want and got
+    # the audit column is consistent: per lang, cum_tok steps by tok
+    per_lang = {}
+    for r in sorted(rows, key=lambda r: r.cum_tok):
+        prev = per_lang.get(r.lang, 0)
+        assert r.cum_tok == prev + r.tok, r
+        per_lang[r.lang] = r.cum_tok
+
+
+def test_budget_stream_saturation_survives_micro_batches(
+    spark, sf_small, tmp_path
+):
+    """Multi-file replay: admission stops at the budget and STAYS
+    stopped (state persists across micro-batches); the admitted mass
+    meets the budget and overshoots by at most one document."""
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    src = tmp_path / "src2"
+    docs.repartition(5).write.parquet(str(src))
+    budgets = token_budgets(spark, sf_small)
+    rows = _replay(
+        spark, src, budgets, "budget_multi", per_trigger=1
+    )
+    mass = {}
+    for r in rows:
+        mass[r.lang] = mass.get(r.lang, 0) + r.tok
+    toks = {}
+    for r in docs.collect():
+        toks.setdefault(r.lang, []).append((r.n_chars + 3) // 4)
+    for lang, budget in budgets.items():
+        assert mass[lang] >= budget, (lang, mass[lang], budget)
+        assert mass[lang] - budget < max(toks[lang]), (lang, mass[lang])
+        assert mass[lang] < sum(toks[lang])  # something was dropped
+    # no doc admitted twice (saturated keys drop, never re-emit)
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids))
+
+
+def test_budget_stream_sharded_equals_per_shard_prefixes(
+    spark, sf_small, tmp_path
+):
+    """n_shards=4: shard budgets sum exactly to the language budget,
+    and each (lang, shard) admits exactly the minimal hash-order
+    prefix of ITS OWN shard's supply — recomputed independently here."""
+    n_shards = 4
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    src = tmp_path / "src3"
+    docs.coalesce(1).write.parquet(str(src))
+    budgets = token_budgets(spark, sf_small)
+    for b in budgets.values():
+        assert sum(shard_budgets(b, n_shards)) == b
+    rows = _replay(
+        spark, src, budgets, "budget_sharded", n_shards=n_shards
+    )
+    got = {}
+    for r in rows:
+        h = (r.doc_id * _MIX) % _MOD
+        got.setdefault((r.lang, h % n_shards), set()).add(r.doc_id)
+    # independent expectation: per-shard minimal prefix
+    supply = {}
+    for r in docs.collect():
+        h = (r.doc_id * _MIX) % _MOD
+        supply.setdefault((r.lang, h % n_shards), []).append(
+            (h, r.doc_id, (r.n_chars + 3) // 4)
+        )
+    for (lang, shard), items in supply.items():
+        budget = shard_budgets(budgets[lang], n_shards)[shard]
+        items.sort()
+        cum, want = 0, set()
+        for h, doc_id, tok in items:
+            if cum < budget:
+                want.add(doc_id)
+                cum += tok
+        assert got.get((lang, shard), set()) == want, (lang, shard)
