@@ -14,6 +14,15 @@ decision layer a training-data pipeline runs after detection:
                            pool: each pick trades relevance against
                            redundancy to the picks so far
                            (ann_mmr_topk)
+  4. token-budget mix    — fill per-language TOKEN budgets (the unit
+                           real mixes are specified in) with the
+                           minimal deterministic hash-order prefix
+                           (docs_token_budget_mix, round 13)
+  5. learned quality     — the GPT-3/CCNet classifier stage: a
+                           Naive-Bayes model trained on the rule
+                           filter's weak labels scores every doc by
+                           log-odds and grades the rule's cliff
+                           (docs_nb_quality_classifier, round 13)
 
 Run: ``python examples/curation_policies.py [sf_dir]``
 (default /root/testdata/sf0.001). Prints per-policy decisions.
@@ -72,6 +81,46 @@ def main() -> None:
     mmr = ann_mmr_topk(spark, sf_dir)
     print("[MMR-diversified retrieval] top picks (relevance vs redundancy):")
     mmr.orderBy("rk").show(truncate=False)
+
+    from flink_cep_examples_spark.queries.sampling import (
+        docs_token_budget_mix,
+        token_budgets,
+    )
+
+    tb = docs_token_budget_mix(spark, sf_dir)
+    mass = {
+        r.lang: r.m
+        for r in tb.groupBy("lang").agg(F.sum("tok").alias("m")).collect()
+    }
+    budgets = token_budgets(spark, sf_dir)
+    print("[token-budget mix] admitted token mass vs budget per language:")
+    for lang in sorted(budgets):
+        print(
+            f"  {lang}: {mass.get(lang, 0)} tokens"
+            f" (budget {budgets[lang]}, overshoot"
+            f" {mass.get(lang, 0) - budgets[lang]})"
+        )
+
+    from flink_cep_examples_spark.queries.curation import (
+        docs_nb_quality_classifier,
+    )
+
+    nb = docs_nb_quality_classifier(spark, sf_dir)
+    agg = nb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("rule_good") == F.col("pred_good")).cast("int")).alias(
+            "agree"
+        ),
+        F.sum(F.col("pred_good").cast("int")).alias("pred_good"),
+    ).first()
+    print(
+        f"[learned quality] NB classifier vs its weak rule labels:"
+        f" {agg.agree}/{agg.n} agree, {agg.pred_good} predicted good;"
+        f" boundary-bin disagreements (graded evidence, not a cliff):"
+    )
+    nb.filter(F.col("rule_good") != F.col("pred_good")).orderBy(
+        "doc_id"
+    ).show(5, truncate=False)
 
 
 if __name__ == "__main__":
