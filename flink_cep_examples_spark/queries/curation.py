@@ -445,6 +445,139 @@ register(
 )
 
 
+#: interpolation weight for the bigram LM: p = λ·p_bi + (1-λ)·p_uni
+_BLAM = 0.75
+
+
+def docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 13: self-trained INTERPOLATED BIGRAM LM quality score —
+    one model order above ``docs_unigram_logprob``, the shape real
+    perplexity-proxy filters use (KenLM-style n-gram scoring à la
+    CCNet): p(w₂|w₁) = λ·c(w₁w₂)/c(w₁·) + (1−λ)·c(w₂)/N with λ=0.75,
+    score = mean ln p over a document's adjacent pairs. Repetitive
+    boilerplate scores HIGH (its bigrams are corpus-frequent), rare
+    or shuffled text scores low — a sharper signal than unigram,
+    which cannot see word order at all (the pytest pins exactly that
+    separation on a planted corpus).
+
+    Scale design (the unigram recipe, one order up): pair rows reduce
+    to (doc_id, w₁, w₂, tf) BEFORE any join, so join volume is
+    distinct bigrams per doc; the bigram model, the first-token
+    context totals, and the unigram table all stay DISTRIBUTED
+    (shuffle joins on their token keys — at 100 TB the bigram vocab
+    is far too big to broadcast, and far smaller than the corpus);
+    N is the only broadcast scalar. Bigram formation is codegen
+    posexplode + per-doc lead window (the _token_bigram_rows
+    rationale: array HOFs evaluate interpreted, ~6× slower).
+
+    Determinism: per-bigram logs quantized to integer nano-nats
+    (BIGINT), per-document reduction Σ tf·lnq exact order-free
+    integer arithmetic, final /1e9 fixed-form — and the λ literals
+    are written in exponent form in the oracle so DuckDB parses them
+    as DOUBLE, not DECIMAL (the HLL alpha-literal lesson)."""
+    from pyspark.sql.window import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    e = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias(
+            "pos", "w1"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = e.select(
+        "doc_id", "w1", F.lead("w1", 1).over(w).alias("w2")
+    ).filter(F.col("w2").isNotNull())
+    tfb = pairs.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    big = tfb.groupBy("w1", "w2").agg(F.sum("tf").alias("cb"))
+    c1 = big.groupBy("w1").agg(F.sum("cb").alias("c1"))
+    uni = e.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    n = uni.agg(F.sum("cu").alias("n"))
+    lnq = (
+        big.join(c1, "w1")
+        .join(uni.withColumnRenamed("w1", "w2"), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            F.floor(
+                F.log(
+                    F.lit(_BLAM) * F.col("cb") / F.col("c1")
+                    + F.lit(1 - _BLAM) * F.col("cu") / F.col("n")
+                )
+                * F.lit(1e9)
+                + F.lit(0.5)
+            ).alias("lnq"),
+        )
+    )
+    return (
+        tfb.join(lnq, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("lnq")).alias("s_q"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (
+                F.col("s_q").cast("double")
+                / F.lit(1e9)
+                / F.col("n_bigrams").cast("double")
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+ORACLE_BIGRAM_LM = rf"""
+WITH s AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+pair AS (
+  SELECT doc_id,
+         unnest([toks[i] FOR i IN range(1, len(toks))]) AS w1,
+         unnest([toks[i + 1] FOR i IN range(1, len(toks))]) AS w2
+  FROM s
+),
+tok AS (SELECT unnest(toks) AS w FROM s),
+uni AS (SELECT w, COUNT(*) AS cu FROM tok GROUP BY w),
+n AS (SELECT COUNT(*) AS n FROM tok),
+tfb AS (
+  SELECT doc_id, w1, w2, COUNT(*) AS tf FROM pair GROUP BY doc_id, w1, w2
+),
+big AS (SELECT w1, w2, SUM(tf) AS cb FROM tfb GROUP BY w1, w2),
+c1 AS (SELECT w1, SUM(cb) AS c1 FROM big GROUP BY w1),
+lnq AS (
+  SELECT big.w1, big.w2,
+         CAST(FLOOR(ln(
+           {_BLAM}e0 * cb / c1.c1 + {1 - _BLAM}e0 * uni.cu / n.n
+         ) * 1e9 + 0.5) AS BIGINT) AS lnq
+  FROM big JOIN c1 USING (w1) JOIN uni ON uni.w = big.w2, n
+)
+SELECT tfb.doc_id,
+       CAST(SUM(tfb.tf) AS BIGINT) AS n_bigrams,
+       CAST(CAST(SUM(tfb.tf * lnq.lnq) AS BIGINT) AS DOUBLE)
+         / 1e9 / CAST(CAST(SUM(tfb.tf) AS BIGINT) AS DOUBLE)
+         AS avg_logprob
+FROM tfb JOIN lnq USING (w1, w2)
+GROUP BY tfb.doc_id
+"""
+
+
+register(
+    "docs_bigram_logprob",
+    docs_bigram_logprob,
+    ORACLE_BIGRAM_LM,
+    # round 13 registration after the gate filled: joins the
+    # never-verified pool at the head of the r14 promotion queue
+    driver=False,
+)
+
+
 #: DSIR feature space: hashed token buckets. Fixed small B keeps the
 #: two unigram models broadcastable at ANY corpus size (real DSIR uses
 #: B ~ 10⁴ — still trivially broadcast); add-one smoothing keeps every
@@ -580,43 +713,15 @@ NBQ_LEN_BIN_WIDTH = 16
 NBQ_FEATS = NBQ_BUCKETS + NBQ_LEN_BINS
 
 
-def docs_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round 13: model-based quality filtering — the classifier stage of
-    the GPT-3/CCNet recipe (a learned model scores every document;
-    rule filters only bootstrap its labels). Weak labels come from the
-    gopher-style rule (word-count band + alpha fraction, the
-    ``docs_gopher_quality`` constants); a multinomial Naive Bayes over
-    hashed bag-of-token features (B = 512 buckets) PLUS 16 document-
-    statistic feature slots (length bins — quality classifiers mix
-    lexical features with doc statistics, the fastText-recipe trick)
-    is trained on those labels in one aggregation pass with add-one
-    smoothing; every document is then scored by the full NB log-odds
-    (class-prior term + per-feature log-ratios) and classified by its
-    sign. The value over the rule itself: the model generalizes from
-    the rule's hard thresholds to soft evidence — boundary-bin
-    documents get graded scores rather than a cliff (pinned by the
-    semantics test), which is why pipelines ship the classifier
-    rather than the bootstrap rule.
-
-    Distinct from ``docs_dsir_weights`` (same hashed-unigram machinery,
-    different stage): DSIR computes importance weights against a fixed
-    target DOMAIN for resampling; this trains a supervised classifier
-    on data-derived labels and emits a decision.
-
-    Scale design: token rows reduce to (doc_id, bucket, tf) before any
-    join; the class-count model is B rows (broadcast), the prior and
-    totals are scalars; scoring is one broadcast join + one doc-keyed
-    sum. Determinism: per-bucket log-ratios and the prior are
-    quantized to integer nano-nats (the docs_unigram_logprob fix), so
-    the per-document reduction is exact order-free integer arithmetic
-    and the sign test cannot drift cross-engine."""
-    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+def _nb_weak_labels(docs: DataFrame) -> DataFrame:
+    """(doc_id, toks, rule_good) — the gopher-rule weak labels the NB
+    quality model bootstraps from."""
     base = docs.select(
         "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("toks")
     )
     n_words = F.size("toks")
     n_alpha = F.size(F.filter(F.col("toks"), lambda t: t.rlike("[a-z]")))
-    lab = base.select(
+    return base.select(
         "doc_id",
         "toks",
         (
@@ -625,6 +730,14 @@ def docs_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (n_alpha.cast("double") / n_words >= MIN_ALPHA_FRAC)
         ).alias("rule_good"),
     )
+
+
+def _nb_feature_rows(lab: DataFrame) -> DataFrame:
+    """(doc_id, rule_good, bucket, tf) feature rows: hashed token
+    buckets + the length-bin doc-statistic slot. Shared between the
+    catalog query (train + score in one plan) and the ingest-time
+    scorer (streaming/quality_stream.py), which must featurize
+    identically to stay bit-equal."""
     tok = lab.select(
         "doc_id", "rule_good", F.explode("toks").alias("tok")
     ).withColumn(
@@ -644,11 +757,18 @@ def docs_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b"),
         F.lit(1).cast("long").alias("tf"),
     )
-    btf = (
+    return (
         tok.groupBy("doc_id", "rule_good", "b")
         .agg(F.count("*").alias("tf"))
         .unionByName(lenf)
     )
+
+
+def _nb_model_frames(
+    lab: DataFrame, btf: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """The trained model: (per-bucket nano-nat log-ratio weights,
+    1-row class-prior log-odds)."""
     cls = btf.groupBy("b").agg(
         F.sum(F.when(F.col("rule_good"), F.col("tf")).otherwise(0)).alias(
             "cg"
@@ -681,6 +801,43 @@ def docs_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.5)
         ).alias("lpq")
     )
+    return lw, prior
+
+
+def docs_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 13: model-based quality filtering — the classifier stage of
+    the GPT-3/CCNet recipe (a learned model scores every document;
+    rule filters only bootstrap its labels). Weak labels come from the
+    gopher-style rule (word-count band + alpha fraction, the
+    ``docs_gopher_quality`` constants); a multinomial Naive Bayes over
+    hashed bag-of-token features (B = 512 buckets) PLUS 16 document-
+    statistic feature slots (length bins — quality classifiers mix
+    lexical features with doc statistics, the fastText-recipe trick)
+    is trained on those labels in one aggregation pass with add-one
+    smoothing; every document is then scored by the full NB log-odds
+    (class-prior term + per-feature log-ratios) and classified by its
+    sign. The value over the rule itself: the model generalizes from
+    the rule's hard thresholds to soft evidence — boundary-bin
+    documents get graded scores rather than a cliff (pinned by the
+    semantics test), which is why pipelines ship the classifier
+    rather than the bootstrap rule.
+
+    Distinct from ``docs_dsir_weights`` (same hashed-unigram machinery,
+    different stage): DSIR computes importance weights against a fixed
+    target DOMAIN for resampling; this trains a supervised classifier
+    on data-derived labels and emits a decision.
+
+    Scale design: token rows reduce to (doc_id, bucket, tf) before any
+    join; the class-count model is B rows (broadcast), the prior and
+    totals are scalars; scoring is one broadcast join + one doc-keyed
+    sum. Determinism: per-bucket log-ratios and the prior are
+    quantized to integer nano-nats (the docs_unigram_logprob fix), so
+    the per-document reduction is exact order-free integer arithmetic
+    and the sign test cannot drift cross-engine."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    lab = _nb_weak_labels(docs)
+    btf = _nb_feature_rows(lab)
+    lw, prior = _nb_model_frames(lab, btf)
     return (
         btf.join(F.broadcast(lw), "b")
         .groupBy("doc_id", "rule_good")

@@ -12,6 +12,10 @@ from flink_cep_examples_spark.streaming.cep_stream import (  # noqa: F401
 from flink_cep_examples_spark.streaming.keyed_process_stream import (  # noqa: F401
     keyed_process_stream,
 )
+from flink_cep_examples_spark.streaming.quality_stream import (  # noqa: F401
+    nb_quality_score,
+    train_nb_quality_model,
+)
 from flink_cep_examples_spark.streaming.keyed_process_tws import (  # noqa: F401
     HAVE_TWS_RUNTIME,
     ROCKSDB_PROVIDER,

@@ -246,3 +246,39 @@ def test_nb_quality_classifier_model_is_broadcast(spark, sf_small):
     p = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_bigram_logprob_sees_word_order_where_unigram_cannot(
+    spark, tmp_path
+):
+    """docs_bigram_logprob (round 13): planted corpus with two docs of
+    the IDENTICAL token multiset — one in the corpus-frequent order,
+    one shuffled. The unigram LM scores them exactly equal (it cannot
+    see order); the interpolated bigram LM must rank the in-order doc
+    strictly higher — the reason pipelines move up a model order."""
+    phrase = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, phrase + " " + phrase, "en", "s", 0) for i in range(10)]
+    in_order = phrase + " " + phrase
+    toks = in_order.split()
+    shuffled = " ".join(
+        toks[i] for i in [3, 0, 7, 12, 1, 9, 16, 5, 14, 2, 11, 17, 4, 10, 6, 15, 8, 13]
+    )
+    assert sorted(shuffled.split()) == sorted(toks)
+    rows += [(100, in_order, "en", "s", 0), (101, shuffled, "en", "s", 0)]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = tmp_path / "sf"
+    sf_dir.mkdir()
+    df.coalesce(1).write.parquet(str(sf_dir / "documents.parquet"))
+    uni = {
+        r.doc_id: r.avg_logprob
+        for r in QUERIES["docs_unigram_logprob"](spark, str(sf_dir)).collect()
+    }
+    bi = {
+        r.doc_id: r.avg_logprob
+        for r in QUERIES["docs_bigram_logprob"](spark, str(sf_dir)).collect()
+    }
+    assert uni[100] == uni[101]  # unigram is order-blind: exact tie
+    assert bi[100] > bi[101] + 0.5  # bigram separates decisively

@@ -242,3 +242,38 @@ def test_quality_weighted_sample_curve_and_penalties(spark, tmp_path):
     assert r[3] == base50 // 4
     assert r[4] == base50 // 2
     assert r[5] == base50 // 4 // 2
+
+
+def test_token_budget_mix_edge_cases(spark, tmp_path):
+    """Constructed corpus: a single-doc language is kept whole (its
+    budget is positive and the doc is the boundary doc), an all-empty
+    language has budget 0 and admits nothing, and zero-token docs
+    after the boundary never sneak in."""
+    rows = [
+        # lang aa: one real doc — budget = 55% of 25 = 13, doc kept
+        (1, "x", "aa", "s", 100),
+        # lang bb: only empty docs — budget 0, nothing kept
+        (2, "", "bb", "s", 0),
+        (3, "", "bb", "s", 0),
+        # lang cc: two docs; budget = 55% of (25+25) = 27 → the
+        # hash-order first doc leaves cum=25 < 27, second starts at
+        # 25 < 27 too → both kept (boundary doc included)... then a
+        # zero-token doc at cum 50 >= 27 stays OUT
+        (4, "y", "cc", "s", 100),
+        (5, "z", "cc", "s", 100),
+        (6, "", "cc", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = tmp_path / "sf"
+    sf_dir.mkdir()
+    df.coalesce(1).write.parquet(str(sf_dir / "documents.parquet"))
+    out = QUERIES["docs_token_budget_mix"](spark, str(sf_dir)).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    assert by_lang.get("aa") == {1}
+    assert "bb" not in by_lang
+    assert by_lang.get("cc") == {4, 5}
