@@ -127,3 +127,61 @@ def test_budget_stream_sharded_equals_per_shard_prefixes(
                 want.add(doc_id)
                 cum += tok
         assert got.get((lang, shard), set()) == want, (lang, shard)
+
+
+def test_budget_stream_restart_from_checkpoint(spark, sf_small, tmp_path):
+    """State-store recovery: admit HALF the corpus, STOP, append the
+    rest, restart a NEW query from the SAME checkpoint — the admitted
+    totals must restore (no re-admission, no budget reset) and the
+    final set must equal the exact two-phase expectation computed
+    independently here."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    budgets = token_budgets(spark, sf_small)
+    src = tmp_path / "src"
+    src.mkdir()
+    chk = str(tmp_path / "chk")
+    sink = str(tmp_path / "out")
+    cut = docs.approxQuantile("doc_id", [0.5], 0.01)[0]
+    docs.filter(F.col("doc_id") <= cut).coalesce(1).write.parquet(
+        str(src / "p1")
+    )
+    schema = spark.read.parquet(str(src / "p1")).schema
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        q = (
+            budget_admission_stream(stream, budgets)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    docs.filter(F.col("doc_id") > cut).coalesce(1).write.parquet(
+        str(src / "p2")
+    )
+    run_once()
+    got = spark.read.parquet(sink).collect()
+    ids = [r.doc_id for r in got]
+    assert len(ids) == len(set(ids))  # restart never re-admits
+    # exact two-phase expectation: admit p1 in hash order, then p2
+    phases = [
+        [r for r in docs.collect() if r.doc_id <= cut],
+        [r for r in docs.collect() if r.doc_id > cut],
+    ]
+    want, total = set(), {}
+    for phase in phases:
+        phase.sort(key=lambda r: ((r.doc_id * _MIX) % _MOD, r.doc_id))
+        for r in phase:
+            if total.get(r.lang, 0) < budgets.get(r.lang, 0):
+                want.add(r.doc_id)
+                total[r.lang] = total.get(r.lang, 0) + (r.n_chars + 3) // 4
+    assert set(ids) == want

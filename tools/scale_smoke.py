@@ -80,6 +80,9 @@ SMOKE = [
     "cep_group_nested",  # round-8 nested groups (two-level chain kernel)
     "docs_bm25_topk",  # round-8 BM25 lexical retrieval (filtered explode)
     "cep_group_nested_within",  # round-9 deadline on the nested kernel
+    "docs_token_budget_mix",  # round-13 bucket-prefiltered budget fill
+    "docs_nb_quality_classifier",  # round-13 NB quality filter
+    "docs_bigram_logprob",  # round-13 interpolated bigram LM
 ]
 
 
