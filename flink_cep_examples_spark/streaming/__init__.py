@@ -9,6 +9,10 @@ from flink_cep_examples_spark.streaming.budget_stream import (  # noqa: F401
 from flink_cep_examples_spark.streaming.cep_stream import (  # noqa: F401
     match_pattern_stream,
 )
+from flink_cep_examples_spark.streaming.decontam_stream import (  # noqa: F401
+    decontaminate_stream,
+    eval_window_hash_set,
+)
 from flink_cep_examples_spark.streaming.keyed_process_stream import (  # noqa: F401
     keyed_process_stream,
 )
