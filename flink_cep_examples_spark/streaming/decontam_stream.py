@@ -92,27 +92,41 @@ _OUT_SCHEMA = T.StructType(
 
 
 def decontaminate_stream(
-    df: DataFrame, eval_hashes: frozenset[int]
+    df: DataFrame,
+    eval_hashes: frozenset[int],
+    *,
+    emit_clean: bool = False,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Flag contaminated documents in ``df`` (streaming or batch; needs
     ``doc_id`` and ``text``): one output row per CONTAMINATED doc with
-    its distinct shared-window count — the batch query's contract."""
+    its distinct shared-window count — the batch query's contract.
+    ``emit_clean=True`` emits EVERY doc (clean ones with n_hits=0) so
+    the operator composes as a pipeline stage; ``passthrough`` carries
+    the named input columns onto the output (pipeline plumbing)."""
     ev = eval_hashes  # captured; broadcast with the function
+    extra = tuple(passthrough)
 
     def score(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            ids, hits = [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                n = len(_doc_window_hashes(text) & ev)
-                if n:
-                    ids.append(int(doc_id))
-                    hits.append(n)
-            if ids:
-                yield pd.DataFrame({"doc_id": ids, "n_hits": hits})
+            hits = [
+                len(_doc_window_hashes(t) & ev) for t in pdf["text"]
+            ]
+            out = pdf.assign(n_hits=pd.Series(hits, index=pdf.index))
+            if not emit_clean:
+                out = out[out["n_hits"] > 0]
+            if len(out):
+                yield out[["doc_id", "n_hits", *extra]]
 
-    projected = df.select(
-        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    schema = T.StructType(
+        [*_OUT_SCHEMA.fields]
+        + [df.schema[c] for c in extra]
     )
-    return projected.mapInPandas(score, schema=_OUT_SCHEMA)
+    projected = df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text",
+        *[c for c in extra if c not in ("doc_id", "text")],
+    )
+    return projected.mapInPandas(score, schema=schema)

@@ -122,20 +122,26 @@ def _bucket(tok: str) -> int:
     )
 
 
-def nb_quality_score(df: DataFrame, model: NbQualityModel) -> DataFrame:
+def nb_quality_score(
+    df: DataFrame,
+    model: NbQualityModel,
+    *,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """Score ``df`` (streaming or batch; needs ``doc_id`` and ``text``)
     against the frozen model. Stateless mapInPandas — one output row
     per document with the exact integer-fold log-odds and the
-    predicted class."""
+    predicted class. ``passthrough`` carries the named input columns
+    onto the output (pipeline plumbing)."""
     weights, lpq, default = model.weights, model.lpq, model.default_lwq
+    extra = tuple(passthrough)
 
     def score(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            out = {k: [] for k in ("doc_id", "n_feats", "log_odds",
-                                   "pred_good")}
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            n_feats, log_odds, pred = [], [], []
+            for text in pdf["text"]:
                 toks = _WS.split((text or "").strip().lower()) or [""]
                 tf: dict[int, int] = {}
                 for t in toks:
@@ -148,12 +154,23 @@ def nb_quality_score(df: DataFrame, model: NbQualityModel) -> DataFrame:
                 sq = lpq + sum(
                     n * weights.get(b, default) for b, n in tf.items()
                 )
-                out["doc_id"].append(int(doc_id))
-                out["n_feats"].append(len(toks) + 1)
-                out["log_odds"].append(sq / 1e9)
-                out["pred_good"].append(sq > 0)
-            yield pd.DataFrame(out)
+                n_feats.append(len(toks) + 1)
+                log_odds.append(sq / 1e9)
+                pred.append(sq > 0)
+            out = pdf.assign(
+                n_feats=pd.Series(n_feats, index=pdf.index),
+                log_odds=pd.Series(log_odds, index=pdf.index),
+                pred_good=pd.Series(pred, index=pdf.index),
+            )
+            yield out[["doc_id", "n_feats", "log_odds", "pred_good",
+                       *extra]]
 
-    projected = df.select(F.col("doc_id").cast("long").alias("doc_id"),
-                          "text")
-    return projected.mapInPandas(score, schema=_OUT_SCHEMA)
+    schema = T.StructType(
+        [*_OUT_SCHEMA.fields] + [df.schema[c] for c in extra]
+    )
+    projected = df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text",
+        *[c for c in extra if c not in ("doc_id", "text")],
+    )
+    return projected.mapInPandas(score, schema=schema)

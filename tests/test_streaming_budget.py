@@ -185,3 +185,76 @@ def test_budget_stream_restart_from_checkpoint(spark, sf_small, tmp_path):
                 want.add(r.doc_id)
                 total[r.lang] = total.get(r.lang, 0) + (r.n_chars + 3) // 4
     assert set(ids) == want
+
+
+def test_ingest_pipeline_composition(spark, sf_small, tmp_path):
+    """The round-13 ingest chain (decontaminate → NB quality → budget
+    admission) composes in ONE streaming job — two stateless stages
+    feeding the stateful one — and the admitted set equals the exact
+    expectation computed from the batch twins: per-language minimal
+    hash-order prefix over the clean ∩ predicted-good docs."""
+    from flink_cep_examples_spark.streaming import (
+        decontaminate_stream,
+        eval_window_hash_set,
+        nb_quality_score,
+        train_nb_quality_model,
+    )
+
+    from flink_cep_examples_spark.queries.decontam import (
+        EVAL_MOD,
+        EVAL_RESIDUE,
+    )
+
+    ev = eval_window_hash_set(spark, sf_small)
+    model = train_nb_quality_model(spark, sf_small)
+    budgets = token_budgets(spark, sf_small)
+    # the arriving corpus excludes the frozen eval slice (an eval doc
+    # never arrives at ingest — and would trivially self-hit)
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").filter(
+        f"(doc_id * {_MIX}) % {_MOD} % {EVAL_MOD} != {EVAL_RESIDUE}"
+    )
+    src = tmp_path / "src"
+    docs.coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(docs.schema).parquet(str(src))
+    flagged = decontaminate_stream(
+        stream, ev, emit_clean=True, passthrough=("text", "lang", "n_chars")
+    )
+    scored = nb_quality_score(
+        flagged.filter("n_hits = 0"), model,
+        passthrough=("lang", "n_chars"),
+    )
+    out = budget_admission_stream(scored.filter("pred_good"), budgets)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ingest_pipe")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r.doc_id for r in spark.sql("SELECT * FROM ingest_pipe").collect()}
+    # exact expectation from the BATCH twins (each bit-agrees with its
+    # streamed stage — pinned by its own test file)
+    contaminated = {
+        r.doc_id
+        for r in QUERIES["docs_decontaminate"](spark, sf_small).collect()
+    }
+    pred_good = {
+        r.doc_id
+        for r in QUERIES["docs_nb_quality_classifier"](
+            spark, sf_small
+        ).collect()
+        if r.pred_good
+    }
+    eligible = [
+        r
+        for r in docs.collect()
+        if r.doc_id in pred_good and r.doc_id not in contaminated
+    ]
+    want, total = set(), {}
+    eligible.sort(key=lambda r: ((r.doc_id * _MIX) % _MOD, r.doc_id))
+    for r in eligible:
+        if total.get(r.lang, 0) < budgets.get(r.lang, 0):
+            want.add(r.doc_id)
+            total[r.lang] = total.get(r.lang, 0) + (r.n_chars + 3) // 4
+    assert got == want and got
