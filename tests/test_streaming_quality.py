@@ -62,3 +62,39 @@ def test_nb_serve_scores_unseen_docs(spark, sf_small):
     assert out[900001].pred_good  # frequent good-register text
     for r in out.values():
         assert r.n_feats >= 2  # >=1 token bucket + the length bin
+
+
+def test_pii_scrub_serves_streams_natively(spark, tmp_path):
+    """scrub_pii is pure column expressions — it runs UNCHANGED on a
+    streaming DataFrame (no twin needed); the streamed redactions
+    equal the batch ones exactly. Pins the ingest story's 5th stage."""
+    from flink_cep_examples_spark.queries.curation import scrub_pii
+
+    rows = [
+        (1, "mail me at a.user@example.com or 10.0.0.1 thanks"),
+        (2, "call +1 (555) 123-4567 now"),
+        (3, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = {
+        r.doc_id: (r.text_scrubbed, r.n_emails, r.n_ips, r.n_phones)
+        for r in scrub_pii(df).collect()
+    }
+    src = tmp_path / "src"
+    df.coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    q = (
+        scrub_pii(stream)
+        .writeStream.format("memory")
+        .queryName("pii_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        r.doc_id: (r.text_scrubbed, r.n_emails, r.n_ips, r.n_phones)
+        for r in spark.sql("SELECT * FROM pii_stream").collect()
+    }
+    assert got == batch
+    assert got[1][1] == 1 and got[1][2] == 1 and got[2][3] == 1
