@@ -77,6 +77,27 @@ def shard_budgets(budget: int, n_shards: int) -> list[int]:
     return [base + (1 if s < rem else 0) for s in range(n_shards)]
 
 
+def admit_batch(
+    pdf: pd.DataFrame, total: int, budget: int
+) -> tuple[pd.DataFrame | None, int]:
+    """The admission core, one micro-batch for one key: sort by the
+    deterministic hash order, keep the prefix whose preceding token
+    mass (``total`` + within-batch cumsum-before) is below ``budget``,
+    return (admitted rows with ``cum_tok``, new total). Pure — unit-
+    and property-tested directly (tests/test_streaming_budget.py)."""
+    if not len(pdf) or total >= budget:
+        return None, total
+    pdf = pdf.sort_values(["h", "doc_id"], kind="mergesort")
+    cum_before = total + pdf["tok"].cumsum() - pdf["tok"]
+    keep = pdf[cum_before < budget]
+    if not len(keep):
+        return None, total
+    admitted = keep.assign(
+        cum_tok=(total + keep["tok"].cumsum()).astype("int64")
+    )
+    return admitted, int(admitted["cum_tok"].iloc[-1])
+
+
 def budget_admission_stream(
     df: DataFrame,
     budgets: dict[str, int],
@@ -125,20 +146,12 @@ def budget_admission_stream(
             total, n_admitted = 0, 0
         out: list[pd.DataFrame] = []
         for pdf in pdfs:
-            if not len(pdf) or total >= budget:
-                continue
             # deterministic within-batch order: the batch query's
             # canonical hash order (doc_id tiebreak); cross-batch
             # order stays arrival order (the stream's canonical one)
-            pdf = pdf.sort_values(["h", "doc_id"], kind="mergesort")
-            cum_before = total + pdf["tok"].cumsum() - pdf["tok"]
-            keep = pdf[cum_before < budget]
-            if not len(keep):
+            admitted, total = admit_batch(pdf, total, budget)
+            if admitted is None:
                 continue
-            admitted = keep.assign(
-                cum_tok=(total + keep["tok"].cumsum()).astype("int64")
-            )
-            total = int(admitted["cum_tok"].iloc[-1])
             n_admitted += len(admitted)
             out.append(admitted[["doc_id", "lang", "tok", "cum_tok"]])
         # admission state never expires (a filled budget stays filled);

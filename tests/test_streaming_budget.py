@@ -258,3 +258,64 @@ def test_ingest_pipeline_composition(spark, sf_small, tmp_path):
             want.add(r.doc_id)
             total[r.lang] = total.get(r.lang, 0) + (r.n_chars + 3) // 4
     assert got == want and got
+
+
+def test_admit_batch_property_matches_reference():
+    """Hypothesis differential on the pure admission core: over random
+    micro-batch sequences, the fold's admitted stream must equal a
+    naive Python reference (admit each doc in (h, doc_id) order per
+    batch while the running total is below budget), the running
+    ``cum_tok`` audit column must be exact, and totals must be
+    monotone and restart-composable."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flink_cep_examples_spark.streaming.budget_stream import (
+        admit_batch,
+    )
+
+    doc = st.tuples(
+        st.integers(min_value=0, max_value=200),  # doc_id
+        st.integers(min_value=0, max_value=40),  # tok (0 allowed)
+        st.integers(min_value=0, max_value=1 << 32),  # h
+    )
+    batches = st.lists(st.lists(doc, max_size=12), max_size=6)
+    budget_s = st.integers(min_value=0, max_value=300)
+
+    @settings(max_examples=300, deadline=None)
+    @given(batches, budget_s)
+    def run(seq, budget):
+        total = 0
+        got = []
+        ref_total = 0
+        ref = []
+        for batch in seq:
+            pdf = pd.DataFrame(
+                {
+                    "doc_id": [d[0] for d in batch],
+                    "lang": ["xx"] * len(batch),
+                    "tok": [d[1] for d in batch],
+                    "h": [d[2] for d in batch],
+                }
+            )
+            admitted, total = admit_batch(pdf, total, budget)
+            if admitted is not None:
+                got.extend(
+                    (int(r.doc_id), int(r.tok), int(r.cum_tok))
+                    for r in admitted.itertuples()
+                )
+            # reference: stable (h, doc_id) order, admit while below
+            for doc_id, tok, h in sorted(
+                batch, key=lambda d: (d[2], d[0])
+            ):
+                if ref_total < budget:
+                    ref_total += tok
+                    ref.append((doc_id, tok, ref_total))
+        assert got == ref
+        assert total == ref_total
+        # monotone audit column
+        for (_, tok, cum), (_, _, prev) in zip(got[1:], got):
+            assert cum == prev + tok
+
+    run()
