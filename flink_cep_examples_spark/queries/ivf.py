@@ -542,6 +542,34 @@ def write_ivf_index(
     )
 
 
+def ivf_append_vectors(
+    spark: SparkSession, index_dir: str, new_vectors: DataFrame
+) -> None:
+    """Incremental ingest into a persisted IVF index (round 13): assign
+    arriving vectors (``vec_id``, ``label``, ``embedding``) to the
+    FROZEN centroids — one broadcast-K BLAS pass per Arrow batch, no
+    retraining, no shuffle — and APPEND them to their ``cid=``
+    partitions. Existing list files are never rewritten (dynamic
+    partition append), searches prune exactly as before, and new
+    vectors are immediately servable. The FAISS ``add()``-after-train
+    contract: centroids drift only when the owner retrains (the
+    documented recluster point is a quantizer-quality check, e.g.
+    ``embedding_cluster_profile``'s mean-distance column creeping up).
+    """
+    cents = {
+        int(r.cid): [float(x) for x in r.centroid]
+        for r in spark.read.parquet(f"{index_dir}/centroids").collect()
+    }
+    assigned = _assign(
+        new_vectors.select("vec_id", "label", "embedding"),
+        cents,
+        exact=False,
+    )
+    assigned.write.mode("append").partitionBy("cid").parquet(
+        f"{index_dir}/lists"
+    )
+
+
 def ivf_search_persisted(
     spark: SparkSession,
     index_dir: str,

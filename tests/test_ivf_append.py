@@ -1,0 +1,86 @@
+"""Incremental IVF ingest: appended vectors join their frozen-centroid
+lists without retraining or rewriting existing partitions, and become
+immediately servable through the partition-pruned search."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_cep_examples_spark.queries.ivf import (
+    ivf_append_vectors,
+    ivf_search_persisted,
+    write_ivf_index,
+)
+
+
+def test_ivf_append_serves_new_vectors(spark, sf_small, tmp_path):
+    idx = str(tmp_path / "idx")
+    write_ivf_index(spark, sf_small, idx)
+    lists = spark.read.parquet(f"{idx}/lists")
+    n0 = lists.count()
+    n_emb = spark.read.parquet(f"{sf_small}/embeddings.parquet").count()
+    assert n0 == n_emb
+
+    # plant a copy of vector 0 under a fresh id — it must land in the
+    # same list (same floats → same argmin) and turn up in a search
+    # aimed straight at it
+    src = (
+        spark.read.parquet(f"{sf_small}/embeddings.parquet")
+        .filter("vec_id = 0")
+        .first()
+    )
+    qvec = [float(x) for x in src.embedding]
+    new = spark.createDataFrame(
+        [
+            (9_000_001, src.label, qvec),
+            (9_000_002, src.label, [-x for x in qvec]),
+        ],
+        "vec_id long, label int, embedding array<float>",
+    )
+    ivf_append_vectors(spark, idx, new)
+
+    after = spark.read.parquet(f"{idx}/lists")
+    assert after.count() == n0 + 2  # pure append, nothing rewritten
+    cid_src = lists.filter("vec_id = 0").first().cid
+    cid_new = after.filter("vec_id = 9000001").first().cid
+    assert cid_new == cid_src
+
+    hits = ivf_search_persisted(spark, idx, qvec, top_k=5)
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("cid" in l for l in scan_lines), scan_lines
+    rows = hits.collect()
+    ids = [r.vec_id for r in rows]
+    assert 9_000_001 in ids  # the appended twin is servable
+    assert ids[0] in (0, 9_000_001)  # cos = 1.0 pair leads the ranking
+    by_id = {r.vec_id: r.cos for r in rows}
+    assert abs(by_id[9_000_001] - 1.0) < 1e-6
+
+
+def test_ivf_append_keeps_old_results_stable(spark, sf_small, tmp_path):
+    """Appending off-query vectors must not perturb an existing
+    query's result set (old partitions untouched, ranking exact)."""
+    idx = str(tmp_path / "idx")
+    write_ivf_index(spark, sf_small, idx)
+    src = (
+        spark.read.parquet(f"{sf_small}/embeddings.parquet")
+        .filter("vec_id = 3")
+        .first()
+    )
+    qvec = [float(x) for x in src.embedding]
+    before = [
+        (r.vec_id, r.cos)
+        for r in ivf_search_persisted(spark, idx, qvec).collect()
+    ]
+    # append vectors pointing the other way: same lists layout, no
+    # effect on this query's top-k
+    new = spark.createDataFrame(
+        [(9_100_000 + i, 0, [-x for x in qvec]) for i in range(3)],
+        "vec_id long, label int, embedding array<float>",
+    )
+    ivf_append_vectors(spark, idx, new)
+    after = [
+        (r.vec_id, r.cos)
+        for r in ivf_search_persisted(spark, idx, qvec).collect()
+    ]
+    assert after == before
