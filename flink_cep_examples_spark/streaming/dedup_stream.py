@@ -308,3 +308,69 @@ def corpus_clean_stream(
         event_time_col=event_time_col,
         watermark_delay=watermark_delay,
     ).drop(text_col)
+
+
+# ---------------------------------------------------------------------------
+# Round 13: novelty check against a FROZEN corpus — the ingest-time
+# question "is this arriving doc a near-dup of anything we already
+# have?" (the watermark-horizon operator above answers it only within
+# the stream's own recent past).
+# ---------------------------------------------------------------------------
+
+
+def write_band_index(spark, sf_dir: str, index_dir: str) -> None:
+    """Persist the corpus's LSH band index: one row per distinct
+    ``band_key`` with its owner (smallest doc_id in the bucket) and
+    bucket size. Band keys are the "vector" signature mode
+    (queries/dedup.py::with_vector_band_keys — the same minhash/band
+    structure as the batch LSH query), so an arriving doc collides
+    with the index iff it would be an LSH candidate pair with a corpus
+    doc. Output is O(docs × 8 bands) before dedup, one row per
+    distinct bucket after — tiny next to the corpus, and it lives in
+    ordinary parquet (the serve-side join is distributed, never a
+    broadcast/collect)."""
+    from flink_cep_examples_spark.queries.dedup import (
+        with_vector_band_keys,
+    )
+    from flink_cep_examples_spark.sources.tables import load_table, spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    (
+        with_vector_band_keys(docs)
+        .select("doc_id", F.explode("band_keys").alias("band_key"))
+        .groupBy("band_key")
+        .agg(
+            F.min("doc_id").alias("owner_id"),
+            F.count(F.lit(1)).alias("bucket_size"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/bands")
+    )
+
+
+def novelty_check_stream(df: DataFrame, index_dir: str) -> DataFrame:
+    """Check arriving documents (``doc_id``, ``text``) against a
+    persisted band index: emit one row per (doc, colliding band) —
+    ``(doc_id, band_key, owner_id, bucket_size)``. A doc emitting >= 1
+    row is an LSH near-dup CANDIDATE of the frozen corpus (the
+    standard >=1-band rule, same keys as the batch LSH query); a doc
+    emitting nothing is novel.
+
+    Plan shape: band keys are computed scan-side (the shared Arrow
+    kernel — the stream ships 8 longs per doc, never text), then ONE
+    stream-static equi-join against the parquet index. Stateless: no
+    watermark, no state store; the static side is planned per
+    micro-batch by Catalyst like any batch join (shuffled or
+    broadcast by size). Works identically on a batch DataFrame."""
+    from flink_cep_examples_spark.queries.dedup import (
+        with_vector_band_keys,
+    )
+
+    index = df.sparkSession.read.parquet(f"{index_dir}/bands")
+    keyed = with_vector_band_keys(df).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode("band_keys").alias("band_key"),
+    )
+    return keyed.join(index, "band_key").select(
+        "doc_id", "band_key", "owner_id", "bucket_size"
+    )

@@ -297,3 +297,60 @@ def test_corpus_clean_stream_matches_batch_prefix(spark, docs_with_ts_dir, sf_sm
     # stream hashes raw text) — the synthetic corpus' exact dups are
     # byte-identical, so the sets coincide
     assert got == (quality & canonical) and got
+
+
+def test_novelty_check_stream_against_frozen_corpus(
+    spark, sf_small, tmp_path
+):
+    """Round-13 novelty check: a perturbed copy of a corpus doc
+    collides with the persisted band index (>=1 shared band — the LSH
+    candidate rule), a fresh doc emits nothing, and the streamed rows
+    equal the batch run of the same operator exactly (shared kernel +
+    one stream-static join)."""
+    from flink_cep_examples_spark.streaming.dedup_stream import (
+        novelty_check_stream,
+        write_band_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    write_band_index(spark, sf_small, idx)
+    src_docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_small}/documents.parquet")
+        .filter("doc_id IN (7, 11)")
+        .collect()
+    }
+    near_a = src_docs[7].replace(src_docs[7].split()[-1], "changed", 1)
+    near_b = src_docs[11] + " tail"
+    arriving = spark.createDataFrame(
+        [
+            (800_001, near_a),
+            (800_002, near_b),
+            (800_003, "totally fresh zq9 vk8 doc xj7 pq6 words here now"),
+            (800_004, "another novel mn5 bc4 document entirely df3 gh2"),
+        ],
+        "doc_id long, text string",
+    )
+    batch_rows = sorted(
+        map(tuple, novelty_check_stream(arriving, idx).collect())
+    )
+    flagged = {r[0] for r in batch_rows}
+    assert 800_001 in flagged and 800_002 in flagged
+    assert 800_003 not in flagged and 800_004 not in flagged
+
+    src = tmp_path / "src"
+    arriving.coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(arriving.schema).parquet(str(src))
+    q = (
+        novelty_check_stream(stream, idx)
+        .writeStream.format("memory")
+        .queryName("novelty")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM novelty").collect())
+    )
+    assert got == batch_rows  # stream-static join: plan-identical
