@@ -87,7 +87,14 @@ HEADLINE = [
 #: documented ±40% band, not a query-specific regression. Neither
 #: query's code changed since r4.
 BENCH_NOTES = (
-    "r13: headline 58.2 s vs 54.97 r12 (1.059x, in the documented "
+    "r13 late-session self-bench AFTER all round-13 additions "
+    "(token-budget mix, NB classifier + serve, bigram LM, ingest "
+    "twins, IVF append): 48 common queries 50.64 s vs 54.97 r12 = "
+    "0.921x, worst ratio semdedup_prune 1.19x (the pinned quadratic "
+    "control), batch 109,649 ev/s, streaming 167,785 ev/s - both "
+    "in-band; the round's code is not a regression. "
+    "Earlier r13 official run: headline 58.2 s vs 54.97 r12 (1.059x, "
+    "in the documented "
     "host band). The r12 watch cluster (docs_bigram_topk, "
     "ann_bruteforce_topk, dedup_minhash_lsh, ann_batch_topk) CLOSED "
     "in-band without a bisect: 0.87x/0.95x/1.05x/0.92x - the r12 "
