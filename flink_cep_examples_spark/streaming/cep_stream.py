@@ -480,27 +480,32 @@ def match_pattern_stream(
                 "in-operator via duckdb, which is not importable: "
                 f"{ex}; use the batch operator inside foreachBatch"
             ) from ex
-    if (
+    # batch renumbers longest-derivation matches by (start, end)
+    # ordinal. Under SKIP PAST LAST (round 12) matches are DISJOINT
+    # and holds resolve sequentially by start, so streaming emission
+    # order IS start order and a per-key counter reproduces the batch
+    # numbering directly. With overlapping matches (NO_SKIP / SKIP TO
+    # NEXT) held resolution can in principle emit a LATER start first
+    # (a later start's run dying while the earlier still extends) —
+    # round 13 closes the former loud reject with a per-key
+    # START-ORDER REORDER HOLD: completed matches are buffered by
+    # start ordinal and released (numbered) only once no live run or
+    # held completion with an earlier start remains. Under longest
+    # each start yields at most one match, so start order ≡ batch's
+    # (start, end) order. Note strict contiguity makes concurrent
+    # runs re-synchronize at iteration boundaries (they consume the
+    # same rows and usually die on the same break row), so the hold
+    # often releases immediately — the point is that emission order
+    # is now correct BY CONSTRUCTION instead of by that structural
+    # argument, for every expressible grammar.
+    reorder_starts = (
         spec.derivation == "longest"
         and spec.after_match != SKIP_PAST_LAST_EVENT
-        and any(m.fn == "match_number" for m in spec.measures)
-    ):
-        # batch renumbers longest-derivation matches by (start, end)
-        # ordinal; with overlapping matches (NO_SKIP / SKIP TO NEXT)
-        # streaming emission order is held-RESOLUTION order, which can
-        # differ at watermark boundaries — same rule as the leftmost
-        # alternation tier. Under SKIP PAST LAST (round 12) matches
-        # are DISJOINT and holds resolve sequentially by start (a
-        # later start cannot emit before every earlier start is
-        # decided — its rows might belong to the earlier match), so
-        # emission order IS start order and a per-key counter
-        # reproduces the batch numbering (agreement-tested incl.
-        # watermark-boundary within-expiry).
-        raise NotImplementedError(
-            "MATCH_NUMBER() under 'longest' derivation streams only "
-            "with AFTER MATCH SKIP PAST LAST ROW (overlapping matches "
-            "resolve out of start order)"
+        and (
+            spec.rows_per_match == "all"
+            or any(m.fn == "match_number" for m in spec.measures)
         )
+    )
     all_rows = spec.rows_per_match == "all"
     if all_rows:
         # ALL ROWS PER MATCH streams since round 11: the span fold
@@ -512,21 +517,9 @@ def match_pattern_stream(
         # only on streams.
         if spec.emit_timeouts:
             raise ValueError("ALL ROWS PER MATCH has no timeout channel")
-        if (
-            spec.derivation == "longest"
-            and spec.after_match != SKIP_PAST_LAST_EVENT
-        ):
-            # every output row carries match_seq; batch renumbers
-            # longest-derivation matches by (start, end), streaming
-            # cannot for OVERLAPPING matches — same rule as
-            # MATCH_NUMBER above. SKIP PAST LAST streams (round 12):
-            # disjoint matches + sequential hold resolution make
-            # emission order = start order.
-            raise NotImplementedError(
-                "ALL ROWS PER MATCH under 'longest' derivation streams "
-                "only with AFTER MATCH SKIP PAST LAST ROW (overlapping "
-                "matches need batch's start-order renumbering)"
-            )
+        # every output row carries match_seq; under longest with
+        # overlapping strategies the start-order reorder hold above
+        # supplies batch's (start, end) numbering
         # RUNNING measures compute at emission from the captured
         # rows (round 11) — an incremental walk per match, the batch
         # _running_series semantics
@@ -666,6 +659,7 @@ def match_pattern_stream(
         # pickles as a handful of numpy blocks, ~6× smaller and ~100×
         # fewer objects than per-row tuples — and the per-key NFA states)
         nav_tails = None  # per-key PREV tail rows (nav specs only)
+        pending_out: dict = {}  # per-key start-ordered reorder hold
         if state.exists:
             stored = pickle.loads(state.get[0])
             if len(stored) == 2:  # pre-round-5 checkpoint: no counters
@@ -673,8 +667,16 @@ def match_pattern_stream(
                 match_nos: dict = {}
             elif len(stored) == 3:
                 buffer, nfa_states, match_nos = stored
-            else:  # round 13: nav specs append the PREV tail frame
+            elif len(stored) == 4:  # round 13: nav PREV tail frame
                 buffer, nfa_states, match_nos, nav_tails = stored
+            else:  # round 13: longest-overlap reorder hold
+                (
+                    buffer,
+                    nfa_states,
+                    match_nos,
+                    nav_tails,
+                    pending_out,
+                ) = stored
         else:
             buffer, nfa_states, match_nos = None, {}, {}
         track_match_no = any(m.fn == "match_number" for m in measures)
@@ -854,7 +856,7 @@ def match_pattern_stream(
                     else:
                         data[m.name].append(mvals[m.name])
 
-        def emit(key: tuple, match: dict, tag: str) -> None:
+        def _emit_now(key: tuple, match: dict, tag: str) -> None:
             if all_rows:
                 emit_all_rows(key, match, tag)
                 return
@@ -940,6 +942,19 @@ def match_pattern_stream(
                     payload = max(spans, key=lambda sp: sp[4])[1]
                     data[m.name].append(payload[all_srcs.index(m.src)])
             data["tag"].append(tag)
+
+        def emit(key: tuple, match: dict, tag: str) -> None:
+            if reorder_starts and tag == MATCH_TAG:
+                # longest-overlap reorder hold: buffer by start
+                # ordinal; released (and numbered) in start order once
+                # no earlier start is still undecided. Timeout rows
+                # carry no number and emit immediately.
+                start = min(
+                    sp[3] for sp in match.values() if sp is not None
+                )
+                pending_out.setdefault(key, {})[start] = match
+                return
+            _emit_now(key, match, tag)
 
         buffer = None
         buffered_keys: set = set()
@@ -1056,15 +1071,45 @@ def match_pattern_stream(
                     run.start_ts + nfa.within_us for run in nst.runs
                 )
 
+        if reorder_starts:
+            # release the reorder hold: per key, emit (and number)
+            # buffered matches in start order up to the first start
+            # that is still undecided — a live run or a held
+            # completion starting earlier could still produce the
+            # preceding match
+            for kt in list(pending_out):
+                nst = nfa_states.get(kt)
+                undecided = None
+                if nst is not None:
+                    cands = [r.start_ord for r in nst.runs]
+                    cands.extend(nst.helds)
+                    if cands:
+                        undecided = min(cands)
+                pend = pending_out[kt]
+                for s in sorted(pend):
+                    if undecided is not None and s >= undecided:
+                        break
+                    _emit_now(kt, pend.pop(s), MATCH_TAG)
+                if not pend:
+                    del pending_out[kt]
+
         if (
             buffer is None
             and not nfa_states
             and not match_nos
+            and not pending_out
             and (nav_tails is None or not len(nav_tails))
         ):
             state.remove()
         else:
-            if nav_conf is not None:
+            if reorder_starts:
+                # the reorder hold appends a 5th element; nav_tails
+                # rides along (None when the spec has no nav)
+                blob = pickle.dumps(
+                    (buffer, nfa_states, match_nos, nav_tails,
+                     pending_out)
+                )
+            elif nav_conf is not None:
                 # nav specs append the PREV tail frame (O(max_prev)
                 # rows per key ever fed — the same per-key-forever
                 # growth class as match_nos; Flink keyed state without

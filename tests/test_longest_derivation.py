@@ -394,13 +394,33 @@ def test_streaming_match_number_longest_past_last_streams(spark, tmp_path):
         for r in spark.table("longest_mn_stream").collect()
     )
     assert got == batch and len(batch) >= 2
-    # overlapping skip: still a loud reject naming the eligible one
+    # overlapping skip (round 13): the former loud reject now streams
+    # via the start-order reorder hold — agreement with the batch
+    # (start, end) renumbering on the same corpus
+    from flink_cep_examples_spark.operators import match_pattern
+
     overlap = dataclasses.replace(spec, after_match=SKIP_TO_NEXT)
+    batch2 = sorted(
+        (r.s, r.e, r.k, r.mn)
+        for r in match_pattern(df, overlap).collect()
+    )
     stream2 = spark.readStream.schema(df.schema).parquet(str(src_dir))
-    with pytest.raises(NotImplementedError, match="SKIP PAST LAST"):
-        match_pattern_stream(
-            stream2, overlap, watermark_delay="0 seconds"
-        )
+    out2 = match_pattern_stream(
+        stream2, overlap, watermark_delay="0 seconds"
+    )
+    q2 = (
+        out2.writeStream.format("memory")
+        .queryName("longest_mn_overlap_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got2 = sorted(
+        (r.s, r.e, r.k, r.mn)
+        for r in spark.table("longest_mn_overlap_stream").collect()
+    )
+    assert got2 == batch2 and len(batch2) >= len(batch)
 
 
 # ---------------------------------------------------------------------------

@@ -1944,31 +1944,70 @@ def test_streaming_longest_nested_all_rows_matches_batch(
     assert batch and got == batch
 
 
-def test_streaming_longest_all_rows_overlapping_still_rejects(
-    spark, tmp_path
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_streaming_longest_all_rows_overlapping_matches_batch(
+    spark, tmp_path, seed
 ):
-    """SKIP TO NEXT under longest keeps the loud reject (overlapping
-    matches resolve out of start order), naming the eligible
-    strategy."""
-    from flink_cep_examples_spark.sql.match_recognize import (
-        match_recognize,
-    )
-
-    schema_dir = tmp_path / "in"
-    schema_dir.mkdir()
-    stream = spark.readStream.schema(
-        "user_id long, ts timestamp, event_id long"
-    ).parquet(str(schema_dir))
+    """Round 13: ALL ROWS + MATCH_NUMBER under longest with SKIP TO
+    NEXT ROW — OVERLAPPING matches — streams via the start-order
+    reorder hold (the former loud reject): a later start's shorter
+    chain can decide while an earlier start still extends, so
+    completed matches buffer by start ordinal and release only when
+    no earlier start is undecided, reproducing batch's (start, end)
+    numbering. Multi-micro-batch replay."""
     body = """
     PARTITION BY user_id ORDER BY ts, event_id
-    MEASURES COUNT(X.*) AS pairs
+    MEASURES RUNNING COUNT(X.*) AS rx, MATCH_NUMBER() AS mn,
+             COUNT(X.*) AS pairs
     ALL ROWS PER MATCH
     AFTER MATCH SKIP TO NEXT ROW
     PATTERN ((X Y)+)
     DEFINE X AS event_id % 3 = 1, Y AS event_id % 3 = 2
     """
-    with pytest.raises(NotImplementedError, match="SKIP PAST LAST"):
-        match_recognize(stream, body, tiebreak_col="event_id")
+    df = _longest_fixture(spark, seed, 3)
+    got, batch = _longest_replay(spark, tmp_path, df, body, f"lo{seed}")
+    assert batch and got == batch, seed
+
+
+def test_streaming_longest_overlap_within_matches_batch(spark, tmp_path):
+    """The reorder hold × WITHIN deadline: a held island expires at a
+    watermark tick (not a consuming row) while later starts already
+    completed — release order must still be start order."""
+    body = """
+    PARTITION BY user_id ORDER BY ts, event_id
+    MEASURES RUNNING COUNT(X.*) AS rx, MATCH_NUMBER() AS mn,
+             COUNT(X.*) AS pairs
+    ALL ROWS PER MATCH
+    AFTER MATCH SKIP TO NEXT ROW
+    PATTERN ((X Y)+) WITHIN INTERVAL '7' MINUTE
+    DEFINE X AS event_id % 3 = 1, Y AS event_id % 3 = 2
+    """
+    for seed in (1, 3):
+        df = _longest_fixture(spark, seed, 3)
+        got, batch = _longest_replay(
+            spark, tmp_path, df, body, f"low{seed}"
+        )
+        assert batch and got == batch, seed
+
+
+def test_streaming_longest_one_row_overlap_match_number(spark, tmp_path):
+    """ONE ROW PER MATCH + MATCH_NUMBER under longest + SKIP TO NEXT
+    (round 13): the reorder hold serves the one-row path too."""
+    body = """
+    PARTITION BY user_id ORDER BY ts, event_id
+    MEASURES FIRST(X.ts) AS fx, MATCH_NUMBER() AS mn,
+             COUNT(X.*) AS pairs
+    ONE ROW PER MATCH
+    AFTER MATCH SKIP TO NEXT ROW
+    PATTERN ((X Y)+)
+    DEFINE X AS event_id % 3 = 1, Y AS event_id % 3 = 2
+    """
+    for seed in (1, 2):
+        df = _longest_fixture(spark, seed, 3)
+        got, batch = _longest_replay(
+            spark, tmp_path, df, body, f"loo{seed}"
+        )
+        assert batch and got == batch, seed
 
 
 def test_streaming_longest_one_row_match_number_matches_batch(
