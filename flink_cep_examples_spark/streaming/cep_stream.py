@@ -1167,34 +1167,30 @@ def match_pattern_stream_alternation(
         )
     aspec.validate()
     alt_all_rows = aspec.alternatives[0].rows_per_match == "all"
-    if alt_all_rows:
-        # round 11: the span fold captures consumed rows, so the match
-        # expands at emission — but batch numbers matches by (start,
-        # end) per key, which streaming completion order reproduces
-        # ONLY when matches cannot overlap (SKIP PAST LAST) and
-        # nothing is held for later resolution (eager)
-        if aspec.after_match != SKIP_PAST_LAST_EVENT:
-            raise NotImplementedError(
-                "streaming ALL ROWS alternation requires AFTER MATCH "
-                "SKIP PAST LAST ROW (match_seq needs batch's "
-                "start-order numbering; overlapping matches complete "
-                "out of start order)"
-            )
-        if aspec.derivation != "eager":
-            raise NotImplementedError(
-                "streaming ALL ROWS alternation requires eager "
-                "derivation (held resolutions can emit out of start "
-                "order at watermark boundaries)"
-            )
-    allowed = {"first", "last", "count", "classifier", *AGG_FNS}
-    if aspec.derivation == "eager":
-        # eager emission order is completion order — identical in the
-        # batch scan and the streaming replay, so a per-key counter
-        # reproduces the batch numbering exactly. Leftmost resolution
-        # order can differ at watermark boundaries (a within-pruned
-        # run dies at the watermark tick instead of the next processed
-        # row), so MATCH_NUMBER stays batch-tier there.
-        allowed.add("match_number")
+    # Numbering vs batch (round 13): batch sorts alternation matches
+    # by (start, end, alternative) before numbering. Under SKIP PAST
+    # LAST matches are disjoint and resolution is sequential by start,
+    # so the streaming per-key counter agrees directly. With
+    # overlapping strategies (NO_SKIP / SKIP TO NEXT) a later start
+    # can COMPLETE first — concretely: alternatives of different
+    # lengths, e.g. (A C | A D{3}), start s completing via the 4-row
+    # branch AFTER start s+1 completed via the 2-row one (this
+    # silently mis-numbered the previously-allowed eager path; the
+    # round-13 probe pinned it) — and leftmost held-resolution can
+    # likewise emit out of start order. The START-ORDER REORDER HOLD
+    # below fixes all of these: completed matches buffer by start
+    # ordinal and release only when no alternative has a live run or
+    # held completion with an earlier start (the coordinator decides
+    # each start exactly once, so start order ≡ batch's
+    # (start, end, alternative) order). The former ALL-ROWS and
+    # leftmost-MATCH_NUMBER rejects are closed by the same hold.
+    alt_reorder = aspec.after_match != SKIP_PAST_LAST_EVENT and (
+        alt_all_rows
+        or any(m.fn == "match_number" for m in aspec.measures)
+    )
+    allowed = {
+        "first", "last", "count", "classifier", "match_number", *AGG_FNS
+    }
     unsupported = {m.fn for m in aspec.measures if m.fn not in allowed}
     if unsupported:
         raise NotImplementedError(
@@ -1359,6 +1355,7 @@ def match_pattern_stream_alternation(
     ) -> Iterator[pd.DataFrame]:
         wm_us = state.getCurrentWatermarkMs() * 1000
         nav_tails = None  # per-key PREV tail rows (nav specs only)
+        pending_out: dict = {}  # per-key start-ordered reorder hold
         if state.exists:
             stored = pickle.loads(state.get[0])
             if len(stored) == 2:  # pre-leftmost checkpoint shape
@@ -1370,8 +1367,17 @@ def match_pattern_stream_alternation(
                 match_nos = {}
             elif len(stored) == 4:
                 buffer, alt_states, alt_helds, match_nos = stored
-            else:  # round 13: nav specs append the PREV tail frame
+            elif len(stored) == 5:  # round 13: nav PREV tail frame
                 buffer, alt_states, alt_helds, match_nos, nav_tails = stored
+            else:  # round 13: longest/leftmost-overlap reorder hold
+                (
+                    buffer,
+                    alt_states,
+                    alt_helds,
+                    match_nos,
+                    nav_tails,
+                    pending_out,
+                ) = stored
         else:
             buffer, alt_states, alt_helds, match_nos = None, {}, {}, {}
 
@@ -1546,7 +1552,7 @@ def match_pattern_stream_alternation(
                     else:
                         data[m.name].append(mvals[m.name])
 
-        def emit(key: tuple, match: dict) -> None:
+        def _emit_now(key: tuple, match: dict) -> None:
             if alt_all_rows:
                 emit_all_rows(key, match)
                 return
@@ -1624,6 +1630,28 @@ def match_pattern_stream_alternation(
                     )
                     data[m.name].append(payload[all_srcs.index(m.src)])
 
+        def emit(key: tuple, match: dict, alt_idx: int = 0) -> None:
+            if alt_reorder:
+                # overlap reorder hold: buffer by batch's exact sort
+                # key (start, end, alternative) — NO_SKIP can emit
+                # MULTIPLE matches per start (one per alternative
+                # length, the round-13 probe's k0 case), so the start
+                # alone under-keys. Released in that order once no
+                # alternative holds an undecided STRICTLY-EARLIER
+                # start (a same-start live run can only complete at a
+                # LATER end, which sorts after every pending entry).
+                start = min(
+                    sp[3] for sp in match.values() if sp is not None
+                )
+                end = max(
+                    sp[4] for sp in match.values() if sp is not None
+                )
+                pending_out.setdefault(key, {})[
+                    (start, end, alt_idx)
+                ] = match
+                return
+            _emit_now(key, match)
+
         buffer = None
         buffered_keys: set = set()
         held_min_ts: dict[tuple, int] = {}
@@ -1700,11 +1728,11 @@ def match_pattern_stream_alternation(
                         if derivation == "leftmost"
                         else None
                     )
-                    for _, match in coordinate_alternation_row(
+                    for ai, match in coordinate_alternation_row(
                         nfas, sts, int(ts_arr[i]), pred_rows, payload, after,
                         helds=helds,
                     ):
-                        emit(kt, match)
+                        emit(kt, match, ai)
 
         if buffer is not None and len(buffer):
             # computed AFTER the nav transform — held-back rows joined
@@ -1736,10 +1764,10 @@ def match_pattern_stream_alternation(
             # within deadline)
             helds = alt_helds.get(kt)
             if helds:
-                for _, match in resolve_alternation_helds(
+                for ai, match in resolve_alternation_helds(
                     nfas, sts, after, helds, final=False
                 ):
-                    emit(kt, match)
+                    emit(kt, match, ai)
             if helds is not None and not helds:
                 del alt_helds[kt]
             if not any(st.runs for st in sts) and not alt_helds.get(kt):
@@ -1753,6 +1781,26 @@ def match_pattern_stream_alternation(
                             run.start_ts + nf.within_us for run in st.runs
                         )
 
+        if alt_reorder:
+            # release the reorder hold: per key, emit (and number)
+            # buffered matches in start order up to the first start
+            # any alternative still holds undecided
+            for kt in list(pending_out):
+                sts = alt_states.get(kt)
+                cands: list[int] = []
+                if sts is not None:
+                    for st in sts:
+                        cands.extend(r.start_ord for r in st.runs)
+                cands.extend(alt_helds.get(kt) or ())
+                undecided = min(cands) if cands else None
+                pend = pending_out[kt]
+                for s in sorted(pend):
+                    if undecided is not None and s[0] > undecided:
+                        break  # a strictly-earlier start is undecided
+                    _emit_now(kt, pend.pop(s))
+                if not pend:
+                    del pending_out[kt]
+
         # keep state alive while match_nos is non-empty even if no runs
         # remain: dropping it would restart MATCH_NUMBER at 1 after a
         # quiescent period, diverging from batch numbering (the
@@ -1761,12 +1809,20 @@ def match_pattern_stream_alternation(
             buffer is None
             and not alt_states
             and not match_nos
+            and not pending_out
             and (nav_tails is None or not len(nav_tails))
         ):
             state.remove()
         else:
             alt_helds = {k: h for k, h in alt_helds.items() if h}
-            if nav_conf is not None:
+            if alt_reorder:
+                # the reorder hold appends a 6th element; nav_tails
+                # rides along (None when the spec has no nav)
+                blob = pickle.dumps(
+                    (buffer, alt_states, alt_helds, match_nos,
+                     nav_tails, pending_out)
+                )
+            elif nav_conf is not None:
                 blob = pickle.dumps(
                     (buffer, alt_states, alt_helds, match_nos, nav_tails)
                 )

@@ -878,23 +878,40 @@ def test_streaming_alternation_all_rows_running_matches_batch(
     assert got == batch
 
 
-def test_streaming_alternation_all_rows_rejects_overlapping_skip(
+def test_streaming_alternation_all_rows_overlapping_matches_batch(
     spark, tmp_path
 ):
-    """Streaming ALL ROWS alternation boundary: SKIP TO NEXT ROW
-    (overlapping matches complete out of start order) stays a loud
-    batch-tier reject — match_seq needs batch's start-order
-    numbering."""
-    schema_dir = tmp_path / "in"
-    schema_dir.mkdir()
-    stream = spark.readStream.schema(
+    """Round 13: ALL ROWS alternation under SKIP TO NEXT ROW — the
+    former loud reject — streams via the (start, end, alternative)
+    reorder hold; multi-micro-batch replay must equal batch's
+    renumbered output exactly."""
+    import datetime as dtm
+    import random as _r
+    import time as _t
+
+    rng = _r.Random(5)
+    rows = []
+    for key in range(6):
+        for i in range(40):
+            rows.append(
+                (
+                    f"k{key}",
+                    dtm.datetime(2024, 1, 1) + dtm.timedelta(minutes=i),
+                    i,
+                    20.0 if rng.random() < 0.5 else 5.0,
+                    20.0 if rng.random() < 0.5 else 2.0,
+                )
+            )
+    rows.append(("k0", dtm.datetime(2024, 1, 2), 10**6, 50.0, 50.0))
+    df = spark.createDataFrame(
+        rows,
         "id string, event_time timestamp, seq long, "
-        "balanceBefore double, balanceAfter double"
-    ).parquet(str(schema_dir))
+        "balanceBefore double, balanceAfter double",
+    )
     body = """
       PARTITION BY id
-      ORDER BY event_time
-      MEASURES CLASSIFIER() AS outcome
+      ORDER BY event_time, seq
+      MEASURES CLASSIFIER() AS outcome, MATCH_NUMBER() AS mn
       ALL ROWS PER MATCH
       AFTER MATCH SKIP TO NEXT ROW
       PATTERN (A C | A B{2})
@@ -903,5 +920,136 @@ def test_streaming_alternation_all_rows_rejects_overlapping_skip(
         B AS B.balanceBefore >= B.balanceAfter,
         C AS C.balanceBefore < C.balanceAfter
     """
-    with pytest.raises(NotImplementedError, match="SKIP PAST LAST"):
-        match_recognize(stream, body)
+    batch = sorted(map(tuple, match_recognize(df, body).collect()))
+    assert batch
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "alt_overlap")
+    base = dtm.datetime(2024, 1, 1)
+    for lo, hi in ((0, 15), (15, 30), (30, 10**7)):
+        df.filter(
+            (F.col("event_time") >= base + dtm.timedelta(minutes=lo))
+            & (F.col("event_time") < base + dtm.timedelta(minutes=hi))
+        ).coalesce(1).write.mode("append").parquet(src)
+        _t.sleep(1.1)
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = match_recognize(stream, body)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("alt_overlap_mem")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(map(tuple, spark.table("alt_overlap_mem").collect()))
+    assert got == batch
+
+
+def test_streaming_alternation_eager_no_skip_numbering(spark, tmp_path):
+    """Round-13 silent-wrong fix: eager NO_SKIP alternation with
+    alternatives of DIFFERENT lengths — (A C | A D{3}) — lets start s
+    complete via the 4-row branch AFTER start s+1 completed via the
+    2-row one, so the old completion-order counter mis-numbered both
+    (and batch also emits BOTH branches from one start, so the hold
+    must key (start, end, alternative), not start alone). Crafted
+    corpus + seeded random differential, batch equality exact."""
+    import datetime as dtm
+    import random as _r
+
+    from flink_cep_examples_spark.operators.cep_batch import (
+        match_pattern_alternation,
+    )
+    from flink_cep_examples_spark.plans.pattern import (
+        Measure,
+        NO_SKIP,
+        PatternSpec,
+        PatternVar,
+        TIMES,
+    )
+    from flink_cep_examples_spark.plans.pattern import (
+        AlternationSpec as ASpec,
+    )
+    from flink_cep_examples_spark.streaming.cep_stream import (
+        match_pattern_stream_alternation,
+    )
+
+    mk = lambda *vs: PatternSpec(
+        variables=vs, key_cols=("id",), order_col="event_time",
+        after_match=NO_SKIP,
+    )
+    spec = ASpec(
+        alternatives=(
+            mk(PatternVar("A", "fa"), PatternVar("C", "fc")),
+            mk(
+                PatternVar("A", "fa"),
+                PatternVar("D", "fd", quantifier=TIMES, times=(3, 3)),
+            ),
+        ),
+        measures=(
+            Measure("start_seq", "A", "seq", "first"),
+            Measure("cls", "", "", "classifier"),
+            Measure("mno", "", "", "match_number"),
+        ),
+    )
+    schema = (
+        "id string, event_time timestamp, seq long, "
+        "fa boolean, fc boolean, fd boolean"
+    )
+
+    def run_case(rows, name):
+        df = spark.createDataFrame(rows, schema)
+        batch = sorted(
+            map(tuple, match_pattern_alternation(df, spec).collect())
+        )
+        src = tmp_path / name
+        df.coalesce(1).write.parquet(str(src))
+        stream = spark.readStream.schema(df.schema).parquet(str(src))
+        out = match_pattern_stream_alternation(
+            stream, spec, watermark_delay="0 seconds"
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            map(tuple, spark.sql(f"SELECT * FROM {name}").collect())
+        )
+        assert got == batch, (name, got[:4], batch[:4])
+        return len(batch)
+
+    # crafted out-of-order completion: fa@0,1; fd@1,2,3; fc@2
+    flags = [
+        (True, False, False),
+        (True, False, True),
+        (False, True, True),
+        (False, False, True),
+        (False, False, False),
+    ]
+    rows = [
+        ("k", dtm.datetime(2020, 5, 1) + dtm.timedelta(minutes=i), i, a, c, d)
+        for i, (a, c, d) in enumerate(flags)
+    ]
+    assert run_case(rows, "eager_crafted") == 2
+
+    rng = _r.Random(11)
+    rows = []
+    for key in range(8):
+        for i in range(40):
+            rows.append(
+                (
+                    f"k{key}",
+                    dtm.datetime(2020, 5, 1) + dtm.timedelta(minutes=i),
+                    i,
+                    rng.random() < 0.5,
+                    rng.random() < 0.3,
+                    rng.random() < 0.65,
+                )
+            )
+    assert run_case(rows, "eager_random") >= 50

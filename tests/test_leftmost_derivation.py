@@ -322,17 +322,29 @@ def test_alternation_all_rows_with_exclusion(spark):
 
 def test_alternation_all_rows_streaming_boundary(spark, tmp_path):
     """ALL ROWS alternation streams since round 11 under SKIP PAST
-    LAST + eager (tests/test_alternation.py has the agreement test);
-    the SKIP TO NEXT shape — overlapping matches complete out of start
-    order, so match_seq can't reproduce batch's numbering — must raise
-    clearly, naming the eligible strategy."""
+    LAST + eager; since round 13 the SKIP TO NEXT shape (leftmost
+    group expansion, overlapping matches) streams too via the
+    (start, end, alternative) reorder hold — agreement with batch's
+    renumbered output, held matches resolving across the replay."""
     body = _BODY_TO_NEXT.replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH")
-    df = _df(spark, [D, U])
-    src = tmp_path / "src"
-    df.coalesce(1).write.parquet(str(src))
-    stream = spark.readStream.schema(df.schema).parquet(str(src))
-    with pytest.raises(NotImplementedError, match="SKIP PAST LAST"):
-        match_recognize(stream, body)
+    for tag, ms in (("a", [D, U, X]), ("b", [D, U, D, U, D, U, X])):
+        df = _df(spark, ms)
+        batch = sorted(map(tuple, match_recognize(df, body).collect()))
+        assert batch
+        src = tmp_path / f"sab_{tag}"
+        df.coalesce(1).write.parquet(str(src))
+        stream = spark.readStream.schema(df.schema).parquet(str(src))
+        out = match_recognize(stream, body, watermark_delay="0 seconds")
+        q = (
+            out.writeStream.format("memory")
+            .queryName(f"sab_{tag}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(map(tuple, spark.table(f"sab_{tag}").collect()))
+        assert got == batch, (tag, got, batch)
 
 
 def test_alternation_all_rows_rejects_variable_width():
@@ -512,18 +524,41 @@ def test_streaming_alternation_match_number_agrees_with_batch(spark, tmp_path):
     assert got == batch and len(batch) >= 3
 
 
-def test_streaming_alternation_match_number_rejected_for_leftmost(spark, tmp_path):
-    """Leftmost resolution order can differ at watermark boundaries,
-    so MATCH_NUMBER stays batch-tier there — clear error."""
+def test_streaming_alternation_match_number_leftmost_matches_batch(
+    spark, tmp_path
+):
+    """Round 13: MATCH_NUMBER under leftmost derivation streams via
+    the (start, end, alternative) reorder hold — the former loud
+    reject ("resolution order can differ at watermark boundaries") is
+    closed by buffering completions until no earlier start is
+    undecided, which reproduces batch's renumbering whatever the
+    resolution order was."""
     body = _BODY_TO_NEXT.replace(
         "COUNT(D.*) AS nd", "MATCH_NUMBER() AS mn, COUNT(D.*) AS nd"
     )
-    df = _df(spark, [D, U])
-    src = tmp_path / "src2"
-    df.coalesce(1).write.parquet(str(src))
-    stream = spark.readStream.schema(df.schema).parquet(str(src))
-    with pytest.raises(NotImplementedError, match="match_number|MATCH"):
-        match_recognize(stream, body)
+    # every corpus ends with an inert row so the stream's held runs
+    # die at a CONSUMED row (batch resolves the same holds at
+    # end-of-input; an open-ended stream would rightly keep waiting)
+    for tag, ms in (("a", [D, U, X]), ("b", [D, U, D, U, D, U, X]),
+                    ("c", [D, U, D, X, D, U, D, U, X])):
+        df = _df(spark, ms)
+        batch = sorted(map(tuple, match_recognize(df, body).collect()))
+        src = tmp_path / f"src_{tag}"
+        df.coalesce(1).write.parquet(str(src))
+        stream = spark.readStream.schema(df.schema).parquet(str(src))
+        out = match_recognize(stream, body, watermark_delay="0 seconds")
+        q = (
+            out.writeStream.format("memory")
+            .queryName(f"lmn_{tag}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            map(tuple, spark.table(f"lmn_{tag}").collect())
+        )
+        assert got == batch, (tag, got, batch)
 
 
 def test_alternation_all_rows_running_measures(spark):
