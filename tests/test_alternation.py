@@ -1053,3 +1053,101 @@ def test_streaming_alternation_eager_no_skip_numbering(spark, tmp_path):
                 )
             )
     assert run_case(rows, "eager_random") >= 50
+
+
+def test_streaming_alternation_reorder_hold_survives_restart(
+    spark, tmp_path
+):
+    """The reorder hold is STATE: stop the query while start s+1's
+    completed match is buffered behind the still-undecided start s
+    (its longer branch needs a row from the next file), restart from
+    the checkpoint, feed the rest — the restored hold must release
+    both matches in batch's (start, end, alternative) order."""
+    import datetime as dtm
+
+    from flink_cep_examples_spark.operators.cep_batch import (
+        match_pattern_alternation,
+    )
+    from flink_cep_examples_spark.plans.pattern import (
+        Measure,
+        NO_SKIP,
+        PatternSpec,
+        PatternVar,
+        TIMES,
+    )
+    from flink_cep_examples_spark.plans.pattern import (
+        AlternationSpec as ASpec,
+    )
+    from flink_cep_examples_spark.streaming.cep_stream import (
+        match_pattern_stream_alternation,
+    )
+
+    mk = lambda *vs: PatternSpec(
+        variables=vs, key_cols=("id",), order_col="event_time",
+        after_match=NO_SKIP,
+    )
+    spec = ASpec(
+        alternatives=(
+            mk(PatternVar("A", "fa"), PatternVar("C", "fc")),
+            mk(
+                PatternVar("A", "fa"),
+                PatternVar("D", "fd", quantifier=TIMES, times=(3, 3)),
+            ),
+        ),
+        measures=(
+            Measure("start_seq", "A", "seq", "first"),
+            Measure("cls", "", "", "classifier"),
+            Measure("mno", "", "", "match_number"),
+        ),
+    )
+    flags = [  # (fa, fc, fd): s0 → A D D D (needs row 3), s1 → A C @ 2
+        (True, False, False),
+        (True, False, True),
+        (False, True, True),
+        (False, False, True),
+        (False, False, False),
+    ]
+    rows = [
+        ("k", dtm.datetime(2020, 5, 1) + dtm.timedelta(minutes=i), i, a, c, d)
+        for i, (a, c, d) in enumerate(flags)
+    ]
+    schema = (
+        "id string, event_time timestamp, seq long, "
+        "fa boolean, fc boolean, fd boolean"
+    )
+    df = spark.createDataFrame(rows, schema)
+    batch = sorted(map(tuple, match_pattern_alternation(df, spec).collect()))
+    assert [b[3] for b in batch] == [1, 2]  # two matches, s0 numbered 1
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+    chk = str(tmp_path / "chk")
+    sink = str(tmp_path / "out")
+    df.filter(F.col("seq") <= 2).coalesce(1).write.parquet(str(src / "p1"))
+
+    def run_once():
+        stream = spark.readStream.schema(df.schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        out = match_pattern_stream_alternation(
+            stream, spec, watermark_delay="0 seconds"
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()  # s1's match completes but must stay HELD behind s0
+    mid = sorted(map(tuple, spark.read.parquet(sink).collect()))
+    assert mid == [], mid  # nothing may emit before s0 decides
+    df.filter(F.col("seq") > 2).coalesce(1).write.parquet(str(src / "p2"))
+    run_once()  # restored hold releases s0 then s1
+    got = sorted(map(tuple, spark.read.parquet(sink).collect()))
+    assert got == batch
