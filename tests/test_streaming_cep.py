@@ -253,8 +253,9 @@ def test_streaming_classifier_matches_batch(spark, sf_small, tmp_path):
     """CLASSIFIER() through the streaming operator (round 4): the
     measure reads the match's own span ordinals, so it needs no extra
     state; the streamed replay must reproduce the batch rows exactly.
-    (MATCH_NUMBER stays batch-only by design: a per-key lifetime
-    counter would be unbounded state.)"""
+    (MATCH_NUMBER, batch-only when this test was written, streams
+    since round 5 via the per-key match_nos counter — and since round
+    13 under every skip/derivation combo via the reorder hold.)"""
     import dataclasses
 
     from pyspark.sql import functions as F
