@@ -858,8 +858,9 @@ def docs_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_NB_QUALITY = rf"""
-WITH base AS (
+#: the NB model/label CTE chain (base … prior), reusable by composed
+#: oracles (corpus_ingest_pipeline chains it after the decontam CTEs)
+NB_QUALITY_CTES = rf"""base AS (
   SELECT doc_id,
          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
   FROM documents
@@ -907,8 +908,11 @@ prior AS (
              - ln(SUM(CASE WHEN NOT rule_good THEN 1 ELSE 0 END) + 1)
          ) * 1e9 + 0.5) AS BIGINT) AS lpq
   FROM lab
-)
-SELECT btf.doc_id,
+)"""
+
+#: per-doc scoring select over the CTE chain (no trailing semicolon so
+#: composed oracles can wrap it as a further CTE)
+NB_QUALITY_SELECT = """SELECT btf.doc_id,
        ANY_VALUE(btf.rule_good) AS rule_good,
        CAST(SUM(btf.tf) AS BIGINT) AS n_feats,
        CAST(CAST(SUM(btf.tf * lw.lwq) AS BIGINT)
@@ -916,7 +920,11 @@ SELECT btf.doc_id,
        (CAST(SUM(btf.tf * lw.lwq) AS BIGINT)
           + ANY_VALUE(prior.lpq)) > 0 AS pred_good
 FROM btf JOIN lw USING (b), prior
-GROUP BY btf.doc_id
+GROUP BY btf.doc_id"""
+
+ORACLE_NB_QUALITY = f"""
+WITH {NB_QUALITY_CTES}
+{NB_QUALITY_SELECT}
 """
 
 

@@ -83,6 +83,117 @@ WHERE q.keep
 register("corpus_clean_pipeline", corpus_clean_pipeline, ORACLE_PIPELINE, driver=False)
 
 
+def corpus_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 13: the INGEST-TIME curation pipeline as one composed,
+    oracle-gated query — the batch twin of the single streaming job in
+    examples/ingest_curation_stream.py (each stage independently
+    bit-agrees with its streamed form):
+
+    1. decontamination — drop arriving (non-eval) docs sharing an
+       8-token window hash with the frozen eval slice
+       (:func:`queries.decontam.docs_decontaminate`);
+    2. learned quality — keep docs the NB classifier predicts good
+       (:func:`queries.curation.docs_nb_quality_classifier`);
+    3. token budget   — fill per-language budgets (derived from the
+       SURVIVING token mass, the mix the budget is actually cut
+       against) with the minimal deterministic hash-order prefix
+       (:func:`queries.sampling.token_budget_prefix`).
+
+    Scale shape: stage 1's corpus side never shuffles on text (int64
+    window hashes, broadcast eval side); stage 2 is one token
+    reduction + a B+16-row broadcast model; stage 3's wide shuffle is
+    O(selected boundary rows). The assembly joins ship one id column;
+    AQE picks broadcast vs shuffle. The oracle chains all three
+    stages' oracle SQL, so the gate checks the COMPOSITION."""
+    from flink_cep_examples_spark.queries.curation import (
+        docs_nb_quality_classifier,
+    )
+    from flink_cep_examples_spark.queries.decontam import (
+        _MIX as _DMIX,
+        _MOD as _DMOD,
+        EVAL_MOD,
+        EVAL_RESIDUE,
+        docs_decontaminate,
+    )
+    from flink_cep_examples_spark.queries.sampling import (
+        token_budget_prefix,
+    )
+    from flink_cep_examples_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    arriving = docs.filter(
+        f"(doc_id * {_DMIX}) % {_DMOD} % {EVAL_MOD} != {EVAL_RESIDUE}"
+    ).select("doc_id", "lang", "n_chars")
+    contaminated = docs_decontaminate(spark, sf_dir).select("doc_id")
+    good = (
+        docs_nb_quality_classifier(spark, sf_dir)
+        .where("pred_good")
+        .select("doc_id")
+    )
+    survivors = arriving.join(contaminated, "doc_id", "left_anti").join(
+        good, "doc_id"
+    )
+    return token_budget_prefix(survivors)
+
+
+def _oracle_ingest() -> str:
+    from flink_cep_examples_spark.queries.curation import (
+        NB_QUALITY_CTES,
+        NB_QUALITY_SELECT,
+    )
+    from flink_cep_examples_spark.queries.decontam import (
+        _MIX as _DMIX,
+        _MOD as _DMOD,
+        EVAL_MOD,
+        EVAL_RESIDUE,
+        ORACLE_DECONTAM,
+    )
+    from flink_cep_examples_spark.queries.sampling import (
+        _TB_PCT,
+        _TB_PCT_DEFAULT,
+    )
+
+    return f"""
+WITH ct AS ({ORACLE_DECONTAM}),
+{NB_QUALITY_CTES},
+nb AS ({NB_QUALITY_SELECT}),
+surv AS (
+  SELECT d.doc_id, d.lang, (d.n_chars + 3) // 4 AS tok,
+         (d.doc_id * {_DMIX}) % {_DMOD} AS h
+  FROM documents d JOIN nb USING (doc_id)
+  WHERE (d.doc_id * {_DMIX}) % {_DMOD} % {EVAL_MOD} != {EVAL_RESIDUE}
+    AND nb.pred_good
+    AND d.doc_id NOT IN (SELECT doc_id FROM ct)
+),
+bgt AS (
+  SELECT lang,
+         (SUM(tok) * CASE lang WHEN 'en' THEN {_TB_PCT["en"]}
+                               WHEN 'zh' THEN {_TB_PCT["zh"]}
+                               ELSE {_TB_PCT_DEFAULT} END) // 100 AS budget
+  FROM surv GROUP BY lang
+),
+c AS (
+  SELECT surv.doc_id, surv.lang, surv.tok, bgt.budget,
+         COALESCE(SUM(surv.tok) OVER (
+           PARTITION BY surv.lang ORDER BY surv.h, surv.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM surv JOIN bgt USING (lang)
+)
+SELECT doc_id, lang, tok FROM c WHERE cum_before < budget
+"""
+
+
+register(
+    "corpus_ingest_pipeline",
+    corpus_ingest_pipeline,
+    _oracle_ingest(),
+    # round 13 registration after the gate filled: joins the
+    # never-verified pool at the head of the r14 promotion queue
+    driver=False,
+)
+
+
 def corpus_winnow_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 6 (stretch): winnowing-based dedup pipeline — the MOSS
     shape a real curation run uses, composed from three independently

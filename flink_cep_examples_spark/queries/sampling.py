@@ -191,6 +191,14 @@ def docs_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact per-document window. The wide shuffle is O(selected
     boundary rows), not O(corpus)."""
     docs = load_table(spark, sf_dir, "documents")
+    return token_budget_prefix(docs)
+
+
+def token_budget_prefix(docs: DataFrame) -> DataFrame:
+    """The bucket-prefiltered minimal-prefix selection over any
+    (doc_id, lang, n_chars) DataFrame — shared by the catalog query
+    and the composed ingest-pipeline query, which runs it over the
+    decontaminated + quality-gated survivors."""
     pct = F.lit(_TB_PCT_DEFAULT)
     for lang, p in _TB_PCT.items():
         pct = F.when(F.col("lang") == lang, F.lit(p)).otherwise(pct)
@@ -227,7 +235,19 @@ def docs_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("budget") - F.col("cum_before")).alias("rem"),
         )
     )
-    joined = d.join(F.broadcast(live), ["lang", "b"])
+    # materialize the live-bucket table through the driver — BOUNDED by
+    # construction (≤4096 buckets × #languages, whatever the corpus
+    # size). This is correctness, not just hygiene: `live` shares
+    # lineage with `d`, and Spark's ambiguous-self-join resolution
+    # silently DROPPED upstream join filters on one branch when the
+    # input was itself a join (the composed ingest pipeline emitted a
+    # doc not in its own input — caught by the composition oracle).
+    # A fresh literal DataFrame cannot alias anything in `d`.
+    spark = docs.sparkSession
+    live_df = spark.createDataFrame(
+        live.collect(), "lang string, b bigint, whole boolean, rem bigint"
+    )
+    joined = d.join(F.broadcast(live_df), ["lang", "b"])
     kept_whole = joined.filter("whole")
     wbucket = (
         Window.partitionBy("lang", "b")

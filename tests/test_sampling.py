@@ -277,3 +277,32 @@ def test_token_budget_mix_edge_cases(spark, tmp_path):
     assert by_lang.get("aa") == {1}
     assert "bb" not in by_lang
     assert by_lang.get("cc") == {4, 5}
+
+
+def test_token_budget_prefix_respects_joined_input(spark, sf_small):
+    """Round-13 regression: token_budget_prefix over a LAZY joined
+    input (anti-join + semi-join lineage, the composed ingest
+    pipeline's shape) must emit only rows from its input — Spark's
+    ambiguous-self-join resolution silently dropped the upstream join
+    filters on one branch before the live-bucket table was
+    materialized through the driver, emitting a doc not in the input.
+    The kept set must also equal the prefix over the same rows
+    materialized (lineage-free control)."""
+    from flink_cep_examples_spark.queries.sampling import (
+        token_budget_prefix,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    drop = docs.filter("doc_id % 7 = 0").select("doc_id")
+    keep = docs.filter("n_chars % 3 != 1").select("doc_id")
+    surv = (
+        docs.select("doc_id", "lang", "n_chars")
+        .join(drop, "doc_id", "left_anti")
+        .join(keep, "doc_id")
+    )
+    surv_ids = {r.doc_id for r in surv.collect()}
+    lazy = {r.doc_id for r in token_budget_prefix(surv).collect()}
+    assert lazy <= surv_ids, sorted(lazy - surv_ids)[:5]
+    control_df = spark.createDataFrame(surv.collect(), surv.schema)
+    control = {r.doc_id for r in token_budget_prefix(control_df).collect()}
+    assert lazy == control
