@@ -271,10 +271,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_pair_ctes() -> str:
-    """The shared CTE chain ending in a ``pairs`` relation
-    (doc_a, doc_b, est_jaccard) — composed by both the pair oracle and
-    the clustering oracle."""
+def _minhash_banded_ctes() -> str:
+    """The shared CTE chain ending in ``exploded`` — one row per
+    (doc_id, band_key) with the mh columns along — composed by the
+    pair/clustering oracles and the novelty-check oracle."""
     mins = ",\n         ".join(
         f"list_min([({a} * h + {b}) % {P} FOR h IN hs]) AS mh{i}"
         for i, (a, b) in enumerate(MINHASH_AB)
@@ -318,7 +318,18 @@ exploded AS (
   SELECT doc_id, {", ".join(f"mh{i}" for i in range(NUM_HASHES))},
          unnest([{", ".join(f"bk{b}" for b in range(BANDS))}]) AS band_key
   FROM banded
-),
+)"""
+
+
+def _minhash_pair_ctes() -> str:
+    """The banded chain plus the ``pairs`` relation
+    (doc_a, doc_b, est_jaccard) — composed by both the pair oracle and
+    the clustering oracle."""
+    est = " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END"
+        for i in range(NUM_HASHES)
+    )
+    return f"""{_minhash_banded_ctes()},
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          CAST(({est}) AS DOUBLE) / {NUM_HASHES} AS est_jaccard
@@ -678,6 +689,94 @@ register(
     "dedup_minhash_lsh", dedup_minhash_lsh, _oracle_minhash(),
     driver=False,  # r4.2 rotation: driver-verified green in r2+r3; pytest-gated
 )
+#: deterministic "arriving" slice for the novelty check: 5% of docs
+#: play the ingest batch, the rest the frozen corpus
+NOVELTY_MOD, NOVELTY_RESIDUE = 20, 3
+_NMIX, _NMOD = 2654435761, 1 << 32
+
+
+def docs_novelty_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 13: frozen-corpus novelty check as an oracled catalog
+    query — "is this arriving doc an LSH near-dup candidate of
+    anything the corpus already holds?" (the batch twin of
+    streaming/dedup_stream.py::novelty_check_stream, which serves the
+    same question off a persisted band index at ingest). A
+    deterministic 5% hash slice plays the arriving batch; one row per
+    FLAGGED arriving doc with its collided-band count and the
+    smallest colliding corpus doc. Band keys are the md5-mode MinHash
+    bands the dedup oracles pin bit-exactly.
+
+    Scale shape: signatures are map-side-combinable min aggregates;
+    the index side reduces to one row per distinct (band_key) BEFORE
+    the join (min owner, never the member list); the join ships
+    32-byte keys, fan-out bounded by bucket size. The arriving side
+    is ingest-batch-sized by definition."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = _minhash_signatures(docs)
+    mh = [F.col(f"mh{i}") for i in range(NUM_HASHES)]
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.lit(bi),
+                    *mh[bi * ROWS_PER_BAND : (bi + 1) * ROWS_PER_BAND],
+                )
+            )
+            for bi in range(BANDS)
+        ]
+    )
+    exploded = sig.select(
+        "doc_id", F.explode(band_keys).alias("band_key")
+    )
+    arriving_pred = (
+        (F.col("doc_id") * F.lit(_NMIX)) % F.lit(_NMOD) % NOVELTY_MOD
+        == NOVELTY_RESIDUE
+    )
+    index = (
+        exploded.filter(~arriving_pred)
+        .groupBy("band_key")
+        .agg(F.min("doc_id").alias("owner_id"))
+    )
+    return (
+        exploded.filter(arriving_pred)
+        .join(index, "band_key")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("band_key").alias("n_bands_hit"),
+            F.min("owner_id").alias("owner_id"),
+        )
+    )
+
+
+def _oracle_novelty() -> str:
+    return f"""
+WITH {_minhash_banded_ctes()},
+idx AS (
+  SELECT band_key, MIN(doc_id) AS owner_id
+  FROM exploded
+  WHERE (doc_id * {_NMIX}) % {_NMOD} % {NOVELTY_MOD} != {NOVELTY_RESIDUE}
+  GROUP BY band_key
+)
+SELECT e.doc_id,
+       COUNT(DISTINCT e.band_key) AS n_bands_hit,
+       MIN(idx.owner_id) AS owner_id
+FROM exploded e JOIN idx USING (band_key)
+WHERE (e.doc_id * {_NMIX}) % {_NMOD} % {NOVELTY_MOD} = {NOVELTY_RESIDUE}
+GROUP BY e.doc_id
+"""
+
+
+register(
+    "docs_novelty_check",
+    docs_novelty_check,
+    _oracle_novelty(),
+    # round 13 registration after the gate filled: joins the
+    # never-verified pool at the head of the r14 promotion queue
+    driver=False,
+)
+
+
 register("dedup_simhash", dedup_simhash, _oracle_simhash(), driver=False,  # r4 rotation: driver-verified green in r2+r3; pytest-gated now
 )
 

@@ -126,3 +126,41 @@ def test_cosine_dup_blocking_recall_floor(spark, sf_oracle):
     recall = len(found & true_pairs) / max(1, len(true_pairs))
     assert recall >= 2 / 59, f"recall regressed below round 1: {recall:.3f}"
     assert recall >= 0.12, f"recall below measured design floor: {recall:.3f}"
+
+
+def test_novelty_check_consistent_with_lsh_pairs(spark, sf_small):
+    """docs_novelty_check (round 13): the flagged arriving docs are
+    EXACTLY the arriving-slice docs that appear in an LSH candidate
+    pair with a corpus-slice doc (shared ≥1 band — the same keys
+    dedup_minhash_lsh buckets on), and each owner really is a corpus
+    doc from one of its pairs."""
+    from flink_cep_examples_spark.queries.dedup import (
+        _NMIX,
+        _NMOD,
+        NOVELTY_MOD,
+        NOVELTY_RESIDUE,
+    )
+
+    def arriving(doc_id):
+        return (doc_id * _NMIX) % _NMOD % NOVELTY_MOD == NOVELTY_RESIDUE
+
+    flagged = {
+        r.doc_id: r.owner_id
+        for r in QUERIES["docs_novelty_check"](spark, sf_small).collect()
+    }
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["dedup_minhash_lsh"](spark, sf_small).collect()
+    ]
+    expected = set()
+    for a, b in pairs:
+        if arriving(a) != arriving(b):
+            expected.add(a if arriving(a) else b)
+    assert set(flagged) == expected
+    for d, owner in flagged.items():
+        assert not arriving(owner)
+        assert any(
+            {a, b} == {d, owner} or owner in (a, b)
+            for a, b in pairs
+            if d in (a, b)
+        )

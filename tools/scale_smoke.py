@@ -83,6 +83,7 @@ SMOKE = [
     "docs_token_budget_mix",  # round-13 bucket-prefiltered budget fill
     "docs_nb_quality_classifier",  # round-13 NB quality filter
     "docs_bigram_logprob",  # round-13 interpolated bigram LM
+    "corpus_ingest_pipeline",  # round-13 composed ingest pipeline
 ]
 
 
