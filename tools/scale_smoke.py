@@ -84,6 +84,7 @@ SMOKE = [
     "docs_nb_quality_classifier",  # round-13 NB quality filter
     "docs_bigram_logprob",  # round-13 interpolated bigram LM
     "corpus_ingest_pipeline",  # round-13 composed ingest pipeline
+    "docs_novelty_check",  # round-13 frozen-corpus novelty twin
 ]
 
 
