@@ -87,6 +87,12 @@ HEADLINE = [
 #: documented ±40% band, not a query-specific regression. Neither
 #: query's code changed since r4.
 BENCH_NOTES = (
+    "r13 closing bench 59.54 s (1.083x vs r12, in-band; stream 176.7k "
+    "ev/s, batch 98.1k ev/s). Two in-bench flags (cep_group_loop_"
+    "all_rows 3.0x, events_hll_distinct 2.5x - neither touched by "
+    "r13 code) adjudicated by solo min-of-5 with the settled "
+    "text_fingerprint control: mins 0.559/0.530 = 1.06x/1.03x vs "
+    "r12, control 0.388 healthy - transient in-bench contention. "
     "r13 late-session self-bench AFTER all round-13 additions "
     "(token-budget mix, NB classifier + serve, bigram LM, ingest "
     "twins, IVF append): 48 common queries 50.64 s vs 54.97 r12 = "
