@@ -1151,3 +1151,109 @@ def test_streaming_alternation_reorder_hold_survives_restart(
     run_once()  # restored hold releases s0 then s1
     got = sorted(map(tuple, spark.read.parquet(sink).collect()))
     assert got == batch
+
+
+@pytest.mark.parametrize(
+    "after_name,derivation",
+    [
+        ("no_skip", "eager"),
+        ("skip_to_next", "eager"),
+        ("no_skip", "leftmost"),
+        ("skip_to_next", "leftmost"),
+    ],
+)
+def test_streaming_alternation_overlap_combo_differential(
+    spark, tmp_path, after_name, derivation
+):
+    """Round-13 combo battery: every overlapping-skip × derivation
+    pair streams MATCH_NUMBER through the reorder hold and must equal
+    batch on a seeded random corpus (the probe that exposed the eager
+    NO_SKIP mis-numbering, kept as a permanent differential)."""
+    import datetime as dtm
+    import random as _r
+
+    from flink_cep_examples_spark.plans.pattern import (
+        Measure,
+        NO_SKIP,
+        PatternSpec,
+        PatternVar,
+        SKIP_TO_NEXT,
+        TIMES,
+    )
+    from flink_cep_examples_spark.plans.pattern import (
+        AlternationSpec as ASpec,
+    )
+    from flink_cep_examples_spark.streaming.cep_stream import (
+        match_pattern_stream_alternation,
+    )
+
+    after = NO_SKIP if after_name == "no_skip" else SKIP_TO_NEXT
+    mk = lambda *vs: PatternSpec(
+        variables=vs, key_cols=("id",), order_col="event_time",
+        after_match=after,
+    )
+    spec = ASpec(
+        alternatives=(
+            mk(PatternVar("A", "fa"), PatternVar("C", "fc")),
+            mk(
+                PatternVar("A", "fa"),
+                PatternVar("D", "fd", quantifier=TIMES, times=(3, 3)),
+            ),
+        ),
+        measures=(
+            Measure("start_seq", "A", "seq", "first"),
+            Measure("cls", "", "", "classifier"),
+            Measure("mno", "", "", "match_number"),
+        ),
+        derivation=derivation,
+    )
+    rng = _r.Random(11)
+    rows = []
+    for key in range(6):
+        for i in range(35):
+            rows.append(
+                (
+                    f"k{key}",
+                    dtm.datetime(2020, 5, 1) + dtm.timedelta(minutes=i),
+                    i,
+                    rng.random() < 0.5,
+                    rng.random() < 0.3,
+                    rng.random() < 0.65,
+                )
+            )
+        # inert flush row: kills every live run at a CONSUMED row so
+        # the stream's reorder hold releases exactly what batch
+        # resolves at end-of-input (an open-ended stream would
+        # rightly keep a trailing start undecided)
+        rows.append(
+            (
+                f"k{key}",
+                dtm.datetime(2020, 5, 1) + dtm.timedelta(minutes=40),
+                40,
+                False,
+                False,
+                False,
+            )
+        )
+    df = spark.createDataFrame(rows, _SCHEMA)
+    batch = sorted(
+        map(tuple, match_pattern_alternation(df, spec).collect())
+    )
+    assert batch
+    name = f"combo_{after_name}_{derivation}"
+    src = tmp_path / name
+    df.coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    out = match_pattern_stream_alternation(
+        stream, spec, watermark_delay="0 seconds"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql(f"SELECT * FROM {name}").collect()))
+    assert got == batch
