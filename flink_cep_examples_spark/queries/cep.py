@@ -3620,7 +3620,8 @@ register(
     "cep_group_loop_all_rows",
     cep_group_loop_all_rows,
     ORACLE_GROUP_LOOP_ALL_ROWS,
-    # round 7: loop-group ALL ROWS — straight into the driver gate
+    # r14 rotation: driver-verified green r7-r13; pytest-gated now
+    driver=False,
 )
 
 
@@ -3894,7 +3895,8 @@ register(
     "cep_group_loop_all_rows_excl",
     cep_group_loop_all_rows_excl,
     ORACLE_GROUP_LOOP_ALL_ROWS_EXCL,
-    # round 7: exclusion inside a loop group — straight into the gate
+    # r14 rotation: driver-verified green r7-r13; pytest-gated now
+    driver=False,
 )
 
 

@@ -572,9 +572,8 @@ register(
     "docs_bigram_logprob",
     docs_bigram_logprob,
     ORACLE_BIGRAM_LM,
-    # round 13 registration after the gate filled: joins the
-    # never-verified pool at the head of the r14 promotion queue
-    driver=False,
+    # r14 rotation: promoted into the driver gate (never-verified pool)
+    driver=True,
 )
 
 
@@ -932,9 +931,8 @@ register(
     "docs_nb_quality_classifier",
     docs_nb_quality_classifier,
     ORACLE_NB_QUALITY,
-    # round 13 registration after the gate filled: joins the
-    # never-verified pool at the head of the r14 promotion queue
-    driver=False,
+    # r14 rotation: promoted into the driver gate (never-verified pool)
+    driver=True,
 )
 
 

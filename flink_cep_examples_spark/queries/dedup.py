@@ -771,9 +771,8 @@ register(
     "docs_novelty_check",
     docs_novelty_check,
     _oracle_novelty(),
-    # round 13 registration after the gate filled: joins the
-    # never-verified pool at the head of the r14 promotion queue
-    driver=False,
+    # r14 rotation: promoted into the driver gate (never-verified pool)
+    driver=True,
 )
 
 
@@ -1104,7 +1103,8 @@ register(
     "docs_winnowing_overlap",
     docs_winnowing_overlap,
     ORACLE_WINNOW_OVERLAP,
-    # r6 rotation: promoted — never driver-verified before
+    # r14 rotation: driver-verified green r6-r13; pytest-gated now
+    driver=False,
 )
 
 

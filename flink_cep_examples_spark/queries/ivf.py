@@ -840,7 +840,8 @@ register(
     "ann_ivfadc_topk",
     ann_ivfadc_topk,
     _oracle_ivfadc(),
-    # round 7: the IVF+PQ serving composite — straight into the gate
+    # r14 rotation: driver-verified green r7-r13; pytest-gated now
+    driver=False,
 )
 
 

@@ -188,9 +188,8 @@ register(
     "corpus_ingest_pipeline",
     corpus_ingest_pipeline,
     _oracle_ingest(),
-    # round 13 registration after the gate filled: joins the
-    # never-verified pool at the head of the r14 promotion queue
-    driver=False,
+    # r14 rotation: promoted into the driver gate (never-verified pool)
+    driver=True,
 )
 
 

@@ -764,5 +764,6 @@ register(
 )
 register(
     "q12_priority_late_ship", q12_priority_late_ship, ORACLE_Q12,
-    # r5 rotation: promoted into the 50-row driver gate (never verified)
+    # r14 rotation: driver-verified green r6-r13; pytest-gated now
+    driver=False,
 )

@@ -489,9 +489,8 @@ register(
     "docs_token_budget_mix",
     docs_token_budget_mix,
     ORACLE_TOKEN_BUDGET,
-    # round 13 registration after the gate filled: joins the
-    # never-verified pool at the head of the r14 promotion queue
-    driver=False,
+    # r14 rotation: promoted into the driver gate (never-verified pool)
+    driver=True,
 )
 register("events_kmv_distinct", events_kmv_distinct, ORACLE_KMV, driver=False,  # r5.2 rotation: driver-verified green r3+r4; pytest-gated now
 )
