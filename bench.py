@@ -87,6 +87,19 @@ HEADLINE = [
 #: documented ±40% band, not a query-specific regression. Neither
 #: query's code changed since r4.
 BENCH_NOTES = (
+    "r14 CODE BISECT (VERDICT r13 item 2, the mandated second-"
+    "consecutive-flag protocol): cep_streaming r12 code vs r14 HEAD, "
+    "interleaved A/B x5 in fresh subprocesses on the exact bench "
+    "replay (tools/cep_streaming_bisect.py, r12 worktree at 0e82ed9): "
+    "HEAD min 2.608 s = 153,374 ev/s vs r12 min 2.617 s = 152,847 "
+    "ev/s -> head/r12 = 0.997x, medians 2.968 vs 3.063 (0.97x), both "
+    "variants inside the 95-180k band; text_fingerprint controls "
+    "level (0.482-0.696 vs 0.486-0.755) and themselves drifting "
+    "+-55% sample-to-sample on this host. VERDICT: the r13 streaming "
+    "changes (reorder hold, PREV/NEXT nav, NEXT holdback) cost "
+    "NOTHING on the billing shape - the driver's official 82.7k "
+    "record was HOST drift, not code; the hold/nav dispatch is free "
+    "when reorder_starts/nav are empty, as designed. "
     "r13 closing bench 59.54 s (1.083x vs r12, in-band; stream 176.7k "
     "ev/s, batch 98.1k ev/s). Two in-bench flags (cep_group_loop_"
     "all_rows 3.0x, events_hll_distinct 2.5x - neither touched by "

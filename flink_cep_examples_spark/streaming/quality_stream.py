@@ -69,12 +69,17 @@ class NbQualityModel:
 
 
 def train_nb_quality_model(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, *, docs: DataFrame | None = None
 ) -> NbQualityModel:
     """Train the catalog query's model on the ``documents`` snapshot
     and collect it (≤ B+16 weight rows + 2 scalars — bounded at any
-    corpus size)."""
-    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    corpus size). Pass ``docs`` to train on an explicit frame instead
+    (the deployment shape: train on corpus version N, serve shards the
+    trainer never saw — pinned held-out by
+    tests/test_streaming_quality.py::test_nb_heldout_generalization)."""
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
+    docs = spread(docs, "doc_id")
     lab = _nb_weak_labels(docs)
     btf = _nb_feature_rows(lab)
     lw, prior = _nb_model_frames(lab, btf)
