@@ -27,7 +27,26 @@ Scale design (100 TB mindset):
   low shards), turning one hot state partition into ``n_shards``
   parallel ones; total admitted budget is unchanged (the shard budgets
   sum exactly). Sharded admission is a documented relaxation: the
-  union of per-shard prefixes, not the single global prefix.
+  union of per-shard prefixes, not the single global prefix. The
+  drift is QUANTITATIVELY bounded (proved + property-pinned by
+  tests/test_streaming_budget.py::test_sharded_drift_bound):
+
+  * Token OVERSHOOT vs the global prefix is at most
+    ``n_shards × (max admitted doc's tokens − 1)``, unconditionally.
+    Proof sketch: a shard admits a doc only while its running total
+    is ≤ its sub-budget − 1, so each shard's total is
+    ≤ b_s − 1 + max_tok; the totals sum to
+    ≤ budget + n_shards·(max_tok − 1). If the global prefix saturates
+    (rejects ≥ 1 doc) its total is ≥ budget, giving the bound; if it
+    admits EVERYTHING, the sharded union is a subset of it and the
+    overshoot is ≤ 0.
+  * Token UNDERSHOOT vs the global prefix is bounded the same way
+    whenever every shard saturates — the hot-language regime sharding
+    exists for. When hash skew starves a shard below its sub-budget
+    the unfilled remainder stays unspent (a shard never borrows
+    another's budget); with the uniform ``mix(doc_id)`` hash the
+    per-shard mass imbalance concentrates like 1/sqrt(rows), so a
+    language hot enough to shard saturates every shard in practice.
 
 Reference parity: extends the reference's keyed stateful tier
 (FlinkProcessFunctionExample.scala's ValueState counter pattern) with

@@ -319,3 +319,83 @@ def test_admit_batch_property_matches_reference():
             assert cum == prev + tok
 
     run()
+
+
+def test_sharded_drift_bound():
+    """VERDICT r13 item 4: the sharded relaxation's drift from the
+    single global prefix is QUANTITATIVELY bounded, on skewed token
+    replays. Proved in the budget_stream module docstring and pinned
+    here over the pure admission core with the operator's real hash
+    (h = doc_id·MIX mod MOD, shard = h mod n):
+
+    * overshoot:  T_shard − T_global ≤ n_shards · (max admitted doc's
+      tokens − 1), unconditionally;
+    * undershoot: T_global − T_shard ≤ (max globally admitted doc's
+      tokens − 1) whenever every shard saturates (rejects ≥ 1 doc) —
+      the hot-language regime sharding exists for.
+    """
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flink_cep_examples_spark.streaming.budget_stream import (
+        admit_batch,
+    )
+
+    # skewed token masses: most docs small, a heavy tail of big ones
+    tok_s = st.one_of(
+        st.integers(min_value=0, max_value=8),
+        st.integers(min_value=50, max_value=400),
+    )
+    docs_s = st.lists(tok_s, min_size=1, max_size=60)
+    n_shards_s = st.integers(min_value=2, max_value=8)
+    budget_s = st.integers(min_value=0, max_value=1500)
+
+    def fold(rows, budget):
+        """One admit_batch call = the minimal (h, doc_id)-order prefix;
+        returns (admitted row tuples, total)."""
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [d for d, _, _ in rows],
+                "lang": ["xx"] * len(rows),
+                "tok": [t for _, t, _ in rows],
+                "h": [h for _, _, h in rows],
+            }
+        )
+        admitted, total = admit_batch(pdf, 0, budget)
+        if admitted is None:
+            return [], 0
+        return (
+            [(int(r.doc_id), int(r.tok)) for r in admitted.itertuples()],
+            total,
+        )
+
+    @settings(max_examples=300, deadline=None)
+    @given(docs_s, n_shards_s, budget_s)
+    def run(toks, n_shards, budget):
+        rows = [
+            (i, t, (i * _MIX) % _MOD) for i, t in enumerate(toks)
+        ]
+        g_adm, t_global = fold(rows, budget)
+        shards = shard_budgets(budget, n_shards)
+        assert sum(shards) == budget
+        t_shard = 0
+        s_adm: list[tuple[int, int]] = []
+        all_saturated = True
+        for s in range(n_shards):
+            srows = [r for r in rows if r[2] % n_shards == s]
+            adm, tot = fold(srows, shards[s])
+            t_shard += tot
+            s_adm.extend(adm)
+            if len(adm) == len(srows):  # shard admitted everything
+                all_saturated = False
+        max_adm_s = max((t for _, t in s_adm), default=0)
+        overshoot = t_shard - t_global
+        assert overshoot <= n_shards * max(0, max_adm_s - 1), (
+            overshoot, n_shards, max_adm_s)
+        if all_saturated:
+            max_adm_g = max((t for _, t in g_adm), default=0)
+            assert t_global - t_shard <= max(0, max_adm_g - 1), (
+                t_global, t_shard, max_adm_g)
+
+    run()
