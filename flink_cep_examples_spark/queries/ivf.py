@@ -542,6 +542,32 @@ def write_ivf_index(
     )
 
 
+#: index dirs already trained by THIS process — the train-once guard.
+#: Deliberately not an on-disk check: trusting a stale /tmp index
+#: across processes would silently serve an old quantizer after a code
+#: change; within one session the inputs are immutable and the skip is
+#: sound (the serve-many deployment shape, VERDICT r13 item 5).
+_IVF_INDEX_WRITTEN: set[str] = set()
+
+
+def ensure_ivf_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    *,
+    k_lists: int | None = K_LISTS,
+) -> None:
+    """Train-once guard over :func:`write_ivf_index`: the first call
+    per (process, index_dir) trains and writes; every later call is a
+    no-op, so N serving queries in a session pay ONE training pass —
+    the FAISS train()-then-serve contract. ``ivf_append_vectors``
+    appends compose with the skip (append never retrains)."""
+    if index_dir in _IVF_INDEX_WRITTEN:
+        return
+    write_ivf_index(spark, sf_dir, index_dir, k_lists=k_lists)
+    _IVF_INDEX_WRITTEN.add(index_dir)
+
+
 def ivf_append_vectors(
     spark: SparkSession, index_dir: str, new_vectors: DataFrame
 ) -> None:
@@ -628,7 +654,7 @@ def ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     index_dir = f"{tempfile.gettempdir()}/spark_graft_ivf_index_{tag}"
-    write_ivf_index(spark, sf_dir, index_dir, k_lists=K_LISTS)
+    ensure_ivf_index(spark, sf_dir, index_dir, k_lists=K_LISTS)
     emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
     qvec = [
         float(x)
@@ -912,4 +938,71 @@ register(
     _oracle_mmr_ivf(),
     # round 13: the ann_mmr_topk 100-TB swap proven as a catalog query
     # (VERDICT r12 item 4) — straight into the driver gate
+)
+
+
+def ann_mmr_ivf_persisted_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MMR served off the PERSISTED IVF index (round 14, VERDICT r13
+    item 5): the production form of :func:`ann_mmr_ivf_topk`, whose
+    catalog shape retrains the coarse quantizer inline per call
+    (oracle-parity exact mode — correct but 4 training actions at
+    serve time). Here the quantizer is trained ONCE per session via
+    :func:`ensure_ivf_index` (shared with ``ivf_persisted_topk`` —
+    same index dir, so a serving fleet pays one training pass total),
+    and serve time is:
+
+    - stage 1: :func:`ivf_search_persisted` with ``top_k=MMR_M`` —
+      driver-side probe pick over K×DIM collected centroid doubles,
+      then ONE partition-pruned parquet scan of the NPROBE ``cid=``
+      lists (plan-audited: ``PartitionFilters`` on cid, no documents/
+      embeddings rescan, no training action —
+      tests/test_plans.py::test_mmr_ivf_persisted_serves_without_training);
+    - stages 2+3: the shared ``mmr_rerank`` (M×M distributed sim
+      matrix + driver-side K-step greedy; every collect bounded by
+      M=16 / M(M−1)/2=120 BY CONSTRUCTION).
+
+    Same candidate chain, parameters, and tiebreaks as the inline
+    form, so the SAME DuckDB oracle pins it."""
+    import hashlib
+    import tempfile
+
+    from flink_cep_examples_spark.queries.similarity import (
+        MMR_M,
+        mmr_rerank,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    index_dir = f"{tempfile.gettempdir()}/spark_graft_ivf_index_{tag}"
+    ensure_ivf_index(spark, sf_dir, index_dir, k_lists=K_LISTS)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .first()
+        .embedding
+    ]
+    cand = (
+        ivf_search_persisted(
+            spark,
+            index_dir,
+            qvec,
+            top_k=MMR_M,
+            exclude_vec_id=QUERY_VEC_ID,
+        )
+        .select("vec_id", "cos")
+        .collect()  # M rows — bounded by construction
+    )
+    return mmr_rerank(spark, sf_dir, cand)
+
+
+register(
+    "ann_mmr_ivf_persisted_topk",
+    ann_mmr_ivf_persisted_topk,
+    _oracle_mmr_ivf(),
+    # round 14 registration after the gate filled: joins the
+    # never-verified pool at the head of the r15 promotion queue
+    driver=False,
 )

@@ -308,6 +308,60 @@ def test_ivf_persisted_search_prunes_partitions(spark, sf_small):
     assert any("cid" in l for l in scan_lines), scan_lines
 
 
+def test_mmr_ivf_persisted_serves_without_training(
+    spark, sf_small, monkeypatch
+):
+    """ann_mmr_ivf_persisted_topk (round 14): after the session's one
+    training pass, SERVE time must involve NO training action — the
+    candidate stage is one partition-pruned scan of the index lists
+    (PartitionFilters on cid) feeding the bounded MMR rerank. Pinned
+    by (a) poisoning write_ivf_index after the first call and serving
+    again, (b) auditing the candidate-stage plan, (c) row-for-row
+    equality with the inline-training form (same oracle both ways)."""
+    import flink_cep_examples_spark.queries.ivf as ivf_mod
+
+    first = QUERIES["ann_mmr_ivf_persisted_topk"](spark, sf_small)
+    first_rows = [tuple(r) for r in first.collect()]
+
+    def _no_training(*a, **k):  # pragma: no cover - must never fire
+        raise AssertionError("serve path invoked training")
+
+    monkeypatch.setattr(ivf_mod, "write_ivf_index", _no_training)
+    served = QUERIES["ann_mmr_ivf_persisted_topk"](spark, sf_small)
+    assert [tuple(r) for r in served.collect()] == first_rows
+
+    # candidate-stage plan: partition-pruned index scan, no retrain
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_small.encode()).hexdigest()[:10]
+    index_dir = f"{tempfile.gettempdir()}/spark_graft_ivf_index_{tag}"
+    from flink_cep_examples_spark.queries.similarity import MMR_M
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    qvec = [
+        float(x)
+        for x in emb.filter(emb.vec_id == ivf_mod.QUERY_VEC_ID)
+        .select("embedding")
+        .first()
+        .embedding
+    ]
+    cand = ivf_mod.ivf_search_persisted(
+        spark, index_dir, qvec, top_k=MMR_M,
+        exclude_vec_id=ivf_mod.QUERY_VEC_ID,
+    )
+    p = _plan(cand)
+    scan_lines = [l for l in p.splitlines() if "PartitionFilters" in l]
+    assert any("cid" in l for l in scan_lines), scan_lines
+
+    # the persisted serve equals the inline-training catalog form
+    inline = [
+        tuple(r)
+        for r in QUERIES["ann_mmr_ivf_topk"](spark, sf_small).collect()
+    ]
+    assert first_rows == inline
+
+
 def test_bm25_persisted_search_prunes_buckets(spark, sf_small):
     """The inverted-index search must read ONLY the query terms'
     bucket partitions (PartitionFilters on term_bucket) with the term

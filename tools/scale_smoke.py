@@ -116,7 +116,15 @@ _OFFSETS = {
 
 
 def replicate(spark, sf_dir: str, out_dir: str, k: int) -> None:
+    # SPARK_GRAFT_REPLICATE_TABLES=documents,embeddings limits the K×
+    # write to the tables the probed queries read (a K=100 run would
+    # otherwise spend minutes writing 60M lineitem rows nobody scans);
+    # unset = all fact tables, the default full-smoke shape.
+    only = os.environ.get("SPARK_GRAFT_REPLICATE_TABLES")
+    wanted = set(only.split(",")) if only else set(_OFFSETS)
     for name, offs in _OFFSETS.items():
+        if name not in wanted:
+            continue
         src = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         parts = []
         for i in range(k):
