@@ -399,3 +399,110 @@ def test_sharded_drift_bound():
                 t_global, t_shard, max_adm_g)
 
     run()
+
+
+def test_ingest_pipeline_restart_from_checkpoint(spark, sf_small, tmp_path):
+    """VERDICT r13 item 7: checkpoint-restart of the COMPOSED 3-stage
+    ingest job (decontaminate → NB quality → budget admission — the
+    shape examples/ingest_curation_stream.py runs). Ingest HALF the
+    corpus, STOP, append the rest, restart a NEW query from the SAME
+    checkpoint: nothing re-admits, and the final admitted set equals
+    the exact two-phase expectation computed from the batch twins
+    (clean ∩ predicted-good docs folded in hash order with totals
+    carried across the restart)."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.streaming import (
+        decontaminate_stream,
+        eval_window_hash_set,
+        nb_quality_score,
+        train_nb_quality_model,
+    )
+    from flink_cep_examples_spark.queries.decontam import (
+        EVAL_MOD,
+        EVAL_RESIDUE,
+    )
+
+    ev = eval_window_hash_set(spark, sf_small)
+    model = train_nb_quality_model(spark, sf_small)
+    budgets = token_budgets(spark, sf_small)
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").filter(
+        f"(doc_id * {_MIX}) % {_MOD} % {EVAL_MOD} != {EVAL_RESIDUE}"
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    chk = str(tmp_path / "chk")
+    sink = str(tmp_path / "out")
+    cut = docs.approxQuantile("doc_id", [0.5], 0.01)[0]
+    docs.filter(F.col("doc_id") <= cut).coalesce(1).write.parquet(
+        str(src / "p1")
+    )
+    schema = spark.read.parquet(str(src / "p1")).schema
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        flagged = decontaminate_stream(
+            stream, ev, emit_clean=True,
+            passthrough=("text", "lang", "n_chars"),
+        )
+        scored = nb_quality_score(
+            flagged.filter("n_hits = 0"), model,
+            passthrough=("lang", "n_chars"),
+        )
+        q = (
+            budget_admission_stream(scored.filter("pred_good"), budgets)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    mid = {r.doc_id for r in spark.read.parquet(sink).collect()}
+    docs.filter(F.col("doc_id") > cut).coalesce(1).write.parquet(
+        str(src / "p2")
+    )
+    run_once()
+    got_rows = spark.read.parquet(sink).collect()
+    ids = [r.doc_id for r in got_rows]
+    assert len(ids) == len(set(ids))  # restart never re-admits
+    got = set(ids)
+    assert mid <= got  # phase-1 admissions survive the restart
+
+    # exact two-phase expectation from the batch twins
+    contaminated = {
+        r.doc_id
+        for r in QUERIES["docs_decontaminate"](spark, sf_small).collect()
+    }
+    pred_good = {
+        r.doc_id
+        for r in QUERIES["docs_nb_quality_classifier"](
+            spark, sf_small
+        ).collect()
+        if r.pred_good
+    }
+    all_docs = docs.collect()
+    phases = [
+        [r for r in all_docs if r.doc_id <= cut],
+        [r for r in all_docs if r.doc_id > cut],
+    ]
+    want, total = set(), {}
+    for phase in phases:
+        eligible = [
+            r
+            for r in phase
+            if r.doc_id in pred_good and r.doc_id not in contaminated
+        ]
+        eligible.sort(key=lambda r: ((r.doc_id * _MIX) % _MOD, r.doc_id))
+        for r in eligible:
+            if total.get(r.lang, 0) < budgets.get(r.lang, 0):
+                want.add(r.doc_id)
+                total[r.lang] = (
+                    total.get(r.lang, 0) + (r.n_chars + 3) // 4
+                )
+    assert got == want and got
