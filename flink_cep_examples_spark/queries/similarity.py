@@ -997,3 +997,108 @@ register(
     # r9 rotation: 4 greens (r5-r8) — demoted for the never-verified pool
     driver=False,
 )
+
+
+#: reciprocal-rank-fusion constant (the standard 60 from Cormack et
+#: al.'s RRF paper — large enough that rank-1 vs rank-2 differences
+#: don't dominate, small enough that tail ranks still contribute)
+RRF_K = 60
+
+
+def docs_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (round 14): BM25 lexical arm + exact-cosine
+    semantic arm fused by reciprocal-rank fusion — the RAG-shaped
+    two-tower recipe (score = Σ 1/(k + rank_arm), k = 60, a doc absent
+    from an arm contributes 0 there). The synthetic corpus aligns
+    ``vec_id`` with ``doc_id``, so the arms join on document identity.
+
+    Scale shape: each arm is its own already-proven scale path
+    (``docs_bm25_topk``'s filtered explode — the only corpus-sized
+    shuffle is ≤|q| rows per matching doc; ``ann_bruteforce_topk``'s
+    map-side-combined scoring scan, swappable for the partition-pruned
+    IVF serving stage); everything AFTER the arms operates on two
+    TOP_K-row frames — the rank windows, the full-outer fusion join,
+    and the final sort are all bounded by construction, so fusion
+    adds zero corpus-sized work. Cross-engine exactness: ranks are
+    integers, each reciprocal is one IEEE double division, and the
+    two terms add in fixed textual order (lex + sem)."""
+    from pyspark.sql import Window
+
+    from flink_cep_examples_spark.queries.text import docs_bm25_topk
+
+    lex = docs_bm25_topk(spark, sf_dir).select("doc_id", "score")
+    # TOP_K-row frames: the single-partition rank windows are bounded
+    w_lex = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = lex.select(
+        "doc_id", F.row_number().over(w_lex).cast("long").alias("r_lex")
+    )
+    sem = ann_bruteforce_topk(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "cos"
+    )
+    w_sem = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
+    sem = sem.select(
+        "doc_id", F.row_number().over(w_sem).cast("long").alias("r_sem")
+    )
+    rrf = (
+        F.coalesce(
+            F.lit(1.0)
+            / (F.lit(float(RRF_K)) + F.col("r_lex").cast("double")),
+            F.lit(0.0),
+        )
+        + F.coalesce(
+            F.lit(1.0)
+            / (F.lit(float(RRF_K)) + F.col("r_sem").cast("double")),
+            F.lit(0.0),
+        )
+    )
+    return (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            # 0 = absent from that arm (an explicit sentinel keeps the
+            # rank columns non-null BIGINT on both engines — a NULL
+            # rank round-trips as float NaN through DuckDB's pandas
+            # path and poisons the schema compare)
+            F.coalesce("r_lex", F.lit(0).cast("long")).alias("r_lex"),
+            F.coalesce("r_sem", F.lit(0).cast("long")).alias("r_sem"),
+            rrf.alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(TOP_K)
+    )
+
+
+def _oracle_hybrid_rrf() -> str:
+    from flink_cep_examples_spark.queries.text import _oracle_bm25
+
+    return f"""
+WITH lexarm AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS r_lex
+  FROM ({_oracle_bm25()})
+),
+semarm AS (
+  SELECT vec_id AS doc_id,
+         ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id ASC) AS r_sem
+  FROM ({ORACLE_BRUTEFORCE})
+)
+SELECT doc_id,
+       COALESCE(r_lex, 0) AS r_lex,
+       COALESCE(r_sem, 0) AS r_sem,
+       COALESCE(1.0e0 / (6.0e1 + CAST(r_lex AS DOUBLE)), 0.0e0)
+         + COALESCE(1.0e0 / (6.0e1 + CAST(r_sem AS DOUBLE)), 0.0e0)
+         AS rrf
+FROM lexarm FULL JOIN semarm USING (doc_id)
+ORDER BY rrf DESC, doc_id ASC
+LIMIT {TOP_K}
+"""
+
+
+register(
+    "docs_hybrid_rrf_topk",
+    docs_hybrid_rrf_topk,
+    _oracle_hybrid_rrf(),
+    # round 14 registration after the gate filled: joins the
+    # never-verified pool at the head of the r15 promotion queue
+    driver=False,
+)

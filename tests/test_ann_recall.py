@@ -293,3 +293,34 @@ def test_mmr_ivf_topk_recall_vs_exact(spark, sf_small):
     for r in ivf.values():
         if r.vec_id in exact_cos:
             assert abs(r.cos - exact_cos[r.vec_id]) < 1e-9
+
+
+def test_hybrid_rrf_fuses_both_arms(spark, sf_small):
+    """docs_hybrid_rrf_topk (round 14): the semantics the oracle hash
+    can't show — fusion actually mixes the two arms. Pins (a) every
+    returned rrf equals the closed-form 1/(60+r) fold of its own rank
+    columns, (b) the result draws from BOTH arms (not one arm
+    reranked), (c) a doc ranked by both arms outranks a doc holding
+    the same best rank in only one arm, (d) rank columns stay inside
+    [0, TOP_K] with 0 = absent."""
+    from flink_cep_examples_spark.queries import QUERIES, load_all
+    from flink_cep_examples_spark.queries.similarity import RRF_K, TOP_K
+
+    load_all()
+    rows = QUERIES["docs_hybrid_rrf_topk"](spark, sf_small).collect()
+    assert 0 < len(rows) <= TOP_K
+    for r in rows:
+        assert 0 <= r.r_lex <= TOP_K and 0 <= r.r_sem <= TOP_K
+        assert (r.r_lex, r.r_sem) != (0, 0)
+        want = (1.0 / (RRF_K + r.r_lex) if r.r_lex else 0.0) + (
+            1.0 / (RRF_K + r.r_sem) if r.r_sem else 0.0
+        )
+        assert r.rrf == want
+    assert any(r.r_lex > 0 for r in rows)
+    assert any(r.r_sem > 0 for r in rows)
+    both = [r for r in rows if r.r_lex and r.r_sem]
+    solo = [r for r in rows if bool(r.r_lex) != bool(r.r_sem)]
+    for b in both:
+        for s in solo:
+            if min(b.r_lex, b.r_sem) <= (s.r_lex or s.r_sem):
+                assert b.rrf > s.rrf

@@ -85,6 +85,7 @@ SMOKE = [
     "docs_bigram_logprob",  # round-13 interpolated bigram LM
     "corpus_ingest_pipeline",  # round-13 composed ingest pipeline
     "docs_novelty_check",  # round-13 frozen-corpus novelty twin
+    "docs_hybrid_rrf_topk",  # round-14 BM25+cosine RRF fusion (arm-bound)
 ]
 
 
