@@ -1006,3 +1006,159 @@ register(
     # never-verified pool at the head of the r15 promotion queue
     driver=False,
 )
+
+
+#: the fixed multi-query serving batch (three live query vectors —
+#: enough to exercise per-query probe unions, per-query exclusion, and
+#: per-query top-k without an expensive oracle)
+QUERY_VEC_IDS = (0, 7, 21)
+
+
+def ivf_search_persisted_many(
+    spark: SparkSession,
+    index_dir: str,
+    queries: dict[int, list[float]],
+    *,
+    nprobe: int = NPROBE,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """Serve a BATCH of queries off one persisted index — the shape a
+    retrieval tier actually runs (one query per scan would rescan the
+    probe lists per request): probe cids are picked driver-side per
+    query over the collected K×DIM centroids (bounded), the UNION of
+    probe lists is read in ONE partition-pruned scan, the |Q|×NPROBE
+    (qid, cid, qvec) probe table broadcasts onto it, and per-query
+    top-k is a window keyed by qid over candidate rows only (NPROBE/K
+    of the corpus per query, never the corpus). A query never returns
+    itself (``vec_id != qid`` — self-hits are noise in dedup/recsys
+    serving)."""
+    from pyspark.sql import Window
+
+    cents = {
+        int(r.cid): [float(x) for x in r.centroid]
+        for r in spark.read.parquet(f"{index_dir}/centroids").collect()
+    }
+
+    probe_rows: list[tuple[int, int]] = []
+    for qid in sorted(queries):
+        qvec = queries[qid]
+
+        def py_sqdist(c: list[float]) -> float:
+            acc = 0.0
+            for x, cc in zip(qvec, c):
+                acc += (x - cc) * (x - cc)
+            return acc
+
+        probe_rows += [
+            (qid, int(c))
+            for _, c in sorted(
+                (py_sqdist(v), c) for c, v in cents.items()
+            )[:nprobe]
+        ]
+
+    union_cids = sorted({c for _, c in probe_rows})
+    lists = spark.read.parquet(f"{index_dir}/lists").filter(
+        F.col("cid").isin(union_cids)
+    )
+    qdf = spark.createDataFrame(
+        [
+            (qid, cid, [float(x) for x in queries[qid]])
+            for qid, cid in probe_rows
+        ],
+        "qid long, cid int, qv array<double>",
+    )
+    cos = _dot(F.col("embedding"), F.col("qv")) / (
+        _norm(F.col("embedding")) * _norm(F.col("qv"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        lists.join(F.broadcast(qdf), "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            F.col("cid").cast("int").alias("cid"),
+            cos.alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .drop("rk")
+        .orderBy(F.asc("qid"), F.desc("cos"), F.asc("vec_id"))
+    )
+
+
+def ann_serve_many_persisted_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Catalog form of multi-query IVF serving (round 14): train-once
+    via :func:`ensure_ivf_index` (the shared session index), then serve
+    the fixed ``QUERY_VEC_IDS`` batch through
+    :func:`ivf_search_persisted_many` — one pruned scan, |Q| top-k
+    lists out. Same quantizer chain as ``ORACLE_IVF`` so the oracle
+    extends it with per-query QUALIFY windows."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    index_dir = f"{tempfile.gettempdir()}/spark_graft_ivf_index_{tag}"
+    ensure_ivf_index(spark, sf_dir, index_dir, k_lists=K_LISTS)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.filter(
+            F.col("vec_id").isin(list(QUERY_VEC_IDS))
+        ).collect()
+    }
+    return ivf_search_persisted_many(spark, index_dir, queries)
+
+
+def _oracle_serve_many() -> str:
+    ids = ", ".join(str(i) for i in QUERY_VEC_IDS)
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+c0 AS (
+  SELECT vec_id AS cid,
+         [CAST(x AS DOUBLE) FOR x IN embedding] AS cvec
+  FROM e WHERE vec_id < {K_LISTS}
+),
+{_sql_assign('e', 'c0', 'a1')},
+{_SQL_MEANS},
+{_sql_assign('e', 'c1', 'a2')},
+qs AS (SELECT vec_id AS qid, embedding AS qv FROM e
+       WHERE vec_id IN ({ids})),
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT qs.qid, c1.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY qs.qid
+             ORDER BY {_sql_sqdist('qs.qv', 'c1.cvec')} ASC, c1.cid ASC
+           ) AS rn
+    FROM c1 CROSS JOIN qs)
+  WHERE rn <= {NPROBE}
+),
+cand AS (
+  SELECT qs.qid, a2.vec_id, a2.label, a2.cid,
+         {_sql_dot('a2.embedding', 'qs.qv')}
+           / ({_sql_norm('a2.embedding')} * {_sql_norm('qs.qv')}) AS cos
+  FROM a2 JOIN probes ON a2.cid = probes.cid
+         JOIN qs ON qs.qid = probes.qid
+  WHERE a2.vec_id != qs.qid
+)
+SELECT qid, vec_id, label, cid, cos FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rk
+  FROM cand)
+WHERE rk <= {TOP_K}
+ORDER BY qid ASC, cos DESC, vec_id ASC
+"""
+
+
+register(
+    "ann_serve_many_persisted_topk",
+    ann_serve_many_persisted_topk,
+    _oracle_serve_many(),
+    # round 14 registration after the gate filled: joins the
+    # never-verified pool at the head of the r15 promotion queue
+    driver=False,
+)

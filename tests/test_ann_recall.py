@@ -324,3 +324,62 @@ def test_hybrid_rrf_fuses_both_arms(spark, sf_small):
         for s in solo:
             if min(b.r_lex, b.r_sem) <= (s.r_lex or s.r_sem):
                 assert b.rrf > s.rrf
+
+
+def test_serve_many_matches_single_query_serving(spark, sf_small):
+    """ann_serve_many_persisted_topk (round 14): the batched serve must
+    be exactly |Q| single-query serves — per-qid slices equal
+    ivf_search_persisted's rows for that query — off ONE
+    partition-pruned scan (PartitionFilters on cid), TOP_K rows per
+    query, never a self-hit."""
+    import hashlib
+    import tempfile
+
+    from flink_cep_examples_spark.queries import QUERIES, load_all
+    from flink_cep_examples_spark.queries.ivf import (
+        QUERY_VEC_IDS,
+        ivf_search_persisted,
+        ivf_search_persisted_many,
+    )
+    from flink_cep_examples_spark.queries.similarity import TOP_K
+
+    load_all()
+    rows = QUERIES["ann_serve_many_persisted_topk"](
+        spark, sf_small
+    ).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r.vec_id != r.qid  # no self-hits
+        by_q.setdefault(r.qid, []).append(r)
+    assert set(by_q) == set(QUERY_VEC_IDS)
+    for q, rs in by_q.items():
+        assert len(rs) == TOP_K
+
+    tag = hashlib.md5(sf_small.encode()).hexdigest()[:10]
+    index_dir = f"{tempfile.gettempdir()}/spark_graft_ivf_index_{tag}"
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    queries = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.filter(
+            emb.vec_id.isin(list(QUERY_VEC_IDS))
+        ).collect()
+    }
+    for qid in QUERY_VEC_IDS:
+        single = ivf_search_persisted(
+            spark, index_dir, queries[qid], exclude_vec_id=qid
+        ).collect()
+        got = [(r.vec_id, r.label, r.cid, r.cos) for r in by_q[qid]]
+        want = [(r.vec_id, r.label, r.cid, r.cos) for r in single]
+        assert got == want, qid
+
+    # one pruned scan: the plan's lists read carries PartitionFilters
+    plan = (
+        ivf_search_persisted_many(spark, index_dir, queries)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scan_lines = [
+        l for l in plan.splitlines() if "PartitionFilters" in l
+    ]
+    assert any("cid" in l for l in scan_lines), scan_lines

@@ -86,6 +86,7 @@ SMOKE = [
     "corpus_ingest_pipeline",  # round-13 composed ingest pipeline
     "docs_novelty_check",  # round-13 frozen-corpus novelty twin
     "docs_hybrid_rrf_topk",  # round-14 BM25+cosine RRF fusion (arm-bound)
+    "ann_serve_many_persisted_topk",  # round-14 batched IVF serving
 ]
 
 
