@@ -1102,3 +1102,122 @@ register(
     # never-verified pool at the head of the r15 promotion queue
     driver=False,
 )
+
+
+
+#: frozen eval slice for SEMANTIC decontamination (deterministic
+#: vec_id residue — the decontam.py convention, distinct modulus so
+#: the two eval sets don't coincide) and its cosine threshold
+SEM_EVAL_MOD = 17
+SEM_EVAL_RESIDUE = 5
+SEM_TAU = 0.35
+
+
+def docs_semantic_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Semantic decontamination (round 14): flag corpus vectors whose
+    embedding sits within cosine ≥ τ of ANY frozen eval-set vector —
+    the embedding-space complement of ``docs_decontaminate``'s n-gram
+    overlap (paraphrased eval leakage survives n-gram checks). Eval
+    set = the deterministic ``vec_id % 17 == 5`` slice; output is one
+    row per CONTAMINATED corpus vector with its hit count and max
+    eval similarity.
+
+    Design choice — EXACT scoring, deliberately NOT the LSH blocking
+    ``embedding_cosine_dups`` uses: decontamination is a recall-1
+    contract (a missed eval leak silently inflates benchmarks), and at
+    the τ band that matters the sign-LSH ball recalls ~10% on this
+    weakly-clustered corpus (measured: 3/30 hits at τ=0.35). The
+    scalable exact shape instead: the FROZEN eval matrix (|eval|×DIM
+    doubles — bounded like the decontam hash set and the NB weights)
+    rides the closure into ONE ``mapInPandas`` over the corpus — no
+    join, no shuffle, no row inflation; each Arrow batch scores
+    b×|eval| cosines by vectorized per-DIMENSION accumulation (the
+    ``_pd_cos`` fold order, so every double is bit-identical to the
+    oracle's sequential ``list_sum``) and emits only contaminated
+    rows. Cost is |eval|·DIM flops per corpus row — linear in the
+    corpus, embarrassingly parallel; at eval sets large enough to
+    break the broadcast (≫10⁵ vectors) the IVF route
+    (``ivf_search_persisted_many`` with eval vectors as queries) is
+    the documented swap."""
+    from pyspark.sql import types as T
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    is_eval = (F.col("vec_id") % SEM_EVAL_MOD) == SEM_EVAL_RESIDUE
+    ev_rows = sorted(
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter(is_eval).select("vec_id", "embedding").collect()
+    )  # bounded: the frozen eval slice
+    E = np.array([v for _, v in ev_rows], dtype=np.float64)
+    en = np.zeros(len(E))
+    for d in range(E.shape[1]):  # _pd_cos fold order per component
+        en += E[:, d] * E[:, d]
+    en = np.sqrt(en)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("n_hits", T.LongType(), False),
+            T.StructField("max_cos", T.DoubleType(), False),
+        ]
+    )
+
+    def score(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            A = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            dot = np.zeros((len(A), len(E)))
+            na = np.zeros(len(A))
+            for d in range(A.shape[1]):
+                dot += A[:, d, None] * E[None, :, d]
+                na += A[:, d] * A[:, d]
+            cos = dot / (np.sqrt(na)[:, None] * en[None, :])
+            hits = cos >= SEM_TAU
+            n_hits = hits.sum(axis=1)
+            keep = n_hits > 0
+            if not keep.any():
+                continue
+            mx = np.where(hits, cos, -np.inf).max(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[keep],
+                    "n_hits": n_hits[keep].astype("int64"),
+                    "max_cos": mx[keep],
+                }
+            )
+
+    return emb.filter(~is_eval).select("vec_id", "embedding").mapInPandas(
+        score, schema=out_schema
+    )
+
+
+ORACLE_SEM_DECONTAM = f"""
+WITH ev AS (SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id % {SEM_EVAL_MOD} = {SEM_EVAL_RESIDUE}),
+corp AS (SELECT vec_id, embedding FROM embeddings
+         WHERE vec_id % {SEM_EVAL_MOD} != {SEM_EVAL_RESIDUE}),
+hits AS (
+  SELECT corp.vec_id,
+         {_sql_dot('corp.embedding', 'ev.embedding')}
+           / ({_sql_norm('corp.embedding')} * {_sql_norm('ev.embedding')})
+           AS cos
+  FROM corp CROSS JOIN ev
+  WHERE {_sql_dot('corp.embedding', 'ev.embedding')}
+          / ({_sql_norm('corp.embedding')} * {_sql_norm('ev.embedding')})
+          >= {SEM_TAU}
+)
+SELECT vec_id, COUNT(*) AS n_hits, MAX(cos) AS max_cos
+FROM hits GROUP BY vec_id
+"""
+
+
+register(
+    "docs_semantic_decontaminate",
+    docs_semantic_decontaminate,
+    ORACLE_SEM_DECONTAM,
+    # round 14 registration after the gate filled: joins the
+    # never-verified pool at the head of the r15 promotion queue
+    driver=False,
+)

@@ -87,6 +87,7 @@ SMOKE = [
     "docs_novelty_check",  # round-13 frozen-corpus novelty twin
     "docs_hybrid_rrf_topk",  # round-14 BM25+cosine RRF fusion (arm-bound)
     "ann_serve_many_persisted_topk",  # round-14 batched IVF serving
+    "docs_semantic_decontaminate",  # round-14 exact eval-matrix scoring
 ]
 
 
