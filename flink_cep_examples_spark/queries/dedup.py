@@ -237,7 +237,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup: 32-hash signatures, 8 bands x 4 rows;
     candidate pairs share >= 1 band bucket; output the signature-
     estimated Jaccard (fraction of agreeing minhashes). The 100 TB
-    path: signatures scan-side, one explode+shuffle on (band, key)."""
+    path: signatures scan-side, one explode+shuffle on (band, key).
+
+    Pair dedup (round 14): a pair sharing k band buckets comes out of
+    the band join k times; the original ``.distinct()`` deduped them
+    with a SECOND full shuffle + hash aggregation over the ENTIRE
+    pre-dedup pair stream — the measured K=100 wall (duplicate-heavy
+    corpora multiply that stream: 100-deep duplicate clusters emit
+    C(100,2)×8 ≈ 40k pre-dedup rows per cluster, and the 100× probe
+    sat >25 min in that one hashAgg). Now each pair is emitted from
+    its FIRST shared band only: the joined row carries both
+    signatures, so "band b matches" is four integer equalities and
+    the surviving row is the one whose own band index equals the
+    smallest matching band — a scan-side filter, zero extra shuffles,
+    same unique pair set (band keys are md5 of the band's mh values,
+    so key equality ⇔ row equality up to md5 collision; the filter's
+    direct mh comparison is the stricter, truer LSH semantics). The
+    DuckDB oracle keeps SELECT DISTINCT — same relation, so the hash
+    gate pins the equivalence."""
     docs = load_table(spark, sf_dir, "documents")
     sig = _minhash_signatures(docs)
     mh = [F.col(f"mh{i}") for i in range(NUM_HASHES)]
@@ -253,21 +270,39 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for bi in range(BANDS)
         ]
     )
-    exploded = sig.withColumn("band_key", F.explode(band_keys))
+    exploded = sig.select(
+        "doc_id",
+        *[F.col(f"mh{i}") for i in range(NUM_HASHES)],
+        F.posexplode(band_keys).alias("band_idx", "band_key"),
+    )
     a, b = exploded.alias("a"), exploded.alias("b")
     est = sum(
         F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
         for i in range(NUM_HASHES)
     ).cast("double") / NUM_HASHES
+
+    def band_matches(bi: int):
+        cond = None
+        for i in range(bi * ROWS_PER_BAND, (bi + 1) * ROWS_PER_BAND):
+            c = F.col(f"a.mh{i}") == F.col(f"b.mh{i}")
+            cond = c if cond is None else (cond & c)
+        return cond
+
+    first_shared = F.least(
+        *[F.when(band_matches(bi), F.lit(bi)) for bi in range(BANDS)]
+    )
     return (
-        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(F.col("a.band_idx") == first_shared)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             est.alias("est_jaccard"),
         )
-        .distinct()
     )
 
 
