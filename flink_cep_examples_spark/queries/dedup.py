@@ -239,24 +239,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimated Jaccard (fraction of agreeing minhashes). The 100 TB
     path: signatures scan-side, one explode+shuffle on (band, key).
 
-    Pair dedup (round 14): a pair sharing k band buckets comes out of
-    the band join k times; the original ``.distinct()`` deduped them
-    with a SECOND full shuffle + hash aggregation over the ENTIRE
-    pre-dedup pair stream — the measured K=100 wall (duplicate-heavy
-    corpora multiply that stream: 100-deep duplicate clusters emit
-    C(100,2)×8 ≈ 40k pre-dedup rows per cluster, and the 100× probe
-    sat >25 min in that one hashAgg). Now each pair is emitted from
-    its FIRST shared band only: the joined row carries both
-    signatures, so "band b matches" is four integer equalities and
-    the surviving row is the one whose own band index equals the
-    smallest matching band — a scan-side filter, zero extra shuffles,
-    same unique pair set (band keys are md5 of the band's mh values,
-    so key equality ⇔ row equality up to md5 collision; the filter's
-    direct mh comparison is the stricter, truer LSH semantics). The
-    DuckDB oracle keeps SELECT DISTINCT — same relation, so the hash
-    gate pins the equivalence."""
+    Pair-dedup plan (round 14 rework, probed at K=100 on the replica
+    corpus): a pair sharing k band buckets leaves the band join k
+    times. The old plan deduped the WIDE scored rows — and worse,
+    Catalyst pushed downstream ``est_jaccard`` filters below the
+    distinct, evaluating the 32-term CASE chain once per PRE-dedup
+    candidate (~40k rows per 100-deep duplicate cluster; the K=100
+    probe sat >25 min in that stage). Now:
+
+    - ``sig`` is localCheckpoint'ed once ((doc_id, 32 longs) — 264 B/
+      row, bounded), so the signature pipeline (shingle window + 32
+      min-aggregates) runs ONCE instead of once per self-join branch;
+    - the band join carries ONLY (doc_id, band_key) — candidate rows
+      are 3 longs wide, and every duplicate of a (doc_a, doc_b) pair
+      lands in the SAME task (same band bucket or another bucket of
+      the same pair), so the distinct's map-side partial aggregation
+      collapses the k-fold duplication BEFORE the shuffle;
+    - ``est_jaccard`` is computed once per DISTINCT pair by joining
+      the two signatures back from the checkpointed ``sig`` —
+      downstream filters now prune distinct pairs, never the k-fold
+      candidate stream.
+
+    Same relation as the oracle's SELECT DISTINCT (a pair's est is a
+    function of the pair, so distinct-then-score ≡ score-then-
+    distinct); the hash gate pins the equivalence."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = _minhash_signatures(docs)
+    sig = _minhash_signatures(docs).localCheckpoint()
     mh = [F.col(f"mh{i}") for i in range(NUM_HASHES)]
     band_keys = F.array(
         *[
@@ -270,39 +278,36 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for bi in range(BANDS)
         ]
     )
-    exploded = sig.select(
-        "doc_id",
-        *[F.col(f"mh{i}") for i in range(NUM_HASHES)],
-        F.posexplode(band_keys).alias("band_idx", "band_key"),
-    )
-    a, b = exploded.alias("a"), exploded.alias("b")
-    est = sum(
-        F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
-        for i in range(NUM_HASHES)
-    ).cast("double") / NUM_HASHES
-
-    def band_matches(bi: int):
-        cond = None
-        for i in range(bi * ROWS_PER_BAND, (bi + 1) * ROWS_PER_BAND):
-            c = F.col(f"a.mh{i}") == F.col(f"b.mh{i}")
-            cond = c if cond is None else (cond & c)
-        return cond
-
-    first_shared = F.least(
-        *[F.when(band_matches(bi), F.lit(bi)) for bi in range(BANDS)]
-    )
-    return (
+    keys = sig.select("doc_id", F.explode(band_keys).alias("band_key"))
+    a, b = keys.alias("a"), keys.alias("b")
+    pairs = (
         a.join(
             b,
             (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .filter(F.col("a.band_idx") == first_shared)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            est.alias("est_jaccard"),
         )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(NUM_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(NUM_HASHES)],
+    )
+    est = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(NUM_HASHES)
+    ).cast("double") / NUM_HASHES
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
     )
 
 

@@ -1113,43 +1113,32 @@ SEM_EVAL_RESIDUE = 5
 SEM_TAU = 0.35
 
 
-def docs_semantic_decontaminate(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Semantic decontamination (round 14): flag corpus vectors whose
-    embedding sits within cosine ≥ τ of ANY frozen eval-set vector —
-    the embedding-space complement of ``docs_decontaminate``'s n-gram
-    overlap (paraphrased eval leakage survives n-gram checks). Eval
-    set = the deterministic ``vec_id % 17 == 5`` slice; output is one
-    row per CONTAMINATED corpus vector with its hit count and max
-    eval similarity.
-
-    Design choice — EXACT scoring, deliberately NOT the LSH blocking
-    ``embedding_cosine_dups`` uses: decontamination is a recall-1
-    contract (a missed eval leak silently inflates benchmarks), and at
-    the τ band that matters the sign-LSH ball recalls ~10% on this
-    weakly-clustered corpus (measured: 3/30 hits at τ=0.35). The
-    scalable exact shape instead: the FROZEN eval matrix (|eval|×DIM
-    doubles — bounded like the decontam hash set and the NB weights)
-    rides the closure into ONE ``mapInPandas`` over the corpus — no
-    join, no shuffle, no row inflation; each Arrow batch scores
-    b×|eval| cosines by vectorized per-DIMENSION accumulation (the
-    ``_pd_cos`` fold order, so every double is bit-identical to the
-    oracle's sequential ``list_sum``) and emits only contaminated
-    rows. Cost is |eval|·DIM flops per corpus row — linear in the
-    corpus, embarrassingly parallel; at eval sets large enough to
-    break the broadcast (≫10⁵ vectors) the IVF route
-    (``ivf_search_persisted_many`` with eval vectors as queries) is
-    the documented swap."""
-    from pyspark.sql import types as T
-
-    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+def sem_eval_matrix(spark: SparkSession, sf_dir: str) -> "np.ndarray":
+    """Collect the frozen eval slice as an |eval|×DIM float64 matrix —
+    bounded like the decontam hash set and the NB weights; trained
+    (frozen) once per eval-set version, shipped in the scorer's
+    closure."""
+    emb = load_table(spark, sf_dir, "embeddings")
     is_eval = (F.col("vec_id") % SEM_EVAL_MOD) == SEM_EVAL_RESIDUE
     ev_rows = sorted(
         (int(r.vec_id), [float(x) for x in r.embedding])
         for r in emb.filter(is_eval).select("vec_id", "embedding").collect()
-    )  # bounded: the frozen eval slice
-    E = np.array([v for _, v in ev_rows], dtype=np.float64)
+    )
+    return np.array([v for _, v in ev_rows], dtype=np.float64)
+
+
+def semantic_decontaminate_frame(df: DataFrame, E: "np.ndarray") -> DataFrame:
+    """Score a (vec_id, embedding) frame — batch OR streaming — against
+    the frozen eval matrix ``E``; emit one row per contaminated vector
+    (cos ≥ SEM_TAU to ≥1 eval vector) with hit count and max cosine.
+
+    ONE stateless ``mapInPandas``: no join, no shuffle, no state — so
+    the same callable serves ingest streams natively (pinned by
+    tests/test_ann_stream.py::test_semantic_decontam_serves_streams_natively).
+    Per-DIMENSION accumulation keeps every double bit-identical to the
+    oracle's sequential ``list_sum`` fold (the ``_pd_cos`` order)."""
+    from pyspark.sql import types as T
+
     en = np.zeros(len(E))
     for d in range(E.shape[1]):  # _pd_cos fold order per component
         en += E[:, d] * E[:, d]
@@ -1188,9 +1177,38 @@ def docs_semantic_decontaminate(
                 }
             )
 
-    return emb.filter(~is_eval).select("vec_id", "embedding").mapInPandas(
+    return df.select("vec_id", "embedding").mapInPandas(
         score, schema=out_schema
     )
+
+
+def docs_semantic_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Semantic decontamination (round 14): flag corpus vectors whose
+    embedding sits within cosine ≥ τ of ANY frozen eval-set vector —
+    the embedding-space complement of ``docs_decontaminate``'s n-gram
+    overlap (paraphrased eval leakage survives n-gram checks). Eval
+    set = the deterministic ``vec_id % 17 == 5`` slice; output is one
+    row per CONTAMINATED corpus vector with its hit count and max
+    eval similarity.
+
+    Design choice — EXACT scoring, deliberately NOT the LSH blocking
+    ``embedding_cosine_dups`` uses: decontamination is a recall-1
+    contract (a missed eval leak silently inflates benchmarks), and at
+    the τ band that matters the sign-LSH ball recalls ~10% on this
+    weakly-clustered corpus (measured: 3/30 hits at τ=0.35). The
+    scalable exact shape is :func:`semantic_decontaminate_frame`:
+    the FROZEN eval matrix rides the closure into ONE ``mapInPandas``
+    over the corpus — cost |eval|·DIM flops per corpus row, linear in
+    the corpus, embarrassingly parallel; at eval sets large enough to
+    break the broadcast (≫10⁵ vectors) the IVF route
+    (``ivf_search_persisted_many`` with eval vectors as queries) is
+    the documented swap."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    is_eval = (F.col("vec_id") % SEM_EVAL_MOD) == SEM_EVAL_RESIDUE
+    E = sem_eval_matrix(spark, sf_dir)
+    return semantic_decontaminate_frame(emb.filter(~is_eval), E)
 
 
 ORACLE_SEM_DECONTAM = f"""

@@ -101,3 +101,57 @@ def test_ann_stream_replay_is_idempotent(spark, sf_small, tmp_path):
     run("chk2")  # full replay of batch 0 over the same sink
     second = sorted(map(tuple, spark.read.parquet(sink).collect()))
     assert second == first  # no duplicates, no drift
+
+
+def test_semantic_decontam_serves_streams_natively(
+    spark, sf_small, tmp_path
+):
+    """semantic_decontaminate_frame is ONE stateless mapInPandas with
+    the frozen eval matrix in the closure — like scrub_pii it runs
+    UNCHANGED on a streaming DataFrame (no twin module needed): the
+    PRODUCT scorer applied to a stream of the arriving (non-eval)
+    corpus slice equals the batch catalog query row-for-row."""
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.queries import QUERIES, load_all
+    from flink_cep_examples_spark.queries.similarity import (
+        SEM_EVAL_MOD,
+        SEM_EVAL_RESIDUE,
+        sem_eval_matrix,
+        semantic_decontaminate_frame,
+    )
+
+    load_all()
+    batch = {
+        (r.vec_id, r.n_hits, r.max_cos)
+        for r in QUERIES["docs_semantic_decontaminate"](
+            spark, sf_small
+        ).collect()
+    }
+    assert batch  # non-trivial at sf0.001 (30 contaminated rows)
+
+    E = sem_eval_matrix(spark, sf_small)  # frozen once, pre-ingest
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    src = tmp_path / "src"
+    emb.repartition(2).write.parquet(str(src))
+    stream = spark.readStream.schema(emb.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    corp_stream = stream.filter(
+        (F.col("vec_id") % SEM_EVAL_MOD) != SEM_EVAL_RESIDUE
+    )
+    out = semantic_decontaminate_frame(corp_stream, E)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sem_decontam_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.vec_id, r.n_hits, r.max_cos)
+        for r in spark.sql("SELECT * FROM sem_decontam_stream").collect()
+    }
+    assert got == batch
