@@ -75,6 +75,8 @@ HEADLINE = [
     "cep_group_alt_unbounded",  # round-8 multi-branch group (chain kernel)
     "cep_group_nested",  # round-8 nested groups (two-level chain kernel)
     "docs_bm25_topk",  # round-8 BM25 lexical retrieval (1.06x at 10x)
+    "docs_hybrid_rrf_topk",  # round-14 BM25+cosine RRF fusion (arm-bound)
+    "ann_serve_many_persisted_topk",  # round-14 batched IVF serving
 ]
 
 #: Round-6 outlier audit (VERDICT r5 item 7): docs_bigram_topk
