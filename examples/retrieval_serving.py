@@ -1,0 +1,96 @@
+"""Round-14 retrieval-serving story: train the IVF index ONCE, then
+serve everything off it — the train-once/serve-many shape a production
+retrieval tier runs (north-star extension beyond the reference's CEP
+scope):
+
+  1. index build       — coarse quantizer trained + corpus written
+                         clustered by cid (write_ivf_index via the
+                         ensure_ivf_index train-once guard)
+  2. batched serving   — a 3-query batch answered off ONE
+                         partition-pruned scan of the union of probe
+                         lists (ann_serve_many_persisted_topk)
+  3. diversified top-k — MMR reranking over the pruned candidate
+                         stage, no training action at serve time
+                         (ann_mmr_ivf_persisted_topk)
+  4. hybrid fusion     — BM25 lexical arm + cosine semantic arm fused
+                         by reciprocal-rank fusion (docs_hybrid_rrf_topk)
+  5. online serving    — the same kernel behind a foreachBatch stream:
+                         arriving query vectors served per micro-batch
+                         with per-batch pruned reads (ann_serve_stream)
+
+Run: ``python examples/retrieval_serving.py [sf_dir]``
+(default /root/testdata/sf0.001). Prints per-stage results.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from flink_cep_examples_spark.queries import QUERIES, load_all  # noqa: E402
+from flink_cep_examples_spark.session import get_spark  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    load_all()
+    spark = get_spark(
+        app_name="retrieval-serving", master="local[4]", shuffle_partitions=4
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    print("== 1+2. batched multi-query serving off the persisted index ==")
+    served = QUERIES["ann_serve_many_persisted_topk"](spark, sf_dir)
+    rows = served.collect()
+    by_q: dict[int, int] = {}
+    for r in rows:
+        by_q[r.qid] = by_q.get(r.qid, 0) + 1
+    print(f"   {len(rows)} result rows across queries {sorted(by_q)}")
+    for r in rows[:3]:
+        print(f"   qid={r.qid} -> vec {r.vec_id} (cos={r.cos:.4f})")
+
+    print("== 3. MMR-diversified top-k, no training at serve time ==")
+    for r in QUERIES["ann_mmr_ivf_persisted_topk"](spark, sf_dir).collect():
+        print(f"   pick {r.rank}: vec {r.vec_id}" if hasattr(r, "rank")
+              else f"   {tuple(r)}")
+
+    print("== 4. hybrid BM25 + cosine RRF fusion ==")
+    for r in QUERIES["docs_hybrid_rrf_topk"](spark, sf_dir).collect():
+        print(
+            f"   doc {r.doc_id}: r_lex={r.r_lex} r_sem={r.r_sem} "
+            f"rrf={r.rrf:.5f}"
+        )
+
+    print("== 5. online serving: stream of query vectors, foreachBatch ==")
+    import hashlib
+
+    from flink_cep_examples_spark.streaming import ann_serve_stream
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    index_dir = f"{tempfile.gettempdir()}/spark_graft_ivf_index_{tag}"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = emb.filter(emb.vec_id.isin([0, 7, 21])).selectExpr(
+        "vec_id AS qid", "CAST(embedding AS array<double>) AS qv"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        qdf.coalesce(1).write.parquet(f"{tmp}/queries")
+        schema = spark.read.parquet(f"{tmp}/queries").schema
+        stream = spark.readStream.schema(schema).parquet(f"{tmp}/queries")
+        q = (
+            ann_serve_stream(spark, index_dir, stream, f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.read.parquet(f"{tmp}/out")
+        print(f"   streamed results: {out.count()} rows "
+              f"(batch ids: {sorted({r.batch for r in out.collect()})})")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
