@@ -88,6 +88,7 @@ SMOKE = [
     "docs_hybrid_rrf_topk",  # round-14 BM25+cosine RRF fusion (arm-bound)
     "ann_serve_many_persisted_topk",  # round-14 batched IVF serving
     "docs_semantic_decontaminate",  # round-14 exact eval-matrix scoring
+    "ann_mmr_ivf_persisted_topk",  # round-14 MMR off the persisted index
 ]
 
 
