@@ -1162,3 +1162,90 @@ register(
     # never-verified pool at the head of the r15 promotion queue
     driver=False,
 )
+
+
+def hybrid_rrf_persisted_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fully-persisted hybrid retrieval (round 14): BOTH arms served
+    off pre-built indexes — the production RAG serving shape. Lexical
+    arm = the term-bucket-partitioned BM25 inverted index
+    (``bm25_search_persisted``, PartitionFilters on term_bucket);
+    semantic arm = the cid-partitioned IVF index
+    (``ivf_search_persisted`` through the session train-once guard);
+    fusion = the SHARED ``rrf_fuse`` kernel
+    (queries/similarity.py), so this tier cannot drift from the
+    corpus-scan hybrid's arithmetic. Serve cost: two partition-pruned
+    scans + two TOP_K-row windows — no corpus scan, no training
+    action at serve time. Oracle = the BM25 oracle arm + the
+    ``ORACLE_IVF`` quantizer-chain arm through the same fusion SQL
+    (the semantic arm here is the APPROXIMATE IVF list, so the oracle
+    differs from ``docs_hybrid_rrf_topk``'s brute-force arm exactly
+    where the plans differ)."""
+    import hashlib
+    import tempfile
+
+    from flink_cep_examples_spark.queries.similarity import rrf_fuse
+    from flink_cep_examples_spark.queries.text import (
+        BM25_QUERY,
+        bm25_search_persisted,
+        write_bm25_index,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    bm25_dir = f"{tempfile.gettempdir()}/spark_graft_bm25_index_{tag}"
+    write_bm25_index(spark, sf_dir, bm25_dir)
+    lex = bm25_search_persisted(spark, bm25_dir, BM25_QUERY).select(
+        "doc_id", "score"
+    )
+
+    ivf_dir = f"{tempfile.gettempdir()}/spark_graft_ivf_index_{tag}"
+    ensure_ivf_index(spark, sf_dir, ivf_dir, k_lists=K_LISTS)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .first()
+        .embedding
+    ]
+    sem = ivf_search_persisted(
+        spark, ivf_dir, qvec, exclude_vec_id=QUERY_VEC_ID
+    ).select(F.col("vec_id").alias("doc_id"), "cos")
+    return rrf_fuse(lex, sem)
+
+
+def _oracle_hybrid_persisted() -> str:
+    from flink_cep_examples_spark.queries.text import _oracle_bm25
+
+    return f"""
+WITH lexarm AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS r_lex
+  FROM ({_oracle_bm25()})
+),
+semarm AS (
+  SELECT vec_id AS doc_id,
+         ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id ASC) AS r_sem
+  FROM ({ORACLE_IVF})
+)
+SELECT doc_id,
+       COALESCE(r_lex, 0) AS r_lex,
+       COALESCE(r_sem, 0) AS r_sem,
+       COALESCE(1.0e0 / (6.0e1 + CAST(r_lex AS DOUBLE)), 0.0e0)
+         + COALESCE(1.0e0 / (6.0e1 + CAST(r_sem AS DOUBLE)), 0.0e0)
+         AS rrf
+FROM lexarm FULL JOIN semarm USING (doc_id)
+ORDER BY rrf DESC, doc_id ASC
+LIMIT {TOP_K}
+"""
+
+
+register(
+    "hybrid_rrf_persisted_topk",
+    hybrid_rrf_persisted_topk,
+    _oracle_hybrid_persisted(),
+    # round 14 registration after the gate filled: joins the
+    # never-verified pool at the head of the r15 promotion queue
+    driver=False,
+)

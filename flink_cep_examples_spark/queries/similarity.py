@@ -1005,35 +1005,19 @@ register(
 RRF_K = 60
 
 
-def docs_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid retrieval (round 14): BM25 lexical arm + exact-cosine
-    semantic arm fused by reciprocal-rank fusion — the RAG-shaped
-    two-tower recipe (score = Σ 1/(k + rank_arm), k = 60, a doc absent
-    from an arm contributes 0 there). The synthetic corpus aligns
-    ``vec_id`` with ``doc_id``, so the arms join on document identity.
-
-    Scale shape: each arm is its own already-proven scale path
-    (``docs_bm25_topk``'s filtered explode — the only corpus-sized
-    shuffle is ≤|q| rows per matching doc; ``ann_bruteforce_topk``'s
-    map-side-combined scoring scan, swappable for the partition-pruned
-    IVF serving stage); everything AFTER the arms operates on two
-    TOP_K-row frames — the rank windows, the full-outer fusion join,
-    and the final sort are all bounded by construction, so fusion
-    adds zero corpus-sized work. Cross-engine exactness: ranks are
-    integers, each reciprocal is one IEEE double division, and the
-    two terms add in fixed textual order (lex + sem)."""
+def rrf_fuse(lex: DataFrame, sem: DataFrame) -> DataFrame:
+    """Reciprocal-rank fusion of a lexical arm (doc_id, score) and a
+    semantic arm (doc_id, cos) — SHARED by the corpus-scan hybrid
+    (:func:`docs_hybrid_rrf_topk`) and the fully-persisted serving
+    hybrid (queries/ivf.py::hybrid_rrf_persisted_topk), so the two
+    tiers cannot drift on the fusion arithmetic. Both inputs are
+    TOP_K-row frames; everything here — the rank windows, the
+    full-outer join, the final sort — is bounded by construction."""
     from pyspark.sql import Window
 
-    from flink_cep_examples_spark.queries.text import docs_bm25_topk
-
-    lex = docs_bm25_topk(spark, sf_dir).select("doc_id", "score")
-    # TOP_K-row frames: the single-partition rank windows are bounded
     w_lex = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     lex = lex.select(
         "doc_id", F.row_number().over(w_lex).cast("long").alias("r_lex")
-    )
-    sem = ann_bruteforce_topk(spark, sf_dir).select(
-        F.col("vec_id").alias("doc_id"), "cos"
     )
     w_sem = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
     sem = sem.select(
@@ -1066,6 +1050,32 @@ def docs_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), F.asc("doc_id"))
         .limit(TOP_K)
     )
+
+
+def docs_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (round 14): BM25 lexical arm + exact-cosine
+    semantic arm fused by reciprocal-rank fusion — the RAG-shaped
+    two-tower recipe (score = Σ 1/(k + rank_arm), k = 60, a doc absent
+    from an arm contributes 0 there). The synthetic corpus aligns
+    ``vec_id`` with ``doc_id``, so the arms join on document identity.
+
+    Scale shape: each arm is its own already-proven scale path
+    (``docs_bm25_topk``'s filtered explode — the only corpus-sized
+    shuffle is ≤|q| rows per matching doc; ``ann_bruteforce_topk``'s
+    map-side-combined scoring scan, swappable for the partition-pruned
+    IVF serving stage); everything AFTER the arms operates on two
+    TOP_K-row frames — the rank windows, the full-outer fusion join,
+    and the final sort are all bounded by construction, so fusion
+    adds zero corpus-sized work. Cross-engine exactness: ranks are
+    integers, each reciprocal is one IEEE double division, and the
+    two terms add in fixed textual order (lex + sem)."""
+    from flink_cep_examples_spark.queries.text import docs_bm25_topk
+
+    lex = docs_bm25_topk(spark, sf_dir).select("doc_id", "score")
+    sem = ann_bruteforce_topk(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "cos"
+    )
+    return rrf_fuse(lex, sem)
 
 
 def _oracle_hybrid_rrf() -> str:
