@@ -194,11 +194,17 @@ def docs_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_prefix(docs)
 
 
-def token_budget_prefix(docs: DataFrame) -> DataFrame:
+def token_budget_prefix(docs: DataFrame, budget_rule=None) -> DataFrame:
     """The bucket-prefiltered minimal-prefix selection over any
     (doc_id, lang, n_chars) DataFrame — shared by the catalog query
     and the composed ingest-pipeline query, which runs it over the
-    decontaminated + quality-gated survivors."""
+    decontaminated + quality-gated survivors.
+
+    ``budget_rule``: optional callable mapping the per-language token
+    totals frame (lang, ntok) to a (lang, budget) frame — how
+    ``docs_temperature_mix`` swaps the per-language-percent budgets
+    for temperature-smoothed ones while reusing the whole selection
+    machinery. Default: budget_l = ntok_l × pct_l div 100."""
     pct = F.lit(_TB_PCT_DEFAULT)
     for lang, p in _TB_PCT.items():
         pct = F.when(F.col("lang") == lang, F.lit(p)).otherwise(pct)
@@ -214,12 +220,13 @@ def token_budget_prefix(docs: DataFrame) -> DataFrame:
         .orderBy("b")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    budget = (
-        bstats.groupBy("lang")
-        .agg(F.sum("btok").alias("ntok"))
-        .withColumn("pct", pct)
-        .withColumn("budget", F.expr("ntok * pct div 100"))
-    )
+    ntok = bstats.groupBy("lang").agg(F.sum("btok").alias("ntok"))
+    if budget_rule is not None:
+        budget = budget_rule(ntok)
+    else:
+        budget = ntok.withColumn("pct", pct).withColumn(
+            "budget", F.expr("ntok * pct div 100")
+        )
     live = (
         bstats.withColumn(
             "cum_before", F.coalesce(F.sum("btok").over(wlang), F.lit(0))
@@ -1222,4 +1229,103 @@ register(
     events_value_quantile_hist,
     ORACLE_QUANTILE_HIST,
     # round 7: mergeable histogram quantiles — straight into the gate
+)
+
+
+#: docs_temperature_mix: total token budget as a percent of the corpus
+_TM_PCT = 40
+
+
+def _temperature_budget_rule(ntok: DataFrame) -> DataFrame:
+    """Temperature-smoothed per-language budgets (the multilingual-LM
+    exponent-sampling recipe at α = 0.5): budget_l ∝ sqrt(mass_l), so
+    head languages are down-weighted and tail languages up-weighted
+    relative to their natural share, summing (up to flooring) to a
+    TOTAL budget of ``_TM_PCT``% of the corpus tokens.
+
+    Cross-engine exactness: α = 0.5 deliberately — ``sqrt`` is IEEE
+    correctly-rounded in every engine where ``pow(x, 0.3)``'s libm is
+    not; weights quantize to integers (wq = floor(sqrt(ntok))) and ALL
+    remaining arithmetic is integer: budget = (T div W)·wq +
+    ((T mod W)·wq) div W with T the total budget and W = Σwq — the
+    two-term split keeps every intermediate under 2^63 at any corpus
+    size (T·wq alone would overflow at ~10^13 tokens)."""
+    w = ntok.withColumn(
+        "wq", F.floor(F.sqrt(F.col("ntok").cast("double"))).cast("bigint")
+    )
+    tot = w.agg(
+        F.sum("ntok").alias("tot_tok"), F.sum("wq").alias("w_sum")
+    )
+    t_expr = F.expr(f"tot_tok * {_TM_PCT} div 100")
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn("t", t_expr)
+        .select(
+            "lang",
+            (
+                (F.expr("t div w_sum")) * F.col("wq")
+                + F.expr("((t % w_sum) * wq) div w_sum")
+            ).alias("budget"),
+        )
+    )
+
+
+def docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed multilingual mixture (round 14): the
+    exponent-sampling recipe multilingual LMs train with — sampling
+    share ∝ (language mass)^α, α = 0.5 — expressed as per-language
+    TOKEN budgets filled by the deterministic minimal hash-order
+    prefix. Relative to ``docs_token_budget_mix`` (hand-set
+    per-language percents) the budgets here are DERIVED: one global
+    budget (40% of corpus tokens) split ∝ sqrt(mass_l), so the head
+    language's share falls and tail languages rise — the smoothing
+    that keeps low-resource languages represented.
+
+    Reuses the whole bucket-prefiltered selection machinery
+    (:func:`token_budget_prefix` with a budget rule), so the scale
+    shape is identical: the wide shuffle is O(boundary-bucket rows),
+    never O(corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return token_budget_prefix(docs, budget_rule=_temperature_budget_rule)
+
+
+ORACLE_TEMPERATURE_MIX = f"""
+WITH d AS (
+  SELECT doc_id, lang, (n_chars + 3) // 4 AS tok,
+         (doc_id * {_MIX}) % {_MOD} AS h
+  FROM documents
+),
+m AS (SELECT lang, SUM(tok) AS ntok FROM d GROUP BY lang),
+w AS (
+  SELECT lang, ntok,
+         CAST(FLOOR(sqrt(CAST(ntok AS DOUBLE))) AS BIGINT) AS wq
+  FROM m
+),
+tot AS (
+  SELECT (SELECT SUM(ntok) FROM m) * {_TM_PCT} // 100 AS t,
+         (SELECT SUM(wq) FROM w) AS w_sum
+),
+bgt AS (
+  SELECT lang, (t // w_sum) * wq + ((t % w_sum) * wq) // w_sum AS budget
+  FROM w, tot
+),
+c AS (
+  SELECT d.doc_id, d.lang, d.tok, bgt.budget,
+         COALESCE(SUM(d.tok) OVER (
+           PARTITION BY d.lang ORDER BY d.h, d.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM d JOIN bgt USING (lang)
+)
+SELECT doc_id, lang, tok FROM c WHERE cum_before < budget
+"""
+
+
+register(
+    "docs_temperature_mix",
+    docs_temperature_mix,
+    ORACLE_TEMPERATURE_MIX,
+    # round 14 registration after the gate filled: joins the
+    # never-verified pool at the head of the r15 promotion queue
+    driver=False,
 )

@@ -306,3 +306,59 @@ def test_token_budget_prefix_respects_joined_input(spark, sf_small):
     control_df = spark.createDataFrame(surv.collect(), surv.schema)
     control = {r.doc_id for r in token_budget_prefix(control_df).collect()}
     assert lazy == control
+
+
+def test_temperature_mix_smooths_language_shares(spark, sf_small):
+    """docs_temperature_mix (round 14): the semantics the oracle hash
+    can't show — α=0.5 smoothing actually rebalances. Pins (a) every
+    language's selected token mass meets its sqrt-proportional budget
+    (or the language is exhausted), overshooting by at most one doc,
+    (b) the HEAD language's share of selected tokens is strictly
+    below its natural corpus share while the smallest language's is
+    strictly above (the reason the recipe exists), (c) budgets sum to
+    ≤ the 40% global budget."""
+    from flink_cep_examples_spark.queries import QUERIES, load_all
+    from flink_cep_examples_spark.queries.sampling import (
+        _TM_PCT,
+        _temperature_budget_rule,
+        TOKEN_PROXY_SQL,
+    )
+    from pyspark.sql import functions as F
+
+    load_all()
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    mass = {
+        r.lang: r.ntok
+        for r in docs.groupBy("lang")
+        .agg(F.sum(F.expr(TOKEN_PROXY_SQL)).alias("ntok"))
+        .collect()
+    }
+    budgets = {
+        r.lang: r.budget
+        for r in _temperature_budget_rule(
+            docs.groupBy("lang").agg(
+                F.sum(F.expr(TOKEN_PROXY_SQL)).alias("ntok")
+            )
+        ).collect()
+    }
+    total = sum(mass.values())
+    assert sum(budgets.values()) <= total * _TM_PCT // 100
+
+    rows = QUERIES["docs_temperature_mix"](spark, sf_small).collect()
+    sel = {}
+    max_tok = {}
+    for r in rows:
+        sel[r.lang] = sel.get(r.lang, 0) + r.tok
+        max_tok[r.lang] = max(max_tok.get(r.lang, 0), r.tok)
+    for lang, b in budgets.items():
+        got = sel.get(lang, 0)
+        if got < b:  # under budget -> the language must be exhausted
+            assert got == mass[lang], lang
+        else:  # met -> overshoot bounded by one admitted doc
+            assert got - b < max_tok[lang], lang
+
+    head = max(mass, key=mass.get)
+    tail = min(mass, key=mass.get)
+    sel_total = sum(sel.values())
+    assert sel[head] / sel_total < mass[head] / total
+    assert sel[tail] / sel_total > mass[tail] / total

@@ -89,6 +89,8 @@ SMOKE = [
     "ann_serve_many_persisted_topk",  # round-14 batched IVF serving
     "docs_semantic_decontaminate",  # round-14 exact eval-matrix scoring
     "ann_mmr_ivf_persisted_topk",  # round-14 MMR off the persisted index
+    "hybrid_rrf_persisted_topk",  # round-14 fully-persisted hybrid
+    "docs_temperature_mix",  # round-14 sqrt-smoothed token budgets
 ]
 
 
