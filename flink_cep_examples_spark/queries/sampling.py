@@ -1270,6 +1270,21 @@ def _temperature_budget_rule(ntok: DataFrame) -> DataFrame:
     )
 
 
+def temperature_budgets(spark: SparkSession, sf_dir: str) -> dict[str, int]:
+    """The sqrt-smoothed per-language budgets ``docs_temperature_mix``
+    derives, as a plain dict — the config handed to the ingest-time
+    admission stream (``streaming/budget_stream.py``), so ingest
+    admission and the batch mix fill the SAME budgets (pinned by
+    tests/test_streaming_budget.py::test_budget_stream_temperature_budgets)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = docs.groupBy("lang").agg(
+        F.sum(F.expr(TOKEN_PROXY_SQL)).alias("ntok")
+    )
+    return {
+        r.lang: r.budget for r in _temperature_budget_rule(ntok).collect()
+    }
+
+
 def docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-smoothed multilingual mixture (round 14): the
     exponent-sampling recipe multilingual LMs train with — sampling

@@ -506,3 +506,24 @@ def test_ingest_pipeline_restart_from_checkpoint(spark, sf_small, tmp_path):
                     total.get(r.lang, 0) + (r.n_chars + 3) // 4
                 )
     assert got == want and got
+
+
+def test_budget_stream_temperature_budgets(spark, sf_small, tmp_path):
+    """The sqrt-smoothed budgets serve the SAME ingest admission
+    operator: a single-batch replay with temperature_budgets admits
+    exactly the docs_temperature_mix selection, doc for doc."""
+    from flink_cep_examples_spark.queries.sampling import (
+        temperature_budgets,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    src = tmp_path / "src_t"
+    docs.coalesce(1).write.parquet(str(src))
+    budgets = temperature_budgets(spark, sf_small)
+    rows = _replay(spark, src, budgets, "budget_temp")
+    got = {(r.doc_id, r.lang, r.tok) for r in rows}
+    want = {
+        (r.doc_id, r.lang, r.tok)
+        for r in QUERIES["docs_temperature_mix"](spark, sf_small).collect()
+    }
+    assert got == want and got
