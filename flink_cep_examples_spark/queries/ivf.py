@@ -1189,12 +1189,12 @@ def hybrid_rrf_persisted_topk(
     from flink_cep_examples_spark.queries.text import (
         BM25_QUERY,
         bm25_search_persisted,
-        write_bm25_index,
+        ensure_bm25_index,
     )
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     bm25_dir = f"{tempfile.gettempdir()}/spark_graft_bm25_index_{tag}"
-    write_bm25_index(spark, sf_dir, bm25_dir)
+    ensure_bm25_index(spark, sf_dir, bm25_dir)
     lex = bm25_search_persisted(spark, bm25_dir, BM25_QUERY).select(
         "doc_id", "score"
     )

@@ -456,6 +456,26 @@ def write_bm25_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     )
 
 
+#: index dirs already built by THIS process — the train-once guard
+#: (same rationale as queries/ivf.py::ensure_ivf_index: a stale
+#: on-disk index across processes would silently serve an old
+#: postings format after a code change; within one session the
+#: inputs are immutable and the skip is sound).
+_BM25_INDEX_WRITTEN: set[str] = set()
+
+
+def ensure_bm25_index(
+    spark: SparkSession, sf_dir: str, index_dir: str
+) -> None:
+    """Build-once guard over :func:`write_bm25_index`: the first call
+    per (process, index_dir) writes the postings; every later call is
+    a no-op — N lexical queries in a session pay ONE index build."""
+    if index_dir in _BM25_INDEX_WRITTEN:
+        return
+    write_bm25_index(spark, sf_dir, index_dir)
+    _BM25_INDEX_WRITTEN.add(index_dir)
+
+
 def bm25_search_persisted(
     spark: SparkSession, index_dir: str, query_terms: tuple[str, ...]
 ) -> DataFrame:
@@ -494,7 +514,7 @@ def bm25_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     index_dir = f"{tempfile.gettempdir()}/spark_graft_bm25_index_{tag}"
-    write_bm25_index(spark, sf_dir, index_dir)
+    ensure_bm25_index(spark, sf_dir, index_dir)
     return bm25_search_persisted(spark, index_dir, BM25_QUERY)
 
 
