@@ -89,6 +89,13 @@ HEADLINE = [
 #: documented ±40% band, not a query-specific regression. Neither
 #: query's code changed since r4.
 BENCH_NOTES = (
+    "r14 CLOSING-RUN adjudication: the end-of-round run measured "
+    "64.06 s with 18 uniform 1.25-1.7x flags incl. >=10 queries no "
+    "round-14 code touched; the settled text_fingerprint control "
+    "itself re-probed at 0.590 min-of-5 (~1.7x its 0.22-0.39 band) - "
+    "uniform slow-host moment, no code regression; the same-session "
+    "healthy record is 53.30 s with ZERO flags, batch 110.5k / "
+    "stream 172.4k ev/s (SCALING.md r14 section). "
     "r14 CODE BISECT (VERDICT r13 item 2, the mandated second-"
     "consecutive-flag protocol): cep_streaming r12 code vs r14 HEAD, "
     "interleaved A/B x5 in fresh subprocesses on the exact bench "
