@@ -133,7 +133,17 @@ def corpus_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = arriving.join(contaminated, "doc_id", "left_anti").join(
         good, "doc_id"
     )
-    return token_budget_prefix(survivors)
+    # Materialize the stage boundary (narrow: 2 longs + lang per row).
+    # Correctness at scale, not a cache: token_budget_prefix's
+    # kept_whole ∪ kept_boundary branches would otherwise each carry
+    # the whole survivors-join lineage, and at the 100×-replica probe
+    # AQE's reused-exchange handling of that duplicated lineage
+    # crashed the whole-stage-codegen SMJ zip ("Can't zip RDDs with
+    # unequal numbers of partitions: List(32, 64)" — reproduced at
+    # K=40, skew-join toggle refuted; SCALING.md r14 K=100 section).
+    # A real ingest pipeline persists the survivor set between stages
+    # anyway — this is that persist point.
+    return token_budget_prefix(survivors.localCheckpoint())
 
 
 def _oracle_ingest() -> str:
