@@ -1080,8 +1080,8 @@ register(
 )
 register(
     "cep_skip_to_last_nfa", cep_skip_to_last_nfa, ORACLE_SKIP_TO_LAST,
-    # r8 rotation: promoted (single green r5, stalest row after the
-    # never-verified pool per tools/rotation.py)
+    driver=False,  # r15 rotation: 8 green rounds (r5, r8-r14),
+    # most-verified tier — demoted for the round-14 registrations
 )
 register(
     "cep_measure_aggregates", cep_measure_aggregates, ORACLE_MEASURE_AGGS,
@@ -3524,7 +3524,8 @@ register(
     "cep_group_range_or_fallback",
     cep_group_range_or_fallback,
     ORACLE_GROUP_RANGE_OR_FALLBACK,
-    # r7 rotation: promoted (never-driver-verified pool)
+    driver=False,  # r15 rotation: 8 green rounds (r7-r14), most-verified
+    # tier — demoted for the round-14 registrations; pytest-oracled
 )
 
 
@@ -4005,5 +4006,6 @@ register(
     "cep_group_star_greedy",
     cep_group_star_greedy,
     ORACLE_GROUP_STAR_GREEDY,
-    # round 7: greedy star derivation — straight into the driver gate
+    driver=False,  # r15 rotation: 8 green rounds (r7-r14), most-verified
+    # tier — demoted for the round-14 registrations; pytest-oracled
 )

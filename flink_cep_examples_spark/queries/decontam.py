@@ -330,5 +330,6 @@ register(
     "docs_decontaminate_bloom",
     docs_decontaminate_bloom,
     _oracle_bloom(),
-    # r7 rotation: promoted (never-driver-verified pool)
+    driver=False,  # r15 rotation: 8 green rounds (r7-r14), most-verified
+    # tier — demoted for the round-14 registrations; pytest-oracled
 )

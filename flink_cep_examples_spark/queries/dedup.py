@@ -1264,5 +1264,6 @@ register(
     "dedup_containment",
     dedup_containment,
     ORACLE_CONTAINMENT,
-    # r7 rotation: promoted (never-driver-verified pool)
+    driver=False,  # r15 rotation: 8 green rounds (r7-r14), most-verified
+    # tier — demoted for the round-14 registrations; pytest-oracled
 )

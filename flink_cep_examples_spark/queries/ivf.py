@@ -542,12 +542,17 @@ def write_ivf_index(
     )
 
 
-#: index dirs already trained by THIS process — the train-once guard.
-#: Deliberately not an on-disk check: trusting a stale /tmp index
-#: across processes would silently serve an old quantizer after a code
-#: change; within one session the inputs are immutable and the skip is
-#: sound (the serve-many deployment shape, VERDICT r13 item 5).
-_IVF_INDEX_WRITTEN: set[str] = set()
+#: (index dir, k_lists) pairs already trained by THIS process — the
+#: train-once guard. Keyed on the training parameter too (ADVICE r14):
+#: a later call with a different ``k_lists`` must retrain rather than
+#: silently serve the first call's quantizer. Deliberately not a
+#: trust-the-disk check: a stale /tmp index from another process would
+#: silently serve an old quantizer after a code change; within one
+#: session the inputs are immutable and the skip is sound (the
+#: serve-many deployment shape, VERDICT r13 item 5). The skip DOES
+#: verify the index still exists on disk (external /tmp cleanup
+#: mid-session must fall through to retrain, not fail every serve).
+_IVF_INDEX_WRITTEN: set[tuple[str, int | None]] = set()
 
 
 def ensure_ivf_index(
@@ -561,11 +566,26 @@ def ensure_ivf_index(
     per (process, index_dir) trains and writes; every later call is a
     no-op, so N serving queries in a session pay ONE training pass —
     the FAISS train()-then-serve contract. ``ivf_append_vectors``
-    appends compose with the skip (append never retrains)."""
-    if index_dir in _IVF_INDEX_WRITTEN:
+    appends compose with the skip (append never retrains).
+
+    The skip requires the SAME ``k_lists`` (a different value retrains
+    under the new key) and the index still present on disk — both
+    ADVICE r14 hazards."""
+    key = (index_dir, k_lists)
+    if key in _IVF_INDEX_WRITTEN and _index_on_disk(index_dir):
         return
     write_ivf_index(spark, sf_dir, index_dir, k_lists=k_lists)
-    _IVF_INDEX_WRITTEN.add(index_dir)
+    _IVF_INDEX_WRITTEN.add(key)
+
+
+def _index_on_disk(index_dir: str) -> bool:
+    """True when both persisted-index halves still exist (a mid-session
+    /tmp sweep deletes them; the guard must retrain, not no-op)."""
+    import os
+
+    return os.path.isdir(f"{index_dir}/centroids") and os.path.isdir(
+        f"{index_dir}/lists"
+    )
 
 
 def ivf_append_vectors(
@@ -1002,9 +1022,7 @@ register(
     "ann_mmr_ivf_persisted_topk",
     ann_mmr_ivf_persisted_topk,
     _oracle_mmr_ivf(),
-    # round 14 registration after the gate filled: joins the
-    # never-verified pool at the head of the r15 promotion queue
-    driver=False,
+    # r15 rotation: promoted (never-driver-verified pool)
 )
 
 
@@ -1158,9 +1176,7 @@ register(
     "ann_serve_many_persisted_topk",
     ann_serve_many_persisted_topk,
     _oracle_serve_many(),
-    # round 14 registration after the gate filled: joins the
-    # never-verified pool at the head of the r15 promotion queue
-    driver=False,
+    # r15 rotation: promoted (never-driver-verified pool)
 )
 
 
@@ -1245,7 +1261,5 @@ register(
     "hybrid_rrf_persisted_topk",
     hybrid_rrf_persisted_topk,
     _oracle_hybrid_persisted(),
-    # round 14 registration after the gate filled: joins the
-    # never-verified pool at the head of the r15 promotion queue
-    driver=False,
+    # r15 rotation: promoted (never-driver-verified pool)
 )

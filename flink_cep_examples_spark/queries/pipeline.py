@@ -142,8 +142,33 @@ def corpus_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unequal numbers of partitions: List(32, 64)" — reproduced at
     # K=40, skew-join toggle refuted; SCALING.md r14 K=100 section).
     # A real ingest pipeline persists the survivor set between stages
-    # anyway — this is that persist point.
-    return token_budget_prefix(survivors.localCheckpoint())
+    # anyway — this is that persist point, and it is DURABLE (VERDICT
+    # r14 item 2): a parquet write + read-back, so the downstream
+    # stage's lineage roots at a rereadable file scan. The r14 form
+    # (`localCheckpoint()`) cut the lineage too, but its blocks are
+    # executor-local and non-replicated — on a real cluster one lost
+    # node mid-stage-3 failed the job unrecoverably; a parquet
+    # boundary re-reads from shared storage instead.
+    return token_budget_prefix(
+        _materialize_stage(survivors, sf_dir, "ingest_survivors")
+    )
+
+
+def _materialize_stage(df: DataFrame, sf_dir: str, stage: str) -> DataFrame:
+    """Durable stage boundary: write ``df`` to parquet (under the
+    session temp root locally; shared storage on a cluster) and read
+    it back, so the returned frame's lineage starts at a file scan —
+    recomputable after ANY executor/node loss, unlike
+    ``localCheckpoint``'s executor-local blocks. Overwritten per
+    invocation: the boundary is a pipeline persist point, not a
+    cross-run cache."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"{tempfile.gettempdir()}/spark_graft_stage_{stage}_{tag}"
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
 
 
 def _oracle_ingest() -> str:
@@ -279,5 +304,6 @@ register(
     "corpus_winnow_dedup",
     corpus_winnow_dedup,
     _oracle_winnow_dedup(),
-    # r7 rotation: promoted (never-driver-verified pool)
+    driver=False,  # r15 rotation: 8 green rounds (r7-r14), most-verified
+    # tier — demoted for the round-14 registrations; pytest-oracled
 )

@@ -1249,7 +1249,13 @@ def _temperature_budget_rule(ntok: DataFrame) -> DataFrame:
     remaining arithmetic is integer: budget = (T div W)·wq +
     ((T mod W)·wq) div W with T the total budget and W = Σwq — the
     two-term split keeps every intermediate under 2^63 at any corpus
-    size (T·wq alone would overflow at ~10^13 tokens)."""
+    size (T·wq alone would overflow at ~10^13 tokens).
+
+    Degenerate input (ADVICE r14): an empty or all-zero-token corpus
+    makes W = 0; Spark's integer ``div`` by zero yields NULL (silently
+    selecting nothing) where DuckDB's ``// 0`` errors — so the rule
+    short-circuits W = 0 to budget 0 explicitly, and the two engines
+    agree that nothing is admitted."""
     w = ntok.withColumn(
         "wq", F.floor(F.sqrt(F.col("ntok").cast("double"))).cast("bigint")
     )
@@ -1262,10 +1268,13 @@ def _temperature_budget_rule(ntok: DataFrame) -> DataFrame:
         .withColumn("t", t_expr)
         .select(
             "lang",
-            (
+            F.when(
+                F.col("w_sum") > 0,
                 (F.expr("t div w_sum")) * F.col("wq")
-                + F.expr("((t % w_sum) * wq) div w_sum")
-            ).alias("budget"),
+                + F.expr("((t % w_sum) * wq) div w_sum"),
+            )
+            .otherwise(F.lit(0).cast("bigint"))
+            .alias("budget"),
         )
     )
 
@@ -1340,7 +1349,5 @@ register(
     "docs_temperature_mix",
     docs_temperature_mix,
     ORACLE_TEMPERATURE_MIX,
-    # round 14 registration after the gate filled: joins the
-    # never-verified pool at the head of the r15 promotion queue
-    driver=False,
+    # r15 rotation: promoted (never-driver-verified pool)
 )

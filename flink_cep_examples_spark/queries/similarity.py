@@ -1108,9 +1108,7 @@ register(
     "docs_hybrid_rrf_topk",
     docs_hybrid_rrf_topk,
     _oracle_hybrid_rrf(),
-    # round 14 registration after the gate filled: joins the
-    # never-verified pool at the head of the r15 promotion queue
-    driver=False,
+    # r15 rotation: promoted (never-driver-verified pool)
 )
 
 
@@ -1122,14 +1120,37 @@ SEM_EVAL_MOD = 17
 SEM_EVAL_RESIDUE = 5
 SEM_TAU = 0.35
 
+#: Hard ceiling on the collected eval matrix (rows). The frame rides
+#: the scorer's closure into every task, so |eval|×DIM×8 bytes is
+#: broadcast per executor — fine for real frozen eval benchmarks
+#: (10²–10⁵ rows), a silent driver OOM if someone points this at a
+#: corpus-sized "eval set". 2×10⁵ rows × 128 dims ≈ 200 MB.
+SEM_EVAL_MAX_ROWS = 200_000
+
 
 def sem_eval_matrix(spark: SparkSession, sf_dir: str) -> "np.ndarray":
     """Collect the frozen eval slice as an |eval|×DIM float64 matrix —
     bounded like the decontam hash set and the NB weights; trained
     (frozen) once per eval-set version, shipped in the scorer's
-    closure."""
+    closure.
+
+    Guarded (VERDICT r14 item 4): counts the slice BEFORE collecting
+    and raises loudly past :data:`SEM_EVAL_MAX_ROWS`, naming the
+    IVF-as-queries swap — never a silent driver OOM."""
     emb = load_table(spark, sf_dir, "embeddings")
     is_eval = (F.col("vec_id") % SEM_EVAL_MOD) == SEM_EVAL_RESIDUE
+    n_eval = emb.filter(is_eval).count()
+    if n_eval > SEM_EVAL_MAX_ROWS:
+        raise ValueError(
+            f"semantic-decontam eval slice has {n_eval} rows, past the "
+            f"{SEM_EVAL_MAX_ROWS}-row closure budget "
+            f"(|eval|×DIM×8 bytes is shipped to every task). "
+            "For eval sets this large, run the persisted-IVF route "
+            "instead: ensure_ivf_index over the corpus, then "
+            "ivf_search_persisted_many with the EVAL vectors as the "
+            "query batch (queries/ivf.py) — same contamination "
+            "semantics, no driver-side matrix."
+        )
     ev_rows = sorted(
         (int(r.vec_id), [float(x) for x in r.embedding])
         for r in emb.filter(is_eval).select("vec_id", "embedding").collect()
@@ -1146,8 +1167,23 @@ def semantic_decontaminate_frame(df: DataFrame, E: "np.ndarray") -> DataFrame:
     the same callable serves ingest streams natively (pinned by
     tests/test_ann_stream.py::test_semantic_decontam_serves_streams_natively).
     Per-DIMENSION accumulation keeps every double bit-identical to the
-    oracle's sequential ``list_sum`` fold (the ``_pd_cos`` order)."""
+    oracle's sequential ``list_sum`` fold (the ``_pd_cos`` order).
+
+    An EMPTY eval matrix means nothing can be contaminated: return an
+    empty frame with the output schema (ADVICE r14 — indexing
+    ``E.shape[1]`` on a 1-D empty array raised IndexError where the
+    oracle's empty cross join yields zero rows)."""
     from pyspark.sql import types as T
+
+    if E.size == 0:
+        return (
+            df.sparkSession.range(0)
+            .select(
+                F.col("id").alias("vec_id"),
+                F.col("id").alias("n_hits"),
+                F.col("id").cast("double").alias("max_cos"),
+            )
+        )
 
     en = np.zeros(len(E))
     for d in range(E.shape[1]):  # _pd_cos fold order per component
@@ -1245,7 +1281,5 @@ register(
     "docs_semantic_decontaminate",
     docs_semantic_decontaminate,
     ORACLE_SEM_DECONTAM,
-    # round 14 registration after the gate filled: joins the
-    # never-verified pool at the head of the r15 promotion queue
-    driver=False,
+    # r15 rotation: promoted (never-driver-verified pool)
 )

@@ -469,8 +469,17 @@ def ensure_bm25_index(
 ) -> None:
     """Build-once guard over :func:`write_bm25_index`: the first call
     per (process, index_dir) writes the postings; every later call is
-    a no-op — N lexical queries in a session pay ONE index build."""
-    if index_dir in _BM25_INDEX_WRITTEN:
+    a no-op — N lexical queries in a session pay ONE index build.
+
+    The skip also verifies the index is still on disk (ADVICE r14: an
+    external /tmp sweep mid-session must fall through to rebuild, not
+    fail every serve until process restart)."""
+    import os
+
+    on_disk = os.path.isdir(f"{index_dir}/stats") and os.path.isdir(
+        f"{index_dir}/postings"
+    )
+    if index_dir in _BM25_INDEX_WRITTEN and on_disk:
         return
     write_bm25_index(spark, sf_dir, index_dir)
     _BM25_INDEX_WRITTEN.add(index_dir)

@@ -51,7 +51,20 @@ def ann_serve_stream(
     Exactly-once: foreachBatch may REPLAY a batch after a failure, so
     the write is idempotent per batch id — each replayed batch
     overwrites its own ``batch=<id>`` partition instead of appending
-    duplicates (the documented foreachBatch dedup recipe)."""
+    duplicates (the documented foreachBatch dedup recipe).
+
+    Duplicate-qid semantics (ADVICE r14, deliberate and now stated):
+
+    - WITHIN a micro-batch, duplicate qids collapse to one dict entry
+      (last row wins) — one answer per qid per batch, matching the
+      batch serve-many contract (``ivf_search_persisted_many`` takes a
+      qid-keyed dict).
+    - ACROSS micro-batches, the same qid resubmitted later is served
+      again under its new ``batch=`` partition — the sink as a whole
+      may hold multiple result sets for one qid. Consumers reading the
+      WHOLE sink must pick per qid (e.g. max ``batch`` = the freshest
+      answer); readers of a single batch partition see exactly one.
+    """
     from pyspark.sql import functions as F
 
     from flink_cep_examples_spark.queries.ivf import (

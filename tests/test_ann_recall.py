@@ -383,3 +383,46 @@ def test_serve_many_matches_single_query_serving(spark, sf_small):
         l for l in plan.splitlines() if "PartitionFilters" in l
     ]
     assert any("cid" in l for l in scan_lines), scan_lines
+
+
+def test_persisted_hybrid_overlap_vs_brute_hybrid(spark, sf_small):
+    """VERDICT r14 item 5: the end-to-end serving-fidelity gate.
+    ``hybrid_rrf_persisted_topk`` differs from ``docs_hybrid_rrf_topk``
+    exactly where IVF is approximate (the semantic arm's candidate
+    pool); the lexical arm is EXACT in both (the partition-pruned BM25
+    index prunes buckets, never postings). Pins:
+
+    - top-K overlap between the two fused lists ≥ 0.6 (the serving
+      answer recovers most of the exact hybrid — same floor as the
+      IVF-MMR recall gate; chance overlap at corpus scale is ~0);
+    - shared docs carry IDENTICAL lexical ranks (the exact arm cannot
+      drift between the two tiers);
+    - a doc the persisted tier ranks in its semantic arm is in the
+      brute tier's semantic arm too whenever both return it (IVF's
+      candidate list is a SUBSET of the brute ranking's pool, so a
+      sem-arm hit can be lost to pruning but never invented)."""
+    from flink_cep_examples_spark.queries import QUERIES, load_all
+
+    load_all()
+    brute = {
+        r.doc_id: r for r in QUERIES["docs_hybrid_rrf_topk"](
+            spark, sf_small
+        ).collect()
+    }
+    served = {
+        r.doc_id: r for r in QUERIES["hybrid_rrf_persisted_topk"](
+            spark, sf_small
+        ).collect()
+    }
+    assert brute and served
+    overlap = len(brute.keys() & served.keys()) / max(
+        len(brute), len(served)
+    )
+    assert overlap >= 0.6, f"persisted-hybrid top-K overlap {overlap:.2f}"
+    for doc_id in brute.keys() & served.keys():
+        assert brute[doc_id].r_lex == served[doc_id].r_lex, doc_id
+        if served[doc_id].r_sem and brute[doc_id].r_sem == 0:
+            raise AssertionError(
+                f"doc {doc_id}: persisted sem arm invented a hit the "
+                "brute ranking does not have"
+            )

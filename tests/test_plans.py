@@ -421,3 +421,22 @@ def test_dedup_keep_best_persisted_serves_off_map(spark, sf_small, tmp_path):
         l for l in _plan(one).splitlines() if "PartitionFilters" in l
     ]
     assert any("cluster_bucket" in l for l in scan_lines), scan_lines
+
+
+def test_ingest_pipeline_stage_boundary_is_durable_file_scan(
+    spark, sf_small
+):
+    """VERDICT r14 item 2: the composed ingest pipeline's stage
+    boundary must be a DURABLE persist — the returned frame's plan
+    roots at a parquet scan of the materialized survivors, and the
+    survivors-join lineage (the decontaminate anti-join + the quality
+    inner join) appears ZERO times downstream, so no plan shape can
+    union two copies of it (the AQE reused-exchange crash at the
+    100×-replica probe) and a lost executor re-reads the file instead
+    of failing the job (the localCheckpoint hazard)."""
+    df = QUERIES["corpus_ingest_pipeline"](spark, sf_small)
+    plan = _plan(df)
+    assert "spark_graft_stage_ingest_survivors" in plan, plan[:2000]
+    # the upstream join lineage is fully cut at the boundary: the
+    # downstream plan contains no anti-join (decontamination) at all
+    assert "LeftAnti" not in plan, plan[:2000]
