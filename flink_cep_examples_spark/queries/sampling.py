@@ -1351,3 +1351,114 @@ register(
     ORACLE_TEMPERATURE_MIX,
     # r15 rotation: promoted (never-driver-verified pool)
 )
+
+
+def docs_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order interleave (round 15) — the stage
+    AFTER mixture selection that no prior query covered: given the
+    temperature-smoothed admitted mix, emit the single global order a
+    trainer should read it in, stride-interleaved so that ANY prefix
+    of the order holds each language in (approximately) its admitted
+    token share — the standard alternative to "all of language A, then
+    all of B", which catastrophically skews early training.
+
+    Stride scheduling: within a language, docs keep the admission hash
+    order; doc i (tokens t_i, cumulative c_i before it) sits at
+    fractional position (2·c_i + t_i) / (2·T_lang) — the midpoint of
+    its token span in [0, 1) — and the global order sorts by that
+    fraction (ties broken by lang, doc_id). All inputs are integers
+    and both engines evaluate the same IEEE-double expression, so the
+    order is bit-reproducible.
+
+    Scale shape (100 TB): the per-language windows shuffle once on
+    lang; the global order is a RANGE-partitioned sort (the same
+    machinery a distributed ORDER BY uses — no single-reducer window),
+    and the global index is the classic two-pass pattern: per-range
+    row_number + a per-PARTITION offset table collected to the driver
+    (bounded: one row per shuffle partition, NOT per data row). A
+    naive ``Window.orderBy(frac)`` with no partition key would funnel
+    every row through one task; this form keeps all 1000 executors
+    sorting their own key range."""
+    mix = docs_temperature_mix(spark, sf_dir)
+    wlang = (
+        Window.partitionBy("lang")
+        .orderBy(_mix(F.col("doc_id")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pos = (
+        mix.withColumn(
+            "cum_before", F.coalesce(F.sum("tok").over(wlang), F.lit(0))
+        )
+        .withColumn(
+            "adm_tok", F.sum("tok").over(Window.partitionBy("lang"))
+        )
+        .withColumn(
+            "frac",
+            (F.lit(2.0) * F.col("cum_before") + F.col("tok"))
+            / (F.lit(2.0) * F.col("adm_tok")),
+        )
+    )
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        pos.repartitionByRange(n_parts, "frac", "lang", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    # bounded driver state: ONE row per range partition, whatever the
+    # corpus size — the two-pass global-index offset table
+    cnts = {
+        int(r.pid): int(r.c)
+        for r in ranged.groupBy("pid").agg(
+            F.count(F.lit(1)).alias("c")
+        ).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(cnts):
+        offsets.append((pid, acc))
+        acc += cnts[pid]
+    off_df = spark.createDataFrame(
+        offsets or [(0, 0)], "pid int, off bigint"
+    )
+    wpid = Window.partitionBy("pid").orderBy("frac", "lang", "doc_id")
+    out = (
+        ranged.join(F.broadcast(off_df), "pid")
+        .select(
+            (F.row_number().over(wpid) + F.col("off")).alias("ord"),
+            "doc_id",
+            "lang",
+            "tok",
+        )
+    )
+    return out
+
+
+def _oracle_training_order() -> str:
+    return f"""
+WITH mix AS ({ORACLE_TEMPERATURE_MIX}),
+adm AS (SELECT lang, SUM(tok) AS adm_tok FROM mix GROUP BY lang),
+pos AS (
+  SELECT m.doc_id, m.lang, m.tok,
+         COALESCE(SUM(m.tok) OVER (
+           PARTITION BY m.lang
+           ORDER BY (m.doc_id * {_MIX}) % {_MOD}, m.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before,
+         adm.adm_tok
+  FROM mix m JOIN adm USING (lang)
+)
+SELECT ROW_NUMBER() OVER (
+         ORDER BY (2.0 * cum_before + tok) / (2.0 * adm_tok),
+                  lang, doc_id) AS ord,
+       doc_id, lang, tok
+FROM pos
+"""
+
+
+register(
+    "docs_training_order",
+    docs_training_order,
+    _oracle_training_order(),
+    # round 15 registration after the gate filled: joins the
+    # never-verified pool at the head of the r16 promotion queue
+    driver=False,
+)

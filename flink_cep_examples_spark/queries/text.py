@@ -437,10 +437,29 @@ def write_bm25_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     One corpus scan + one (doc, term) aggregation; queries then never
     touch the corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    docs.select(_tok_count(F.col("text")).alias("dl")).agg(
+    _bm25_stats_frame(docs).coalesce(1).write.mode("overwrite").parquet(
+        f"{index_dir}/stats"
+    )
+    _bm25_postings_frame(docs).write.mode("overwrite").partitionBy(
+        "term_bucket"
+    ).parquet(f"{index_dir}/postings")
+
+
+def _bm25_stats_frame(docs: DataFrame) -> DataFrame:
+    """(n_docs, total_dl) for a (doc_id, text) frame — shared by the
+    initial build (one full-corpus row) and the incremental append
+    (one delta row per ingested batch)."""
+    return docs.select(_tok_count(F.col("text")).alias("dl")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_dl"),
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/stats")
+    )
+
+
+def _bm25_postings_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, dl, term, tf, term_bucket) postings for a (doc_id,
+    text) frame — the SAME expression tree for build and append, so
+    incrementally ingested postings are bit-identical to what a full
+    rebuild would have written."""
     terms = docs.select(
         "doc_id",
         _tok_count(F.col("text")).alias("dl"),
@@ -449,11 +468,36 @@ def write_bm25_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     tf = terms.groupBy("doc_id", "dl", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    tf.withColumn(
+    return tf.withColumn(
         "term_bucket", F.pmod(F.xxhash64("term"), F.lit(BM25_BUCKETS))
-    ).write.mode("overwrite").partitionBy("term_bucket").parquet(
-        f"{index_dir}/postings"
     )
+
+
+def bm25_append_docs(
+    spark: SparkSession, index_dir: str, new_docs: DataFrame
+) -> None:
+    """Incremental ingest into a persisted BM25 index (round 15) — the
+    lexical twin of ``queries/ivf.py::ivf_append_vectors``: tokenize
+    arriving (``doc_id``, ``text``) docs with the build-path expression
+    tree and APPEND their postings to the ``term_bucket=`` partitions
+    (dynamic partition append — existing postings files are never
+    rewritten) plus ONE (n_docs, total_dl) delta row to the stats file.
+    Serving picks both up on the next scan: ``bm25_search_persisted``
+    prunes to the query's buckets exactly as before and SUMs the stats
+    rows, and per-term document frequency is recomputed from the pruned
+    scan, so appended docs immediately affect idf/avgdl exactly as a
+    full rebuild would. No retraining, no rewrite, no corpus scan.
+
+    The FAISS ``add()``-after-train analogy from the IVF side holds:
+    the bucket hash (xxhash64 mod B) is the frozen "quantizer" —
+    appends never change it, so postings stay correctly routed at any
+    ingest volume."""
+    _bm25_postings_frame(new_docs.select("doc_id", "text")).write.mode(
+        "append"
+    ).partitionBy("term_bucket").parquet(f"{index_dir}/postings")
+    _bm25_stats_frame(new_docs.select("doc_id", "text")).coalesce(
+        1
+    ).write.mode("append").parquet(f"{index_dir}/stats")
 
 
 #: index dirs already built by THIS process — the train-once guard
@@ -493,8 +537,19 @@ def bm25_search_persisted(
     term_bucket, plan-audited in tests/test_plans.py) plus the pushed
     term IN (...) filter — query cost is independent of corpus size
     beyond the probed postings lists. Scoring is the shared
-    :func:`_bm25_rank` kernel."""
-    stats = spark.read.parquet(f"{index_dir}/stats")
+    :func:`_bm25_rank` kernel.
+
+    The stats read SUMs its rows: the initial build writes one row and
+    every :func:`bm25_append_docs` batch appends a delta row, so the
+    corpus-level n_docs / total_dl stay exact after incremental ingest
+    without ever rewriting the stats file (round 15)."""
+    stats = (
+        spark.read.parquet(f"{index_dir}/stats")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("total_dl").alias("total_dl"),
+        )
+    )
     postings = spark.read.parquet(f"{index_dir}/postings")
     bucket_of = {
         r.term: r.b

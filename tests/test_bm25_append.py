@@ -1,0 +1,103 @@
+"""Incremental BM25 ingest (round 15): appended docs' postings join
+their frozen term buckets without rewriting existing files, the stats
+delta rows keep corpus-level n_docs/total_dl exact, and serving off the
+half-built-then-appended index is BIT-IDENTICAL to the full-corpus scan
+path — the agreement the shared ``_bm25_rank`` kernel guarantees."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_cep_examples_spark.queries.text import (
+    BM25_QUERY,
+    bm25_append_docs,
+    bm25_search_persisted,
+    write_bm25_index,
+)
+
+
+def _half_split(spark, sf_small):
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    cut = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    return docs, docs.filter(F.col("doc_id") <= cut), docs.filter(
+        F.col("doc_id") > cut
+    )
+
+
+def test_bm25_append_matches_full_rebuild(spark, sf_small, tmp_path):
+    """Build the index from HALF the corpus, append the other half,
+    and serve: scores must be bit-equal to the scan path over the FULL
+    corpus (docs_bm25_topk's tier) — idf, avgdl, and df all absorbed
+    the appended docs exactly as a rebuild would."""
+    from flink_cep_examples_spark.queries import QUERIES, load_all
+
+    load_all()
+    docs, first, second = _half_split(spark, sf_small)
+    idx = str(tmp_path / "bm25_half")
+
+    # build from the first half via the documents loader contract:
+    # write_bm25_index reads `documents` from a dir, so stage the half
+    half_dir = tmp_path / "halfsf"
+    half_dir.mkdir()
+    first.write.parquet(str(half_dir / "documents.parquet"))
+    write_bm25_index(spark, str(half_dir), idx)
+
+    n_post_before = spark.read.parquet(f"{idx}/postings").count()
+    bm25_append_docs(spark, idx, second.select("doc_id", "text"))
+    post_after = spark.read.parquet(f"{idx}/postings")
+    assert post_after.count() > n_post_before  # pure append
+    stats_rows = spark.read.parquet(f"{idx}/stats").collect()
+    assert len(stats_rows) == 2  # build row + one delta row
+    assert sum(r.n_docs for r in stats_rows) == docs.count()
+
+    served = {
+        r.doc_id: r for r in bm25_search_persisted(
+            spark, idx, BM25_QUERY
+        ).collect()
+    }
+    scan = {
+        r.doc_id: r
+        for r in QUERIES["docs_bm25_topk"](spark, sf_small).collect()
+    }
+    assert set(served) == set(scan)
+    for doc_id, s in served.items():
+        assert s.score == scan[doc_id].score, doc_id  # bit-equal doubles
+        assert s.dl == scan[doc_id].dl, doc_id
+
+
+def test_bm25_append_stats_sum_and_pruning(spark, sf_small, tmp_path):
+    """After an append, (a) the served plan still partition-prunes to
+    the query terms' buckets (the frozen bucket hash routes appended
+    postings into the SAME buckets), and (b) a second append keeps the
+    stats ledger exact — three rows summing to the total ingested."""
+    docs, first, second = _half_split(spark, sf_small)
+    idx = str(tmp_path / "bm25_inc")
+    half_dir = tmp_path / "halfsf"
+    half_dir.mkdir()
+    first.write.parquet(str(half_dir / "documents.parquet"))
+    write_bm25_index(spark, str(half_dir), idx)
+
+    cut2 = second.approxQuantile("doc_id", [0.5], 0.0)[0]
+    bm25_append_docs(
+        spark,
+        idx,
+        second.filter(F.col("doc_id") <= cut2).select("doc_id", "text"),
+    )
+    bm25_append_docs(
+        spark,
+        idx,
+        second.filter(F.col("doc_id") > cut2).select("doc_id", "text"),
+    )
+    stats_rows = spark.read.parquet(f"{idx}/stats").collect()
+    assert len(stats_rows) == 3
+    assert sum(r.n_docs for r in stats_rows) == docs.count()
+    tok = F.size(F.split(F.trim("text"), r"\s+"))
+    assert sum(r.total_dl for r in stats_rows) == (
+        docs.select(F.sum(tok)).first()[0]
+    )
+
+    out = bm25_search_persisted(spark, idx, BM25_QUERY)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("term_bucket" in l for l in scan_lines), scan_lines
+    assert out.count() > 0

@@ -362,3 +362,49 @@ def test_temperature_mix_smooths_language_shares(spark, sf_small):
     sel_total = sum(sel.values())
     assert sel[head] / sel_total < mass[head] / total
     assert sel[tail] / sel_total > mass[tail] / total
+
+
+def test_training_order_interleaves_languages(spark, sf_small):
+    """docs_training_order (round 15): the semantics the oracle hash
+    can't show — the global order actually INTERLEAVES. Pins (a) ord
+    is the dense 1..N sequence (the two-pass range-partitioned global
+    index agrees with a true total order), (b) the rows are exactly
+    the admitted temperature mix, (c) stride fairness: in EVERY prefix
+    of the order, each language's token mass deviates from its
+    proportional share of that prefix by at most ~2 of its own docs —
+    the property a lang-blocked order violates maximally, (d) within
+    a language, docs appear in the admission hash order."""
+    from flink_cep_examples_spark.queries import QUERIES, load_all
+    from flink_cep_examples_spark.queries.sampling import _MIX, _MOD
+
+    load_all()
+    rows = sorted(
+        QUERIES["docs_training_order"](spark, sf_small).collect(),
+        key=lambda r: r.ord,
+    )
+    assert [r.ord for r in rows] == list(range(1, len(rows) + 1))
+    mix = QUERIES["docs_temperature_mix"](spark, sf_small).collect()
+    assert {(r.doc_id, r.lang, r.tok) for r in rows} == {
+        (r.doc_id, r.lang, r.tok) for r in mix
+    }
+    total = {}
+    max_tok = {}
+    for r in rows:
+        total[r.lang] = total.get(r.lang, 0) + r.tok
+        max_tok[r.lang] = max(max_tok.get(r.lang, 0), r.tok)
+    grand = sum(total.values())
+    seen = {}
+    acc = 0
+    for r in rows:
+        seen[r.lang] = seen.get(r.lang, 0) + r.tok
+        acc += r.tok
+        for lang, t in total.items():
+            expect = acc * t / grand
+            assert abs(seen.get(lang, 0) - expect) <= 2 * max_tok[lang], (
+                r.ord, lang, seen.get(lang, 0), expect
+            )
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, []).append(r.doc_id)
+    for lang, ids in per_lang.items():
+        assert ids == sorted(ids, key=lambda d: ((d * _MIX) % _MOD, d)), lang
