@@ -1263,3 +1263,146 @@ register(
     _oracle_hybrid_persisted(),
     # r15 rotation: promoted (never-driver-verified pool)
 )
+
+
+def _sqdist_cols(vec: Column, cvec: Column) -> Column:
+    """Sequential-fold squared L2 distance between two array columns —
+    the column-vs-column twin of :func:`_sqdist` (same zip/fold order,
+    so it pairs bit-exactly with ``_sql_sqdist``)."""
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            cvec,
+            lambda x, cc: (x.cast("double") - cc) * (x.cast("double") - cc),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def docs_semantic_decontaminate_ivf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Semantic decontamination through the persisted IVF index
+    (round 15) — the IMPLEMENTED form of the big-eval-set swap that
+    ``docs_semantic_decontaminate``'s closure guard names: when the
+    frozen eval set is too large to ride every task's closure
+    (|eval| > SEM_EVAL_MAX_ROWS ⇒ the exact scorer raises), run the
+    eval vectors as QUERIES against the corpus index instead.
+
+    Fully distributed — no |eval|-sized driver state anywhere:
+
+    - probe selection: eval vectors (a DataFrame, never collected)
+      cross-join the K-row broadcast centroid table; top-NPROBE cids
+      per eval vector via one window (K is the bounded quantizer
+      size, so the intermediate is K×|eval| rows, distributed);
+    - candidate generation: ONE shuffle join of the probe table with
+      the index lists on ``cid`` (at large |eval| the probes cover
+      most lists, so the cost model is the join, not partition
+      pruning — each corpus vector still meets only the eval vectors
+      probing ITS list, never all of them);
+    - scoring: the same ``_dot``/``_norm`` cosine as every other
+      tier; hits at cos ≥ SEM_TAU aggregate to per-corpus-vector
+      (n_hits, max_cos).
+
+    Same output schema as the exact scorer. APPROXIMATE by
+    construction: a contaminated vector is missed iff its list is
+    outside every matching eval vector's NPROBE probes — so flags are
+    a SUBSET of the exact sweep's (pinned by
+    tests/test_ann_recall.py::test_semantic_decontam_ivf_subset_of_exact),
+    which is the trade the swap buys for unbounded |eval|. The exact
+    recall-1 scorer remains the default below the closure budget."""
+    import hashlib
+    import tempfile
+
+    from flink_cep_examples_spark.queries.similarity import (
+        SEM_EVAL_MOD,
+        SEM_EVAL_RESIDUE,
+        SEM_TAU,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    index_dir = f"{tempfile.gettempdir()}/spark_graft_ivf_index_{tag}"
+    ensure_ivf_index(spark, sf_dir, index_dir, k_lists=K_LISTS)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_eval = (F.col("vec_id") % SEM_EVAL_MOD) == SEM_EVAL_RESIDUE
+    ev = emb.filter(is_eval).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    w = Window.partitionBy("qid").orderBy(F.asc("sq"), F.asc("cid"))
+    probes = (
+        ev.crossJoin(F.broadcast(cents))
+        .withColumn("sq", _sqdist_cols(F.col("qv"), F.col("centroid")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= NPROBE)
+        .select("qid", "qv", "cid")
+    )
+    lists = spark.read.parquet(f"{index_dir}/lists").filter(
+        (F.col("vec_id") % SEM_EVAL_MOD) != SEM_EVAL_RESIDUE
+    )
+    cos = _dot(F.col("embedding"), F.col("qv")) / (
+        _norm(F.col("embedding")) * _norm(F.col("qv"))
+    )
+    hits = (
+        lists.join(probes, "cid")
+        .select("qid", "vec_id", cos.alias("cos"))
+        .filter(F.col("cos") >= SEM_TAU)
+    )
+    return hits.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_hits"), F.max("cos").alias("max_cos")
+    )
+
+
+def _oracle_sem_decontam_ivf() -> str:
+    from flink_cep_examples_spark.queries.similarity import (
+        SEM_EVAL_MOD,
+        SEM_EVAL_RESIDUE,
+        SEM_TAU,
+    )
+
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+c0 AS (
+  SELECT vec_id AS cid,
+         [CAST(x AS DOUBLE) FOR x IN embedding] AS cvec
+  FROM e WHERE vec_id < {K_LISTS}
+),
+{_sql_assign('e', 'c0', 'a1')},
+{_SQL_MEANS},
+{_sql_assign('e', 'c1', 'a2')},
+ev AS (SELECT vec_id AS qid, embedding AS qv FROM e
+       WHERE vec_id % {SEM_EVAL_MOD} = {SEM_EVAL_RESIDUE}),
+probes AS (
+  SELECT qid, qv, cid FROM (
+    SELECT ev.qid, ev.qv, c1.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY ev.qid
+             ORDER BY {_sql_sqdist('ev.qv', 'c1.cvec')} ASC, c1.cid ASC
+           ) AS rn
+    FROM ev CROSS JOIN c1)
+  WHERE rn <= {NPROBE}
+),
+cand AS (
+  SELECT probes.qid, a2.vec_id,
+         {_sql_dot('a2.embedding', 'probes.qv')}
+           / ({_sql_norm('a2.embedding')} * {_sql_norm('probes.qv')})
+           AS cos
+  FROM a2 JOIN probes USING (cid)
+  WHERE a2.vec_id % {SEM_EVAL_MOD} != {SEM_EVAL_RESIDUE}
+)
+SELECT vec_id, COUNT(*) AS n_hits, MAX(cos) AS max_cos
+FROM cand WHERE cos >= {SEM_TAU}
+GROUP BY vec_id
+"""
+
+
+register(
+    "docs_semantic_decontaminate_ivf",
+    docs_semantic_decontaminate_ivf,
+    _oracle_sem_decontam_ivf(),
+    # round 15 registration after the gate filled: joins the
+    # never-verified pool at the head of the r16 promotion queue
+    driver=False,
+)

@@ -1145,11 +1145,11 @@ def sem_eval_matrix(spark: SparkSession, sf_dir: str) -> "np.ndarray":
             f"semantic-decontam eval slice has {n_eval} rows, past the "
             f"{SEM_EVAL_MAX_ROWS}-row closure budget "
             f"(|eval|×DIM×8 bytes is shipped to every task). "
-            "For eval sets this large, run the persisted-IVF route "
-            "instead: ensure_ivf_index over the corpus, then "
-            "ivf_search_persisted_many with the EVAL vectors as the "
-            "query batch (queries/ivf.py) — same contamination "
-            "semantics, no driver-side matrix."
+            "For eval sets this large, run the IMPLEMENTED IVF route "
+            "instead: queries/ivf.py::docs_semantic_decontaminate_ivf "
+            "— eval vectors stay a distributed DataFrame joined with "
+            "the persisted index lists; same output schema, "
+            "approximate recall (flags ⊆ the exact sweep's)."
         )
     ev_rows = sorted(
         (int(r.vec_id), [float(x) for x in r.embedding])
@@ -1248,9 +1248,12 @@ def docs_semantic_decontaminate(
     the FROZEN eval matrix rides the closure into ONE ``mapInPandas``
     over the corpus — cost |eval|·DIM flops per corpus row, linear in
     the corpus, embarrassingly parallel; at eval sets large enough to
-    break the broadcast (≫10⁵ vectors) the IVF route
-    (``ivf_search_persisted_many`` with eval vectors as queries) is
-    the documented swap."""
+    break the broadcast (≫10⁵ vectors, guarded by
+    ``SEM_EVAL_MAX_ROWS``) the IVF route is IMPLEMENTED as
+    ``queries/ivf.py::docs_semantic_decontaminate_ivf`` (round 15):
+    eval vectors stay a distributed frame joined with the persisted
+    index lists — approximate (flags ⊆ this sweep's), unbounded
+    |eval|."""
     emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
     is_eval = (F.col("vec_id") % SEM_EVAL_MOD) == SEM_EVAL_RESIDUE
     E = sem_eval_matrix(spark, sf_dir)

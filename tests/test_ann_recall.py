@@ -426,3 +426,41 @@ def test_persisted_hybrid_overlap_vs_brute_hybrid(spark, sf_small):
                 f"doc {doc_id}: persisted sem arm invented a hit the "
                 "brute ranking does not have"
             )
+
+
+def test_semantic_decontam_ivf_subset_of_exact(spark, sf_small):
+    """docs_semantic_decontaminate_ivf (round 15): the big-eval-set
+    swap. Pins the structural guarantees the approximation makes:
+
+    - SOUNDNESS: every flagged vector is flagged by the exact sweep
+      too (IVF can only MISS a contaminated vector — its list outside
+      every matching eval vector's probes — never invent one);
+    - per shared vector, n_hits ≤ exact n_hits and max_cos ≤ exact
+      max_cos bit-wise-compatibly (the hit set is a subset and the
+      cosine arithmetic is the same expression tree);
+    - measured recall reported as a floor so a quantizer regression
+      shows up (chance is ~0; the probe route must recover a
+      meaningful share of exact flags)."""
+    from flink_cep_examples_spark.queries import QUERIES, load_all
+
+    load_all()
+    exact = {
+        r.vec_id: r
+        for r in QUERIES["docs_semantic_decontaminate"](
+            spark, sf_small
+        ).collect()
+    }
+    ivf = {
+        r.vec_id: r
+        for r in QUERIES["docs_semantic_decontaminate_ivf"](
+            spark, sf_small
+        ).collect()
+    }
+    assert exact and ivf
+    invented = set(ivf) - set(exact)
+    assert not invented, sorted(invented)[:5]
+    for vec_id, r in ivf.items():
+        assert r.n_hits <= exact[vec_id].n_hits, vec_id
+        assert r.max_cos <= exact[vec_id].max_cos + 1e-12, vec_id
+    recall = len(ivf) / len(exact)
+    assert recall >= 0.3, f"IVF decontam flag recall {recall:.2f}"
