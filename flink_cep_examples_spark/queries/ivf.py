@@ -47,7 +47,7 @@ from flink_cep_examples_spark.sources.tables import load_table, spread
 import numpy as np
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import IntegerType
+from pyspark.sql.types import DoubleType, IntegerType
 
 K_LISTS = 8
 NPROBE = 2
@@ -1280,8 +1280,26 @@ def _sqdist_cols(vec: Column, cvec: Column) -> Column:
     )
 
 
+@pandas_udf(DoubleType())
+def _pd_sqdist(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-vectorized twin of :func:`_sqdist_cols` — per-dimension
+    sequential accumulation across the batch, so every double is
+    bit-identical to the interpreted HOF fold and to ``_sql_sqdist``
+    (the ``similarity.py::_pd_cos`` pattern; the HOF form runs
+    interpreted and dominates at |eval|×K probe volumes)."""
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    A = np.vstack(a.to_numpy()).astype(np.float64)
+    B = np.vstack(b.to_numpy()).astype(np.float64)
+    acc = np.zeros(len(A))
+    for d in range(A.shape[1]):
+        diff = A[:, d] - B[:, d]
+        acc += diff * diff
+    return pd.Series(acc)
+
+
 def docs_semantic_decontaminate_ivf(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, *, k_lists: int | None = K_LISTS
 ) -> DataFrame:
     """Semantic decontamination through the persisted IVF index
     (round 15) — the IMPLEMENTED form of the big-eval-set swap that
@@ -1311,7 +1329,19 @@ def docs_semantic_decontaminate_ivf(
     a SUBSET of the exact sweep's (pinned by
     tests/test_ann_recall.py::test_semantic_decontam_ivf_subset_of_exact),
     which is the trade the swap buys for unbounded |eval|. The exact
-    recall-1 scorer remains the default below the closure budget."""
+    recall-1 scorer remains the default below the closure budget.
+
+    ``k_lists``: the catalog entry pins ``K_LISTS`` for oracle
+    byte-stability, which makes the fixture shape NEAR-QUADRATIC
+    (NPROBE/K = 1/4 pruning only — the same known-quadratic control
+    role ``semdedup_prune``'s pinned K plays). Deployment passes
+    ``k_lists=None`` → corpus-scaled ``n_lists(n)``: candidate volume
+    is n·|eval|·NPROBE/K = 256·NPROBE·|eval| — linear in |eval|,
+    INDEPENDENT of corpus size (each corpus vector meets only the
+    eval vectors probing its own list). The scale probe measures the
+    ``k_lists=None`` knob (``tools/scale_smoke.py`` ``_auto`` row),
+    never the pinned control. A non-default knob trains under its own
+    index dir so the shared session index is never clobbered."""
     import hashlib
     import tempfile
 
@@ -1322,8 +1352,9 @@ def docs_semantic_decontaminate_ivf(
     )
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    index_dir = f"{tempfile.gettempdir()}/spark_graft_ivf_index_{tag}"
-    ensure_ivf_index(spark, sf_dir, index_dir, k_lists=K_LISTS)
+    knob = "" if k_lists == K_LISTS else f"_k{k_lists or 'auto'}"
+    index_dir = f"{tempfile.gettempdir()}/spark_graft_ivf_index_{tag}{knob}"
+    ensure_ivf_index(spark, sf_dir, index_dir, k_lists=k_lists)
 
     emb = load_table(spark, sf_dir, "embeddings")
     is_eval = (F.col("vec_id") % SEM_EVAL_MOD) == SEM_EVAL_RESIDUE
@@ -1332,9 +1363,22 @@ def docs_semantic_decontaminate_ivf(
     )
     cents = spark.read.parquet(f"{index_dir}/centroids")
     w = Window.partitionBy("qid").orderBy(F.asc("sq"), F.asc("cid"))
+    # Arrow-vectorized sqdist/cosine kernels (bit-identical to the HOF
+    # folds): the probe stage evaluates |eval|×K distances and the hit
+    # stage |eval|·n·NPROBE/K cosines — interpreted HOFs dominate both
+    # at scale (measured 12.2× growth at the K=100 deployment knob
+    # before vectorization).
+    from flink_cep_examples_spark.queries.similarity import _pd_cos
+
     probes = (
         ev.crossJoin(F.broadcast(cents))
-        .withColumn("sq", _sqdist_cols(F.col("qv"), F.col("centroid")))
+        .withColumn(
+            "sq",
+            _pd_sqdist(
+                F.col("qv").cast("array<double>"),
+                F.col("centroid"),
+            ),
+        )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= NPROBE)
         .select("qid", "qv", "cid")
@@ -1342,12 +1386,16 @@ def docs_semantic_decontaminate_ivf(
     lists = spark.read.parquet(f"{index_dir}/lists").filter(
         (F.col("vec_id") % SEM_EVAL_MOD) != SEM_EVAL_RESIDUE
     )
-    cos = _dot(F.col("embedding"), F.col("qv")) / (
-        _norm(F.col("embedding")) * _norm(F.col("qv"))
-    )
     hits = (
         lists.join(probes, "cid")
-        .select("qid", "vec_id", cos.alias("cos"))
+        .select(
+            "qid",
+            "vec_id",
+            _pd_cos(
+                F.col("embedding").cast("array<double>"),
+                F.col("qv").cast("array<double>"),
+            ).alias("cos"),
+        )
         .filter(F.col("cos") >= SEM_TAU)
     )
     return hits.groupBy("vec_id").agg(

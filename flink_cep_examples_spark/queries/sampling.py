@@ -1462,3 +1462,97 @@ register(
     # never-verified pool at the head of the r16 promotion queue
     driver=False,
 )
+
+
+#: target token mass per training shard (pinned small for the
+#: fixtures; a real run sets ~100M-1B tokens per shard file)
+SHARD_TOKENS = 1024
+
+
+def docs_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard manifest for the training order (round 15) — the WRITER
+    stage that completes the mix → order → shards story: cut the
+    global training order into fixed-token-mass shards (shard_id =
+    tokens-before-this-doc div SHARD_TOKENS — every shard holds
+    ~SHARD_TOKENS tokens of CONTIGUOUS order, so shard files can be
+    written independently and read back in order) and report, per
+    shard, the manifest a data loader needs: doc count, token mass,
+    the ord range it covers, and how many languages it mixes (the
+    interleave means every non-tail shard should mix several — the
+    property a lang-blocked order would fail).
+
+    Scale shape: the global running token sum reuses the two-pass
+    range-partitioned pattern from :func:`docs_training_order` —
+    per-range window cumsum + a one-row-per-partition token-offset
+    table via the driver; the manifest aggregation shuffles once on
+    shard_id. No single-reducer window anywhere."""
+    ordered = docs_training_order(spark, sf_dir)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (
+        ordered.repartitionByRange(n_parts, "ord")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    sums = {
+        int(r.pid): int(r.s)
+        for r in ranged.groupBy("pid").agg(
+            F.sum("tok").alias("s")
+        ).collect()
+    }
+    offs, acc = [], 0
+    for pid in sorted(sums):
+        offs.append((pid, acc))
+        acc += sums[pid]
+    off_df = spark.createDataFrame(offs or [(0, 0)], "pid int, toff bigint")
+    wpid = (
+        Window.partitionBy("pid")
+        .orderBy("ord")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ranged.join(F.broadcast(off_df), "pid")
+        .withColumn(
+            "cum_before",
+            F.coalesce(F.sum("tok").over(wpid), F.lit(0)) + F.col("toff"),
+        )
+        .withColumn("shard_id", F.expr(f"cum_before div {SHARD_TOKENS}"))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("n_tokens"),
+            F.min("ord").alias("first_ord"),
+            F.max("ord").alias("last_ord"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+def _oracle_training_shards() -> str:
+    return f"""
+WITH ordq AS ({_oracle_training_order()}),
+c AS (
+  SELECT *,
+         COALESCE(SUM(tok) OVER (
+           ORDER BY ord
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM ordq
+)
+SELECT CAST(cum_before // {SHARD_TOKENS} AS BIGINT) AS shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS n_tokens,
+       MIN(ord) AS first_ord,
+       MAX(ord) AS last_ord,
+       COUNT(DISTINCT lang) AS n_langs
+FROM c GROUP BY shard_id
+"""
+
+
+register(
+    "docs_training_shards",
+    docs_training_shards,
+    _oracle_training_shards(),
+    # round 15 registration after the gate filled: joins the
+    # never-verified pool at the head of the r16 promotion queue
+    driver=False,
+)

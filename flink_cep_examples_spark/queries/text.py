@@ -542,15 +542,32 @@ def bm25_search_persisted(
     The stats read SUMs its rows: the initial build writes one row and
     every :func:`bm25_append_docs` batch appends a delta row, so the
     corpus-level n_docs / total_dl stay exact after incremental ingest
-    without ever rewriting the stats file (round 15)."""
-    stats = (
-        spark.read.parquet(f"{index_dir}/stats")
-        .agg(
-            F.sum("n_docs").alias("n_docs"),
-            F.sum("total_dl").alias("total_dl"),
-        )
+    without ever rewriting the stats file (round 15). When a streaming
+    DELTA tier exists (``streaming/bm25_stream.py::bm25_index_stream``
+    writes ``postings_delta`` / ``stats_delta`` partitioned by batch
+    id for replay idempotency), both tiers are unioned — postings on
+    the shared (doc_id, dl, term, tf, term_bucket) columns, stats into
+    the same SUM — so streamed docs serve immediately."""
+    import os
+
+    cols = ["doc_id", "dl", "term", "tf", "term_bucket"]
+    stats = spark.read.parquet(f"{index_dir}/stats").select(
+        "n_docs", "total_dl"
     )
-    postings = spark.read.parquet(f"{index_dir}/postings")
+    postings = spark.read.parquet(f"{index_dir}/postings").select(*cols)
+    if os.path.isdir(f"{index_dir}/postings_delta"):
+        postings = postings.unionByName(
+            spark.read.parquet(f"{index_dir}/postings_delta").select(*cols)
+        )
+        stats = stats.unionByName(
+            spark.read.parquet(f"{index_dir}/stats_delta").select(
+                "n_docs", "total_dl"
+            )
+        )
+    stats = stats.agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("total_dl").alias("total_dl"),
+    )
     bucket_of = {
         r.term: r.b
         for r in spark.createDataFrame(

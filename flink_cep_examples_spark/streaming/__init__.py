@@ -1,6 +1,9 @@
 from flink_cep_examples_spark.streaming.ann_stream import (  # noqa: F401
     ann_serve_stream,
 )
+from flink_cep_examples_spark.streaming.bm25_stream import (  # noqa: F401
+    bm25_index_stream,
+)
 from flink_cep_examples_spark.streaming.analytics import (  # noqa: F401
     hourly_by_type_stream,
     sessions_stream,

@@ -101,3 +101,118 @@ def test_bm25_append_stats_sum_and_pruning(spark, sf_small, tmp_path):
     scan_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert any("term_bucket" in l for l in scan_lines), scan_lines
     assert out.count() > 0
+
+
+def test_bm25_index_stream_serves_streamed_docs(spark, sf_small, tmp_path):
+    """bm25_index_stream (round 15): stream the second half of the
+    corpus into an index built from the first half (two micro-batches
+    via availableNow file replay); serving must then be bit-equal to
+    the full-corpus scan path — the delta tier's postings/stats absorb
+    into the same idf/avgdl arithmetic. Then REPLAY one batch's write
+    (simulating a foreachBatch retry) and pin idempotency: the index
+    is unchanged."""
+    from flink_cep_examples_spark.queries import QUERIES, load_all
+    from flink_cep_examples_spark.streaming import bm25_index_stream
+
+    load_all()
+    docs, first, second = _half_split(spark, sf_small)
+    idx = str(tmp_path / "bm25_streamed")
+    half_dir = tmp_path / "halfsf"
+    half_dir.mkdir()
+    first.write.parquet(str(half_dir / "documents.parquet"))
+    write_bm25_index(spark, str(half_dir), idx)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    cut2 = second.approxQuantile("doc_id", [0.5], 0.0)[0]
+    second.filter(F.col("doc_id") <= cut2).coalesce(1).write.parquet(
+        str(src / "p1")
+    )
+    second.filter(F.col("doc_id") > cut2).coalesce(1).write.parquet(
+        str(src / "p2")
+    )
+    schema = spark.read.parquet(str(src / "p1")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+        .parquet(str(src))
+    )
+    q = (
+        bm25_index_stream(spark, idx, stream)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    served = {
+        r.doc_id: r for r in bm25_search_persisted(
+            spark, idx, BM25_QUERY
+        ).collect()
+    }
+    scan = {
+        r.doc_id: r
+        for r in QUERIES["docs_bm25_topk"](spark, sf_small).collect()
+    }
+    assert set(served) == set(scan)
+    for doc_id, s in served.items():
+        assert s.score == scan[doc_id].score, doc_id
+
+    batches = {
+        r.batch
+        for r in spark.read.parquet(f"{idx}/postings_delta")
+        .select("batch")
+        .distinct()
+        .collect()
+    }
+    assert len(batches) >= 2  # maxFilesPerTrigger=1 → one batch per file
+
+    # replay idempotency: re-run a batch's write body with the SAME
+    # batch id and the SAME content (what a foreachBatch retry
+    # redelivers) — dynamic overwrite of its own partitions, counts flat
+    n_post = spark.read.parquet(f"{idx}/postings_delta").count()
+    stats_sum = sum(
+        r.n_docs
+        for r in spark.read.parquet(f"{idx}/stats_delta").collect()
+    )
+    from flink_cep_examples_spark.queries.text import (
+        _bm25_postings_frame,
+        _bm25_stats_frame,
+    )
+
+    # batch 0's exact redelivered content = the docs it recorded
+    b0_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{idx}/postings_delta")
+        .filter("batch = 0")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    replay = second.filter(
+        F.col("doc_id").isin(list(b0_ids))
+    ).select("doc_id", "text")
+    _bm25_postings_frame(replay).withColumn(
+        "batch", F.lit(0)
+    ).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("batch", "term_bucket").parquet(f"{idx}/postings_delta")
+    _bm25_stats_frame(replay).withColumn("batch", F.lit(0)).coalesce(
+        1
+    ).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("batch").parquet(f"{idx}/stats_delta")
+    assert spark.read.parquet(f"{idx}/postings_delta").count() == n_post
+    assert (
+        sum(
+            r.n_docs
+            for r in spark.read.parquet(f"{idx}/stats_delta").collect()
+        )
+        == stats_sum
+    )
+    served2 = {
+        r.doc_id: r.score
+        for r in bm25_search_persisted(spark, idx, BM25_QUERY).collect()
+    }
+    assert served2 == {d: s.score for d, s in served.items()}

@@ -408,3 +408,40 @@ def test_training_order_interleaves_languages(spark, sf_small):
         per_lang.setdefault(r.lang, []).append(r.doc_id)
     for lang, ids in per_lang.items():
         assert ids == sorted(ids, key=lambda d: ((d * _MIX) % _MOD, d)), lang
+
+
+def test_training_shards_manifest_properties(spark, sf_small):
+    """docs_training_shards (round 15): the manifest semantics the
+    oracle hash can't show. Pins (a) shards tile the order exactly —
+    sorted by shard_id, the [first_ord, last_ord] ranges are
+    contiguous, disjoint, and cover 1..N, (b) every shard's token mass
+    is SHARD_TOKENS ± one doc (greedy fill by cum_before can overshoot
+    by at most the boundary doc and undershoot only on the tail
+    shard), (c) the interleave survives sharding: every non-tail
+    shard mixes >1 language."""
+    from flink_cep_examples_spark.queries import QUERIES, load_all
+    from flink_cep_examples_spark.queries.sampling import SHARD_TOKENS
+
+    load_all()
+    shards = sorted(
+        QUERIES["docs_training_shards"](spark, sf_small).collect(),
+        key=lambda r: r.shard_id,
+    )
+    order = sorted(
+        QUERIES["docs_training_order"](spark, sf_small).collect(),
+        key=lambda r: r.ord,
+    )
+    assert shards and order
+    max_tok = max(r.tok for r in order)
+    assert shards[0].first_ord == 1
+    assert shards[-1].last_ord == len(order)
+    for a, b in zip(shards, shards[1:]):
+        assert b.first_ord == a.last_ord + 1, (a.shard_id, b.shard_id)
+    assert sum(r.n_docs for r in shards) == len(order)
+    assert sum(r.n_tokens for r in shards) == sum(r.tok for r in order)
+    for s in shards[:-1]:
+        # a shard closes once its cum-tokens reach the target; the
+        # closing doc can overshoot by < its own size
+        assert s.n_tokens < SHARD_TOKENS + max_tok, s.shard_id
+        assert s.n_tokens + max_tok > SHARD_TOKENS, s.shard_id
+        assert s.n_langs > 1, s.shard_id

@@ -41,11 +41,12 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    from tools.scale_smoke import _auto_queries
+
     def once(name: str, d: str) -> float:
+        fn = QUERIES.get(name) or _auto_queries()[name]
         t0 = time.perf_counter()
-        QUERIES[name](spark, d).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        fn(spark, d).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
     with tempfile.TemporaryDirectory() as tmp:

@@ -42,6 +42,9 @@ SMOKE = [
     "semdedup_prune",  # pinned K_LISTS=8 — the known-quadratic control
     "semdedup_prune_auto",  # k_lists=None → n_lists(n): the deployment knob
     "ivf_topk_auto",
+    "sem_decontam_ivf_auto",  # round-15 big-eval decontam route, deployment knob
+    "docs_training_order",  # round-15 two-pass global interleave sort
+    "docs_training_shards",  # round-15 shard manifest (second two-pass cumsum)
     # round-4: families with no prior 10× row (VERDICT r3 item 4)
     "events_asof_attribution",
     "events_range_error_context",
@@ -99,13 +102,20 @@ def _auto_queries():
     (k_lists=None → n_lists(n)). Not registered in the catalog — the
     registered queries pin K for oracle byte-stability; these exist to
     MEASURE the linearity claim."""
-    from flink_cep_examples_spark.queries.ivf import ivf_topk, semdedup_prune
+    from flink_cep_examples_spark.queries.ivf import (
+        docs_semantic_decontaminate_ivf,
+        ivf_topk,
+        semdedup_prune,
+    )
 
     return {
         "semdedup_prune_auto": lambda sp, d: semdedup_prune(
             sp, d, k_lists=None
         ),
         "ivf_topk_auto": lambda sp, d: ivf_topk(sp, d, k_lists=None),
+        "sem_decontam_ivf_auto": lambda sp, d: (
+            docs_semantic_decontaminate_ivf(sp, d, k_lists=None)
+        ),
     }
 
 #: per-table (id columns to offset) — disjoint key spaces per replica.
