@@ -17,6 +17,10 @@ scope):
   5. online serving    — the same kernel behind a foreachBatch stream:
                          arriving query vectors served per micro-batch
                          with per-batch pruned reads (ann_serve_stream)
+  6. online indexing   — round 15: arriving DOCUMENTS streamed into
+                         the persisted BM25 index's delta tier
+                         (bm25_index_stream); the next search serves
+                         them with exact idf/avgdl, no rebuild
 
 Run: ``python examples/retrieval_serving.py [sf_dir]``
 (default /root/testdata/sf0.001). Prints per-stage results.
@@ -89,6 +93,50 @@ def main() -> int:
         out = spark.read.parquet(f"{tmp}/out")
         print(f"   streamed results: {out.count()} rows "
               f"(batch ids: {sorted({r.batch for r in out.collect()})})")
+
+    print("== 6. online indexing: stream new docs into the BM25 index ==")
+    from pyspark.sql import functions as F
+
+    from flink_cep_examples_spark.queries.text import (
+        BM25_QUERY,
+        bm25_search_persisted,
+        ensure_bm25_index,
+    )
+    from flink_cep_examples_spark.streaming import bm25_index_stream
+
+    # fresh index dir per run: the delta tier persists on disk, so a
+    # shared path would carry a previous run's streamed doc into the
+    # "pre-ingest" listing
+    bm25_dir = tempfile.mkdtemp(prefix="spark_graft_bm25_ex_")
+    ensure_bm25_index(spark, sf_dir, bm25_dir)
+    before = {
+        r.doc_id for r in bm25_search_persisted(
+            spark, bm25_dir, BM25_QUERY
+        ).collect()
+    }
+    # a synthetic arriving doc stuffed with the query terms — it must
+    # take over the top slot once its postings land in the delta tier
+    arriving = spark.createDataFrame(
+        [(9_000_123, " ".join(BM25_QUERY * 4))], "doc_id long, text string"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        arriving.coalesce(1).write.parquet(f"{tmp}/docs")
+        schema = spark.read.parquet(f"{tmp}/docs").schema
+        stream = spark.readStream.schema(schema).parquet(f"{tmp}/docs")
+        q = (
+            bm25_index_stream(spark, bm25_dir, stream)
+            .option("checkpointLocation", f"{tmp}/chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    after = bm25_search_persisted(spark, bm25_dir, BM25_QUERY).collect()
+    top = after[0]
+    print(f"   pre-ingest top-k docs: {sorted(before)}")
+    print(f"   post-ingest top hit: doc {top.doc_id} "
+          f"(score {top.score:.3f}) — the streamed doc"
+          if top.doc_id == 9_000_123
+          else f"   post-ingest top hit: doc {top.doc_id}")
     return 0
 
 

@@ -7,6 +7,10 @@ the LLM-pipeline surface):
                           shares (rates derived from the data)
   3. sequence packing   — greedy first-fit into 256-token sequences
   4. shard sink         — deterministic hash-sharded sorted parquet
+  5. training order     — round 15: the temperature-smoothed mix cut
+                          into a stride-interleaved global order and
+                          fixed-token-mass shard manifests
+                          (docs_training_order / docs_training_shards)
 
 Run: ``python examples/training_data_pipeline.py [sf_dir] [out_dir]``
 (defaults: /root/testdata/sf0.001, a temp dir). Prints the stage
@@ -78,6 +82,28 @@ def main() -> None:
     }
     print(f"shards at {shards_path}: {dict(sorted(per_shard.items()))}")
     assert sum(per_shard.values()) == packed.count()
+
+    from flink_cep_examples_spark.queries.sampling import (
+        docs_training_order,
+        docs_training_shards,
+    )
+
+    order = docs_training_order(spark, sf_dir)
+    head = order.orderBy("ord").limit(8).collect()
+    print(
+        "training order head (stride-interleaved): "
+        + " ".join(f"{r.ord}:{r.lang}" for r in head)
+    )
+    manifests = sorted(
+        docs_training_shards(spark, sf_dir).collect(),
+        key=lambda r: r.shard_id,
+    )
+    print(
+        f"{len(manifests)} order shards; first: "
+        f"docs={manifests[0].n_docs} tokens={manifests[0].n_tokens} "
+        f"langs={manifests[0].n_langs}"
+    )
+    assert all(m.n_langs > 1 for m in manifests[:-1])
     print("OK")
 
 
