@@ -77,6 +77,8 @@ HEADLINE = [
     "docs_bm25_topk",  # round-8 BM25 lexical retrieval (1.06x at 10x)
     "docs_hybrid_rrf_topk",  # round-14 BM25+cosine RRF fusion (arm-bound)
     "ann_serve_many_persisted_topk",  # round-14 batched IVF serving
+    "docs_training_order",  # round-15 stride interleave (two-pass global sort)
+    "docs_semantic_decontaminate_ivf",  # round-15 big-eval decontam route
 ]
 
 #: Round-6 outlier audit (VERDICT r5 item 7): docs_bigram_topk
