@@ -1379,7 +1379,15 @@ def docs_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     naive ``Window.orderBy(frac)`` with no partition key would funnel
     every row through one task; this form keeps all 1000 executors
     sorting their own key range."""
-    mix = docs_temperature_mix(spark, sf_dir)
+    return training_order_frame(docs_temperature_mix(spark, sf_dir))
+
+
+def training_order_frame(mix: DataFrame) -> DataFrame:
+    """The stride-interleave over ANY (doc_id, lang, tok) admission
+    frame — factored from :func:`docs_training_order` so the
+    Hypothesis differential can feed arbitrary frames
+    (tests/test_sampling.py)."""
+    spark = mix.sparkSession
     wlang = (
         Window.partitionBy("lang")
         .orderBy(_mix(F.col("doc_id")), "doc_id")

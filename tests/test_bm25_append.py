@@ -216,3 +216,73 @@ def test_bm25_index_stream_serves_streamed_docs(spark, sf_small, tmp_path):
         for r in bm25_search_persisted(spark, idx, BM25_QUERY).collect()
     }
     assert served2 == {d: s.score for d, s in served.items()}
+
+
+def test_bm25_index_stream_restart_from_checkpoint(
+    spark, sf_small, tmp_path
+):
+    """Checkpoint-restart of the online indexer (round 15, the
+    ingest-pipeline restart pin's pattern): stream PART of the
+    arriving docs, STOP, add the rest, restart a NEW query from the
+    SAME checkpoint. The committed batch must not re-ingest (the
+    stats ledger counts every arriving doc exactly once) and serving
+    off the final index is bit-equal to the full-corpus scan path."""
+    from flink_cep_examples_spark.queries import QUERIES, load_all
+    from flink_cep_examples_spark.streaming import bm25_index_stream
+
+    load_all()
+    docs, first, second = _half_split(spark, sf_small)
+    idx = str(tmp_path / "bm25_restart")
+    half_dir = tmp_path / "halfsf"
+    half_dir.mkdir()
+    first.write.parquet(str(half_dir / "documents.parquet"))
+    write_bm25_index(spark, str(half_dir), idx)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    chk = str(tmp_path / "chk")
+    cut2 = second.approxQuantile("doc_id", [0.5], 0.0)[0]
+    second.filter(F.col("doc_id") <= cut2).coalesce(1).write.parquet(
+        str(src / "p1")
+    )
+    schema = spark.read.parquet(str(src / "p1")).schema
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        q = (
+            bm25_index_stream(spark, idx, stream)
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    n_docs_mid = sum(
+        r.n_docs
+        for r in spark.read.parquet(f"{idx}/stats_delta").collect()
+    )
+    assert n_docs_mid == second.filter(F.col("doc_id") <= cut2).count()
+
+    second.filter(F.col("doc_id") > cut2).coalesce(1).write.parquet(
+        str(src / "p2")
+    )
+    run_once()
+
+    n_docs_final = sum(
+        r.n_docs
+        for r in spark.read.parquet(f"{idx}/stats_delta").collect()
+    )
+    assert n_docs_final == second.count()  # nothing re-ingested
+
+    served = {
+        r.doc_id: r.score
+        for r in bm25_search_persisted(spark, idx, BM25_QUERY).collect()
+    }
+    scan = {
+        r.doc_id: r.score
+        for r in QUERIES["docs_bm25_topk"](spark, sf_small).collect()
+    }
+    assert served == scan  # bit-equal doubles

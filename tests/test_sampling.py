@@ -445,3 +445,74 @@ def test_training_shards_manifest_properties(spark, sf_small):
         assert s.n_tokens < SHARD_TOKENS + max_tok, s.shard_id
         assert s.n_tokens + max_tok > SHARD_TOKENS, s.shard_id
         assert s.n_langs > 1, s.shard_id
+
+
+def test_training_order_hypothesis_differential(spark):
+    """Hypothesis differential for the two-pass global interleave
+    (round 15): random admission frames through
+    ``training_order_frame`` must equal a pure-Python stride
+    simulator computing the same IEEE doubles — pinning the
+    range-partition + offset-table global index against a true total
+    sort on adversarial shapes (single language, zero-token docs,
+    heavy skew, duplicate token masses)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from flink_cep_examples_spark.queries.sampling import (
+        _MIX,
+        _MOD,
+        training_order_frame,
+    )
+
+    langs = ["en", "de", "zh"]
+    doc_s = st.tuples(
+        st.integers(min_value=0, max_value=10_000),
+        st.sampled_from(langs),
+        st.integers(min_value=0, max_value=50),
+    )
+    frame_s = st.lists(doc_s, min_size=1, max_size=40).map(
+        # unique doc_ids; every present language needs >=1 token so
+        # frac is never 0/0 (the engine contract: an admitted language
+        # always carries positive token mass — see docs_training_order)
+        lambda rows: list({d: (d, l, t) for d, l, t in rows}.values())
+    ).filter(
+        lambda rows: all(
+            sum(t for _, l2, t in rows if l2 == l) > 0
+            for l in {l for _, l, _ in rows}
+        )
+    )
+
+    def sim(rows):
+        per = {}
+        for d, l, t in rows:
+            per.setdefault(l, []).append((d, t))
+        keyed = []
+        for l, docs in per.items():
+            docs.sort(key=lambda dt: ((dt[0] * _MIX) % _MOD, dt[0]))
+            total = sum(t for _, t in docs)
+            c = 0
+            for d, t in docs:
+                keyed.append(((2.0 * c + t) / (2.0 * total), l, d, t))
+                c += t
+        keyed.sort(key=lambda x: (x[0], x[1], x[2]))
+        return [
+            (i + 1, d, l, t) for i, (_, l, d, t) in enumerate(keyed)
+        ]
+
+    @settings(
+        max_examples=20,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(frame_s)
+    def run(rows):
+        mix = spark.createDataFrame(
+            rows, "doc_id bigint, lang string, tok bigint"
+        )
+        got = sorted(
+            (r.ord, r.doc_id, r.lang, r.tok)
+            for r in training_order_frame(mix).collect()
+        )
+        assert got == sim(rows)
+
+    run()
