@@ -333,3 +333,61 @@ register(
     driver=False,  # r15 rotation: 8 green rounds (r7-r14), most-verified
     # tier — demoted for the round-14 registrations; pytest-oracled
 )
+
+
+def docs_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) contamination report (round 15) — the ops
+    dashboard a decontamination run actually publishes: for every
+    arriving (non-eval) source × language cell, how many docs arrived,
+    how many are contaminated (≥1 shared eval window hash —
+    :func:`docs_decontaminate`'s flag set), the total shared-hash
+    count, and the contamination rate. A cell with an outlier rate
+    localizes WHICH ingestion source is leaking eval data — the flag
+    set alone can't say.
+
+    Scale shape: reuses the decontaminate sweep (corpus windows join a
+    broadcast eval hash set — text never shuffles) plus one broadcast
+    join of the flag set back onto the (doc_id, source, lang) skeleton
+    and a (source × lang)-cardinality aggregation. Nothing new
+    shuffles wide."""
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    is_eval = (F.col("doc_id") * _MIX) % _MOD % EVAL_MOD == EVAL_RESIDUE
+    arriving = docs.filter(~is_eval).select("doc_id", "source", "lang")
+    flagged = docs_decontaminate(spark, sf_dir)
+    joined = arriving.join(flagged, "doc_id", "left")
+    return joined.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("n_hits").alias("n_contam"),
+        F.coalesce(F.sum("n_hits"), F.lit(0)).alias("total_hits"),
+        (
+            F.count("n_hits").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("contam_rate"),
+    )
+
+
+ORACLE_DECONTAM_REPORT = f"""
+WITH flags AS ({ORACLE_DECONTAM}),
+arriving AS (
+  SELECT doc_id, source, lang FROM documents
+  WHERE (doc_id * {_MIX}) % {_MOD} % {EVAL_MOD} != {EVAL_RESIDUE}
+)
+SELECT a.source, a.lang,
+       COUNT(*) AS n_docs,
+       COUNT(f.n_hits) AS n_contam,
+       CAST(COALESCE(SUM(f.n_hits), 0) AS BIGINT) AS total_hits,
+       CAST(COUNT(f.n_hits) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS contam_rate
+FROM arriving a LEFT JOIN flags f USING (doc_id)
+GROUP BY a.source, a.lang
+"""
+
+
+register(
+    "docs_decontam_report",
+    docs_decontam_report,
+    ORACLE_DECONTAM_REPORT,
+    # round 15 registration after the gate filled: joins the
+    # never-verified pool at the head of the r16 promotion queue
+    driver=False,
+)

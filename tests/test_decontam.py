@@ -70,3 +70,46 @@ def test_bloom_flags_superset_of_exact(spark, sf_small):
     assert set(exact) <= set(bloom)
     for doc, n in exact.items():
         assert bloom[doc] >= n, (doc, bloom[doc], n)
+
+
+def test_decontam_report_cells_reconcile(spark, sf_small):
+    """docs_decontam_report (round 15): the report semantics the
+    oracle hash can't show. Per (source, lang) cell: n_docs sums to
+    the arriving (non-eval) corpus, n_contam and total_hits reconcile
+    exactly against the flag set, contam_rate = n_contam / n_docs,
+    and a contaminated doc is counted in exactly one cell."""
+    from flink_cep_examples_spark.queries import QUERIES, load_all
+    from flink_cep_examples_spark.queries.decontam import (
+        _MIX,
+        _MOD,
+        EVAL_MOD,
+        EVAL_RESIDUE,
+    )
+
+    load_all()
+    cells = QUERIES["docs_decontam_report"](spark, sf_small).collect()
+    flags = {
+        r.doc_id: r.n_hits
+        for r in QUERIES["docs_decontaminate"](spark, sf_small).collect()
+    }
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").collect()
+    arriving = [
+        d
+        for d in docs
+        if (d.doc_id * _MIX) % _MOD % EVAL_MOD != EVAL_RESIDUE
+    ]
+    assert sum(c.n_docs for c in cells) == len(arriving)
+    assert sum(c.n_contam for c in cells) == len(flags)
+    assert sum(c.total_hits for c in cells) == sum(flags.values())
+    by_cell_flags = {}
+    by_cell_hits = {}
+    for d in arriving:
+        if d.doc_id in flags:
+            key = (d.source, d.lang)
+            by_cell_flags[key] = by_cell_flags.get(key, 0) + 1
+            by_cell_hits[key] = by_cell_hits.get(key, 0) + flags[d.doc_id]
+    for c in cells:
+        key = (c.source, c.lang)
+        assert c.n_contam == by_cell_flags.get(key, 0), key
+        assert c.total_hits == by_cell_hits.get(key, 0), key
+        assert c.contam_rate == c.n_contam / c.n_docs, key
