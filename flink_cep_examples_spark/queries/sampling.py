@@ -1382,15 +1382,27 @@ def docs_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training_order_frame(docs_temperature_mix(spark, sf_dir))
 
 
-def training_order_frame(mix: DataFrame) -> DataFrame:
+def training_order_frame(
+    mix: DataFrame,
+    *,
+    lang_order: list | None = None,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """The stride-interleave over ANY (doc_id, lang, tok) admission
     frame — factored from :func:`docs_training_order` so the
     Hypothesis differential can feed arbitrary frames
-    (tests/test_sampling.py)."""
+    (tests/test_sampling.py).
+
+    ``lang_order``: the WITHIN-language presentation order (sort
+    columns; default = the admission hash order). The curriculum
+    variant passes quality-score-descending here. ``extra_cols``:
+    additional input columns carried through to the output."""
     spark = mix.sparkSession
+    if lang_order is None:
+        lang_order = [_mix(F.col("doc_id")), F.col("doc_id")]
     wlang = (
         Window.partitionBy("lang")
-        .orderBy(_mix(F.col("doc_id")), "doc_id")
+        .orderBy(*lang_order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     pos = (
@@ -1435,6 +1447,7 @@ def training_order_frame(mix: DataFrame) -> DataFrame:
             "doc_id",
             "lang",
             "tok",
+            *extra_cols,
         )
     )
     return out
@@ -1560,6 +1573,86 @@ register(
     "docs_training_shards",
     docs_training_shards,
     _oracle_training_shards(),
+    # round 15 registration after the gate filled: joins the
+    # never-verified pool at the head of the r16 promotion queue
+    driver=False,
+)
+
+
+def docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum training order (round 15) — the curriculum-
+    learning variant of :func:`docs_training_order`: within each
+    language the admitted docs are presented CLEANEST-FIRST (NB
+    quality log-odds descending — the learned signal
+    ``docs_nb_quality_classifier`` trains; nano-nat quantized, so the
+    sort key is cross-engine exact), while languages still stride-
+    interleave by token mass, so any prefix holds each language near
+    its admitted share AND each language's stream starts with its
+    highest-quality documents — the standard easy/clean-first
+    curriculum without giving up the multilingual mix.
+
+    Scale shape: identical to ``docs_training_order`` (the shared
+    :func:`training_order_frame` machinery — per-language windows,
+    range-partitioned global sort, one-row-per-partition offset
+    table) plus one doc_id equi-join against the NB scores."""
+    from flink_cep_examples_spark.queries.curation import (
+        docs_nb_quality_classifier,
+    )
+
+    mix = docs_temperature_mix(spark, sf_dir)
+    nb = docs_nb_quality_classifier(spark, sf_dir).select(
+        "doc_id", "log_odds"
+    )
+    j = mix.join(nb, "doc_id")
+    return training_order_frame(
+        j,
+        lang_order=[
+            F.desc("log_odds"),
+            _mix(F.col("doc_id")),
+            F.col("doc_id"),
+        ],
+        extra_cols=("log_odds",),
+    )
+
+
+def _oracle_curriculum_order() -> str:
+    from flink_cep_examples_spark.queries.curation import (
+        NB_QUALITY_CTES,
+        NB_QUALITY_SELECT,
+    )
+
+    return f"""
+WITH mix AS ({ORACLE_TEMPERATURE_MIX}),
+{NB_QUALITY_CTES},
+nb AS ({NB_QUALITY_SELECT}),
+j AS (
+  SELECT m.doc_id, m.lang, m.tok, nb.log_odds
+  FROM mix m JOIN nb USING (doc_id)
+),
+adm AS (SELECT lang, SUM(tok) AS adm_tok FROM j GROUP BY lang),
+pos AS (
+  SELECT j.doc_id, j.lang, j.tok, j.log_odds,
+         COALESCE(SUM(j.tok) OVER (
+           PARTITION BY j.lang
+           ORDER BY j.log_odds DESC,
+                    (j.doc_id * {_MIX}) % {_MOD}, j.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before,
+         adm.adm_tok
+  FROM j JOIN adm USING (lang)
+)
+SELECT ROW_NUMBER() OVER (
+         ORDER BY (2.0 * cum_before + tok) / (2.0 * adm_tok),
+                  lang, doc_id) AS ord,
+       doc_id, lang, tok, log_odds
+FROM pos
+"""
+
+
+register(
+    "docs_curriculum_order",
+    docs_curriculum_order,
+    _oracle_curriculum_order(),
     # round 15 registration after the gate filled: joins the
     # never-verified pool at the head of the r16 promotion queue
     driver=False,

@@ -516,3 +516,44 @@ def test_training_order_hypothesis_differential(spark):
         assert got == sim(rows)
 
     run()
+
+
+def test_curriculum_order_quality_descends_within_language(spark, sf_small):
+    """docs_curriculum_order (round 15): the semantics the oracle hash
+    can't show. Pins (a) rows = the admitted temperature mix (the
+    curriculum reorders, never reselects), (b) within every language
+    the NB log-odds are non-increasing along the order (cleanest
+    first), (c) the language interleave survives the reorder — every
+    prefix's per-language token mass stays within ~2 docs of its
+    proportional share, exactly as the hash-order variant pins."""
+    from flink_cep_examples_spark.queries import QUERIES, load_all
+
+    load_all()
+    rows = sorted(
+        QUERIES["docs_curriculum_order"](spark, sf_small).collect(),
+        key=lambda r: r.ord,
+    )
+    assert [r.ord for r in rows] == list(range(1, len(rows) + 1))
+    mix = QUERIES["docs_temperature_mix"](spark, sf_small).collect()
+    assert {(r.doc_id, r.lang, r.tok) for r in rows} == {
+        (r.doc_id, r.lang, r.tok) for r in mix
+    }
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, []).append(r.log_odds)
+    for lang, scores in per_lang.items():
+        assert all(a >= b for a, b in zip(scores, scores[1:])), lang
+    total, max_tok = {}, {}
+    for r in rows:
+        total[r.lang] = total.get(r.lang, 0) + r.tok
+        max_tok[r.lang] = max(max_tok.get(r.lang, 0), r.tok)
+    grand = sum(total.values())
+    seen, acc = {}, 0
+    for r in rows:
+        seen[r.lang] = seen.get(r.lang, 0) + r.tok
+        acc += r.tok
+        for lang, t in total.items():
+            expect = acc * t / grand
+            assert abs(seen.get(lang, 0) - expect) <= 2 * max_tok[lang], (
+                r.ord, lang
+            )
