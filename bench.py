@@ -91,6 +91,22 @@ HEADLINE = [
 #: documented ±40% band, not a query-specific regression. Neither
 #: query's code changed since r4.
 BENCH_NOTES = (
+    "r15 self-bench (after ALL round-15 work: gate rotation, durable "
+    "pipeline stage boundary, training order/shards/curriculum, IVF "
+    "decontam route, BM25 append + streamed delta tier, vectorized "
+    "IVF kernels): headline 54.83 s over 52 queries (list grew by "
+    "docs_training_order 2.00 s and docs_semantic_decontaminate_ivf "
+    "1.34 s), batch 108,932 ev/s (80-140k band), streaming 203,562 "
+    "ev/s (ABOVE the 95-180k historical band - the fast side of host "
+    "variance; same code measured 172-180k in r14), ZERO delta "
+    "flags. Vs the r14 OFFICIAL record on the 50 common queries: sum "
+    "51.5 s vs 59.0 s, geomean 0.891x - the round made the official "
+    "set faster; worst ratio 1.09x (cep_group_alt_unbounded, inside "
+    "the documented +-40% host band). K=100 scale rows this round: "
+    "CEP chain kernel 0.02x, nested 0.069x, streaming NFA replay "
+    "781k ev/s over 10M events at 100x keys; durable ingest boundary "
+    "K=40 clean 22.4 s; events/packing/lexical/text families all "
+    "0.004-0.060x vs linear (SCALING.md r15 sections). "
     "r14 CLOSING-RUN adjudication: the end-of-round run measured "
     "64.06 s with 18 uniform 1.25-1.7x flags incl. >=10 queries no "
     "round-14 code touched; the settled text_fingerprint control "
