@@ -9,9 +9,11 @@ HOT_FRACTION of all events re-keyed onto ONE user, the rest keeping
 their uniform keys. Same operator, same trigger/checkpoint methodology
 as bench.py's cep_streaming block.
 
-Usage: PYTHONPATH=/root/repo python tools/stream_hotkey_probe.py
-Prints one JSON line with events/s for the uniform control and the
-skewed profile.
+Usage: PYTHONPATH=/root/repo python tools/stream_hotkey_probe.py \
+        [replicas] [hot_fraction]
+(defaults 10 and 0.5 — the round-9 protocol; round 15 also ran it at
+replicas=100 for the skew-at-scale stress case). Prints one JSON line
+with events/s for the uniform control and the skewed profile.
 """
 
 from __future__ import annotations
@@ -34,8 +36,10 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=8)
 
-    STREAM_REPLICAS = 10
-    HOT_FRACTION = 0.5
+    import sys
+
+    STREAM_REPLICAS = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    HOT_FRACTION = float(sys.argv[2]) if len(sys.argv) > 2 else 0.5
     billing = events_as_billing(spark, sf_dir)
     rep = (
         billing.withColumn(
