@@ -45,6 +45,8 @@ SMOKE = [
     "sem_decontam_ivf_auto",  # round-15 big-eval decontam route, deployment knob
     "docs_training_order",  # round-15 two-pass global interleave sort
     "docs_training_shards",  # round-15 shard manifest (second two-pass cumsum)
+    "docs_curriculum_order",  # round-15 quality-curriculum interleave
+    "docs_decontam_report",  # round-15 per-source contamination report
     # round-4: families with no prior 10× row (VERDICT r3 item 4)
     "events_asof_attribution",
     "events_range_error_context",
