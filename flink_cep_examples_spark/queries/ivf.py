@@ -542,6 +542,53 @@ def write_ivf_index(
     )
 
 
+def ivf_recluster_index(
+    spark: SparkSession, index_dir: str, *, k_lists: int | None = None
+) -> None:
+    """Recluster a persisted IVF index from its own stored vectors
+    (round 15) — the lifecycle step ``ivf_append_vectors`` defers to:
+    appends assign against FROZEN centroids, so after heavy ingest the
+    quantizer drifts from the data distribution (the
+    ``embedding_cluster_profile`` mean-distance creep). Reclustering
+    reads the lists back, retrains (``k_lists=None`` → corpus-scaled
+    ``n_lists(n)`` — the count the GROWN corpus deserves, which a
+    frozen quantizer can never adopt), and rewrites centroids + lists.
+
+    Write-then-swap like ``bm25_compact_index``: the retrained layout
+    lands in sibling ``*.compact`` directories, then atomically
+    replaces the originals — a crash mid-recluster leaves the live
+    index untouched. Every stored vector is preserved (pinned); the
+    in-process train-once guard is updated so a later
+    ``ensure_ivf_index`` cannot clobber the reclustered layout."""
+    import os
+    import shutil
+
+    vecs = spark.read.parquet(f"{index_dir}/lists").select(
+        "vec_id", "label", "embedding"
+    )
+    # localCheckpoint: the training actions and the final write must
+    # see ONE immutable snapshot of the lists we are about to replace
+    vecs = vecs.localCheckpoint()
+    assigned, cents = _trained_assignment(
+        vecs, _resolve_k(vecs, k_lists), exact=k_lists is not None
+    )
+    spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in sorted(cents.items())],
+        "cid int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{index_dir}/centroids.compact"
+    )
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(
+        f"{index_dir}/lists.compact"
+    )
+    for part in ("centroids", "lists"):
+        shutil.rmtree(f"{index_dir}/{part}")
+        os.rename(f"{index_dir}/{part}.compact", f"{index_dir}/{part}")
+    # the reclustered layout is authoritative for this dir: mark every
+    # k_lists key so ensure_ivf_index serves it instead of retraining
+    _IVF_INDEX_WRITTEN.add((index_dir, k_lists))
+
+
 #: (index dir, k_lists) pairs already trained by THIS process — the
 #: train-once guard. Keyed on the training parameter too (ADVICE r14):
 #: a later call with a different ``k_lists`` must retrain rather than

@@ -500,6 +500,60 @@ def bm25_append_docs(
     ).write.mode("append").parquet(f"{index_dir}/stats")
 
 
+def bm25_compact_index(spark: SparkSession, index_dir: str) -> None:
+    """Compact the streamed DELTA tier into the base index (round 15)
+    — the lifecycle step that closes the build → append → stream →
+    COMPACT loop: after enough ``bm25_index_stream`` batches the delta
+    tier holds many small per-batch files per term bucket; compaction
+    merges base + delta postings into ONE fresh bucket-partitioned
+    layout, folds the stats ledger back to a single row, and removes
+    the delta directories. Serving is BIT-EQUAL before and after
+    (pinned by tests/test_bm25_append.py) because search already
+    unions the tiers and SUMs the ledger — compaction changes the file
+    layout, never the arithmetic.
+
+    Write-then-swap: the merged tiers land in sibling ``*.compact``
+    directories first, then atomically replace the originals — a
+    crash mid-compaction leaves the live index untouched. No-op when
+    no delta tier exists."""
+    import os
+    import shutil
+
+    if not os.path.isdir(f"{index_dir}/postings_delta"):
+        return
+    cols = ["doc_id", "dl", "term", "tf", "term_bucket"]
+    merged = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .select(*cols)
+        .unionByName(
+            spark.read.parquet(f"{index_dir}/postings_delta").select(*cols)
+        )
+    )
+    merged.write.mode("overwrite").partitionBy("term_bucket").parquet(
+        f"{index_dir}/postings.compact"
+    )
+    stats = (
+        spark.read.parquet(f"{index_dir}/stats")
+        .select("n_docs", "total_dl")
+        .unionByName(
+            spark.read.parquet(f"{index_dir}/stats_delta").select(
+                "n_docs", "total_dl"
+            )
+        )
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("total_dl").alias("total_dl"),
+        )
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(
+        f"{index_dir}/stats.compact"
+    )
+    for part in ("postings", "stats"):
+        shutil.rmtree(f"{index_dir}/{part}")
+        shutil.rmtree(f"{index_dir}/{part}_delta")
+        os.rename(f"{index_dir}/{part}.compact", f"{index_dir}/{part}")
+
+
 #: index dirs already built by THIS process — the train-once guard
 #: (same rationale as queries/ivf.py::ensure_ivf_index: a stale
 #: on-disk index across processes would silently serve an old

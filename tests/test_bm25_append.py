@@ -286,3 +286,62 @@ def test_bm25_index_stream_restart_from_checkpoint(
         for r in QUERIES["docs_bm25_topk"](spark, sf_small).collect()
     }
     assert served == scan  # bit-equal doubles
+
+
+def test_bm25_compact_absorbs_delta_bit_equal(spark, sf_small, tmp_path):
+    """bm25_compact_index (round 15): after streaming docs into the
+    delta tier, compaction merges both tiers into a fresh base layout,
+    removes the delta directories, folds the stats ledger to one row —
+    and serving is BIT-EQUAL before and after (search already unions
+    the tiers; compaction changes layout, never arithmetic). Pruning
+    still applies to the compacted layout."""
+    import os
+
+    from flink_cep_examples_spark.queries.text import bm25_compact_index
+    from flink_cep_examples_spark.streaming import bm25_index_stream
+
+    docs, first, second = _half_split(spark, sf_small)
+    idx = str(tmp_path / "bm25_compact")
+    half_dir = tmp_path / "halfsf"
+    half_dir.mkdir()
+    first.write.parquet(str(half_dir / "documents.parquet"))
+    write_bm25_index(spark, str(half_dir), idx)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    second.coalesce(1).write.parquet(str(src / "p1"))
+    schema = spark.read.parquet(str(src / "p1")).schema
+    stream = spark.readStream.schema(schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(str(src))
+    q = (
+        bm25_index_stream(spark, idx, stream)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    before = {
+        r.doc_id: r.score
+        for r in bm25_search_persisted(spark, idx, BM25_QUERY).collect()
+    }
+    n_total = spark.read.parquet(f"{idx}/postings").count() + (
+        spark.read.parquet(f"{idx}/postings_delta").count()
+    )
+    bm25_compact_index(spark, idx)
+    assert not os.path.isdir(f"{idx}/postings_delta")
+    assert not os.path.isdir(f"{idx}/stats_delta")
+    assert spark.read.parquet(f"{idx}/postings").count() == n_total
+    stats_rows = spark.read.parquet(f"{idx}/stats").collect()
+    assert len(stats_rows) == 1 and stats_rows[0].n_docs == docs.count()
+
+    out = bm25_search_persisted(spark, idx, BM25_QUERY)
+    after = {r.doc_id: r.score for r in out.collect()}
+    assert after == before  # bit-equal doubles
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("term_bucket" in l for l in scan_lines), scan_lines
+
+    bm25_compact_index(spark, idx)  # second call: no delta -> no-op
+    assert spark.read.parquet(f"{idx}/postings").count() == n_total

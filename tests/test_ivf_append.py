@@ -84,3 +84,54 @@ def test_ivf_append_keeps_old_results_stable(spark, sf_small, tmp_path):
         for r in ivf_search_persisted(spark, idx, qvec).collect()
     ]
     assert after == before
+
+
+def test_ivf_recluster_preserves_vectors_and_serves(spark, sf_small, tmp_path):
+    """ivf_recluster_index (round 15): after appends against frozen
+    centroids, reclustering retrains from the stored lists and swaps
+    the layout in place. Pins: every vector (base + appended) is
+    preserved; the corpus-scaled recluster adopts the GROWN corpus's
+    list count; a search aimed at an appended vector still finds it
+    with cos = 1.0 off a partition-pruned scan; a later
+    ensure_ivf_index does not clobber the reclustered layout."""
+    from flink_cep_examples_spark.queries.ivf import (
+        ensure_ivf_index,
+        ivf_recluster_index,
+        n_lists,
+    )
+
+    idx = str(tmp_path / "idx")
+    write_ivf_index(spark, sf_small, idx)
+    n0 = spark.read.parquet(f"{idx}/lists").count()
+
+    src = (
+        spark.read.parquet(f"{sf_small}/embeddings.parquet")
+        .filter("vec_id = 0")
+        .first()
+    )
+    qvec = [float(x) for x in src.embedding]
+    new = spark.createDataFrame(
+        [(9_000_001 + i, src.label, [v + i * 1e-3 for v in qvec])
+         for i in range(8)],
+        "vec_id long, label int, embedding array<float>",
+    )
+    ivf_append_vectors(spark, idx, new)
+
+    ivf_recluster_index(spark, idx, k_lists=None)
+    lists = spark.read.parquet(f"{idx}/lists")
+    assert lists.count() == n0 + 8  # every vector preserved
+    k_after = spark.read.parquet(f"{idx}/centroids").count()
+    assert k_after == n_lists(n0 + 8)  # corpus-scaled quantizer
+
+    hits = ivf_search_persisted(spark, idx, qvec, top_k=5)
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert any(
+        "cid" in l for l in plan.splitlines() if "PartitionFilters" in l
+    )
+    rows = hits.collect()
+    assert rows and rows[0].vec_id in (0, 9_000_001)
+    assert abs(rows[0].cos - 1.0) < 1e-9
+
+    # ensure must SERVE the reclustered layout, not retrain over it
+    ensure_ivf_index(spark, sf_small, idx, k_lists=None)
+    assert spark.read.parquet(f"{idx}/centroids").count() == k_after
