@@ -21,6 +21,9 @@ scope):
                          the persisted BM25 index's delta tier
                          (bm25_index_stream); the next search serves
                          them with exact idf/avgdl, no rebuild
+  7. compaction        — round 15: the delta tier folded back into
+                         the base layout (bm25_compact_index);
+                         serving is bit-equal before and after
 
 Run: ``python examples/retrieval_serving.py [sf_dir]``
 (default /root/testdata/sf0.001). Prints per-stage results.
@@ -137,6 +140,17 @@ def main() -> int:
           f"(score {top.score:.3f}) — the streamed doc"
           if top.doc_id == 9_000_123
           else f"   post-ingest top hit: doc {top.doc_id}")
+
+    print("== 7. compact the delta tier back into the base layout ==")
+    from flink_cep_examples_spark.queries.text import bm25_compact_index
+
+    bm25_compact_index(spark, bm25_dir)
+    compacted = bm25_search_persisted(spark, bm25_dir, BM25_QUERY).collect()
+    same = {(r.doc_id, r.score) for r in compacted} == {
+        (r.doc_id, r.score) for r in after
+    }
+    print(f"   post-compaction serving bit-equal: {same} "
+          f"(delta dirs removed, one stats row)")
     return 0
 
 
