@@ -92,7 +92,8 @@ def main() -> int:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        if not q.awaitTermination(120):
+            raise SystemExit("online-serving stream timed out")
         out = spark.read.parquet(f"{tmp}/out")
         print(f"   streamed results: {out.count()} rows "
               f"(batch ids: {sorted({r.batch for r in out.collect()})})")
@@ -132,7 +133,8 @@ def main() -> int:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        if not q.awaitTermination(120):
+            raise SystemExit("online-indexing stream timed out")
     after = bm25_search_persisted(spark, bm25_dir, BM25_QUERY).collect()
     top = after[0]
     print(f"   pre-ingest top-k docs: {sorted(before)}")
@@ -151,6 +153,9 @@ def main() -> int:
     }
     print(f"   post-compaction serving bit-equal: {same} "
           f"(delta dirs removed, one stats row)")
+    import shutil
+
+    shutil.rmtree(bm25_dir)  # per-run index dir — don't leak /tmp
     return 0
 
 

@@ -555,11 +555,19 @@ def ivf_recluster_index(
     frozen quantizer can never adopt), and rewrites centroids + lists.
 
     Write-then-swap like ``bm25_compact_index``: the retrained layout
-    lands in sibling ``*.compact`` directories, then atomically
-    replaces the originals — a crash mid-recluster leaves the live
-    index untouched. Every stored vector is preserved (pinned); the
-    in-process train-once guard is updated so a later
-    ``ensure_ivf_index`` cannot clobber the reclustered layout."""
+    lands in sibling ``*.compact`` directories (the expensive phase —
+    the live index is untouched throughout it); then the originals
+    rename aside, the new dirs rename in, and deletions run last. The
+    vulnerable window is the four back-to-back renames — a crash
+    inside it can leave a tier under its ``*.old`` name (data never
+    lost), the honest guarantee a two-directory swap can give; the
+    centroids/lists PAIRING is never mixed outside that window.
+
+    Guard semantics (review r15): every ``_IVF_INDEX_WRITTEN`` key for
+    this dir is EVICTED before the recluster's own key is added — a
+    pinned-``k_lists`` query arriving later must RETRAIN its own
+    quantizer rather than silently serve the reclustered different-K
+    one (the exact hazard the keyed guard exists to prevent)."""
     import os
     import shutil
 
@@ -581,11 +589,17 @@ def ivf_recluster_index(
     assigned.write.mode("overwrite").partitionBy("cid").parquet(
         f"{index_dir}/lists.compact"
     )
+    # swap phase: four renames back-to-back, deletions only after
     for part in ("centroids", "lists"):
-        shutil.rmtree(f"{index_dir}/{part}")
+        os.rename(f"{index_dir}/{part}", f"{index_dir}/{part}.old")
+    for part in ("centroids", "lists"):
         os.rename(f"{index_dir}/{part}.compact", f"{index_dir}/{part}")
-    # the reclustered layout is authoritative for this dir: mark every
-    # k_lists key so ensure_ivf_index serves it instead of retraining
+    for part in ("centroids", "lists"):
+        shutil.rmtree(f"{index_dir}/{part}.old")
+    # evict EVERY key for this dir (stale pinned-K keys would silently
+    # serve the wrong quantizer), then record the reclustered one
+    for key in [k for k in _IVF_INDEX_WRITTEN if k[0] == index_dir]:
+        _IVF_INDEX_WRITTEN.discard(key)
     _IVF_INDEX_WRITTEN.add((index_dir, k_lists))
 
 
@@ -1312,28 +1326,15 @@ register(
 )
 
 
-def _sqdist_cols(vec: Column, cvec: Column) -> Column:
-    """Sequential-fold squared L2 distance between two array columns —
-    the column-vs-column twin of :func:`_sqdist` (same zip/fold order,
-    so it pairs bit-exactly with ``_sql_sqdist``)."""
-    return F.aggregate(
-        F.zip_with(
-            vec,
-            cvec,
-            lambda x, cc: (x.cast("double") - cc) * (x.cast("double") - cc),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 @pandas_udf(DoubleType())
 def _pd_sqdist(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Arrow-vectorized twin of :func:`_sqdist_cols` — per-dimension
-    sequential accumulation across the batch, so every double is
-    bit-identical to the interpreted HOF fold and to ``_sql_sqdist``
-    (the ``similarity.py::_pd_cos`` pattern; the HOF form runs
-    interpreted and dominates at |eval|×K probe volumes)."""
+    """Arrow-vectorized squared L2 distance between two array columns.
+    Fold contract: per-DIMENSION sequential accumulation across the
+    batch — ``acc += (a_d - b_d)²`` in ascending dimension order — so
+    every double is bit-identical to the interpreted zip/fold
+    (:func:`_sqdist`'s order) and to the oracle's ``_sql_sqdist``
+    list_sum (the ``similarity.py::_pd_cos`` pattern; an interpreted
+    HOF form would dominate at |eval|×K probe volumes)."""
     if len(a) == 0:
         return pd.Series([], dtype="float64")
     A = np.vstack(a.to_numpy()).astype(np.float64)

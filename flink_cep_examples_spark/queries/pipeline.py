@@ -155,18 +155,25 @@ def corpus_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _materialize_stage(df: DataFrame, sf_dir: str, stage: str) -> DataFrame:
-    """Durable stage boundary: write ``df`` to parquet (under the
-    session temp root locally; shared storage on a cluster) and read
-    it back, so the returned frame's lineage starts at a file scan —
-    recomputable after ANY executor/node loss, unlike
-    ``localCheckpoint``'s executor-local blocks. Overwritten per
-    invocation: the boundary is a pipeline persist point, not a
-    cross-run cache."""
+    """Durable stage boundary: write ``df`` to parquet and read it
+    back, so the returned frame's lineage starts at a file scan —
+    recomputable after executor loss, unlike ``localCheckpoint``'s
+    executor-local blocks.
+
+    Location: ``$SPARK_GRAFT_STAGE_DIR`` when set — on a real cluster
+    this MUST be shared storage (HDFS/S3); the default local tempdir
+    is the local-mode test stand-in only (executors and driver share
+    one filesystem there). The path is keyed by (sf_dir, pid) so
+    concurrent sessions on one host never overwrite each other's
+    boundary mid-scan (review r15); within a process it is overwritten
+    per invocation — a pipeline persist point, not a cross-run cache."""
     import hashlib
+    import os
     import tempfile
 
+    root = os.environ.get("SPARK_GRAFT_STAGE_DIR") or tempfile.gettempdir()
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = f"{tempfile.gettempdir()}/spark_graft_stage_{stage}_{tag}"
+    path = f"{root}/spark_graft_stage_{stage}_{tag}_{os.getpid()}"
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)
 

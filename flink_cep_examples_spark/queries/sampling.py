@@ -1382,6 +1382,12 @@ def docs_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training_order_frame(docs_temperature_mix(spark, sf_dir))
 
 
+#: cached two-pass frames from PREVIOUS interleave invocations —
+#: released at the next call so a bench/smoke sweep holds at most one
+#: outstanding cached frame per call site (review r15)
+_PERSISTED: list[DataFrame] = []
+
+
 def training_order_frame(
     mix: DataFrame,
     *,
@@ -1396,8 +1402,17 @@ def training_order_frame(
     ``lang_order``: the WITHIN-language presentation order (sort
     columns; default = the admission hash order). The curriculum
     variant passes quality-score-descending here. ``extra_cols``:
-    additional input columns carried through to the output."""
+    additional input columns carried through to the output.
+
+    Cache hygiene (review r15): the range-partitioned frame must stay
+    persisted while the RETURNED frame is consumed (the pid/offset
+    join re-reads it), so it cannot be unpersisted here — instead the
+    PREVIOUS invocation's frame is released on entry, bounding the
+    leak to one outstanding cached frame per call site instead of one
+    per invocation across a bench/smoke sweep."""
     spark = mix.sparkSession
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
     if lang_order is None:
         lang_order = [_mix(F.col("doc_id")), F.col("doc_id")]
     wlang = (
@@ -1424,6 +1439,7 @@ def training_order_frame(
         .withColumn("pid", F.spark_partition_id())
         .persist()
     )
+    _PERSISTED.append(ranged)
     # bounded driver state: ONE row per range partition, whatever the
     # corpus size — the two-pass global-index offset table
     cnts = {
@@ -1514,6 +1530,7 @@ def docs_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pid", F.spark_partition_id())
         .persist()
     )
+    _PERSISTED.append(ranged)
     sums = {
         int(r.pid): int(r.s)
         for r in ranged.groupBy("pid").agg(

@@ -1169,26 +1169,21 @@ def semantic_decontaminate_frame(df: DataFrame, E: "np.ndarray") -> DataFrame:
     Per-DIMENSION accumulation keeps every double bit-identical to the
     oracle's sequential ``list_sum`` fold (the ``_pd_cos`` order).
 
-    An EMPTY eval matrix means nothing can be contaminated: return an
-    empty frame with the output schema (ADVICE r14 — indexing
-    ``E.shape[1]`` on a 1-D empty array raised IndexError where the
-    oracle's empty cross join yields zero rows)."""
+    An EMPTY eval matrix means nothing can be contaminated: the scorer
+    becomes an emit-nothing ``mapInPandas`` with the same output
+    schema (ADVICE r14 — indexing ``E.shape[1]`` on a 1-D empty array
+    raised IndexError where the oracle's empty cross join yields zero
+    rows; kept as a mapInPandas rather than an empty literal frame so
+    a STREAMING input still returns a streaming plan — review r15)."""
     from pyspark.sql import types as T
 
-    if E.size == 0:
-        return (
-            df.sparkSession.range(0)
-            .select(
-                F.col("id").alias("vec_id"),
-                F.col("id").alias("n_hits"),
-                F.col("id").cast("double").alias("max_cos"),
-            )
-        )
+    empty_eval = E.size == 0
 
-    en = np.zeros(len(E))
-    for d in range(E.shape[1]):  # _pd_cos fold order per component
-        en += E[:, d] * E[:, d]
-    en = np.sqrt(en)
+    en = np.zeros(len(E)) if not empty_eval else np.zeros(0)
+    if not empty_eval:
+        for d in range(E.shape[1]):  # _pd_cos fold order per component
+            en += E[:, d] * E[:, d]
+        en = np.sqrt(en)
 
     out_schema = T.StructType(
         [
@@ -1200,7 +1195,7 @@ def semantic_decontaminate_frame(df: DataFrame, E: "np.ndarray") -> DataFrame:
 
     def score(pdfs):
         for pdf in pdfs:
-            if not len(pdf):
+            if empty_eval or not len(pdf):
                 continue
             A = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
             dot = np.zeros((len(A), len(E)))

@@ -435,7 +435,19 @@ def write_bm25_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
       pruned scan is exact.
 
     One corpus scan + one (doc, term) aggregation; queries then never
-    touch the corpus."""
+    touch the corpus.
+
+    A rebuild RESETS the index: any streamed delta tier left by a
+    previous process (``bm25_index_stream`` writes survive in the
+    shared dir) is removed first — otherwise the fresh base would be
+    served unioned with a stale delta's postings and double-counted
+    stats (review r15)."""
+    import os
+    import shutil
+
+    for stale in ("postings_delta", "stats_delta"):
+        if os.path.isdir(f"{index_dir}/{stale}"):
+            shutil.rmtree(f"{index_dir}/{stale}")
     docs = load_table(spark, sf_dir, "documents")
     _bm25_stats_frame(docs).coalesce(1).write.mode("overwrite").parquet(
         f"{index_dir}/stats"
@@ -512,46 +524,58 @@ def bm25_compact_index(spark: SparkSession, index_dir: str) -> None:
     unions the tiers and SUMs the ledger — compaction changes the file
     layout, never the arithmetic.
 
-    Write-then-swap: the merged tiers land in sibling ``*.compact``
-    directories first, then atomically replace the originals — a
-    crash mid-compaction leaves the live index untouched. No-op when
-    no delta tier exists."""
+    Write-then-swap: BOTH merged tiers land in sibling ``*.compact``
+    directories first (the expensive, crash-prone phase — the live
+    index is untouched throughout it); then the originals are renamed
+    aside, the compacted dirs renamed in, and only then is anything
+    deleted. The vulnerable window is the four back-to-back renames —
+    a crash inside it can leave a tier under its ``*.old`` name (data
+    never lost; re-running compaction after restoring the name
+    recovers), which is the honest guarantee a two-directory swap on
+    a plain filesystem can give. Each delta tier is merged iff ITS
+    directory exists (a stream killed between its two writes leaves
+    only one), so compaction is also the repair step for that state.
+    No-op when no delta tier exists."""
     import os
     import shutil
 
-    if not os.path.isdir(f"{index_dir}/postings_delta"):
+    has_pd = os.path.isdir(f"{index_dir}/postings_delta")
+    has_sd = os.path.isdir(f"{index_dir}/stats_delta")
+    if not has_pd and not has_sd:
         return
     cols = ["doc_id", "dl", "term", "tf", "term_bucket"]
-    merged = (
-        spark.read.parquet(f"{index_dir}/postings")
-        .select(*cols)
-        .unionByName(
+    merged = spark.read.parquet(f"{index_dir}/postings").select(*cols)
+    if has_pd:
+        merged = merged.unionByName(
             spark.read.parquet(f"{index_dir}/postings_delta").select(*cols)
         )
-    )
     merged.write.mode("overwrite").partitionBy("term_bucket").parquet(
         f"{index_dir}/postings.compact"
     )
-    stats = (
-        spark.read.parquet(f"{index_dir}/stats")
-        .select("n_docs", "total_dl")
-        .unionByName(
+    stats = spark.read.parquet(f"{index_dir}/stats").select(
+        "n_docs", "total_dl"
+    )
+    if has_sd:
+        stats = stats.unionByName(
             spark.read.parquet(f"{index_dir}/stats_delta").select(
                 "n_docs", "total_dl"
             )
         )
-        .agg(
-            F.sum("n_docs").alias("n_docs"),
-            F.sum("total_dl").alias("total_dl"),
-        )
-    )
-    stats.coalesce(1).write.mode("overwrite").parquet(
+    stats.agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("total_dl").alias("total_dl"),
+    ).coalesce(1).write.mode("overwrite").parquet(
         f"{index_dir}/stats.compact"
     )
+    # swap phase: four renames back-to-back, deletions only after
     for part in ("postings", "stats"):
-        shutil.rmtree(f"{index_dir}/{part}")
-        shutil.rmtree(f"{index_dir}/{part}_delta")
+        os.rename(f"{index_dir}/{part}", f"{index_dir}/{part}.old")
+    for part in ("postings", "stats"):
         os.rename(f"{index_dir}/{part}.compact", f"{index_dir}/{part}")
+    for part in ("postings", "stats"):
+        shutil.rmtree(f"{index_dir}/{part}.old")
+        if os.path.isdir(f"{index_dir}/{part}_delta"):
+            shutil.rmtree(f"{index_dir}/{part}_delta")
 
 
 #: index dirs already built by THIS process — the train-once guard
@@ -609,10 +633,14 @@ def bm25_search_persisted(
         "n_docs", "total_dl"
     )
     postings = spark.read.parquet(f"{index_dir}/postings").select(*cols)
+    # each delta tier gates on ITS OWN directory (review r15: a stream
+    # killed between its two writes leaves only one — serving must
+    # degrade to what exists, not crash on the missing sibling)
     if os.path.isdir(f"{index_dir}/postings_delta"):
         postings = postings.unionByName(
             spark.read.parquet(f"{index_dir}/postings_delta").select(*cols)
         )
+    if os.path.isdir(f"{index_dir}/stats_delta"):
         stats = stats.unionByName(
             spark.read.parquet(f"{index_dir}/stats_delta").select(
                 "n_docs", "total_dl"
