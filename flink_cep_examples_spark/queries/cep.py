@@ -1244,8 +1244,7 @@ register(
     "events_signup_no_purchase",
     events_signup_no_purchase,
     ORACLE_SIGNUP_NO_PURCHASE,
-    # r8 rotation: promoted (single green r5, stalest row after the
-    # never-verified pool per tools/rotation.py)
+    driver=False,  # r16 rotation: 9 green rounds (r5, r8-r15), most-verified
 )
 
 

@@ -387,7 +387,5 @@ register(
     "docs_decontam_report",
     docs_decontam_report,
     ORACLE_DECONTAM_REPORT,
-    # round 15 registration after the gate filled: joins the
-    # never-verified pool at the head of the r16 promotion queue
-    driver=False,
+    # r16 rotation: promoted (never-driver-verified r15 registration)
 )

@@ -1498,7 +1498,5 @@ register(
     "docs_semantic_decontaminate_ivf",
     docs_semantic_decontaminate_ivf,
     _oracle_sem_decontam_ivf(),
-    # round 15 registration after the gate filled: joins the
-    # never-verified pool at the head of the r16 promotion queue
-    driver=False,
+    # r16 rotation: promoted (never-driver-verified r15 registration)
 )

@@ -695,7 +695,7 @@ register(
     "events_hll_distinct",
     events_hll_distinct,
     _oracle_hll(),
-    # r7 rotation: promoted (never-driver-verified pool)
+    driver=False,  # r16 rotation: 9 green rounds (r7-r15), most-verified
 )
 
 
@@ -944,7 +944,7 @@ register(
     "events_hourly_hll",
     events_hourly_hll,
     _oracle_hourly_hll(),
-    # r7 rotation: promoted (never-driver-verified pool)
+    driver=False,  # r16 rotation: 9 green rounds (r7-r15), most-verified
 )
 
 
@@ -1120,7 +1120,7 @@ register(
     "sources_kmv_jaccard",
     sources_kmv_jaccard,
     _oracle_kmv_jaccard(),
-    # round 7: KMV set-operation sketch — straight into the driver gate
+    driver=False,  # r16 rotation: 9 green rounds (r7-r15), most-verified
 )
 
 
@@ -1228,7 +1228,7 @@ register(
     "events_value_quantile_hist",
     events_value_quantile_hist,
     ORACLE_QUANTILE_HIST,
-    # round 7: mergeable histogram quantiles — straight into the gate
+    driver=False,  # r16 rotation: 9 green rounds (r7-r15), most-verified
 )
 
 
@@ -1495,9 +1495,7 @@ register(
     "docs_training_order",
     docs_training_order,
     _oracle_training_order(),
-    # round 15 registration after the gate filled: joins the
-    # never-verified pool at the head of the r16 promotion queue
-    driver=False,
+    # r16 rotation: promoted (never-driver-verified r15 registration)
 )
 
 
@@ -1590,9 +1588,7 @@ register(
     "docs_training_shards",
     docs_training_shards,
     _oracle_training_shards(),
-    # round 15 registration after the gate filled: joins the
-    # never-verified pool at the head of the r16 promotion queue
-    driver=False,
+    # r16 rotation: promoted (never-driver-verified r15 registration)
 )
 
 
@@ -1670,7 +1666,5 @@ register(
     "docs_curriculum_order",
     docs_curriculum_order,
     _oracle_curriculum_order(),
-    # round 15 registration after the gate filled: joins the
-    # never-verified pool at the head of the r16 promotion queue
-    driver=False,
+    # r16 rotation: promoted (never-driver-verified r15 registration)
 )
