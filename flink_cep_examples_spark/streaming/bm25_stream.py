@@ -28,6 +28,8 @@ def bm25_index_stream(
     spark: SparkSession,
     index_dir: str,
     doc_stream: DataFrame,
+    *,
+    max_delta_batches: int | None = None,
 ) -> DataStreamWriter:
     """Ingest a streaming DataFrame of (``doc_id``, ``text``) docs
     into the persisted index at ``index_dir``. Per micro-batch, ONE
@@ -44,19 +46,41 @@ def bm25_index_stream(
     - ONE (n_docs, total_dl) delta row → ``{index_dir}/stats_delta``
       partitioned ``batch=<id>``.
 
+    ``max_delta_batches`` (round 16) arms the automatic compaction
+    policy: after each ingest the batch tail calls
+    ``maybe_compact_bm25``, so the delta tier stays bounded without an
+    operator remembering to compact — serving is bit-equal through
+    every triggered compaction (the pinned contract). ``None`` leaves
+    compaction fully manual (the round-15 behavior).
+
     Returns the un-started writer so the caller owns
     trigger/checkpoint options. The index must already exist
     (``write_bm25_index`` / ``ensure_bm25_index``)."""
     from pyspark.sql import functions as F
 
+    from flink_cep_examples_spark.index_manifest import read_manifest
     from flink_cep_examples_spark.queries.text import (
         _bm25_postings_frame,
         _bm25_stats_frame,
+        maybe_compact_bm25,
     )
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         docs = batch_df.select("doc_id", "text")
         if docs.isEmpty():
+            return
+        # absorbed-replay guard (round 16): an id in the manifest's
+        # absorbed list means THIS BATCH'S CONTENT already lives in the
+        # compacted base (Structured Streaming replays an epoch with
+        # identical data), so the correct replay action is no write at
+        # all — re-writing would double-count against the base. This is
+        # what makes compaction safe to run even against a final batch
+        # whose checkpoint commit didn't land. The flip side is the
+        # operational contract in bm25_compact_index's docstring: an
+        # index dir is married to its ingest checkpoint (a brand-new
+        # checkpoint restarts ids at 0 and would be skip-guarded here —
+        # use a fresh index dir or rebuild, which resets absorbed).
+        if int(batch_id) in set(read_manifest(index_dir)["absorbed"]):
             return
         _bm25_postings_frame(docs).withColumn(
             "batch", F.lit(batch_id)
@@ -70,5 +94,9 @@ def bm25_index_stream(
         ).coalesce(1).write.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"
         ).partitionBy("batch").parquet(f"{index_dir}/stats_delta")
+        if max_delta_batches is not None:
+            maybe_compact_bm25(
+                spark, index_dir, max_delta_batches=max_delta_batches
+            )
 
     return doc_stream.writeStream.outputMode("update").foreachBatch(ingest)

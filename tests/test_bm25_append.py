@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from flink_cep_examples_spark.index_manifest import resolve_tier
 from flink_cep_examples_spark.queries.text import (
     BM25_QUERY,
     bm25_append_docs,
@@ -42,13 +43,22 @@ def test_bm25_append_matches_full_rebuild(spark, sf_small, tmp_path):
     first.write.parquet(str(half_dir / "documents.parquet"))
     write_bm25_index(spark, str(half_dir), idx)
 
-    n_post_before = spark.read.parquet(f"{idx}/postings").count()
+    n_post_before = spark.read.parquet(resolve_tier(idx, "postings")).count()
     bm25_append_docs(spark, idx, second.select("doc_id", "text"))
-    post_after = spark.read.parquet(f"{idx}/postings")
-    assert post_after.count() > n_post_before  # pure append
-    stats_rows = spark.read.parquet(f"{idx}/stats").collect()
-    assert len(stats_rows) == 2  # build row + one delta row
-    assert sum(r.n_docs for r in stats_rows) == docs.count()
+    # round 16: appends land in the batch-keyed DELTA tier (replay-
+    # idempotent), never touching the published base version
+    assert (
+        spark.read.parquet(resolve_tier(idx, "postings")).count()
+        == n_post_before
+    )
+    assert spark.read.parquet(f"{idx}/postings_delta").count() > 0
+    stats_rows = spark.read.parquet(resolve_tier(idx, "stats")).collect()
+    assert len(stats_rows) == 1  # base build row
+    delta_rows = spark.read.parquet(f"{idx}/stats_delta").collect()
+    assert len(delta_rows) == 1  # one ledger row per append batch
+    assert (
+        sum(r.n_docs for r in stats_rows + delta_rows) == docs.count()
+    )
 
     served = {
         r.doc_id: r for r in bm25_search_persisted(
@@ -88,8 +98,10 @@ def test_bm25_append_stats_sum_and_pruning(spark, sf_small, tmp_path):
         idx,
         second.filter(F.col("doc_id") > cut2).select("doc_id", "text"),
     )
-    stats_rows = spark.read.parquet(f"{idx}/stats").collect()
-    assert len(stats_rows) == 3
+    stats_rows = spark.read.parquet(resolve_tier(idx, "stats")).collect()
+    delta_rows = spark.read.parquet(f"{idx}/stats_delta").collect()
+    assert len(stats_rows) == 1 and len(delta_rows) == 2
+    stats_rows = stats_rows + delta_rows
     assert sum(r.n_docs for r in stats_rows) == docs.count()
     tok = F.size(F.split(F.trim("text"), r"\s+"))
     assert sum(r.total_dl for r in stats_rows) == (
@@ -144,7 +156,7 @@ def test_bm25_index_stream_serves_streamed_docs(spark, sf_small, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), 'stream timed out'
 
     served = {
         r.doc_id: r for r in bm25_search_persisted(
@@ -257,7 +269,7 @@ def test_bm25_index_stream_restart_from_checkpoint(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(180), 'stream timed out'
 
     run_once()
     n_docs_mid = sum(
@@ -320,20 +332,22 @@ def test_bm25_compact_absorbs_delta_bit_equal(spark, sf_small, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), 'stream timed out'
 
     before = {
         r.doc_id: r.score
         for r in bm25_search_persisted(spark, idx, BM25_QUERY).collect()
     }
-    n_total = spark.read.parquet(f"{idx}/postings").count() + (
+    n_total = spark.read.parquet(resolve_tier(idx, "postings")).count() + (
         spark.read.parquet(f"{idx}/postings_delta").count()
     )
     bm25_compact_index(spark, idx)
     assert not os.path.isdir(f"{idx}/postings_delta")
     assert not os.path.isdir(f"{idx}/stats_delta")
-    assert spark.read.parquet(f"{idx}/postings").count() == n_total
-    stats_rows = spark.read.parquet(f"{idx}/stats").collect()
+    assert (
+        spark.read.parquet(resolve_tier(idx, "postings")).count() == n_total
+    )
+    stats_rows = spark.read.parquet(resolve_tier(idx, "stats")).collect()
     assert len(stats_rows) == 1 and stats_rows[0].n_docs == docs.count()
 
     out = bm25_search_persisted(spark, idx, BM25_QUERY)
@@ -343,5 +357,7 @@ def test_bm25_compact_absorbs_delta_bit_equal(spark, sf_small, tmp_path):
     scan_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert any("term_bucket" in l for l in scan_lines), scan_lines
 
+    v_before = resolve_tier(idx, "postings")
     bm25_compact_index(spark, idx)  # second call: no delta -> no-op
-    assert spark.read.parquet(f"{idx}/postings").count() == n_total
+    assert resolve_tier(idx, "postings") == v_before  # no new version
+    assert spark.read.parquet(v_before).count() == n_total

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from flink_cep_examples_spark.index_manifest import resolve_tier
 from flink_cep_examples_spark.queries.ivf import (
     ivf_append_vectors,
     ivf_search_persisted,
@@ -16,7 +17,7 @@ from flink_cep_examples_spark.queries.ivf import (
 def test_ivf_append_serves_new_vectors(spark, sf_small, tmp_path):
     idx = str(tmp_path / "idx")
     write_ivf_index(spark, sf_small, idx)
-    lists = spark.read.parquet(f"{idx}/lists")
+    lists = spark.read.parquet(resolve_tier(idx, "lists"))
     n0 = lists.count()
     n_emb = spark.read.parquet(f"{sf_small}/embeddings.parquet").count()
     assert n0 == n_emb
@@ -39,7 +40,7 @@ def test_ivf_append_serves_new_vectors(spark, sf_small, tmp_path):
     )
     ivf_append_vectors(spark, idx, new)
 
-    after = spark.read.parquet(f"{idx}/lists")
+    after = spark.read.parquet(resolve_tier(idx, "lists"))
     assert after.count() == n0 + 2  # pure append, nothing rewritten
     cid_src = lists.filter("vec_id = 0").first().cid
     cid_new = after.filter("vec_id = 9000001").first().cid
@@ -102,7 +103,7 @@ def test_ivf_recluster_preserves_vectors_and_serves(spark, sf_small, tmp_path):
 
     idx = str(tmp_path / "idx")
     write_ivf_index(spark, sf_small, idx)
-    n0 = spark.read.parquet(f"{idx}/lists").count()
+    n0 = spark.read.parquet(resolve_tier(idx, "lists")).count()
 
     src = (
         spark.read.parquet(f"{sf_small}/embeddings.parquet")
@@ -118,9 +119,9 @@ def test_ivf_recluster_preserves_vectors_and_serves(spark, sf_small, tmp_path):
     ivf_append_vectors(spark, idx, new)
 
     ivf_recluster_index(spark, idx, k_lists=None)
-    lists = spark.read.parquet(f"{idx}/lists")
+    lists = spark.read.parquet(resolve_tier(idx, "lists"))
     assert lists.count() == n0 + 8  # every vector preserved
-    k_after = spark.read.parquet(f"{idx}/centroids").count()
+    k_after = spark.read.parquet(resolve_tier(idx, "centroids")).count()
     assert k_after == n_lists(n0 + 8)  # corpus-scaled quantizer
 
     hits = ivf_search_persisted(spark, idx, qvec, top_k=5)
@@ -134,4 +135,4 @@ def test_ivf_recluster_preserves_vectors_and_serves(spark, sf_small, tmp_path):
 
     # ensure must SERVE the reclustered layout, not retrain over it
     ensure_ivf_index(spark, sf_small, idx, k_lists=None)
-    assert spark.read.parquet(f"{idx}/centroids").count() == k_after
+    assert spark.read.parquet(resolve_tier(idx, "centroids")).count() == k_after
