@@ -154,6 +154,10 @@ def corpus_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: stage roots already registered for exit cleanup by THIS process
+_STAGE_ROOTS_REGISTERED: set[str] = set()
+
+
 def _materialize_stage(df: DataFrame, sf_dir: str, stage: str) -> DataFrame:
     """Durable stage boundary: write ``df`` to parquet and read it
     back, so the returned frame's lineage starts at a file scan —
@@ -163,18 +167,43 @@ def _materialize_stage(df: DataFrame, sf_dir: str, stage: str) -> DataFrame:
     Location: ``$SPARK_GRAFT_STAGE_DIR`` when set — on a real cluster
     this MUST be shared storage (HDFS/S3); the default local tempdir
     is the local-mode test stand-in only (executors and driver share
-    one filesystem there). The path is keyed by (sf_dir, pid) so
-    concurrent sessions on one host never overwrite each other's
-    boundary mid-scan (review r15); within a process it is overwritten
-    per invocation — a pipeline persist point, not a cross-run cache."""
+    one filesystem there). The root is keyed by (sf_dir, pid) so
+    concurrent sessions on one host never collide (review r15).
+
+    Round 16 (VERDICT r15 item 5 + ADVICE): each invocation writes an
+    IMMUTABLE versioned subdirectory and publishes it via the shared
+    ``index_manifest`` pointer commit — the same versioned-write +
+    one-atomic-pointer pattern as the index lifecycle. The returned
+    frame scans its own pinned version, so a frame held across a
+    re-run keeps reading consistent data instead of racing an
+    in-place overwrite; on shared storage a reader can never observe
+    a half-overwritten boundary. Superseded versions are retained for
+    the process lifetime (a held frame may lazily scan them) and the
+    whole pid-keyed root is removed at interpreter exit (the ADVICE
+    /tmp-accumulation fix); a crashed process leaves only its own
+    pid-keyed dir behind."""
+    import atexit
     import hashlib
     import os
+    import shutil
     import tempfile
 
-    root = os.environ.get("SPARK_GRAFT_STAGE_DIR") or tempfile.gettempdir()
+    from flink_cep_examples_spark.index_manifest import (
+        publish_manifest,
+        read_manifest,
+        tier_path,
+    )
+
+    base = os.environ.get("SPARK_GRAFT_STAGE_DIR") or tempfile.gettempdir()
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    path = f"{root}/spark_graft_stage_{stage}_{tag}_{os.getpid()}"
+    root = f"{base}/spark_graft_stage_{stage}_{tag}_{os.getpid()}"
+    version = read_manifest(root)["version"] + 1
+    path = tier_path(root, "data", version)
     df.write.mode("overwrite").parquet(path)
+    publish_manifest(root, version)
+    if root not in _STAGE_ROOTS_REGISTERED:
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _STAGE_ROOTS_REGISTERED.add(root)
     return df.sparkSession.read.parquet(path)
 
 

@@ -1382,12 +1382,6 @@ def docs_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training_order_frame(docs_temperature_mix(spark, sf_dir))
 
 
-#: cached two-pass frames from PREVIOUS interleave invocations —
-#: released at the next call so a bench/smoke sweep holds at most one
-#: outstanding cached frame per call site (review r15)
-_PERSISTED: list[DataFrame] = []
-
-
 def training_order_frame(
     mix: DataFrame,
     *,
@@ -1404,15 +1398,18 @@ def training_order_frame(
     variant passes quality-score-descending here. ``extra_cols``:
     additional input columns carried through to the output.
 
-    Cache hygiene (review r15): the range-partitioned frame must stay
-    persisted while the RETURNED frame is consumed (the pid/offset
-    join re-reads it), so it cannot be unpersisted here — instead the
-    PREVIOUS invocation's frame is released on entry, bounding the
-    leak to one outstanding cached frame per call site instead of one
-    per invocation across a bench/smoke sweep."""
+    Snapshot semantics (ADVICE r15): the range-partitioned frame is
+    ``localCheckpoint``-ed EAGERLY — the pid assignment and the
+    offset table collected from it are frozen in materialized blocks,
+    so a returned frame consumed at ANY later time (including after
+    further invocations) can never re-execute ``repartitionByRange``
+    under a different sampling seed and drift from its own offsets.
+    The blocks are released with the frame by GC (no module-global
+    cache to evict, the r15 ``_PERSISTED`` hazard); executor-local
+    durability is acceptable here because the frame is internal to a
+    single query execution — a lost executor fails that query run,
+    which simply re-runs."""
     spark = mix.sparkSession
-    while _PERSISTED:
-        _PERSISTED.pop().unpersist()
     if lang_order is None:
         lang_order = [_mix(F.col("doc_id")), F.col("doc_id")]
     wlang = (
@@ -1437,9 +1434,8 @@ def training_order_frame(
     ranged = (
         pos.repartitionByRange(n_parts, "frac", "lang", "doc_id")
         .withColumn("pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    _PERSISTED.append(ranged)
     # bounded driver state: ONE row per range partition, whatever the
     # corpus size — the two-pass global-index offset table
     cnts = {
@@ -1523,12 +1519,13 @@ def docs_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard_id. No single-reducer window anywhere."""
     ordered = docs_training_order(spark, sf_dir)
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # same eager-localCheckpoint snapshot contract as
+    # training_order_frame (ADVICE r15): pid and token offsets frozen
     ranged = (
         ordered.repartitionByRange(n_parts, "ord")
         .withColumn("pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    _PERSISTED.append(ranged)
     sums = {
         int(r.pid): int(r.s)
         for r in ranged.groupBy("pid").agg(
