@@ -23,7 +23,15 @@ scope):
                          them with exact idf/avgdl, no rebuild
   7. compaction        — round 15: the delta tier folded back into
                          the base layout (bm25_compact_index);
-                         serving is bit-equal before and after
+                         serving is bit-equal before and after;
+                         round 16: committed via versioned dirs + ONE
+                         atomic CURRENT-manifest pointer write
+  8. online vector     — round 16: arriving EMBEDDINGS streamed into
+     ingest               the persisted IVF index's batch-keyed delta
+                         tier (ivf_index_stream) — assigned against
+                         the frozen quantizer, ledger-gated, served
+                         immediately off base ∪ live delta, folded
+                         back by ivf_compact_index
 
 Run: ``python examples/retrieval_serving.py [sf_dir]``
 (default /root/testdata/sf0.001). Prints per-stage results.
@@ -164,6 +172,62 @@ def main() -> int:
     import shutil
 
     shutil.rmtree(bm25_dir)  # per-run index dir — don't leak /tmp
+
+    print("== 8. online vector ingest: stream embeddings into the IVF "
+          "index ==")
+    from flink_cep_examples_spark.index_manifest import (
+        read_manifest as _read_man,
+        resolve_tier,
+    )
+    from flink_cep_examples_spark.queries.ivf import (
+        ivf_compact_index,
+        ivf_search_persisted,
+        write_ivf_index,
+    )
+    from flink_cep_examples_spark.streaming import ivf_index_stream
+
+    ivf_dir = tempfile.mkdtemp(prefix="spark_graft_ivf_ex_")
+    write_ivf_index(spark, sf_dir, ivf_dir)
+    src0 = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter("vec_id = 0")
+        .first()
+    )
+    qvec = [float(x) for x in src0.embedding]
+    # a synthetic arriving vector: a near-twin of the query vector —
+    # it must appear in the served top-k the moment its batch lands
+    arriving_vecs = spark.createDataFrame(
+        [(9_000_777, src0.label, [v + 1e-4 for v in qvec])],
+        "vec_id long, label int, embedding array<float>",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        arriving_vecs.coalesce(1).write.parquet(f"{tmp}/vecs")
+        schema = spark.read.parquet(f"{tmp}/vecs").schema
+        stream = spark.readStream.schema(schema).parquet(f"{tmp}/vecs")
+        q = (
+            ivf_index_stream(spark, ivf_dir, stream, max_delta_batches=8)
+            .option("checkpointLocation", f"{tmp}/chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(120):
+            raise SystemExit("vector-ingest stream timed out")
+    hits = ivf_search_persisted(spark, ivf_dir, qvec, top_k=3).collect()
+    ids = [r.vec_id for r in hits]
+    print(f"   post-ingest top-3: {ids} "
+          f"{'— the streamed twin serves' if 9_000_777 in ids else ''}")
+    v_before = _read_man(ivf_dir)["version"]
+    ivf_compact_index(spark, ivf_dir)
+    man = _read_man(ivf_dir)
+    hits2 = ivf_search_persisted(spark, ivf_dir, qvec, top_k=3).collect()
+    same = [(r.vec_id, r.cos) for r in hits2] == [
+        (r.vec_id, r.cos) for r in hits
+    ]
+    n_lists_rows = spark.read.parquet(resolve_tier(ivf_dir, "lists")).count()
+    print(f"   compacted v{v_before} -> v{man['version']} "
+          f"(absorbed {man['absorbed']}); serving bit-equal: {same}; "
+          f"{n_lists_rows} vectors in the base lists")
+    shutil.rmtree(ivf_dir)
     return 0
 
 

@@ -127,3 +127,47 @@ def gc_versions(index_dir: str, parts: tuple[str, ...], keep: int) -> None:
             p = tier_path(index_dir, part, v)
             if os.path.isdir(p):
                 shutil.rmtree(p, ignore_errors=True)
+
+
+def try_read_tier(spark, path: str, cols: list[str]):
+    """Read a parquet tier that may not exist yet (delta tiers appear
+    only once a stream/append has written) — filesystem-agnostic
+    existence handling: attempt the read and treat path-not-found as
+    absence, instead of an ``os.path.isdir`` that only works on a
+    local filesystem."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path).select(*cols)
+    except AnalysisException:
+        return None
+
+
+def delta_batch_ids(spark, path: str) -> list[int]:
+    """Distinct ``batch=`` partition ids under one delta tier (empty
+    when the tier does not exist). Bounded by construction: one row
+    per streamed/appended batch, never per data row."""
+    df = try_read_tier(spark, path, ["batch"])
+    if df is None:
+        return []
+    return sorted(int(r.batch) for r in df.distinct().collect())
+
+
+def gc_delta_batches(
+    index_dir: str, parts: tuple[str, ...], batches: list[int]
+) -> None:
+    """Best-effort GC of absorbed delta batch partitions, AFTER the
+    manifest publish — correctness never depends on it (the serve
+    path excludes absorbed batches); an object-store deployment
+    replaces this local ``rmtree`` with its own lifecycle deletes."""
+    for part in parts:
+        root = f"{index_dir}/{part}"
+        if not os.path.isdir(root):
+            continue
+        for b in batches:
+            p = f"{root}/batch={b}"
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+        # remove the tier dir itself once no batch partition remains
+        if not any(e.startswith("batch=") for e in os.listdir(root)):
+            shutil.rmtree(root, ignore_errors=True)

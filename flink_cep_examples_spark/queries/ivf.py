@@ -556,7 +556,29 @@ def write_ivf_index(
     assigned.write.mode("overwrite").partitionBy("cid").parquet(
         tier_path(index_dir, "lists", version)
     )
-    publish_manifest(index_dir, version)
+    # a rebuild RESETS the index: stale streamed delta batches from a
+    # previous process are marked absorbed (so they can never serve
+    # against the fresh base even if the GC below is interrupted),
+    # then removed; ids whose partitions the GC removed are dropped so
+    # a fresh stream's batch 0 is not skip-guarded (same recipe as
+    # write_bm25_index)
+    stale = sorted(_all_delta_batches(spark, index_dir))
+    publish_manifest(index_dir, version, absorbed=stale)
+    if stale:
+        from flink_cep_examples_spark.index_manifest import (
+            gc_delta_batches,
+        )
+
+        gc_delta_batches(
+            index_dir, ("lists_delta", "ingest_ledger"), stale
+        )
+        still = _all_delta_batches(spark, index_dir)
+        if still != set(stale):
+            publish_manifest(
+                index_dir,
+                version,
+                absorbed=[b for b in stale if b in still],
+            )
     gc_versions(index_dir, ("centroids", "lists"), version)
 
 
@@ -580,9 +602,13 @@ def ivf_recluster_index(
     never a mix — and the commit needs no rename, so it works on any
     filesystem the driver can write one small file to (HDFS/S3
     included). Old version directories are deleted afterwards as pure
-    GC. Appends landing between the training snapshot and the publish
-    go into the OLD version's lists and are dropped by the swap —
-    quiesce ingest around a recluster (same contract as before).
+    GC. LIVE streamed delta batches (round 16) are INCLUDED in the
+    retrain and rewritten into the new lists, recorded as absorbed in
+    the same manifest write. Direct ``ivf_append_vectors`` appends
+    landing between the training snapshot and the publish go into the
+    OLD version's lists and are dropped by the swap — quiesce direct
+    appends around a recluster (streamed ingest is safe: a batch the
+    snapshot missed stays live in the delta tier).
 
     Guard semantics (review r15): every ``_IVF_INDEX_WRITTEN`` key for
     this dir is EVICTED before the recluster's own key is added — a
@@ -590,6 +616,7 @@ def ivf_recluster_index(
     quantizer rather than silently serve the reclustered different-K
     one (the exact hazard the keyed guard exists to prevent)."""
     from flink_cep_examples_spark.index_manifest import (
+        gc_delta_batches,
         gc_versions,
         publish_manifest,
         read_manifest,
@@ -601,6 +628,13 @@ def ivf_recluster_index(
     vecs = spark.read.parquet(
         tier_path(index_dir, "lists", man["version"])
     ).select("vec_id", "label", "embedding")
+    delta, live_batches = _ivf_live_delta(
+        spark, index_dir, set(man["absorbed"])
+    )
+    if delta is not None:
+        vecs = vecs.unionByName(
+            delta.select("vec_id", "label", "embedding")
+        )
     # localCheckpoint: the training actions and the final write must
     # see ONE immutable snapshot of the lists we are about to replace
     vecs = vecs.localCheckpoint()
@@ -616,7 +650,11 @@ def ivf_recluster_index(
     assigned.write.mode("overwrite").partitionBy("cid").parquet(
         tier_path(index_dir, "lists", version)
     )
-    publish_manifest(index_dir, version)
+    absorbed_new = sorted(set(man["absorbed"]) | set(live_batches))
+    publish_manifest(index_dir, version, absorbed=absorbed_new)
+    gc_delta_batches(
+        index_dir, ("lists_delta", "ingest_ledger"), absorbed_new
+    )
     gc_versions(index_dir, ("centroids", "lists"), version)
     # evict EVERY key for this dir (stale pinned-K keys would silently
     # serve the wrong quantizer), then record the reclustered one
@@ -716,6 +754,161 @@ def ivf_append_vectors(
     )
 
 
+def ivf_ingest_batch(
+    spark: SparkSession,
+    index_dir: str,
+    new_vectors: DataFrame,
+    batch_key: int,
+    *,
+    exact: bool = False,
+) -> None:
+    """One replay-idempotent vector-ingest batch into the DELTA tier
+    (round 16) — the vector twin of the BM25 delta recipe: assign the
+    arriving (``vec_id``, ``label``, ``embedding``) rows against the
+    FROZEN live centroids, land them in
+    ``lists_delta/batch=<key>/cid=<c>`` via dynamic partition
+    overwrite (a replayed batch rewrites its OWN partitions), then
+    write ONE ledger row to ``ingest_ledger/batch=<key>``. Serving
+    gates the delta union on the LEDGER — a writer killed between the
+    two writes leaves an orphan batch that never serves and that its
+    replay repairs (the same two-write-window closure as the BM25
+    side). ``exact`` selects the assignment kernel (BLAS deployment
+    default; the oracle-pinned catalog query passes True)."""
+    from flink_cep_examples_spark.index_manifest import resolve_tier
+
+    cents = {
+        int(r.cid): [float(x) for x in r.centroid]
+        for r in spark.read.parquet(
+            resolve_tier(index_dir, "centroids")
+        ).collect()
+    }
+    assigned = _assign(
+        new_vectors.select("vec_id", "label", "embedding"), cents, exact
+    )
+    assigned.withColumn("batch", F.lit(batch_key)).write.mode(
+        "overwrite"
+    ).option("partitionOverwriteMode", "dynamic").partitionBy(
+        "batch", "cid"
+    ).parquet(f"{index_dir}/lists_delta")
+    spark.createDataFrame(
+        [(int(batch_key), new_vectors.count())], "batch long, n_vecs long"
+    ).coalesce(1).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("batch").parquet(f"{index_dir}/ingest_ledger")
+
+
+def _ivf_live_delta(
+    spark: SparkSession, index_dir: str, absorbed: set[int]
+):
+    """(delta frame, live batch ids): ledgered, not-absorbed delta
+    batches — what serving/compaction/recluster may union with the
+    base lists. None/[] when the delta tier is empty."""
+    from flink_cep_examples_spark.index_manifest import (
+        delta_batch_ids,
+        try_read_tier,
+    )
+
+    live = [
+        b
+        for b in delta_batch_ids(spark, f"{index_dir}/ingest_ledger")
+        if b not in absorbed
+    ]
+    if not live:
+        return None, []
+    delta = try_read_tier(
+        spark,
+        f"{index_dir}/lists_delta",
+        ["vec_id", "label", "embedding", "cid", "batch"],
+    )
+    if delta is None:
+        return None, []
+    return delta.filter(F.col("batch").isin(live)), live
+
+
+def ivf_compact_index(spark: SparkSession, index_dir: str) -> None:
+    """Fold the streamed DELTA tier into the base lists (round 16) —
+    the vector twin of ``bm25_compact_index``, sharing its commit:
+    base + LIVE delta written to a fresh versioned lists dir, the
+    (unchanged) centroids copied forward to pair with it, then ONE
+    atomic manifest write publishes both and records the merged
+    batches as ABSORBED; delta deletion is pure GC afterwards, and
+    absorbed ids are retained as the stream's replay-skip memory.
+    Serving is bit-equal before and after (search already unions the
+    tiers). Orphan delta batches (no ledger row) are left for their
+    replay. No-op when nothing is live."""
+    from flink_cep_examples_spark.index_manifest import (
+        gc_delta_batches,
+        gc_versions,
+        publish_manifest,
+        read_manifest,
+        tier_path,
+    )
+
+    man = read_manifest(index_dir)
+    delta, live = _ivf_live_delta(spark, index_dir, set(man["absorbed"]))
+    leftover = [
+        b
+        for b in set(man["absorbed"])
+        if b in _all_delta_batches(spark, index_dir)
+    ]
+    if delta is None:
+        if leftover:  # absorbed in a prior run; only the GC remains
+            gc_delta_batches(
+                index_dir, ("lists_delta", "ingest_ledger"), leftover
+            )
+        return
+    version = man["version"] + 1
+    cols = ["vec_id", "label", "embedding", "cid"]
+    base = spark.read.parquet(
+        tier_path(index_dir, "lists", man["version"])
+    ).select(*cols)
+    base.unionByName(delta.select(*cols)).write.mode(
+        "overwrite"
+    ).partitionBy("cid").parquet(tier_path(index_dir, "lists", version))
+    spark.read.parquet(
+        tier_path(index_dir, "centroids", man["version"])
+    ).coalesce(1).write.mode("overwrite").parquet(
+        tier_path(index_dir, "centroids", version)
+    )
+    absorbed_new = sorted(set(man["absorbed"]) | set(live))
+    publish_manifest(index_dir, version, absorbed=absorbed_new)
+    gc_delta_batches(
+        index_dir, ("lists_delta", "ingest_ledger"), absorbed_new
+    )
+    gc_versions(index_dir, ("centroids", "lists"), version)
+
+
+def _all_delta_batches(spark: SparkSession, index_dir: str) -> set[int]:
+    from flink_cep_examples_spark.index_manifest import delta_batch_ids
+
+    return set(
+        delta_batch_ids(spark, f"{index_dir}/lists_delta")
+    ) | set(delta_batch_ids(spark, f"{index_dir}/ingest_ledger"))
+
+
+def maybe_compact_ivf(
+    spark: SparkSession,
+    index_dir: str,
+    *,
+    max_delta_batches: int = 16,
+) -> bool:
+    """Automatic compaction policy for the vector delta tier — the
+    ``maybe_compact_bm25`` twin: compacts iff the LIVE (ledgered,
+    un-absorbed) batch count reached the threshold; returns whether it
+    did. Each live batch adds up to K small files per probe scan, so
+    the batch count is the read-amplification knob. Safe to call from
+    the ingest stream's foreachBatch tail (serving stays bit-equal)."""
+    from flink_cep_examples_spark.index_manifest import read_manifest
+
+    _, live = _ivf_live_delta(
+        spark, index_dir, set(read_manifest(index_dir)["absorbed"])
+    )
+    if len(live) < max_delta_batches:
+        return False
+    ivf_compact_index(spark, index_dir)
+    return True
+
+
 def ivf_search_persisted(
     spark: SparkSession,
     index_dir: str,
@@ -730,10 +923,20 @@ def ivf_search_persisted(
     ``cid=`` partitions (partition-pruned scan, plan-audited), exact
     cosine + top-k. No training, no shuffle beyond TakeOrdered. Both
     tiers resolve off ONE manifest read — a concurrent recluster
-    publish can never pair old centroids with new lists."""
-    from flink_cep_examples_spark.index_manifest import resolve_tiers
+    publish can never pair old centroids with new lists. When a
+    streamed DELTA tier exists (``streaming/ivf_stream.py``), its
+    LIVE batches (ledgered, un-absorbed) union in, pruned on both the
+    ``batch`` and ``cid`` partition columns."""
+    from flink_cep_examples_spark.index_manifest import (
+        read_manifest,
+        tier_path,
+    )
 
-    live = resolve_tiers(index_dir, ("centroids", "lists"))
+    man = read_manifest(index_dir)
+    live = {
+        part: tier_path(index_dir, part, man["version"])
+        for part in ("centroids", "lists")
+    }
     cents = {
         int(r.cid): [float(x) for x in r.centroid]
         for r in spark.read.parquet(live["centroids"]).collect()
@@ -754,6 +957,13 @@ def ivf_search_persisted(
     lists = spark.read.parquet(live["lists"]).filter(
         F.col("cid").isin(probe_cids)
     )
+    delta, _db = _ivf_live_delta(spark, index_dir, set(man["absorbed"]))
+    if delta is not None:
+        lists = lists.unionByName(
+            delta.filter(F.col("cid").isin(probe_cids)).select(
+                "vec_id", "label", "embedding", "cid"
+            )
+        )
     if exclude_vec_id is not None:
         lists = lists.filter(F.col("vec_id") != exclude_vec_id)
     q = F.array(*[F.lit(float(x)) for x in qvec])
@@ -796,6 +1006,142 @@ def ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "ivf_persisted_topk", ivf_persisted_topk, ORACLE_IVF,
     driver=False,  # r13 rotation: 8 green rounds (r5-r12); pytest-gated now
+)
+
+
+#: deterministic base/delta split for the stream-ingested catalog
+#: query: residue 11 keeps every training seed (vec_id < K_LISTS=8)
+#: and the pinned query vector 0 in the BASE
+_IVF_STREAM_MOD, _IVF_STREAM_RESIDUE = 13, 11
+
+#: (index dirs already stream-ingested by THIS process) — the same
+#: build-once rationale as ensure_ivf_index
+_IVF_STREAM_BUILT: set[str] = set()
+
+
+def _ensure_stream_ingested_index(
+    spark: SparkSession, sf_dir: str, index_dir: str
+) -> None:
+    """Build-once: train the index on the BASE split (vec_id mod 13
+    != 11) via the exact oracle kernels, then STREAM the delta split
+    in as one availableNow micro-batch through
+    ``streaming/ivf_stream.py::ivf_index_stream`` (exact assignment
+    for oracle parity). The delta is deliberately left UNCOMPACTED so
+    every serve exercises the base ∪ live-delta union path the oracle
+    pins."""
+    import os
+    import tempfile
+
+    from flink_cep_examples_spark.streaming.ivf_stream import (
+        ivf_index_stream,
+    )
+
+    if index_dir in _IVF_STREAM_BUILT and _index_on_disk(index_dir):
+        return
+    raw = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    is_delta = (
+        F.col("vec_id") % _IVF_STREAM_MOD == _IVF_STREAM_RESIDUE
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        # stage the base split as an embeddings table the trainer reads
+        base_dir = f"{tmp}/base_sf"
+        raw.filter(~is_delta).write.parquet(
+            f"{base_dir}/embeddings.parquet"
+        )
+        write_ivf_index(spark, base_dir, index_dir, k_lists=K_LISTS)
+        # stream the delta split in (single file -> single micro-batch)
+        src = f"{tmp}/delta_src"
+        spread(raw.filter(is_delta), "vec_id").select(
+            "vec_id", "label", "embedding"
+        ).coalesce(1).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            ivf_index_stream(spark, index_dir, stream, exact=True)
+            .option("checkpointLocation", f"{tmp}/chk")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            raise RuntimeError("ivf_index_stream ingest timed out")
+    _IVF_STREAM_BUILT.add(index_dir)
+
+
+def ivf_stream_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-16 catalog query for the ONLINE vector-ingest tier: build
+    the IVF index from ~92% of the corpus, stream the remaining split
+    in through the batch-keyed delta tier (``ivf_index_stream`` —
+    replay-idempotent dynamic partition overwrite, ledger-gated
+    serving), then serve the pinned query vector off base ∪ LIVE
+    delta. The DuckDB oracle reproduces the full lifecycle in SQL:
+    quantizer trained on the base split only, delta rows assigned
+    against the FROZEN trained centroids (exactly what ingest does),
+    and the probe/top-k over the union — so the gate pins that
+    streamed vectors serve with the same ranking a rebuild would give
+    them, byte-for-byte."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    index_dir = f"{tempfile.gettempdir()}/spark_graft_ivf_stream_{tag}"
+    _ensure_stream_ingested_index(spark, sf_dir, index_dir)
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .first()
+        .embedding
+    ]
+    return ivf_search_persisted(
+        spark, index_dir, qvec, exclude_vec_id=QUERY_VEC_ID
+    )
+
+
+def _oracle_ivf_stream() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+base AS (
+  SELECT * FROM e
+  WHERE vec_id % {_IVF_STREAM_MOD} != {_IVF_STREAM_RESIDUE}
+),
+delta AS (
+  SELECT * FROM e
+  WHERE vec_id % {_IVF_STREAM_MOD} = {_IVF_STREAM_RESIDUE}
+),
+c0 AS (
+  SELECT vec_id AS cid,
+         [CAST(x AS DOUBLE) FOR x IN embedding] AS cvec
+  FROM base WHERE vec_id < {K_LISTS}
+),
+{_sql_assign('base', 'c0', 'a1')},
+{_SQL_MEANS},
+{_sql_assign('base', 'c1', 'a2')},
+{_sql_assign('delta', 'c1', 'ad')},
+u AS (SELECT * FROM a2 UNION ALL SELECT * FROM ad),
+q AS (SELECT embedding AS qv FROM e WHERE vec_id = {QUERY_VEC_ID}),
+probes AS (
+  SELECT c1.cid FROM c1, q
+  ORDER BY {_sql_sqdist('q.qv', 'c1.cvec')} ASC, c1.cid ASC
+  LIMIT {NPROBE}
+)
+SELECT u.vec_id, u.label, u.cid,
+       {_sql_dot('u.embedding', 'q.qv')}
+         / ({_sql_norm('u.embedding')} * {_sql_norm('q.qv')}) AS cos
+FROM u JOIN probes USING (cid), q
+WHERE u.vec_id != {QUERY_VEC_ID}
+ORDER BY cos DESC, u.vec_id ASC
+LIMIT {TOP_K}
+"""
+
+
+register(
+    "ivf_stream_served_topk",
+    ivf_stream_served_topk,
+    _oracle_ivf_stream(),
+    # round 16 registration after the gate filled: joins the
+    # never-verified pool at the head of the r17 promotion queue
+    driver=False,
 )
 
 
@@ -1157,9 +1503,16 @@ def ivf_search_persisted_many(
     serving)."""
     from pyspark.sql import Window
 
-    from flink_cep_examples_spark.index_manifest import resolve_tiers
+    from flink_cep_examples_spark.index_manifest import (
+        read_manifest,
+        tier_path,
+    )
 
-    live = resolve_tiers(index_dir, ("centroids", "lists"))
+    man = read_manifest(index_dir)
+    live = {
+        part: tier_path(index_dir, part, man["version"])
+        for part in ("centroids", "lists")
+    }
     cents = {
         int(r.cid): [float(x) for x in r.centroid]
         for r in spark.read.parquet(live["centroids"]).collect()
@@ -1186,6 +1539,13 @@ def ivf_search_persisted_many(
     lists = spark.read.parquet(live["lists"]).filter(
         F.col("cid").isin(union_cids)
     )
+    delta, _db = _ivf_live_delta(spark, index_dir, set(man["absorbed"]))
+    if delta is not None:
+        lists = lists.unionByName(
+            delta.filter(F.col("cid").isin(union_cids)).select(
+                "vec_id", "label", "embedding", "cid"
+            )
+        )
     qdf = spark.createDataFrame(
         [
             (qid, cid, [float(x) for x in queries[qid]])

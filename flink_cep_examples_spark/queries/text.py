@@ -506,27 +506,17 @@ def _bm25_postings_frame(docs: DataFrame) -> DataFrame:
 
 
 def _try_read(spark: SparkSession, path: str, cols: list[str]):
-    """Read a parquet tier that may not exist yet (delta tiers appear
-    only once a stream/append has written) — filesystem-agnostic
-    existence handling: attempt the read and treat path-not-found as
-    absence, instead of an ``os.path.isdir`` that only works on a
-    local filesystem."""
-    from pyspark.errors import AnalysisException
+    """Shared tier reader (see ``index_manifest.try_read_tier``)."""
+    from flink_cep_examples_spark.index_manifest import try_read_tier
 
-    try:
-        return spark.read.parquet(path).select(*cols)
-    except AnalysisException:
-        return None
+    return try_read_tier(spark, path, cols)
 
 
 def _delta_batch_ids(spark: SparkSession, path: str) -> list[int]:
-    """Distinct ``batch=`` partition ids under one delta tier (empty
-    when the tier does not exist). Bounded by construction: one row
-    per streamed/appended batch, never per data row."""
-    df = _try_read(spark, path, ["batch"])
-    if df is None:
-        return []
-    return sorted(int(r.batch) for r in df.distinct().collect())
+    """Shared helper (see ``index_manifest.delta_batch_ids``)."""
+    from flink_cep_examples_spark.index_manifest import delta_batch_ids
+
+    return delta_batch_ids(spark, path)
 
 
 def _delta_batches_on_disk(spark: SparkSession, index_dir: str) -> list[int]:
@@ -539,24 +529,12 @@ def _delta_batches_on_disk(spark: SparkSession, index_dir: str) -> list[int]:
 
 
 def _gc_delta_batches(index_dir: str, batches: list[int]) -> None:
-    """Best-effort GC of absorbed delta batch partitions, AFTER the
-    manifest publish — correctness never depends on it (the serve
-    path excludes absorbed batches); an object-store deployment
-    replaces this local ``rmtree`` with its own lifecycle deletes."""
-    import os
-    import shutil
+    """Shared GC (see ``index_manifest.gc_delta_batches``)."""
+    from flink_cep_examples_spark.index_manifest import gc_delta_batches
 
-    for part in ("postings_delta", "stats_delta"):
-        root = f"{index_dir}/{part}"
-        if not os.path.isdir(root):
-            continue
-        for b in batches:
-            p = f"{root}/batch={b}"
-            if os.path.isdir(p):
-                shutil.rmtree(p, ignore_errors=True)
-        # remove the tier dir itself once no batch partition remains
-        if not any(e.startswith("batch=") for e in os.listdir(root)):
-            shutil.rmtree(root, ignore_errors=True)
+    gc_delta_batches(
+        index_dir, ("postings_delta", "stats_delta"), batches
+    )
 
 
 def bm25_append_docs(

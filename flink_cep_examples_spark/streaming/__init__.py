@@ -15,6 +15,9 @@ from flink_cep_examples_spark.streaming.budget_stream import (  # noqa: F401
 from flink_cep_examples_spark.streaming.cep_stream import (  # noqa: F401
     match_pattern_stream,
 )
+from flink_cep_examples_spark.streaming.ivf_stream import (  # noqa: F401
+    ivf_index_stream,
+)
 from flink_cep_examples_spark.streaming.decontam_stream import (  # noqa: F401
     decontaminate_stream,
     eval_window_hash_set,
