@@ -79,6 +79,7 @@ HEADLINE = [
     "ann_serve_many_persisted_topk",  # round-14 batched IVF serving
     "docs_training_order",  # round-15 stride interleave (two-pass global sort)
     "docs_semantic_decontaminate_ivf",  # round-15 big-eval decontam route
+    "ivf_stream_served_topk",  # round-16 online vector ingest (delta tier)
 ]
 
 #: Round-6 outlier audit (VERDICT r5 item 7): docs_bigram_topk

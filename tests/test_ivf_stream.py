@@ -75,6 +75,9 @@ def test_ivf_stream_serves_streamed_vectors(spark, sf_small, tmp_path):
         l for l in plan.splitlines() if "PartitionFilters" in l
     ]
     assert any("cid" in l for l in scan_lines), scan_lines
+    # the delta scan prunes on BOTH partition columns: its live-batch
+    # isin plus the probe-cid isin reach the reader as PartitionFilters
+    assert any("batch" in l and "cid" in l for l in scan_lines), scan_lines
     rows = hits.collect()
     ids = {r.vec_id for r in rows}
     assert {7_000_000, 7_000_001, 7_000_002, 7_000_003} <= ids
