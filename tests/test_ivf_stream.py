@@ -280,6 +280,81 @@ def test_ivf_recluster_absorbs_live_delta(spark, sf_small, tmp_path):
     assert {7_000_000, 7_000_001} <= ids
 
 
+def test_hybrid_serves_freshly_streamed_content(spark, sf_small, tmp_path):
+    """End-to-end freshness pin across BOTH retrieval arms (round 16):
+    a new document streamed into the BM25 delta tier AND its embedding
+    streamed into the IVF delta tier must surface — immediately, with
+    no rebuild or compaction — through the fused hybrid ranking (the
+    shared rrf_fuse kernel over the two persisted, delta-aware serve
+    paths). This is the production RAG-ingest contract: content is
+    retrievable the moment both index writes land."""
+    from flink_cep_examples_spark.queries.similarity import rrf_fuse
+    from flink_cep_examples_spark.queries.text import (
+        BM25_QUERY,
+        bm25_search_persisted,
+        write_bm25_index,
+    )
+    from flink_cep_examples_spark.streaming import (
+        bm25_index_stream,
+        ivf_index_stream,
+    )
+
+    new_id = 9_500_000
+    # lexical index over the real corpus
+    bm25_dir = str(tmp_path / "bm25")
+    write_bm25_index(spark, sf_small, bm25_dir)
+    # vector index over the real corpus
+    ivf_dir = str(tmp_path / "ivf")
+    write_ivf_index(spark, sf_small, ivf_dir)
+    qvec, _ = _twin_vectors(spark, sf_small)
+
+    # stream the new doc into BOTH arms: text stuffed with the query
+    # terms (tops BM25), embedding a near-twin of the query vector
+    # (tops cosine)
+    doc = spark.createDataFrame(
+        [(new_id, " ".join(BM25_QUERY * 4))], "doc_id long, text string"
+    )
+    doc.coalesce(1).write.parquet(str(tmp_path / "dsrc"))
+    dschema = spark.read.parquet(str(tmp_path / "dsrc")).schema
+    q1 = (
+        bm25_index_stream(
+            spark,
+            bm25_dir,
+            spark.readStream.schema(dschema).parquet(str(tmp_path / "dsrc")),
+        )
+        .option("checkpointLocation", str(tmp_path / "dchk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q1.awaitTermination(300), "doc stream timed out"
+    vec = spark.createDataFrame(
+        [(new_id, 0, [v + 1e-5 for v in qvec])],
+        "vec_id long, label int, embedding array<float>",
+    )
+    vec.coalesce(1).write.parquet(str(tmp_path / "vsrc"))
+    vschema = spark.read.parquet(str(tmp_path / "vsrc")).schema
+    q2 = (
+        ivf_index_stream(
+            spark,
+            ivf_dir,
+            spark.readStream.schema(vschema).parquet(str(tmp_path / "vsrc")),
+        )
+        .option("checkpointLocation", str(tmp_path / "vchk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(300), "vector stream timed out"
+
+    lex = bm25_search_persisted(spark, bm25_dir, BM25_QUERY).select(
+        "doc_id", "score"
+    )
+    sem = ivf_search_persisted(spark, ivf_dir, qvec).select(
+        F.col("vec_id").alias("doc_id"), "cos"
+    )
+    fused = rrf_fuse(lex, sem).collect()
+    assert fused[0].doc_id == new_id, [r.doc_id for r in fused[:5]]
+
+
 def test_ivf_stream_auto_compaction(spark, sf_small, tmp_path):
     """maybe_compact_ivf wired into the stream tail bounds the delta
     tier; serving stays correct through the triggered compaction."""
