@@ -799,6 +799,18 @@ def bm25_search_persisted(
     to live batches; corpus-level n_docs / total_dl then SUM across
     the base row plus live ledger rows — exact after any mix of
     builds, appends, streams, and compactions."""
+    tf, stats = _bm25_pruned_tf(spark, index_dir, query_terms)
+    return _bm25_rank(tf, stats)
+
+
+def _bm25_pruned_tf(
+    spark: SparkSession, index_dir: str, terms: tuple[str, ...]
+) -> tuple[DataFrame, DataFrame]:
+    """(pruned tf frame, one-row stats frame) for a set of terms off
+    the persisted index — the shared serve-time read: base tiers off
+    ONE manifest read, LIVE delta batches unioned in (ledger-gated,
+    partition-pruned on batch), the postings scan pruned to the
+    terms' buckets plus the pushed term IN (...) filter."""
     from flink_cep_examples_spark.index_manifest import (
         read_manifest,
         tier_path,
@@ -842,7 +854,7 @@ def bm25_search_persisted(
     bucket_of = {
         r.term: r.b
         for r in spark.createDataFrame(
-            [(t,) for t in query_terms], "term string"
+            [(t,) for t in terms], "term string"
         )
         .select(
             "term", F.pmod(F.xxhash64("term"), F.lit(BM25_BUCKETS)).alias("b")
@@ -851,9 +863,9 @@ def bm25_search_persisted(
     }
     tf = postings.filter(
         F.col("term_bucket").isin(*{int(b) for b in bucket_of.values()})
-        & F.col("term").isin(*query_terms)
+        & F.col("term").isin(*terms)
     ).select("doc_id", "dl", "term", "tf")
-    return _bm25_rank(tf, stats)
+    return tf, stats
 
 
 def bm25_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -945,4 +957,194 @@ register(
 register(
     "bm25_persisted_topk", bm25_persisted_topk, _oracle_bm25(),
     # r9 rotation: promoted from the never-verified pool
+)
+
+
+#: fixed query batch for the serve-many tier: qid 0 is the pinned
+#: single-query BM25_QUERY, so the many-path provably agrees with the
+#: single-path on a shared query; all terms exist in the synthetic
+#: vocabulary
+BM25_MANY_QUERIES: dict[int, tuple[str, ...]] = {
+    0: BM25_QUERY,
+    1: ("stream", "filter", "batch"),
+    2: ("hash", "join"),
+}
+
+
+def bm25_search_persisted_many(
+    spark: SparkSession,
+    index_dir: str,
+    queries: dict[int, tuple[str, ...]],
+    *,
+    top_k: int = BM25_TOPK,
+) -> DataFrame:
+    """Serve a BATCH of BM25 queries off the persisted inverted index
+    in ONE pruned scan (round 16) — the lexical twin of
+    ``queries/ivf.py::ivf_search_persisted_many`` and the second half
+    of the serve-many story: the union of all queries' terms prunes
+    the postings read to its buckets (PartitionFilters on
+    term_bucket + the pushed term IN filter), per-term document
+    frequency and the corpus stats are computed ONCE and shared, and
+    per-query scores pivot over the fixed union-term order (the same
+    deterministic textual addition order the single-query kernel
+    uses, so doubles are bit-stable for the oracle). Per-query top-k
+    is a window keyed by qid over candidate rows only — never the
+    corpus. A doc enters a query's candidates only if it matched at
+    least one of THAT query's terms (BM25 semantics; matters because
+    idf can be negative for very common terms)."""
+    all_terms = tuple(
+        sorted({t for terms in queries.values() for t in terms})
+    )
+    tf, stats = _bm25_pruned_tf(spark, index_dir, all_terms)
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    joined = tf.join(F.broadcast(df_), "term").crossJoin(
+        F.broadcast(stats)
+    )
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs").cast(
+        "double"
+    )
+    idf = (
+        F.col("n_docs").cast("double")
+        - F.col("df").cast("double")
+        + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    tf_d = F.col("tf").cast("double")
+    norm = tf_d * F.lit(BM25_K1 + 1.0) / (
+        tf_d
+        + F.lit(BM25_K1)
+        * (
+            F.lit(1.0 - BM25_B)
+            + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl)
+        )
+    )
+    contrib = joined.withColumn("c", idf * norm)
+    # fan each matched posting out to the queries containing its term
+    # (broadcast |queries|×|terms| rows) — a (qid, doc) group then
+    # exists iff the doc matched ≥1 of THAT query's terms, which is
+    # exactly BM25's candidate rule; one scan serves every query
+    qdf = spark.createDataFrame(
+        [
+            (int(qid), t)
+            for qid in sorted(queries)
+            for t in queries[qid]
+        ],
+        "qid int, term string",
+    )
+    per_q_doc = (
+        contrib.join(F.broadcast(qdf), "term")
+        .groupBy("qid", "doc_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("term") == t, F.col("c"))).alias(
+                    f"c_{t}"
+                )
+                for t in all_terms
+            ],
+        )
+    )
+    score = None
+    for qid in sorted(queries, reverse=True):
+        qscore = None
+        for t in queries[qid]:  # fixed textual addition order per query
+            term_c = F.coalesce(F.col(f"c_{t}"), F.lit(0.0))
+            qscore = term_c if qscore is None else qscore + term_c
+        score = (
+            qscore
+            if score is None
+            else F.when(F.col("qid") == int(qid), qscore).otherwise(score)
+        )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        per_q_doc.select("qid", "doc_id", score.alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .select("qid", "doc_id", "score")
+    )
+
+
+def bm25_serve_many_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog query for the batched lexical serving tier: the three
+    pinned queries answered off the persisted index in one pruned
+    scan. qid 0 is the single-query tier's exact query, so the gate
+    additionally pins many-path ≡ single-path on a shared query."""
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    index_dir = f"{tempfile.gettempdir()}/spark_graft_bm25_index_{tag}"
+    ensure_bm25_index(spark, sf_dir, index_dir)
+    return bm25_search_persisted_many(spark, index_dir, BM25_MANY_QUERIES)
+
+
+def _oracle_bm25_many() -> str:
+    all_terms = sorted(
+        {t for terms in BM25_MANY_QUERIES.values() for t in terms}
+    )
+    terms_list = ", ".join(f"'{t}'" for t in all_terms)
+    c_cols = ",\n         ".join(
+        f"MAX(CASE WHEN term = '{t}' THEN c END) AS c_{t}"
+        for t in all_terms
+    )
+    arms = []
+    for qid in sorted(BM25_MANY_QUERIES):
+        terms = BM25_MANY_QUERIES[qid]
+        matched = " OR ".join(f"c_{t} IS NOT NULL" for t in terms)
+        score = " + ".join(f"COALESCE(c_{t}, 0.0e0)" for t in terms)
+        arms.append(
+            f"SELECT {qid} AS qid, doc_id, {score} AS score\n"
+            f"  FROM per_doc WHERE {matched}"
+        )
+    union = "\n  UNION ALL\n".join(arms)
+    return rf"""
+WITH lens AS (
+  SELECT doc_id,
+         array_length(regexp_split_to_array(trim(text), '\s+')) AS dl
+  FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM lens
+), tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+  WHERE term IN ({terms_list}) GROUP BY 1, 2
+), dfr AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), contrib AS (
+  SELECT tf.doc_id, tf.term,
+         ((CAST(stats.n_docs AS DOUBLE) - CAST(dfr.df AS DOUBLE) + 5.0e-1)
+            / (CAST(dfr.df AS DOUBLE) + 5.0e-1))
+         * (CAST(tf.tf AS DOUBLE) * 2.2e0
+            / (CAST(tf.tf AS DOUBLE)
+               + 1.2e0 * (2.5e-1
+                          + 7.5e-1 * (CAST(lens.dl AS DOUBLE)
+                                      / (CAST(stats.total_dl AS DOUBLE)
+                                         / CAST(stats.n_docs AS DOUBLE))))))
+           AS c
+  FROM tf JOIN dfr USING (term) JOIN lens USING (doc_id) CROSS JOIN stats
+), per_doc AS (
+  SELECT doc_id,
+         {c_cols}
+  FROM contrib GROUP BY 1
+), armed AS (
+  {union}
+)
+SELECT qid, doc_id, score FROM (
+  SELECT qid, doc_id, score,
+         ROW_NUMBER() OVER (
+           PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS rn
+  FROM armed)
+WHERE rn <= {BM25_TOPK}
+"""
+
+
+register(
+    "bm25_serve_many_topk",
+    bm25_serve_many_topk,
+    _oracle_bm25_many(),
+    # round 16 registration after the gate filled: joins the
+    # never-verified pool at the head of the r17 promotion queue
+    driver=False,
 )
