@@ -1733,6 +1733,105 @@ register(
 )
 
 
+def hybrid_rrf_serve_many_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batched hybrid retrieval (round 16) — the full RAG batch-serving
+    shape, completing the serve-many story end-to-end: THREE hybrid
+    queries answered off the two persisted indexes in ONE pruned scan
+    per arm. Lexical arm = ``bm25_search_persisted_many`` (union-term
+    bucket pruning, per-qid pivot scores); semantic arm =
+    ``ivf_search_persisted_many`` over the paired query vectors (one
+    union-of-probe-lists scan); fusion = the per-query
+    ``rrf_fuse_many`` kernel (rank windows partitioned by qid). Query
+    pairing: hybrid qid i ↔ (BM25_MANY_QUERIES[i], QUERY_VEC_IDS[i]),
+    so qid 0 reproduces the single-query ``hybrid_rrf_persisted_topk``
+    pairing. Serve cost: two partition-pruned scans + bounded windows
+    — no corpus scan, no training action."""
+    import hashlib
+    import tempfile
+
+    from flink_cep_examples_spark.queries.similarity import rrf_fuse_many
+    from flink_cep_examples_spark.queries.text import (
+        BM25_MANY_QUERIES,
+        bm25_search_persisted_many,
+        ensure_bm25_index,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    bm25_dir = f"{tempfile.gettempdir()}/spark_graft_bm25_index_{tag}"
+    ensure_bm25_index(spark, sf_dir, bm25_dir)
+    lex = bm25_search_persisted_many(
+        spark, bm25_dir, BM25_MANY_QUERIES
+    ).select("qid", "doc_id", "score")
+
+    ivf_dir = f"{tempfile.gettempdir()}/spark_graft_ivf_index_{tag}"
+    ensure_ivf_index(spark, sf_dir, ivf_dir, k_lists=K_LISTS)
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec_queries = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in emb.filter(
+            F.col("vec_id").isin(list(QUERY_VEC_IDS))
+        ).collect()
+    }
+    qid_of_vec = {v: i for i, v in enumerate(QUERY_VEC_IDS)}
+    remap = F.lit(None).cast("int")
+    for vec_id, qid in sorted(qid_of_vec.items(), reverse=True):
+        remap = F.when(F.col("qid") == vec_id, F.lit(qid)).otherwise(remap)
+    sem = ivf_search_persisted_many(spark, ivf_dir, vec_queries).select(
+        remap.alias("qid"), F.col("vec_id").alias("doc_id"), "cos"
+    )
+    return rrf_fuse_many(lex, sem)
+
+
+def _oracle_hybrid_many() -> str:
+    from flink_cep_examples_spark.queries.text import _oracle_bm25_many
+
+    remap = " ".join(
+        f"WHEN {vec_id} THEN {qid}"
+        for qid, vec_id in enumerate(QUERY_VEC_IDS)
+    )
+    return f"""
+WITH lexarm AS (
+  SELECT qid, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS r_lex
+  FROM ({_oracle_bm25_many()})
+),
+semarm AS (
+  SELECT CASE qid {remap} END AS qid,
+         vec_id AS doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS r_sem
+  FROM ({_oracle_serve_many()})
+),
+fused AS (
+  SELECT qid, doc_id,
+         COALESCE(r_lex, 0) AS r_lex,
+         COALESCE(r_sem, 0) AS r_sem,
+         COALESCE(1.0e0 / (6.0e1 + CAST(r_lex AS DOUBLE)), 0.0e0)
+           + COALESCE(1.0e0 / (6.0e1 + CAST(r_sem AS DOUBLE)), 0.0e0)
+           AS rrf
+  FROM lexarm FULL JOIN semarm USING (qid, doc_id)
+)
+SELECT qid, doc_id, r_lex, r_sem, rrf FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY qid ORDER BY rrf DESC, doc_id ASC) AS rn
+  FROM fused)
+WHERE rn <= {TOP_K}
+"""
+
+
+register(
+    "hybrid_rrf_serve_many_topk",
+    hybrid_rrf_serve_many_topk,
+    _oracle_hybrid_many(),
+    # round 16 registration after the gate filled: joins the
+    # never-verified pool at the head of the r17 promotion queue
+    driver=False,
+)
+
+
 @pandas_udf(DoubleType())
 def _pd_sqdist(a: pd.Series, b: pd.Series) -> pd.Series:
     """Arrow-vectorized squared L2 distance between two array columns.

@@ -1052,6 +1052,60 @@ def rrf_fuse(lex: DataFrame, sem: DataFrame) -> DataFrame:
     )
 
 
+def rrf_fuse_many(lex: DataFrame, sem: DataFrame) -> DataFrame:
+    """Per-query reciprocal-rank fusion (round 16) — the batched twin
+    of :func:`rrf_fuse` for the serve-many tier: lexical arm
+    (qid, doc_id, score) × semantic arm (qid, doc_id, cos), rank
+    windows PARTITIONED by qid, full-outer join on (qid, doc_id), and
+    per-query top-k. Same RRF arithmetic, same absent-arm sentinel.
+    Bounded by construction: both inputs are |Q|×TOP_K-row frames."""
+    from pyspark.sql import Window
+
+    w_lex = Window.partitionBy("qid").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    lex = lex.select(
+        "qid",
+        "doc_id",
+        F.row_number().over(w_lex).cast("long").alias("r_lex"),
+    )
+    w_sem = Window.partitionBy("qid").orderBy(
+        F.desc("cos"), F.asc("doc_id")
+    )
+    sem = sem.select(
+        "qid",
+        "doc_id",
+        F.row_number().over(w_sem).cast("long").alias("r_sem"),
+    )
+    rrf = (
+        F.coalesce(
+            F.lit(1.0)
+            / (F.lit(float(RRF_K)) + F.col("r_lex").cast("double")),
+            F.lit(0.0),
+        )
+        + F.coalesce(
+            F.lit(1.0)
+            / (F.lit(float(RRF_K)) + F.col("r_sem").cast("double")),
+            F.lit(0.0),
+        )
+    )
+    fused = lex.join(sem, ["qid", "doc_id"], "full_outer").select(
+        "qid",
+        "doc_id",
+        F.coalesce("r_lex", F.lit(0).cast("long")).alias("r_lex"),
+        F.coalesce("r_sem", F.lit(0).cast("long")).alias("r_sem"),
+        rrf.alias("rrf"),
+    )
+    w_out = Window.partitionBy("qid").orderBy(
+        F.desc("rrf"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rn", F.row_number().over(w_out))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "doc_id", "r_lex", "r_sem", "rrf")
+    )
+
+
 def docs_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval (round 14): BM25 lexical arm + exact-cosine
     semantic arm fused by reciprocal-rank fusion — the RAG-shaped

@@ -74,6 +74,33 @@ def test_many_candidate_semantics_and_pruning(spark, sf_small, tmp_path):
             assert toks & terms, (qid, r.doc_id)
 
 
+def test_hybrid_many_agrees_with_single_on_shared_pairing(
+    spark, sf_small
+):
+    """Hybrid qid 0 pairs the single-query hybrid's exact arms
+    (BM25_QUERY + query vector 0): its fused rows must match
+    hybrid_rrf_persisted_topk bit-for-bit (ranks and rrf doubles)."""
+    from flink_cep_examples_spark.queries import QUERIES, load_all
+
+    load_all()
+    single = [
+        (r.doc_id, r.r_lex, r.r_sem, r.rrf)
+        for r in QUERIES["hybrid_rrf_persisted_topk"](
+            spark, sf_small
+        ).collect()
+    ]
+    many = [
+        (r.doc_id, r.r_lex, r.r_sem, r.rrf)
+        for r in sorted(
+            QUERIES["hybrid_rrf_serve_many_topk"](spark, sf_small)
+            .filter("qid = 0")
+            .collect(),
+            key=lambda r: (-r.rrf, r.doc_id),
+        )
+    ]
+    assert many == single
+
+
 def test_many_serves_delta_tier(spark, sf_small, tmp_path):
     """An appended doc stuffed with one query's terms must surface in
     exactly that query's batched results — the many path reads the
