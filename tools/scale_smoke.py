@@ -96,6 +96,9 @@ SMOKE = [
     "ann_mmr_ivf_persisted_topk",  # round-14 MMR off the persisted index
     "hybrid_rrf_persisted_topk",  # round-14 fully-persisted hybrid
     "docs_temperature_mix",  # round-14 sqrt-smoothed token budgets
+    "ivf_stream_served_topk",  # round-16 streamed-delta IVF lifecycle
+    "bm25_serve_many_topk",  # round-16 batched lexical serving
+    "hybrid_rrf_serve_many_topk",  # round-16 batched hybrid fusion
 ]
 
 
