@@ -52,22 +52,43 @@ import shutil
 MANIFEST_NAME = "CURRENT"
 
 
-def read_manifest(index_dir: str) -> dict:
-    """The live snapshot: ``{"version": int, "absorbed": [int, ...]}``.
+_EMPTY = {"version": 0, "epoch": 0, "min_live_epoch": 0, "absorbed": []}
 
-    ``version`` 0 means no manifest exists — either nothing is built
-    yet or the directory holds a legacy UNVERSIONED layout (plain
-    ``{index_dir}/postings`` etc.), which :func:`tier_path` resolves
-    as version 0 so pre-manifest on-disk indexes keep serving until
-    their next rebuild/compaction publishes a versioned one."""
+
+def read_manifest(index_dir: str) -> dict:
+    """The live snapshot: ``{"version": int, "epoch": int,
+    "min_live_epoch": int, "absorbed": [int, ...]}``.
+
+    - ``version`` names the live tier directories; 0 means no manifest
+      exists — either nothing is built yet or the directory holds a
+      legacy UNVERSIONED layout (plain ``{index_dir}/postings`` etc.),
+      which :func:`tier_path` resolves as version 0 so pre-manifest
+      on-disk indexes keep serving until their next rebuild/compaction
+      publishes a versioned one.
+    - ``epoch`` names the ASSIGNMENT REGIME (round-16 review): delta
+      ledger rows record the epoch they were written under, and
+      serving only unions batches whose epoch matches — a recluster
+      (new quantizer → old cids invalid) or rebuild (new corpus)
+      bumps the epoch, so a batch racing the swap can never serve
+      misrouted rows or stale content.
+    - ``min_live_epoch`` is the oldest epoch whose delta batches are
+      still REROUTABLE: a recluster keeps it (its stragglers hold real
+      ingested vectors — the next compaction re-assigns and folds
+      them); a rebuild raises it to the new epoch (pre-rebuild delta
+      is void — GC-only).
+    - ``absorbed``: batches whose content the live base already
+      contains — the replay-skip memory; reset only by a rebuild
+      (which voids the ingest checkpoint)."""
     try:
         with open(os.path.join(index_dir, MANIFEST_NAME)) as f:
             man = json.load(f)
     except (FileNotFoundError, json.JSONDecodeError):
-        return {"version": 0, "absorbed": []}
+        return dict(_EMPTY)
     if not isinstance(man, dict):
-        return {"version": 0, "absorbed": []}
+        return dict(_EMPTY)
     man["version"] = int(man.get("version", 0))
+    man["epoch"] = int(man.get("epoch", 0))
+    man["min_live_epoch"] = int(man.get("min_live_epoch", 0))
     man["absorbed"] = [int(b) for b in man.get("absorbed", [])]
     return man
 
@@ -95,19 +116,31 @@ def resolve_tiers(index_dir: str, parts: tuple[str, ...]) -> dict[str, str]:
 
 
 def publish_manifest(
-    index_dir: str, version: int, absorbed: tuple[int, ...] | list[int] = ()
+    index_dir: str,
+    version: int,
+    absorbed: tuple[int, ...] | list[int] = (),
+    *,
+    epoch: int = 0,
+    min_live_epoch: int = 0,
 ) -> None:
     """THE commit: one atomic small-file write flips every reader from
     the old version's tiers to the new ones. Written to a sibling temp
-    file first, fsynced, then ``os.replace``-ed over ``CURRENT`` —
-    atomic on POSIX; the object-store equivalent is a single small
-    PUT, atomic per-object on S3/GCS."""
+    file first, fsynced, then ``os.replace``-ed over ``CURRENT``, then
+    the DIRECTORY is fsynced so the rename itself is durable before
+    any GC deletes run (round-16 review: without the directory fsync a
+    power loss could undo the pointer flip while the deletions
+    persisted — CURRENT pointing at removed tiers, the exact state the
+    one-pointer design exists to rule out). Atomic on POSIX; the
+    object-store equivalent is a single small PUT, atomic per-object
+    on S3/GCS (where the durability ordering is the store's)."""
     os.makedirs(index_dir, exist_ok=True)
     tmp = os.path.join(index_dir, f"{MANIFEST_NAME}.tmp.{os.getpid()}")
     with open(tmp, "w") as f:
         json.dump(
             {
                 "version": int(version),
+                "epoch": int(epoch),
+                "min_live_epoch": int(min_live_epoch),
                 "absorbed": sorted(int(b) for b in absorbed),
             },
             f,
@@ -115,32 +148,90 @@ def publish_manifest(
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(index_dir, MANIFEST_NAME))
+    try:
+        dfd = os.open(index_dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:  # non-POSIX dir handles (object-store mounts)
+        pass
 
 
-def gc_versions(index_dir: str, parts: tuple[str, ...], keep: int) -> None:
-    """Best-effort removal of every SUPERSEDED version of ``parts``
-    (strictly below ``keep``, including the legacy unversioned names).
-    Runs only after :func:`publish_manifest` — a crash here leaves
-    reclaimable garbage, never an inconsistent index."""
+def gc_versions(
+    index_dir: str, parts: tuple[str, ...], keep: int, *, grace: int = 1
+) -> None:
+    """Best-effort removal of SUPERSEDED versions of ``parts`` —
+    everything strictly below ``keep - grace`` (legacy unversioned
+    names included). Runs only after :func:`publish_manifest` — a
+    crash here leaves reclaimable garbage, never an inconsistent
+    index.
+
+    ``grace`` (round-16 review): the most recent superseded version is
+    RETAINED for one publish cycle so a query that resolved its tiers
+    just before the pointer flip can finish its (lazy) scan instead of
+    hitting deleted files — the snapshot-isolation window the
+    every-micro-batch compaction policy relies on. The dir holds at
+    most live + grace versions; the next publish sweeps the retained
+    one."""
     for part in parts:
-        for v in range(0, keep):
+        for v in range(0, max(0, keep - grace)):
             p = tier_path(index_dir, part, v)
             if os.path.isdir(p):
                 shutil.rmtree(p, ignore_errors=True)
 
 
-def try_read_tier(spark, path: str, cols: list[str]):
+def try_read_tier(spark, path: str, cols: list[str] | None = None):
     """Read a parquet tier that may not exist yet (delta tiers appear
     only once a stream/append has written) — filesystem-agnostic
     existence handling: attempt the read and treat path-not-found as
     absence, instead of an ``os.path.isdir`` that only works on a
-    local filesystem."""
+    local filesystem. ``cols=None`` returns every column (callers
+    that must tolerate schema evolution — e.g. a pre-epoch ledger —
+    project after inspecting ``.columns``)."""
     from pyspark.errors import AnalysisException
 
     try:
-        return spark.read.parquet(path).select(*cols)
+        df = spark.read.parquet(path)
+        return df.select(*cols) if cols is not None else df
     except AnalysisException:
         return None
+
+
+def ledger_batches(spark, ledger_path: str, man: dict):
+    """Classify a delta LEDGER's batches against the manifest (round
+    16): returns ``(ledger frame, live, reroutable, void)`` where
+
+    - ``live``      — current-epoch, un-absorbed: these SERVE;
+    - ``reroutable``— older epoch but ≥ ``min_live_epoch`` (written
+      before a recluster swapped the assignment regime): real ingested
+      data whose routing is stale — excluded from serving, re-assigned
+      and folded by the next compaction;
+    - ``void``      — pre-rebuild (below ``min_live_epoch``): GC-only.
+
+    A pre-epoch legacy ledger (no ``epoch`` column) is treated as
+    current-epoch. The distinct collect is bounded: one row per
+    ingested batch."""
+    from pyspark.sql import functions as F
+
+    led = try_read_tier(spark, ledger_path)
+    if led is None:
+        return None, [], [], []
+    if "epoch" not in led.columns:
+        led = led.withColumn("epoch", F.lit(int(man["epoch"])))
+    absorbed = set(man["absorbed"])
+    live, reroutable, void = [], [], []
+    for r in led.select("batch", "epoch").distinct().collect():
+        b, e = int(r.batch), int(r.epoch)
+        if b in absorbed:
+            continue
+        if e == man["epoch"]:
+            live.append(b)
+        elif e >= man["min_live_epoch"]:
+            reroutable.append(b)
+        else:
+            void.append(b)
+    return led, sorted(live), sorted(reroutable), sorted(void)
 
 
 def delta_batch_ids(spark, path: str) -> list[int]:

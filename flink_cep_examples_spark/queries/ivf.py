@@ -538,7 +538,8 @@ def write_ivf_index(
         tier_path,
     )
 
-    version = read_manifest(index_dir)["version"] + 1
+    man = read_manifest(index_dir)
+    version, epoch = man["version"] + 1, man["epoch"] + 1
     emb = (
         spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
         .select("vec_id", "label", "embedding")
@@ -556,29 +557,26 @@ def write_ivf_index(
     assigned.write.mode("overwrite").partitionBy("cid").parquet(
         tier_path(index_dir, "lists", version)
     )
-    # a rebuild RESETS the index: stale streamed delta batches from a
-    # previous process are marked absorbed (so they can never serve
-    # against the fresh base even if the GC below is interrupted),
-    # then removed; ids whose partitions the GC removed are dropped so
-    # a fresh stream's batch 0 is not skip-guarded (same recipe as
-    # write_bm25_index)
-    stale = sorted(_all_delta_batches(spark, index_dir))
-    publish_manifest(index_dir, version, absorbed=stale)
-    if stale:
-        from flink_cep_examples_spark.index_manifest import (
-            gc_delta_batches,
-        )
+    # a rebuild RESETS the index (round-16 review): epoch bump +
+    # min_live_epoch raised + absorbed cleared — pre-rebuild delta
+    # batches are excluded by the epoch gate (their ledger rows carry
+    # the old epoch) even if the best-effort GC below is interrupted,
+    # and a fresh checkpoint's batch 0 is never skip-guarded. The old
+    # ingest checkpoint is void after a rebuild.
+    publish_manifest(
+        index_dir,
+        version,
+        absorbed=(),
+        epoch=epoch,
+        min_live_epoch=epoch,
+    )
+    from flink_cep_examples_spark.index_manifest import gc_delta_batches
 
-        gc_delta_batches(
-            index_dir, ("lists_delta", "ingest_ledger"), stale
-        )
-        still = _all_delta_batches(spark, index_dir)
-        if still != set(stale):
-            publish_manifest(
-                index_dir,
-                version,
-                absorbed=[b for b in stale if b in still],
-            )
+    gc_delta_batches(
+        index_dir,
+        ("lists_delta", "ingest_ledger"),
+        sorted(_all_delta_batches(spark, index_dir)),
+    )
     gc_versions(index_dir, ("centroids", "lists"), version)
 
 
@@ -602,13 +600,19 @@ def ivf_recluster_index(
     never a mix — and the commit needs no rename, so it works on any
     filesystem the driver can write one small file to (HDFS/S3
     included). Old version directories are deleted afterwards as pure
-    GC. LIVE streamed delta batches (round 16) are INCLUDED in the
-    retrain and rewritten into the new lists, recorded as absorbed in
-    the same manifest write. Direct ``ivf_append_vectors`` appends
-    landing between the training snapshot and the publish go into the
-    OLD version's lists and are dropped by the swap — quiesce direct
-    appends around a recluster (streamed ingest is safe: a batch the
-    snapshot missed stays live in the delta tier).
+    GC. Un-absorbed ledgered delta batches (live AND reroutable ones
+    left by an earlier recluster) are INCLUDED in the retrain — every
+    vector is re-assigned against the new quantizer — and recorded as
+    absorbed in the same manifest write, which also BUMPS the EPOCH
+    (round-16 review): a streamed batch racing the swap keeps its
+    old-epoch ledger row, so the serve path's epoch gate excludes it
+    (never served misrouted against the new centroids) until the next
+    compaction re-assigns and folds it. ``min_live_epoch`` is kept,
+    marking those stragglers reroutable rather than void. Direct
+    ``ivf_append_vectors`` appends landing between the training
+    snapshot and the publish go into the OLD version's lists and are
+    dropped by the swap — quiesce direct appends around a recluster
+    (streamed ingest needs no quiescence).
 
     Guard semantics (review r15): every ``_IVF_INDEX_WRITTEN`` key for
     this dir is EVICTED before the recluster's own key is added — a
@@ -623,18 +627,34 @@ def ivf_recluster_index(
         tier_path,
     )
 
+    from flink_cep_examples_spark.index_manifest import (
+        ledger_batches,
+        try_read_tier,
+    )
+
     man = read_manifest(index_dir)
     version = man["version"] + 1
     vecs = spark.read.parquet(
         tier_path(index_dir, "lists", man["version"])
     ).select("vec_id", "label", "embedding")
-    delta, live_batches = _ivf_live_delta(
-        spark, index_dir, set(man["absorbed"])
+    _led, live, reroutable, _void = ledger_batches(
+        spark, f"{index_dir}/ingest_ledger", man
     )
-    if delta is not None:
-        vecs = vecs.unionByName(
-            delta.select("vec_id", "label", "embedding")
+    folded = sorted(set(live) | set(reroutable))
+    if folded:
+        delta = try_read_tier(
+            spark,
+            f"{index_dir}/lists_delta",
+            ["vec_id", "label", "embedding", "batch"],
         )
+        if delta is not None:
+            vecs = vecs.unionByName(
+                delta.filter(F.col("batch").isin(folded)).select(
+                    "vec_id", "label", "embedding"
+                )
+            )
+        else:
+            folded = []
     # localCheckpoint: the training actions and the final write must
     # see ONE immutable snapshot of the lists we are about to replace
     vecs = vecs.localCheckpoint()
@@ -650,8 +670,14 @@ def ivf_recluster_index(
     assigned.write.mode("overwrite").partitionBy("cid").parquet(
         tier_path(index_dir, "lists", version)
     )
-    absorbed_new = sorted(set(man["absorbed"]) | set(live_batches))
-    publish_manifest(index_dir, version, absorbed=absorbed_new)
+    absorbed_new = sorted(set(man["absorbed"]) | set(folded))
+    publish_manifest(
+        index_dir,
+        version,
+        absorbed=absorbed_new,
+        epoch=man["epoch"] + 1,
+        min_live_epoch=man["min_live_epoch"],
+    )
     gc_delta_batches(
         index_dir, ("lists_delta", "ingest_ledger"), absorbed_new
     )
@@ -772,14 +798,23 @@ def ivf_ingest_batch(
     gates the delta union on the LEDGER — a writer killed between the
     two writes leaves an orphan batch that never serves and that its
     replay repairs (the same two-write-window closure as the BM25
-    side). ``exact`` selects the assignment kernel (BLAS deployment
-    default; the oracle-pinned catalog query passes True)."""
-    from flink_cep_examples_spark.index_manifest import resolve_tier
+    side). The ledger row records the manifest EPOCH the assignment
+    ran under (round-16 review): a recluster racing this batch bumps
+    the epoch, and the serve path's epoch gate then excludes the row
+    — vectors assigned against a superseded quantizer can never serve
+    misrouted; the next compaction re-assigns and folds them.
+    ``exact`` selects the assignment kernel (BLAS deployment default;
+    the oracle-pinned catalog query passes True)."""
+    from flink_cep_examples_spark.index_manifest import (
+        read_manifest,
+        tier_path,
+    )
 
+    man = read_manifest(index_dir)
     cents = {
         int(r.cid): [float(x) for x in r.centroid]
         for r in spark.read.parquet(
-            resolve_tier(index_dir, "centroids")
+            tier_path(index_dir, "centroids", man["version"])
         ).collect()
     }
     assigned = _assign(
@@ -791,38 +826,38 @@ def ivf_ingest_batch(
         "batch", "cid"
     ).parquet(f"{index_dir}/lists_delta")
     spark.createDataFrame(
-        [(int(batch_key), new_vectors.count())], "batch long, n_vecs long"
+        [(int(batch_key), new_vectors.count(), int(man["epoch"]))],
+        "batch long, n_vecs long, epoch int",
     ).coalesce(1).write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("batch").parquet(f"{index_dir}/ingest_ledger")
 
 
-def _ivf_live_delta(
-    spark: SparkSession, index_dir: str, absorbed: set[int]
-):
-    """(delta frame, live batch ids): ledgered, not-absorbed delta
-    batches — what serving/compaction/recluster may union with the
-    base lists. None/[] when the delta tier is empty."""
+def _ivf_live_delta(spark: SparkSession, index_dir: str, man: dict):
+    """(live delta frame, live ids, reroutable ids): the ledger's
+    epoch-aware classification (``index_manifest.ledger_batches``) —
+    LIVE (current-epoch, un-absorbed) batches serve; REROUTABLE ones
+    (written under a superseded quantizer) are excluded from serving
+    and re-assigned by the next compaction/recluster; void
+    (pre-rebuild) batches are GC-only."""
     from flink_cep_examples_spark.index_manifest import (
-        delta_batch_ids,
+        ledger_batches,
         try_read_tier,
     )
 
-    live = [
-        b
-        for b in delta_batch_ids(spark, f"{index_dir}/ingest_ledger")
-        if b not in absorbed
-    ]
+    _led, live, reroutable, _void = ledger_batches(
+        spark, f"{index_dir}/ingest_ledger", man
+    )
     if not live:
-        return None, []
+        return None, [], reroutable
     delta = try_read_tier(
         spark,
         f"{index_dir}/lists_delta",
         ["vec_id", "label", "embedding", "cid", "batch"],
     )
     if delta is None:
-        return None, []
-    return delta.filter(F.col("batch").isin(live)), live
+        return None, [], reroutable
+    return delta.filter(F.col("batch").isin(live)), live, reroutable
 
 
 def ivf_compact_index(spark: SparkSession, index_dir: str) -> None:
@@ -834,46 +869,99 @@ def ivf_compact_index(spark: SparkSession, index_dir: str) -> None:
     batches as ABSORBED; delta deletion is pure GC afterwards, and
     absorbed ids are retained as the stream's replay-skip memory.
     Serving is bit-equal before and after (search already unions the
-    tiers). Orphan delta batches (no ledger row) are left for their
-    replay. No-op when nothing is live."""
+    tiers).
+
+    REROUTABLE batches (round-16 review) — ledger rows from a
+    pre-recluster epoch, whose recorded cids belong to a superseded
+    quantizer and which serving therefore excludes — are RE-ASSIGNED
+    here against the current centroids and folded with the live ones:
+    this is the repair path the recluster's epoch bump defers to, so
+    a batch that raced a recluster becomes servable (correctly
+    routed) at the next compaction instead of lingering or serving
+    misrouted. Void (pre-rebuild) batches are GC-only. Orphan delta
+    batches (no ledger row) are left for their replay. No-op when
+    nothing is ledgered and un-absorbed."""
     from flink_cep_examples_spark.index_manifest import (
         gc_delta_batches,
         gc_versions,
+        ledger_batches,
         publish_manifest,
         read_manifest,
         tier_path,
+        try_read_tier,
     )
 
     man = read_manifest(index_dir)
-    delta, live = _ivf_live_delta(spark, index_dir, set(man["absorbed"]))
-    leftover = [
-        b
-        for b in set(man["absorbed"])
-        if b in _all_delta_batches(spark, index_dir)
-    ]
+    _led, live, reroutable, void = ledger_batches(
+        spark, f"{index_dir}/ingest_ledger", man
+    )
+    delta = try_read_tier(
+        spark,
+        f"{index_dir}/lists_delta",
+        ["vec_id", "label", "embedding", "cid", "batch"],
+    )
     if delta is None:
-        if leftover:  # absorbed in a prior run; only the GC remains
+        live, reroutable = [], []
+    leftover = sorted(
+        (
+            set(_all_delta_batches(spark, index_dir))
+            & set(man["absorbed"])
+        )
+        | set(void)
+    )
+    if not live and not reroutable:
+        if leftover:  # absorbed/void in a prior run; only GC remains
             gc_delta_batches(
                 index_dir, ("lists_delta", "ingest_ledger"), leftover
             )
         return
     version = man["version"] + 1
     cols = ["vec_id", "label", "embedding", "cid"]
-    base = spark.read.parquet(
+    merged = spark.read.parquet(
         tier_path(index_dir, "lists", man["version"])
     ).select(*cols)
-    base.unionByName(delta.select(*cols)).write.mode(
-        "overwrite"
-    ).partitionBy("cid").parquet(tier_path(index_dir, "lists", version))
+    if live:
+        merged = merged.unionByName(
+            delta.filter(F.col("batch").isin(live)).select(*cols)
+        )
+    if reroutable:
+        cents = {
+            int(r.cid): [float(x) for x in r.centroid]
+            for r in spark.read.parquet(
+                tier_path(index_dir, "centroids", man["version"])
+            ).collect()
+        }
+        merged = merged.unionByName(
+            _assign(
+                delta.filter(F.col("batch").isin(reroutable)).select(
+                    "vec_id", "label", "embedding"
+                ),
+                cents,
+                exact=False,
+            ).select(*cols)
+        )
+    merged.write.mode("overwrite").partitionBy("cid").parquet(
+        tier_path(index_dir, "lists", version)
+    )
     spark.read.parquet(
         tier_path(index_dir, "centroids", man["version"])
     ).coalesce(1).write.mode("overwrite").parquet(
         tier_path(index_dir, "centroids", version)
     )
-    absorbed_new = sorted(set(man["absorbed"]) | set(live))
-    publish_manifest(index_dir, version, absorbed=absorbed_new)
+    absorbed_new = sorted(
+        set(man["absorbed"]) | set(live) | set(reroutable)
+    )
+    publish_manifest(
+        index_dir,
+        version,
+        absorbed=absorbed_new,
+        epoch=man["epoch"],
+        min_live_epoch=man["min_live_epoch"],
+    )
     gc_delta_batches(
-        index_dir, ("lists_delta", "ingest_ledger"), absorbed_new
+        index_dir,
+        ("lists_delta", "ingest_ledger"),
+        sorted(set(absorbed_new) | set(void)),
     )
     gc_versions(index_dir, ("centroids", "lists"), version)
 
@@ -893,17 +981,18 @@ def maybe_compact_ivf(
     max_delta_batches: int = 16,
 ) -> bool:
     """Automatic compaction policy for the vector delta tier — the
-    ``maybe_compact_bm25`` twin: compacts iff the LIVE (ledgered,
-    un-absorbed) batch count reached the threshold; returns whether it
-    did. Each live batch adds up to K small files per probe scan, so
-    the batch count is the read-amplification knob. Safe to call from
-    the ingest stream's foreachBatch tail (serving stays bit-equal)."""
+    ``maybe_compact_bm25`` twin: compacts iff the LIVE batch count
+    reached the threshold OR any REROUTABLE (pre-recluster) batches
+    wait for their re-assignment repair; returns whether it did. Each
+    live batch adds up to K small files per probe scan, so the batch
+    count is the read-amplification knob. Safe to call from the
+    ingest stream's foreachBatch tail (serving stays bit-equal)."""
     from flink_cep_examples_spark.index_manifest import read_manifest
 
-    _, live = _ivf_live_delta(
-        spark, index_dir, set(read_manifest(index_dir)["absorbed"])
+    _, live, reroutable = _ivf_live_delta(
+        spark, index_dir, read_manifest(index_dir)
     )
-    if len(live) < max_delta_batches:
+    if len(live) < max_delta_batches and not reroutable:
         return False
     ivf_compact_index(spark, index_dir)
     return True
@@ -957,7 +1046,7 @@ def ivf_search_persisted(
     lists = spark.read.parquet(live["lists"]).filter(
         F.col("cid").isin(probe_cids)
     )
-    delta, _db = _ivf_live_delta(spark, index_dir, set(man["absorbed"]))
+    delta, _live, _rr = _ivf_live_delta(spark, index_dir, man)
     if delta is not None:
         lists = lists.unionByName(
             delta.filter(F.col("cid").isin(probe_cids)).select(
@@ -1539,7 +1628,7 @@ def ivf_search_persisted_many(
     lists = spark.read.parquet(live["lists"]).filter(
         F.col("cid").isin(union_cids)
     )
-    delta, _db = _ivf_live_delta(spark, index_dir, set(man["absorbed"]))
+    delta, _live, _rr = _ivf_live_delta(spark, index_dir, man)
     if delta is not None:
         lists = lists.unionByName(
             delta.filter(F.col("cid").isin(union_cids)).select(

@@ -177,9 +177,11 @@ def _materialize_stage(df: DataFrame, sf_dir: str, stage: str) -> DataFrame:
     frame scans its own pinned version, so a frame held across a
     re-run keeps reading consistent data instead of racing an
     in-place overwrite; on shared storage a reader can never observe
-    a half-overwritten boundary. Superseded versions are retained for
-    the process lifetime (a held frame may lazily scan them) and the
-    whole pid-keyed root is removed at interpreter exit (the ADVICE
+    a half-overwritten boundary. ONE superseded version is retained
+    per publish (the ``gc_versions`` grace window — a frame held
+    across a single re-run stays scannable; round-16 review bounded
+    what was previously retain-everything growth), and the whole
+    pid-keyed root is removed at interpreter exit (the ADVICE
     /tmp-accumulation fix); a crashed process leaves only its own
     pid-keyed dir behind."""
     import atexit
@@ -189,6 +191,7 @@ def _materialize_stage(df: DataFrame, sf_dir: str, stage: str) -> DataFrame:
     import tempfile
 
     from flink_cep_examples_spark.index_manifest import (
+        gc_versions,
         publish_manifest,
         read_manifest,
         tier_path,
@@ -201,6 +204,7 @@ def _materialize_stage(df: DataFrame, sf_dir: str, stage: str) -> DataFrame:
     path = tier_path(root, "data", version)
     df.write.mode("overwrite").parquet(path)
     publish_manifest(root, version)
+    gc_versions(root, ("data",), version)  # grace=1: previous retained
     if root not in _STAGE_ROOTS_REGISTERED:
         atexit.register(shutil.rmtree, root, ignore_errors=True)
         _STAGE_ROOTS_REGISTERED.add(root)

@@ -442,12 +442,14 @@ def write_bm25_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     publishes them (``index_manifest.publish_manifest`` — the
     object-store-safe snapshot pattern; no in-place rename ever).
 
-    A rebuild RESETS the index: any streamed delta batches left by a
-    previous process (``bm25_index_stream`` writes survive in the
-    shared dir) are recorded as ABSORBED in the new manifest — the
-    serve path then excludes them even if the post-publish GC of
-    their partitions is interrupted — and their directories removed
-    (review r15 / r16)."""
+    A rebuild RESETS the index (round-16 review): it bumps the
+    manifest EPOCH with ``min_live_epoch`` raised to match and the
+    absorbed list cleared — pre-rebuild delta batches are excluded
+    from serving by the epoch gate (ledger rows carry the epoch they
+    were written under) even if the best-effort GC of their
+    partitions is interrupted, and a brand-new ingest checkpoint's
+    batch 0 is never skip-guarded by a stale absorbed id. The old
+    checkpoint is void after a rebuild."""
     from flink_cep_examples_spark.index_manifest import (
         gc_versions,
         publish_manifest,
@@ -455,7 +457,8 @@ def write_bm25_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
         tier_path,
     )
 
-    version = read_manifest(index_dir)["version"] + 1
+    man = read_manifest(index_dir)
+    version, epoch = man["version"] + 1, man["epoch"] + 1
     docs = load_table(spark, sf_dir, "documents")
     _bm25_stats_frame(docs).coalesce(1).write.mode("overwrite").parquet(
         tier_path(index_dir, "stats", version)
@@ -463,18 +466,15 @@ def write_bm25_index(spark: SparkSession, sf_dir: str, index_dir: str) -> None:
     _bm25_postings_frame(docs).write.mode("overwrite").partitionBy(
         "term_bucket"
     ).parquet(tier_path(index_dir, "postings", version))
-    stale = _delta_batches_on_disk(spark, index_dir)
-    publish_manifest(index_dir, version, absorbed=stale)
-    _gc_delta_batches(index_dir, stale)
+    publish_manifest(
+        index_dir,
+        version,
+        absorbed=(),
+        epoch=epoch,
+        min_live_epoch=epoch,
+    )
+    _gc_delta_batches(index_dir, _delta_batches_on_disk(spark, index_dir))
     gc_versions(index_dir, ("postings", "stats"), version)
-    # a rebuild RESETS the index identity (any old ingest checkpoint
-    # is void), so absorbed ids whose partitions the GC removed can be
-    # dropped — a fresh stream's batch 0 must not be skip-guarded
-    still = set(_delta_batches_on_disk(spark, index_dir))
-    if still != set(stale):
-        publish_manifest(
-            index_dir, version, absorbed=[b for b in stale if b in still]
-        )
 
 
 def _bm25_stats_frame(docs: DataFrame) -> DataFrame:
@@ -505,31 +505,20 @@ def _bm25_postings_frame(docs: DataFrame) -> DataFrame:
     )
 
 
-def _try_read(spark: SparkSession, path: str, cols: list[str]):
-    """Shared tier reader (see ``index_manifest.try_read_tier``)."""
-    from flink_cep_examples_spark.index_manifest import try_read_tier
-
-    return try_read_tier(spark, path, cols)
-
-
-def _delta_batch_ids(spark: SparkSession, path: str) -> list[int]:
-    """Shared helper (see ``index_manifest.delta_batch_ids``)."""
-    from flink_cep_examples_spark.index_manifest import delta_batch_ids
-
-    return delta_batch_ids(spark, path)
-
-
 def _delta_batches_on_disk(spark: SparkSession, index_dir: str) -> list[int]:
     """Every batch id present in EITHER delta tier — what a rebuild
-    must mark absorbed (reset semantics) before GC."""
+    must sweep (reset semantics) and what compaction GC reconciles
+    against the absorbed list."""
+    from flink_cep_examples_spark.index_manifest import delta_batch_ids
+
     return sorted(
-        set(_delta_batch_ids(spark, f"{index_dir}/postings_delta"))
-        | set(_delta_batch_ids(spark, f"{index_dir}/stats_delta"))
+        set(delta_batch_ids(spark, f"{index_dir}/postings_delta"))
+        | set(delta_batch_ids(spark, f"{index_dir}/stats_delta"))
     )
 
 
 def _gc_delta_batches(index_dir: str, batches: list[int]) -> None:
-    """Shared GC (see ``index_manifest.gc_delta_batches``)."""
+    """Both BM25 delta tiers through the shared GC."""
     from flink_cep_examples_spark.index_manifest import gc_delta_batches
 
     gc_delta_batches(
@@ -556,23 +545,34 @@ def bm25_append_docs(
     and ``bm25_compact_index`` absorbs them into the base later.
 
     ``batch_key`` defaults to a CONTENT-derived id (order-independent
-    XOR of ``xxhash64(doc_id)``, forced negative so it can never
-    collide with the stream's non-negative batch ids): a retried call
-    with the same docs dynamically overwrites its OWN partitions
-    instead of double-counting. Postings are written before the stats
-    ledger row — a crash between the two leaves an orphan batch the
-    serve path ignores (it gates on the ledger) and a retry repairs.
+    XOR of ``xxhash64(doc_id, text)`` — the TEXT is part of the key
+    (round-16 review), so re-appending the same doc ids with changed
+    text gets a fresh id instead of silently colliding with an
+    absorbed batch and being garbage-collected; forced negative so it
+    can never collide with the stream's non-negative batch ids): a
+    retried call with the same docs dynamically overwrites its OWN
+    partitions instead of double-counting. Postings are written
+    before the stats ledger row — a crash between the two leaves an
+    orphan batch the serve path ignores (it gates on the ledger) and
+    a retry repairs.
 
     The FAISS ``add()``-after-train analogy from the IVF side holds:
     the bucket hash (xxhash64 mod B) is the frozen "quantizer" —
     appends never change it, so postings stay correctly routed at any
     ingest volume."""
+    from flink_cep_examples_spark.index_manifest import read_manifest
+
     docs = new_docs.select("doc_id", "text")
     if batch_key is None:
-        h = docs.agg(F.bit_xor(F.xxhash64("doc_id")).alias("h")).first().h
+        h = (
+            docs.agg(F.bit_xor(F.xxhash64("doc_id", "text")).alias("h"))
+            .first()
+            .h
+        )
         if h is None:  # empty batch: nothing to ingest
             return
         batch_key = -(abs(int(h)) % (1 << 62)) - 1
+    epoch = read_manifest(index_dir)["epoch"]
     _bm25_postings_frame(docs).withColumn(
         "batch", F.lit(batch_key)
     ).write.mode("overwrite").option(
@@ -582,7 +582,9 @@ def bm25_append_docs(
     )
     _bm25_stats_frame(docs).withColumn(
         "batch", F.lit(batch_key)
-    ).coalesce(1).write.mode("overwrite").option(
+    ).withColumn("epoch", F.lit(int(epoch))).coalesce(
+        1
+    ).write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("batch").parquet(f"{index_dir}/stats_delta")
 
@@ -634,33 +636,44 @@ def bm25_compact_index(spark: SparkSession, index_dir: str) -> None:
     nothing to absorb."""
     from flink_cep_examples_spark.index_manifest import (
         gc_versions,
+        ledger_batches,
         publish_manifest,
         read_manifest,
-        resolve_tiers,
         tier_path,
     )
 
     man = read_manifest(index_dir)
-    absorbed_old = set(man["absorbed"])
-    live = [
-        b
-        for b in _delta_batch_ids(spark, f"{index_dir}/stats_delta")
-        if b not in absorbed_old
-    ]
-    leftover = [
-        b
-        for b in _delta_batches_on_disk(spark, index_dir)
-        if b in absorbed_old
-    ]
+    sd, live, _reroute, void = ledger_batches(
+        spark, f"{index_dir}/stats_delta", man
+    )
+    # BM25 has no recluster: the epoch bumps only on a REBUILD, which
+    # raises min_live_epoch with it, so no batch is ever reroutable.
+    # GC-able leftovers: absorbed ids still on disk + pre-rebuild void
+    # batches — NEVER an orphan (postings with no ledger row), which
+    # stays in place for its replay to repair.
+    leftover = sorted(
+        (
+            set(_delta_batches_on_disk(spark, index_dir))
+            & set(man["absorbed"])
+        )
+        | set(void)
+    )
     if not live:
-        if leftover:  # absorbed in a prior run; only the GC remains
+        if leftover:  # absorbed/void in a prior run; only GC remains
             _gc_delta_batches(index_dir, leftover)
         return
-    base = resolve_tiers(index_dir, ("postings", "stats"))
+    base = {
+        part: tier_path(index_dir, part, man["version"])
+        for part in ("postings", "stats")
+    }
     version = man["version"] + 1
     cols = ["doc_id", "dl", "term", "tf", "term_bucket"]
     merged = spark.read.parquet(base["postings"]).select(*cols)
-    pd_ = _try_read(spark, f"{index_dir}/postings_delta", cols + ["batch"])
+    from flink_cep_examples_spark.index_manifest import try_read_tier
+
+    pd_ = try_read_tier(
+        spark, f"{index_dir}/postings_delta", cols + ["batch"]
+    )
     if pd_ is not None:
         merged = merged.unionByName(
             pd_.filter(F.col("batch").isin(live)).select(*cols)
@@ -669,9 +682,6 @@ def bm25_compact_index(spark: SparkSession, index_dir: str) -> None:
         tier_path(index_dir, "postings", version)
     )
     stats = spark.read.parquet(base["stats"]).select("n_docs", "total_dl")
-    sd = _try_read(
-        spark, f"{index_dir}/stats_delta", ["n_docs", "total_dl", "batch"]
-    )
     stats = stats.unionByName(
         sd.filter(F.col("batch").isin(live)).select("n_docs", "total_dl")
     )
@@ -684,8 +694,14 @@ def bm25_compact_index(spark: SparkSession, index_dir: str) -> None:
     absorbed_new = sorted(
         set(man["absorbed"]) | set(live)
     )  # RETAIN prior absorptions: they are the replay-skip memory
-    publish_manifest(index_dir, version, absorbed=absorbed_new)
-    _gc_delta_batches(index_dir, absorbed_new)
+    publish_manifest(
+        index_dir,
+        version,
+        absorbed=absorbed_new,
+        epoch=man["epoch"],
+        min_live_epoch=man["min_live_epoch"],
+    )
+    _gc_delta_batches(index_dir, sorted(set(absorbed_new) | set(void)))
     gc_versions(index_dir, ("postings", "stats"), version)
 
 
@@ -714,14 +730,14 @@ def maybe_compact_bm25(
 
     Serving stays bit-equal through the trigger (compaction's pinned
     contract), so the policy can run as often as every micro-batch."""
-    from flink_cep_examples_spark.index_manifest import read_manifest
+    from flink_cep_examples_spark.index_manifest import (
+        ledger_batches,
+        read_manifest,
+    )
 
-    absorbed = set(read_manifest(index_dir)["absorbed"])
-    live = [
-        b
-        for b in _delta_batch_ids(spark, f"{index_dir}/stats_delta")
-        if b not in absorbed
-    ]
+    _sd, live, _reroute, _void = ledger_batches(
+        spark, f"{index_dir}/stats_delta", read_manifest(index_dir)
+    )
     trigger = len(live) >= max_delta_batches
     if not trigger and max_delta_bytes is not None and live:
         import os
@@ -812,6 +828,7 @@ def _bm25_pruned_tf(
     partition-pruned on batch), the postings scan pruned to the
     terms' buckets plus the pushed term IN (...) filter."""
     from flink_cep_examples_spark.index_manifest import (
+        ledger_batches,
         read_manifest,
         tier_path,
     )
@@ -824,29 +841,24 @@ def _bm25_pruned_tf(
     cols = ["doc_id", "dl", "term", "tf", "term_bucket"]
     stats = spark.read.parquet(base["stats"]).select("n_docs", "total_dl")
     postings = spark.read.parquet(base["postings"]).select(*cols)
-    sd = _try_read(
-        spark, f"{index_dir}/stats_delta", ["n_docs", "total_dl", "batch"]
+    sd, live, _reroute, _void = ledger_batches(
+        spark, f"{index_dir}/stats_delta", man
     )
-    if sd is not None:
-        absorbed = set(man["absorbed"])
-        live = [
-            int(r.batch)
-            for r in sd.select("batch").distinct().collect()
-            if int(r.batch) not in absorbed
-        ]
-        if live:
-            stats = stats.unionByName(
-                sd.filter(F.col("batch").isin(live)).select(
-                    "n_docs", "total_dl"
-                )
+    if live:
+        stats = stats.unionByName(
+            sd.filter(F.col("batch").isin(live)).select(
+                "n_docs", "total_dl"
             )
-            pd_ = _try_read(
-                spark, f"{index_dir}/postings_delta", cols + ["batch"]
+        )
+        from flink_cep_examples_spark.index_manifest import try_read_tier
+
+        pd_ = try_read_tier(
+            spark, f"{index_dir}/postings_delta", cols + ["batch"]
+        )
+        if pd_ is not None:
+            postings = postings.unionByName(
+                pd_.filter(F.col("batch").isin(live)).select(*cols)
             )
-            if pd_ is not None:
-                postings = postings.unionByName(
-                    pd_.filter(F.col("batch").isin(live)).select(*cols)
-                )
     stats = stats.agg(
         F.sum("n_docs").alias("n_docs"),
         F.sum("total_dl").alias("total_dl"),
@@ -1026,17 +1038,21 @@ def bm25_search_persisted_many(
         [
             (int(qid), t)
             for qid in sorted(queries)
-            for t in queries[qid]
+            for t in dict.fromkeys(queries[qid])
         ],
         "qid int, term string",
     )
+    # pivot columns are keyed by the term's INDEX in the sorted union
+    # (round-16 review: a term containing '.' or '`' as a raw column
+    # name would break F.col resolution; indices are always safe)
+    slot = {t: i for i, t in enumerate(all_terms)}
     per_q_doc = (
         contrib.join(F.broadcast(qdf), "term")
         .groupBy("qid", "doc_id")
         .agg(
             *[
                 F.max(F.when(F.col("term") == t, F.col("c"))).alias(
-                    f"c_{t}"
+                    f"c{slot[t]}"
                 )
                 for t in all_terms
             ],
@@ -1045,8 +1061,11 @@ def bm25_search_persisted_many(
     score = None
     for qid in sorted(queries, reverse=True):
         qscore = None
-        for t in queries[qid]:  # fixed textual addition order per query
-            term_c = F.coalesce(F.col(f"c_{t}"), F.lit(0.0))
+        # dedupe repeated terms (first occurrence wins — a duplicate
+        # would double-add its contribution and diverge from the
+        # single-query kernel), keep the query's own addition order
+        for t in dict.fromkeys(queries[qid]):
+            term_c = F.coalesce(F.col(f"c{slot[t]}"), F.lit(0.0))
             qscore = term_c if qscore is None else qscore + term_c
         score = (
             qscore

@@ -79,8 +79,10 @@ def bm25_index_stream(
         # operational contract in bm25_compact_index's docstring: an
         # index dir is married to its ingest checkpoint (a brand-new
         # checkpoint restarts ids at 0 and would be skip-guarded here —
-        # use a fresh index dir or rebuild, which resets absorbed).
-        if int(batch_id) in set(read_manifest(index_dir)["absorbed"]):
+        # use a fresh index dir or rebuild, which bumps the epoch and
+        # resets absorbed).
+        man = read_manifest(index_dir)
+        if int(batch_id) in set(man["absorbed"]):
             return
         _bm25_postings_frame(docs).withColumn(
             "batch", F.lit(batch_id)
@@ -89,9 +91,15 @@ def bm25_index_stream(
         ).partitionBy("batch", "term_bucket").parquet(
             f"{index_dir}/postings_delta"
         )
+        # the ledger row records the manifest EPOCH it was written
+        # under (round 16): a rebuild racing this batch bumps the
+        # epoch, and serving's epoch gate then excludes the row —
+        # stale content can never serve against a fresh base
         _bm25_stats_frame(docs).withColumn(
             "batch", F.lit(batch_id)
-        ).coalesce(1).write.mode("overwrite").option(
+        ).withColumn("epoch", F.lit(int(man["epoch"]))).coalesce(
+            1
+        ).write.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"
         ).partitionBy("batch").parquet(f"{index_dir}/stats_delta")
         if max_delta_batches is not None:

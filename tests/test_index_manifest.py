@@ -57,11 +57,14 @@ def _served(spark, idx):
 def test_manifest_roundtrip_and_legacy_resolution(tmp_path):
     d = str(tmp_path / "man")
     # no manifest: version 0 = the legacy unversioned layout
-    assert read_manifest(d) == {"version": 0, "absorbed": []}
+    assert read_manifest(d) == {
+        "version": 0, "epoch": 0, "min_live_epoch": 0, "absorbed": []
+    }
     assert resolve_tier(d, "postings") == f"{d}/postings"
-    publish_manifest(d, 3, absorbed=[7, 1])
+    publish_manifest(d, 3, absorbed=[7, 1], epoch=2, min_live_epoch=1)
     man = read_manifest(d)
     assert man["version"] == 3 and man["absorbed"] == [1, 7]
+    assert man["epoch"] == 2 and man["min_live_epoch"] == 1
     assert resolve_tier(d, "postings") == f"{d}/postings_v3"
     # a corrupt manifest degrades to legacy, never crashes readers
     with open(os.path.join(d, index_manifest.MANIFEST_NAME), "w") as f:
@@ -379,4 +382,6 @@ def test_manifest_pointer_is_single_small_file(tmp_path):
     with open(os.path.join(d, index_manifest.MANIFEST_NAME)) as f:
         content = f.read()
     assert "\n" not in content.strip()
-    assert json.loads(content) == {"version": 1, "absorbed": [4]}
+    assert json.loads(content) == {
+        "version": 1, "epoch": 0, "min_live_epoch": 0, "absorbed": [4]
+    }
