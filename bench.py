@@ -92,6 +92,25 @@ HEADLINE = [
 #: documented ±40% band, not a query-specific regression. Neither
 #: query's code changed since r4.
 BENCH_NOTES = (
+    "r16 self-bench (after ALL round-16 work: gate rotation, "
+    "versioned-dir + atomic-manifest index commits, epoch-gated delta "
+    "ledger, online IVF vector ingest, BM25/hybrid serve-many, "
+    "auto-compaction policies): headline 54.04 s over 53 queries "
+    "(list grew by ivf_stream_served_topk 0.79 s), batch 102,459 "
+    "ev/s (80-140k band), streaming 218,938 ev/s (above the 95-180k "
+    "historical band - the fast side of host variance, same code "
+    "shape as r15's 203.6k self-reading). Vs the r15 OFFICIAL record "
+    "on the 52 common queries: sum 53.3 s vs 73.2 s, geomean 0.728x, "
+    "ZERO flags >1.25x, worst ratio 1.00x - consistent with the r15 "
+    "verdict that the official record caught a slow host window; the "
+    "round-16 code is not a regression anywhere. K=10 first rows for "
+    "the round-16 queries: ivf_stream_served_topk 0.60x (probe-pruned "
+    "serve, corpus-independent), bm25_serve_many_topk 1.56x, "
+    "hybrid_rrf_serve_many_topk 1.25x. Online-ingest probe at sf0.1: "
+    "serve 0.80 s at 32 live delta batches vs 0.44 s compacted (1.8x "
+    "small-file amplification - the quantity maybe_compact_ivf "
+    "bounds); policy at max_delta_batches=8 fired exactly 4 "
+    "compactions and held serve at 0.53 s (SCALING.md r16). Prior: "
     "r15 self-bench (after ALL round-15 work: gate rotation, durable "
     "pipeline stage boundary, training order/shards/curriculum, IVF "
     "decontam route, BM25 append + streamed delta tier, vectorized "
