@@ -120,7 +120,16 @@ def _assign(
             d2 = (A * A).sum(axis=1)[:, None] - 2.0 * (A @ C.T) + c_sq[None, :]
             return pd.Series(cids[np.argmin(d2, axis=1)])
 
-    return emb.withColumn("cid", assign_udf("embedding"))
+    # asNondeterministic (round-16 optimization, guide §4.4): the UDF is
+    # value-deterministic, but serving paths filter on its output
+    # (``cid IN probes``), and Catalyst pushes that filter below the
+    # projection by DUPLICATING the evaluation — ivf_topk's before plan
+    # (plans/r16/ivf_topk_before.txt nodes 3-6) runs the O(n·K·DIM)
+    # kernel TWICE over the whole corpus. Marking it non-deterministic
+    # forbids the reorder: one evaluation, filters applied above. The
+    # only pushdown lost is a pre-assignment row filter on the same
+    # branch (negligible: the assignment must see every row anyway).
+    return emb.withColumn("cid", assign_udf.asNondeterministic()("embedding"))
 
 
 def _means(assigned: DataFrame) -> dict[int, list[float]]:
@@ -165,20 +174,30 @@ def _resolve_k(emb: DataFrame, k_lists: int | None) -> int:
 
 
 def _trained_assignment(
-    emb: DataFrame, k_lists: int = K_LISTS, exact: bool = True
+    emb: DataFrame,
+    k_lists: int = K_LISTS,
+    exact: bool = True,
+    seed_rows=None,
 ) -> tuple[DataFrame, dict[int, list[float]]]:
     """Seed with the K smallest vec_ids, one Lloyd refinement (assign →
     exact-decimal means), final assignment. Returns (assigned df with
     ``cid``, trained centroids). ``exact`` selects the assignment
-    kernel (sequential-fold for oracle queries, BLAS for deployment)."""
-    seed_rows = sorted(
-        emb.filter(F.col("vec_id") < k_lists)
-        .select("vec_id", "embedding")
-        .collect(),
-        key=lambda r: r.vec_id,
-    )
+    kernel (sequential-fold for oracle queries, BLAS for deployment).
+
+    ``seed_rows`` (round-16 optimization, guide §1.2: fewer passes):
+    pre-collected rows with ``vec_id``/``embedding`` covering at least
+    ``vec_id < k_lists`` — a caller that also needs other low-vec_id
+    rows (the query vector, the PQ codebook) fetches everything in ONE
+    driver action instead of one per purpose; rows outside the seed
+    range are ignored here."""
+    if seed_rows is None:
+        seed_rows = emb.filter(F.col("vec_id") < k_lists).select(
+            "vec_id", "embedding"
+        ).collect()
     cents = {
-        int(r.vec_id): [float(x) for x in r.embedding] for r in seed_rows
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in sorted(seed_rows, key=lambda r: r.vec_id)
+        if int(r.vec_id) < k_lists
     }
     cents = _means(_assign(emb, cents, exact))  # one Lloyd refinement
     return _assign(emb, cents, exact), cents
@@ -194,8 +213,8 @@ def ivf_topk(
     """IVF top-k for the fixed query vector: trained coarse quantizer,
     then exact cosine over the NPROBE nearest inverted lists only.
     The embeddings are materialized once (localCheckpoint) — training
-    runs 4 actions over them (seed fetch, refine means, final assign,
-    query fetch), each of which would otherwise rescan + reshuffle.
+    runs 3 actions over them (merged seed+query fetch, refine means,
+    final assign), each of which would otherwise rescan + reshuffle.
 
     ``k_lists``: pinned ``K_LISTS`` for the registered oracle query;
     pass ``None`` at deployment for corpus-scaled ``n_lists(n)``."""
@@ -204,16 +223,22 @@ def ivf_topk(
         .select("vec_id", "label", "embedding")
         .localCheckpoint()
     )
+    # ONE driver fetch covers the seed centroids AND the query vector
+    # (round-16 optimization, guide §1.2/§5: the old form ran a second
+    # full job over emb just to read vec_id = QUERY_VEC_ID).
+    kl = _resolve_k(emb, k_lists)
+    pre = emb.filter(
+        (F.col("vec_id") < kl) | (F.col("vec_id") == QUERY_VEC_ID)
+    ).select("vec_id", "embedding").collect()
     assigned, cents = _trained_assignment(
-        emb, _resolve_k(emb, k_lists), exact=k_lists is not None
+        emb, kl, exact=k_lists is not None, seed_rows=pre
     )
 
     qvec = [
         float(x)
-        for x in emb.filter(F.col("vec_id") == QUERY_VEC_ID)
-        .select("embedding")
-        .first()
-        .embedding
+        for r in pre
+        if int(r.vec_id) == QUERY_VEC_ID
+        for x in r.embedding
     ]
 
     def py_sqdist(c: list[float]) -> float:
@@ -1261,14 +1286,28 @@ def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", "embedding")
         .localCheckpoint()  # training + codebook fetch rescan it
     )
-    assigned, cents = _trained_assignment(emb, K_LISTS, exact=True)
+    # ONE driver fetch covers the IVF seeds (vec_id < K_LISTS), the
+    # query vector, AND the PQ codebook rows (vec_id < PQ_K) — the old
+    # form ran three separate jobs over emb for them (round-16
+    # optimization, guide §1.2/§5: fewer driver round-trips).
+    pre = sorted(
+        emb.filter(
+            (F.col("vec_id") < max(K_LISTS, PQ_K))
+            | (F.col("vec_id") == QUERY_VEC_ID)
+        )
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: int(r.vec_id),
+    )
+    assigned, cents = _trained_assignment(
+        emb, K_LISTS, exact=True, seed_rows=pre
+    )
 
     qvec = [
         float(x)
-        for x in emb.filter(F.col("vec_id") == QUERY_VEC_ID)
-        .select("embedding")
-        .first()
-        .embedding
+        for r in pre
+        if int(r.vec_id) == QUERY_VEC_ID
+        for x in r.embedding
     ]
 
     def py_sqdist(c: list[float]) -> float:
@@ -1288,17 +1327,13 @@ def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # PQ codebook: sub-vectors of the PQ_K smallest vec_ids (identical
-    # to ann_pq_topk — codes are data-independent of the pruning)
-    seed_rows = sorted(
-        emb.filter(F.col("vec_id") < PQ_K)
-        .select("vec_id", "embedding")
-        .collect(),
-        key=lambda r: int(r.vec_id),
-    )
+    # to ann_pq_topk — codes are data-independent of the pruning),
+    # sliced from the same prefetched rows
     cb = spark.createDataFrame(
         [
             (int(r.vec_id), pos, float(x))
-            for r in seed_rows
+            for r in pre
+            if int(r.vec_id) < PQ_K
             for pos, x in enumerate(r.embedding)
         ],
         "cw int, pos int, cx double",
@@ -1324,10 +1359,12 @@ def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", "b", F.col("m.cw").alias("cw"))
     )
 
-    q = (
-        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
-        .select(F.posexplode("embedding").alias("pos", "qx"))
-        .withColumn("qx", F.col("qx").cast("double"))
+    # query-vector frame from the already-collected qvec — the old form
+    # scanned the checkpointed emb again inside BOTH broadcast builds
+    # (lut, qn2); values identical (posexplode pos = enumerate index,
+    # float→double cast = float(x))
+    q = spark.createDataFrame(
+        [(pos, x) for pos, x in enumerate(qvec)], "pos int, qx double"
     )
     lut = (
         cb.join(F.broadcast(q), "pos")

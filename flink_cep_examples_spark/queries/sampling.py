@@ -1003,12 +1003,22 @@ def sources_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "h")
         .dropDuplicates(["source", "h"])
     )
-    # phase 2: global bottom-k over the ≤ n_salt·k candidates/source
+    # phase 2: global bottom-k over the ≤ n_salt·k candidates/source.
+    # MATERIALIZED once (round-16 optimization, guide §2.4/§1.2): the
+    # sketch is ≤ k rows per source — bounded by the SOURCE dimension —
+    # but it is referenced four times below (srcs twice via the pair
+    # cross, ka, kb), and without a materialization boundary Catalyst
+    # re-executes the entire upstream corpus pipeline (token explode +
+    # shingle window + salted bottom-k) once PER REFERENCE: the before
+    # plan shows 24 parquet scans / 4 copies of the Window chain
+    # (plans/r16/sources_kmv_jaccard_before.txt). One localCheckpoint
+    # turns 4 corpus passes into 1 at any scale.
     w = Window.partitionBy("source").orderBy("h")
     kmv = (
         cand.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("source", "h")
+        .localCheckpoint()
     )
     srcs = kmv.select("source").distinct()
     pairs = (
@@ -1431,6 +1441,16 @@ def training_order_frame(
         )
     )
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # Materialize the scored frame BEFORE range partitioning (round-16
+    # optimization, guide §1.2: don't run the same pass twice):
+    # ``repartitionByRange`` first runs a range-boundary SAMPLING job
+    # over its input, so without this boundary the entire upstream mix
+    # pipeline (scan → bucket windows → budget join → union) executed
+    # TWICE — once for the sample, once for the ranged materialization
+    # (profiled: 22 jobs / 44 stages per docs_training_order call).
+    # Rows here are narrow (ids + 3 longs + a double); the blocks are
+    # released with the frame by GC, same lifetime story as ``ranged``.
+    pos = pos.localCheckpoint(eager=True)
     ranged = (
         pos.repartitionByRange(n_parts, "frac", "lang", "doc_id")
         .withColumn("pid", F.spark_partition_id())

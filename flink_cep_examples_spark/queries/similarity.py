@@ -312,11 +312,19 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     side never shuffles on anything wider than a 2-byte bucket.
     Recall vs the brute-force baseline is measured in tests
     (test_oracle_extensions.py), not assumed."""
-    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id").withColumn(
-        "bucket", _pd_bucket("embedding")
+    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    # Corpus side: non-deterministic marking (round-16 optimization,
+    # guide §4.4) — the join's inferred isnotnull(bucket) was pushed
+    # below the exchange by DUPLICATING the 16-plane UDF over the whole
+    # corpus (see plans/r16/ann_batch_topk_before.txt for the batched
+    # twin). Query side: filter FIRST, then hash — so the vec_id filter
+    # still prunes at the scan and the UDF sees only the query rows.
+    corpus = emb.withColumn(
+        "bucket", _pd_bucket.asNondeterministic()("embedding")
     )
     probes = (
         emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .withColumn("bucket", _pd_bucket("embedding"))
         .select(
             F.col("embedding").alias("qv"),
             F.explode(F.array(*[F.lit(m) for m in PROBE_MASKS])).alias("m"),
@@ -326,7 +334,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = _pd_cos("embedding", "qv")
     return (
-        emb.join(F.broadcast(probes), F.col("bucket") == F.col("pbucket"))
+        corpus.join(F.broadcast(probes), F.col("bucket") == F.col("pbucket"))
         .filter(F.col("vec_id") != QUERY_VEC_ID)
         .select("vec_id", "label", cos.alias("cos"))
         .orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -392,9 +400,18 @@ def lsh_search(
     planes = make_planes(n_planes)
     masks = make_probe_masks(n_planes, probe_radius)
     bucket = make_bucket_udf(planes) if n_planes != N_PLANES else _pd_bucket
-    emb = emb.withColumn("bucket", bucket("embedding"))
+    # Same §4.4 split as ann_lsh_topk (round-16 optimization): the
+    # corpus hash is marked non-deterministic so the join's inferred
+    # isnotnull(bucket) cannot duplicate the 16-plane UDF over the
+    # whole corpus (before plan: TWO corpus-sized ArrowEvalPython nodes,
+    # plans/r16/ann_batch_topk_before.txt nodes 3/7); the query side
+    # filters FIRST so is_query still prunes at the scan.
+    corpus = emb.withColumn(
+        "bucket", bucket.asNondeterministic()("embedding")
+    )
     probes = (
         emb.filter(is_query)
+        .withColumn("bucket", bucket("embedding"))
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("embedding").alias("qv"),
@@ -409,7 +426,7 @@ def lsh_search(
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     probe_side = F.broadcast(probes) if broadcast_probes else probes
     return (
-        emb.join(probe_side, F.col("bucket") == F.col("pbucket"))
+        corpus.join(probe_side, F.col("bucket") == F.col("pbucket"))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id", "label", cos.alias("cos"))
         .withColumn("rank", F.row_number().over(w))
