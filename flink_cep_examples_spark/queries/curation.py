@@ -378,14 +378,28 @@ def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("tok"),
     )
-    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    # Materialize the reduced (doc_id, tok, tf) frame once (round-16
+    # optimization, guide §1.2): it feeds THREE branches (the scoring
+    # join, the vocabulary counts, the corpus total), and each re-ran
+    # the full tokenize+explode+reduce without this boundary — the
+    # before plan scans the corpus 3× (plans/r16/
+    # docs_unigram_logprob_before.txt). One tokenize pass + a
+    # local-block materialization beats three passes at any scale; the
+    # frame is already the post-reduction size (distinct tokens per
+    # doc, not raw length).
+    tf = tok.groupBy("doc_id", "tok").agg(
+        F.count("*").alias("tf")
+    ).localCheckpoint()
     vocab = tf.groupBy("tok").agg(F.sum("tf").alias("cnt"))
     lnq = vocab.select(
         "tok",
         F.floor(F.log("cnt") * F.lit(1e9) + F.lit(0.5)).alias("lnq"),
     )
-    total = vocab.agg(
-        F.floor(F.log(F.sum("cnt")) * F.lit(1e9) + F.lit(0.5)).alias(
+    # Σ_vocab cnt ≡ Σ_tf tf (exact integer sums) — computing the corpus
+    # total straight off the checkpointed tf frame skips a second
+    # vocabulary-keyed shuffle (round-16 optimization, guide §2.4)
+    total = tf.agg(
+        F.floor(F.log(F.sum("tf")) * F.lit(1e9) + F.lit(0.5)).alias(
             "ln_total_q"
         )
     )

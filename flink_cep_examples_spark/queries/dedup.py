@@ -116,15 +116,27 @@ def _sql_shingles(n: int = 3) -> str:
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on the normalized-content hash: every doc mapped to
-    its canonical (minimum) doc_id; ``n_dups`` = group size."""
+    its canonical (minimum) doc_id; ``n_dups`` = group size.
+
+    Round-16 optimization (guide §2.4): the old groupBy + join-back
+    form re-derived the fingerprint pipeline on BOTH branches (two
+    parquet scans + two md5-normalize passes + two exchanges on ``fp``
+    + the join — plans/r16/corpus_clean_pipeline_before.txt nodes
+    35-50); the window form computes the identical (canonical_id,
+    n_dups) per row in ONE scan and ONE exchange. Skew profile is
+    unchanged — either form co-locates a duplicate group on one task."""
+    from pyspark.sql.window import Window
+
     docs = load_table(spark, sf_dir, "documents")
     fp = spread(docs, "doc_id").select(
         "doc_id", F.md5(_norm_text(F.col("text"))).alias("fp")
     )
-    groups = fp.groupBy("fp").agg(
-        F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_dups")
+    w = Window.partitionBy("fp")
+    return fp.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("n_dups"),
     )
-    return fp.join(groups, "fp").select("doc_id", "canonical_id", "n_dups")
 
 
 ORACLE_EXACT = f"""

@@ -1104,10 +1104,12 @@ def ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     index_dir = f"{tempfile.gettempdir()}/spark_graft_ivf_index_{tag}"
     ensure_ivf_index(spark, sf_dir, index_dir, k_lists=K_LISTS)
-    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    # pushdown-pruned single-row fetch — the old form repartitioned the
+    # whole table (spread) just to read one row (round-16 optimization)
     qvec = [
         float(x)
-        for x in emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        for x in load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == QUERY_VEC_ID)
         .select("embedding")
         .first()
         .embedding
@@ -1199,10 +1201,12 @@ def ivf_stream_served_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     index_dir = f"{tempfile.gettempdir()}/spark_graft_ivf_stream_{tag}"
     _ensure_stream_ingested_index(spark, sf_dir, index_dir)
-    emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
+    # pushdown-pruned single-row fetch — the old form repartitioned the
+    # whole table (spread) just to read one row (round-16 optimization)
     qvec = [
         float(x)
-        for x in emb.filter(F.col("vec_id") == QUERY_VEC_ID)
+        for x in load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == QUERY_VEC_ID)
         .select("embedding")
         .first()
         .embedding

@@ -33,13 +33,9 @@ from flink_cep_examples_spark.queries import register
 from flink_cep_examples_spark.queries.dedup import (
     ORACLE_EXACT,
     _oracle_minhash,
-    dedup_exact,
     dedup_minhash_lsh,
 )
-from flink_cep_examples_spark.queries.text import (
-    ORACLE_QUALITY,
-    text_quality_scores,
-)
+from flink_cep_examples_spark.queries.text import ORACLE_QUALITY
 
 #: estimated-Jaccard threshold above which an LSH candidate pair is a
 #: near-duplicate (0.5 = the classic MinHash dedup operating point)
@@ -48,23 +44,48 @@ NEAR_DUP_T = 0.5
 
 def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Surviving corpus after quality + exact-dup + near-dup filtering:
-    (doc_id, n_tokens) of every kept document."""
-    quality = text_quality_scores(spark, sf_dir).where("keep").select(
-        "doc_id", "n_tokens"
+    (doc_id, n_tokens) of every kept document.
+
+    Round-16 optimization (guide §1.2: don't scan twice for what one
+    pass computes): stages 1+2 are FUSED into one corpus scan — the
+    quality expressions (:func:`queries.text.quality_columns`, the
+    exact exprs behind ``text_quality_scores``) and the exact-dup
+    fingerprint ride the same projection, and the canonical-id check
+    is a window over ``fp`` (the :func:`dedup_exact` rewrite), so the
+    old quality⋈canonical doc_id equi-join (two full text scans + two
+    exchanges + an SMJ) collapses to one scan + one window filter.
+    Both stages are 1:1 per doc_id, so inner-join == conjunction of
+    their filters — same rows, pinned by the unchanged composition
+    oracle. Step 3 (the banded-LSH loser anti-join) is unchanged."""
+    from pyspark.sql.window import Window
+
+    from flink_cep_examples_spark.queries.dedup import _norm_text
+    from flink_cep_examples_spark.queries.text import quality_columns
+    from flink_cep_examples_spark.sources.tables import load_table, spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    cols = quality_columns(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        cols["n_tokens"].alias("n_tokens"),
+        cols["keep"].alias("keep"),
+        F.md5(_norm_text(F.col("text"))).alias("fp"),
     )
-    canonical = dedup_exact(spark, sf_dir).where(
-        F.col("doc_id") == F.col("canonical_id")
-    ).select("doc_id")
+    survivors = (
+        base.withColumn(
+            "canonical_id",
+            F.min("doc_id").over(Window.partitionBy("fp")),
+        )
+        .where(F.col("keep") & (F.col("doc_id") == F.col("canonical_id")))
+        .select("doc_id", "n_tokens")
+    )
     near_losers = (
         dedup_minhash_lsh(spark, sf_dir)
         .where(F.col("est_jaccard") >= NEAR_DUP_T)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    return (
-        quality.join(canonical, "doc_id")
-        .join(near_losers, "doc_id", "left_anti")
-    )
+    return survivors.join(near_losers, "doc_id", "left_anti")
 
 
 ORACLE_PIPELINE = f"""

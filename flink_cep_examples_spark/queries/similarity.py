@@ -232,10 +232,20 @@ def _brute_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = emb.select(
         "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
     ).withColumn("x", F.col("x").cast("double"))
-    q = (
-        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
-        .select(F.posexplode("embedding").alias("pos", "qx"))
-        .withColumn("qx", F.col("qx").cast("double"))
+    # ONE pushdown-pruned fetch of the query row, then a local frame —
+    # the old ``q`` branch re-scanned the table inside BOTH broadcast
+    # builds (the pos join and qn2); values identical (posexplode pos =
+    # enumerate index, float→double cast = float(x)). Round-16
+    # optimization, guide §1.2.
+    qrow = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .first()
+    )
+    q = spark.createDataFrame(
+        [(pos, float(x)) for pos, x in enumerate(qrow.embedding)],
+        "pos int, qx double",
     )
     qn2 = (
         q.agg(F.sum((F.col("qx") * F.col("qx")).cast(_TERM_DEC)).alias("qn2"))
@@ -889,13 +899,25 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and DuckDB), argmin ties broken on codeword id."""
     emb = spread(load_table(spark, sf_dir, "embeddings"), "vec_id")
 
-    # deterministic codebook: sub-vectors of the K smallest vec_ids
+    # deterministic codebook: sub-vectors of the K smallest vec_ids.
+    # ONE driver fetch also covers the query vector (round-16
+    # optimization, guide §1.2: the old ``q`` branch re-scanned the
+    # parquet inside BOTH broadcast builds, lut and qn2).
     seed_rows = sorted(
-        emb.filter(F.col("vec_id") < PQ_K)
+        emb.filter(
+            (F.col("vec_id") < PQ_K) | (F.col("vec_id") == QUERY_VEC_ID)
+        )
         .select("vec_id", "embedding")
         .collect(),
         key=lambda r: int(r.vec_id),
     )
+    qvec = [
+        float(x)
+        for r in seed_rows
+        if int(r.vec_id) == QUERY_VEC_ID
+        for x in r.embedding
+    ]
+    seed_rows = [r for r in seed_rows if int(r.vec_id) < PQ_K]
     cb_rows = [
         (int(r.vec_id), pos, float(x))
         for r in seed_rows
@@ -925,11 +947,11 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "label", "b", F.col("m.cw").alias("cw"))
 
     # query-side lookup table: dot(q_block, codeword) and |codeword|^2
-    # per (block, codeword) — K*M rows, broadcast
-    q = (
-        emb.filter(F.col("vec_id") == QUERY_VEC_ID)
-        .select(F.posexplode("embedding").alias("pos", "qx"))
-        .withColumn("qx", F.col("qx").cast("double"))
+    # per (block, codeword) — K*M rows, broadcast; the query frame is
+    # built from the prefetched row (values identical: posexplode pos =
+    # enumerate index, float→double cast = float(x))
+    q = spark.createDataFrame(
+        [(pos, x) for pos, x in enumerate(qvec)], "pos int, qx double"
     )
     lut = (
         cb.join(F.broadcast(q), "pos")

@@ -358,7 +358,16 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = terms.groupBy("doc_id", "dl", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    return _bm25_rank(tf, stats)
+    # Materialize the pruned postings once (round-16 optimization,
+    # guide §1.2): _bm25_rank reads ``tf`` on TWO branches (the df
+    # broadcast build and the scoring join), and each re-ran the full
+    # corpus tokenize+explode without this boundary — 3 corpus passes
+    # per query (stats, df, scoring) down to 2. Rows here are ≤|q| per
+    # MATCHING doc (4 narrow columns), a vanishing fraction of the
+    # corpus; the persisted-index path (bm25_search_persisted) keeps
+    # its lazy form — its tf branch is already a partition-pruned
+    # index scan, not a corpus pass.
+    return _bm25_rank(tf.localCheckpoint(), stats)
 
 
 def _bm25_rank(tf: DataFrame, stats: DataFrame) -> DataFrame:

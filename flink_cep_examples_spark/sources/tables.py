@@ -65,10 +65,27 @@ def spread(df: DataFrame, *key_cols: str) -> DataFrame:
     evaluate interpreted, outside whole-stage codegen).
 
     Rationale: the synthetic tables arrive as one parquet row group →
-    one task, which serializes interpreted compute locally. On a real
-    cluster the scan has thousands of splits and this repartition is a
-    cheap rebalance of raw rows — far cheaper than the compute it
-    parallelizes. Results never depend on partitioning."""
+    one task, which serializes interpreted compute locally. Results
+    never depend on partitioning.
+
+    Round-16 optimization note (guide §2.4 — "a repartition(n) someone
+    added for parallelism" is the canonical accidental Exchange): on a
+    real cluster the scan already has hundreds-to-thousands of splits
+    and this repartition would shuffle the ENTIRE corpus (raw
+    text/embedding payloads — the heaviest bytes in the job) to gain
+    nothing. ``SPARK_GRAFT_SPREAD=never`` disables it for such
+    deployments; downstream keyed operators (windows, aggregations)
+    then establish their own key partitioning at the same
+    single-exchange cost the spread would have paid. The default stays
+    ``always`` — correct for the single-row-group local layout and
+    keeps the driver's bench comparable. (A per-call runtime probe of
+    the scan's split count was measured at ~0.2–0.45 s of driver
+    plan-conversion per invocation — more than the repartition costs
+    locally — hence an explicit deployment knob, not autodetection.)"""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_SPREAD", "always") == "never":
+        return df
     n = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n, *key_cols) if key_cols else df.repartition(n)
 
