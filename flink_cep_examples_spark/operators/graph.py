@@ -61,19 +61,17 @@ DRIVER_EDGE_LIMIT = 2_000_000
 DRIVER_BYTE_LIMIT = 128 * 2**20
 
 
-def _edge_bytes_expr(e: DataFrame):
-    """Estimated collected Python-heap bytes for one edge row."""
-    per_col = []
-    for c in ("a", "b"):
-        dt = e.schema[c].dataType
-        if isinstance(dt, (T.StringType, T.BinaryType)):
-            # octet_length: collected str heap cost scales with UTF-8
-            # bytes, not characters (length undercounts up to 4x on
-            # non-ASCII ids); identical to length for BinaryType.
-            per_col.append(F.octet_length(c).cast("long") + F.lit(49))
-        else:
-            per_col.append(F.lit(28).cast("long"))
-    return (per_col[0] + per_col[1] + F.lit(60)).alias("bytes")  # + tuple
+def _edge_value_bytes(v) -> int:
+    """Estimated collected Python-heap bytes for one edge endpoint —
+    the Python twin of the old SQL estimate (str header ~49B over the
+    UTF-8 payload — octet semantics, length undercounts up to 4x on
+    non-ASCII ids; boxed int ~28B), applied to ALREADY-collected rows
+    so the estimate costs no extra Spark action."""
+    if isinstance(v, str):
+        return len(v.encode("utf-8")) + 49
+    if isinstance(v, (bytes, bytearray)):
+        return len(v) + 49
+    return 28
 
 
 def connected_components(
@@ -110,18 +108,32 @@ def connected_components(
         )
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = e.localCheckpoint()
-    stats = e.agg(
-        F.count(F.lit(1)).alias("n"), F.sum(_edge_bytes_expr(e)).alias("bytes")
-    ).first()
-    if stats.n <= driver_edge_limit and (stats.bytes or 0) <= driver_byte_limit:
-        out_schema = T.StructType(
-            [
-                T.StructField("id", e.schema["a"].dataType),
-                T.StructField("component", e.schema["a"].dataType),
-            ]
-        )
-        pairs = [(r.a, r.b) for r in e.collect()]
-        return _driver_components(e.sparkSession, pairs, out_schema)
+    if driver_edge_limit > 0:
+        # ONE bounded action replaces the old count/bytes stats job +
+        # the separate full collect (round-17, guide §1.2): collect at
+        # most limit+1 edges off the checkpointed blocks; if the cap is
+        # not hit those rows ARE the edge list — no second pass. The
+        # byte estimate runs over the collected rows in Python (same
+        # formula as before), costing no extra action; when either cap
+        # trips, the bounded probe is discarded and the distributed
+        # loop — which never collects more than the changed-count
+        # scalar — takes over.
+        rows = e.limit(driver_edge_limit + 1).collect()
+        if len(rows) <= driver_edge_limit and (
+            sum(
+                _edge_value_bytes(r.a) + _edge_value_bytes(r.b) + 60
+                for r in rows
+            )
+            <= driver_byte_limit
+        ):
+            out_schema = T.StructType(
+                [
+                    T.StructField("id", e.schema["a"].dataType),
+                    T.StructField("component", e.schema["a"].dataType),
+                ]
+            )
+            pairs = [(r.a, r.b) for r in rows]
+            return _driver_components(e.sparkSession, pairs, out_schema)
     labels, _ = _distributed_components(
         e, doubling=(algorithm == "pointer_doubling")
     )

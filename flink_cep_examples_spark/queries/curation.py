@@ -23,7 +23,11 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_cep_examples_spark.queries import register
-from flink_cep_examples_spark.sources.tables import load_table, spread
+from flink_cep_examples_spark.sources.tables import (
+    load_table,
+    materialize,
+    spread,
+)
 
 #: PII patterns (Java∩RE2-portable: classes + bounded repeats only).
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -386,10 +390,13 @@ def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # docs_unigram_logprob_before.txt). One tokenize pass + a
     # local-block materialization beats three passes at any scale; the
     # frame is already the post-reduction size (distinct tokens per
-    # doc, not raw length).
-    tf = tok.groupBy("doc_id", "tok").agg(
-        F.count("*").alias("tf")
-    ).localCheckpoint()
+    # doc, not raw length). The frame is CORPUS-SIZED, so the boundary
+    # goes through materialize(): default localCheckpoint locally,
+    # SPARK_GRAFT_MATERIALIZE=persist selects the fault-tolerant
+    # persist(DISK_ONLY) form for cluster runs (round-17, guide §5).
+    tf = materialize(
+        tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    )
     vocab = tf.groupBy("tok").agg(F.sum("tf").alias("cnt"))
     lnq = vocab.select(
         "tok",

@@ -240,6 +240,10 @@ def ivf_topk(
         if int(r.vec_id) == QUERY_VEC_ID
         for x in r.embedding
     ]
+    if not qvec:
+        raise ValueError(
+            f"query vector vec_id={QUERY_VEC_ID} missing from embeddings"
+        )
 
     def py_sqdist(c: list[float]) -> float:
         acc = 0.0
@@ -1313,6 +1317,10 @@ def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         if int(r.vec_id) == QUERY_VEC_ID
         for x in r.embedding
     ]
+    if not qvec:
+        raise ValueError(
+            f"query vector vec_id={QUERY_VEC_ID} missing from embeddings"
+        )
 
     def py_sqdist(c: list[float]) -> float:
         acc = 0.0
@@ -1363,26 +1371,26 @@ def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", "b", F.col("m.cw").alias("cw"))
     )
 
-    # query-vector frame from the already-collected qvec — the old form
-    # scanned the checkpointed emb again inside BOTH broadcast builds
-    # (lut, qn2); values identical (posexplode pos = enumerate index,
-    # float→double cast = float(x))
-    q = spark.createDataFrame(
-        [(pos, x) for pos, x in enumerate(qvec)], "pos int, qx double"
+    # ADC lookup table + query self-norm as LOCAL frames from the
+    # already-collected rows (round-17, guide §1.2 — the r16 deferred
+    # item): the old form ran a 512-row Spark join+groupBy inside the
+    # LUT broadcast build plus a separate qn2 job; both frames are now
+    # LocalTableScan + Project, so their broadcast builds launch no
+    # tasks. Exactness argument in similarity.py::_adc_local_frames —
+    # only IEEE products are computed in Python; every decimal cast
+    # and sum stays in Spark.
+    from flink_cep_examples_spark.queries.similarity import (
+        _adc_local_frames,
     )
-    lut = (
-        cb.join(F.broadcast(q), "pos")
-        .withColumn("b", (F.col("pos") / PQ_S).cast("int"))
-        .groupBy("b", "cw")
-        .agg(
-            F.sum(dec(F.col("cx") * F.col("qx"))).alias("qdot"),
-            F.sum(dec(F.col("cx") * F.col("cx"))).alias("cn2"),
-        )
-    )
-    qn2 = q.agg(
-        F.round(F.sum(dec(F.col("qx") * F.col("qx"))), 12)
-        .cast("double")
-        .alias("qn2")
+
+    lut, qn2 = _adc_local_frames(
+        spark,
+        [
+            (int(r.vec_id), [float(x) for x in r.embedding])
+            for r in pre
+            if int(r.vec_id) < PQ_K
+        ],
+        qvec,
     )
     cos = F.col("dot") / F.sqrt(F.col("n2") * F.col("qn2"))
     return (

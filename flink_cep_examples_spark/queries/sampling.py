@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from flink_cep_examples_spark.queries import register
-from flink_cep_examples_spark.sources.tables import load_table
+from flink_cep_examples_spark.sources.tables import load_table, materialize
 
 #: Knuth's multiplicative constant (2^32 / phi, odd)
 _MIX = 2654435761
@@ -1450,7 +1450,15 @@ def training_order_frame(
     # (profiled: 22 jobs / 44 stages per docs_training_order call).
     # Rows here are narrow (ids + 3 longs + a double); the blocks are
     # released with the frame by GC, same lifetime story as ``ranged``.
-    pos = pos.localCheckpoint(eager=True)
+    # CORPUS-SIZED, so the boundary goes through materialize():
+    # localCheckpoint locally, SPARK_GRAFT_MATERIALIZE=persist selects
+    # the fault-tolerant persist(DISK_ONLY) form for cluster runs
+    # (round-17, guide §5). ``ranged`` below stays a localCheckpoint
+    # unconditionally: its pid/offset snapshot contract needs frozen
+    # blocks — recomputing it from lineage could re-sample different
+    # range boundaries; the cluster-safe form there is a RELIABLE
+    # checkpoint, not persist.
+    pos = materialize(pos)
     ranged = (
         pos.repartitionByRange(n_parts, "frac", "lang", "doc_id")
         .withColumn("pid", F.spark_partition_id())

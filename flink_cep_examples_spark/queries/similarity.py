@@ -232,24 +232,22 @@ def _brute_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = emb.select(
         "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
     ).withColumn("x", F.col("x").cast("double"))
-    # ONE pushdown-pruned fetch of the query row, then a local frame —
-    # the old ``q`` branch re-scanned the table inside BOTH broadcast
-    # builds (the pos join and qn2); values identical (posexplode pos =
-    # enumerate index, float→double cast = float(x)). Round-16
-    # optimization, guide §1.2.
-    qrow = (
+    # LAZY pushdown-pruned query branch + qn2 FUSED into the one
+    # aggregation (round-17; guide §1.2/§2.4): the round-16 eager
+    # ``first()`` + createDataFrame cost one extra driver action +
+    # py4j round-trip per invocation (the bench regression the r16
+    # verdict flagged), and the old qn2 crossJoin added a second
+    # broadcast build. Because every embedding has the same DIM
+    # positions, the per-group sum of qx*qx over the joined positions
+    # IS the query self-norm, and decimal sums are exact and
+    # order-free — bit-identical to the old global qn2 (same
+    # round(…, 12)::double). One corpus scan, one pruned single-row
+    # scan inside the one broadcast build, one exchange.
+    q = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") == QUERY_VEC_ID)
-        .select("embedding")
-        .first()
-    )
-    q = spark.createDataFrame(
-        [(pos, float(x)) for pos, x in enumerate(qrow.embedding)],
-        "pos int, qx double",
-    )
-    qn2 = (
-        q.agg(F.sum((F.col("qx") * F.col("qx")).cast(_TERM_DEC)).alias("qn2"))
-        .select(F.round(F.col("qn2"), 12).cast("double").alias("qn2"))
+        .select(F.posexplode("embedding").alias("pos", "qx"))
+        .withColumn("qx", F.col("qx").cast("double"))
     )
     cos = F.col("dot") / F.sqrt(F.col("n2") * F.col("qn2"))
     return (
@@ -263,8 +261,10 @@ def _brute_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum((F.col("x") * F.col("x")).cast(_TERM_DEC)), 12)
             .cast("double")
             .alias("n2"),
+            F.round(F.sum((F.col("qx") * F.col("qx")).cast(_TERM_DEC)), 12)
+            .cast("double")
+            .alias("qn2"),
         )
-        .crossJoin(F.broadcast(qn2))
         .select("vec_id", "label", cos.alias("cos"))
     )
 
@@ -879,6 +879,64 @@ PQ_S = 4  # dims per block (M * S = 64)
 PQ_K = 32
 
 
+def _dec_fold(col: str):
+    """Exact scale-18 decimal sum of an array<double> column — the
+    array-fold twin of ``sum((x)::decimal(28,18))``: every element is
+    cast double→DECIMAL(28,18) BY SPARK (same HALF_UP cast as the
+    aggregate form), added exactly (decimal adds at matching scale are
+    exact; the explicit DECIMAL(30,18) re-cast only bounds the type,
+    our magnitudes never round). Order-free, so fold order ≡ any
+    aggregation order bit-for-bit."""
+    return F.expr(
+        f"aggregate({col}, CAST(0 AS DECIMAL(30,18)), "
+        f"(acc, t) -> CAST(acc + CAST(t AS DECIMAL(28,18)) "
+        f"AS DECIMAL(30,18)))"
+    )
+
+
+def _adc_local_frames(spark: SparkSession, codebook, qvec):
+    """ADC query-side lookup table + query self-norm as LOCAL frames
+    (round-17, guide §1.2): the old form computed both with Spark jobs
+    (a 512-row join+groupBy inside the LUT broadcast build, a second
+    build for qn2) even though every input — the PQ codebook and the
+    query vector — was already collected. Only IEEE double PRODUCTS
+    are computed in Python (bit-identical to Spark's double multiply);
+    every double→decimal cast and every decimal sum stays IN SPARK via
+    :func:`_dec_fold`, so there is no Java-vs-Python literal-rounding
+    question anywhere. Both frames are LocalTableScan + Project —
+    their broadcast builds no longer launch tasks.
+
+    ``codebook``: [(cw, [float, …])] — PQ_K reference embeddings;
+    ``qvec``: the query vector. Returns (lut, qn2) DataFrames shaped
+    exactly like the old aggregates: (b, cw, qdot DECIMAL, cn2
+    DECIMAL) and a 1-row (qn2 double)."""
+    n_blocks = len(qvec) // PQ_S
+    lut_rows = []
+    for cw, emb in codebook:
+        for b in range(n_blocks):
+            s0 = b * PQ_S
+            lut_rows.append(
+                (
+                    b,
+                    cw,
+                    [emb[s] * qvec[s] for s in range(s0, s0 + PQ_S)],
+                    [emb[s] * emb[s] for s in range(s0, s0 + PQ_S)],
+                )
+            )
+    lut = spark.createDataFrame(
+        lut_rows, "b int, cw int, qd array<double>, cn array<double>"
+    ).select(
+        "b",
+        "cw",
+        _dec_fold("qd").alias("qdot"),
+        _dec_fold("cn").alias("cn2"),
+    )
+    qn2 = spark.createDataFrame(
+        [([x * x for x in qvec],)], "qq array<double>"
+    ).select(F.round(_dec_fold("qq"), 12).cast("double").alias("qn2"))
+    return lut, qn2
+
+
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 5: product-quantized cosine top-k with ASYMMETRIC distance
     (ADC): each vector is encoded as M per-block nearest-codeword ids;
@@ -917,6 +975,10 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         if int(r.vec_id) == QUERY_VEC_ID
         for x in r.embedding
     ]
+    if not qvec:
+        raise ValueError(
+            f"query vector vec_id={QUERY_VEC_ID} missing from embeddings"
+        )
     seed_rows = [r for r in seed_rows if int(r.vec_id) < PQ_K]
     cb_rows = [
         (int(r.vec_id), pos, float(x))
@@ -946,26 +1008,18 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.struct("l2", "cw")).alias("m")
     ).select("vec_id", "label", "b", F.col("m.cw").alias("cw"))
 
-    # query-side lookup table: dot(q_block, codeword) and |codeword|^2
-    # per (block, codeword) — K*M rows, broadcast; the query frame is
-    # built from the prefetched row (values identical: posexplode pos =
-    # enumerate index, float→double cast = float(x))
-    q = spark.createDataFrame(
-        [(pos, x) for pos, x in enumerate(qvec)], "pos int, qx double"
-    )
-    lut = (
-        cb.join(F.broadcast(q), "pos")
-        .withColumn("b", (F.col("pos") / PQ_S).cast("int"))
-        .groupBy("b", "cw")
-        .agg(
-            F.sum(dec(F.col("cx") * F.col("qx"))).alias("qdot"),
-            F.sum(dec(F.col("cx") * F.col("cx"))).alias("cn2"),
-        )
-    )
-    qn2 = q.agg(
-        F.round(F.sum(dec(F.col("qx") * F.col("qx"))), 12)
-        .cast("double")
-        .alias("qn2")
+    # query-side lookup table (dot(q_block, codeword), |codeword|^2 per
+    # (block, codeword) — K*M rows) and the query self-norm, both as
+    # LOCAL frames from the prefetched rows (round-17, guide §1.2:
+    # the old Spark join+groupBy LUT build and the separate qn2 job
+    # vanish; see _adc_local_frames for the exactness argument)
+    lut, qn2 = _adc_local_frames(
+        spark,
+        [
+            (int(r.vec_id), [float(x) for x in r.embedding])
+            for r in seed_rows
+        ],
+        qvec,
     )
 
     cos = F.col("dot") / F.sqrt(F.col("n2") * F.col("qn2"))

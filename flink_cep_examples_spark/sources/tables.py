@@ -82,12 +82,58 @@ def spread(df: DataFrame, *key_cols: str) -> DataFrame:
     the scan's split count was measured at ~0.2–0.45 s of driver
     plan-conversion per invocation — more than the repartition costs
     locally — hence an explicit deployment knob, not autodetection.)"""
-    import os
-
-    if os.environ.get("SPARK_GRAFT_SPREAD", "always") == "never":
+    if _env_choice("SPARK_GRAFT_SPREAD", "always", ("always", "never")) == (
+        "never"
+    ):
         return df
     n = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n, *key_cols) if key_cols else df.repartition(n)
+
+
+def _env_choice(name: str, default: str, allowed: tuple[str, ...]) -> str:
+    """Read a deployment-knob env var, REJECTING unrecognized values
+    (ADVICE r16: ``SPARK_GRAFT_SPREAD=off`` silently kept the
+    full-corpus repartition on the very deployment the knob exists to
+    protect — fail loud instead)."""
+    import os
+
+    v = os.environ.get(name, default)
+    if v not in allowed:
+        raise ValueError(
+            f"{name}={v!r}: expected one of {sorted(allowed)}"
+        )
+    return v
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Materialization boundary for a CORPUS-SIZED intermediate that
+    several downstream branches re-read (guide §1.2: one pass, not one
+    per branch).
+
+    ``SPARK_GRAFT_MATERIALIZE=local`` (default): ``localCheckpoint``
+    — eager executor-local blocks. Fastest locally, but the blocks
+    are unreplicated and lineage is truncated, so on a real cluster
+    an executor loss makes every downstream action fail unrecoverably
+    (guide §5) — acceptable only for small/mid intermediates or
+    single-machine runs.
+
+    ``SPARK_GRAFT_MATERIALIZE=persist``: ``persist(DISK_ONLY)`` + an
+    eager ``count()`` — blocks on local disk, lineage RETAINED, so a
+    lost block is recomputed from source instead of killing the job;
+    the cluster-safe form for corpus-scale intermediates. (The plan
+    then shows an InMemoryTableScan instead of an ExistingRDD scan;
+    results are identical — pinned by tests/test_r17_optimizations.py.)
+    """
+    mode = _env_choice(
+        "SPARK_GRAFT_MATERIALIZE", "local", ("local", "persist")
+    )
+    if mode == "persist":
+        from pyspark import StorageLevel
+
+        df = df.persist(StorageLevel.DISK_ONLY)
+        df.count()
+        return df
+    return df.localCheckpoint(eager=True)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -73,9 +73,10 @@ def main() -> None:
     ap.add_argument("--samples", type=int, default=3)
     ap.add_argument("--plans-only", action="store_true")
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--out", default="r17", help="plans/<out>/ output dir")
     args = ap.parse_args()
 
-    out_dir = os.path.join(HERE, "plans", "r16")
+    out_dir = os.path.join(HERE, "plans", args.out)
     os.makedirs(out_dir, exist_ok=True)
 
     load_all()
