@@ -117,8 +117,21 @@ def connected_components(
         # formula as before), costing no extra action; when either cap
         # trips, the bounded probe is discarded and the distributed
         # loop — which never collects more than the changed-count
-        # scalar — takes over.
-        rows = e.limit(driver_edge_limit + 1).collect()
+        # scalar — takes over. initialNumPartitions pins the probe to
+        # ONE job: CollectLimit otherwise scans 1, then 4x-more
+        # partitions per retry while the limit is unreached — several
+        # jobs to read a frame we expect to read whole.
+        sess = e.sparkSession
+        key = "spark.sql.limit.initialNumPartitions"
+        prev = sess.conf.get(key, None)
+        sess.conf.set(key, str(1 << 30))
+        try:
+            rows = e.limit(driver_edge_limit + 1).collect()
+        finally:
+            if prev is None:
+                sess.conf.unset(key)
+            else:
+                sess.conf.set(key, prev)
         if len(rows) <= driver_edge_limit and (
             sum(
                 _edge_value_bytes(r.a) + _edge_value_bytes(r.b) + 60

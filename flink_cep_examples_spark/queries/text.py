@@ -19,7 +19,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from flink_cep_examples_spark.queries import register
-from flink_cep_examples_spark.sources.tables import load_table, spread
+from flink_cep_examples_spark.sources.tables import (
+    load_table,
+    materialize,
+    spread,
+)
 
 #: Function-word lists for the n-gram/stopword language heuristic.
 #: Deterministic scoring, not label recovery — the synthetic corpus'
@@ -346,28 +350,50 @@ def docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts; the final top-k is an orderBy+limit → TakeOrdered,
     never a single-partition window."""
     docs = load_table(spark, sf_dir, "documents")
-    stats = docs.select(_tok_count(F.col("text")).alias("dl")).agg(
+    # ONE tokenize pass over the corpus (round-17, guide §1.2/§8 —
+    # decide with small rows): per-doc NARROW row (doc_id, dl, one tf
+    # per query term), where tf(t) = size(toks) − size(array_remove(
+    # toks, t)) — exact occurrence count, all whole-stage codegen, no
+    # explode of the full token stream and no tf groupBy exchange at
+    # all. The old form tokenized the corpus TWICE (a stats pass + the
+    # explode→filter→groupBy postings pass). Stats and postings both
+    # read the materialized narrow frame (≈40 B/doc whatever the doc
+    # size); materialize() keeps the boundary knob-selectable for
+    # cluster runs (localCheckpoint locally / persist(DISK_ONLY) under
+    # SPARK_GRAFT_MATERIALIZE=persist). The persisted-index path
+    # (bm25_search_persisted) keeps its lazy form — its tf branch is a
+    # partition-pruned index scan, not a corpus pass.
+    toks = F.split(F.trim("text"), r"\s+")
+    base = materialize(
+        docs.select(
+            "doc_id",
+            _tok_count(F.col("text")).alias("dl"),
+            *[
+                (F.size(toks) - F.size(F.array_remove(toks, t)))
+                .cast("bigint")
+                .alias(f"tf{i}")
+                for i, t in enumerate(BM25_QUERY)
+            ],
+        )
+    )
+    stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("total_dl"),
     )
-    terms = docs.select(
-        "doc_id",
-        _tok_count(F.col("text")).alias("dl"),
-        F.explode(F.split(F.trim("text"), r"\s+")).alias("term"),
-    ).filter(F.col("term").isin(*BM25_QUERY))
-    tf = terms.groupBy("doc_id", "dl", "term").agg(
-        F.count(F.lit(1)).alias("tf")
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("term"), F.col(f"tf{i}").alias("tf")
+            )
+            for i, t in enumerate(BM25_QUERY)
+        ]
     )
-    # Materialize the pruned postings once (round-16 optimization,
-    # guide §1.2): _bm25_rank reads ``tf`` on TWO branches (the df
-    # broadcast build and the scoring join), and each re-ran the full
-    # corpus tokenize+explode without this boundary — 3 corpus passes
-    # per query (stats, df, scoring) down to 2. Rows here are ≤|q| per
-    # MATCHING doc (4 narrow columns), a vanishing fraction of the
-    # corpus; the persisted-index path (bm25_search_persisted) keeps
-    # its lazy form — its tf branch is already a partition-pruned
-    # index scan, not a corpus pass.
-    return _bm25_rank(tf.localCheckpoint(), stats)
+    tf = (
+        base.select("doc_id", "dl", F.explode(pairs).alias("p"))
+        .select("doc_id", "dl", F.col("p.term"), F.col("p.tf"))
+        .filter(F.col("tf") >= 1)
+    )
+    return _bm25_rank(tf, stats)
 
 
 def _bm25_rank(tf: DataFrame, stats: DataFrame) -> DataFrame:

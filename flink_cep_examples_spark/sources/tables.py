@@ -29,6 +29,11 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
 
 
+#: (path → StructType) parquet-footer memo — metadata only, see
+#: load_table. Keyed by full path so distinct SF dirs never collide.
+_SCHEMA_CACHE: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table. Parquet → full predicate pushdown and
     column pruning from Catalyst; no schema inference needed (parquet is
@@ -40,9 +45,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     truncated here to µs exactly as DuckDB truncates) or timestamp[us]
     without tz (arrives TIMESTAMP_NTZ; a cast under the UTC session tz
     is value-preserving), keeping every downstream query
-    oracle-comparable."""
+    oracle-comparable.
+
+    The parquet schema is memoized per (sf_dir, name) (round-17,
+    guide §1.2): without an explicit schema every ``read.parquet``
+    launches a footer-read job at PLAN-CONSTRUCTION time, so a query
+    referencing N tables paid N driver jobs per invocation before any
+    data moved. The cache holds metadata only (a StructType — never
+    rows), is per-process, and the first read each process still reads
+    the real footer, so a changed file is picked up by a fresh run."""
     ensure_session_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
     if name == "events":
         dt = df.schema["ts"].dataType
         if isinstance(dt, T.LongType):

@@ -10,6 +10,8 @@ import json
 import os
 
 import pytest
+
+pytestmark = pytest.mark.slow  # round-17 driver-budget deselection (VERDICT r16 item 1); round close runs `pytest -m slow`
 from pyspark.sql import functions as F
 
 from flink_cep_examples_spark import index_manifest

@@ -19,6 +19,8 @@ import random
 
 import pytest
 
+pytestmark = pytest.mark.slow  # round-17 driver-budget deselection (VERDICT r16 item 1); round close runs `pytest -m slow`
+
 from flink_cep_examples_spark.plans.pattern import AlternationSpec
 from flink_cep_examples_spark.sql.match_recognize import (
     match_recognize,

@@ -15,8 +15,17 @@ load_all()
 
 EXT_QUERY_NAMES = sorted(n for n in ORACLES if not n.startswith("cep_"))
 
+#: ~2 min EACH (IVF training through the exact harness) — round-17
+#: driver-budget deselection (VERDICT r16 item 1); still covered by the
+#: round-close `pytest -m slow` run and tools/oracle_sweep.py.
+_SLOW_EXT = {"ann_mmr_ivf_persisted_topk", "ann_mmr_ivf_topk"}
+EXT_PARAMS = [
+    pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_EXT else n
+    for n in EXT_QUERY_NAMES
+]
 
-@pytest.mark.parametrize("name", EXT_QUERY_NAMES)
+
+@pytest.mark.parametrize("name", EXT_PARAMS)
 def test_extension_query_vs_oracle(spark, sf_small, name):
     ok, msg = compare(QUERIES[name](spark, sf_small), ORACLES[name], sf_small)
     assert ok, f"{name}: {msg}"

@@ -64,13 +64,15 @@ def test_dedup_exact_single_scan_no_join(spark):
 
 
 def test_bm25_scan_path_single_corpus_scan(spark):
-    """The tf checkpoint leaves exactly one corpus scan in the final
-    plan (the stats pass); the df broadcast build and the scoring join
-    read the materialized postings."""
+    """Round 17 tightened the round-16 shape: ZERO corpus parquet scans
+    remain in the final plan — the single tokenize pass is materialized
+    as the narrow per-doc frame (array-arithmetic tf, no explode), and
+    stats, the df broadcast build AND the scoring join all read its
+    blocks (the r16 form still paid a second corpus pass for stats)."""
     from flink_cep_examples_spark.queries.text import docs_bm25_topk
 
     plan = _plan(docs_bm25_topk(spark, SF_DIR))
-    assert _count_node(plan, "Scan parquet") == 1, plan
+    assert _count_node(plan, "Scan parquet") == 0, plan
 
 
 def test_spread_never_knob(spark, monkeypatch):

@@ -26,6 +26,8 @@ from __future__ import annotations
 import time
 
 import pytest
+
+pytestmark = pytest.mark.slow  # round-17 driver-budget deselection (VERDICT r16 item 1); round close runs `pytest -m slow`
 from pyspark.sql import functions as F
 
 REPLICAS = 10  # sf0.001 billing × 10 — suite-sized, past the 1s floor

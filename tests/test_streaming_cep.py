@@ -10,6 +10,8 @@ import time
 
 import pytest
 
+pytestmark = pytest.mark.slow  # round-17 driver-budget deselection (VERDICT r16 item 1); round close runs `pytest -m slow`
+
 from flink_cep_examples_spark.plans.pattern import billing_pattern
 from flink_cep_examples_spark.schemas import MATCH_TAG, TIMEOUT_TAG
 from flink_cep_examples_spark.sources.billing import read_billing_csv_stream
